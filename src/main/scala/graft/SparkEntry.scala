@@ -10,7 +10,10 @@ object SparkEntry {
 
   /** All registered engine queries, in registration order. */
   val registry: Seq[(String, QueryDef)] =
-    analytics.CoreQueries.defs
+    analytics.CoreQueries.defs ++
+      analytics.JoinQueries.defs ++
+      analytics.WindowQueries.defs ++
+      analytics.ScanQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -16,8 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Session configs every graft session needs. `nanosAsLong` lets the
+    * parquet reader accept TIMESTAMP(NANOS) columns (events.ts) as raw
+    * nanos, which [[apply]] then converts losslessly to microsecond
+    * TIMESTAMP_NTZ — same floor-truncation DuckDB applies, so oracle
+    * results agree. */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(_.name == "ts") match {
+      // NANOS read as long: integer-div (not double-div — ns magnitudes
+      // exceed 2^53) to micros, then to wall-clock NTZ in the UTC session.
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000"))
+            .cast("timestamp_ntz"))
+      case _ => df
+    }
+  }
 }
 
 /** One engine query: a DataFrame builder plus (optionally) the ANSI-SQL

@@ -46,7 +46,125 @@ object CoreQueries {
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** A4 segmentation: count / distinct users / sum(value) by day × type.
+    * Mirrors the event-explorer contract
+    * (reference: rakam-spi/.../AbstractUserService.java:77-86). The
+    * day×type key space is tiny, so the shuffle after map-side partial
+    * aggregation is negligible even at 100 TB; countDistinct adds an
+    * Expand but cardinality stays bounded by (days × types × users).
+    */
+  def a4Segmentation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        dsum($"value").as("sum_value"))
+  }
+
+  val a4Sql: String =
+    s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       |  count(*) AS n_events,
+       |  count(DISTINCT user_id) AS n_users,
+       |  ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** A5 exact distinct users per event type (COUNT DISTINCT contract,
+    * reference ProjectConfig.java:15 `_user`). */
+  def a5Distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+  }
+
+  val a5Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** A5 approx variant — the 100 TB scale path (HLL sketch, one pass, no
+    * Expand). No oracle: sketches are engine-specific; correctness is
+    * covered by the exact twin above and a spec bounding relative error.
+    */
+  def a5Approx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+  }
+
+  /** A2 widest/latest-wins reduce (`max_by` shape, reference
+    * PostgresqlEventStore.java:272-282): latest event per user. */
+  def a2Latest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_id", $"ts").as("last_event_id"),
+        max($"ts").as("last_ts"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val a2Sql: String =
+    """SELECT user_id, arg_max(event_id, ts) AS last_event_id,
+      |  max(ts) AS last_ts, count(*) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** A9 rollup: region ⊃ nation ⊃ total customer stats (event-explorer
+    * "group by dimension ∪ total"). */
+  def a9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    // DataFrame.rollup on post-join attributes trips Spark's ambiguous-
+    // self-join detector (SPARK false positive); going through SQL keeps
+    // the single-scan Expand-based rollup plan without the check.
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(r("r_name").as("rname"), n("n_name").as("nname"), c("c_acctbal").as("bal"))
+      .createOrReplaceTempView("a9_rollup_input")
+    spark.sql(
+      s"""SELECT rname AS r_name, nname AS n_name, count(*) AS n_customers,
+         |  ${sqlDsum("bal")} AS sum_acctbal
+         |FROM a9_rollup_input GROUP BY ROLLUP (rname, nname)""".stripMargin)
+  }
+
+  val a9Sql: String =
+    s"""SELECT r_name, n_name, count(*) AS n_customers,
+       |  ${sqlDsum("c_acctbal")} AS sum_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** Descriptive-stats gallery per event type (min/max/avg/sum). */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        davg($"value").as("avg_value"),
+        dsum($"value").as("sum_value"),
+        min($"ts").as("first_ts"),
+        max($"ts").as("last_ts"))
+  }
+
+  val aggStatsSql: String =
+    s"""SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+       |  ${sqlDavg("value")} AS avg_value, ${sqlDsum("value")} AS sum_value,
+       |  min(ts) AS first_ts, max(ts) AS last_ts
+       |FROM events GROUP BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
-    "q1_agg" -> QueryDef.of(q1Sql)(q1)
+    "q1_agg" -> QueryDef.of(q1Sql)(q1),
+    "a4_segmentation" -> QueryDef.of(a4Sql)(a4Segmentation),
+    "a5_distinct_users" -> QueryDef.of(a5Sql)(a5Distinct),
+    "a5_approx_distinct" -> QueryDef.noOracle(a5Approx),
+    "a2_latest_event" -> QueryDef.of(a2Sql)(a2Latest),
+    "a9_rollup" -> QueryDef.of(a9Sql)(a9Rollup),
+    "agg_stats" -> QueryDef.of(aggStatsSql)(aggStats)
   )
 }

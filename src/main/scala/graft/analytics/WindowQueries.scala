@@ -1,0 +1,119 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / sort / limit / set-op operators (SURVEY.md §2.6).
+  * All windows partition by `user_id` and order by (ts, event_id) — the
+  * tiebreak keeps results deterministic for the oracle hash. One shuffle
+  * per window spec; specs share the same partitioning so Catalyst reuses
+  * the exchange.
+  */
+object WindowQueries {
+
+  private val byUser = Window.partitionBy("user_id")
+
+  /** W1 + W5: top-k (k=3) most recent events per user via row_number. */
+  def w1TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = byUser.orderBy($"ts".desc, $"event_id".desc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"user_id", $"event_id", $"ts", $"rn")
+  }
+
+  val w1Sql: String =
+    """SELECT user_id, event_id, ts, rn FROM (
+      |  SELECT user_id, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin
+
+  /** W3: running per-user sum of `value` (frame aggregate). The sum runs
+    * over the exact decimal domain so prefix results are order-exact. */
+  def w3Running(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = byUser.orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "events")
+      .withColumn("running_value",
+        sum($"value".cast("decimal(38,9)")).over(w).cast("double"))
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select($"user_id", $"event_id", $"ts", $"running_value", $"running_n")
+  }
+
+  val w3Sql: String =
+    """SELECT user_id, event_id, ts,
+      |  CAST(sum(CAST(value AS DECIMAL(38,9)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      |FROM events""".stripMargin
+
+  /** W2 analytic lag: per-event gap to the previous event of the same
+    * user, in microseconds (exact integer arithmetic on both engines). */
+  def w2Lag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = byUser.orderBy($"ts", $"event_id")
+    Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_us",
+        unix_micros($"ts".cast("timestamp")) - unix_micros($"prev_ts".cast("timestamp")))
+      .select($"user_id", $"event_id", $"ts", $"prev_ts", $"gap_us")
+  }
+
+  val w2Sql: String =
+    """SELECT user_id, event_id, ts, prev_ts,
+      |  CASE WHEN prev_ts IS NULL THEN NULL
+      |       ELSE epoch_us(ts) - epoch_us(prev_ts) END AS gap_us
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)""".stripMargin
+
+  /** W4 + W5: global top-100 orders by price (TakeOrderedAndProject —
+    * per-partition top-k then a single driver merge of 100-row heaps,
+    * no global sort shuffle). */
+  def w4TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+  }
+
+  val w4Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** W6 set algebra on (user, day) activity cohorts:
+    * (purchase-days ∪ signup-days) ∩ click-days − error-days. */
+  def w6SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    def userDays(t: String) = ev.filter($"event_type" === t)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    userDays("purchase").union(userDays("signup")).distinct()
+      .intersect(userDays("click"))
+      .except(userDays("error"))
+  }
+
+  val w6Sql: String =
+    """SELECT user_id, day FROM (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+      |  UNION
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'signup')
+      |INTERSECT SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+      |EXCEPT SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "w1_topk_per_user" -> QueryDef.of(w1Sql)(w1TopK),
+    "w2_lag_gap" -> QueryDef.of(w2Sql)(w2Lag),
+    "w3_running_sum" -> QueryDef.of(w3Sql)(w3Running),
+    "w4_top_orders" -> QueryDef.of(w4Sql)(w4TopOrders),
+    "w6_set_ops" -> QueryDef.of(w6Sql)(w6SetOps)
+  )
+}
