@@ -13,7 +13,8 @@ object SparkEntry {
     analytics.CoreQueries.defs ++
       analytics.JoinQueries.defs ++
       analytics.WindowQueries.defs ++
-      analytics.ScanQueries.defs
+      analytics.ScanQueries.defs ++
+      analytics.BehavioralQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

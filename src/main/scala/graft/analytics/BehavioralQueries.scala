@@ -1,0 +1,175 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics (SURVEY.md §2.4 A6/A7/A10, §2.6 W2): funnel,
+  * retention, sessionization, and the user-profile op-log merge — the
+  * operators the reference's API contract delegates to its SQL backend
+  * (reference UserPluginConfig.java:18-19,113-115;
+  * AbstractUserService.java:77-86; PostgresqlUserStorage.java:604-766).
+  *
+  * Scale notes: every stage keys on `user_id`, so after the first
+  * shuffle all subsequent joins/aggregations are co-partitioned and AQE
+  * reuses the exchange. Nothing collects to the driver; funnel steps are
+  * bounded aggregates, not per-user event lists.
+  */
+object BehavioralQueries {
+
+  /** A6 funnel: ordered step conversion view → click → purchase. Each
+    * stage is min-ts-after-previous-step, i.e. the earliest time the
+    * user *completed* the step in order; counts are step-reachability. */
+  def a6Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events").select($"user_id", $"event_type", $"ts")
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val t2 = ev.filter($"event_type" === "click")
+      .join(t1, "user_id").filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase")
+      .join(t2, "user_id").filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    def step(df: DataFrame, n: Int) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(n).as("step"), $"n_users")
+    step(t1, 1).union(step(t2, 2)).union(step(t3, 3))
+  }
+
+  val a6Sql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+      |SELECT 1 AS step, count(*) AS n_users FROM t1
+      |UNION ALL SELECT 2 AS step, count(*) AS n_users FROM t2
+      |UNION ALL SELECT 3 AS step, count(*) AS n_users FROM t3""".stripMargin
+
+  /** A7 retention: weekly first-seen cohort × week offset → distinct
+    * returning users. Offsets via exact epoch-microsecond integer
+    * division (week boundaries are 604800s multiples in UTC). */
+  def a7Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val cohort = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val active = ev
+      .select($"user_id", date_trunc("week", $"ts").as("active_week")).distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_offset",
+        expr("(unix_micros(CAST(active_week AS TIMESTAMP)) - unix_micros(CAST(cohort_week AS TIMESTAMP))) DIV 604800000000"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  val a7Sql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+      |  FROM events)
+      |SELECT cohort_week,
+      |  (epoch_us(active_week) - epoch_us(cohort_week)) // 604800000000 AS week_offset,
+      |  count(DISTINCT a.user_id) AS n_users
+      |FROM active a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** W2 sessionization: a session break is a >30-minute gap (reference
+    * UserIdEventMapper.java:50-72 anonymous sessions). One window pass
+    * flags breaks, a groupBy counts sessions per user. */
+  def w2Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val w2SessSql: String =
+    """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |    FROM events))
+      |GROUP BY user_id""".stripMargin
+
+  /** A10 / U1-U5 profile merge: events re-read as a profile op-log
+    * (signup=set_once, click=set, purchase=increment, error=unset) and
+    * folded per user with the reference's merge semantics
+    * (PostgresqlUserStorage.java:604-766):
+    * set_once → first write wins; set → last write wins;
+    * increment → sum; unset → null iff it is the latest set/unset op.
+    * min_by/max_by run on single-type subsets (no null orderings), which
+    * keeps arg_min/arg_max parity with DuckDB exact. */
+  def a10ProfileMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val users = ev.select($"user_id").distinct()
+    val setOnce = ev.filter($"event_type" === "signup").groupBy($"user_id")
+      .agg(min_by($"value", $"ts").as("first_signup_value"))
+    val lastSet = ev.filter($"event_type" === "click").groupBy($"user_id")
+      .agg(max_by($"value", $"ts").as("last_click_value"))
+    val incr = ev.filter($"event_type" === "purchase").groupBy($"user_id")
+      .agg(dsum($"value").as("total_purchase"), count(lit(1)).as("n_increments"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val finalVal = ev.filter($"event_type".isin("click", "error"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id",
+        when($"event_type" === "click", $"value").as("final_value"))
+    users
+      .join(setOnce, Seq("user_id"), "left")
+      .join(lastSet, Seq("user_id"), "left")
+      .join(incr, Seq("user_id"), "left")
+      .join(finalVal, Seq("user_id"), "left")
+  }
+
+  val a10Sql: String =
+    s"""WITH so AS (
+       |  SELECT user_id, arg_min(value, ts) AS first_signup_value
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |ls AS (
+       |  SELECT user_id, arg_max(value, ts) AS last_click_value
+       |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+       |inc AS (
+       |  SELECT user_id, ${sqlDsum("value")} AS total_purchase,
+       |    count(*) AS n_increments
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |fv AS (
+       |  SELECT user_id,
+       |    CASE WHEN event_type = 'click' THEN value END AS final_value
+       |  FROM (
+       |    SELECT user_id, event_type, value,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE event_type IN ('click', 'error'))
+       |  WHERE rn = 1)
+       |SELECT u.user_id, first_signup_value, last_click_value,
+       |  total_purchase, n_increments, final_value
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |LEFT JOIN so  ON u.user_id = so.user_id
+       |LEFT JOIN ls  ON u.user_id = ls.user_id
+       |LEFT JOIN inc ON u.user_id = inc.user_id
+       |LEFT JOIN fv  ON u.user_id = fv.user_id""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "a6_funnel" -> QueryDef.of(a6Sql)(a6Funnel),
+    "a7_retention" -> QueryDef.of(a7Sql)(a7Retention),
+    "w2_sessionize" -> QueryDef.of(w2SessSql)(w2Sessionize),
+    "a10_profile_merge" -> QueryDef.of(a10Sql)(a10ProfileMerge)
+  )
+}
