@@ -14,7 +14,10 @@ object SparkEntry {
       analytics.JoinQueries.defs ++
       analytics.WindowQueries.defs ++
       analytics.ScanQueries.defs ++
-      analytics.BehavioralQueries.defs
+      analytics.BehavioralQueries.defs ++
+      analytics.DedupQueries.defs ++
+      analytics.TextQueries.defs ++
+      analytics.SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,194 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact (hash groupBy), MinHash+LSH banding, and SimHash.
+  *
+  * Cross-engine hashing: both Spark and DuckDB compute identical md5 hex,
+  * so `hash60(s)` = first 15 hex chars of md5 parsed as a 60-bit long is
+  * bit-identical on both sides — it powers the oracle-checked variants.
+  * The scale path would swap in `xxhash64` (codegen'd, no string
+  * round-trip); semantics are unchanged, which is why correctness is
+  * proven on the md5 formulation.
+  *
+  * Scale posture (100 TB): everything is shuffle-by-key —
+  * shingles/signatures never leave their partition except through
+  * groupBy(doc_id) and the band-bucket join; candidate pairs (not full
+  * n²) are the only join product, which is the point of LSH.
+  */
+object DedupQueries {
+
+  /** Portable 60-bit content hash (identical in Spark and DuckDB). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def sqlHash60(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** D1 exact dedup: group identical texts, keep the smallest doc_id as
+    * canonical. One shuffle on a 60-bit-ish key (md5 hex), map-side
+    * partial aggregation keeps the shuffle at |distinct texts|. */
+  def d1Exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .groupBy(md5($"text").as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("canonical_id"))
+  }
+
+  val d1Sql: String =
+    """SELECT md5(text) AS text_md5, count(*) AS n_copies,
+      |  min(doc_id) AS canonical_id
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  private val numHashes = 8
+  private val bands = 4 // 4 bands × 2 rows per band
+
+  /** Distinct (doc_id, 3-word-shingle) pairs. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** D2 MinHash + LSH: 8-hash signature, 4 bands × 2 rows; docs sharing
+    * a band bucket become candidate near-duplicate pairs. */
+  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigCols = (0 until numHashes).map { j =>
+      min(hash60(concat(lit(s"$j|"), $"shingle"))).as(s"s$j")
+    }
+    val sigs = shingles(spark, dir)
+      .groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
+    }
+    val banded = sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+    banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  val d2Sql: String = {
+    val sigSelect = (0 until numHashes).map { j =>
+      s"min(${sqlHash60(s"'$j|' || shingle")}) AS s$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band, CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(len(t) - 2),
+       |      i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigSelect
+       |  FROM sh GROUP BY doc_id),
+       |banded AS (
+       |  $bandSelects)
+       |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin
+  }
+
+  /** D3 SimHash: 16-bit signature; bit b is the sign of the sum of ±1
+    * votes from each distinct token's hash bit b. Near-dup docs differ
+    * in few bits; identical bags collide exactly. */
+  def d3Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .distinct()
+      .withColumn("h", hash60($"tok"))
+    val bits = tokens
+      .select($"doc_id", explode(expr("sequence(0, 15)")).as("bit"), $"h")
+      .groupBy($"doc_id", $"bit")
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+    bits.groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0, expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  val d3Sql: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, ${sqlHash60("tok")} AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, generate_series(0, 15) b(bit)
+       |  GROUP BY doc_id, bit)
+       |SELECT doc_id,
+       |  sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
+
+  /** D4 n-gram Jaccard verification of MinHash candidates: exact
+    * |A∩B| / |A∪B| over 3-word shingles, computed only for LSH candidate
+    * pairs — the verify step of candidate-based dedup (cheap because the
+    * candidate set is tiny relative to n²). */
+  def d4Jaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir)
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = d2MinhashLsh(spark, dir)
+    val inter = pairs
+      .join(sh.select($"doc_id".as("doc1"), $"shingle"), "doc1")
+      .join(sh.select($"doc_id".as("doc2"), $"shingle".as("shingle2")), "doc2")
+      .filter($"shingle" === $"shingle2")
+      .groupBy($"doc1", $"doc2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+      .join(counts.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+      .select($"doc1", $"doc2", $"n_inter",
+        ($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter")).as("jaccard"))
+  }
+
+  val d4Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(len(t) - 2),
+       |      i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
+       |  FROM toks WHERE len(t) >= 3),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (${d2Sql.replace("\n", "\n  ")}),
+       |inter AS (
+       |  SELECT p.doc1, p.doc2, count(*) AS n_inter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.doc1
+       |  JOIN sh b ON b.doc_id = p.doc2 AND b.shingle = a.shingle
+       |  GROUP BY p.doc1, p.doc2)
+       |SELECT i.doc1, i.doc2, n_inter,
+       |  CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter) AS jaccard
+       |FROM inter i
+       |JOIN counts c1 ON c1.doc_id = i.doc1
+       |JOIN counts c2 ON c2.doc_id = i.doc2""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "d1_exact_dedup" -> QueryDef.of(d1Sql)(d1Exact),
+    "d2_minhash_lsh" -> QueryDef.of(d2Sql)(d2MinhashLsh),
+    "d3_simhash" -> QueryDef.of(d3Sql)(d3Simhash),
+    "d4_ngram_jaccard" -> QueryDef.of(d4Sql)(d4Jaccard)
+  )
+}

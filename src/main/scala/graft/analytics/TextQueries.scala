@@ -1,0 +1,157 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: token
+  * counting, quality scoring, language ID (marker-word heuristic), and
+  * document fingerprinting. All are narrow per-row transforms — no
+  * shuffle except final aggregations — so they stream at scan speed
+  * regardless of corpus size.
+  */
+object TextQueries {
+
+  /** Token statistics per (lang, source): docs, token sums, distinct
+    * token means. `split` on single-space matches DuckDB
+    * `string_split` exactly (empty string → one empty token). */
+  def tTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"toks")).as("sum_tokens"),
+        sum(size(array_distinct($"toks"))).as("sum_distinct_tokens"),
+        davg($"n_chars".cast("double")).as("avg_chars"))
+  }
+
+  val tTokensSql: String =
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  sum(len(string_split(text, ' '))) AS sum_tokens,
+       |  sum(len(list_distinct(string_split(text, ' ')))) AS sum_distinct_tokens,
+       |  ${sqlDavg("CAST(n_chars AS DOUBLE)")} AS avg_chars
+       |FROM documents GROUP BY lang, source""".stripMargin
+
+  /** Quality scoring per document: token count, stopword ratio, mean
+    * token length, and a composite keep/drop flag — the shape of a
+    * C4/Gopher-style quality filter. Ratios are double divisions of
+    * exact integers → bit-identical across engines. */
+  def tQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_stop",
+        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("long"))
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        $"n_stop",
+        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+        (($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("mean_tok_len"),
+        ($"n_tokens" >= 20 && $"n_tokens" <= 1000 &&
+          ($"n_stop".cast("double") / $"n_tokens") > 0.0).as("keep"))
+  }
+
+  val tQualitySql: String =
+    """SELECT doc_id, n_tokens, n_stop,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_tok_len,
+      |  (n_tokens >= 20 AND n_tokens <= 1000
+      |    AND CAST(n_stop AS DOUBLE) / n_tokens > 0.0) AS keep
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+      |  FROM documents)""".stripMargin
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "table"),
+    "de" -> Seq("hash", "merge"),
+    "fr" -> Seq("join", "filter"),
+    "zh" -> Seq("spark", "query"))
+
+  /** Language-ID heuristic: score = marker-token hits per language,
+    * argmax with a fixed tie-break order; output is the lang × predicted
+    * confusion matrix. (Real n-gram models plug into the same shape —
+    * the operator contract is deterministic scoring + argmax.) */
+  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = markers.foldLeft(
+      Tables(spark, dir, "documents").withColumn("toks", split($"text", " "))) {
+      case (df, (l, ws)) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"score_$l",
+          size(expr(s"filter(toks, t -> t IN ($inList))")).cast("long"))
+    }
+    val langs = markers.map(_._1)
+    def gmax(cols: Seq[org.apache.spark.sql.Column]) =
+      if (cols.size == 1) cols.head else greatest(cols: _*)
+    val predicted = langs.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), rest) =>
+        if (i == langs.size - 1) rest
+        else {
+          val remaining = langs.drop(i + 1).map(o => col(s"score_$o"))
+          when(col(s"score_$l") >= gmax(remaining), lit(l)).otherwise(rest)
+        }
+    }
+    scored
+      .withColumn("predicted", predicted)
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val tLangIdSql: String = {
+    val scoreSelects = markers.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS BIGINT) AS score_$l"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val rem = langs.drop(i + 1).map(o => s"score_$o")
+      val gm = if (rem.size == 1) rem.head else s"greatest(${rem.mkString(", ")})"
+      s"WHEN score_$l >= $gm THEN '$l'"
+    }.mkString("\n      ")
+    s"""SELECT lang, predicted, count(*) AS n_docs FROM (
+       |  SELECT lang,
+       |    CASE $caseExpr
+       |      ELSE '${langs.last}' END AS predicted
+       |  FROM (
+       |    SELECT lang,
+       |    $scoreSelects
+       |    FROM documents))
+       |GROUP BY lang, predicted""".stripMargin
+  }
+
+  /** Document fingerprint: 60-bit hash of the case/punctuation-
+    * normalized text — the canonicalization step ahead of exact dedup. */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")))
+      .select($"doc_id", DedupQueries.hash60($"norm").as("fingerprint"),
+        length($"norm").as("norm_len"))
+  }
+
+  val tFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  ${DedupQueries.sqlHash60("norm")} AS fingerprint,
+       |  length(norm) AS norm_len
+       |FROM (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |      ' +', ' ', 'g')) AS norm
+       |  FROM documents)""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "t_tokens" -> QueryDef.of(tTokensSql)(tTokens),
+    "t_quality" -> QueryDef.of(tQualitySql)(tQuality),
+    "t_langid" -> QueryDef.of(tLangIdSql)(tLangId),
+    "t_fingerprint" -> QueryDef.of(tFingerprintSql)(tFingerprint)
+  )
+}
