@@ -1,0 +1,155 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Schema metastore: one evolving schema per (project, collection) with
+  * union-only (additive) evolution. Mirrors the reference's Metastore +
+  * SchemaChecker semantics
+  * (PostgresqlMetastore.java:253-354, SchemaChecker.java:27-55):
+  *
+  *  - `getOrCreate` unions new fields in; an existing field's type never
+  *    changes (the caller coerces or dead-letters the value instead);
+  *  - ≤200 columns per collection;
+  *  - field names are normalized (Names.normalizeField) before entry;
+  *  - `_`-prefixed names are reserved for module ("magic") fields and
+  *    only admitted when declared by a mapper dependency;
+  *  - per-project set-once config: USER_TYPE (unifies `_user` across
+  *    collections, InternalConfig.java:5-7) and FIXED_SCHEMA (freezes
+  *    evolution for non-master writers).
+  *
+  * Persistence is a JSON file per project (the "DDL"); the in-memory map
+  * is the serving cache. Thread-safe via per-registry lock — evolution
+  * is a metadata operation, never on the executor hot path.
+  */
+final class SchemaRegistry(persistDir: Option[Path] = None) {
+
+  final case class Field(name: String, tpe: FieldType)
+  final case class Rejected(field: String, reason: String)
+
+  private val schemas = TrieMap.empty[(String, String), Vector[Field]]
+  private val projectConfig = TrieMap.empty[(String, String), String]
+  private val lock = new Object
+
+  val MaxColumns = 200
+
+  /** Magic fields every collection carries (constant module fields). */
+  private var constantFields: Vector[Field] = Vector.empty
+  /** trigger field -> fields materialized when the trigger appears. */
+  private var dependentFields: Map[String, Vector[Field]] = Map.empty
+
+  def declareConstantFields(fs: Seq[Field]): Unit = lock.synchronized {
+    constantFields = (constantFields ++ fs).distinct
+  }
+  def declareDependentFields(trigger: String, fs: Seq[Field]): Unit =
+    lock.synchronized {
+      dependentFields = dependentFields.updated(
+        trigger, (dependentFields.getOrElse(trigger, Vector.empty) ++ fs).distinct)
+    }
+
+  /** Set-once project config (USER_TYPE, FIXED_SCHEMA). First writer
+    * wins; returns the winning value. */
+  def setOnce(project: String, key: String, value: String): String =
+    projectConfig.putIfAbsent((project, key), value).getOrElse(value)
+
+  def config(project: String, key: String): Option[String] =
+    projectConfig.get((project, key))
+
+  def collections(project: String): Seq[String] =
+    schemas.keys.collect { case (p, c) if p == project => c }.toSeq.sorted
+
+  def schema(project: String, collection: String): Option[Seq[Field]] =
+    schemas.get((project, collection)).map(_.toSeq)
+
+  def sparkSchema(project: String, collection: String): Option[org.apache.spark.sql.types.StructType] =
+    schema(project, collection).map(fs =>
+      org.apache.spark.sql.types.StructType(fs.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.tpe.spark, nullable = true))))
+
+  /** The single evolution primitive. Fields must already be
+    * normalized. Returns (full schema, rejected fields). Union-only:
+    * a name colliding with a different existing type is rejected
+    * (callers coerce values to the registered type or dead-letter);
+    * reserved `_` names are rejected unless module-declared; the 200-
+    * column cap and FIXED_SCHEMA reject overflow fields.
+    */
+  def getOrCreate(project: String, collection: String, fields: Seq[Field],
+      masterKey: Boolean = true): (Seq[Field], Seq[Rejected]) = lock.synchronized {
+    val key = (project, collection)
+    val existing = schemas.getOrElse(key,
+      // first event creates the collection with the constant magic fields
+      constantFields)
+    val byName = scala.collection.mutable.LinkedHashMap(existing.map(f => f.name -> f): _*)
+    val rejected = Vector.newBuilder[Rejected]
+    val frozen = config(project, "FIXED_SCHEMA").contains("true") && !masterKey
+
+    val withDeps = fields ++ fields.flatMap(f => dependentFields.getOrElse(f.name, Vector.empty))
+    withDeps.foreach { f =>
+      byName.get(f.name) match {
+        case Some(cur) if cur.tpe == f.tpe => () // already present
+        case Some(cur) =>
+          rejected += Rejected(f.name, s"type conflict: registered ${cur.tpe.name}, got ${f.tpe.name}")
+        case None if frozen =>
+          rejected += Rejected(f.name, "FIXED_SCHEMA: new fields require master key")
+        case None if f.name.startsWith("_") && !isModuleField(f.name) =>
+          rejected += Rejected(f.name, s"reserved module-field prefix: ${f.name}")
+        case None if f.name == "$server_time" =>
+          rejected += Rejected(f.name, "reserved name")
+        case None if byName.size >= MaxColumns =>
+          rejected += Rejected(f.name, s"column cap $MaxColumns reached")
+        case None =>
+          byName += f.name -> f
+      }
+    }
+    val result = byName.values.toVector
+    schemas.put(key, result)
+    persist(project)
+    (result, rejected.result())
+  }
+
+  private def isModuleField(name: String): Boolean =
+    constantFields.exists(_.name == name) ||
+      dependentFields.values.exists(_.exists(_.name == name)) ||
+      name == "_user" || name == "_time" // core magic fields (ProjectConfig.java:13-15)
+
+  private def persist(project: String): Unit = persistDir.foreach { dir =>
+    Files.createDirectories(dir)
+    val cols = schemas.collect { case ((p, c), fs) if p == project =>
+      s""""$c": {${fs.map(f => s""""${f.name}": "${f.tpe.name}"""").mkString(", ")}}"""
+    }
+    val cfg = projectConfig.collect { case ((p, k), v) if p == project =>
+      s""""$k": "$v""""
+    }
+    val json =
+      s"""{"collections": {${cols.mkString(", ")}}, "config": {${cfg.mkString(", ")}}}"""
+    Files.writeString(dir.resolve(s"$project.json"), json)
+  }
+
+  /** Reload a project's schemas from the persisted JSON (inverse of
+    * persist; used on restart). */
+  def load(project: String): Unit = persistDir.foreach { dir =>
+    val f = dir.resolve(s"$project.json")
+    if (Files.exists(f)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(Files.readString(f))
+      val colls = root.get("collections")
+      if (colls != null) colls.properties().asScala.foreach { e =>
+        val fields = e.getValue.properties().asScala.map { fe =>
+          Field(fe.getKey, FieldType.fromName(fe.getValue.asText()))
+        }.toVector
+        schemas.put((project, e.getKey), fields)
+      }
+      val cfg = root.get("config")
+      if (cfg != null) cfg.properties().asScala.foreach { e =>
+        projectConfig.put((project, e.getKey), e.getValue.asText())
+      }
+    }
+  }
+}
+
+object SchemaRegistry {
+  def inMemory(): SchemaRegistry = new SchemaRegistry(None)
+  def persistent(dir: String): SchemaRegistry =
+    new SchemaRegistry(Some(Paths.get(dir)))
+}

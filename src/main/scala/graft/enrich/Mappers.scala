@@ -1,0 +1,203 @@
+package graft.enrich
+
+import graft.core.FieldType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment mapper pipeline (SURVEY.md §2.7) — the reference's
+  * per-event dataflow (rakam-spi/.../EventMapper.java) restated as
+  * `DataFrame => DataFrame` stages. Each mapper declares the fields it
+  * produces (constant) and the trigger→produced dependency (dependent),
+  * mirroring FieldDependencyBuilder.java:12-53, so the registry can
+  * admit module fields.
+  *
+  * All transforms are pure column expressions (codegen'd, no UDF
+  * boundary) except UA/referrer classification which use built-in
+  * regexp functions — still whole-stage-codegen eligible.
+  */
+trait EventMapper {
+  def name: String
+  /** Fields always added. */
+  def constantFields: Seq[(String, FieldType)] = Seq.empty
+  /** trigger field → fields added when trigger is present. */
+  def dependentFields: Map[String, Seq[(String, FieldType)]] = Map.empty
+  def apply(df: DataFrame): DataFrame
+}
+
+object MapperPipeline {
+  /** Ordered mapper chain (EventCollectionHttpService.java:123-151). */
+  def run(df: DataFrame, mappers: Seq[EventMapper]): DataFrame =
+    mappers.foldLeft(df)((d, m) => m.apply(d))
+}
+
+/** M1: `_time` fix-up (TimestampEventMapper.java:44-58): missing _time
+  * → server now; client _time with upload_time → skew-corrected
+  * `client + (now − upload)`. `now` is injected for determinism
+  * (second precision ×1000, as the reference truncates). */
+final case class TimestampMapper(nowMillis: Long) extends EventMapper {
+  val name = "timestamp"
+  override def constantFields = Seq("_time" -> FieldType.TIMESTAMP)
+  def apply(df: DataFrame): DataFrame = {
+    val serverNow = timestamp_millis(lit(nowMillis / 1000 * 1000))
+    val hasUpload = df.columns.contains("_upload_time")
+    val corrected: Column =
+      if (hasUpload)
+        when(col("_time").isNotNull && col("_upload_time").isNotNull,
+          timestamp_millis(unix_millis(col("_time")) +
+            (lit(nowMillis) - col("_upload_time"))))
+          .otherwise(col("_time"))
+      else col("_time")
+    val base = if (df.columns.contains("_time")) corrected
+      else lit(null).cast("timestamp")
+    df.withColumn("_time", coalesce(base, serverNow))
+  }
+}
+
+/** M2: user-agent parse (UserAgentEventMapper.java:63-131) — family /
+  * version / OS / device via regexes over `_user_agent`; Spider device
+  * rows are flagged (the reference rejects them with 403; here the
+  * caller filters `_device_family = 'Spider'` to a side output). */
+case object UserAgentMapper extends EventMapper {
+  val name = "user-agent"
+  override def dependentFields = Map("_user_agent" -> Seq(
+    "_user_agent_family" -> FieldType.STRING,
+    "_user_agent_version" -> FieldType.STRING,
+    "_os" -> FieldType.STRING,
+    "_os_version" -> FieldType.STRING,
+    "_device_family" -> FieldType.STRING))
+
+  def apply(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("_user_agent")) return df
+    val ua = col("_user_agent")
+    val family =
+      when(ua.rlike("(?i)bot|crawler|spider|slurp|curl|wget"), "Spider")
+        .when(ua.contains("Edg/"), "Edge")
+        .when(ua.contains("OPR/") || ua.contains("Opera"), "Opera")
+        .when(ua.contains("Chrome/"), "Chrome")
+        .when(ua.contains("Firefox/"), "Firefox")
+        .when(ua.contains("Safari/") && ua.contains("Version/"), "Safari")
+        .when(ua.contains("MSIE") || ua.contains("Trident/"), "IE")
+        .otherwise("Other")
+    val version = coalesce(
+      nullif(regexp_extract(ua,
+        "(?:Edg|OPR|Chrome|Firefox|Version)/([0-9]+(?:\\.[0-9]+)?)", 1), lit("")),
+      nullif(regexp_extract(ua, "MSIE ([0-9]+(?:\\.[0-9]+)?)", 1), lit("")))
+    val os =
+      when(ua.contains("Windows"), "Windows")
+        .when(ua.contains("Android"), "Android")
+        .when(ua.contains("iPhone OS") || ua.contains("iPad"), "iOS")
+        .when(ua.contains("Mac OS X"), "Mac OS X")
+        .when(ua.contains("Linux"), "Linux")
+        .otherwise("Other")
+    val osVersion = coalesce(
+      nullif(regexp_extract(ua, "Windows NT ([0-9.]+)", 1), lit("")),
+      nullif(translate(regexp_extract(ua,
+        "(?:Mac OS X|iPhone OS|Android) ([0-9_.]+)", 1), "_", "."), lit("")))
+    val device =
+      when(family === "Spider", "Spider")
+        .when(ua.contains("iPhone"), "iPhone")
+        .when(ua.contains("iPad"), "iPad")
+        .when(ua.contains("Android") && ua.contains("Mobile"), "Android Phone")
+        .when(ua.contains("Android"), "Android Tablet")
+        .otherwise("Other")
+    df.withColumn("_user_agent_family", family)
+      .withColumn("_user_agent_version", version)
+      .withColumn("_os", os)
+      .withColumn("_os_version", osVersion)
+      .withColumn("_device_family", device)
+  }
+}
+
+/** M3: referrer parse (ReferrerEventMapper.java:46-149): URL →
+  * medium/source/term/domain/path; internal medium (referrer host ==
+  * page host) suppresses domain/path. */
+final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends EventMapper {
+  val name = "referrer"
+  override def dependentFields = Map("_referrer" -> Seq(
+    "_referrer_medium" -> FieldType.STRING,
+    "_referrer_source" -> FieldType.STRING,
+    "_referrer_term" -> FieldType.STRING,
+    "_referrer_domain" -> FieldType.STRING,
+    "_referrer_path" -> FieldType.STRING))
+
+  def apply(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("_referrer")) return df
+    val host = lower(nullif(try_parse_url(col("_referrer"), lit("HOST")), lit("")))
+    val path = nullif(try_parse_url(col("_referrer"), lit("PATH")), lit(""))
+    val searchSource =
+      when(host.rlike("(^|\\.)google\\."), "google")
+        .when(host.rlike("(^|\\.)bing\\."), "bing")
+        .when(host.rlike("(^|\\.)yahoo\\."), "yahoo")
+        .when(host.rlike("(^|\\.)duckduckgo\\."), "duckduckgo")
+    val socialSource =
+      when(host.rlike("(^|\\.)facebook\\."), "facebook")
+        .when(host.rlike("(^|\\.)twitter\\.|(^|\\.)t\\.co$"), "twitter")
+        .when(host.rlike("(^|\\.)linkedin\\."), "linkedin")
+        .when(host.rlike("(^|\\.)reddit\\."), "reddit")
+    val isInternal = if (internalHosts.nonEmpty) host.isin(internalHosts: _*) else lit(false)
+    val medium =
+      when(host.isNull, lit(null).cast("string"))
+        .when(isInternal, "internal")
+        .when(searchSource.isNotNull, "search")
+        .when(socialSource.isNotNull, "social")
+        .otherwise("unknown")
+    val term = when(medium === "search", coalesce(
+      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("q")), lit("")),
+      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("p")), lit(""))))
+    df.withColumn("_referrer_medium", medium)
+      .withColumn("_referrer_source", coalesce(searchSource, socialSource))
+      .withColumn("_referrer_term", term)
+      .withColumn("_referrer_domain", when(medium =!= "internal", host))
+      .withColumn("_referrer_path", when(medium =!= "internal", path))
+  }
+}
+
+/** M4/J1/J2: GeoIP enrichment as a broadcast range join — `_ip` (dotted
+  * v4) → numeric, then `lo <= ipNum <= hi` against a broadcast range
+  * dim (the IP2Location table shape). Private ranges are skipped
+  * (MaxmindGeoIPEventMapper.java:140-154). At 100 TB the dim is a few
+  * hundred MB broadcast once; probes are O(log n) inside the
+  * broadcast-hash-range scan. */
+final case class GeoIpMapper(ranges: DataFrame) extends EventMapper {
+  val name = "geoip"
+  override def dependentFields = Map("_ip" -> Seq(
+    "_country_code" -> FieldType.STRING,
+    "_city" -> FieldType.STRING,
+    "_latitude" -> FieldType.DOUBLE,
+    "_longitude" -> FieldType.DOUBLE))
+
+  def apply(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("_ip")) return df
+    val parts = split(col("_ip"), "\\.")
+    val ipNum = when(col("_ip").rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"),
+      parts.getItem(0).cast("long") * 16777216L +
+        parts.getItem(1).cast("long") * 65536L +
+        parts.getItem(2).cast("long") * 256L +
+        parts.getItem(3).cast("long"))
+    val isPrivate = col("_ip").rlike(
+      "^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.|127\\.)")
+    val keyed = df.withColumn("__ipnum", when(!isPrivate, ipNum))
+    keyed.join(broadcast(ranges),
+        keyed("__ipnum") >= ranges("ip_lo") && keyed("__ipnum") <= ranges("ip_hi"),
+        "left")
+      .drop("ip_lo", "ip_hi", "__ipnum")
+  }
+}
+
+/** M5: user-id assignment (UserIdEventMapper.java:50-90): `_user` null →
+  * anonymous cookie id, else a deterministic surrogate derived from the
+  * event itself (the reference generates a snowflake-style id; a random
+  * id is not reproducible under retries, a content hash is). */
+case object UserIdMapper extends EventMapper {
+  val name = "user-id"
+  override def constantFields = Seq("_user" -> FieldType.STRING)
+  def apply(df: DataFrame): DataFrame = {
+    val anon = if (df.columns.contains("_anonymous_user"))
+      col("_anonymous_user") else lit(null).cast("string")
+    val existing = if (df.columns.contains("_user"))
+      col("_user").cast("string") else lit(null).cast("string")
+    val surrogate = concat(lit("anon_"),
+      sha2(to_json(struct(df.columns.map(col).toIndexedSeq: _*)), 256).substr(1, 16))
+    df.withColumn("_user", coalesce(existing, anon, surrogate))
+  }
+}

@@ -1,0 +1,302 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.core.{FieldType, Names, SchemaRegistry}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, LocalDateTime, LocalTime, ZoneOffset}
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** JSON event ingestion with schema-on-write inference, forgiving
+  * coercion and a dead-letter side output — the Spark restatement of the
+  * reference's hot path
+  * (rakam/src/main/java/org/rakam/collection/JsonEventDeserializer.java).
+  *
+  * Two distributed passes over the raw batch:
+  *  1. inference — per-partition type skeletons, reduced to one union
+  *     schema per collection (the "widest schema" the reference computes
+  *     event-by-event, here batch-wide — same fixpoint);
+  *  2. typed parse — values coerced to the registered type; values that
+  *     still don't fit are routed to the `$invalid_schema` dead-letter
+  *     table (JsonEventDeserializer.java:741-781), never dropped.
+  *
+  * The registry (driver-side metadata) is the only non-distributed
+  * state; its size is bounded by 200 columns × collections, so this
+  * design carries to 100 TB batches unchanged.
+  */
+object JsonIngest {
+
+  /** Dead-letter row (S14), schema mirrors JsonEventDeserializer.java:85-93. */
+  final case class DeadLetter(collection: String, property: String,
+      targetType: String, error: String, encodedValue: String)
+
+  val deadLetterSchema: StructType = StructType(Seq(
+    StructField("collection", StringType),
+    StructField("property", StringType),
+    StructField("target_type", StringType),
+    StructField("error", StringType),
+    StructField("encoded_value", StringType)))
+
+  final case class IngestResult(
+      byCollection: Map[String, DataFrame],
+      deadLetter: DataFrame,
+      rejectedFields: Seq[(String, String, String)]) // (collection, field, reason)
+
+  private val MaxStringLen = 100 // collection.max-string-length (ProjectConfig.java:17)
+
+  // ---- inference (getTypeForUnknown, JsonEventDeserializer.java:116-211) ----
+
+  private val tsFormats = Seq(
+    DateTimeFormatter.ISO_LOCAL_DATE_TIME,
+    DateTimeFormatter.ofPattern("yyyy-M-d H:m:s.SSS"),
+    DateTimeFormatter.ofPattern("yyyy-M-d H:m:s"),
+    DateTimeFormatter.ofPattern("yyyy-M-d H:m"))
+
+  private[ingest] def parseDate(s: String): Option[LocalDate] =
+    if (s.length == 10) Try(LocalDate.parse(s)).toOption else None
+
+  private[ingest] def parseTimestamp(s: String): Option[Instant] = {
+    if (s.length <= 12) return None // length guard (DateTimeUtils.java:72-74)
+    Try(Instant.parse(s)).toOption
+      .orElse(tsFormats.view.flatMap(f =>
+        Try(LocalDateTime.parse(s.replace('T', ' ').replaceFirst(" ", " "), f))
+          .orElse(Try(LocalDateTime.parse(s, f))).toOption)
+        .headOption.map(_.toInstant(ZoneOffset.UTC)))
+  }
+
+  /** Value-level type inference; None = no type evidence (null/empty). */
+  def inferType(node: JsonNode): Option[FieldType] = node match {
+    case n if n == null || n.isNull => None
+    case n if n.isBoolean => Some(FieldType.BOOLEAN)
+    case n if n.isNumber => Some(FieldType.DOUBLE) // all JSON numbers → DOUBLE (141-143)
+    case n if n.isTextual =>
+      val s = n.asText()
+      if (parseDate(s).isDefined) Some(FieldType.DATE)
+      else if (parseTimestamp(s).isDefined) Some(FieldType.TIMESTAMP)
+      else Some(FieldType.STRING)
+    case n if n.isArray =>
+      if (n.isEmpty) None // empty array → no field (F14)
+      else {
+        val elem = n.elements().asScala.flatMap(e => scalarOf(e)).toSeq.headOption
+        Some(FieldType.ARRAY(elem.getOrElse(FieldType.STRING)))
+      }
+    case n if n.isObject =>
+      if (n.isEmpty) None // empty object → no field (F14)
+      else {
+        val v = n.properties().asScala.flatMap(e => scalarOf(e.getValue)).toSeq.headOption
+        Some(FieldType.MAP(v.getOrElse(FieldType.STRING)))
+      }
+    case _ => None
+  }
+
+  /** Scalar view of a nested value; objects/arrays stringify (303-305). */
+  private def scalarOf(n: JsonNode): Option[FieldType.Scalar] = n match {
+    case x if x == null || x.isNull => None
+    case x if x.isBoolean => Some(FieldType.BOOLEAN)
+    case x if x.isNumber => Some(FieldType.DOUBLE)
+    case x if x.isContainerNode => Some(FieldType.STRING) // nested → JSON text (671,714)
+    case x if x.isTextual => inferType(x).map(_.asInstanceOf[FieldType.Scalar])
+    case _ => Some(FieldType.STRING)
+  }
+
+  // ---- coercion (forgiving casts; 512-734 + AvroUtil.java:120-200) ----
+
+  /** Coerce a JSON value to the registered type. Right(null) means SQL
+    * NULL; Left(reason) routes to the dead letter. */
+  def coerce(node: JsonNode, tpe: FieldType): Either[String, Any] = {
+    if (node == null || node.isNull) return Right(null)
+    tpe match {
+      case FieldType.STRING =>
+        val s = if (node.isContainerNode) node.toString
+          else node.asText()
+        Right(s.substring(0, math.min(s.length, MaxStringLen))) // F2 truncate
+      case FieldType.BOOLEAN => node match {
+        case b if b.isBoolean => Right(b.asBoolean())
+        case t if t.isTextual && (t.asText() == "true" || t.asText() == "false") =>
+          Right(t.asText() == "true") // string bools coerced (530-543)
+        case _ => Left(s"cannot cast to BOOLEAN")
+      }
+      case FieldType.INTEGER => numeric(node, _.intValue(), _.toInt)
+      case FieldType.LONG => numeric(node, _.longValue(), _.toLong)
+      case FieldType.DOUBLE => numeric(node, _.doubleValue(), _.toDouble)
+      case FieldType.DECIMAL =>
+        numeric[java.math.BigDecimal](node,
+          n => n.decimalValue(), s => new java.math.BigDecimal(s))
+      case FieldType.DATE => node match {
+        case t if t.isTextual => parseDate(t.asText())
+          .map(d => java.sql.Date.valueOf(d)).toRight("cannot parse DATE")
+        case n if n.isNumber => // epoch days (DateTimeUtils.java:59-61)
+          Right(java.sql.Date.valueOf(LocalDate.ofEpochDay(n.asLong())))
+        case _ => Left("cannot cast to DATE")
+      }
+      case FieldType.TIMESTAMP => node match {
+        case n if n.isNumber => // epoch millis (594-607)
+          Right(java.sql.Timestamp.from(Instant.ofEpochMilli(n.asLong())))
+        case t if t.isTextual => parseTimestamp(t.asText())
+          .map(java.sql.Timestamp.from).toRight("cannot parse TIMESTAMP")
+        case _ => Left("cannot cast to TIMESTAMP")
+      }
+      case FieldType.TIME => node match { // millis-of-day (587-593)
+        case t if t.isTextual => Try(LocalTime.parse(t.asText())).toOption
+          .map(lt => (lt.toNanoOfDay / 1000000L).toInt).toRight("cannot parse TIME")
+        case _ => Left("cannot cast to TIME")
+      }
+      case FieldType.BINARY => node match {
+        case t if t.isTextual =>
+          Try(java.util.Base64.getDecoder.decode(t.asText()))
+            .toOption.toRight("cannot base64-decode BINARY")
+        case _ => Left("cannot cast to BINARY")
+      }
+      case FieldType.ARRAY(elem) => node match {
+        case a if a.isArray =>
+          if (a.isEmpty) Right(null) // F14
+          else Right(a.elements().asScala.map(e =>
+            coerce(e, elem).getOrElse(null)).toSeq)
+        case t if t.isTextual && t.asText().startsWith("[") =>
+          // stringified array re-parsed (F11, 619-639)
+          Try(mapper.readTree(t.asText())).toOption match {
+            case Some(arr) if arr.isArray => coerce(arr, tpe)
+            case _ => Left("cannot parse stringified ARRAY")
+          }
+        case other => // scalar → singleton array promotion (F12, 640-646)
+          coerce(other, elem).map(v => Seq(v))
+      }
+      case FieldType.MAP(valueT) => node match {
+        case o if o.isObject =>
+          if (o.isEmpty) Right(null) // F14
+          else Right(o.properties().asScala.flatMap { e =>
+            coerce(e.getValue, valueT).toOption.map(v => e.getKey -> v) // bad entries dropped (F13)
+          }.toMap)
+        case _ => Left("cannot cast to MAP")
+      }
+    }
+  }
+
+  private def numeric[T](node: JsonNode, fromNum: JsonNode => T,
+      fromStr: String => T): Either[String, Any] = node match {
+    case n if n.isNumber => Right(fromNum(n))
+    case t if t.isTextual =>
+      Try(fromStr(t.asText().trim)).toOption.toRight(
+        s"cannot parse number from '${t.asText().take(40)}'")
+    case _ => Left("cannot cast to numeric")
+  }
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  // ---- the two-pass batch ingest ----
+
+  def ingest(spark: SparkSession, registry: SchemaRegistry, project: String,
+      rawJson: RDD[String]): IngestResult = {
+
+    // Pass 1: distributed inference, reduced to a union schema per collection.
+    val skeletons: Map[String, Map[String, String]] = rawJson.mapPartitions { it =>
+      val m = new ObjectMapper()
+      it.flatMap { line =>
+        Try(m.readTree(line)).toOption.flatMap { root =>
+          val coll = Option(root.get("collection")).map(_.asText())
+            .flatMap(c => Names.normalizeCollection(c).toOption)
+          coll.map { c =>
+            val props = Option(root.get("properties")).getOrElse(m.createObjectNode())
+            val fields = props.properties().asScala.flatMap { e =>
+              Names.normalizeField(e.getKey).toOption.flatMap { name =>
+                val t =
+                  if (name == "_time") Some(FieldType.TIMESTAMP)
+                  else if (name == "_user") Some(userType(e.getValue))
+                  else inferType(e.getValue)
+                t.map(tt => name -> tt.name)
+              }
+            }.toMap
+            c -> fields
+          }
+        }
+      }
+    }.reduceByKey { (a, b) =>
+      // union on names; on a type conflict inside one batch pick the
+      // lexicographically smaller type name — deterministic regardless
+      // of partition reduce order (registry order decides across batches)
+      (a.keySet ++ b.keySet).map { k =>
+        k -> ((a.get(k), b.get(k)) match {
+          case (Some(x), Some(y)) => if (x <= y) x else y
+          case (x, y) => x.orElse(y).get
+        })
+      }.toMap
+    }.collect().toMap
+
+    // USER_TYPE set-once across collections (InternalConfig.java:5-7).
+    skeletons.values.flatMap(_.get("_user")).headOption.foreach { ut =>
+      registry.setOnce(project, "USER_TYPE", ut)
+    }
+    val userT = registry.config(project, "USER_TYPE")
+
+    // Registry evolution (union-only) per collection.
+    val regResults = skeletons.map { case (c, fs) =>
+      val fields = fs.map { case (n, t) =>
+        val tpe = if (n == "_user" && userT.isDefined) FieldType.fromName(userT.get)
+          else FieldType.fromName(t)
+        registry.Field(n, tpe)
+      }.toSeq
+      c -> registry.getOrCreate(project, c, fields)
+    }
+    val registered = regResults.map { case (c, (schema, _)) => c -> schema }
+    val rejected = regResults.toSeq.flatMap { case (c, (_, rej)) =>
+      rej.map(r => (c, r.field, r.reason))
+    }
+
+    // Pass 2: typed parse with dead-letter side output.
+    val schemaB = spark.sparkContext.broadcast(
+      registered.map { case (c, fs) => c -> fs.map(f => (f.name, f.tpe.name)) })
+
+    val parsed = rawJson.mapPartitions { it =>
+      val m = new ObjectMapper()
+      val schemas = schemaB.value
+      it.flatMap { line =>
+        Try(m.readTree(line)).toOption.flatMap { root =>
+          Option(root.get("collection")).map(_.asText())
+            .flatMap(c => Names.normalizeCollection(c).toOption)
+            .filter(schemas.contains)
+            .map { c =>
+              val fields = schemas(c)
+              val props = Option(root.get("properties")).getOrElse(m.createObjectNode())
+              val byNorm: Map[String, JsonNode] = props.properties().asScala.flatMap { e =>
+                Names.normalizeField(e.getKey).toOption.map(_ -> e.getValue)
+              }.toMap
+              val dead = Vector.newBuilder[DeadLetter]
+              val values = fields.map { case (name, tName) =>
+                byNorm.get(name) match {
+                  case None => null
+                  case Some(node) =>
+                    coerce(node, FieldType.fromName(tName)) match {
+                      case Right(v) => v
+                      case Left(err) =>
+                        dead += DeadLetter(c, name, tName, err, node.toString.take(200))
+                        null
+                    }
+                }
+              }
+              (c, Row.fromSeq(values), dead.result())
+            }
+        }
+      }
+    }
+    parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val byCollection = registered.map { case (c, fs) =>
+      val st = StructType(fs.map(f => StructField(f.name, f.tpe.spark, nullable = true)))
+      c -> spark.createDataFrame(parsed.filter(_._1 == c).map(_._2), st)
+    }
+    val dead = spark.createDataFrame(
+      parsed.flatMap(_._3).map(d =>
+        Row(d.collection, d.property, d.targetType, d.error, d.encodedValue)),
+      deadLetterSchema)
+    IngestResult(byCollection, dead, rejected)
+  }
+
+  /** `_user` is STRING/LONG only (arrays/maps rejected,
+    * JsonEventDeserializer.java:390-397). */
+  private def userType(n: JsonNode): FieldType =
+    if (n.isNumber) FieldType.LONG else FieldType.STRING
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming restatement of the reference's continuous
+  * surfaces (SURVEY.md §2.9):
+  *
+  *  - ST1 subscriptions (EventStream.java:7-17,
+  *    CollectionStreamQuery.java:20-39): a per-subscriber filtered,
+  *    projected tail of one or more collections. The filter is a SQL
+  *    predicate parsed by Catalyst — exactly the contract the reference
+  *    exposes; `sync()` pulls map to micro-batch triggers.
+  *  - ST4/ST5 watermarked event-time windows.
+  *  - ST6 stateful dedup by the API-context uuid (Event.java:154).
+  *  - ST7 periodic side-output flush (WebhookEventMapper 5 s queue) as
+  *    a ProcessingTime-triggered foreachBatch.
+  *
+  * Offsets (ST3) ride on Spark checkpointing: each subscription gets a
+  * checkpoint dir keyed by subscription id, making it a restartable
+  * query — the ZK offset store of the reference collapses into this.
+  */
+final case class CollectionStreamQuery(collection: String, filter: Option[String])
+
+final case class StreamSubscription(
+    id: String,
+    queries: Seq[CollectionStreamQuery],
+    columns: Seq[String] = Seq.empty)
+
+object Subscriptions {
+
+  /** Build the subscription DataFrame over a streaming source of events
+    * carrying a `_collection` column: per-collection filters OR'd
+    * (P3), optional projection (P4). */
+  def plan(stream: DataFrame, sub: StreamSubscription): DataFrame = {
+    val pred = sub.queries.map { q =>
+      val base = col("_collection") === q.collection
+      q.filter.map(f => base && expr(f)).getOrElse(base)
+    }.reduce(_ || _)
+    val filtered = stream.filter(pred)
+    if (sub.columns.nonEmpty)
+      filtered.select(sub.columns.map(col).toIndexedSeq: _*)
+    else filtered
+  }
+
+  /** File-source event stream (the commit-log tail, ST2): new files in
+    * `dir` are the micro-batches. */
+  def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** ST6: drop duplicate deliveries by uuid within the watermark —
+    * state is bounded by the delay, the 100 TB-safe configuration of
+    * dropDuplicates. */
+  def dedup(stream: DataFrame, uuidCol: String, tsCol: String,
+      delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(uuidCol)
+
+  /** ST5: watermarked tumbling event-time aggregation (the streaming
+    * twin of the batch A4 segmentation). */
+  def windowedCounts(stream: DataFrame, tsCol: String, typeCol: String,
+      window_ : String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), window_), col(typeCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** ST7: webhook-style side output — batch callback every `period`
+    * (WebhookEventMapper.java:62-168's 5-second queue flush). */
+  def sideOutput(stream: DataFrame, period: String)(
+      f: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(period))
+      .foreachBatch((df: DataFrame, id: Long) => f(df, id))
+
+  /** Run a subscription to a named in-memory sink and process all
+    * available input once (the `sync()` pull of EventStream.java:13). */
+  def syncOnce(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for suites (one per suite via lazy val). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+}

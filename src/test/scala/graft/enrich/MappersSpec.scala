@@ -1,0 +1,98 @@
+package graft.enrich
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Mapper fixtures per FIXTURES.md §A4 (reference mapper test suites). */
+class MappersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("M1: missing _time → server now; client skew corrected") {
+    val now = 1_700_000_123_456L
+    val df = Seq(
+      (Some(1_700_000_000_000L), Some(1_699_999_990_000L)), // client ts + upload
+      (None, None))                                          // missing
+      .toDF("client_ms", "upload_ms")
+      .withColumn("_time", timestamp_millis($"client_ms"))
+      .withColumn("_upload_time", $"upload_ms")
+    val out = TimestampMapper(now).apply(df).collect()
+    val corrected = out(0).getAs[java.sql.Timestamp]("_time").getTime
+    // client + (now − upload) = 1.7e12 + (…123456 − …990000)
+    assert(corrected == 1_700_000_000_000L + (now - 1_699_999_990_000L))
+    val filled = out(1).getAs[java.sql.Timestamp]("_time").getTime
+    assert(filled == now / 1000 * 1000) // second precision ×1000
+  }
+
+  test("M2: UA parse — Chrome, Windows, and Spider flag") {
+    val chrome = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+    val bot = "Googlebot/2.1 (+http://www.google.com/bot.html)"
+    val iphone = "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) " +
+      "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1"
+    val out = UserAgentMapper(Seq(chrome, bot, iphone).toDF("_user_agent")).collect()
+    assert(out(0).getAs[String]("_user_agent_family") == "Chrome")
+    assert(out(0).getAs[String]("_user_agent_version") == "120.0")
+    assert(out(0).getAs[String]("_os") == "Windows")
+    assert(out(0).getAs[String]("_os_version") == "10.0")
+    assert(out(1).getAs[String]("_device_family") == "Spider") // reject path
+    assert(out(2).getAs[String]("_os") == "iOS")
+    assert(out(2).getAs[String]("_os_version") == "17.1")
+    assert(out(2).getAs[String]("_device_family") == "iPhone")
+  }
+
+  test("M3: referrer parse — google search with term, internal, malformed") {
+    val rows = Seq(
+      "https://www.google.com/search?q=spark+engine",
+      "https://myapp.example.com/home",
+      "https://news.ycombinator.com/item?id=1",
+      "not a url ::")
+      .toDF("_referrer")
+    val out = ReferrerMapper(Seq("myapp.example.com")).apply(rows).collect()
+    assert(out(0).getAs[String]("_referrer_medium") == "search")
+    assert(out(0).getAs[String]("_referrer_source") == "google")
+    assert(out(0).getAs[String]("_referrer_term") == "spark+engine")
+    assert(out(0).getAs[String]("_referrer_domain") == "www.google.com")
+    assert(out(1).getAs[String]("_referrer_medium") == "internal")
+    assert(out(1).getAs[String]("_referrer_domain") == null) // suppressed
+    assert(out(2).getAs[String]("_referrer_medium") == "unknown")
+    assert(out(3).getAs[String]("_referrer_medium") == null) // unparseable
+  }
+
+  test("M4: geoip range join enriches public IPs, skips private") {
+    val ranges = Seq(
+      (16777216L, 16777471L, "AU", "Sydney", -33.8, 151.2),
+      (3232235520L, 3232301055L, "XX", "PrivateWouldBe", 0.0, 0.0))
+      .toDF("ip_lo", "ip_hi", "_country_code", "_city", "_latitude", "_longitude")
+    val events = Seq("1.0.0.5", "192.168.1.10", "8.8.8.8", "junk")
+      .toDF("_ip")
+    val out = GeoIpMapper(ranges).apply(events).collect()
+    assert(out(0).getAs[String]("_country_code") == "AU")
+    assert(out(0).getAs[String]("_city") == "Sydney")
+    assert(out(1).getAs[String]("_country_code") == null) // private skipped
+    assert(out(2).getAs[String]("_country_code") == null) // no range match
+    assert(out(3).getAs[String]("_country_code") == null) // unparseable
+  }
+
+  test("M5: user-id assignment — keep, cookie, surrogate") {
+    val df = Seq(
+      (Some("u1"), Some("anon9")),
+      (None, Some("anon9")),
+      (None, None))
+      .toDF("_user", "_anonymous_user")
+    val out = UserIdMapper(df).collect()
+    assert(out(0).getAs[String]("_user") == "u1")
+    assert(out(1).getAs[String]("_user") == "anon9")
+    val surrogate = out(2).getAs[String]("_user")
+    assert(surrogate.startsWith("anon_") && surrogate.length == 21)
+    // deterministic: same row → same surrogate
+    val again = UserIdMapper(df).collect()(2).getAs[String]("_user")
+    assert(again == surrogate)
+  }
+
+  test("pipeline runs mappers in order and registers field deps") {
+    val df = Seq(("x", "Mozilla/5.0 (Windows NT 10.0) Chrome/1.0")).toDF("v", "_user_agent")
+    val out = MapperPipeline.run(df, Seq(TimestampMapper(1000L), UserAgentMapper))
+    assert(out.columns.contains("_time") && out.columns.contains("_os"))
+    assert(UserAgentMapper.dependentFields("_user_agent").nonEmpty)
+  }
+}
