@@ -17,7 +17,8 @@ object SparkEntry {
       analytics.BehavioralQueries.defs ++
       analytics.DedupQueries.defs ++
       analytics.TextQueries.defs ++
-      analytics.SimilarityQueries.defs
+      analytics.SimilarityQueries.defs ++
+      analytics.MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
