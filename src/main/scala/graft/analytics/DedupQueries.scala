@@ -46,6 +46,16 @@ object DedupQueries {
   private val numHashes = 8
   private val bands = 4 // 4 bands × 2 rows per band
 
+  /** Affine MinHash family derived from ONE base hash per shingle:
+    * h_j(s) = (A_j·h(s) + B_j) mod p, p = 2³¹−1. One md5 per shingle
+    * instead of 8 — at corpus scale hashing dominates the signature
+    * stage, so the family costs 8 multiplies instead of 8 digests. */
+  private val P31 = 2147483647L
+  private val hashA = Seq(912862454L, 1681692777L, 1714636915L, 1957747793L,
+    424238335L, 719885386L, 1649760492L, 596516649L)
+  private val hashB = Seq(1189641421L, 1025202362L, 1350490027L, 783368690L,
+    1102520059L, 2044897763L, 1967513926L, 1365180540L)
+
   /** Distinct (doc_id, 3-word-shingle) pairs. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -63,9 +73,10 @@ object DedupQueries {
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigCols = (0 until numHashes).map { j =>
-      min(hash60(concat(lit(s"$j|"), $"shingle"))).as(s"s$j")
+      min((lit(hashA(j)) * $"h" + lit(hashB(j))) % lit(P31)).as(s"s$j")
     }
     val sigs = shingles(spark, dir)
+      .withColumn("h", hash60($"shingle") % lit(P31))
       .groupBy($"doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
@@ -85,7 +96,7 @@ object DedupQueries {
 
   val d2Sql: String = {
     val sigSelect = (0 until numHashes).map { j =>
-      s"min(${sqlHash60(s"'$j|' || shingle")}) AS s$j"
+      s"min((${hashA(j)} * h + ${hashB(j)}) % $P31) AS s$j"
     }.mkString(",\n    ")
     val bandSelects = (0 until bands).map { b =>
       s"SELECT doc_id, $b AS band, CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR) AS key FROM sig"
@@ -97,10 +108,12 @@ object DedupQueries {
        |    unnest(list_transform(range(len(t) - 2),
        |      i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
        |  FROM toks WHERE len(t) >= 3),
+       |shh AS (
+       |  SELECT doc_id, ${sqlHash60("shingle")} % $P31 AS h FROM sh),
        |sig AS (
        |  SELECT doc_id,
        |    $sigSelect
-       |  FROM sh GROUP BY doc_id),
+       |  FROM shh GROUP BY doc_id),
        |banded AS (
        |  $bandSelects)
        |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2

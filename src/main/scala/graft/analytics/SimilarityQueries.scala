@@ -117,16 +117,18 @@ object SimilarityQueries {
       """aggregate(transform(slice(embedding, 1, 4),
         |  x -> CASE WHEN CAST(x AS DOUBLE) > 0.0 THEN 1L ELSE 0L END),
         |  CAST(0 AS LONG), (acc, b) -> acc * 2 + b)""".stripMargin
+    // norms precomputed once per vector (O(n)), not per candidate pair
+    // (O(pairs)) — the difference between linear and quadratic work in
+    // the dominant cost at corpus scale.
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("bucket", expr(bucketExpr))
-      .select($"vec_id", $"embedding", $"bucket")
+      .withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+      .select($"vec_id", $"embedding", $"bucket", $"norm")
     emb.alias("x")
       .join(emb.alias("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("dot", expr(dotExpr("x.embedding", "y.embedding")))
-      .withColumn("nx", expr(dotExpr("x.embedding", "x.embedding")))
-      .withColumn("ny", expr(dotExpr("y.embedding", "y.embedding")))
-      .withColumn("cos", $"dot" / (sqrt($"nx") * sqrt($"ny")))
+      .withColumn("cos", $"dot" / (col("x.norm") * col("y.norm")))
       .filter($"cos" > 0.3)
       .select(col("x.vec_id").as("vec1"), col("y.vec_id").as("vec2"), $"cos")
   }
@@ -138,13 +140,12 @@ object SimilarityQueries {
          |    i -> CASE WHEN CAST($e[i] AS DOUBLE) > 0.0 THEN 1 ELSE 0 END)),
          |  (acc, b) -> acc * 2 + b)""".stripMargin
     s"""WITH be AS (
-       |  SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+       |  SELECT vec_id, embedding, ${bucket("embedding")} AS bucket,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
        |  FROM embeddings)
        |SELECT vec1, vec2, cos FROM (
        |  SELECT x.vec_id AS vec1, y.vec_id AS vec2,
-       |    ${sqlDot("x.embedding", "y.embedding")} /
-       |      (sqrt(${sqlDot("x.embedding", "x.embedding")}) *
-       |       sqrt(${sqlDot("y.embedding", "y.embedding")})) AS cos
+       |    ${sqlDot("x.embedding", "y.embedding")} / (x.norm * y.norm) AS cos
        |  FROM be x JOIN be y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |WHERE cos > 0.3""".stripMargin
   }

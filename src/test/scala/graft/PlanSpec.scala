@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the 100 TB posture checks: predicates
+  * reach the parquet scan, small dims broadcast, semi/anti joins stay
+  * semi/anti, global top-k avoids a total sort, aggregations run inside
+  * whole-stage codegen. A regression here is a scale bug even when
+  * results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf())
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1: shipdate predicate pushed to parquet scan") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: aggregation inside whole-stage codegen with partial agg") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf())
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), "scan+partial-agg stage not codegen'd")
+    assert(p.contains("*(2)"), "final-agg stage not codegen'd")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("j1: dimension joins broadcast") {
+    val p = planOf("j1_dim_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("j2: tiny range dim joins via broadcast nested loop") {
+    assert(planOf("j2_range_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("j3: point lookup pushes equality to scan") {
+    val p = planOf("j3_point_lookup")
+    assert(p.contains("EqualTo(c_custkey,419)"))
+  }
+
+  test("j4: event-profile join scan prunes to referenced columns") {
+    val p = planOf("j4_event_profile")
+    // events scan must not read props/event_type (projection pruning)
+    val scanSection = p.split("\n").filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scanSection.contains("props"))
+  }
+
+  test("j6: semi/anti joins planned as semi/anti") {
+    assert(planOf("j6_semi_join").contains("LeftSemi"))
+    assert(planOf("j6_anti_join").contains("LeftAnti"))
+  }
+
+  test("w4: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = planOf("w4_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("p3: stream-filter predicate pushed to scan") {
+    val p = planOf("p3_stream_filter")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(value,100.0)"))
+  }
+
+  test("sim1: single broadcast of the query vector, no shuffle join") {
+    val p = planOf("sim1_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
