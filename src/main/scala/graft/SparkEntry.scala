@@ -12,6 +12,7 @@ object SparkEntry {
   val registry: Seq[(String, QueryDef)] =
     analytics.CoreQueries.defs ++
       analytics.JoinQueries.defs ++
+      analytics.JoinQueries2.defs ++
       analytics.WindowQueries.defs ++
       analytics.ScanQueries.defs ++
       analytics.BehavioralQueries.defs ++

@@ -1,0 +1,135 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of join/window coverage: the fact-fact shapes that
+  * dominate at 100 TB (sort-merge co-partitioned joins), time-range
+  * window frames, and the time-bounded funnel variant.
+  */
+object JoinQueries2 {
+
+  /** J7 (TPC-H Q3 shape): customer ⋈ orders ⋈ lineitem revenue top-10.
+    * orders⋈lineitem is the genuine fact-fact join — shuffle both sides
+    * on orderkey (SMJ/shuffled-hash under AQE); customer is the
+    * broadcast dim. Top-10 is TakeOrderedAndProject. */
+  def j7FactJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables(spark, dir, "orders")
+      .filter($"o_orderdate" < lit("1995-03-15 00:00:00").cast("timestamp"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1995-03-15 00:00:00").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(li("l_orderkey"), ord("o_orderdate"), ord("o_orderpriority"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val j7Sql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** W3b: time-range window frame — each event's trailing-1-hour
+    * per-user activity (RANGE BETWEEN on epoch seconds). The range
+    * frame is the shape rolling-window features use at scale; state per
+    * partition is the frame, not the history. */
+  def w3RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"epoch_s")
+      .rangeBetween(-3600L, 0L)
+    Tables(spark, dir, "events")
+      .withColumn("epoch_s", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("sum_last_hour",
+        sum($"value".cast("decimal(38,9)")).over(w).cast("double"))
+      .select($"user_id", $"event_id", $"epoch_s", $"n_last_hour", $"sum_last_hour")
+  }
+
+  val w3RangeSql: String =
+    """SELECT user_id, event_id, epoch_s,
+      |  count(*) OVER w AS n_last_hour,
+      |  CAST(sum(CAST(value AS DECIMAL(38,9))) OVER w AS DOUBLE) AS sum_last_hour
+      |FROM (
+      |  SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS epoch_s
+      |  FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** A6b: time-bounded funnel — view → click within 24h → purchase
+    * within 24h of the click (the conversion-window contract of funnel
+    * analytics; unbounded variant is a6_funnel). */
+  def a6WindowedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events").select($"user_id", $"event_type", $"ts")
+    val day = expr("INTERVAL 24 HOURS")
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val t2 = ev.filter($"event_type" === "click")
+      .join(t1, "user_id").filter($"ts" > $"t1" && $"ts" <= $"t1" + day)
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase")
+      .join(t2, "user_id").filter($"ts" > $"t2" && $"ts" <= $"t2" + day)
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    def step(df: DataFrame, n: Int) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(n).as("step"), $"n_users")
+    step(t1, 1).union(step(t2, 2)).union(step(t3, 3))
+  }
+
+  val a6WindowedSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS step, count(*) AS n_users FROM t1
+      |UNION ALL SELECT 2 AS step, count(*) AS n_users FROM t2
+      |UNION ALL SELECT 3 AS step, count(*) AS n_users FROM t3""".stripMargin
+
+  /** F13: map functions over the parsed property bag — from_json to a
+    * typed map, filter entries, transform values (the reference's
+    * per-entry cast semantics, JsonEventDeserializer.java:652-693). */
+  def fMapOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .withColumn("m", from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+      .select(
+        $"event_id",
+        map_keys($"m").getItem(0).as("first_key"),
+        $"m".getItem("k").cast("long").as("k_value"),
+        size($"m").as("n_entries"))
+  }
+
+  val fMapOpsSql: String =
+    """SELECT event_id,
+      |  json_keys(props)[1] AS first_key,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+      |  len(json_keys(props)) AS n_entries
+      |FROM events""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "j7_fact_join" -> QueryDef.of(j7Sql)(j7FactJoin),
+    "w3_range_frame" -> QueryDef.of(w3RangeSql)(w3RangeFrame),
+    "a6_windowed_funnel" -> QueryDef.of(a6WindowedSql)(a6WindowedFunnel),
+    "f_map_ops" -> QueryDef.of(fMapOpsSql)(fMapOps)
+  )
+}
