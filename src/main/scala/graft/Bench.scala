@@ -16,15 +16,23 @@ object Bench {
     // timed query doesn't absorb ~5s of one-time initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "lineitem").limit(10).collect()
+    // A query that throws must not silently count as a fast success: it is
+    // timed but surfaced in "failed" and excluded from the headline total.
     val results = SparkEntry.registry.map { case (name, qd) =>
       val t0 = System.nanoTime()
-      try { qd.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok =
+        try { qd.build(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

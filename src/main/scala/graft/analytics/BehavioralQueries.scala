@@ -97,7 +97,7 @@ object BehavioralQueries {
   }
 
   val w2SessSql: String =
-    """SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+    """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE

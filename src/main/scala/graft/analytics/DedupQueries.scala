@@ -151,7 +151,7 @@ object DedupQueries {
        |  FROM th, generate_series(0, 15) b(bit)
        |  GROUP BY doc_id, bit)
        |SELECT doc_id,
-       |  sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+       |  CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id""".stripMargin
 
   /** D4 n-gram Jaccard verification of MinHash candidates: exact

@@ -29,8 +29,8 @@ object TextQueries {
 
   val tTokensSql: String =
     s"""SELECT lang, source, count(*) AS n_docs,
-       |  sum(len(string_split(text, ' '))) AS sum_tokens,
-       |  sum(len(list_distinct(string_split(text, ' ')))) AS sum_distinct_tokens,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS sum_distinct_tokens,
        |  ${sqlDavg("CAST(n_chars AS DOUBLE)")} AS avg_chars
        |FROM documents GROUP BY lang, source""".stripMargin
 

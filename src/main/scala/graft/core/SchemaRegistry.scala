@@ -113,17 +113,22 @@ final class SchemaRegistry(persistDir: Option[Path] = None) {
       dependentFields.values.exists(_.exists(_.name == name)) ||
       name == "_user" || name == "_time" // core magic fields (ProjectConfig.java:13-15)
 
+  // Jackson-built (not string-concatenated) so collection/field/config
+  // names containing quotes or backslashes round-trip through load().
   private def persist(project: String): Unit = persistDir.foreach { dir =>
     Files.createDirectories(dir)
-    val cols = schemas.collect { case ((p, c), fs) if p == project =>
-      s""""$c": {${fs.map(f => s""""${f.name}": "${f.tpe.name}"""").mkString(", ")}}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val colls = root.putObject("collections")
+    schemas.toSeq.sortBy(_._1).collect { case ((p, c), fs) if p == project =>
+      val obj = colls.putObject(c)
+      fs.foreach(f => obj.put(f.name, f.tpe.name))
     }
-    val cfg = projectConfig.collect { case ((p, k), v) if p == project =>
-      s""""$k": "$v""""
+    val cfg = root.putObject("config")
+    projectConfig.toSeq.sortBy(_._1).collect { case ((p, k), v) if p == project =>
+      cfg.put(k, v)
     }
-    val json =
-      s"""{"collections": {${cols.mkString(", ")}}, "config": {${cfg.mkString(", ")}}}"""
-    Files.writeString(dir.resolve(s"$project.json"), json)
+    Files.writeString(dir.resolve(s"$project.json"), mapper.writeValueAsString(root))
   }
 
   /** Reload a project's schemas from the persisted JSON (inverse of

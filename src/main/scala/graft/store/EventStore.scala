@@ -59,6 +59,51 @@ object EventStore {
     }
   }
 
+  /** Single-job batch fan-out: a unified batch (from
+    * JsonIngest.ingestUnified, `_collection` + union-of-schemas columns)
+    * written once, partitioned by (collection, month) — one Spark job
+    * regardless of how many collections the batch carries. At 100 TB this
+    * is the difference between C full scans of the batch and one. */
+  def writeUnified(unified: DataFrame, warehouse: String, project: String): Unit = {
+    val withMonth =
+      if (unified.columns.contains("_time"))
+        unified.withColumn("_month",
+          coalesce(date_format(col("_time"), "yyyy-MM"), lit("unknown")))
+      else unified.withColumn("_month", lit("unknown"))
+    withMonth.drop(sourceOnlyFields: _*)
+      .write.mode("append")
+      .partitionBy("_collection", "_month")
+      .parquet(s"$warehouse/$project/events")
+  }
+
+  /** Read one collection out of the unified layout: partition pruning on
+    * `_collection` keeps the scan to that collection's files; the select
+    * restores the collection's registered columns (un-mangling unified
+    * conflict columns, null-filling post-evolution additions). */
+  def readUnified(spark: SparkSession, registry: SchemaRegistry,
+      warehouse: String, project: String, collection: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(s"$warehouse/$project/events")
+      .filter(col("_collection") === collection)
+    registry.schema(project, collection) match {
+      case None => df
+      case Some(fields) =>
+        val present = df.columns.toSet
+        val cols = fields.map { f =>
+          val mangled = s"${f.name}__${f.tpe.name.toLowerCase.replaceAll("[^a-z0-9]", "_")}"
+          // a field can exist under both names when only some batches had a
+          // cross-collection type conflict — coalesce the candidates
+          val candidates = Seq(f.name, mangled).filter(present.contains)
+            .map(c => col(c).cast(f.tpe.spark))
+          val src = if (candidates.isEmpty) lit(null).cast(f.tpe.spark)
+            else if (candidates.size == 1) candidates.head
+            else coalesce(candidates: _*)
+          src.as(f.name)
+        } :+ col("_month")
+        df.select(cols: _*)
+    }
+  }
+
   /** Dead-letter append (S14): `$invalid_schema` table per project. */
   def writeDeadLetter(dead: DataFrame, warehouse: String, project: String): Unit =
     dead.write.mode("append")

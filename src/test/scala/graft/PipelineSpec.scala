@@ -47,17 +47,62 @@ class PipelineSpec extends SparkSpec {
       Map("/a" -> 1L, "/b" -> 1L))
   }
 
-  test("dead letters persist to the invalid_schema table") {
+  test("dead letters persist to the invalid_schema table with event identity") {
     val registry = SchemaRegistry.inMemory()
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh2").toString
     JsonIngest.ingest(spark, registry, "demo", spark.sparkContext.parallelize(Seq(
       """{"collection": "c", "properties": {"n": 1.0}}""")))
     val bad = JsonIngest.ingest(spark, registry, "demo", spark.sparkContext.parallelize(Seq(
-      """{"collection": "c", "properties": {"n": "junk"}}""")))
+      """{"collection": "c", "api": {"uuid": "e-42"}, "properties": {"n": "junk", "_user": "u9", "_time": "2026-03-01 08:00:00.000"}}""")))
     EventStore.writeDeadLetter(bad.deadLetter, warehouse, "demo")
+    bad.unpersist()
     val dl = spark.read.parquet(s"$warehouse/demo/invalid_schema")
     assert(dl.count() == 1)
-    assert(dl.collect().head.getAs[String]("property") == "n")
+    val row = dl.collect().head
+    assert(row.getAs[String]("property") == "n")
+    // replay identity (JsonEventDeserializer.java:85-93)
+    assert(row.getAs[String]("event_id") == "e-42")
+    assert(row.getAs[String]("_user") == "u9")
+    assert(row.getAs[java.sql.Timestamp]("_time") != null)
+  }
+
+  test("unified fan-out: one write job for N collections, pruned typed reads") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh3").toString
+    val raw = spark.sparkContext.parallelize(Seq(
+      """{"collection": "pageview", "properties": {"_user": "u1", "page": "/a", "v": 1.5}}""",
+      """{"collection": "click", "properties": {"_user": "u2", "target": "btn", "v": "red"}}""",
+      """{"collection": "click", "properties": {"_user": "u3", "target": "link"}}"""))
+    val (unified, res) = JsonIngest.ingestUnified(spark, registry, "demo", raw)
+    // cross-collection type conflict on `v` (DOUBLE in pageview, STRING in
+    // click) → mangled physical columns, both present
+    assert(unified.columns.contains("v__double") && unified.columns.contains("v__string"))
+
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    EventStore.writeUnified(unified, warehouse, "demo")
+    // listener events are posted asynchronously; give the bus a beat
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(listener)
+    res.unpersist()
+    // O(1) jobs regardless of collection count (was O(C) filter-scans)
+    assert(jobs <= 2, s"expected a single write job (+driver listing), got $jobs")
+
+    val pv = EventStore.readUnified(spark, registry, warehouse, "demo", "pageview")
+    assert(pv.count() == 1)
+    assert(pv.select("v").collect().head.getDouble(0) == 1.5)
+    val ck = EventStore.readUnified(spark, registry, warehouse, "demo", "click")
+      .orderBy(col("_user"))
+    assert(ck.count() == 2)
+    assert(ck.select("v").collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("red"), None))
+    // partition pruning on _collection
+    val plan = pv.queryExecution.executedPlan.toString
+    assert(plan.contains("_collection"), "collection filter should reach the scan")
   }
 
   test("multimodal: media schema, deterministic features, frame sampling") {
