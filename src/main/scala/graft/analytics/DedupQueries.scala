@@ -46,6 +46,14 @@ object DedupQueries {
   private val numHashes = 8
   private val bands = 4 // 4 bands × 2 rows per band
 
+  /** Max docs admitted per (band, key) bucket. A cluster of k exact
+    * duplicates shares every band signature, so without a cap one bucket
+    * yields k² candidate pairs — THE skew risk at real dup rates. The
+    * cap bounds any bucket's contribution at cap²/2 pairs; docs beyond
+    * the cap are (deterministically, by doc_id order) left to exact
+    * dedup (d1), which catches identical texts regardless. */
+  val BucketCap = 50
+
   /** Affine MinHash family derived from ONE base hash per shingle:
     * h_j(s) = (A_j·h(s) + B_j) mod p, p = 2³¹−1. One md5 per shingle
     * instead of 8 — at corpus scale hashing dominates the signature
@@ -56,36 +64,48 @@ object DedupQueries {
   private val hashB = Seq(1189641421L, 1025202362L, 1350490027L, 783368690L,
     1102520059L, 2044897763L, 1967513926L, 1365180540L)
 
-  /** Distinct (doc_id, 3-word-shingle) pairs. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables(spark, dir, "documents")
+  /** Distinct (doc_id, shingle-hash) pairs — 3-word shingles hashed
+    * BEFORE the distinct, so d2's signature branch and d4's intersection
+    * branch consume the *same* exchange (Spark's ReuseExchange dedupes
+    * identical shuffles inside one plan; with the hash applied after the
+    * distinct, the two branches pruned different columns and each paid
+    * its own distinct shuffle — the round-1 double-work finding). */
+  private[analytics] def shingleHashes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("shingle"))
+      .select($"doc_id", (hash60($"shingle") % lit(P31)).as("h"))
       .distinct()
   }
 
-  /** D2 MinHash + LSH: 8-hash signature, 4 bands × 2 rows; docs sharing
-    * a band bucket become candidate near-duplicate pairs. */
-  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Banded LSH keys with the bucket-size cap applied:
+    * (doc_id, band, key, rn) where rn ≤ [[BucketCap]]. */
+  private[analytics] def bandedKeys(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
     val sigCols = (0 until numHashes).map { j =>
       min((lit(hashA(j)) * $"h" + lit(hashB(j))) % lit(P31)).as(s"s$j")
     }
-    val sigs = shingles(spark, dir)
-      .withColumn("h", hash60($"shingle") % lit(P31))
-      .groupBy($"doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+    val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
     }
-    val banded = sigs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"key").orderBy($"doc_id")
+    sigs
       .select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= BucketCap)
+  }
+
+  /** Candidate near-duplicate pairs from capped band buckets. */
+  private[analytics] def candidatePairs(sh: DataFrame): DataFrame = {
+    val banded = bandedKeys(sh)
     banded.alias("x")
       .join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -93,6 +113,13 @@ object DedupQueries {
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
   }
+
+  /** D2 MinHash + LSH: 8-hash signature, 4 bands × 2 rows; docs sharing
+    * a band bucket become candidate near-duplicate pairs. */
+  def d2From(docs: DataFrame): DataFrame = candidatePairs(shingleHashes(docs))
+
+  def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    d2From(Tables(spark, dir, "documents"))
 
   val d2Sql: String = {
     val sigSelect = (0 until numHashes).map { j =>
@@ -105,17 +132,24 @@ object DedupQueries {
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |    unnest(list_transform(range(len(t) - 2),
-       |      i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
-       |  FROM toks WHERE len(t) >= 3),
-       |shh AS (
-       |  SELECT doc_id, ${sqlHash60("shingle")} % $P31 AS h FROM sh),
+       |    ${sqlHash60("shingle")} % $P31 AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(len(t) - 2),
+       |        i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
        |sig AS (
        |  SELECT doc_id,
        |    $sigSelect
-       |  FROM shh GROUP BY doc_id),
+       |  FROM sh GROUP BY doc_id),
+       |banded0 AS (
+       |  $bandSelects),
        |banded AS (
-       |  $bandSelects)
+       |  SELECT * FROM (
+       |    SELECT doc_id, band, key,
+       |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+       |    FROM banded0)
+       |  WHERE rn <= $BucketCap)
        |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |FROM banded x JOIN banded y
        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin
@@ -158,15 +192,22 @@ object DedupQueries {
     * |A∩B| / |A∪B| over 3-word shingles, computed only for LSH candidate
     * pairs — the verify step of candidate-based dedup (cheap because the
     * candidate set is tiny relative to n²). */
-  def d4Jaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sh = shingles(spark, dir)
+  def d4From(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // ONE shingle-hash subplan feeds the signature branch (via
+    // candidatePairs), the per-doc counts, and the intersection join —
+    // identical subtrees, so the distinct's shuffle is planned once and
+    // reused (round 1 re-ran the whole d2 pipeline inline here). The
+    // intersection joins 8-byte hashes, not shingle strings: same
+    // result (mod 2⁻³¹ collisions, identically on both engines), a
+    // fraction of the shuffle bytes.
+    val sh = shingleHashes(docs)
     val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = d2MinhashLsh(spark, dir)
+    val pairs = candidatePairs(sh)
     val inter = pairs
-      .join(sh.select($"doc_id".as("doc1"), $"shingle"), "doc1")
-      .join(sh.select($"doc_id".as("doc2"), $"shingle".as("shingle2")), "doc2")
-      .filter($"shingle" === $"shingle2")
+      .join(sh.select($"doc_id".as("doc1"), $"h"), "doc1")
+      .join(sh.select($"doc_id".as("doc2"), $"h".as("h2")), "doc2")
+      .filter($"h" === $"h2")
       .groupBy($"doc1", $"doc2")
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -176,21 +217,27 @@ object DedupQueries {
         ($"n_inter".cast("double") / ($"n1" + $"n2" - $"n_inter")).as("jaccard"))
   }
 
+  def d4Jaccard(spark: SparkSession, dir: String): DataFrame =
+    d4From(Tables(spark, dir, "documents"))
+
   val d4Sql: String =
-    s"""WITH toks AS (
+    s"""WITH pairs AS (${d2Sql.replace("\n", "\n  ")}),
+       |toks2 AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS (
+       |sh2 AS (
        |  SELECT DISTINCT doc_id,
-       |    unnest(list_transform(range(len(t) - 2),
-       |      i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
-       |  FROM toks WHERE len(t) >= 3),
-       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |pairs AS (${d2Sql.replace("\n", "\n  ")}),
+       |    ${sqlHash60("shingle")} % $P31 AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(len(t) - 2),
+       |        i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
+       |    FROM toks2 WHERE len(t) >= 3)),
+       |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
        |inter AS (
        |  SELECT p.doc1, p.doc2, count(*) AS n_inter
        |  FROM pairs p
-       |  JOIN sh a ON a.doc_id = p.doc1
-       |  JOIN sh b ON b.doc_id = p.doc2 AND b.shingle = a.shingle
+       |  JOIN sh2 a ON a.doc_id = p.doc1
+       |  JOIN sh2 b ON b.doc_id = p.doc2 AND b.h = a.h
        |  GROUP BY p.doc1, p.doc2)
        |SELECT i.doc1, i.doc2, n_inter,
        |  CAST(n_inter AS DOUBLE) / (c1.n_sh + c2.n_sh - n_inter) AS jaccard

