@@ -16,6 +16,7 @@ object SparkEntry {
       analytics.WindowQueries.defs ++
       analytics.ScanQueries.defs ++
       analytics.BehavioralQueries.defs ++
+      analytics.MapperQueries.defs ++
       analytics.DedupQueries.defs ++
       analytics.TextQueries.defs ++
       analytics.SimilarityQueries.defs ++

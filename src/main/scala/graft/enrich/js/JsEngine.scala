@@ -1,0 +1,482 @@
+package graft.enrich.js
+
+import MiniJs._
+
+import scala.collection.mutable
+
+/** The evaluator + sandbox for [[MiniJs]] programs.
+  *
+  * Mirrors the reference engine contract (JSCodeCompiler.java:44-120):
+  * top-level code is evaluated once (function declarations + vars), then
+  * named functions are invoked Invocable-style. The bindings the
+  * reference removes are poisoned here so user code fails the same way,
+  * a step budget bounds runaway loops, and the only host surface is the
+  * [[MiniJs.HostObject]]s the caller explicitly binds.
+  */
+final class JsEngine(code: String, globals: Map[String, Any],
+    maxSteps: Long = 5_000_000L) extends Serializable {
+
+  /** Bindings the reference strips from Nashorn's global scope. */
+  private val poisoned = Set("Java", "load", "loadWithNewGlobal", "exit",
+    "quit", "print", "echo", "readLine", "readFully", "eval")
+
+  @transient private lazy val root: Env = {
+    val env = new Env(None)
+    builtins.foreach { case (k, v) => env.declare(k, v) }
+    globals.foreach { case (k, v) => env.declare(k, v) }
+    steps = 0
+    parse(code).foreach(exec(_, env))
+    env
+  }
+
+  @transient private var steps: Long = 0
+  @transient private var depth: Int = 0
+
+  private def tick(): Unit = {
+    steps += 1
+    if (steps > maxSteps)
+      throw new SandboxViolation(s"step budget exceeded ($maxSteps)")
+  }
+
+  /** Invoke a top-level function by name (Invocable.invokeFunction). */
+  def invoke(name: String, args: Any*): Any = {
+    val f = root.lookup(name).getOrElse(
+      throw new JsException(s"'$name' function does not exist"))
+    steps = 0
+    depth = 0
+    callValue(f, args.map(toJs))
+  }
+
+  def hasFunction(name: String): Boolean =
+    root.lookup(name).exists(_.isInstanceOf[Closure])
+
+  // ---------- value boundary ----------
+
+  /** Host → JS: integral numbers stay Long, everything else maps
+    * structurally. */
+  private def toJs(v: Any): Any = v match {
+    case null => null
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case f: Float => f.toDouble
+    case m: scala.collection.Map[_, _] =>
+      val o = mutable.LinkedHashMap.empty[String, Any]
+      m.foreach { case (k, x) => o(String.valueOf(k)) = toJs(x) }
+      o
+    case s: scala.collection.Seq[_] =>
+      mutable.ArrayBuffer(s.toSeq.map(toJs): _*)
+    case other => other
+  }
+
+  /** JS → host: objects become immutable Maps, arrays become Seqs. */
+  def fromJs(v: Any): Any = v match {
+    case Undefined => null
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      m.map { case (k, x) => k -> fromJs(x) }.toMap
+    case a: mutable.ArrayBuffer[Any @unchecked] => a.map(fromJs).toSeq
+    case other => other
+  }
+
+  // ---------- builtins ----------
+
+  private def hostFn(f: Seq[Any] => Any): HostObject = new HostObject {
+    def invoke(method: String, args: Seq[Any]): Any =
+      if (method == "__call__") f(args)
+      else throw new JsException(s"not a method: $method")
+  }
+
+  private def builtins: Map[String, Any] = Map(
+    "Math" -> new HostObject {
+      def invoke(m: String, a: Seq[Any]): Any = m match {
+        case "floor" => math.floor(num(a.head)).toLong
+        case "ceil" => math.ceil(num(a.head)).toLong
+        case "round" => math.round(num(a.head))
+        case "abs" => num(a.head) match { case d => math.abs(d) }
+        case "max" => a.map(num).max
+        case "min" => a.map(num).min
+        case "pow" => math.pow(num(a.head), num(a(1)))
+        case "sqrt" => math.sqrt(num(a.head))
+        case other => throw new JsException(s"Math.$other is not supported")
+      }
+    },
+    "JSON" -> new HostObject {
+      def invoke(m: String, a: Seq[Any]): Any = m match {
+        case "stringify" => JsJson.stringify(a.head)
+        case "parse" => JsJson.parse(str(a.head))
+        case other => throw new JsException(s"JSON.$other is not supported")
+      }
+    },
+    "parseInt" -> hostFn(a => str(a.head).trim.takeWhile(c => c.isDigit || c == '-').toLong),
+    "parseFloat" -> hostFn(a => str(a.head).trim.toDouble),
+    "isNaN" -> hostFn(a => a.head match {
+      case d: Double => java.lang.Double.isNaN(d)
+      case _: Long => false
+      case _ => true
+    }),
+    "String" -> hostFn(a => jsToString(a.head)),
+    "Number" -> hostFn(a => num(a.head))
+  )
+
+  // ---------- evaluation ----------
+
+  private final case class ReturnEx(v: Any) extends RuntimeException
+  private final class BreakEx extends RuntimeException
+  private final class ContinueEx extends RuntimeException
+
+  private def exec(s: Stmt, env: Env): Unit = {
+    tick()
+    s match {
+      case VarDecl(entries) =>
+        entries.foreach { case (n, init) =>
+          env.declare(n, init.map(eval(_, env)).getOrElse(Undefined))
+        }
+      case FunDecl(name, ps, body) =>
+        env.declare(name, Closure(ps, body, env, name))
+      case ExprStmt(e) => eval(e, env)
+      case IfS(c, t, f) =>
+        if (truthy(eval(c, env))) exec(t, env) else f.foreach(exec(_, env))
+      case WhileS(c, body) =>
+        while (truthy(eval(c, env))) {
+          try exec(body, env)
+          catch {
+            case _: ContinueEx => ()
+            case _: BreakEx => return
+          }
+        }
+      case ForS(init, cond, step, body) =>
+        val scope = new Env(Some(env))
+        init.foreach(exec(_, scope))
+        var looping = true
+        while (looping && cond.forall(c => truthy(eval(c, scope)))) {
+          try exec(body, scope)
+          catch {
+            case _: ContinueEx => ()
+            case _: BreakEx => looping = false
+          }
+          if (looping) step.foreach(eval(_, scope))
+        }
+      case ReturnS(e) => throw ReturnEx(e.map(eval(_, env)).getOrElse(Undefined))
+      case BreakS => throw new BreakEx
+      case ContinueS => throw new ContinueEx
+      case Block(stmts) =>
+        val scope = new Env(Some(env))
+        stmts.foreach(exec(_, scope))
+    }
+  }
+
+  private def eval(e: Expr, env: Env): Any = {
+    tick()
+    e match {
+      case NumL(v) => v
+      case NumD(v) => v
+      case Str(v) => v
+      case Bool(v) => v
+      case NullE => null
+      case UndefE => Undefined
+      case Ident(n) =>
+        if (poisoned(n))
+          throw new SandboxViolation(s"'$n' is not available in the sandbox")
+        env.lookup(n).getOrElse(throw new JsException(s"'$n' is not defined"))
+      case ObjLit(entries) =>
+        val o = mutable.LinkedHashMap.empty[String, Any]
+        entries.foreach { case (k, v) => o(k) = eval(v, env) }
+        o
+      case ArrLit(items) => mutable.ArrayBuffer(items.map(eval(_, env)): _*)
+      case FunLit(ps, body, name) => Closure(ps, body, env, name)
+      case Member(t, name) => readMember(eval(t, env), name)
+      case IndexE(t, k) => readIndex(eval(t, env), eval(k, env))
+      case Call(target, argEs) =>
+        val args = argEs.map(eval(_, env))
+        target match {
+          case Member(t, name) =>
+            val recv = eval(t, env)
+            callMember(recv, name, args)
+          case other => callValue(eval(other, env), args)
+        }
+      case Unary(op, x) =>
+        val v = eval(x, env)
+        op match {
+          case "!" => !truthy(v)
+          case "-" => v match {
+            case l: Long => -l
+            case other => -num(other)
+          }
+          case "+" => v match {
+            case l: Long => l
+            case other => num(other)
+          }
+          case "typeof" => v match {
+            case null => "object"
+            case Undefined => "undefined"
+            case _: String => "string"
+            case _: java.lang.Boolean => "boolean"
+            case _: Long | _: Double => "number"
+            case _: Closure => "function"
+            case _ => "object"
+          }
+        }
+      case Bin("&&", l, r) =>
+        val lv = eval(l, env); if (!truthy(lv)) lv else eval(r, env)
+      case Bin("||", l, r) =>
+        val lv = eval(l, env); if (truthy(lv)) lv else eval(r, env)
+      case Bin(op, l, r) => binop(op, eval(l, env), eval(r, env))
+      case CondE(c, t, f) =>
+        if (truthy(eval(c, env))) eval(t, env) else eval(f, env)
+      case Assign(target, op, valueE) =>
+        val rhs0 = eval(valueE, env)
+        def combined(old: => Any): Any =
+          if (op == "=") rhs0 else binop(op.substring(0, 1), old, rhs0)
+        target match {
+          case Ident(n) =>
+            val v = combined(env.lookup(n).getOrElse(
+              throw new JsException(s"'$n' is not defined")))
+            if (!env.assign(n, v)) env.declare(n, v)
+            v
+          case Member(t, name) =>
+            val recv = eval(t, env)
+            val v = combined(readMember(recv, name))
+            writeMember(recv, name, v)
+            v
+          case IndexE(t, k) =>
+            val recv = eval(t, env)
+            val key = eval(k, env)
+            val v = combined(readIndex(recv, key))
+            writeIndex(recv, key, v)
+            v
+          case _ => throw new JsException("invalid assignment target")
+        }
+    }
+  }
+
+  private def callValue(f: Any, args: Seq[Any]): Any = f match {
+    case Closure(ps, body, closureEnv, name) =>
+      depth += 1
+      if (depth > 200) throw new SandboxViolation("recursion limit exceeded")
+      try {
+        val scope = new Env(Some(closureEnv))
+        ps.zipWithIndex.foreach { case (p, i) =>
+          scope.declare(p, if (i < args.length) args(i) else Undefined)
+        }
+        try { body.foreach(exec(_, scope)); Undefined }
+        catch { case ReturnEx(v) => v }
+      } finally depth -= 1
+    case h: HostObject => h.invoke("__call__", args)
+    case other => throw new JsException(s"${jsToString(other)} is not a function")
+  }
+
+  private def callMember(recv: Any, name: String, args: Seq[Any]): Any = recv match {
+    case h: HostObject => h.invoke(name, args)
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      m.get(name) match {
+        case Some(f) => callValue(f, args)
+        case None => throw new JsException(s"'$name' is not a function on object")
+      }
+    case a: mutable.ArrayBuffer[Any @unchecked] => name match {
+      case "push" => args.foreach(a += _); a.length.toLong
+      case "pop" => if (a.isEmpty) Undefined else a.remove(a.length - 1)
+      case "indexOf" => a.indexWhere(x => strictEq(x, args.head)).toLong
+      case "join" =>
+        a.map(jsToString).mkString(if (args.isEmpty) "," else str(args.head))
+      case "slice" =>
+        val from = if (args.isEmpty) 0 else num(args.head).toInt
+        val until = if (args.length < 2) a.length else num(args(1)).toInt
+        a.slice(from, until)
+      case other => throw new JsException(s"array.$other is not supported")
+    }
+    case s: String => name match {
+      case "charAt" => s.charAt(num(args.head).toInt).toString
+      case "indexOf" => s.indexOf(str(args.head)).toLong
+      case "substring" =>
+        val from = num(args.head).toInt
+        if (args.length > 1) s.substring(from, math.min(num(args(1)).toInt, s.length))
+        else s.substring(from)
+      case "slice" => s.substring(num(args.head).toInt,
+        if (args.length > 1) num(args(1)).toInt else s.length)
+      case "toLowerCase" => s.toLowerCase
+      case "toUpperCase" => s.toUpperCase
+      case "trim" => s.trim
+      case "split" => mutable.ArrayBuffer(s.split(java.util.regex.Pattern.quote(str(args.head)), -1).toSeq: _*)
+      case "replace" => s.replace(str(args.head), str(args(1)))
+      case "startsWith" => s.startsWith(str(args.head))
+      case "endsWith" => s.endsWith(str(args.head))
+      case "includes" => s.contains(str(args.head))
+      case other => throw new JsException(s"string.$other is not supported")
+    }
+    case null => throw new JsException(s"cannot call '$name' of null")
+    case Undefined => throw new JsException(s"cannot call '$name' of undefined")
+    case other => throw new JsException(s"cannot call '$name' on ${jsToString(other)}")
+  }
+
+  private def readMember(recv: Any, name: String): Any = recv match {
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      m.getOrElse(name, Undefined)
+    case a: mutable.ArrayBuffer[_] if name == "length" => a.length.toLong
+    case s: String if name == "length" => s.length.toLong
+    case _: HostObject =>
+      throw new JsException(s"host property '$name' must be called as a method")
+    case null => throw new JsException(s"cannot read '$name' of null")
+    case Undefined => throw new JsException(s"cannot read '$name' of undefined")
+    case _ => Undefined
+  }
+
+  private def writeMember(recv: Any, name: String, v: Any): Unit = recv match {
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] => m(name) = v
+    case _ => throw new JsException(s"cannot set '$name' on ${jsToString(recv)}")
+  }
+
+  private def readIndex(recv: Any, key: Any): Any = recv match {
+    case a: mutable.ArrayBuffer[Any @unchecked] =>
+      val i = num(key).toInt
+      if (i >= 0 && i < a.length) a(i) else Undefined
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      m.getOrElse(jsToString(key), Undefined)
+    case s: String =>
+      val i = num(key).toInt
+      if (i >= 0 && i < s.length) s.charAt(i).toString else Undefined
+    case _ => throw new JsException("cannot index " + jsToString(recv))
+  }
+
+  private def writeIndex(recv: Any, key: Any, v: Any): Unit = recv match {
+    case a: mutable.ArrayBuffer[Any @unchecked] =>
+      val i = num(key).toInt
+      while (a.length <= i) a += Undefined
+      a(i) = v
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      m(jsToString(key)) = v
+    case _ => throw new JsException("cannot index-assign " + jsToString(recv))
+  }
+
+  // ---------- operators ----------
+
+  private def num(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case b: java.lang.Boolean => if (b) 1.0 else 0.0
+    case s: String => try s.trim.toDouble catch { case _: Throwable => Double.NaN }
+    case null => 0.0
+    case _ => Double.NaN
+  }
+
+  private def str(v: Any): String = v match {
+    case s: String => s
+    case other => jsToString(other)
+  }
+
+  def jsToString(v: Any): String = v match {
+    case null => "null"
+    case Undefined => "undefined"
+    case d: Double =>
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case a: mutable.ArrayBuffer[Any @unchecked] => a.map(jsToString).mkString(",")
+    case m: mutable.LinkedHashMap[_, _] => "[object Object]"
+    case c: Closure => s"function ${c.name}"
+    case other => other.toString
+  }
+
+  private def truthy(v: Any): Boolean = v match {
+    case null | Undefined => false
+    case b: java.lang.Boolean => b
+    case l: Long => l != 0
+    case d: Double => d != 0.0 && !java.lang.Double.isNaN(d)
+    case s: String => s.nonEmpty
+    case _ => true
+  }
+
+  private def bothLong(l: Any, r: Any): Boolean =
+    l.isInstanceOf[Long] && r.isInstanceOf[Long]
+
+  private def strictEq(l: Any, r: Any): Boolean = (l, r) match {
+    case (null, null) => true
+    case (Undefined, Undefined) => true
+    case (a, b) if isNum(a) && isNum(b) => num(a) == num(b)
+    case (a: String, b: String) => a == b
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => a == b
+    case (a: AnyRef, b: AnyRef) => a eq b
+    case _ => false
+  }
+
+  private def isNum(v: Any): Boolean =
+    v.isInstanceOf[Long] || v.isInstanceOf[Double]
+
+  private def looseEq(l: Any, r: Any): Boolean = (l, r) match {
+    case (null, Undefined) | (Undefined, null) => true
+    case (null, null) | (Undefined, Undefined) => true
+    case (a, b) if isNum(a) && isNum(b) => num(a) == num(b)
+    case (a: String, b) if isNum(b) => num(a) == num(b)
+    case (a, b: String) if isNum(a) => num(a) == num(b)
+    case (a: java.lang.Boolean, b) => looseEq(if (a) 1L else 0L, b)
+    case (a, b: java.lang.Boolean) => looseEq(a, if (b) 1L else 0L)
+    case _ => strictEq(l, r)
+  }
+
+  private def binop(op: String, l: Any, r: Any): Any = op match {
+    case "+" =>
+      if (l.isInstanceOf[String] || r.isInstanceOf[String]) str(l) + str(r)
+      else if (bothLong(l, r)) l.asInstanceOf[Long] + r.asInstanceOf[Long]
+      else num(l) + num(r)
+    case "-" =>
+      if (bothLong(l, r)) l.asInstanceOf[Long] - r.asInstanceOf[Long]
+      else num(l) - num(r)
+    case "*" =>
+      if (bothLong(l, r)) l.asInstanceOf[Long] * r.asInstanceOf[Long]
+      else num(l) * num(r)
+    case "/" => num(l) / num(r)
+    case "%" =>
+      if (bothLong(l, r) && r.asInstanceOf[Long] != 0L)
+        l.asInstanceOf[Long] % r.asInstanceOf[Long]
+      else num(l) % num(r)
+    case "<" => cmp(l, r) < 0
+    case "<=" => cmp(l, r) <= 0
+    case ">" => cmp(l, r) > 0
+    case ">=" => cmp(l, r) >= 0
+    case "==" => looseEq(l, r)
+    case "!=" => !looseEq(l, r)
+    case "===" => strictEq(l, r)
+    case "!==" => !strictEq(l, r)
+    case other => throw new JsException(s"unsupported operator '$other'")
+  }
+
+  private def cmp(l: Any, r: Any): Int = (l, r) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case _ => java.lang.Double.compare(num(l), num(r))
+  }
+}
+
+/** JSON bridge for the sandbox's `JSON` global (Jackson-backed). */
+private[js] object JsJson {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import scala.jdk.CollectionConverters._
+
+  private val mapper = new ObjectMapper()
+
+  def stringify(v: Any): String = mapper.writeValueAsString(toJackson(v))
+
+  private def toJackson(v: Any): Any = v match {
+    case Undefined | null => null
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      val o = new java.util.LinkedHashMap[String, Any]()
+      m.foreach { case (k, x) => o.put(k, toJackson(x)) }
+      o
+    case a: mutable.ArrayBuffer[Any @unchecked] =>
+      val l = new java.util.ArrayList[Any]()
+      a.foreach(x => l.add(toJackson(x)))
+      l
+    case other => other
+  }
+
+  def parse(s: String): Any = fromNode(mapper.readTree(s))
+
+  private def fromNode(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isNumber) n.asDouble()
+    else if (n.isTextual) n.asText()
+    else if (n.isArray) mutable.ArrayBuffer(n.elements().asScala.map(fromNode).toSeq: _*)
+    else {
+      val o = mutable.LinkedHashMap.empty[String, Any]
+      n.properties().asScala.foreach(e => o(e.getKey) = fromNode(e.getValue))
+      o
+    }
+}

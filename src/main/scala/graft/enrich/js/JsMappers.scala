@@ -1,0 +1,208 @@
+package graft.enrich.js
+
+import graft.core.FieldType
+import graft.enrich.{EventMapper, EventProxy}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import scala.collection.mutable
+
+/** The JS engine surface of the reference, rebuilt on [[JsEngine]]:
+  *
+  *  - [[JsCodeCompiler]] ≈ JSCodeCompiler.java:44-120 — compiles code
+  *    with the sandbox bindings (`logger`, `config`, `util.crypt/base64`)
+  *    and exposes Invocable-style invocation;
+  *  - [[JsCustomMapper]] ≈ CustomEventMapperHttpService.java:316-361 —
+  *    per-project `mapper(events, params, sourceIp, headers, sql,
+  *    config)` over an events proxy, with the get/set/setOnce contract
+  *    and cookie-map return;
+  *  - [[JsWebhookTransform]] ≈ WebHookHttpService.java:98-190 — a
+  *    `module(params, body, headers)` that turns an arbitrary HTTP body
+  *    into 0..n event JSON objects.
+  *
+  * Executor-side compilation: the code string is the serialized form;
+  * each partition compiles once (the reference caches compiled engines
+  * 5 min per script — same amortization, different lifetime).
+  */
+object JsCodeCompiler {
+
+  /** In-memory set-once-able config visible to scripts
+    * (JSCodeCompiler.JSConfigManager shape). */
+  final class JsConfig extends MiniJs.HostObject {
+    val values = mutable.LinkedHashMap.empty[String, Any]
+    def invoke(m: String, a: Seq[Any]): Any = m match {
+      case "get" => values.get(String.valueOf(a.head)).orNull
+      case "set" => values(String.valueOf(a.head)) = a(1); null
+      case "setOnce" =>
+        val k = String.valueOf(a.head)
+        if (!values.contains(k)) values(k) = a(1)
+        values(k)
+      case other => throw new MiniJs.JsException(s"config.$other is not supported")
+    }
+  }
+
+  /** Collecting logger (JSCodeCompiler.TestLogger shape). */
+  final class JsLogger extends MiniJs.HostObject {
+    val entries = mutable.ArrayBuffer.empty[(String, String)]
+    def invoke(m: String, a: Seq[Any]): Any = m match {
+      case "debug" | "info" | "warn" | "error" =>
+        entries += m -> a.map(String.valueOf).mkString(" "); null
+      case other => throw new MiniJs.JsException(s"logger.$other is not supported")
+    }
+  }
+
+  /** `util.crypt` / `util.base64` (JSCodeCompiler.java:52-55, JSUtil). */
+  private object Crypt extends MiniJs.HostObject {
+    private def hex(alg: String, s: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def invoke(m: String, a: Seq[Any]): Any = m match {
+      case "sha256Hex" | "sha256" => hex("SHA-256", String.valueOf(a.head))
+      case "md5Hex" | "md5" => hex("MD5", String.valueOf(a.head))
+      case other => throw new MiniJs.JsException(s"util.crypt.$other is not supported")
+    }
+  }
+  private object B64 extends MiniJs.HostObject {
+    def invoke(m: String, a: Seq[Any]): Any = m match {
+      case "encode" => java.util.Base64.getEncoder
+        .encodeToString(String.valueOf(a.head).getBytes("UTF-8"))
+      case "decode" => new String(java.util.Base64.getDecoder
+        .decode(String.valueOf(a.head)), "UTF-8")
+      case other => throw new MiniJs.JsException(s"util.base64.$other is not supported")
+    }
+  }
+  /** Compile code with the standard sandbox bindings. `util` is a plain
+    * object holding the crypt/base64 hosts (the reference's immutable
+    * JS_UTIL map, JSCodeCompiler.java:52-55), so scripts write
+    * `util.crypt.sha256(x)` exactly as against the reference. */
+  def createEngine(code: String,
+      extraGlobals: Map[String, Any] = Map.empty,
+      logger: JsLogger = new JsLogger,
+      config: JsConfig = new JsConfig,
+      maxSteps: Long = 5_000_000L): JsEngine = {
+    val util = mutable.LinkedHashMap[String, Any]("crypt" -> Crypt, "base64" -> B64)
+    new JsEngine(code,
+      Map[String, Any](
+        "logger" -> logger,
+        "config" -> config,
+        "util" -> util) ++ extraGlobals,
+      maxSteps)
+  }
+}
+
+/** Wraps the row-level [[EventProxy]] as a script host object. */
+private[js] final class JsEventProxy(p: EventProxy, name: String)
+    extends MiniJs.HostObject {
+  def invoke(m: String, a: Seq[Any]): Any = m match {
+    case "collection" => name
+    case "get" => p.get(String.valueOf(a.head)) match {
+      case i: Int => i.toLong
+      case v => v
+    }
+    case "set" => p.set(String.valueOf(a.head), a(1)); null
+    case "setOnce" => p.setOnce(String.valueOf(a.head), a(1)); null
+    case "drop" => p.drop(); null
+    case other => throw new MiniJs.JsException(s"event.$other is not supported")
+  }
+}
+
+/** M7 with a JS body: `mapper(events, params, sourceIp, headers, sql,
+  * config)` invoked once per partition over an events iterator —
+  * exactly the reference's batch shape (one `mapper` call per
+  * EventList, CustomEventMapperHttpService.java:316-330). Produced
+  * fields are declared up front (`addFieldDependency` rule). Events the
+  * script drops are removed; rows the script never pulls pass through
+  * unchanged. */
+final case class JsCustomMapper(
+    override val name: String,
+    collection: String,
+    produced: Seq[(String, FieldType)],
+    params: Map[String, String],
+    code: String,
+    // one invoke handles a whole partition, so the budget scales with
+    // batch size; still finite — a stuck loop cannot wedge an executor
+    maxSteps: Long = 2_000_000_000L) extends EventMapper {
+
+  override def constantFields: Seq[(String, FieldType)] = produced
+
+  // fail fast on syntax errors at registration time (the reference
+  // compiles at CRUD time too)
+  MiniJs.parse(code)
+
+  def apply(df: DataFrame): DataFrame = {
+    val inNames = df.columns.toSeq
+    val outSchema = StructType(df.schema.fields ++
+      produced.filterNot(p => inNames.contains(p._1))
+        .map(p => StructField(p._1, p._2.spark, nullable = true)))
+    val outNames = outSchema.fieldNames.toSeq
+    val codeStr = code
+    val coll = collection
+    val paramMap = params
+    val stepBudget = maxSteps
+    val rows = df.rdd.mapPartitions { it =>
+      val engine = JsCodeCompiler.createEngine(codeStr, maxSteps = stepBudget)
+      val pulled = mutable.ArrayBuffer.empty[EventProxy]
+      val rowIt = it.map { row =>
+        new EventProxy(coll,
+          inNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap)
+      }
+      val eventsProxy = new MiniJs.HostObject {
+        def invoke(m: String, a: Seq[Any]): Any = m match {
+          case "project" => "default"
+          case "events" => new MiniJs.HostObject {
+            def invoke(m2: String, a2: Seq[Any]): Any = m2 match {
+              case "hasNext" => rowIt.hasNext
+              case "next" =>
+                val p = rowIt.next(); pulled += p; new JsEventProxy(p, coll)
+              case other => throw new MiniJs.JsException(s"iterator.$other?")
+            }
+          }
+          case other => throw new MiniJs.JsException(s"events.$other is not supported")
+        }
+      }
+      engine.invoke("mapper", eventsProxy, paramMap, "127.0.0.1",
+        Map.empty[String, Any], null, null)
+      // script-visited rows (mutated, minus drops), then any unpulled rest
+      (pulled.iterator.filterNot(_.dropped) ++ rowIt.filterNot(_.dropped))
+        .map(p => Row.fromSeq(outNames.map(n => normalize(p.get(n)))))
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
+
+  /** JS numbers may come back as Long for integral math — align to the
+    * declared Spark type where it matters. */
+  private def normalize(v: Any): Any = v match {
+    case MiniJs.Undefined => null
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      m.toMap
+    case a: mutable.ArrayBuffer[Any @unchecked] => a.toSeq
+    case other => other
+  }
+}
+
+/** S7 with a JS body: each webhook HTTP body → `module(params, body,
+  * headers)` → 0..n JSON event lines for [[graft.ingest.JsonIngest]].
+  * The module may return one object or an array of objects
+  * (WebHookHttpService.java:156-272). */
+final case class JsWebhookTransform(code: String,
+    params: Map[String, String] = Map.empty) {
+
+  MiniJs.parse(code)
+
+  def apply(bodies: org.apache.spark.rdd.RDD[String]): org.apache.spark.rdd.RDD[String] = {
+    val codeStr = code
+    val paramMap = params
+    bodies.mapPartitions { it =>
+      val engine = JsCodeCompiler.createEngine(codeStr)
+      it.flatMap { body =>
+        val parsed = try JsJson.parse(body) catch { case _: Throwable => body }
+        engine.invoke("module", paramMap, parsed, Map.empty[String, Any]) match {
+          case null | MiniJs.Undefined => Nil
+          case a: mutable.ArrayBuffer[Any @unchecked] =>
+            a.toSeq.map(JsJson.stringify)
+          case one => Seq(JsJson.stringify(one))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,412 @@
+package graft.enrich.js
+
+import scala.collection.mutable
+
+/** A small sandboxed JavaScript interpreter for the custom-mapper and
+  * webhook-transform surfaces (M7/S7).
+  *
+  * The reference runs user mappers on Nashorn locked down hard: strict
+  * mode, no syntax extensions, a class filter, and the host escape
+  * hatches removed from the bindings — `Java`, `load`,
+  * `loadWithNewGlobal`, `exit`, `quit`, `print`, `echo`, `readLine`,
+  * `readFully` (JSCodeCompiler.java:44-120). This JVM ships no script
+  * engine at all (Nashorn was removed in JDK 15; GraalJS is not on the
+  * classpath), so the same contract is met with a purpose-built
+  * interpreter: the sandbox is the language — there is no
+  * reflection/host surface to filter, the reference's removed bindings
+  * are explicitly poisoned so user code gets the same "not available"
+  * failure, and a step budget + recursion cap bound runaway scripts
+  * (the resource-exhaustion case TestJSCodeCompiler leaves commented
+  * out).
+  *
+  * Supported subset (everything reference mapper examples use):
+  * `var`/`function` declarations, closures, `if`/`else`, `while`,
+  * classic `for`, `return`/`break`/`continue`, object/array literals,
+  * member + index access, calls, `+ - * / %`, comparisons,
+  * `&& || !`, ternary, compound assignment, string methods, `Math`,
+  * `JSON`, `parseInt`/`parseFloat`. Numbers keep integral identity
+  * (Long) until an operation forces a double — so ids survive a
+  * get/set round-trip, which pure-double JS semantics would corrupt.
+  */
+object MiniJs {
+
+  final class JsException(msg: String) extends RuntimeException(msg)
+  final class SandboxViolation(msg: String) extends RuntimeException(msg)
+
+  /** Host object exposed to scripts: method-call surface only (no
+    * reflection, no field access). */
+  trait HostObject extends Serializable {
+    def invoke(method: String, args: Seq[Any]): Any
+  }
+
+  // ---------- values ----------
+  // Any is one of: null, java.lang.Boolean, java.lang.Long,
+  // java.lang.Double, String, mutable.LinkedHashMap[String, Any] (object),
+  // mutable.ArrayBuffer[Any] (array), Closure, HostObject, Undefined
+
+  case object Undefined { override def toString = "undefined" }
+
+  final case class Closure(params: Seq[String], body: Seq[Stmt], env: Env,
+      name: String)
+
+  final class Env(val parent: Option[Env]) {
+    private val vars = mutable.Map.empty[String, Any]
+    def declare(n: String, v: Any): Unit = vars(n) = v
+    def lookup(n: String): Option[Any] =
+      vars.get(n).orElse(parent.flatMap(_.lookup(n)))
+    def assign(n: String, v: Any): Boolean =
+      if (vars.contains(n)) { vars(n) = v; true }
+      else parent.exists(_.assign(n, v))
+  }
+
+  // ---------- AST ----------
+  sealed trait Expr
+  final case class NumL(v: Long) extends Expr
+  final case class NumD(v: Double) extends Expr
+  final case class Str(v: String) extends Expr
+  final case class Bool(v: Boolean) extends Expr
+  case object NullE extends Expr
+  case object UndefE extends Expr
+  final case class Ident(name: String) extends Expr
+  final case class ObjLit(entries: Seq[(String, Expr)]) extends Expr
+  final case class ArrLit(items: Seq[Expr]) extends Expr
+  final case class FunLit(params: Seq[String], body: Seq[Stmt], name: String) extends Expr
+  final case class Member(target: Expr, name: String) extends Expr
+  final case class IndexE(target: Expr, key: Expr) extends Expr
+  final case class Call(target: Expr, args: Seq[Expr]) extends Expr
+  final case class Unary(op: String, e: Expr) extends Expr
+  final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  final case class CondE(c: Expr, t: Expr, f: Expr) extends Expr
+  final case class Assign(target: Expr, op: String, value: Expr) extends Expr
+
+  sealed trait Stmt
+  final case class VarDecl(entries: Seq[(String, Option[Expr])]) extends Stmt
+  final case class ExprStmt(e: Expr) extends Stmt
+  final case class IfS(c: Expr, t: Stmt, f: Option[Stmt]) extends Stmt
+  final case class WhileS(c: Expr, body: Stmt) extends Stmt
+  final case class ForS(init: Option[Stmt], cond: Option[Expr],
+      step: Option[Expr], body: Stmt) extends Stmt
+  final case class ReturnS(e: Option[Expr]) extends Stmt
+  case object BreakS extends Stmt
+  case object ContinueS extends Stmt
+  final case class Block(stmts: Seq[Stmt]) extends Stmt
+  final case class FunDecl(name: String, params: Seq[String], body: Seq[Stmt]) extends Stmt
+
+  // ---------- lexer ----------
+  private final case class Tok(kind: String, text: String, pos: Int)
+
+  private def lex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    def err(m: String) = throw new JsException(s"lex error at $i: $m")
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '/') {
+        while (i < n && src.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(src.charAt(i) == '*' && src.charAt(i + 1) == '/')) i += 1
+        if (i + 1 >= n) err("unterminated comment")
+        i += 2
+      } else if (c.isDigit) {
+        val s = i
+        while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
+        out += Tok("num", src.substring(s, i), s)
+      } else if (c == '"' || c == '\'') {
+        val q = c; val sb = new StringBuilder; i += 1
+        while (i < n && src.charAt(i) != q) {
+          val ch = src.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            i += 1
+            sb.append(src.charAt(i) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+          } else sb.append(ch)
+          i += 1
+        }
+        if (i >= n) err("unterminated string")
+        i += 1
+        out += Tok("str", sb.toString, i)
+      } else if (c.isLetter || c == '_' || c == '$') {
+        val s = i
+        while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' || src.charAt(i) == '$')) i += 1
+        out += Tok("id", src.substring(s, i), s)
+      } else {
+        val three = if (i + 3 <= n) src.substring(i, i + 3) else ""
+        val two = if (i + 2 <= n) src.substring(i, i + 2) else ""
+        if (three == "===" || three == "!==") { out += Tok("op", three, i); i += 3 }
+        else if (Set("==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "%=", "++", "--").contains(two)) {
+          out += Tok("op", two, i); i += 2
+        } else if ("+-*/%<>=!(){}[],;:?.&|^~".indexOf(c) >= 0) {
+          out += Tok("op", c.toString, i); i += 1
+        } else err(s"unexpected character '$c'")
+      }
+    }
+    out += Tok("eof", "", n)
+    out.result()
+  }
+
+  // ---------- parser (Pratt) ----------
+  private final class Parser(toks: Vector[Tok]) {
+    private var p = 0
+    private def cur: Tok = toks(p)
+    private def err(m: String) =
+      throw new JsException(s"parse error near '${cur.text}' (pos ${cur.pos}): $m")
+    private def eat(): Tok = { val t = cur; p += 1; t }
+    private def expectOp(o: String): Unit =
+      if (cur.kind == "op" && cur.text == o) p += 1 else err(s"expected '$o'")
+    private def isOp(o: String): Boolean = cur.kind == "op" && cur.text == o
+    private def isKw(k: String): Boolean = cur.kind == "id" && cur.text == k
+
+    def program(): Seq[Stmt] = {
+      val b = Seq.newBuilder[Stmt]
+      while (cur.kind != "eof") b += statement()
+      b.result()
+    }
+
+    private def statement(): Stmt = {
+      if (isKw("var") || isKw("let") || isKw("const")) { eat(); varDecl() }
+      else if (isKw("function")) { eat(); funDecl() }
+      else if (isKw("if")) { eat(); ifStmt() }
+      else if (isKw("while")) { eat(); whileStmt() }
+      else if (isKw("for")) { eat(); forStmt() }
+      else if (isKw("return")) {
+        eat()
+        val e = if (isOp(";") || isOp("}") || cur.kind == "eof") None else Some(expr())
+        if (isOp(";")) eat()
+        ReturnS(e)
+      }
+      else if (isKw("break")) { eat(); if (isOp(";")) eat(); BreakS }
+      else if (isKw("continue")) { eat(); if (isOp(";")) eat(); ContinueS }
+      else if (isOp("{")) block()
+      else if (isOp(";")) { eat(); Block(Nil) }
+      else { val e = expr(); if (isOp(";")) eat(); ExprStmt(e) }
+    }
+
+    private def varDecl(): Stmt = {
+      val entries = Seq.newBuilder[(String, Option[Expr])]
+      var more = true
+      while (more) {
+        if (cur.kind != "id") err("expected variable name")
+        val name = eat().text
+        val init = if (isOp("=")) { eat(); Some(expr()) } else None
+        entries += name -> init
+        if (isOp(",")) eat() else more = false
+      }
+      if (isOp(";")) eat()
+      VarDecl(entries.result())
+    }
+
+    private def funDecl(): Stmt = {
+      if (cur.kind != "id") err("expected function name")
+      val name = eat().text
+      val (ps, body) = funRest()
+      FunDecl(name, ps, body)
+    }
+
+    private def funRest(): (Seq[String], Seq[Stmt]) = {
+      expectOp("(")
+      val ps = Seq.newBuilder[String]
+      if (!isOp(")")) {
+        var more = true
+        while (more) {
+          if (cur.kind != "id") err("expected parameter name")
+          ps += eat().text
+          if (isOp(",")) eat() else more = false
+        }
+      }
+      expectOp(")")
+      expectOp("{")
+      val body = Seq.newBuilder[Stmt]
+      while (!isOp("}")) body += statement()
+      expectOp("}")
+      (ps.result(), body.result())
+    }
+
+    private def ifStmt(): Stmt = {
+      expectOp("("); val c = expr(); expectOp(")")
+      val t = statement()
+      val f = if (isKw("else")) { eat(); Some(statement()) } else None
+      IfS(c, t, f)
+    }
+
+    private def whileStmt(): Stmt = {
+      expectOp("("); val c = expr(); expectOp(")")
+      WhileS(c, statement())
+    }
+
+    private def forStmt(): Stmt = {
+      expectOp("(")
+      val init = if (isOp(";")) { eat(); None }
+        else if (isKw("var")) { eat(); Some(varDecl()) }
+        else { val e = ExprStmt(expr()); if (isOp(";")) eat(); Some(e) }
+      val cond = if (isOp(";")) None else Some(expr())
+      expectOp(";")
+      val step = if (isOp(")")) None else Some(expr())
+      expectOp(")")
+      ForS(init, cond, step, statement())
+    }
+
+    private def block(): Stmt = {
+      expectOp("{")
+      val b = Seq.newBuilder[Stmt]
+      while (!isOp("}")) b += statement()
+      expectOp("}")
+      Block(b.result())
+    }
+
+    def expr(): Expr = assignExpr()
+
+    private def assignExpr(): Expr = {
+      val lhs = condExpr()
+      if (cur.kind == "op" && Set("=", "+=", "-=", "*=", "/=", "%=").contains(cur.text)) {
+        lhs match {
+          case _: Ident | _: Member | _: IndexE =>
+            val op = eat().text
+            Assign(lhs, op, assignExpr())
+          case _ => err("invalid assignment target")
+        }
+      } else lhs
+    }
+
+    private def condExpr(): Expr = {
+      val c = orExpr()
+      if (isOp("?")) {
+        eat(); val t = assignExpr(); expectOp(":"); val f = assignExpr()
+        CondE(c, t, f)
+      } else c
+    }
+
+    private def orExpr(): Expr = {
+      var l = andExpr()
+      while (isOp("||")) { eat(); l = Bin("||", l, andExpr()) }
+      l
+    }
+    private def andExpr(): Expr = {
+      var l = eqExpr()
+      while (isOp("&&")) { eat(); l = Bin("&&", l, eqExpr()) }
+      l
+    }
+    private def eqExpr(): Expr = {
+      var l = relExpr()
+      while (cur.kind == "op" && Set("==", "!=", "===", "!==").contains(cur.text)) {
+        val op = eat().text; l = Bin(op, l, relExpr())
+      }
+      l
+    }
+    private def relExpr(): Expr = {
+      var l = addExpr()
+      while (cur.kind == "op" && Set("<", "<=", ">", ">=").contains(cur.text)) {
+        val op = eat().text; l = Bin(op, l, addExpr())
+      }
+      l
+    }
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      while (isOp("+") || isOp("-")) { val op = eat().text; l = Bin(op, l, mulExpr()) }
+      l
+    }
+    private def mulExpr(): Expr = {
+      var l = unaryExpr()
+      while (isOp("*") || isOp("/") || isOp("%")) {
+        val op = eat().text; l = Bin(op, l, unaryExpr())
+      }
+      l
+    }
+    private def unaryExpr(): Expr = {
+      if (isOp("!")) { eat(); Unary("!", unaryExpr()) }
+      else if (isOp("-")) { eat(); Unary("-", unaryExpr()) }
+      else if (isOp("+")) { eat(); Unary("+", unaryExpr()) }
+      else if (isKw("typeof")) { eat(); Unary("typeof", unaryExpr()) }
+      else if (isOp("++") || isOp("--")) {
+        val op = eat().text
+        val t = unaryExpr()
+        Assign(t, if (op == "++") "+=" else "-=", NumL(1L))
+      }
+      else postfixExpr()
+    }
+
+    private def postfixExpr(): Expr = {
+      var e = primary()
+      var going = true
+      while (going) {
+        if (isOp(".")) {
+          eat()
+          if (cur.kind != "id") err("expected property name")
+          e = Member(e, eat().text)
+        } else if (isOp("[")) {
+          eat(); val k = expr(); expectOp("]"); e = IndexE(e, k)
+        } else if (isOp("(")) {
+          eat()
+          val args = Seq.newBuilder[Expr]
+          if (!isOp(")")) {
+            var more = true
+            while (more) { args += assignExpr(); if (isOp(",")) eat() else more = false }
+          }
+          expectOp(")")
+          e = Call(e, args.result())
+        } else if (isOp("++") || isOp("--")) {
+          // postfix inc/dec: evaluate-to-old-value semantics are not
+          // preserved (statement-position use is what mappers write)
+          val op = eat().text
+          e = Assign(e, if (op == "++") "+=" else "-=", NumL(1L))
+        } else going = false
+      }
+      e
+    }
+
+    private def primary(): Expr = {
+      if (cur.kind == "num") {
+        val t = eat().text
+        if (t.contains('.')) NumD(t.toDouble) else NumL(t.toLong)
+      }
+      else if (cur.kind == "str") Str(eat().text)
+      else if (isKw("true")) { eat(); Bool(true) }
+      else if (isKw("false")) { eat(); Bool(false) }
+      else if (isKw("null")) { eat(); NullE }
+      else if (isKw("undefined")) { eat(); UndefE }
+      else if (isKw("function")) {
+        eat()
+        val name = if (cur.kind == "id" && !isOp("(")) eat().text else ""
+        val (ps, body) = funRest()
+        FunLit(ps, body, name)
+      }
+      else if (cur.kind == "id") Ident(eat().text)
+      else if (isOp("(")) { eat(); val e = expr(); expectOp(")"); e }
+      else if (isOp("{")) {
+        eat()
+        val entries = Seq.newBuilder[(String, Expr)]
+        if (!isOp("}")) {
+          var more = true
+          while (more) {
+            val key =
+              if (cur.kind == "str" || cur.kind == "id") eat().text
+              else if (cur.kind == "num") eat().text
+              else err("expected object key")
+            expectOp(":")
+            entries += key -> assignExpr()
+            if (isOp(",")) eat() else more = false
+          }
+        }
+        expectOp("}")
+        ObjLit(entries.result())
+      }
+      else if (isOp("[")) {
+        eat()
+        val items = Seq.newBuilder[Expr]
+        if (!isOp("]")) {
+          var more = true
+          while (more) { items += assignExpr(); if (isOp(",")) eat() else more = false }
+        }
+        expectOp("]")
+        ArrLit(items.result())
+      }
+      else err("expected expression")
+    }
+  }
+
+  def parse(src: String): Seq[Stmt] = new Parser(lex(src)).program()
+}

@@ -1,0 +1,155 @@
+package graft.enrich
+
+import graft.SparkSpec
+import graft.core.FieldType
+import graft.enrich.js._
+import org.apache.spark.sql.functions._
+
+/** The JS mapper surface (M7/S7): engine semantics, the sandbox
+  * rejections the reference enforces via Nashorn flags + binding
+  * removal (JSCodeCompiler.java:44-120, TestJSCodeCompiler), and the
+  * mapper/webhook contracts end-to-end over DataFrames. */
+class JsEngineSpec extends SparkSpec {
+
+  private def run(code: String, fn: String, args: Any*): Any =
+    JsCodeCompiler.createEngine(code).invoke(fn, args: _*)
+
+  test("compile + invoke: arithmetic, strings, control flow, closures") {
+    assert(run("function f(a, b) { return a + b * 2; }", "f", 3L, 4L) == 11L)
+    assert(run("function f(s) { return s.toUpperCase() + '!'; }", "f", "hey") == "HEY!")
+    assert(run(
+      """function f(n) {
+        |  var total = 0;
+        |  for (var i = 1; i <= n; i++) { if (i % 2 == 0) { total += i; } }
+        |  return total;
+        |}""".stripMargin, "f", 10L) == 30L)
+    assert(run(
+      """function mk(x) { return function(y) { return x + y; }; }
+        |function f() { var add5 = mk(5); return add5(37); }""".stripMargin,
+      "f") == 42L)
+    assert(run(
+      """function f() {
+        |  var o = {a: 1, b: {c: [10, 20, 30]}};
+        |  o.b.c[1] = o.b.c[1] + o.a;
+        |  return o.b.c.join('-');
+        |}""".stripMargin, "f") == "10-21-30")
+  }
+
+  test("integral identity survives get/set round-trips") {
+    // pure-double JS would corrupt large ids; Long is preserved until a
+    // division forces a double
+    assert(run("function f(id) { return id; }", "f", 9007199254740995L) ==
+      9007199254740995L)
+    assert(run("function f(a) { return a / 2; }", "f", 5L) == 2.5)
+  }
+
+  test("sandbox: host escapes are rejected like the reference's removed bindings") {
+    for (bad <- Seq("Java.type('java.lang.Runtime')", "load('x.js')",
+        "exit()", "quit()", "print('x')", "readLine()", "eval('1')",
+        "loadWithNewGlobal('x')")) {
+      val e = intercept[Exception](run(s"function f() { return $bad; }", "f"))
+      assert(e.isInstanceOf[MiniJs.SandboxViolation] ||
+        e.getMessage.contains("not defined"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("sandbox: runaway loops hit the step budget") {
+    val e = intercept[MiniJs.SandboxViolation](
+      JsCodeCompiler.createEngine(
+        "function f() { while (true) { var x = 1; } }", maxSteps = 10000)
+        .invoke("f"))
+    assert(e.getMessage.contains("step budget"))
+    val r = intercept[MiniJs.SandboxViolation](
+      run("function f() { return f(); }", "f"))
+    assert(r.getMessage.contains("recursion"))
+  }
+
+  test("bindings: util.crypt/base64, config set-once, logger collect") {
+    assert(run("function f(s) { return util.base64.encode(s); }", "f", "hi") ==
+      "aGk=")
+    assert(run("function f(s) { return util.base64.decode(util.base64.encode(s)); }",
+      "f", "round") == "round")
+    assert(run("function f(s) { return util.crypt.sha256(s); }", "f", "x") ==
+      "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")
+    val cfg = new JsCodeCompiler.JsConfig
+    val logger = new JsCodeCompiler.JsLogger
+    JsCodeCompiler.createEngine(
+      """function f() {
+        |  config.setOnce('k', 'first'); config.setOnce('k', 'second');
+        |  logger.info('ran', config.get('k'));
+        |  return config.get('k');
+        |}""".stripMargin, logger = logger, config = cfg).invoke("f")
+    assert(cfg.values("k") == "first")
+    assert(logger.entries == Seq("info" -> "ran first"))
+  }
+
+  test("missing mapper function fails like the reference") {
+    val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("JsCustomMapper: events proxy get/set/setOnce/drop over a DataFrame") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", "view", 10.0), ("u2", "click", 5.0), ("spam", "view", 0.0))
+      .toDF("_user", "event_type", "amount")
+    val mapper = JsCustomMapper(
+      name = "cents",
+      collection = "pageview",
+      produced = Seq("amount_cents" -> FieldType.DOUBLE, "source" -> FieldType.STRING),
+      params = Map("origin" -> "web"),
+      code =
+        """function mapper(events, params, sourceIp, headers, sql, config) {
+          |  var it = events.events();
+          |  while (it.hasNext()) {
+          |    var ev = it.next();
+          |    if (ev.collection() === 'pageview') {
+          |      if (ev.get('_user') === 'spam') { ev.drop(); continue; }
+          |      ev.set('amount_cents', ev.get('amount') * 100);
+          |      ev.setOnce('source', params.origin);
+          |      ev.setOnce('source', 'should-not-win');
+          |    }
+          |  }
+          |  return {sid: 'abc'};
+          |}""".stripMargin)
+    val out = mapper(df).orderBy($"_user")
+    assert(out.count() == 2) // spam row dropped
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Double]("amount_cents")).toSeq == Seq(1000.0, 500.0))
+    assert(rows.map(_.getAs[String]("source")).toSeq == Seq("web", "web"))
+    // pipeline composition with built-in mappers still works
+    val chained = MapperPipeline.run(df, Seq(mapper))
+    assert(chained.columns.contains("amount_cents"))
+  }
+
+  test("JsWebhookTransform: one body to 0..n event lines") {
+    val bodies = spark.sparkContext.parallelize(Seq(
+      """{"user": "u1", "items": [{"sku": "a"}, {"sku": "b"}]}""",
+      """{"user": "u2", "items": []}"""))
+    val out = JsWebhookTransform(
+      """function module(params, body, headers) {
+        |  var events = [];
+        |  for (var i = 0; i < body.items.length; i++) {
+        |    events.push({collection: 'purchase',
+        |      properties: {_user: body.user, sku: body.items[i].sku}});
+        |  }
+        |  return events;
+        |}""".stripMargin)(bodies).collect().sorted
+    assert(out.length == 2)
+    assert(out.forall(_.contains("\"collection\":\"purchase\"")))
+    assert(out.head.contains("\"sku\":\"a\""))
+    // and the produced lines are valid JsonIngest input
+    val registry = graft.core.SchemaRegistry.inMemory()
+    val res = graft.ingest.JsonIngest.ingest(spark, registry, "demo",
+      spark.sparkContext.parallelize(out.toSeq))
+    assert(res.byCollection("purchase").count() == 2)
+    res.unpersist()
+  }
+
+  test("syntax errors are rejected at registration time") {
+    intercept[MiniJs.JsException] {
+      JsCustomMapper("bad", "c", Seq.empty, Map.empty,
+        "function mapper(events { return; }")
+    }
+  }
+}
