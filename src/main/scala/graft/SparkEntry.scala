@@ -15,6 +15,7 @@ object SparkEntry {
       analytics.JoinQueries2.defs ++
       analytics.WindowQueries.defs ++
       analytics.ScanQueries.defs ++
+      analytics.SourceQueries.defs ++
       analytics.BehavioralQueries.defs ++
       analytics.MapperQueries.defs ++
       analytics.DedupQueries.defs ++

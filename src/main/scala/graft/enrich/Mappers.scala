@@ -24,6 +24,13 @@ trait EventMapper {
   def apply(df: DataFrame): DataFrame
 }
 
+object Mappers {
+  /** The reference's private-range regex, verbatim
+    * (MaxmindGeoIPEventMapper.java:52). */
+  val PrivateIpRegex: String =
+    "(^127\\.0\\.0\\.1)|(^10\\.)|(^172\\.1[6-9]\\.)|(^172\\.2[0-9]\\.)|(^172\\.3[0-1]\\.)|(^192\\.168\\.)"
+}
+
 object MapperPipeline {
   /** Ordered mapper chain (EventCollectionHttpService.java:123-151). */
   def run(df: DataFrame, mappers: Seq[EventMapper]): DataFrame =
@@ -157,14 +164,25 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
   * dim (the IP2Location table shape). Private ranges are skipped
   * (MaxmindGeoIPEventMapper.java:140-154). At 100 TB the dim is a few
   * hundred MB broadcast once; probes are O(log n) inside the
-  * broadcast-hash-range scan. */
+  * broadcast-hash-range scan.
+  *
+  * The dim carries the full Maxmind city+ISP+connection-type field set
+  * (`_country_code,_region,_city,_latitude,_longitude,_timezone,_isp,
+  * _connection_type` — MaxmindGeoIPEventMapper.java:280-353); every
+  * dim column other than the range bounds is an output field, so a dim
+  * built from only the city database enriches the city subset, exactly
+  * like the reference's optional isp/connection-type databases. */
 final case class GeoIpMapper(ranges: DataFrame) extends EventMapper {
   val name = "geoip"
-  override def dependentFields = Map("_ip" -> Seq(
-    "_country_code" -> FieldType.STRING,
-    "_city" -> FieldType.STRING,
-    "_latitude" -> FieldType.DOUBLE,
-    "_longitude" -> FieldType.DOUBLE))
+
+  /** Maxmind city-database attribute set + ISP + connection type. */
+  override def dependentFields = Map("_ip" ->
+    ranges.columns.toSeq.filterNot(Set("ip_lo", "ip_hi")).map { c =>
+      c -> (c match {
+        case "_latitude" | "_longitude" => FieldType.DOUBLE
+        case _ => FieldType.STRING
+      })
+    })
 
   def apply(df: DataFrame): DataFrame = {
     if (!df.columns.contains("_ip")) return df
@@ -174,13 +192,36 @@ final case class GeoIpMapper(ranges: DataFrame) extends EventMapper {
         parts.getItem(1).cast("long") * 65536L +
         parts.getItem(2).cast("long") * 256L +
         parts.getItem(3).cast("long"))
-    val isPrivate = col("_ip").rlike(
-      "^(10\\.|192\\.168\\.|172\\.(1[6-9]|2[0-9]|3[01])\\.|127\\.)")
+    val isPrivate = col("_ip").rlike(Mappers.PrivateIpRegex)
     val keyed = df.withColumn("__ipnum", when(!isPrivate, ipNum))
     keyed.join(broadcast(ranges),
         keyed("__ipnum") >= ranges("ip_lo") && keyed("__ipnum") <= ranges("ip_hi"),
         "left")
       .drop("ip_lo", "ip_hi", "__ipnum")
+  }
+}
+
+/** F16: first-public-IP extraction from X-Forwarded-For — the
+  * reference's findNonPrivateIpAddress scans the header for IPv4
+  * matches and returns the first that is not in a private range
+  * (MaxmindGeoIPEventMapper.java:51-52,140-154, regexes kept verbatim).
+  * Populates `_ip` (when not already set) so [[GeoIpMapper]] can run
+  * behind proxies. Pure column expressions — codegen'd, no UDF. */
+case object XffIpMapper extends EventMapper {
+  val name = "xff-ip"
+  override def dependentFields =
+    Map("_x_forwarded_for" -> Seq("_ip" -> FieldType.STRING))
+
+  def apply(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("_x_forwarded_for")) return df
+    val firstPublic = expr(
+      s"""try_element_at(filter(
+         |  regexp_extract_all(_x_forwarded_for,
+         |    '([0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3})', 1),
+         |  x -> NOT x RLIKE '${Mappers.PrivateIpRegex}'), 1)""".stripMargin)
+    val existing = if (df.columns.contains("_ip")) col("_ip")
+      else lit(null).cast("string")
+    df.withColumn("_ip", coalesce(existing, firstPublic))
   }
 }
 

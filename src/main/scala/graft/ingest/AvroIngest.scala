@@ -2,7 +2,6 @@ package graft.ingest
 
 import graft.core.SchemaRegistry
 import org.apache.avro.Schema
-import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.io.DatumReader
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -34,20 +33,26 @@ object AvroIngest {
     val readerJson = readerSchema.toString
 
     val fieldTypes = fields.map(f => f.name -> f.tpe.spark)
+    // Streaming decode: DataFileStream pulls blocks off the container's
+    // InputStream as the iterator advances — no whole-file buffer, no
+    // materialized row vector, so a multi-GB bulk blob decodes in
+    // constant memory. The stream closes on task completion (the
+    // iterator may not be fully consumed if downstream limits).
     val rows = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
       val reader = new Schema.Parser().parse(readerJson)
       val datumReader: DatumReader[GenericRecord] =
         new GenericDatumReader[GenericRecord](null, reader)
-      val in = new org.apache.avro.file.SeekableByteArrayInput(pds.toArray())
-      val fileReader = DataFileReader.openReader(in, datumReader)
-      val out = Iterator.continually(fileReader)
+      val in = pds.open()
+      val fileReader = new org.apache.avro.file.DataFileStream[GenericRecord](in, datumReader)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          try fileReader.close() finally in.close()
+        })
+      Iterator.continually(fileReader)
         .takeWhile(_.hasNext).map(_.next())
         .map(rec => Row.fromSeq(fieldTypes.map { case (n, dt) =>
           convert(rec.get(n), dt)
         }))
-        .toVector
-      fileReader.close()
-      out
     }
     spark.createDataFrame(rows, sparkSchema)
   }

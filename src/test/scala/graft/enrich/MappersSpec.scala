@@ -58,6 +58,40 @@ class MappersSpec extends SparkSpec {
     assert(out(3).getAs[String]("_referrer_medium") == null) // unparseable
   }
 
+  test("M4: maxmind field set — timezone/isp/connection_type enrich too") {
+    import spark.implicits._
+    // fixture values in the shape of TestGeoIPEventMapper's assertions
+    val ranges = Seq(
+      (16777216L, 16777471L, "AU", "Oceania", "Sydney", -33.8688, 151.2093,
+        "Australia/Sydney", "Telstra", "Cable/DSL"))
+      .toDF("ip_lo", "ip_hi", "_country_code", "_region", "_city",
+        "_latitude", "_longitude", "_timezone", "_isp", "_connection_type")
+    val mapper = GeoIpMapper(ranges)
+    // all dim columns are declared dependent fields of _ip
+    val declared = mapper.dependentFields("_ip").map(_._1).toSet
+    assert(declared == Set("_country_code", "_region", "_city", "_latitude",
+      "_longitude", "_timezone", "_isp", "_connection_type"))
+    val out = mapper(Seq("1.0.0.5").toDF("_ip")).collect().head
+    assert(out.getAs[String]("_timezone") == "Australia/Sydney")
+    assert(out.getAs[String]("_isp") == "Telstra")
+    assert(out.getAs[String]("_connection_type") == "Cable/DSL")
+    assert(out.getAs[String]("_region") == "Oceania")
+  }
+
+  test("F16: first public IP extracted from X-Forwarded-For") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("10.0.0.1, 172.16.3.4, 8.8.8.8, 1.1.1.1"), None: Option[String]),
+      (Some("192.168.1.1"), None),
+      (Some("127.0.0.1, 203.0.113.9"), None),
+      (None, Some("9.9.9.9")), // existing _ip wins
+      (None, None))
+      .toDF("_x_forwarded_for", "_ip")
+    val out = XffIpMapper(df).select("_ip").collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("8.8.8.8"), None, Some("203.0.113.9"),
+      Some("9.9.9.9"), None))
+  }
+
   test("M4: geoip range join enriches public IPs, skips private") {
     val ranges = Seq(
       (16777216L, 16777471L, "AU", "Sydney", -33.8, 151.2),
