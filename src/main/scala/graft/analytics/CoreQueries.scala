@@ -83,16 +83,28 @@ object CoreQueries {
     """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** A5 approx variant — the 100 TB scale path (HLL sketch, one pass, no
-    * Expand). No oracle: sketches are engine-specific; correctness is
-    * covered by the exact twin above and a spec bounding relative error.
-    */
+  /** A5 approx variant — the 100 TB scale path (HLL sketch). The sketch
+    * value itself is engine-specific, so the oracle-checkable output is
+    * the *bounded-error certificate*: the exact count plus a flag that
+    * the HLL estimate landed within 5% (or ±5 absolute for tiny groups).
+    * The oracle asserts the flag is always true — so this registry row
+    * is verifiable, and a sketch regression flips it red. */
   def a5Approx(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "events")
       .groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"))
+      .agg(
+        countDistinct($"user_id").as("n_users_exact"),
+        approx_count_distinct($"user_id", 0.01).as("approx"))
+      .select($"event_type", $"n_users_exact",
+        (abs($"approx" - $"n_users_exact") <=
+          greatest($"n_users_exact" * 0.05, lit(5.0))).as("within_bound"))
   }
+
+  val a5ApproxSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** A2 widest/latest-wins reduce (`max_by` shape, reference
     * PostgresqlEventStore.java:272-282): latest event per user. */
@@ -162,7 +174,7 @@ object CoreQueries {
     "q1_agg" -> QueryDef.of(q1Sql)(q1),
     "a4_segmentation" -> QueryDef.of(a4Sql)(a4Segmentation),
     "a5_distinct_users" -> QueryDef.of(a5Sql)(a5Distinct),
-    "a5_approx_distinct" -> QueryDef.noOracle(a5Approx),
+    "a5_approx_distinct" -> QueryDef.of(a5ApproxSql)(a5Approx),
     "a2_latest_event" -> QueryDef.of(a2Sql)(a2Latest),
     "a9_rollup" -> QueryDef.of(a9Sql)(a9Rollup),
     "agg_stats" -> QueryDef.of(aggStatsSql)(aggStats)

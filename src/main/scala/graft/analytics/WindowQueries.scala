@@ -90,15 +90,24 @@ object WindowQueries {
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
   /** W6 set algebra on (user, day) activity cohorts:
-    * (purchase-days ∪ signup-days) ∩ click-days − error-days. */
+    * (purchase-days ∪ signup-days) ∩ click-days − error-days.
+    *
+    * Plan: ONE scan + ONE shuffle — the set algebra folds into per-
+    * (user, day) membership flags (`bool_or` per type) and a filter,
+    * instead of 4 scans + 4 distincts + intersect/except shuffles (the
+    * round-1 audit's waste finding). The oracle twin still states it as
+    * UNION/INTERSECT/EXCEPT — semantic equivalence is the point. */
   def w6SetOps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables(spark, dir, "events")
-    def userDays(t: String) = ev.filter($"event_type" === t)
-      .select($"user_id", to_date($"ts").as("day")).distinct()
-    userDays("purchase").union(userDays("signup")).distinct()
-      .intersect(userDays("click"))
-      .except(userDays("error"))
+    Tables(spark, dir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(
+        bool_or($"event_type" === "purchase").as("p"),
+        bool_or($"event_type" === "signup").as("s"),
+        bool_or($"event_type" === "click").as("c"),
+        bool_or($"event_type" === "error").as("e"))
+      .filter(($"p" || $"s") && $"c" && !$"e")
+      .select($"user_id", $"day")
   }
 
   val w6Sql: String =
