@@ -245,10 +245,67 @@ object DedupQueries {
        |JOIN counts c1 ON c1.doc_id = i.doc1
        |JOIN counts c2 ON c2.doc_id = i.doc2""".stripMargin
 
+  /** D5: cluster assignment — the step after candidate pairs that a real
+    * dedup pipeline needs before it can pick survivors: connected
+    * components over the near-duplicate pair graph, each doc labelled
+    * with its component's minimum doc_id (the canonical survivor).
+    *
+    * Algorithm: iterative min-label propagation — per round, every node
+    * takes the min of its own label and its neighbours' labels; the
+    * fixpoint is the component minimum regardless of iteration order, so
+    * the oracle (a recursive-CTE transitive closure) agrees exactly.
+    * Each round is one shuffled join; rounds = graph diameter, which for
+    * near-dup clusters is tiny (and the d2 bucket cap bounds component
+    * size). `localCheckpoint` truncates the growing lineage so round N
+    * doesn't replay rounds 1..N-1 — the standard Spark iteration
+    * pattern (GraphX/GraphFrames CC does the same under the hood). */
+  def d5From(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = candidatePairs(shingleHashes(docs))
+    val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+      .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+      .localCheckpoint()
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 100) {
+      val nmin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid"))
+        .agg(min($"label").as("nmin"))
+      val next = labels.join(nmin, labels("id") === nmin("nid"), "left")
+        .select(labels("id"),
+          least($"label", coalesce($"nmin", $"label")).as("label"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  def d5Clusters(spark: SparkSession, dir: String): DataFrame =
+    d5From(Tables(spark, dir, "documents"))
+
+  val d5Sql: String =
+    s"""WITH RECURSIVE pairs AS (${d2Sql.replace("\n", "\n  ")}),
+       |edges AS (
+       |  SELECT doc1 AS a, doc2 AS b FROM pairs
+       |  UNION SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d1_exact_dedup" -> QueryDef.of(d1Sql)(d1Exact),
     "d2_minhash_lsh" -> QueryDef.of(d2Sql)(d2MinhashLsh),
     "d3_simhash" -> QueryDef.of(d3Sql)(d3Simhash),
-    "d4_ngram_jaccard" -> QueryDef.of(d4Sql)(d4Jaccard)
+    "d4_ngram_jaccard" -> QueryDef.of(d4Sql)(d4Jaccard),
+    "d5_dedup_clusters" -> QueryDef.of(d5Sql)(d5Clusters)
   )
 }

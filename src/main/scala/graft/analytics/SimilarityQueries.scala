@@ -228,9 +228,87 @@ object SimilarityQueries {
        |    ON x.band = y.band AND x.bval = y.bval AND x.vec_id < y.vec_id)
        |WHERE cos > 0.3""".stripMargin
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Number of coarse cells; at corpus scale this is ~√n k-means
+    * centroids — here the first K corpus vectors seed the cells (the
+    * k-means++ seeding step, shared verbatim with the oracle so both
+    * engines derive identical cells from the data alone). */
+  val IvfCells = 16
+  /** Cells probed per query (recall lever). */
+  val IvfProbes = 4
+
+  /** SIM4: IVF ANN — the other standard scale path next to LSH:
+    * 1. coarse quantizer: every vector is assigned to its max-cosine
+    *    centroid cell (one narrow pass over a broadcast K-row dim —
+    *    at 100 TB the cell id is the partition key);
+    * 2. query time: rank cells by query↔centroid cosine, probe the top
+    *    [[IvfProbes]]; only those cells' vectors get exact scoring.
+    * Scan fraction ≈ probes/K and tightens as K grows with the corpus.
+    */
+  def simIvfFrom(emb0: DataFrame): DataFrame = {
+    import emb0.sparkSession.implicits._
+    val emb = emb0.withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+    val cents = emb.filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
+    // coarse assignment: argmax-cosine centroid per vector
+    val assigned = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr(dotExpr("embedding", "cvec")) / ($"norm" * $"cnorm"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", $"ccos").as("cell"))
+    // the query's IvfProbes closest cells
+    val q = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"), $"norm".as("qnorm"))
+    val qcells = cents.crossJoin(broadcast(q))
+      .withColumn("qcos", expr(dotExpr("cvec", "qv")) / ($"cnorm" * $"qnorm"))
+      .orderBy($"qcos".desc, $"cid")
+      .limit(IvfProbes)
+      .select($"cid")
+    // probe: exact cosine over the selected cells only
+    emb.join(assigned, "vec_id")
+      .join(broadcast(qcells), $"cell" === qcells("cid"))
+      .filter($"vec_id" =!= 0L)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", expr(dotExpr("embedding", "qv")) / ($"norm" * $"qnorm"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+      .select($"vec_id", $"label", $"cell", $"cos")
+  }
+
+  def simIvf(spark: SparkSession, dir: String): DataFrame =
+    simIvfFrom(Tables(spark, dir, "embeddings"))
+
+  val simIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm
+       |  FROM e WHERE vec_id < $IvfCells),
+       |assigned AS (
+       |  SELECT e.vec_id,
+       |    arg_max(c.cid, ${sqlDot("e.embedding", "c.cvec")} / (e.norm * c.cnorm)) AS cell
+       |  FROM e, cents c GROUP BY e.vec_id),
+       |q AS (SELECT embedding AS qv, norm AS qnorm FROM e WHERE vec_id = 0),
+       |qcells AS (
+       |  SELECT cid FROM cents, q
+       |  ORDER BY ${sqlDot("cvec", "qv")} / (cnorm * qnorm) DESC, cid
+       |  LIMIT $IvfProbes)
+       |SELECT vec_id, label, cell, cos FROM (
+       |  SELECT e.vec_id, e.label, a.cell,
+       |    ${sqlDot("e.embedding", "q.qv")} / (e.norm * q.qnorm) AS cos
+       |  FROM e
+       |  JOIN assigned a ON a.vec_id = e.vec_id
+       |  JOIN qcells ON a.cell = qcells.cid, q
+       |  WHERE e.vec_id <> 0)
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
     "sim2_ann_lsh" -> QueryDef.of(simAnnSql)(simAnnLsh),
-    "sim3_near_dup" -> QueryDef.of(simNearDupSql)(simNearDup)
+    "sim3_near_dup" -> QueryDef.of(simNearDupSql)(simNearDup),
+    "sim4_ann_ivf" -> QueryDef.of(simIvfSql)(simIvf)
   )
 }

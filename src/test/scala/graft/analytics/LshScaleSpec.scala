@@ -54,6 +54,44 @@ class LshScaleSpec extends SparkSpec {
     assert(distinct > 250, s"expected near-unique signatures, got $distinct/256")
   }
 
+  test("d5: chained near-dups collapse transitively to the min doc_id") {
+    import spark.implicits._
+    // A~B and B~C overlap heavily but A and C share little — cluster
+    // assignment must still unify all three (transitivity through B)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val mid = ((11 to 40).map(i => s"tok$i")).mkString(" ")
+    val far = ((21 to 50).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq(
+      (10L, base), (20L, base + " tail"), // near-identical pair
+      (30L, mid), (40L, far), // chained via shared shingles
+      (99L, "completely different words entirely here now")) // isolated
+      .toDF("doc_id", "text")
+    val out = DedupQueries.d5From(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // isolated doc is in no pair → absent from the cluster table
+    assert(!out.contains(99L))
+    // every clustered doc labels with its component min
+    val clusters = out.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    clusters.foreach { case (label, members) => assert(label == members.min) }
+    // the near-identical pair is definitely together
+    assert(out.get(10L).isDefined && out(10L) == out(20L))
+  }
+
+  test("sim4 IVF: probes scan only the selected cells") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val emb = (0 until 200)
+      .map(i => (i.toLong, i % 3L, Array.fill(64)((rng.nextGaussian() / 4).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val out = SimilarityQueries.simIvfFrom(emb).collect()
+    assert(out.length == 10)
+    // every result's cell is one of the probed (top-IvfProbes) cells —
+    // cells are centroid ids < IvfCells
+    val cells = out.map(_.getAs[Long]("cell")).distinct
+    assert(cells.length <= SimilarityQueries.IvfProbes)
+    assert(cells.forall(c => c >= 0 && c < SimilarityQueries.IvfCells))
+  }
+
   test("sim2 banded probing admits only band-sharing candidates") {
     import spark.implicits._
     // base vector + mild perturbations; every admitted candidate must
