@@ -66,6 +66,19 @@ object Subscriptions {
       .groupBy(window(col(tsCol), window_), col(typeCol))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** ST5: session windows — gap-based per-user sessions over event time
+    * (the anonymous-session semantics of UserIdEventMapper.java:50-72,
+    * expressed with Spark's native `session_window` so state closes as
+    * the watermark passes each session's gap). The batch twin is the W2
+    * sessionization window formulation — same session boundaries. */
+  def sessionAgg(stream: DataFrame, tsCol: String, userCol: String,
+      gap: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+
   /** ST7: webhook-style side output — batch callback every `period`
     * (WebhookEventMapper.java:62-168's 5-second queue flush). */
   def sideOutput(stream: DataFrame, period: String)(

@@ -70,4 +70,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("w6: set algebra folds to ONE scan and ONE shuffle") {
+    // count nodes on the executed-plan tree (formatted explain lists
+    // every node twice — once in the tree, once in the detail section)
+    val plan = SparkEntry.queries("w6_set_ops")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected a single events scan, saw $scans")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected one shuffle, saw $exchanges")
+    assert(!plan.contains("Intersect") && !plan.contains("Except"))
+  }
+
+  test("sim4: centroid dim and probe cells broadcast, final is top-k") {
+    val p = planOf("sim4_ann_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("sim3: banded join keys on (band, bval), candidates capped by window") {
+    val p = planOf("sim3_near_dup")
+    assert(p.contains("band"), "join must key on the signature band")
+    assert(p.contains("RunningWindowFunction") || p.contains("row_number"),
+      "bucket cap window missing from the plan")
+  }
+
+  test("m4: geo enrichment plans as a broadcast range join") {
+    val p = planOf("m4_geoip")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "range dim must broadcast — a shuffled range join is a scale bug")
+  }
 }

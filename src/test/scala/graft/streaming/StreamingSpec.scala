@@ -36,6 +36,33 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("ST5: session_window closes per-user sessions on the 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = Subscriptions.sessionAgg(
+      mem.toDF().toDF("ts", "user"), "ts", "user",
+      gap = "30 minutes", delay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      // u1: two events 10 min apart (one session), then one 2 h later
+      // (new session); u2: a single event
+      mem.addData((t(0), "u1"), (t(600), "u1"), (t(7800), "u1"), (t(0), "u2"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .selectExpr("user", "n_events", "session_start", "session_end")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+        .sortBy(x => (x._1, x._3))
+      assert(rows.map(r => (r._1, r._2)).toSeq ==
+        Seq(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+      // first u1 session spans the 10-min pair; second is the lone event
+      assert(rows(0)._4 - rows(0)._3 == 600000L)
+      assert(rows(1)._3 == t(7800).getTime)
+    } finally q.stop()
+  }
+
   test("ST6: dedup by uuid within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
