@@ -66,6 +66,11 @@ object SimilarityQueries {
     (planes.map(_._1), planes.map(_._2))
   }
 
+  /** The engine-wide plane family as arrays (shared with the SQL
+    * function registration in [[graft.GraftExtensions]]). */
+  private[graft] lazy val planeArrays: (Array[Array[Int]], Array[Array[Int]]) =
+    (plusIdx.map(_.toArray).toArray, minusIdx.map(_.toArray).toArray)
+
   /** 24-bit LSH signature of an embedding column, as a native Catalyst
     * expression ([[graft.functions.HyperplaneSignature]]) — one plan
     * node with tight-loop codegen instead of a ~500-node Column tree
@@ -74,7 +79,7 @@ object SimilarityQueries {
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.HyperplaneSignature(
         org.apache.spark.sql.GraftColumnBridge.expression(emb),
-        plusIdx.map(_.toArray).toArray, minusIdx.map(_.toArray).toArray))
+        planeArrays._1, planeArrays._2))
 
   /** The Column-algebra twin of [[signature]] — kept as the executable
     * specification the native expression is property-tested against. */
