@@ -148,10 +148,88 @@ object TextQueries {
        |      ' +', ' ', 'g')) AS norm
        |  FROM documents)""".stripMargin
 
+  /** BPE-style pre-tokenizer regex (the GPT-2 pattern with the RE2-
+    * incompatible trailing-space lookahead removed): contraction tails,
+    * space-prefixed letter runs, digit runs, punctuation runs, residual
+    * whitespace. Both engines' regex cores (Java util.regex, RE2) give
+    * leftmost-first alternation, so token streams agree exactly. */
+  private val bpeRegex =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token counting on the BPE-ish pre-tokenizer — the statistic an LLM
+    * data pipeline actually budgets by (whitespace splitting
+    * undercounts punctuation-heavy text badly). */
+  def tTokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("toks",
+        regexp_extract_all($"text", lit(bpeRegex), lit(0)))
+      .withColumn("real_toks",
+        filter($"toks", t => !t.rlike("^\\s+$")))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"real_toks")).cast("long").as("sum_bpe_tokens"),
+        sum(size($"toks") - size($"real_toks")).cast("long").as("sum_ws_runs"))
+  }
+
+  val tTokensBpeSql: String = {
+    val pat = bpeRegex.replace("'", "''") // DuckDB literals keep backslashes
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len(list_filter(regexp_extract_all(text, '$pat', 0),
+       |    t -> NOT regexp_matches(t, '^\\s+$$')))) AS BIGINT) AS sum_bpe_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '$pat', 0))
+       |    - len(list_filter(regexp_extract_all(text, '$pat', 0),
+       |        t -> NOT regexp_matches(t, '^\\s+$$')))) AS BIGINT) AS sum_ws_runs
+       |FROM documents GROUP BY lang""".stripMargin
+  }
+
+  /** Winnowing fingerprints (Schleimer et al.): hash every k-gram
+    * (k=4 tokens), then keep the minimum hash of each sliding window
+    * (w=4) — the local-minimum sample that makes plagiarism/dup
+    * detection robust to edits. Output: distinct selected fingerprints
+    * per doc, the set a fingerprint index would store. */
+  def tWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 4
+    val w = 4
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= k + w - 1)
+      .withColumn("grams", expr(
+        s"transform(sequence(0, size(toks)-$k), i -> concat_ws(' ', slice(toks, i+1, $k)))"))
+      .withColumn("ghash", expr(
+        s"transform(grams, g -> ${"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"})"))
+      .withColumn("winmins", expr(
+        s"array_distinct(transform(sequence(0, size(ghash)-$w), i -> array_min(slice(ghash, i+1, $w))))"))
+      .select($"doc_id", explode($"winmins").as("fingerprint"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"), min($"fingerprint").as("min_fp"))
+  }
+
+  val tWinnowSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_transform(range(len(t) - 3),
+       |      i -> ${DedupQueries.sqlHash60("concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4])")}) AS gh
+       |  FROM toks WHERE len(t) >= 7),
+       |wins AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(gh) - 3),
+       |      i -> list_min(gh[i+1:i+4]))) AS winmins
+       |  FROM grams)
+       |SELECT doc_id, CAST(len(winmins) AS BIGINT) AS n_fingerprints,
+       |  list_min(winmins) AS min_fp
+       |FROM wins""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t_tokens" -> QueryDef.of(tTokensSql)(tTokens),
+    "t_tokens_bpe" -> QueryDef.of(tTokensBpeSql)(tTokensBpe),
     "t_quality" -> QueryDef.of(tQualitySql)(tQuality),
     "t_langid" -> QueryDef.of(tLangIdSql)(tLangId),
-    "t_fingerprint" -> QueryDef.of(tFingerprintSql)(tFingerprint)
+    "t_fingerprint" -> QueryDef.of(tFingerprintSql)(tFingerprint),
+    "t_winnow" -> QueryDef.of(tWinnowSql)(tWinnow)
   )
 }
