@@ -193,18 +193,28 @@ object TextQueries {
     import spark.implicits._
     val k = 4
     val w = 4
-    Tables(spark, dir, "documents")
+    // Explode grams to rows and take the window minimum with a frame —
+    // each gram is hashed exactly ONCE. (The all-array formulation
+    // (transform over sequence + slice) inlines the gram-hash array into
+    // the lambda under projection collapse, recomputing it per window:
+    // O(grams²) digests per document — a 60× slowdown at sf0.1.)
+    val grams = Tables(spark, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= k + w - 1)
-      .withColumn("grams", expr(
-        s"transform(sequence(0, size(toks)-$k), i -> concat_ws(' ', slice(toks, i+1, $k)))"))
-      .withColumn("ghash", expr(
-        s"transform(grams, g -> ${"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"})"))
-      .withColumn("winmins", expr(
-        s"array_distinct(transform(sequence(0, size(ghash)-$w), i -> array_min(slice(ghash, i+1, $w))))"))
-      .select($"doc_id", explode($"winmins").as("fingerprint"))
+      .withColumn("n_grams", (size($"toks") - (k - 1)).cast("int"))
+      .select($"doc_id", $"n_grams", posexplode(expr(
+        s"transform(sequence(0, size(toks)-$k), i -> concat_ws(' ', slice(toks, i+1, $k)))")))
+      .withColumnRenamed("pos", "i")
+      .withColumn("gh", DedupQueries.hash60($"col"))
+      .drop("col")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i").rowsBetween(0, w - 1)
+    grams
+      .withColumn("winmin", min($"gh").over(win))
+      .filter($"i" <= $"n_grams" - w) // only full windows
+      .select($"doc_id", $"winmin").distinct()
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_fingerprints"), min($"fingerprint").as("min_fp"))
+      .agg(count(lit(1)).as("n_fingerprints"), min($"winmin").as("min_fp"))
   }
 
   val tWinnowSql: String =
