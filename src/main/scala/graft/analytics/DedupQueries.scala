@@ -270,18 +270,19 @@ object DedupQueries {
     var converged = false
     var iter = 0
     while (!converged && iter < 100) {
-      val nmin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid"))
-        .agg(min($"label").as("nmin"))
-      val next = labels.join(nmin, labels("id") === nmin("nid"), "left")
-        .select(labels("id"),
-          least($"label", coalesce($"nmin", $"label")).as("label"))
+      // One join + one aggregate per round: neighbour labels union a
+      // marked self-row, min per node. The self-row carries the previous
+      // label through the same shuffle, so convergence is a filter on
+      // the checkpointed result — no separate old-vs-new join.
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), $"label", lit(false).as("self"))
+        .union(labels.select($"id", $"label", lit(true).as("self")))
+        .groupBy($"id")
+        .agg(min($"label").as("label"),
+          min(when($"self", $"label")).as("prev"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter($"label" < $"prev").isEmpty
+      labels = next.select($"id", $"label")
       iter += 1
     }
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
