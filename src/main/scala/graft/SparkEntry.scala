@@ -20,6 +20,7 @@ object SparkEntry {
       analytics.MapperQueries.defs ++
       analytics.DedupQueries.defs ++
       analytics.TextQueries.defs ++
+      analytics.TrainingSetQueries.defs ++
       analytics.SimilarityQueries.defs ++
       analytics.MultimodalQueries.defs
 

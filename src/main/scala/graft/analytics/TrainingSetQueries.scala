@@ -1,0 +1,279 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-set construction operators — the steps between "corpus" and
+  * "training mix" in an LLM data pipeline: deterministic sampling,
+  * dataset mixture weighting, benchmark decontamination, repetition
+  * filtering, and PII redaction.
+  *
+  * Scale posture (100 TB): ds1/ds2/t_repetition/t_redact are pure
+  * per-row transforms plus one final aggregation — they stream at scan
+  * speed with a single shuffle. d6's benchmark gram set is tiny relative
+  * to the corpus by construction (benchmarks are MBs, corpora are TBs),
+  * so the contamination probe is a broadcast semi-join: the 100 TB side
+  * never shuffles.
+  */
+object TrainingSetQueries {
+
+  /** Deterministic 0..99 bucket from the doc id — md5-based so Spark
+    * and DuckDB agree bit-for-bit, and stable across runs/retries
+    * (rand() sampling is neither reproducible nor oracle-checkable). */
+  private def hashBucket(c: Column): Column =
+    DedupQueries.hash60(c.cast("string")) % 100
+
+  private def sqlHashBucket(e: String): String =
+    s"${DedupQueries.sqlHash60(s"CAST($e AS VARCHAR)")} % 100"
+
+  /** Per-language sampling rates (percent). A real pipeline derives
+    * these from token budgets; the operator contract is the same. */
+  private val langRates: Seq[(String, Int)] =
+    Seq("en" -> 60, "es" -> 35, "de" -> 35, "fr" -> 20, "zh" -> 10)
+
+  /** DS1: stratified deterministic sampling — keep a per-language
+    * fraction of documents, chosen by content-stable hash so every
+    * re-run (and every engine) selects the same rows. The filter is a
+    * scan-side predicate: no shuffle until the final aggregate. */
+  def ds1HashSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rate = langRates.foldRight(lit(0)) { case ((l, r), rest) =>
+      when($"lang" === l, lit(r)).otherwise(rest)
+    }
+    Tables(spark, dir, "documents")
+      .filter(hashBucket($"doc_id") < rate)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"),
+        davg($"n_chars".cast("double")).as("avg_chars"))
+  }
+
+  val ds1Sql: String = {
+    val caseExpr = langRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT lang, count(*) AS n_sampled,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  ${sqlDavg("CAST(n_chars AS DOUBLE)")} AS avg_chars
+       |FROM documents
+       |WHERE ${sqlHashBucket("doc_id")} < (CASE $caseExpr ELSE 0 END)
+       |GROUP BY lang""".stripMargin
+  }
+
+  /** Mixture component → (member sources, sampling rate %). */
+  private val mixture: Seq[(String, Seq[String], Int)] = Seq(
+    ("web", (0 until 10).map(i => s"src$i"), 80),
+    ("books", (10 until 20).map(i => s"src$i"), 25))
+
+  /** DS2: dataset mixture weighting — tag each document with its
+    * mixture component, apply the component's sampling rate, and report
+    * the realized mix. Logically a weighted union of datasets; executed
+    * as ONE scan with a tag column (a k-way union of filters of the
+    * same table would scan k times). */
+  def ds2Mixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = mixture.foldRight(lit(null).cast("string")) {
+      case ((name, srcs, _), rest) =>
+        when($"source".isin(srcs: _*), lit(name)).otherwise(rest)
+    }
+    val rate = mixture.foldRight(lit(0)) { case ((name, _, r), rest) =>
+      when($"component" === name, lit(r)).otherwise(rest)
+    }
+    Tables(spark, dir, "documents")
+      .withColumn("component", tag)
+      .filter(hashBucket($"doc_id") < rate)
+      .groupBy($"component", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"))
+  }
+
+  val ds2Sql: String = {
+    val tagCase = mixture.map { case (name, srcs, _) =>
+      val inList = srcs.map(s => s"'$s'").mkString(", ")
+      s"WHEN source IN ($inList) THEN '$name'"
+    }.mkString(" ")
+    val rateCase = mixture
+      .map { case (name, _, r) => s"WHEN component = '$name' THEN $r" }
+      .mkString(" ")
+    s"""SELECT component, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM (
+       |  SELECT *, CASE $tagCase ELSE NULL END AS component
+       |  FROM documents)
+       |WHERE ${sqlHashBucket("doc_id")} < (CASE $rateCase ELSE 0 END)
+       |GROUP BY component, lang""".stripMargin
+  }
+
+  /** Contamination n-gram width. Real pipelines use 8-13 tokens; the
+    * synthetic corpus has a tiny vocabulary, so 5 keeps the benchmark
+    * gram set selective enough to be a meaningful test. */
+  private val decontamN = 5
+
+  private def gramHashes(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= n)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
+        .as("gram"))
+      .select($"doc_id", DedupQueries.hash60($"gram").as("h"))
+  }
+
+  /** D6: benchmark decontamination — flag every training document that
+    * shares at least one [[decontamN]]-gram with the held-out benchmark
+    * split (source `src0` stands in for the eval set). The benchmark
+    * gram set is distinct-ed and broadcast; the corpus side is a
+    * broadcast LEFT SEMI probe followed by one aggregate — the corpus
+    * is never shuffled by gram. */
+  def d6Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val benchGrams = gramHashes(docs.filter($"source" === "src0"), decontamN)
+      .select($"h").distinct()
+    val train = docs.filter($"source" =!= "src0")
+    val contaminated = gramHashes(train, decontamN)
+      .join(broadcast(benchGrams), Seq("h"), "leftsemi")
+      .select($"doc_id").distinct()
+      .withColumn("contaminated", lit(1L))
+    train
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(coalesce($"contaminated", lit(0L))).as("n_contaminated"),
+        (count(lit(1)) - sum(coalesce($"contaminated", lit(0L)))).as("n_clean"))
+  }
+
+  val d6Sql: String = {
+    val n = decontamN
+    val gramExpr =
+      s"unnest(list_transform(range(len(t) - ${n - 1}), i -> " +
+        s"concat_ws(' ', ${(1 to n).map(j => s"t[i+$j]").mkString(", ")})))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |grams AS (
+       |  SELECT doc_id, source, ${DedupQueries.sqlHash60("gram")} AS h FROM (
+       |    SELECT doc_id, source, $gramExpr AS gram FROM toks)),
+       |bench AS (SELECT DISTINCT h FROM grams WHERE source = 'src0'),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE source <> 'src0' AND h IN (SELECT h FROM bench))
+       |SELECT d.lang, count(*) AS n_train,
+       |  CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+       |  CAST(count(*) - count(c.doc_id) AS BIGINT) AS n_clean
+       |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+       |WHERE d.source <> 'src0'
+       |GROUP BY d.lang""".stripMargin
+  }
+
+  /** T-REP: Gopher-style repetition metrics per document — duplicate
+    * word fraction, most-frequent-token fraction, most-frequent-bigram
+    * fraction, and the keep/drop verdict. Pure array math per row; the
+    * per-doc top-k is over the (tiny) distinct-token set, never a
+    * shuffle. */
+  def tRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .filter($"n_tokens" >= 2)
+      .withColumn("n_distinct", size(array_distinct($"toks")).cast("long"))
+      .withColumn("top_tok",
+        expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+          .cast("long"))
+      .withColumn("grams2", expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+      .withColumn("top_bigram",
+        expr("array_max(transform(array_distinct(grams2), g -> size(filter(grams2, x -> x = g))))")
+          .cast("long"))
+      .select(
+        $"doc_id", $"n_tokens",
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_tokens").as("dup_word_frac"),
+        ($"top_tok".cast("double") / $"n_tokens").as("top_tok_frac"),
+        ($"top_bigram".cast("double") / ($"n_tokens" - 1)).as("top_bigram_frac"),
+        ($"top_tok".cast("double") / $"n_tokens" < 0.2 &&
+          $"top_bigram".cast("double") / ($"n_tokens" - 1) < 0.1).as("keep"))
+  }
+
+  val tRepetitionSql: String =
+    """SELECT doc_id, n_tokens,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_frac,
+      |  CAST(top_tok AS DOUBLE) / n_tokens AS top_tok_frac,
+      |  CAST(top_bigram AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
+      |  (CAST(top_tok AS DOUBLE) / n_tokens < 0.2
+      |    AND CAST(top_bigram AS DOUBLE) / (n_tokens - 1) < 0.1) AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      |    CAST(list_max(list_transform(list_distinct(t),
+      |      x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_tok,
+      |    CAST(list_max(list_transform(list_distinct(g2),
+      |      x -> len(list_filter(g2, y -> y = x)))) AS BIGINT) AS top_bigram
+      |  FROM (
+      |    SELECT doc_id, t,
+      |      list_transform(range(len(t) - 1),
+      |        i -> concat_ws(' ', t[i+1], t[i+2])) AS g2
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |    WHERE len(t) >= 2))""".stripMargin
+
+  /** Redaction pattern set: (class, regex, replacement). Same regex
+    * dialect subset works in java.util.regex and RE2. */
+  private val redactions: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("number", "[0-9]+", "<NUM>"))
+
+  /** T-REDACT: PII-shape redaction over the event payloads — count
+    * matches per pattern class, apply the replacements in order, and
+    * prove the rewritten payloads identical across engines via a
+    * per-group digest. Patterns that cannot occur in this corpus
+    * (email, ipv4) are still evaluated: their zero counts are part of
+    * the oracle check. */
+  def tRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counted = redactions.foldLeft(Tables(spark, dir, "events")) {
+      case (df, (cls, pat, _)) =>
+        df.withColumn(s"n_$cls",
+          size(regexp_extract_all($"props", lit(pat), lit(0))).cast("long"))
+    }
+    val redacted = redactions.foldLeft(col("props")) {
+      case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    counted
+      .withColumn("redacted", redacted)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        redactions.map { case (cls, _, _) =>
+          sum(col(s"n_$cls")).as(s"sum_$cls")
+        } :+ min(md5($"redacted")).as("digest"): _*)
+  }
+
+  val tRedactSql: String = {
+    val counts = redactions.map { case (cls, pat, _) =>
+      s"CAST(sum(len(regexp_extract_all(props, '$pat', 0))) AS BIGINT) AS sum_$cls"
+    }.mkString(",\n  ")
+    val redacted = redactions.foldLeft("props") {
+      case (e, (_, pat, rep)) => s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+    s"""SELECT event_type, count(*) AS n_events,
+       |  $counts,
+       |  min(md5($redacted)) AS digest
+       |FROM events GROUP BY event_type""".stripMargin
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
+    "ds2_mixture" -> QueryDef.of(ds2Sql)(ds2Mixture),
+    "d6_decontaminate" -> QueryDef.of(d6Sql)(d6Decontaminate),
+    "t_repetition" -> QueryDef.of(tRepetitionSql)(tRepetition),
+    "t_redact" -> QueryDef.of(tRedactSql)(tRedact)
+  )
+}

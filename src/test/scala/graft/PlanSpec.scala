@@ -101,4 +101,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "range dim must broadcast — a shuffled range join is a scale bug")
   }
+
+  test("ds1/ds2: deterministic sampling is one scan + one shuffle") {
+    for (q <- Seq("ds1_hash_sample", "ds2_mixture")) {
+      val plan = SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans == 1, s"$q: expected one documents scan, saw $scans")
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$q: sampling must not shuffle, saw $exchanges")
+    }
+  }
+
+  test("d6: benchmark gram set broadcasts; corpus side never shuffles by gram") {
+    val p = planOf("d6_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "contamination probe must be a broadcast semi join")
+  }
+
+  test("t_redact: redaction is one scan + one aggregate shuffle") {
+    val plan = SparkEntry.queries("t_redact")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one events scan, saw $scans")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"redaction must stream at scan speed, saw $exchanges")
+  }
 }
