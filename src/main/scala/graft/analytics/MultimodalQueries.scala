@@ -32,7 +32,31 @@ object MultimodalQueries {
       |  lang
       |FROM documents, generate_series(0, 3) g(i)""".stripMargin
 
+  /** MM2: frame sampling proven end-to-end — every sampled frame's
+    * byte-slice digest must match the oracle slicing the same payload
+    * as text (the corpus is ASCII, so byte and char offsets agree).
+    * Shows the per-frame contract: (doc_id, frame_no, offset, bytes). */
+  def mm2FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables(spark, dir, "documents"))
+    Multimodal.sampleFrames(media, everyNth = 64, maxFrames = 8)
+      .select(col("doc_id"),
+        col("frame_no").cast("long").as("frame_no"),
+        col("frame_offset").cast("long").as("frame_offset"),
+        md5(expr("substring(bytes, frame_offset + 1, 64)")).as("frame_digest"))
+  }
+
+  val mm2Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(floor(least(greatest(length(text)/64.0, 1), 8)) AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+      |  CAST(i * 64 AS BIGINT) AS frame_offset,
+      |  md5(substring(text, i * 64 + 1, 64)) AS frame_digest
+      |FROM (SELECT doc_id, text, unnest(range(n_frames)) AS i FROM f)""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
-    "mm1_features" -> QueryDef.of(mm1Sql)(mm1Features)
+    "mm1_features" -> QueryDef.of(mm1Sql)(mm1Features),
+    "mm2_frame_sample" -> QueryDef.of(mm2Sql)(mm2FrameSample)
   )
 }
