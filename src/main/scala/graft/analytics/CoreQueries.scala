@@ -170,8 +170,57 @@ object CoreQueries {
        |  min(ts) AS first_ts, max(ts) AS last_ts
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** A8': percentile latencies per event type — the dashboard staple.
+    * Exact `percentile` (sort-based, linear interpolation — the same
+    * definition as the oracle's quantile_cont) is the correctness
+    * anchor; `approx_percentile` rides alongside exactly like a5's
+    * sketch twin: at 100 TB the t-digest sketch answers dashboards
+    * with bounded error and no global sort, the exact path remains
+    * for reconciliation. The approx column is NOT part of the oracle
+    * row (engine-specific sketch); its error bound is spec-checked. */
+  def a8Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, 0.99)").as("p99"))
+  }
+
+  val a8Sql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95,
+      |  quantile_cont(value, 0.99) AS p99
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** A8'' sketch twin (the a5 pattern): `approx_percentile` must land
+    * within 5% (or one absolute unit) of the exact percentile; the
+    * bound verdict is itself the oracle-checked column, so the sketch
+    * is gate-verified without demanding bit-equality of an
+    * engine-specific digest. */
+  def a8Approx(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.95)").as("exact_p95"),
+        expr("approx_percentile(value, 0.95, 10000)").as("approx"))
+      .select($"event_type", $"exact_p95",
+        (abs($"approx" - $"exact_p95") <=
+          greatest($"exact_p95" * 0.05, lit(1.0))).as("within_bound"))
+  }
+
+  val a8ApproxSql: String =
+    """SELECT event_type, quantile_cont(value, 0.95) AS exact_p95,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q1_agg" -> QueryDef.of(q1Sql)(q1),
+    "a8_percentiles" -> QueryDef.of(a8Sql)(a8Percentiles),
+    "a8_approx_percentiles" -> QueryDef.of(a8ApproxSql)(a8Approx),
     "a4_segmentation" -> QueryDef.of(a4Sql)(a4Segmentation),
     "a5_distinct_users" -> QueryDef.of(a5Sql)(a5Distinct),
     "a5_approx_distinct" -> QueryDef.of(a5ApproxSql)(a5Approx),
