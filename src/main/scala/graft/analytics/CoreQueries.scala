@@ -150,6 +150,46 @@ object CoreQueries {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** A9': full CUBE over (event day-of-week, event type) — all four
+    * grouping sets from ONE scan via Expand (2^k row replication is the
+    * inherent cube cost; the scan and shuffle stay single). */
+  def a9Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events")
+      .selectExpr("dayofweek(ts) AS dow", "event_type", "value")
+      .createOrReplaceTempView("a9_cube_input")
+    spark.sql(
+      s"""SELECT dow, event_type, count(*) AS n_events,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM a9_cube_input GROUP BY CUBE (dow, event_type)""".stripMargin)
+  }
+
+  val a9CubeSql: String =
+    s"""SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, event_type,
+       |  count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY CUBE (1, 2)""".stripMargin
+
+  /** A8''': histogram bucketing of the value distribution — fixed-width
+    * `width_bucket` bins per event type, the shape every latency/value
+    * dashboard renders. One scan, one shuffle on (type, bucket). */
+  def a8Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .withColumn("bucket",
+        expr("width_bucket(value, 0.0, 200.0, 20)").cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_events"),
+        min($"value").as("lo"), max($"value").as("hi"))
+  }
+
+  // DuckDB has no width_bucket; the twin spells out the same fixed-width
+  // formula: bucket i covers [10(i-1), 10i), 0 below range, 21 at/above.
+  val a8HistSql: String =
+    """SELECT event_type,
+      |  CAST(CASE WHEN value < 0.0 THEN 0 WHEN value >= 200.0 THEN 21
+      |    ELSE floor(value / 10.0) + 1 END AS BIGINT) AS bucket,
+      |  count(*) AS n_events, min(value) AS lo, max(value) AS hi
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Descriptive-stats gallery per event type (min/max/avg/sum). */
   def aggStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -221,6 +261,8 @@ object CoreQueries {
     "q1_agg" -> QueryDef.of(q1Sql)(q1),
     "a8_percentiles" -> QueryDef.of(a8Sql)(a8Percentiles),
     "a8_approx_percentiles" -> QueryDef.of(a8ApproxSql)(a8Approx),
+    "a8_histogram" -> QueryDef.of(a8HistSql)(a8Histogram),
+    "a9_cube" -> QueryDef.of(a9CubeSql)(a9Cube),
     "a4_segmentation" -> QueryDef.of(a4Sql)(a4Segmentation),
     "a5_distinct_users" -> QueryDef.of(a5Sql)(a5Distinct),
     "a5_approx_distinct" -> QueryDef.of(a5ApproxSql)(a5Approx),

@@ -126,8 +126,44 @@ object JoinQueries2 {
       |  len(json_keys(props)) AS n_entries
       |FROM events""".stripMargin
 
+  /** Salt fan-out for [[j8SaltedJoin]]. At 100 TB you'd salt only the
+    * keys a hot-key survey (or AQE skew stats) flags; replicating the
+    * whole build side ×8 here keeps the demonstration deterministic. */
+  private val SaltBuckets = 8
+
+  /** J8: hand-salted skew join — the treatment for a hot join key that
+    * broadcast can't fix (both sides big) and AQE's in-partition
+    * splitting can't always reach. The probe side gets a deterministic
+    * salt from its OWN non-key attributes (never rand(): retries and
+    * speculative tasks must re-derive the same salt); the build side is
+    * replicated once per salt bucket; the join keys on (key, salt), so
+    * one hot orderkey's rows spread over [[SaltBuckets]] partitions
+    * instead of melting one reducer. The oracle is the UNSALTED join —
+    * proving the rewrite is result-identical. */
+  def j8SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+      .withColumn("salt",
+        pmod(hash($"l_linenumber", $"l_partkey"), lit(SaltBuckets)))
+    val ord = Tables(spark, dir, "orders")
+      .withColumn("salt",
+        explode(lit((0 until SaltBuckets).toArray)))
+    li.join(ord,
+        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(ord("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice").as("sum_price"))
+  }
+
+  val j8Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |  ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "j7_fact_join" -> QueryDef.of(j7Sql)(j7FactJoin),
+    "j8_salted_join" -> QueryDef.of(j8Sql)(j8SaltedJoin),
     "w3_range_frame" -> QueryDef.of(w3RangeSql)(w3RangeFrame),
     "a6_windowed_funnel" -> QueryDef.of(a6WindowedSql)(a6WindowedFunnel),
     "f_map_ops" -> QueryDef.of(fMapOpsSql)(fMapOps)

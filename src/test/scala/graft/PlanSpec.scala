@@ -119,6 +119,16 @@ class PlanSpec extends SparkSpec {
       "contamination probe must be a broadcast semi join")
   }
 
+  test("j8: join keys carry the salt so a hot key spreads over buckets") {
+    val p = planOf("j8_salted_join")
+    // the equi-join must key on (orderkey, salt) — salt in the join
+    // keys is what fans a skewed key across partitions (formatted
+    // explain lists them as "Left keys [..]: [l_orderkey…, salt…]")
+    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.nonEmpty && keyLines.forall(_.contains("salt")),
+      s"salt missing from join keys:\n${keyLines.mkString("\n")}")
+  }
+
   test("t_redact: redaction is one scan + one aggregate shuffle") {
     val plan = SparkEntry.queries("t_redact")(spark, sf())
       .queryExecution.executedPlan.toString
