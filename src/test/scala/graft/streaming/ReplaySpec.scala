@@ -60,4 +60,49 @@ class ReplaySpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
     q.stop()
   }
+
+  test("streaming funnel completions equal the batch fold on replay") {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val windowMs = 6L * 3600 * 1000
+    val events = spark.readStream
+      .schema(spark.read.parquet(logDir).schema)
+      .parquet(logDir)
+      .select(col("user_id").cast("string").as("user"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_type"))
+      .as[FunnelEvent]
+    val q = FunnelState.track(events, steps, windowMs)
+      .writeStream.format("memory").queryName("funnel_replay")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.table("funnel_replay")
+      .filter(col("completed"))
+      .select("user", "start_ms", "last_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // driver-side twin of the state fold over the same log (sf0.001 is
+    // small enough to collect): identical machine, identical journeys
+    val byUser = spark.read.parquet(logDir)
+      .select(col("user_id").cast("string"), col("ts").cast("timestamp"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getString(2)))
+      .groupBy(_._1)
+    val expected = byUser.flatMap { case (u, evs) =>
+      var step = 0; var start = 0L; var last = 0L
+      val done = Seq.newBuilder[(String, Long, Long)]
+      evs.sortBy(_._2).foreach { case (_, ms, et) =>
+        if (step == 0) {
+          if (et == steps.head) { step = 1; start = ms; last = ms }
+        } else if (et == steps(step) && ms - start <= windowMs) {
+          step += 1; last = ms
+          if (step == steps.size) { done += ((u, start, last)); step = 0 }
+        }
+      }
+      done.result()
+    }.toSet
+    assert(streamed == expected && streamed.nonEmpty)
+    q.stop()
+  }
 }
