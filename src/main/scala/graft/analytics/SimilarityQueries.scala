@@ -319,10 +319,93 @@ object SimilarityQueries {
        |  WHERE e.vec_id <> 0)
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Per-cell admission cap for [[sim5SemanticDedup]] — the same
+    * guard as [[SimBucketCap]]: a pathological cell can contribute at
+    * most cap²/2 pairs. Vectors beyond the cap (deterministically by
+    * vec_id) are kept, not compared — at real cluster counts (~√n
+    * cells) occupancy stays far below it. */
+  val CellCap = 256
+  /** Cosine above which two same-cell vectors are semantic duplicates
+    * (0.3 fits the near-orthogonal synthetic corpus; SemDeDup-style
+    * pipelines on real embeddings run ~0.95+). */
+  val SemDedupThreshold = 0.3
+
+  /** SIM5: semantic dedup (the SemDeDup shape): coarse-cluster every
+    * vector to its argmax-cosine centroid cell, then within each cell
+    * drop any vector whose cosine to a smaller-id cell-mate exceeds the
+    * threshold (keep-first policy — deterministic, so retries agree).
+    * Pair work is confined to cells: at 100 TB the cell id is the
+    * partition key, centroids broadcast, and the cross-cell pair
+    * product — the n² trap — never exists. Output: per-cell keep/drop
+    * accounting, the survivors being the training-set contribution. */
+  def sim5SemanticDedupFrom(emb0: DataFrame): DataFrame = {
+    import emb0.sparkSession.implicits._
+    val emb = emb0.withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+    val cents = emb.filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
+    val assigned = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr(dotExpr("embedding", "cvec")) / ($"norm" * $"cnorm"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", $"ccos").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cell").orderBy($"vec_id")
+    val cellVecs = emb.join(assigned, "vec_id")
+      .withColumn("rn", row_number().over(w))
+    val compared = cellVecs.filter($"rn" <= CellCap)
+    val dropped = compared.alias("x")
+      .join(compared.alias("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        expr(dotExpr("x.embedding", "y.embedding")) / (col("x.norm") * col("y.norm")))
+      .filter($"cos" > SemDedupThreshold)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    cellVecs
+      .join(dropped, Seq("vec_id"), "left")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce($"is_dup", lit(0L)))).as("n_kept"))
+  }
+
+  def sim5SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    sim5SemanticDedupFrom(Tables(spark, dir, "embeddings"))
+
+  val sim5Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm
+       |  FROM e WHERE vec_id < $IvfCells),
+       |assigned AS (
+       |  SELECT e.vec_id,
+       |    arg_max(c.cid, ${sqlDot("e.embedding", "c.cvec")} / (e.norm * c.cnorm)) AS cell
+       |  FROM e, cents c GROUP BY e.vec_id),
+       |cv AS (
+       |  SELECT e.vec_id, e.embedding, e.norm, a.cell,
+       |    row_number() OVER (PARTITION BY a.cell ORDER BY e.vec_id) AS rn
+       |  FROM e JOIN assigned a ON a.vec_id = e.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id FROM cv x JOIN cv y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE x.rn <= $CellCap AND y.rn <= $CellCap
+       |    AND ${sqlDot("x.embedding", "y.embedding")} / (x.norm * y.norm)
+       |      > $SemDedupThreshold)
+       |SELECT cell, count(*) AS n_vectors,
+       |  CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+       |FROM cv LEFT JOIN dropped d ON cv.vec_id = d.vec_id
+       |GROUP BY cell""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
     "sim2_ann_lsh" -> QueryDef.of(simAnnSql)(simAnnLsh),
     "sim3_near_dup" -> QueryDef.of(simNearDupSql)(simNearDup),
-    "sim4_ann_ivf" -> QueryDef.of(simIvfSql)(simIvf)
+    "sim4_ann_ivf" -> QueryDef.of(simIvfSql)(simIvf),
+    "sim5_semantic_dedup" -> QueryDef.of(sim5Sql)(sim5SemanticDedup)
   )
 }

@@ -119,6 +119,16 @@ class PlanSpec extends SparkSpec {
       "contamination probe must be a broadcast semi join")
   }
 
+  test("sim5: centroids broadcast; pair join keyed on the cell") {
+    val p = planOf("sim5_semantic_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid assignment must broadcast the centroid dim")
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("cell")).toSeq
+    assert(keyLines.nonEmpty,
+      "within-cell pair join must key on cell — the partition key at scale")
+  }
+
   test("j8: join keys carry the salt so a hot key spreads over buckets") {
     val p = planOf("j8_salted_join")
     // the equi-join must key on (orderkey, salt) — salt in the join
