@@ -49,6 +49,54 @@ object Multimodal {
       featureVector(col("bytes"), dim).as("embedding"),
       col("meta"))
 
+  /** The batched-decoder contract: a vectorized decode call receives a
+    * whole batch of payloads and returns one feature vector per input,
+    * in order. Real codecs (and ML feature extractors) amortize model
+    * and codec setup per BATCH, not per row — this is the JVM analogue
+    * of the `mapInPandas` batch shape. */
+  trait BatchDecoder extends Serializable {
+    def decode(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** STUB batch decoder: same per-payload features as [[featureVector]]
+    * computed JVM-side — deterministic, so the column-expression path
+    * and the batched path are property-comparable. Swap this object for
+    * an FFI/ONNX-backed implementation; nothing downstream changes. */
+  final class HashBatchDecoder(dim: Int) extends BatchDecoder {
+    def decode(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        Array.tabulate(dim) { i =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$i|$s".getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString.take(15)
+          (java.lang.Long.parseLong(hex, 16) / 1.152921504606847e18).toFloat
+        }
+      }
+  }
+
+  /** Batched feature extraction over partitions: each task drains its
+    * partition in fixed-size batches through the decoder — bounded
+    * memory per task (batchSize × payload), one decoder instance per
+    * task (the setup-amortization point), no shuffle. Output schema is
+    * identical to [[extractFeatures]]. */
+  def extractFeaturesBatched(media: DataFrame, decoder: BatchDecoder,
+      batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    val rows = media.select(col("doc_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = decoder.decode(batch.map(_._2))
+          require(feats.size == batch.size,
+            s"decoder returned ${feats.size} results for ${batch.size} inputs")
+          batch.map(_._1).zip(feats)
+        }
+      }
+      .toDF("doc_id", "embedding")
+    rows.join(media.select(col("doc_id"), col("meta")), "doc_id")
+  }
+
   /** Frame sampling for time-based media (video/audio): one row per
     * sampled frame offset; a real decoder would slice the payload at
     * the container level — the explode shape and per-frame keys are

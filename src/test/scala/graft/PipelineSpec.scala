@@ -121,4 +121,21 @@ class PipelineSpec extends SparkSpec {
     assert(byDoc.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 5))
     assert(frames.columns.contains("frame_offset"))
   }
+
+  test("multimodal: batched decoder matches the expression path, any batch size") {
+    val media = Multimodal.asMedia(Tables(spark, sf(), "documents").limit(100))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+      .toMap
+    val viaExpr = asMap(Multimodal.extractFeatures(media, dim = 4)
+      .select(col("doc_id"), col("embedding")))
+    val dec = new Multimodal.HashBatchDecoder(4)
+    // batch boundaries must not change results — a ragged final batch
+    // (size 7) and a full-width one (64) agree with the expression path
+    for (bs <- Seq(7, 64)) {
+      val viaBatch = asMap(Multimodal.extractFeaturesBatched(media, dec, bs)
+        .select(col("doc_id"), col("embedding")))
+      assert(viaBatch == viaExpr, s"batchSize=$bs diverged")
+    }
+  }
 }
