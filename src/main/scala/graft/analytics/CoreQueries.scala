@@ -190,6 +190,48 @@ object CoreQueries {
       |  count(*) AS n_events, min(value) AS lo, max(value) AS hi
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** A11: calendar gap-fill — densify the hourly (type, hour) series
+    * with explicit zero rows so downstream charts/windows see a
+    * complete grid (missing hours otherwise silently vanish from
+    * dashboards and break frame-based windows). The corpus is
+    * aggregated ONCE; the calendar × types grid is generated from the
+    * aggregate's own bounds (tiny — hours × types) and left-joins the
+    * hourly rollup, so at 100 TB the fill side broadcasts and the scan
+    * side never re-reads. */
+  def a11Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .withColumn("hour", date_trunc("hour", $"ts"))
+    val hourly = ev.groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+    val cal = ev.agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val types = ev.select($"event_type").distinct()
+    cal.crossJoin(types)
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .select($"event_type", $"hour",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value"))
+  }
+
+  val a11Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events),
+       |hourly AS (
+       |  SELECT event_type, hour, count(*) AS n_events,
+       |    ${sqlDsum("value")} AS sum_value
+       |  FROM ev GROUP BY 1, 2),
+       |bounds AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+       |cal AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+       |  FROM bounds),
+       |types AS (SELECT DISTINCT event_type FROM ev)
+       |SELECT t.event_type, c.hour,
+       |  CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+       |  coalesce(h.sum_value, 0.0) AS sum_value
+       |FROM cal c CROSS JOIN types t
+       |LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour = c.hour""".stripMargin
+
   /** Descriptive-stats gallery per event type (min/max/avg/sum). */
   def aggStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -263,6 +305,7 @@ object CoreQueries {
     "a8_approx_percentiles" -> QueryDef.of(a8ApproxSql)(a8Approx),
     "a8_histogram" -> QueryDef.of(a8HistSql)(a8Histogram),
     "a9_cube" -> QueryDef.of(a9CubeSql)(a9Cube),
+    "a11_gapfill" -> QueryDef.of(a11Sql)(a11Gapfill),
     "a4_segmentation" -> QueryDef.of(a4Sql)(a4Segmentation),
     "a5_distinct_users" -> QueryDef.of(a5Sql)(a5Distinct),
     "a5_approx_distinct" -> QueryDef.of(a5ApproxSql)(a5Approx),

@@ -401,8 +401,56 @@ object SimilarityQueries {
        |FROM cv LEFT JOIN dropped d ON cv.vec_id = d.vec_id
        |GROUP BY cell""".stripMargin
 
+  /** Query-batch size for [[sim6KnnJoin]] and neighbours returned per
+    * query. */
+  val KnnQueries = 8
+  val KnnK = 5
+
+  /** SIM6: KNN join — top-k neighbours for a whole BATCH of queries at
+    * once (retrieval-eval's bread and butter), not one query vector.
+    * The query batch broadcasts (it is small by definition); the corpus
+    * is scanned ONCE for all queries; per-query ranking is a window
+    * top-k partitioned by query id. At 100 TB the same shape holds —
+    * corpus-side scan × broadcast queries — and the banded-signature
+    * prefilter of sim2 composes in front when the batch grows. */
+  def sim6KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+    val queries = emb.filter($"vec_id" < KnnQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), $"norm".as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos",
+        expr(dotExpr("embedding", "qv")) / ($"norm" * $"qnorm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= KnnK)
+      .select($"qid", $"rank".cast("long").as("rank"), $"vec_id", $"cos")
+  }
+
+  val sim6Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, norm AS qnorm
+       |  FROM e WHERE vec_id < $KnnQueries)
+       |SELECT qid, rank, vec_id, cos FROM (
+       |  SELECT q.qid,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${sqlDot("e.embedding", "q.qv")} / (e.norm * q.qnorm) DESC,
+       |        e.vec_id) AS rank,
+       |    e.vec_id,
+       |    ${sqlDot("e.embedding", "q.qv")} / (e.norm * q.qnorm) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.qid)
+       |WHERE rank <= $KnnK""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
+    "sim6_knn_join" -> QueryDef.of(sim6Sql)(sim6KnnJoin),
     "sim2_ann_lsh" -> QueryDef.of(simAnnSql)(simAnnLsh),
     "sim3_near_dup" -> QueryDef.of(simNearDupSql)(simNearDup),
     "sim4_ann_ivf" -> QueryDef.of(simIvfSql)(simIvf),
