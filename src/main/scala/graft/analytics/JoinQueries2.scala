@@ -126,31 +126,52 @@ object JoinQueries2 {
       |  len(json_keys(props)) AS n_entries
       |FROM events""".stripMargin
 
-  /** Salt fan-out for [[j8SaltedJoin]]. At 100 TB you'd salt only the
-    * keys a hot-key survey (or AQE skew stats) flags; replicating the
-    * whole build side ×8 here keeps the demonstration deterministic. */
+  /** Salt fan-out for [[j8SaltedJoin]]'s hot branch. */
   private val SaltBuckets = 8
+  /** Probe-side rows-per-key at or above which a key counts as hot.
+    * (8+ items/order is the top ~5% of this corpus; production surveys
+    * set it from shuffle-partition size targets.) */
+  private val HotKeyThreshold = 8
 
-  /** J8: hand-salted skew join — the treatment for a hot join key that
-    * broadcast can't fix (both sides big) and AQE's in-partition
-    * splitting can't always reach. The probe side gets a deterministic
-    * salt from its OWN non-key attributes (never rand(): retries and
-    * speculative tasks must re-derive the same salt); the build side is
-    * replicated once per salt bucket; the join keys on (key, salt), so
-    * one hot orderkey's rows spread over [[SaltBuckets]] partitions
-    * instead of melting one reducer. The oracle is the UNSALTED join —
-    * proving the rewrite is result-identical. */
+  /** J8: skew-treated fact-fact join, the full production pattern —
+    * the treatment for hot join keys that broadcast can't fix (both
+    * sides big) and AQE's in-partition splitting can't always reach:
+    * 1. hot-key survey: one aggregate over the probe side's key,
+    *    keeping keys with ≥ [[HotKeyThreshold]] rows (a tiny set —
+    *    that is what makes them hot) broadcast everywhere;
+    * 2. hot branch: probe rows get a deterministic salt from their OWN
+    *    non-key attributes (never rand(): retries and speculative
+    *    tasks must re-derive the same salt); build rows replicate once
+    *    per bucket; the join keys on (key, salt), spreading each hot
+    *    key over [[SaltBuckets]] partitions;
+    * 3. cold branch: everything else joins plainly — no replication
+    *    cost where there is no skew;
+    * 4. union, then aggregate.
+    * The oracle is the straight unsalted join — proving the whole
+    * rewrite result-identical. */
   def j8SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val hot = li.groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= HotKeyThreshold)
+      .select($"l_orderkey".as("hk"))
+    val liHot = li.join(broadcast(hot), li("l_orderkey") === hot("hk"), "leftsemi")
       .withColumn("salt",
         pmod(hash($"l_linenumber", $"l_partkey"), lit(SaltBuckets)))
-    val ord = Tables(spark, dir, "orders")
-      .withColumn("salt",
-        explode(lit((0 until SaltBuckets).toArray)))
-    li.join(ord,
-        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
-      .groupBy(ord("o_orderpriority"))
+    val liCold = li.join(broadcast(hot), li("l_orderkey") === hot("hk"), "leftanti")
+    val ordHot = ord.join(broadcast(hot), ord("o_orderkey") === hot("hk"), "leftsemi")
+      .withColumn("salt", explode(lit((0 until SaltBuckets).toArray)))
+    val ordCold = ord.join(broadcast(hot), ord("o_orderkey") === hot("hk"), "leftanti")
+    val hotJoin = liHot.join(ordHot,
+        liHot("l_orderkey") === ordHot("o_orderkey") &&
+          liHot("salt") === ordHot("salt"))
+      .select(ordHot("o_orderpriority"), liHot("l_extendedprice"))
+    val coldJoin = liCold.join(ordCold,
+        liCold("l_orderkey") === ordCold("o_orderkey"))
+      .select(ordCold("o_orderpriority"), liCold("l_extendedprice"))
+    hotJoin.union(coldJoin)
+      .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         dsum($"l_extendedprice").as("sum_price"))
   }

@@ -131,12 +131,16 @@ class PlanSpec extends SparkSpec {
 
   test("j8: join keys carry the salt so a hot key spreads over buckets") {
     val p = planOf("j8_salted_join")
-    // the equi-join must key on (orderkey, salt) — salt in the join
-    // keys is what fans a skewed key across partitions (formatted
-    // explain lists them as "Left keys [..]: [l_orderkey…, salt…]")
-    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
-    assert(keyLines.nonEmpty && keyLines.forall(_.contains("salt")),
-      s"salt missing from join keys:\n${keyLines.mkString("\n")}")
+    // two-path treatment: the hot branch must key on (orderkey, salt);
+    // the cold branch joins plainly; the hot-key set broadcasts
+    val keyLines = p.linesIterator
+      .filter(l => l.contains("keys") && l.contains("orderkey")).toSeq
+    assert(keyLines.exists(_.contains("salt")),
+      s"hot branch missing salt in join keys:\n${keyLines.mkString("\n")}")
+    assert(keyLines.exists(!_.contains("salt")),
+      "cold branch should join without salt (no replication where no skew)")
+    assert(p.contains("BroadcastHashJoin"),
+      "hot-key set must broadcast for the semi/anti splits")
   }
 
   test("t_redact: redaction is one scan + one aggregate shuffle") {
