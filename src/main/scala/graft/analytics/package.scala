@@ -15,7 +15,15 @@ import org.apache.spark.sql.types.DecimalType
   * double space — again IEEE-identical on both engines.
   */
 package object analytics {
-  private val Dec = DecimalType(38, 9)
+  // Scale 6, not 9: the double→decimal conversion is only unambiguous
+  // while |x|·10^scale stays far inside double's 53-bit integer range.
+  // At scale 9 a ~5e4-magnitude addend needs 17 significant digits, so
+  // the two engines' conversions can round the 9th decimal differently
+  // (observed at sf0.1: q1/j2 sums drifting ~5e-7). At scale 6 every
+  // in-repo addend (money shapes: ≤6 exact decimal places, |x| < 1e9)
+  // converts exactly on both engines, keeping the summed result
+  // bit-identical at any scale factor.
+  private val Dec = DecimalType(38, 6)
 
   /** Order-insensitive exact sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast("double")
@@ -26,9 +34,9 @@ package object analytics {
 
   /** SQL twin of [[dsum]] for the DuckDB oracle. */
   def sqlDsum(e: String): String =
-    s"CAST(sum(CAST(($e) AS DECIMAL(38,9))) AS DOUBLE)"
+    s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE)"
 
   /** SQL twin of [[davg]]. */
   def sqlDavg(e: String): String =
-    s"CAST(sum(CAST(($e) AS DECIMAL(38,9))) AS DOUBLE) / count($e)"
+    s"CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS DOUBLE) / count($e)"
 }
