@@ -108,4 +108,35 @@ object EventStore {
   def writeDeadLetter(dead: DataFrame, warehouse: String, project: String): Unit =
     dead.write.mode("append")
       .parquet(s"$warehouse/$project/invalid_schema")
+
+  /** Small-files compaction — the maintenance job an append-only
+    * micro-batch store needs at scale: every ingest batch appends at
+    * least one file per touched partition, so a month accumulates
+    * thousands of KB-sized files and scan task scheduling (plus
+    * footer reads) comes to dominate query time. Rewrites one
+    * partition's files into `ceil(rows / rowsPerFile)` files and swaps
+    * the directory atomically-enough for a single-writer store (write
+    * aside, delete, rename). Runs per-partition so a 100 TB table
+    * compacts incrementally, month by month, without a full rewrite. */
+  def compactPartition(spark: SparkSession, warehouse: String,
+      project: String, collection: String, month: String,
+      rowsPerFile: Long = 1_000_000L): Int = {
+    val dir = s"${tablePath(warehouse, project, collection)}/_month=$month"
+    val src = new java.io.File(dir)
+    require(src.isDirectory, s"no such partition: $dir")
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val tmp = new java.io.File(s"$dir.compacting")
+    df.coalesce(files).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    // single-writer swap: the store is append-only and compaction is a
+    // maintenance window job (the reference's stores assume the same)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(src)
+    require(tmp.renameTo(src), s"rename failed: $tmp -> $src")
+    files
+  }
 }

@@ -1,0 +1,37 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Small-files compaction: many micro-batch appends → one compaction →
+  * fewer files, identical data, partition pruning intact. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction collapses micro-batch files and preserves data") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 12 micro-batches into the same month → ≥12 files in one partition
+    (0 until 12).foreach { b =>
+      val df = (0 until 50).map(i => (b * 50L + i, s"u${i % 7}"))
+        .toDF("event_id", "_user")
+        .withColumn("_time", lit(s"2026-01-${"%02d".format(b + 1)} 12:00:00").cast("timestamp"))
+      EventStore.write(df, warehouse, "demo", "pageview")
+    }
+    val partDir = new java.io.File(s"$warehouse/demo/pageview/_month=2026-01")
+    def parquetFiles() =
+      partDir.listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 12, s"expected ≥12 micro-batch files, saw $before")
+    val expected = spark.read.parquet(partDir.getAbsolutePath)
+      .select("event_id", "_user").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val nFiles = EventStore.compactPartition(spark, warehouse, "demo", "pageview",
+      month = "2026-01", rowsPerFile = 1_000_000L)
+    assert(nFiles == 1 && parquetFiles() == 1,
+      s"expected a single compacted file, saw ${parquetFiles()}")
+
+    val after = spark.read.parquet(partDir.getAbsolutePath)
+      .select("event_id", "_user").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == expected && after.size == 600)
+  }
+}
