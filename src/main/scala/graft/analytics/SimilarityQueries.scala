@@ -448,9 +448,123 @@ object SimilarityQueries {
        |  FROM e, q WHERE e.vec_id <> q.qid)
        |WHERE rank <= $KnnK""".stripMargin
 
+  /** SIM7: symmetric int8 quantization — the 4× memory lever that keeps
+    * a 100 TB ANN corpus in RAM: per-vector scale = max|x|/127, each
+    * component rounded to [-127, 127]. Rounding is floor(x + 0.5)
+    * (half-up via floor) because both engines' `floor` is IEEE-exact
+    * while their `round()` tie policies differ. Output: per-vector
+    * scale, an order-sensitive digest of the quantized codes (proving
+    * byte-identical codes across engines), and the max reconstruction
+    * error — which is also bounded-asserted, making the quality claim
+    * part of the oracle row. */
+  def sim7Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "embeddings")
+      .withColumn("maxabs", expr(
+        "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"))
+      .withColumn("scale", $"maxabs" / 127.0)
+      .withColumn("q", expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))"))
+      .withColumn("max_err", expr(
+        "array_max(zip_with(embedding, q, (v, c) -> abs(CAST(v AS DOUBLE) - c * scale)))"))
+      .select($"vec_id", $"scale",
+        md5(expr("array_join(transform(q, c -> CAST(c AS STRING)), ',')"))
+          .as("code_digest"),
+        ($"max_err" <= $"scale" * 0.5 + 1e-12).as("err_within_half_step"))
+  }
+
+  val sim7Sql: String =
+    """SELECT vec_id, maxabs / 127.0 AS scale,
+      |  md5(array_to_string(list_transform(embedding,
+      |    v -> CAST(floor(CAST(v AS DOUBLE) / (maxabs / 127.0) + 0.5) AS BIGINT)), ',')) AS code_digest,
+      |  list_max(list_transform(embedding,
+      |    v -> abs(CAST(v AS DOUBLE)
+      |      - CAST(floor(CAST(v AS DOUBLE) / (maxabs / 127.0) + 0.5) AS BIGINT) * (maxabs / 127.0))))
+      |    <= (maxabs / 127.0) * 0.5 + 1e-12 AS err_within_half_step
+      |FROM (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+      |  FROM embeddings)""".stripMargin
+
+  /** SIM8: ANN quality evaluation — recall@k of the banded-LSH
+    * candidate filter against exact brute-force ground truth, per
+    * query. This is the monitoring loop every production ANN deployment
+    * runs (the recall lever — band width / probe count — is tuned
+    * against exactly this number); expressing it as ONE query over the
+    * same corpus scan keeps the eval as cheap as the search. */
+  def sim8AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+      .withColumn("sig", signature($"embedding"))
+    val queries = emb.filter($"vec_id" < KnnQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        $"norm".as("qnorm"), $"sig".as("qsig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos",
+        expr(dotExpr("embedding", "qv")) / ($"norm" * $"qnorm"))
+    val exact = scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= KnnK)
+      .select($"qid", $"vec_id")
+    val shareBand = (0 until NumBands)
+      .map(b => expr(s"shiftright(sig ^ qsig, ${BandBits * b}) & ${(1 << BandBits) - 1}") === 0)
+      .reduce(_ || _)
+    val approx = scored.filter(shareBand)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= KnnK)
+      .select($"qid".as("aqid"), $"vec_id".as("avid"))
+    exact.join(approx,
+        exact("qid") === approx("aqid") && exact("vec_id") === approx("avid"),
+        "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("k"),
+        count($"avid").as("n_hit"),
+        (count($"avid").cast("double") / count(lit(1))).as("recall"))
+  }
+
+  val sim8Sql: String = {
+    val bandPred = (0 until NumBands)
+      .map(b => s"(xor(sig, qsig) >> ${BandBits * b}) & ${(1 << BandBits) - 1} = 0")
+      .mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm,
+       |    ${sqlSignature("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, norm AS qnorm, sig AS qsig
+       |  FROM e WHERE vec_id < $KnnQueries),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, e.sig, q.qsig,
+       |    ${sqlDot("e.embedding", "q.qv")} / (e.norm * q.qnorm) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.qid),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $KnnK),
+       |approx AS (
+       |  SELECT qid AS aqid, vec_id AS avid FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |    FROM scored WHERE $bandPred)
+       |  WHERE rank <= $KnnK)
+       |SELECT x.qid, count(*) AS k, CAST(count(a.avid) AS BIGINT) AS n_hit,
+       |  CAST(count(a.avid) AS DOUBLE) / count(*) AS recall
+       |FROM exact x LEFT JOIN approx a ON x.qid = a.aqid AND x.vec_id = a.avid
+       |GROUP BY x.qid""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
     "sim6_knn_join" -> QueryDef.of(sim6Sql)(sim6KnnJoin),
+    "sim7_quantize" -> QueryDef.of(sim7Sql)(sim7Quantize),
+    "sim8_ann_recall" -> QueryDef.of(sim8Sql)(sim8AnnRecall),
     "sim2_ann_lsh" -> QueryDef.of(simAnnSql)(simAnnLsh),
     "sim3_near_dup" -> QueryDef.of(simNearDupSql)(simNearDup),
     "sim4_ann_ivf" -> QueryDef.of(simIvfSql)(simIvf),
