@@ -129,14 +129,49 @@ object EventStore {
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
     val tmp = new java.io.File(s"$dir.compacting")
     df.coalesce(files).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    // single-writer swap: the store is append-only and compaction is a
-    // maintenance window job (the reference's stores assume the same)
+    swapDir(tmp, src)
+    files
+  }
+
+  /** Single-writer write-aside swap: the store is append-only and
+    * rewrites are maintenance-window jobs (the reference's stores
+    * assume the same). */
+  private def swapDir(tmp: java.io.File, dst: java.io.File): Unit = {
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmrf)
       f.delete(): Unit
     }
-    rmrf(src)
-    require(tmp.renameTo(src), s"rename failed: $tmp -> $src")
-    files
+    rmrf(dst)
+    require(tmp.renameTo(dst), s"rename failed: $tmp -> $dst")
+  }
+
+  /** Right-to-be-forgotten: physically remove one user's events from a
+    * collection. Partitions are surveyed first and only those actually
+    * containing the user are rewritten (for most users that is a
+    * handful of months, not the table); each rewrite is the same
+    * write-aside swap as compaction. Returns (partitions rewritten,
+    * rows deleted). The profile side is the op-log's job: append an
+    * unset-all tombstone and the merge folds the profile away. */
+  def deleteUser(spark: SparkSession, warehouse: String, project: String,
+      collection: String, userCol: String, userId: Any): (Int, Long) = {
+    val root = new java.io.File(tablePath(warehouse, project, collection))
+    require(root.isDirectory, s"no such table: $root")
+    val parts = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("_month="))
+    var rewritten = 0
+    var deleted = 0L
+    parts.foreach { part =>
+      val df = spark.read.parquet(part.getAbsolutePath)
+      val hits = df.filter(col(userCol) === lit(userId)).count()
+      if (hits > 0) {
+        val keep = df.filter(!(col(userCol) <=> lit(userId)))
+        val tmp = new java.io.File(s"${part.getAbsolutePath}.deleting")
+        keep.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        swapDir(tmp, part)
+        rewritten += 1
+        deleted += hits
+      }
+    }
+    (rewritten, deleted)
   }
 }

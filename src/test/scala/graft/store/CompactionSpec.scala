@@ -34,4 +34,30 @@ class CompactionSpec extends SparkSpec {
       .select("event_id", "_user").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(after == expected && after.size == 600)
   }
+
+  test("right-to-be-forgotten rewrites only the touched partitions") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-rtbf").toString
+    // u1 appears in Jan+Feb; u2 everywhere; March has no u1
+    for ((month, users) <- Seq("01" -> Seq("u1", "u2"), "02" -> Seq("u1", "u2"),
+        "03" -> Seq("u2", "u3"))) {
+      val df = users.zipWithIndex.map { case (u, i) => (month.toLong * 10 + i, u) }
+        .toDF("event_id", "_user")
+        .withColumn("_time", lit(s"2026-$month-05 09:00:00").cast("timestamp"))
+      EventStore.write(df, warehouse, "demo", "pageview")
+    }
+    val marchBefore = new java.io.File(s"$warehouse/demo/pageview/_month=2026-03")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+
+    val (parts, rows) = EventStore.deleteUser(
+      spark, warehouse, "demo", "pageview", "_user", "u1")
+    assert(parts == 2 && rows == 2)
+
+    val remaining = spark.read.parquet(s"$warehouse/demo/pageview")
+      .select("_user").distinct().collect().map(_.getString(0)).toSet
+    assert(remaining == Set("u2", "u3"))
+    // untouched partition was not rewritten
+    val marchAfter = new java.io.File(s"$warehouse/demo/pageview/_month=2026-03")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(marchAfter == marchBefore)
+  }
 }
