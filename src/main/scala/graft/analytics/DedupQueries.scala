@@ -70,7 +70,16 @@ object DedupQueries {
     * identical shuffles inside one plan; with the hash applied after the
     * distinct, the two branches pruned different columns and each paid
     * its own distinct shuffle — the round-1 double-work finding). */
-  private[analytics] def shingleHashes(docs: DataFrame): DataFrame = {
+  private[analytics] def shingleHashes(docs: DataFrame): DataFrame =
+    shingleHashesRaw(docs).distinct()
+
+  /** Same pairs WITHOUT the distinct shuffle — min(affine(h)) over a
+    * multiset equals min over the set, so the signature/banding path
+    * (d2, d5) skips set semantics entirely: its only shuffle is the
+    * per-doc signature aggregate. d4 keeps the distinct variant — its
+    * shingle COUNTS are set-cardinalities — and reuses that one
+    * exchange for both of its branches. */
+  private[analytics] def shingleHashesRaw(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .withColumn("toks", split($"text", " "))
@@ -79,7 +88,6 @@ object DedupQueries {
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("shingle"))
       .select($"doc_id", (hash60($"shingle") % lit(P31)).as("h"))
-      .distinct()
   }
 
   /** Banded LSH keys with the bucket-size cap applied:
@@ -116,7 +124,7 @@ object DedupQueries {
 
   /** D2 MinHash + LSH: 8-hash signature, 4 bands × 2 rows; docs sharing
     * a band bucket become candidate near-duplicate pairs. */
-  def d2From(docs: DataFrame): DataFrame = candidatePairs(shingleHashes(docs))
+  def d2From(docs: DataFrame): DataFrame = candidatePairs(shingleHashesRaw(docs))
 
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     d2From(Tables(spark, dir, "documents"))
@@ -261,7 +269,7 @@ object DedupQueries {
     * pattern (GraphX/GraphFrames CC does the same under the hood). */
   def d5From(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val pairs = candidatePairs(shingleHashes(docs))
+    val pairs = candidatePairs(shingleHashesRaw(docs))
     val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
       .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
       .localCheckpoint()

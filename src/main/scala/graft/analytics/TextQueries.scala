@@ -234,8 +234,29 @@ object TextQueries {
        |  list_min(winmins) AS min_fp
        |FROM wins""".stripMargin
 
+  /** T-VOCAB: corpus vocabulary by frequency — the first statistic a
+    * tokenizer-training / vocab-coverage pass computes. Partial
+    * aggregation keeps the shuffle at |vocab| (tiny vs corpus); the
+    * top-k is TakeOrderedAndProject with a total tie-break order so
+    * both engines emit the identical list. */
+  def tVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"tok")
+      .limit(50)
+  }
+
+  val tVocabSql: String =
+    """SELECT tok, count(*) AS freq FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t_tokens" -> QueryDef.of(tTokensSql)(tTokens),
+    "t_vocab" -> QueryDef.of(tVocabSql)(tVocab),
     "t_tokens_bpe" -> QueryDef.of(tTokensBpeSql)(tTokensBpe),
     "t_quality" -> QueryDef.of(tQualitySql)(tQuality),
     "t_langid" -> QueryDef.of(tLangIdSql)(tLangId),
