@@ -204,9 +204,11 @@ object CoreQueries {
       .withColumn("hour", date_trunc("hour", $"ts"))
     val hourly = ev.groupBy($"event_type", $"hour")
       .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
-    val cal = ev.agg(min($"hour").as("h0"), max($"hour").as("h1"))
+    // bounds and the type list both come from the (tiny) hourly
+    // aggregate, NOT the raw table — one corpus scan total
+    val cal = hourly.agg(min($"hour").as("h0"), max($"hour").as("h1"))
       .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
-    val types = ev.select($"event_type").distinct()
+    val types = hourly.select($"event_type").distinct()
     cal.crossJoin(types)
       .join(hourly, Seq("event_type", "hour"), "left")
       .select($"event_type", $"hour",

@@ -293,6 +293,11 @@ object DedupQueries {
       labels = next.select($"id", $"label")
       iter += 1
     }
+    // silently returning unconverged labels would split one real
+    // component into several "canonical survivors" — fail loudly
+    require(converged,
+      s"label propagation did not converge in $iter rounds (component " +
+        "diameter exceeds the cap — raise it or pre-split the graph)")
     labels.select($"id".as("doc_id"), $"label".as("cluster_id"))
   }
 

@@ -107,8 +107,25 @@ final class JsEngine(code: String, globals: Map[String, Any],
         case other => throw new JsException(s"JSON.$other is not supported")
       }
     },
-    "parseInt" -> hostFn(a => str(a.head).trim.takeWhile(c => c.isDigit || c == '-').toLong),
-    "parseFloat" -> hostFn(a => str(a.head).trim.toDouble),
+    // JS semantics: non-numeric input yields NaN, never an exception —
+    // a thrown NumberFormatException would escape the sandbox and kill
+    // the Spark task on one odd event value
+    "parseInt" -> hostFn { a =>
+      val s = str(a.head).trim
+      val neg = s.startsWith("-")
+      val digits = (if (neg || s.startsWith("+")) s.drop(1) else s)
+        .takeWhile(_.isDigit)
+      if (digits.isEmpty) Double.NaN
+      else if (neg) -digits.toLong else digits.toLong
+    },
+    "parseFloat" -> hostFn { a =>
+      val s = str(a.head).trim
+      scala.util.Try(s.toDouble).getOrElse {
+        // longest valid numeric prefix, as JS does
+        val m = "^[+-]?[0-9]*\\.?[0-9]+([eE][+-]?[0-9]+)?".r.findFirstIn(s)
+        m.map(_.toDouble).getOrElse(Double.NaN)
+      }
+    },
     "isNaN" -> hostFn(a => a.head match {
       case d: Double => java.lang.Double.isNaN(d)
       case _: Long => false

@@ -106,13 +106,19 @@ private[js] final class JsEventProxy(p: EventProxy, name: String)
   }
 }
 
+object JsCustomMapper {
+  /** Rows materialized per script invocation — the reference's
+    * per-request EventList batch, and the executor-memory bound. */
+  val ChunkRows = 1024
+}
+
 /** M7 with a JS body: `mapper(events, params, sourceIp, headers, sql,
-  * config)` invoked once per partition over an events iterator —
-  * exactly the reference's batch shape (one `mapper` call per
-  * EventList, CustomEventMapperHttpService.java:316-330). Produced
-  * fields are declared up front (`addFieldDependency` rule). Events the
-  * script drops are removed; rows the script never pulls pass through
-  * unchanged. */
+  * config)` invoked once per [[JsCustomMapper.ChunkRows]]-row chunk
+  * over an events iterator — the reference's batch shape (one `mapper`
+  * call per EventList, CustomEventMapperHttpService.java:316-330).
+  * Produced fields are declared up front (`addFieldDependency` rule).
+  * Events the script drops are removed; rows the script never pulls
+  * pass through unchanged. */
 final case class JsCustomMapper(
     override val name: String,
     collection: String,
@@ -139,32 +145,39 @@ final case class JsCustomMapper(
     val coll = collection
     val paramMap = params
     val stepBudget = maxSteps
+    val chunkRows = JsCustomMapper.ChunkRows
     val rows = df.rdd.mapPartitions { it =>
       val engine = JsCodeCompiler.createEngine(codeStr, maxSteps = stepBudget)
-      val pulled = mutable.ArrayBuffer.empty[EventProxy]
-      val rowIt = it.map { row =>
-        new EventProxy(coll,
-          inNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap)
-      }
-      val eventsProxy = new MiniJs.HostObject {
-        def invoke(m: String, a: Seq[Any]): Any = m match {
-          case "project" => "default"
-          case "events" => new MiniJs.HostObject {
-            def invoke(m2: String, a2: Seq[Any]): Any = m2 match {
-              case "hasNext" => rowIt.hasNext
-              case "next" =>
-                val p = rowIt.next(); pulled += p; new JsEventProxy(p, coll)
-              case other => throw new MiniJs.JsException(s"iterator.$other?")
-            }
-          }
-          case other => throw new MiniJs.JsException(s"events.$other is not supported")
+      // The script is invoked once per CHUNK, not per partition — the
+      // reference invokes it per request batch, and a whole production
+      // partition materialized as proxies would OOM the executor. Only
+      // chunkRows proxies are live at a time; the engine (compiled
+      // script) is reused across chunks.
+      it.grouped(chunkRows).flatMap { chunk =>
+        val proxies = chunk.map { row =>
+          new EventProxy(coll,
+            inNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap)
         }
+        val rowIt = proxies.iterator
+        val eventsProxy = new MiniJs.HostObject {
+          def invoke(m: String, a: Seq[Any]): Any = m match {
+            case "project" => "default"
+            case "events" => new MiniJs.HostObject {
+              def invoke(m2: String, a2: Seq[Any]): Any = m2 match {
+                case "hasNext" => rowIt.hasNext
+                case "next" => new JsEventProxy(rowIt.next(), coll)
+                case other => throw new MiniJs.JsException(s"iterator.$other?")
+              }
+            }
+            case other => throw new MiniJs.JsException(s"events.$other is not supported")
+          }
+        }
+        engine.invoke("mapper", eventsProxy, paramMap, "127.0.0.1",
+          Map.empty[String, Any], null, null)
+        // chunk order is row order, so visited-then-rest equals in-order
+        proxies.iterator.filterNot(_.dropped)
+          .map(p => Row.fromSeq(outNames.map(n => normalize(p.get(n)))))
       }
-      engine.invoke("mapper", eventsProxy, paramMap, "127.0.0.1",
-        Map.empty[String, Any], null, null)
-      // script-visited rows (mutated, minus drops), then any unpulled rest
-      (pulled.iterator.filterNot(_.dropped) ++ rowIt.filterNot(_.dropped))
-        .map(p => Row.fromSeq(outNames.map(n => normalize(p.get(n)))))
     }
     df.sparkSession.createDataFrame(rows, outSchema)
   }

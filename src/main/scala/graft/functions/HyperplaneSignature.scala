@@ -46,14 +46,19 @@ final case class HyperplaneSignature(
     var sig = 0L
     var b = 0
     while (b < plus.length) {
-      var s = 0.0d
+      // association order MUST match the Column/SQL twins exactly:
+      // (p0+p1+…) - (m0+m1+…), ONE subtraction — sequential s-=m_i
+      // rounds differently in IEEE-754 and can flip a near-zero sign
+      // bit between this expression and the DuckDB oracle
+      var ps = 0.0d
       val p = plus(b)
       var i = 0
-      while (i < p.length) { s += arr.getFloat(p(i)).toDouble; i += 1 }
+      while (i < p.length) { ps += arr.getFloat(p(i)).toDouble; i += 1 }
+      var ms = 0.0d
       val m = minus(b)
       i = 0
-      while (i < m.length) { s -= arr.getFloat(m(i)).toDouble; i += 1 }
-      if (s > 0.0d) sig |= (1L << b)
+      while (i < m.length) { ms += arr.getFloat(m(i)).toDouble; i += 1 }
+      if (ps - ms > 0.0d) sig |= (1L << b)
       b += 1
     }
     sig
@@ -66,22 +71,26 @@ final case class HyperplaneSignature(
       val sig = ctx.freshName("sig")
       val b = ctx.freshName("b")
       val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
+      val ps = ctx.freshName("ps")
+      val ms = ctx.freshName("ms")
       val p = ctx.freshName("p")
       val m = ctx.freshName("m")
+      // same association order as the Column/SQL twins:
+      // (p0+p1+…) - (m0+m1+…), one subtraction (see nullSafeEval)
       s"""
          |long $sig = 0L;
          |for (int $b = 0; $b < $plusRef.length; $b++) {
-         |  double $s = 0.0d;
+         |  double $ps = 0.0d;
          |  int[] $p = $plusRef[$b];
          |  for (int $i = 0; $i < $p.length; $i++) {
-         |    $s += (double) $arr.getFloat($p[$i]);
+         |    $ps += (double) $arr.getFloat($p[$i]);
          |  }
+         |  double $ms = 0.0d;
          |  int[] $m = $minusRef[$b];
          |  for (int $i = 0; $i < $m.length; $i++) {
-         |    $s -= (double) $arr.getFloat($m[$i]);
+         |    $ms += (double) $arr.getFloat($m[$i]);
          |  }
-         |  if ($s > 0.0d) $sig |= (1L << $b);
+         |  if ($ps - $ms > 0.0d) $sig |= (1L << $b);
          |}
          |${ev.value} = $sig;
          |""".stripMargin

@@ -36,15 +36,21 @@ object BatchSources {
     * `api.api_key` the context, `collection` the collection; everything
     * else is ignored. Returns None when no collection param is present. */
   def pixelToEventJson(query: String): Option[String] = {
-    val params = query.stripPrefix("?").split('&').iterator
-      .filter(_.nonEmpty)
-      .map { kv =>
-        val i = kv.indexOf('=')
-        val k = if (i < 0) kv else kv.substring(0, i)
-        val v = if (i < 0) "" else kv.substring(i + 1)
-        java.net.URLDecoder.decode(k, "UTF-8") ->
-          java.net.URLDecoder.decode(v, "UTF-8")
-      }.toSeq
+    // a malformed percent-escape (bots emit them routinely) must drop
+    // THIS hit, not fail the executor task and poison the whole batch
+    val decoded = Try {
+      query.stripPrefix("?").split('&').iterator
+        .filter(_.nonEmpty)
+        .map { kv =>
+          val i = kv.indexOf('=')
+          val k = if (i < 0) kv else kv.substring(0, i)
+          val v = if (i < 0) "" else kv.substring(i + 1)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toSeq
+    }
+    if (decoded.isFailure) return None
+    val params = decoded.get
     val root = mapper.createObjectNode()
     val props = root.putObject("properties")
     val api = root.putObject("api")
@@ -176,16 +182,19 @@ object BatchSources {
     val env = parseEnvelope(body)
     val checked = env.events.zipWithIndex.map { case (e, i) =>
       val node = mapper.readTree(e)
+      // `properties` must be PRESENT and an object — the reference
+      // throws "properties is null" on absence
+      // (JsonEventDeserializer.java:315,340)
       val ok = node.isObject &&
         Option(node.get("collection")).exists(_.isTextual) &&
-        Option(node.get("properties")).forall(_.isObject)
-      (e, i, ok)
+        Option(node.get("properties")).exists(_.isObject)
+      (e, node, i, ok)
     }
-    val failed = checked.collect { case (_, i, false) => i }
+    val failed = checked.collect { case (_, _, i, false) => i }
     // excluded collections are ignored, not failed (P2 at the batch door)
     val good = checked.collect {
-      case (e, _, true) if !excludedCollections.contains(
-        mapper.readTree(e).get("collection").asText().toLowerCase) => withApi(e, env)
+      case (e, node, _, true) if !excludedCollections.contains(
+        node.get("collection").asText().toLowerCase) => withApi(e, env)
     }
     val res = JsonIngest.ingest(spark, registry, project,
       spark.sparkContext.parallelize(good, math.max(1, good.size / 5000 + 1)))

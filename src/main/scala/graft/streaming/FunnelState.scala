@@ -68,7 +68,13 @@ object FunnelState {
             }
             if (p.step > 0) {
               state.update(p)
-              state.setTimeoutTimestamp(p.startMs + windowMs)
+              // the deadline may already be behind the watermark (a
+              // non-advancing event arrived after the window closed) —
+              // Spark rejects a timeout below the watermark, so clamp
+              // forward: the state then expires on the next batch
+              state.setTimeoutTimestamp(
+                math.max(p.startMs + windowMs,
+                  state.getCurrentWatermarkMs() + 1))
             } else if (state.exists) {
               state.remove()
             }

@@ -88,6 +88,20 @@ class JsEngineSpec extends SparkSpec {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("parseInt/parseFloat return NaN on junk, never throw (JS semantics)") {
+    def isNaN(v: Any) = v match {
+      case d: Double => java.lang.Double.isNaN(d); case _ => false
+    }
+    assert(run("function f(s) { return parseInt(s); }", "f", "42abc") == 42L)
+    assert(run("function f(s) { return parseInt(s); }", "f", "-7") == -7L)
+    assert(isNaN(run("function f(s) { return parseInt(s); }", "f", "abc")))
+    assert(isNaN(run("function f(s) { return parseInt(s); }", "f", "")))
+    assert(run("function f(s) { return parseFloat(s); }", "f", "2.5x") == 2.5)
+    assert(isNaN(run("function f(s) { return parseFloat(s); }", "f", "x")))
+    // the in-language guard works on the results
+    assert(run("function f(s) { return isNaN(parseInt(s)); }", "f", "nope") == true)
+  }
+
   test("JsCustomMapper: events proxy get/set/setOnce/drop over a DataFrame") {
     import spark.implicits._
     val df = Seq(

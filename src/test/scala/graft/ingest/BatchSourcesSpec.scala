@@ -23,6 +23,9 @@ class BatchSourcesSpec extends SparkSpec {
     assert(props.get("ignored") == null)
     // no collection param → no event
     assert(pixelToEventJson("prop.x=1").isEmpty)
+    // malformed percent-escapes (bot traffic) drop the hit, never throw
+    assert(pixelToEventJson("collection=c&prop.x=%zz").isEmpty)
+    assert(pixelToEventJson("collection=c&prop.x=abc%").isEmpty)
   }
 
   test("envelope: order-independent api/events, invalid property rejected (S2)") {
@@ -70,11 +73,14 @@ class BatchSourcesSpec extends SparkSpec {
         |   {"properties": {"missing": "collection"}},
         |   {"collection": "excluded_one", "properties": {"b": 2}},
         |   "not-an-object",
+        |   {"collection": "no_properties"},
         |   {"collection": "good", "properties": {"a": 2}}
         | ]}""".stripMargin
     val out = batchIngest(spark, registry, "p", body,
       excludedCollections = Set("excluded_one"))
-    assert(out.failedIndexes == Seq(1, 3))
+    // missing properties fails its index too — the reference throws
+    // "properties is null" (JsonEventDeserializer.java:340)
+    assert(out.failedIndexes == Seq(1, 3, 4))
     assert(out.result.byCollection("good").count() == 2)
     assert(!out.result.byCollection.contains("excluded_one"))
     out.result.unpersist()

@@ -63,6 +63,30 @@ class FunnelStateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a non-advancing event after the window closed cannot kill the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val out = FunnelState.track(mem.toDS(), steps, windowMs = 600 * 1000)
+    val q = out.writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev("u9", 0, "view"))
+      q.processAllAvailable()
+      // another user's event drives the watermark far past u9's deadline
+      mem.addData(ev("zz", 4000, "view"))
+      q.processAllAvailable()
+      // u9 sends a non-advancing event (out of window): the state's
+      // deadline is now BEHIND the watermark — setting it verbatim
+      // throws and kills the query; the clamp defers to watermark+1
+      mem.addData(ev("u9", 4100, "purchase"))
+      q.processAllAvailable()
+      mem.addData(ev("zz", 4200, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_late").as[FunnelResult].collect()
+      assert(rows.exists(r => r.user == "u9" && !r.completed && r.steps_reached == 1))
+    } finally q.stop()
+  }
+
   test("batch parity: the same fold on a static dataset reproduces A6 step counts") {
     val events = Seq(
       // u1 completes; u2 stops at click; u3 only views; u4 wrong order
