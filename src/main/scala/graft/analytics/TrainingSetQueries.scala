@@ -269,9 +269,39 @@ object TrainingSetQueries {
        |FROM events GROUP BY event_type""".stripMargin
   }
 
+  /** DS3: deterministic corpus shuffle — the pre-epoch ordering every
+    * training run needs: order by a salted content hash, so the
+    * permutation is reproducible (resume mid-epoch, re-run a failed
+    * job, audit what the model saw) and changes per epoch by salt. At
+    * scale the full shuffle is `repartitionByRange(pos_key)` +
+    * `sortWithinPartitions` writing the epoch out — no single-partition
+    * sort anywhere; the oracle-checked head here is TakeOrdered (heap,
+    * not total sort). */
+  def ds3Shuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        DedupQueries.hash60(concat($"doc_id".cast("string"), lit("|epoch0")))
+          .as("pos_key"))
+    val head = keyed.orderBy($"pos_key", $"doc_id").limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"pos_key", $"doc_id")
+    head.withColumn("position", row_number().over(w).cast("long"))
+  }
+
+  val ds3Sql: String =
+    s"""SELECT doc_id, source, pos_key,
+       |  row_number() OVER (ORDER BY pos_key, doc_id) AS position
+       |FROM (
+       |  SELECT doc_id, source,
+       |    ${DedupQueries.sqlHash60("CAST(doc_id AS VARCHAR) || '|epoch0'")} AS pos_key
+       |  FROM documents
+       |  ORDER BY pos_key, doc_id LIMIT 100)""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
     "ds2_mixture" -> QueryDef.of(ds2Sql)(ds2Mixture),
+    "ds3_shuffle" -> QueryDef.of(ds3Sql)(ds3Shuffle),
     "d6_decontaminate" -> QueryDef.of(d6Sql)(d6Decontaminate),
     "t_repetition" -> QueryDef.of(tRepetitionSql)(tRepetition),
     "t_redact" -> QueryDef.of(tRedactSql)(tRedact)

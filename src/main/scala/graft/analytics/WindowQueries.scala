@@ -118,7 +118,42 @@ object WindowQueries {
       |INTERSECT SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
       |EXCEPT SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'""".stripMargin
 
+  /** W7: user decile segmentation — ntile over lifetime spend, the
+    * growth-analytics cut ("what do my top-10% users do"). The ranking
+    * input is the per-user aggregate (|users| rows, tiny next to the
+    * corpus), so the single-partition ntile window ranks an already-
+    * reduced table — the 100 TB-safe formulation. Total tie-break
+    * (spend, user_id) keeps tile boundaries engine-identical. */
+  def w7Deciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(dsum($"value").as("total_spend"), count(lit(1)).as("n_events"))
+    val w = Window.orderBy($"total_spend".desc, $"user_id")
+    spend
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"),
+        dsum($"total_spend").as("decile_spend"),
+        min($"total_spend").as("min_spend"),
+        max($"total_spend").as("max_spend"))
+  }
+
+  val w7Sql: String =
+    s"""SELECT decile, count(*) AS n_users,
+       |  ${sqlDsum("total_spend")} AS decile_spend,
+       |  min(total_spend) AS min_spend, max(total_spend) AS max_spend
+       |FROM (
+       |  SELECT user_id, total_spend,
+       |    ntile(10) OVER (ORDER BY total_spend DESC, user_id) AS decile
+       |  FROM (
+       |    SELECT user_id, ${sqlDsum("value")} AS total_spend,
+       |      count(*) AS n_events
+       |    FROM events GROUP BY user_id))
+       |GROUP BY decile""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "w7_user_deciles" -> QueryDef.of(w7Sql)(w7Deciles),
     "w1_topk_per_user" -> QueryDef.of(w1Sql)(w1TopK),
     "w2_lag_gap" -> QueryDef.of(w2Sql)(w2Lag),
     "w3_running_sum" -> QueryDef.of(w3Sql)(w3Running),
