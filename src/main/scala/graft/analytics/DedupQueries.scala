@@ -273,8 +273,13 @@ object DedupQueries {
     val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
       .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
       .localCheckpoint()
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("label")).localCheckpoint()
+    // seed with min(self, direct neighbours) — exactly round 1's
+    // output computed in ONE aggregation, saving a full join round
+    // (edges are symmetric, so every node appears as src)
+    var labels = edges.groupBy($"src".as("id"))
+      .agg(min($"dst").as("mindst"))
+      .select($"id", least($"id", $"mindst").as("label"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 100) {
