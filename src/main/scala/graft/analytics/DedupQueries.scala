@@ -28,6 +28,16 @@ object DedupQueries {
   def sqlHash60(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** The PRODUCTION shingle hash: codegen'd xxhash64, no hex string
+    * round-trip — several times cheaper per shingle than md5 at corpus
+    * scale, but engine-specific, so the oracle-checked queries stay on
+    * [[hash60]]. Folded into the MinHash field (nonneg mod p) it is a
+    * drop-in: ShingleHashSpec proves the whole LSH pipeline's
+    * GUARANTEE (exact duplicates are always candidates; clusters of
+    * copies stay clusters) holds under either hash. */
+  def shingleHashProd(c: Column): Column =
+    pmod(xxhash64(c), lit(P31))
+
   /** D1 exact dedup: group identical texts, keep the smallest doc_id as
     * canonical. One shuffle on a 60-bit-ish key (md5 hex), map-side
     * partial aggregation keeps the shuffle at |distinct texts|. */
@@ -79,7 +89,8 @@ object DedupQueries {
     * per-doc signature aggregate. d4 keeps the distinct variant — its
     * shingle COUNTS are set-cardinalities — and reuses that one
     * exchange for both of its branches. */
-  private[analytics] def shingleHashesRaw(docs: DataFrame): DataFrame = {
+  private[analytics] def shingleHashesRaw(docs: DataFrame,
+      hashFn: Column => Column = c => hash60(c) % lit(P31)): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .withColumn("toks", split($"text", " "))
@@ -87,7 +98,7 @@ object DedupQueries {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("shingle"))
-      .select($"doc_id", (hash60($"shingle") % lit(P31)).as("h"))
+      .select($"doc_id", hashFn($"shingle").as("h"))
   }
 
   /** Banded LSH keys with the bucket-size cap applied:
