@@ -1,0 +1,91 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The parameterized analytics surface — the oracle-proven query shapes
+  * of `graft.analytics` generalized over any events DataFrame (caller
+  * names the user/time/type columns, steps, grains). These are what an
+  * application calls; the `analytics` registry entries are these shapes
+  * instantiated on the test corpus and hash-verified against DuckDB.
+  * Every builder keeps the scale posture of its proven twin: windows
+  * over (user, ts), no self-joins, aggregates with map-side partials.
+  */
+object Analytics {
+
+  /** Segmentation: time-bucketed counts/sums per dimension. */
+  def segmentation(events: DataFrame, tsCol: String, grain: String,
+      dims: Seq[String], valueCol: Option[String] = None): DataFrame = {
+    val byCols = date_trunc(grain, col(tsCol)).as("bucket") +: dims.map(col)
+    val aggs = count(lit(1)).as("n_events") +:
+      valueCol.toSeq.map(v => graft.analytics.dsum(col(v)).as(s"sum_$v"))
+    events.groupBy(byCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Ordered-step funnel: users reaching step k (earliest completion
+    * time per step, strictly after the previous step). */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("t"))
+    val first = ev.filter(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("tprev"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("et") === step)
+        .join(prev, "u").filter(col("t") > col("tprev"))
+        .groupBy(col("u")).agg(min(col("t")).as("tprev"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), col("n_users"))
+    }.reduce(_.union(_))
+  }
+
+  /** First-seen cohort retention matrix at the given grain. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      grain: String = "week"): DataFrame = {
+    val grainMicros = grain match {
+      case "week" => 604800000000L
+      case "day" => 86400000000L
+      case other => throw new IllegalArgumentException(s"grain: $other")
+    }
+    val cohort = events.groupBy(col(userCol))
+      .agg(date_trunc(grain, min(col(tsCol))).as("cohort_bucket"))
+    val active = events
+      .select(col(userCol), date_trunc(grain, col(tsCol)).as("active_bucket"))
+      .distinct()
+    active.join(cohort, userCol)
+      .withColumn("offset",
+        expr(s"(unix_micros(CAST(active_bucket AS TIMESTAMP)) - " +
+          s"unix_micros(CAST(cohort_bucket AS TIMESTAMP))) DIV $grainMicros"))
+      .groupBy(col("cohort_bucket"), col("offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Gap-based sessionization: per-user session and event counts. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      gap: String = "30 minutes",
+      tieBreak: Option[String] = None): DataFrame = {
+    val order: Seq[Column] = col(tsCol) +: tieBreak.toSeq.map(col)
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col(tsCol) > col("prev_ts") + expr(s"INTERVAL $gap"), 1L)
+          .otherwise(0L))
+      .groupBy(col(userCol))
+      .agg(sum(col("new_sess")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Top-k rows per group by the given ordering. */
+  def topKPerGroup(df: DataFrame, groupCol: String, k: Int,
+      order: Column*): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.api
+
+import graft.{SparkSpec, Tables}
+import graft.analytics.{BehavioralQueries, CoreQueries, WindowQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The parameterized facade must reproduce the oracle-proven registry
+  * shapes when instantiated with the test corpus's parameters — parity
+  * here means every facade call inherits the DuckDB verification. */
+class AnalyticsSpec extends SparkSpec {
+
+  private def rows(df: DataFrame) =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private lazy val events = Tables(spark, sf(), "events")
+
+  test("funnel(view,click,purchase) == oracle-proven a6") {
+    val api = Analytics.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    assert(rows(api) == rows(BehavioralQueries.a6Funnel(spark, sf())))
+  }
+
+  test("retention(week) == oracle-proven a7") {
+    val api = Analytics.retention(events, "user_id", "ts", "week")
+      .withColumnRenamed("cohort_bucket", "cohort_week")
+      .withColumnRenamed("offset", "week_offset")
+    assert(rows(api) == rows(BehavioralQueries.a7Retention(spark, sf())))
+  }
+
+  test("sessionize(30 minutes) == oracle-proven w2") {
+    val api = Analytics.sessionize(events, "user_id", "ts",
+      gap = "30 minutes", tieBreak = Some("event_id"))
+    assert(rows(api) == rows(BehavioralQueries.w2Sessionize(spark, sf())))
+  }
+
+  test("segmentation(day × event_type) == oracle-proven a4") {
+    val api = Analytics.segmentation(events, "ts", "day",
+      Seq("event_type"), valueCol = Some("value"))
+      .withColumnRenamed("bucket", "day")
+      .withColumnRenamed("sum_value", "sum_value")
+    val reg = CoreQueries.a4Segmentation(spark, sf())
+    assert(api.count() == reg.count())
+    // column orders differ; compare the shared projection
+    assert(rows(api.select("day", "event_type", "n_events")) ==
+      rows(reg.select(col("day"), col("event_type"), col("n_events"))))
+  }
+
+  test("topKPerGroup == oracle-proven w1 shape") {
+    val api = Analytics.topKPerGroup(
+      events.select("user_id", "event_id", "ts"), "user_id", 3,
+      col("ts").desc, col("event_id").desc)
+      .select("user_id", "event_id", "rank")
+    val reg = WindowQueries.w1TopK(spark, sf())
+      .select(col("user_id"), col("event_id"), col("rn").as("rank"))
+    assert(rows(api) == rows(reg))
+  }
+}
