@@ -1,0 +1,88 @@
+package graft.api
+
+import graft.analytics.DedupQueries
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The training-set construction surface generalized over any corpus
+  * DataFrame — what a data-pipeline application calls. Each builder is
+  * the oracle-proven registry shape with the corpus/columns as
+  * parameters; TrainingSetSpec pins the instantiations to their
+  * verified twins. Scale posture matches the registry queries: hash
+  * filters evaluate scan-side, benchmark gram sets broadcast, pair work
+  * stays candidate-bounded (see SCALE.md). */
+object TrainingSet {
+
+  private def std(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Exact dedup: one row per distinct text with its copy count and
+    * canonical (minimum) id. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    std(docs, idCol, textCol)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+
+  /** MinHash-LSH near-duplicate candidate pairs (banded, bucket-capped). */
+  def nearDupCandidates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    DedupQueries.d2From(std(docs, idCol, textCol))
+
+  /** Near-duplicate clusters: connected components over the candidate
+    * graph, labelled by canonical minimum id. */
+  def dedupClusters(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    DedupQueries.d5From(std(docs, idCol, textCol))
+
+  /** n-gram-Jaccard-verified candidate pairs (score per pair). */
+  def verifiedNearDups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    DedupQueries.d4From(std(docs, idCol, textCol))
+
+  /** Benchmark decontamination with an EXPLICIT eval set: flags every
+    * corpus row sharing at least one n-gram with the benchmark. The
+    * benchmark's gram set is distinct-ed and broadcast (eval sets are
+    * MBs; corpora are TBs), so the corpus never shuffles by gram.
+    * Returns the corpus columns plus a `contaminated` flag — filter on
+    * it to drop, or aggregate it to audit. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(docs: DataFrame): DataFrame =
+      std(docs, idCol, textCol)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
+          .as("gram"))
+        .select(col("doc_id"), DedupQueries.hash60(col("gram")).as("h"))
+    val benchGrams = grams(benchmark).select(col("h")).distinct()
+    val hit = grams(corpus)
+      .join(broadcast(benchGrams), Seq("h"), "leftsemi")
+      .select(col("doc_id").as(idCol)).distinct()
+      .withColumn("__hit", lit(true))
+    corpus.join(hit, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
+  /** Deterministic stratified sampling: keep rows whose content-stable
+    * hash bucket falls under the stratum's percentage — reproducible
+    * across runs, retries, and engines (rand() is none of those). */
+  def sample(docs: DataFrame, idCol: String, stratumCol: String,
+      ratesPercent: Map[String, Int], defaultPercent: Int = 0): DataFrame = {
+    val rate = ratesPercent.foldRight(lit(defaultPercent)) {
+      case ((stratum, r), rest) =>
+        when(col(stratumCol) === stratum, lit(r)).otherwise(rest)
+    }
+    docs.filter(
+      DedupQueries.hash60(col(idCol).cast("string")) % 100 < rate)
+  }
+
+  /** Reproducible epoch ordering: a salted content-hash position key.
+    * Write the epoch with `repartitionByRange($"pos_key")` +
+    * `sortWithinPartitions` — a deterministic global shuffle with no
+    * single-partition sort. */
+  def epochShuffle(docs: DataFrame, idCol: String, salt: String): Column =
+    DedupQueries.hash60(concat(col(idCol).cast("string"), lit("|" + salt)))
+}
