@@ -68,7 +68,7 @@ object DedupQueries {
     * h_j(s) = (A_j·h(s) + B_j) mod p, p = 2³¹−1. One md5 per shingle
     * instead of 8 — at corpus scale hashing dominates the signature
     * stage, so the family costs 8 multiplies instead of 8 digests. */
-  private val P31 = 2147483647L
+  private[analytics] val P31 = 2147483647L
   private val hashA = Seq(912862454L, 1681692777L, 1714636915L, 1957747793L,
     424238335L, 719885386L, 1649760492L, 596516649L)
   private val hashB = Seq(1189641421L, 1025202362L, 1350490027L, 783368690L,

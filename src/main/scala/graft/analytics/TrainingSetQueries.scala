@@ -113,7 +113,7 @@ object TrainingSetQueries {
     * gram set selective enough to be a meaningful test. */
   private val decontamN = 5
 
-  private def gramHashes(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def gramHashes(docs: DataFrame, n: Int): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .withColumn("toks", split($"text", " "))

@@ -43,12 +43,16 @@ object Analytics {
     }.reduce(_.union(_))
   }
 
-  /** First-seen cohort retention matrix at the given grain. */
+  /** First-seen cohort retention matrix at the given grain. Offsets
+    * are CALENDAR differences (datediff of the truncated buckets), so
+    * they stay correct across DST transitions in any session timezone —
+    * a fixed micros-per-grain division would miscount the 23/25-hour
+    * days around a transition. */
   def retention(events: DataFrame, userCol: String, tsCol: String,
       grain: String = "week"): DataFrame = {
-    val grainMicros = grain match {
-      case "week" => 604800000000L
-      case "day" => 86400000000L
+    val grainDays = grain match {
+      case "week" => 7
+      case "day" => 1
       case other => throw new IllegalArgumentException(s"grain: $other")
     }
     val cohort = events.groupBy(col(userCol))
@@ -58,16 +62,19 @@ object Analytics {
       .distinct()
     active.join(cohort, userCol)
       .withColumn("offset",
-        expr(s"(unix_micros(CAST(active_bucket AS TIMESTAMP)) - " +
-          s"unix_micros(CAST(cohort_bucket AS TIMESTAMP))) DIV $grainMicros"))
+        (datediff(col("active_bucket").cast("date"),
+          col("cohort_bucket").cast("date")) / grainDays).cast("long"))
       .groupBy(col("cohort_bucket"), col("offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 
-  /** Gap-based sessionization: per-user session and event counts. */
+  /** Gap-based sessionization: per-user session and event counts.
+    * `tieBreak` is REQUIRED (pass None explicitly only when `tsCol` is
+    * provably unique per user): without a total order, timestamp ties
+    * make `lag` — and therefore session counts — nondeterministic
+    * across runs. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
-      gap: String = "30 minutes",
-      tieBreak: Option[String] = None): DataFrame = {
+      gap: String, tieBreak: Option[String]): DataFrame = {
     val order: Seq[Column] = col(tsCol) +: tieBreak.toSeq.map(col)
     val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
     events
@@ -81,9 +88,13 @@ object Analytics {
         count(lit(1)).as("n_events"))
   }
 
-  /** Top-k rows per group by the given ordering. */
+  /** Top-k rows per group by the given ordering. The row number is
+    * appended as `rank`; a pre-existing `rank` column is rejected
+    * rather than silently overwritten. */
   def topKPerGroup(df: DataFrame, groupCol: String, k: Int,
       order: Column*): DataFrame = {
+    require(!df.columns.contains("rank"),
+      "input already has a 'rank' column — rename it before topKPerGroup")
     val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
     df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

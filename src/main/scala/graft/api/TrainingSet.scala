@@ -45,17 +45,13 @@ object TrainingSet {
     * benchmark's gram set is distinct-ed and broadcast (eval sets are
     * MBs; corpora are TBs), so the corpus never shuffles by gram.
     * Returns the corpus columns plus a `contaminated` flag — filter on
-    * it to drop, or aggregate it to audit. */
+    * it to drop, or aggregate it to audit. Gram hashing is the ONE
+    * registry implementation (`TrainingSetQueries.gramHashes`), so the
+    * oracle-proven tokenization can never drift from the facade. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def grams(docs: DataFrame): DataFrame =
-      std(docs, idCol, textCol)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= n)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
-          .as("gram"))
-        .select(col("doc_id"), DedupQueries.hash60(col("gram")).as("h"))
+      graft.analytics.TrainingSetQueries.gramHashes(std(docs, idCol, textCol), n)
     val benchGrams = grams(benchmark).select(col("h")).distinct()
     val hit = grams(corpus)
       .join(broadcast(benchGrams), Seq("h"), "leftsemi")
@@ -79,10 +75,11 @@ object TrainingSet {
       DedupQueries.hash60(col(idCol).cast("string")) % 100 < rate)
   }
 
-  /** Reproducible epoch ordering: a salted content-hash position key.
-    * Write the epoch with `repartitionByRange($"pos_key")` +
-    * `sortWithinPartitions` — a deterministic global shuffle with no
-    * single-partition sort. */
-  def epochShuffle(docs: DataFrame, idCol: String, salt: String): Column =
-    DedupQueries.hash60(concat(col(idCol).cast("string"), lit("|" + salt)))
+  /** Reproducible epoch ordering: appends a salted content-hash
+    * `pos_key` column. Write the epoch with
+    * `repartitionByRange($"pos_key")` + `sortWithinPartitions` — a
+    * deterministic global shuffle with no single-partition sort. */
+  def epochShuffle(docs: DataFrame, idCol: String, salt: String): DataFrame =
+    docs.withColumn("pos_key",
+      DedupQueries.hash60(concat(col(idCol).cast("string"), lit("|" + salt))))
 }

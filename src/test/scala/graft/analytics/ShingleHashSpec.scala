@@ -12,8 +12,9 @@ class ShingleHashSpec extends SparkSpec {
   import spark.implicits._
 
   private def candidatesWith(hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
-    // corpus with planted exact-duplicate families
-    val docs = Tables(spark, sf(), "documents").limit(60)
+    // corpus with planted exact-duplicate families (deterministic id
+    // filter, not limit() — a limit over a parquet scan has no order)
+    val docs = Tables(spark, sf(), "documents").filter($"doc_id" < 60)
     val dup1 = docs.filter($"doc_id" === 0)
       .select(($"doc_id" + 100000).as("doc_id"), $"text", $"lang", $"source", $"n_chars")
     val dup2 = docs.filter($"doc_id" === 7)
@@ -24,7 +25,7 @@ class ShingleHashSpec extends SparkSpec {
   }
 
   test("exact duplicates are candidates under md5 AND xxhash64 paths") {
-    val md5Pairs = candidatesWith(c => DedupQueries.hash60(c) % lit(2147483647L))
+    val md5Pairs = candidatesWith(c => DedupQueries.hash60(c) % lit(DedupQueries.P31))
     val xxPairs = candidatesWith(DedupQueries.shingleHashProd)
     for (pairs <- Seq(md5Pairs, xxPairs)) {
       assert(pairs.contains((0L, 100000L)), "duplicate of doc 0 not a candidate")

@@ -34,16 +34,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows(api) == rows(BehavioralQueries.w2Sessionize(spark, sf())))
   }
 
-  test("segmentation(day × event_type) == oracle-proven a4") {
+  test("segmentation(day × event_type) == oracle-proven a4, sum included") {
     val api = Analytics.segmentation(events, "ts", "day",
       Seq("event_type"), valueCol = Some("value"))
       .withColumnRenamed("bucket", "day")
-      .withColumnRenamed("sum_value", "sum_value")
     val reg = CoreQueries.a4Segmentation(spark, sf())
     assert(api.count() == reg.count())
-    // column orders differ; compare the shared projection
-    assert(rows(api.select("day", "event_type", "n_events")) ==
-      rows(reg.select(col("day"), col("event_type"), col("n_events"))))
+    // the facade doesn't compute n_users; every shared column —
+    // including the decimal-funneled sum — must coincide exactly
+    assert(rows(api.select("day", "event_type", "n_events", "sum_value")) ==
+      rows(reg.select("day", "event_type", "n_events", "sum_value")))
   }
 
   test("topKPerGroup == oracle-proven w1 shape") {

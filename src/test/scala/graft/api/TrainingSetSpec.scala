@@ -46,8 +46,7 @@ class TrainingSetSpec extends SparkSpec {
   }
 
   test("epochShuffle key matches ds3's ordering") {
-    val keyed = docs
-      .withColumn("pos_key", TrainingSet.epochShuffle(docs, "doc_id", "epoch0"))
+    val keyed = TrainingSet.epochShuffle(docs, "doc_id", "epoch0")
       .orderBy(col("pos_key"), col("doc_id")).limit(100)
       .select(col("doc_id"), col("pos_key"))
     val reg = TrainingSetQueries.ds3Shuffle(spark, sf())
