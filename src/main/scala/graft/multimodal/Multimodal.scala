@@ -97,6 +97,24 @@ object Multimodal {
     rows.join(media.select(col("doc_id"), col("meta")), "doc_id")
   }
 
+  /** Resize stage for spatial media: bounds the payload at the target
+    * size and rewrites the size metadata in the same projection. The
+    * STUB transform is a prefix slice (a real implementation decodes,
+    * scales, re-encodes — the column contract is identical: binary in,
+    * binary out, metadata updated alongside). Pure scan-side substring/
+    * map ops: no shuffle, codegen-friendly, O(payload). */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame =
+    media
+      .withColumn("__n", length(col("bytes")))
+      .withColumn("__resized",
+        expr(s"substring(bytes, 1, $targetBytes)"))
+      .withColumn("meta",
+        map_concat(col("meta"), map(
+          lit("orig_bytes"), col("__n").cast("string"),
+          lit("resized_bytes"), length(col("__resized")).cast("string"))))
+      .withColumn("bytes", col("__resized"))
+      .drop("__n", "__resized")
+
   /** Frame sampling for time-based media (video/audio): one row per
     * sampled frame offset; a real decoder would slice the payload at
     * the container level — the explode shape and per-frame keys are

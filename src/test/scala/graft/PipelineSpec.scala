@@ -122,6 +122,19 @@ class PipelineSpec extends SparkSpec {
     assert(frames.columns.contains("frame_offset"))
   }
 
+  test("multimodal: resize bounds payloads and records both sizes") {
+    val media = Multimodal.asMedia(Tables(spark, sf(), "documents").limit(50))
+    val resized = Multimodal.resize(media, targetBytes = 100)
+    val rows = resized
+      .selectExpr("length(bytes) AS n", "meta['orig_bytes'] AS o",
+        "meta['resized_bytes'] AS r", "meta['lang'] AS lang")
+      .collect()
+    assert(rows.forall(_.getInt(0) <= 100))
+    assert(rows.forall(r => r.getString(1).toInt >= r.getString(2).toInt))
+    assert(rows.forall(r => r.getInt(0) == r.getString(2).toInt))
+    assert(rows.forall(_.getString(3) != null)) // original metadata kept
+  }
+
   test("multimodal: batched decoder matches the expression path, any batch size") {
     val media = Multimodal.asMedia(Tables(spark, sf(), "documents").limit(100))
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
