@@ -80,6 +80,10 @@ case object UserAgentMapper extends EventMapper {
       when(ua.rlike("(?i)bot|crawler|spider|slurp|curl|wget"), "Spider")
         .when(ua.contains("Edg/"), "Edge")
         .when(ua.contains("OPR/") || ua.contains("Opera"), "Opera")
+        // Chromium shells that also carry "Chrome/" — test them first
+        .when(ua.contains("SamsungBrowser/"), "Samsung Internet")
+        .when(ua.contains("Vivaldi/"), "Vivaldi")
+        .when(ua.contains("UCBrowser/"), "UC Browser")
         .when(ua.contains("Chrome/"), "Chrome")
         .when(ua.contains("Firefox/"), "Firefox")
         .when(ua.contains("Safari/") && ua.contains("Version/"), "Safari")
@@ -87,10 +91,11 @@ case object UserAgentMapper extends EventMapper {
         .otherwise("Other")
     val version = coalesce(
       nullif(regexp_extract(ua,
-        "(?:Edg|OPR|Chrome|Firefox|Version)/([0-9]+(?:\\.[0-9]+)?)", 1), lit("")),
+        "(?:Edg|OPR|SamsungBrowser|Vivaldi|UCBrowser|Chrome|Firefox|Version)/([0-9]+(?:\\.[0-9]+)?)", 1), lit("")),
       nullif(regexp_extract(ua, "MSIE ([0-9]+(?:\\.[0-9]+)?)", 1), lit("")))
     val os =
-      when(ua.contains("Windows"), "Windows")
+      when(ua.contains("CrOS"), "Chrome OS")
+        .when(ua.contains("Windows"), "Windows")
         .when(ua.contains("Android"), "Android")
         .when(ua.contains("iPhone OS") || ua.contains("iPad"), "iOS")
         .when(ua.contains("Mac OS X"), "Mac OS X")
@@ -106,6 +111,8 @@ case object UserAgentMapper extends EventMapper {
         .when(ua.contains("iPad"), "iPad")
         .when(ua.contains("Android") && ua.contains("Mobile"), "Android Phone")
         .when(ua.contains("Android"), "Android Tablet")
+        .when(ua.contains("Mac OS X"), "Mac")
+        .when(ua.contains("Windows"), "PC")
         .otherwise("Other")
     df.withColumn("_user_agent_family", family)
       .withColumn("_user_agent_version", version)

@@ -38,6 +38,28 @@ class MappersSpec extends SparkSpec {
     assert(out(2).getAs[String]("_os") == "iOS")
     assert(out(2).getAs[String]("_os_version") == "17.1")
     assert(out(2).getAs[String]("_device_family") == "iPhone")
+    // desktop device classes
+    assert(out(0).getAs[String]("_device_family") == "PC")
+  }
+
+  test("M2: UA parse — Chromium shells, Chrome OS, desktop Mac") {
+    val samsung = "Mozilla/5.0 (Linux; Android 14; SM-S921B) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36"
+    val vivaldi = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Vivaldi/6.5"
+    val cros = "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
+    val mac = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 " +
+      "(KHTML, like Gecko) Version/17.1 Safari/605.1.15"
+    val out = UserAgentMapper(
+      Seq(samsung, vivaldi, cros, mac).toDF("_user_agent")).collect()
+    assert(out(0).getAs[String]("_user_agent_family") == "Samsung Internet")
+    assert(out(0).getAs[String]("_user_agent_version") == "23.0")
+    assert(out(0).getAs[String]("_device_family") == "Android Phone")
+    assert(out(1).getAs[String]("_user_agent_family") == "Vivaldi")
+    assert(out(2).getAs[String]("_os") == "Chrome OS")
+    assert(out(3).getAs[String]("_user_agent_family") == "Safari")
+    assert(out(3).getAs[String]("_device_family") == "Mac")
   }
 
   test("M3: referrer parse — google search with term, internal, malformed") {
