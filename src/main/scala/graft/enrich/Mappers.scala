@@ -143,11 +143,18 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
         .when(host.rlike("(^|\\.)bing\\."), "bing")
         .when(host.rlike("(^|\\.)yahoo\\."), "yahoo")
         .when(host.rlike("(^|\\.)duckduckgo\\."), "duckduckgo")
+        .when(host.rlike("(^|\\.)yandex\\."), "yandex")
+        .when(host.rlike("(^|\\.)baidu\\."), "baidu")
+        .when(host.rlike("(^|\\.)ecosia\\."), "ecosia")
     val socialSource =
       when(host.rlike("(^|\\.)facebook\\."), "facebook")
-        .when(host.rlike("(^|\\.)twitter\\.|(^|\\.)t\\.co$"), "twitter")
+        .when(host.rlike("(^|\\.)twitter\\.|(^|\\.)t\\.co$|(^|\\.)x\\.com$"), "twitter")
         .when(host.rlike("(^|\\.)linkedin\\."), "linkedin")
         .when(host.rlike("(^|\\.)reddit\\."), "reddit")
+        .when(host.rlike("(^|\\.)instagram\\."), "instagram")
+        .when(host.rlike("(^|\\.)pinterest\\."), "pinterest")
+        .when(host.rlike("(^|\\.)youtube\\.|(^|\\.)youtu\\.be$"), "youtube")
+        .when(host.rlike("(^|\\.)tiktok\\."), "tiktok")
     val isInternal = if (internalHosts.nonEmpty) host.isin(internalHosts: _*) else lit(false)
     val medium =
       when(host.isNull, lit(null).cast("string"))
@@ -157,7 +164,10 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
         .otherwise("unknown")
     val term = when(medium === "search", coalesce(
       nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("q")), lit("")),
-      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("p")), lit(""))))
+      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("p")), lit("")),
+      // yandex and baidu carry the query under text/wd
+      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("text")), lit("")),
+      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("wd")), lit(""))))
     df.withColumn("_referrer_medium", medium)
       .withColumn("_referrer_source", coalesce(searchSource, socialSource))
       .withColumn("_referrer_term", term)

@@ -62,6 +62,25 @@ class MappersSpec extends SparkSpec {
     assert(out(3).getAs[String]("_device_family") == "Mac")
   }
 
+  test("M3: referrer parse — widened source families and term params") {
+    val rows = Seq(
+      "https://yandex.ru/search/?text=spark+engine",
+      "https://www.baidu.com/s?wd=analytics",
+      "https://www.instagram.com/p/abc/",
+      "https://youtu.be/xyz",
+      "https://x.com/someone/status/1")
+      .toDF("_referrer")
+    val out = ReferrerMapper().apply(rows).collect()
+    assert(out(0).getAs[String]("_referrer_source") == "yandex")
+    assert(out(0).getAs[String]("_referrer_term") == "spark+engine")
+    assert(out(1).getAs[String]("_referrer_source") == "baidu")
+    assert(out(1).getAs[String]("_referrer_term") == "analytics")
+    assert(out(2).getAs[String]("_referrer_source") == "instagram")
+    assert(out(2).getAs[String]("_referrer_medium") == "social")
+    assert(out(3).getAs[String]("_referrer_source") == "youtube")
+    assert(out(4).getAs[String]("_referrer_source") == "twitter")
+  }
+
   test("M3: referrer parse — google search with term, internal, malformed") {
     val rows = Seq(
       "https://www.google.com/search?q=spark+engine",
