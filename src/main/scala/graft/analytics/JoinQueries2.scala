@@ -182,8 +182,33 @@ object JoinQueries2 {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** F-ARRAYS: the array-function gallery over tokenized text — sort,
+    * slice, membership, distinct, reverse — each with an exact DuckDB
+    * list-function twin. Array results ride as joined strings so the
+    * driver's row hash sees scalars. */
+  def fArrays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select(
+        $"doc_id",
+        concat_ws(" ", array_sort(slice($"toks", 1, 5))).as("first5_sorted"),
+        array_contains($"toks", "the").as("has_the"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        element_at(reverse($"toks"), 1).as("last_tok"))
+  }
+
+  val fArraysSql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_sort(t[1:5]), ' ') AS first5_sorted,
+      |  list_contains(t, 'the') AS has_the,
+      |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      |  t[len(t)] AS last_tok
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "j7_fact_join" -> QueryDef.of(j7Sql)(j7FactJoin),
+    "f_arrays" -> QueryDef.of(fArraysSql)(fArrays),
     "j8_salted_join" -> QueryDef.of(j8Sql)(j8SaltedJoin),
     "w3_range_frame" -> QueryDef.of(w3RangeSql)(w3RangeFrame),
     "a6_windowed_funnel" -> QueryDef.of(a6WindowedSql)(a6WindowedFunnel),
