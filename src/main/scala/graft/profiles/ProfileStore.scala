@@ -155,4 +155,35 @@ object ProfileMerge {
   /** J3: point lookup against a merged profile table. */
   def getUser(profiles: DataFrame, project: String, id: String): DataFrame =
     profiles.filter(col("project") === project && col("id") === id)
+
+  /** Op-log compaction: every op at or before `watermark` folds into an
+    * equivalent per-user SNAPSHOT — a `set` of the live values plus an
+    * `unset` tombstone for nulled keys, both stamped at the watermark —
+    * unioned with the untouched tail. The tombstone matters: a later
+    * `set_once` must still see an unset key as settable, exactly as it
+    * would against the full log. Invariant (property-tested):
+    * merge(compact(log, w)) == merge(log) for every split point. At
+    * 100 TB this is the profile store's lifecycle: the log stays
+    * bounded by ops-since-last-compaction, not account age. */
+  def compactLog(ops: Dataset[ProfileOp], watermark: Long): Dataset[ProfileOp] = {
+    import ops.sparkSession.implicits._
+    val snapshot = ops.filter(_.ts <= watermark)
+      .groupByKey(o => (o.project, o.id))
+      .flatMapGroups { (key: (String, String), it: Iterator[ProfileOp]) =>
+        val (project, id) = key
+        val state = fold(it.toSeq)
+        val live = state.filter(_._2 != null)
+        val dead = state.collect { case (k, null) => k -> "" }
+        val setOp =
+          if (live.nonEmpty)
+            Seq(ProfileOp(project, id, watermark, 0L, ProfileOps.Set, live))
+          else Nil
+        val unsetOp =
+          if (dead.nonEmpty)
+            Seq(ProfileOp(project, id, watermark, 1L, ProfileOps.Unset, dead))
+          else Nil
+        setOp ++ unsetOp
+      }
+    snapshot.union(ops.filter(_.ts > watermark))
+  }
 }

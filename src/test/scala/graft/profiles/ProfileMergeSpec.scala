@@ -88,6 +88,33 @@ class ProfileMergeSpec extends SparkSpec {
     }
   }
 
+  test("compaction invariant: merge(compact(log, w)) == merge(log) at any split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val kinds = Seq("set", "set_once", "increment", "unset", "create")
+    val ops = (1 to 1000).map { i =>
+      val kind = kinds(rnd.nextInt(kinds.size))
+      val value = if (kind == "increment") rnd.nextInt(10).toString
+        else s"v${rnd.nextInt(50)}"
+      ProfileOp("p", s"u${rnd.nextInt(10)}", rnd.nextInt(100).toLong, i.toLong,
+        kind, Map(s"p${rnd.nextInt(4)}" -> value))
+    }
+    val ds = spark.createDataset(ops)
+    val expected = ProfileMerge.merge(ds).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Map[String, String]]("properties"))
+      .toMap
+    for (watermark <- Seq(0L, 25L, 50L, 99L, 150L)) {
+      val compacted = ProfileMerge.compactLog(ds, watermark)
+      val got = ProfileMerge.merge(compacted).collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[Map[String, String]]("properties"))
+        .toMap
+      assert(got == expected, s"watermark $watermark diverged")
+      // the snapshot actually shrinks the log once it covers real ops
+      if (watermark >= 50L)
+        assert(compacted.count() < ds.count(), s"watermark $watermark did not compact")
+    }
+  }
+
   test("point lookup (J3)") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
