@@ -202,15 +202,21 @@ object CoreQueries {
     import spark.implicits._
     val ev = Tables(spark, dir, "events")
       .withColumn("hour", date_trunc("hour", $"ts"))
+    // materialize the (tiny) hourly rollup ONCE — its three consumers
+    // (grid bounds, type list, fill join) would otherwise each re-scan
+    // the corpus: Catalyst prunes them differently, so their exchanges
+    // never unify for reuse. At scale this rollup IS the dashboard
+    // table; checkpointing it is the real lifecycle, not a workaround.
     val hourly = ev.groupBy($"event_type", $"hour")
       .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
-    // bounds and the type list both come from the (tiny) hourly
-    // aggregate, NOT the raw table — one corpus scan total
-    val cal = hourly.agg(min($"hour").as("h0"), max($"hour").as("h1"))
-      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
-    val types = hourly.select($"event_type").distinct()
-    cal.crossJoin(types)
-      .join(hourly, Seq("event_type", "hour"), "left")
+      .localCheckpoint()
+    val grid = hourly
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"),
+        collect_set($"event_type").as("types"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"),
+        $"types")
+      .select($"hour", explode($"types").as("event_type"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
       .select($"event_type", $"hour",
         coalesce($"n_events", lit(0L)).as("n_events"),
         coalesce($"sum_value", lit(0.0)).as("sum_value"))

@@ -119,6 +119,25 @@ class PlanSpec extends SparkSpec {
       "contamination probe must be a broadcast semi join")
   }
 
+  test("a11: gap-fill aggregates the corpus ONCE; the grid never re-scans") {
+    // the hourly rollup is checkpointed, so the query plan reads the
+    // materialized rollup — zero parquet scans remain in the fill plan
+    val plan = SparkEntry.queries("a11_gapfill")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0, s"expected the checkpointed rollup only, saw $scans scans")
+  }
+
+  test("ds3: epoch-shuffle head is a top-k heap, not a global sort") {
+    assert(planOf("ds3_shuffle").contains("TakeOrderedAndProject"))
+  }
+
+  test("sim6: the query batch broadcasts; ranking is a per-query window") {
+    val p = planOf("sim6_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("row_number") || p.contains("RunningWindowFunction"))
+  }
+
   test("sim5: centroids broadcast; pair join keyed on the cell") {
     val p = planOf("sim5_semantic_dedup")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
