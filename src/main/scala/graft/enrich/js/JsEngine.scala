@@ -296,20 +296,41 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case "join" =>
         a.map(jsToString).mkString(if (args.isEmpty) "," else str(args.head))
       case "slice" =>
-        val from = if (args.isEmpty) 0 else num(args.head).toInt
-        val until = if (args.length < 2) a.length else num(args(1)).toInt
-        a.slice(from, until)
+        // JS array.slice: negative indexes from the end, clamped
+        def resolve(v: Any, dflt: Long): Long = {
+          val i = if (v == Undefined) dflt else jsIndex(v)
+          val r = if (i < 0) a.length + i else i
+          math.max(0L, math.min(r, a.length.toLong))
+        }
+        val from = resolve(args.headOption.getOrElse(Undefined), 0L)
+        val until = resolve(if (args.length > 1) args(1) else Undefined, a.length.toLong)
+        a.slice(from.toInt, until.toInt)
       case other => throw new JsException(s"array.$other is not supported")
     }
     case s: String => name match {
-      case "charAt" => s.charAt(num(args.head).toInt).toString
+      // Index args are data-dependent: JS clamps out-of-range indexes and
+      // returns '' instead of throwing, and that containment is what keeps
+      // one odd event value from killing the whole Spark task.
+      case "charAt" =>
+        val i = jsIndex(args.headOption.getOrElse(Undefined))
+        if (i >= 0 && i < s.length) s.charAt(i.toInt).toString else ""
       case "indexOf" => s.indexOf(str(args.head)).toLong
       case "substring" =>
-        val from = num(args.head).toInt
-        if (args.length > 1) s.substring(from, math.min(num(args(1)).toInt, s.length))
-        else s.substring(from)
-      case "slice" => s.substring(num(args.head).toInt,
-        if (args.length > 1) num(args(1)).toInt else s.length)
+        // JS: NaN→0, clamp both ends to [0, length], swap if start > end
+        def clamp(v: Any): Int = math.max(0L, math.min(jsIndex(v), s.length.toLong)).toInt
+        val a0 = clamp(args.headOption.getOrElse(Undefined))
+        val a1 = if (args.length > 1) clamp(args(1)) else s.length
+        s.substring(math.min(a0, a1), math.max(a0, a1))
+      case "slice" =>
+        // JS: negative indexes count from the end; clamp; empty if from>=until
+        def resolve(v: Any, dflt: Long): Long = {
+          val i = if (v == Undefined) dflt else jsIndex(v)
+          val r = if (i < 0) s.length + i else i
+          math.max(0L, math.min(r, s.length.toLong))
+        }
+        val from = resolve(args.headOption.getOrElse(Undefined), 0L)
+        val until = resolve(if (args.length > 1) args(1) else Undefined, s.length.toLong)
+        if (from >= until) "" else s.substring(from.toInt, until.toInt)
       case "toLowerCase" => s.toLowerCase
       case "toUpperCase" => s.toUpperCase
       case "trim" => s.trim
@@ -356,15 +377,31 @@ final class JsEngine(code: String, globals: Map[String, Any],
 
   private def writeIndex(recv: Any, key: Any, v: Any): Unit = recv match {
     case a: mutable.ArrayBuffer[Any @unchecked] =>
-      val i = num(key).toInt
-      while (a.length <= i) a += Undefined
-      a(i) = v
+      val i = jsIndex(key)
+      // Sparse growth is host-side work, so it must honor the same step
+      // budget as interpreted code (tick per appended slot), and absurd
+      // indexes are a sandbox violation outright — `a[2e9] = 1` must not
+      // allocate a 2B-element buffer inside one interpreter step.
+      if (i < 0 || i >= JsEngine.MaxArrayLength)
+        throw new SandboxViolation(
+          s"array index $i out of sandbox bounds (max ${JsEngine.MaxArrayLength})")
+      while (a.length <= i) { tick(); a += Undefined }
+      a(i.toInt) = v
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
       m(jsToString(key)) = v
     case _ => throw new JsException("cannot index-assign " + jsToString(recv))
   }
 
   // ---------- operators ----------
+
+  /** JS ToIntegerOrInfinity for index arguments: NaN → 0, truncate toward
+    * zero — never throws regardless of the value's shape. */
+  private def jsIndex(v: Any): Long = v match {
+    case l: Long => l
+    case d: Double => if (java.lang.Double.isNaN(d)) 0L else d.toLong
+    case other =>
+      val d = num(other); if (java.lang.Double.isNaN(d)) 0L else d.toLong
+  }
 
   private def num(v: Any): Double = v match {
     case l: Long => l.toDouble
@@ -458,6 +495,13 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case (a: String, b: String) => a.compareTo(b)
     case _ => java.lang.Double.compare(num(l), num(r))
   }
+}
+
+object JsEngine {
+  /** Hard cap on sandbox array length: large enough for any event batch a
+    * script legitimately builds, far below anything that could OOM an
+    * executor in one interpreter step. */
+  val MaxArrayLength: Long = 1 << 20
 }
 
 /** JSON bridge for the sandbox's `JSON` global (Jackson-backed). */

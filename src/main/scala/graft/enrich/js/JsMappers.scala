@@ -3,7 +3,7 @@ package graft.enrich.js
 import graft.core.FieldType
 import graft.enrich.{EventMapper, EventProxy}
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types._
 
 import scala.collection.mutable
 
@@ -110,6 +110,106 @@ object JsCustomMapper {
   /** Rows materialized per script invocation — the reference's
     * per-request EventList batch, and the executor-memory bound. */
   val ChunkRows = 1024
+
+  /** Align a script-produced value to the column's DECLARED Spark type.
+    * In the sandbox every integer literal is a Long and float math a
+    * Double, so `ev.set('x', 100)` into a DOUBLE column (or `0.5 * n`
+    * into a LONG column) would otherwise put the wrong runtime class
+    * into the Row and kill the job inside createDataFrame's Catalyst
+    * converter. Values that cannot be coerced degrade to null — the
+    * reference dead-letters cast failures rather than failing the batch
+    * (JsonEventDeserializer.java:741-781). Untouched pass-through values
+    * already carry the declared type and hit the identity cases. */
+  private[js] def normalize(v: Any, t: DataType): Any = v match {
+    case null | MiniJs.Undefined => null
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] => t match {
+      case MapType(_, vt, _) =>
+        m.map { case (k, x) => k -> normalize(x, vt) }.toMap
+      case StringType => JsJson.stringify(m)
+      case _ => null
+    }
+    case mm: scala.collection.Map[_, _] => t match {
+      case MapType(_, vt, _) =>
+        mm.map { case (k, x) => String.valueOf(k) -> normalize(x, vt) }.toMap
+      case _ => null
+    }
+    case a: mutable.ArrayBuffer[Any @unchecked] => t match {
+      case ArrayType(et, _) => a.map(normalize(_, et)).toSeq
+      case StringType => JsJson.stringify(a)
+      case _ => null
+    }
+    case sq: scala.collection.Seq[_] => t match {
+      case ArrayType(et, _) => sq.map(normalize(_, et)).toSeq
+      case _ => null
+    }
+    case other => t match {
+      case StringType => other match {
+        case s: String => s
+        case d: Double =>
+          // JS number formatting: whole doubles print without the ".0"
+          if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+        case x => String.valueOf(x)
+      }
+      case DoubleType => other match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case i: Int => i.toDouble
+        case f: Float => f.toDouble
+        case s: String => s.trim.toDoubleOption.map(Double.box).orNull
+        case _ => null
+      }
+      case FloatType => other match {
+        case f: Float => f
+        case d: Double => d.toFloat
+        case l: Long => l.toFloat
+        case i: Int => i.toFloat
+        case _ => null
+      }
+      case LongType => other match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case d: Double => if (d.isWhole) d.toLong else null
+        case s: String => s.trim.toLongOption.map(Long.box).orNull
+        case _ => null
+      }
+      case IntegerType => other match {
+        case i: Int => i
+        case l: Long => if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else null
+        case d: Double =>
+          if (d.isWhole && d >= Int.MinValue && d <= Int.MaxValue) d.toInt else null
+        case s: String => s.trim.toIntOption.map(Int.box).orNull
+        case _ => null
+      }
+      case BooleanType => other match {
+        case b: java.lang.Boolean => b
+        case s: String if s == "true" || s == "false" => s == "true"
+        case _ => null
+      }
+      case TimestampType => other match {
+        case ts: java.sql.Timestamp => ts
+        case i: java.time.Instant => i
+        case l: Long => new java.sql.Timestamp(l) // epoch millis, §1.2
+        case _ => null
+      }
+      case DateType => other match {
+        case d: java.sql.Date => d
+        case d: java.time.LocalDate => d
+        case _ => null
+      }
+      case _: DecimalType => other match {
+        case bd: java.math.BigDecimal => bd
+        case bd: BigDecimal => bd
+        case l: Long => java.math.BigDecimal.valueOf(l)
+        case d: Double => java.math.BigDecimal.valueOf(d)
+        case _ => null
+      }
+      case BinaryType => other match {
+        case b: Array[Byte] => b
+        case _ => null
+      }
+      case _ => other
+    }
+  }
 }
 
 /** M7 with a JS body: `mapper(events, params, sourceIp, headers, sql,
@@ -141,6 +241,7 @@ final case class JsCustomMapper(
       produced.filterNot(p => inNames.contains(p._1))
         .map(p => StructField(p._1, p._2.spark, nullable = true)))
     val outNames = outSchema.fieldNames.toSeq
+    val outTypes = outSchema.fields.map(_.dataType).toSeq
     val codeStr = code
     val coll = collection
     val paramMap = params
@@ -176,21 +277,13 @@ final case class JsCustomMapper(
           Map.empty[String, Any], null, null)
         // chunk order is row order, so visited-then-rest equals in-order
         proxies.iterator.filterNot(_.dropped)
-          .map(p => Row.fromSeq(outNames.map(n => normalize(p.get(n)))))
+          .map(p => Row.fromSeq(outNames.zip(outTypes)
+            .map { case (n, t) => JsCustomMapper.normalize(p.get(n), t) }))
       }
     }
     df.sparkSession.createDataFrame(rows, outSchema)
   }
 
-  /** JS numbers may come back as Long for integral math — align to the
-    * declared Spark type where it matters. */
-  private def normalize(v: Any): Any = v match {
-    case MiniJs.Undefined => null
-    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      m.toMap
-    case a: mutable.ArrayBuffer[Any @unchecked] => a.toSeq
-    case other => other
-  }
 }
 
 /** S7 with a JS body: each webhook HTTP body → `module(params, body,

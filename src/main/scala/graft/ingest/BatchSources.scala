@@ -130,29 +130,63 @@ object BatchSources {
   }
 
   /** The raw `[...]` slice of the events array, as the client signed it
-    * (the reference hashes the byte range of the events tokens). */
+    * (the reference hashes the byte range of the events tokens).
+    *
+    * The `"events"` key must be found at TOP level of the envelope object
+    * — a raw indexOf would match a string VALUE inside the api object
+    * (e.g. `{"api":{"api_key":"events",...},...}`) and slice the wrong
+    * bytes, rejecting a correctly signed batch. So this scans the body
+    * tracking object depth and in-string state, and only accepts the
+    * token when it is a depth-1 key (followed by `:`). */
   private[ingest] def eventsSlice(body: String): String = {
-    val keyIdx = body.indexOf("\"events\"")
-    val start = body.indexOf('[', keyIdx)
-    // matching bracket scan, string-aware
-    var depth = 0; var i = start; var inStr = false; var esc = false
-    while (i < body.length) {
+    val n = body.length
+    var i = 0; var depth = 0
+    var keyEnd = -1 // index just past the closing quote of a depth-1 "events" key
+    while (i < n && keyEnd < 0) {
       val c = body.charAt(i)
+      c match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' =>
+          // consume the whole string token
+          val strStart = i
+          i += 1
+          var esc = false
+          while (i < n && (esc || body.charAt(i) != '"')) {
+            esc = !esc && body.charAt(i) == '\\'
+            i += 1
+          }
+          val strEnd = i // at closing quote (or n)
+          i += 1
+          if (depth == 1 && body.substring(strStart, math.min(strEnd + 1, n)) == "\"events\"") {
+            // a KEY is followed (modulo whitespace) by ':'
+            var j = i
+            while (j < n && body.charAt(j).isWhitespace) j += 1
+            if (j < n && body.charAt(j) == ':') keyEnd = j + 1
+          }
+        case _ => i += 1
+      }
+    }
+    val start = body.indexOf('[', math.max(keyEnd, 0))
+    // matching bracket scan, string-aware
+    var d2 = 0; var k = start; var inStr = false; var esc = false
+    while (k < n) {
+      val c = body.charAt(k)
       if (inStr) {
         if (esc) esc = false
         else if (c == '\\') esc = true
         else if (c == '"') inStr = false
       } else c match {
         case '"' => inStr = true
-        case '[' => depth += 1
+        case '[' => d2 += 1
         case ']' =>
-          depth -= 1
-          if (depth == 0) return body.substring(start, i + 1)
+          d2 -= 1
+          if (d2 == 0) return body.substring(start, k + 1)
         case _ => ()
       }
-      i += 1
+      k += 1
     }
-    body.substring(start)
+    body.substring(math.max(start, 0))
   }
 
   /** md5(apiKey ∥ apiVersion ∥ uploadTime ∥ eventsSlice) — hex. */

@@ -51,10 +51,14 @@ object JsonIngest {
       byCollection: Map[String, DataFrame],
       deadLetter: DataFrame,
       rejectedFields: Seq[(String, String, String)], // (collection, field, reason)
-      private[ingest] val cached: Option[RDD[_]] = None) {
-    /** Release the batch's cached intermediate once byCollection /
+      private[ingest] val cached: Option[RDD[_]] = None,
+      private[ingest] val cachedRaw: Option[RDD[_]] = None) {
+    /** Release the batch's cached intermediates once byCollection /
       * deadLetter have been materialized; further actions recompute. */
-    def unpersist(): Unit = cached.foreach(_.unpersist(blocking = false))
+    def unpersist(): Unit = {
+      cached.foreach(_.unpersist(blocking = false))
+      cachedRaw.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private val MaxStringLen = 100 // collection.max-string-length (ProjectConfig.java:17)
@@ -201,7 +205,17 @@ object JsonIngest {
   // ---- the two-pass batch ingest ----
 
   def ingest(spark: SparkSession, registry: SchemaRegistry, project: String,
-      rawJson: RDD[String]): IngestResult = {
+      rawJson0: RDD[String]): IngestResult = {
+
+    // The batch is read twice (inference pass, then typed parse); persist
+    // the raw lines so any upstream pipeline that produced them (pixel
+    // decode, webhook JS, a remote fetch) runs once, not twice. Bounded
+    // by batch size and spills to disk — safe at any scale, and released
+    // by IngestResult.unpersist().
+    val ownRawCache = rawJson0.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val rawJson =
+      if (ownRawCache) rawJson0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rawJson0 // caller already persisted it; respect their lifecycle
 
     // Pass 1: distributed inference, reduced to a union schema per collection.
     val skeletons: Map[String, Map[String, String]] = rawJson.mapPartitions { it =>
@@ -314,7 +328,8 @@ object JsonIngest {
         Row(d.collection, d.property, d.targetType, d.error, d.encodedValue,
           d.eventId, d.user, d.time)),
       deadLetterSchema)
-    IngestResult(byCollection, dead, rejected, Some(parsed))
+    IngestResult(byCollection, dead, rejected, Some(parsed),
+      if (ownRawCache) Some(rawJson) else None)
   }
 
   // ---- single-pass unified fan-out ----
@@ -324,7 +339,7 @@ object JsonIngest {
     * name-mangled with the type so conflicting collections don't share a
     * physical column (the reference never shares columns — one table per
     * collection — so this only arises in the unified layout). */
-  private[ingest] def unifiedColumnName(name: String, tpe: String,
+  private[graft] def unifiedColumnName(name: String, tpe: String,
       conflicted: Set[String]): String =
     if (conflicted(name)) s"${name}__${tpe.toLowerCase.replaceAll("[^a-z0-9]", "_")}"
     else name

@@ -90,7 +90,10 @@ object EventStore {
       case Some(fields) =>
         val present = df.columns.toSet
         val cols = fields.map { f =>
-          val mangled = s"${f.name}__${f.tpe.name.toLowerCase.replaceAll("[^a-z0-9]", "_")}"
+          // the same formula writeUnified's data was produced with — reuse
+          // it so the mangling scheme cannot drift between writer and reader
+          val mangled = graft.ingest.JsonIngest.unifiedColumnName(
+            f.name, f.tpe.name, conflicted = Set(f.name))
           // a field can exist under both names when only some batches had a
           // cross-collection type conflict — coalesce the candidates
           val candidates = Seq(f.name, mangled).filter(present.contains)

@@ -83,6 +83,43 @@ class JsEngineSpec extends SparkSpec {
     assert(logger.entries == Seq("info" -> "ran first"))
   }
 
+  test("string indexes clamp per JS semantics — odd event values degrade, never throw") {
+    // charAt out of range → '', not StringIndexOutOfBoundsException
+    assert(run("function f(s) { return s.charAt(5); }", "f", "ab") == "")
+    assert(run("function f(s) { return s.charAt(-1); }", "f", "ab") == "")
+    assert(run("function f(s) { return s.charAt(1); }", "f", "ab") == "b")
+    // substring clamps BOTH ends and swaps when start > end
+    assert(run("function f(s) { return s.substring(1, 99); }", "f", "abcd") == "bcd")
+    assert(run("function f(s) { return s.substring(-3, 2); }", "f", "abcd") == "ab")
+    assert(run("function f(s) { return s.substring(3, 1); }", "f", "abcd") == "bc")
+    assert(run("function f(s) { return s.substring(9); }", "f", "ab") == "")
+    // slice maps negatives from the end and clamps
+    assert(run("function f(s) { return s.slice(-2); }", "f", "abcd") == "cd")
+    assert(run("function f(s) { return s.slice(1, -1); }", "f", "abcd") == "bc")
+    assert(run("function f(s) { return s.slice(3, 1); }", "f", "abcd") == "")
+    assert(run("function f(s) { return s.slice(0, 99); }", "f", "ab") == "ab")
+    // array slice with negatives
+    assert(run("function f() { return [1,2,3,4].slice(-2).join(','); }", "f") == "3,4")
+    // NaN-ish index → 0, still no escape
+    assert(run("function f(s) { return s.substring('x'); }", "f", "ab") == "ab")
+  }
+
+  test("sparse array growth honors the step budget and a hard length cap") {
+    // an absurd index is a sandbox violation outright, caught instantly
+    val e = intercept[MiniJs.SandboxViolation](
+      run("function f() { var a = []; a[2000000000] = 1; return a.length; }", "f"))
+    assert(e.getMessage.contains("out of sandbox bounds"))
+    // growth below the cap is metered by the step budget, so a small
+    // budget stops a large (but in-bounds) fill rather than wedging
+    val b = intercept[MiniJs.SandboxViolation](
+      JsCodeCompiler.createEngine(
+        "function f() { var a = []; a[500000] = 1; return a.length; }",
+        maxSteps = 10000).invoke("f"))
+    assert(b.getMessage.contains("step budget"))
+    // normal in-bounds sparse assignment still works
+    assert(run("function f() { var a = [1]; a[3] = 9; return a.length; }", "f") == 4L)
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))
@@ -134,6 +171,44 @@ class JsEngineSpec extends SparkSpec {
     // pipeline composition with built-in mappers still works
     val chained = MapperPipeline.run(df, Seq(mapper))
     assert(chained.columns.contains("amount_cents"))
+  }
+
+  test("JsCustomMapper coerces script values to the DECLARED column types") {
+    import spark.implicits._
+    // In MiniJs every integer literal is a Long and float math a Double;
+    // without schema-aware normalization a Long lands in the DOUBLE
+    // column's Row slot and Catalyst's converter kills the job.
+    val df = Seq(("u1", 7L), ("u2", 10L)).toDF("_user", "n")
+    val mapper = JsCustomMapper(
+      name = "typed",
+      collection = "c",
+      produced = Seq(
+        "score" -> FieldType.DOUBLE,   // script writes an integer literal
+        "half" -> FieldType.LONG,      // script writes float math (whole)
+        "frac" -> FieldType.LONG,      // script writes a NON-whole double
+        "label" -> FieldType.STRING,   // script writes a number
+        "flag" -> FieldType.BOOLEAN),
+      params = Map.empty,
+      code =
+        """function mapper(events, params, sourceIp, headers, sql, config) {
+          |  var it = events.events();
+          |  while (it.hasNext()) {
+          |    var ev = it.next();
+          |    ev.set('score', 100);
+          |    ev.set('half', ev.get('n') * 0.5 * 2);
+          |    ev.set('frac', 2.5);
+          |    ev.set('label', 42);
+          |    ev.set('flag', true);
+          |  }
+          |}""".stripMargin)
+    val rows = mapper(df).orderBy($"_user").collect()
+    assert(rows.map(_.getAs[Double]("score")).toSeq == Seq(100.0, 100.0))
+    assert(rows.map(_.getAs[Long]("half")).toSeq == Seq(7L, 10L))
+    // non-whole double into LONG cannot be represented → null (dead-letter
+    // spirit), not a job-killing ClassCastException
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("frac"))))
+    assert(rows.map(_.getAs[String]("label")).toSeq == Seq("42", "42"))
+    assert(rows.map(_.getAs[Boolean]("flag")).toSeq == Seq(true, true))
   }
 
   test("JsWebhookTransform: one body to 0..n event lines") {

@@ -55,6 +55,25 @@ class BatchSourcesSpec extends SparkSpec {
       .message == "Checksum is invalid")
   }
 
+  test("checksum slice anchors on the TOP-LEVEL events key, not a string value") {
+    val events = """[{"collection": "c", "properties": {"n": 1}}]"""
+    // "events" appears first as a string VALUE inside the api object —
+    // an indexOf-based slice would start at the wrong '[' (the tags
+    // array) and reject this correctly signed batch
+    val sum = checksumOf(Some("events"), Some("v1"), Some(9L), events)
+    val body =
+      s"""{"api": {"api_key": "events", "tags": ["events", "x"], "api_version": "v1", "upload_time": 9, "checksum": "$sum"}, "events": $events}"""
+    assert(parseEnvelope(body).events.size == 1)
+    // the key can also follow the value occurrence with whitespace quirks
+    val sum2 = checksumOf(None, None, None, events)
+    val body2 =
+      s"""{"api": {"note": "the \\"events\\" key", "checksum": "$sum2"}, "events" : $events}"""
+    assert(parseEnvelope(body2).events.size == 1)
+    // direct slice check: exactly the signed byte range
+    assert(eventsSlice(body) == events)
+    assert(eventsSlice(body2) == events)
+  }
+
   test("large-body guard: >500KB batch rejected toward /bulk (P6)") {
     val big = "x" * (MaxBatchBodyBytes + 1)
     val body = s"""{"events": [{"collection": "c", "properties": {"s": "$big"}}]}"""
