@@ -21,6 +21,7 @@ object SparkEntry {
       analytics.DedupQueries.defs ++
       analytics.TextQueries.defs ++
       analytics.TrainingSetQueries.defs ++
+      analytics.CorpusQueries.defs ++
       analytics.SimilarityQueries.defs ++
       analytics.MultimodalQueries.defs
 

@@ -1,0 +1,289 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators beyond the first training-set wave:
+  * Bloom-filter decontamination, chunk(paragraph)-level dedup, training
+  * sequence packing, and unigram-LM surprisal scoring.
+  *
+  * Scale posture (100 TB):
+  *  - d7 builds a COMPACT bloom bitmap from the (small, by construction)
+  *    benchmark side and broadcasts it; the corpus side is a scan-local
+  *    probe — no shuffle, no join, and unlike d6's broadcast semi-join
+  *    the broadcast is O(m) bits regardless of how many grams the
+  *    benchmark holds.
+  *  - d8 shuffles chunk HASHES (8-byte) once to count global occurrences
+  *    and once to fold back per doc — both with map-side partial
+  *    aggregation.
+  *  - pk1 packs per hash-bucket, so the running-total window runs B
+  *    independent sorted partitions in parallel; B scales with the data,
+  *    never a global sort.
+  *  - t_unigram_lm's vocab aggregate is partial-agg'd; the score join
+  *    shuffles by token (zipfian-skew tolerant: AQE splits hot tokens).
+  */
+object CorpusQueries {
+
+  // ---------------- D7: bloom-filter decontamination ----------------
+
+  /** Bloom geometry: m bits, k affine hash functions over the 60-bit
+    * gram hash reduced mod p (same reduction d2 uses, so A·h + B stays
+    * inside Long). */
+  private val BloomBits = 1 << 20
+  private val bloomA = Seq(912862454L, 1681692777L, 1714636915L)
+  private val bloomB = Seq(1189641421L, 1025202362L, 1350490027L)
+
+  private def bloomPosExprs = bloomA.zip(bloomB).map { case (a, b) =>
+    s"(($a * (h % ${DedupQueries.P31}) + $b) % $BloomBits)"
+  }
+
+  /** D7: the d6 contract (flag training docs sharing a 5-gram with the
+    * benchmark split) re-run through a bloom filter, which is what a
+    * 100 TB pipeline actually broadcasts: the benchmark's gram set is
+    * folded into an m-bit bitmap at build time, and each corpus gram
+    * probes k bit positions of the broadcast bitmap — constant-size
+    * broadcast, zero corpus shuffle. The query reports, per language,
+    * the bloom-flagged count NEXT TO the exact semi-join count, so the
+    * false-positive overhead (the price of the compact broadcast) is a
+    * visible, oracle-checked quantity.
+    *
+    * The bitmap is materialized as a '0'/'1' string so the probe is the
+    * same pure SQL (`substring`) on both engines — bit-identical with
+    * the DuckDB twin. A production build would pack it into BinaryType
+    * and probe with a codegen'd expression; geometry and results are
+    * unchanged. Building it collects ≤ m/8 KiB of positions — bounded
+    * by the filter's GEOMETRY, not by data size (that is the point of a
+    * bloom build; the reference's own bloom experiment is
+    * rakam/src/test/java/bloom/OoaBFilter.java). */
+  def d7BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = 5
+    val docs = Tables(spark, dir, "documents")
+    val benchGrams = TrainingSetQueries.gramHashes(docs.filter($"source" === "src0"), n)
+      .select($"h").distinct()
+    val posCols = bloomPosExprs.map(e => expr(e))
+    val positions = benchGrams
+      .select(explode(array(posCols: _*)).as("pos")).distinct()
+      .as[Long].collect().sorted
+    val bits = {
+      val sb = new Array[Char](BloomBits)
+      java.util.Arrays.fill(sb, '0')
+      positions.foreach(p => sb(p.toInt) = '1')
+      new String(sb)
+    }
+    val train = docs.filter($"source" =!= "src0")
+    val trainGrams = TrainingSetQueries.gramHashes(train, n)
+    val probed = trainGrams
+      .withColumn("bloom", lit(bits))
+      .withColumn("hit", bloomPosExprs
+        .map(e => expr(s"substring(bloom, $e + 1, 1) = '1'"))
+        .reduce(_ && _))
+    val flagged = probed.filter($"hit")
+      .select($"doc_id").distinct().withColumn("bloom_hit", lit(1L))
+    val exact = trainGrams
+      .join(broadcast(benchGrams), Seq("h"), "leftsemi")
+      .select($"doc_id").distinct().withColumn("exact_hit", lit(1L))
+    train
+      .join(flagged, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(coalesce($"bloom_hit", lit(0L))).as("n_bloom_flagged"),
+        sum(coalesce($"exact_hit", lit(0L))).as("n_exact"),
+        (sum(coalesce($"bloom_hit", lit(0L))) -
+          sum(coalesce($"exact_hit", lit(0L)))).as("n_false_pos"))
+  }
+
+  val d7Sql: String = {
+    val n = 5
+    val gramExpr =
+      s"unnest(list_transform(range(len(t) - ${n - 1}), i -> " +
+        s"concat_ws(' ', ${(1 to n).map(j => s"t[i+$j]").mkString(", ")})))"
+    val Seq(p0, p1, p2) = bloomPosExprs
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |grams AS (
+       |  SELECT doc_id, source, ${DedupQueries.sqlHash60("gram")} AS h FROM (
+       |    SELECT doc_id, source, $gramExpr AS gram FROM toks)),
+       |bench AS (SELECT DISTINCT h FROM grams WHERE source = 'src0'),
+       |positions AS (
+       |  SELECT DISTINCT pos FROM (
+       |    SELECT $p0 AS pos FROM bench
+       |    UNION ALL SELECT $p1 FROM bench
+       |    UNION ALL SELECT $p2 FROM bench)),
+       |flagged AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE source <> 'src0'
+       |    AND $p0 IN (SELECT pos FROM positions)
+       |    AND $p1 IN (SELECT pos FROM positions)
+       |    AND $p2 IN (SELECT pos FROM positions)),
+       |exact AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE source <> 'src0' AND h IN (SELECT h FROM bench))
+       |SELECT d.lang, count(*) AS n_train,
+       |  CAST(count(f.doc_id) AS BIGINT) AS n_bloom_flagged,
+       |  CAST(count(e.doc_id) AS BIGINT) AS n_exact,
+       |  CAST(count(f.doc_id) - count(e.doc_id) AS BIGINT) AS n_false_pos
+       |FROM documents d
+       |LEFT JOIN flagged f ON d.doc_id = f.doc_id
+       |LEFT JOIN exact e ON d.doc_id = e.doc_id
+       |WHERE d.source <> 'src0'
+       |GROUP BY d.lang""".stripMargin
+  }
+
+  // ---------------- D8: chunk-level (paragraph) dedup ----------------
+
+  /** Tokens per chunk. Real pipelines dedup at paragraph boundaries; the
+    * synthetic corpus is one line per doc, so fixed 20-token windows
+    * stand in for paragraphs — the operator shape (explode → hash →
+    * global count → fold back per doc) is identical. */
+  private val ChunkTokens = 20
+
+  /** D8: sub-document exact dedup — the pass that catches boilerplate
+    * repeated ACROSS different documents (headers, licenses, templates)
+    * which whole-doc dedup (d1) misses. Every doc is split into
+    * [[ChunkTokens]]-token chunks; a chunk is duplicated when its hash
+    * occurs more than once in the whole corpus; each doc reports its
+    * duplicated-chunk fraction (the usual drop/trim signal). */
+  def d8ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, (size(toks) + ${ChunkTokens - 1}) DIV $ChunkTokens - 1)," +
+          s" i -> concat_ws(' ', slice(toks, i * $ChunkTokens + 1, $ChunkTokens)))"))
+        .as("chunk"))
+      .select($"doc_id", DedupQueries.hash60($"chunk").as("h"))
+    val counts = chunks.groupBy($"h").agg(count(lit(1)).as("n_occ"))
+    chunks.join(counts, "h")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"n_occ" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_chunk_frac"))
+  }
+
+  val d8Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, ${DedupQueries.sqlHash60("chunk")} AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range((len(t) + ${ChunkTokens - 1}) // $ChunkTokens),
+       |        i -> array_to_string(list_slice(t, i * $ChunkTokens + 1, i * $ChunkTokens + $ChunkTokens), ' '))) AS chunk
+       |    FROM toks)),
+       |counts AS (SELECT h, count(*) AS n_occ FROM chunks GROUP BY h)
+       |SELECT c.doc_id, count(*) AS n_chunks,
+       |  sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_chunk_frac
+       |FROM chunks c JOIN counts n ON c.h = n.h
+       |GROUP BY c.doc_id""".stripMargin
+
+  // ---------------- PK1: training sequence packing ----------------
+
+  /** Context length (tokens) of one packed training sequence. */
+  private val SeqLen = 512
+
+  /** Packing parallelism: documents are routed to hash buckets and
+    * packed independently per bucket. At 100 TB the bucket count scales
+    * with the corpus so each bucket's running-total window stays a
+    * bounded sorted partition — packing is embarrassingly parallel
+    * across buckets, never a global sort. */
+  private val PackBuckets = 8
+
+  /** PK1: concat-and-chop sequence packing — the standard pretraining
+    * step that turns variable-length documents into fixed [[SeqLen]]
+    * sequences with no padding: docs are concatenated in deterministic
+    * (doc_id) order within a bucket and chopped every SeqLen tokens, so
+    * a doc may straddle a boundary. Reports per bucket: docs, tokens,
+    * resulting sequences, boundary-straddling docs, and the fill ratio
+    * of the final chopped layout (1 − fill = padding waste of the last
+    * sequence only). */
+  def pk1Packing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        (DedupQueries.hash60($"doc_id".cast("string")) % PackBuckets).as("bucket"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("first_seq", expr(s"(cum - n_tok) DIV $SeqLen"))
+      .withColumn("last_seq", expr(s"(cum - 1) DIV $SeqLen"))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        (max($"last_seq") + 1L).as("n_seqs"),
+        sum(when($"last_seq" > $"first_seq", 1L).otherwise(0L)).as("n_straddlers"))
+      .select($"bucket", $"n_docs", $"n_tokens", $"n_seqs", $"n_straddlers",
+        ($"n_tokens".cast("double") / ($"n_seqs" * SeqLen)).as("fill_ratio"))
+  }
+
+  val pk1Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id,
+       |    ${DedupQueries.sqlHash60("CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents),
+       |packed AS (
+       |  SELECT bucket, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sized)
+       |SELECT bucket, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       |  max((cum - 1) // $SeqLen) + 1 AS n_seqs,
+       |  sum(CASE WHEN (cum - 1) // $SeqLen > (cum - n_tok) // $SeqLen
+       |    THEN 1 ELSE 0 END) AS n_straddlers,
+       |  CAST(sum(n_tok) AS DOUBLE) / ((max((cum - 1) // $SeqLen) + 1) * $SeqLen) AS fill_ratio
+       |FROM packed
+       |GROUP BY bucket""".stripMargin
+
+  // ---------------- T-LM: unigram surprisal scoring ----------------
+
+  /** T-LM: corpus-trained unigram language-model scoring — the cheap
+    * stand-in for the KenLM perplexity filters real pipelines run: the
+    * vocabulary's token frequencies ARE the model, and each document is
+    * scored by its average negative log-probability (high = surprising =
+    * junk/outlier candidate). Each token's log-prob is a deterministic
+    * scalar (count/total division then `ln`, both IEEE-identical across
+    * engines); the per-doc sum runs through the exact-decimal
+    * accumulator so summation order cannot break oracle parity. */
+  def tUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    toks
+      .join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .select($"doc_id",
+        (-log($"cnt".cast("double") / $"total".cast("double"))).as("nll"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (dsum($"nll") / count(lit(1))).as("avg_nll"))
+  }
+
+  val tLmSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |total AS (SELECT sum(cnt) AS total FROM vocab)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  ${sqlDsum("-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))")} / count(*) AS avg_nll
+       |FROM toks JOIN vocab USING (tok) CROSS JOIN total
+       |GROUP BY doc_id""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "d7_bloom_decontam" -> QueryDef.of(d7Sql)(d7BloomDecontam),
+    "d8_paragraph_dedup" -> QueryDef.of(d8Sql)(d8ParagraphDedup),
+    "pk1_seq_packing" -> QueryDef.of(pk1Sql)(pk1Packing),
+    "t_unigram_lm" -> QueryDef.of(tLmSql)(tUnigramLm)
+  )
+}
