@@ -71,6 +71,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("pk1: packing windows partition by bucket — never a global sort") {
+    val p = planOf("pk1_seq_packing")
+    // the running total must be a per-bucket window (parallel across
+    // buckets); a Window with an empty partition spec would serialize
+    // the whole corpus through one task
+    assert(p.contains("Window"))
+    assert(p.contains("windowspecdefinition(bucket#"),
+      "running-total window is not partitioned by bucket:\n" +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    // the only Sort is the window's partition-local (bucket, doc_id)
+    // sort — leading with the partition key, never a global corpus sort
+    val sortArgs = p.linesIterator.dropWhile(!_.startsWith("(4) Sort"))
+      .slice(1, 3).mkString(" ")
+    assert(sortArgs.isEmpty || sortArgs.contains("bucket"),
+      s"unexpected sort shape: $sortArgs")
+  }
+
+  test("d7: the bloom probe path joins nothing — corpus side is scan-local") {
+    // isolate the probe branch: grams → substring(bitmap) filter. The
+    // full d7 query also carries the exact-comparison semi-join, so the
+    // assertion targets the probe subexpression: it must appear as a
+    // Filter over the scan projection, not as any flavor of join.
+    val df = SparkEntry.queries("d7_bloom_decontam")(spark, sf())
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the probe itself (substring(bloom, …)) must sit in a Filter over
+    // the scan — and every join in the query (the exact-check LeftSemi,
+    // the two per-doc flag LeftOuters) must be a BROADCAST of the tiny
+    // side: the 100 TB corpus is never shuffled for a join here
+    assert(p.contains("substring"), "bloom probe not present in the plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus side must never shuffle for a join in the bloom path:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("t_unigram_lm: vocab aggregate is partial-agg'd before its shuffle") {
+    val df = SparkEntry.queries("t_unigram_lm")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "vocab count must map-side combine before shuffling tokens")
+  }
+
   test("w6: set algebra folds to ONE scan and ONE shuffle") {
     // count nodes on the executed-plan tree (formatted explain lists
     // every node twice — once in the tree, once in the detail section)
