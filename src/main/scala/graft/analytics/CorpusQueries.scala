@@ -38,6 +38,26 @@ object CorpusQueries {
     s"(($a * (h % ${DedupQueries.P31}) + $b) % $BloomBits)"
   }
 
+  /** Native probe: packed-bitmap membership test as ONE codegen'd plan
+    * node ([[graft.functions.BloomProbe]]). Position arithmetic is
+    * identical to [[bloomHitPortable]] and the SQL twin. */
+  private[analytics] def bloomHit(h: org.apache.spark.sql.Column,
+      bits: Array[Byte]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.BloomProbe(
+        org.apache.spark.sql.GraftColumnBridge.expression(h),
+        bits, bloomA.toArray, bloomB.toArray, DedupQueries.P31, BloomBits))
+
+  /** Portable probe twin: the same membership test as pure SQL over a
+    * '0'/'1' bitmap string — the executable specification the native
+    * expression is property-tested against (BloomProbeSpec), and the
+    * formulation the DuckDB oracle mirrors. Expects the hash in column
+    * `h` and the bitmap in column `bloom`. */
+  private[analytics] def bloomHitPortable: org.apache.spark.sql.Column =
+    bloomPosExprs
+      .map(e => expr(s"substring(bloom, $e + 1, 1) = '1'"))
+      .reduce(_ && _)
+
   /** D7: the d6 contract (flag training docs sharing a 5-gram with the
     * benchmark split) re-run through a bloom filter, which is what a
     * 100 TB pipeline actually broadcasts: the benchmark's gram set is
@@ -48,14 +68,16 @@ object CorpusQueries {
     * false-positive overhead (the price of the compact broadcast) is a
     * visible, oracle-checked quantity.
     *
-    * The bitmap is materialized as a '0'/'1' string so the probe is the
-    * same pure SQL (`substring`) on both engines — bit-identical with
-    * the DuckDB twin. A production build would pack it into BinaryType
-    * and probe with a codegen'd expression; geometry and results are
-    * unchanged. Building it collects ≤ m/8 KiB of positions — bounded
-    * by the filter's GEOMETRY, not by data size (that is the point of a
-    * bloom build; the reference's own bloom experiment is
-    * rakam/src/test/java/bloom/OoaBFilter.java). */
+    * The probe is the PRODUCTION form: a packed m-bit byte bitmap tested
+    * by the codegen'd [[graft.functions.BloomProbe]] expression (k shifts
+    * and masks per gram inside whole-stage codegen). The DuckDB twin
+    * expresses the identical position arithmetic relationally, and
+    * [[bloomHitPortable]] keeps a pure-SQL substring-over-'0'/'1'-string
+    * formulation as the executable cross-engine specification — all
+    * three flag exactly the same documents. Building the bitmap collects
+    * ≤ m positions — bounded by the filter's GEOMETRY, not by data size
+    * (that is the point of a bloom build; the reference's own bloom
+    * experiment is rakam/src/test/java/bloom/OoaBFilter.java). */
   def d7BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = 5
@@ -65,20 +87,11 @@ object CorpusQueries {
     val posCols = bloomPosExprs.map(e => expr(e))
     val positions = benchGrams
       .select(explode(array(posCols: _*)).as("pos")).distinct()
-      .as[Long].collect().sorted
-    val bits = {
-      val sb = new Array[Char](BloomBits)
-      java.util.Arrays.fill(sb, '0')
-      positions.foreach(p => sb(p.toInt) = '1')
-      new String(sb)
-    }
+      .as[Long].collect()
+    val bits = graft.functions.BloomProbe.pack(positions.iterator, BloomBits)
     val train = docs.filter($"source" =!= "src0")
     val trainGrams = TrainingSetQueries.gramHashes(train, n)
-    val probed = trainGrams
-      .withColumn("bloom", lit(bits))
-      .withColumn("hit", bloomPosExprs
-        .map(e => expr(s"substring(bloom, $e + 1, 1) = '1'"))
-        .reduce(_ && _))
+    val probed = trainGrams.withColumn("hit", bloomHit($"h", bits))
     val flagged = probed.filter($"hit")
       .select($"doc_id").distinct().withColumn("bloom_hit", lit(1L))
     val exact = trainGrams
