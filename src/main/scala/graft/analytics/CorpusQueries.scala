@@ -293,10 +293,90 @@ object CorpusQueries {
        |FROM toks JOIN vocab USING (tok) CROSS JOIN total
        |GROUP BY doc_id""".stripMargin
 
+  // ---------------- T-CLF: linear quality classifier ----------------
+
+  /** Fixed classifier weights: (bias, w_stop_ratio, w_mean_tok_len,
+    * w_ln_tokens). A real pipeline trains these (fastText-style) on
+    * labeled good/bad pages; scoring — a broadcast dot product per row —
+    * is the operator under test and is identical either way. */
+  private val ClfW = (-1.25, 4.0, -0.35, 0.45)
+
+  /** T-CLF: model-based quality filtering — the classifier stage real
+    * pipelines run AFTER the rule-based heuristics (t_quality): a linear
+    * score over per-doc features with broadcast weights, thresholded to
+    * a keep verdict. Pure scan-side arithmetic (no shuffle until the
+    * output), with fixed left-to-right association so both engines
+    * produce the bit-identical score. */
+  def tQualityClf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w0, w1, w2, w3) = ClfW
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("stop_ratio",
+        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / $"n_tokens")
+      .withColumn("mean_tok_len",
+        ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+      .select(
+        $"doc_id",
+        (lit(w0) + lit(w1) * $"stop_ratio" + lit(w2) * $"mean_tok_len" +
+          lit(w3) * log($"n_tokens".cast("double"))).as("score"),
+        (lit(w0) + lit(w1) * $"stop_ratio" + lit(w2) * $"mean_tok_len" +
+          lit(w3) * log($"n_tokens".cast("double")) > 0.0).as("keep"))
+  }
+
+  val tClfSql: String = {
+    val (w0, w1, w2, w3) = ClfW
+    s"""SELECT doc_id,
+       |  $w0 + $w1 * stop_ratio + $w2 * mean_tok_len + $w3 * ln(CAST(n_tokens AS DOUBLE)) AS score,
+       |  ($w0 + $w1 * stop_ratio + $w2 * mean_tok_len + $w3 * ln(CAST(n_tokens AS DOUBLE))) > 0.0 AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) AS stop_ratio,
+       |    CAST(n_chars - (len(t) - 1) AS DOUBLE) / len(t) AS mean_tok_len,
+       |    len(t) AS n_tokens
+       |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents))""".stripMargin
+  }
+
+  // ---------------- D9: dedup survivor selection ----------------
+
+  /** D9: the final act of a dedup pipeline — given the near-duplicate
+    * clusters (d5's connected components), pick ONE survivor per
+    * cluster: the longest document, doc_id as the deterministic
+    * tie-break (real pipelines rank by quality score; the argmax shape
+    * is identical). One window over the cluster partition — no
+    * self-join, no skew beyond cluster size, which d2's bucket cap
+    * already bounds. */
+  def d9Survivors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val clusters = DedupQueries.d5From(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    docs.join(clusters, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id".as("survivor_id"), $"n_chars",
+        $"lang")
+  }
+
+  val d9Sql: String =
+    s"""WITH clusters AS (${DedupQueries.d5Sql.replace("\n", "\n  ")}),
+       |ranked AS (
+       |  SELECT c.cluster_id, d.doc_id, d.n_chars, d.lang,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+       |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+       |SELECT cluster_id, doc_id AS survivor_id, n_chars, lang
+       |FROM ranked WHERE rk = 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d7_bloom_decontam" -> QueryDef.of(d7Sql)(d7BloomDecontam),
     "d8_paragraph_dedup" -> QueryDef.of(d8Sql)(d8ParagraphDedup),
     "pk1_seq_packing" -> QueryDef.of(pk1Sql)(pk1Packing),
-    "t_unigram_lm" -> QueryDef.of(tLmSql)(tUnigramLm)
+    "t_unigram_lm" -> QueryDef.of(tLmSql)(tUnigramLm),
+    "t_quality_clf" -> QueryDef.of(tClfSql)(tQualityClf),
+    "d9_survivors" -> QueryDef.of(d9Sql)(d9Survivors)
   )
 }
