@@ -82,4 +82,77 @@ object TrainingSet {
   def epochShuffle(docs: DataFrame, idCol: String, salt: String): DataFrame =
     docs.withColumn("pos_key",
       DedupQueries.hash60(concat(col(idCol).cast("string"), lit("|" + salt))))
+
+  /** Chunk-level (paragraph) dedup stats: per doc, how many of its
+    * fixed-size token chunks occur elsewhere in the corpus — the
+    * boilerplate signal whole-doc dedup misses. Chunk hashes (8 bytes)
+    * are the only thing shuffled. */
+  def paragraphDupStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 20): DataFrame = {
+    val chunks = std(docs, idCol, textCol)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(toks) + ${chunkTokens - 1}) DIV $chunkTokens - 1)," +
+          s" i -> concat_ws(' ', slice(toks, i * $chunkTokens + 1, $chunkTokens)))"))
+        .as("chunk"))
+      .select(col("doc_id"), DedupQueries.hash60(col("chunk")).as("h"))
+    val counts = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id").as(idCol), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_chunk_frac"))
+  }
+
+  /** One survivor per near-duplicate cluster: rank within each cluster
+    * by the caller's quality column (descending; id breaks ties) and
+    * keep the best — a single window over the cluster partition. Docs
+    * in no cluster are their own survivors and pass through. */
+  def dedupSurvivors(docs: DataFrame, qualityCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val clusters = dedupClusters(docs, idCol, textCol)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cluster"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("__cluster",
+        coalesce(col("cluster_id"), col(idCol))) // singletons: own cluster
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__cluster", "cluster_id") // output = the corpus columns
+  }
+
+  /** Concat-and-chop sequence packing plan: assigns each doc a bucket,
+    * its first/last packed-sequence index, and the straddle flag —
+    * the metadata a writer needs to emit fixed-length training
+    * sequences. Parallel per-bucket windows, never a global sort. */
+  def packingPlan(docs: DataFrame, tokenCol: String, seqLen: Int = 512,
+      buckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("bucket",
+        DedupQueries.hash60(col(idCol).cast("string")) % buckets)
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("first_seq", expr(s"(__cum - $tokenCol) DIV $seqLen"))
+      .withColumn("last_seq", expr(s"(__cum - 1) DIV $seqLen"))
+      .withColumn("straddles", col("last_seq") > col("first_seq"))
+      .drop("__cum")
+  }
+
+  /** Linear quality-classifier score over caller-provided feature
+    * columns: `bias + Σ wᵢ·featureᵢ` in the given (deterministic)
+    * order, plus a keep verdict at the threshold. Broadcast weights,
+    * scan-side arithmetic — zero shuffles. */
+  def classifierScore(docs: DataFrame, bias: Double,
+      weights: Seq[(String, Double)], threshold: Double = 0.0): DataFrame = {
+    val score = weights.foldLeft(lit(bias)) { case (acc, (c, w)) =>
+      acc + lit(w) * col(c)
+    }
+    docs.withColumn("score", score)
+      .withColumn("keep", col("score") > threshold)
+  }
 }

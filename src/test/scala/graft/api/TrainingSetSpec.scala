@@ -53,4 +53,63 @@ class TrainingSetSpec extends SparkSpec {
       .select(col("doc_id"), col("pos_key"))
     assert(rows(keyed) == rows(reg))
   }
+
+  test("paragraphDupStats == oracle-proven d8") {
+    assert(rows(TrainingSet.paragraphDupStats(docs)) ==
+      rows(graft.analytics.CorpusQueries.d8ParagraphDedup(spark, sf())))
+  }
+
+  test("dedupSurvivors keeps one best doc per cluster plus all singletons") {
+    val survivors = TrainingSet.dedupSurvivors(docs, qualityCol = "n_chars")
+    val clusters = TrainingSet.dedupClusters(docs)
+    // exactly one survivor per cluster…
+    val perCluster = survivors
+      .join(clusters, "doc_id")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n")).collect()
+    assert(perCluster.nonEmpty && perCluster.forall(_.getAs[Long]("n") == 1L))
+    // …and it matches the registry's d9 choice (same rank: length, id)
+    val d9 = graft.analytics.CorpusQueries.d9Survivors(spark, sf())
+      .select(col("survivor_id")).collect().map(_.getLong(0)).toSet
+    val clusteredSurvivors = survivors.join(clusters, "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(clusteredSurvivors == d9)
+    // singletons all pass through
+    val nSingletons = docs.count() - clusters.count()
+    assert(survivors.count() == nSingletons + perCluster.length)
+  }
+
+  test("packingPlan agrees with pk1's per-bucket geometry") {
+    import org.apache.spark.sql.functions.{size => asize}
+    val planned = TrainingSet.packingPlan(
+      docs.withColumn("n_tok", asize(split(col("text"), " ")).cast("long")),
+      tokenCol = "n_tok", seqLen = 512, buckets = 8)
+    val agg = planned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        (max(col("last_seq")) + 1L).as("n_seqs"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddlers"))
+    val reg = graft.analytics.CorpusQueries.pk1Packing(spark, sf())
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        col("n_straddlers"))
+    assert(rows(agg) == rows(reg))
+  }
+
+  test("classifierScore reproduces t_quality_clf with the same features") {
+    val feats = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", asLong(org.apache.spark.sql.functions.size(col("toks"))))
+      .withColumn("stop_ratio",
+        asLong(org.apache.spark.sql.functions.size(
+          expr("filter(toks, t -> t IN ('the', 'a'))"))).cast("double") / col("n_tokens"))
+      .withColumn("mean_tok_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("ln_tokens", log(col("n_tokens").cast("double")))
+    val api = TrainingSet.classifierScore(feats, bias = -1.25,
+      weights = Seq("stop_ratio" -> 4.0, "mean_tok_len" -> -0.35,
+        "ln_tokens" -> 0.45))
+      .select(col("doc_id"), col("score"), col("keep"))
+    val reg = graft.analytics.CorpusQueries.tQualityClf(spark, sf())
+    assert(rows(api) == rows(reg))
+  }
+
+  private def asLong(c: org.apache.spark.sql.Column) = c.cast("long")
 }
