@@ -207,6 +207,11 @@ object JsCustomMapper {
         case b: Array[Byte] => b
         case _ => null
       }
+      // scalar sent to an array field promotes to a singleton (the
+      // ingest F12 rule, JsonEventDeserializer.java:640-646); a scalar
+      // cannot become a map
+      case ArrayType(et, _) => Seq(normalize(other, et))
+      case _: MapType => null
       case _ => other
     }
   }
