@@ -161,13 +161,18 @@ object CorpusQueries {
     * [[ChunkTokens]]-token chunks; a chunk is duplicated when its hash
     * occurs more than once in the whole corpus; each doc reports its
     * duplicated-chunk fraction (the usual drop/trim signal). */
-  def d8ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val chunks = Tables(spark, dir, "documents")
+  /** The ONE chunk-dedup implementation — the registry query and the
+    * [[graft.api.TrainingSet.paragraphDupStats]] facade both call this,
+    * so the two surfaces cannot drift (same pattern as d2From/d5From).
+    * Expects (doc_id, text). */
+  private[graft] def d8From(docs: DataFrame,
+      chunkTokens: Int = ChunkTokens): DataFrame = {
+    import docs.sparkSession.implicits._
+    val chunks = docs
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", explode(expr(
-        s"transform(sequence(0, (size(toks) + ${ChunkTokens - 1}) DIV $ChunkTokens - 1)," +
-          s" i -> concat_ws(' ', slice(toks, i * $ChunkTokens + 1, $ChunkTokens)))"))
+        s"transform(sequence(0, (size(toks) + ${chunkTokens - 1}) DIV $chunkTokens - 1)," +
+          s" i -> concat_ws(' ', slice(toks, i * $chunkTokens + 1, $chunkTokens)))"))
         .as("chunk"))
       .select($"doc_id", DedupQueries.hash60($"chunk").as("h"))
     val counts = chunks.groupBy($"h").agg(count(lit(1)).as("n_occ"))
@@ -179,6 +184,9 @@ object CorpusQueries {
       .select($"doc_id", $"n_chunks", $"n_dup_chunks",
         ($"n_dup_chunks".cast("double") / $"n_chunks").as("dup_chunk_frac"))
   }
+
+  def d8ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    d8From(Tables(spark, dir, "documents"))
 
   val d8Sql: String =
     s"""WITH toks AS (
@@ -216,24 +224,35 @@ object CorpusQueries {
     * resulting sequences, boundary-straddling docs, and the fill ratio
     * of the final chopped layout (1 − fill = padding waste of the last
     * sequence only). */
+  /** The ONE packing-plan implementation (per-doc bucket/sequence
+    * assignment) — shared by the registry aggregate below and the
+    * [[graft.api.TrainingSet.packingPlan]] facade. */
+  private[graft] def packingPlanFrom(docs: DataFrame, tokenCol: String,
+      seqLen: Int, buckets: Int, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("bucket",
+        DedupQueries.hash60(col(idCol).cast("string")) % buckets)
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("first_seq", expr(s"(__cum - $tokenCol) DIV $seqLen"))
+      .withColumn("last_seq", expr(s"(__cum - 1) DIV $seqLen"))
+      .withColumn("straddles", col("last_seq") > col("first_seq"))
+      .drop("__cum")
+  }
+
   def pk1Packing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"bucket").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables(spark, dir, "documents")
-      .select($"doc_id",
-        (DedupQueries.hash60($"doc_id".cast("string")) % PackBuckets).as("bucket"),
-        size(split($"text", " ")).cast("long").as("n_tok"))
-      .withColumn("cum", sum($"n_tok").over(w))
-      .withColumn("first_seq", expr(s"(cum - n_tok) DIV $SeqLen"))
-      .withColumn("last_seq", expr(s"(cum - 1) DIV $SeqLen"))
+    val sized = Tables(spark, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    packingPlanFrom(sized, "n_tok", SeqLen, PackBuckets)
       .groupBy($"bucket")
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"n_tok").as("n_tokens"),
         (max($"last_seq") + 1L).as("n_seqs"),
-        sum(when($"last_seq" > $"first_seq", 1L).otherwise(0L)).as("n_straddlers"))
+        sum(when($"straddles", 1L).otherwise(0L)).as("n_straddlers"))
       .select($"bucket", $"n_docs", $"n_tokens", $"n_seqs", $"n_straddlers",
         ($"n_tokens".cast("double") / ($"n_seqs" * SeqLen)).as("fill_ratio"))
   }
@@ -307,22 +326,33 @@ object CorpusQueries {
     * a keep verdict. Pure scan-side arithmetic (no shuffle until the
     * output), with fixed left-to-right association so both engines
     * produce the bit-identical score. */
+  /** The ONE linear-scoring implementation — shared by the registry
+    * query and [[graft.api.TrainingSet.classifierScore]]: bias + Σ wᵢ·fᵢ
+    * folded left-to-right (the deterministic evaluation order both
+    * engines reproduce), plus the keep verdict. */
+  private[graft] def classifierScoreFrom(docs: DataFrame, bias: Double,
+      weights: Seq[(String, Double)], threshold: Double = 0.0): DataFrame = {
+    val score = weights.foldLeft(lit(bias)) { case (acc, (c, w)) =>
+      acc + lit(w) * col(c)
+    }
+    docs.withColumn("score", score)
+      .withColumn("keep", col("score") > threshold)
+  }
+
   def tQualityClf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (w0, w1, w2, w3) = ClfW
-    Tables(spark, dir, "documents")
+    val feats = Tables(spark, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("stop_ratio",
         size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / $"n_tokens")
       .withColumn("mean_tok_len",
         ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
-      .select(
-        $"doc_id",
-        (lit(w0) + lit(w1) * $"stop_ratio" + lit(w2) * $"mean_tok_len" +
-          lit(w3) * log($"n_tokens".cast("double"))).as("score"),
-        (lit(w0) + lit(w1) * $"stop_ratio" + lit(w2) * $"mean_tok_len" +
-          lit(w3) * log($"n_tokens".cast("double")) > 0.0).as("keep"))
+      .withColumn("ln_tokens", log($"n_tokens".cast("double")))
+    classifierScoreFrom(feats, w0,
+      Seq("stop_ratio" -> w1, "mean_tok_len" -> w2, "ln_tokens" -> w3))
+      .select($"doc_id", $"score", $"keep")
   }
 
   val tClfSql: String = {

@@ -88,22 +88,10 @@ object TrainingSet {
     * boilerplate signal whole-doc dedup misses. Chunk hashes (8 bytes)
     * are the only thing shuffled. */
   def paragraphDupStats(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", chunkTokens: Int = 20): DataFrame = {
-    val chunks = std(docs, idCol, textCol)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, (size(toks) + ${chunkTokens - 1}) DIV $chunkTokens - 1)," +
-          s" i -> concat_ws(' ', slice(toks, i * $chunkTokens + 1, $chunkTokens)))"))
-        .as("chunk"))
-      .select(col("doc_id"), DedupQueries.hash60(col("chunk")).as("h"))
-    val counts = chunks.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
-    chunks.join(counts, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
-      .select(col("doc_id").as(idCol), col("n_chunks"), col("n_dup_chunks"),
-        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_chunk_frac"))
-  }
+      textCol: String = "text", chunkTokens: Int = 20): DataFrame =
+    graft.analytics.CorpusQueries
+      .d8From(std(docs, idCol, textCol), chunkTokens)
+      .withColumnRenamed("doc_id", idCol)
 
   /** One survivor per near-duplicate cluster: rank within each cluster
     * by the caller's quality column (descending; id breaks ties) and
@@ -129,30 +117,16 @@ object TrainingSet {
     * the metadata a writer needs to emit fixed-length training
     * sequences. Parallel per-bucket windows, never a global sort. */
   def packingPlan(docs: DataFrame, tokenCol: String, seqLen: Int = 512,
-      buckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs
-      .withColumn("bucket",
-        DedupQueries.hash60(col(idCol).cast("string")) % buckets)
-      .withColumn("__cum", sum(col(tokenCol)).over(w))
-      .withColumn("first_seq", expr(s"(__cum - $tokenCol) DIV $seqLen"))
-      .withColumn("last_seq", expr(s"(__cum - 1) DIV $seqLen"))
-      .withColumn("straddles", col("last_seq") > col("first_seq"))
-      .drop("__cum")
-  }
+      buckets: Int = 64, idCol: String = "doc_id"): DataFrame =
+    graft.analytics.CorpusQueries
+      .packingPlanFrom(docs, tokenCol, seqLen, buckets, idCol)
 
   /** Linear quality-classifier score over caller-provided feature
     * columns: `bias + Σ wᵢ·featureᵢ` in the given (deterministic)
     * order, plus a keep verdict at the threshold. Broadcast weights,
     * scan-side arithmetic — zero shuffles. */
   def classifierScore(docs: DataFrame, bias: Double,
-      weights: Seq[(String, Double)], threshold: Double = 0.0): DataFrame = {
-    val score = weights.foldLeft(lit(bias)) { case (acc, (c, w)) =>
-      acc + lit(w) * col(c)
-    }
-    docs.withColumn("score", score)
-      .withColumn("keep", col("score") > threshold)
-  }
+      weights: Seq[(String, Double)], threshold: Double = 0.0): DataFrame =
+    graft.analytics.CorpusQueries
+      .classifierScoreFrom(docs, bias, weights, threshold)
 }

@@ -378,11 +378,15 @@ final class JsEngine(code: String, globals: Map[String, Any],
   private def writeIndex(recv: Any, key: Any, v: Any): Unit = recv match {
     case a: mutable.ArrayBuffer[Any @unchecked] =>
       val i = jsIndex(key)
-      // Sparse growth is host-side work, so it must honor the same step
-      // budget as interpreted code (tick per appended slot), and absurd
-      // indexes are a sandbox violation outright — `a[2e9] = 1` must not
-      // allocate a 2B-element buffer inside one interpreter step.
-      if (i < 0 || i >= JsEngine.MaxArrayLength)
+      // JS treats a[-1] = v as a plain property write, not an error — a
+      // data-dependent negative index (indexOf miss - 1) must not kill
+      // the task; the property is simply invisible to length/iteration,
+      // which a silent no-op models. Sparse growth is host-side work, so
+      // it honors the same step budget as interpreted code (tick per
+      // appended slot); an absurd index is a sandbox violation outright —
+      // `a[2e9] = 1` must not allocate a 2B-element buffer in one step.
+      if (i < 0) return
+      if (i >= JsEngine.MaxArrayLength)
         throw new SandboxViolation(
           s"array index $i out of sandbox bounds (max ${JsEngine.MaxArrayLength})")
       while (a.length <= i) { tick(); a += Undefined }

@@ -131,6 +131,8 @@ object JsCustomMapper {
     case mm: scala.collection.Map[_, _] => t match {
       case MapType(_, vt, _) =>
         mm.map { case (k, x) => String.valueOf(k) -> normalize(x, vt) }.toMap
+      case StringType => JsJson.stringify(
+        mutable.LinkedHashMap(mm.toSeq.map { case (k, x) => String.valueOf(k) -> x }: _*))
       case _ => null
     }
     case a: mutable.ArrayBuffer[Any @unchecked] => t match {
@@ -163,12 +165,19 @@ object JsCustomMapper {
         case d: Double => d.toFloat
         case l: Long => l.toFloat
         case i: Int => i.toFloat
+        case s: String => s.trim.toFloatOption.map(Float.box).orNull
         case _ => null
       }
       case LongType => other match {
         case l: Long => l
         case i: Int => i.toLong
-        case d: Double => if (d.isWhole) d.toLong else null
+        case d: Double =>
+          // range-check like IntegerType below: toLong SATURATES for
+          // whole doubles ≥ 2^63 (isWhole is true for 1e19), which would
+          // silently store Long.MaxValue — corruption, not coercion
+          if (d.isWhole && d >= Long.MinValue.toDouble && d < Long.MaxValue.toDouble)
+            d.toLong
+          else null
         case s: String => s.trim.toLongOption.map(Long.box).orNull
         case _ => null
       }
@@ -189,6 +198,12 @@ object JsCustomMapper {
         case ts: java.sql.Timestamp => ts
         case i: java.time.Instant => i
         case l: Long => new java.sql.Timestamp(l) // epoch millis, §1.2
+        case d: Double =>
+          // float math on epoch millis (ms/1000*1000) yields a whole
+          // Double — same value contract as the Long case above
+          if (d.isWhole && d >= Long.MinValue.toDouble && d < Long.MaxValue.toDouble)
+            new java.sql.Timestamp(d.toLong)
+          else null
         case _ => null
       }
       case DateType => other match {

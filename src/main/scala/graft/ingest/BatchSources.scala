@@ -141,8 +141,12 @@ object BatchSources {
   private[ingest] def eventsSlice(body: String): String = {
     val n = body.length
     var i = 0; var depth = 0
-    var keyEnd = -1 // index just past the closing quote of a depth-1 "events" key
-    while (i < n && keyEnd < 0) {
+    var keyEnd = -1 // index just past the ':' of the depth-1 "events" key
+    // scan the WHOLE body (no early exit): a duplicate top-level key must
+    // be rejected, because Jackson keeps the LAST duplicate while a
+    // first-match slice would validate bytes that are not what gets
+    // ingested — a checksum-valid batch smuggling unverified content
+    while (i < n) {
       val c = body.charAt(i)
       c match {
         case '{' | '[' => depth += 1; i += 1
@@ -162,12 +166,22 @@ object BatchSources {
             // a KEY is followed (modulo whitespace) by ':'
             var j = i
             while (j < n && body.charAt(j).isWhitespace) j += 1
-            if (j < n && body.charAt(j) == ':') keyEnd = j + 1
+            if (j < n && body.charAt(j) == ':') {
+              if (keyEnd >= 0)
+                throw new IngestRejected("multiple 'events' property")
+              keyEnd = j + 1
+            }
           }
         case _ => i += 1
       }
     }
-    val start = body.indexOf('[', math.max(keyEnd, 0))
+    // No literal top-level key found (e.g. a \u-escaped key name, which
+    // Jackson decodes but a byte-range signature cannot reproduce) → an
+    // empty slice, so a present checksum fails CLEANLY instead of
+    // hashing an arbitrary '[' elsewhere in the body or crashing.
+    if (keyEnd < 0) return ""
+    val start = body.indexOf('[', keyEnd)
+    if (start < 0) return ""
     // matching bracket scan, string-aware
     var d2 = 0; var k = start; var inStr = false; var esc = false
     while (k < n) {
@@ -186,7 +200,7 @@ object BatchSources {
       }
       k += 1
     }
-    body.substring(math.max(start, 0))
+    body.substring(start)
   }
 
   /** md5(apiKey ∥ apiVersion ∥ uploadTime ∥ eventsSlice) — hex. */

@@ -95,11 +95,13 @@ class PlanSpec extends SparkSpec {
     // Filter over the scan projection, not as any flavor of join.
     val df = SparkEntry.queries("d7_bloom_decontam")(spark, sf())
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // the probe itself (substring(bloom, …)) must sit in a Filter over
-    // the scan — and every join in the query (the exact-check LeftSemi,
-    // the two per-doc flag LeftOuters) must be a BROADCAST of the tiny
-    // side: the 100 TB corpus is never shuffled for a join here
-    assert(p.contains("substring"), "bloom probe not present in the plan")
+    // the native probe expression must sit in the plan (NOT matched via
+    // 'substring', which hash60's md5 slicing puts in EVERY gram plan) —
+    // and every join in the query (the exact-check LeftSemi, the two
+    // per-doc flag LeftOuters) must be a BROADCAST of the tiny side:
+    // the 100 TB corpus is never shuffled for a join here
+    assert(p.toLowerCase.contains("bloomprobe"),
+      "native bloom probe expression not present in the plan")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "corpus side must never shuffle for a join in the bloom path:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))

@@ -57,10 +57,11 @@ class CorpusQueriesSpec extends SparkSpec {
       val nTok = r.getAs[Long]("n_tokens")
       // chop geometry: seqs is exactly ceil(tokens / 512)
       assert(nSeqs == (nTok + 511) / 512)
-      // a doc straddles at most (its own span) boundaries; there are only
-      // nSeqs - 1 boundaries per bucket in total to straddle
-      assert(r.getAs[Long]("n_straddlers") <= nSeqs.max(1L) - 1L ||
-        r.getAs[Long]("n_straddlers") <= r.getAs[Long]("n_docs"))
+      // each straddler crosses ≥1 of the bucket's nSeqs - 1 internal
+      // boundaries and every boundary lies inside at most one doc, so
+      // straddlers are STRICTLY bounded by boundaries (an || with
+      // n_straddlers <= n_docs would be a tautology)
+      assert(r.getAs[Long]("n_straddlers") <= nSeqs - 1L)
       val fill = r.getAs[Double]("fill_ratio")
       assert(fill > 0.0 && fill <= 1.0)
     }

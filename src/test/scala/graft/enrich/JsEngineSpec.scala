@@ -118,6 +118,11 @@ class JsEngineSpec extends SparkSpec {
     assert(b.getMessage.contains("step budget"))
     // normal in-bounds sparse assignment still works
     assert(run("function f() { var a = [1]; a[3] = 9; return a.length; }", "f") == 4L)
+    // a data-dependent NEGATIVE index (indexOf miss - 1) is a harmless
+    // property write in JS — must not kill the task
+    assert(run(
+      "function f(s) { var a = [1, 2]; a[s.indexOf('x') - 1] = 9; return a.length; }",
+      "f", "no-match-here") == 2L)
   }
 
   test("missing mapper function fails like the reference") {
