@@ -401,12 +401,109 @@ object CorpusQueries {
        |SELECT cluster_id, doc_id AS survivor_id, n_chars, lang
        |FROM ranked WHERE rk = 1""".stripMargin
 
+  // ---------------- corpus health report ----------------
+
+  /** The pre-training-run dashboard: one row per language over the
+    * train split with the rates every pipeline decision hangs on —
+    * exact-duplicate docs, benchmark contamination, heuristic and
+    * classifier keep rates, token volume. Composes the existing stages
+    * in ONE query: a single scan feeds every per-doc flag; the only
+    * joins are the per-text dup-count (8-byte hash keys) and the
+    * broadcast contamination semi-probe. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val train = docs.filter($"source" =!= "src0")
+    val dupTexts = train.groupBy(md5($"text").as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter($"n_copies" > 1)
+      .select($"text_md5")
+    val benchGrams = TrainingSetQueries
+      .gramHashes(docs.filter($"source" === "src0"), 5)
+      .select($"h").distinct()
+    val contaminated = TrainingSetQueries.gramHashes(train, 5)
+      .join(broadcast(benchGrams), Seq("h"), "leftsemi")
+      .select($"doc_id").distinct().withColumn("contam", lit(1L))
+    val (w0, w1, w2, w3) = ClfW
+    train
+      .join(dupTexts.withColumn("dup", lit(1L)),
+        md5($"text") === $"text_md5", "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("stop_ratio",
+        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / $"n_tokens")
+      .withColumn("mean_tok_len",
+        ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+      .withColumn("quality_keep",
+        ($"n_tokens" >= 20 && $"n_tokens" <= 1000 && $"stop_ratio" > 0.0))
+      .withColumn("clf_keep",
+        lit(w0) + lit(w1) * $"stop_ratio" + lit(w2) * $"mean_tok_len" +
+          lit(w3) * log($"n_tokens".cast("double")) > 0.0)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce($"dup", lit(0L))).as("n_exact_dup_docs"),
+        sum(coalesce($"contam", lit(0L))).as("n_contaminated"),
+        sum(when($"quality_keep", 1L).otherwise(0L)).as("n_quality_keep"),
+        sum(when($"clf_keep", 1L).otherwise(0L)).as("n_clf_keep"),
+        sum($"n_tokens").as("n_tokens"))
+  }
+
+  val corpusReportSql: String = {
+    val (w0, w1, w2, w3) = ClfW
+    val n = 5
+    val gramExpr =
+      s"unnest(list_transform(range(len(t) - ${n - 1}), i -> " +
+        s"concat_ws(' ', ${(1 to n).map(j => s"t[i+$j]").mkString(", ")})))"
+    s"""WITH train AS (
+       |  SELECT * FROM documents WHERE source <> 'src0'),
+       |dup_texts AS (
+       |  SELECT md5(text) AS text_md5 FROM train
+       |  GROUP BY md5(text) HAVING count(*) > 1),
+       |toksrc AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |grams AS (
+       |  SELECT doc_id, source, ${DedupQueries.sqlHash60("gram")} AS h FROM (
+       |    SELECT doc_id, source, $gramExpr AS gram FROM toksrc)),
+       |bench AS (SELECT DISTINCT h FROM grams WHERE source = 'src0'),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE source <> 'src0' AND h IN (SELECT h FROM bench)),
+       |feat AS (
+       |  SELECT d.doc_id, d.lang, d.n_chars,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(d.text, ' '),
+       |      x -> x IN ('the', 'a'))) AS DOUBLE)
+       |      / len(string_split(d.text, ' ')) AS stop_ratio,
+       |    CAST(d.n_chars - (len(string_split(d.text, ' ')) - 1) AS DOUBLE)
+       |      / len(string_split(d.text, ' ')) AS mean_tok_len,
+       |    CASE WHEN md5(d.text) IN (SELECT text_md5 FROM dup_texts)
+       |      THEN 1 ELSE 0 END AS dup,
+       |    CASE WHEN d.doc_id IN (SELECT doc_id FROM contaminated)
+       |      THEN 1 ELSE 0 END AS contam
+       |  FROM train d)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(dup) AS BIGINT) AS n_exact_dup_docs,
+       |  CAST(sum(contam) AS BIGINT) AS n_contaminated,
+       |  CAST(sum(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+       |    AND stop_ratio > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
+       |  CAST(sum(CASE WHEN $w0 + $w1 * stop_ratio + $w2 * mean_tok_len
+       |    + $w3 * ln(CAST(n_tokens AS DOUBLE)) > 0.0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_keep,
+       |  sum(n_tokens) AS n_tokens
+       |FROM feat
+       |GROUP BY lang""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d7_bloom_decontam" -> QueryDef.of(d7Sql)(d7BloomDecontam),
     "d8_paragraph_dedup" -> QueryDef.of(d8Sql)(d8ParagraphDedup),
     "pk1_seq_packing" -> QueryDef.of(pk1Sql)(pk1Packing),
     "t_unigram_lm" -> QueryDef.of(tLmSql)(tUnigramLm),
     "t_quality_clf" -> QueryDef.of(tClfSql)(tQualityClf),
-    "d9_survivors" -> QueryDef.of(d9Sql)(d9Survivors)
+    "d9_survivors" -> QueryDef.of(d9Sql)(d9Survivors),
+    "corpus_report" -> QueryDef.of(corpusReportSql)(corpusReport)
   )
 }
