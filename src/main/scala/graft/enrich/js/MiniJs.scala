@@ -168,6 +168,14 @@ object MiniJs {
     }
 
     private def statement(): Stmt = {
+      // same guard as expr(): '{{{{…}}}}' recurses through statement()
+      exprDepth += 1
+      if (exprDepth > 256)
+        throw new JsException("statement nesting too deep (max 256)")
+      try statement0() finally exprDepth -= 1
+    }
+
+    private def statement0(): Stmt = {
       if (isKw("var") || isKw("let") || isKw("const")) { eat(); varDecl() }
       else if (isKw("function")) { eat(); funDecl() }
       else if (isKw("if")) { eat(); ifStmt() }
@@ -258,7 +266,18 @@ object MiniJs {
       Block(b.result())
     }
 
-    def expr(): Expr = assignExpr()
+    // Nesting guard: the parser is recursive-descent, so a data- or
+    // user-supplied script like '((((…1…))))' would otherwise throw
+    // StackOverflowError — an Error, not Exception, which escapes every
+    // catch and kills the executor. Cap expression nesting like the
+    // evaluator caps call recursion.
+    private var exprDepth = 0
+    def expr(): Expr = {
+      exprDepth += 1
+      if (exprDepth > 256)
+        throw new JsException("expression nesting too deep (max 256)")
+      try assignExpr() finally exprDepth -= 1
+    }
 
     private def assignExpr(): Expr = {
       val lhs = condExpr()

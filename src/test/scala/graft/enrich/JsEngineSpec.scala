@@ -125,6 +125,20 @@ class JsEngineSpec extends SparkSpec {
       "f", "no-match-here") == 2L)
   }
 
+  test("pathological nesting is a parse error, not a StackOverflowError") {
+    // StackOverflowError is an Error — it escapes every catch and kills
+    // the executor; the parser must reject absurd nesting as a plain
+    // JsException at compile (registration) time instead
+    val deepParens = "function f() { return " + "(" * 5000 + "1" + ")" * 5000 + "; }"
+    val e1 = intercept[MiniJs.JsException](MiniJs.parse(deepParens))
+    assert(e1.getMessage.contains("nesting too deep"))
+    val deepBlocks = "function f() { " + "{" * 5000 + "}" * 5000 + " }"
+    val e2 = intercept[MiniJs.JsException](MiniJs.parse(deepBlocks))
+    assert(e2.getMessage.contains("nesting too deep"))
+    // sane nesting still parses and runs
+    assert(run("function f() { return ((((1 + 2)))); }", "f") == 3L)
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))
