@@ -368,10 +368,13 @@ object MiniJs {
           expectOp(")")
           e = Call(e, args.result())
         } else if (isOp("++") || isOp("--")) {
-          // postfix inc/dec: evaluate-to-old-value semantics are not
-          // preserved (statement-position use is what mappers write)
+          // postfix inc/dec evaluates to the OLD value: rewrite i++ as
+          // (i += 1) - 1 — numerically exact for Long and Double, and
+          // a script like `a[i++]` indexes the pre-increment position
           val op = eat().text
-          e = Assign(e, if (op == "++") "+=" else "-=", NumL(1L))
+          e =
+            if (op == "++") Bin("-", Assign(e, "+=", NumL(1L)), NumL(1L))
+            else Bin("+", Assign(e, "-=", NumL(1L)), NumL(1L))
         } else going = false
       }
       e

@@ -125,6 +125,19 @@ class JsEngineSpec extends SparkSpec {
       "f", "no-match-here") == 2L)
   }
 
+  test("postfix ++ yields the OLD value, prefix the new (JS semantics)") {
+    assert(run("function f() { var i = 5; var x = i++; return x * 10 + i; }",
+      "f") == 56L) // x = 5 (old), i = 6
+    assert(run("function f() { var i = 5; var x = ++i; return x * 10 + i; }",
+      "f") == 66L) // x = 6 (new), i = 6
+    assert(run("function f() { var i = 5; var x = i--; return x * 10 + i; }",
+      "f") == 54L)
+    // the canonical idiom: a[i++] writes at the pre-increment slot
+    assert(run(
+      "function f() { var a = []; var i = 0; a[i++] = 'x'; a[i++] = 'y'; return a.join(''); }",
+      "f") == "xy")
+  }
+
   test("pathological nesting is a parse error, not a StackOverflowError") {
     // StackOverflowError is an Error — it escapes every catch and kills
     // the executor; the parser must reject absurd nesting as a plain
