@@ -161,6 +161,27 @@ final class JsEngine(code: String, globals: Map[String, Any],
             case _: BreakEx => return
           }
         }
+      case ForInS(name, objE, body) =>
+        val keys: Seq[Any] = eval(objE, env) match {
+          case m: mutable.LinkedHashMap[String @unchecked, _] => m.keys.toSeq
+          case a: mutable.ArrayBuffer[_] => (0L until a.length.toLong)
+          case s: String => (0L until s.length.toLong)
+          case null | Undefined => Seq.empty // JS: for-in over null is a no-op
+          case _ => Seq.empty
+        }
+        val scope = new Env(Some(env))
+        scope.declare(name, Undefined)
+        val it = keys.iterator
+        var looping = true
+        while (looping && it.hasNext) {
+          tick()
+          scope.assign(name, it.next())
+          try exec(body, scope)
+          catch {
+            case _: ContinueEx => ()
+            case _: BreakEx => looping = false
+          }
+        }
       case ForS(init, cond, step, body) =>
         val scope = new Env(Some(env))
         init.foreach(exec(_, scope))
@@ -293,6 +314,29 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case "push" => args.foreach(a += _); a.length.toLong
       case "pop" => if (a.isEmpty) Undefined else a.remove(a.length - 1)
       case "indexOf" => a.indexWhere(x => strictEq(x, args.head)).toLong
+      case "includes" => a.exists(x => strictEq(x, args.head))
+      case "concat" =>
+        // JS concat flattens ARRAY arguments one level, keeps the rest
+        val out = mutable.ArrayBuffer(a.toSeq: _*)
+        args.foreach {
+          case arr: mutable.ArrayBuffer[Any @unchecked] =>
+            arr.foreach { x => tick(); out += x }
+          case x => out += x
+        }
+        out
+      case "map" =>
+        mutable.ArrayBuffer(a.zipWithIndex.map { case (x, i) =>
+          tick(); callValue(args.head, Seq(x, i.toLong, a))
+        }.toSeq: _*)
+      case "filter" =>
+        mutable.ArrayBuffer(a.zipWithIndex.collect {
+          case (x, i) if { tick(); truthy(callValue(args.head, Seq(x, i.toLong, a))) } => x
+        }.toSeq: _*)
+      case "forEach" =>
+        a.zipWithIndex.foreach { case (x, i) =>
+          tick(); callValue(args.head, Seq(x, i.toLong, a))
+        }
+        Undefined
       case "join" =>
         a.map(jsToString).mkString(if (args.isEmpty) "," else str(args.head))
       case "slice" =>

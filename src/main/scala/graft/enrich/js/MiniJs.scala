@@ -86,6 +86,10 @@ object MiniJs {
   final case class WhileS(c: Expr, body: Stmt) extends Stmt
   final case class ForS(init: Option[Stmt], cond: Option[Expr],
       step: Option[Expr], body: Stmt) extends Stmt
+  /** `for (var k in obj) body` — keys of an object, indices of an
+    * array/string (the reference's webhook transforms iterate request
+    * bodies this way). */
+  final case class ForInS(varName: String, obj: Expr, body: Stmt) extends Stmt
   final case class ReturnS(e: Option[Expr]) extends Stmt
   case object BreakS extends Stmt
   case object ContinueS extends Stmt
@@ -248,6 +252,20 @@ object MiniJs {
 
     private def forStmt(): Stmt = {
       expectOp("(")
+      // for (var k in obj) / for (k in obj) — lookahead for the 'in' form
+      val isForIn = {
+        val at = if (isKw("var") || isKw("let") || isKw("const")) p + 1 else p
+        toks(at).kind == "id" && at + 1 < toks.length &&
+          toks(at + 1).kind == "id" && toks(at + 1).text == "in"
+      }
+      if (isForIn) {
+        if (isKw("var") || isKw("let") || isKw("const")) eat()
+        val name = eat().text
+        eat() // 'in'
+        val obj = expr()
+        expectOp(")")
+        return ForInS(name, obj, statement())
+      }
       val init = if (isOp(";")) { eat(); None }
         else if (isKw("var")) { eat(); Some(varDecl()) }
         else { val e = ExprStmt(expr()); if (isOp(";")) eat(); Some(e) }

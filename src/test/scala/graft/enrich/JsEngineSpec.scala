@@ -125,6 +125,54 @@ class JsEngineSpec extends SparkSpec {
       "f", "no-match-here") == 2L)
   }
 
+  test("for-in iterates object keys and array indices; null is a no-op") {
+    assert(run(
+      """function f() {
+        |  var o = {a: 1, b: 2, c: 3};
+        |  var ks = [];
+        |  for (var k in o) { ks.push(k + '=' + o[k]); }
+        |  return ks.join(',');
+        |}""".stripMargin, "f") == "a=1,b=2,c=3")
+    assert(run(
+      """function f() {
+        |  var a = ['x', 'y', 'z'];
+        |  var total = '';
+        |  for (var i in a) { if (a[i] === 'y') { continue; } total += a[i]; }
+        |  return total;
+        |}""".stripMargin, "f") == "xz")
+    assert(run(
+      "function f(v) { var n = 0; for (var k in v) { n++; } return n; }",
+      "f", null) == 0L)
+  }
+
+  test("array concat/map/filter/forEach/includes with closures") {
+    assert(run(
+      "function f() { return [1, 2].concat([3, 4], 5).join('-'); }",
+      "f") == "1-2-3-4-5")
+    assert(run(
+      "function f() { return [1, 2, 3].map(function(x) { return x * 10; }).join(','); }",
+      "f") == "10,20,30")
+    assert(run(
+      "function f() { return [1, 2, 3, 4].filter(function(x) { return x % 2 == 0; }).join(','); }",
+      "f") == "2,4")
+    assert(run(
+      """function f() {
+        |  var sum = 0;
+        |  [5, 6, 7].forEach(function(x, i) { sum += x * (i + 1); });
+        |  return sum;
+        |}""".stripMargin, "f") == 38L)
+    assert(run("function f() { return [1, 'a'].includes('a'); }", "f") == true)
+    // callbacks are metered: a huge mapped array still hits the budget
+    val e = intercept[MiniJs.SandboxViolation](
+      JsCodeCompiler.createEngine(
+        """function f() {
+          |  var a = [];
+          |  for (var i = 0; i < 100000; i++) { a.push(i); }
+          |  return a.map(function(x) { return x * 2; }).length;
+          |}""".stripMargin, maxSteps = 1000).invoke("f"))
+    assert(e.getMessage.contains("step budget"))
+  }
+
   test("postfix ++ yields the OLD value, prefix the new (JS semantics)") {
     assert(run("function f() { var i = 5; var x = i++; return x * 10 + i; }",
       "f") == 56L) // x = 5 (old), i = 6
