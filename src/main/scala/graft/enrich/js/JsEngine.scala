@@ -379,7 +379,24 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case "toUpperCase" => s.toUpperCase
       case "trim" => s.trim
       case "split" => mutable.ArrayBuffer(s.split(java.util.regex.Pattern.quote(str(args.head)), -1).toSeq: _*)
-      case "replace" => s.replace(str(args.head), str(args(1)))
+      case "replace" =>
+        // JS replace(string, string) replaces only the FIRST occurrence
+        // (java.lang.String.replace would replace all)
+        val target = str(args.head)
+        val i = s.indexOf(target)
+        if (i < 0) s
+        else s.substring(0, i) + str(args(1)) + s.substring(i + target.length)
+      case "replaceAll" => s.replace(str(args.head), str(args(1)))
+      case "charCodeAt" =>
+        val i = jsIndex(args.headOption.getOrElse(Undefined))
+        if (i >= 0 && i < s.length) s.charAt(i.toInt).toLong else Double.NaN
+      case "repeat" =>
+        val n = jsIndex(args.headOption.getOrElse(Undefined))
+        if (n < 0) throw new JsException("repeat count must be non-negative")
+        if (n * s.length > JsEngine.MaxArrayLength)
+          throw new SandboxViolation("repeat result exceeds sandbox bounds")
+        (0L until n).foreach(_ => tick())
+        s * n.toInt
       case "startsWith" => s.startsWith(str(args.head))
       case "endsWith" => s.endsWith(str(args.head))
       case "includes" => s.contains(str(args.head))

@@ -125,6 +125,22 @@ class JsEngineSpec extends SparkSpec {
       "f", "no-match-here") == 2L)
   }
 
+  test("replace replaces FIRST occurrence only; replaceAll, charCodeAt, repeat") {
+    assert(run("function f(s) { return s.replace('a', 'b'); }", "f", "aaa") == "baa")
+    assert(run("function f(s) { return s.replace('zz', 'b'); }", "f", "aaa") == "aaa")
+    assert(run("function f(s) { return s.replaceAll('a', 'b'); }", "f", "aaa") == "bbb")
+    assert(run("function f(s) { return s.charCodeAt(0); }", "f", "A") == 65L)
+    def isNaN(v: Any) = v match {
+      case d: Double => java.lang.Double.isNaN(d); case _ => false
+    }
+    assert(isNaN(run("function f(s) { return s.charCodeAt(9); }", "f", "A")))
+    assert(run("function f(s) { return s.repeat(3); }", "f", "ab") == "ababab")
+    // allocation bomb via repeat hits the sandbox, not the heap
+    val e = intercept[MiniJs.SandboxViolation](
+      run("function f(s) { return s.repeat(2000000000); }", "f", "xx"))
+    assert(e.getMessage.contains("sandbox"))
+  }
+
   test("for-in iterates object keys and array indices; null is a no-op") {
     assert(run(
       """function f() {
