@@ -560,7 +560,112 @@ object SimilarityQueries {
        |GROUP BY x.qid""".stripMargin
   }
 
+  // ---- KMS1: trained k-means (Lloyd) clustering ----
+
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** Squared L2 distance with the same left-to-right double fold as
+    * [[dotExpr]] — bit-identical across engines. */
+  private def distExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  private def sqlDist(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i]))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** KMS1: the k-means training sim4's IVF coarse quantizer stands in
+    * for — [[KmIters]] full Lloyd iterations over the corpus, seeded by
+    * the [[KmK]] smallest vec_ids (deterministic, no RNG), reporting
+    * per-cluster size and SSE.
+    *
+    * Every step is engine-portable BY CONSTRUCTION: distances fold
+    * left-to-right in doubles (identical argmin), ties break on
+    * centroid id, and centroid means go through the exact-decimal
+    * accumulator so summation order cannot drift. Scale posture: each
+    * iteration is one crossJoin against the BROADCAST K-row centroid
+    * set (assignment is scan-local, ranked by a per-vector window) and
+    * one (cid, dim)-keyed partial-agg'd update — the corpus shuffles
+    * only by its cluster assignment, K·D floats travel to the driver
+    * per round (exactly what MLlib's Lloyd does). */
+  def kms1Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val dims = vecs.select($"vec_id",
+      posexplode($"embedding").as(Seq("d", "v0")))
+      .select($"vec_id", $"d", $"v0".cast("double").as("v"))
+
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(distExpr("embedding", "cent")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"vec_id").orderBy($"dist", $"cid")))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cid", $"dist")
+
+    def update(assigned: DataFrame): DataFrame =
+      dims.join(assigned.select($"vec_id", $"cid"), "vec_id")
+        .groupBy($"cid", $"d")
+        .agg((dsum($"v") / count($"v")).as("c"))
+        .groupBy($"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)").as("cent"))
+
+    val cents0 = vecs.filter($"vec_id" < KmK)
+      .select($"vec_id".as("cid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cent"))
+    var assigned = assign(cents0)
+    (1 until KmIters).foreach { _ =>
+      assigned = assign(update(assigned))
+    }
+    assigned.groupBy($"cid")
+      .agg(count(lit(1)).as("n_vectors"), dsum($"dist").as("sse"))
+  }
+
+  val kms1Sql: String = {
+    val expl =
+      """SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS d
+        |        FROM embeddings)""".stripMargin
+    s"""WITH dims AS ($expl),
+       |cents0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM embeddings WHERE vec_id < $KmK),
+       |a1 AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ${sqlDist("e.embedding", "c.cent")} AS dist,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlDist("e.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents0 c)
+       |  WHERE rn = 1),
+       |cents1 AS (
+       |  SELECT cid, list(c ORDER BY d) AS cent FROM (
+       |    SELECT a.cid, t.d,
+       |      CAST(sum(CAST(t.v AS DECIMAL(38,6))) AS DOUBLE) / count(t.v) AS c
+       |    FROM dims t JOIN a1 a ON a.vec_id = t.vec_id
+       |    GROUP BY a.cid, t.d)
+       |  GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ${sqlDist("e.embedding", "c.cent")} AS dist,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlDist("e.embedding", "c.cent")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents1 c)
+       |  WHERE rn = 1)
+       |SELECT cid, count(*) AS n_vectors,
+       |  ${sqlDsum("dist")} AS sse
+       |FROM a2
+       |GROUP BY cid""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "kms1_kmeans" -> QueryDef.of(kms1Sql)(kms1Kmeans),
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
     "sim6_knn_join" -> QueryDef.of(sim6Sql)(sim6KnnJoin),
     "sim7_quantize" -> QueryDef.of(sim7Sql)(sim7Quantize),
