@@ -108,6 +108,52 @@ object BehavioralQueries {
       |    FROM events))
       |GROUP BY user_id""".stripMargin
 
+  /** W8 session windows via Spark's NATIVE `session_window` operator
+    * (ST5's session grain run in batch): one row per (user, session)
+    * with start/end/size/duration. Complements [[w2Sessionize]] (which
+    * proves the lag+cumsum island formulation): this one exercises the
+    * built-in session operator — the state-store-backed primitive the
+    * streaming path uses — and the oracle pins both to the same
+    * relational definition.
+    *
+    * Boundary semantics: `session_window(ts, gap)` extends a session
+    * through last_ts + gap INCLUSIVE — an event exactly 30 minutes
+    * after the previous one still MERGES (SessionWindowSpec pins this
+    * empirically) — so the island twin breaks on strict
+    * `ts > prev + 30 min`, the same boundary [[w2Sessionize]] uses.
+    *
+    * Scale: session_window is a single shuffle on user_id then a local
+    * sort-and-sweep per user — no self-join, no window-over-everything;
+    * exactly the plan a 100 TB sessionization wants. */
+  def w8SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        (unix_micros($"session_end".cast("timestamp")) -
+          unix_micros($"session_start".cast("timestamp"))).as("duration_us"))
+  }
+
+  val w8Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM seq)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   /** A10 / U1-U5 profile merge: events re-read as a profile op-log
     * (signup=set_once, click=set, purchase=increment, error=unset) and
     * folded per user with the reference's merge semantics
@@ -170,6 +216,7 @@ object BehavioralQueries {
     "a6_funnel" -> QueryDef.of(a6Sql)(a6Funnel),
     "a7_retention" -> QueryDef.of(a7Sql)(a7Retention),
     "w2_sessionize" -> QueryDef.of(w2SessSql)(w2Sessionize),
+    "w8_session_window" -> QueryDef.of(w8Sql)(w8SessionWindow),
     "a10_profile_merge" -> QueryDef.of(a10Sql)(a10ProfileMerge)
   )
 }

@@ -307,8 +307,50 @@ object CoreQueries {
       |  TRUE AS within_bound
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** A13 rolling-window actives: per day, the distinct users active that
+    * day (DAU) and over the trailing 7 days (WAU) — the engagement-ratio
+    * pair every analytics product charts. Distinct-over-a-sliding-window
+    * is not sum-decomposable, so the formulation is the day-grid range
+    * join both engines share: distinct (day, user) pairs fan out to the
+    * ≤7 grid days they fall into, then one exact countDistinct per day.
+    *
+    * Scale: the fan-out is bounded at 7·|user-days| rows keyed by day —
+    * a fixed small multiple of the input, with the tiny day grid
+    * broadcast (BroadcastNestedLoopJoin on the BETWEEN predicate is the
+    * right plan: the build side is ~tens of rows). At 100 TB the exact
+    * per-day countDistinct shuffle is the cost; the engine's sketch twin
+    * (a5's approx pattern — mergeable HLL per day, union over 7) slots
+    * in when dashboards can take ±2%. */
+  def a13RollingDau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables(spark, dir, "events")
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val grid = ud.select($"day".as("g_day")).distinct()
+    ud.join(broadcast(grid),
+        $"day".between(date_sub($"g_day", 6), $"g_day"))
+      .groupBy($"g_day")
+      .agg(
+        countDistinct(when($"day" === $"g_day", $"user_id")).as("dau"),
+        countDistinct($"user_id").as("wau7"))
+      .select($"g_day".as("day"), $"dau", $"wau7",
+        ($"dau".cast("double") / $"wau7").as("stickiness"))
+  }
+
+  val a13Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |grid AS (SELECT DISTINCT day AS g_day FROM ud)
+      |SELECT g_day AS day,
+      |  count(DISTINCT CASE WHEN u.day = g_day THEN user_id END) AS dau,
+      |  count(DISTINCT user_id) AS wau7,
+      |  CAST(count(DISTINCT CASE WHEN u.day = g_day THEN user_id END) AS DOUBLE)
+      |    / count(DISTINCT user_id) AS stickiness
+      |FROM grid g JOIN ud u ON u.day BETWEEN g_day - 6 AND g_day
+      |GROUP BY g_day""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q1_agg" -> QueryDef.of(q1Sql)(q1),
+    "a13_rolling_dau" -> QueryDef.of(a13Sql)(a13RollingDau),
     "a8_percentiles" -> QueryDef.of(a8Sql)(a8Percentiles),
     "a8_approx_percentiles" -> QueryDef.of(a8ApproxSql)(a8Approx),
     "a8_histogram" -> QueryDef.of(a8HistSql)(a8Histogram),

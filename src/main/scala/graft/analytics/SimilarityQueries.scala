@@ -32,10 +32,30 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** dot(a, b) with double accumulator, left-to-right. */
-  private def dotExpr(a: String, b: String): String =
+  /** dot(a, b) with double accumulator, left-to-right — the HOF
+    * formulation, kept as the executable specification the native
+    * kernel is property-tested against (VectorFoldSpec). */
+  private[analytics] def dotExpr(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  /** The PRODUCTION dot product: [[graft.functions.VectorDot]], one
+    * codegen'd plan node (tight cast-multiply-accumulate loop inside
+    * whole-stage codegen) instead of the interpreted `aggregate(
+    * zip_with(...))` HOF chain — bit-identical fold order, so the
+    * oracle rows are unaffected. */
+  private def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VectorDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Production ‖a−b‖²: [[graft.functions.VectorSqDist]], same deal. */
+  private def sqdist(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VectorSqDist(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   private def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -114,9 +134,9 @@ object SimilarityQueries {
     val q = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"))
     emb.filter($"vec_id" =!= 0L)
       .crossJoin(broadcast(q))
-      .withColumn("dot", expr(dotExpr("embedding", "qv")))
-      .withColumn("norm_e", expr(dotExpr("embedding", "embedding")))
-      .withColumn("norm_q", expr(dotExpr("qv", "qv")))
+      .withColumn("dot", dot(col("embedding"), col("qv")))
+      .withColumn("norm_e", dot(col("embedding"), col("embedding")))
+      .withColumn("norm_q", dot(col("qv"), col("qv")))
       .withColumn("cos", $"dot" / (sqrt($"norm_e") * sqrt($"norm_q")))
       .orderBy($"cos".desc, $"vec_id")
       .limit(20)
@@ -153,9 +173,9 @@ object SimilarityQueries {
     emb.filter($"vec_id" =!= 0L)
       .crossJoin(broadcast(q))
       .filter(shareBand)
-      .withColumn("dot", expr(dotExpr("embedding", "qv")))
-      .withColumn("norm_e", expr(dotExpr("embedding", "embedding")))
-      .withColumn("norm_q", expr(dotExpr("qv", "qv")))
+      .withColumn("dot", dot(col("embedding"), col("qv")))
+      .withColumn("norm_e", dot(col("embedding"), col("embedding")))
+      .withColumn("norm_q", dot(col("qv"), col("qv")))
       .withColumn("cos", $"dot" / (sqrt($"norm_e") * sqrt($"norm_q")))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
@@ -193,7 +213,7 @@ object SimilarityQueries {
     import emb0.sparkSession.implicits._
     val sigd = emb0
       .withColumn("sig", signature($"embedding"))
-      .withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         (shiftright($"sig", BandBits * b) bitwiseAND lit((1 << BandBits) - 1)).as("bval"))
@@ -210,7 +230,7 @@ object SimilarityQueries {
       .join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.vec_id") < col("y.vec_id"))
-      .withColumn("dot", expr(dotExpr("x.embedding", "y.embedding")))
+      .withColumn("dot", dot(col("x.embedding"), col("y.embedding")))
       .withColumn("cos", $"dot" / (col("x.norm") * col("y.norm")))
       .filter($"cos" > 0.3)
       .select(col("x.vec_id").as("vec1"), col("y.vec_id").as("vec2"), $"cos")
@@ -262,20 +282,20 @@ object SimilarityQueries {
     */
   def simIvfFrom(emb0: DataFrame): DataFrame = {
     import emb0.sparkSession.implicits._
-    val emb = emb0.withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+    val emb = emb0.withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
     val cents = emb.filter($"vec_id" < IvfCells)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
     // coarse assignment: argmax-cosine centroid per vector
     val assigned = emb
       .crossJoin(broadcast(cents))
       .withColumn("ccos",
-        expr(dotExpr("embedding", "cvec")) / ($"norm" * $"cnorm"))
+        dot(col("embedding"), col("cvec")) / ($"norm" * $"cnorm"))
       .groupBy($"vec_id")
       .agg(max_by($"cid", $"ccos").as("cell"))
     // the query's IvfProbes closest cells
     val q = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"), $"norm".as("qnorm"))
     val qcells = cents.crossJoin(broadcast(q))
-      .withColumn("qcos", expr(dotExpr("cvec", "qv")) / ($"cnorm" * $"qnorm"))
+      .withColumn("qcos", dot(col("cvec"), col("qv")) / ($"cnorm" * $"qnorm"))
       .orderBy($"qcos".desc, $"cid")
       .limit(IvfProbes)
       .select($"cid")
@@ -284,7 +304,7 @@ object SimilarityQueries {
       .join(broadcast(qcells), $"cell" === qcells("cid"))
       .filter($"vec_id" =!= 0L)
       .crossJoin(broadcast(q))
-      .withColumn("cos", expr(dotExpr("embedding", "qv")) / ($"norm" * $"qnorm"))
+      .withColumn("cos", dot(col("embedding"), col("qv")) / ($"norm" * $"qnorm"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
       .select($"vec_id", $"label", $"cell", $"cos")
@@ -340,13 +360,13 @@ object SimilarityQueries {
     * accounting, the survivors being the training-set contribution. */
   def sim5SemanticDedupFrom(emb0: DataFrame): DataFrame = {
     import emb0.sparkSession.implicits._
-    val emb = emb0.withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+    val emb = emb0.withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
     val cents = emb.filter($"vec_id" < IvfCells)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"), $"norm".as("cnorm"))
     val assigned = emb
       .crossJoin(broadcast(cents))
       .withColumn("ccos",
-        expr(dotExpr("embedding", "cvec")) / ($"norm" * $"cnorm"))
+        dot(col("embedding"), col("cvec")) / ($"norm" * $"cnorm"))
       .groupBy($"vec_id")
       .agg(max_by($"cid", $"ccos").as("cell"))
     val w = org.apache.spark.sql.expressions.Window
@@ -358,7 +378,7 @@ object SimilarityQueries {
       .join(compared.alias("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos",
-        expr(dotExpr("x.embedding", "y.embedding")) / (col("x.norm") * col("y.norm")))
+        dot(col("x.embedding"), col("y.embedding")) / (col("x.norm") * col("y.norm")))
       .filter($"cos" > SemDedupThreshold)
       .select(col("y.vec_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(1L))
@@ -416,7 +436,7 @@ object SimilarityQueries {
   def sim6KnnJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
-      .withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
     val queries = emb.filter($"vec_id" < KnnQueries)
       .select($"vec_id".as("qid"), $"embedding".as("qv"), $"norm".as("qnorm"))
     val w = org.apache.spark.sql.expressions.Window
@@ -424,7 +444,7 @@ object SimilarityQueries {
     emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"qid")
       .withColumn("cos",
-        expr(dotExpr("embedding", "qv")) / ($"norm" * $"qnorm"))
+        dot(col("embedding"), col("qv")) / ($"norm" * $"qnorm"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= KnnK)
       .select($"qid", $"rank".cast("long").as("rank"), $"vec_id", $"cos")
@@ -495,7 +515,7 @@ object SimilarityQueries {
   def sim8AnnRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
-      .withColumn("norm", sqrt(expr(dotExpr("embedding", "embedding"))))
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
       .withColumn("sig", signature($"embedding"))
     val queries = emb.filter($"vec_id" < KnnQueries)
       .select($"vec_id".as("qid"), $"embedding".as("qv"),
@@ -505,7 +525,7 @@ object SimilarityQueries {
     val scored = emb.crossJoin(broadcast(queries))
       .filter($"vec_id" =!= $"qid")
       .withColumn("cos",
-        expr(dotExpr("embedding", "qv")) / ($"norm" * $"qnorm"))
+        dot(col("embedding"), col("qv")) / ($"norm" * $"qnorm"))
     val exact = scored
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= KnnK)
@@ -600,7 +620,7 @@ object SimilarityQueries {
 
     def assign(cents: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(cents))
-        .withColumn("dist", expr(distExpr("embedding", "cent")))
+        .withColumn("dist", sqdist(col("embedding"), col("cent")))
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy($"vec_id").orderBy($"dist", $"cid")))

@@ -254,8 +254,52 @@ object TextQueries {
       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""".stripMargin
 
+  /** T-ENTROPY: token-distribution Shannon entropy per document — the
+    * diversity signal quality pipelines pair with the repetition filter
+    * (low entropy = template/spam, suspiciously high = random noise).
+    * H = ln(n) − (Σ c·ln c)/n over per-doc token counts, so the whole
+    * computation is two keyed aggregations with partial agg — no window,
+    * no self-join. Each c·ln(c) term is IEEE-identical across engines
+    * and the sum runs through the exact-decimal accumulator, making the
+    * entropy bit-identical; the normalized column divides by ln(distinct)
+    * (defined 0 for single-token docs on both sides). */
+  def tEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        dsum($"c".cast("double") * log($"c".cast("double"))).as("clnc"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        (log($"n_tokens".cast("double")) - $"clnc" / $"n_tokens").as("entropy"),
+        when($"n_distinct" === 1, lit(0.0))
+          .otherwise((log($"n_tokens".cast("double")) - $"clnc" / $"n_tokens") /
+            log($"n_distinct".cast("double"))).as("entropy_norm"))
+  }
+
+  val tEntropySql: String =
+    s"""WITH counts AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       |    ${sqlDsum("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")} AS clnc
+       |  FROM counts GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens AS entropy,
+       |  CASE WHEN n_distinct = 1 THEN 0.0
+       |       ELSE (ln(CAST(n_tokens AS DOUBLE)) - clnc / n_tokens)
+       |         / ln(CAST(n_distinct AS DOUBLE)) END AS entropy_norm
+       |FROM agg""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t_tokens" -> QueryDef.of(tTokensSql)(tTokens),
+    "t_entropy" -> QueryDef.of(tEntropySql)(tEntropy),
     "t_vocab" -> QueryDef.of(tVocabSql)(tVocab),
     "t_tokens_bpe" -> QueryDef.of(tTokensBpeSql)(tTokensBpe),
     "t_quality" -> QueryDef.of(tQualitySql)(tQuality),

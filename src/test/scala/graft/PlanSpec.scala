@@ -214,4 +214,42 @@ class PlanSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"redaction must stream at scan speed, saw $exchanges")
   }
+
+  test("w8: native session windows — one user shuffle, no join, no window exec") {
+    val plan = SparkEntry.queries("w8_session_window")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SessionWindow") || plan.contains("session_window"),
+      "expected the native session-window operator")
+    assert(!plan.contains("Join"), "sessionization must not self-join")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected user-keyed shuffle only, saw $exchanges")
+  }
+
+  test("a13: day grid broadcasts into the BETWEEN fan-out join") {
+    val plan = SparkEntry.queries("a13_rolling_dau")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the tiny day grid must broadcast — a shuffled join here is a scale bug")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t_entropy: both aggregations partial-agg'd, no window/join") {
+    val df = SparkEntry.queries("t_entropy")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "token counts must combine map-side")
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+  }
+
+  test("sim kernels: cosine scoring runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the VectorDot projection must sit inside a codegen span — the HOF
+    // formulation it replaced forced CodegenFallback on the scorer
+    assert(plan.contains("*("), "no whole-stage codegen span in sim1's plan")
+    assert(!plan.toLowerCase.contains("zip_with"),
+      "HOF dot product leaked back into the production path")
+  }
 }
