@@ -199,7 +199,7 @@ object CorpusQueries {
        |    FROM toks)),
        |counts AS (SELECT h, count(*) AS n_occ FROM chunks GROUP BY h)
        |SELECT c.doc_id, count(*) AS n_chunks,
-       |  sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
        |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_chunk_frac
        |FROM chunks c JOIN counts n ON c.h = n.h
        |GROUP BY c.doc_id""".stripMargin
@@ -268,10 +268,11 @@ object CorpusQueries {
        |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM sized)
-       |SELECT bucket, count(*) AS n_docs, sum(n_tok) AS n_tokens,
-       |  max((cum - 1) // $SeqLen) + 1 AS n_seqs,
-       |  sum(CASE WHEN (cum - 1) // $SeqLen > (cum - n_tok) // $SeqLen
-       |    THEN 1 ELSE 0 END) AS n_straddlers,
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(max((cum - 1) // $SeqLen) + 1 AS BIGINT) AS n_seqs,
+       |  CAST(sum(CASE WHEN (cum - 1) // $SeqLen > (cum - n_tok) // $SeqLen
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
        |  CAST(sum(n_tok) AS DOUBLE) / ((max((cum - 1) // $SeqLen) + 1) * $SeqLen) AS fill_ratio
        |FROM packed
        |GROUP BY bucket""".stripMargin
@@ -492,7 +493,7 @@ object CorpusQueries {
        |  CAST(sum(CASE WHEN $w0 + $w1 * stop_ratio + $w2 * mean_tok_len
        |    + $w3 * ln(CAST(n_tokens AS DOUBLE)) > 0.0
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_keep,
-       |  sum(n_tokens) AS n_tokens
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM feat
        |GROUP BY lang""".stripMargin
   }

@@ -47,16 +47,28 @@ for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
     try:
-        srel = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
-        scols = [d[0] for d in srel.description]
-        srows = srel.fetchall()
-        drel = con.execute(sql)
-        dcols = [d[0] for d in drel.description]
-        drows = drel.fetchall()
+        sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        ddf = con.execute(sql).fetchdf()
+        scols, dcols = list(sdf.columns), list(ddf.columns)
         if sorted(scols) != sorted(dcols):
             print(f"{name}: COLS MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
             fails.append(name)
             continue
+        # The driver hashes pandas values, so dtype families must agree:
+        # a DuckDB HUGEINT sum materializes as float64 while Spark writes
+        # int64 — identical values, different hash. Catch that here.
+        def fam(dt):
+            k = dt.kind
+            return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "other")
+        dtbad = [c for c in scols if fam(sdf[c].dtype) != fam(ddf[c].dtype)]
+        if dtbad:
+            print(f"{name}: DTYPE MISMATCH " + ", ".join(
+                f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}" for c in dtbad))
+            fails.append(name)
+            continue
+        srows = con.execute(
+            f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchall()
+        drows = con.execute(sql).fetchall()
         a, b = canon(srows, scols), canon(drows, dcols)
         if a != b:
             print(f"{name}: ROWS MISMATCH spark={len(a)} duck={len(b)} cols={sorted(scols)}")
