@@ -55,14 +55,27 @@ class VectorFoldSpec extends SparkSpec {
   }
 
   test("interpreted eval agrees with codegen") {
-    val df = corpus(100, 29)
-      .withColumn("d", dot(col("a"), col("b")))
-      .withColumn("q", sqdist(col("a"), col("b")))
-    val codegen = df.collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    // Build the DataFrame FRESH under each conf regime: QueryExecution
+    // caches the executed plan at first action, so reusing one df would
+    // run the identical compiled plan twice. Read from the parquet table
+    // (not a LocalRelation, which ConvertToLocalRelation can fold on the
+    // driver) so the codegen run provably goes through WholeStageCodegen
+    // — both asserted on the plan string below.
+    def build() = graft.Tables(spark, sf(), "embeddings")
+      .withColumn("d", dot(col("embedding"), reverse(col("embedding"))))
+      .withColumn("q", sqdist(col("embedding"), reverse(col("embedding"))))
+      .select(col("vec_id"), col("d"), col("q"))
+    val cg = build()
+    val codegen = cg.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(cg.queryExecution.executedPlan.toString.contains("*(1)"),
+      "codegen side did not run inside whole-stage codegen")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
-      val interp = df.collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+      val in = build()
+      val interp = in.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(!in.queryExecution.executedPlan.toString.contains("*(1)"),
+        "interpreted side still ran under whole-stage codegen")
       assert(interp == codegen)
     } finally {
       spark.conf.unset("spark.sql.codegen.wholeStage")
