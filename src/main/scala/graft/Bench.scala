@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,23 +17,31 @@ object Bench {
     // timed query doesn't absorb ~5s of one-time initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "lineitem").limit(10).collect()
+    // Median of `reps` runs per query: single-pass build+count timing is
+    // JIT/GC-noisy (r4 saw a 2x swing on byte-identical code), and the
+    // median of 3 keeps one bad rep from setting the record.
     // A query that throws must not silently count as a fast success: it is
-    // timed but surfaced in "failed" and excluded from the headline total.
+    // surfaced in "failed" and excluded from the headline total.
     val results = SparkEntry.registry.map { case (name, qd) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { qd.build(spark, sfDir).count(); true }
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { qd.build(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val median =
+        if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
+      (name, median, times.size == reps)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

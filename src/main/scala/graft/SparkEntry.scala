@@ -23,7 +23,8 @@ object SparkEntry {
       analytics.TrainingSetQueries.defs ++
       analytics.CorpusQueries.defs ++
       analytics.SimilarityQueries.defs ++
-      analytics.MultimodalQueries.defs
+      analytics.MultimodalQueries.defs ++
+      analytics.PathQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

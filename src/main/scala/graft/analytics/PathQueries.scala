@@ -111,7 +111,12 @@ object PathQueries {
     * assignment service persists): per-variant exposed users,
     * converters, conversion rate, revenue per user, and the two-
     * proportion z statistic of the rate difference. The z arithmetic is
-    * fixed-order scalar double math — IEEE-identical across engines. */
+    * fixed-order scalar double math — IEEE-identical across engines.
+    *
+    * One lineage, one `events` scan: the per-variant frame is 2 rows, so
+    * the cross-variant na/ca/nb/cb are lifted by a whole-frame window
+    * (single-partition over 2 rows — trivially cheap) instead of two
+    * filtered re-aggregations of the same subplan. */
   def a16AbTest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val perUser = Tables(spark, dir, "events")
@@ -129,17 +134,23 @@ object PathQueries {
         sum($"revenue").cast("double").as("revenue"))
       .withColumn("conv_rate", $"n_converters".cast("double") / $"n_users")
       .withColumn("revenue_per_user", $"revenue" / $"n_users")
-    val a = byVariant.filter($"variant" === 0)
-      .select($"n_users".as("na"), $"n_converters".as("ca"))
-    val b = byVariant.filter($"variant" === 1)
-      .select($"n_users".as("nb"), $"n_converters".as("cb"))
+    val wAll = Window.partitionBy()
     byVariant
-      .crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .withColumn("na", max(when($"variant" === 0, $"n_users")).over(wAll))
+      .withColumn("ca", max(when($"variant" === 0, $"n_converters")).over(wAll))
+      .withColumn("nb", max(when($"variant" === 1, $"n_users")).over(wAll))
+      .withColumn("cb", max(when($"variant" === 1, $"n_converters")).over(wAll))
       .withColumn("pool", ($"ca" + $"cb").cast("double") / ($"na" + $"nb"))
+      // z is undefined when the pooled rate is 0 or 1 (denominator √0) —
+      // e.g. every exposed user converted — so guard to NULL, not a
+      // divide-by-zero (ANSI mode throws; the oracle must agree).
+      .withColumn("zden",
+        sqrt($"pool" * (lit(1.0) - $"pool") *
+          (lit(1.0) / $"na" + lit(1.0) / $"nb")))
       .withColumn("z",
-        (($"ca".cast("double") / $"na") - ($"cb".cast("double") / $"nb")) /
-          sqrt($"pool" * (lit(1.0) - $"pool") *
-            (lit(1.0) / $"na" + lit(1.0) / $"nb")))
+        when($"zden" > 0,
+          (($"ca".cast("double") / $"na") - ($"cb".cast("double") / $"nb")) /
+            $"zden"))
       .select($"variant", $"n_users", $"n_converters", $"conv_rate",
         $"revenue", $"revenue_per_user", $"z")
   }
@@ -164,14 +175,18 @@ object PathQueries {
        |    (SELECT n_users FROM by_variant WHERE variant = 0) AS na,
        |    (SELECT n_converters FROM by_variant WHERE variant = 0) AS ca,
        |    (SELECT n_users FROM by_variant WHERE variant = 1) AS nb,
-       |    (SELECT n_converters FROM by_variant WHERE variant = 1) AS cb)
+       |    (SELECT n_converters FROM by_variant WHERE variant = 1) AS cb),
+       |zd AS (
+       |  SELECT *, sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+       |      * (1.0 - (CAST(ca + cb AS DOUBLE) / (na + nb)))
+       |      * (1.0 / na + 1.0 / nb)) AS zden
+       |  FROM ab)
        |SELECT variant, n_users, n_converters, conv_rate, revenue,
        |  revenue / n_users AS revenue_per_user,
-       |  ((CAST(ca AS DOUBLE) / na) - (CAST(cb AS DOUBLE) / nb)) /
-       |    sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
-       |      * (1.0 - (CAST(ca + cb AS DOUBLE) / (na + nb)))
-       |      * (1.0 / na + 1.0 / nb)) AS z
-       |FROM by_variant, ab""".stripMargin
+       |  CASE WHEN zden > 0 THEN
+       |    ((CAST(ca AS DOUBLE) / na) - (CAST(cb AS DOUBLE) / nb)) / zden
+       |  END AS z
+       |FROM by_variant, zd""".stripMargin
 
   // ---------------- A3: ingest metrics ----------------
 

@@ -242,6 +242,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"))
   }
 
+  test("a16: one events scan — variant stats lift via window, not re-aggregation") {
+    // the cross-variant na/ca/nb/cb must come from a whole-frame window
+    // over the 2-row variant aggregate, NOT from filtered branches that
+    // re-trigger the events scan + both aggregations
+    val plan = SparkEntry.queries("a16_ab_test")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected a single events scan, saw $scans")
+  }
+
+  test("a14/a15: path analytics are one user shuffle + window, no self-join") {
+    for (q <- Seq("a14_event_paths", "a15_attribution")) {
+      val plan = SparkEntry.queries(q)(spark, sf())
+        .queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans == 1, s"$q: expected one events scan, saw $scans")
+      assert(!plan.contains("Join"), s"$q: path analytics must not self-join")
+    }
+  }
+
   test("sim kernels: cosine scoring runs inside whole-stage codegen") {
     val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
     df.collect()
