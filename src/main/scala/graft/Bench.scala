@@ -41,7 +41,15 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout of a forked run can be tail-truncated by whatever captures
+    // it (r4 lost the first 17 entries of this line); the file copy is
+    // the lossless record.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

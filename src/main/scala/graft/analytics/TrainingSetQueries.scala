@@ -269,6 +269,61 @@ object TrainingSetQueries {
        |FROM events GROUP BY event_type""".stripMargin
   }
 
+  /** PII classes for the document-level detection report — a superset of
+    * the redaction set (same dual-dialect regex subset: java.util.regex
+    * and RE2 read these identically). */
+  private val piiClasses: Seq[(String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", "\\+[0-9]{7,15}"),
+    ("number", "[0-9]+"))
+
+  /** T-PII-REPORT: the dashboard twin of t_redact — instead of rewriting
+    * text, report per (source × PII class): documents scanned, documents
+    * with ≥1 hit, and total hits. This is the audit a pipeline runs
+    * BEFORE deciding to redact/drop; classes absent from this synthetic
+    * corpus prove their zero counts against the oracle. One scan: all
+    * class counts are computed as columns, then unpivoted with `stack`
+    * (no per-class re-scan), and the aggregate is partial-final. */
+  def tPiiReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counted = piiClasses.foldLeft(Tables(spark, dir, "documents")) {
+      case (df, (cls, pat)) =>
+        df.withColumn(s"n_$cls",
+          size(regexp_extract_all($"text", lit(pat), lit(0))).cast("long"))
+    }
+    val stackArgs = piiClasses
+      .map { case (cls, _) => s"'$cls', n_$cls" }.mkString(", ")
+    counted
+      .select($"source", expr(
+        s"stack(${piiClasses.size}, $stackArgs) AS (pii_class, n)"))
+      .groupBy($"source", $"pii_class")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"n" > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum($"n").as("n_hits"))
+  }
+
+  val tPiiReportSql: String = {
+    val hitCols = piiClasses.map { case (cls, pat) =>
+      s"len(regexp_extract_all(text, '$pat', 0)) AS n_$cls"
+    }.mkString(",\n    ")
+    val unpivot = piiClasses.map { case (cls, _) =>
+      s"SELECT source, '$cls' AS pii_class, n_$cls AS n FROM hits"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hits AS (
+       |  SELECT source,
+       |    $hitCols
+       |  FROM documents)
+       |SELECT source, pii_class, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(sum(n) AS BIGINT) AS n_hits
+       |FROM (
+       |  $unpivot)
+       |GROUP BY source, pii_class""".stripMargin
+  }
+
   /** DS3: deterministic corpus shuffle — the pre-epoch ordering every
     * training run needs: order by a salted content hash, so the
     * permutation is reproducible (resume mid-epoch, re-run a failed
@@ -304,6 +359,7 @@ object TrainingSetQueries {
     "ds3_shuffle" -> QueryDef.of(ds3Sql)(ds3Shuffle),
     "d6_decontaminate" -> QueryDef.of(d6Sql)(d6Decontaminate),
     "t_repetition" -> QueryDef.of(tRepetitionSql)(tRepetition),
-    "t_redact" -> QueryDef.of(tRedactSql)(tRedact)
+    "t_redact" -> QueryDef.of(tRedactSql)(tRedact),
+    "t_pii_report" -> QueryDef.of(tPiiReportSql)(tPiiReport)
   )
 }

@@ -50,6 +50,62 @@ object Subscriptions {
   def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** ST2: the Kafka commit-log tail. The reference writes each event to
+    * a `{project}_{collection}` topic and tails topics from stored
+    * offsets (KafkaEventStore.java:82-101, offsets in ZK — here they ride
+    * on the query checkpoint like every other subscription).
+    *
+    * HONESTY NOTE: this sandbox ships no spark-sql-kafka connector jar
+    * and no broker, so `.load()` cannot run here. What IS exercised by
+    * KafkaTailSpec: the exact reader configuration this builder emits
+    * ([[kafkaOptions]]), and the wire-record decode ([[decodeKafka]])
+    * against a static frame with Kafka's fixed output schema — the two
+    * pieces that are ours rather than the connector's. */
+  final case class KafkaTail(
+      bootstrapServers: String,
+      topics: Seq[String],
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = false)
+
+  /** The spark-sql-kafka source options for a tail — one place, so the
+    * spec can pin them without a broker. */
+  def kafkaOptions(t: KafkaTail): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> t.bootstrapServers,
+      "subscribe" -> t.topics.mkString(","),
+      "startingOffsets" -> t.startingOffsets,
+      "failOnDataLoss" -> t.failOnDataLoss.toString
+    ) ++ t.maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  /** The one-line load — requires the spark-sql-kafka connector on the
+    * classpath (absent here; see the honesty note above). */
+  def kafkaStream(spark: SparkSession, t: KafkaTail): DataFrame =
+    spark.readStream.format("kafka").options(kafkaOptions(t)).load()
+
+  /** Kafka wire record → the subscription event frame. Input has the
+    * connector's fixed schema (key/value binary, topic, partition,
+    * offset, timestamp); output is `_collection` (from the reference's
+    * `{project}_{collection}` topic layout), the typed event columns
+    * (`from_json` over the registry schema — the streaming twin of the
+    * batch typed parse), and partition/offset for at-least-once
+    * bookkeeping. Works identically on a static frame, which is how the
+    * spec drives it without a broker. */
+  def decodeKafka(records: DataFrame, project: String,
+      valueSchema: StructType): DataFrame = {
+    val collection = regexp_replace(col("topic"),
+      lit("^" + java.util.regex.Pattern.quote(project + "_")), lit(""))
+    records
+      .filter(col("topic").startsWith(project + "_"))
+      .select(
+        collection.as("_collection"),
+        from_json(col("value").cast("string"), valueSchema).as("_event"),
+        col("partition").as("_kafka_partition"),
+        col("offset").as("_kafka_offset"))
+      .select(col("_collection"), col("_event.*"),
+        col("_kafka_partition"), col("_kafka_offset"))
+  }
+
   /** ST6: drop duplicate deliveries by uuid within the watermark —
     * state is bounded by the delay, the 100 TB-safe configuration of
     * dropDuplicates. */

@@ -28,16 +28,30 @@ object WebhookSink {
   val MaxRetries = 2
   val FlushPeriod = "5 seconds"
 
-  final case class FlushReport(batchId: Long, nActivities: Long,
-      attempts: Int, delivered: Boolean)
+  /** Driver-side cap per POST. The reference drains a *snapshot* of its
+    * queue each 5 s tick (WebhookEventMapper.java:62-124 snapshots
+    * `counter`, polls that many); arrivals during the drain wait for the
+    * next tick, so no single drain materializes an unbounded buffer. A
+    * micro-batch has no next tick to lean on — a backfilled replay can
+    * hand one flush millions of rows — so the flush streams the batch
+    * through the driver in chunks of this size, one POST per chunk. */
+  val MaxFlushActivities = 10000
 
-  /** One micro-batch → the `{"activities": [...]}` payload. */
-  def payload(batch: DataFrame): String = {
+  final case class FlushReport(batchId: Long, nActivities: Long,
+      attempts: Int, delivered: Boolean, chunk: Int = 0)
+
+  /** Activity JSON lines: MAP-typed columns dropped (the reference skips
+    * map fields when building activity JSON). */
+  private def activityJson(batch: DataFrame) = {
     val noMaps = batch.schema.fields
       .filterNot(_.dataType.isInstanceOf[MapType]).map(f => col(f.name))
-    val acts = batch.select(noMaps.toIndexedSeq: _*).toJSON.collect()
-    acts.mkString("{\"activities\":[", ",", "]}")
+    batch.select(noMaps.toIndexedSeq: _*).toJSON
   }
+
+  /** One micro-batch → the `{"activities": [...]}` payload (unbounded —
+    * test/shape helper; the attached sink uses the chunked drain). */
+  def payload(batch: DataFrame): String =
+    activityJson(batch).collect().mkString("{\"activities\":[", ",", "]}")
 
   /** POST with retry ×[[MaxRetries]]; returns (attempts, delivered). */
   def postWithRetry(post: String => Boolean, body: String): (Int, Boolean) = {
@@ -52,15 +66,31 @@ object WebhookSink {
 
   /** Attach the sink to a (filtered, projected) subscription stream.
     * `onFlush` observes each flush's outcome (metrics/yards for tests —
-    * the reference counts these into its ingest metrics, A3). */
+    * the reference counts these into its ingest metrics, A3).
+    *
+    * The batch is drained through `toLocalIterator` in chunks of
+    * `maxPerPost`: the driver holds at most one chunk (plus one fetched
+    * partition) at a time, each chunk POSTs and retries independently,
+    * and the remainder carries over to the next chunk — bounded driver
+    * memory no matter how large a replayed micro-batch is. */
   def attach(stream: DataFrame, post: String => Boolean,
-      period: String = FlushPeriod)(
+      period: String = FlushPeriod, maxPerPost: Int = MaxFlushActivities)(
       onFlush: FlushReport => Unit = _ => ()): DataStreamWriter[Row] =
     Subscriptions.sideOutput(stream, period) { (df, batchId) =>
-      val n = df.count()
-      if (n > 0) {
-        val (attempts, ok) = postWithRetry(post, payload(df))
-        onFlush(FlushReport(batchId, n, attempts, ok))
+      val it = activityJson(df).toLocalIterator()
+      var chunk = 0
+      while (it.hasNext) {
+        val buf = new StringBuilder("{\"activities\":[")
+        var n = 0
+        while (it.hasNext && n < maxPerPost) {
+          if (n > 0) buf.append(',')
+          buf.append(it.next())
+          n += 1
+        }
+        buf.append("]}")
+        val (attempts, ok) = postWithRetry(post, buf.toString)
+        onFlush(FlushReport(batchId, n, attempts, ok, chunk))
+        chunk += 1
       }
     }
 }

@@ -58,6 +58,37 @@ class WebhookSinkSpec extends SparkSpec {
     assert(bodies.forall(_.contains("\"activities\":[")))
   }
 
+  test("S13: oversized batch drains in bounded chunks with carryover") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val stream = in.toDF().toDF("_user", "event_type")
+      .withColumn("_collection", lit("pageview"))
+    val reports = scala.collection.mutable.ArrayBuffer.empty[WebhookSink.FlushReport]
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = WebhookSink.attach(
+      Subscriptions.plan(stream,
+        StreamSubscription("s", Seq(CollectionStreamQuery("pageview", None)))),
+      post = { b => bodies += b; true },
+      period = "1 second", maxPerPost = 10) { r => reports += r }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-wh-cap").toString)
+      .start()
+    try {
+      // one replayed micro-batch of 25 events against a cap of 10
+      in.addData((1 to 25).map(i => (s"u$i", "click")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // 25 rows → chunks of 10, 10, 5: the driver never materialized more
+    // than `maxPerPost` activities per POST, and nothing was dropped
+    assert(reports.map(_.nActivities).sorted == Seq(5L, 10L, 10L))
+    assert(reports.map(_.chunk).sorted == Seq(0, 1, 2))
+    assert(reports.forall(_.delivered))
+    assert(bodies.map(b => "\"_user\":".r.findAllIn(b).size).sum == 25)
+    assert(bodies.forall(_.startsWith("{\"activities\":[")))
+    assert(bodies.forall(_.endsWith("]}")))
+  }
+
   test("A3: per-collection ingest metrics count stored + dead rows") {
     val registry = SchemaRegistry.inMemory()
     JsonIngest.ingest(spark, registry, "p", spark.sparkContext.parallelize(Seq(
