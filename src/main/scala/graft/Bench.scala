@@ -22,7 +22,15 @@ object Bench {
     // median of 3 keeps one bad rep from setting the record.
     // A query that throws must not silently count as a fast success: it is
     // surfaced in "failed" and excluded from the headline total.
-    val results = SparkEntry.registry.map { case (name, qd) =>
+    // Optional comma-separated subset for local iteration; the driver
+    // leaves it unset and benches the whole registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.registry.filter(q => names(q._1))
+      case None => SparkEntry.registry
+    }
+    val results = selected.map { case (name, qd) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { qd.build(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
