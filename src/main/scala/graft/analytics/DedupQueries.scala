@@ -101,9 +101,13 @@ object DedupQueries {
       .select($"doc_id", hashFn($"shingle").as("h"))
   }
 
-  /** Banded LSH keys with the bucket-size cap applied:
-    * (doc_id, band, key, rn) where rn ≤ [[BucketCap]]. */
-  private[analytics] def bandedKeys(sh: DataFrame): DataFrame = {
+  /** Banded LSH keys, uncapped: (doc_id, band, key) — one row per doc ×
+    * band. This is the right shape for MEMBERSHIP probes (d10's
+    * cross-corpus semi-join flags a doc once regardless of bucket size,
+    * so there is no k² product to cap, and capping would silently
+    * un-flag docs). The pair-generating paths go through [[bandedKeys]],
+    * which adds the bucket cap on top. */
+  private[analytics] def bandedKeysUncapped(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val sigCols = (0 until numHashes).map { j =>
       min((lit(hashA(j)) * $"h" + lit(hashB(j))) % lit(P31)).as(s"s$j")
@@ -113,11 +117,18 @@ object DedupQueries {
       struct(lit(b).as("band"),
         concat_ws("_", col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("key"))
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"band", $"key").orderBy($"doc_id")
     sigs
       .select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+  }
+
+  /** Banded LSH keys with the bucket-size cap applied:
+    * (doc_id, band, key, rn) where rn ≤ [[BucketCap]]. */
+  private[analytics] def bandedKeys(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"key").orderBy($"doc_id")
+    bandedKeysUncapped(sh)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= BucketCap)
   }
@@ -331,11 +342,83 @@ object DedupQueries {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin
 
+  /** D10: FUZZY benchmark decontamination — flag every training document
+    * whose MinHash signature shares an LSH band with any benchmark
+    * document (source `src0` stands in for the eval set, as in d6).
+    * Exact n-gram decontamination (d6) misses paraphrases and light
+    * edits; band collision is the standard near-dup test applied
+    * cross-corpus (one-sided: train docs are flagged, never paired, so
+    * there is no k² product and no bucket cap — see
+    * [[bandedKeysUncapped]]).
+    *
+    * Scale shape: the benchmark side is MBs against a TB-scale corpus by
+    * construction, so its distinct (band, key) set broadcasts and the
+    * flag is a broadcast LEFT SEMI — the train corpus never shuffles on
+    * the band key. Per-language counts mirror d6 so the two reports read
+    * side by side (exact vs fuzzy contamination). */
+  def d10FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val benchKeys = bandedKeysUncapped(
+      shingleHashesRaw(docs.filter($"source" === "src0")))
+      .select($"band", $"key").distinct()
+    val train = docs.filter($"source" =!= "src0")
+    val flagged = bandedKeysUncapped(shingleHashesRaw(train))
+      .join(broadcast(benchKeys), Seq("band", "key"), "leftsemi")
+      .select($"doc_id").distinct()
+      .withColumn("fuzzy", lit(1L))
+    train
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(coalesce($"fuzzy", lit(0L))).as("n_fuzzy_contaminated"),
+        (count(lit(1)) - sum(coalesce($"fuzzy", lit(0L)))).as("n_clean"))
+  }
+
+  val d10Sql: String = {
+    val sigSelect = (0 until numHashes).map { j =>
+      s"min((${hashA(j)} * h + ${hashB(j)}) % $P31) AS s$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT doc_id, source, $b AS band, CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    ${sqlHash60("shingle")} % $P31 AS h
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      unnest(list_transform(range(len(t) - 2),
+       |        i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |sig AS (
+       |  SELECT doc_id, source,
+       |    $sigSelect
+       |  FROM sh GROUP BY doc_id, source),
+       |banded AS (
+       |  $bandSelects),
+       |bench AS (
+       |  SELECT DISTINCT band, key FROM banded WHERE source = 'src0'),
+       |flagged AS (
+       |  SELECT DISTINCT b.doc_id FROM banded b
+       |  JOIN bench x ON b.band = x.band AND b.key = x.key
+       |  WHERE b.source <> 'src0')
+       |SELECT d.lang, count(*) AS n_train,
+       |  CAST(count(f.doc_id) AS BIGINT) AS n_fuzzy_contaminated,
+       |  CAST(count(*) - count(f.doc_id) AS BIGINT) AS n_clean
+       |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+       |WHERE d.source <> 'src0'
+       |GROUP BY d.lang""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d1_exact_dedup" -> QueryDef.of(d1Sql)(d1Exact),
     "d2_minhash_lsh" -> QueryDef.of(d2Sql)(d2MinhashLsh),
     "d3_simhash" -> QueryDef.of(d3Sql)(d3Simhash),
     "d4_ngram_jaccard" -> QueryDef.of(d4Sql)(d4Jaccard),
-    "d5_dedup_clusters" -> QueryDef.of(d5Sql)(d5Clusters)
+    "d5_dedup_clusters" -> QueryDef.of(d5Sql)(d5Clusters),
+    "d10_fuzzy_decontam" -> QueryDef.of(d10Sql)(d10FuzzyDecontam)
   )
 }

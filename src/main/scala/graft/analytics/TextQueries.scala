@@ -297,6 +297,164 @@ object TextQueries {
        |         / ln(CAST(n_distinct AS DOUBLE)) END AS entropy_norm
        |FROM agg""".stripMargin
 
+  /** T-TOPK-NGRAMS: the k most frequent 3-grams per language — the
+    * boilerplate detector (cookie banners, nav chrome, license headers
+    * surface as high-frequency grams; a C4-style pipeline drops lines
+    * containing them). Shape: one partial-final count shuffle keyed by
+    * (lang, gram) — map-side combine collapses the gram stream before it
+    * moves — then a per-language top-k window over the *aggregated*
+    * vocabulary (|vocab| rows, not |corpus|). Tie-break is total:
+    * count DESC, gram ASC, so top-k is deterministic on both engines. */
+  private val topkK = 10
+
+  def tTopkNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"gram")
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"lang", explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("gram"))
+      .groupBy($"lang", $"gram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= topkK)
+  }
+
+  val tTopkNgramsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |grams AS (
+       |  SELECT lang, unnest(list_transform(range(len(t) - 2),
+       |    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+       |  FROM toks),
+       |counted AS (
+       |  SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram)
+       |SELECT lang, gram, n,
+       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rank
+       |FROM counted
+       |QUALIFY rank <= $topkK""".stripMargin
+
+  /** T-TOPK-CMS: the sketch twin of [[tTopkNgrams]] — estimate the
+    * top-k grams' frequencies from a count-min sketch instead of the
+    * exact (lang, gram) aggregate. At extreme vocabularies the exact
+    * count shuffle is |vocab|; the sketch is CONSTANT size per language
+    * (eps/confidence fix the 2/eps × ln(1/(1-conf)) counter grid), built
+    * in one partial-merged aggregation, and the per-language result
+    * broadcasts as ~80 KB. The CMS guarantee — estimate never BELOW the
+    * true count, and within eps·N above it with probability ≥
+    * confidence — is the oracle-checked quantity, a5/a8-style: DuckDB
+    * computes the exact counts and asserts the bound columns, the
+    * estimates themselves being engine-specific. Probing happens
+    * driver-side over k×|langs| rows (the sketches and the top-k list
+    * are both tiny — the kms1 centroid pattern). */
+  def tTopkCms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cmsEps = 0.001
+    val grams = Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"lang", explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("gram"))
+    val sketches = grams.groupBy($"lang")
+      .agg(
+        count_min_sketch($"gram", lit(cmsEps), lit(0.99), lit(42)).as("cms"),
+        count(lit(1)).as("n_total"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))),
+          r.getLong(2))))
+      .toMap
+    val estimate = udf { (lang: String, gram: String) =>
+      sketches(lang)._1.estimateCount(gram)
+    }
+    val bound = udf { (lang: String) =>
+      math.ceil(cmsEps * sketches(lang)._2).toLong
+    }
+    tTopkNgrams(spark, dir)
+      .withColumn("est", estimate($"lang", $"gram"))
+      .select($"lang", $"gram", $"n", $"rank",
+        ($"est" >= $"n").as("never_undercounts"),
+        ($"est" <= $"n" + bound($"lang")).as("within_eps_bound"))
+  }
+
+  val tTopkCmsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |grams AS (
+       |  SELECT lang, unnest(list_transform(range(len(t) - 2),
+       |    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+       |  FROM toks),
+       |counted AS (
+       |  SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram)
+       |SELECT lang, gram, n,
+       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rank,
+       |  TRUE AS never_undercounts,
+       |  TRUE AS within_eps_bound
+       |FROM counted
+       |QUALIFY rank <= $topkK""".stripMargin
+
+  /** T-NOVELTY: per-source novelty — the fraction of each document's
+    * distinct 3-grams that appear FIRST in that document (doc_id order
+    * plays arrival order, as in a dated CommonCrawl sweep). A source
+    * whose later documents add no new grams is recycling content; dedup
+    * pipelines use exactly this signal to early-exit a crawl slice.
+    * Shape: two shuffles on the gram hash — distinct (doc, gram), then
+    * min(doc_id) per gram joined back — both partial-aggregated; the
+    * gram never travels as text (8-byte hash60). */
+  def tNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("gram"))
+      .select($"doc_id", $"source", DedupQueries.hash60($"gram").as("h"))
+      .distinct()
+    val firstSeen = grams.groupBy($"h").agg(min($"doc_id").as("first_doc"))
+    val perDoc = grams
+      .join(firstSeen, "h")
+      .groupBy($"doc_id", $"source")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    perDoc.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_grams").as("sum_grams"),
+        sum($"n_novel").as("sum_novel"),
+        davg($"n_novel".cast("double") / $"n_grams").as("avg_novelty"))
+  }
+
+  val tNoveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, source, ${DedupQueries.sqlHash60("gram")} AS h FROM (
+       |    SELECT doc_id, source, unnest(list_transform(range(len(t) - 2),
+       |      i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+       |    FROM toks)),
+       |first_seen AS (
+       |  SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h),
+       |per_doc AS (
+       |  SELECT g.doc_id, g.source, count(*) AS n_grams,
+       |    sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+       |  FROM grams g JOIN first_seen f ON g.h = f.h
+       |  GROUP BY g.doc_id, g.source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+       |  CAST(sum(n_novel) AS BIGINT) AS sum_novel,
+       |  ${sqlDavg("CAST(n_novel AS DOUBLE) / n_grams")} AS avg_novelty
+       |FROM per_doc GROUP BY source""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "t_tokens" -> QueryDef.of(tTokensSql)(tTokens),
     "t_entropy" -> QueryDef.of(tEntropySql)(tEntropy),
@@ -305,6 +463,9 @@ object TextQueries {
     "t_quality" -> QueryDef.of(tQualitySql)(tQuality),
     "t_langid" -> QueryDef.of(tLangIdSql)(tLangId),
     "t_fingerprint" -> QueryDef.of(tFingerprintSql)(tFingerprint),
-    "t_winnow" -> QueryDef.of(tWinnowSql)(tWinnow)
+    "t_winnow" -> QueryDef.of(tWinnowSql)(tWinnow),
+    "t_topk_ngrams" -> QueryDef.of(tTopkNgramsSql)(tTopkNgrams),
+    "t_topk_cms" -> QueryDef.of(tTopkCmsSql)(tTopkCms),
+    "t_novelty" -> QueryDef.of(tNoveltySql)(tNovelty)
   )
 }

@@ -353,6 +353,59 @@ object TrainingSetQueries {
        |  FROM documents
        |  ORDER BY pos_key, doc_id LIMIT 100)""".stripMargin
 
+  /** Per-language token budget for [[ds4TokenBudget]] — sized so the
+    * selection is a strict prefix at every test SF (the budget, not the
+    * corpus, bounds the output). */
+  private val tokenBudget = 5000L
+
+  /** DS4: token-budget mixture selection — THE pretraining-mix
+    * primitive: each language contributes documents, in a deterministic
+    * pseudo-random order, until its token budget fills. The order key is
+    * the same salted content hash the epoch shuffle uses (reproducible
+    * under retries/resume — `rand()` is neither); selection is the
+    * prefix whose running token total stays ≤ budget, so the picked set
+    * is a pure function of (corpus, salt, budget).
+    *
+    * Shape: one scan computes per-doc token counts; the running total is
+    * a window PARTITIONED BY lang — languages pack in parallel, and the
+    * per-language sort is |docs-per-lang|, never a global sort. At
+    * 100 TB the window input is (doc_id, n_tokens, key) triples — the
+    * text never shuffles. */
+  def ds4TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"pick_key", $"doc_id")
+    Tables(spark, dir, "documents")
+      .select($"lang", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        DedupQueries.hash60(concat($"doc_id".cast("string"), lit("|mix0")))
+          .as("pick_key"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= tokenBudget)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        (max($"cum_tokens").cast("double") / tokenBudget).as("utilization"))
+  }
+
+  val ds4Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT lang, doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    ${DedupQueries.sqlHash60("CAST(doc_id AS VARCHAR) || '|mix0'")} AS pick_key
+       |  FROM documents),
+       |cum AS (
+       |  SELECT lang, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY pick_key, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM keyed)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(max(cum_tokens) AS DOUBLE) / $tokenBudget AS utilization
+       |FROM cum WHERE cum_tokens <= $tokenBudget
+       |GROUP BY lang""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
     "ds2_mixture" -> QueryDef.of(ds2Sql)(ds2Mixture),
@@ -360,6 +413,7 @@ object TrainingSetQueries {
     "d6_decontaminate" -> QueryDef.of(d6Sql)(d6Decontaminate),
     "t_repetition" -> QueryDef.of(tRepetitionSql)(tRepetition),
     "t_redact" -> QueryDef.of(tRedactSql)(tRedact),
-    "t_pii_report" -> QueryDef.of(tPiiReportSql)(tPiiReport)
+    "t_pii_report" -> QueryDef.of(tPiiReportSql)(tPiiReport),
+    "ds4_token_budget" -> QueryDef.of(ds4Sql)(ds4TokenBudget)
   )
 }

@@ -262,6 +262,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d10: benchmark band keys broadcast; train corpus never shuffles on them") {
+    val plan = SparkEntry.queries("d10_fuzzy_decontam")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the flag probe is a broadcast LEFT SEMI (benchmark is MBs vs a
+    // TB-scale corpus); a SortMergeJoin here would shuffle the whole
+    // train side on the band key — the d6-class scale contract
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "fuzzy-contamination probe is not a broadcast semi join")
+    assert(!plan.contains("SortMergeJoin"),
+      "train corpus shuffled into a sort-merge join")
+  }
+
+  test("t_topk_ngrams: one gram count shuffle, top-k over aggregated vocab") {
+    val plan = SparkEntry.queries("t_topk_ngrams")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // partial-final count must collapse the gram stream map-side before
+    // the shuffle; the window ranks |vocab| rows, never |corpus|
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      "gram count is not partial-aggregated")
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
+  }
+
   test("sim kernels: cosine scoring runs inside whole-stage codegen") {
     val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
     df.collect()
