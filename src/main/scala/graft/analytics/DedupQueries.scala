@@ -356,16 +356,24 @@ object DedupQueries {
     * flag is a broadcast LEFT SEMI — the train corpus never shuffles on
     * the band key. Per-language counts mirror d6 so the two reports read
     * side by side (exact vs fuzzy contamination). */
+  /** The d10 core generalized over two corpora: doc_ids of `corpus`
+    * rows whose MinHash signature shares an LSH band with any
+    * `benchmark` row (both frames in the standard doc_id/text shape).
+    * The benchmark's distinct (band, key) set broadcasts. */
+  def d10FlagsFrom(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val benchKeys = bandedKeysUncapped(shingleHashesRaw(benchmark))
+      .select($"band", $"key").distinct()
+    bandedKeysUncapped(shingleHashesRaw(corpus))
+      .join(broadcast(benchKeys), Seq("band", "key"), "leftsemi")
+      .select($"doc_id").distinct()
+  }
+
   def d10FuzzyDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val benchKeys = bandedKeysUncapped(
-      shingleHashesRaw(docs.filter($"source" === "src0")))
-      .select($"band", $"key").distinct()
     val train = docs.filter($"source" =!= "src0")
-    val flagged = bandedKeysUncapped(shingleHashesRaw(train))
-      .join(broadcast(benchKeys), Seq("band", "key"), "leftsemi")
-      .select($"doc_id").distinct()
+    val flagged = d10FlagsFrom(train, docs.filter($"source" === "src0"))
       .withColumn("fuzzy", lit(1L))
     train
       .join(flagged, Seq("doc_id"), "left")

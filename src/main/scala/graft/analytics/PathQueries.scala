@@ -29,10 +29,12 @@ object PathQueries {
     * count and probability of each (event_type → next event_type) step.
     * One window pass (lead) per user partition, then a grouped count;
     * p is a per-row integer division, deterministic on both engines. */
-  def a14EventPaths(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The a14 core over any event frame in the standard shape
+    * (user_id, ts, event_id, event_type). */
+  def a14From(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy(userOrder: _*)
-    val steps = Tables(spark, dir, "events")
+    val steps = events
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("next_type", lead($"event_type", 1).over(w))
       .filter($"next_type".isNotNull)
@@ -42,6 +44,9 @@ object PathQueries {
       .agg(count(lit(1)).as("n"))
       .withColumn("p", $"n".cast("double") / sum($"n").over(fromTotals))
   }
+
+  def a14EventPaths(spark: SparkSession, dir: String): DataFrame =
+    a14From(Tables(spark, dir, "events"))
 
   val a14Sql: String =
     """WITH steps AS (
@@ -67,24 +72,31 @@ object PathQueries {
     * by `last(..., ignoreNulls)` over a frame ending one row before the
     * current — the as-of shape as a single window pass, no self-join —
     * and the credited value goes through the exact-decimal sum. */
-  def a15Attribution(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The a15 core over any event frame in the standard shape
+    * (user_id, ts, event_id, event_type, value), parameterized by the
+    * conversion event and the attribution window. */
+  def a15From(events: DataFrame, conversionType: String = "purchase",
+      windowDays: Int = AttrWindowDays): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy(userOrder: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables(spark, dir, "events")
+    events
       .withColumn("touch",
-        last(when($"event_type" =!= "purchase",
+        last(when($"event_type" =!= conversionType,
           struct($"ts".as("t_ts"), $"event_type".as("t_type"))),
           ignoreNulls = true).over(w))
-      .filter($"event_type" === "purchase")
+      .filter($"event_type" === conversionType)
       .withColumn("touch_type",
         when($"touch".isNotNull &&
-          $"touch.t_ts" >= $"ts" - expr(s"INTERVAL $AttrWindowDays DAYS"),
+          $"touch.t_ts" >= $"ts" - expr(s"INTERVAL $windowDays DAYS"),
           $"touch.t_type").otherwise(lit("(none)")))
       .groupBy($"touch_type")
       .agg(count(lit(1)).as("n_conversions"),
         dsum($"value").as("attributed_value"))
   }
+
+  def a15Attribution(spark: SparkSession, dir: String): DataFrame =
+    a15From(Tables(spark, dir, "events"))
 
   val a15Sql: String =
     s"""WITH touched AS (

@@ -99,4 +99,32 @@ object Analytics {
     df.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  private def stdEvents(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame =
+    events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+      col(idCol).as("event_id"), col(typeCol).as("event_type"))
+
+  /** Next-event transition matrix (Markov step counts + probabilities)
+    * over per-user event sequences — one user shuffle + one window pass,
+    * no self-join (the oracle-proven a14 shape). `idCol` breaks
+    * timestamp ties deterministically. */
+  def eventPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame =
+    graft.analytics.PathQueries.a14From(
+      stdEvents(events, userCol, tsCol, idCol, typeCol))
+
+  /** Last-touch conversion attribution: each conversion credits the most
+    * recent preceding non-conversion event by the same user within
+    * `windowDays` (or "(none)") — the as-of shape as one window pass
+    * (the oracle-proven a15 shape). Credited values run through the
+    * exact-decimal sum. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String, valueCol: String,
+      conversionType: String, windowDays: Int = 7): DataFrame =
+    graft.analytics.PathQueries.a15From(
+      events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(idCol).as("event_id"), col(typeCol).as("event_type"),
+        col(valueCol).as("value")),
+      conversionType, windowDays)
 }

@@ -62,6 +62,47 @@ object TrainingSet {
       .drop("__hit")
   }
 
+  /** FUZZY benchmark decontamination: flags every corpus row whose
+    * MinHash signature shares an LSH band with any benchmark row —
+    * catches the paraphrases and light edits exact n-gram overlap
+    * ([[decontaminate]]) misses. Membership, not pairing: no k² bucket
+    * product, no cap; the benchmark's band-key set broadcasts, so the
+    * corpus never shuffles on the band key. Returns the corpus columns
+    * plus a `fuzzy_contaminated` flag. */
+  def fuzzyDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hit = DedupQueries
+      .d10FlagsFrom(std(corpus, idCol, textCol), std(benchmark, idCol, textCol))
+      .select(col("doc_id").as(idCol)).distinct()
+      .withColumn("__hit", lit(true))
+    corpus.join(hit, Seq(idCol), "left")
+      .withColumn("fuzzy_contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
+  /** Token-budget mixture selection: per stratum (language, source,
+    * quality bucket — the caller's column), take documents in a
+    * deterministic salted-hash order until the stratum's token budget
+    * fills; the picked set is a pure function of (corpus, salt,
+    * budgets). Strata pack in parallel (window partitioned by stratum —
+    * never a global sort), and only (id, tokens, key) triples move.
+    * Returns the selected rows with their running `cum_tokens`. */
+  def tokenBudgetMix(docs: DataFrame, tokenCol: String, stratumCol: String,
+      budgets: Map[String, Long], salt: String = "mix0",
+      idCol: String = "doc_id"): DataFrame = {
+    val budget = budgets.foldRight(lit(0L)) { case ((stratum, b), rest) =>
+      when(col(stratumCol) === stratum, lit(b)).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__pick"), col(idCol))
+    docs
+      .withColumn("__pick",
+        DedupQueries.hash60(concat(col(idCol).cast("string"), lit("|" + salt))))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pick")
+  }
+
   /** Deterministic stratified sampling: keep rows whose content-stable
     * hash bucket falls under the stratum's percentage — reproducible
     * across runs, retries, and engines (rand() is none of those). */

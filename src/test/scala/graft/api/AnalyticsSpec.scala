@@ -55,4 +55,19 @@ class AnalyticsSpec extends SparkSpec {
       .select(col("user_id"), col("event_id"), col("rn").as("rank"))
     assert(rows(api) == rows(reg))
   }
+
+  test("eventPaths == oracle-proven a14") {
+    val api = Analytics.eventPaths(events,
+      "user_id", "ts", "event_id", "event_type")
+    assert(rows(api) ==
+      rows(graft.analytics.PathQueries.a14EventPaths(spark, sf())))
+  }
+
+  test("lastTouchAttribution(purchase, 7d) == oracle-proven a15") {
+    val api = Analytics.lastTouchAttribution(events,
+      "user_id", "ts", "event_id", "event_type", "value",
+      conversionType = "purchase", windowDays = 7)
+    assert(rows(api) ==
+      rows(graft.analytics.PathQueries.a15Attribution(spark, sf())))
+  }
 }

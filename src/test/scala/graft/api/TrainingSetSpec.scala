@@ -112,4 +112,67 @@ class TrainingSetSpec extends SparkSpec {
   }
 
   private def asLong(c: org.apache.spark.sql.Column) = c.cast("long")
+
+  test("fuzzyDecontaminate(src0 as benchmark) reproduces d10's accounting") {
+    val flagged = TrainingSet.fuzzyDecontaminate(
+      docs.filter(col("source") =!= "src0"),
+      benchmark = docs.filter(col("source") === "src0"))
+    val api = flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("fuzzy_contaminated").cast("long")).as("n_fuzzy_contaminated"),
+        (count(lit(1)) - sum(col("fuzzy_contaminated").cast("long"))).as("n_clean"))
+    assert(rows(api) == rows(DedupQueries.d10FuzzyDecontam(spark, sf())))
+  }
+
+  test("fuzzy decontamination flags a paraphrase exact overlap misses") {
+    import spark.implicits._
+    // benchmark doc vs a corpus doc differing in its LAST word of 40:
+    // the edit perturbs exactly one of 38 shingles, so the MinHash band
+    // signature (2 of 8 minima per band) survives — while a fully
+    // unrelated doc shares no band. This is the semantic gap between
+    // d6-style exact overlap and d10.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val paraphrase = base.replace("tok40", "EDITED")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq((1L, paraphrase), (2L, unrelated)).toDF("doc_id", "text")
+    val out = TrainingSet.fuzzyDecontaminate(corpus, bench)
+      .select("doc_id", "fuzzy_contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L), "near-copy of a benchmark doc was not flagged")
+    assert(!out(2L), "unrelated doc was falsely flagged")
+  }
+
+  test("tokenBudgetMix == oracle-proven ds4 accounting") {
+    val mixed = TrainingSet.tokenBudgetMix(
+      docs.withColumn("n_tokens",
+        asLong(org.apache.spark.sql.functions.size(split(col("text"), " ")))),
+      tokenCol = "n_tokens", stratumCol = "lang",
+      budgets = Map("en" -> 5000L, "es" -> 5000L, "de" -> 5000L,
+        "fr" -> 5000L, "zh" -> 5000L))
+    val api = mixed.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        (max(col("cum_tokens")).cast("double") / 5000L).as("utilization"))
+    assert(rows(api) == rows(TrainingSetQueries.ds4TokenBudget(spark, sf())))
+  }
+
+  test("tokenBudgetMix is a pure function of (corpus, salt, budget)") {
+    val withTokens = docs.withColumn("n_tokens",
+      asLong(org.apache.spark.sql.functions.size(split(col("text"), " "))))
+    def pick(df: DataFrame) = TrainingSet
+      .tokenBudgetMix(df, "n_tokens", "lang", Map("en" -> 3000L))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val once = pick(withTokens)
+    assert(once.nonEmpty)
+    // repartitioning must not change the selection (retry/speculation
+    // safety — the order key is content, not placement)
+    assert(pick(withTokens.repartition(13)) == once)
+    // a different salt is a different (still deterministic) epoch
+    val other = TrainingSet
+      .tokenBudgetMix(withTokens, "n_tokens", "lang", Map("en" -> 3000L),
+        salt = "mix1")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(other != once)
+  }
 }
