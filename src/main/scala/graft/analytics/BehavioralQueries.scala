@@ -212,8 +212,75 @@ object BehavioralQueries {
        |LEFT JOIN inc ON u.user_id = inc.user_id
        |LEFT JOIN fv  ON u.user_id = fv.user_id""".stripMargin
 
+  /** A17: LTV cohort matrix — per signup cohort (first-seen week) and
+    * week offset: buyers, revenue, CUMULATIVE revenue, and LTV per
+    * cohort user. The retention matrix's (a7) revenue twin, and the
+    * payback-period readout every subscription dashboard carries.
+    *
+    * Numeric posture: the running revenue accumulates in exact
+    * DECIMAL(38,6) and casts to double only at the edge — a double
+    * window-sum would be order-dependent (DuckDB's windowed SUM runs a
+    * segment tree, Spark a sequential frame: different addition orders,
+    * different last-bit rounding). Offsets are epoch differences of the
+    * truncated weeks (DST-safe, the a7 convention). Shape: two user
+    * shuffles (cohort assignment, weekly rollup) + a window over the
+    * tiny (cohort × offset) aggregate. */
+  def a17LtvCohort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val ev = Tables(spark, dir, "events")
+    val cohort = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_week"))
+    val sizes = cohort.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    val weekly = ev.filter($"event_type" === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("week_offset",
+        expr("(unix_micros(CAST(date_trunc('week', ts) AS TIMESTAMP)) - unix_micros(CAST(cohort_week AS TIMESTAMP))) DIV 604800000000"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_buyers"),
+        sum($"value".cast(dec)).as("rev_dec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cohort_week").orderBy($"week_offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    weekly
+      .withColumn("cum_dec", sum($"rev_dec").over(w))
+      .join(sizes, "cohort_week")
+      .select($"cohort_week", $"week_offset", $"n_buyers",
+        $"rev_dec".cast("double").as("revenue"),
+        $"cum_dec".cast("double").as("cum_revenue"),
+        ($"cum_dec".cast("double") / $"cohort_size").as("ltv_per_user"))
+  }
+
+  val a17Sql: String =
+    """WITH cohort AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1),
+      |weekly AS (
+      |  SELECT c.cohort_week,
+      |    (epoch_us(CAST(date_trunc('week', e.ts) AS TIMESTAMP)) - epoch_us(c.cohort_week)) // 604800000000 AS week_offset,
+      |    count(DISTINCT e.user_id) AS n_buyers,
+      |    sum(CAST(e.value AS DECIMAL(38,6))) AS rev_dec
+      |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT cohort_week, week_offset, n_buyers, rev_dec,
+      |    sum(rev_dec) OVER (PARTITION BY cohort_week ORDER BY week_offset
+      |      ROWS UNBOUNDED PRECEDING) AS cum_dec
+      |  FROM weekly)
+      |SELECT w.cohort_week, w.week_offset, w.n_buyers,
+      |  CAST(w.rev_dec AS DOUBLE) AS revenue,
+      |  CAST(w.cum_dec AS DOUBLE) AS cum_revenue,
+      |  CAST(w.cum_dec AS DOUBLE) / s.cohort_size AS ltv_per_user
+      |FROM cum w JOIN sizes s ON w.cohort_week = s.cohort_week""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a6_funnel" -> QueryDef.of(a6Sql)(a6Funnel),
+    "a17_ltv_cohort" -> QueryDef.of(a17Sql)(a17LtvCohort),
     "a7_retention" -> QueryDef.of(a7Sql)(a7Retention),
     "w2_sessionize" -> QueryDef.of(w2SessSql)(w2Sessionize),
     "w8_session_window" -> QueryDef.of(w8Sql)(w8SessionWindow),

@@ -152,8 +152,42 @@ object WindowQueries {
        |    FROM events GROUP BY user_id))
        |GROUP BY decile""".stripMargin
 
+  /** W9: period-over-period growth — daily volume per event_type with
+    * the previous day's volume (lag) and the day-over-day percentage
+    * change; the trend arrow on every dashboard tile. One partial-final
+    * count shuffle to the (day × type) grain, then a lag window over the
+    * AGGREGATE (|days × types| rows, never the corpus). The growth ratio
+    * is scalar double division — IEEE-identical across engines; days
+    * with no prior observation yield NULL, not a fabricated zero. */
+  def w9PeriodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    daily
+      .withColumn("prev_n", lag($"n_events", 1).over(w))
+      .withColumn("dod_pct",
+        when($"prev_n" > 0,
+          ($"n_events" - $"prev_n").cast("double") / $"prev_n"))
+  }
+
+  val w9Sql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       |    count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT day, event_type, n_events, sum_value,
+       |  lag(n_events, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+       |  CASE WHEN lag(n_events, 1) OVER (PARTITION BY event_type ORDER BY day) > 0
+       |    THEN CAST(n_events - lag(n_events, 1) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+       |      / lag(n_events, 1) OVER (PARTITION BY event_type ORDER BY day)
+       |  END AS dod_pct
+       |FROM daily""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "w7_user_deciles" -> QueryDef.of(w7Sql)(w7Deciles),
+    "w9_period_over_period" -> QueryDef.of(w9Sql)(w9PeriodOverPeriod),
     "w1_topk_per_user" -> QueryDef.of(w1Sql)(w1TopK),
     "w2_lag_gap" -> QueryDef.of(w2Sql)(w2Lag),
     "w3_running_sum" -> QueryDef.of(w3Sql)(w3Running),

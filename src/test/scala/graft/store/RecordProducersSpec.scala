@@ -110,6 +110,33 @@ class RecordProducersSpec extends SparkSpec {
     assert(recs.exists(_.getString(2).contains("\"_user\":\"u1\"")))
   }
 
+  test("property: any failure pattern conserves records — sent+dropped, no dupes") {
+    val rng = new scala.util.Random(7)
+    for (round <- 1 to 8) {
+      val n = 1 + rng.nextInt(300)
+      // random subset of values failing a random number of times (some
+      // beyond the retry budget), random batch size
+      val fails = (0 until n).filter(_ => rng.nextDouble() < 0.2)
+        .map(i => s"v$i" -> (1 + rng.nextInt(5))).toMap
+      val maxRetries = 1 + rng.nextInt(3)
+      RecordingTransport.reset(fails = fails)
+      val report = produce(shaped(n, parts = 1 + rng.nextInt(4)),
+        () => RecordingTransport.make(),
+        maxPerBatch = 1 + rng.nextInt(60), maxRetries = maxRetries)
+      val delivered = RecordingTransport.sent.asScala.map(_._2.value).toSeq
+      // every record is delivered exactly once or dropped — never both,
+      // never twice (retries resend FAILED indexes only)
+      assert(delivered.distinct.size == delivered.size,
+        s"round $round: duplicate delivery")
+      assert(report.nSent == delivered.size)
+      assert(report.nSent + report.nDropped == n,
+        s"round $round: ${report.nSent}+${report.nDropped} != $n")
+      val expectDropped = fails.count(_._2 > maxRetries)
+      assert(report.nDropped == expectDropped,
+        s"round $round: dropped ${report.nDropped}, expected $expectDropped")
+    }
+  }
+
   test("S9: kafkaRecords target the project_collection topic keyed by user") {
     val events = Seq(("u1", 1.0)).toDF("_user", "value")
     val rec = kafkaRecords(events, "p", "pageview").collect().head
