@@ -284,6 +284,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
   }
 
+  test("a17/w9: trend windows rank the aggregate grain, not the corpus") {
+    for (q <- Seq("a17_ltv_cohort", "w9_period_over_period")) {
+      val df = SparkEntry.queries(q)(spark, sf())
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the window input must already be aggregated: a Window directly
+      // over a scan would sort the corpus instead of the rollup
+      assert(plan.contains("HashAggregate") && plan.contains("Window"),
+        s"$q: expected aggregate-then-window")
+      assert(plan.contains("partial_count") || plan.contains("Partial"),
+        s"$q: corpus rollup is not partial-aggregated")
+    }
+  }
+
   test("sim kernels: cosine scoring runs inside whole-stage codegen") {
     val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
     df.collect()
