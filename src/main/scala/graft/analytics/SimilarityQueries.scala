@@ -684,8 +684,108 @@ object SimilarityQueries {
        |GROUP BY cid""".stripMargin
   }
 
+  // ---------------- SIM9: product quantization + ADC ----------------
+
+  private val PqM = 4 // subspaces
+  private val PqSub = 16 // dims per subspace (4 × 16 = the 64-dim corpus)
+  private val PqK = 16 // codewords per subspace → 4 bits × 4 = 16-bit code
+  private val PqQueries = 3
+  private val PqTopK = 10
+
+  /** SIM9: product-quantization ANN — THE memory-compression scheme for
+    * billion-vector search (a 64-dim float32 vector becomes a 2-byte
+    * code here; real deployments use 8-64 bytes against 3 KB vectors).
+    * Encode: each vector's [[PqM]] subvectors map to their nearest
+    * codeword (codebook seeded by the [[PqK]] smallest vec_ids — the
+    * kms1 deterministic-seed convention; kms1 already proves Lloyd
+    * refinement engine-exact, so the training step is not re-proven
+    * here). Search: the query computes one [[PqK]]×[[PqM]] distance
+    * table, and every candidate's distance estimate is M table LOOKUPS —
+    * no vector math per candidate, which is the whole point of ADC.
+    *
+    * Scale shape: the codebook (K×M tiny centroids) and the per-query
+    * table broadcast; encoding is one scan + a per-(vec, subspace)
+    * argmin window; the estimate is a fixed-order scalar chain
+    * d0+d1+d2+d3 — a grouped double SUM would be order-dependent across
+    * engines — and the final top-k is a per-query window over the
+    * estimates. */
+  def sim9PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val subVecs = vecs.select($"vec_id", explode(array((0 until PqM).map { s =>
+        struct(lit(s).as("s"),
+          expr(s"slice(embedding, ${s * PqSub + 1}, $PqSub)").as("sub"))
+      }: _*)).as("sv"))
+      .select($"vec_id", $"sv.s".as("s"), $"sv.sub".as("sub"))
+    val codebook = subVecs.filter($"vec_id" < PqK)
+      .select($"vec_id".as("cid"), $"s",
+        expr("transform(sub, x -> CAST(x AS DOUBLE))").as("cent"))
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id", $"s").orderBy($"d", $"cid")
+    val codes = subVecs.join(broadcast(codebook), "s")
+      .withColumn("d", sqdist($"sub", $"cent"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wCode))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"s", $"cid")
+    val qtab = subVecs.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("query_id"), $"s", $"sub")
+      .join(broadcast(codebook), "s")
+      .withColumn("dq", sqdist($"sub", $"cent"))
+      .select($"query_id", $"s", $"cid", $"dq")
+    val dCols = (0 until PqM).map(s => max(when($"s" === s, $"dq")).as(s"d$s"))
+    val est = codes.join(broadcast(qtab), Seq("s", "cid"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(dCols.head, dCols.tail: _*)
+      .withColumn("adc_dist",
+        (0 until PqM).map(s => col(s"d$s")).reduce(_ + _))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adc_dist", $"vec_id")
+    est
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(wTop).cast("long"))
+      .filter($"rank" <= PqTopK)
+      .select($"query_id", $"vec_id", $"adc_dist", $"rank")
+  }
+
+  val sim9Sql: String = {
+    val dCases = (0 until PqM)
+      .map(s => s"max(CASE WHEN k.s = $s THEN q.dq END) AS d$s")
+      .mkString(",\n    ")
+    s"""WITH sub AS (
+       |  SELECT vec_id, t.s,
+       |    embedding[t.s * $PqSub + 1 : t.s * $PqSub + $PqSub] AS sub
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range($PqM)) AS s) t),
+       |cb AS (
+       |  SELECT vec_id AS cid, s,
+       |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM sub WHERE vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT v.vec_id, v.s, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${sqlDist("v.sub", "c.cent")}, c.cid) AS rn
+       |    FROM sub v JOIN cb c ON v.s = c.s)
+       |  WHERE rn = 1),
+       |qtab AS (
+       |  SELECT v.vec_id AS query_id, v.s, c.cid,
+       |    ${sqlDist("v.sub", "c.cent")} AS dq
+       |  FROM sub v JOIN cb c ON v.s = c.s WHERE v.vec_id < $PqQueries),
+       |est AS (
+       |  SELECT q.query_id, k.vec_id,
+       |    $dCases
+       |  FROM codes k JOIN qtab q ON q.s = k.s AND q.cid = k.cid
+       |  GROUP BY q.query_id, k.vec_id)
+       |SELECT query_id, vec_id,
+       |  ((d0 + d1) + d2) + d3 AS adc_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ((d0 + d1) + d2) + d3, vec_id) AS BIGINT) AS rank
+       |FROM est
+       |QUALIFY rank <= $PqTopK""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "kms1_kmeans" -> QueryDef.of(kms1Sql)(kms1Kmeans),
+    "sim9_pq_adc" -> QueryDef.of(sim9Sql)(sim9PqAdc),
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
     "sim6_knn_join" -> QueryDef.of(sim6Sql)(sim6KnnJoin),
     "sim7_quantize" -> QueryDef.of(sim7Sql)(sim7Quantize),

@@ -89,14 +89,20 @@ object RecordProducers {
         it.map(rowRecord).grouped(maxPerBatch).foreach { chunk =>
           val (oversize, fit) = chunk.partition(
             _.value.getBytes("UTF-8").length > MaxRecordBytes)
+          // a transport that THROWS (connection reset, broker bounce)
+          // is a failed attempt for the whole batch, not a dead Spark
+          // task — the reference logs and moves on (a sink must never
+          // dam the pipeline); the batch retries like any other failure
+          def trySend(b: IndexedSeq[ProducerRecord]): Seq[Int] =
+            try t.send(b) catch { case _: Exception => b.indices }
           var batch = fit.toIndexedSeq
           var attempt = 0
-          var failed = if (batch.isEmpty) Seq.empty[Int] else t.send(batch)
+          var failed = if (batch.isEmpty) Seq.empty[Int] else trySend(batch)
           while (failed.nonEmpty && attempt < maxRetries) {
             report = report.copy(
               nRetriedRecords = report.nRetriedRecords + failed.size)
             batch = failed.map(batch).toIndexedSeq
-            failed = t.send(batch)
+            failed = trySend(batch)
             attempt += 1
           }
           report = report.copy(

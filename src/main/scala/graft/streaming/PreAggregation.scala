@@ -49,6 +49,29 @@ object PreAggregation {
       .agg(count(lit(1)).as("n_events"), distinctUsers)
   }
 
+  /** The A3 ingest-metrics contract maintained continuously — the
+    * reference counts ingested events per project/collection as the
+    * stream flows (S3BulkEventStore.java:145-150 bumps its metric
+    * registry per stored batch; it never re-scans). Per collection:
+    * volume, distinct users (exact set state or HLL — same trade as
+    * [[segmentation]]), payload bytes, and the ingest time span.
+    * min/max/sum/count are all mergeable, so complete-mode state is one
+    * row per collection. Also correct over a batch frame — the spec
+    * proves stream ≡ batch on replay. */
+  def ingestMetrics(events: DataFrame, approx: Boolean = false): DataFrame = {
+    val distinctUsers =
+      if (approx) approx_count_distinct(col("_user")).as("n_users")
+      else size(collect_set(col("_user"))).cast("long").as("n_users")
+    events
+      .groupBy(col("_collection").as("collection"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        distinctUsers,
+        sum(length(col("_payload")).cast("long")).as("payload_bytes"),
+        min(col("_time")).as("first_ts"),
+        max(col("_time")).as("last_ts"))
+  }
+
   /** Start maintaining the pre-aggregate under `name`; read it back any
     * time with `spark.table(name)`. Call `processAllAvailable()` (or let
     * the trigger run) to fold new micro-batches in. */

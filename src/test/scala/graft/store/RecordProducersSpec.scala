@@ -137,6 +137,29 @@ class RecordProducersSpec extends SparkSpec {
     }
   }
 
+  test("a throwing transport is a failed attempt, not a dead Spark task") {
+    // throws on the first call, works afterwards — a broker bounce
+    val bounced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    RecordingTransport.reset()
+    val flaky = () => new RecordTransport {
+      def send(batch: IndexedSeq[ProducerRecord]): Seq[Int] =
+        if (bounced.compareAndSet(false, true))
+          throw new RuntimeException("connection reset")
+        else RecordingTransport.make().send(batch)
+    }
+    val report = produce(shaped(10, parts = 1), flaky)
+    // the whole first batch counts as one failed attempt, then retries
+    assert(report == SendReport(10, 1, 10, 0, 0))
+    // a transport that ALWAYS throws drops the batch after the budget
+    RecordingTransport.reset()
+    val dead = () => new RecordTransport {
+      def send(batch: IndexedSeq[ProducerRecord]): Seq[Int] =
+        throw new RuntimeException("no broker")
+    }
+    val dropped = produce(shaped(5, parts = 1), dead, maxRetries = 2)
+    assert(dropped.nSent == 0 && dropped.nDropped == 5)
+  }
+
   test("S9: kafkaRecords target the project_collection topic keyed by user") {
     val events = Seq(("u1", 1.0)).toDF("_user", "value")
     val rec = kafkaRecords(events, "p", "pageview").collect().head

@@ -48,6 +48,36 @@ class PreAggregationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest metrics equal the batch a3 shape, incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-a3s").toString
+    val events = Tables(spark, sf(), "events")
+      .select(
+        $"event_type".as("_collection"),
+        $"ts".cast("timestamp").as("_time"),
+        concat(lit("u"), $"user_id").as("_user"),
+        $"props".as("_payload"))
+    def canonM(df: DataFrame) = df.collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+    val b1 = events.filter($"_time" < "2024-01-20")
+    b1.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = Subscriptions.fileStream(spark, b1.schema, s"$dir/in")
+    val q = PreAggregation.materialize(
+      PreAggregation.ingestMetrics(stream), "a3_metrics_test")
+    try {
+      q.processAllAvailable()
+      assert(canonM(spark.table("a3_metrics_test")) ==
+        canonM(PreAggregation.ingestMetrics(b1)))
+      // late batch folds in: counts, byte sums, and the span all move
+      events.filter($"_time" >= "2024-01-20")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      assert(canonM(spark.table("a3_metrics_test")) ==
+        canonM(PreAggregation.ingestMetrics(events)))
+    } finally q.stop()
+  }
+
   test("collection filter + approx variant stay within HLL error") {
     import spark.implicits._
     val events = Tables(spark, sf(), "events")
