@@ -128,18 +128,27 @@ object SimilarityQueries {
   }
 
   /** SIM1: brute-force cosine top-20 neighbours of vec_id 0. */
+  /** Brute-force cosine top-k of `corpus` (vec_id, embedding, ...)
+    * against a 1-row `query` (qv) — broadcast query, one scan,
+    * TakeOrderedAndProject top-k. Extra corpus columns ride along. */
+  def cosineTopKFrom(corpus: DataFrame, query: DataFrame, k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .crossJoin(broadcast(query))
+      .withColumn("cos",
+        dot(col("embedding"), col("qv")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("qv"), col("qv")))))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(k)
+      .drop("qv")
+  }
+
   def simCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"))
-    emb.filter($"vec_id" =!= 0L)
-      .crossJoin(broadcast(q))
-      .withColumn("dot", dot(col("embedding"), col("qv")))
-      .withColumn("norm_e", dot(col("embedding"), col("embedding")))
-      .withColumn("norm_q", dot(col("qv"), col("qv")))
-      .withColumn("cos", $"dot" / (sqrt($"norm_e") * sqrt($"norm_q")))
-      .orderBy($"cos".desc, $"vec_id")
-      .limit(20)
+    cosineTopKFrom(emb.filter($"vec_id" =!= 0L), q, 20)
       .select($"vec_id", $"label", $"cos")
   }
 
@@ -433,21 +442,32 @@ object SimilarityQueries {
     * top-k partitioned by query id. At 100 TB the same shape holds —
     * corpus-side scan × broadcast queries — and the banded-signature
     * prefilter of sim2 composes in front when the batch grows. */
-  def sim6KnnJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables(spark, dir, "embeddings")
+  /** k-NN join of `corpus` (vec_id, embedding) against a broadcast
+    * `queries` batch (qid, qv): one corpus scan, per-query window rank.
+    * A query is excluded from its own neighbours when ids collide. */
+  def knnJoinFrom(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val emb = corpus
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-    val queries = emb.filter($"vec_id" < KnnQueries)
-      .select($"vec_id".as("qid"), $"embedding".as("qv"), $"norm".as("qnorm"))
+    val qn = queries
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-    emb.crossJoin(broadcast(queries))
+    emb.crossJoin(broadcast(qn))
       .filter($"vec_id" =!= $"qid")
       .withColumn("cos",
         dot(col("embedding"), col("qv")) / ($"norm" * $"qnorm"))
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= KnnK)
+      .filter($"rank" <= k)
       .select($"qid", $"rank".cast("long").as("rank"), $"vec_id", $"cos")
+  }
+
+  def sim6KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < KnnQueries)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    knnJoinFrom(emb, queries, KnnK)
   }
 
   val sim6Sql: String =
@@ -709,29 +729,41 @@ object SimilarityQueries {
     * d0+d1+d2+d3 — a grouped double SUM would be order-dependent across
     * engines — and the final top-k is a per-query window over the
     * estimates. */
-  def sim9PqAdc(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vecs = Tables(spark, dir, "embeddings").select($"vec_id", $"embedding")
-    val subVecs = vecs.select($"vec_id", explode(array((0 until PqM).map { s =>
+  /** Per-(vector, subspace) slices: (vec_id, s, sub). */
+  private def pqSubVecs(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs.select($"vec_id", explode(array((0 until PqM).map { s =>
         struct(lit(s).as("s"),
           expr(s"slice(embedding, ${s * PqSub + 1}, $PqSub)").as("sub"))
       }: _*)).as("sv"))
       .select($"vec_id", $"sv.s".as("s"), $"sv.sub".as("sub"))
-    val codebook = subVecs.filter($"vec_id" < PqK)
+  }
+
+  /** Subspace codebooks seeded by the [[PqK]] smallest vec_ids. */
+  private def pqCodebook(subVecs: DataFrame): DataFrame = {
+    import subVecs.sparkSession.implicits._
+    subVecs.filter($"vec_id" < PqK)
       .select($"vec_id".as("cid"), $"s",
         expr("transform(sub, x -> CAST(x AS DOUBLE))").as("cent"))
+  }
+
+  /** PQ encoding: nearest codeword per (vector, subspace). */
+  private def pqCodes(subVecs: DataFrame, codebook: DataFrame): DataFrame = {
+    import subVecs.sparkSession.implicits._
     val wCode = org.apache.spark.sql.expressions.Window
       .partitionBy($"vec_id", $"s").orderBy($"d", $"cid")
-    val codes = subVecs.join(broadcast(codebook), "s")
+    subVecs.join(broadcast(codebook), "s")
       .withColumn("d", sqdist($"sub", $"cent"))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wCode))
       .filter($"rn" === 1)
       .select($"vec_id", $"s", $"cid")
-    val qtab = subVecs.filter($"vec_id" < PqQueries)
-      .select($"vec_id".as("query_id"), $"s", $"sub")
-      .join(broadcast(codebook), "s")
-      .withColumn("dq", sqdist($"sub", $"cent"))
-      .select($"query_id", $"s", $"cid", $"dq")
+  }
+
+  /** ADC estimates for (query subvector × codeword) lookups folded to a
+    * fixed-order scalar chain, ranked per query. `codes` may be
+    * pre-filtered (e.g. to IVF-probed cells). */
+  private def pqAdcTopK(codes: DataFrame, qtab: DataFrame): DataFrame = {
+    import codes.sparkSession.implicits._
     val dCols = (0 until PqM).map(s => max(when($"s" === s, $"dq")).as(s"d$s"))
     val est = codes.join(broadcast(qtab), Seq("s", "cid"))
       .groupBy($"query_id", $"vec_id")
@@ -745,6 +777,19 @@ object SimilarityQueries {
         org.apache.spark.sql.functions.row_number().over(wTop).cast("long"))
       .filter($"rank" <= PqTopK)
       .select($"query_id", $"vec_id", $"adc_dist", $"rank")
+  }
+
+  def sim9PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val subVecs = pqSubVecs(vecs)
+    val codebook = pqCodebook(subVecs)
+    val qtab = subVecs.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("query_id"), $"s", $"sub")
+      .join(broadcast(codebook), "s")
+      .withColumn("dq", sqdist($"sub", $"cent"))
+      .select($"query_id", $"s", $"cid", $"dq")
+    pqAdcTopK(pqCodes(subVecs, codebook), qtab)
   }
 
   val sim9Sql: String = {
@@ -783,9 +828,135 @@ object SimilarityQueries {
        |QUALIFY rank <= $PqTopK""".stripMargin
   }
 
+  // ---------------- SIM10: IVF-PQ (the full production ANN stack) ----
+
+  /** SIM10: IVF-PQ — sim4's inverted-file pruning composed with sim9's
+    * quantized scoring: the query probes its [[IvfProbes]] nearest
+    * coarse cells (L2, window argmin — deterministic tie-break on cid),
+    * and only THOSE cells' vectors are ranked, by ADC table lookups
+    * instead of full vector math (non-residual PQ — the FAISS
+    * `by_residual=false` configuration, which keeps one codebook valid
+    * across all cells). This is the shape a billion-vector index
+    * actually runs: cells bound the candidate count, codes bound the
+    * memory, and neither the corpus vectors nor their codes ever
+    * shuffle — cell assignment and ADC both happen against broadcast
+    * structures. */
+  def sim10IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val coarse = vecs.filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("ccell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cd", $"ccell")
+    val assigned = vecs.crossJoin(broadcast(coarse))
+      .withColumn("cd", sqdist($"embedding", $"cvec"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wCell))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"ccell".as("cell"))
+    // the query batch's probed cells (top IvfProbes by L2)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cd", $"ccell")
+    val probed = vecs.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("query_id"), $"embedding")
+      .crossJoin(broadcast(coarse))
+      .withColumn("cd", sqdist($"embedding", $"cvec"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wProbe))
+      .filter($"rn" <= IvfProbes)
+      .select($"query_id", $"ccell".as("cell"))
+    val subVecs = pqSubVecs(vecs)
+    val codebook = pqCodebook(subVecs)
+    val qtab = subVecs.filter($"vec_id" < PqQueries)
+      .select($"vec_id".as("query_id"), $"s", $"sub")
+      .join(broadcast(codebook), "s")
+      .withColumn("dq", sqdist($"sub", $"cent"))
+      .select($"query_id", $"s", $"cid", $"dq")
+    // candidates = vectors in a probed cell OF THAT QUERY; their codes
+    // then rank by ADC exactly as sim9, just over the pruned set
+    val candidates = assigned.join(broadcast(probed), "cell")
+      .select($"query_id".as("qid"), $"vec_id")
+    val codes = pqCodes(subVecs, codebook)
+      .join(candidates, "vec_id")
+      .withColumnRenamed("qid", "query_id")
+    val dCols = (0 until PqM).map(s => max(when($"s" === s, $"dq")).as(s"d$s"))
+    val est = codes.join(broadcast(qtab), Seq("query_id", "s", "cid"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(dCols.head, dCols.tail: _*)
+      .withColumn("adc_dist",
+        (0 until PqM).map(s => col(s"d$s")).reduce(_ + _))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adc_dist", $"vec_id")
+    est
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(wTop).cast("long"))
+      .filter($"rank" <= PqTopK)
+      .select($"query_id", $"vec_id", $"adc_dist", $"rank")
+  }
+
+  val sim10Sql: String = {
+    val dCases = (0 until PqM)
+      .map(s => s"max(CASE WHEN k.s = $s THEN q.dq END) AS d$s")
+      .mkString(",\n    ")
+    s"""WITH coarse AS (
+       |  SELECT vec_id AS ccell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id < $IvfCells),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.ccell AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlDist("e.embedding", "c.cvec")}, c.ccell) AS rn
+       |    FROM embeddings e CROSS JOIN coarse c)
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.ccell AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlDist("e.embedding", "c.cvec")}, c.ccell) AS rn
+       |    FROM embeddings e CROSS JOIN coarse c
+       |    WHERE e.vec_id < $PqQueries)
+       |  WHERE rn <= $IvfProbes),
+       |sub AS (
+       |  SELECT vec_id, t.s,
+       |    embedding[t.s * $PqSub + 1 : t.s * $PqSub + $PqSub] AS sub
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range($PqM)) AS s) t),
+       |cb AS (
+       |  SELECT vec_id AS cid, s,
+       |    list_transform(sub, x -> CAST(x AS DOUBLE)) AS cent
+       |  FROM sub WHERE vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT v.vec_id, v.s, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${sqlDist("v.sub", "c.cent")}, c.cid) AS rn
+       |    FROM sub v JOIN cb c ON v.s = c.s)
+       |  WHERE rn = 1),
+       |qtab AS (
+       |  SELECT v.vec_id AS query_id, v.s, c.cid,
+       |    ${sqlDist("v.sub", "c.cent")} AS dq
+       |  FROM sub v JOIN cb c ON v.s = c.s WHERE v.vec_id < $PqQueries),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell),
+       |est AS (
+       |  SELECT q.query_id, k.vec_id,
+       |    $dCases
+       |  FROM codes k
+       |  JOIN cand x ON x.vec_id = k.vec_id
+       |  JOIN qtab q ON q.query_id = x.query_id AND q.s = k.s AND q.cid = k.cid
+       |  GROUP BY q.query_id, k.vec_id)
+       |SELECT query_id, vec_id,
+       |  ((d0 + d1) + d2) + d3 AS adc_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ((d0 + d1) + d2) + d3, vec_id) AS BIGINT) AS rank
+       |FROM est
+       |QUALIFY rank <= $PqTopK""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "kms1_kmeans" -> QueryDef.of(kms1Sql)(kms1Kmeans),
     "sim9_pq_adc" -> QueryDef.of(sim9Sql)(sim9PqAdc),
+    "sim10_ivf_pq" -> QueryDef.of(sim10Sql)(sim10IvfPq),
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
     "sim6_knn_join" -> QueryDef.of(sim6Sql)(sim6KnnJoin),
     "sim7_quantize" -> QueryDef.of(sim7Sql)(sim7Quantize),
