@@ -45,6 +45,51 @@ class EdgeCasesSpec extends SparkSpec {
       .columns.contains("pos_key"))
   }
 
+  test("path analytics and similarity surfaces on empty inputs") {
+    assert(Analytics.eventPaths(emptyEvents,
+      "user_id", "ts", "event_id", "event_type").isEmpty)
+    assert(Analytics.lastTouchAttribution(emptyEvents,
+      "user_id", "ts", "event_id", "event_type", "value", "purchase").isEmpty)
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.cosineTopK(emptyVecs, q, 5).isEmpty)
+    assert(Similarity.knnJoin(q, emptyVecs, 5).isEmpty) // empty query batch
+  }
+
+  test("fuzzy decontamination against an empty benchmark flags nothing") {
+    val corpus = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val out = TrainingSet.fuzzyDecontaminate(corpus, benchmark = emptyDocs)
+    assert(out.count() == 1)
+    assert(!out.select("fuzzy_contaminated").head().getBoolean(0))
+    assert(TrainingSet.fuzzyDecontaminate(emptyDocs, benchmark = corpus).isEmpty)
+  }
+
+  test("token-budget mix: oversized first pick empties its stratum (prefix rule)") {
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 100L), // fits: budget 250 takes both
+      (3L, "fr", 900L), (4L, "fr", 10L))  // fr's hash-first doc overflows
+      .toDF("doc_id", "lang", "n_tokens")
+    val picked = TrainingSet.tokenBudgetMix(docs, "n_tokens", "lang",
+      budgets = Map("en" -> 250L, "fr" -> 500L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.contains(1L) && picked.contains(2L))
+    // the fr selection is a PREFIX of the hash order: if the first fr
+    // doc in hash order is the 900-token one, nothing fits; if it is
+    // the 10-token one, only it fits. Either way doc 3 is never picked.
+    assert(!picked.contains(3L))
+    // a stratum with no budget entry contributes nothing
+    val none = TrainingSet.tokenBudgetMix(docs, "n_tokens", "lang",
+      budgets = Map("en" -> 250L))
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(none == Set("en"))
+    assert(TrainingSet.tokenBudgetMix(
+      emptyDocs.withColumn("lang", lit("en")).withColumn("n_tokens", lit(1L)),
+      "n_tokens", "lang", Map("en" -> 10L)).isEmpty)
+  }
+
   test("single-row and all-duplicate corpora") {
     val one = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     assert(TrainingSet.dedupClusters(one).count() <= 1)
