@@ -55,8 +55,33 @@ object MultimodalQueries {
       |  md5(substring(text, i * 64 + 1, 64)) AS frame_digest
       |FROM (SELECT doc_id, text, unnest(range(n_frames)) AS i FROM f)""".stripMargin
 
+  /** MM3: the resize stage proven end-to-end — each payload shrinks to
+    * the target byte budget in one scan-side projection, the metadata
+    * map carries the before/after sizes, and the oracle recomputes the
+    * truncated content's digest from the text (ASCII corpus: byte and
+    * char offsets agree). Payloads already under budget pass through
+    * unchanged — the digest proves THAT too, not just the size math. */
+  def mm3ResizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables(spark, dir, "documents"))
+    Multimodal.resize(media, targetBytes = 128)
+      .select(col("doc_id"),
+        col("meta").getItem("orig_bytes").cast("long").as("orig_bytes"),
+        col("meta").getItem("resized_bytes").cast("long").as("resized_bytes"),
+        md5(col("bytes")).as("resized_digest"),
+        col("meta").getItem("lang").as("lang"))
+  }
+
+  val mm3Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS orig_bytes,
+      |  CAST(length(substring(text, 1, 128)) AS BIGINT) AS resized_bytes,
+      |  md5(substring(text, 1, 128)) AS resized_digest,
+      |  lang
+      |FROM documents""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "mm1_features" -> QueryDef.of(mm1Sql)(mm1Features),
-    "mm2_frame_sample" -> QueryDef.of(mm2Sql)(mm2FrameSample)
+    "mm2_frame_sample" -> QueryDef.of(mm2Sql)(mm2FrameSample),
+    "mm3_resize_audit" -> QueryDef.of(mm3Sql)(mm3ResizeAudit)
   )
 }
