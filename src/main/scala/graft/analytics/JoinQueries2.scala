@@ -206,10 +206,86 @@ object JoinQueries2 {
       |  t[len(t)] AS last_tok
       |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin
 
+  /** J9: the BINNED interval join — point-in-interval matching where
+    * BOTH sides are big, the case Spark has no native operator for (a
+    * plain `BETWEEN` join plans as a nested loop: every point against
+    * every interval). The rewrite: intervals explode to the hour bins
+    * they cover, points carry their single bin, and the join is an
+    * EQUI join on the bin followed by the exact BETWEEN residual. Each
+    * (point, interval) pair meets in exactly ONE bin — the point's —
+    * so no dedup pass is needed. Bin fan-out is bounded by interval
+    * length / bin width; shuffle is hash-by-bin, which is also the
+    * time-locality key, so both sides cluster naturally.
+    *
+    * The intervals here are activity BURSTS per event_type (sessions
+    * over the whole stream: >1 h gaps split), and the points are
+    * purchases — "how many purchases landed inside each burst of each
+    * activity type", the ad-attribution / incident-window query shape.
+    * Deterministic: island numbering keys on (ts, event_id). */
+  def j9IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+    val wSeq = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val bursts = ev
+      .withColumn("prev_ts", lag($"ts", 1).over(wSeq))
+      .withColumn("brk",
+        when($"prev_ts".isNull ||
+          $"ts" > $"prev_ts" + expr("INTERVAL 1 HOUR"), 1L).otherwise(0L))
+      .withColumn("burst_id", sum($"brk").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"event_type", $"burst_id")
+      .agg(min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+        count(lit(1)).as("n_events"))
+    val binned = bursts.withColumn("bin", explode(expr(
+      "sequence(date_trunc('hour', start_ts), date_trunc('hour', end_ts), INTERVAL 1 HOUR)")))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(date_trunc("hour", $"ts").as("bin"), $"ts".as("p_ts"))
+    val matched = binned
+      .join(purchases,
+        binned("bin") === purchases("bin") &&
+          $"p_ts" >= $"start_ts" && $"p_ts" <= $"end_ts")
+      .groupBy($"event_type", $"burst_id")
+      .agg(count(lit(1)).as("n_purchases"))
+    bursts
+      .join(matched, Seq("event_type", "burst_id"), "left")
+      .select($"event_type", $"burst_id", $"start_ts", $"end_ts",
+        $"n_events", coalesce($"n_purchases", lit(0L)).as("n_purchases"))
+  }
+
+  val j9Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type, ts, event_id,
+      |    lag(ts, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT event_type, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 1 HOUR
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM seq),
+      |islands AS (
+      |  SELECT event_type, ts,
+      |    sum(brk) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS burst_id
+      |  FROM flagged),
+      |bursts AS (
+      |  SELECT event_type, CAST(burst_id AS BIGINT) AS burst_id,
+      |    min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n_events
+      |  FROM islands GROUP BY event_type, burst_id),
+      |matched AS (
+      |  SELECT b.event_type, b.burst_id, count(*) AS n_purchases
+      |  FROM bursts b JOIN events p
+      |    ON p.event_type = 'purchase' AND p.ts BETWEEN b.start_ts AND b.end_ts
+      |  GROUP BY b.event_type, b.burst_id)
+      |SELECT b.event_type, b.burst_id, b.start_ts, b.end_ts, b.n_events,
+      |  CAST(coalesce(m.n_purchases, 0) AS BIGINT) AS n_purchases
+      |FROM bursts b LEFT JOIN matched m
+      |  ON b.event_type = m.event_type AND b.burst_id = m.burst_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "j7_fact_join" -> QueryDef.of(j7Sql)(j7FactJoin),
     "f_arrays" -> QueryDef.of(fArraysSql)(fArrays),
     "j8_salted_join" -> QueryDef.of(j8Sql)(j8SaltedJoin),
+    "j9_interval_join" -> QueryDef.of(j9Sql)(j9IntervalJoin),
     "w3_range_frame" -> QueryDef.of(w3RangeSql)(w3RangeFrame),
     "a6_windowed_funnel" -> QueryDef.of(a6WindowedSql)(a6WindowedFunnel),
     "f_map_ops" -> QueryDef.of(fMapOpsSql)(fMapOps)

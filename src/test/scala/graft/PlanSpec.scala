@@ -298,6 +298,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("j9: interval join is an EQUI join on the bin, never a nested loop") {
+    val df = SparkEntry.queries("j9_interval_join")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // a plain BETWEEN join between two big sides plans as
+    // BroadcastNestedLoopJoin — every point against every interval;
+    // the binned rewrite must hash/sort-merge on the bin key with the
+    // BETWEEN as a residual condition
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "interval join degenerated to a nested loop")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "no equi join on the bin key found")
+  }
+
   test("sim kernels: cosine scoring runs inside whole-stage codegen") {
     val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
     df.collect()
