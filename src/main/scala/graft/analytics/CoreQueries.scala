@@ -348,9 +348,53 @@ object CoreQueries {
       |FROM grid g JOIN ud u ON u.day BETWEEN g_day - 6 AND g_day
       |GROUP BY g_day""".stripMargin
 
+  /** A13-HLL: rolling WAU through MERGEABLE daily sketches — the 100 TB
+    * configuration SCALE.md promises next to the exact a13. The exact
+    * form fans every distinct user-day out to its ≤7 grid days (7× of
+    * |user-days| through the shuffle); this form builds ONE
+    * constant-size HLL sketch per day (Datasketches, `hll_sketch_agg`)
+    * and the trailing-7 union merges 7 sketches per grid day — shuffle
+    * volume is |days| × sketch bytes, independent of user count. The
+    * estimates are engine-specific, so the oracle-checked quantities
+    * are the exact counts plus the sketch's error bound (±5% or 5
+    * absolute, the a5 convention). */
+  def a13HllRollingWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables(spark, dir, "events")
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    // exact trailing-7 (the reconciliation twin, same as a13)
+    val grid = ud.select($"day".as("g_day")).distinct()
+    val exact = ud.join(broadcast(grid),
+        $"day".between(date_sub($"g_day", 6), $"g_day"))
+      .groupBy($"g_day")
+      .agg(countDistinct($"user_id").as("wau7_exact"))
+    // sketch path: one HLL per day, then 7-way sketch union per grid day
+    val daily = ud.groupBy($"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val est = daily.join(broadcast(grid),
+        $"day".between(date_sub($"g_day", 6), $"g_day"))
+      .groupBy($"g_day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("wau7_est"))
+    exact.join(est, "g_day")
+      .select($"g_day".as("day"), $"wau7_exact",
+        (abs($"wau7_est" - $"wau7_exact") <=
+          greatest($"wau7_exact" * 0.05, lit(5.0))).as("within_bound"))
+  }
+
+  val a13HllSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |grid AS (SELECT DISTINCT day AS g_day FROM ud)
+      |SELECT g_day AS day,
+      |  count(DISTINCT user_id) AS wau7_exact,
+      |  TRUE AS within_bound
+      |FROM grid g JOIN ud u ON u.day BETWEEN g_day - 6 AND g_day
+      |GROUP BY g_day""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q1_agg" -> QueryDef.of(q1Sql)(q1),
     "a13_rolling_dau" -> QueryDef.of(a13Sql)(a13RollingDau),
+    "a13_rolling_wau_hll" -> QueryDef.of(a13HllSql)(a13HllRollingWau),
     "a8_percentiles" -> QueryDef.of(a8Sql)(a8Percentiles),
     "a8_approx_percentiles" -> QueryDef.of(a8ApproxSql)(a8Approx),
     "a8_histogram" -> QueryDef.of(a8HistSql)(a8Histogram),

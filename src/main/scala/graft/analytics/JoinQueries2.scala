@@ -222,6 +222,25 @@ object JoinQueries2 {
     * purchases — "how many purchases landed inside each burst of each
     * activity type", the ad-attribution / incident-window query shape.
     * Deterministic: island numbering keys on (ts, event_id). */
+  /** The binned interval-join core: every (point, interval) pair where
+    * `points(pointTsCol)` falls inside `[startCol, endCol]`, computed as
+    * an equi join on the `binUnit` bin + the BETWEEN residual. Column
+    * names must not collide between the two frames (the caller renames;
+    * the facade enforces it). */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      pointTsCol: String, startCol: String, endCol: String,
+      binUnit: String = "hour"): DataFrame = {
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "points and intervals must not share column names")
+    val binned = intervals.withColumn("__ibin", explode(expr(
+      s"sequence(date_trunc('$binUnit', $startCol), date_trunc('$binUnit', $endCol), INTERVAL 1 $binUnit)")))
+    points.withColumn("__pbin", date_trunc(binUnit, col(pointTsCol)))
+      .join(binned,
+        col("__pbin") === col("__ibin") &&
+          col(pointTsCol) >= col(startCol) && col(pointTsCol) <= col(endCol))
+      .drop("__pbin", "__ibin")
+  }
+
   def j9IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables(spark, dir, "events")
@@ -236,14 +255,10 @@ object JoinQueries2 {
       .groupBy($"event_type", $"burst_id")
       .agg(min($"ts").as("start_ts"), max($"ts").as("end_ts"),
         count(lit(1)).as("n_events"))
-    val binned = bursts.withColumn("bin", explode(expr(
-      "sequence(date_trunc('hour', start_ts), date_trunc('hour', end_ts), INTERVAL 1 HOUR)")))
     val purchases = ev.filter($"event_type" === "purchase")
-      .select(date_trunc("hour", $"ts").as("bin"), $"ts".as("p_ts"))
-    val matched = binned
-      .join(purchases,
-        binned("bin") === purchases("bin") &&
-          $"p_ts" >= $"start_ts" && $"p_ts" <= $"end_ts")
+      .select($"ts".as("p_ts"))
+    val matched = pointInIntervalJoin(
+        purchases, bursts, "p_ts", "start_ts", "end_ts")
       .groupBy($"event_type", $"burst_id")
       .agg(count(lit(1)).as("n_purchases"))
     bursts

@@ -119,6 +119,19 @@ object Analytics {
     * `windowDays` (or "(none)") — the as-of shape as one window pass
     * (the oracle-proven a15 shape). Credited values run through the
     * exact-decimal sum. */
+  /** Point-in-interval join where BOTH sides are big — Spark's native
+    * plan for a bare BETWEEN join is a nested loop. Intervals explode
+    * to the `binUnit` bins they cover, points carry their single bin,
+    * and the join is an EQUI join on the bin + the exact BETWEEN
+    * residual (each pair meets in exactly one bin — no dedup pass).
+    * Returns the matched (point × interval) rows; the two frames must
+    * not share column names. The oracle-proven j9 shape. */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+      pointTsCol: String, startCol: String, endCol: String,
+      binUnit: String = "hour"): DataFrame =
+    graft.analytics.JoinQueries2.pointInIntervalJoin(
+      points, intervals, pointTsCol, startCol, endCol, binUnit)
+
   def lastTouchAttribution(events: DataFrame, userCol: String,
       tsCol: String, idCol: String, typeCol: String, valueCol: String,
       conversionType: String, windowDays: Int = 7): DataFrame =

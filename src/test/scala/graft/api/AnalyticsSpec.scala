@@ -63,6 +63,38 @@ class AnalyticsSpec extends SparkSpec {
       rows(graft.analytics.PathQueries.a14EventPaths(spark, sf())))
   }
 
+  test("pointInIntervalJoin matches a literal BETWEEN join, and rejects collisions") {
+    import spark.implicits._
+    val intervals = Seq(
+      (1L, "2024-01-01 00:10:00", "2024-01-01 02:00:00"),
+      (2L, "2024-01-01 03:00:00", "2024-01-01 03:30:00"))
+      .toDF("ivl_id", "s", "e")
+      .select($"ivl_id", $"s".cast("timestamp").as("start_ts"),
+        $"e".cast("timestamp").as("end_ts"))
+    val points = Seq(
+      (10L, "2024-01-01 00:10:00"), // on the start boundary: inclusive
+      (11L, "2024-01-01 01:59:59"),
+      (12L, "2024-01-01 02:30:00"), // between intervals: no match
+      (13L, "2024-01-01 03:30:00")) // on the end boundary: inclusive
+      .toDF("p_id", "t")
+      .select($"p_id", $"t".cast("timestamp").as("p_ts"))
+    val got = Analytics.pointInIntervalJoin(
+      points, intervals, "p_ts", "start_ts", "end_ts")
+      .select("p_id", "ivl_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.crossJoin(intervals)
+      .filter($"p_ts" >= $"start_ts" && $"p_ts" <= $"end_ts")
+      .select("p_id", "ivl_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want == Set((10L, 1L), (11L, 1L), (13L, 2L)))
+    // shared column names would make the residual ambiguous — rejected
+    intercept[IllegalArgumentException] {
+      Analytics.pointInIntervalJoin(
+        points.withColumnRenamed("p_ts", "start_ts"),
+        intervals, "start_ts", "start_ts", "end_ts")
+    }
+  }
+
   test("lastTouchAttribution(purchase, 7d) == oracle-proven a15") {
     val api = Analytics.lastTouchAttribution(events,
       "user_id", "ts", "event_id", "event_type", "value",
