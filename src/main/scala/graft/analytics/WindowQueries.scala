@@ -185,9 +185,43 @@ object WindowQueries {
        |  END AS dod_pct
        |FROM daily""".stripMargin
 
+  /** W10: cumulative adopters — running count of distinct users ever
+    * seen, per day (the growth dashboard's adoption curve). Distinct
+    * counting over an EXPANDING window is not sum-decomposable, but
+    * first-seen attribution makes it one: each user contributes to
+    * exactly their first day (a min aggregate — order-free), daily
+    * new-user counts are tiny, and the running total is a window over
+    * the |days| aggregate, never the corpus. */
+  def w10CumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstSeen = Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(to_date(min($"ts")).as("first_day"))
+      .groupBy($"first_day")
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy($"first_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen
+      .withColumn("cumulative_users", sum($"new_users").over(w))
+      .select($"first_day", $"new_users", $"cumulative_users")
+  }
+
+  val w10Sql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+      |  FROM events GROUP BY user_id),
+      |daily AS (
+      |  SELECT first_day, count(*) AS new_users
+      |  FROM first_seen GROUP BY first_day)
+      |SELECT first_day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY first_day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+      |FROM daily""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "w7_user_deciles" -> QueryDef.of(w7Sql)(w7Deciles),
     "w9_period_over_period" -> QueryDef.of(w9Sql)(w9PeriodOverPeriod),
+    "w10_cumulative_users" -> QueryDef.of(w10Sql)(w10CumulativeUsers),
     "w1_topk_per_user" -> QueryDef.of(w1Sql)(w1TopK),
     "w2_lag_gap" -> QueryDef.of(w2Sql)(w2Lag),
     "w3_running_sum" -> QueryDef.of(w3Sql)(w3Running),

@@ -106,6 +106,25 @@ object Subscriptions {
         col("_kafka_partition"), col("_kafka_offset"))
   }
 
+  /** Stream-stream time-bounded join: attach each right-stream event to
+    * left-stream events of the same key within `[left.ts, left.ts +
+    * window]` — the streaming twin of the batch as-of/interval family
+    * (j5/j9). Both sides carry watermarks, so Spark's state store holds
+    * only rows younger than `watermark + window` per side — the bounded
+    * configuration of stream-stream joins (an un-watermarked join's
+    * state grows forever). Left frame needs (key, l_ts, ...), right
+    * (key, r_ts, ...); inner join, so unmatched rows age out silently. */
+  def timeBoundedJoin(left: DataFrame, right: DataFrame,
+      key: String, window: String, watermark: String): DataFrame = {
+    val l = left.withWatermark("l_ts", watermark)
+    val r = right.withWatermark("r_ts", watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .drop(r(key))
+  }
+
   /** ST6: drop duplicate deliveries by uuid within the watermark —
     * state is bounded by the delay, the 100 TB-safe configuration of
     * dropDuplicates. */
