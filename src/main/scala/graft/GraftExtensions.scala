@@ -4,25 +4,42 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Session extensions exposing the engine's native expressions to SQL —
-  * activate with `spark.sql.extensions=graft.GraftExtensions` (or
-  * `withExtensions` on the builder). A user of the reference writing
-  * raw SQL gets the same functions a DataFrame user gets from
-  * [[graft.analytics.SimilarityQueries.signature]].
+/** Session extensions exposing the engine's native surface to any Spark
+  * session — activate with `spark.sql.extensions=graft.GraftExtensions`
+  * (or `withExtensions` on the builder). Two kinds of injection:
+  *
+  *   - SQL functions over the native codegen'd expressions
+  *     (`hyperplane_signature`, `vector_dot`, `vector_sqdist`), so a user
+  *     of the reference writing raw SQL gets the same kernels a DataFrame
+  *     user gets from [[graft.analytics.SimilarityQueries]];
+  *   - the [[graft.plans.BinnedIntervalJoinRule]] optimizer rule, which
+  *     rewrites big-×-big point-in-interval joins (Spark's nested-loop
+  *     fallback) into the binned equi join.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("hyperplane_signature"),
-      new ExpressionInfo(
-        classOf[graft.functions.HyperplaneSignature].getName,
-        "hyperplane_signature"),
+  private def fn(name: String, arity: Int, usage: String)(
+      build: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
       (children: Seq[Expression]) => {
-        require(children.size == 1,
-          "hyperplane_signature(embedding) takes exactly one argument")
-        val (plus, minus) = analytics.SimilarityQueries.planeArrays
-        graft.functions.HyperplaneSignature(children.head, plus, minus)
-      }))
+        require(children.size == arity, s"$usage takes exactly $arity argument(s)")
+        build(children)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("hyperplane_signature", 1,
+      "hyperplane_signature(embedding)") { children =>
+      val (plus, minus) = analytics.SimilarityQueries.planeArrays
+      graft.functions.HyperplaneSignature(children.head, plus, minus)
+    })
+    ext.injectFunction(fn("vector_dot", 2, "vector_dot(a, b)") { c =>
+      graft.functions.VectorDot(c.head, c(1))
+    })
+    ext.injectFunction(fn("vector_sqdist", 2, "vector_sqdist(a, b)") { c =>
+      graft.functions.VectorSqDist(c.head, c(1))
+    })
+    ext.injectOptimizerRule(_ => plans.BinnedIntervalJoinRule)
   }
 }

@@ -24,7 +24,8 @@ object SparkEntry {
       analytics.CorpusQueries.defs ++
       analytics.SimilarityQueries.defs ++
       analytics.MultimodalQueries.defs ++
-      analytics.PathQueries.defs
+      analytics.PathQueries.defs ++
+      store.MaterializedView.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

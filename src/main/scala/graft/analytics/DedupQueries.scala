@@ -2,6 +2,7 @@ package graft.analytics
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for the training-data pipeline:
@@ -421,12 +422,142 @@ object DedupQueries {
        |GROUP BY d.lang""".stripMargin
   }
 
+  // ---------------- D11: duplicated-substring span coverage ----------------
+
+  /** Gram width (tokens) for span detection: every K-token window is
+    * hashed, so two documents sharing any K-token substring collide at
+    * the aligned positions. */
+  private val SpanGram = 10
+
+  /** Minimal duplicated-span length (tokens) that counts toward
+    * coverage — short incidental collisions (stock phrases) are noise;
+    * the training-data dedup literature (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", which dedups exact
+    * ≥50-token substrings via a suffix array) keeps only long spans. */
+  private val MinSpanTokens = 20
+
+  /** D11: per-document duplicated-SUBSTRING coverage — the scalable
+    * approximation of suffix-array exact-substring dedup. d1 sees only
+    * whole-text copies and d8 only fixed 20-token chunks (alignment-
+    * sensitive); d11 slides a [[SpanGram]]-token window over EVERY
+    * position, so a long span copied mid-sentence between documents is
+    * caught at any alignment. Positions whose gram occurs more than once
+    * in the corpus are merged into maximal runs (an island pass per
+    * document), runs shorter than [[MinSpanTokens]] tokens are dropped,
+    * and overlapping spans are interval-merged so each token is counted
+    * once. Output: per-doc token count, duplicated-span token count,
+    * span count, and coverage fraction — the "what fraction of my corpus
+    * is copied text" report that decides whether substring-level dedup
+    * is worth running.
+    *
+    * Scale: grams travel as 60-bit hashes (8 bytes); the occurrence
+    * count is a window over the gram-hash partition — one shuffle of
+    * |positions|, no self-join; everything after is per-document window
+    * work on the (tiny) duplicated subset. */
+  def d11DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = SpanGram
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n_toks", size($"toks").cast("long"))
+    // every K-token window, hashed; docs shorter than K have no grams
+    val grams = docs
+      .filter($"n_toks" >= K)
+      .select($"doc_id", explode(
+        expr(s"transform(sequence(1, int(n_toks) - $K + 1), " +
+          s"p -> struct(p AS p, concat_ws(' ', slice(toks, p, $K)) AS g))"))
+        .as("pg"))
+      .select($"doc_id", $"pg.p".cast("long").as("p"), hash60($"pg.g").as("gh"))
+    // occurrence count per gram hash: window over the hash partition
+    val dup = grams
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy($"gh")))
+      .filter($"n_occ" > 1)
+      .select($"doc_id", $"p")
+    // maximal runs of consecutive duplicated positions → candidate spans
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"p")
+    val spans = dup
+      .withColumn("rid", $"p" - row_number().over(wDoc))
+      .groupBy($"doc_id", $"rid")
+      .agg(min($"p").as("s"), (max($"p") + K - 1).as("e"))
+      .filter($"e" - $"s" + 1 >= MinSpanTokens)
+    // interval-merge overlapping spans so tokens are counted once
+    val wSpan = Window.partitionBy($"doc_id").orderBy($"s", $"e")
+    val merged = spans
+      .withColumn("prevmax",
+        max($"e").over(wSpan.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when($"prevmax".isNull || $"s" > $"prevmax", 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(
+        wSpan.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"s").as("mn"), max($"e").as("mx"))
+      .groupBy($"doc_id")
+      .agg(sum($"mx" - $"mn" + 1).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    docs.select($"doc_id", $"n_toks")
+      .join(merged, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_toks",
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        (coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_toks")
+          .as("dup_frac"))
+  }
+
+  val d11Sql: String = {
+    val K = SpanGram
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |stats AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM toks),
+       |pos AS (
+       |  SELECT doc_id, t, unnest(range(1, len(t) - $K + 2)) AS p
+       |  FROM toks WHERE len(t) >= $K),
+       |grams AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |    ${sqlHash60(s"array_to_string(t[p:p+$K-1], ' ')")} AS gh
+       |  FROM pos),
+       |flagged AS (
+       |  SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS n_occ
+       |  FROM grams),
+       |dup AS (SELECT doc_id, p FROM flagged WHERE n_occ > 1),
+       |runs AS (
+       |  SELECT doc_id, p,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+       |  FROM dup),
+       |spans AS (
+       |  SELECT doc_id, min(p) AS s, max(p) + $K - 1 AS e
+       |  FROM runs GROUP BY doc_id, rid
+       |  HAVING max(p) + $K - 1 - min(p) + 1 >= $MinSpanTokens),
+       |marked AS (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+       |  FROM spans),
+       |islands AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM marked),
+       |cover AS (
+       |  SELECT doc_id, CAST(sum(mx - mn + 1) AS BIGINT) AS dup_tokens,
+       |    count(*) AS n_spans
+       |  FROM (SELECT doc_id, grp, min(s) AS mn, max(e) AS mx
+       |    FROM islands GROUP BY doc_id, grp)
+       |  GROUP BY doc_id)
+       |SELECT st.doc_id, st.n_toks,
+       |  coalesce(c.dup_tokens, 0) AS dup_tokens,
+       |  coalesce(c.n_spans, 0) AS n_spans,
+       |  CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / st.n_toks AS dup_frac
+       |FROM stats st LEFT JOIN cover c USING (doc_id)""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d1_exact_dedup" -> QueryDef.of(d1Sql)(d1Exact),
     "d2_minhash_lsh" -> QueryDef.of(d2Sql)(d2MinhashLsh),
     "d3_simhash" -> QueryDef.of(d3Sql)(d3Simhash),
     "d4_ngram_jaccard" -> QueryDef.of(d4Sql)(d4Jaccard),
     "d5_dedup_clusters" -> QueryDef.of(d5Sql)(d5Clusters),
-    "d10_fuzzy_decontam" -> QueryDef.of(d10Sql)(d10FuzzyDecontam)
+    "d10_fuzzy_decontam" -> QueryDef.of(d10Sql)(d10FuzzyDecontam),
+    "d11_dup_spans" -> QueryDef.of(d11Sql)(d11DupSpans)
   )
 }
