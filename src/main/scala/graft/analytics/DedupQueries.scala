@@ -551,6 +551,98 @@ object DedupQueries {
        |FROM stats st LEFT JOIN cover c USING (doc_id)""".stripMargin
   }
 
+  // ---------------- D12: content-defined chunking dedup ----------------
+
+  /** Rolling-window width (tokens) for the CDC boundary test. */
+  private val CdcWindow = 3
+
+  /** Boundary divisor: a position cuts when its window hash ≡ 0 mod this,
+    * giving ~[[CdcDivisor]]-token expected chunks. */
+  private val CdcDivisor = 8
+
+  /** D12: content-defined chunking dedup — d8's fixed 20-token chunks
+    * are ALIGNMENT-SENSITIVE: insert one token near the top of a copied
+    * document and every downstream chunk boundary shifts, so nothing
+    * matches. CDC (the rsync/FastCDC idea) instead cuts where a hash of
+    * the local [[CdcWindow]]-token window lands on 0 mod [[CdcDivisor]]:
+    * boundaries depend only on nearby content, so chunking re-synchronizes
+    * right after an edit and the untouched remainder still deduplicates
+    * (proven behaviorally in DupSpanSpec). Production CDC also clamps
+    * chunk sizes to a [min,max]; that clamp is stateful along the token
+    * stream and is deliberately omitted so chunking stays a pure
+    * per-position function (one scan, no sequential pass).
+    *
+    * Per document: chunk boundaries and texts come from ONE projection of
+    * array expressions (no shuffle, no window); the only shuffle is the
+    * occurrence count over the 60-bit chunk hash. Output: per-doc chunk
+    * count, duplicated-chunk token count, and duplicated fraction. */
+  def d12CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w, d) = (CdcWindow, CdcDivisor)
+    // window ending at token i (shorter at the head of the doc)
+    val winHash = s"CAST(conv(substring(md5(concat_ws(' ', " +
+      s"slice(toks, greatest(1, i - $w + 1), least(i, $w)))), 1, 15), 16, 10) AS BIGINT)"
+    val chunks = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n_toks", size($"toks").cast("long"))
+      // cut AFTER token i where the window hash divides; a cut at the
+      // last token is redundant (the final chunk already ends there)
+      .withColumn("cuts", expr(
+        s"filter(sequence(1, int(n_toks)), i -> pmod($winHash, $d) = 0 AND i < int(n_toks))"))
+      .withColumn("starts", expr("concat(array(1), transform(cuts, c -> c + 1))"))
+      .withColumn("ends", expr("concat(cuts, array(int(n_toks)))"))
+      .select($"doc_id", $"n_toks", $"toks", $"starts", $"ends",
+        explode(expr("sequence(1, size(starts))")).as("k"))
+      .select($"doc_id", $"n_toks",
+        expr("concat_ws(' ', slice(toks, element_at(starts, k), " +
+          "element_at(ends, k) - element_at(starts, k) + 1))").as("chunk"),
+        (expr("element_at(ends, k)") - expr("element_at(starts, k)") + 1)
+          .cast("long").as("chunk_tokens"))
+    chunks
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(hash60($"chunk"))))
+      .groupBy($"doc_id", $"n_toks")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"n_occ" > 1, $"chunk_tokens").otherwise(0L))
+          .as("dup_chunk_tokens"))
+      .select($"doc_id", $"n_toks", $"n_chunks", $"dup_chunk_tokens",
+        ($"dup_chunk_tokens".cast("double") / $"n_toks").as("dup_frac"))
+  }
+
+  val d12Sql: String = {
+    val (w, d) = (CdcWindow, CdcDivisor)
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |cut AS (
+       |  SELECT doc_id, t, n_toks,
+       |    list_filter(range(1, len(t) + 1), i ->
+       |      ${sqlHash60(s"array_to_string(t[greatest(1, i - $w + 1):i], ' ')")} % $d = 0
+       |      AND i < len(t)) AS cuts
+       |  FROM toks),
+       |bounds AS (
+       |  SELECT doc_id, t, n_toks,
+       |    list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+       |    list_append(cuts, len(t)) AS ends
+       |  FROM cut),
+       |chunks AS (
+       |  SELECT doc_id, n_toks,
+       |    array_to_string(t[starts[k]:ends[k]], ' ') AS chunk,
+       |    CAST(ends[k] - starts[k] + 1 AS BIGINT) AS chunk_tokens
+       |  FROM (SELECT *, unnest(range(1, len(starts) + 1)) AS k FROM bounds)),
+       |occ AS (
+       |  SELECT doc_id, n_toks, chunk_tokens,
+       |    count(*) OVER (PARTITION BY ${sqlHash60("chunk")}) AS n_occ
+       |  FROM chunks)
+       |SELECT doc_id, n_toks, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN chunk_tokens ELSE 0 END) AS BIGINT)
+       |    AS dup_chunk_tokens,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN chunk_tokens ELSE 0 END) AS DOUBLE)
+       |    / n_toks AS dup_frac
+       |FROM occ GROUP BY doc_id, n_toks""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d1_exact_dedup" -> QueryDef.of(d1Sql)(d1Exact),
     "d2_minhash_lsh" -> QueryDef.of(d2Sql)(d2MinhashLsh),
@@ -558,6 +650,7 @@ object DedupQueries {
     "d4_ngram_jaccard" -> QueryDef.of(d4Sql)(d4Jaccard),
     "d5_dedup_clusters" -> QueryDef.of(d5Sql)(d5Clusters),
     "d10_fuzzy_decontam" -> QueryDef.of(d10Sql)(d10FuzzyDecontam),
-    "d11_dup_spans" -> QueryDef.of(d11Sql)(d11DupSpans)
+    "d11_dup_spans" -> QueryDef.of(d11Sql)(d11DupSpans),
+    "d12_cdc_chunks" -> QueryDef.of(d12Sql)(d12CdcChunks)
   )
 }

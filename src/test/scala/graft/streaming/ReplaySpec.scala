@@ -61,6 +61,62 @@ class ReplaySpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming sessionization equals the batch session_window on " +
+    "replay (and therefore the w2 islands, via SessionWindowSpec)") {
+    val batchDf = spark.read.parquet(logDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val stream = spark.readStream.schema(spark.read.parquet(logDir).schema)
+      .parquet(logDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = Subscriptions.sessionAgg(stream, "ts", "user_id",
+      gap = "30 minutes", delay = "1 day")
+      .writeStream.format("memory").queryName("sess_replay")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime)).toSet
+    val streamed = canon(spark.table("sess_replay"))
+    val batch = canon(batchDf
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end")))
+    assert(streamed == batch && streamed.nonEmpty)
+    q.stop()
+  }
+
+  test("a stream-maintained materialized view serves the full-history " +
+    "aggregate after incremental appends") {
+    import graft.store.MaterializedView
+    val ev = spark.read.parquet(logDir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-mv-in").toString
+    val mvDir = java.nio.file.Files.createTempDirectory("graft-mv-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-ckpt").toString
+    val mv = new MaterializedView(Seq("event_type"), Seq("value"))
+
+    // first batch of the log arrives before the query starts
+    ev.filter(dayofmonth(col("ts")) <= 10).write.mode("append").parquet(streamDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(streamDir)
+    val q = mv.maintain(stream, mvDir).option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // two more appends, each picked up as its own delta
+      ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20)
+        .write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      ev.filter(dayofmonth(col("ts")) > 20).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+
+      val served = mv.read(spark, mvDir).collect().map(_.toSeq).toSet
+      val full = mv.result(mv.partial(ev)).collect().map(_.toSeq).toSet
+      assert(served == full && full.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming funnel completions equal the batch fold on replay") {
     import spark.implicits._
     val steps = Seq("view", "click", "purchase")
