@@ -278,12 +278,66 @@ object BehavioralQueries {
       |  CAST(w.cum_dec AS DOUBLE) / s.cohort_size AS ltv_per_user
       |FROM cum w JOIN sizes s ON w.cohort_week = s.cohort_week""".stripMargin
 
+  // ---------------- A19: time-to-convert distribution ----------------
+
+  /** A19: funnel LATENCY — a6 reports how many users convert, a19
+    * reports how long conversion takes: per user the first `view` and
+    * first subsequent `purchase`, then the exact p50/p90/mean of the
+    * delta in minutes. One shuffle on user_id (conditional-min pivot),
+    * then a single global aggregate over |converted users| rows.
+    *
+    * Cross-engine: the delta is integer epoch-micros subtraction then
+    * ONE double division (timestampdiff/datediff truncate differently
+    * across engines at sub-second grain); percentile ≡ quantile_cont is
+    * the a8-proven pairing and the mean divides the EXACT long micros
+    * sum at the end. */
+  def a19TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("fv"),
+        min(when($"event_type" === "purchase", $"ts")).as("fp"))
+      .filter($"fv".isNotNull && $"fp".isNotNull && $"fp" >= $"fv")
+      // exact integer micros delta; the double division happens once per
+      // row for the percentiles and once GLOBALLY for the mean — a davg
+      // over the divided doubles would round at the decimal cast's 6th
+      // decimal, where the two engines' double→decimal roundings differ
+      .withColumn("dm",
+        unix_micros($"fp".cast("timestamp")) -
+          unix_micros($"fv".cast("timestamp")))
+      .withColumn("d", $"dm".cast("double") / 60000000.0)
+      .agg(
+        count(lit(1)).as("n_converters"),
+        expr("percentile(d, 0.5)").as("p50_minutes"),
+        expr("percentile(d, 0.9)").as("p90_minutes"),
+        (sum($"dm").cast("double") / count(lit(1)) / 60000000.0)
+          .as("avg_minutes"))
+  }
+
+  val a19Sql: String =
+    s"""WITH fu AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+       |  FROM events GROUP BY user_id),
+       |conv AS (
+       |  SELECT epoch_us(fp) - epoch_us(fv) AS dm,
+       |    CAST(epoch_us(fp) - epoch_us(fv) AS DOUBLE) / 60000000.0 AS d
+       |  FROM fu WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv)
+       |SELECT count(*) AS n_converters,
+       |  quantile_cont(d, 0.5) AS p50_minutes,
+       |  quantile_cont(d, 0.9) AS p90_minutes,
+       |  CAST(sum(dm) AS DOUBLE) / count(*) / 60000000.0 AS avg_minutes
+       |FROM conv""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a6_funnel" -> QueryDef.of(a6Sql)(a6Funnel),
     "a17_ltv_cohort" -> QueryDef.of(a17Sql)(a17LtvCohort),
     "a7_retention" -> QueryDef.of(a7Sql)(a7Retention),
     "w2_sessionize" -> QueryDef.of(w2SessSql)(w2Sessionize),
     "w8_session_window" -> QueryDef.of(w8Sql)(w8SessionWindow),
-    "a10_profile_merge" -> QueryDef.of(a10Sql)(a10ProfileMerge)
+    "a10_profile_merge" -> QueryDef.of(a10Sql)(a10ProfileMerge),
+    "a19_time_to_convert" -> QueryDef.of(a19Sql)(a19TimeToConvert)
   )
 }

@@ -953,6 +953,123 @@ object SimilarityQueries {
        |QUALIFY rank <= $PqTopK""".stripMargin
   }
 
+  // ---------------- SIM11: MMR diversified re-ranking ----------------
+
+  /** Candidate pool size fed to the MMR selector. */
+  private val MmrPool = 50
+
+  /** Picks returned. */
+  private val MmrK = 5
+
+  /** Relevance↔diversity trade-off (λ·rel − (1−λ)·max-sim-to-picked). */
+  private val MmrLambda = 0.7
+
+  /** 1−λ as its own literal: `1 - 0.7` is 0.30000000000000004 in double
+    * arithmetic, and the SQL twin must multiply by the SAME constant. */
+  private val MmrDiversity = 0.3
+
+  /** SIM11: Maximal-Marginal-Relevance re-ranking — a top-k that is
+    * RELEVANT AND DIVERSE (Carbonell & Goldstein, SIGIR'98): after the
+    * most-relevant pick, each step takes the candidate maximizing
+    * `0.7·rel − 0.3·max(sim to already-picked)`, so near-duplicates of
+    * an earlier pick are penalized out — the retrieval-side twin of the
+    * sim5 semantic dedup.
+    *
+    * Scale shape: the expensive part — scoring the corpus against the
+    * query and taking the top [[MmrPool]] — is the distributed sim1 scan
+    * (broadcast query, TakeOrderedAndProject). The selection itself is
+    * inherently sequential in k, so it runs on the driver over the
+    * BOUNDED candidate set (≤ [[MmrPool]] vectors — the same bounded-
+    * driver-state argument as broadcast centroids), with the identical
+    * left-to-right double fold the kernels use, so the DuckDB twin (the
+    * same K steps unrolled as CTEs) matches bit-for-bit. Ties break on
+    * vec_id everywhere. */
+  def sim11Mmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"))
+    val cands = cosineTopKFrom(emb.filter($"vec_id" =!= 0L), q, MmrPool)
+      .select($"vec_id", $"cos", $"embedding")
+      .collect()
+      .map { r =>
+        val e = r.getSeq[Float](2).toArray
+        (r.getLong(0), r.getDouble(1), e, math.sqrt(fold(e, e)))
+      }
+    // driver-side MMR over the bounded pool; fold/maxsim orders mirror
+    // the SQL twin exactly
+    val picked = collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)] // (step, id, rel, mmr)
+    val chosen = collection.mutable.ArrayBuffer.empty[(Array[Float], Double)]
+    val remaining = collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    for (step <- 1 to MmrK if remaining.nonEmpty) {
+      val scored = remaining.values.map { case (id, rel, e, nrm) =>
+        // true max over the picked set — cosines can be NEGATIVE, so no
+        // zero floor (the SQL twin's greatest() has none); the empty set
+        // (first pick) is 0.0 on both sides by construction
+        val maxsim =
+          if (chosen.isEmpty) 0.0
+          else chosen.map { case (se, snrm) => fold(e, se) / (nrm * snrm) }.max
+        (id, rel, MmrLambda * rel - MmrDiversity * maxsim)
+      }.toSeq
+      val (id, rel, mmr) = scored.minBy { case (i, _, s) => (-s, i) }
+      picked += ((step.toLong, id, rel, mmr))
+      val c = remaining.remove(id).get
+      chosen += ((c._3, c._4))
+    }
+    picked.toSeq.toDF("step", "vec_id", "rel", "mmr")
+  }
+
+  /** Left-to-right double fold of the float dot product — the exact
+    * arithmetic of [[graft.functions.VectorDot]] and [[sqlDot]]. */
+  private def fold(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  val sim11Sql: String = {
+    def cosTo(prev: Int): String =
+      s"${sqlDot("c.embedding", s"s$prev.embedding")} / (c.nrm * s$prev.nrm)"
+    // step i: max sim against picks 1..i-1, greatest() over the unrolled
+    // prior steps (empty → 0.0), then argmax of the MMR score
+    val steps = (2 to MmrK).map { i =>
+      val sims = (1 until i).map(cosTo)
+      val maxsim =
+        if (sims.size == 1) sims.head else s"greatest(${sims.mkString(", ")})"
+      val froms = (1 until i).map(j => s"s$j").mkString(", ")
+      val notIn = (1 until i).map(j => s"c.vec_id <> s$j.vec_id").mkString(" AND ")
+      s"""s$i AS (
+         |  SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+         |    $MmrLambda * c.rel - $MmrDiversity * ($maxsim) AS mmr
+         |  FROM cand c, $froms
+         |  WHERE $notIn
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val unions = (1 to MmrK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, vec_id, rel, mmr FROM s$i")
+    s"""WITH q AS (
+       |  SELECT embedding AS qv, sqrt(${sqlDot("embedding", "embedding")}) AS qnrm
+       |  FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, embedding, nrm, rel FROM (
+       |    SELECT e.vec_id, e.embedding,
+       |      sqrt(${sqlDot("e.embedding", "e.embedding")}) AS nrm,
+       |      ${sqlDot("e.embedding", "q.qv")} /
+       |        (sqrt(${sqlDot("e.embedding", "e.embedding")}) *
+       |         sqrt(${sqlDot("q.qv", "q.qv")})) AS rel
+       |    FROM embeddings e, q
+       |    WHERE e.vec_id <> 0)
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+       |s1 AS (
+       |  SELECT vec_id, embedding, nrm, rel,
+       |    $MmrLambda * rel - $MmrDiversity * 0.0 AS mmr
+       |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+       |${steps.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "kms1_kmeans" -> QueryDef.of(kms1Sql)(kms1Kmeans),
     "sim9_pq_adc" -> QueryDef.of(sim9Sql)(sim9PqAdc),
@@ -964,6 +1081,7 @@ object SimilarityQueries {
     "sim2_ann_lsh" -> QueryDef.of(simAnnSql)(simAnnLsh),
     "sim3_near_dup" -> QueryDef.of(simNearDupSql)(simNearDup),
     "sim4_ann_ivf" -> QueryDef.of(simIvfSql)(simIvf),
-    "sim5_semantic_dedup" -> QueryDef.of(sim5Sql)(sim5SemanticDedup)
+    "sim5_semantic_dedup" -> QueryDef.of(sim5Sql)(sim5SemanticDedup),
+    "sim11_mmr" -> QueryDef.of(sim11Sql)(sim11Mmr)
   )
 }
