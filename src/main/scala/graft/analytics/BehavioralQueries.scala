@@ -291,13 +291,17 @@ object BehavioralQueries {
     * across engines at sub-second grain); percentile ≡ quantile_cont is
     * the a8-proven pairing and the mean divides the EXACT long micros
     * sum at the end. */
-  def a19TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables(spark, dir, "events")
+  /** The a19 core over any event frame in the standard shape
+    * (user_id, ts, event_type), parameterized by the entry and
+    * conversion events. */
+  def a19From(events: DataFrame, fromType: String = "view",
+      toType: String = "purchase"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .groupBy($"user_id")
       .agg(
-        min(when($"event_type" === "view", $"ts")).as("fv"),
-        min(when($"event_type" === "purchase", $"ts")).as("fp"))
+        min(when($"event_type" === fromType, $"ts")).as("fv"),
+        min(when($"event_type" === toType, $"ts")).as("fp"))
       .filter($"fv".isNotNull && $"fp".isNotNull && $"fp" >= $"fv")
       // exact integer micros delta; the double division happens once per
       // row for the percentiles and once GLOBALLY for the mean — a davg
@@ -314,6 +318,9 @@ object BehavioralQueries {
         (sum($"dm").cast("double") / count(lit(1)) / 60000000.0)
           .as("avg_minutes"))
   }
+
+  def a19TimeToConvert(spark: SparkSession, dir: String): DataFrame =
+    a19From(Tables(spark, dir, "events"))
 
   val a19Sql: String =
     s"""WITH fu AS (

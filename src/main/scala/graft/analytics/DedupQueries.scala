@@ -454,10 +454,12 @@ object DedupQueries {
     * count is a window over the gram-hash partition — one shuffle of
     * |positions|, no self-join; everything after is per-document window
     * work on the (tiny) duplicated subset. */
-  def d11DupSpans(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The d11 core over any corpus in the standard (doc_id, text)
+    * shape. */
+  def d11From(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
     val K = SpanGram
-    val docs = Tables(spark, dir, "documents")
+    val docs = documents
       .select($"doc_id", split($"text", " ").as("toks"))
       .withColumn("n_toks", size($"toks").cast("long"))
     // every K-token window, hashed; docs shorter than K have no grams
@@ -502,6 +504,9 @@ object DedupQueries {
         (coalesce($"dup_tokens", lit(0L)).cast("double") / $"n_toks")
           .as("dup_frac"))
   }
+
+  def d11DupSpans(spark: SparkSession, dir: String): DataFrame =
+    d11From(Tables(spark, dir, "documents"))
 
   val d11Sql: String = {
     val K = SpanGram
@@ -576,13 +581,15 @@ object DedupQueries {
     * array expressions (no shuffle, no window); the only shuffle is the
     * occurrence count over the 60-bit chunk hash. Output: per-doc chunk
     * count, duplicated-chunk token count, and duplicated fraction. */
-  def d12CdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The d12 core over any corpus in the standard (doc_id, text)
+    * shape. */
+  def d12From(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
     val (w, d) = (CdcWindow, CdcDivisor)
     // window ending at token i (shorter at the head of the doc)
     val winHash = s"CAST(conv(substring(md5(concat_ws(' ', " +
       s"slice(toks, greatest(1, i - $w + 1), least(i, $w)))), 1, 15), 16, 10) AS BIGINT)"
-    val chunks = Tables(spark, dir, "documents")
+    val chunks = documents
       .select($"doc_id", split($"text", " ").as("toks"))
       .withColumn("n_toks", size($"toks").cast("long"))
       // cut AFTER token i where the window hash divides; a cut at the
@@ -608,6 +615,9 @@ object DedupQueries {
       .select($"doc_id", $"n_toks", $"n_chunks", $"dup_chunk_tokens",
         ($"dup_chunk_tokens".cast("double") / $"n_toks").as("dup_frac"))
   }
+
+  def d12CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    d12From(Tables(spark, dir, "documents"))
 
   val d12Sql: String = {
     val (w, d) = (CdcWindow, CdcDivisor)

@@ -984,11 +984,12 @@ object SimilarityQueries {
     * left-to-right double fold the kernels use, so the DuckDB twin (the
     * same K steps unrolled as CTEs) matches bit-for-bit. Ties break on
     * vec_id everywhere. */
-  def sim11Mmr(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val emb = Tables(spark, dir, "embeddings")
-    val q = emb.filter($"vec_id" === 0L).select($"embedding".as("qv"))
-    val cands = cosineTopKFrom(emb.filter($"vec_id" =!= 0L), q, MmrPool)
+  /** The sim11 core: MMR over any corpus (vec_id, embedding, ...)
+    * against a 1-row query (qv), parameterized by pool and k. */
+  def mmrFrom(corpus: DataFrame, query: DataFrame,
+      k: Int = MmrK, pool: Int = MmrPool): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cands = cosineTopKFrom(corpus, query, pool)
       .select($"vec_id", $"cos", $"embedding")
       .collect()
       .map { r =>
@@ -1002,7 +1003,7 @@ object SimilarityQueries {
     val chosen = collection.mutable.ArrayBuffer.empty[(Array[Float], Double)]
     val remaining = collection.mutable.LinkedHashMap(
       cands.map(c => c._1 -> c): _*)
-    for (step <- 1 to MmrK if remaining.nonEmpty) {
+    for (step <- 1 to k if remaining.nonEmpty) {
       val scored = remaining.values.map { case (id, rel, e, nrm) =>
         // true max over the picked set — cosines can be NEGATIVE, so no
         // zero floor (the SQL twin's greatest() has none); the empty set
@@ -1018,6 +1019,13 @@ object SimilarityQueries {
       chosen += ((c._3, c._4))
     }
     picked.toSeq.toDF("step", "vec_id", "rel", "mmr")
+  }
+
+  def sim11Mmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    mmrFrom(emb.filter($"vec_id" =!= 0L),
+      emb.filter($"vec_id" === 0L).select($"embedding".as("qv")))
   }
 
   /** Left-to-right double fold of the float dot product — the exact

@@ -140,4 +140,15 @@ object Analytics {
         col(idCol).as("event_id"), col(typeCol).as("event_type"),
         col(valueCol).as("value")),
       conversionType, windowDays)
+
+  /** Time-to-convert distribution: per user the first `fromType` and
+    * first subsequent `toType`, then exact p50/p90/mean of the latency
+    * in minutes (the oracle-proven a19 shape — exact long-micros
+    * deltas, one double division). */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame =
+    graft.analytics.BehavioralQueries.a19From(
+      events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(typeCol).as("event_type")),
+      fromType, toType)
 }

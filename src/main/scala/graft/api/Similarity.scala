@@ -34,4 +34,16 @@ object Similarity {
     SimilarityQueries.knnJoinFrom(
       std(corpus, idCol, vecCol),
       queries.select(col(queryIdCol).as("qid"), col(queryVecCol).as("qv")), k)
+
+  /** MMR diversified top-k: the `pool` most relevant candidates come
+    * from the distributed cosine scan, then the greedy
+    * relevance-vs-diversity selection (λ=0.7) runs over that bounded
+    * pool. Returns (step, vec_id, rel, mmr) in pick order. */
+  def mmrTopK(corpus: DataFrame, query: DataFrame, k: Int = 5,
+      pool: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryVecCol: String = "embedding"): DataFrame =
+    SimilarityQueries.mmrFrom(
+      std(corpus, idCol, vecCol),
+      query.select(col(queryVecCol).as("qv")), k, pool)
 }

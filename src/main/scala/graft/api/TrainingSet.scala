@@ -40,6 +40,20 @@ object TrainingSet {
       textCol: String = "text"): DataFrame =
     DedupQueries.d4From(std(docs, idCol, textCol))
 
+  /** Duplicated-substring span coverage per document (the suffix-array
+    * dedup approximation — oracle-proven d11 shape): fraction of each
+    * doc's tokens inside ≥20-token spans shared with any other
+    * occurrence in the corpus. */
+  def dupSpanCoverage(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    DedupQueries.d11From(std(docs, idCol, textCol))
+
+  /** Content-defined-chunk dedup stats per document (the oracle-proven
+    * d12 shape) — alignment-robust where fixed chunks are not. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    DedupQueries.d12From(std(docs, idCol, textCol))
+
   /** Benchmark decontamination with an EXPLICIT eval set: flags every
     * corpus row sharing at least one n-gram with the benchmark. The
     * benchmark's gram set is distinct-ed and broadcast (eval sets are

@@ -29,47 +29,53 @@ import org.apache.spark.sql.types.DecimalType
   * layout and replayed batch boundaries) cannot change the result.
   */
 final class MaterializedView(
-    val groupCols: Seq[String], val valueCols: Seq[String]) {
+    val groupCols: Seq[String], val valueCols: Seq[String],
+    val distinctCols: Seq[String] = Nil) {
   import MaterializedView._
 
   private def groupExprs: Seq[Column] = groupCols.map(col)
 
-  /** Partial state of one batch: the only pass that sees raw rows. */
+  /** Partial state of one batch: the only pass that sees raw rows.
+    * Distinct counts ride as Datasketches HLL binaries — constant-size,
+    * union-mergeable state, the only way "distinct users per day" can
+    * refresh from deltas without keeping every user id in the view. */
   def partial(batch: DataFrame): DataFrame = {
-    val aggs = count(lit(1)).as(RowCount) +: valueCols.flatMap { c =>
+    val aggs = (count(lit(1)).as(RowCount) +: valueCols.flatMap { c =>
       Seq(
         sum(col(c).cast(Dec)).as(s"__sum_$c"),
         count(col(c)).as(s"__cnt_$c"),
         min(col(c)).as(s"__min_$c"),
         max(col(c)).as(s"__max_$c"))
-    }
+    }) ++ distinctCols.map(c => hll_sketch_agg(col(c)).as(s"__hll_$c"))
     batch.groupBy(groupExprs: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Merge any number of partial-state frames — re-aggregation over
-    * |groups|-sized inputs (sum/sum/min/max are all mergeable). */
+    * |groups|-sized inputs (sum/sum/min/max/HLL-union are all
+    * mergeable). */
   def merge(states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state frame")
-    val aggs = sum(col(RowCount)).as(RowCount) +: valueCols.flatMap { c =>
+    val aggs = (sum(col(RowCount)).as(RowCount) +: valueCols.flatMap { c =>
       Seq(
         sum(col(s"__sum_$c")).as(s"__sum_$c"),
         sum(col(s"__cnt_$c")).as(s"__cnt_$c"),
         min(col(s"__min_$c")).as(s"__min_$c"),
         max(col(s"__max_$c")).as(s"__max_$c"))
-    }
+    }) ++ distinctCols.map(c => hll_union_agg(col(s"__hll_$c")).as(s"__hll_$c"))
     states.reduce(_.unionByName(_))
       .groupBy(groupExprs: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Finalize state into the served view. */
   def result(state: DataFrame): DataFrame = {
-    val outs = col(RowCount).as("n_rows") +: valueCols.flatMap { c =>
+    val outs = (col(RowCount).as("n_rows") +: valueCols.flatMap { c =>
       Seq(
         col(s"__sum_$c").cast("double").as(s"sum_$c"),
         (col(s"__sum_$c").cast("double") / col(s"__cnt_$c")).as(s"avg_$c"),
         col(s"__min_$c").as(s"min_$c"),
         col(s"__max_$c").as(s"max_$c"))
-    }
+    }) ++ distinctCols.map(c =>
+      hll_sketch_estimate(col(s"__hll_$c")).as(s"approx_distinct_$c"))
     state.select(groupExprs ++ outs: _*)
   }
 

@@ -95,6 +95,14 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("timeToConvert(view, purchase) == oracle-proven a19") {
+    val api = Analytics.timeToConvert(Tables(spark, sf(), "events"),
+      "user_id", "ts", "event_type", "view", "purchase")
+    val reg = graft.analytics.BehavioralQueries
+      .a19TimeToConvert(spark, sf())
+    assert(rows(api) == rows(reg))
+  }
+
   test("lastTouchAttribution(purchase, 7d) == oracle-proven a15") {
     val api = Analytics.lastTouchAttribution(events,
       "user_id", "ts", "event_id", "event_type", "value",

@@ -24,6 +24,14 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(api) == rows(reg))
   }
 
+  test("mmrTopK == oracle-proven sim11") {
+    val api = Similarity.mmrTopK(
+      emb.filter(col("vec_id") =!= 0L).select("vec_id", "embedding"),
+      query = emb.filter(col("vec_id") === 0L), k = 5, pool = 50)
+    val reg = SimilarityQueries.sim11Mmr(spark, sf())
+    assert(rows(api) == rows(reg))
+  }
+
   test("knnJoin == oracle-proven sim6") {
     val api = Similarity.knnJoin(
       emb.select("vec_id", "embedding"),

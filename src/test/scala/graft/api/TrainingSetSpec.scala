@@ -24,6 +24,16 @@ class TrainingSetSpec extends SparkSpec {
       rows(DedupQueries.d5Clusters(spark, sf())))
   }
 
+  test("dupSpanCoverage == oracle-proven d11") {
+    assert(rows(TrainingSet.dupSpanCoverage(docs)) ==
+      rows(DedupQueries.d11DupSpans(spark, sf())))
+  }
+
+  test("cdcChunkDedup == oracle-proven d12") {
+    assert(rows(TrainingSet.cdcChunkDedup(docs)) ==
+      rows(DedupQueries.d12CdcChunks(spark, sf())))
+  }
+
   test("decontaminate(src0 as benchmark) reproduces d6's accounting") {
     val flagged = TrainingSet.decontaminate(
       docs.filter(col("source") =!= "src0"),

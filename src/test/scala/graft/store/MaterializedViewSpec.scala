@@ -55,6 +55,33 @@ class MaterializedViewSpec extends SparkSpec {
     assert(out.getAs[Double]("sum_value") == 6.0)
   }
 
+  test("HLL distinct state refreshes from deltas: estimate within the " +
+    "sketch bound of exact, merge order-insensitive") {
+    val ev = events
+    val dmv = new MaterializedView(Seq("event_type"), Nil, Seq("user_id"))
+    val parts = Seq(ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
+      ev.filter(dayofmonth(col("ts")) > 20)).map(dmv.partial)
+    def estimates(df: DataFrame): Map[String, Long] =
+      dmv.result(df).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("approx_distinct_user_id"))
+        .toMap
+    val incremental = estimates(parts.reduce(dmv.merge(_, _)))
+    val oneShot = estimates(dmv.partial(ev))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // default lgConfigK=12 → RSE ≈ 1.6%; 5% is a 3σ bound
+    for ((k, ex) <- exact) {
+      assert(math.abs(incremental(k) - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"$k: incremental ${incremental(k)} vs exact $ex")
+      assert(math.abs(oneShot(k) - ex) <= math.max(1L, (ex * 0.05).toLong))
+    }
+    // union is commutative: any delta order serves the same view
+    assert(estimates(Seq(parts(2), parts(0), parts(1))
+      .reduce(dmv.merge(_, _))) == incremental)
+  }
+
   test("persisted refresh survives a restart and matches the full " +
     "recompute; the pointer flip keeps old state readable until then") {
     val ev = events
