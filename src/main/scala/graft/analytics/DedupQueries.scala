@@ -123,6 +123,33 @@ object DedupQueries {
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
   }
 
+  /** Row-wise banded LSH keys as ONE array expression over the text
+    * column — the STREAMING formulation: the batch path's signature is
+    * a groupBy over exploded shingles, but a streaming aggregate cannot
+    * precede a stateful operator in the same query, so here the
+    * min-hash folds happen inside array transforms on each row. Same
+    * shingling, hash family, and constants as [[bandedKeysUncapped]]
+    * (shared literals — they cannot drift); StreamingNearDupSpec pins
+    * result equality against the batch d2 path. Docs shorter than a
+    * shingle yield an empty array, matching the batch filter. */
+  private[graft] def bandStructs(text: Column): Column = {
+    val toks = split(text, " ")
+    val shingles = transform(sequence(lit(0), size(toks) - 3), i =>
+      concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+        element_at(toks, i + 3)))
+    val hs = transform(shingles, s => hash60(s) % lit(P31))
+    val sigs = (0 until numHashes).map { j =>
+      array_min(transform(hs, h => (lit(hashA(j)) * h + lit(hashB(j))) % lit(P31)))
+    }
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", sigs(2 * b), sigs(2 * b + 1)).as("key"))
+    }: _*)
+    when(size(toks) >= 3, bandArr)
+      .otherwise(array().cast(
+        "array<struct<band:int,key:string>>"))
+  }
+
   /** Banded LSH keys with the bucket-size cap applied:
     * (doc_id, band, key, rn) where rn ≤ [[BucketCap]]. */
   private[analytics] def bandedKeys(sh: DataFrame): DataFrame = {
