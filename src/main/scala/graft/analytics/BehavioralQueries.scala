@@ -338,8 +338,66 @@ object BehavioralQueries {
        |  CAST(sum(dm) AS DOUBLE) / count(*) / 60000000.0 AS avg_minutes
        |FROM conv""".stripMargin
 
+  // ---------------- A21: event co-occurrence (baskets) ----------------
+
+  /** A21: which event types happen TOGETHER — market-basket association
+    * over (user × day) baskets: for every type pair, the number of
+    * baskets containing both, the support, and the lift
+    * (`P(a,b) / (P(a)·P(b))`; lift > 1 = the pair co-occurs more than
+    * chance). The feature-correlation readout behind "users who do X
+    * also do Y".
+    *
+    * Shape: the corpus collapses to distinct (user, day, type) baskets
+    * first; the pair self-join runs on THAT (≤ |types| rows per basket,
+    * so the product is baskets × C(types,2), not events²); type totals
+    * and the basket count are tiny broadcast sides. Lift is one
+    * fixed-order double chain over exact longs. */
+  def a21Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baskets = Tables(spark, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+      .distinct()
+    val total = baskets.select($"user_id", $"day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val typeCounts = baskets.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = baskets.alias("x")
+      .join(baskets.alias("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeCounts.select($"event_type".as("a"), $"n_t".as("n_a"))), Seq("a"))
+      .join(broadcast(typeCounts.select($"event_type".as("b"), $"n_t".as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select($"a", $"b", $"n_ab",
+        ($"n_ab".cast("double") / $"n_baskets").as("support"),
+        ($"n_ab".cast("double") * $"n_baskets" / $"n_a" / $"n_b").as("lift"))
+  }
+
+  val a21Sql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      |  FROM events),
+      |total AS (
+      |  SELECT count(*) AS n_baskets FROM (
+      |    SELECT DISTINCT user_id, day FROM baskets)),
+      |tc AS (SELECT event_type, count(*) AS n_t FROM baskets GROUP BY event_type),
+      |pairs AS (
+      |  SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab
+      |  FROM baskets x JOIN baskets y
+      |    ON x.user_id = y.user_id AND x.day = y.day
+      |    AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT a, b, n_ab,
+      |  CAST(n_ab AS DOUBLE) / n_baskets AS support,
+      |  CAST(n_ab AS DOUBLE) * n_baskets / ta.n_t / tb.n_t AS lift
+      |FROM pairs, total, tc ta, tc tb
+      |WHERE ta.event_type = a AND tb.event_type = b""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a6_funnel" -> QueryDef.of(a6Sql)(a6Funnel),
+    "a21_cooccurrence" -> QueryDef.of(a21Sql)(a21Cooccurrence),
     "a17_ltv_cohort" -> QueryDef.of(a17Sql)(a17LtvCohort),
     "a7_retention" -> QueryDef.of(a7Sql)(a7Retention),
     "w2_sessionize" -> QueryDef.of(w2SessSql)(w2Sessionize),

@@ -218,8 +218,82 @@ object WindowQueries {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
       |FROM daily""".stripMargin
 
+  // ---------------- A20: volume anomaly flags ----------------
+
+  /** Trailing days used as the baseline window (excluding the current
+    * day), and the minimum prior days required for a verdict. */
+  private val AnomalyWindow = 7
+  private val AnomalyMinPrior = 4
+
+  /** A20: daily-volume anomaly detection — the ops dashboard's "did
+    * ingest break / did a client go rogue" signal. Per (day ×
+    * event_type), the z-score of today's count against the trailing
+    * [[AnomalyWindow]]-day mean/std (current day excluded); |z| > 3
+    * flags. Fewer than [[AnomalyMinPrior]] prior days → NULL verdict,
+    * not a fabricated zero.
+    *
+    * Shape: the corpus collapses to the (day × type) aggregate first;
+    * every window runs over that tiny grain. Parity: counts and their
+    * squares sum EXACTLY as longs inside the frame; mean/variance come
+    * out in one fixed-order double chain, identical on both engines. */
+  def a20Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-AnomalyWindow, -1)
+    daily
+      .withColumn("k", count($"n").over(w))
+      .withColumn("s", sum($"n").over(w))
+      .withColumn("ss", sum($"n" * $"n").over(w))
+      .withColumn("mean_prior",
+        when($"k" >= AnomalyMinPrior, $"s".cast("double") / $"k"))
+      .withColumn("var_prior",
+        when($"k" >= AnomalyMinPrior,
+          ($"ss".cast("double") - $"s".cast("double") * $"s".cast("double") / $"k") /
+            ($"k" - 1)))
+      .withColumn("z",
+        when($"var_prior" > 0,
+          ($"n".cast("double") - $"mean_prior") / sqrt($"var_prior")))
+      .withColumn("anomaly",
+        when($"z".isNotNull, abs($"z") > 3.0))
+      .select($"day", $"event_type", $"n", $"mean_prior", $"z", $"anomaly")
+  }
+
+  val a20Sql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |framed AS (
+       |  SELECT day, event_type, n,
+       |    count(n) OVER trail AS k,
+       |    sum(n) OVER trail AS s,
+       |    sum(n * n) OVER trail AS ss
+       |  FROM daily
+       |  WINDOW trail AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT day, event_type, n,
+       |    CASE WHEN k >= $AnomalyMinPrior
+       |      THEN CAST(s AS DOUBLE) / k END AS mean_prior,
+       |    CASE WHEN k >= $AnomalyMinPrior
+       |      THEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+       |        / (k - 1) END AS var_prior
+       |  FROM framed)
+       |SELECT day, event_type, n, mean_prior,
+       |  CASE WHEN var_prior > 0
+       |    THEN (CAST(n AS DOUBLE) - mean_prior) / sqrt(var_prior) END AS z,
+       |  CASE WHEN var_prior > 0 THEN
+       |    abs(CASE WHEN var_prior > 0
+       |      THEN (CAST(n AS DOUBLE) - mean_prior) / sqrt(var_prior) END) > 3.0
+       |  END AS anomaly
+       |FROM scored""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "w7_user_deciles" -> QueryDef.of(w7Sql)(w7Deciles),
+    "a20_anomaly" -> QueryDef.of(a20Sql)(a20Anomaly),
     "w9_period_over_period" -> QueryDef.of(w9Sql)(w9PeriodOverPeriod),
     "w10_cumulative_users" -> QueryDef.of(w10Sql)(w10CumulativeUsers),
     "w1_topk_per_user" -> QueryDef.of(w1Sql)(w1TopK),

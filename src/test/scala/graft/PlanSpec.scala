@@ -314,6 +314,40 @@ class PlanSpec extends SparkSpec {
       "no equi join on the bin key found")
   }
 
+  test("d12: CDC chunking stays scan-side — no joins anywhere") {
+    val df = SparkEntry.queries("d12_cdc_chunks")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // boundaries + chunk texts are one array projection per document;
+    // the only shuffles are the hash-partition window and the per-doc
+    // fold — a join here means chunking stopped being per-row
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      "d12 grew a join")
+    assert(plan.contains("Window"), "chunk-occurrence window missing")
+  }
+
+  test("d11: dup-gram counting is a window over the hash partition, " +
+    "not a self-join") {
+    val df = SparkEntry.queries("d11_dup_spans")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // exactly one join: folding span coverage back onto the doc stats
+    // (grams meet each other through the window, never a join)
+    assert(plan.split("Join").length - 1 <= 2,
+      s"unexpected join count in d11 plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("a21: pair self-join is equi on the basket key; dims broadcast") {
+    val df = SparkEntry.queries("a21_cooccurrence")(spark, sf())
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "type totals not broadcast")
+    assert(!plan.contains("CartesianProduct"), "basket join degenerated")
+  }
+
   test("sim kernels: cosine scoring runs inside whole-stage codegen") {
     val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
     df.collect()

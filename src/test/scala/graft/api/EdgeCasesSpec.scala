@@ -57,6 +57,23 @@ class EdgeCasesSpec extends SparkSpec {
     val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     assert(Similarity.cosineTopK(emptyVecs, q, 5).isEmpty)
     assert(Similarity.knnJoin(q, emptyVecs, 5).isEmpty) // empty query batch
+    assert(Similarity.mmrTopK(emptyVecs, q, k = 5).isEmpty)
+  }
+
+  test("substring-dedup and latency surfaces on empty/degenerate inputs") {
+    assert(TrainingSet.dupSpanCoverage(emptyDocs).isEmpty)
+    assert(TrainingSet.cdcChunkDedup(emptyDocs).isEmpty)
+    // one doc, no possible duplicate: zero coverage, full chunk accounting
+    val one = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val span = TrainingSet.dupSpanCoverage(one).collect().head
+    assert(span.getAs[Long]("dup_tokens") == 0L)
+    val cdc = TrainingSet.cdcChunkDedup(one).collect().head
+    assert(cdc.getAs[Long]("dup_chunk_tokens") == 0L &&
+      cdc.getAs[Long]("n_toks") == 8L)
+    // no converters: a 1-row frame of zero/null stats, not a crash
+    val ttc = Analytics.timeToConvert(emptyEvents,
+      "user_id", "ts", "event_type", "view", "purchase").collect().head
+    assert(ttc.getAs[Long]("n_converters") == 0L && ttc.isNullAt(1))
   }
 
   test("fuzzy decontamination against an empty benchmark flags nothing") {
