@@ -608,15 +608,16 @@ object DedupQueries {
     * array expressions (no shuffle, no window); the only shuffle is the
     * occurrence count over the 60-bit chunk hash. Output: per-doc chunk
     * count, duplicated-chunk token count, and duplicated fraction. */
-  /** The d12 core over any corpus in the standard (doc_id, text)
-    * shape. */
-  def d12From(documents: DataFrame): DataFrame = {
+  /** The CDC chunk frame of a (doc_id, text) corpus:
+    * (doc_id, n_toks, k, chunk, chunk_tokens) with k the 1-based chunk
+    * index — the shared unit of d12 (stats) and d13 (strip). */
+  private[analytics] def cdcChunkFrame(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
     val (w, d) = (CdcWindow, CdcDivisor)
     // window ending at token i (shorter at the head of the doc)
     val winHash = s"CAST(conv(substring(md5(concat_ws(' ', " +
       s"slice(toks, greatest(1, i - $w + 1), least(i, $w)))), 1, 15), 16, 10) AS BIGINT)"
-    val chunks = documents
+    documents
       .select($"doc_id", split($"text", " ").as("toks"))
       .withColumn("n_toks", size($"toks").cast("long"))
       // cut AFTER token i where the window hash divides; a cut at the
@@ -627,12 +628,18 @@ object DedupQueries {
       .withColumn("ends", expr("concat(cuts, array(int(n_toks)))"))
       .select($"doc_id", $"n_toks", $"toks", $"starts", $"ends",
         explode(expr("sequence(1, size(starts))")).as("k"))
-      .select($"doc_id", $"n_toks",
+      .select($"doc_id", $"n_toks", $"k",
         expr("concat_ws(' ', slice(toks, element_at(starts, k), " +
           "element_at(ends, k) - element_at(starts, k) + 1))").as("chunk"),
         (expr("element_at(ends, k)") - expr("element_at(starts, k)") + 1)
           .cast("long").as("chunk_tokens"))
-    chunks
+  }
+
+  /** The d12 core over any corpus in the standard (doc_id, text)
+    * shape. */
+  def d12From(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    cdcChunkFrame(documents)
       .withColumn("n_occ",
         count(lit(1)).over(Window.partitionBy(hash60($"chunk"))))
       .groupBy($"doc_id", $"n_toks")
@@ -646,9 +653,12 @@ object DedupQueries {
   def d12CdcChunks(spark: SparkSession, dir: String): DataFrame =
     d12From(Tables(spark, dir, "documents"))
 
-  val d12Sql: String = {
+  /** Shared SQL CTEs producing the CDC chunk frame (the twin of
+    * [[cdcChunkFrame]]): `chunks(doc_id, n_toks, k, chunk,
+    * chunk_tokens)`. */
+  private def cdcSqlChunks: String = {
     val (w, d) = (CdcWindow, CdcDivisor)
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
        |  FROM documents),
@@ -664,10 +674,14 @@ object DedupQueries {
        |    list_append(cuts, len(t)) AS ends
        |  FROM cut),
        |chunks AS (
-       |  SELECT doc_id, n_toks,
+       |  SELECT doc_id, n_toks, CAST(k AS BIGINT) AS k,
        |    array_to_string(t[starts[k]:ends[k]], ' ') AS chunk,
        |    CAST(ends[k] - starts[k] + 1 AS BIGINT) AS chunk_tokens
-       |  FROM (SELECT *, unnest(range(1, len(starts) + 1)) AS k FROM bounds)),
+       |  FROM (SELECT *, unnest(range(1, len(starts) + 1)) AS k FROM bounds))""".stripMargin
+  }
+
+  val d12Sql: String =
+    s"""WITH $cdcSqlChunks,
        |occ AS (
        |  SELECT doc_id, n_toks, chunk_tokens,
        |    count(*) OVER (PARTITION BY ${sqlHash60("chunk")}) AS n_occ
@@ -678,7 +692,66 @@ object DedupQueries {
        |  CAST(sum(CASE WHEN n_occ > 1 THEN chunk_tokens ELSE 0 END) AS DOUBLE)
        |    / n_toks AS dup_frac
        |FROM occ GROUP BY doc_id, n_toks""".stripMargin
+
+  // ---------------- D13: boilerplate strip (cleaned-text transform) ----------------
+
+  /** D13: the TRANSFORM the d8/d12 stats justify — strip cross-document
+    * boilerplate and return the CLEANED TEXT (the C4 recipe's
+    * remove-repeated-lines step, on CDC chunk granularity so one edited
+    * token can't hide a repeated block). A chunk is boilerplate when it
+    * appears in MORE THAN ONE distinct document (within-doc repetition
+    * stays — that's t_repetition's business); surviving chunks
+    * reassemble in original order. Shape: the chunk frame is one
+    * projection; distinct-doc counts are a partial-agg'd groupBy on the
+    * 60-bit chunk hash joined back; reassembly is one per-doc
+    * aggregate (array_sort by chunk index — no window, no text
+    * shuffle beyond the chunks themselves). */
+  def d13From(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val chunks = cdcChunkFrame(documents)
+    val docCounts = chunks
+      .groupBy(hash60($"chunk").as("h"))
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    val kept = chunks
+      .join(docCounts, hash60($"chunk") === $"h")
+      .filter($"n_docs" === 1)
+    val rebuilt = kept
+      .groupBy($"doc_id", $"n_toks")
+      .agg(
+        sum($"chunk_tokens").as("kept_tokens"),
+        array_join(expr("transform(array_sort(collect_list(struct(k, chunk))), x -> x.chunk)"), " ")
+          .as("kept_text"))
+    documents.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_toks"))
+      .join(rebuilt, Seq("doc_id", "n_toks"), "left")
+      .select($"doc_id", $"n_toks",
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        coalesce($"kept_text", lit("")).as("kept_text"))
   }
+
+  def d13StripBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    d13From(Tables(spark, dir, "documents"))
+
+  val d13Sql: String =
+    s"""WITH $cdcSqlChunks,
+       |dc AS (
+       |  SELECT ${sqlHash60("chunk")} AS h, count(DISTINCT doc_id) AS n_docs
+       |  FROM chunks GROUP BY 1),
+       |kept AS (
+       |  SELECT c.* FROM chunks c JOIN dc
+       |    ON ${sqlHash60("c.chunk")} = dc.h AND dc.n_docs = 1),
+       |rebuilt AS (
+       |  SELECT doc_id, n_toks,
+       |    CAST(sum(chunk_tokens) AS BIGINT) AS kept_tokens,
+       |    array_to_string(list(chunk ORDER BY k), ' ') AS kept_text
+       |  FROM kept GROUP BY doc_id, n_toks)
+       |SELECT s.doc_id, s.n_toks,
+       |  coalesce(r.kept_tokens, 0) AS kept_tokens,
+       |  coalesce(r.kept_text, '') AS kept_text
+       |FROM (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents) s
+       |LEFT JOIN rebuilt r ON s.doc_id = r.doc_id AND s.n_toks = r.n_toks""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "d1_exact_dedup" -> QueryDef.of(d1Sql)(d1Exact),
@@ -688,6 +761,7 @@ object DedupQueries {
     "d5_dedup_clusters" -> QueryDef.of(d5Sql)(d5Clusters),
     "d10_fuzzy_decontam" -> QueryDef.of(d10Sql)(d10FuzzyDecontam),
     "d11_dup_spans" -> QueryDef.of(d11Sql)(d11DupSpans),
-    "d12_cdc_chunks" -> QueryDef.of(d12Sql)(d12CdcChunks)
+    "d12_cdc_chunks" -> QueryDef.of(d12Sql)(d12CdcChunks),
+    "d13_strip_boilerplate" -> QueryDef.of(d13Sql)(d13StripBoilerplate)
   )
 }

@@ -54,6 +54,14 @@ object TrainingSet {
       textCol: String = "text"): DataFrame =
     DedupQueries.d12From(std(docs, idCol, textCol))
 
+  /** The cleaned-text TRANSFORM (oracle-proven d13 shape): strip chunks
+    * appearing in more than one document, return each doc's surviving
+    * text in original order (the C4 remove-repeated-lines step at CDC
+    * granularity). */
+  def stripBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    DedupQueries.d13From(std(docs, idCol, textCol))
+
   /** Benchmark decontamination with an EXPLICIT eval set: flags every
     * corpus row sharing at least one n-gram with the benchmark. The
     * benchmark's gram set is distinct-ed and broadcast (eval sets are

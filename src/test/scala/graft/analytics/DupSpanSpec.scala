@@ -64,6 +64,40 @@ class DupSpanSpec extends SparkSpec {
     assert(out(6L)._2 == 80L)
   }
 
+  test("d13 strips cross-doc boilerplate but keeps unique text and " +
+    "within-doc repetition") {
+    val boiler = u("bp", 60)
+    val mineA = u("ua", 40)
+    val mineB = u("ub", 40)
+    // doc 21 repeats its own 40 tokens — within-doc, must survive
+    val dir = corpus(Seq(
+      20L -> (mineA ++ boiler),
+      21L -> (boiler ++ mineB ++ mineB)))
+    val out = DedupQueries.d13From(graft.Tables(spark, dir, "documents"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_tokens"), r.getAs[String]("kept_text")))).toMap
+    // every unique token survives; no boilerplate token does — modulo
+    // the chunk straddling the boundary (CDC cuts are content-local,
+    // so at most one chunk spans the seam on each side)
+    val (keptA, textA) = out(20L)
+    val (keptB, textB) = out(21L)
+    val bpSet = boiler.toSet
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    assert(toks(textA).count(bpSet) <= CdcSeamAllowance)
+    assert(toks(textB).count(bpSet) <= CdcSeamAllowance)
+    assert(mineA.forall(toks(textA).contains) ||
+      mineA.drop(CdcSeamAllowance).forall(toks(textA).contains))
+    // within-doc repeat survives in full
+    assert(toks(textB).count(_.startsWith("ub")) == 80 -
+      toks(textB).count(_.startsWith("__never")) &&
+      toks(textB).count(_.startsWith("ub")) >= 80 - CdcSeamAllowance)
+    assert(keptA < 100 && keptB < 140) // boilerplate really was removed
+  }
+
+  /** Tokens a seam-straddling chunk may carry across a block boundary:
+    * bounded by the expected chunk length, generously. */
+  private val CdcSeamAllowance = 24
+
   test("d12 CDC chunking re-synchronizes after an insertion that " +
     "de-aligns every fixed chunk") {
     val base = u("t", 200)

@@ -34,6 +34,11 @@ class TrainingSetSpec extends SparkSpec {
       rows(DedupQueries.d12CdcChunks(spark, sf())))
   }
 
+  test("stripBoilerplate == oracle-proven d13") {
+    assert(rows(TrainingSet.stripBoilerplate(docs)) ==
+      rows(DedupQueries.d13StripBoilerplate(spark, sf())))
+  }
+
   test("decontaminate(src0 as benchmark) reproduces d6's accounting") {
     val flagged = TrainingSet.decontaminate(
       docs.filter(col("source") =!= "src0"),
