@@ -54,6 +54,11 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def isTimestamp(dt: DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType
 
+  /** Types the rule can bin: timestamps (trunc to the configured unit)
+    * and dates (already day-grained — the date IS the bin). */
+  private def isBinnable(dt: DataType): Boolean =
+    isTimestamp(dt) || dt == DateType
+
   /** One reading of a comparison conjunct as "point is bounded": the
     * bounded (point) expression, the bounding expression from the other
     * side, whether the bound is a lower bound, and whether the point
@@ -104,7 +109,7 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def readings(hi: Expression, lo: Expression): Seq[Bound] =
       (sideOf(hi), sideOf(lo)) match {
         case (Some(hs), Some(ls)) if hs != ls &&
-            isTimestamp(hi.dataType) && hi.dataType == lo.dataType =>
+            isBinnable(hi.dataType) && hi.dataType == lo.dataType =>
           Seq(Bound(hi, lo, isLower = true, pointOnLeft = hs),
             Bound(lo, hi, isLower = false, pointOnLeft = ls))
         case _ => Nil
@@ -124,8 +129,10 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     } yield (lo, hi)).nextOption()
 
     pair.map { case (lo, hi) =>
+      val isDate = lo.point.dataType == DateType
       val unitName =
-        conf.getConfString("spark.graft.intervalJoin.unit", "hour")
+        if (isDate) "day"
+        else conf.getConfString("spark.graft.intervalJoin.unit", "hour")
       val stepMicros = Units.getOrElse(unitName,
         throw new IllegalArgumentException(
           s"spark.graft.intervalJoin.unit must be one of ${Units.keys.mkString(", ")}: $unitName"))
@@ -134,11 +141,16 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // TruncTimestamp takes TIMESTAMP only — the analyzer would have
       // inserted this ntz→ltz cast itself; binning through the session
       // zone is consistent across both sides, which is all a bin key
-      // needs (the BETWEEN residual stays in the original type).
+      // needs (the BETWEEN residual stays in the original type). A DATE
+      // is already day-grained: the value IS its bin.
       def toLtz(e: Expression): Expression =
         if (e.dataType == TimestampType) e else Cast(e, TimestampType, tz)
       def truncTo(e: Expression): Expression =
-        TruncTimestamp(unitLit, toLtz(e), tz)
+        if (isDate) e else TruncTimestamp(unitLit, toLtz(e), tz)
+      // sequence over DATEs needs a day-granular interval literal
+      val step =
+        if (isDate) Literal(stepMicros, DayTimeIntervalType(0, 0))
+        else Literal(stepMicros, DayTimeIntervalType())
 
       val (pointPlan, intervalPlan) =
         if (lo.pointOnLeft) (j.left, j.right) else (j.right, j.left)
@@ -150,10 +162,9 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // filter drops them, exactly as the BETWEEN residual would have.)
       val ivFiltered = Filter(LessThanOrEqual(lo.bound, hi.bound), intervalPlan)
       val seq = new Sequence(
-        truncTo(lo.bound), truncTo(hi.bound),
-        Some(Literal(stepMicros, DayTimeIntervalType())), tz)
-      val ibin = AttributeReference(
-        "__graft_ibin", TimestampType, nullable = false)()
+        truncTo(lo.bound), truncTo(hi.bound), Some(step), tz)
+      val ibin = AttributeReference("__graft_ibin",
+        if (isDate) DateType else TimestampType, nullable = false)()
       val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(ibin),
         child = ivFiltered)

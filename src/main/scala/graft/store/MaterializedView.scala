@@ -120,6 +120,24 @@ final class MaterializedView(
         }
     }
 
+  /** Remove superseded state versions (the maintenance job's half of
+    * the pointer-flip contract). `grace` keeps that many versions below
+    * the current one so a reader that resolved the pointer just before
+    * a flip still finds its files. */
+  def compact(path: String, grace: Int = 1): Unit = {
+    val cur = currentVersion(path)
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filter(f => f.getName.drop(2).toLong < cur - grace)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   private def writeVersion(state: DataFrame, path: String, v: Long): Unit = {
     state.write.mode("overwrite").parquet(versionDir(path, v))
     val tmp = java.nio.file.Paths.get(path, "_CURRENT.tmp")

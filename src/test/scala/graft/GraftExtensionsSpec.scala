@@ -173,6 +173,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-join rule: DATE-typed bounds bin by day") {
+    withExtSession { spark =>
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        import spark.implicits._
+        val points = spark.range(0, 300).select($"id".as("p_id"),
+          expr("date_add(DATE'2024-03-01', CAST(id % 90 AS INT))").as("p_d"))
+        val intervals = spark.range(0, 40).select($"id".as("iv_id"),
+          expr("date_add(DATE'2024-03-01', CAST(id * 2 AS INT))").as("s_d"))
+          .withColumn("e_d", expr("date_add(s_d, 6)"))
+        def q() = points.join(intervals,
+          col("p_d") >= col("s_d") && col("p_d") <= col("e_d"))
+        spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+        val expected = q().collect().map(_.toSeq).toSet
+        spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+        val df = q()
+        val plan = physical(df)
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"), plan)
+        assert(plan.contains("Generate"), plan)
+        assert(df.collect().map(_.toSeq).toSet == expected && expected.nonEmpty)
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.graft.intervalJoin.enabled")
+      }
+    }
+  }
+
   test("interval-join rule: a broadcastable small side keeps its BNLJ " +
     "(size guard), force overrides") {
     withExtSession { spark =>

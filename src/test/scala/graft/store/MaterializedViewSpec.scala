@@ -98,7 +98,14 @@ class MaterializedViewSpec extends SparkSpec {
     assert(rows(mv2.read(spark, dir)) == full(ev))
     // both superseded versions still exist until a compactor removes
     // them; the pointer names exactly one
-    val versions = new java.io.File(dir).list().count(_.startsWith("v="))
+    def versions = new java.io.File(dir).list().count(_.startsWith("v="))
     assert(versions == 3)
+    // compaction with default grace keeps current + one below
+    mv2.compact(dir)
+    assert(versions == 2)
+    assert(rows(mv2.read(spark, dir)) == full(ev))
+    mv2.compact(dir, grace = 0)
+    assert(versions == 1)
+    assert(rows(mv2.read(spark, dir)) == full(ev))
   }
 }
