@@ -106,6 +106,20 @@ object ProfileMerge {
       .toDF("project", "id", "properties")
   }
 
+  /** Point-in-time reconstruction: the profiles as they stood at
+    * `(asOfTs, asOfSeq)` inclusive — the op-log's time-travel payoff
+    * (a snapshot store can only serve "now"; the log replays any
+    * moment: debugging "what did the segmentation see last Tuesday",
+    * GDPR evidence, backtests). Same merge kernel over the filtered
+    * prefix; cost scales with ops up to the cut, not with history
+    * after it. */
+  def snapshotAsOf(ops: Dataset[ProfileOp], asOfTs: Long,
+      asOfSeq: Long = Long.MaxValue): DataFrame = {
+    import ops.sparkSession.implicits._
+    merge(ops.filter(o =>
+      o.ts < asOfTs || (o.ts == asOfTs && o.seq <= asOfSeq)))
+  }
+
   /** Scale path: one shuffle partitioned by (project, id), sorted by
     * (ts, seq) within partitions, then a constant-memory streaming fold
     * per user via iterator grouping — no per-user buffering. */

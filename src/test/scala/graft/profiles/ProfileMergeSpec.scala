@@ -88,6 +88,39 @@ class ProfileMergeSpec extends SparkSpec {
     }
   }
 
+  test("snapshotAsOf(t) == fold of the op prefix at every cut") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val kinds = Seq("set", "set_once", "increment", "unset", "create")
+    val ops = (1 to 600).map { i =>
+      val kind = kinds(rnd.nextInt(kinds.size))
+      val prop = s"p${rnd.nextInt(4)}"
+      val value = if (kind == "increment") rnd.nextInt(10).toString
+        else s"v${rnd.nextInt(50)}"
+      ProfileOp("p", s"u${rnd.nextInt(10)}", rnd.nextInt(50).toLong,
+        i.toLong, kind, Map(prop -> value))
+    }
+    val ds = spark.createDataset(ops)
+    for (cut <- Seq(0L, 10L, 25L, 49L, 100L)) {
+      val prefix = ops.filter(_.ts <= cut) // asOfSeq defaults to MaxValue
+      val expected = prefix.groupBy(_.id).map { case (id, os) =>
+        id -> ProfileMerge.fold(os)
+      }
+      val got = ProfileMerge.snapshotAsOf(ds, cut).collect().map { r =>
+        r.getAs[String]("id") -> r.getAs[Map[String, String]]("properties")
+      }.toMap
+      assert(got == expected, s"as-of $cut")
+    }
+    // a mid-timestamp seq cut splits ties deterministically
+    val seqCut = ProfileMerge.snapshotAsOf(ds, 25L, asOfSeq = 300L)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Map[String, String]]("properties")).toMap
+    val seqExpected = ops
+      .filter(o => o.ts < 25L || (o.ts == 25L && o.seq <= 300L))
+      .groupBy(_.id).map { case (id, os) => id -> ProfileMerge.fold(os) }
+    assert(seqCut == seqExpected)
+  }
+
   test("compaction invariant: merge(compact(log, w)) == merge(log) at any split") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
