@@ -169,6 +169,31 @@ object MaterializedView {
     mv.result(merged)
   }
 
+  /** MV2: the HLL distinct state through the oracle gate (the a5
+    * error-bound convention — the sketch is engine-specific, so the
+    * oracle-checked quantity is the GUARANTEE): distinct users per
+    * event_type served from an INCREMENTALLY refreshed view must land
+    * within the sketch bound of the exact count, which DuckDB computes
+    * independently. */
+  def mv2DistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val mv = new MaterializedView(Seq("event_type"), Nil, Seq("user_id"))
+    val served = mv.result(mv.merge(
+      mv.partial(ev.filter(dayofmonth(col("ts")) <= 15)),
+      mv.partial(ev.filter(dayofmonth(col("ts")) > 15))))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    served.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("approx_distinct_user_id") - col("n_users_exact")) <=
+          greatest(col("n_users_exact") * 0.05, lit(5.0))).as("within_bound"))
+  }
+
+  val mv2Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY event_type""".stripMargin
+
   val mv1Sql: String = {
     import graft.analytics.{sqlDavg, sqlDsum}
     s"""SELECT event_type, count(*) AS n_rows,
@@ -179,5 +204,6 @@ object MaterializedView {
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
-    "mv1_incremental" -> QueryDef.of(mv1Sql)(mv1Incremental))
+    "mv1_incremental" -> QueryDef.of(mv1Sql)(mv1Incremental),
+    "mv2_distinct_hll" -> QueryDef.of(mv2Sql)(mv2DistinctHll))
 }
