@@ -277,6 +277,82 @@ object CorpusQueries {
        |FROM packed
        |GROUP BY bucket""".stripMargin
 
+  // ---------------- PK2: padded-batch waste audit ----------------
+
+  /** Batch size of the padded-batch policy under audit. */
+  private val PadBatch = 16
+
+  /** Length-class granularity (tokens): docs are bucketed by their
+    * length rounded UP to a multiple of this before batching — the
+    * tensor-core-alignment bucketing real serving/SFT stacks use. Pure
+    * integer arithmetic so both engines agree exactly. */
+  private val PadGrain = 32
+
+  /** PK2: padded-batch waste audit — the complement of pk1's packed
+    * contract. When sequences are NOT packed but padded to their
+    * batch's max (the SFT / inference-serving shape), bucketing-by-
+    * length decides how many pad tokens the accelerator burns. Docs
+    * are bucketed by length class (round-up-to-[[PadGrain]]), ordered
+    * by the same salted content hash ds3/ds4 use (reproducible, not
+    * `rand()`), grouped into batches of [[PadBatch]], and each batch
+    * pads to its own max; the report is per length class.
+    *
+    * Scale posture (100 TB): the window input is (doc_id, n_tok, key)
+    * triples partitioned by length class — text never shuffles, and
+    * length classes batch in parallel. Everything is exact long
+    * arithmetic; the one double division (pad_frac) happens once per
+    * output row. */
+  def pk2PadWaste(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sized = Tables(spark, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"),
+        DedupQueries.hash60(concat($"doc_id".cast("string"), lit("|pad0")))
+          .as("pick_key"))
+      .withColumn("len_class", expr(s"((n_tok + ${PadGrain - 1}) DIV $PadGrain) * $PadGrain"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"len_class").orderBy($"pick_key", $"doc_id")
+    sized
+      .withColumn("rk", row_number().over(w))
+      .withColumn("batch", expr(s"(rk - 1) DIV $PadBatch"))
+      .groupBy($"len_class", $"batch")
+      .agg(count(lit(1)).as("bn"), max($"n_tok").as("bmax"),
+        sum($"n_tok").as("bsum"))
+      .groupBy($"len_class")
+      .agg(
+        sum($"bn").as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum($"bsum").as("sum_tokens"),
+        sum($"bmax" * $"bn" - $"bsum").as("pad_tokens"))
+      .select($"len_class", $"n_docs", $"n_batches", $"sum_tokens",
+        $"pad_tokens",
+        ($"pad_tokens".cast("double") /
+          ($"sum_tokens" + $"pad_tokens").cast("double")).as("pad_frac"))
+  }
+
+  val pk2Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tok,
+       |    ${DedupQueries.sqlHash60("CAST(doc_id AS VARCHAR) || '|pad0'")} AS pick_key,
+       |    ((len(string_split(text, ' ')) + ${PadGrain - 1}) // $PadGrain) * $PadGrain AS len_class
+       |  FROM documents),
+       |batched AS (
+       |  SELECT len_class, n_tok,
+       |    (row_number() OVER (PARTITION BY len_class ORDER BY pick_key, doc_id) - 1) // $PadBatch AS batch
+       |  FROM sized),
+       |per_batch AS (
+       |  SELECT len_class, batch, count(*) AS bn, max(n_tok) AS bmax,
+       |    sum(n_tok) AS bsum
+       |  FROM batched GROUP BY len_class, batch)
+       |SELECT len_class, CAST(sum(bn) AS BIGINT) AS n_docs,
+       |  count(*) AS n_batches,
+       |  CAST(sum(bsum) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(bmax * bn - bsum) AS BIGINT) AS pad_tokens,
+       |  CAST(sum(bmax * bn - bsum) AS DOUBLE) /
+       |    CAST(sum(bsum) + sum(bmax * bn - bsum) AS DOUBLE) AS pad_frac
+       |FROM per_batch
+       |GROUP BY len_class""".stripMargin
+
   // ---------------- T-LM: unigram surprisal scoring ----------------
 
   /** T-LM: corpus-trained unigram language-model scoring — the cheap
@@ -502,6 +578,7 @@ object CorpusQueries {
     "d7_bloom_decontam" -> QueryDef.of(d7Sql)(d7BloomDecontam),
     "d8_paragraph_dedup" -> QueryDef.of(d8Sql)(d8ParagraphDedup),
     "pk1_seq_packing" -> QueryDef.of(pk1Sql)(pk1Packing),
+    "pk2_pad_waste" -> QueryDef.of(pk2Sql)(pk2PadWaste),
     "t_unigram_lm" -> QueryDef.of(tLmSql)(tUnigramLm),
     "t_quality_clf" -> QueryDef.of(tClfSql)(tQualityClf),
     "d9_survivors" -> QueryDef.of(d9Sql)(d9Survivors),

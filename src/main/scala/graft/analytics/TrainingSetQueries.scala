@@ -406,6 +406,109 @@ object TrainingSetQueries {
        |FROM cum WHERE cum_tokens <= $tokenBudget
        |GROUP BY lang""".stripMargin
 
+  /** DSIR selection size. */
+  private val dsirTopK = 100
+
+  /** DS5: data selection via importance resampling (DSIR, Xie et al.
+    * 2023, arXiv:2302.03169) — the standard recipe for skewing a raw
+    * crawl toward a target domain: fit one unigram LM on the target
+    * split (`src0`, the same held-out convention d6 uses) and one on
+    * the raw pool, score every raw document by its log importance
+    * weight `log w(d) = Σ_tok tf·(ln p_target − ln p_raw)` (both
+    * add-one smoothed over the shared vocabulary), and keep the top-K.
+    *
+    * Scale posture (100 TB): tokens reduce to per-doc term frequencies
+    * FIRST (the one wide shuffle, keyed by (doc, tok)), so the vocab
+    * join moves (doc_id, tok, tf) triples — never text. The vocabulary
+    * itself is Zipf-bounded (≪ corpus size) and its totals row is a
+    * broadcast. Top-K is `orderBy.limit` — TakeOrderedAndProject, a
+    * per-partition heap + driver merge of K rows, never a global sort;
+    * the rank window then runs over K rows, not the corpus. Per-token
+    * log-probs are deterministic IEEE scalars; the per-doc sum runs
+    * through the exact-decimal accumulator so summation order cannot
+    * break oracle parity.
+    *
+    * Ref: the reference has no data-selection stage; this extends its
+    * funnel/segmentation analytics toward the LLM-pipeline surface
+    * (SURVEY.md §2 "beyond the reference" mandate). */
+  def ds5Dsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = dsirScoresFrom(
+      Tables(spark, dir, "documents"), col("source") === "src0")
+      .orderBy($"log_w".desc, $"doc_id".asc)
+      .limit(dsirTopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"log_w".desc, $"doc_id".asc)
+    topk
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select($"rk", $"doc_id", $"n_tokens", $"log_w")
+  }
+
+  /** The ONE DSIR scoring implementation — shared by the registry query
+    * and [[graft.api.TrainingSet.dsirScores]]: per-raw-doc log
+    * importance weight under target-vs-raw add-one-smoothed unigram
+    * LMs. `targetPred` splits the corpus; rows satisfying it train the
+    * target LM and are not scored. */
+  private[graft] def dsirScoresFrom(docs: DataFrame,
+      targetPred: Column): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tf = docs
+      .withColumn("is_target", targetPred)
+      .select($"doc_id", $"is_target",
+        explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"is_target", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy($"tok").agg(
+      sum(when($"is_target", $"tf").otherwise(0L)).as("cnt_t"),
+      sum(when(!$"is_target", $"tf").otherwise(0L)).as("cnt_r"))
+    val totals = vocab.agg(
+      sum($"cnt_t").as("tot_t"),
+      sum($"cnt_r").as("tot_r"),
+      count(lit(1)).as("v"))
+    tf.filter(!$"is_target")
+      .join(vocab, "tok")
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"tf",
+        (log(($"cnt_t" + 1L).cast("double") / ($"tot_t" + $"v").cast("double")) -
+          log(($"cnt_r" + 1L).cast("double") / ($"tot_r" + $"v").cast("double")))
+          .as("lr"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").as("n_tokens"),
+        dsum($"tf".cast("double") * $"lr").as("log_w"))
+  }
+
+  val ds5Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, source = 'src0' AS is_target, tok,
+       |    count(*) AS tf
+       |  FROM (SELECT doc_id, source,
+       |          unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |vocab AS (
+       |  SELECT tok,
+       |    sum(CASE WHEN is_target THEN tf ELSE 0 END) AS cnt_t,
+       |    sum(CASE WHEN NOT is_target THEN tf ELSE 0 END) AS cnt_r
+       |  FROM tf GROUP BY tok),
+       |totals AS (
+       |  SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r,
+       |    count(*) AS v
+       |  FROM vocab),
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    ${sqlDsum("CAST(tf AS DOUBLE) * (" +
+           "ln(CAST(cnt_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE)) - " +
+           "ln(CAST(cnt_r + 1 AS DOUBLE) / CAST(tot_r + v AS DOUBLE)))")} AS log_w
+       |  FROM tf JOIN vocab USING (tok) CROSS JOIN totals
+       |  WHERE NOT is_target
+       |  GROUP BY doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY log_w DESC, doc_id ASC) AS BIGINT) AS rk,
+       |  doc_id, n_tokens, log_w
+       |FROM scored
+       |ORDER BY log_w DESC, doc_id ASC
+       |LIMIT $dsirTopK""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
     "ds2_mixture" -> QueryDef.of(ds2Sql)(ds2Mixture),
@@ -414,6 +517,7 @@ object TrainingSetQueries {
     "t_repetition" -> QueryDef.of(tRepetitionSql)(tRepetition),
     "t_redact" -> QueryDef.of(tRedactSql)(tRedact),
     "t_pii_report" -> QueryDef.of(tPiiReportSql)(tPiiReport),
-    "ds4_token_budget" -> QueryDef.of(ds4Sql)(ds4TokenBudget)
+    "ds4_token_budget" -> QueryDef.of(ds4Sql)(ds4TokenBudget),
+    "ds5_dsir" -> QueryDef.of(ds5Sql)(ds5Dsir)
   )
 }

@@ -192,4 +192,13 @@ object TrainingSet {
       weights: Seq[(String, Double)], threshold: Double = 0.0): DataFrame =
     graft.analytics.CorpusQueries
       .classifierScoreFrom(docs, bias, weights, threshold)
+
+  /** DSIR importance scores (Xie et al. 2023): per-document log
+    * importance weight under target-vs-raw add-one-smoothed unigram
+    * LMs. Rows matching `targetPred` train the target LM and are not
+    * scored; the caller ranks/filters by `log_w` (high = most
+    * target-like). One wide shuffle (term frequencies); the vocab
+    * totals broadcast. */
+  def dsirScores(docs: DataFrame, targetPred: Column): DataFrame =
+    graft.analytics.TrainingSetQueries.dsirScoresFrom(docs, targetPred)
 }
