@@ -348,6 +348,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "basket join degenerated")
   }
 
+  test("ds5: DSIR top-k is TakeOrderedAndProject over broadcast totals") {
+    val p = planOf("ds5_dsir")
+    assert(p.contains("TakeOrderedAndProject"),
+      "selection must be a per-partition heap + driver merge, not a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row LM-totals frame must broadcast")
+  }
+
+  test("pk2: batching windows partition by length class — never a global sort") {
+    val p = planOf("pk2_pad_waste")
+    assert(p.contains("partitionBy") || p.contains("Window"),
+      "expected a window operator")
+    assert(!p.contains("SinglePartition"),
+      "pad batching must parallelize across length classes")
+  }
+
   test("sim kernels: cosine scoring runs inside whole-stage codegen") {
     val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
     df.collect()
