@@ -509,6 +509,127 @@ object TrainingSetQueries {
        |ORDER BY log_w DESC, doc_id ASC
        |LIMIT $dsirTopK""".stripMargin
 
+  /** DS6: temperature-scaled mixture shares — the multilingual
+    * pretraining recipe (XLM/mT5 style): sampling probability per
+    * source ∝ (token share)^α with α = 0.5, which up-weights small
+    * sources relative to their raw share. α is fixed at 1/2 so the
+    * exponentiation is `sqrt` — IEEE-754 *correctly rounded* on both
+    * engines, unlike `pow` whose libm results can differ by an ulp.
+    * The share normalizer Σ√nₛ runs through the exact-decimal
+    * accumulator, so the result is engine-exact.
+    *
+    * Scale posture (100 TB): one partial-agg'd scan to per-source token
+    * counts (|sources| rows), a 1-row totals broadcast, arithmetic on
+    * the aggregate grain — the corpus text never moves. */
+  def ds6Temperature(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Tables(spark, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+    val totals = per.agg(
+      sum($"n_tokens").as("tot_tokens"),
+      dsum(sqrt($"n_tokens".cast("double"))).as("tot_sqrt"))
+    per.crossJoin(broadcast(totals))
+      .select($"source", $"n_docs", $"n_tokens",
+        ($"n_tokens".cast("double") / $"tot_tokens".cast("double"))
+          .as("raw_share"),
+        (sqrt($"n_tokens".cast("double")) / $"tot_sqrt").as("temp_share"),
+        ((sqrt($"n_tokens".cast("double")) / $"tot_sqrt") /
+          ($"n_tokens".cast("double") / $"tot_tokens".cast("double")))
+          .as("boost"))
+  }
+
+  val ds6Sql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |totals AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |    ${sqlDsum("sqrt(CAST(n_tokens AS DOUBLE))")} AS tot_sqrt
+       |  FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS raw_share,
+       |  sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt AS temp_share,
+       |  (sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt) /
+       |    (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS boost
+       |FROM per CROSS JOIN totals""".stripMargin
+
+  /** Blocklist classes: (class, member words). The corpus vocabulary is
+    * synthetic, so in-corpus tokens stand in for each class's word list
+    * (the same stand-in convention src0 uses for "the benchmark");
+    * the operator contract — broadcast list, per-doc match counts,
+    * drop-on-any-hit — is exactly C4's badwords filter. */
+  private val blocklist: Seq[(String, Seq[String])] = Seq(
+    ("unsafe", Seq("slow", "dup")),
+    ("spam", Seq("fast", "big", "small")))
+
+  /** T-BLOCKLIST: C4-style blocklist filtering report — count each
+    * document's matches per blocklist class and drop the doc on ANY
+    * hit (C4 removes the whole page, not the line). Reported per
+    * (lang × class): docs hit, total hits, plus the per-lang drop
+    * rate every class contributes to.
+    *
+    * Scale posture (100 TB): the word list is a broadcast scalar
+    * expression (array_intersect-free: per-class counts are a fold over
+    * the token array) — pure scan-side math, one final aggregate
+    * shuffle at the (lang, class) grain. Adding a class adds a column,
+    * not a scan. */
+  def tBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counted = blocklist.foldLeft(
+      Tables(spark, dir, "documents").withColumn("toks", split($"text", " "))) {
+      case (df, (cls, words)) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"n_$cls",
+          size(expr(s"filter(toks, t -> t IN ($inList))")).cast("long"))
+    }
+    val anyHit = blocklist
+      .map { case (cls, _) => col(s"n_$cls") > 0L }
+      .reduce(_ || _)
+    val stackArgs = blocklist
+      .map { case (cls, _) => s"'$cls', n_$cls" }.mkString(", ")
+    counted
+      .withColumn("dropped", anyHit)
+      .select(col("lang"), col("doc_id"), col("dropped"),
+        expr(s"stack(${blocklist.size}, $stackArgs) AS (block_class, n_hits)"))
+      .groupBy($"lang", $"block_class")
+      .agg(
+        sum(when($"n_hits" > 0L, 1L).otherwise(0L)).as("docs_hit"),
+        sum($"n_hits").as("total_hits"),
+        (sum(when($"dropped", 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("drop_rate"))
+  }
+
+  val tBlocklistSql: String = {
+    val cols = blocklist.map { case (cls, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($inList))) AS n_$cls"
+    }.mkString(",\n    ")
+    val anyHit = blocklist
+      .map { case (cls, _) => s"n_$cls > 0" }.mkString(" OR ")
+    val unpivot = blocklist
+      .map { case (cls, _) =>
+        s"SELECT lang, doc_id, dropped, '$cls' AS block_class, n_$cls AS n_hits FROM counted" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH counted AS (
+       |  SELECT lang, doc_id,
+       |    $cols,
+       |    ($anyHit) AS dropped
+       |  FROM (SELECT lang, doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |stacked AS (
+       |  $unpivot)
+       |SELECT lang, block_class,
+       |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS drop_rate
+       |FROM stacked
+       |GROUP BY lang, block_class""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
     "ds2_mixture" -> QueryDef.of(ds2Sql)(ds2Mixture),
@@ -518,6 +639,8 @@ object TrainingSetQueries {
     "t_redact" -> QueryDef.of(tRedactSql)(tRedact),
     "t_pii_report" -> QueryDef.of(tPiiReportSql)(tPiiReport),
     "ds4_token_budget" -> QueryDef.of(ds4Sql)(ds4TokenBudget),
-    "ds5_dsir" -> QueryDef.of(ds5Sql)(ds5Dsir)
+    "ds5_dsir" -> QueryDef.of(ds5Sql)(ds5Dsir),
+    "ds6_temperature" -> QueryDef.of(ds6Sql)(ds6Temperature),
+    "t_blocklist" -> QueryDef.of(tBlocklistSql)(tBlocklist)
   )
 }
