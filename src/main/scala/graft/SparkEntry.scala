@@ -25,7 +25,8 @@ object SparkEntry {
       analytics.SimilarityQueries.defs ++
       analytics.MultimodalQueries.defs ++
       analytics.PathQueries.defs ++
-      store.MaterializedView.defs
+      store.MaterializedView.defs ++
+      store.DedupIndex.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -90,7 +90,7 @@ object DedupQueries {
     * per-doc signature aggregate. d4 keeps the distinct variant — its
     * shingle COUNTS are set-cardinalities — and reuses that one
     * exchange for both of its branches. */
-  private[analytics] def shingleHashesRaw(docs: DataFrame,
+  private[graft] def shingleHashesRaw(docs: DataFrame,
       hashFn: Column => Column = c => hash60(c) % lit(P31)): DataFrame = {
     import docs.sparkSession.implicits._
     docs
@@ -108,7 +108,7 @@ object DedupQueries {
     * so there is no k² product to cap, and capping would silently
     * un-flag docs). The pair-generating paths go through [[bandedKeys]],
     * which adds the bucket cap on top. */
-  private[analytics] def bandedKeysUncapped(sh: DataFrame): DataFrame = {
+  private[graft] def bandedKeysUncapped(sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val sigCols = (0 until numHashes).map { j =>
       min((lit(hashA(j)) * $"h" + lit(hashB(j))) % lit(P31)).as(s"s$j")
@@ -179,14 +179,18 @@ object DedupQueries {
   def d2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     d2From(Tables(spark, dir, "documents"))
 
-  val d2Sql: String = {
+  /** Shared WITH-clause chain ending in CTE `banded0` = uncapped banded
+    * keys (doc_id, band, key) — the oracle twin of
+    * [[bandedKeysUncapped]], reused by d2's pair query and the dedup
+    * index's incremental contract (di1). */
+  private[graft] val bandedKeysCtes: String = {
     val sigSelect = (0 until numHashes).map { j =>
       s"min((${hashA(j)} * h + ${hashB(j)}) % $P31) AS s$j"
     }.mkString(",\n    ")
     val bandSelects = (0 until bands).map { b =>
       s"SELECT doc_id, $b AS band, CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR) AS key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id,
@@ -201,7 +205,11 @@ object DedupQueries {
        |    $sigSelect
        |  FROM sh GROUP BY doc_id),
        |banded0 AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  val d2Sql: String = {
+    s"""WITH $bandedKeysCtes,
        |banded AS (
        |  SELECT * FROM (
        |    SELECT doc_id, band, key,

@@ -91,14 +91,14 @@ final class MaterializedView(
     * directories and `_CURRENT` flips atomically — a concurrent reader
     * sees the old or the new state, never a torn one. */
   def refresh(spark: SparkSession, delta: DataFrame, path: String): Unit = {
-    val v = currentVersion(path)
-    val state = spark.read.parquet(versionDir(path, v))
+    val v = VersionedState.currentVersion(path)
+    val state = spark.read.parquet(VersionedState.versionDir(path, v))
     writeVersion(merge(state, partial(delta)), path, v + 1)
   }
 
   /** Serve the view from the persisted state. */
   def read(spark: SparkSession, path: String): DataFrame =
-    result(spark.read.parquet(versionDir(path, currentVersion(path))))
+    result(VersionedState.readCurrent(spark, path))
 
   /** Maintain the view CONTINUOUSLY from a stream: each micro-batch is a
     * delta folded in by [[refresh]] — the reference's continuous query
@@ -113,49 +113,25 @@ final class MaterializedView(
     stream.writeStream.outputMode("append").foreachBatch {
       (delta: DataFrame, _: Long) =>
         if (!delta.isEmpty) {
-          if (java.nio.file.Files.exists(
-              java.nio.file.Paths.get(path, "_CURRENT"))) {
+          if (VersionedState.exists(path)) {
             refresh(delta.sparkSession, delta, path)
           } else initialize(delta, path)
         }
     }
 
   /** Remove superseded state versions (the maintenance job's half of
-    * the pointer-flip contract). `grace` keeps that many versions below
-    * the current one so a reader that resolved the pointer just before
-    * a flip still finds its files. */
-  def compact(path: String, grace: Int = 1): Unit = {
-    val cur = currentVersion(path)
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .filter(f => f.getName.drop(2).toLong < cur - grace)
-      .foreach(deleteRecursively)
-  }
+    * the pointer-flip contract). */
+  def compact(path: String, grace: Int = 1): Unit =
+    VersionedState.compact(path, grace)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
-
-  private def writeVersion(state: DataFrame, path: String, v: Long): Unit = {
-    state.write.mode("overwrite").parquet(versionDir(path, v))
-    val tmp = java.nio.file.Paths.get(path, "_CURRENT.tmp")
-    java.nio.file.Files.writeString(tmp, v.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "_CURRENT"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeVersion(state: DataFrame, path: String, v: Long): Unit =
+    VersionedState.writeVersion(state, path, v)
 }
 
 object MaterializedView {
   private[store] val RowCount = "__n"
   private[store] val Dec = DecimalType(38, 6)
 
-  private def versionDir(path: String, v: Long): String = s"$path/v=$v"
-  private def currentVersion(path: String): Long =
-    java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_CURRENT")).trim.toLong
 
   /** MV1: the incremental-refresh contract against the oracle — state
     * built from the first half of the month, the second half merged in as
