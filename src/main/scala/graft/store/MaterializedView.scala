@@ -30,8 +30,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 final class MaterializedView(
     val groupCols: Seq[String], val valueCols: Seq[String],
-    val distinctCols: Seq[String] = Nil) {
+    val distinctCols: Seq[String] = Nil,
+    val quantileCols: Seq[String] = Nil) {
   import MaterializedView._
+  import graft.functions.KllQuantiles.{kllSketchAgg, kllMergeAgg, kllQuantile}
 
   private def groupExprs: Seq[Column] = groupCols.map(col)
 
@@ -46,7 +48,9 @@ final class MaterializedView(
         count(col(c)).as(s"__cnt_$c"),
         min(col(c)).as(s"__min_$c"),
         max(col(c)).as(s"__max_$c"))
-    }) ++ distinctCols.map(c => hll_sketch_agg(col(c)).as(s"__hll_$c"))
+    }) ++ distinctCols.map(c => hll_sketch_agg(col(c)).as(s"__hll_$c")) ++
+      quantileCols.map(c =>
+        kllSketchAgg(col(c).cast("double")).as(s"__kll_$c"))
     batch.groupBy(groupExprs: _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -61,7 +65,8 @@ final class MaterializedView(
         sum(col(s"__cnt_$c")).as(s"__cnt_$c"),
         min(col(s"__min_$c")).as(s"__min_$c"),
         max(col(s"__max_$c")).as(s"__max_$c"))
-    }) ++ distinctCols.map(c => hll_union_agg(col(s"__hll_$c")).as(s"__hll_$c"))
+    }) ++ distinctCols.map(c => hll_union_agg(col(s"__hll_$c")).as(s"__hll_$c")) ++
+      quantileCols.map(c => kllMergeAgg(col(s"__kll_$c")).as(s"__kll_$c"))
     states.reduce(_.unionByName(_))
       .groupBy(groupExprs: _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -75,7 +80,10 @@ final class MaterializedView(
         col(s"__min_$c").as(s"min_$c"),
         col(s"__max_$c").as(s"max_$c"))
     }) ++ distinctCols.map(c =>
-      hll_sketch_estimate(col(s"__hll_$c")).as(s"approx_distinct_$c"))
+      hll_sketch_estimate(col(s"__hll_$c")).as(s"approx_distinct_$c")) ++
+      quantileCols.flatMap(c => Seq(
+        kllQuantile(col(s"__kll_$c"), 0.5).as(s"approx_p50_$c"),
+        kllQuantile(col(s"__kll_$c"), 0.95).as(s"approx_p95_$c")))
     state.select(groupExprs ++ outs: _*)
   }
 
@@ -165,6 +173,42 @@ object MaterializedView {
           greatest(col("n_users_exact") * 0.05, lit(5.0))).as("within_bound"))
   }
 
+  /** MV3: KLL quantile state through the oracle gate (the a5/mv2
+    * error-bound convention): p50/p95 served from an INCREMENTALLY
+    * refreshed view must land inside the sketch's normalized-RANK
+    * error window of the exact distribution — i.e. between the exact
+    * quantiles at rank q ± 2ε — which DuckDB verifies independently
+    * via its own exact quantiles (bit-matching Spark's `percentile`,
+    * the a8-proven parity). */
+  def mv3QuantileKll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val mv = new MaterializedView(Seq("event_type"), Nil, Nil, Seq("value"))
+    val served = mv.result(mv.merge(
+      mv.partial(ev.filter(dayofmonth(col("ts")) <= 15)),
+      mv.partial(ev.filter(dayofmonth(col("ts")) > 15))))
+    val eps = 2 * graft.functions.KllQuantiles.rankError(200)
+    val exact = ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.5)").as("p50_exact"),
+      expr("percentile(value, 0.95)").as("p95_exact"),
+      expr(s"percentile(value, ${0.5 - eps})").as("p50_lo"),
+      expr(s"percentile(value, ${0.5 + eps})").as("p50_hi"),
+      expr(s"percentile(value, ${0.95 - eps})").as("p95_lo"),
+      expr(s"percentile(value, ${math.min(1.0, 0.95 + eps)})").as("p95_hi"))
+    served.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        (col("approx_p50_value").between(col("p50_lo"), col("p50_hi")))
+          .as("p50_within"),
+        (col("approx_p95_value").between(col("p95_lo"), col("p95_hi")))
+          .as("p95_within"))
+  }
+
+  val mv3Sql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50_exact,
+      |  quantile_cont(value, 0.95) AS p95_exact,
+      |  TRUE AS p50_within, TRUE AS p95_within
+      |FROM events GROUP BY event_type""".stripMargin
+
   val mv2Sql: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
       |  TRUE AS within_bound
@@ -181,5 +225,6 @@ object MaterializedView {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "mv1_incremental" -> QueryDef.of(mv1Sql)(mv1Incremental),
-    "mv2_distinct_hll" -> QueryDef.of(mv2Sql)(mv2DistinctHll))
+    "mv2_distinct_hll" -> QueryDef.of(mv2Sql)(mv2DistinctHll),
+    "mv3_quantile_kll" -> QueryDef.of(mv3Sql)(mv3QuantileKll))
 }
