@@ -26,7 +26,8 @@ object SparkEntry {
       analytics.MultimodalQueries.defs ++
       analytics.PathQueries.defs ++
       store.MaterializedView.defs ++
-      store.DedupIndex.defs
+      store.DedupIndex.defs ++
+      store.AnnIndex.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -44,7 +44,7 @@ object SimilarityQueries {
     * whole-stage codegen) instead of the interpreted `aggregate(
     * zip_with(...))` HOF chain — bit-identical fold order, so the
     * oracle rows are unaffected. */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.VectorDot(
         org.apache.spark.sql.GraftColumnBridge.expression(a),
@@ -57,7 +57,7 @@ object SimilarityQueries {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
-  private def sqlDot(a: String, b: String): String =
+  private[graft] def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |  list_transform(range(1, len($a) + 1),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),

@@ -1,0 +1,173 @@
+package graft.store
+
+import graft.{QueryDef, Tables}
+import graft.analytics.SimilarityQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF approximate-nearest-neighbor index — similarity
+  * search as a maintained store, the embedding-space sibling of
+  * [[DedupIndex]]. sim4 runs the IVF construction inside every query
+  * (re-assigning the whole corpus); at 100 TB the index must PERSIST:
+  *
+  *  - **centroids** are frozen at bootstrap (the deterministic first-K
+  *    seeding sim4's oracle uses) and written once — coarse-quantizer
+  *    drift would silently invalidate every stored posting;
+  *  - **postings** (vec_id, cell, embedding, norm, label) are
+  *    append-only: each delta batch is assigned against the BROADCAST
+  *    centroid frame (one narrow O(delta) pass) and lands as its own
+  *    version directory, PARTITIONED BY cell — appending never rewrites
+  *    history, and a query's probe reads only its probed cells' files
+  *    (partition pruning: scan IO ≈ probes/K of the index regardless of
+  *    corpus size);
+  *  - **queries** rank the centroid frame (K rows, driver-local), then
+  *    exact-score only the probed cells' postings — the sim4 plan
+  *    served from disk instead of recomputed.
+  *
+  * Versions are numbered contiguously from 1; `_CURRENT` points at the
+  * highest valid one and flips atomically ([[VersionedState]] layout).
+  * `append` carries an expected-version fence: a replayed micro-batch
+  * (at-least-once delivery) targets an already-written version and is
+  * skipped — exactly-once postings without a transaction log.
+  *
+  * Ref: the reference has no vector surface; this is the SURVEY §2
+  * "beyond the reference" similarity mandate made operable at scale.
+  */
+object AnnIndex {
+
+  import SimilarityQueries.{IvfCells, IvfProbes}
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("norm",
+      sqrt(SimilarityQueries.dot(col("embedding"), col("embedding"))))
+
+  private def centroidsOf(emb: DataFrame): DataFrame =
+    withNorm(emb).filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("norm").as("cnorm"))
+
+  private def centroidsDir(path: String) = s"$path/centroids"
+
+  /** Assign a batch to cells against the broadcast centroid frame. */
+  private def assign(batch: DataFrame, cents: DataFrame): DataFrame = {
+    val e = withNorm(batch)
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        SimilarityQueries.dot(col("embedding"), col("cvec")) /
+          (col("norm") * col("cnorm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), col("ccos")).as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("norm"),
+        col("label"))
+  }
+
+  /** Bootstrap: freeze centroids from the first batch, write postings
+    * v=1. The seed vectors (vec_id < [[IvfCells]]) must be present in
+    * the bootstrap batch. */
+  def initialize(emb: DataFrame, path: String): Unit = {
+    val cents = centroidsOf(emb)
+    require(cents.count() == IvfCells,
+      s"bootstrap batch must contain the $IvfCells seed vectors")
+    cents.write.mode("errorifexists").parquet(centroidsDir(path))
+    writePostings(assign(emb, cents), path, 1)
+  }
+
+  /** Append a delta as version `expected`. Returns false (no-op) if
+    * that version already exists — the at-least-once replay fence. */
+  def append(spark: SparkSession, delta: DataFrame, path: String,
+      expected: Long): Boolean = {
+    val cur = VersionedState.currentVersion(path)
+    if (expected <= cur) return false
+    require(expected == cur + 1, s"append $expected against current $cur")
+    val cents = spark.read.parquet(centroidsDir(path))
+    writePostings(assign(delta, cents), path, expected)
+    true
+  }
+
+  private def writePostings(p: DataFrame, path: String, v: Long): Unit = {
+    p.write.mode("overwrite").partitionBy("cell")
+      .parquet(VersionedState.versionDir(path, v))
+    // reuse the pointer-flip (the version dir is complete before the flip)
+    val tmp = java.nio.file.Paths.get(path, "_CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "_CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** All postings up to `_CURRENT` (a union of immutable version dirs —
+    * append never rewrote anything). */
+  def postings(spark: SparkSession, path: String): DataFrame = {
+    val cur = VersionedState.currentVersion(path)
+    val dirs = (1L to cur).map(VersionedState.versionDir(path, _))
+    // basePath makes the v=N dirs one partitioned layout (v, cell both
+    // become partition columns; the probe's cell filter still prunes)
+    spark.read.option("basePath", path).parquet(dirs: _*)
+      .drop("v")
+  }
+
+  /** Top-k by exact cosine within the query's [[IvfProbes]] closest
+    * cells — only those cells' partition files are read. */
+  def query(spark: SparkSession, path: String, queryVec: DataFrame,
+      k: Int = 10, excludeId: Option[Long] = None): DataFrame = {
+    val cents = spark.read.parquet(centroidsDir(path))
+    val q = withNorm(queryVec)
+      .select(col("embedding").as("qv"), col("norm").as("qnorm"))
+    val qcells = cents.crossJoin(broadcast(q))
+      .withColumn("qcos",
+        SimilarityQueries.dot(col("cvec"), col("qv")) /
+          (col("cnorm") * col("qnorm")))
+      .orderBy(col("qcos").desc, col("cid"))
+      .limit(IvfProbes)
+      .select(col("cid")).collect().map(_.getLong(0))
+    val probed = postings(spark, path)
+      .filter(col("cell").isin(qcells: _*))
+    excludeId.fold(probed)(id => probed.filter(col("vec_id") =!= id))
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        SimilarityQueries.dot(col("embedding"), col("qv")) /
+          (col("norm") * col("qnorm")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cell"), col("cos"))
+  }
+
+  /** Maintain the index from an embedding stream: micro-batch `b`
+    * appends as version `b + 2` (bootstrap holds v=1), so a replayed
+    * batch hits the version fence and is skipped — exactly-once
+    * postings under at-least-once delivery. */
+  def maintain(stream: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (delta: DataFrame, batchId: Long) =>
+        if (!delta.isEmpty) {
+          append(delta.sparkSession, delta, path, batchId + 2)
+          ()
+        }
+    }
+
+  // ---------------- the oracle contract ----------------
+
+  /** AI1: index-served == one-shot. Bootstrap on the first half of the
+    * corpus (which contains the seed vectors), append the second half,
+    * query vector 0's top-10 — must hash-match sim4's batchless IVF
+    * (same centroids by construction, since the seeds live in the
+    * bootstrap half), whose SQL twin the oracle runs. Dropping the
+    * query vector itself mirrors sim4. */
+  def ai1AnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ai1").toString
+    val mid = emb.agg((max($"vec_id") / lit(2)).cast("long")).collect()(0).getLong(0)
+    initialize(emb.filter($"vec_id" <= mid), tmp)
+    append(spark, emb.filter($"vec_id" > mid), tmp, 2L)
+    query(spark, tmp, emb.filter($"vec_id" === 0L).select($"embedding"),
+      k = 10, excludeId = Some(0L))
+  }
+
+  val ai1Sql: String = SimilarityQueries.simIvfSql
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "ai1_ann_index" -> QueryDef.of(ai1Sql)(ai1AnnIndex))
+}

@@ -1,0 +1,72 @@
+package graft.store
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ANN index's operating contract: query results are invariant to
+  * how the corpus was batched in (centroids frozen at bootstrap, exact
+  * scoring within probed cells), the replay fence makes appends
+  * exactly-once under at-least-once delivery, and the probe's scan
+  * actually prunes to the probed cells' partitions — the property that
+  * makes query IO ≈ probes/K of the index at any corpus size. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def emb: DataFrame = Tables(spark, sf("sf0.001"), "embeddings")
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft-ann").toString
+
+  private def topk(path: String): Seq[(Long, Double)] =
+    AnnIndex.query(spark, path,
+      emb.filter(col("vec_id") === 0L).select(col("embedding")),
+      k = 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+
+  test("query results are invariant under append batching (1 vs 3 batches)") {
+    val one = freshDir()
+    AnnIndex.initialize(emb, one)
+    val reference = topk(one)
+    assert(reference.size == 10)
+
+    val three = freshDir()
+    val mx = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    AnnIndex.initialize(emb.filter(col("vec_id") <= mx / 3), three)
+    AnnIndex.append(spark, emb.filter(
+      col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3), three, 2L)
+    AnnIndex.append(spark, emb.filter(col("vec_id") > 2 * mx / 3), three, 3L)
+    assert(topk(three) == reference,
+      "batch boundaries changed the served neighbors")
+  }
+
+  test("replayed append hits the version fence and is a no-op") {
+    val dir = freshDir()
+    val mx = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val delta = emb.filter(col("vec_id") > mx / 2)
+    AnnIndex.initialize(emb.filter(col("vec_id") <= mx / 2), dir)
+    assert(AnnIndex.append(spark, delta, dir, 2L))
+    val before = topk(dir)
+    assert(!AnnIndex.append(spark, delta, dir, 2L), "replay must be refused")
+    assert(topk(dir) == before)
+    val n = AnnIndex.postings(spark, dir).count()
+    assert(n == emb.count(), s"postings $n != corpus ${emb.count()} — dup rows")
+  }
+
+  test("probe scan prunes to the probed cells' partitions") {
+    val dir = freshDir()
+    AnnIndex.initialize(emb, dir)
+    val q = AnnIndex.query(spark, dir,
+      emb.filter(col("vec_id") === 0L).select(col("embedding")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("cell#"),
+      s"cell filter did not reach partition pruning:\n$plan")
+  }
+
+  test("bootstrap without the seed vectors is refused") {
+    val dir = freshDir()
+    intercept[IllegalArgumentException] {
+      AnnIndex.initialize(emb.filter(col("vec_id") >= 100), dir)
+    }
+  }
+}
