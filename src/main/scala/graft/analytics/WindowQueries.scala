@@ -291,7 +291,55 @@ object WindowQueries {
        |  END AS anomaly
        |FROM scored""".stripMargin
 
+  /** W6'' theta twin (the a5/a8 sketch-twin convention): audience
+    * OVERLAP per event-type pair served from mergeable theta-sketch
+    * state. The exact form (w6's fold) must rescan events for every
+    * new segment pair; the sketch form intersects per-segment state in
+    * |sketch| time — per-type sketches are ONE partial-agg'd shuffle,
+    * the pair frame is |types|², and the oracle-checked quantity is
+    * the sketch GUARANTEE: the exact pair overlap (which DuckDB
+    * computes independently) must land inside the intersection's 2σ
+    * bounds. Below ~4k distinct users a theta sketch is in exact mode,
+    * so at test scale the estimate IS the count — the gate proves the
+    * full agg→serialize→intersect→read pipeline, not a tautology. */
+  def w6ThetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ThetaSketches._
+    val ev = Tables(spark, dir, "events")
+    val sketches = ev.groupBy($"event_type")
+      .agg(thetaSketchAgg($"user_id").as("sk"))
+    val pairs = sketches.alias("a")
+      .join(broadcast(sketches.alias("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        thetaIntersect(col("a.sk"), col("b.sk")).as("isk"))
+      .select($"type_a", $"type_b",
+        thetaLb($"isk").as("lb"), thetaUb($"isk").as("ub"))
+    val ut = ev.select($"user_id", $"event_type").distinct()
+    val exact = ut.alias("x")
+      .join(ut.alias("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both_exact"))
+    exact.join(pairs, Seq("type_a", "type_b"))
+      .select($"type_a", $"type_b", $"n_both_exact",
+        ($"n_both_exact" >= $"lb" && $"n_both_exact" <= $"ub")
+          .as("within_bound"))
+  }
+
+  val w6ThetaSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |  count(*) AS n_both_exact, TRUE AS within_bound
+      |FROM ut x JOIN ut y
+      |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "w6_theta_overlap" -> QueryDef.of(w6ThetaSql)(w6ThetaOverlap),
     "w7_user_deciles" -> QueryDef.of(w7Sql)(w7Deciles),
     "a20_anomaly" -> QueryDef.of(a20Sql)(a20Anomaly),
     "w9_period_over_period" -> QueryDef.of(w9Sql)(w9PeriodOverPeriod),
