@@ -74,26 +74,25 @@ object AnnIndex {
   }
 
   /** Append a delta as version `expected`. Returns false (no-op) if
-    * that version already exists — the at-least-once replay fence. */
+    * that version already exists — the at-least-once replay fence.
+    * `batchId` records the streaming high-water mark in the pointer
+    * (-1 for batch-API appends). */
   def append(spark: SparkSession, delta: DataFrame, path: String,
-      expected: Long): Boolean = {
+      expected: Long, batchId: Long = -1L): Boolean = {
     val cur = VersionedState.currentVersion(path)
     if (expected <= cur) return false
     require(expected == cur + 1, s"append $expected against current $cur")
     val cents = spark.read.parquet(centroidsDir(path))
-    writePostings(assign(delta, cents), path, expected)
+    writePostings(assign(delta, cents), path, expected, batchId)
     true
   }
 
-  private def writePostings(p: DataFrame, path: String, v: Long): Unit = {
+  private def writePostings(p: DataFrame, path: String, v: Long,
+      batchId: Long = -1L): Unit = {
     p.write.mode("overwrite").partitionBy("cell")
       .parquet(VersionedState.versionDir(path, v))
-    // reuse the pointer-flip (the version dir is complete before the flip)
-    val tmp = java.nio.file.Paths.get(path, "_CURRENT.tmp")
-    java.nio.file.Files.writeString(tmp, v.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path, "_CURRENT"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the version dir is complete before the pointer flip
+    VersionedState.writePointer(path, v, batchId)
   }
 
   /** All postings up to `_CURRENT` (a union of immutable version dirs —
@@ -133,18 +132,34 @@ object AnnIndex {
       .select(col("vec_id"), col("label"), col("cell"), col("cos"))
   }
 
-  /** Maintain the index from an embedding stream: micro-batch `b`
-    * appends as version `b + 2` (bootstrap holds v=1), so a replayed
-    * batch hits the version fence and is skipped — exactly-once
-    * postings under at-least-once delivery. */
+  /** One micro-batch of [[maintain]], fenced on the PERSISTED
+    * high-water batch id (recorded with every pointer flip): a replayed
+    * batch (at-least-once delivery after crash recovery) is at or below
+    * the high-water mark and skipped — exactly-once postings. The
+    * version number is always `currentVersion + 1`, never derived from
+    * the batch id, so EMPTY micro-batches (routine: any trigger with no
+    * new data, and batches dropped on recovery) leave no version gap —
+    * they only advance the recorded batch id via a pointer-only flip.
+    * The index must be [[initialize]]d (bootstrap = v1) before the
+    * stream starts. */
+  def maintainBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
+    if (batchId > VersionedState.lastBatchId(path)) {
+      if (delta.isEmpty) {
+        VersionedState.writePointer(path,
+          VersionedState.currentVersion(path), batchId)
+      } else {
+        append(delta.sparkSession, delta, path,
+          VersionedState.currentVersion(path) + 1, batchId)
+      }
+    }
+  }
+
+  /** Maintain the index from an embedding stream — each micro-batch is
+    * one [[maintainBatch]] append against the frozen centroids. */
   def maintain(stream: DataFrame, path: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append").foreachBatch {
-      (delta: DataFrame, batchId: Long) =>
-        if (!delta.isEmpty) {
-          append(delta.sparkSession, delta, path, batchId + 2)
-          ()
-        }
+      (delta: DataFrame, batchId: Long) => maintainBatch(delta, path, batchId)
     }
 
   // ---------------- the oracle contract ----------------

@@ -61,12 +61,17 @@ object Subscriptions {
     * ([[kafkaOptions]]), and the wire-record decode ([[decodeKafka]])
     * against a static frame with Kafka's fixed output schema — the two
     * pieces that are ours rather than the connector's. */
+  /** `failOnDataLoss` defaults TRUE: a lost-offset range (aged-out
+    * retention, deleted topic) kills the query instead of silently
+    * skipping records — for a commit-log tail feeding incremental
+    * indexes, a silent gap is data corruption. `false` is the explicit
+    * opt-out for tails that prefer liveness over completeness. */
   final case class KafkaTail(
       bootstrapServers: String,
       topics: Seq[String],
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None,
-      failOnDataLoss: Boolean = false)
+      failOnDataLoss: Boolean = true)
 
   /** The spark-sql-kafka source options for a tail — one place, so the
     * spec can pin them without a broker. */

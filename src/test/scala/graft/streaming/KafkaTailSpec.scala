@@ -25,8 +25,12 @@ class KafkaTailSpec extends SparkSpec {
     assert(opts("subscribe") == "proj_pageview,proj_click")
     assert(opts("startingOffsets") == """{"proj_pageview":{"0":42}}""")
     assert(opts("maxOffsetsPerTrigger") == "50000")
-    // a lost-offset range must not silently skip data by default
-    assert(opts("failOnDataLoss") == "false")
+    // a lost-offset range must FAIL the query by default, not silently
+    // skip aged-out records — gap corruption for downstream indexes;
+    // skipping is the explicit opt-out
+    assert(opts("failOnDataLoss") == "true")
+    assert(Subscriptions.kafkaOptions(
+      tail.copy(failOnDataLoss = false))("failOnDataLoss") == "false")
     assert(!Subscriptions.kafkaOptions(tail.copy(maxOffsetsPerTrigger = None))
       .contains("maxOffsetsPerTrigger"))
   }
