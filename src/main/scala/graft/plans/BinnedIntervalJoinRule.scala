@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Optimizer rule: rewrite a big-×-big point-in-interval join into the
   * binned equi join (the oracle-proven j9 shape,
@@ -137,24 +136,34 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         throw new IllegalArgumentException(
           s"spark.graft.intervalJoin.unit must be one of ${Units.keys.mkString(", ")}: $unitName"))
       val tz = Some(conf.sessionLocalTimeZone)
-      val unitLit = Literal(UTF8String.fromString(unitName), StringType)
-      // TruncTimestamp takes TIMESTAMP only — the analyzer would have
-      // inserted this ntz→ltz cast itself; binning through the session
-      // zone is consistent across both sides, which is all a bin key
-      // needs (the BETWEEN residual stays in the original type). A DATE
-      // is already day-grained: the value IS its bin.
-      def toLtz(e: Expression): Expression =
-        if (e.dataType == TimestampType) e else Cast(e, TimestampType, tz)
-      def truncTo(e: Expression): Expression =
-        if (isDate) e else TruncTimestamp(unitLit, toLtz(e), tz)
-      // sequence over DATEs needs a day-granular interval literal
+      // Bin key = epoch-micros DIV bin-width: a plain LONG computed
+      // identically on both sides and independent of the session zone.
+      // Truncating to local time units (date_trunc) would be WRONG in a
+      // DST session zone: local midnights sit 23/25 h apart across a
+      // transition, so a fixed-width sequence can skip the bin a point
+      // truncates into and silently drop matching rows. NTZ inputs are
+      // mapped onto the micros axis at a FIXED zone (UTC — no DST, so
+      // the cast is strictly monotone); monotonicity is all bin coverage
+      // needs, because the exact BETWEEN residual still compares the
+      // original untouched values. A DATE is already day-grained and
+      // zone-free: the value IS its bin.
+      def binOf(e: Expression): Expression =
+        if (isDate) e
+        else {
+          val asLtz =
+            if (e.dataType == TimestampType) e
+            else Cast(e, TimestampType, Some("UTC"))
+          new IntegralDivide(UnixMicros(asLtz), Literal(stepMicros))
+        }
+      // sequence over DATEs needs a day-granular interval literal;
+      // long bins just step by 1
       val step =
         if (isDate) Literal(stepMicros, DayTimeIntervalType(0, 0))
-        else Literal(stepMicros, DayTimeIntervalType())
+        else Literal(1L, LongType)
 
       val (pointPlan, intervalPlan) =
         if (lo.pointOnLeft) (j.left, j.right) else (j.right, j.left)
-      val pAlias = Alias(truncTo(lo.point), "__graft_pbin")()
+      val pAlias = Alias(binOf(lo.point), "__graft_pbin")()
       val pointProj = Project(pointPlan.output :+ pAlias, pointPlan)
       // Guard start<=end BEFORE the explode: sequence() throws on a
       // descending range with a positive step, while the original nested
@@ -162,9 +171,9 @@ object BinnedIntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       // filter drops them, exactly as the BETWEEN residual would have.)
       val ivFiltered = Filter(LessThanOrEqual(lo.bound, hi.bound), intervalPlan)
       val seq = new Sequence(
-        truncTo(lo.bound), truncTo(hi.bound), Some(step), tz)
+        binOf(lo.bound), binOf(hi.bound), Some(step), tz)
       val ibin = AttributeReference("__graft_ibin",
-        if (isDate) DateType else TimestampType, nullable = false)()
+        if (isDate) DateType else LongType, nullable = false)()
       val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(ibin),
         child = ivFiltered)

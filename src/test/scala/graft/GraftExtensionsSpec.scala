@@ -202,6 +202,49 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-join rule: day bins survive a DST transition in a " +
+    "non-UTC session zone (zone-independent bin key)") {
+    withExtSession { spark =>
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val prevTz = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // America/Los_Angeles springs forward 2024-03-10 02:00 → day bins
+      // derived from local midnight sit 23/25 h apart there; local-trunc
+      // binning skips a midnight and silently drops matches
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      spark.conf.set("spark.graft.intervalJoin.unit", "day")
+      try {
+        // LTZ points every 6 h across the transition; intervals start
+        // every 16 h and span 36 h
+        val points = spark.range(0, 24).select($"id".as("p_id"),
+          expr("timestamp'2024-03-08 00:00:00' + id * INTERVAL '6' HOUR")
+            .as("p_ts"))
+        val intervals = spark.range(0, 8).select($"id".as("iv_id"),
+          expr("timestamp'2024-03-08 00:00:00' + id * INTERVAL '16' HOUR")
+            .as("start_ts"))
+          .withColumn("end_ts", $"start_ts" + expr("INTERVAL '36' HOUR"))
+        def q() = points.join(intervals,
+          col("p_ts") >= col("start_ts") && col("p_ts") <= col("end_ts"))
+        spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+        val expected = q().collect().map(_.toSeq).toSet
+        spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+        val df = q()
+        val plan = physical(df)
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"), plan)
+        assert(plan.contains("Generate"), plan)
+        assert(df.collect().map(_.toSeq).toSet == expected && expected.nonEmpty,
+          "binned join dropped rows across the DST transition")
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.graft.intervalJoin.enabled")
+        spark.conf.unset("spark.graft.intervalJoin.unit")
+        spark.conf.set("spark.sql.session.timeZone", prevTz)
+      }
+    }
+  }
+
   test("interval-join rule: a broadcastable small side keeps its BNLJ " +
     "(size guard), force overrides") {
     withExtSession { spark =>
