@@ -302,21 +302,33 @@ object TextQueries {
     * surface as high-frequency grams; a C4-style pipeline drops lines
     * containing them). Shape: one partial-final count shuffle keyed by
     * (lang, gram) — map-side combine collapses the gram stream before it
-    * moves — then a per-language top-k window over the *aggregated*
-    * vocabulary (|vocab| rows, not |corpus|). Tie-break is total:
-    * count DESC, gram ASC, so top-k is deterministic on both engines. */
+    * moves — then a per-language top-k that PHYSICALLY executes as a
+    * two-level heap: Spark's InferWindowGroupLimit compiles
+    * `row_number ≤ k` into `WindowGroupLimit Partial` (each upstream
+    * partition keeps only its own top k rows per language BEFORE the
+    * exchange) → shuffle → `WindowGroupLimit Final`, so the per-language
+    * task merges ≤ k×partitions survivors — never the full vocabulary,
+    * even when a language's 3-gram vocab is billions of rows. The shape
+    * is pinned in PlanSpec. Tie-break is total: count DESC, gram ASC,
+    * so top-k is deterministic on both engines. */
   private val topkK = 10
 
-  def tTopkNgrams(spark: SparkSession, dir: String): DataFrame = {
+  /** The exploded (lang, gram) stream of all 3-grams. */
+  private def gramsOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"n".desc, $"gram")
     Tables(spark, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"lang", explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("gram"))
+  }
+
+  def tTopkNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n".desc, $"gram")
+    gramsOf(spark, dir)
       .groupBy($"lang", $"gram")
       .agg(count(lit(1)).as("n"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -354,12 +366,7 @@ object TextQueries {
   def tTopkCms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cmsEps = 0.001
-    val grams = Tables(spark, dir, "documents")
-      .withColumn("toks", split($"text", " "))
-      .filter(size($"toks") >= 3)
-      .select($"lang", explode(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .as("gram"))
+    val grams = gramsOf(spark, dir)
     val sketches = grams.groupBy($"lang")
       .agg(
         count_min_sketch($"gram", lit(cmsEps), lit(0.99), lit(42)).as("cms"),
@@ -399,6 +406,118 @@ object TextQueries {
        |  TRUE AS within_eps_bound
        |FROM counted
        |QUALIFY rank <= $topkK""".stripMargin
+
+  /** T-TOPK-SERVED: top-k grams SERVED from the sketch — the 100 TB
+    * path where the exact |vocab| aggregate never runs. [[tTopkCms]]
+    * audits the sketch against the exact plan; this variant REPLACES
+    * it:
+    *
+    *   - **candidates** come from per-partition SpaceSaving heads
+    *     (Metwally et al., the [[graft.streaming.HeavyHitters]] batch
+    *     twin): each input partition keeps a capacity-bounded counter
+    *     summary per language and emits its top [[ServedHeads]] grams —
+    *     a map-side pass with NO vocabulary-sized shuffle anywhere (any
+    *     gram with partition-local share > 1/capacity is tracked, so a
+    *     global top-k gram — necessarily frequent in at least one
+    *     partition at any data layout — surfaces as a candidate);
+    *   - **frequencies** come from the per-language count-min sketch
+    *     (constant size by construction), probed driver-side over the
+    *     candidate rows — the kms1 broadcast-tiny pattern;
+    *   - the served k are the candidates ranked by CMS estimate.
+    *
+    * The oracle-checked contract (a5/a8 bound convention): k rows per
+    * language, and for every SERVED gram the CMS guarantee holds —
+    * estimate never below the true count, within eps·N above it. The
+    * audit's exact counts touch ONLY the k×|langs| served grams
+    * (a broadcast semi-join, not an aggregate over the vocabulary), so
+    * the full plan stays vocabulary-shuffle-free — pinned in PlanSpec. */
+  private[analytics] val ServedHeads = 64
+
+  def tTopkServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cmsEps = 0.001
+    val grams = gramsOf(spark, dir)
+    // per-language constant-size sketches + totals: |langs| rows
+    val sketches = grams.groupBy($"lang")
+      .agg(
+        count_min_sketch($"gram", lit(cmsEps), lit(0.99), lit(42)).as("cms"),
+        count(lit(1)).as("n_total"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))),
+          r.getLong(2))))
+      .toMap
+    // SpaceSaving candidate heads per (partition, lang): bounded memory
+    // (capacity counters per language), bounded output (ServedHeads per
+    // language per partition)
+    val capacity = 4096
+    val candidates = grams.as[(String, String)].mapPartitions { it =>
+      val states = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Map[String, (Long, Long)]]
+      it.foreach { case (lang, gram) =>
+        val m = states.getOrElseUpdate(lang,
+          scala.collection.mutable.Map.empty[String, (Long, Long)])
+        m.get(gram) match {
+          case Some((c, e)) => m.update(gram, (c + 1, e))
+          case None if m.size < capacity => m.update(gram, (1L, 0L))
+          case None =>
+            // evict the deterministic minimum; the newcomer inherits
+            // its count as the error bound (SpaceSaving replacement)
+            val (vg, (vc, _)) = m.minBy { case (g, (c, _)) => (c, g) }
+            m.remove(vg)
+            m.update(gram, (vc + 1, vc))
+        }
+      }
+      states.iterator.flatMap { case (lang, m) =>
+        m.toSeq.sortBy { case (g, (c, _)) => (-c, g) }
+          .take(ServedHeads).map { case (g, _) => (lang, g) }
+      }
+    }.toDF("lang", "gram").distinct()
+    val estimate = udf { (lang: String, gram: String) =>
+      sketches(lang)._1.estimateCount(gram)
+    }
+    val bound = udf { (lang: String) =>
+      math.ceil(cmsEps * sketches(lang)._2).toLong
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"est".desc, $"gram")
+    val served = candidates
+      .withColumn("est", estimate($"lang", $"gram"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= topkK)
+    // bound audit for the SERVED grams only: exact counts via a
+    // broadcast semi-join against k×|langs| rows — never |vocab|
+    grams
+      .join(broadcast(served), Seq("lang", "gram"))
+      .groupBy($"lang", $"gram")
+      .agg(count(lit(1)).as("n"), first($"est").as("est"),
+        first($"rank").as("rank"))
+      .select($"lang", $"rank",
+        ($"est" >= $"n").as("never_undercounts"),
+        ($"est" <= $"n" + bound($"lang")).as("within_eps_bound"))
+  }
+
+  /** DuckDB checks the shape and the guarantees: k ranks per language,
+    * both bound columns TRUE (the estimates themselves are
+    * engine-specific sketch state, so they stay out of the contract —
+    * the a5 approx-distinct convention). */
+  val tTopkServedSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |grams AS (
+       |  SELECT lang, unnest(list_transform(range(len(t) - 2),
+       |    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram
+       |  FROM toks),
+       |counted AS (
+       |  SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram),
+       |ranked AS (
+       |  SELECT lang,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rank
+       |  FROM counted)
+       |SELECT lang, rank, TRUE AS never_undercounts, TRUE AS within_eps_bound
+       |FROM ranked WHERE rank <= $topkK""".stripMargin
 
   /** T-NOVELTY: per-source novelty — the fraction of each document's
     * distinct 3-grams that appear FIRST in that document (doc_id order
@@ -466,6 +585,7 @@ object TextQueries {
     "t_winnow" -> QueryDef.of(tWinnowSql)(tWinnow),
     "t_topk_ngrams" -> QueryDef.of(tTopkNgramsSql)(tTopkNgrams),
     "t_topk_cms" -> QueryDef.of(tTopkCmsSql)(tTopkCms),
+    "t_topk_served" -> QueryDef.of(tTopkServedSql)(tTopkServed),
     "t_novelty" -> QueryDef.of(tNoveltySql)(tNovelty)
   )
 }

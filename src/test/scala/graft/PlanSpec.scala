@@ -284,6 +284,53 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1)
   }
 
+  test("t_topk_ngrams: two-level top-k — the per-language merge task " +
+    "sees k×partitions survivors, never the full vocabulary") {
+    val df = SparkEntry.queries("t_topk_ngrams")(spark, sf())
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // InferWindowGroupLimit must compile `row_number ≤ k` into the
+    // Partial (per-partition top-k heap BEFORE the exchange) / Final
+    // (merge of the survivors) pair — without the Partial, one task
+    // sorts a language's entire aggregated vocabulary
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"per-partition top-k heap missing before the exchange:\n$plan")
+    assert(plan.contains("Final"),
+      s"final merge WindowGroupLimit missing:\n$plan")
+  }
+
+  test("t_topk_served: the exact vocabulary aggregate is gone — exact " +
+    "counts only ever run AFTER the broadcast candidate join") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the pre-AQE physical plan: a plain tree (no QueryStageExec
+    // wrappers), so collect/find traverse the whole thing
+    val plan = SparkEntry.queries("t_topk_served")(spark, sf())
+      .queryExecution.sparkPlan
+    // every (lang, gram)-keyed aggregate must be candidate-bounded: its
+    // input either passed the SpaceSaving head generator (MapPartitions
+    // emits ≤ ServedHeads rows per language per partition) or the
+    // broadcast join with the k-row served frame. An exact count over
+    // the FULL vocabulary (the t_topk_cms harness shape) aggregates
+    // straight off the gram explode and is the plan this variant exists
+    // to remove
+    import org.apache.spark.sql.execution.MapPartitionsExec
+    val gramAggs = plan.collect {
+      case h: HashAggregateExec
+        if h.groupingExpressions.size == 2 &&
+          h.groupingExpressions.exists(_.toString.contains("gram")) => h
+    }
+    assert(gramAggs.nonEmpty, "audit aggregate missing entirely")
+    gramAggs.foreach { h =>
+      assert(h.find {
+        case _: BroadcastHashJoinExec => true
+        case _: MapPartitionsExec => true
+        case _ => false
+      }.isDefined,
+        s"vocabulary-wide exact aggregate crept back into the served plan:\n$h")
+    }
+  }
+
   test("a17/w9: trend windows rank the aggregate grain, not the corpus") {
     for (q <- Seq("a17_ltv_cohort", "w9_period_over_period")) {
       val df = SparkEntry.queries(q)(spark, sf())
