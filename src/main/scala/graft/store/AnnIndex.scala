@@ -183,6 +183,129 @@ object AnnIndex {
 
   val ai1Sql: String = SimilarityQueries.simIvfSql
 
+  // ---------------- AI2: index health ----------------
+
+  private val HealthQueries = 4
+  private val HealthK = 10
+
+  /** AI2: the monitoring loop a frozen-quantizer index NEEDS — the
+    * centroids never move after bootstrap, so as the corpus drifts the
+    * index silently rots in two measurable ways: cells go skewed (one
+    * hot cell absorbs the growth, probes stop pruning) and sampled
+    * recall sags (new vectors land far from every frozen centroid).
+    * This audit reports both FROM THE STORED INDEX: per-cell posting
+    * counts with occupancy shares, and recall@[[HealthK]] of
+    * probe-pruned serving vs exact brute force over [[HealthQueries]]
+    * sampled queries (the sim8 evaluation pattern, here against the
+    * persisted postings). Re-seed when max_share or recall crosses the
+    * operator's threshold. Recall divides summed integer hits ONCE, so
+    * the number is bit-identical across engines; the oracle recomputes
+    * everything from the one-shot IVF assignment, which ai1 proved
+    * equal to the index contents. */
+  def ai2IndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ai2").toString
+    val mid = emb.agg((max($"vec_id") / lit(2)).cast("long")).collect()(0).getLong(0)
+    initialize(emb.filter($"vec_id" <= mid), tmp)
+    append(spark, emb.filter($"vec_id" > mid), tmp, 2L)
+
+    val posts = postings(spark, tmp)
+    val cents = spark.read.parquet(centroidsDir(tmp))
+    val occ = posts.groupBy($"cell")
+      .agg(count(lit(1)).as("n_postings"))
+    val q = withNorm(emb.filter($"vec_id" < HealthQueries))
+      .select($"vec_id".as("qid"), $"embedding".as("qv"), $"norm".as("qnorm"))
+    val qcells = cents.crossJoin(broadcast(q))
+      .withColumn("qcos",
+        SimilarityQueries.dot($"cvec", $"qv") / ($"cnorm" * $"qnorm"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"qid").orderBy($"qcos".desc, $"cid")))
+      .filter($"r" <= IvfProbes)
+      .select($"qid".as("cqid"), $"cid")
+    val scored = posts.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos",
+        SimilarityQueries.dot($"embedding", $"qv") / ($"norm" * $"qnorm"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    val exact = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= HealthK).select($"qid", $"vec_id")
+    val approx = scored
+      .join(broadcast(qcells), $"qid" === $"cqid" && $"cell" === $"cid")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= HealthK)
+      .select($"qid".as("aqid"), $"vec_id".as("avid"))
+    val rec = exact.join(approx,
+        exact("qid") === approx("aqid") && exact("vec_id") === approx("avid"),
+        "left")
+      .agg(count(lit(1)).as("kk"), count($"avid").as("hits"))
+      .select(($"hits".cast("double") / $"kk").as("recall_at_10"))
+    val tot = occ.agg(sum($"n_postings").as("total"),
+      max($"n_postings").as("mxp"))
+    occ.crossJoin(broadcast(tot)).crossJoin(broadcast(rec))
+      .select($"cell".cast("long").as("cell"), $"n_postings",
+        ($"n_postings".cast("double") / $"total").as("occupancy_share"),
+        ($"mxp".cast("double") / $"total").as("max_share"),
+        $"recall_at_10")
+  }
+
+  val ai2Sql: String = {
+    import SimilarityQueries.sqlDot
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec, norm AS cnorm
+       |  FROM e WHERE vec_id < $IvfCells),
+       |assigned AS (
+       |  SELECT e.vec_id,
+       |    arg_max(c.cid, ${sqlDot("e.embedding", "c.cvec")} / (e.norm * c.cnorm)) AS cell
+       |  FROM e, cents c GROUP BY e.vec_id),
+       |occ AS (SELECT cell, count(*) AS n_postings FROM assigned GROUP BY cell),
+       |tot AS (
+       |  SELECT CAST(sum(n_postings) AS BIGINT) AS total, max(n_postings) AS mxp
+       |  FROM occ),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, norm AS qnorm
+       |  FROM e WHERE vec_id < $HealthQueries),
+       |qcells AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${sqlDot("c.cvec", "q.qv")} / (c.cnorm * q.qnorm) DESC, c.cid) AS r
+       |    FROM cents c, q)
+       |  WHERE r <= $IvfProbes),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, a.cell,
+       |    ${sqlDot("e.embedding", "q.qv")} / (e.norm * q.qnorm) AS cos
+       |  FROM e JOIN assigned a ON e.vec_id = a.vec_id, q
+       |  WHERE e.vec_id <> q.qid),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $HealthK),
+       |approx AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rank
+       |    FROM scored s JOIN qcells qc ON s.qid = qc.qid AND s.cell = qc.cid)
+       |  WHERE rank <= $HealthK),
+       |rec AS (
+       |  SELECT CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall_at_10
+       |  FROM exact x LEFT JOIN approx a
+       |    ON x.qid = a.qid AND x.vec_id = a.vec_id)
+       |SELECT o.cell, o.n_postings,
+       |  CAST(o.n_postings AS DOUBLE) / t.total AS occupancy_share,
+       |  CAST(t.mxp AS DOUBLE) / t.total AS max_share,
+       |  r.recall_at_10
+       |FROM occ o, tot t, rec r""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
-    "ai1_ann_index" -> QueryDef.of(ai1Sql)(ai1AnnIndex))
+    "ai1_ann_index" -> QueryDef.of(ai1Sql)(ai1AnnIndex),
+    "ai2_index_health" -> QueryDef.of(ai2Sql)(ai2IndexHealth))
 }
