@@ -1,0 +1,207 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SchemaRegistry
+import graft.ingest.{BatchSources, JsonIngest}
+import graft.ingest.BatchSources.IngestRejected
+import graft.profiles.{ProfileMerge, ProfileOp, ProfileOps}
+import graft.store.EventStore
+
+/** The thin HTTP facade — the reference is reached over HTTP
+  * (rakam/src/main/java/org/rakam/collection/EventCollectionHttpService.java:278-348
+  * collects single events and signed batches;
+  * rakam/src/main/java/org/rakam/plugin/user/UserHttpService.java
+  * `/user/batch_operations` mutates profiles; the analysis services
+  * serve reads). The reference's Netty/DI stack is platform plumbing
+  * the survey scoped out; this gateway is the JDK built-in HttpServer
+  * mapping four routes 1:1 onto the engine facades. ALL semantics —
+  * name normalization, schema inference+evolution, envelope/checksum
+  * validation, dead letters, the profile fold — live in the engine
+  * ([[JsonIngest]], [[BatchSources]], [[EventStore]], [[ProfileMerge]]);
+  * the gateway only translates HTTP ↔ engine calls, so there is nothing
+  * here to drift from the batch paths the oracle checks.
+  *
+  * Routes:
+  *  - `POST /event/collect` — one event object; stored immediately.
+  *    Returns `1` (the reference's success body).
+  *  - `POST /event/batch` — the `{api, events:[...]}` envelope, body
+  *    cap + checksum enforced by [[BatchSources.parseEnvelope]].
+  *    Returns `{"stored": n}`.
+  *  - `POST /user/batch_operations` — array of
+  *    `{id, time?, set_properties?, set_once_properties?,
+  *    increment_properties?, unset_properties?}` objects, appended to
+  *    the profile op log in arrival order.
+  *  - `GET /user/get?id=…` — the folded profile of one user.
+  *  - `GET /analysis/segmentation?collection=…&dimension=…` — distinct
+  *    users per dimension value over the stored collection (the A4
+  *    read), served as a JSON array of rows.
+  *
+  * Single-writer by construction: one gateway owns a warehouse dir.
+  * Ingest rejections map to 400 with the reference's message text.
+  */
+final class HttpGateway(
+    spark: SparkSession,
+    registry: SchemaRegistry,
+    warehouse: String,
+    project: String) {
+
+  @transient private lazy val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+  private val opSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def opsDir = s"$warehouse/$project/__user_ops"
+
+  /** Bind on `port` (0 = ephemeral) and serve. Returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/event/collect", route(handleCollect))
+    server.createContext("/event/batch", route(handleBatch))
+    server.createContext("/user/batch_operations", route(handleUserBatch))
+    server.createContext("/user/get", route(handleUserGet))
+    server.createContext("/analysis/segmentation", route(handleSegmentation))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---------------- routes ----------------
+
+  private def handleCollect(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val n = ingestAndStore(Seq(body))
+    if (n == 0) (400, """{"error":"event was not stored (see dead letter)"}""")
+    else (200, "1")
+  }
+
+  private def handleBatch(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val env = BatchSources.parseEnvelope(body)
+    val n = ingestAndStore(env.events)
+    (200, s"""{"stored":$n}""")
+  }
+
+  private def handleUserBatch(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val root = mapper.readTree(body)
+    if (root == null || !root.isArray)
+      throw new IngestRejected("Body must be an array")
+    val now = System.currentTimeMillis()
+    val ops = root.elements().asScala.zipWithIndex.flatMap { case (op, i) =>
+      val id = Option(op.get("id")).map(_.asText()).getOrElse(
+        throw new IngestRejected("id is required"))
+      val ts = Option(op.get("time")).map(_.asLong()).getOrElse(now)
+      def props(field: String): Map[String, String] =
+        Option(op.get(field)).map(_.properties().asScala.map { e =>
+          e.getKey -> e.getValue.asText()
+        }.toMap).getOrElse(Map.empty)
+      def one(kind: String, ps: Map[String, String]): Option[ProfileOp] =
+        if (ps.isEmpty) None
+        else Some(ProfileOp(project, id, ts, opSeq.getAndIncrement(), kind,
+          ProfileOps.normalizeProps(ps)))
+      val unsets = Option(op.get("unset_properties"))
+        .map(_.elements().asScala.map(n => n.asText() -> "").toMap)
+        .getOrElse(Map.empty)
+      val _ = i
+      Seq(
+        one(ProfileOps.Set, props("set_properties")),
+        one(ProfileOps.SetOnce, props("set_once_properties")),
+        one(ProfileOps.Increment, props("increment_properties")),
+        one(ProfileOps.Unset, unsets)).flatten
+    }.toSeq
+    if (ops.nonEmpty) {
+      import spark.implicits._
+      ops.toDS().write.mode("append").parquet(opsDir)
+    }
+    (200, "1")
+  }
+
+  private def handleUserGet(ex: HttpExchange): (Int, String) = {
+    val id = queryParams(ex).getOrElse("id",
+      throw new IngestRejected("id is required"))
+    import spark.implicits._
+    val profiles = ProfileMerge.merge(spark.read.parquet(opsDir).as[ProfileOp])
+    val rows = profiles.filter(col("id") === id).toJSON.collect()
+    if (rows.isEmpty) (404, """{"error":"user not found"}""")
+    else (200, rows.head)
+  }
+
+  private def handleSegmentation(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val collection = params.getOrElse("collection",
+      throw new IngestRejected("collection is required"))
+    val dimension = params.getOrElse("dimension",
+      throw new IngestRejected("dimension is required"))
+    val stored = EventStore.read(spark, registry, warehouse, project, collection)
+    if (!stored.columns.contains(dimension))
+      throw new IngestRejected(s"unknown dimension '$dimension'")
+    val seg = stored.groupBy(col(dimension))
+      .agg(countDistinct(col("_user")).as("users"),
+        count(lit(1)).as("events"))
+    (200, seg.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  // ---------------- plumbing ----------------
+
+  /** Ingest raw event lines through the standard two-pass path and
+    * append each collection to the store; dead letters go to the
+    * `$invalid_schema` table exactly as in the batch pipeline. Returns
+    * rows stored. */
+  private def ingestAndStore(lines: Seq[String]): Long = {
+    val res = JsonIngest.ingest(spark, registry, project,
+      spark.sparkContext.parallelize(lines, 1))
+    try {
+      var n = 0L
+      res.byCollection.foreach { case (coll, df) =>
+        n += df.count()
+        EventStore.write(df, warehouse, project, coll)
+      }
+      if (!res.deadLetter.isEmpty)
+        EventStore.writeDeadLetter(res.deadLetter, warehouse, project)
+      n
+    } finally res.unpersist()
+  }
+
+  private def requirePost(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "POST")
+      throw new IngestRejected("POST required")
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split('&')
+      .filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+
+  private def route(f: HttpExchange => (Int, String)):
+      com.sun.net.httpserver.HttpHandler = { ex =>
+    val (code, body) =
+      try f(ex)
+      catch {
+        case e: IngestRejected =>
+          (400, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
+        case NonFatal(e) =>
+          (500, s"""{"error":${mapper.writeValueAsString(String.valueOf(e))}}""")
+      }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val out = ex.getResponseBody
+    try out.write(bytes) finally out.close()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.core.SchemaRegistry
+
+/** The HTTP facade drives the REAL engine paths end-to-end over a live
+  * socket: collect → typed store → segmentation read, the signed batch
+  * envelope, profile batch_operations → folded profile, and the
+  * reference's rejection messages as 400s. */
+class HttpGatewaySpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def withGateway(f: (HttpGateway, Int) => Unit): Unit = {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo")
+    val port = gw.start()
+    try f(gw, port) finally gw.stop()
+  }
+
+  test("collect → store → segmentation round-trip over HTTP") {
+    withGateway { (_, port) =>
+      val r1 = post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u1", "_time": "2026-01-15 10:30:00.000", "page": "/a"}}""")
+      assert(r1.statusCode() == 200 && r1.body() == "1")
+      assert(post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u2", "_time": "2026-01-15 11:00:00.000", "page": "/a"}}""")
+        .statusCode() == 200)
+      assert(post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u1", "_time": "2026-01-16 09:00:00.000", "page": "/b"}}""")
+        .statusCode() == 200)
+
+      val seg = get(port, "/analysis/segmentation?collection=pageview&dimension=page")
+      assert(seg.statusCode() == 200)
+      // rows like {"page":"/a","users":2,"events":2}
+      val byPage = seg.body().split("\\},\\{").map { s =>
+        val page = "\"page\":\"([^\"]+)\"".r.findFirstMatchIn(s).get.group(1)
+        val users = "\"users\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+        page -> users
+      }.toMap
+      assert(byPage == Map("/a" -> 2L, "/b" -> 1L))
+    }
+  }
+
+  test("batch envelope: stored count, and the reference's rejections as 400") {
+    withGateway { (_, port) =>
+      val ok = post(port, "/event/batch",
+        """{"api": {"api_key": "k"}, "events": [
+          |{"collection": "click", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "target": "x"}},
+          |{"collection": "click", "properties": {"_user": "u2", "_time": "2026-01-15 10:01:00.000", "target": "y"}}
+          |]}""".stripMargin)
+      assert(ok.statusCode() == 200 && ok.body() == """{"stored":2}""")
+
+      val badProp = post(port, "/event/batch", """{"junk": 1, "events": []}""")
+      assert(badProp.statusCode() == 400 &&
+        badProp.body().contains("Invalid property 'junk'"))
+
+      val badChecksum = post(port, "/event/batch",
+        """{"api": {"api_key": "k", "checksum": "00000000000000000000000000000000"}, "events": []}""")
+      assert(badChecksum.statusCode() == 400 &&
+        badChecksum.body().contains("Checksum is invalid"))
+    }
+  }
+
+  test("user batch_operations fold into the profile served by /user/get") {
+    withGateway { (_, port) =>
+      assert(post(port, "/user/batch_operations",
+        """[
+          |{"id": "u1", "time": 1000, "set_properties": {"plan": "free", "city": "berlin"}},
+          |{"id": "u1", "time": 2000, "set_once_properties": {"plan": "pro"}, "increment_properties": {"logins": "2"}},
+          |{"id": "u1", "time": 3000, "increment_properties": {"logins": "3"}, "unset_properties": ["city"]}
+          |]""".stripMargin).statusCode() == 200)
+
+      val prof = get(port, "/user/get?id=u1")
+      assert(prof.statusCode() == 200)
+      // set_once must NOT override an existing value; increments add;
+      // unset nulls the property (the fold's tombstone)
+      assert(prof.body().contains("\"plan\":\"free\""), prof.body())
+      assert(prof.body().contains("\"logins\":\"5\""), prof.body())
+      assert(prof.body().contains("\"city\":null"), prof.body())
+
+      assert(get(port, "/user/get?id=nobody").statusCode() == 404)
+    }
+  }
+
+  test("dead letters: a coercion-violating property lands in " +
+    "invalid_schema with event identity; the event still stores with " +
+    "the field nulled (the S14 field-level contract)") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo")
+    val port = gw.start()
+    try {
+      // `cnt` infers LONG from the first event…
+      assert(post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u1", "_time": "2026-01-15 10:30:00.000", "cnt": 5}}""")
+        .statusCode() == 200)
+      // …so a non-numeric value cannot coerce: the event stores with
+      // cnt=null (collect still succeeds) and the failed FIELD is
+      // dead-lettered with the event's identity
+      assert(post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u2", "_time": "2026-01-15 10:31:00.000", "cnt": "not-a-number"}}""")
+        .statusCode() == 200)
+      val dead = spark.read.parquet(s"$warehouse/demo/invalid_schema").collect()
+      assert(dead.length == 1)
+      assert(dead(0).getAs[String]("property") == "cnt")
+      assert(dead(0).getAs[String]("_user") == "u2")
+      val seg = get(port, "/analysis/segmentation?collection=pageview&dimension=cnt")
+      assert(seg.statusCode() == 200)
+      assert(seg.body().contains("\"cnt\":5") && !seg.body().contains("not-a-number"),
+        seg.body())
+    } finally gw.stop()
+  }
+}
