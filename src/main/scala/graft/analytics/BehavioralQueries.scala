@@ -281,10 +281,14 @@ object BehavioralQueries {
   // ---------------- A19: time-to-convert distribution ----------------
 
   /** A19: funnel LATENCY — a6 reports how many users convert, a19
-    * reports how long conversion takes: per user the first `view` and
-    * first subsequent `purchase`, then the exact p50/p90/mean of the
-    * delta in minutes. One shuffle on user_id (conditional-min pivot),
-    * then a single global aggregate over |converted users| rows.
+    * reports how long conversion takes: per user the FIRST-EVER `view`
+    * and the FIRST-EVER `purchase`, keeping only users whose first
+    * purchase is at or after their first view (a user who purchased
+    * before ever viewing is EXCLUDED, not re-measured from a later
+    * purchase — both the implementation and its SQL twin take the
+    * global firsts); then the exact p50/p90/mean of the delta in
+    * minutes. One shuffle on user_id (conditional-min pivot), then a
+    * single global aggregate over |converted users| rows.
     *
     * Cross-engine: the delta is integer epoch-micros subtraction then
     * ONE double division (timestampdiff/datediff truncate differently
