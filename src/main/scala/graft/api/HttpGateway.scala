@@ -37,6 +37,12 @@ import graft.store.EventStore
   *  - `POST /event/batch` — the `{api, events:[...]}` envelope, body
   *    cap + checksum enforced by [[BatchSources.parseEnvelope]].
   *    Returns `{"stored": n}`.
+  *  - `POST /event/bulk` — same envelope, no body cap, checksum
+  *    skipped (the reference's bulk door; the batch cap's rejection
+  *    message points here).
+  *  - `GET /project/schema?collection=…` / `GET /project/collection` —
+  *    the registry's evolved schema and collection list
+  *    (ProjectHttpService.java:49-195's read surface).
   *  - `POST /user/batch_operations` — array of
   *    `{id, time?, set_properties?, set_once_properties?,
   *    increment_properties?, unset_properties?}` objects, appended to
@@ -66,9 +72,12 @@ final class HttpGateway(
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/event/collect", route(handleCollect))
     server.createContext("/event/batch", route(handleBatch))
+    server.createContext("/event/bulk", route(handleBulk))
     server.createContext("/user/batch_operations", route(handleUserBatch))
     server.createContext("/user/get", route(handleUserGet))
     server.createContext("/analysis/segmentation", route(handleSegmentation))
+    server.createContext("/project/schema", route(handleSchema))
+    server.createContext("/project/collection", route(handleCollections))
     server.start()
     server.getAddress.getPort
   }
@@ -92,6 +101,34 @@ final class HttpGateway(
     val n = ingestAndStore(env.events)
     (200, s"""{"stored":$n}""")
   }
+
+  /** The uncapped ingest door `/event/batch`'s rejection points at
+    * (EventCollectionHttpService.java bulkEvents): same envelope, NO
+    * body cap, checksum skipped — transport owns integrity for bulk. */
+  private def handleBulk(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
+    val n = ingestAndStore(env.events)
+    (200, s"""{"stored":$n}""")
+  }
+
+  private def handleSchema(ex: HttpExchange): (Int, String) = {
+    val collection = queryParams(ex).getOrElse("collection",
+      throw new IngestRejected("collection is required"))
+    registry.schema(project, collection) match {
+      case None => (404, """{"error":"collection not found"}""")
+      case Some(fields) =>
+        val cols = fields.map(f =>
+          s"""{"name":${mapper.writeValueAsString(f.name)},"type":${
+            mapper.writeValueAsString(f.tpe.name)}}""")
+        (200, cols.mkString("[", ",", "]"))
+    }
+  }
+
+  private def handleCollections(ex: HttpExchange): (Int, String) =
+    (200, registry.collections(project)
+      .map(mapper.writeValueAsString).mkString("[", ",", "]"))
 
   private def handleUserBatch(ex: HttpExchange): (Int, String) = {
     requirePost(ex)

@@ -5,6 +5,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
 import graft.SparkSpec
 import graft.core.SchemaRegistry
+import graft.ingest.BatchSources
 
 /** The HTTP facade drives the REAL engine paths end-to-end over a live
   * socket: collect → typed store → segmentation read, the signed batch
@@ -74,6 +75,31 @@ class HttpGatewaySpec extends SparkSpec {
         """{"api": {"api_key": "k", "checksum": "00000000000000000000000000000000"}, "events": []}""")
       assert(badChecksum.statusCode() == 400 &&
         badChecksum.body().contains("Checksum is invalid"))
+    }
+  }
+
+  test("bulk door takes an over-cap body the batch door rejects; " +
+    "schema routes serve the evolved registry") {
+    withGateway { (_, port) =>
+      // ~600 KB body: over the 500 KB /event/batch cap
+      val big = (0 until 3500).map { i =>
+        s"""{"collection": "bulkload", "properties": {"_user": "u$i", "_time": "2026-01-15 10:00:00.000", "payload": "${"x" * 120}"}}"""
+      }.mkString("""{"events": [""", ",", "]}")
+      assert(big.length > BatchSources.MaxBatchBodyBytes)
+      val capped = post(port, "/event/batch", big)
+      assert(capped.statusCode() == 400 &&
+        capped.body().contains("too big"), capped.body())
+      val bulk = post(port, "/event/bulk", big)
+      assert(bulk.statusCode() == 200 && bulk.body() == """{"stored":3500}""",
+        bulk.body())
+
+      val colls = get(port, "/project/collection")
+      assert(colls.statusCode() == 200 && colls.body().contains("bulkload"))
+      val schema = get(port, "/project/schema?collection=bulkload")
+      assert(schema.statusCode() == 200)
+      assert(schema.body().contains(""""name":"payload","type":"STRING""""),
+        schema.body())
+      assert(get(port, "/project/schema?collection=nope").statusCode() == 404)
     }
   }
 
