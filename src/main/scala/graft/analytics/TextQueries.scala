@@ -412,14 +412,15 @@ object TextQueries {
     * audits the sketch against the exact plan; this variant REPLACES
     * it:
     *
-    *   - **candidates** come from per-partition SpaceSaving heads
-    *     (Metwally et al., the [[graft.streaming.HeavyHitters]] batch
-    *     twin): each input partition keeps a capacity-bounded counter
-    *     summary per language and emits its top [[ServedHeads]] grams —
-    *     a map-side pass with NO vocabulary-sized shuffle anywhere (any
-    *     gram with partition-local share > 1/capacity is tracked, so a
-    *     global top-k gram — necessarily frequent in at least one
-    *     partition at any data layout — surfaces as a candidate);
+    *   - **candidates** come from per-partition lossy-counting heads
+    *     (Manku & Motwani VLDB'02; the bounded-summary family of
+    *     [[graft.streaming.HeavyHitters]]'s SpaceSaving): each input
+    *     partition counts into a capacity-bounded map and emits its top
+    *     [[ServedHeads]] grams — a map-side pass with NO
+    *     vocabulary-sized shuffle anywhere (a gram with meaningful
+    *     partition-local share survives every prune, so a global top-k
+    *     gram — necessarily frequent in at least one partition at any
+    *     data layout — surfaces as a candidate);
     *   - **frequencies** come from the per-language count-min sketch
     *     (constant size by construction), probed driver-side over the
     *     candidate rows — the kms1 broadcast-tiny pattern;
@@ -448,29 +449,33 @@ object TextQueries {
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms"))),
           r.getLong(2))))
       .toMap
-    // SpaceSaving candidate heads per (partition, lang): bounded memory
-    // (capacity counters per language), bounded output (ServedHeads per
-    // language per partition)
+    // Lossy-counting candidate heads per (partition, lang) (Manku &
+    // Motwani, "Approximate frequency counts over data streams",
+    // VLDB'02): count into a hash map, and when it exceeds 8×capacity
+    // prune back to the top `capacity` entries by (count, gram) — O(1)
+    // amortized per gram (the prune sorts 8×capacity entries once every
+    // 7×capacity inserts), bounded memory, and a partition-heavy gram
+    // can lose at most the pruned-away mass, so every true heavy hitter
+    // survives to the per-partition head emission. (A per-insert
+    // SpaceSaving eviction would be O(capacity) per novel gram once
+    // full — quadratic on a high-vocabulary stream.)
     val capacity = 4096
     val candidates = grams.as[(String, String)].mapPartitions { it =>
       val states = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.Map[String, (Long, Long)]]
+        .empty[String, scala.collection.mutable.HashMap[String, Long]]
       it.foreach { case (lang, gram) =>
         val m = states.getOrElseUpdate(lang,
-          scala.collection.mutable.Map.empty[String, (Long, Long)])
-        m.get(gram) match {
-          case Some((c, e)) => m.update(gram, (c + 1, e))
-          case None if m.size < capacity => m.update(gram, (1L, 0L))
-          case None =>
-            // evict the deterministic minimum; the newcomer inherits
-            // its count as the error bound (SpaceSaving replacement)
-            val (vg, (vc, _)) = m.minBy { case (g, (c, _)) => (c, g) }
-            m.remove(vg)
-            m.update(gram, (vc + 1, vc))
+          new scala.collection.mutable.HashMap[String, Long])
+        m.update(gram, m.getOrElse(gram, 0L) + 1L)
+        if (m.size > capacity * 8) {
+          val keep = m.toArray
+            .sortBy { case (g, c) => (-c, g) }.take(capacity)
+          m.clear()
+          m ++= keep
         }
       }
       states.iterator.flatMap { case (lang, m) =>
-        m.toSeq.sortBy { case (g, (c, _)) => (-c, g) }
+        m.toSeq.sortBy { case (g, c) => (-c, g) }
           .take(ServedHeads).map { case (g, _) => (lang, g) }
       }
     }.toDF("lang", "gram").distinct()

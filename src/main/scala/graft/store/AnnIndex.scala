@@ -206,10 +206,10 @@ object AnnIndex {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tables(spark, dir, "embeddings")
+    // one bootstrap build — ai1 already proves append-path equivalence,
+    // so the health audit doesn't pay for a second assignment pass
     val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ai2").toString
-    val mid = emb.agg((max($"vec_id") / lit(2)).cast("long")).collect()(0).getLong(0)
-    initialize(emb.filter($"vec_id" <= mid), tmp)
-    append(spark, emb.filter($"vec_id" > mid), tmp, 2L)
+    initialize(emb, tmp)
 
     val posts = postings(spark, tmp)
     val cents = spark.read.parquet(centroidsDir(tmp))
@@ -224,22 +224,28 @@ object AnnIndex {
         Window.partitionBy($"qid").orderBy($"qcos".desc, $"cid")))
       .filter($"r" <= IvfProbes)
       .select($"qid".as("cqid"), $"cid")
+    // ONE scoring pass serves both ranks: exact rank over everything,
+    // probed rank as a running count over the same sort order restricted
+    // to probed-cell rows — the two windows share one partitioning+sort
     val scored = posts.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"qid")
       .withColumn("cos",
         SimilarityQueries.dot($"embedding", $"qv") / ($"norm" * $"qnorm"))
+      .join(broadcast(qcells),
+        $"qid" === $"cqid" && $"cell" === $"cid", "left")
+      .withColumn("in_probe", $"cid".isNotNull)
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
-    val exact = scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= HealthK).select($"qid", $"vec_id")
-    val approx = scored
-      .join(broadcast(qcells), $"qid" === $"cqid" && $"cell" === $"cid")
+    val ranked = scored
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= HealthK)
-      .select($"qid".as("aqid"), $"vec_id".as("avid"))
-    val rec = exact.join(approx,
-        exact("qid") === approx("aqid") && exact("vec_id") === approx("avid"),
-        "left")
-      .agg(count(lit(1)).as("kk"), count($"avid").as("hits"))
+      .withColumn("probe_rank",
+        sum(when($"in_probe", 1L).otherwise(0L)).over(w))
+      .filter($"rank" <= HealthK ||
+        ($"in_probe" && $"probe_rank" <= HealthK))
+    val rec = ranked
+      .agg(
+        sum(when($"rank" <= HealthK, 1L).otherwise(0L)).as("kk"),
+        sum(when($"rank" <= HealthK && $"in_probe" &&
+          $"probe_rank" <= HealthK, 1L).otherwise(0L)).as("hits"))
       .select(($"hits".cast("double") / $"kk").as("recall_at_10"))
     val tot = occ.agg(sum($"n_postings").as("total"),
       max($"n_postings").as("mxp"))
