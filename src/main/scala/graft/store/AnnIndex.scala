@@ -95,15 +95,52 @@ object AnnIndex {
     VersionedState.writePointer(path, v, batchId)
   }
 
-  /** All postings up to `_CURRENT` (a union of immutable version dirs —
-    * append never rewrote anything). */
+  /** First version directory still carrying live postings: versions
+    * below the `_BASE` marker were folded into it by [[compactPostings]]
+    * and are superseded. A base beyond `_CURRENT` is an in-flight
+    * compaction that never flipped the pointer — ignored, so a crash
+    * mid-compaction leaves a fully consistent index. */
+  private def baseVersion(path: String): Long = {
+    val cur = VersionedState.currentVersion(path)
+    VersionedState.readMarker(path, "_BASE").map(_.toLong)
+      .filter(_ <= cur).getOrElse(1L)
+  }
+
+  /** All postings up to `_CURRENT` (a union of immutable version dirs
+    * from the compaction base — append never rewrote anything). */
   def postings(spark: SparkSession, path: String): DataFrame = {
     val cur = VersionedState.currentVersion(path)
-    val dirs = (1L to cur).map(VersionedState.versionDir(path, _))
+    val dirs = (baseVersion(path) to cur).map(VersionedState.versionDir(path, _))
     // basePath makes the v=N dirs one partitioned layout (v, cell both
     // become partition columns; the probe's cell filter still prunes)
     spark.read.option("basePath", path).parquet(dirs: _*)
       .drop("v")
+  }
+
+  /** Consolidate all live postings into ONE version directory — the
+    * maintenance job an append-only index needs at scale: every
+    * streamed append lands a file set per touched cell, so a long-lived
+    * index accumulates thousands of tiny files and probe-time footer
+    * reads come to dominate scan cost. Rewrites the union as version
+    * `cur+1` with one file per cell, marks it the new `_BASE`, flips
+    * the pointer (preserving the streaming batch fence), and deletes
+    * the superseded dirs. Crash-safe at every step: the base marker
+    * only takes effect once `_CURRENT` reaches it, and a reader that
+    * resolved the old pointer still finds its dirs until the final
+    * delete (single-maintainer discipline, as with
+    * [[VersionedState.compact]]). Appends then continue from `cur+2`. */
+  def compactPostings(spark: SparkSession, path: String): Unit = {
+    val cur = VersionedState.currentVersion(path)
+    val oldBase = baseVersion(path)
+    if (oldBase == cur) return // already one live dir
+    val v = cur + 1
+    postings(spark, path)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(VersionedState.versionDir(path, v))
+    VersionedState.writeMarker(path, "_BASE", v.toString)
+    VersionedState.writePointer(path, v, VersionedState.lastBatchId(path))
+    (oldBase until v).foreach(VersionedState.deleteVersion(path, _))
   }
 
   /** Top-k by exact cosine within the query's [[IvfProbes]] closest

@@ -92,6 +92,39 @@ private[graft] object VersionedState {
     fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
+  /** Read a small sidecar marker file (e.g. a compaction base), None if
+    * absent. */
+  def readMarker(path: String, name: String): Option[String] = {
+    val p = new Path(path, name)
+    val fs = fsOf(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Write a sidecar marker atomically (tmp + rename-overwrite, the
+    * pointer-flip discipline). */
+  def writeMarker(path: String, name: String, value: String): Unit = {
+    val tmp = new Path(path, s"$name.tmp")
+    val dst = new Path(path, name)
+    val fs = fsOf(dst)
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes(UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, hadoopConf)
+    fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Delete one version directory (compaction cleanup). */
+  def deleteVersion(path: String, v: Long): Unit = {
+    val p = new Path(versionDir(path, v))
+    val fs = fsOf(p)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** Remove superseded versions; `grace` keeps that many below current
     * so a reader that resolved the pointer just before a flip still
     * finds its files. */

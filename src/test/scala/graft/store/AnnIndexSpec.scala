@@ -99,6 +99,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(served == topk(one))
   }
 
+  test("compactPostings folds the version history into one dir; serving, " +
+    "the batch fence, and later appends all survive") {
+    val dir = freshDir()
+    val mx = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val q = mx / 4
+    AnnIndex.initialize(emb.filter(col("vec_id") <= q), dir)
+    AnnIndex.maintainBatch(
+      emb.filter(col("vec_id") > q && col("vec_id") <= 2 * q), dir, 0L)
+    AnnIndex.maintainBatch(
+      emb.filter(col("vec_id") > 2 * q && col("vec_id") <= 3 * q), dir, 1L)
+    val before = AnnIndex.postings(spark, dir).count()
+
+    AnnIndex.compactPostings(spark, dir)
+    assert(VersionedState.currentVersion(dir) == 4L)
+    assert(VersionedState.lastBatchId(dir) == 1L,
+      "compaction lost the streaming batch fence")
+    assert(AnnIndex.postings(spark, dir).count() == before,
+      "compaction changed the postings")
+    val live = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v="))
+    assert(live == 1, s"superseded version dirs not removed ($live left)")
+    // each cell is one file after consolidation
+    val cellDirs = new java.io.File(s"$dir/v=4").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    // replay of a pre-compaction batch is still fenced; a new batch lands
+    AnnIndex.maintainBatch(
+      emb.filter(col("vec_id") > 2 * q && col("vec_id") <= 3 * q), dir, 1L)
+    assert(AnnIndex.postings(spark, dir).count() == before)
+    AnnIndex.maintainBatch(emb.filter(col("vec_id") > 3 * q), dir, 2L)
+    assert(AnnIndex.postings(spark, dir).count() == emb.count())
+    // compacted + appended index serves exactly the one-shot index
+    val one = freshDir()
+    AnnIndex.initialize(emb, one)
+    assert(topk(dir) == topk(one))
+  }
+
   test("maintain wired through a real stream appends each micro-batch") {
     val dir = freshDir()
     val inDir = java.nio.file.Files.createTempDirectory("graft-ann-in").toString
