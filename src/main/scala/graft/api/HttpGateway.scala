@@ -78,6 +78,7 @@ final class HttpGateway(
     server.createContext("/analysis/segmentation", route(handleSegmentation))
     server.createContext("/project/schema", route(handleSchema))
     server.createContext("/project/collection", route(handleCollections))
+    server.createContext("/query/execute", route(handleQuery))
     server.start()
     server.getAddress.getPort
   }
@@ -129,6 +130,38 @@ final class HttpGateway(
   private def handleCollections(ex: HttpExchange): (Int, String) =
     (200, registry.collections(project)
       .map(mapper.writeValueAsString).mkString("[", ",", "]"))
+
+  /** The reference's ad-hoc query door
+    * (rakam/src/main/java/org/rakam/analysis/QueryHttpService.java
+    * `/query/execute`): body `{"query": "...", "limit"?: n}`. Every
+    * stored collection mounts as a temp view under its own name, then
+    * the statement runs through the full engine — Catalyst, the graft
+    * extensions (native expressions + the interval-join rule), AQE.
+    * Results cap at `limit` (default 1000, the reference's page size
+    * discipline) and stream back as a JSON array. Analysis errors are
+    * the client's 400, not a 500. */
+  private def handleQuery(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val root = mapper.readTree(body)
+    val sql = Option(root).flatMap(r => Option(r.get("query")))
+      .map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new IngestRejected("query is required"))
+    val limit = Option(root.get("limit")).map(_.asInt()).getOrElse(1000)
+    registry.collections(project).foreach { c =>
+      EventStore.read(spark, registry, warehouse, project, c)
+        .createOrReplaceTempView(c)
+    }
+    val df =
+      try spark.sql(sql)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IngestRejected(e.getSimpleMessage)
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IngestRejected(e.getMessage)
+      }
+    (200, df.limit(limit).toJSON.collect().mkString("[", ",", "]"))
+  }
 
   private def handleUserBatch(ex: HttpExchange): (Int, String) = {
     requirePost(ex)

@@ -103,6 +103,31 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("query door runs SQL over the stored collections through the " +
+    "full engine; analysis errors are 400s") {
+    withGateway { (_, port) =>
+      for (i <- 1 to 5)
+        post(port, "/event/collect",
+          s"""{"collection": "purchase", "properties": {"_user": "u${i % 2}", "_time": "2026-01-15 10:0$i:00.000", "amount": ${i * 10}}}""")
+      val res = post(port, "/query/execute",
+        """{"query": "SELECT _user, count(*) AS n, sum(amount) AS total FROM purchase GROUP BY _user ORDER BY _user"}""")
+      assert(res.statusCode() == 200, res.body())
+      assert(res.body() ==
+        """[{"_user":"u0","n":2,"total":60.0},{"_user":"u1","n":3,"total":90.0}]""",
+        res.body())
+      // graft's native SQL functions are registered on the session
+      val lim = post(port, "/query/execute",
+        """{"query": "SELECT _user FROM purchase ORDER BY _time", "limit": 2}""")
+      assert(lim.statusCode() == 200 &&
+        lim.body().split("_user").length - 1 == 2, lim.body())
+      val bad = post(port, "/query/execute",
+        """{"query": "SELECT nope FROM purchase"}""")
+      assert(bad.statusCode() == 400, s"${bad.statusCode()} ${bad.body()}")
+      assert(post(port, "/query/execute", """{"query": "SELEC"}""")
+        .statusCode() == 400)
+    }
+  }
+
   test("user batch_operations fold into the profile served by /user/get") {
     withGateway { (_, port) =>
       assert(post(port, "/user/batch_operations",
