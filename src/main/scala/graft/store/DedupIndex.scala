@@ -77,15 +77,16 @@ object DedupIndex {
   // ---------------- persist-backed lifecycle ----------------
 
   /** Write the first state version for the bootstrap corpus. */
-  def initialize(docs: DataFrame, path: String): Unit =
-    VersionedState.writeVersion(partial(docs), path, 1)
+  def initialize(docs: DataFrame, path: String, batchId: Long = -1L): Unit =
+    VersionedState.writeVersion(partial(docs), path, 1, batchId)
 
   /** Fold a delta batch into the persisted index. */
-  def refresh(spark: SparkSession, delta: DataFrame, path: String): Unit = {
+  def refresh(spark: SparkSession, delta: DataFrame, path: String,
+      batchId: Long = -1L): Unit = {
     val state = VersionedState.readCurrent(spark, path)
     VersionedState.writeVersion(
       merge(state, partial(delta)), path,
-      VersionedState.currentVersion(path) + 1)
+      VersionedState.currentVersion(path) + 1, batchId)
   }
 
   /** Probe a delta against the persisted index (read-only). */
@@ -97,21 +98,33 @@ object DedupIndex {
   def compact(path: String, grace: Int = 1): Unit =
     VersionedState.compact(path, grace)
 
+  /** One micro-batch of [[maintain]]. Min-merge already makes replays
+    * HARMLESS (re-merging the same rows into a min is idempotent); the
+    * persisted batch fence shared with [[AnnIndex]]/[[MaterializedView]]
+    * additionally makes them FREE — a replayed batch skips the
+    * |keys|-sized state read/merge/write entirely, and the version
+    * count stays one per data batch instead of one per delivery. Empty
+    * micro-batches only advance the fence (pointer-only flip). */
+  def maintainBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
+    if (!VersionedState.exists(path)) {
+      if (!delta.isEmpty) initialize(delta, path, batchId)
+    } else if (batchId > VersionedState.lastBatchId(path)) {
+      if (delta.isEmpty) {
+        VersionedState.writePointer(path,
+          VersionedState.currentVersion(path), batchId)
+      } else refresh(delta.sparkSession, delta, path, batchId)
+    }
+  }
+
   /** Maintain the index CONTINUOUSLY from a document stream: each
     * micro-batch folds in as a delta — the persisted complement of
     * [[graft.streaming.StreamingNearDup]] (whose state lives inside
     * one query's checkpoint): this state survives restarts and is
-    * shared with batch probes. Replayed micro-batches re-merge the
-    * same (band, key, doc_id) rows into a min — idempotent, so
-    * at-least-once delivery cannot corrupt the index. */
+    * shared with batch probes. */
   def maintain(stream: DataFrame, path: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append").foreachBatch {
-      (delta: DataFrame, _: Long) =>
-        if (!delta.isEmpty) {
-          if (VersionedState.exists(path)) refresh(delta.sparkSession, delta, path)
-          else initialize(delta, path)
-        }
+      (delta: DataFrame, batchId: Long) => maintainBatch(delta, path, batchId)
     }
 
   // ---------------- the oracle contract ----------------
