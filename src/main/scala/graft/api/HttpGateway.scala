@@ -76,6 +76,8 @@ final class HttpGateway(
     server.createContext("/user/batch_operations", route(handleUserBatch))
     server.createContext("/user/get", route(handleUserGet))
     server.createContext("/analysis/segmentation", route(handleSegmentation))
+    server.createContext("/analysis/funnel", route(handleFunnel))
+    server.createContext("/analysis/retention", route(handleRetention))
     server.createContext("/project/schema", route(handleSchema))
     server.createContext("/project/collection", route(handleCollections))
     server.createContext("/query/execute", route(handleQuery))
@@ -222,6 +224,39 @@ final class HttpGateway(
       .agg(countDistinct(col("_user")).as("users"),
         count(lit(1)).as("events"))
     (200, seg.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** `GET /analysis/funnel?collection=…&steps=a,b,c` — users reaching
+    * each ordered step (the reference's FunnelQueryExecutor read,
+    * served by [[Analytics.funnel]]). */
+  private def handleFunnel(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val collection = params.getOrElse("collection",
+      throw new IngestRejected("collection is required"))
+    val steps = params.getOrElse("steps",
+      throw new IngestRejected("steps is required")).split(',').toSeq
+    val typeCol = params.getOrElse("type_column", "event_type")
+    val stored = EventStore.read(spark, registry, warehouse, project, collection)
+    if (!stored.columns.contains(typeCol))
+      throw new IngestRejected(s"unknown type column '$typeCol'")
+    val out = Analytics.funnel(stored, "_user", "_time", typeCol, steps)
+    (200, out.orderBy(col("step")).toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** `GET /analysis/retention?collection=…&grain=day|week` — first-seen
+    * cohort matrix ([[Analytics.retention]], the reference's
+    * RetentionQueryExecutor read). */
+  private def handleRetention(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val collection = params.getOrElse("collection",
+      throw new IngestRejected("collection is required"))
+    val grain = params.getOrElse("grain", "week")
+    if (grain != "week" && grain != "day")
+      throw new IngestRejected(s"grain must be day or week: '$grain'")
+    val stored = EventStore.read(spark, registry, warehouse, project, collection)
+    val out = Analytics.retention(stored, "_user", "_time", grain)
+    (200, out.orderBy(col("cohort_bucket"), col("offset"))
+      .toJSON.collect().mkString("[", ",", "]"))
   }
 
   // ---------------- plumbing ----------------

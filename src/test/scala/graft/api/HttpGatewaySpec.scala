@@ -128,6 +128,39 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("funnel and retention reads serve the stored collection") {
+    withGateway { (_, port) =>
+      val events = Seq(
+        ("u1", "2026-01-05 10:00:00.000", "view"),
+        ("u1", "2026-01-05 10:05:00.000", "cart"),
+        ("u1", "2026-01-05 10:09:00.000", "purchase"),
+        ("u2", "2026-01-05 11:00:00.000", "view"),
+        ("u2", "2026-01-12 11:30:00.000", "cart"),
+        ("u3", "2026-01-12 09:00:00.000", "view"))
+      events.foreach { case (u, t, et) =>
+        assert(post(port, "/event/collect",
+          s"""{"collection": "shop", "properties": {"_user": "$u", "_time": "$t", "event_type": "$et"}}""")
+          .statusCode() == 200)
+      }
+      val fun = get(port,
+        "/analysis/funnel?collection=shop&steps=view,cart,purchase")
+      assert(fun.statusCode() == 200)
+      assert(fun.body() ==
+        """[{"step":1,"n_users":3},{"step":2,"n_users":2},{"step":3,"n_users":1}]""",
+        fun.body())
+      val ret = get(port, "/analysis/retention?collection=shop&grain=week")
+      assert(ret.statusCode() == 200)
+      // u1+u2 cohort Jan-5 week (offset 0: both; offset 1: u2 returns),
+      // u3 cohort Jan-12 week
+      val counts = "\"offset\":(\\d+),\"n_users\":(\\d+)".r
+        .findAllMatchIn(ret.body()).map(m => (m.group(1), m.group(2))).toSeq
+      assert(counts.contains(("0", "2")) && counts.contains(("1", "1")) &&
+        counts.contains(("0", "1")), ret.body())
+      assert(get(port, "/analysis/retention?collection=shop&grain=month")
+        .statusCode() == 400)
+    }
+  }
+
   test("user batch_operations fold into the profile served by /user/get") {
     withGateway { (_, port) =>
       assert(post(port, "/user/batch_operations",
