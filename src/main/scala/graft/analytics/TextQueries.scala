@@ -314,15 +314,18 @@ object TextQueries {
   private val topkK = 10
 
   /** The exploded (lang, gram) stream of all 3-grams. */
-  private def gramsOf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables(spark, dir, "documents")
+  private[analytics] def gramsOfDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"lang", explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("gram"))
   }
+
+  private def gramsOf(spark: SparkSession, dir: String): DataFrame =
+    gramsOfDocs(Tables(spark, dir, "documents"))
 
   def tTopkNgrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -434,10 +437,21 @@ object TextQueries {
     * the full plan stays vocabulary-shuffle-free — pinned in PlanSpec. */
   private[analytics] val ServedHeads = 64
 
-  def tTopkServed(spark: SparkSession, dir: String): DataFrame = {
+  def tTopkServed(spark: SparkSession, dir: String): DataFrame =
+    tTopkServedFrom(Tables(spark, dir, "documents"))
+
+  private[analytics] val ServedCmsEps = 0.001
+
+  /** The served frame itself — (lang, gram, est, rank), rank by CMS
+    * estimate over the lossy-counting candidates. Exposed for the
+    * recall/robustness specs; the oracle row ([[tTopkServedFrom]])
+    * wraps it with the bound audit and drops the engine-specific
+    * estimate. */
+  private[analytics] def servedTopk(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val cmsEps = 0.001
-    val grams = gramsOf(spark, dir)
+    val cmsEps = ServedCmsEps
+    val grams = gramsOfDocs(docs)
     // per-language constant-size sketches + totals: |langs| rows
     val sketches = grams.groupBy($"lang")
       .agg(
@@ -482,25 +496,31 @@ object TextQueries {
     val estimate = udf { (lang: String, gram: String) =>
       sketches(lang)._1.estimateCount(gram)
     }
-    val bound = udf { (lang: String) =>
-      math.ceil(cmsEps * sketches(lang)._2).toLong
-    }
+    val total = udf { (lang: String) => sketches(lang)._2 }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"est".desc, $"gram")
-    val served = candidates
+    candidates
       .withColumn("est", estimate($"lang", $"gram"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= topkK)
+      .withColumn("n_total", total($"lang"))
+  }
+
+  def tTopkServedFrom(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val served = servedTopk(docs)
     // bound audit for the SERVED grams only: exact counts via a
     // broadcast semi-join against k×|langs| rows — never |vocab|
-    grams
+    gramsOfDocs(docs)
       .join(broadcast(served), Seq("lang", "gram"))
       .groupBy($"lang", $"gram")
       .agg(count(lit(1)).as("n"), first($"est").as("est"),
-        first($"rank").as("rank"))
+        first($"rank").as("rank"), first($"n_total").as("n_total"))
       .select($"lang", $"rank",
         ($"est" >= $"n").as("never_undercounts"),
-        ($"est" <= $"n" + bound($"lang")).as("within_eps_bound"))
+        ($"est" <= $"n" + ceil($"n_total" * ServedCmsEps).cast("long"))
+          .as("within_eps_bound"))
   }
 
   /** DuckDB checks the shape and the guarantees: k ranks per language,
