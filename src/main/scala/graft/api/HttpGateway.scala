@@ -67,13 +67,27 @@ final class HttpGateway(
 
   private def opsDir = s"$warehouse/$project/__user_ops"
 
-  /** Bind on `port` (0 = ephemeral) and serve. Returns the bound port. */
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Bind on `port` (0 = ephemeral) and serve. Returns the bound port.
+    * Requests run on a small pool (Spark schedules concurrent jobs from
+    * multiple threads fine); the default HttpServer executor would
+    * serialize every request behind the slowest Spark job. */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
     server.createContext("/event/collect", route(handleCollect))
     server.createContext("/event/batch", route(handleBatch))
     server.createContext("/event/bulk", route(handleBulk))
     server.createContext("/user/batch_operations", route(handleUserBatch))
+    server.createContext("/user/set_properties",
+      route(handleUserOp(ProfileOps.Set)))
+    server.createContext("/user/set_properties_once",
+      route(handleUserOp(ProfileOps.SetOnce)))
+    server.createContext("/user/increment_property",
+      route(handleIncrement))
+    server.createContext("/user/unset_properties", route(handleUnset))
     server.createContext("/user/get", route(handleUserGet))
     server.createContext("/analysis/segmentation", route(handleSegmentation))
     server.createContext("/analysis/funnel", route(handleFunnel))
@@ -85,7 +99,10 @@ final class HttpGateway(
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+  }
 
   // ---------------- routes ----------------
 
@@ -194,12 +211,67 @@ final class HttpGateway(
         one(ProfileOps.Increment, props("increment_properties")),
         one(ProfileOps.Unset, unsets)).flatten
     }.toSeq
+    appendOps(ops)
+    (200, "1")
+  }
+
+  /** The reference's single-op doors (UserHttpService
+    * `/user/set_properties`, `/user/set_properties_once`,
+    * `/user/increment_property`, `/user/unset_properties`) — each is
+    * one op appended to the same log the batch door feeds. */
+  private def handleUserOp(kind: String)(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+      throw new IngestRejected("id is required"))
+    val ts = Option(root.get("time")).map(_.asLong())
+      .getOrElse(System.currentTimeMillis())
+    val props = Option(root.get("properties"))
+      .filter(_.isObject)
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(throw new IngestRejected("properties object is required"))
+    appendOps(Seq(ProfileOp(project, id, ts, opSeq.getAndIncrement(), kind,
+      ProfileOps.normalizeProps(props))))
+    (200, "1")
+  }
+
+  private def handleIncrement(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+      throw new IngestRejected("id is required"))
+    val property = Option(root.get("property")).map(_.asText()).getOrElse(
+      throw new IngestRejected("property is required"))
+    val value = Option(root.get("value")).map(_.asText()).getOrElse("1")
+    val ts = Option(root.get("time")).map(_.asLong())
+      .getOrElse(System.currentTimeMillis())
+    appendOps(Seq(ProfileOp(project, id, ts, opSeq.getAndIncrement(),
+      ProfileOps.Increment,
+      ProfileOps.normalizeProps(Map(property -> value)))))
+    (200, "1")
+  }
+
+  private def handleUnset(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+      throw new IngestRejected("id is required"))
+    val names = Option(root.get("properties")).filter(_.isArray)
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(throw new IngestRejected("properties array is required"))
+    val ts = Option(root.get("time")).map(_.asLong())
+      .getOrElse(System.currentTimeMillis())
+    appendOps(Seq(ProfileOp(project, id, ts, opSeq.getAndIncrement(),
+      ProfileOps.Unset,
+      ProfileOps.normalizeProps(names.map(_ -> "").toMap))))
+    (200, "1")
+  }
+
+  private def appendOps(ops: Seq[ProfileOp]): Unit =
     if (ops.nonEmpty) {
       import spark.implicits._
       ops.toDS().write.mode("append").parquet(opsDir)
     }
-    (200, "1")
-  }
 
   private def handleUserGet(ex: HttpExchange): (Int, String) = {
     val id = queryParams(ex).getOrElse("id",

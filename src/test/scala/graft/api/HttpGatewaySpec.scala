@@ -182,6 +182,32 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("single-op profile doors feed the same log as batch_operations") {
+    withGateway { (_, port) =>
+      assert(post(port, "/user/set_properties",
+        """{"id": "u9", "time": 1000, "properties": {"plan": "free"}}""")
+        .statusCode() == 200)
+      assert(post(port, "/user/set_properties_once",
+        """{"id": "u9", "time": 2000, "properties": {"plan": "pro", "tier": "a"}}""")
+        .statusCode() == 200)
+      assert(post(port, "/user/increment_property",
+        """{"id": "u9", "time": 3000, "property": "logins", "value": "4"}""")
+        .statusCode() == 200)
+      assert(post(port, "/user/increment_property",
+        """{"id": "u9", "time": 4000, "property": "logins"}""")
+        .statusCode() == 200)
+      assert(post(port, "/user/unset_properties",
+        """{"id": "u9", "time": 5000, "properties": ["tier"]}""")
+        .statusCode() == 200)
+      val prof = get(port, "/user/get?id=u9").body()
+      assert(prof.contains("\"plan\":\"free\""), prof)   // set_once lost
+      assert(prof.contains("\"logins\":\"5\""), prof)    // 4 + default 1
+      assert(prof.contains("\"tier\":null"), prof)       // unset tombstone
+      assert(post(port, "/user/set_properties", """{"id": "u9"}""")
+        .statusCode() == 400)
+    }
+  }
+
   test("dead letters: a coercion-violating property lands in " +
     "invalid_schema with event identity; the event still stores with " +
     "the field nulled (the S14 field-level contract)") {
