@@ -277,8 +277,14 @@ final class HttpGateway(
     val id = queryParams(ex).getOrElse("id",
       throw new IngestRejected("id is required"))
     import spark.implicits._
-    val profiles = ProfileMerge.merge(spark.read.parquet(opsDir).as[ProfileOp])
-    val rows = profiles.filter(col("id") === id).toJSON.collect()
+    val fs = new org.apache.hadoop.fs.Path(opsDir)
+    if (!fs.getFileSystem(spark.sessionState.newHadoopConf()).exists(fs))
+      return (404, """{"error":"user not found"}""")
+    // filter BEFORE the merge: the id predicate pushes to the parquet
+    // scan, so one GET folds one user's ops, never the whole log
+    val ops = spark.read.parquet(opsDir).as[ProfileOp]
+      .filter(col("id") === id)
+    val rows = ProfileMerge.merge(ops).toJSON.collect()
     if (rows.isEmpty) (404, """{"error":"user not found"}""")
     else (200, rows.head)
   }

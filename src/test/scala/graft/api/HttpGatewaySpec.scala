@@ -182,6 +182,12 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("/user/get on an empty store is a 404, not a 500") {
+    withGateway { (_, port) =>
+      assert(get(port, "/user/get?id=anyone").statusCode() == 404)
+    }
+  }
+
   test("single-op profile doors feed the same log as batch_operations") {
     withGateway { (_, port) =>
       assert(post(port, "/user/set_properties",
