@@ -46,7 +46,28 @@ object AnnIndex {
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         col("norm").as("cnorm"))
 
-  private def centroidsDir(path: String) = s"$path/centroids"
+  private def centroidsDirOf(path: String, gen: Long) =
+    if (gen <= 1L) s"$path/centroids" else s"$path/centroids_g$gen"
+
+  /** `_GEN` marker content `gen:firstVersion`: generation `gen`'s
+    * centroids apply once `_CURRENT` reaches `firstVersion` — the same
+    * version fence as `_BASE`, so a crash between marker writes and the
+    * pointer flip leaves readers on the previous generation's
+    * centroids AND postings, never a mix. */
+  private def genInfo(path: String): (Long, Long) =
+    VersionedState.readMarker(path, "_GEN")
+      .map { s => val Array(g, v) = s.split(':'); (g.toLong, v.toLong) }
+      .getOrElse((1L, 1L))
+
+  private def activeGen(path: String): Long = {
+    val (g, from) = genInfo(path)
+    if (VersionedState.currentVersion(path) >= from) g else g - 1
+  }
+
+  /** The ACTIVE generation's centroid directory — what assignment,
+    * queries, and audits must read. */
+  private def centroidsDir(path: String): String =
+    centroidsDirOf(path, activeGen(path))
 
   /** Assign a batch to cells against the broadcast centroid frame. */
   private def assign(batch: DataFrame, cents: DataFrame): DataFrame = {
@@ -69,7 +90,7 @@ object AnnIndex {
     val cents = centroidsOf(emb)
     require(cents.count() == IvfCells,
       s"bootstrap batch must contain the $IvfCells seed vectors")
-    cents.write.mode("errorifexists").parquet(centroidsDir(path))
+    cents.write.mode("errorifexists").parquet(centroidsDirOf(path, 1))
     writePostings(assign(emb, cents), path, 1)
   }
 
@@ -97,13 +118,20 @@ object AnnIndex {
 
   /** First version directory still carrying live postings: versions
     * below the `_BASE` marker were folded into it by [[compactPostings]]
-    * and are superseded. A base beyond `_CURRENT` is an in-flight
-    * compaction that never flipped the pointer — ignored, so a crash
-    * mid-compaction leaves a fully consistent index. */
+    * / [[reseed]] and are superseded. The marker carries
+    * `base:previousBase` — a base beyond `_CURRENT` is an in-flight
+    * rewrite that never flipped the pointer, so readers fall back to
+    * the PREVIOUS base (whose dirs still exist; falling back to 1
+    * would point at dirs an earlier compaction already deleted). */
   private def baseVersion(path: String): Long = {
     val cur = VersionedState.currentVersion(path)
-    VersionedState.readMarker(path, "_BASE").map(_.toLong)
-      .filter(_ <= cur).getOrElse(1L)
+    VersionedState.readMarker(path, "_BASE").map { s =>
+      val parts = s.split(':')
+      val b = parts(0).toLong
+      if (b <= cur) b
+      else if (parts.length > 1) parts(1).toLong
+      else 1L
+    }.getOrElse(1L)
   }
 
   /** All postings up to `_CURRENT` (a union of immutable version dirs
@@ -138,7 +166,64 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(VersionedState.versionDir(path, v))
-    VersionedState.writeMarker(path, "_BASE", v.toString)
+    VersionedState.writeMarker(path, "_BASE", s"$v:$oldBase")
+    VersionedState.writePointer(path, v, VersionedState.lastBatchId(path))
+    (oldBase until v).foreach(VersionedState.deleteVersion(path, _))
+  }
+
+  /** Re-seed the coarse quantizer from the CURRENT corpus — the action
+    * [[ai2IndexHealth]]'s drift signals trigger. Frozen centroids rot
+    * as the corpus grows away from the bootstrap sample: occupancy
+    * skews (probes stop pruning) and recall sags. Re-seeding runs
+    * `iters` Lloyd refinements warm-started from the active centroids
+    * (max-cosine assignment — the index's own metric — then per-cell
+    * dimension means; empty cells keep their old centroid so K never
+    * shrinks), REASSIGNS every posting against the new centroids, and
+    * writes the result as one consolidated version behind the `_BASE`
+    * and `_GEN` markers. Both markers carry the same version fence, so
+    * the old generation keeps serving — old centroids with old
+    * postings, never a mix — until the single atomic pointer flip;
+    * a crash at any step leaves a consistent index. Appends and
+    * queries pick up the new generation automatically ([[assign]] and
+    * [[query]] read the ACTIVE generation's centroids). Cost: `iters`+1
+    * corpus passes against a broadcast K-row frame plus one
+    * cell-partitioned rewrite — the same shape as [[compactPostings]],
+    * scheduled off the audit, not per append. */
+  def reseed(spark: SparkSession, path: String, iters: Int = 2): Unit = {
+    import spark.implicits._
+    val cur = VersionedState.currentVersion(path)
+    val oldBase = baseVersion(path)
+    val gen = activeGen(path)
+    val posts = postings(spark, path)
+      .select($"vec_id", $"embedding", $"label")
+    var cents = spark.read.parquet(centroidsDirOf(path, gen))
+    for (_ <- 1 to iters) {
+      val assigned = assign(posts, cents).select($"vec_id", $"cell")
+      val dims = posts
+        .select($"vec_id", posexplode($"embedding").as(Seq("d", "v0")))
+        .select($"vec_id", $"d", $"v0".cast("double").as("v"))
+      val means = dims.join(assigned, "vec_id")
+        .groupBy($"cell", $"d")
+        .agg((sum($"v") / count($"v")).as("c"))
+        .groupBy($"cell")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(d, c))), x -> CAST(x.c AS FLOAT))")
+          .as("mvec"))
+      // empty cells keep their old centroid: K is part of the contract
+      cents = cents.join(means, cents("cid") === means("cell"), "left")
+        .select(cents("cid"),
+          coalesce($"mvec", cents("cvec")).as("cvec"))
+        .withColumn("cnorm", sqrt(SimilarityQueries.dot($"cvec", $"cvec")))
+    }
+    val newGen = gen + 1
+    val v = cur + 1
+    cents.write.mode("errorifexists").parquet(centroidsDirOf(path, newGen))
+    val reread = spark.read.parquet(centroidsDirOf(path, newGen))
+    assign(posts, reread)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(VersionedState.versionDir(path, v))
+    VersionedState.writeMarker(path, "_BASE", s"$v:$oldBase")
+    VersionedState.writeMarker(path, "_GEN", s"$newGen:$v")
     VersionedState.writePointer(path, v, VersionedState.lastBatchId(path))
     (oldBase until v).foreach(VersionedState.deleteVersion(path, _))
   }

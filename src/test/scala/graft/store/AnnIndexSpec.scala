@@ -137,6 +137,59 @@ class AnnIndexSpec extends SparkSpec {
     assert(topk(dir) == topk(one))
   }
 
+  test("reseed retrains centroids from the stored corpus, reassigns " +
+    "postings, and flips generations behind the version fence") {
+    val dir = freshDir()
+    val mx = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    AnnIndex.initialize(emb.filter(col("vec_id") <= mx / 2), dir)
+    AnnIndex.maintainBatch(emb.filter(col("vec_id") > mx / 2), dir, 0L)
+    val n = AnnIndex.postings(spark, dir).count()
+
+    AnnIndex.reseed(spark, dir)
+    assert(VersionedState.currentVersion(dir) == 3L)
+    assert(VersionedState.lastBatchId(dir) == 0L,
+      "reseed lost the streaming batch fence")
+    assert(AnnIndex.postings(spark, dir).count() == n,
+      "reseed changed the corpus")
+    // Lloyd actually moved the quantizer: generation-2 centroids are
+    // not the bootstrap seed vectors
+    val g1 = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val g2 = spark.read.parquet(s"$dir/centroids_g2")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(g1.keySet == g2.keySet, "reseed changed K")
+    assert(g1.keySet.exists(c => g1(c) != g2(c)),
+      "reseed left every centroid at its seed")
+    // every stored posting sits in its argmax-cosine cell of the NEW
+    // centroids (sampled)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    AnnIndex.postings(spark, dir).limit(20).collect().foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      // partition-column type inference reads cell back as int
+      val stored = r.getAs[Number]("cell").longValue()
+      val best = g2.toSeq
+        .map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+      assert(stored == best,
+        s"posting ${r.getLong(r.fieldIndex("vec_id"))} in cell $stored, " +
+          s"argmax is $best")
+    }
+    // queries keep serving with partition pruning after the flip
+    assert(topk(dir).size == 10)
+    // an UNFLIPPED future generation (crash mid-reseed #2) is
+    // invisible: both markers carry a version fence, and the stranded
+    // base falls back to the PREVIOUS base — not to long-deleted v=1
+    VersionedState.writeMarker(dir, "_GEN", "3:99")
+    VersionedState.writeMarker(dir, "_BASE", "99:3")
+    assert(topk(dir).size == 10,
+      "crash-stranded markers broke the serving index")
+  }
+
   test("maintain wired through a real stream appends each micro-batch") {
     val dir = freshDir()
     val inDir = java.nio.file.Files.createTempDirectory("graft-ann-in").toString
