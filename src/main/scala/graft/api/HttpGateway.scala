@@ -268,7 +268,7 @@ final class HttpGateway(
   }
 
   private def appendOps(ops: Seq[ProfileOp]): Unit =
-    if (ops.nonEmpty) {
+    if (ops.nonEmpty) writeLock.synchronized {
       import spark.implicits._
       ops.toDS().write.mode("append").parquet(opsDir)
     }
@@ -339,11 +339,17 @@ final class HttpGateway(
 
   // ---------------- plumbing ----------------
 
+  /** Store writes serialize on this lock: concurrent Spark jobs
+    * appending to the SAME parquet directory share its `_temporary`
+    * staging dir and can clobber each other's commits. Reads (queries,
+    * analysis routes) stay fully concurrent on the pool. */
+  private val writeLock = new Object
+
   /** Ingest raw event lines through the standard two-pass path and
     * append each collection to the store; dead letters go to the
     * `$invalid_schema` table exactly as in the batch pipeline. Returns
     * rows stored. */
-  private def ingestAndStore(lines: Seq[String]): Long = {
+  private def ingestAndStore(lines: Seq[String]): Long = writeLock.synchronized {
     val res = JsonIngest.ingest(spark, registry, project,
       spark.sparkContext.parallelize(lines, 1))
     try {

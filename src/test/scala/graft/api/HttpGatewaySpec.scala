@@ -182,6 +182,24 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("concurrent collects all store: writes serialize behind the " +
+    "lock, none are lost to shared staging dirs") {
+    withGateway { (_, port) =>
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val codes = Await.result(Future.sequence((1 to 12).map { i =>
+        Future(post(port, "/event/collect",
+          s"""{"collection": "conc", "properties": {"_user": "u$i", "_time": "2026-01-15 10:00:00.000", "k": $i}}""")
+          .statusCode())
+      }), 180.seconds)
+      assert(codes.forall(_ == 200), codes.toString)
+      val res = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n, count(DISTINCT _user) AS u FROM conc"}""")
+      assert(res.body() == """[{"n":12,"u":12}]""", res.body())
+    }
+  }
+
   test("/user/get on an empty store is a 404, not a 500") {
     withGateway { (_, port) =>
       assert(get(port, "/user/get?id=anyone").statusCode() == 404)
