@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * (re-assigning the whole corpus); at 100 TB the index must PERSIST:
   *
   *  - **centroids** are frozen at bootstrap (the deterministic first-K
-  *    seeding sim4's oracle uses) and written once — coarse-quantizer
-  *    drift would silently invalidate every stored posting;
+  *    seeding sim4's oracle uses) — per-append quantizer drift would
+  *    silently invalidate every stored posting. They change only
+  *    through [[reseed]], which retrains, reassigns EVERYTHING, and
+  *    flips generations atomically ([[ai2IndexHealth]] is the drift
+  *    monitor that triggers it);
   *  - **postings** (vec_id, cell, embedding, norm, label) are
   *    append-only: each delta batch is assigned against the BROADCAST
   *    centroid frame (one narrow O(delta) pass) and lands as its own
