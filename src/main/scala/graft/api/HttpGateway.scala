@@ -79,6 +79,7 @@ final class HttpGateway(
     server.setExecutor(pool)
     server.createContext("/event/collect", route(handleCollect))
     server.createContext("/event/batch", route(handleBatch))
+    server.createContext("/event/bulk/remote", route(handleBulkRemote))
     server.createContext("/event/bulk", route(handleBulk))
     server.createContext("/user/batch_operations", route(handleUserBatch))
     server.createContext("/user/set_properties",
@@ -130,6 +131,32 @@ final class HttpGateway(
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
     val n = ingestAndStore(env.events)
+    (200, s"""{"stored":$n}""")
+  }
+
+  /** URL-addressed bulk import (S6): body
+    * `{"collection": …, "urls": […], "type": "JSON|CSV|AVRO"}` routed
+    * through [[BatchSources.remoteBulk]] to the matching reader, then
+    * stored. The reference's guards (one url, no compression) come
+    * from the engine. */
+  private def handleBulkRemote(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+      throw new IngestRejected("collection is required"))
+    val urls = Option(root.get("urls")).filter(_.isArray)
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(throw new IngestRejected("urls array is required"))
+    val tpe = BatchSources.CopyType.of(
+      Option(root.get("type")).map(_.asText()).getOrElse(""))
+    val req = BatchSources.BulkEventRemote(collection, urls, tpe,
+      Option(root.get("compression")).map(_.asText()))
+    val n = writeLock.synchronized {
+      val df = BatchSources.remoteBulk(spark, registry, project, req)
+      val rows = df.count()
+      EventStore.write(df, warehouse, project, collection)
+      rows
+    }
     (200, s"""{"stored":$n}""")
   }
 

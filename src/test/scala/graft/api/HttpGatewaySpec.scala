@@ -103,6 +103,31 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("remote bulk door fetches a URL through the S6 pipeline and stores") {
+    withGateway { (_, port) =>
+      val f = java.nio.file.Files.createTempFile("graft-http-bulk", ".json")
+      java.nio.file.Files.writeString(f,
+        """{"api": {"api_key": "k"}, "events": [
+          |  {"collection": "orders", "properties": {"_user": "u1", "_time": "2026-01-15 08:00:00.000", "amount": 10.5}},
+          |  {"collection": "orders", "properties": {"_user": "u2", "_time": "2026-01-15 09:00:00.000", "amount": 2.0}}
+          |]}""".stripMargin)
+      val res = post(port, "/event/bulk/remote",
+        s"""{"collection": "orders", "urls": ["${f.toUri}"], "type": "JSON"}""")
+      assert(res.statusCode() == 200 && res.body() == """{"stored":2}""",
+        res.body())
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM orders"}""")
+      assert(q.body() == """[{"n":2}]""", q.body())
+      // the engine's guards surface as 400s
+      assert(post(port, "/event/bulk/remote",
+        """{"collection": "orders", "urls": ["file:///a", "file:///b"], "type": "JSON"}""")
+        .statusCode() == 400)
+      assert(post(port, "/event/bulk/remote",
+        """{"collection": "orders", "urls": ["file:///a"], "type": "PARQUET"}""")
+        .statusCode() == 400)
+    }
+  }
+
   test("query door runs SQL over the stored collections through the " +
     "full engine; analysis errors are 400s") {
     withGateway { (_, port) =>
