@@ -96,6 +96,9 @@ final class HttpGateway(
     server.createContext("/project/schema", route(handleSchema))
     server.createContext("/project/collection", route(handleCollections))
     server.createContext("/query/execute", route(handleQuery))
+    server.createContext("/subscription/create", route(handleSubCreate))
+    server.createContext("/subscription/poll", route(handleSubPoll))
+    server.createContext("/subscription/delete", route(handleSubDelete))
     server.start()
     server.getAddress.getPort
   }
@@ -103,6 +106,8 @@ final class HttpGateway(
   def stop(): Unit = {
     if (server != null) server.stop(0)
     if (pool != null) pool.shutdown()
+    subscriptions.values().asScala.foreach(_.stop())
+    subscriptions.clear()
   }
 
   // ---------------- routes ----------------
@@ -362,6 +367,78 @@ final class HttpGateway(
     val out = Analytics.retention(stored, "_user", "_time", grain)
     (200, out.orderBy(col("cohort_bucket"), col("offset"))
       .toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  // ---------------- subscriptions (ST1 over HTTP) ----------------
+
+  private val subscriptions =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.streaming.StreamingQuery]()
+
+  private def subTable(id: String) = s"graft_sub_$id"
+
+  /** `POST /subscription/create` — the reference's `EventStream`
+    * (ST1): body `{"id": …, "collection": …, "filter"?: sqlPredicate,
+    * "columns"?: […]}`. The collection's table directory becomes a
+    * file-source stream (every collected batch's files are a
+    * micro-batch), the filter/projection run through
+    * [[Subscriptions.plan]], and results land in a named in-memory
+    * sink. `POST /subscription/poll?id=…` is the `sync()` pull:
+    * process all available input, serve the accumulated rows. One
+    * collection per subscription on this surface; the sink holds the
+    * subscription's lifetime of matched rows (a dashboard session),
+    * so `delete` it when done. */
+  private def handleSubCreate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+      throw new IngestRejected("id is required"))
+    if (!id.matches("[A-Za-z0-9_]+"))
+      throw new IngestRejected("id must be alphanumeric")
+    if (subscriptions.containsKey(id))
+      throw new IngestRejected(s"subscription '$id' already exists")
+    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+      throw new IngestRejected("collection is required"))
+    val filter = Option(root.get("filter")).map(_.asText())
+    val columns = Option(root.get("columns")).filter(_.isArray)
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val fields = registry.sparkSchema(project, collection).getOrElse(
+      throw new IngestRejected(s"unknown collection '$collection'"))
+    val schema = org.apache.spark.sql.types.StructType(
+      fields.fields :+ org.apache.spark.sql.types.StructField(
+        "_month", org.apache.spark.sql.types.StringType))
+    val stream = graft.streaming.Subscriptions
+      .fileStream(spark, schema,
+        EventStore.tablePath(warehouse, project, collection))
+      .withColumn("_collection", lit(collection))
+    val sub = graft.streaming.StreamSubscription(id,
+      Seq(graft.streaming.CollectionStreamQuery(collection, filter)), columns)
+    val planned = graft.streaming.Subscriptions.plan(stream, sub)
+      .drop("_collection", "_month")
+    val q = planned.writeStream.format("memory").queryName(subTable(id))
+      .outputMode("append").start()
+    subscriptions.put(id, q)
+    (200, s"""{"id":"$id"}""")
+  }
+
+  private def handleSubPoll(ex: HttpExchange): (Int, String) = {
+    val id = queryParams(ex).getOrElse("id",
+      throw new IngestRejected("id is required"))
+    val q = Option(subscriptions.get(id)).getOrElse(
+      return (404, """{"error":"subscription not found"}"""))
+    q.processAllAvailable() // the sync() pull
+    (200, spark.table(subTable(id)).toJSON.collect()
+      .mkString("[", ",", "]"))
+  }
+
+  private def handleSubDelete(ex: HttpExchange): (Int, String) = {
+    val id = queryParams(ex).getOrElse("id",
+      throw new IngestRejected("id is required"))
+    val q = Option(subscriptions.remove(id)).getOrElse(
+      return (404, """{"error":"subscription not found"}"""))
+    q.stop()
+    spark.catalog.dropTempView(subTable(id))
+    (200, "1")
   }
 
   // ---------------- plumbing ----------------

@@ -24,7 +24,10 @@ object EventStore {
   /** Magic source fields excluded from the persisted row (P1). */
   val sourceOnlyFields: Seq[String] = Seq("_ip", "_user_agent", "_referrer")
 
-  private def tablePath(warehouse: String, project: String, collection: String) =
+  /** The collection's table directory — the streaming tail
+    * ([[graft.streaming.Subscriptions.fileStream]]) reads it as a
+    * file source: every appended batch's files become a micro-batch. */
+  def tablePath(warehouse: String, project: String, collection: String): String =
     s"$warehouse/$project/$collection"
 
   /** Append a typed batch; `_month` derived from `_time` when present. */

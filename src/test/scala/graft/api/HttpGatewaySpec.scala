@@ -207,6 +207,31 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("subscription lifecycle: create → collect → poll sees matching " +
+    "rows, the sync() pull contract over HTTP (ST1)") {
+    withGateway { (_, port) =>
+      assert(post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "page": "/a"}}""")
+        .statusCode() == 200)
+      val created = post(port, "/subscription/create",
+        """{"id": "s1", "collection": "pageview", "filter": "page = '/a'"}""")
+      assert(created.statusCode() == 200, created.body())
+      // existing files are the first micro-batch
+      val p1 = post(port, "/subscription/poll?id=s1", "")
+      assert(p1.body().split("\"_user\"").length - 1 == 1, p1.body())
+      // new collects surface on the next pull; the filter drops /b
+      post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u2", "_time": "2026-01-15 11:00:00.000", "page": "/a"}}""")
+      post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u3", "_time": "2026-01-15 12:00:00.000", "page": "/b"}}""")
+      val p2 = post(port, "/subscription/poll?id=s1", "")
+      assert(p2.body().split("\"_user\"").length - 1 == 2, p2.body())
+      assert(!p2.body().contains("u3"), p2.body())
+      assert(post(port, "/subscription/delete?id=s1", "").statusCode() == 200)
+      assert(post(port, "/subscription/poll?id=s1", "").statusCode() == 404)
+    }
+  }
+
   test("concurrent collects all store: writes serialize behind the " +
     "lock, none are lost to shared staging dirs") {
     withGateway { (_, port) =>
