@@ -90,6 +90,8 @@ final class HttpGateway(
       route(handleIncrement))
     server.createContext("/user/unset_properties", route(handleUnset))
     server.createContext("/user/get", route(handleUserGet))
+    server.createContext("/user/delete", route(handleUserDelete))
+    server.createContext("/admin/compact", route(handleCompact))
     server.createContext("/analysis/segmentation", route(handleSegmentation))
     server.createContext("/analysis/funnel", route(handleFunnel))
     server.createContext("/analysis/retention", route(handleRetention))
@@ -367,6 +369,62 @@ final class HttpGateway(
     val out = Analytics.retention(stored, "_user", "_time", grain)
     (200, out.orderBy(col("cohort_bucket"), col("offset"))
       .toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** Right-to-be-forgotten: physically remove one user's events from
+    * every collection ([[EventStore.deleteUser]] surveys partitions
+    * and rewrites only the touched ones) and drop their ops from the
+    * profile log (write-aside rewrite — the log is |ops|, not
+    * |events|). Returns partitions rewritten and event rows deleted. */
+  private def handleUserDelete(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+      throw new IngestRejected("id is required"))
+    writeLock.synchronized {
+      var parts = 0
+      var rows = 0L
+      registry.collections(project).foreach { c =>
+        val (p, r) = EventStore.deleteUser(spark, warehouse, project, c,
+          "_user", id)
+        parts += p; rows += r
+      }
+      val opsPath = new org.apache.hadoop.fs.Path(opsDir)
+      val fs = opsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(opsPath)) {
+        import spark.implicits._
+        val kept = spark.read.parquet(opsDir).as[ProfileOp]
+          .filter(col("id") =!= id)
+        val tmp = s"$opsDir.rewriting"
+        kept.write.mode("overwrite").parquet(tmp)
+        fs.delete(opsPath, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), opsPath),
+          "ops-log swap failed")
+      }
+      (200, s"""{"partitions_rewritten":$parts,"rows_deleted":$rows}""")
+    }
+  }
+
+  /** Store maintenance: rewrite one month partition's accumulated
+    * small files (every collect appends at least one) into
+    * `ceil(rows/rows_per_file)` files. */
+  private def handleCompact(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+      throw new IngestRejected("collection is required"))
+    val month = Option(root.get("month")).map(_.asText()).getOrElse(
+      throw new IngestRejected("month is required"))
+    val rowsPerFile = Option(root.get("rows_per_file")).map(_.asLong())
+      .getOrElse(1_000_000L)
+    val files = writeLock.synchronized {
+      try EventStore.compactPartition(spark, warehouse, project, collection,
+        month, rowsPerFile)
+      catch { case e: IllegalArgumentException =>
+        throw new IngestRejected(e.getMessage)
+      }
+    }
+    (200, s"""{"files":$files}""")
   }
 
   // ---------------- subscriptions (ST1 over HTTP) ----------------

@@ -250,6 +250,37 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("right-to-be-forgotten: /user/delete removes events everywhere " +
+    "and the profile; /admin/compact consolidates the partition") {
+    withGateway { (_, port) =>
+      for (i <- 1 to 4)
+        post(port, "/event/collect",
+          s"""{"collection": "pv", "properties": {"_user": "u${i % 2}", "_time": "2026-01-1$i 10:00:00.000", "x": $i}}""")
+      post(port, "/event/collect",
+        """{"collection": "clk", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000"}}""")
+      post(port, "/user/set_properties",
+        """{"id": "u1", "properties": {"plan": "pro"}}""")
+      val del = post(port, "/user/delete", """{"id": "u1"}""")
+      assert(del.statusCode() == 200, del.body())
+      assert(del.body().contains("\"rows_deleted\":3"), del.body())
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n, count(DISTINCT _user) AS u FROM pv"}""")
+      assert(q.body() == """[{"n":2,"u":1}]""", q.body())
+      assert(get(port, "/user/get?id=u1").statusCode() == 404)
+
+      val comp = post(port, "/admin/compact",
+        """{"collection": "pv", "month": "2026-01"}""")
+      assert(comp.statusCode() == 200 && comp.body() == """{"files":1}""",
+        comp.body())
+      // reads survive compaction
+      val q2 = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM pv"}""")
+      assert(q2.body() == """[{"n":2}]""", q2.body())
+      assert(post(port, "/admin/compact",
+        """{"collection": "pv", "month": "1999-01"}""").statusCode() == 400)
+    }
+  }
+
   test("/user/get on an empty store is a 404, not a 500") {
     withGateway { (_, port) =>
       assert(get(port, "/user/get?id=anyone").statusCode() == 404)
