@@ -101,6 +101,12 @@ final class HttpGateway(
     server.createContext("/subscription/create", route(handleSubCreate))
     server.createContext("/subscription/poll", route(handleSubPoll))
     server.createContext("/subscription/delete", route(handleSubDelete))
+    server.createContext("/event/hook/activate", route(handleHookActivate))
+    server.createContext("/event/hook/collect", route(handleHookCollect))
+    server.createContext("/event/hook/test", route(handleHookTest))
+    server.createContext("/event/hook/get", route(handleHookGet))
+    server.createContext("/event/hook/list", route(handleHookList))
+    server.createContext("/event/hook/delete", route(handleHookDelete))
     server.start()
     server.getAddress.getPort
   }
@@ -497,6 +503,149 @@ final class HttpGateway(
     q.stop()
     spark.catalog.dropTempView(subTable(id))
     (200, "1")
+  }
+
+  // ---------------- webhooks (S7 over HTTP) ----------------
+
+  private def hooksDir = s"$warehouse/$project/__webhooks"
+
+  /** One stored hook: `{"code":…, "parameters":{…}, "active":bool}`,
+    * one marker file per identifier (the reference's JDBC `webhook`
+    * table keyed (project, identifier), WebHookHttpService.java:140-151).
+    * The reference compiles per request (its engine-cache key carries a
+    * per-request UUID), so there is deliberately no compiled cache to
+    * invalidate here either. */
+  private def readHook(id: String): Option[(String, Map[String, String], Boolean)] =
+    graft.store.VersionedState.readMarker(hooksDir, id).map { s =>
+      val root = mapper.readTree(s)
+      val code = root.get("code").asText()
+      val ps = Option(root.get("parameters")).filter(_.isObject)
+        .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String])
+      val active = Option(root.get("active")).forall(_.asBoolean(true))
+      (code, ps, active)
+    }
+
+  private def requireIdentifier(id: String): String = {
+    if (!id.matches("[A-Za-z0-9_-]+"))
+      throw new IngestRejected("identifier must be alphanumeric")
+    id
+  }
+
+  /** `POST /event/hook/activate` — store (or replace) a webhook
+    * transform: body `{"identifier":…, "code":…, "parameters"?:{…},
+    * "active"?:bool}`. The code must parse; the module contract is
+    * `module(params, body, headers)` → event object | array | null
+    * ([[graft.enrich.js.JsWebhookTransform]]). */
+  private def handleHookActivate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val id = requireIdentifier(Option(root.get("identifier")).map(_.asText())
+      .getOrElse(throw new IngestRejected("identifier is required")))
+    val code = Option(root.get("code")).map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new IngestRejected("code is required"))
+    val ps = Option(root.get("parameters")).filter(_.isObject)
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val active = Option(root.get("active")).forall(_.asBoolean(true))
+    try graft.enrich.js.JsWebhookTransform(code, ps)
+    catch {
+      case e: graft.enrich.js.MiniJs.JsException =>
+        throw new IngestRejected(s"invalid code: ${e.getMessage}")
+    }
+    val node = mapper.createObjectNode()
+    node.put("code", code)
+    val pn = node.putObject("parameters")
+    ps.foreach { case (k, v) => pn.put(k, v) }
+    node.put("active", active)
+    graft.store.VersionedState.writeMarker(hooksDir, id,
+      mapper.writeValueAsString(node))
+    (200, """{"success":true}""")
+  }
+
+  /** `POST|GET /event/hook/collect/<identifier>` — run the stored
+    * transform over this request (body, query params, headers) and
+    * ingest the produced events through the standard pipeline. Returns
+    * `1` if anything stored, `0` if the module dropped the request
+    * (both 200, the reference's saved/not-saved contract); module
+    * execution errors are 500s (WebHookHttpService.java:200-211). */
+  private def handleHookCollect(ex: HttpExchange): (Int, String) = {
+    val id = requireIdentifier(
+      ex.getRequestURI.getPath.stripPrefix("/event/hook/collect")
+        .stripPrefix("/"))
+    val (code, ps, active) = readHook(id).getOrElse(
+      return (404, """{"error":"webhook not found"}"""))
+    if (!active) return (404, """{"error":"webhook is not active"}""")
+    val body =
+      if (ex.getRequestMethod == "POST")
+        new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      else ""
+    // the JDK server case-normalizes header names; lowercase them so
+    // module code addresses `headers.channel` predictably
+    val headers = ex.getRequestHeaders.asScala.map { case (k, vs) =>
+      k.toLowerCase -> vs.asScala.headOption.getOrElse("")
+    }.toMap
+    val lines = graft.enrich.js.JsWebhookTransform(code, ps)
+      .transformOne(body, queryParams(ex), headers)
+    val n = if (lines.isEmpty) 0L else ingestAndStore(lines)
+    (200, if (n > 0) "1" else "0")
+  }
+
+  /** `POST /event/hook/test` — run code once WITHOUT storing: body
+    * `{"code":…, "parameters"?:{…}, "body"?:…}`. Returns the produced
+    * event objects as a JSON array; code errors are the client's 400
+    * (the reference's test door). */
+  private def handleHookTest(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val code = Option(root.get("code")).map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new IngestRejected("code is required"))
+    val ps = Option(root.get("parameters")).filter(_.isObject)
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val body = Option(root.get("body"))
+      .map(b => if (b.isTextual) b.asText() else b.toString).getOrElse("")
+    val lines =
+      try graft.enrich.js.JsWebhookTransform(code, ps).transformOne(body)
+      catch {
+        case e: graft.enrich.js.MiniJs.JsException =>
+          throw new IngestRejected(s"error executing code: ${e.getMessage}")
+      }
+    (200, lines.mkString("[", ",", "]"))
+  }
+
+  private def handleHookGet(ex: HttpExchange): (Int, String) = {
+    val id = requireIdentifier(queryParams(ex).getOrElse("identifier",
+      throw new IngestRejected("identifier is required")))
+    graft.store.VersionedState.readMarker(hooksDir, id) match {
+      case None => (404, """{"error":"webhook not found"}""")
+      case Some(json) =>
+        (200, s"""{"identifier":${mapper.writeValueAsString(id)},${json.trim.stripPrefix("{")}""")
+    }
+  }
+
+  private def handleHookList(ex: HttpExchange): (Int, String) = {
+    val dir = new org.apache.hadoop.fs.Path(hooksDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return (200, "[]")
+    val ids = fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filterNot(_.endsWith(".tmp")).sorted
+    val rows = ids.flatMap { id =>
+      graft.store.VersionedState.readMarker(hooksDir, id).map(json =>
+        s"""{"identifier":${mapper.writeValueAsString(id)},${json.trim.stripPrefix("{")}""")
+    }
+    (200, rows.mkString("[", ",", "]"))
+  }
+
+  private def handleHookDelete(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val id = requireIdentifier(Option(root.get("identifier")).map(_.asText())
+      .getOrElse(throw new IngestRejected("identifier is required")))
+    val p = new org.apache.hadoop.fs.Path(hooksDir, id)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) (404, """{"error":"webhook not found"}""")
+    else { fs.delete(p, false); (200, """{"success":true}""") }
   }
 
   // ---------------- plumbing ----------------

@@ -321,14 +321,40 @@ final case class JsWebhookTransform(code: String,
     bodies.mapPartitions { it =>
       val engine = JsCodeCompiler.createEngine(codeStr)
       it.flatMap { body =>
-        val parsed = try JsJson.parse(body) catch { case _: Throwable => body }
-        engine.invoke("module", paramMap, parsed, Map.empty[String, Any]) match {
-          case null | MiniJs.Undefined => Nil
-          case a: mutable.ArrayBuffer[Any @unchecked] =>
-            a.toSeq.map(JsJson.stringify)
-          case one => Seq(JsJson.stringify(one))
-        }
+        JsWebhookTransform.invokeModule(engine, paramMap, body,
+          Map.empty[String, Any])
       }
+    }
+  }
+
+  /** Driver-side single-body invocation — the HTTP gateway's
+    * per-request path. The reference also compiles per request (its
+    * cache key carries a per-request UUID, WebHookHttpService.java:180)
+    * and evaluates on a JS executor pool (:189). Query params overlay
+    * the hook's stored parameters as the module's first argument;
+    * request headers are the third. Same contract as [[apply]]:
+    * 0..n event JSON lines. */
+  def transformOne(body: String,
+      queryParams: Map[String, String] = Map.empty,
+      headers: Map[String, String] = Map.empty): Seq[String] =
+    JsWebhookTransform.invokeModule(
+      JsCodeCompiler.createEngine(code), params ++ queryParams, body,
+      headers)
+}
+
+object JsWebhookTransform {
+  /** `module(params, body, headers)` → 0..n stringified event objects;
+    * a JSON body arrives parsed, anything else as the raw string
+    * (WebHookHttpService.java:156-272; the module may return one object
+    * or an array). */
+  private[js] def invokeModule(engine: JsEngine, params: Map[String, Any],
+      body: String, headers: Map[String, Any]): Seq[String] = {
+    val parsed = try JsJson.parse(body) catch { case _: Throwable => body }
+    engine.invoke("module", params, parsed, headers) match {
+      case null | MiniJs.Undefined => Nil
+      case a: mutable.ArrayBuffer[Any @unchecked] =>
+        a.toSeq.map(JsJson.stringify)
+      case one => Seq(JsJson.stringify(one))
     }
   }
 }

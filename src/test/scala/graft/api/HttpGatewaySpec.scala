@@ -341,4 +341,58 @@ class HttpGatewaySpec extends SparkSpec {
         seg.body())
     } finally gw.stop()
   }
+
+  test("webhook lifecycle: activate → collect transforms and stores → " +
+    "get/list/delete; bad code and dropped bodies handled") {
+    withGateway { (_, port) =>
+      val code = "function module(params, body, headers) { " +
+        "if (body.drop) { return null; } " +
+        "return {collection: params.target, properties: {" +
+        "_user: body.user, _time: body.ts, " +
+        "via: headers.channel, camp: params.campaign}}; }"
+      // syntax errors are the client's 400 at activation time
+      val bad = post(port, "/event/hook/activate",
+        "{\"identifier\": \"h1\", \"code\": \"function module( {\"}")
+      assert(bad.statusCode() == 400 && bad.body().contains("invalid code"),
+        bad.body())
+      // activate with a stored parameter
+      val act = post(port, "/event/hook/activate",
+        s"""{"identifier": "h1", "code": "$code",
+           | "parameters": {"target": "signup"}}""".stripMargin)
+      assert(act.statusCode() == 200, act.body())
+      // collect: query params overlay stored ones, headers reach the module
+      val c1 = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://localhost:$port/event/hook/collect/h1?campaign=summer"))
+          .header("channel", "partner")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"user": "u9", "ts": "2026-01-15 10:30:00.000"}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(c1.statusCode() == 200 && c1.body() == "1", c1.body())
+      // a dropped body answers 0 and stores nothing
+      val c2 = post(port, "/event/hook/collect/h1", """{"drop": true}""")
+      assert(c2.statusCode() == 200 && c2.body() == "0", c2.body())
+      // the stored event went through the standard ingest pipeline
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT _user, via, camp FROM signup"}""")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().contains("\"_user\":\"u9\"") &&
+        q.body().contains("\"via\":\"partner\"") &&
+        q.body().contains("\"camp\":\"summer\""), q.body())
+      // management reads
+      val got = get(port, "/event/hook/get?identifier=h1")
+      assert(got.statusCode() == 200 &&
+        got.body().contains("\"identifier\":\"h1\"") &&
+        got.body().contains("\"active\":true"), got.body())
+      val listed = get(port, "/event/hook/list")
+      assert(listed.statusCode() == 200 &&
+        listed.body().contains("\"identifier\":\"h1\""), listed.body())
+      // unknown hook → 404; delete → 404 afterwards
+      assert(post(port, "/event/hook/collect/nope", "{}").statusCode() == 404)
+      assert(post(port, "/event/hook/delete", """{"identifier": "h1"}""")
+        .statusCode() == 200)
+      assert(get(port, "/event/hook/get?identifier=h1").statusCode() == 404)
+    }
+  }
 }
