@@ -107,6 +107,11 @@ final class HttpGateway(
     server.createContext("/event/hook/get", route(handleHookGet))
     server.createContext("/event/hook/list", route(handleHookList))
     server.createContext("/event/hook/delete", route(handleHookDelete))
+    server.createContext("/custom-event-mapper/create", route(handleMapperCreate(update = false)))
+    server.createContext("/custom-event-mapper/update", route(handleMapperCreate(update = true)))
+    server.createContext("/custom-event-mapper/delete", route(handleMapperDelete))
+    server.createContext("/custom-event-mapper/list", route(handleMapperList))
+    server.createContext("/custom-event-mapper/test", route(handleMapperTest))
     server.start()
     server.getAddress.getPort
   }
@@ -214,10 +219,12 @@ final class HttpGateway(
     val df =
       try spark.sql(sql)
       catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IngestRejected(e.getSimpleMessage)
+        // ParseException IS an AnalysisException in Spark 4 — match it
+        // first or its arm is unreachable
         case e: org.apache.spark.sql.catalyst.parser.ParseException =>
           throw new IngestRejected(e.getMessage)
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IngestRejected(e.getSimpleMessage)
       }
     (200, df.limit(limit).toJSON.collect().mkString("[", ",", "]"))
   }
@@ -648,6 +655,184 @@ final class HttpGateway(
     else { fs.delete(p, false); (200, """{"success":true}""") }
   }
 
+  // ------------- custom event mappers (M7 over HTTP) -------------
+
+  private def mappersDir = s"$warehouse/$project/__mappers"
+
+  /** One stored mapper (the reference's JDBC `custom_event_mappers`
+    * row, CustomEventMapperHttpService.java:106-384): a JS
+    * `mapper(events, params, sourceIp, headers, sql, config)` applied
+    * to every collected batch. `collection=None` is the reference's
+    * project-wide mapper; `produced` are the declared output fields
+    * (the `addFieldDependency` rule — they evolve the collection's
+    * schema when the mapper first touches it). */
+  private case class StoredMapper(name: String, script: String,
+      collection: Option[String], params: Map[String, String],
+      produced: Seq[(String, graft.core.FieldType)], active: Boolean)
+
+  private def parseStoredMapper(name: String, json: String): StoredMapper = {
+    val root = mapper.readTree(json)
+    StoredMapper(name,
+      root.get("script").asText(),
+      Option(root.get("collection")).filter(!_.isNull).map(_.asText()),
+      Option(root.get("parameters")).filter(_.isObject)
+        .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty),
+      Option(root.get("produced")).filter(_.isObject)
+        .map(_.properties().asScala.map(e =>
+          e.getKey -> graft.core.FieldType.fromName(e.getValue.asText())).toSeq)
+        .getOrElse(Nil),
+      Option(root.get("active")).forall(_.asBoolean(true)))
+  }
+
+  private def storedMappers(): Seq[StoredMapper] = {
+    val dir = new org.apache.hadoop.fs.Path(mappersDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filterNot(_.endsWith(".tmp")).sorted
+      .flatMap(n => graft.store.VersionedState.readMarker(mappersDir, n)
+        .map(parseStoredMapper(n, _)))
+  }
+
+  /** Run every stored active mapper over a freshly-ingested collection
+    * batch, in name order (the reference applies all registered mappers
+    * to each request). Each mapper's declared produced fields evolve
+    * the registry first; a field the registry rejects (type conflict)
+    * is dropped from that mapper's output rather than corrupting the
+    * stored schema — the ingest pipeline's own coerce-or-reject
+    * discipline. */
+  private def applyMappers(coll: String, df: DataFrame): DataFrame =
+    storedMappers()
+      .filter(m => m.active && m.collection.forall(_ == coll))
+      .foldLeft(df) { (d, m) =>
+        val (_, rejected) = registry.getOrCreate(project, coll,
+          m.produced.map { case (n, t) => registry.Field(n, t) })
+        val bad = rejected.map(_.field).toSet
+        val keep = m.produced.filterNot { case (n, _) => bad.contains(n) }
+        graft.enrich.js.JsCustomMapper(m.name, coll, keep, m.params, m.script)(d)
+      }
+
+  /** `POST /custom-event-mapper/create` (and `/update`) — body
+    * `{"name":…, "script":…, "collection"?:…, "parameters"?:{…},
+    * "produced"?:{field:TYPE}, "active"?:bool}`. The script must parse
+    * and declare `mapper`; produced field names are normalized by the
+    * ingest rules; create refuses an existing name, update a missing
+    * one (the reference's create/update split). */
+  private def handleMapperCreate(update: Boolean)(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    val script = Option(root.get("script")).map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new IngestRejected("script is required"))
+    val exists = graft.store.VersionedState.readMarker(mappersDir, name).isDefined
+    if (!update && exists)
+      throw new IngestRejected(s"mapper '$name' already exists")
+    if (update && !exists) return (404, """{"error":"mapper not found"}""")
+    val producedIn = Option(root.get("produced")).filter(_.isObject)
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toSeq)
+      .getOrElse(Nil)
+    val produced = producedIn.map { case (raw, tn) =>
+      val n = graft.core.Names.normalizeField(raw).fold(
+        err => throw new IngestRejected(s"produced field '$raw': $err"), identity)
+      val t = try graft.core.FieldType.fromName(tn)
+        catch { case _: Exception =>
+          throw new IngestRejected(s"unknown type '$tn' for produced field '$raw'")
+        }
+      n -> t
+    }
+    val ps = Option(root.get("parameters")).filter(_.isObject)
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val collection = Option(root.get("collection")).filter(!_.isNull).map(_.asText())
+    val active = Option(root.get("active")).forall(_.asBoolean(true))
+    val probe = try graft.enrich.js.JsCustomMapper(name,
+        collection.getOrElse("_probe"), produced, ps, script)
+      catch {
+        case e: graft.enrich.js.MiniJs.JsException =>
+          throw new IngestRejected(s"invalid script: ${e.getMessage}")
+      }
+    val _ = probe
+    val node = mapper.createObjectNode()
+    node.put("script", script)
+    collection.foreach(node.put("collection", _))
+    val pn = node.putObject("parameters")
+    ps.foreach { case (k, v) => pn.put(k, v) }
+    val fn = node.putObject("produced")
+    produced.foreach { case (k, t) => fn.put(k, t.name) }
+    node.put("active", active)
+    graft.store.VersionedState.writeMarker(mappersDir, name,
+      mapper.writeValueAsString(node))
+    (200, """{"success":true}""")
+  }
+
+  private def handleMapperDelete(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    val p = new org.apache.hadoop.fs.Path(mappersDir, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) (404, """{"error":"mapper not found"}""")
+    else { fs.delete(p, false); (200, """{"success":true}""") }
+  }
+
+  private def handleMapperList(ex: HttpExchange): (Int, String) = {
+    val rows = storedMappers().map { m =>
+      val node = mapper.createObjectNode()
+      node.put("name", m.name)
+      node.put("script", m.script)
+      m.collection.foreach(node.put("collection", _))
+      val pn = node.putObject("parameters")
+      m.params.foreach { case (k, v) => pn.put(k, v) }
+      val fn = node.putObject("produced")
+      m.produced.foreach { case (k, t) => fn.put(k, t.name) }
+      node.put("active", m.active)
+      mapper.writeValueAsString(node)
+    }
+    (200, rows.mkString("[", ",", "]"))
+  }
+
+  /** `POST /custom-event-mapper/test` — run a script over inline events
+    * WITHOUT storing: body `{"script":…, "parameters"?:{…},
+    * "produced"?:{field:TYPE}, "events":[{collection, properties}…]}`.
+    * The events run through the REAL ingest pipeline into a throwaway
+    * registry, then the mapper; the mutated rows come back as a JSON
+    * array (the reference's test door runs the mapper on a sample
+    * request). Script errors are the client's 400. */
+  private def handleMapperTest(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val script = Option(root.get("script")).map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new IngestRejected("script is required"))
+    val ps = Option(root.get("parameters")).filter(_.isObject)
+      .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    val produced = Option(root.get("produced")).filter(_.isObject)
+      .map(_.properties().asScala.map(e =>
+        e.getKey -> graft.core.FieldType.fromName(e.getValue.asText())).toSeq)
+      .getOrElse(Nil)
+    val events = Option(root.get("events")).filter(_.isArray)
+      .map(_.elements().asScala.map(_.toString).toSeq)
+      .getOrElse(throw new IngestRejected("events array is required"))
+    val scratch = SchemaRegistry.inMemory()
+    val res = JsonIngest.ingest(spark, scratch, project,
+      spark.sparkContext.parallelize(events, 1))
+    try {
+      val out = res.byCollection.toSeq.sortBy(_._1).flatMap { case (coll, df) =>
+        val applied =
+          try graft.enrich.js.JsCustomMapper("test", coll, produced, ps, script)(df)
+          catch {
+            case e: graft.enrich.js.MiniJs.JsException =>
+              throw new IngestRejected(s"invalid script: ${e.getMessage}")
+          }
+        applied.toJSON.collect()
+      }
+      (200, out.mkString("[", ",", "]"))
+    } finally res.unpersist()
+  }
+
   // ---------------- plumbing ----------------
 
   /** Store writes serialize on this lock: concurrent Spark jobs
@@ -665,7 +850,11 @@ final class HttpGateway(
       spark.sparkContext.parallelize(lines, 1))
     try {
       var n = 0L
-      res.byCollection.foreach { case (coll, df) =>
+      res.byCollection.foreach { case (coll, df0) =>
+        // stored custom mappers run between ingest and store — the
+        // reference's mapper stage (SURVEY §4 step 3); a mapper that
+        // drops a row keeps it out of the store AND the stored count
+        val df = applyMappers(coll, df0)
         n += df.count()
         EventStore.write(df, warehouse, project, coll)
       }

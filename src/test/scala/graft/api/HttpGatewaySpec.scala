@@ -395,4 +395,74 @@ class HttpGatewaySpec extends SparkSpec {
       assert(get(port, "/event/hook/get?identifier=h1").statusCode() == 404)
     }
   }
+
+  test("custom event mappers: create → collect runs the mapper " +
+    "(mutate, produce, drop) → update/list/delete; test door is store-free") {
+    withGateway { (_, port) =>
+      // script: tag every event, derive a produced LONG field, drop bots
+      val script = "function mapper(events, params, sourceIp, headers, sql, config) { " +
+        "var ev = events.events(); " +
+        "while (ev.hasNext()) { var e = ev.next(); " +
+        "if (e.get(params.dropWhen) == true) { e.drop(); } " +
+        "else { e.set(params.tagField, params.tagValue); " +
+        "e.set(params.doubledField, e.get(params.srcField) * 2); } } }"
+      val params = """{"dropWhen": "bot", "tagField": "channel", "tagValue": "web",
+                     | "srcField": "amount", "doubledField": "amount2"}""".stripMargin
+      // create refuses a duplicate; update refuses a missing name
+      assert(post(port, "/custom-event-mapper/update",
+        s"""{"name": "tagger", "script": "$script"}""").statusCode() == 404)
+      val created = post(port, "/custom-event-mapper/create",
+        s"""{"name": "tagger", "script": "$script", "parameters": $params,
+           | "produced": {"channel": "STRING", "amount2": "LONG"}}""".stripMargin)
+      assert(created.statusCode() == 200, created.body())
+      assert(post(port, "/custom-event-mapper/create",
+        s"""{"name": "tagger", "script": "$script"}""").statusCode() == 400)
+      // a collected batch runs through the mapper before the store
+      val stored = post(port, "/event/batch",
+        """{"api": {"api_key": "k"}, "events": [
+          |{"collection": "order", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "amount": 21, "bot": false}},
+          |{"collection": "order", "properties": {"_user": "u2", "_time": "2026-01-15 10:01:00.000", "amount": 40, "bot": true}}
+          |]}""".stripMargin)
+      assert(stored.statusCode() == 200 && stored.body() == """{"stored":1}""",
+        stored.body())
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT _user, channel, amount2 FROM order"}""")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().contains("\"_user\":\"u1\"") &&
+        q.body().contains("\"channel\":\"web\"") &&
+        q.body().contains("\"amount2\":42") &&
+        !q.body().contains("u2"), q.body())
+      // the produced fields evolved the registry schema
+      val schema = get(port, "/project/schema?collection=order").body()
+      assert(schema.contains("\"channel\"") && schema.contains("\"amount2\""),
+        schema)
+      // test door: runs the script, stores nothing
+      val t = post(port, "/custom-event-mapper/test",
+        s"""{"script": "$script", "parameters": $params,
+           | "produced": {"channel": "STRING", "amount2": "LONG"},
+           | "events": [{"collection": "probe", "properties":
+           |   {"_user": "u3", "_time": "2026-01-15 12:00:00.000", "amount": 5, "bot": false}}]}""".stripMargin)
+      assert(t.statusCode() == 200 &&
+        t.body().contains("\"amount2\":10"), t.body())
+      assert(post(port, "/query/execute",
+        """{"query": "SELECT * FROM probe"}""").statusCode() == 400)
+      // lifecycle: deactivate via update → mapper no longer applies
+      val off = post(port, "/custom-event-mapper/update",
+        s"""{"name": "tagger", "script": "$script", "parameters": $params,
+           | "produced": {"channel": "STRING", "amount2": "LONG"},
+           | "active": false}""".stripMargin)
+      assert(off.statusCode() == 200, off.body())
+      assert(post(port, "/event/batch",
+        """{"api": {"api_key": "k"}, "events": [
+          |{"collection": "order", "properties": {"_user": "u4", "_time": "2026-01-15 13:00:00.000", "amount": 7, "bot": true}}
+          |]}""".stripMargin).body() == """{"stored":1}""")
+      val listed = get(port, "/custom-event-mapper/list")
+      assert(listed.statusCode() == 200 &&
+        listed.body().contains("\"name\":\"tagger\"") &&
+        listed.body().contains("\"active\":false"), listed.body())
+      assert(post(port, "/custom-event-mapper/delete", """{"name": "tagger"}""")
+        .statusCode() == 200)
+      assert(get(port, "/custom-event-mapper/list").body() == "[]")
+    }
+  }
 }
