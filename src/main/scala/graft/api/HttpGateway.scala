@@ -95,6 +95,7 @@ final class HttpGateway(
     server.createContext("/analysis/segmentation", route(handleSegmentation))
     server.createContext("/analysis/funnel", route(handleFunnel))
     server.createContext("/analysis/retention", route(handleRetention))
+    server.createContext("/project/schema/add", route(handleSchemaAdd))
     server.createContext("/project/schema", route(handleSchema))
     server.createContext("/project/collection", route(handleCollections))
     server.createContext("/query/execute", route(handleQuery))
@@ -189,6 +190,45 @@ final class HttpGateway(
             mapper.writeValueAsString(f.tpe.name)}}""")
         (200, cols.mkString("[", ",", "]"))
     }
+  }
+
+  /** `POST /project/schema/add` — the master-key schema-evolution door
+    * (ProjectHttpService.java:110-121): body `{"collection":…,
+    * "fields":[{"name":…, "type":…}…]}`. Field names are normalized by
+    * the ingest rules; returns the resulting full schema plus any
+    * registry rejections (type conflicts, reserved names, column cap). */
+  private def handleSchemaAdd(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+      throw new IngestRejected("collection is required"))
+    val fields = Option(root.get("fields")).filter(_.isArray)
+      .map(_.elements().asScala.toSeq)
+      .getOrElse(throw new IngestRejected("fields array is required"))
+      .map { f =>
+        val raw = Option(f.get("name")).map(_.asText()).getOrElse(
+          throw new IngestRejected("field name is required"))
+        val n = graft.core.Names.normalizeField(raw).fold(
+          err => throw new IngestRejected(s"field '$raw': $err"), identity)
+        val t = Option(f.get("type")).map(_.asText()).getOrElse(
+          throw new IngestRejected(s"field '$raw': type is required"))
+        registry.Field(n,
+          try graft.core.FieldType.fromName(t)
+          catch { case _: Exception =>
+            throw new IngestRejected(s"field '$raw': unknown type '$t'")
+          })
+      }
+    val (schema, rejected) = registry.getOrCreate(project, collection, fields)
+    val node = mapper.createObjectNode()
+    val sn = node.putArray("schema")
+    schema.foreach { f =>
+      val o = sn.addObject(); o.put("name", f.name); o.put("type", f.tpe.name)
+    }
+    val rn = node.putArray("rejected")
+    rejected.foreach { r =>
+      val o = rn.addObject(); o.put("field", r.field); o.put("reason", r.reason)
+    }
+    (200, mapper.writeValueAsString(node))
   }
 
   private def handleCollections(ex: HttpExchange): (Int, String) =

@@ -465,4 +465,31 @@ class HttpGatewaySpec extends SparkSpec {
       assert(get(port, "/custom-event-mapper/list").body() == "[]")
     }
   }
+
+  test("schema/add evolves a collection ahead of data and reports " +
+    "rejections; collected events then coerce to the declared types") {
+    withGateway { (_, port) =>
+      val r = post(port, "/project/schema/add",
+        """{"collection": "sensor", "fields": [
+          |  {"name": "ReadingValue", "type": "DOUBLE"},
+          |  {"name": "$server_time", "type": "LONG"}]}""".stripMargin)
+      assert(r.statusCode() == 200, r.body())
+      // ingest-rule normalization: camelCase "ReadingValue" → reading_value
+      assert(r.body().contains("\"name\":\"reading_value\""), r.body())
+      assert(r.body().contains("\"field\":\"$server_time\"") &&
+        r.body().contains("reserved"), r.body())
+      // a declared DOUBLE coerces a numeric string event value
+      assert(post(port, "/event/collect",
+        """{"collection": "sensor", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "reading_value": 3}}""")
+        .statusCode() == 200)
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT reading_value FROM sensor"}""")
+      assert(q.statusCode() == 200 && q.body().contains("3.0"), q.body())
+      // and a later conflicting re-declaration is reported, not applied
+      val c = post(port, "/project/schema/add",
+        """{"collection": "sensor", "fields": [{"name": "reading_value", "type": "STRING"}]}""")
+      assert(c.statusCode() == 200 && c.body().contains("type conflict"),
+        c.body())
+    }
+  }
 }
