@@ -31,29 +31,43 @@ import graft.store.EventStore
   * the gateway only translates HTTP ↔ engine calls, so there is nothing
   * here to drift from the batch paths the oracle checks.
   *
-  * Routes:
-  *  - `POST /event/collect` — one event object; stored immediately.
-  *    Returns `1` (the reference's success body).
-  *  - `POST /event/batch` — the `{api, events:[...]}` envelope, body
-  *    cap + checksum enforced by [[BatchSources.parseEnvelope]].
-  *    Returns `{"stored": n}`.
-  *  - `POST /event/bulk` — same envelope, no body cap, checksum
-  *    skipped (the reference's bulk door; the batch cap's rejection
-  *    message points here).
-  *  - `GET /project/schema?collection=…` / `GET /project/collection` —
-  *    the registry's evolved schema and collection list
-  *    (ProjectHttpService.java:49-195's read surface).
-  *  - `POST /user/batch_operations` — array of
-  *    `{id, time?, set_properties?, set_once_properties?,
-  *    increment_properties?, unset_properties?}` objects, appended to
-  *    the profile op log in arrival order.
-  *  - `GET /user/get?id=…` — the folded profile of one user.
-  *  - `GET /analysis/segmentation?collection=…&dimension=…` — distinct
-  *    users per dimension value over the stored collection (the A4
-  *    read), served as a JSON array of rows.
+  * Route groups (each maps 1:1 onto a reference HTTP service):
+  *  - **collect** (`EventCollectionHttpService`): `POST /event/collect`
+  *    (one event, returns `1`), `POST /event/batch` (envelope, body cap
+  *    + checksum), `POST /event/bulk` (no cap, checksum skipped),
+  *    `POST /event/bulk/remote` (URL import through S6).
+  *  - **webhooks** (`WebHookHttpService`): `/event/hook/activate`,
+  *    `POST|GET /event/hook/collect/<id>` (body → stored JS
+  *    `module(params, body, headers)` → ingest), `/test`, `/get`,
+  *    `/list`, `/delete`.
+  *  - **custom mappers** (`CustomEventMapperHttpService`):
+  *    `/custom-event-mapper/create|update|delete|list|test`; stored
+  *    active mappers run over every collected batch between ingest and
+  *    store, with declared produced fields evolving the schema.
+  *  - **project** (`ProjectHttpService`): `GET /project/schema`,
+  *    `GET /project/collection`, `POST /project/schema/add`
+  *    (master-key evolution, returns schema + rejections).
+  *  - **users** (`UserHttpService`): `POST /user/batch_operations`,
+  *    single-op doors `set_properties`/`set_properties_once`/
+  *    `increment_property`/`unset_properties`, `GET /user/get?id=…`
+  *    (one-user fold, id predicate pushed to the scan),
+  *    `POST /user/delete` (right-to-be-forgotten).
+  *  - **analysis** (the read executors): `GET /analysis/segmentation`,
+  *    `/analysis/funnel`, `/analysis/retention`.
+  *  - **ad-hoc SQL** (`QueryHttpService`): `POST /query/execute` —
+  *    collections mount as temp views, the statement runs through the
+  *    full engine (Catalyst + graft extensions + AQE), row-capped.
+  *  - **subscriptions** (ST1 `EventStream`):
+  *    `/subscription/create|poll|delete` — file-source streams over the
+  *    store with filter/projection, polled from a named memory sink.
+  *  - **maintenance**: `POST /admin/compact` (month-partition small-file
+  *    rewrite).
   *
-  * Single-writer by construction: one gateway owns a warehouse dir.
-  * Ingest rejections map to 400 with the reference's message text.
+  * Single-writer by construction: one gateway owns a warehouse dir (and
+  * one project — multi-project deployments run one gateway per project
+  * dir, which is why the reference's `/project/create|list|delete` have
+  * no counterpart here). Ingest rejections map to 400 with the
+  * reference's message text.
   */
 final class HttpGateway(
     spark: SparkSession,
@@ -82,6 +96,7 @@ final class HttpGateway(
     server.createContext("/event/bulk/remote", route(handleBulkRemote))
     server.createContext("/event/bulk", route(handleBulk))
     server.createContext("/user/batch_operations", route(handleUserBatch))
+    server.createContext("/user/batch", route(handleUserCreateBatch))
     server.createContext("/user/set_properties",
       route(handleUserOp(ProfileOps.Set)))
     server.createContext("/user/set_properties_once",
@@ -297,6 +312,30 @@ final class HttpGateway(
         one(ProfileOps.SetOnce, props("set_once_properties")),
         one(ProfileOps.Increment, props("increment_properties")),
         one(ProfileOps.Unset, unsets)).flatten
+    }.toSeq
+    appendOps(ops)
+    (200, "1")
+  }
+
+  /** `POST /user/batch` — bulk user creation (UserHttpService.java:82:
+    * an array of `{id, properties:{…}}` User objects). Each becomes one
+    * Set op in the shared log: creating a user IS setting its first
+    * properties under the fold. */
+  private def handleUserCreateBatch(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val users = Option(root).filter(_.isArray).getOrElse(
+      throw new IngestRejected("Body must be an array"))
+    val now = System.currentTimeMillis()
+    val ops = users.elements().asScala.map { u =>
+      val id = Option(u.get("id")).map(_.asText()).getOrElse(
+        throw new IngestRejected("id is required"))
+      val ts = Option(u.get("time")).map(_.asLong()).getOrElse(now)
+      val props = Option(u.get("properties")).filter(_.isObject)
+        .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(throw new IngestRejected("properties object is required"))
+      ProfileOp(project, id, ts, opSeq.getAndIncrement(), ProfileOps.Set,
+        ProfileOps.normalizeProps(props))
     }.toSeq
     appendOps(ops)
     (200, "1")

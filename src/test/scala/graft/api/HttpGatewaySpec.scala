@@ -204,6 +204,21 @@ class HttpGatewaySpec extends SparkSpec {
       assert(prof.body().contains("\"city\":null"), prof.body())
 
       assert(get(port, "/user/get?id=nobody").statusCode() == 404)
+
+      // /user/batch bulk-creates users as Set ops in the same log —
+      // and later batch_operations fold on top of them
+      assert(post(port, "/user/batch",
+        """[
+          |{"id": "u7", "time": 500, "properties": {"plan": "trial"}},
+          |{"id": "u8", "time": 500, "properties": {"plan": "team"}}
+          |]""".stripMargin).statusCode() == 200)
+      val u7 = get(port, "/user/get?id=u7")
+      assert(u7.statusCode() == 200 && u7.body().contains("\"plan\":\"trial\""),
+        u7.body())
+      assert(post(port, "/user/batch_operations",
+        """[{"id": "u7", "time": 900, "set_properties": {"plan": "pro"}}]""")
+        .statusCode() == 200)
+      assert(get(port, "/user/get?id=u7").body().contains("\"plan\":\"pro\""))
     }
   }
 
