@@ -61,19 +61,34 @@ import graft.store.EventStore
   *    `/subscription/create|poll|delete` — file-source streams over the
   *    store with filter/projection, polled from a named memory sink.
   *  - **maintenance**: `POST /admin/compact` (month-partition small-file
-  *    rewrite).
+  *    rewrite); descriptor doors `GET /admin/configurations`,
+  *    `/admin/types`, `/admin/event_mappers`, `/admin/lock_key`
+  *    (`AdminHttpService`); `GET /` health check.
+  *  - **api keys** (`ProjectHttpService` +
+  *    rakam-spi `ApiKeyService.ProjectApiKeys`):
+  *    `POST /project/create-api-keys` mints a `{master_key, write_key}`
+  *    pair; `/check-api-keys` verifies pairs; `/revoke-api-keys`
+  *    deletes one. Once ANY pair exists the gateway enforces roles —
+  *    write doors (collect/batch/pixel, single-user property ops) take
+  *    write or master, everything else (bulk, schema, analysis, query,
+  *    admin) takes master, matching the reference's `@Authorization`
+  *    annotations collapsed onto its two-key `ProjectApiKeys`. With no
+  *    pairs minted the gateway is open (dev mode). Keys ride the
+  *    `api_key`/`master_key`/`write_key` query param or header, or the
+  *    body's `api.api_key` node (the envelope's slot).
   *
   * Single-writer by construction: one gateway owns a warehouse dir (and
   * one project — multi-project deployments run one gateway per project
   * dir, which is why the reference's `/project/create|list|delete` have
   * no counterpart here). Ingest rejections map to 400 with the
-  * reference's message text.
+  * reference's message text; key failures are 403.
   */
 final class HttpGateway(
     spark: SparkSession,
     registry: SchemaRegistry,
     warehouse: String,
-    project: String) {
+    project: String,
+    lockKey: Option[String] = None) {
 
   @transient private lazy val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -91,43 +106,56 @@ final class HttpGateway(
     server = HttpServer.create(new InetSocketAddress(port), 0)
     pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     server.setExecutor(pool)
-    server.createContext("/event/collect", route(handleCollect))
-    server.createContext("/event/batch", route(handleBatch))
-    server.createContext("/event/bulk/remote", route(handleBulkRemote))
-    server.createContext("/event/bulk", route(handleBulk))
-    server.createContext("/user/batch_operations", route(handleUserBatch))
-    server.createContext("/user/batch", route(handleUserCreateBatch))
+    server.createContext("/event/collect", route(authed(WriteRole)(handleCollect)))
+    server.createContext("/event/batch", route(authed(WriteRole)(handleBatch)))
+    server.createContext("/event/pixel", rawRoute(handlePixel))
+    server.createContext("/event/bulk/remote", route(authed(MasterRole)(handleBulkRemote)))
+    server.createContext("/event/bulk", route(authed(MasterRole)(handleBulk)))
+    server.createContext("/event/copy", route(authed(MasterRole)(handleCopy)))
+    server.createContext("/user/batch_operations", route(authed(MasterRole)(handleUserBatch)))
+    server.createContext("/user/batch", route(authed(WriteRole)(handleUserCreateBatch)))
+    server.createContext("/user/metadata", route(authed(MasterRole)(handleUserMetadata)))
     server.createContext("/user/set_properties",
-      route(handleUserOp(ProfileOps.Set)))
+      route(authed(WriteRole)(handleUserOp(ProfileOps.Set))))
     server.createContext("/user/set_properties_once",
-      route(handleUserOp(ProfileOps.SetOnce)))
+      route(authed(WriteRole)(handleUserOp(ProfileOps.SetOnce))))
     server.createContext("/user/increment_property",
-      route(handleIncrement))
-    server.createContext("/user/unset_properties", route(handleUnset))
-    server.createContext("/user/get", route(handleUserGet))
-    server.createContext("/user/delete", route(handleUserDelete))
-    server.createContext("/admin/compact", route(handleCompact))
-    server.createContext("/analysis/segmentation", route(handleSegmentation))
-    server.createContext("/analysis/funnel", route(handleFunnel))
-    server.createContext("/analysis/retention", route(handleRetention))
-    server.createContext("/project/schema/add", route(handleSchemaAdd))
-    server.createContext("/project/schema", route(handleSchema))
-    server.createContext("/project/collection", route(handleCollections))
-    server.createContext("/query/execute", route(handleQuery))
-    server.createContext("/subscription/create", route(handleSubCreate))
-    server.createContext("/subscription/poll", route(handleSubPoll))
-    server.createContext("/subscription/delete", route(handleSubDelete))
-    server.createContext("/event/hook/activate", route(handleHookActivate))
+      route(authed(WriteRole)(handleIncrement)))
+    server.createContext("/user/unset_properties", route(authed(WriteRole)(handleUnset)))
+    server.createContext("/user/get", route(authed(MasterRole)(handleUserGet)))
+    server.createContext("/user/delete", route(authed(MasterRole)(handleUserDelete)))
+    server.createContext("/admin/compact", route(authed(MasterRole)(handleCompact)))
+    server.createContext("/admin/configurations", route(authed(MasterRole)(handleAdminConfig)))
+    server.createContext("/admin/types", route(authed(MasterRole)(handleAdminTypes)))
+    server.createContext("/admin/event_mappers", route(authed(MasterRole)(handleAdminMappers)))
+    server.createContext("/admin/lock_key", route(handleLockKey))
+    server.createContext("/analysis/segmentation", route(authed(MasterRole)(handleSegmentation)))
+    server.createContext("/analysis/funnel", route(authed(MasterRole)(handleFunnel)))
+    server.createContext("/analysis/retention", route(authed(MasterRole)(handleRetention)))
+    server.createContext("/project/schema/add/custom", route(authed(MasterRole)(handleSchemaAddCustom)))
+    server.createContext("/project/schema/add", route(authed(MasterRole)(handleSchemaAdd)))
+    server.createContext("/project/schema", route(authed(MasterRole)(handleSchema)))
+    server.createContext("/project/collection", route(authed(MasterRole)(handleCollections)))
+    server.createContext("/project/create-api-keys", route(authed(MasterRole)(handleCreateKeys)))
+    server.createContext("/project/check-api-keys", route(handleCheckKeys))
+    server.createContext("/project/revoke-api-keys", route(handleRevokeKeys))
+    server.createContext("/project/exception", route(handleException))
+    server.createContext("/query/execute", route(authed(MasterRole)(handleQuery)))
+    server.createContext("/subscription/create", route(authed(MasterRole)(handleSubCreate)))
+    server.createContext("/subscription/poll", route(authed(MasterRole)(handleSubPoll)))
+    server.createContext("/subscription/delete", route(authed(MasterRole)(handleSubDelete)))
+    server.createContext("/event/hook/activate", route(authed(MasterRole)(handleHookActivate)))
     server.createContext("/event/hook/collect", route(handleHookCollect))
-    server.createContext("/event/hook/test", route(handleHookTest))
-    server.createContext("/event/hook/get", route(handleHookGet))
-    server.createContext("/event/hook/list", route(handleHookList))
-    server.createContext("/event/hook/delete", route(handleHookDelete))
-    server.createContext("/custom-event-mapper/create", route(handleMapperCreate(update = false)))
-    server.createContext("/custom-event-mapper/update", route(handleMapperCreate(update = true)))
-    server.createContext("/custom-event-mapper/delete", route(handleMapperDelete))
-    server.createContext("/custom-event-mapper/list", route(handleMapperList))
-    server.createContext("/custom-event-mapper/test", route(handleMapperTest))
+    server.createContext("/event/hook/test", route(authed(MasterRole)(handleHookTest)))
+    server.createContext("/event/hook/get", route(authed(MasterRole)(handleHookGet)))
+    server.createContext("/event/hook/list", route(authed(MasterRole)(handleHookList)))
+    server.createContext("/event/hook/delete", route(authed(MasterRole)(handleHookDelete)))
+    server.createContext("/custom-event-mapper/create", route(authed(MasterRole)(handleMapperCreate(update = false))))
+    server.createContext("/custom-event-mapper/update", route(authed(MasterRole)(handleMapperCreate(update = true))))
+    server.createContext("/custom-event-mapper/delete", route(authed(MasterRole)(handleMapperDelete)))
+    server.createContext("/custom-event-mapper/list", route(authed(MasterRole)(handleMapperList)))
+    server.createContext("/custom-event-mapper/test", route(authed(MasterRole)(handleMapperTest)))
+    server.createContext("/", route(handleHealth))
     server.start()
     server.getAddress.getPort
   }
@@ -166,6 +194,56 @@ final class HttpGateway(
     val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
     val n = ingestAndStore(env.events)
     (200, s"""{"stored":$n}""")
+  }
+
+  /** `POST /event/copy` — the reference's "copy events directly to
+    * database" door (EventCollectionHttpService.java:459-463:
+    * `bulkEvents(request, mapEvents = false)`): the bulk envelope, no
+    * body cap, and NO mapper stage — stored custom event mappers are
+    * skipped, the rows land exactly as sent (a replication/backfill
+    * path must not re-run enrichment). */
+  private def handleCopy(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
+    val n = ingestAndStore(env.events, runMappers = false)
+    (200, s"""{"stored":$n}""")
+  }
+
+  /** The classic 1×1 transparent GIF the pixel door answers with. */
+  private val Gif1x1 = java.util.Base64.getDecoder
+    .decode("R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAICRAEAOw==")
+
+  /** `GET|POST /event/pixel?collection=…&prop.x=…` — the tracking-pixel
+    * door (EventCollectionHttpService.java:273-350, S5): query params
+    * through [[BatchSources.pixelToEventJson]] into the standard ingest
+    * path. The response is ALWAYS the image — a broken event must never
+    * break the embedding page — with failures reported in a
+    * `server-error` header exactly as the reference does. When api-key
+    * pairs exist the pixel is a write door keyed by the `api.api_key`
+    * query param. */
+  private def handlePixel(ex: HttpExchange): Unit = {
+    val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    try {
+      if (!authorized(WriteRole, ex))
+        ex.getResponseHeaders.set("server-error", "api key is invalid")
+      else BatchSources.pixelToEventJson(query) match {
+        case None =>
+          ex.getResponseHeaders.set("server-error", "collection query parameter is required")
+        case Some(line) =>
+          if (ingestAndStore(Seq(line)) == 0)
+            ex.getResponseHeaders.set("server-error", "event was not stored")
+      }
+    } catch {
+      case e: IngestRejected =>
+        ex.getResponseHeaders.set("server-error", e.getMessage)
+      case NonFatal(_) =>
+        ex.getResponseHeaders.set("server-error", "An error occurred")
+    }
+    ex.getResponseHeaders.set("Content-Type", "image/gif")
+    ex.sendResponseHeaders(200, Gif1x1.length.toLong)
+    val out = ex.getResponseBody
+    try out.write(Gif1x1) finally out.close()
   }
 
   /** URL-addressed bulk import (S6): body
@@ -233,6 +311,11 @@ final class HttpGateway(
             throw new IngestRejected(s"field '$raw': unknown type '$t'")
           })
       }
+    schemaAddResponse(collection, fields)
+  }
+
+  private def schemaAddResponse(collection: String,
+      fields: Seq[registry.Field]): (Int, String) = {
     val (schema, rejected) = registry.getOrCreate(project, collection, fields)
     val node = mapper.createObjectNode()
     val sn = node.putArray("schema")
@@ -244,6 +327,66 @@ final class HttpGateway(
       val o = rn.addObject(); o.put("field", r.field); o.put("reason", r.reason)
     }
     (200, mapper.writeValueAsString(node))
+  }
+
+  /** `POST /project/schema/add/custom` — evolve a collection from an
+    * EXTERNAL schema document (ProjectHttpService.java:125-133 +
+    * SchemaConverter.java: `schema_type` selects the converter, AVRO is
+    * the reference's one supported type): body `{"collection":…,
+    * "schema_type":"AVRO", "schema":"{avro record json}"}`. Field
+    * schemas may be the `[null, T]` union (nullable-by-default ingest
+    * semantics); any other union is the reference's 400. Names
+    * normalize and types map through the same registry door as
+    * `/schema/add`. */
+  private def handleSchemaAddCustom(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+      throw new IngestRejected("collection is required"))
+    val schemaType = Option(root.get("schema_type")).map(_.asText()).getOrElse(
+      throw new IngestRejected("schema_type is required"))
+    if (!schemaType.equalsIgnoreCase("AVRO"))
+      throw new IngestRejected(s"unsupported schema_type '$schemaType'")
+    val schemaStr = Option(root.get("schema")).map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new IngestRejected("schema is required"))
+    import org.apache.avro.Schema
+    val parsed =
+      try new Schema.Parser().parse(schemaStr)
+      catch { case NonFatal(e) =>
+        throw new IngestRejected(s"invalid Avro schema: ${e.getMessage}")
+      }
+    if (parsed.getType != Schema.Type.RECORD)
+      throw new IngestRejected("Avro schema must be a RECORD")
+    def toFieldType(s: Schema): graft.core.FieldType = s.getType match {
+      case Schema.Type.STRING | Schema.Type.ENUM => graft.core.FieldType.STRING
+      case Schema.Type.INT => graft.core.FieldType.INTEGER
+      case Schema.Type.LONG => graft.core.FieldType.LONG
+      case Schema.Type.FLOAT | Schema.Type.DOUBLE => graft.core.FieldType.DOUBLE
+      case Schema.Type.BOOLEAN => graft.core.FieldType.BOOLEAN
+      case Schema.Type.BYTES | Schema.Type.FIXED => graft.core.FieldType.BINARY
+      case Schema.Type.ARRAY => toFieldType(s.getElementType) match {
+        case sc: graft.core.FieldType.Scalar => graft.core.FieldType.ARRAY(sc)
+        case _ => throw new IngestRejected(s"nested ARRAY is not supported: $s")
+      }
+      case Schema.Type.MAP => toFieldType(s.getValueType) match {
+        case sc: graft.core.FieldType.Scalar => graft.core.FieldType.MAP(sc)
+        case _ => throw new IngestRejected(s"nested MAP is not supported: $s")
+      }
+      case _ => throw new IngestRejected(s"Unsupported Avro type: $s")
+    }
+    val fields = parsed.getFields.asScala.toSeq.map { f =>
+      var s = f.schema()
+      if (s.getType == Schema.Type.UNION) {
+        val nonNull = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+        if (nonNull.size != 1)
+          throw new IngestRejected(s"UNION type is not supported: ${f.schema()}")
+        s = nonNull.head
+      }
+      val n = graft.core.Names.normalizeField(f.name()).fold(
+        err => throw new IngestRejected(s"field '${f.name()}': $err"), identity)
+      registry.Field(n, toFieldType(s))
+    }
+    schemaAddResponse(collection, fields)
   }
 
   private def handleCollections(ex: HttpExchange): (Int, String) =
@@ -413,6 +556,29 @@ final class HttpGateway(
     val rows = ProfileMerge.merge(ops).toJSON.collect()
     if (rows.isEmpty) (404, """{"error":"user not found"}""")
     else (200, rows.head)
+  }
+
+  /** `GET /user/metadata` — the user-storage schema door
+    * (UserHttpService.java:73-77: `MetadataResponse(identifierColumn,
+    * columns)`). The fold stores string-typed properties keyed by `id`
+    * (reserved, `id`-in-props renamed `_id` — U8), so the columns are
+    * the distinct property names across the op log; the scan reads only
+    * the map keys column. */
+  private def handleUserMetadata(ex: HttpExchange): (Int, String) = {
+    val fsPath = new org.apache.hadoop.fs.Path(opsDir)
+    val cols: Seq[String] =
+      if (!fsPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(fsPath)) Nil
+      else spark.read.parquet(opsDir)
+        .select(explode(map_keys(col("props"))).as("name"))
+        .distinct().orderBy(col("name"))
+        .collect().map(_.getString(0)).toIndexedSeq
+    val node = mapper.createObjectNode()
+    node.put("identifierColumn", "id")
+    val cn = node.putArray("columns")
+    cols.foreach { c =>
+      val o = cn.addObject(); o.put("name", c); o.put("type", "STRING")
+    }
+    (200, mapper.writeValueAsString(node))
   }
 
   private def handleSegmentation(ex: HttpExchange): (Int, String) = {
@@ -912,6 +1078,215 @@ final class HttpGateway(
     } finally res.unpersist()
   }
 
+  // ---------------- api keys (ProjectHttpService + ApiKeyService) ----------------
+
+  private def keysDir = s"$warehouse/$project/__apikeys"
+
+  /** `(master_key, write_key)` pairs, one marker file per pair named by
+    * its master key (keys are lowercase base-32, filesystem-safe). The
+    * cache drops on create/revoke; disk is the restart-surviving truth. */
+  @volatile private var keysCache: Option[Seq[(String, String)]] = None
+
+  private def apiKeyPairs(): Seq[(String, String)] = keysCache.getOrElse {
+    val dir = new org.apache.hadoop.fs.Path(keysDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val pairs =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+        .filterNot(_.endsWith(".tmp")).sorted
+        .flatMap(n => graft.store.VersionedState.readMarker(keysDir, n).map { s =>
+          val root = mapper.readTree(s)
+          (root.get("master_key").asText(), root.get("write_key").asText())
+        })
+    keysCache = Some(pairs)
+    pairs
+  }
+
+  /** The reference's `CryptUtil.generateRandomKey`: secure-random
+    * base-32, fixed minimum length. */
+  private def randomKey(): String = {
+    val rnd = new java.security.SecureRandom()
+    var key = ""
+    while (key.length < 20) key = new java.math.BigInteger(100, rnd).toString(32)
+    key
+  }
+
+  /** `POST /project/create-api-keys` — mint and persist a
+    * `{master_key, write_key}` pair (ProjectHttpService.java:151-156;
+    * the two-key `ProjectApiKeys` of this reference version). Minting
+    * the FIRST pair arms enforcement on every keyed door. */
+  private def handleCreateKeys(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val master = randomKey()
+    val write = randomKey()
+    val node = mapper.createObjectNode()
+    node.put("master_key", master)
+    node.put("write_key", write)
+    val json = mapper.writeValueAsString(node)
+    graft.store.VersionedState.writeMarker(keysDir, master, json)
+    keysCache = None
+    (200, json)
+  }
+
+  /** `POST /project/check-api-keys` — body `{"project":…, "keys":
+    * [{"master_key"?:…, "write_key"?:…}…]}` → a boolean per pair: true
+    * iff the named project is this gateway's and every key present in
+    * the pair is live in its stated role (ProjectHttpService.java:158-176). */
+  private def handleCheckKeys(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val proj = Option(root.get("project")).map(_.asText()).getOrElse(
+      throw new IngestRejected("project is required"))
+    val keys = Option(root.get("keys")).filter(_.isArray).getOrElse(
+      throw new IngestRejected("keys array is required"))
+    val pairs = apiKeyPairs()
+    val out = keys.elements().asScala.map { k =>
+      val master = Option(k.get("master_key")).filterNot(_.isNull).map(_.asText())
+      val write = Option(k.get("write_key")).filterNot(_.isNull).map(_.asText())
+      proj.equalsIgnoreCase(project) &&
+        (master.nonEmpty || write.nonEmpty) &&
+        master.forall(m => pairs.exists(_._1 == m)) &&
+        write.forall(w => pairs.exists(_._2 == w))
+    }.toSeq
+    (200, out.mkString("[", ",", "]"))
+  }
+
+  /** `POST /project/revoke-api-keys` — body `{"project":…,
+    * "master_key":…}` deletes that pair (ProjectHttpService.java:191-196).
+    * Revoking the last pair returns the gateway to open dev mode. */
+  private def handleRevokeKeys(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val master = Option(root.get("master_key")).map(_.asText()).getOrElse(
+      throw new IngestRejected("master_key is required"))
+    if (!master.matches("[a-z0-9]+"))
+      throw new IngestRejected("invalid master_key")
+    val p = new org.apache.hadoop.fs.Path(keysDir, master)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) (404, """{"error":"api key not found"}""")
+    else {
+      fs.delete(p, false)
+      keysCache = None
+      (200, """{"success":true}""")
+    }
+  }
+
+  private sealed trait KeyRole
+  private case object MasterRole extends KeyRole
+  private case object WriteRole extends KeyRole
+
+  /** All key material a request presents: `api_key`/`master_key`/
+    * `write_key` as query params (plus the pixel's `api.api_key`) or
+    * headers, and — for JSON bodies — the envelope's `api` node or a
+    * top-level `api_key`/`master_key` property. Reading the body
+    * buffers it back onto the exchange so the handler's own read still
+    * sees it. */
+  private def keyCandidates(ex: HttpExchange): Seq[String] = {
+    val names = Seq("api_key", "master_key", "write_key", "api.api_key")
+    val qp = queryParams(ex)
+    val fromQuery = names.flatMap(qp.get)
+    val fromHeaders = names.flatMap(n => Option(ex.getRequestHeaders.getFirst(n)))
+    val fromBody =
+      if (ex.getRequestMethod != "POST") Nil
+      else {
+        val bytes = ex.getRequestBody.readAllBytes()
+        ex.setStreams(new java.io.ByteArrayInputStream(bytes), null)
+        scala.util.Try(mapper.readTree(new String(bytes, UTF_8))).toOption
+          .filter(r => r != null && r.isObject).toSeq.flatMap { r =>
+            val direct = Seq("api_key", "master_key", "write_key")
+              .flatMap(n => Option(r.get(n)).filterNot(_.isNull).map(_.asText()))
+            val api = Option(r.get("api")).filter(_.isObject).toSeq.flatMap(a =>
+              Seq("api_key", "master_key", "write_key")
+                .flatMap(n => Option(a.get(n)).filterNot(_.isNull).map(_.asText())))
+            direct ++ api
+          }
+      }
+    (fromQuery ++ fromHeaders ++ fromBody).filter(_.nonEmpty).distinct
+  }
+
+  /** True when the request may pass a door of `role`: open gateway (no
+    * pairs minted), or a presented key whose role suffices — master
+    * passes everything, write passes write doors. */
+  private def authorized(role: KeyRole, ex: HttpExchange): Boolean = {
+    val pairs = apiKeyPairs()
+    pairs.isEmpty || keyCandidates(ex).exists { k =>
+      pairs.exists(_._1 == k) ||
+        (role == WriteRole && pairs.exists(_._2 == k))
+    }
+  }
+
+  private def authed(role: KeyRole)(f: HttpExchange => (Int, String))(
+      ex: HttpExchange): (Int, String) =
+    if (!authorized(role, ex)) (403, """{"error":"api key is invalid"}""")
+    else f(ex)
+
+  // ---------------- admin + health ----------------
+
+  /** `GET /admin/configurations` — the gateway's operational descriptor
+    * (AdminHttpService.java:39-47 serves module configs; here the
+    * engine's knobs that matter to a client). */
+  private def handleAdminConfig(ex: HttpExchange): (Int, String) = {
+    val node = mapper.createObjectNode()
+    node.put("project", project)
+    node.put("warehouse", warehouse)
+    node.put("spark_version", spark.version)
+    node.put("shuffle_partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    node.put("api_keys_armed", apiKeyPairs().nonEmpty)
+    (200, mapper.writeValueAsString(node))
+  }
+
+  /** `GET /admin/types` — the field type registry
+    * (AdminHttpService.java:78-86). */
+  private def handleAdminTypes(ex: HttpExchange): (Int, String) = {
+    val node = mapper.createObjectNode()
+    graft.core.FieldType.all.foreach { t =>
+      node.put(t.name, t.spark.catalogString)
+    }
+    (200, mapper.writeValueAsString(node))
+  }
+
+  /** `GET /admin/event_mappers` — descriptors of the enrichment stages
+    * every collected batch runs through (AdminHttpService.java:49-76
+    * lists registered `EventMapper`s), plus the stored custom mappers. */
+  private def handleAdminMappers(ex: HttpExchange): (Int, String) = {
+    val builtIn = Seq(
+      "timestamp_skew" -> "clamp client clock skew against server time (M1)",
+      "user_agent" -> "parse user agent, reject spiders (M2)",
+      "referrer" -> "classify referrer host into medium/source (M3)",
+      "geoip" -> "ip to geo fields via range lookup (M4)",
+      "user_id" -> "assign missing _user from device id (M5)")
+    val rows = builtIn.map { case (n, d) =>
+      s"""{"name":${mapper.writeValueAsString(n)},"description":${
+        mapper.writeValueAsString(d)},"custom":false}"""
+    } ++ storedMappers().map { m =>
+      s"""{"name":${mapper.writeValueAsString(m.name)},"custom":true,"active":${m.active}}"""
+    }
+    (200, rows.mkString("[", ",", "]"))
+  }
+
+  /** `GET|POST /admin/lock_key?lock_key=…` — the reference's
+    * installation-lock check (AdminHttpService.java:89-91): true iff
+    * the presented key matches the configured one (no lock configured
+    * accepts anything). */
+  private def handleLockKey(ex: HttpExchange): (Int, String) = {
+    val presented = queryParams(ex).get("lock_key")
+    (200, lockKey.forall(k => presented.contains(k)).toString)
+  }
+
+  /** `GET /` — liveness (RakamHealthCheckModule). Registered at the
+    * root context, so it also serves every unmatched path its 404. */
+  private def handleHealth(ex: HttpExchange): (Int, String) =
+    if (ex.getRequestURI.getPath == "/")
+      (200, s"""{"status":"ok","project":${mapper.writeValueAsString(project)}}""")
+    else (404, """{"error":"not found"}""")
+
+  /** `POST /project/exception` — the reference's deliberate-failure
+    * door (ProjectHttpService.java:104-107 throws NPE): exercises the
+    * 500 path so clients can verify error handling. */
+  private def handleException(ex: HttpExchange): (Int, String) =
+    throw new NullPointerException("project/exception test door")
+
   // ---------------- plumbing ----------------
 
   /** Store writes serialize on this lock: concurrent Spark jobs
@@ -924,7 +1299,8 @@ final class HttpGateway(
     * append each collection to the store; dead letters go to the
     * `$invalid_schema` table exactly as in the batch pipeline. Returns
     * rows stored. */
-  private def ingestAndStore(lines: Seq[String]): Long = writeLock.synchronized {
+  private def ingestAndStore(lines: Seq[String],
+      runMappers: Boolean = true): Long = writeLock.synchronized {
     val res = JsonIngest.ingest(spark, registry, project,
       spark.sparkContext.parallelize(lines, 1))
     try {
@@ -932,8 +1308,9 @@ final class HttpGateway(
       res.byCollection.foreach { case (coll, df0) =>
         // stored custom mappers run between ingest and store — the
         // reference's mapper stage (SURVEY §4 step 3); a mapper that
-        // drops a row keeps it out of the store AND the stored count
-        val df = applyMappers(coll, df0)
+        // drops a row keeps it out of the store AND the stored count.
+        // `/event/copy` opts out (the reference's mapEvents=false path).
+        val df = if (runMappers) applyMappers(coll, df0) else df0
         n += df.count()
         EventStore.write(df, warehouse, project, coll)
       }
@@ -971,5 +1348,12 @@ final class HttpGateway(
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val out = ex.getResponseBody
     try out.write(bytes) finally out.close()
+  }
+
+  /** A handler that writes its own response (the pixel door's gif). */
+  private def rawRoute(f: HttpExchange => Unit):
+      com.sun.net.httpserver.HttpHandler = { ex =>
+    try f(ex)
+    catch { case NonFatal(_) => ex.close() }
   }
 }

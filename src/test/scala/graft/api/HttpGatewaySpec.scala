@@ -507,4 +507,196 @@ class HttpGatewaySpec extends SparkSpec {
         c.body())
     }
   }
+
+  private def getBytes(port: Int, path: String): HttpResponse[Array[Byte]] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  test("pixel door stores the query-param event and always answers the gif") {
+    withGateway { (_, port) =>
+      val hit = getBytes(port,
+        "/event/pixel?collection=pageview&prop._user=u1&prop._time=1737000000000&prop.page=%2Fhome")
+      assert(hit.statusCode() == 200)
+      assert(hit.headers().firstValue("Content-Type").orElse("") == "image/gif")
+      // GIF89a magic — the page always gets its image
+      assert(new String(hit.body().take(6), "US-ASCII") == "GIF89a")
+      assert(hit.headers().firstValue("server-error").isEmpty)
+
+      val seg = get(port, "/analysis/segmentation?collection=pageview&dimension=page")
+      assert(seg.body().contains("\"page\":\"/home\"") &&
+        seg.body().contains("\"users\":1"), seg.body())
+
+      // no collection param: still the gif, failure only in the header
+      val bad = getBytes(port, "/event/pixel?prop.page=x")
+      assert(bad.statusCode() == 200 &&
+        new String(bad.body().take(6), "US-ASCII") == "GIF89a")
+      assert(bad.headers().firstValue("server-error").orElse("")
+        .contains("collection"), bad.headers().map())
+    }
+  }
+
+  test("copy door stores the envelope WITHOUT running stored custom mappers") {
+    withGateway { (_, port) =>
+      // a stored mapper that tags every event
+      assert(post(port, "/custom-event-mapper/create",
+        """{"name": "tagger", "produced": {"tagged": "STRING"},
+          |"script": "function mapper(events) { var ev = events.events(); while (ev.hasNext()) { ev.next().set('tagged', 'yes'); } }"}""".stripMargin)
+        .statusCode() == 200)
+      val env =
+        """{"events": [
+          |{"collection": "imports", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "src": "a"}},
+          |{"collection": "imports", "properties": {"_user": "u2", "_time": "2026-01-15 10:01:00.000", "src": "b"}}
+          |]}""".stripMargin
+      val copied = post(port, "/event/copy", env)
+      assert(copied.statusCode() == 200 &&
+        copied.body() == """{"stored":2}""", copied.body())
+      // bulk runs the mapper; copy must not have
+      assert(post(port, "/event/bulk",
+        """{"events": [{"collection": "imports", "properties": {"_user": "u3", "_time": "2026-01-15 10:02:00.000", "src": "c"}}]}""")
+        .statusCode() == 200)
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT src, tagged FROM imports ORDER BY src"}""")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().contains("""{"src":"a"}""") &&
+        q.body().contains("""{"src":"b"}"""), q.body()) // tagged null → omitted
+      assert(q.body().contains(""""src":"c","tagged":"yes""""), q.body())
+    }
+  }
+
+  test("user metadata door reports the identifier column and folded property names") {
+    withGateway { (_, port) =>
+      val empty = get(port, "/user/metadata")
+      assert(empty.statusCode() == 200 &&
+        empty.body() == """{"identifierColumn":"id","columns":[]}""",
+        empty.body())
+      post(port, "/user/batch_operations",
+        """[{"id": "u1", "time": 100, "set_properties": {"plan": "pro", "city": "Oslo"}}]""")
+      val meta = get(port, "/user/metadata")
+      assert(meta.body().contains(""""identifierColumn":"id""""), meta.body())
+      assert(meta.body().contains(""""name":"city","type":"STRING"""") &&
+        meta.body().contains(""""name":"plan""""), meta.body())
+    }
+  }
+
+  test("schema/add/custom maps an Avro record through the registry door") {
+    withGateway { (_, port) =>
+      val avro =
+        """{"type": "record", "name": "Reading", "fields": [
+          |  {"name": "SensorName", "type": "string"},
+          |  {"name": "value", "type": ["null", "double"]},
+          |  {"name": "counts", "type": {"type": "array", "items": "long"}}
+          |]}""".stripMargin
+      val r = post(port, "/project/schema/add/custom",
+        s"""{"collection": "readings", "schema_type": "AVRO",
+           | "schema": ${new com.fasterxml.jackson.databind.ObjectMapper()
+                .writeValueAsString(avro)}}""".stripMargin)
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains(""""name":"sensor_name","type":"STRING""""), r.body())
+      assert(r.body().contains(""""name":"value","type":"DOUBLE""""), r.body())
+      assert(r.body().contains(""""name":"counts","type":"ARRAY_LONG""""), r.body())
+
+      // the reference's unsupported-union and non-record 400s
+      assert(post(port, "/project/schema/add/custom",
+        """{"collection": "readings", "schema_type": "AVRO",
+          | "schema": "{\"type\": \"record\", \"name\": \"X\", \"fields\": [{\"name\": \"u\", \"type\": [\"string\", \"long\"]}]}"}""".stripMargin)
+        .body().contains("UNION type is not supported"))
+      assert(post(port, "/project/schema/add/custom",
+        """{"collection": "readings", "schema_type": "AVRO", "schema": "\"string\""}""")
+        .body().contains("must be a RECORD"))
+      assert(post(port, "/project/schema/add/custom",
+        """{"collection": "readings", "schema_type": "JSON", "schema": "{}"}""")
+        .statusCode() == 400)
+    }
+  }
+
+  test("api keys: minting the first pair arms role enforcement; revoke disarms") {
+    withGateway { (_, port) =>
+      // open gateway: everything passes
+      assert(post(port, "/event/collect",
+        """{"collection": "c", "properties": {"_user": "u0", "_time": "2026-01-15 10:00:00.000"}}""")
+        .statusCode() == 200)
+
+      val minted = post(port, "/project/create-api-keys", "")
+      assert(minted.statusCode() == 200, minted.body())
+      val master = "\"master_key\":\"([a-z0-9]+)\"".r
+        .findFirstMatchIn(minted.body()).get.group(1)
+      val write = "\"write_key\":\"([a-z0-9]+)\"".r
+        .findFirstMatchIn(minted.body()).get.group(1)
+
+      // armed: no key → 403; wrong role → 403; right role → 200
+      val event = """{"collection": "c", "properties": {"_user": "u1", "_time": "2026-01-15 10:01:00.000"}}"""
+      assert(post(port, "/event/collect", event).statusCode() == 403)
+      assert(post(port, s"/event/collect?api_key=$write", event).statusCode() == 200)
+      // the envelope's api node carries the key too
+      assert(post(port, "/event/batch",
+        s"""{"api": {"api_key": "$write"}, "events": [$event]}""")
+        .statusCode() == 200)
+      // bulk is a master door: a write key is not enough
+      assert(post(port, s"/event/bulk?api_key=$write",
+        s"""{"events": [$event]}""").statusCode() == 403)
+      assert(post(port, s"/event/bulk?api_key=$master",
+        s"""{"events": [$event]}""").statusCode() == 200)
+      // reads are master doors on the two-key surface
+      assert(get(port, "/analysis/segmentation?collection=c&dimension=_user")
+        .statusCode() == 403)
+      assert(get(port, s"/analysis/segmentation?collection=c&dimension=_user&api_key=$master")
+        .statusCode() == 200)
+      // the pixel stays a page-safe gif, failure in the header only
+      val noKey = getBytes(port, "/event/pixel?collection=c&prop._user=u9")
+      assert(noKey.statusCode() == 200 &&
+        noKey.headers().firstValue("server-error").orElse("").contains("api key"))
+      assert(getBytes(port,
+        s"/event/pixel?collection=c&prop._user=u9&prop._time=1737000000000&api.api_key=$write")
+        .headers().firstValue("server-error").isEmpty)
+
+      val check = post(port, "/project/check-api-keys",
+        s"""{"project": "demo", "keys": [
+           |  {"master_key": "$master", "write_key": "$write"},
+           |  {"master_key": "nope"}]}""".stripMargin)
+      assert(check.body() == "[true,false]", check.body())
+
+      // revoke the pair: the gateway is open again
+      assert(post(port, "/project/revoke-api-keys",
+        s"""{"project": "demo", "master_key": "$master"}""").statusCode() == 200)
+      assert(post(port, "/event/collect", event).statusCode() == 200)
+      assert(post(port, "/project/revoke-api-keys",
+        s"""{"project": "demo", "master_key": "$master"}""").statusCode() == 404)
+    }
+  }
+
+  test("admin descriptor doors, lock key, health, and the exception door") {
+    withGateway { (_, port) =>
+      val types = get(port, "/admin/types")
+      assert(types.statusCode() == 200 &&
+        types.body().contains("\"STRING\"") &&
+        types.body().contains("\"MAP_LONG\""), types.body())
+      val mappers = get(port, "/admin/event_mappers")
+      assert(mappers.statusCode() == 200 &&
+        mappers.body().contains("user_agent") &&
+        mappers.body().contains("geoip"), mappers.body())
+      val conf = get(port, "/admin/configurations")
+      assert(conf.body().contains(""""project":"demo"""") &&
+        conf.body().contains(""""api_keys_armed":false"""), conf.body())
+      // no lock key configured: anything passes (the reference's null contract)
+      assert(get(port, "/admin/lock_key").body() == "true")
+      assert(get(port, "/admin/lock_key?lock_key=whatever").body() == "true")
+      assert(get(port, "/").statusCode() == 200 &&
+        get(port, "/").body().contains("\"ok\""))
+      assert(get(port, "/no/such/route").statusCode() == 404)
+      assert(post(port, "/project/exception", "{}").statusCode() == 500)
+    }
+  }
+
+  test("a configured lock key is enforced on the lock_key door") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo", lockKey = Some("s3cret"))
+    val port = gw.start()
+    try {
+      assert(get(port, "/admin/lock_key?lock_key=s3cret").body() == "true")
+      assert(get(port, "/admin/lock_key?lock_key=wrong").body() == "false")
+      assert(get(port, "/admin/lock_key").body() == "false")
+    } finally gw.stop()
+  }
 }
