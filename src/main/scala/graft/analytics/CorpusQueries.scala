@@ -574,7 +574,63 @@ object CorpusQueries {
        |GROUP BY lang""".stripMargin
   }
 
+  /** D14: cross-source contamination matrix — for every ordered source
+    * pair, how many of source A's distinct 3-gram shingles also occur
+    * in source B. The pipeline question this answers: which corpus
+    * components are copying from each other (mirror sites, scraped
+    * re-posts, benchmark text spreading through web dumps) — the
+    * pairwise generalization of d6's one-benchmark decontamination.
+    *
+    * Scale shape: distinct (source, gram-hash) is one partial-agg'd
+    * shuffle keyed by the 8-byte hash (gram TEXT never crosses the
+    * exchange — the t_novelty discipline); the self-join is one
+    * hash-partitioned exchange on the gram hash whose per-key fan-out
+    * is bounded by |sources|² (here 20², trivially); the output is
+    * |sources|² rows. With thousands of sources the exact join's
+    * per-gram product grows — that regime is exactly what the theta-
+    * sketch set algebra (w6_theta_overlap) serves, trading exactness
+    * for O(sketch) per source; this operator is the exact twin.
+    * All-long outputs; zero-overlap pairs are absent rows (inner
+    * join), identically in both engines. */
+  def d14Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables(spark, dir, "documents")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("shingle"))
+      .select($"source", DedupQueries.hash60($"shingle").as("h"))
+      .distinct()
+    val totals = grams.groupBy($"source").agg(count(lit(1)).as("total_a"))
+    grams.as("a").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals.withColumnRenamed("source", "source_a"), "source_a")
+  }
+
+  val d14Sql: String = {
+    import DedupQueries.sqlHash60
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS t FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, ${sqlHash60("shingle")} AS h FROM (
+       |    SELECT source,
+       |      unnest(list_transform(range(len(t) - 2),
+       |        i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |tot AS (SELECT source, count(*) AS total_a FROM g GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  count(*) AS n_shared, any_value(t.total_a) AS total_a
+       |FROM g a
+       |JOIN g b ON a.h = b.h AND a.source <> b.source
+       |JOIN tot t ON t.source = a.source
+       |GROUP BY a.source, b.source""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "d14_contamination" -> QueryDef.of(d14Sql)(d14Contamination),
     "d7_bloom_decontam" -> QueryDef.of(d7Sql)(d7BloomDecontam),
     "d8_paragraph_dedup" -> QueryDef.of(d8Sql)(d8ParagraphDedup),
     "pk1_seq_packing" -> QueryDef.of(pk1Sql)(pk1Packing),

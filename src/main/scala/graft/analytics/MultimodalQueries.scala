@@ -79,9 +79,93 @@ object MultimodalQueries {
       |  lang
       |FROM documents""".stripMargin
 
+  /** Bucket cap for the mm4 band join — same skew bound as d2's
+    * [[DedupQueries.BucketCap]] rationale: a cluster of k identical
+    * payloads shares every band, so an uncapped bucket yields k² pairs. */
+  private val MediaBucketCap = 64
+
+  /** MM4: perceptual-hash near-duplicate pairs over opaque media — the
+    * image-dedup stage of a multimodal pipeline (the reference has no
+    * media surface; this is the SURVEY "beyond" multimodal mandate).
+    * The STUB perceptual hash is a 16-bit simhash over the payload's
+    * byte tokens — deterministic and, like a real DCT pHash, CLOSE for
+    * near-identical payloads (d3's property, re-derived here through
+    * the binary media path); swap the hash column for a decoded pHash
+    * and the banding/verify plumbing below is unchanged.
+    *
+    * Scale shape: signatures in one scan + one per-doc aggregate; the
+    * 16-bit space splits into 4 bands of 4 bits, and by PIGEONHOLE any
+    * pair within hamming radius 3 agrees on ≥1 band — the banded
+    * self-join has perfect recall at the served radius while comparing
+    * only same-bucket candidates (bucket-capped, cap mirrored in the
+    * oracle). Verify is codegen'd `bit_count(xor)` on two longs — no
+    * text ever crosses the exchange. */
+  def mm4PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.asMedia(Tables(spark, dir, "documents"))
+    val tokens = media
+      .select($"doc_id", explode(split($"bytes".cast("string"), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", DedupQueries.hash60($"tok"))
+    val phash = tokens
+      .select($"doc_id", explode(expr("sequence(0, 15)")).as("bit"), $"h")
+      .groupBy($"doc_id", $"bit")
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0, expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L))
+        .as("phash"))
+    val banded = phash
+      .select($"doc_id", $"phash", explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("shiftright(phash, band * 4) & 15"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"band", $"key").orderBy($"doc_id")))
+      .filter($"rn" <= MediaBucketCap)
+      .select($"doc_id", $"phash", $"band", $"key")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+  }
+
+  val mm4Sql: String = {
+    import DedupQueries.sqlHash60
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, ${sqlHash60("tok")} AS h FROM tok),
+       |votes AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th, generate_series(0, 15) b(bit)
+       |  GROUP BY doc_id, bit),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM votes GROUP BY doc_id),
+       |banded0 AS (
+       |  SELECT doc_id, phash, band, (phash >> (band * 4)) & 15 AS key
+       |  FROM sig, generate_series(0, 3) bb(band)),
+       |banded AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+       |    FROM banded0)
+       |  WHERE rn <= $MediaBucketCap)
+       |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+       |  CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+       |FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "mm1_features" -> QueryDef.of(mm1Sql)(mm1Features),
     "mm2_frame_sample" -> QueryDef.of(mm2Sql)(mm2FrameSample),
-    "mm3_resize_audit" -> QueryDef.of(mm3Sql)(mm3ResizeAudit)
+    "mm3_resize_audit" -> QueryDef.of(mm3Sql)(mm3ResizeAudit),
+    "mm4_phash_neardup" -> QueryDef.of(mm4Sql)(mm4PhashNearDup)
   )
 }

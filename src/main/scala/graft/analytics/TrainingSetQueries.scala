@@ -630,8 +630,50 @@ object TrainingSetQueries {
        |GROUP BY lang, block_class""".stripMargin
   }
 
+  /** DS7: leak-proof train/validation/test split — every document lands
+    * in exactly one split by a salted content-stable hash of its id
+    * (80/10/10), so the assignment is deterministic across runs,
+    * engines, AND future corpus growth: a doc's split never changes
+    * when neighbours are added or removed, which is what makes the
+    * eval set trustworthy over the life of the corpus. Disjoint and
+    * exhaustive by construction (one CASE over one hash — there is no
+    * row two splits can both claim). The salt decorrelates the split
+    * from every other hash-keyed decision (ds1 sampling, ds3 shuffle).
+    * Scan-side tag, one partial-agg'd shuffle for the per-(lang,split)
+    * report; all-long outputs, no float parity risk. */
+  def ds7Split(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket =
+      DedupQueries.hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 100
+    Tables(spark, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train")
+          .when(bucket < 90, "validation")
+          .otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast("long")).as("n_chars"),
+        min($"doc_id").as("first_doc"))
+  }
+
+  val ds7Sql: String = {
+    val bucket =
+      s"${DedupQueries.sqlHash60("'split|' || CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT lang,
+       |  CASE WHEN $bucket < 80 THEN 'train'
+       |       WHEN $bucket < 90 THEN 'validation'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  min(doc_id) AS first_doc
+       |FROM documents
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
+    "ds7_split" -> QueryDef.of(ds7Sql)(ds7Split),
     "ds2_mixture" -> QueryDef.of(ds2Sql)(ds2Mixture),
     "ds3_shuffle" -> QueryDef.of(ds3Sql)(ds3Shuffle),
     "d6_decontaminate" -> QueryDef.of(d6Sql)(d6Decontaminate),

@@ -274,6 +274,51 @@ class PlanSpec extends SparkSpec {
       "train corpus shuffled into a sort-merge join")
   }
 
+  test("mm4: banded phash join is an equi join on (band, key) — " +
+    "no cartesian or nested-loop pairing anywhere") {
+    val p = planOf("mm4_phash_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "phash pairing degenerated to an all-pairs product")
+    // the verify predicate is codegen'd bit arithmetic on two longs —
+    // no text column survives into the join
+    assert(p.contains("bit_count"), "hamming verify missing from the plan")
+  }
+
+  /** Exchanges only exist post-EnsureRequirements, and under AQE they
+    * hide inside QueryStageExec wrappers that collect() won't traverse —
+    * so these two pins plan without AQE to get a plain executed tree. */
+  private def executedWithoutAqe(name: String) = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ds7: the split tag is scan-side — one shuffle total, " +
+    "and it is the report aggregate's") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executedWithoutAqe("ds7_split")
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"expected exactly one exchange, got ${exchanges.size}:\n$plan")
+    assert(plan.toString.contains("partial_count"),
+      "split report is not partial-aggregated")
+  }
+
+  test("d14: contamination join ships 8-byte gram hashes, never gram text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executedWithoutAqe("d14_contamination")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    // every exchange's payload is (source, h)-shaped or an aggregate of
+    // it: no string column wider than the source tag crosses the wire
+    shuffles.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("shingle") && !cols.contains("text"),
+        s"gram text crosses an exchange: $cols")
+    }
+  }
+
   test("t_topk_ngrams: one gram count shuffle, top-k over aggregated vocab") {
     val plan = SparkEntry.queries("t_topk_ngrams")(spark, sf())
       .queryExecution.executedPlan.toString
