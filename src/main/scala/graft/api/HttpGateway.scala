@@ -60,6 +60,14 @@ import graft.store.EventStore
   *  - **subscriptions** (ST1 `EventStream`):
   *    `/subscription/create|poll|delete` — file-source streams over the
   *    store with filter/projection, polled from a named memory sink.
+  *  - **materialized views** (upstream `MaterializedViewHttpService` /
+  *    `PrestoMaterializedViewService` semantics over
+  *    [[graft.store.MaterializedView]]):
+  *    `/materialized-view/create|get|list|delete|refresh`. Create
+  *    materializes over everything stored; every later collect folds
+  *    its batch into the |groups|-sized state (continuous-query
+  *    semantics); get serves finalized results without a history scan;
+  *    refresh is the full rebuild (the recovery path after deletions).
   *  - **maintenance**: `POST /admin/compact` (month-partition small-file
   *    rewrite); descriptor doors `GET /admin/configurations`,
   *    `/admin/types`, `/admin/event_mappers`, `/admin/lock_key`
@@ -150,6 +158,11 @@ final class HttpGateway(
     server.createContext("/event/hook/get", route(authed(MasterRole)(handleHookGet)))
     server.createContext("/event/hook/list", route(authed(MasterRole)(handleHookList)))
     server.createContext("/event/hook/delete", route(authed(MasterRole)(handleHookDelete)))
+    server.createContext("/materialized-view/create", route(authed(MasterRole)(handleMvCreate)))
+    server.createContext("/materialized-view/get", route(authed(MasterRole)(handleMvGet)))
+    server.createContext("/materialized-view/list", route(authed(MasterRole)(handleMvList)))
+    server.createContext("/materialized-view/delete", route(authed(MasterRole)(handleMvDelete)))
+    server.createContext("/materialized-view/refresh", route(authed(MasterRole)(handleMvRefresh)))
     server.createContext("/custom-event-mapper/create", route(authed(MasterRole)(handleMapperCreate(update = false))))
     server.createContext("/custom-event-mapper/update", route(authed(MasterRole)(handleMapperCreate(update = true))))
     server.createContext("/custom-event-mapper/delete", route(authed(MasterRole)(handleMapperDelete)))
@@ -1078,6 +1091,179 @@ final class HttpGateway(
     } finally res.unpersist()
   }
 
+  // -------- materialized views (MaterializedViewHttpService upstream) --------
+
+  private def mvDefsDir = s"$warehouse/$project/__mviews"
+  private def mvStateDir(name: String) = s"$warehouse/$project/__mvstate/$name"
+
+  /** One registered view: the upstream reference materializes a view
+    * query into a table and incrementally folds in rows past the last
+    * refresh point (PrestoMaterializedViewService); here the definition
+    * is the [[graft.store.MaterializedView]] shape — group columns plus
+    * sum/avg/min/max, HLL-distinct, and KLL-quantile measures — whose
+    * persisted state refreshes in O(delta)+O(|groups|). */
+  private case class MvDef(name: String, collection: String,
+      group: Seq[String], values: Seq[String], distincts: Seq[String],
+      quantiles: Seq[String]) {
+    def view = new graft.store.MaterializedView(group, values, distincts, quantiles)
+  }
+
+  private def readMvDef(name: String): Option[MvDef] =
+    graft.store.VersionedState.readMarker(mvDefsDir, name).map { s =>
+      val root = mapper.readTree(s)
+      def arr(f: String): Seq[String] =
+        Option(root.get(f)).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      MvDef(name, root.get("collection").asText(),
+        arr("group"), arr("values"), arr("distinct"), arr("quantiles"))
+    }
+
+  private def storedMvDefs(): Seq[MvDef] = {
+    val dir = new org.apache.hadoop.fs.Path(mvDefsDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filterNot(_.endsWith(".tmp")).sorted.flatMap(readMvDef)
+  }
+
+  /** A delta batch may predate later schema evolution — align it to the
+    * view's declared columns, null-filling absences at the registry's
+    * declared type so partial-state schemas line up across versions. */
+  private def alignForMv(d: MvDef, df: DataFrame): DataFrame = {
+    val declared = registry.sparkSchema(project, d.collection)
+      .map(_.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    (d.group ++ d.values ++ d.distincts ++ d.quantiles).distinct
+      .foldLeft(df) { (acc, c) =>
+        if (acc.columns.contains(c)) acc
+        else acc.withColumn(c,
+          lit(null).cast(declared.getOrElse(c,
+            org.apache.spark.sql.types.StringType)))
+      }
+  }
+
+  /** Fold a freshly-stored batch into every view registered on its
+    * collection — the CONTINUOUS half of the contract: collect-time
+    * maintenance, so a view read is always current without a refresh
+    * call (the upstream continuous-query semantics). Synchronous under
+    * the store's write lock: single-writer, no replay, so the direct
+    * initialize/refresh pair is exactly-once by construction. */
+  private def maintainMvs(coll: String, df: DataFrame): Unit =
+    storedMvDefs().filter(_.collection == coll).foreach { d =>
+      val path = mvStateDir(d.name)
+      val aligned = alignForMv(d, df)
+      if (!graft.store.VersionedState.exists(path))
+        d.view.initialize(aligned, path)
+      else d.view.refresh(spark, aligned, path)
+    }
+
+  /** `POST /materialized-view/create` — body `{"name":…, "collection":…,
+    * "group":[…], "values"?:[…], "distinct"?:[…], "quantiles"?:[…]}`.
+    * Declared columns must exist in the collection's evolved schema.
+    * Creation materializes the view over everything already stored
+    * (the reference's create-then-populate), after which every collect
+    * folds its delta in. */
+  private def handleMvCreate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    if (readMvDef(name).isDefined)
+      throw new IngestRejected(s"materialized view '$name' already exists")
+    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+      throw new IngestRejected("collection is required"))
+    def arr(f: String): Seq[String] =
+      Option(root.get(f)).filter(_.isArray)
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val d = MvDef(name, collection, arr("group"), arr("values"),
+      arr("distinct"), arr("quantiles"))
+    if (d.group.isEmpty)
+      throw new IngestRejected("group columns are required")
+    val schema = registry.sparkSchema(project, collection).getOrElse(
+      throw new IngestRejected(s"unknown collection '$collection'"))
+    val known = schema.fieldNames.toSet
+    (d.group ++ d.values ++ d.distincts ++ d.quantiles).foreach { c =>
+      if (!known.contains(c))
+        throw new IngestRejected(s"unknown column '$c' in '$collection'")
+    }
+    val node = mapper.createObjectNode()
+    node.put("collection", collection)
+    def put(f: String, vs: Seq[String]): Unit = {
+      val a = node.putArray(f); vs.foreach(a.add)
+    }
+    put("group", d.group); put("values", d.values)
+    put("distinct", d.distincts); put("quantiles", d.quantiles)
+    writeLock.synchronized {
+      graft.store.VersionedState.writeMarker(mvDefsDir, name,
+        mapper.writeValueAsString(node))
+      d.view.initialize(
+        alignForMv(d, EventStore.read(spark, registry, warehouse, project, collection)),
+        mvStateDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
+  /** `GET /materialized-view/get?name=…` — serve the finalized view
+    * (avg from decimal partials, HLL estimates, KLL quantiles) straight
+    * from the persisted |groups|-sized state: no history scan. */
+  private def handleMvGet(ex: HttpExchange): (Int, String) = {
+    val name = requireIdentifier(queryParams(ex).getOrElse("name",
+      throw new IngestRejected("name is required")))
+    val d = readMvDef(name).getOrElse(
+      return (404, """{"error":"materialized view not found"}"""))
+    val rows = d.view.read(spark, mvStateDir(name))
+      .orderBy(d.group.map(col): _*)
+      .toJSON.collect()
+    (200, rows.mkString("[", ",", "]"))
+  }
+
+  private def handleMvList(ex: HttpExchange): (Int, String) = {
+    val rows = storedMvDefs().map { d =>
+      graft.store.VersionedState.readMarker(mvDefsDir, d.name).map(json =>
+        s"""{"name":${mapper.writeValueAsString(d.name)},${json.trim.stripPrefix("{")}""")
+        .getOrElse("")
+    }.filter(_.nonEmpty)
+    (200, rows.mkString("[", ",", "]"))
+  }
+
+  private def handleMvDelete(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    val marker = new org.apache.hadoop.fs.Path(mvDefsDir, name)
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) (404, """{"error":"materialized view not found"}""")
+    else writeLock.synchronized {
+      fs.delete(marker, false)
+      fs.delete(new org.apache.hadoop.fs.Path(mvStateDir(name)), true)
+      (200, """{"success":true}""")
+    }
+  }
+
+  /** `POST /materialized-view/refresh` — full rebuild from the store
+    * (the reference's non-incremental refresh): drops state, re-
+    * materializes. The recovery path when a view definition's inputs
+    * were corrected (e.g. after a user deletion rewrote partitions —
+    * incremental folds can only ADD). */
+  private def handleMvRefresh(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    val d = readMvDef(name).getOrElse(
+      return (404, """{"error":"materialized view not found"}"""))
+    writeLock.synchronized {
+      val fs = new org.apache.hadoop.fs.Path(mvStateDir(name))
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(mvStateDir(name)), true)
+      d.view.initialize(
+        alignForMv(d, EventStore.read(spark, registry, warehouse, project, d.collection)),
+        mvStateDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
   // ---------------- api keys (ProjectHttpService + ApiKeyService) ----------------
 
   private def keysDir = s"$warehouse/$project/__apikeys"
@@ -1129,9 +1315,11 @@ final class HttpGateway(
   }
 
   /** `POST /project/check-api-keys` — body `{"project":…, "keys":
-    * [{"master_key"?:…, "write_key"?:…}…]}` → a boolean per pair: true
-    * iff the named project is this gateway's and every key present in
-    * the pair is live in its stated role (ProjectHttpService.java:158-176). */
+    * [{"master_key"?:…, "write_key"?:…}…]}` → a boolean per pair: every
+    * key PRESENT in the pair must be live in its stated role for the
+    * named project; a pair with no keys checks nothing and is vacuously
+    * true — exactly the reference's per-key `Optional.ifPresent` flow
+    * (ProjectHttpService.java:158-176). */
   private def handleCheckKeys(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
@@ -1140,13 +1328,15 @@ final class HttpGateway(
     val keys = Option(root.get("keys")).filter(_.isArray).getOrElse(
       throw new IngestRejected("keys array is required"))
     val pairs = apiKeyPairs()
+    def live(k: String, role: KeyRole): Boolean =
+      proj.equalsIgnoreCase(project) && (role match {
+        case MasterRole => pairs.exists(_._1 == k)
+        case WriteRole => pairs.exists(_._2 == k)
+      })
     val out = keys.elements().asScala.map { k =>
       val master = Option(k.get("master_key")).filterNot(_.isNull).map(_.asText())
       val write = Option(k.get("write_key")).filterNot(_.isNull).map(_.asText())
-      proj.equalsIgnoreCase(project) &&
-        (master.nonEmpty || write.nonEmpty) &&
-        master.forall(m => pairs.exists(_._1 == m)) &&
-        write.forall(w => pairs.exists(_._2 == w))
+      master.forall(live(_, MasterRole)) && write.forall(live(_, WriteRole))
     }.toSeq
     (200, out.mkString("[", ",", "]"))
   }
@@ -1313,6 +1503,9 @@ final class HttpGateway(
         val df = if (runMappers) applyMappers(coll, df0) else df0
         n += df.count()
         EventStore.write(df, warehouse, project, coll)
+        // continuous maintenance: the stored batch is also the delta
+        // for every materialized view on this collection
+        maintainMvs(coll, df)
       }
       if (!res.deadLetter.isEmpty)
         EventStore.writeDeadLetter(res.deadLetter, warehouse, project)

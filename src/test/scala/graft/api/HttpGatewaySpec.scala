@@ -655,6 +655,11 @@ class HttpGatewaySpec extends SparkSpec {
            |  {"master_key": "$master", "write_key": "$write"},
            |  {"master_key": "nope"}]}""".stripMargin)
       assert(check.body() == "[true,false]", check.body())
+      // wrong project fails a present key; an empty pair checks nothing
+      // and is vacuously true (the reference's per-key Optional flow)
+      assert(post(port, "/project/check-api-keys",
+        s"""{"project": "other", "keys": [{"master_key": "$master"}, {}]}""")
+        .body() == "[false,true]")
 
       // revoke the pair: the gateway is open again
       assert(post(port, "/project/revoke-api-keys",
@@ -685,6 +690,66 @@ class HttpGatewaySpec extends SparkSpec {
         get(port, "/").body().contains("\"ok\""))
       assert(get(port, "/no/such/route").statusCode() == 404)
       assert(post(port, "/project/exception", "{}").statusCode() == 500)
+    }
+  }
+
+  test("materialized view lifecycle: create materializes history, " +
+    "collects fold in continuously, get serves from state, refresh rebuilds") {
+    withGateway { (_, port) =>
+      def collect(user: String, page: String, amount: Int): Unit =
+        assert(post(port, "/event/collect",
+          s"""{"collection": "views", "properties": {"_user": "$user", "_time": "2026-01-15 10:00:00.000", "page": "$page", "amount": $amount}}""")
+          .statusCode() == 200)
+
+      // history BEFORE the view exists — create must materialize it
+      collect("u1", "/a", 10)
+      collect("u2", "/a", 30)
+      collect("u1", "/b", 5)
+
+      assert(post(port, "/materialized-view/create",
+        """{"name": "page_stats", "collection": "views",
+          |"group": ["page"], "values": ["amount"], "distinct": ["_user"]}""".stripMargin)
+        .statusCode() == 200)
+      // duplicate name and unknown column are client errors
+      assert(post(port, "/materialized-view/create",
+        """{"name": "page_stats", "collection": "views", "group": ["page"]}""")
+        .statusCode() == 400)
+      assert(post(port, "/materialized-view/create",
+        """{"name": "x", "collection": "views", "group": ["nope"]}""")
+        .body().contains("unknown column"))
+
+      val v1 = get(port, "/materialized-view/get?name=page_stats")
+      assert(v1.statusCode() == 200, v1.body())
+      assert(v1.body().contains(""""page":"/a","n_rows":2""") &&
+        v1.body().contains(""""sum_amount":40.0"""), v1.body())
+
+      // a later collect folds in WITHOUT a refresh call
+      collect("u3", "/a", 20)
+      val v2 = get(port, "/materialized-view/get?name=page_stats")
+      assert(v2.body().contains(""""page":"/a","n_rows":3""") &&
+        v2.body().contains(""""sum_amount":60.0""") &&
+        v2.body().contains(""""approx_distinct__user":3"""), v2.body())
+
+      // the served state must agree with the engine recomputing from
+      // the store — the ground truth the incremental fold cannot drift from
+      val truth = post(port, "/query/execute",
+        """{"query": "SELECT page, count(*) AS n_rows, sum(amount) AS sum_amount FROM views GROUP BY page ORDER BY page"}""")
+      assert(truth.body().contains(""""n_rows":3""") &&
+        truth.body().contains(""""sum_amount":60.0"""), truth.body())
+
+      assert(get(port, "/materialized-view/list").body().contains("page_stats"))
+
+      // full rebuild serves the same result (nothing was deleted)
+      assert(post(port, "/materialized-view/refresh",
+        """{"name": "page_stats"}""").statusCode() == 200)
+      val v3 = get(port, "/materialized-view/get?name=page_stats")
+      assert(v3.body() == v2.body(), s"rebuild drifted:\n${v3.body()}\n${v2.body()}")
+
+      assert(post(port, "/materialized-view/delete",
+        """{"name": "page_stats"}""").statusCode() == 200)
+      assert(get(port, "/materialized-view/get?name=page_stats").statusCode() == 404)
+      assert(post(port, "/materialized-view/delete",
+        """{"name": "page_stats"}""").statusCode() == 404)
     }
   }
 
