@@ -424,8 +424,7 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("query is required"))
     val limit = Option(root.get("limit")).map(_.asInt()).getOrElse(1000)
     registry.collections(project).foreach { c =>
-      EventStore.read(spark, registry, warehouse, project, c)
-        .createOrReplaceTempView(c)
+      storedOrEmpty(c).createOrReplaceTempView(c)
     }
     val df =
       try spark.sql(sql)
@@ -672,6 +671,9 @@ final class HttpGateway(
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp), opsPath),
           "ops-log swap failed")
       }
+      // incremental folds can only ADD: re-materialize every view so
+      // the deleted user leaves aggregates and sketches too
+      storedMvDefs().foreach(rebuildMv)
       (200, s"""{"partitions_rewritten":$parts,"rows_deleted":$rows}""")
     }
   }
@@ -1157,6 +1159,38 @@ final class HttpGateway(
       else d.view.refresh(spark, aligned, path)
     }
 
+  /** Everything stored for `collection` — or, for a collection declared
+    * (e.g. via `/project/schema/add`) but never collected into, an
+    * empty frame TYPED by the registry schema: views created ahead of
+    * data start from empty state, and ad-hoc SQL over a declared-only
+    * collection analyzes instead of failing on a missing path. */
+  private def storedOrEmpty(collection: String): DataFrame = {
+    val table = new org.apache.hadoop.fs.Path(
+      EventStore.tablePath(warehouse, project, collection))
+    if (table.getFileSystem(spark.sessionState.newHadoopConf()).exists(table))
+      EventStore.read(spark, registry, warehouse, project, collection)
+    else {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val fields = registry.sparkSchema(project, collection)
+        .map(_.fields).getOrElse(Array.empty[StructField])
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields :+ StructField("_month", StringType)))
+    }
+  }
+
+  /** Rebuild one view's state from the store (create/refresh, and the
+    * GDPR path: [[handleUserDelete]] rewrites partitions, and an
+    * incremental fold can only ADD — the deleted user's contributions
+    * must leave the aggregates AND the HLL/KLL sketches too, which only
+    * a re-materialization achieves). Callers hold [[writeLock]]. */
+  private def rebuildMv(d: MvDef): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(mvStateDir(d.name))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(mvStateDir(d.name)), true)
+    d.view.initialize(alignForMv(d, storedOrEmpty(d.collection)), mvStateDir(d.name))
+  }
+
   /** `POST /materialized-view/create` — body `{"name":…, "collection":…,
     * "group":[…], "values"?:[…], "distinct"?:[…], "quantiles"?:[…]}`.
     * Declared columns must exist in the collection's evolved schema.
@@ -1196,9 +1230,7 @@ final class HttpGateway(
     writeLock.synchronized {
       graft.store.VersionedState.writeMarker(mvDefsDir, name,
         mapper.writeValueAsString(node))
-      d.view.initialize(
-        alignForMv(d, EventStore.read(spark, registry, warehouse, project, collection)),
-        mvStateDir(name))
+      rebuildMv(d)
     }
     (200, """{"success":true}""")
   }
@@ -1253,14 +1285,7 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("name is required")))
     val d = readMvDef(name).getOrElse(
       return (404, """{"error":"materialized view not found"}"""))
-    writeLock.synchronized {
-      val fs = new org.apache.hadoop.fs.Path(mvStateDir(name))
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(mvStateDir(name)), true)
-      d.view.initialize(
-        alignForMv(d, EventStore.read(spark, registry, warehouse, project, d.collection)),
-        mvStateDir(name))
-    }
+    writeLock.synchronized(rebuildMv(d))
     (200, """{"success":true}""")
   }
 

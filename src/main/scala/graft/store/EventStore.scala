@@ -161,7 +161,9 @@ object EventStore {
   def deleteUser(spark: SparkSession, warehouse: String, project: String,
       collection: String, userCol: String, userId: Any): (Int, Long) = {
     val root = new java.io.File(tablePath(warehouse, project, collection))
-    require(root.isDirectory, s"no such table: $root")
+    // a collection declared (schema/add) but never stored has no table
+    // dir — and trivially zero rows of the user to delete
+    if (!root.isDirectory) return (0, 0L)
     val parts = root.listFiles().filter(f =>
       f.isDirectory && f.getName.startsWith("_month="))
     var rewritten = 0

@@ -753,6 +753,41 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("materialized views: create ahead of data starts empty; " +
+    "user deletion re-materializes the state") {
+    withGateway { (_, port) =>
+      // declared via schema/add, never collected: the view starts empty
+      assert(post(port, "/project/schema/add",
+        """{"collection": "empty_c", "fields": [{"name": "k", "type": "STRING"}]}""")
+        .statusCode() == 200)
+      assert(post(port, "/materialized-view/create",
+        """{"name": "mv_empty", "collection": "empty_c", "group": ["k"]}""")
+        .statusCode() == 200)
+      assert(get(port, "/materialized-view/get?name=mv_empty").body() == "[]")
+      // ad-hoc SQL over the declared-only collection analyzes too
+      val q0 = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM empty_c"}""")
+      assert(q0.statusCode() == 200 && q0.body() == """[{"n":0}]""", q0.body())
+
+      def collect(user: String): Unit =
+        assert(post(port, "/event/collect",
+          s"""{"collection": "acts", "properties": {"_user": "$user", "_time": "2026-01-15 10:00:00.000", "kind": "x"}}""")
+          .statusCode() == 200)
+      collect("u1"); collect("u1"); collect("u2")
+      assert(post(port, "/materialized-view/create",
+        """{"name": "mv_acts", "collection": "acts", "group": ["kind"], "distinct": ["_user"]}""")
+        .statusCode() == 200)
+      assert(get(port, "/materialized-view/get?name=mv_acts")
+        .body().contains(""""n_rows":3"""))
+
+      // GDPR: deletion must leave the view's counts AND sketches
+      assert(post(port, "/user/delete", """{"id": "u1"}""").statusCode() == 200)
+      val after = get(port, "/materialized-view/get?name=mv_acts")
+      assert(after.body().contains(""""n_rows":1""") &&
+        after.body().contains(""""approx_distinct__user":1"""), after.body())
+    }
+  }
+
   test("a configured lock key is enforced on the lock_key door") {
     val registry = SchemaRegistry.inMemory()
     val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
