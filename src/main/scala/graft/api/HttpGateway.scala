@@ -53,7 +53,11 @@ import graft.store.EventStore
   *    (one-user fold, id predicate pushed to the scan),
   *    `POST /user/delete` (right-to-be-forgotten).
   *  - **analysis** (the read executors): `GET /analysis/segmentation`,
-  *    `/analysis/funnel`, `/analysis/retention`.
+  *    `/analysis/funnel`, `/analysis/retention`,
+  *    `/analysis/statistics` (event-explorer overview: counts per
+  *    collection × month off the partition column). Every route also
+  *    answers the OPTIONS preflight with the reference's CORS headers
+  *    (`OptionMethodHttpService`).
   *  - **ad-hoc SQL** (`QueryHttpService`): `POST /query/execute` —
   *    collections mount as temp views, the statement runs through the
   *    full engine (Catalyst + graft extensions + AQE), row-capped.
@@ -137,6 +141,7 @@ final class HttpGateway(
     server.createContext("/admin/types", route(authed(MasterRole)(handleAdminTypes)))
     server.createContext("/admin/event_mappers", route(authed(MasterRole)(handleAdminMappers)))
     server.createContext("/admin/lock_key", route(handleLockKey))
+    server.createContext("/analysis/statistics", route(authed(MasterRole)(handleStatistics)))
     server.createContext("/analysis/segmentation", route(authed(MasterRole)(handleSegmentation)))
     server.createContext("/analysis/funnel", route(authed(MasterRole)(handleFunnel)))
     server.createContext("/analysis/retention", route(authed(MasterRole)(handleRetention)))
@@ -591,6 +596,30 @@ final class HttpGateway(
       val o = cn.addObject(); o.put("name", c); o.put("type", "STRING")
     }
     (200, mapper.writeValueAsString(node))
+  }
+
+  /** `GET /analysis/statistics[?collection=…]` — the event-explorer
+    * overview (upstream `EventExplorerHttpService.getEventStatistics`):
+    * event counts per (collection, month). The month IS the store's
+    * partition column, so each per-collection aggregate reads partition
+    * metadata plus one column, never event payloads. */
+  private def handleStatistics(ex: HttpExchange): (Int, String) = {
+    val only = queryParams(ex).get("collection")
+    val colls = only.map(Seq(_)).getOrElse(registry.collections(project).sorted)
+    only.foreach { c =>
+      if (registry.schema(project, c).isEmpty)
+        throw new IngestRejected(s"unknown collection '$c'")
+    }
+    val frames = colls.map { c =>
+      storedOrEmpty(c)
+        .groupBy(col("_month").as("month"))
+        .agg(count(lit(1)).as("events"))
+        .select(lit(c).as("collection"), col("month"), col("events"))
+    }
+    if (frames.isEmpty) return (200, "[]")
+    val all = frames.reduce(_.unionByName(_))
+      .orderBy(col("collection"), col("month"))
+    (200, all.toJSON.collect().mkString("[", ",", "]"))
   }
 
   private def handleSegmentation(ex: HttpExchange): (Int, String) = {
@@ -1551,27 +1580,49 @@ final class HttpGateway(
           java.net.URLDecoder.decode(v, UTF_8)
       }.toMap
 
+  /** The reference's CORS surface (OptionMethodHttpService.java:20-28
+    * answers every OPTIONS preflight; browser SDK collects depend on
+    * it): preflights short-circuit with the allow headers, and every
+    * response carries the allow-origin. */
+  private def corsPreflight(ex: HttpExchange): Boolean = {
+    ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    if (ex.getRequestMethod != "OPTIONS") false
+    else {
+      ex.getResponseHeaders.set("Access-Control-Allow-Headers",
+        "Origin, X-Requested-With, Content-Type, Accept, master_key, write_key, api_key")
+      ex.getResponseHeaders.set("Access-Control-Allow-Methods",
+        "GET, POST, OPTIONS, PUT, DELETE")
+      ex.sendResponseHeaders(200, -1L)
+      ex.close()
+      true
+    }
+  }
+
   private def route(f: HttpExchange => (Int, String)):
       com.sun.net.httpserver.HttpHandler = { ex =>
-    val (code, body) =
-      try f(ex)
-      catch {
-        case e: IngestRejected =>
-          (400, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
-        case NonFatal(e) =>
-          (500, s"""{"error":${mapper.writeValueAsString(String.valueOf(e))}}""")
-      }
-    val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
-    val out = ex.getResponseBody
-    try out.write(bytes) finally out.close()
+    if (!corsPreflight(ex)) {
+      val (code, body) =
+        try f(ex)
+        catch {
+          case e: IngestRejected =>
+            (400, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
+          case NonFatal(e) =>
+            (500, s"""{"error":${mapper.writeValueAsString(String.valueOf(e))}}""")
+        }
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val out = ex.getResponseBody
+      try out.write(bytes) finally out.close()
+    }
   }
 
   /** A handler that writes its own response (the pixel door's gif). */
   private def rawRoute(f: HttpExchange => Unit):
       com.sun.net.httpserver.HttpHandler = { ex =>
-    try f(ex)
-    catch { case NonFatal(_) => ex.close() }
+    if (!corsPreflight(ex)) {
+      try f(ex)
+      catch { case NonFatal(_) => ex.close() }
+    }
   }
 }

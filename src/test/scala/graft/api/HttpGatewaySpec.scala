@@ -788,6 +788,38 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("statistics door serves per-collection month counts; " +
+    "OPTIONS preflight answers the CORS contract") {
+    withGateway { (_, port) =>
+      post(port, "/event/collect",
+        """{"collection": "a_ev", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000"}}""")
+      post(port, "/event/collect",
+        """{"collection": "a_ev", "properties": {"_user": "u1", "_time": "2026-02-01 10:00:00.000"}}""")
+      post(port, "/event/collect",
+        """{"collection": "b_ev", "properties": {"_user": "u2", "_time": "2026-01-20 10:00:00.000"}}""")
+      val stats = get(port, "/analysis/statistics")
+      assert(stats.statusCode() == 200, stats.body())
+      assert(stats.body() ==
+        """[{"collection":"a_ev","month":"2026-01","events":1},""" +
+        """{"collection":"a_ev","month":"2026-02","events":1},""" +
+        """{"collection":"b_ev","month":"2026-01","events":1}]""", stats.body())
+      assert(get(port, "/analysis/statistics?collection=b_ev").body()
+        .contains(""""collection":"b_ev""""))
+      assert(get(port, "/analysis/statistics?collection=nope").statusCode() == 400)
+
+      val pre = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/collect"))
+          .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(pre.statusCode() == 200)
+      assert(pre.headers().firstValue("Access-Control-Allow-Methods").orElse("")
+        .contains("POST"), pre.headers().map())
+      // every normal response carries the allow-origin for browser SDKs
+      assert(get(port, "/").headers()
+        .firstValue("Access-Control-Allow-Origin").orElse("") == "*")
+    }
+  }
+
   test("a configured lock key is enforced on the lock_key door") {
     val registry = SchemaRegistry.inMemory()
     val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
