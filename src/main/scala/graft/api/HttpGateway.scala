@@ -64,6 +64,15 @@ import graft.store.EventStore
   *  - **subscriptions** (ST1 `EventStream`):
   *    `/subscription/create|poll|delete` — file-source streams over the
   *    store with filter/projection, polled from a named memory sink.
+  *  - **index services** (the incremental stores over HTTP, this
+  *    engine's "beyond the reference" capability made operable):
+  *    `/index/dedup/create|append|probe` — near-dup verdicts against
+  *    |keys|-sized state without re-shingling history — and
+  *    `/index/ann/create|append|query|stats|compact|reseed` —
+  *    similarity search served from cell-partitioned postings with
+  *    probe-pruned reads plus the occupancy stats that trigger
+  *    re-seeding. Deltas ride inline JSON (service-sized) or a parquet
+  *    `source` path (bulk; the door only triggers the cluster job).
   *  - **materialized views** (upstream `MaterializedViewHttpService` /
   *    `PrestoMaterializedViewService` semantics over
   *    [[graft.store.MaterializedView]]):
@@ -163,6 +172,15 @@ final class HttpGateway(
     server.createContext("/event/hook/get", route(authed(MasterRole)(handleHookGet)))
     server.createContext("/event/hook/list", route(authed(MasterRole)(handleHookList)))
     server.createContext("/event/hook/delete", route(authed(MasterRole)(handleHookDelete)))
+    server.createContext("/index/dedup/create", route(authed(MasterRole)(handleDedupCreate)))
+    server.createContext("/index/dedup/append", route(authed(MasterRole)(handleDedupAppend)))
+    server.createContext("/index/dedup/probe", route(authed(MasterRole)(handleDedupProbe)))
+    server.createContext("/index/ann/create", route(authed(MasterRole)(handleAnnCreate)))
+    server.createContext("/index/ann/append", route(authed(MasterRole)(handleAnnAppend)))
+    server.createContext("/index/ann/query", route(authed(MasterRole)(handleAnnQuery)))
+    server.createContext("/index/ann/stats", route(authed(MasterRole)(handleAnnStats)))
+    server.createContext("/index/ann/compact", route(authed(MasterRole)(handleAnnCompact)))
+    server.createContext("/index/ann/reseed", route(authed(MasterRole)(handleAnnReseed)))
     server.createContext("/materialized-view/create", route(authed(MasterRole)(handleMvCreate)))
     server.createContext("/materialized-view/get", route(authed(MasterRole)(handleMvGet)))
     server.createContext("/materialized-view/list", route(authed(MasterRole)(handleMvList)))
@@ -1120,6 +1138,198 @@ final class HttpGateway(
       }
       (200, out.mkString("[", ",", "]"))
     } finally res.unpersist()
+  }
+
+  // -------- index services (the incremental stores over HTTP) --------
+
+  private def dedupIdxDir(name: String) =
+    s"$warehouse/$project/__indexes/dedup/$name"
+  private def annIdxDir(name: String) =
+    s"$warehouse/$project/__indexes/ann/$name"
+
+  /** Documents for the dedup-index doors: inline `"docs": [{"doc_id":…,
+    * "text":…}…]` for service-sized deltas, or `"source": <parquet dir>`
+    * for bulk (the door is only the trigger; the work is a cluster
+    * job — the reference's bulk/remote discipline, master-gated). */
+  private def docsFrameOf(root: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    Option(root.get("source")).filterNot(_.isNull).map(_.asText()) match {
+      case Some(p) =>
+        spark.read.parquet(p).select(col("doc_id").cast("long"), col("text"))
+      case None =>
+        val docs = Option(root.get("docs")).filter(_.isArray).getOrElse(
+          throw new IngestRejected("docs array or source path is required"))
+        import spark.implicits._
+        docs.elements().asScala.map { d =>
+          (Option(d.get("doc_id")).map(_.asLong()).getOrElse(
+            throw new IngestRejected("doc_id is required")),
+            Option(d.get("text")).map(_.asText()).getOrElse(
+              throw new IngestRejected("text is required")))
+        }.toSeq.toDF("doc_id", "text")
+    }
+
+  /** Vectors for the ANN doors: inline `"vectors": [{"vec_id":…,
+    * "embedding":[…], "label"?:…}…]` or `"source": <parquet dir>` with
+    * the same columns. */
+  private def vectorsFrameOf(root: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    Option(root.get("source")).filterNot(_.isNull).map(_.asText()) match {
+      case Some(p) =>
+        spark.read.parquet(p).select(col("vec_id").cast("long"),
+          col("embedding").cast("array<float>"), col("label").cast("string"))
+      case None =>
+        val vecs = Option(root.get("vectors")).filter(_.isArray).getOrElse(
+          throw new IngestRejected("vectors array or source path is required"))
+        import spark.implicits._
+        vecs.elements().asScala.map { v =>
+          val emb = Option(v.get("embedding")).filter(_.isArray).getOrElse(
+            throw new IngestRejected("embedding array is required"))
+            .elements().asScala.map(_.floatValue()).toSeq
+          (Option(v.get("vec_id")).map(_.asLong()).getOrElse(
+            throw new IngestRejected("vec_id is required")),
+            emb, Option(v.get("label")).map(_.asText()).getOrElse(""))
+        }.toSeq.toDF("vec_id", "embedding", "label")
+    }
+
+  private def requireIndex(dir: String): Unit =
+    if (!graft.store.VersionedState.exists(dir))
+      throw new IngestRejected("index does not exist")
+
+  /** `POST /index/dedup/create` — bootstrap a [[graft.store.DedupIndex]]
+    * (min band-key state, |keys|-sized) under this project from inline
+    * docs or a parquet source. `append` folds deltas in O(delta)+O(|keys|);
+    * `probe` serves first-seen-wins verdicts WITHOUT re-shingling
+    * history — near-dup detection as a service over the store the
+    * di1 oracle row proves equal to the one-shot batch computation. */
+  private def handleDedupCreate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    if (graft.store.VersionedState.exists(dedupIdxDir(name)))
+      throw new IngestRejected(s"index '$name' already exists")
+    writeLock.synchronized {
+      graft.store.DedupIndex.initialize(docsFrameOf(root), dedupIdxDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleDedupAppend(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(dedupIdxDir(name))
+    writeLock.synchronized {
+      graft.store.DedupIndex.refresh(spark, docsFrameOf(root), dedupIdxDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleDedupProbe(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(dedupIdxDir(name))
+    val verdicts = graft.store.DedupIndex
+      .probeStore(spark, docsFrameOf(root), dedupIdxDir(name))
+      .orderBy(col("doc_id"))
+    (200, verdicts.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** `POST /index/ann/create` — bootstrap a [[graft.store.AnnIndex]]
+    * (frozen IVF centroids, cell-partitioned append-only postings);
+    * `append` assigns only the delta against broadcast centroids;
+    * `query` serves exact-cosine top-k reading ONLY the probed cells'
+    * partitions; `stats` reports occupancy (the re-seed trigger ai2
+    * audits); `compact`/`reseed` are the maintenance verbs. Similarity
+    * search as a service over the store ai1 proves equal to the
+    * one-shot IVF plan. */
+  private def handleAnnCreate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    if (graft.store.VersionedState.exists(annIdxDir(name)))
+      throw new IngestRejected(s"index '$name' already exists")
+    writeLock.synchronized {
+      try graft.store.AnnIndex.initialize(vectorsFrameOf(root), annIdxDir(name))
+      catch { case e: IllegalArgumentException =>
+        throw new IngestRejected(e.getMessage)
+      }
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleAnnAppend(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(annIdxDir(name))
+    writeLock.synchronized {
+      graft.store.AnnIndex.append(spark, vectorsFrameOf(root), annIdxDir(name),
+        graft.store.VersionedState.currentVersion(annIdxDir(name)) + 1)
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleAnnQuery(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(annIdxDir(name))
+    val vec = Option(root.get("vector")).filter(_.isArray).getOrElse(
+      throw new IngestRejected("vector array is required"))
+      .elements().asScala.map(_.floatValue()).toSeq
+    val k = Option(root.get("k")).map(_.asInt()).getOrElse(10)
+    import spark.implicits._
+    val q = Seq(vec).toDF("embedding")
+    val rows = graft.store.AnnIndex.query(spark, annIdxDir(name), q, k)
+    (200, rows.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  private def handleAnnStats(ex: HttpExchange): (Int, String) = {
+    val name = requireIdentifier(queryParams(ex).getOrElse("name",
+      throw new IngestRejected("name is required")))
+    requireIndex(annIdxDir(name))
+    val occ = graft.store.AnnIndex.postings(spark, annIdxDir(name))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("postings"), count(lit(1)).as("cells"),
+        max(col("n")).as("max_cell"))
+      .collect()(0)
+    val node = mapper.createObjectNode()
+    node.put("version",
+      graft.store.VersionedState.currentVersion(annIdxDir(name)))
+    node.put("postings", occ.getLong(0))
+    node.put("cells", occ.getLong(1))
+    node.put("max_cell_share", occ.getLong(2).toDouble / occ.getLong(0))
+    (200, mapper.writeValueAsString(node))
+  }
+
+  private def handleAnnCompact(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(annIdxDir(name))
+    writeLock.synchronized {
+      graft.store.AnnIndex.compactPostings(spark, annIdxDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleAnnReseed(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(annIdxDir(name))
+    val iters = Option(root.get("iters")).map(_.asInt()).getOrElse(2)
+    writeLock.synchronized {
+      graft.store.AnnIndex.reseed(spark, annIdxDir(name), iters)
+    }
+    (200, """{"success":true}""")
   }
 
   // -------- materialized views (MaterializedViewHttpService upstream) --------

@@ -820,6 +820,79 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("dedup index over HTTP: create → probe verdicts without " +
+    "re-shingling → append shifts first-seen") {
+    withGateway { (_, port) =>
+      def doc(id: Long, text: String) =
+        s"""{"doc_id": $id, "text": ${new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(text)}}"""
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      assert(post(port, "/index/dedup/create",
+        s"""{"name": "corpus", "docs": [${doc(1, base)}, ${doc(2, "completely different words in this one by every measure truly")}]}""")
+        .statusCode() == 200)
+      assert(post(port, "/index/dedup/create",
+        s"""{"name": "corpus", "docs": []}""").statusCode() == 400)
+
+      // an exact copy of doc 1 is flagged; novel text is not
+      val probe = post(port, "/index/dedup/probe",
+        s"""{"name": "corpus", "docs": [${doc(10, base)}, ${doc(11, "nothing like anything stored before in any shingle of this text")}]}""")
+      assert(probe.statusCode() == 200, probe.body())
+      assert(probe.body().contains("""{"doc_id":10,"is_dup":true}""") &&
+        probe.body().contains("""{"doc_id":11,"is_dup":false}"""), probe.body())
+
+      // append the novel doc; probing it again now flags it
+      assert(post(port, "/index/dedup/append",
+        s"""{"name": "corpus", "docs": [${doc(11, "nothing like anything stored before in any shingle of this text")}]}""")
+        .statusCode() == 200)
+      assert(post(port, "/index/dedup/probe",
+        s"""{"name": "corpus", "docs": [${doc(20, "nothing like anything stored before in any shingle of this text")}]}""")
+        .body().contains("""{"doc_id":20,"is_dup":true}"""))
+      assert(post(port, "/index/dedup/probe",
+        """{"name": "nope", "docs": []}""").statusCode() == 400)
+    }
+  }
+
+  test("ann index over HTTP: create → query serves top-k from probed " +
+    "cells → append is visible → stats reports occupancy") {
+    withGateway { (_, port) =>
+      // 20 vectors, 4-dim; ids 0..15 are the frozen seeds (IvfCells)
+      def vec(id: Long, x: Double) =
+        s"""{"vec_id": $id, "embedding": [${x}, ${1 - x}, 0.25, 0.75], "label": "v$id"}"""
+      val boot = (0L until 20L).map(i => vec(i, (i % 10) / 10.0)).mkString(",")
+      assert(post(port, "/index/ann/create",
+        s"""{"name": "emb", "vectors": [$boot]}""").statusCode() == 200)
+      // missing seeds is the client's error, not a 500
+      assert(post(port, "/index/ann/create",
+        s"""{"name": "emb2", "vectors": [${vec(0, 0.5)}]}""").statusCode() == 400)
+
+      val q = post(port, "/index/ann/query",
+        """{"name": "emb", "vector": [0.3, 0.7, 0.25, 0.75], "k": 3}""")
+      assert(q.statusCode() == 200, q.body())
+      // vec 3 and 13 share x=0.3 — the exact-match cosine tops the list
+      assert(q.body().contains(""""vec_id":3""") &&
+        q.body().contains(""""vec_id":13"""), q.body())
+
+      // an appended vector with the same direction becomes findable
+      assert(post(port, "/index/ann/append",
+        s"""{"name": "emb", "vectors": [${vec(100, 0.3)}]}""").statusCode() == 200)
+      assert(post(port, "/index/ann/query",
+        """{"name": "emb", "vector": [0.3, 0.7, 0.25, 0.75], "k": 3}""")
+        .body().contains(""""vec_id":100"""))
+
+      val stats = get(port, "/index/ann/stats?name=emb")
+      assert(stats.statusCode() == 200, stats.body())
+      assert(stats.body().contains(""""version":2""") &&
+        stats.body().contains(""""postings":21"""), stats.body())
+
+      // compaction folds the two versions into one; queries unchanged
+      assert(post(port, "/index/ann/compact", """{"name": "emb"}""")
+        .statusCode() == 200)
+      assert(post(port, "/index/ann/query",
+        """{"name": "emb", "vector": [0.3, 0.7, 0.25, 0.75], "k": 3}""")
+        .body().contains(""""vec_id":100"""))
+    }
+  }
+
   test("a configured lock key is enforced on the lock_key door") {
     val registry = SchemaRegistry.inMemory()
     val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
