@@ -25,6 +25,7 @@ object SparkEntry {
       analytics.SimilarityQueries.defs ++
       analytics.MultimodalQueries.defs ++
       analytics.PathQueries.defs ++
+      analytics.LayoutQueries.defs ++
       store.MaterializedView.defs ++
       store.DedupIndex.defs ++
       store.AnnIndex.defs

@@ -1,0 +1,62 @@
+package graft.analytics
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Layout/profiling operators: the Z-order write must actually deliver
+  * the locality zo1 measures, and prof1 must profile in ONE table scan. */
+class LayoutQueriesSpec extends SparkSpec {
+
+  private lazy val events = Tables(spark, sf(), "events")
+
+  test("zo1: z-order buckets are narrow in BOTH dimensions vs a time sort") {
+    import spark.implicits._
+    val audit = LayoutQueries.zo1From(events)
+      .agg(avg($"u_span").as("u"), avg($"t_span_us").as("t"))
+      .head()
+    val bounds = events
+      .agg((max($"user_id") - min($"user_id")).cast("double"),
+        (unix_micros(max($"ts".cast("timestamp"))) -
+          unix_micros(min($"ts".cast("timestamp")))).cast("double"))
+      .head()
+    // a time-only sort leaves every bucket's user span ≈ the full user
+    // range; the Morton buckets must be far narrower on both axes
+    assert(audit.getDouble(0) < bounds.getDouble(0) / 4,
+      s"user span not clustered: ${audit.getDouble(0)} vs full ${bounds.getDouble(0)}")
+    assert(audit.getDouble(1) < bounds.getDouble(1) / 4,
+      s"time span not clustered: ${audit.getDouble(1)} vs full ${bounds.getDouble(1)}")
+  }
+
+  test("zorderWrite: row-preserving, schema-preserving, and every file is narrow") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+    LayoutQueries.zorderWrite(events, numFiles = 8)
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === events.count())
+    assert(back.columns.sorted.toSeq === events.columns.sorted.toSeq)
+    // per-file min/max width on user_id: the pruning statistic a reader
+    // uses. With 10-bit codes over 8 files every file must span far less
+    // than the full user range (time-only sort would give ~full range).
+    val full = events.agg(max($"user_id") - min($"user_id")).head().getLong(0)
+    val spans = back
+      .withColumn("f", input_file_name())
+      .groupBy($"f").agg((max($"user_id") - min($"user_id")).as("span"))
+      .agg(avg($"span")).head().getDouble(0)
+    assert(spans < full / 2.0, s"files not user-clustered: avg span $spans of $full")
+  }
+
+  test("prof1: single Expand-based scan, no self-join, and null accounting") {
+    val df = LayoutQueries.prof1From(events)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "n-distinct profile should plan as one Expand pass")
+    assert(!plan.contains("Join"), "profile must be one scan, not a join of per-column scans")
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 6)
+    val total = rows("event_id").getLong(1) + rows("event_id").getLong(2)
+    rows.values.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === total, s"null+nonnull != total for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"sketch out of bound for ${r.getString(0)}")
+    }
+  }
+}
