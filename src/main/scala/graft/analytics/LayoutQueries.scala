@@ -17,12 +17,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture (100 TB): zo1 is two scans (a 4-value bounds aggregate,
   * then one scan-side projection into a grouped count — no joins, the
-  * 1-row bounds frame broadcasts). prof1 is ONE scan of the table:
-  * Spark plans the n-distinct-columns aggregate as a single pass behind
-  * an Expand (row ×(n+1) in the map stage, partial-agg'd before the
-  * shuffle) — at true scale you drop the exact NDV column and serve the
-  * sketch alone (the a5 discipline); the exact twin here is what makes
-  * the sketch's error an oracle-checked quantity.
+  * 1-row bounds frame broadcasts). prof1 is TWO cheap scans joined as
+  * 1-row frames: the exact-NDV pass (count buffers only behind the
+  * multi-distinct Expand) and the sketch pass (one group, six HLL
+  * buffers TOTAL — never one per distinct value; the naive
+  * single-aggregate form carried all six p=14 (~16 KB) HLL++ buffers
+  * through every Expand group and allocated GBs on a 2 MB input).
+  * At true scale you run [[prof1Served]], which drops the exact column
+  * entirely and keeps only the sketch pass.
   */
 object LayoutQueries {
 
@@ -38,16 +40,40 @@ object LayoutQueries {
     * `ux`/`tx`, generated per dialect (Spark spells shifts
     * `shiftleft`/`shiftright`; DuckDB uses `<<`/`>>`). Bit-disjoint
     * terms, so `+` is `|`. */
-  private def mortonSpark: String =
+  private def mortonSpark(ux: String, tx: String): String =
     (0 until Bits).map { i =>
-      s"(shiftleft(shiftright(ux, $i) & 1, ${2 * i + 1}) + " +
-        s"shiftleft(shiftright(tx, $i) & 1, ${2 * i}))"
+      s"(shiftleft(shiftright($ux, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright($tx, $i) & 1, ${2 * i}))"
     }.mkString(" + ")
 
   private def mortonDuck: String =
     (0 until Bits).map { i =>
       s"(((ux >> $i) & 1) << ${2 * i + 1}) + (((tx >> $i) & 1) << ${2 * i})"
     }.mkString(" + ")
+
+  /** Overflow-safe rank normalization into [0, 2^Bits). The naive
+    * `(u - umin) * 1024 DIV (range + 1)` silently wraps 64-bit
+    * arithmetic (Spark is non-ANSI by default) as soon as the domain
+    * spans more than 2^53 — exactly the snowflake-style id domains a
+    * 100 TB table has — while the DuckDB twin ERRORS on the same
+    * overflow: silent divergence precisely at scale. And plain
+    * divide-first (`offset DIV (range DIV 1024 + 1)`) never overflows
+    * but collapses resolution when the range is SMALLER than 2^Bits
+    * (codes = raw offsets, upper Morton bits dead). So: pre-shrink the
+    * offset by `w = (range DIV 2^52) + 1` — the identity for every
+    * realistic range — then multiply-divide; the reduced offset is
+    * < 2^52, so `reduced * 2^Bits < 2^62` can never wrap. */
+  private val PreShrink = 1L << 52
+
+  private def normSpark(v: String, lo: String, hi: String): String = {
+    val w = s"((($hi - $lo) DIV $PreShrink) + 1)"
+    s"((($v - $lo) DIV $w) * ${1 << Bits}) DIV ((($hi - $lo) DIV $w) + 1)"
+  }
+
+  private def normDuck(v: String, lo: String, hi: String): String = {
+    val w = s"((($hi - $lo) // $PreShrink) + 1)"
+    s"((($v - $lo) // $w) * ${1 << Bits}) // ((($hi - $lo) // $w) + 1)"
+  }
 
   /** ZO1: Z-order (Morton) layout audit over `events(user_id, ts)` —
     * interleave the two dimensions' 10-bit rank codes into one sort key
@@ -68,15 +94,15 @@ object LayoutQueries {
     val e = events.select(
       $"user_id".as("u"),
       expr("unix_micros(CAST(ts AS TIMESTAMP))").as("um"))
-    // 4-value bounds frame: broadcasts; +1 keeps the divisor nonzero and
-    // the max element's code inside [0, 2^Bits).
+    // 4-value bounds frame: broadcasts; the +1 in the width keeps the
+    // divisor nonzero and the max element's code inside [0, 2^Bits).
     val bounds = e.agg(
       min($"u").as("umin"), max($"u").as("umax"),
       min($"um").as("tmin"), max($"um").as("tmax"))
     val coded = e.crossJoin(broadcast(bounds))
-      .withColumn("ux", expr(s"((u - umin) * ${1 << Bits}) DIV (umax - umin + 1)"))
-      .withColumn("tx", expr(s"((um - tmin) * ${1 << Bits}) DIV (tmax - tmin + 1)"))
-      .withColumn("zval", expr(mortonSpark))
+      .withColumn("ux", expr(normSpark("u", "umin", "umax")))
+      .withColumn("tx", expr(normSpark("um", "tmin", "tmax")))
+      .withColumn("zval", expr(mortonSpark("ux", "tx")))
     coded
       .groupBy(expr(s"shiftright(zval, $BucketShift)").as("zbucket"))
       .agg(
@@ -95,41 +121,75 @@ object LayoutQueries {
        |  FROM events),
        |c AS (
        |  SELECT user_id AS u, epoch_us(ts) AS um,
-       |    ((user_id - umin) * ${1 << Bits}) // (umax - umin + 1) AS ux,
-       |    ((epoch_us(ts) - tmin) * ${1 << Bits}) // (tmax - tmin + 1) AS tx
+       |    ${normDuck("user_id", "umin", "umax")} AS ux,
+       |    ${normDuck("epoch_us(ts)", "tmin", "tmax")} AS tx
        |  FROM events, b),
        |z AS (SELECT u, um, $mortonDuck AS zval FROM c)
        |SELECT zval >> $BucketShift AS zbucket, count(*) AS n,
        |  max(u) - min(u) AS u_span, max(um) - min(um) AS t_span_us
        |FROM z GROUP BY 1""".stripMargin
 
+  /** Scratch columns appended (and dropped) by [[zorderWrite]]. The
+    * event schema evolves from arbitrary ingested JSON property names
+    * (S1 infer+evolve), so the scratch names carry an engine-reserved
+    * prefix and the write fails fast on the (pathological) collision
+    * rather than silently destroying a user column. */
+  private val ZoScratch = Seq("__zo_u", "__zo_um", "__zo_ux", "__zo_tx",
+    "__zo_zval", "__zo_umin", "__zo_umax", "__zo_tmin", "__zo_tmax")
+
   /** The write path zo1 audits: append the Morton key, range-partition
     * on it (contiguous code ranges per output task, AQE-balanced), sort
     * within partitions so every parquet row group covers a narrow code
     * rectangle, and drop the key — the layout survives in the file/row-
-    * group min/max statistics of BOTH original columns. */
-  def zorderWrite(events: DataFrame, numFiles: Int): DataFrame = {
+    * group min/max statistics of BOTH original columns. Column names
+    * are parameters because the store schema spells them `_user`/`_time`
+    * (the testdata events table spells them `user_id`/`ts`). */
+  def zorderWrite(events: DataFrame, numFiles: Int,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     import events.sparkSession.implicits._
+    val clash = events.columns.toSet.intersect(ZoScratch.toSet)
+    require(clash.isEmpty,
+      s"zorderWrite scratch columns collide with event columns: $clash")
+    // a non-numeric user key rank-normalizes via a 63-bit hash: locality
+    // becomes same-key clustering (the point-lookup pattern a store
+    // serves) rather than range clustering, and file min/max statistics
+    // on the ORIGINAL string column still prune equality probes
+    val ukey = events.schema(userCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(userCol).cast("long")
+      case _ => shiftrightunsigned(xxhash64(col(userCol)), 1)
+    }
     val e = events
-      .withColumn("u", $"user_id")
-      .withColumn("um", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      .withColumn("__zo_u", ukey)
+      .withColumn("__zo_um", expr(s"unix_micros(CAST($tsCol AS TIMESTAMP))"))
     val bounds = e.agg(
-      min($"u").as("umin"), max($"u").as("umax"),
-      min($"um").as("tmin"), max($"um").as("tmax"))
+      min($"__zo_u").as("__zo_umin"), max($"__zo_u").as("__zo_umax"),
+      min($"__zo_um").as("__zo_tmin"), max($"__zo_um").as("__zo_tmax"))
     e.crossJoin(broadcast(bounds))
-      .withColumn("ux", expr(s"((u - umin) * ${1 << Bits}) DIV (umax - umin + 1)"))
-      .withColumn("tx", expr(s"((um - tmin) * ${1 << Bits}) DIV (tmax - tmin + 1)"))
-      .withColumn("zval", expr(mortonSpark))
-      .repartitionByRange(numFiles, $"zval")
-      .sortWithinPartitions($"zval")
-      .drop("u", "um", "ux", "tx", "zval", "umin", "umax", "tmin", "tmax")
+      .withColumn("__zo_ux", expr(normSpark("__zo_u", "__zo_umin", "__zo_umax")))
+      .withColumn("__zo_tx", expr(normSpark("__zo_um", "__zo_tmin", "__zo_tmax")))
+      .withColumn("__zo_zval", expr(mortonSpark("__zo_ux", "__zo_tx")))
+      .repartitionByRange(numFiles, $"__zo_zval")
+      .sortWithinPartitions($"__zo_zval")
+      .drop(ZoScratch: _*)
   }
 
-  // ---------------- prof1: single-scan column profile ----------------
+  // ---------------- prof1: column profile ----------------
 
   /** The profiled columns of `events`. */
   private val ProfCols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** One NDV sketch: DataSketches HLL (lgK=14 → rsd ≈ 0.8%) over the
+    * column's 64-bit hash. The hash admits ANY column type (timestamp,
+    * double, map — none directly sketchable) and is distinct-preserving
+    * up to 2^-64 collision odds; the DataSketches aggregate keeps the
+    * whole sketch in ONE binary buffer slot, where the classic
+    * `approx_count_distinct(rsd=0.01)` explodes into ~2,700 long buffer
+    * attributes PER SKETCH (16k-attribute schemas, multi-MB codegen —
+    * seconds of fixed planning cost before any data moves). */
+  private def sketchAgg(c: String): Column =
+    hll_sketch_estimate(hll_sketch_agg(xxhash64(col(c)), lit(14)))
+      .as(s"andv_$c")
 
   /** PROF1: per-column table profile — non-null count, null count,
     * exact NDV, and whether the HLL++ sketch estimate lands inside the
@@ -137,21 +197,38 @@ object LayoutQueries {
     * passes before it joins the warehouse: null bursts, key-cardinality
     * drift, and enum-column explosions all surface here first.
     *
-    * One scan: the six `count(DISTINCT col)`s plan as a single Expand
-    * (each input row fans to one replica per distinct-column, partially
-    * aggregated map-side before one shuffle) — not six scans of the
-    * table. The sketch column rides the same pass. At 100 TB, serve the
-    * sketch and drop the exact column; this shape is the audit that
-    * certifies doing so. */
+    * TWO passes, deliberately — never one: (1) the exact pass (counts +
+    * six `count(DISTINCT col)`) plans as one Expand whose partial-agg
+    * buffers are plain longs; (2) the sketch pass computes the six
+    * [[sketchAgg]] HLL sketches in a single-group aggregate,
+    * so exactly six ~16 KB sketches exist in the whole job. Fusing the
+    * two into one aggregate makes `RewriteDistinctAggregates` carry all
+    * six sketch buffers through EVERY (gid, distinct-value) group of
+    * the Expand — tens of GB of buffer for a 2 MB input, measured at
+    * ~100 s on 100k rows. The two 1-row frames meet in a broadcast
+    * cross join (free). PlanSpec pins that no HLL aggregate ever sits
+    * above an Expand again.
+    *
+    * Oracle note (intentional conflation, documented): the DuckDB twin
+    * hardcodes `TRUE AS within_bound` because the sketch estimate is
+    * engine-specific state. A sketch drifting out of its 5% bound
+    * therefore surfaces as a hash mismatch on `within_bound` — same
+    * failure channel as an engine bug; the sketch-vs-exact distinction
+    * is diagnosed from the mismatching column being `within_bound`
+    * alone. The 100 TB serving path is [[prof1Served]], which drops the
+    * exact column entirely (the t_topk_served discipline); this exact
+    * twin is the audit that certifies doing so. */
   def prof1From(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    val aggs = count(lit(1)).as("total") +: ProfCols.flatMap { c =>
+    val exactAggs = count(lit(1)).as("total") +: ProfCols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        approx_count_distinct(col(c), 0.01).as(s"andv_$c"))
+        countDistinct(col(c)).as(s"ndv_$c"))
     }
-    val wide = events.agg(aggs.head, aggs.tail: _*)
+    val exact = events.agg(exactAggs.head, exactAggs.tail: _*)
+    val sketches = events.agg(sketchAgg(ProfCols.head),
+      ProfCols.tail.map(sketchAgg): _*)
+    val wide = exact.crossJoin(broadcast(sketches))
     val stackArgs =
       ProfCols.map(c => s"'$c', n_$c, ndv_$c, andv_$c").mkString(", ")
     wide
@@ -178,8 +255,56 @@ object LayoutQueries {
          |  TRUE AS within_bound FROM events""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** PROF1-SERVED: the 100 TB profiler — the sketch pass ALONE. No
+    * `count(DISTINCT)` anywhere, hence no Expand in the plan (pinned in
+    * PlanSpec): one scan, one single-group partial-merged aggregate
+    * holding exactly six HLL++ buffers, and per-column exact null
+    * accounting riding the same pass as plain counts.
+    *
+    * The oracle-checked contract is the a5/a8 bound convention: the
+    * exact columns (`n_nonnull`, `n_null`) hash-compare exactly, and
+    * the sketch contributes two engine-agnostic sanity booleans —
+    * `andv_positive` (a nonempty column estimates ≥ 1; an empty one
+    * estimates 0) and `andv_le_rows` (the estimate never exceeds the
+    * row count by more than the 5% bound slack). The sketch's PRECISION
+    * (±5% of true NDV) is certified by the exact twin [[prof1From]],
+    * which this variant exists to replace at scale. */
+  def prof1ServedFrom(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val aggs = count(lit(1)).as("total") +: ProfCols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"), sketchAgg(c))
+    }
+    val wide = events.agg(aggs.head, aggs.tail: _*)
+    val stackArgs =
+      ProfCols.map(c => s"'$c', n_$c, andv_$c").mkString(", ")
+    wide
+      .select(
+        expr(s"stack(${ProfCols.size}, $stackArgs) AS " +
+          "(column_name, n_nonnull, andv)"),
+        $"total")
+      .select(
+        $"column_name",
+        $"n_nonnull",
+        ($"total" - $"n_nonnull").as("n_null"),
+        (($"n_nonnull" === 0 && $"andv" === 0) ||
+          ($"n_nonnull" > 0 && $"andv" >= 1)).as("andv_positive"),
+        ($"andv" <= ceil($"n_nonnull" * 1.05).cast("long") + lit(5L))
+          .as("andv_le_rows"))
+  }
+
+  def prof1Served(spark: SparkSession, dir: String): DataFrame =
+    prof1ServedFrom(Tables(spark, dir, "events"))
+
+  val prof1ServedSql: String =
+    ProfCols.map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS n_nonnull,
+         |  count(*) - count($c) AS n_null,
+         |  TRUE AS andv_positive, TRUE AS andv_le_rows FROM events""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "zo1_zorder_layout" -> QueryDef.of(zo1Sql)(zo1ZorderLayout),
-    "prof1_column_stats" -> QueryDef.of(prof1Sql)(prof1ColumnStats)
+    "prof1_column_stats" -> QueryDef.of(prof1Sql)(prof1ColumnStats),
+    "prof1_served" -> QueryDef.of(prof1ServedSql)(prof1Served)
   )
 }

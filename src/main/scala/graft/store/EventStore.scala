@@ -123,18 +123,32 @@ object EventStore {
     * partition's files into `ceil(rows / rowsPerFile)` files and swaps
     * the directory atomically-enough for a single-writer store (write
     * aside, delete, rename). Runs per-partition so a 100 TB table
-    * compacts incrementally, month by month, without a full rewrite. */
+    * compacts incrementally, month by month, without a full rewrite.
+    *
+    * `zorderBy = Some((userCol, timeCol))` makes the rewrite also
+    * RE-CLUSTER the partition on the Morton interleave of the two
+    * columns ([[graft.analytics.LayoutQueries.zorderWrite]]): each
+    * output file then covers a narrow rectangle in BOTH dimensions, so
+    * parquet row-group min/max statistics prune scans for predicates on
+    * either — compaction is the natural (and only) moment the store
+    * pays that sort. zo1 is the audit of the layout this produces. */
   def compactPartition(spark: SparkSession, warehouse: String,
       project: String, collection: String, month: String,
-      rowsPerFile: Long = 1_000_000L): Int = {
+      rowsPerFile: Long = 1_000_000L,
+      zorderBy: Option[(String, String)] = None): Int = {
     val dir = s"${tablePath(warehouse, project, collection)}/_month=$month"
     val src = new java.io.File(dir)
     require(src.isDirectory, s"no such partition: $dir")
     val df = spark.read.parquet(dir)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+    val compacted = zorderBy match {
+      case Some((userCol, timeCol)) =>
+        graft.analytics.LayoutQueries.zorderWrite(df, files, userCol, timeCol)
+      case None => df.coalesce(files)
+    }
     val tmp = new java.io.File(s"$dir.compacting")
-    df.coalesce(files).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    compacted.write.mode("overwrite").parquet(tmp.getAbsolutePath)
     swapDir(tmp, src)
     files
   }

@@ -456,6 +456,36 @@ class PlanSpec extends SparkSpec {
       "pad batching must parallelize across length classes")
   }
 
+  test("prof1: no HLL aggregate above an Expand — sketch pass is single-group") {
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // the fused form carried six ~16 KB HLL++ buffers through every
+    // (gid, distinct-value) Expand group: ~100 s on a 2 MB input. The
+    // split form keeps Expand buffers to plain longs and computes the
+    // six sketches once, in one group.
+    val plan = SparkEntry.queries("prof1_column_stats")(spark, sf())
+      .queryExecution.sparkPlan
+    val hllAggs = plan.collect {
+      case h: BaseAggregateExec if h.aggregateExpressions.exists(
+        _.toString.contains("hll_sketch_agg")) => h
+    }
+    assert(hllAggs.nonEmpty, "sketch pass missing from prof1")
+    hllAggs.foreach { h =>
+      assert(h.find { case _: ExpandExec => true; case _ => false }.isEmpty,
+        "HLL aggregate planned above an Expand — per-group sketch buffers")
+      assert(h.groupingExpressions.isEmpty,
+        "sketch aggregate must be single-group (six sketches total)")
+    }
+  }
+
+  test("prof1_served: the scale profiler never Expands") {
+    import org.apache.spark.sql.execution.ExpandExec
+    val plan = SparkEntry.queries("prof1_served")(spark, sf())
+      .queryExecution.sparkPlan
+    assert(plan.find { case _: ExpandExec => true; case _ => false }.isEmpty,
+      "served profiler must carry no count(DISTINCT) Expand")
+  }
+
   test("sim kernels: cosine scoring runs inside whole-stage codegen") {
     val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
     df.collect()

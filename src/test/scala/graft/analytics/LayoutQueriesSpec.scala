@@ -46,11 +46,32 @@ class LayoutQueriesSpec extends SparkSpec {
     assert(spans < full / 2.0, s"files not user-clustered: avg span $spans of $full")
   }
 
-  test("prof1: single Expand-based scan, no self-join, and null accounting") {
+  test("prof1: exact pass Expands count buffers only — every HLL aggregate " +
+    "lives in its own single-group pass, never above the Expand") {
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     val df = LayoutQueries.prof1From(events)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("Expand"), "n-distinct profile should plan as one Expand pass")
-    assert(!plan.contains("Join"), "profile must be one scan, not a join of per-column scans")
+    val plan = df.queryExecution.sparkPlan
+    // the exact multi-distinct pass must still be the one-scan Expand
+    assert(plan.find { case _: ExpandExec => true; case _ => false }.isDefined,
+      "exact NDV pass should plan as one Expand scan")
+    // the scale contract: an aggregate holding HLL++ sketch buffers must
+    // never sit above an Expand — that shape materializes one ~16 KB
+    // buffer per (gid, distinct-value) group (measured ~100 s on 100k
+    // rows); the sketch pass is a single-group aggregate with exactly
+    // six sketches in the whole job
+    plan.collect {
+      case h: BaseAggregateExec
+        if h.aggregateExpressions.exists(
+          _.toString.contains("hll_sketch_agg")) => h
+    }.foreach { h =>
+      assert(h.find { case _: ExpandExec => true; case _ => false }.isEmpty,
+        s"HLL aggregate sits above an Expand — the prof1 pathology is back:\n$h")
+    }
+    // the two 1-row frames meet in a broadcast join, never a shuffle
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "sketch frame must broadcast into the exact frame")
     val rows = df.collect().map(r => r.getString(0) -> r).toMap
     assert(rows.size === 6)
     val total = rows("event_id").getLong(1) + rows("event_id").getLong(2)
@@ -58,5 +79,38 @@ class LayoutQueriesSpec extends SparkSpec {
       assert(r.getLong(1) + r.getLong(2) === total, s"null+nonnull != total for ${r.getString(0)}")
       assert(r.getBoolean(4), s"sketch out of bound for ${r.getString(0)}")
     }
+  }
+
+  test("prof1_served: no Expand anywhere — one scan, one single-group " +
+    "aggregate, six sketches total") {
+    import org.apache.spark.sql.execution.ExpandExec
+    val df = LayoutQueries.prof1ServedFrom(events)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.find { case _: ExpandExec => true; case _ => false }.isEmpty,
+      "served profiler must not Expand — no count(DISTINCT) at scale")
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "served profiler is a single pass, no joins")
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 6)
+    rows.values.foreach { r =>
+      assert(r.getBoolean(3), s"andv_positive violated for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"andv_le_rows violated for ${r.getString(0)}")
+    }
+    // served null accounting agrees with the exact audit
+    val exact = LayoutQueries.prof1From(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (c, r) =>
+      assert((r.getLong(1), r.getLong(2)) === exact(c),
+        s"served counts diverge from audit for $c")
+    }
+  }
+
+  test("zorderWrite: fails fast when a scratch name collides with a column") {
+    import spark.implicits._
+    val clash = events.withColumn("__zo_zval", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      LayoutQueries.zorderWrite(clash, numFiles = 2)
+    }
+    assert(e.getMessage.contains("__zo_zval"))
   }
 }

@@ -35,6 +35,49 @@ class CompactionSpec extends SparkSpec {
     assert(after == expected && after.size == 600)
   }
 
+  test("z-ordered compaction: same data, and every file is narrow in BOTH " +
+    "user and time — plain coalesce leaves the user axis unclustered") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-zo").toString
+    // 8 micro-batches, each carrying ALL 16 users across one day-slice —
+    // the append layout is time-clustered but user-scattered
+    (0 until 8).foreach { b =>
+      val df = (0 until 128).map { i =>
+        (b * 128L + i, s"user${i % 16}")
+      }.toDF("event_id", "_user")
+        .withColumn("_time",
+          (lit(s"2026-02-${"%02d".format(b + 1)} 00:00:00").cast("timestamp")
+            + expr("make_interval(0, 0, 0, 0, 0, 0, event_id % 128 * 600)")))
+      EventStore.write(df, warehouse, "demo", "click")
+    }
+    val partDir = s"$warehouse/demo/click/_month=2026-02"
+    val expected = spark.read.parquet(partDir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+
+    val nFiles = EventStore.compactPartition(spark, warehouse, "demo", "click",
+      month = "2026-02", rowsPerFile = 64L,
+      zorderBy = Some(("_user", "_time")))
+    assert(nFiles == 16)
+
+    val back = spark.read.parquet(partDir)
+    assert(back.select("event_id").collect().map(_.getLong(0)).toSet == expected)
+    // per-file stats a pruning reader would use: distinct users and time
+    // span. The append layout put all 16 users in every file; the
+    // Z-order must bound both axes per file.
+    val stats = back.withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg(countDistinct($"_user").as("users"),
+        (unix_micros(max($"_time")) - unix_micros(min($"_time"))).as("tspan"))
+      .agg(avg($"users"), max($"users"), avg($"tspan")).head()
+    val fullSpan = back
+      .agg(unix_micros(max($"_time")) - unix_micros(min($"_time")))
+      .head().getLong(0)
+    assert(stats.getDouble(0) <= 6.0,
+      s"files not user-clustered: avg ${stats.getDouble(0)} of 16 users")
+    assert(stats.getLong(1) < 16, "some file still holds every user")
+    assert(stats.getDouble(2) < fullSpan / 2.0,
+      s"files not time-clustered: avg span ${stats.getDouble(2)} of $fullSpan")
+  }
+
   test("right-to-be-forgotten rewrites only the touched partitions") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-rtbf").toString
     // u1 appears in Jan+Feb; u2 everywhere; March has no u1
