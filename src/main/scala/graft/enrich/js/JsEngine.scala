@@ -25,7 +25,8 @@ final class JsEngine(code: String, globals: Map[String, Any],
     builtins.foreach { case (k, v) => env.declare(k, v) }
     globals.foreach { case (k, v) => env.declare(k, v) }
     steps = 0
-    parse(code).foreach(exec(_, env))
+    try parse(code).foreach(exec(_, env))
+    catch { case ThrownEx(v) => throw new JsException(uncaughtMsg(v)) }
     env
   }
 
@@ -38,13 +39,25 @@ final class JsEngine(code: String, globals: Map[String, Any],
       throw new SandboxViolation(s"step budget exceeded ($maxSteps)")
   }
 
-  /** Invoke a top-level function by name (Invocable.invokeFunction). */
+  /** Invoke a top-level function by name (Invocable.invokeFunction).
+    * A script `throw` that no script `catch` handles surfaces as a
+    * [[JsException]] — the host never sees the interpreter-internal
+    * control exception. */
   def invoke(name: String, args: Any*): Any = {
     val f = root.lookup(name).getOrElse(
       throw new JsException(s"'$name' function does not exist"))
     steps = 0
     depth = 0
-    callValue(f, args.map(toJs))
+    try callValue(f, args.map(toJs))
+    catch { case ThrownEx(v) => throw new JsException(uncaughtMsg(v)) }
+  }
+
+  private def uncaughtMsg(v: Any): String = v match {
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked]
+      if m.contains("message") =>
+      s"uncaught ${jsToString(m.getOrElse("name", "Error"))}: " +
+        jsToString(m("message"))
+    case other => s"uncaught script throw: ${jsToString(other)}"
   }
 
   def hasFunction(name: String): Boolean =
@@ -140,6 +153,20 @@ final class JsEngine(code: String, globals: Map[String, Any],
   private final case class ReturnEx(v: Any) extends RuntimeException
   private final class BreakEx extends RuntimeException
   private final class ContinueEx extends RuntimeException
+  /** A value thrown by script `throw` — catchable by script `catch`. */
+  private final case class ThrownEx(v: Any) extends RuntimeException
+
+  /** Runtime errors surface in `catch (e)` as an Error-shaped object —
+    * the Nashorn behavior mapper scripts rely on (`try { JSON.parse(x) }
+    * catch (e) { return e.message }`). Sandbox violations (step budget,
+    * recursion, array bounds) are deliberately NOT catchable: a script
+    * must not swallow its own resource cap. */
+  private def errObj(msg: String): Any = {
+    val o = mutable.LinkedHashMap.empty[String, Any]
+    o("name") = "Error"
+    o("message") = msg
+    o
+  }
 
   private def exec(s: Stmt, env: Env): Unit = {
     tick()
@@ -182,6 +209,42 @@ final class JsEngine(code: String, globals: Map[String, Any],
             case _: BreakEx => looping = false
           }
         }
+      case ForOfS(name, objE, body) =>
+        val values: Seq[Any] = eval(objE, env) match {
+          case a: mutable.ArrayBuffer[Any @unchecked] => a.toSeq
+          case s: String => s.map(_.toString)
+          case null | Undefined => Seq.empty
+          case other =>
+            throw new JsException(jsToString(other) + " is not iterable")
+        }
+        val scope = new Env(Some(env))
+        scope.declare(name, Undefined)
+        val it = values.iterator
+        var looping = true
+        while (looping && it.hasNext) {
+          tick()
+          scope.assign(name, it.next())
+          try exec(body, scope)
+          catch {
+            case _: ContinueEx => ()
+            case _: BreakEx => looping = false
+          }
+        }
+      case TryS(body, cvar, cbody, fin) =>
+        try {
+          try exec(body, env)
+          catch {
+            case ThrownEx(v) if cbody.isDefined =>
+              val scope = new Env(Some(env))
+              cvar.foreach(scope.declare(_, v))
+              exec(cbody.get, scope)
+            case je: JsException if cbody.isDefined =>
+              val scope = new Env(Some(env))
+              cvar.foreach(scope.declare(_, errObj(je.getMessage)))
+              exec(cbody.get, scope)
+          }
+        } finally fin.foreach(exec(_, env))
+      case ThrowS(e) => throw ThrownEx(eval(e, env))
       case ForS(init, cond, step, body) =>
         val scope = new Env(Some(env))
         init.foreach(exec(_, scope))
@@ -222,6 +285,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
         o
       case ArrLit(items) => mutable.ArrayBuffer(items.map(eval(_, env)): _*)
       case FunLit(ps, body, name) => Closure(ps, body, env, name)
+      case RegexL(p, f) => JsEngine.regexValue(p, f)
       case Member(t, name) => readMember(eval(t, env), name)
       case IndexE(t, k) => readIndex(eval(t, env), eval(k, env))
       case Call(target, argEs) =>
@@ -378,15 +442,51 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case "toLowerCase" => s.toLowerCase
       case "toUpperCase" => s.toUpperCase
       case "trim" => s.trim
-      case "split" => mutable.ArrayBuffer(s.split(java.util.regex.Pattern.quote(str(args.head)), -1).toSeq: _*)
-      case "replace" =>
-        // JS replace(string, string) replaces only the FIRST occurrence
-        // (java.lang.String.replace would replace all)
-        val target = str(args.head)
-        val i = s.indexOf(target)
-        if (i < 0) s
-        else s.substring(0, i) + str(args(1)) + s.substring(i + target.length)
-      case "replaceAll" => s.replace(str(args.head), str(args(1)))
+      case "split" => args.head match {
+        case r: JsEngine.JsRegex =>
+          mutable.ArrayBuffer(r.compiled.split(s, -1).toSeq: _*)
+        case other =>
+          mutable.ArrayBuffer(s.split(java.util.regex.Pattern.quote(str(other)), -1).toSeq: _*)
+      }
+      case "replace" => args.head match {
+        case r: JsEngine.JsRegex => regexReplace(s, r, args(1))
+        case other =>
+          // JS replace(string, string) replaces only the FIRST occurrence
+          // (java.lang.String.replace would replace all)
+          val target = str(other)
+          val i = s.indexOf(target)
+          if (i < 0) s
+          else s.substring(0, i) + str(args(1)) + s.substring(i + target.length)
+      }
+      case "replaceAll" => args.head match {
+        case r: JsEngine.JsRegex =>
+          // JS: String.replaceAll with a non-global regex is a TypeError
+          if (!r.global)
+            throw new JsException("replaceAll must be called with a global regex")
+          regexReplace(s, r, args(1))
+        case other => s.replace(str(other), str(args(1)))
+      }
+      case "match" => args.head match {
+        case r: JsEngine.JsRegex =>
+          val m = r.compiled.matcher(s)
+          if (r.global) {
+            val out = mutable.ArrayBuffer.empty[Any]
+            while (m.find()) { tick(); out += m.group() }
+            if (out.isEmpty) null else out
+          } else if (m.find()) matchArray(m)
+          else null
+        case other =>
+          // JS coerces the argument to a (non-global) regex
+          val m = JsEngine.regexValue(str(other), "").compiled.matcher(s)
+          if (m.find()) matchArray(m) else null
+      }
+      case "search" =>
+        val r = args.head match {
+          case rr: JsEngine.JsRegex => rr
+          case other => JsEngine.regexValue(str(other), "")
+        }
+        val m = r.compiled.matcher(s)
+        if (m.find()) m.start.toLong else -1L
       case "charCodeAt" =>
         val i = jsIndex(args.headOption.getOrElse(Undefined))
         if (i >= 0 && i < s.length) s.charAt(i.toInt).toLong else Double.NaN
@@ -402,9 +502,86 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case "includes" => s.contains(str(args.head))
       case other => throw new JsException(s"string.$other is not supported")
     }
+    case r: JsEngine.JsRegex => name match {
+      // stateless semantics: every call scans from position 0 (no
+      // lastIndex) — see JsRegex doc
+      case "test" => r.compiled.matcher(str(args.head)).find()
+      case "exec" =>
+        val m = r.compiled.matcher(str(args.head))
+        if (m.find()) matchArray(m) else null
+      case other => throw new JsException(s"regex.$other is not supported")
+    }
     case null => throw new JsException(s"cannot call '$name' of null")
     case Undefined => throw new JsException(s"cannot call '$name' of undefined")
     case other => throw new JsException(s"cannot call '$name' on ${jsToString(other)}")
+  }
+
+  /** An exec/match result: [full, group1, …] with unmatched groups as
+    * `undefined`, JS-style. */
+  private def matchArray(m: java.util.regex.Matcher): mutable.ArrayBuffer[Any] = {
+    val out = mutable.ArrayBuffer[Any](m.group())
+    (1 to m.groupCount).foreach { g =>
+      out += (if (m.group(g) == null) Undefined else m.group(g))
+    }
+    out
+  }
+
+  /** `s.replace(/re/, repl)`: first match, or every match with `g`. A
+    * string replacement expands `$$`, `$&` and `$1..$99`; a function
+    * replacement is called JS-style with (match, groups…, offset,
+    * string). Host-side match iteration honors the step budget. */
+  private def regexReplace(s: String, re: JsEngine.JsRegex, repl: Any): String = {
+    val m = re.compiled.matcher(s)
+    // java.lang.StringBuilder: the Scala one resolves append(s, from, to)
+    // to append(Any) and stringifies the tuple
+    val out = new java.lang.StringBuilder
+    var last = 0
+    var go = m.find()
+    while (go) {
+      tick()
+      out.append(s, last, m.start)
+      repl match {
+        case c: Closure =>
+          val groups: Seq[Any] = (1 to m.groupCount).map { g =>
+            val v = m.group(g); if (v == null) Undefined else v
+          }
+          out.append(str(callValue(c,
+            (m.group() +: groups) ++ Seq(m.start.toLong, s))))
+        case other => out.append(expandRepl(str(other), m))
+      }
+      last = m.end
+      go = re.global && m.find()
+    }
+    out.append(s, last, s.length)
+    out.toString
+  }
+
+  /** JS `$`-substitution in a string replacement. An out-of-range group
+    * reference stays literal, an unmatched group expands empty. */
+  private def expandRepl(r: String, m: java.util.regex.Matcher): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < r.length) {
+      val c = r.charAt(i)
+      if (c == '$' && i + 1 < r.length) {
+        val d = r.charAt(i + 1)
+        if (d == '$') { out.append('$'); i += 2 }
+        else if (d == '&') { out.append(m.group()); i += 2 }
+        else if (d.isDigit) {
+          val two = if (i + 2 < r.length && r.charAt(i + 2).isDigit)
+            (d - '0') * 10 + (r.charAt(i + 2) - '0') else -1
+          if (two >= 1 && two <= m.groupCount) {
+            out.append(Option(m.group(two)).getOrElse("")); i += 3
+          } else {
+            val one = d - '0'
+            if (one >= 1 && one <= m.groupCount) {
+              out.append(Option(m.group(one)).getOrElse("")); i += 2
+            } else { out.append(c); i += 1 }
+          }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   private def readMember(recv: Any, name: String): Any = recv match {
@@ -412,6 +589,12 @@ final class JsEngine(code: String, globals: Map[String, Any],
       m.getOrElse(name, Undefined)
     case a: mutable.ArrayBuffer[_] if name == "length" => a.length.toLong
     case s: String if name == "length" => s.length.toLong
+    case r: JsEngine.JsRegex => name match {
+      case "source" => r.source
+      case "flags" => r.flags
+      case "global" => r.global
+      case _ => Undefined
+    }
     case _: HostObject =>
       throw new JsException(s"host property '$name' must be called as a method")
     case null => throw new JsException(s"cannot read '$name' of null")
@@ -489,6 +672,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
       if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
     case a: mutable.ArrayBuffer[Any @unchecked] => a.map(jsToString).mkString(",")
     case m: mutable.LinkedHashMap[_, _] => "[object Object]"
+    case r: JsEngine.JsRegex => s"/${r.source}/${r.flags}"
     case c: Closure => s"function ${c.name}"
     case other => other.toString
   }
@@ -567,6 +751,51 @@ object JsEngine {
     * script legitimately builds, far below anything that could OOM an
     * executor in one interpreter step. */
   val MaxArrayLength: Long = 1 << 20
+
+  /** A compiled regex literal value. JS flags map onto Java: `i` →
+    * CASE_INSENSITIVE+UNICODE_CASE, `m` → MULTILINE, `s` → DOTALL; `g`
+    * is method-level (match/replace iterate every match). `lastIndex`
+    * statefulness is not modeled — each test/exec scans from 0, the
+    * stateless usage every reference mapper script has. */
+  final class JsRegex(val source: String, val flags: String,
+      val compiled: java.util.regex.Pattern) extends Serializable {
+    def global: Boolean = flags.contains('g')
+  }
+
+  /** Pattern-compile cache: mapper ASTs are evaluated once per row, so
+    * an uncached literal would recompile per event. Bounded — past the
+    * cap, compile uncached rather than grow without limit. */
+  private val regexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  private[js] def regexValue(pattern: String, flags: String): JsRegex = {
+    import MiniJs.{JsException, SandboxViolation}
+    if (pattern.length > 1024)
+      throw new SandboxViolation("regex pattern too long (max 1024)")
+    var f = 0
+    flags.foreach {
+      case 'g' | 'u' | 'y' => ()
+      case 'i' => f |= java.util.regex.Pattern.CASE_INSENSITIVE |
+        java.util.regex.Pattern.UNICODE_CASE
+      case 'm' => f |= java.util.regex.Pattern.MULTILINE
+      case 's' => f |= java.util.regex.Pattern.DOTALL
+      case other => throw new JsException(s"unsupported regex flag '$other'")
+    }
+    val key = flags + " " + pattern
+    val cached = regexCache.get(key)
+    val p =
+      if (cached != null) cached
+      else {
+        val compiled =
+          try java.util.regex.Pattern.compile(pattern, f)
+          catch { case e: java.util.regex.PatternSyntaxException =>
+            throw new JsException(s"invalid regex /$pattern/: ${e.getDescription}")
+          }
+        if (regexCache.size < 512) regexCache.put(key, compiled)
+        compiled
+      }
+    new JsRegex(pattern, flags, p)
+  }
 }
 
 /** JSON bridge for the sandbox's `JSON` global (Jackson-backed). */
@@ -591,7 +820,14 @@ private[js] object JsJson {
     case other => other
   }
 
-  def parse(s: String): Any = fromNode(mapper.readTree(s))
+  /** Malformed JSON surfaces as a catchable script error (the Nashorn
+    * SyntaxError contract), never a raw Jackson exception that would
+    * sail past the script's own `catch`. */
+  def parse(s: String): Any =
+    try fromNode(mapper.readTree(s))
+    catch { case e: Exception =>
+      throw new MiniJs.JsException(s"JSON.parse: ${e.getMessage}")
+    }
 
   private def fromNode(n: JsonNode): Any =
     if (n == null || n.isNull) null

@@ -21,12 +21,16 @@ import scala.collection.mutable
   *
   * Supported subset (everything reference mapper examples use):
   * `var`/`function` declarations, closures, `if`/`else`, `while`,
-  * classic `for`, `return`/`break`/`continue`, object/array literals,
-  * member + index access, calls, `+ - * / %`, comparisons,
-  * `&& || !`, ternary, compound assignment, string methods, `Math`,
-  * `JSON`, `parseInt`/`parseFloat`. Numbers keep integral identity
-  * (Long) until an operation forces a double — so ids survive a
-  * get/set round-trip, which pure-double JS semantics would corrupt.
+  * classic `for`, `for..in`/`for..of`, `return`/`break`/`continue`,
+  * `try`/`catch`/`finally`/`throw`, object/array literals, member +
+  * index access, calls, `+ - * / %`, comparisons, `&& || !`, ternary,
+  * compound assignment, regex literals (`/re/gim` with
+  * `test`/`exec`/`match`/`replace`/`split`/`search`), string methods,
+  * `Math`, `JSON`, `parseInt`/`parseFloat`. Numbers keep integral
+  * identity (Long) until an operation forces a double — so ids survive
+  * a get/set round-trip, which pure-double JS semantics would corrupt.
+  * Still out of scope: prototypes/`new`, generators, `async`,
+  * destructuring, template literals.
   */
 object MiniJs {
 
@@ -78,6 +82,8 @@ object MiniJs {
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class CondE(c: Expr, t: Expr, f: Expr) extends Expr
   final case class Assign(target: Expr, op: String, value: Expr) extends Expr
+  /** `/pattern/flags` — compiled (and cached) by the evaluator. */
+  final case class RegexL(pattern: String, flags: String) extends Expr
 
   sealed trait Stmt
   final case class VarDecl(entries: Seq[(String, Option[Expr])]) extends Stmt
@@ -90,6 +96,15 @@ object MiniJs {
     * array/string (the reference's webhook transforms iterate request
     * bodies this way). */
   final case class ForInS(varName: String, obj: Expr, body: Stmt) extends Stmt
+  /** `for (var v of arr) body` — VALUES of an array, characters of a
+    * string (where for..in yields keys/indices). */
+  final case class ForOfS(varName: String, obj: Expr, body: Stmt) extends Stmt
+  /** `try { } catch (e) { } finally { }` — catch and finally each
+    * optional (at least one present). A missing catch binding
+    * (`catch { }`, ES2019) parses too. */
+  final case class TryS(body: Stmt, catchVar: Option[String],
+      catchBody: Option[Stmt], finallyBody: Option[Stmt]) extends Stmt
+  final case class ThrowS(e: Expr) extends Stmt
   final case class ReturnS(e: Option[Expr]) extends Stmt
   case object BreakS extends Stmt
   case object ContinueS extends Stmt
@@ -99,8 +114,27 @@ object MiniJs {
   // ---------- lexer ----------
   private final case class Tok(kind: String, text: String, pos: Int)
 
+  /** After these keyword tokens a `/` starts a regex literal; after a
+    * value-shaped token it is division. */
+  private val regexAfterKw = Set("return", "typeof", "in", "of", "case",
+    "throw", "else", "do", "instanceof", "delete", "void", "new")
+
+  /** A `/` starts a regex literal unless the previous significant token
+    * is value-shaped (number, string, regex, a non-keyword identifier,
+    * or a closing `)` / `]`) — the standard lexer-level JS
+    * disambiguation from division. */
+  private def regexAllowed(prev: Tok): Boolean = prev match {
+    case null => true
+    case Tok("num", _, _) | Tok("str", _, _) | Tok("regex", _, _) => false
+    case Tok("id", t, _) => regexAfterKw(t)
+    case Tok("op", ")" | "]", _) => false
+    case _ => true
+  }
+
   private def lex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
+    var prev: Tok = null
+    def add(t: Tok): Unit = { out += t; prev = t }
     var i = 0
     val n = src.length
     def err(m: String) = throw new JsException(s"lex error at $i: $m")
@@ -114,10 +148,31 @@ object MiniJs {
         while (i + 1 < n && !(src.charAt(i) == '*' && src.charAt(i + 1) == '/')) i += 1
         if (i + 1 >= n) err("unterminated comment")
         i += 2
+      } else if (c == '/' && regexAllowed(prev)) {
+        // regex literal: body until the unescaped closing '/', honoring
+        // character classes ('/[/]/' is legal), then flag letters. The
+        // token text carries body and flags NUL-separated.
+        val s = i; i += 1
+        val sb = new StringBuilder
+        var inClass = false
+        var closed = false
+        while (i < n && !closed) {
+          val ch = src.charAt(i)
+          if (ch == '\\' && i + 1 < n) { sb.append(ch).append(src.charAt(i + 1)); i += 2 }
+          else if (ch == '\n') err("unterminated regex")
+          else if (ch == '[') { inClass = true; sb.append(ch); i += 1 }
+          else if (ch == ']') { inClass = false; sb.append(ch); i += 1 }
+          else if (ch == '/' && !inClass) { closed = true; i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+        if (!closed) err("unterminated regex")
+        val fs = new StringBuilder
+        while (i < n && src.charAt(i).isLetter) { fs.append(src.charAt(i)); i += 1 }
+        add(Tok("regex", sb.toString + "\u0000" + fs.toString, s))
       } else if (c.isDigit) {
         val s = i
         while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
-        out += Tok("num", src.substring(s, i), s)
+        add(Tok("num", src.substring(s, i), s))
       } else if (c == '"' || c == '\'') {
         val q = c; val sb = new StringBuilder; i += 1
         while (i < n && src.charAt(i) != q) {
@@ -133,19 +188,19 @@ object MiniJs {
         }
         if (i >= n) err("unterminated string")
         i += 1
-        out += Tok("str", sb.toString, i)
+        add(Tok("str", sb.toString, i))
       } else if (c.isLetter || c == '_' || c == '$') {
         val s = i
         while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '_' || src.charAt(i) == '$')) i += 1
-        out += Tok("id", src.substring(s, i), s)
+        add(Tok("id", src.substring(s, i), s))
       } else {
         val three = if (i + 3 <= n) src.substring(i, i + 3) else ""
         val two = if (i + 2 <= n) src.substring(i, i + 2) else ""
-        if (three == "===" || three == "!==") { out += Tok("op", three, i); i += 3 }
+        if (three == "===" || three == "!==") { add(Tok("op", three, i)); i += 3 }
         else if (Set("==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "%=", "++", "--").contains(two)) {
-          out += Tok("op", two, i); i += 2
+          add(Tok("op", two, i)); i += 2
         } else if ("+-*/%<>=!(){}[],;:?.&|^~".indexOf(c) >= 0) {
-          out += Tok("op", c.toString, i); i += 1
+          add(Tok("op", c.toString, i)); i += 1
         } else err(s"unexpected character '$c'")
       }
     }
@@ -193,6 +248,10 @@ object MiniJs {
       }
       else if (isKw("break")) { eat(); if (isOp(";")) eat(); BreakS }
       else if (isKw("continue")) { eat(); if (isOp(";")) eat(); ContinueS }
+      else if (isKw("try")) { eat(); tryStmt() }
+      else if (isKw("throw")) {
+        eat(); val e = expr(); if (isOp(";")) eat(); ThrowS(e)
+      }
       else if (isOp("{")) block()
       else if (isOp(";")) { eat(); Block(Nil) }
       else { val e = expr(); if (isOp(";")) eat(); ExprStmt(e) }
@@ -250,21 +309,44 @@ object MiniJs {
       WhileS(c, statement())
     }
 
+    private def tryStmt(): Stmt = {
+      val body = block()
+      val (cvar, cbody) =
+        if (isKw("catch")) {
+          eat()
+          val v = if (isOp("(")) {
+            eat()
+            if (cur.kind != "id") err("expected catch binding")
+            val name = eat().text
+            expectOp(")")
+            Some(name)
+          } else None // ES2019 optional catch binding
+          (v, Some(block()))
+        } else (None, None)
+      val fin = if (isKw("finally")) { eat(); Some(block()) } else None
+      if (cbody.isEmpty && fin.isEmpty) err("try needs catch or finally")
+      TryS(body, cvar, cbody, fin)
+    }
+
     private def forStmt(): Stmt = {
       expectOp("(")
-      // for (var k in obj) / for (k in obj) — lookahead for the 'in' form
-      val isForIn = {
+      // for (var k in obj) / for (k in obj) / the 'of' twins — lookahead
+      val loopKw = {
         val at = if (isKw("var") || isKw("let") || isKw("const")) p + 1 else p
-        toks(at).kind == "id" && at + 1 < toks.length &&
-          toks(at + 1).kind == "id" && toks(at + 1).text == "in"
+        if (toks(at).kind == "id" && at + 1 < toks.length &&
+          toks(at + 1).kind == "id" &&
+          (toks(at + 1).text == "in" || toks(at + 1).text == "of"))
+          Some(toks(at + 1).text)
+        else None
       }
-      if (isForIn) {
+      if (loopKw.isDefined) {
         if (isKw("var") || isKw("let") || isKw("const")) eat()
         val name = eat().text
-        eat() // 'in'
+        eat() // 'in' | 'of'
         val obj = expr()
         expectOp(")")
-        return ForInS(name, obj, statement())
+        return if (loopKw.contains("in")) ForInS(name, obj, statement())
+        else ForOfS(name, obj, statement())
       }
       val init = if (isOp(";")) { eat(); None }
         else if (isKw("var")) { eat(); Some(varDecl()) }
@@ -404,6 +486,11 @@ object MiniJs {
         if (t.contains('.')) NumD(t.toDouble) else NumL(t.toLong)
       }
       else if (cur.kind == "str") Str(eat().text)
+      else if (cur.kind == "regex") {
+        val t = eat().text
+        val sep = t.lastIndexOf('\u0000')
+        RegexL(t.substring(0, sep), t.substring(sep + 1))
+      }
       else if (isKw("true")) { eat(); Bool(true) }
       else if (isKw("false")) { eat(); Bool(false) }
       else if (isKw("null")) { eat(); NullE }

@@ -141,6 +141,138 @@ class JsEngineSpec extends SparkSpec {
     assert(e.getMessage.contains("sandbox"))
   }
 
+  test("try/catch/finally/throw: script values, runtime errors as Error " +
+    "objects, finally always runs, sandbox caps stay uncatchable") {
+    // throw a value, catch binds it
+    assert(run(
+      """function f(x) {
+        |  try { if (x > 10) { throw 'too big'; } return 'ok'; }
+        |  catch (e) { return 'caught ' + e; }
+        |}""".stripMargin, "f", 99L) == "caught too big")
+    // runtime error (JSON.parse on junk) surfaces as an Error object
+    // with name/message — the Nashorn shape mapper scripts test against
+    assert(run(
+      """function f(s) {
+        |  try { return JSON.parse(s).a; }
+        |  catch (e) { return e.name + ': fallback'; }
+        |}""".stripMargin, "f", "{not json") == "Error: fallback")
+    // finally runs on both paths; ES2019 optional catch binding parses
+    assert(run(
+      """function f(x) {
+        |  var log = [];
+        |  try { log.push('try'); if (x) { throw {code: 7}; } }
+        |  catch { log.push('catch'); }
+        |  finally { log.push('finally'); }
+        |  return log.join(',');
+        |}""".stripMargin, "f", true) == "try,catch,finally")
+    // an uncaught script throw reaches the host as a JsException (with
+    // the error object's message), never a raw control exception
+    val e = intercept[MiniJs.JsException](run(
+      "function f() { throw {name: 'TypeError', message: 'bad arg'}; }", "f"))
+    assert(e.getMessage.contains("TypeError") && e.getMessage.contains("bad arg"))
+    // the step budget must not be swallowed by a script catch
+    intercept[MiniJs.SandboxViolation] {
+      JsCodeCompiler.createEngine(
+        """function f() {
+          |  try { while (true) { var x = 1; } }
+          |  catch (e) { return 'swallowed'; }
+          |}""".stripMargin, maxSteps = 10000).invoke("f")
+    }
+  }
+
+  test("for..of iterates array VALUES and string characters") {
+    assert(run(
+      """function f(a) {
+        |  var total = 0;
+        |  for (var v of a) { total += v; }
+        |  return total;
+        |}""".stripMargin, "f", Seq(1L, 2L, 3L, 4L)) == 10L)
+    assert(run(
+      """function f(s) {
+        |  var out = [];
+        |  for (var ch of s) { out.push(ch.toUpperCase()); }
+        |  return out.join('.');
+        |}""".stripMargin, "f", "abc") == "A.B.C")
+    // break/continue work inside for..of
+    assert(run(
+      """function f(a) {
+        |  var n = 0;
+        |  for (var v of a) { if (v == 2) { continue; } if (v > 3) { break; } n += v; }
+        |  return n;
+        |}""".stripMargin, "f", Seq(1L, 2L, 3L, 9L, 9L)) == 4L)
+  }
+
+  test("regex literals: test/exec/match/replace/split/search, flags, " +
+    "division stays division") {
+    assert(run("function f(s) { return /^[a-z]+@[a-z]+\\.[a-z]+$/.test(s); }",
+      "f", "dev@example.com") == true)
+    assert(run("function f(s) { return /^\\d+$/.test(s); }", "f", "12a") == false)
+    // case-insensitive flag
+    assert(run("function f(s) { return /firefox/i.test(s); }",
+      "f", "Mozilla Firefox/117") == true)
+    // exec: [full, group...]; unmatched → null
+    assert(run(
+      """function f(ua) {
+        |  var m = /Chrome\/(\d+)/.exec(ua);
+        |  return m ? m[1] : 'unknown';
+        |}""".stripMargin, "f", "Mozilla Chrome/117.0 Safari") == "117")
+    assert(run(
+      """function f(ua) {
+        |  var m = /Chrome\/(\d+)/.exec(ua);
+        |  return m ? m[1] : 'unknown';
+        |}""".stripMargin, "f", "curl/8.0") == "unknown")
+    // replace: first-only without g, all with g, $n expansion
+    assert(run("function f(s) { return s.replace(/o/, '0'); }", "f", "foo") == "f0o")
+    assert(run("function f(s) { return s.replace(/o/g, '0'); }", "f", "foo") == "f00")
+    assert(run(
+      "function f(s) { return s.replace(/(\\w+)@(\\w+)/, '$2 at $1'); }",
+      "f", "dev@example") == "example at dev")
+    // function replacement gets (match, groups.., offset, string)
+    assert(run(
+      """function f(s) {
+        |  return s.replace(/\d+/g, function(m) { return m * 2; });
+        |}""".stripMargin, "f", "a1b10") == "a2b20")
+    // split on a regex; match with g collects every match
+    assert(run("function f(s) { return s.split(/[,;]\\s*/).join('|'); }",
+      "f", "a, b;c") == "a|b|c")
+    assert(run(
+      "function f(s) { var m = s.match(/\\d+/g); return m ? m.join('-') : ''; }",
+      "f", "a1b22c333") == "1-22-333")
+    assert(run("function f(s) { return s.search(/b+/); }", "f", "aabba") == 2L)
+    // the lexer must still read division where a value precedes '/'
+    assert(run("function f(a, b) { return a / b / 2; }", "f", 20L, 2L) == 5.0)
+    // catastrophically long patterns are a sandbox violation
+    intercept[MiniJs.SandboxViolation] {
+      run(s"function f(s) { return s.match('${"(a|b)" * 300}'); }", "f", "x")
+    }
+  }
+
+  test("realistic Nashorn-style mapper: UTM extraction with regex + " +
+    "try/catch over a referrer field") {
+    // the shape a reference user writes against the EventsProxy contract:
+    // defensive parse, regex extraction, for..of accumulation
+    val script =
+      """function extract(url) {
+        |  try {
+        |    var m = url.match(/[?&]utm_source=([^&]+)/);
+        |    if (m) { return m[1]; }
+        |    if (/^https?:\/\/(www\.)?google\./.test(url)) { throw 'search'; }
+        |    return 'direct';
+        |  } catch (e) {
+        |    return e == 'search' ? 'organic' : 'unknown';
+        |  }
+        |}
+        |function f(urls) {
+        |  var out = [];
+        |  for (var u of urls) { out.push(extract(u)); }
+        |  return out.join(',');
+        |}""".stripMargin
+    assert(run(script, "f", Seq(
+      "https://x.com/p?utm_source=newsletter&c=1",
+      "https://www.google.com/search?q=rakam",
+      "https://example.com/landing")) == "newsletter,organic,direct")
+  }
+
   test("for-in iterates object keys and array indices; null is a no-op") {
     assert(run(
       """function f() {
