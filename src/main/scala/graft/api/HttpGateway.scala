@@ -98,10 +98,15 @@ import graft.store.EventStore
   *    `api_key`/`master_key`/`write_key` query param or header, or the
   *    body's `api.api_key` node (the envelope's slot).
   *
-  * Single-writer by construction: one gateway owns a warehouse dir (and
-  * one project — multi-project deployments run one gateway per project
-  * dir, which is why the reference's `/project/create|list|delete` have
-  * no counterpart here). Ingest rejections map to 400 with the
+  * Single-writer by construction: one gateway owns a warehouse dir and
+  * SERVES one project — but the lifecycle doors manage sibling project
+  * namespaces in the same warehouse (`ProjectHttpService`):
+  * `POST /project/create` (lock-key-gated; registry namespace + dir +
+  * minted key pair), `POST /project/delete` (master-key-gated recursive
+  * drop, off unless `allowProjectDeletion` — the reference's
+  * `allow-project-deletion` config), `POST|GET /project/list`
+  * (lock-key-gated enumeration). Multi-project serving still runs one
+  * gateway per project dir. Ingest rejections map to 400 with the
   * reference's message text; key failures are 403.
   */
 final class HttpGateway(
@@ -109,7 +114,8 @@ final class HttpGateway(
     registry: SchemaRegistry,
     warehouse: String,
     project: String,
-    lockKey: Option[String] = None) {
+    lockKey: Option[String] = None,
+    allowProjectDeletion: Boolean = false) {
 
   @transient private lazy val mapper = new ObjectMapper()
   private var server: HttpServer = _
@@ -159,6 +165,9 @@ final class HttpGateway(
     server.createContext("/project/schema", route(authed(MasterRole)(handleSchema)))
     server.createContext("/project/collection", route(authed(MasterRole)(handleCollections)))
     server.createContext("/project/create-api-keys", route(authed(MasterRole)(handleCreateKeys)))
+    server.createContext("/project/create", route(handleProjectCreate))
+    server.createContext("/project/delete", route(authed(MasterRole)(handleProjectDelete)))
+    server.createContext("/project/list", route(handleProjectList))
     server.createContext("/project/check-api-keys", route(handleCheckKeys))
     server.createContext("/project/revoke-api-keys", route(handleRevokeKeys))
     server.createContext("/project/exception", route(handleException))
@@ -1623,6 +1632,106 @@ final class HttpGateway(
       keysCache = None
       (200, """{"success":true}""")
     }
+  }
+
+  // ---------------- project lifecycle ----------------
+
+  private def projectNameOf(root: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Option[String] =
+    Option(root).flatMap(r => Option(r.get(field))).filterNot(_.isNull)
+      .map(_.asText()).filter(_.nonEmpty)
+
+  /** `POST /project/create` — create a project namespace
+    * (ProjectHttpService.java:51-71): lock-key gate (FORBIDDEN on
+    * mismatch), the reference's name validation (alphanumeric +
+    * underscore, lowercased), "already exists" on a duplicate; then the
+    * registry namespace, the warehouse directory, and a freshly minted
+    * api-key pair — persisted under the NEW project's key dir, so a
+    * gateway serving that directory enforces them from its first
+    * request. */
+  private def handleProjectCreate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = scala.util.Try(mapper.readTree(
+      new String(ex.getRequestBody.readAllBytes(), UTF_8))).getOrElse(null)
+    val presented = projectNameOf(root, "lock_key")
+    if (!lockKey.forall(k => presented.contains(k)))
+      return (403, """{"error":"Lock key is invalid"}""")
+    val name = projectNameOf(root, "name").getOrElse(
+      throw new IngestRejected("name is required"))
+    if (!name.matches("^[0-9A-Za-z_]+$"))
+      return (400, """{"error":"Project id is not valid. It must be """ +
+        """alphanumeric and should not include empty space."}""")
+    val proj = name.toLowerCase(java.util.Locale.ENGLISH)
+    if (registry.projects.contains(proj) ||
+        new java.io.File(s"$warehouse/$proj").isDirectory)
+      return (400, """{"error":"The project already exists."}""")
+    registry.createProject(proj)
+    new java.io.File(s"$warehouse/$proj").mkdirs()
+    val master = randomKey()
+    val write = randomKey()
+    val keys = mapper.createObjectNode()
+    keys.put("master_key", master)
+    keys.put("write_key", write)
+    graft.store.VersionedState.writeMarker(
+      s"$warehouse/$proj/__apikeys", master, mapper.writeValueAsString(keys))
+    if (proj == project) keysCache = None
+    keys.put("project", proj)
+    (200, mapper.writeValueAsString(keys))
+  }
+
+  /** `POST /project/delete` — master-key-gated recursive drop of a
+    * project: its registry namespace, then every directory under the
+    * warehouse dir — events, profiles, indexes, keys
+    * (ProjectHttpService.java:73-90; `metastore.deleteProject` +
+    * `revokeAllKeys` collapse into the dir drop because all state is
+    * dir-rooted here). Refused with the reference's 501 unless the
+    * gateway was constructed with `allowProjectDeletion` (the
+    * `allow-project-deletion` config). Body `{"name":…}` defaults to
+    * the gateway's own project, the reference's `context.project`. */
+  private def handleProjectDelete(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    if (!allowProjectDeletion)
+      return (501, """{"error":"Project deletion is disabled, you can """ +
+        """enable it with `allow-project-deletion` config."}""")
+    val root = scala.util.Try(mapper.readTree(
+      new String(ex.getRequestBody.readAllBytes(), UTF_8))).getOrElse(null)
+    val name = projectNameOf(root, "name").getOrElse(project)
+    if (!name.matches("^[0-9A-Za-z_]+$"))
+      return (400, """{"error":"Project id is not valid. It must be """ +
+        """alphanumeric and should not include empty space."}""")
+    val proj = name.toLowerCase(java.util.Locale.ENGLISH)
+    val dir = new java.io.File(s"$warehouse/$proj")
+    if (!registry.projects.contains(proj) && !dir.isDirectory)
+      return (404, """{"error":"project does not exist"}""")
+    registry.deleteProject(proj)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(dir)
+    if (proj == project) keysCache = None // own keys dropped with the dir
+    (200, """{"success":true}""")
+  }
+
+  /** `POST|GET /project/list` — lock-key-gated project enumeration
+    * (ProjectHttpService.java:92-101): registry namespaces unioned with
+    * the warehouse's project directories (a dir populated before any
+    * explicit create still lists) and the serving project itself. */
+  private def handleProjectList(ex: HttpExchange): (Int, String) = {
+    val bodyRoot =
+      if (ex.getRequestMethod == "POST")
+        scala.util.Try(mapper.readTree(
+          new String(ex.getRequestBody.readAllBytes(), UTF_8))).getOrElse(null)
+      else null
+    val presented = queryParams(ex).get("lock_key")
+      .orElse(projectNameOf(bodyRoot, "lock_key"))
+    if (!lockKey.forall(k => presented.contains(k)))
+      return (403, """{"error":"Lock key is invalid"}""")
+    val dirs = Option(new java.io.File(warehouse).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("__"))
+    val arr = mapper.createArrayNode()
+    (registry.projects ++ dirs :+ project).distinct.sorted.foreach(arr.add)
+    (200, mapper.writeValueAsString(arr))
   }
 
   private sealed trait KeyRole

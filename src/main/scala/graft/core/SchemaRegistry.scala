@@ -59,6 +59,34 @@ final class SchemaRegistry(persistDir: Option[Path] = None) {
   def collections(project: String): Seq[String] =
     schemas.keys.collect { case (p, c) if p == project => c }.toSeq.sorted
 
+  /** Explicitly created projects — a namespace can exist before its
+    * first collection does (Metastore.createProject). */
+  private val created = TrieMap.empty[String, Unit]
+
+  /** Register a project namespace (ProjectHttpService `/create` →
+    * `metastore.createProject`). Persisting the (possibly empty)
+    * project file makes the namespace survive a restart. */
+  def createProject(project: String): Unit = lock.synchronized {
+    created.put(project, ())
+    persist(project)
+  }
+
+  /** Every known project: explicitly created, or implied by a stored
+    * collection schema / config entry (Metastore.getProjects). */
+  def projects: Seq[String] =
+    (created.keysIterator ++ schemas.keysIterator.map(_._1) ++
+      projectConfig.keysIterator.map(_._1)).toSeq.distinct.sorted
+
+  /** Drop a project namespace: its schemas, config, and persisted file
+    * (ProjectHttpService `/delete` → `metastore.deleteProject`). The
+    * caller owns deleting the project's DATA directories. */
+  def deleteProject(project: String): Unit = lock.synchronized {
+    created.remove(project)
+    schemas.keys.filter(_._1 == project).foreach(schemas.remove)
+    projectConfig.keys.filter(_._1 == project).foreach(projectConfig.remove)
+    persistDir.foreach(d => Files.deleteIfExists(d.resolve(s"$project.json")))
+  }
+
   def schema(project: String, collection: String): Option[Seq[Field]] =
     schemas.get((project, collection)).map(_.toSeq)
 
@@ -136,6 +164,7 @@ final class SchemaRegistry(persistDir: Option[Path] = None) {
   def load(project: String): Unit = persistDir.foreach { dir =>
     val f = dir.resolve(s"$project.json")
     if (Files.exists(f)) {
+      created.put(project, ())
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(Files.readString(f))
       val colls = root.get("collections")

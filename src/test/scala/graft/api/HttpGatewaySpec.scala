@@ -58,6 +58,66 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("project lifecycle: create → collect into it → list → delete, " +
+    "with the reference's gates (lock key, name check, 501 when disabled)") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-proj").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo",
+      lockKey = Some("sekrit"), allowProjectDeletion = true)
+    val port = gw.start()
+    try {
+      // lock-key gate: wrong/missing key is the reference's FORBIDDEN
+      assert(post(port, "/project/create", """{"name":"crm"}""").statusCode() == 403)
+      assert(post(port, "/project/create",
+        """{"name":"crm","lock_key":"wrong"}""").statusCode() == 403)
+      // bad name: reference's validation message
+      val bad = post(port, "/project/create",
+        """{"name":"has space","lock_key":"sekrit"}""")
+      assert(bad.statusCode() == 400 && bad.body().contains("not valid"))
+      // create: returns a minted key pair, name lowercased
+      val ok = post(port, "/project/create",
+        """{"name":"CRM","lock_key":"sekrit"}""")
+      assert(ok.statusCode() == 200)
+      assert(ok.body().contains("\"project\":\"crm\"") &&
+        ok.body().contains("master_key") && ok.body().contains("write_key"))
+      assert(new java.io.File(s"$warehouse/crm").isDirectory)
+      // duplicate: the reference's message
+      val dup = post(port, "/project/create",
+        """{"name":"crm","lock_key":"sekrit"}""")
+      assert(dup.statusCode() == 400 && dup.body().contains("already exists"))
+      // a gateway serving the NEW project enforces its minted keys
+      val master = "\"master_key\":\"([^\"]+)\"".r
+        .findFirstMatchIn(ok.body()).get.group(1)
+      val gw2 = new HttpGateway(spark, registry, warehouse, "crm")
+      val port2 = gw2.start()
+      try {
+        assert(post(port2, "/event/collect",
+          """{"collection":"lead","properties":{"_user":"u1","_time":"2026-01-15 10:00:00.000","v":1}}""")
+          .statusCode() == 403)
+        assert(post(port2, s"/event/collect?master_key=$master",
+          """{"collection":"lead","properties":{"_user":"u1","_time":"2026-01-15 10:00:00.000","v":1}}""")
+          .statusCode() == 200)
+      } finally gw2.stop()
+      // list: lock-key-gated enumeration sees both projects
+      assert(get(port, "/project/list").statusCode() == 403)
+      val list = get(port, "/project/list?lock_key=sekrit")
+      assert(list.statusCode() == 200)
+      assert(list.body().contains("\"crm\"") && list.body().contains("\"demo\""))
+      // delete: recursive drop of dirs + registry namespace
+      val del = post(port, "/project/delete", """{"name":"crm"}""")
+      assert(del.statusCode() == 200 && del.body().contains("true"))
+      assert(!new java.io.File(s"$warehouse/crm").exists())
+      assert(!registry.projects.contains("crm"))
+      assert(!get(port, "/project/list?lock_key=sekrit").body().contains("\"crm\""))
+      assert(post(port, "/project/delete", """{"name":"crm"}""").statusCode() == 404)
+    } finally gw.stop()
+    // deletion stays off by default — the reference's 501 contract
+    withGateway { (_, port) =>
+      val off = post(port, "/project/delete", """{"name":"demo"}""")
+      assert(off.statusCode() == 501 && off.body().contains("disabled"))
+    }
+  }
+
   test("batch envelope: stored count, and the reference's rejections as 400") {
     withGateway { (_, port) =>
       val ok = post(port, "/event/batch",
