@@ -61,9 +61,12 @@ final case class TimestampMapper(nowMillis: Long) extends EventMapper {
 }
 
 /** M2: user-agent parse (UserAgentEventMapper.java:63-131) — family /
-  * version / OS / device via regexes over `_user_agent`; Spider device
-  * rows are flagged (the reference rejects them with 403; here the
-  * caller filters `_device_family = 'Spider'` to a side output). */
+  * version / OS / device folded from the [[UaRules]] tables (the
+  * uap-core database shape the reference's bundled ua-parser reads);
+  * Spider device rows are flagged (the reference rejects them with
+  * 403; here the caller filters `_device_family = 'Spider'` to a side
+  * output). Reference version semantics: MAJOR versions only, desktop
+  * devices are "Other" (TestUserAgentEventMapper.java:60-63). */
 case object UserAgentMapper extends EventMapper {
   val name = "user-agent"
   override def dependentFields = Map("_user_agent" -> Seq(
@@ -76,45 +79,48 @@ case object UserAgentMapper extends EventMapper {
   def apply(df: DataFrame): DataFrame = {
     if (!df.columns.contains("_user_agent")) return df
     val ua = col("_user_agent")
-    val family =
-      when(ua.rlike("(?i)bot|crawler|spider|slurp|curl|wget"), "Spider")
-        .when(ua.contains("Edg/"), "Edge")
-        .when(ua.contains("OPR/") || ua.contains("Opera"), "Opera")
-        // Chromium shells that also carry "Chrome/" — test them first
-        .when(ua.contains("SamsungBrowser/"), "Samsung Internet")
-        .when(ua.contains("Vivaldi/"), "Vivaldi")
-        .when(ua.contains("UCBrowser/"), "UC Browser")
-        .when(ua.contains("Chrome/"), "Chrome")
-        .when(ua.contains("Firefox/"), "Firefox")
-        .when(ua.contains("Safari/") && ua.contains("Version/"), "Safari")
-        .when(ua.contains("MSIE") || ua.contains("Trident/"), "IE")
-        .otherwise("Other")
-    val version = coalesce(
-      nullif(regexp_extract(ua,
-        "(?:Edg|OPR|SamsungBrowser|Vivaldi|UCBrowser|Chrome|Firefox|Version)/([0-9]+(?:\\.[0-9]+)?)", 1), lit("")),
-      nullif(regexp_extract(ua, "MSIE ([0-9]+(?:\\.[0-9]+)?)", 1), lit("")))
-    val os =
-      when(ua.contains("CrOS"), "Chrome OS")
-        .when(ua.contains("Windows"), "Windows")
-        .when(ua.contains("Android"), "Android")
-        .when(ua.contains("iPhone OS") || ua.contains("iPad"), "iOS")
-        .when(ua.contains("Mac OS X"), "Mac OS X")
-        .when(ua.contains("Linux"), "Linux")
-        .otherwise("Other")
-    val osVersion = coalesce(
-      nullif(regexp_extract(ua, "Windows NT ([0-9.]+)", 1), lit("")),
-      nullif(translate(regexp_extract(ua,
-        "(?:Mac OS X|iPhone OS|Android) ([0-9_.]+)", 1), "_", "."), lit("")))
+
+    // fold each table into ONE FLAT CaseWhen chain (`.when()` chaining
+    // appends a branch; nesting coalesce(when(..)) instead builds a
+    // 28-deep conditional tree the optimizer expands combinatorially —
+    // measured minutes of planning). First matching rule wins family
+    // AND version — codegen'd, no join, no UDF.
+    def chain(rules: Seq[(String, Column)]): Column =
+      rules.tail.foldLeft(when(ua.rlike(rules.head._1), rules.head._2)) {
+        (acc, r) => acc.when(ua.rlike(r._1), r._2)
+      }
+
+    val familyCol = chain(UaRules.browsers.map(r => r.detect -> lit(r.family)))
+      .otherwise("Other")
+    val version = chain(UaRules.browsers.filter(_.version.nonEmpty).map(r =>
+      r.detect -> nullif(regexp_extract(ua, r.version, 1), lit(""))))
+
+    val os = chain(UaRules.oses.map(r => r.detect -> lit(r.family)))
+      .otherwise("Other")
+    val osVersion = chain(UaRules.oses.map { r =>
+      val v =
+        if (r.literal.nonEmpty) lit(r.literal)
+        else if (r.versionRe.nonEmpty)
+          nullif(regexp_extract(ua, r.versionRe, 1), lit(""))
+        else lit(null).cast("string")
+      r.detect -> v
+    })
+
+    // devices: spiders, Apple hardware, Android models via the uap-core
+    // `Build/` capture; desktops deliberately report "Other"
+    val androidModel =
+      nullif(regexp_extract(ua, UaRules.AndroidModelRe, 1), lit(""))
     val device =
-      when(family === "Spider", "Spider")
+      when(familyCol === "Spider", "Spider")
         .when(ua.contains("iPhone"), "iPhone")
         .when(ua.contains("iPad"), "iPad")
-        .when(ua.contains("Android") && ua.contains("Mobile"), "Android Phone")
-        .when(ua.contains("Android"), "Android Tablet")
-        .when(ua.contains("Mac OS X"), "Mac")
-        .when(ua.contains("Windows"), "PC")
+        .when(ua.contains("iPod"), "iPod")
+        .when(ua.contains("Android") && androidModel.isNotNull, androidModel)
+        .when(ua.contains("Android") && ua.contains("Mobile"), "Generic Smartphone")
+        .when(ua.contains("Android"), "Generic Tablet")
         .otherwise("Other")
-    df.withColumn("_user_agent_family", family)
+
+    df.withColumn("_user_agent_family", familyCol)
       .withColumn("_user_agent_version", version)
       .withColumn("_os", os)
       .withColumn("_os_version", osVersion)
@@ -138,38 +144,29 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
     if (!df.columns.contains("_referrer")) return df
     val host = lower(nullif(try_parse_url(col("_referrer"), lit("HOST")), lit("")))
     val path = nullif(try_parse_url(col("_referrer"), lit("PATH")), lit(""))
-    val searchSource =
-      when(host.rlike("(^|\\.)google\\."), "google")
-        .when(host.rlike("(^|\\.)bing\\."), "bing")
-        .when(host.rlike("(^|\\.)yahoo\\."), "yahoo")
-        .when(host.rlike("(^|\\.)duckduckgo\\."), "duckduckgo")
-        .when(host.rlike("(^|\\.)yandex\\."), "yandex")
-        .when(host.rlike("(^|\\.)baidu\\."), "baidu")
-        .when(host.rlike("(^|\\.)ecosia\\."), "ecosia")
-    val socialSource =
-      when(host.rlike("(^|\\.)facebook\\."), "facebook")
-        .when(host.rlike("(^|\\.)twitter\\.|(^|\\.)t\\.co$|(^|\\.)x\\.com$"), "twitter")
-        .when(host.rlike("(^|\\.)linkedin\\."), "linkedin")
-        .when(host.rlike("(^|\\.)reddit\\."), "reddit")
-        .when(host.rlike("(^|\\.)instagram\\."), "instagram")
-        .when(host.rlike("(^|\\.)pinterest\\."), "pinterest")
-        .when(host.rlike("(^|\\.)youtube\\.|(^|\\.)youtu\\.be$"), "youtube")
-        .when(host.rlike("(^|\\.)tiktok\\."), "tiktok")
+    // fold the referers table (snowplow referers.yml shape) into one
+    // FLAT CaseWhen chain (nested coalesce(when) trees plan
+    // combinatorially — see UserAgentMapper): first matching host rule
+    // wins source AND medium; email rows precede search so
+    // mail.google.com classifies as email
+    def chain(value: UaRules.RefererRule => String): Column =
+      UaRules.referers.tail.foldLeft(
+        when(host.rlike(UaRules.referers.head.hostRe),
+          value(UaRules.referers.head))) { (acc, r) =>
+        acc.when(host.rlike(r.hostRe), value(r))
+      }
+    val source = chain(_.source)
+    val tableMedium = chain(_.medium)
     val isInternal = if (internalHosts.nonEmpty) host.isin(internalHosts: _*) else lit(false)
     val medium =
       when(host.isNull, lit(null).cast("string"))
         .when(isInternal, "internal")
-        .when(searchSource.isNotNull, "search")
-        .when(socialSource.isNotNull, "social")
-        .otherwise("unknown")
+        .otherwise(coalesce(tableMedium, lit("unknown")))
     val term = when(medium === "search", coalesce(
-      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("q")), lit("")),
-      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("p")), lit("")),
-      // yandex and baidu carry the query under text/wd
-      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("text")), lit("")),
-      nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit("wd")), lit(""))))
+      UaRules.termParams.map(p =>
+        nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit(p)), lit(""))): _*))
     df.withColumn("_referrer_medium", medium)
-      .withColumn("_referrer_source", coalesce(searchSource, socialSource))
+      .withColumn("_referrer_source", when(medium =!= "internal", source))
       .withColumn("_referrer_term", term)
       .withColumn("_referrer_domain", when(medium =!= "internal", host))
       .withColumn("_referrer_path", when(medium =!= "internal", path))

@@ -23,7 +23,8 @@ class MappersSpec extends SparkSpec {
     assert(filled == now / 1000 * 1000) // second precision ×1000
   }
 
-  test("M2: UA parse — Chrome, Windows, and Spider flag") {
+  test("M2: UA parse — Chrome, Windows, and Spider flag (reference " +
+    "semantics: MAJOR versions, desktops are 'Other')") {
     val chrome = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
       "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
     val bot = "Googlebot/2.1 (+http://www.google.com/bot.html)"
@@ -31,18 +32,32 @@ class MappersSpec extends SparkSpec {
       "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1"
     val out = UserAgentMapper(Seq(chrome, bot, iphone).toDF("_user_agent")).collect()
     assert(out(0).getAs[String]("_user_agent_family") == "Chrome")
-    assert(out(0).getAs[String]("_user_agent_version") == "120.0")
+    assert(out(0).getAs[String]("_user_agent_version") == "120")
     assert(out(0).getAs[String]("_os") == "Windows")
-    assert(out(0).getAs[String]("_os_version") == "10.0")
+    assert(out(0).getAs[String]("_os_version") == "10")
     assert(out(1).getAs[String]("_device_family") == "Spider") // reject path
+    assert(out(2).getAs[String]("_user_agent_family") == "Mobile Safari")
     assert(out(2).getAs[String]("_os") == "iOS")
-    assert(out(2).getAs[String]("_os_version") == "17.1")
+    assert(out(2).getAs[String]("_os_version") == "17")
     assert(out(2).getAs[String]("_device_family") == "iPhone")
-    // desktop device classes
-    assert(out(0).getAs[String]("_device_family") == "PC")
+    // desktops report "Other" — the ua-parser device convention the
+    // reference's own test pins (TestUserAgentEventMapper.java:63)
+    assert(out(0).getAs[String]("_device_family") == "Other")
   }
 
-  test("M2: UA parse — Chromium shells, Chrome OS, desktop Mac") {
+  test("M2: the reference's canned UA — Chrome on Mac " +
+    "(TestUserAgentEventMapper.java:28,60-63 expectations verbatim)") {
+    val ua = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_11_2) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/47.0.2526.111 Safari/537.36"
+    val out = UserAgentMapper(Seq(ua).toDF("_user_agent")).collect()(0)
+    assert(out.getAs[String]("_user_agent_family") == "Chrome")
+    assert(out.getAs[String]("_user_agent_version") == "47")
+    assert(out.getAs[String]("_os") == "Mac OS X")
+    assert(out.getAs[String]("_os_version") == "10")
+    assert(out.getAs[String]("_device_family") == "Other")
+  }
+
+  test("M2: UA parse — Chromium shells, Chrome OS, Android models, iOS shells") {
     val samsung = "Mozilla/5.0 (Linux; Android 14; SM-S921B) AppleWebKit/537.36 " +
       "(KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36"
     val vivaldi = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
@@ -51,15 +66,28 @@ class MappersSpec extends SparkSpec {
       "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
     val mac = "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 " +
       "(KHTML, like Gecko) Version/17.1 Safari/605.1.15"
+    val pixel = "Mozilla/5.0 (Linux; Android 13; Pixel 7 Build/TQ2A) " +
+      "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/113.0.0.0 Mobile Safari/537.36"
+    val crios = "Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) " +
+      "AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/114.0.5735.99 Mobile/15E148 Safari/604.1"
+    val edge = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"
     val out = UserAgentMapper(
-      Seq(samsung, vivaldi, cros, mac).toDF("_user_agent")).collect()
+      Seq(samsung, vivaldi, cros, mac, pixel, crios, edge).toDF("_user_agent")).collect()
     assert(out(0).getAs[String]("_user_agent_family") == "Samsung Internet")
-    assert(out(0).getAs[String]("_user_agent_version") == "23.0")
-    assert(out(0).getAs[String]("_device_family") == "Android Phone")
+    assert(out(0).getAs[String]("_user_agent_version") == "23")
     assert(out(1).getAs[String]("_user_agent_family") == "Vivaldi")
     assert(out(2).getAs[String]("_os") == "Chrome OS")
     assert(out(3).getAs[String]("_user_agent_family") == "Safari")
-    assert(out(3).getAs[String]("_device_family") == "Mac")
+    assert(out(3).getAs[String]("_device_family") == "Other")
+    // Android device model via the uap-core Build/ capture
+    assert(out(4).getAs[String]("_device_family") == "Pixel 7")
+    assert(out(4).getAs[String]("_os") == "Android")
+    assert(out(4).getAs[String]("_os_version") == "13")
+    assert(out(5).getAs[String]("_user_agent_family") == "Chrome Mobile iOS")
+    assert(out(5).getAs[String]("_user_agent_version") == "114")
+    assert(out(6).getAs[String]("_user_agent_family") == "Edge")
+    assert(out(6).getAs[String]("_user_agent_version") == "120")
   }
 
   test("M3: referrer parse — widened source families and term params") {
@@ -79,6 +107,22 @@ class MappersSpec extends SparkSpec {
     assert(out(2).getAs[String]("_referrer_medium") == "social")
     assert(out(3).getAs[String]("_referrer_source") == "youtube")
     assert(out(4).getAs[String]("_referrer_source") == "twitter")
+  }
+
+  test("M3: email hosts classify as email, never as their search twin") {
+    val rows = Seq(
+      "https://mail.google.com/mail/u/0/",
+      "https://outlook.live.com/mail/",
+      "https://search.brave.com/search?q=x",
+      "https://search.naver.com/search.naver?query=kimchi")
+      .toDF("_referrer")
+    val out = ReferrerMapper().apply(rows).collect()
+    assert(out(0).getAs[String]("_referrer_medium") == "email")
+    assert(out(0).getAs[String]("_referrer_source") == "gmail")
+    assert(out(1).getAs[String]("_referrer_medium") == "email")
+    assert(out(2).getAs[String]("_referrer_medium") == "search")
+    assert(out(3).getAs[String]("_referrer_source") == "naver")
+    assert(out(3).getAs[String]("_referrer_term") == "kimchi")
   }
 
   test("M3: referrer parse — google search with term, internal, malformed") {
