@@ -56,11 +56,14 @@ object Subscriptions {
     * on the query checkpoint like every other subscription).
     *
     * HONESTY NOTE: this sandbox ships no spark-sql-kafka connector jar
-    * and no broker, so `.load()` cannot run here. What IS exercised by
-    * KafkaTailSpec: the exact reader configuration this builder emits
-    * ([[kafkaOptions]]), and the wire-record decode ([[decodeKafka]])
-    * against a static frame with Kafka's fixed output schema — the two
-    * pieces that are ours rather than the connector's. */
+    * and no broker, so `.load()` cannot run here. What IS exercised:
+    * the exact reader configuration this builder emits ([[kafkaOptions]],
+    * KafkaTailSpec) and the full store→stream round-trip minus only the
+    * socket (KafkaWireSpec) — the real producer drain into an in-JVM
+    * broker with Kafka's observable semantics (murmur2 default
+    * partitioner, per-partition contiguous offsets, retention
+    * truncation + the failOnDataLoss contract), decoded back through
+    * [[decodeKafka]]. */
   /** `failOnDataLoss` defaults TRUE: a lost-offset range (aged-out
     * retention, deleted topic) kills the query instead of silently
     * skipping records — for a commit-log tail feeding incremental
