@@ -47,8 +47,12 @@ class KafkaWireSpec extends SparkSpec {
         Seq.empty
       }
     }
+    // one source partition: the drain's ordering contract is per-key
+    // WITHIN a Spark partition (RecordProducers.produce doc) — across
+    // partitions send order is deliberately undefined
     val report = RecordProducers.produce(
-      RecordProducers.kafkaRecords(events, "demo", "pageview"), transport)
+      RecordProducers.kafkaRecords(events.coalesce(1), "demo", "pageview"),
+      transport)
     assert(report.nSent == 6 && report.nDropped == 0)
     assert(broker.topics == Seq("demo_pageview"))
 
