@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * (production systems swap in range-partition ids or quantile ranks for
   * that; the interleave and write path are identical), which costs
   * skipping efficiency, never correctness: the z key only orders rows.
+  *
+  * Relationship to the layout-audit family: this is the GENERAL
+  * n-column clustering utility (double-rank scaling, any numeric
+  * columns). [[graft.analytics.LayoutQueries.zorderWrite]] is its
+  * 2-column (user, time) INTEGER-EXACT twin whose code assignment the
+  * zo1 oracle query reproduces bit-for-bit in DuckDB — that twin is
+  * what [[EventStore.compactPartition]]'s `zorderBy` runs, so the
+  * store's compacted layout is the one the audit measures.
   */
 object ZOrder {
 
