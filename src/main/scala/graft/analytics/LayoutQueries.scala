@@ -302,9 +302,105 @@ object LayoutQueries {
          |  TRUE AS andv_positive, TRUE AS andv_le_rows FROM events""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** PROF2: column-profile DRIFT between the table's two time halves —
+    * the monitoring gate between ingest snapshots: a null burst, a
+    * key-cardinality collapse, or an enum explosion in the NEW data
+    * surfaces as a per-column drift row before the batch joins the
+    * warehouse. Segment = event time below/above the midpoint of the
+    * table's time range (deterministic, engine-identical integer
+    * arithmetic; micros magnitudes sit far below the 2^53 overflow
+    * line, so the ×2 midpoint comparison is exact in both engines).
+    *
+    * ONE scan: per-column segment counts ride a conditional aggregate
+    * (`count(CASE WHEN seg THEN col END)`, `count(DISTINCT CASE …)`);
+    * the multi-distinct Expand carries long buffers only — the prof1
+    * discipline. Drift metrics are exact (no sketches), so the DuckDB
+    * twin checks every value; at true scale the serving path is
+    * [[prof1ServedFrom]] per segment with sketch NDVs, and this exact
+    * form remains the audit. `drifted` flags |null-rate shift| > 0.1 or
+    * an NDV ratio outside [0.5, 2]. */
+  def prof2From(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    // profile whichever of the standard columns the frame carries — the
+    // facade convention (a caller's frame may lack e.g. props)
+    val profCols = ProfCols.filter(events.columns.contains)
+    val e = events.withColumn("__um",
+      expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+    val bounds = e.agg(
+      min($"__um").as("__tmin"), max($"__um").as("__tmax"))
+    val seg = ($"__um" - $"__tmin") * 2 < ($"__tmax" - $"__tmin")
+    val withSeg = e.crossJoin(broadcast(bounds)).withColumn("__a", seg)
+    val aggs =
+      Seq(count(when($"__a", lit(1))).as("total_a"),
+        count(when(!$"__a", lit(1))).as("total_b")) ++
+        profCols.flatMap { c =>
+          Seq(
+            count(when($"__a", col(c))).as(s"na_$c"),
+            countDistinct(when($"__a", col(c))).as(s"nda_$c"),
+            count(when(!$"__a", col(c))).as(s"nb_$c"),
+            countDistinct(when(!$"__a", col(c))).as(s"ndb_$c"))
+        }
+    val wide = withSeg.agg(aggs.head, aggs.tail: _*)
+    val stackArgs =
+      profCols.map(c => s"'$c', na_$c, nda_$c, nb_$c, ndb_$c").mkString(", ")
+    val ratio = $"ndv_b".cast("double") / nullif($"ndv_a", lit(0)).cast("double")
+    wide
+      .select(
+        expr(s"stack(${profCols.size}, $stackArgs) AS " +
+          "(column_name, n_a, ndv_a, n_b, ndv_b)"),
+        $"total_a", $"total_b")
+      .select(
+        $"column_name",
+        $"n_a", $"n_b", $"ndv_a", $"ndv_b",
+        (($"total_a" - $"n_a").cast("double") / $"total_a".cast("double"))
+          .as("null_rate_a"),
+        (($"total_b" - $"n_b").cast("double") / $"total_b".cast("double"))
+          .as("null_rate_b"),
+        ratio.as("ndv_ratio"))
+      .withColumn("drifted",
+        (abs($"null_rate_a" - $"null_rate_b") > 0.1) ||
+          !coalesce($"ndv_ratio".between(0.5, 2.0), lit(false)))
+  }
+
+  def prof2Drift(spark: SparkSession, dir: String): DataFrame =
+    prof2From(Tables(spark, dir, "events"))
+
+  val prof2Sql: String = {
+    val perCol = ProfCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  count(CASE WHEN a THEN $c END) AS n_a,
+         |  count(DISTINCT CASE WHEN a THEN $c END) AS ndv_a,
+         |  count(CASE WHEN NOT a THEN $c END) AS n_b,
+         |  count(DISTINCT CASE WHEN NOT a THEN $c END) AS ndv_b,
+         |  count(CASE WHEN a THEN 1 END) AS total_a,
+         |  count(CASE WHEN NOT a THEN 1 END) AS total_b
+         |FROM seg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+       |  FROM events),
+       |seg AS (
+       |  SELECT events.*,
+       |    (epoch_us(ts) - tmin) * 2 < (tmax - tmin) AS a
+       |  FROM events, b),
+       |w AS (
+       |$perCol)
+       |SELECT column_name, n_a, n_b, ndv_a, ndv_b,
+       |  CAST(total_a - n_a AS DOUBLE) / total_a AS null_rate_a,
+       |  CAST(total_b - n_b AS DOUBLE) / total_b AS null_rate_b,
+       |  CAST(ndv_b AS DOUBLE) / nullif(ndv_a, 0) AS ndv_ratio,
+       |  (abs(CAST(total_a - n_a AS DOUBLE) / total_a -
+       |       CAST(total_b - n_b AS DOUBLE) / total_b) > 0.1)
+       |    OR NOT coalesce(
+       |      CAST(ndv_b AS DOUBLE) / nullif(ndv_a, 0) BETWEEN 0.5 AND 2.0,
+       |      FALSE) AS drifted
+       |FROM w""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "zo1_zorder_layout" -> QueryDef.of(zo1Sql)(zo1ZorderLayout),
     "prof1_column_stats" -> QueryDef.of(prof1Sql)(prof1ColumnStats),
-    "prof1_served" -> QueryDef.of(prof1ServedSql)(prof1Served)
+    "prof1_served" -> QueryDef.of(prof1ServedSql)(prof1Served),
+    "prof2_drift" -> QueryDef.of(prof2Sql)(prof2Drift)
   )
 }

@@ -105,6 +105,35 @@ class LayoutQueriesSpec extends SparkSpec {
     }
   }
 
+  test("prof2: a null burst and an enum explosion in the NEW half flag " +
+    "drifted; stable columns do not") {
+    import spark.implicits._
+    // 200 events over 200 minutes; the second half (ts past midpoint):
+    // event_type explodes 4 → 40 values and value goes 60% null
+    val rows = (0 until 200).map { i =>
+      val newHalf = i >= 100
+      (s"e$i",
+        new java.sql.Timestamp(1767225600000L + i * 60000L),
+        i.toLong % 20,
+        if (newHalf) s"t${i % 40}" else s"t${i % 4}",
+        if (newHalf && i % 10 < 6) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(i.toDouble))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = LayoutQueries.prof2From(rows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 5) // props absent from this frame — facade filter
+    assert(out("event_type").getAs[Boolean]("drifted"),
+      "enum explosion (NDV ratio 10) must flag")
+    assert(out("value").getAs[Boolean]("drifted"),
+      "null burst (rate 0 -> 0.6) must flag")
+    assert(!out("user_id").getAs[Boolean]("drifted"), "stable key flagged")
+    assert(!out("event_id").getAs[Boolean]("drifted"), "stable id flagged")
+    val vt = out("value")
+    assert(vt.getAs[Double]("null_rate_a") == 0.0 &&
+      vt.getAs[Double]("null_rate_b") == 0.6)
+    assert(out("event_type").getAs[Double]("ndv_ratio") == 10.0)
+  }
+
   test("zorderWrite: fails fast when a scratch name collides with a column") {
     import spark.implicits._
     val clash = events.withColumn("__zo_zval", lit(1))
