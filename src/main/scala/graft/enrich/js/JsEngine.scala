@@ -110,7 +110,44 @@ final class JsEngine(code: String, globals: Map[String, Any],
         case "min" => a.map(num).min
         case "pow" => math.pow(num(a.head), num(a(1)))
         case "sqrt" => math.sqrt(num(a.head))
+        case "log" => math.log(num(a.head))
+        case "exp" => math.exp(num(a.head))
+        case "trunc" => num(a.head).toLong
+        case "sign" => math.signum(num(a.head)).toLong
+        case "random" => scala.util.Random.nextDouble()
         case other => throw new JsException(s"Math.$other is not supported")
+      }
+    },
+    // the static Object.* surface mapper scripts iterate bodies with
+    "Object" -> new HostObject {
+      private def asObj(v: Any) = v match {
+        case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] => m
+        case other =>
+          throw new JsException(s"not an object: ${String.valueOf(other)}")
+      }
+      def invoke(m: String, a: Seq[Any]): Any = m match {
+        case "keys" => mutable.ArrayBuffer(asObj(a.head).keys.toSeq: _*)
+        case "values" => mutable.ArrayBuffer(asObj(a.head).values.toSeq: _*)
+        case "entries" => mutable.ArrayBuffer(asObj(a.head).toSeq.map {
+          case (k, v) => mutable.ArrayBuffer[Any](k, v)
+        }: _*)
+        case "assign" =>
+          val target = asObj(a.head)
+          a.tail.foreach {
+            case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+              m.foreach { case (k, v) => target(k) = v }
+            case null | Undefined => ()
+            case other =>
+              throw new JsException(s"Object.assign source not an object: $other")
+          }
+          target
+        case other => throw new JsException(s"Object.$other is not supported")
+      }
+    },
+    "Date" -> new HostObject {
+      def invoke(m: String, a: Seq[Any]): Any = m match {
+        case "now" => System.currentTimeMillis()
+        case other => throw new JsException(s"Date.$other is not supported")
       }
     },
     "JSON" -> new HostObject {
@@ -413,7 +450,56 @@ final class JsEngine(code: String, globals: Map[String, Any],
         val from = resolve(args.headOption.getOrElse(Undefined), 0L)
         val until = resolve(if (args.length > 1) args(1) else Undefined, a.length.toLong)
         a.slice(from.toInt, until.toInt)
+      case "reverse" =>
+        val rev = a.reverse; a.clear(); a ++= rev; a
+      case "shift" => if (a.isEmpty) Undefined else a.remove(0)
+      case "unshift" =>
+        a.prependAll(args); a.length.toLong
+      case "sort" =>
+        // JS default sort is LEXICOGRAPHIC on the string forms; a
+        // comparator closure sorts numerically by its sign
+        a.foreach(_ => tick())
+        val sorted = args.headOption match {
+          case Some(cmp: Closure) =>
+            a.sortWith((x, y) => { tick(); num(callValue(cmp, Seq(x, y))) < 0 })
+          case _ => a.sortBy(jsToString)
+        }
+        a.clear(); a ++= sorted; a
+      case "reduce" =>
+        val fn = args.head
+        if (a.isEmpty && args.length < 2)
+          throw new JsException("reduce of empty array with no initial value")
+        var (acc: Any, start) =
+          if (args.length > 1) (args(1), 0) else (a(0): Any, 1)
+        (start until a.length).foreach { i =>
+          tick(); acc = callValue(fn, Seq(acc, a(i), i.toLong, a))
+        }
+        acc
+      case "some" =>
+        a.zipWithIndex.exists { case (x, i) =>
+          tick(); truthy(callValue(args.head, Seq(x, i.toLong, a))) }
+      case "every" =>
+        a.zipWithIndex.forall { case (x, i) =>
+          tick(); truthy(callValue(args.head, Seq(x, i.toLong, a))) }
+      case "find" =>
+        a.zipWithIndex.collectFirst { case (x, i)
+          if { tick(); truthy(callValue(args.head, Seq(x, i.toLong, a))) } => x }
+          .getOrElse(Undefined)
+      case "findIndex" =>
+        a.zipWithIndex.collectFirst { case (x, i)
+          if { tick(); truthy(callValue(args.head, Seq(x, i.toLong, a))) } => i.toLong }
+          .getOrElse(-1L)
       case other => throw new JsException(s"array.$other is not supported")
+    }
+    case n if n.isInstanceOf[Long] || n.isInstanceOf[Double] => name match {
+      case "toFixed" =>
+        val digits = args.headOption.map(jsIndex(_).toInt).getOrElse(0)
+        if (digits < 0 || digits > 100)
+          throw new JsException("toFixed digits out of range")
+        String.format(java.util.Locale.ROOT, s"%.${digits}f",
+          java.lang.Double.valueOf(num(n)))
+      case "toString" => jsToString(n)
+      case other => throw new JsException(s"number.$other is not supported")
     }
     case s: String => name match {
       // Index args are data-dependent: JS clamps out-of-range indexes and
@@ -500,6 +586,22 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case "startsWith" => s.startsWith(str(args.head))
       case "endsWith" => s.endsWith(str(args.head))
       case "includes" => s.contains(str(args.head))
+      case "lastIndexOf" => s.lastIndexOf(str(args.head)).toLong
+      case "concat" => s + args.map(str).mkString
+      case "trimStart" => s.dropWhile(_.isWhitespace)
+      case "trimEnd" => s.reverse.dropWhile(_.isWhitespace).reverse
+      case "padStart" | "padEnd" =>
+        val target = jsIndex(args.headOption.getOrElse(Undefined))
+        if (target > JsEngine.MaxArrayLength)
+          throw new SandboxViolation("pad target exceeds sandbox bounds")
+        val fill = if (args.length > 1) str(args(1)) else " "
+        if (target <= s.length || fill.isEmpty) s
+        else {
+          (0L until (target - s.length)).foreach(_ => tick())
+          val pad = (fill * ((target - s.length).toInt / fill.length + 1))
+            .take(target.toInt - s.length)
+          if (name == "padStart") pad + s else s + pad
+        }
       case other => throw new JsException(s"string.$other is not supported")
     }
     case r: JsEngine.JsRegex => name match {

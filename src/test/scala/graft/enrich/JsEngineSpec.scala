@@ -273,6 +273,54 @@ class JsEngineSpec extends SparkSpec {
       "https://example.com/landing")) == "newsletter,organic,direct")
   }
 
+  test("stdlib breadth: array sort/reduce/find family, Object.*, " +
+    "string padding, toFixed, Date.now") {
+    // JS default sort is lexicographic; comparator sorts numerically
+    assert(run("function f() { return [10, 9, 1].sort().join(','); }", "f")
+      == "1,10,9")
+    assert(run(
+      "function f() { return [10, 9, 1].sort(function(a, b) { return a - b; }).join(','); }",
+      "f") == "1,9,10")
+    assert(run(
+      "function f(a) { return a.reduce(function(s, x) { return s + x; }, 100); }",
+      "f", Seq(1L, 2L, 3L)) == 106L)
+    assert(run(
+      "function f(a) { return a.find(function(x) { return x > 1; }); }",
+      "f", Seq(1L, 5L, 9L)) == 5L)
+    assert(run(
+      "function f(a) { return a.some(function(x) { return x > 8; }); }",
+      "f", Seq(1L, 9L)) == true)
+    assert(run(
+      "function f(a) { return a.every(function(x) { return x > 0; }); }",
+      "f", Seq(1L, 9L)) == true)
+    assert(run("function f(a) { a.unshift(0); return a.shift(); }",
+      "f", Seq(1L)) == 0L)
+    // Object.* over an event body
+    assert(run(
+      """function f(o) {
+        |  var ks = Object.keys(o).sort().join(',');
+        |  var total = Object.values(o).reduce(function(s, v) { return s + v; }, 0);
+        |  return ks + '=' + total;
+        |}""".stripMargin, "f", Map("b" -> 2L, "a" -> 1L)) == "a,b=3")
+    assert(run(
+      """function f() {
+        |  var t = {a: 1};
+        |  Object.assign(t, {b: 2}, {a: 9});
+        |  return JSON.stringify(t);
+        |}""".stripMargin, "f") == """{"a":9,"b":2}""")
+    // string padding + number formatting (the report-shaping idioms)
+    assert(run("function f(s) { return s.padStart(5, '0'); }", "f", "42") == "00042")
+    assert(run("function f(s) { return s.padEnd(4, '.') + '!'; }", "f", "ab") == "ab..!")
+    assert(run("function f(x) { return (x / 3).toFixed(2); }", "f", 10L) == "3.33")
+    // Date.now is epoch millis (the mapper timestamping idiom)
+    val now = run("function f() { return Date.now(); }", "f").asInstanceOf[Long]
+    assert(math.abs(now - System.currentTimeMillis()) < 60_000L)
+    // an absurd pad target cannot allocate unbounded memory
+    intercept[MiniJs.SandboxViolation] {
+      run("function f(s) { return s.padStart(99999999); }", "f", "x")
+    }
+  }
+
   test("for-in iterates object keys and array indices; null is a no-op") {
     assert(run(
       """function f() {
