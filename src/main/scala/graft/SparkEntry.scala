@@ -25,10 +25,12 @@ object SparkEntry {
       analytics.SimilarityQueries.defs ++
       analytics.MultimodalQueries.defs ++
       analytics.PathQueries.defs ++
+      analytics.RetrievalQueries.defs ++
       analytics.LayoutQueries.defs ++
       store.MaterializedView.defs ++
       store.DedupIndex.defs ++
-      store.AnnIndex.defs
+      store.AnnIndex.defs ++
+      store.InvertedIndex.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

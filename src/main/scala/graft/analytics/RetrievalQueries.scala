@@ -1,0 +1,309 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus: BM25 ranking, a
+  * vector-space (tf-idf cosine) second scorer, and reciprocal-rank
+  * fusion of the two candidate pools — the keyword side of the
+  * retrieval stack that [[SimilarityQueries]] covers on the embedding
+  * side. A training-data pipeline runs exactly this shape for targeted
+  * corpus probes ("find the documents about X"), contamination triage
+  * (rank the corpus against a benchmark query before the expensive
+  * n-gram pass), and hybrid dedup candidate generation.
+  *
+  * The reference has no text-retrieval operator (its search surface is
+  * the event-explorer attribute filter,
+  * ref rakam/src/main/java/org/rakam/analysis/EventExplorerHttpService.java:117-210);
+  * this family is part of the LLM-pipeline surface the engine adds.
+  *
+  * Engine parity: every per-(doc, term) score is scalar IEEE-754
+  * arithmetic with the association order spelled identically in the
+  * SQL twin, and every sum across terms funnels through the exact
+  * decimal accumulator ([[dsum]]), so ranking keys are bit-identical
+  * across engines; all orderings carry a doc_id tiebreak.
+  *
+  * Scale posture (100 TB): no all-pairs anywhere. The BM25 pass
+  * filters the exploded token stream to the query's terms BEFORE any
+  * shuffle, so the grouped state is O(postings of the query terms),
+  * not O(corpus tokens); document length is computed scan-side
+  * (`size(split(...))` — no join back); corpus stats ride a 1-row
+  * broadcast. Fusion joins two TakeOrderedAndProject candidate pools
+  * ([[PoolSize]] rows each) — the standard fuse-candidate-lists form —
+  * never full rankings. The pre-built serving path for repeated
+  * queries is [[graft.store.InvertedIndex]], which persists the
+  * (term, doc) postings this query derives on the fly and prunes its
+  * scan to the probed terms' hash shards.
+  */
+object RetrievalQueries {
+
+  /** BM25 constants (Robertson–Spärck Jones defaults). Exact decimal
+    * literals, so both engines parse the identical double. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** The canned probe query for the oracle gallery. */
+  val QueryTerms: Seq[String] = Seq("spark", "hash", "join", "stream")
+
+  /** Candidate pool per scorer fed into the fusion stage. */
+  val PoolSize = 100
+
+  /** Fused results served. */
+  val TopK = 10
+
+  /** RRF dampening constant (Cormack et al. 2009's k=60). */
+  val RrfK = 60
+
+  private def qlist: String = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Per-doc token stream restricted to the query terms, carrying the
+    * scan-side doc length: (doc_id, dl, tok). The filter sits UNDER the
+    * explode's shuffle — only matching postings ever leave the scan. */
+  private def matchedToks(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"),
+        explode(split($"text", " ")).as("tok"))
+      .filter($"tok".isin(QueryTerms: _*))
+  }
+
+  /** 1-row corpus stats (n_docs, avgdl) — broadcasts. */
+  private def corpusStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+  }
+
+  /** BM25 idf: ln((n_docs − df + 0.5) / (df + 0.5) + 1) — the
+    * +1 ("BM25+" floor) keeps the weight positive even for terms in
+    * more than half the corpus, which this tiny-vocab synthetic corpus
+    * hits for every term. */
+  private def idfCol(nDocs: Column, df: Column): Column =
+    log((nDocs.cast("double") - df.cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5)) + lit(1.0))
+
+  private def sqlIdf(nDocs: String, df: String): String =
+    s"ln((CAST($nDocs AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / " +
+      s"(CAST($df AS DOUBLE) + 0.5) + 1.0)"
+
+  /** The per-(doc, term) BM25 contribution. Association order is the
+    * SQL twin's, verbatim. */
+  private def bm25Term(idf: Column, tf: Column, dl: Column,
+      avgdl: Column): Column =
+    idf * (tf.cast("double") * lit(K1 + 1)) /
+      (tf.cast("double") +
+        lit(K1) * (lit(1 - B) + lit(B) * dl.cast("double") / avgdl))
+
+  private def sqlBm25Term(idf: String, tf: String, dl: String,
+      avgdl: String): String =
+    s"$idf * (CAST($tf AS DOUBLE) * ${K1 + 1}) / (CAST($tf AS DOUBLE) + " +
+      s"$K1 * (${1 - B} + $B * CAST($dl AS DOUBLE) / $avgdl))"
+
+  /** Score a matched-postings frame `(doc_id, dl, tok, tf)` against a
+    * 1-row stats frame `(n_docs, avgdl)` — the ONE BM25 scoring
+    * implementation, shared by the on-the-fly query below and the
+    * persisted serving path ([[graft.store.InvertedIndex.probe]]), so
+    * index-served scores are bit-identical to the batch scan's by
+    * construction. df is derived from the already-matched postings
+    * (one grouped count, ≤ |query terms| rows after partial agg),
+    * never from a corpus-wide vocabulary scan. */
+  private[graft] def scoreTf(tf: DataFrame, stats: DataFrame): DataFrame = {
+    import tf.sparkSession.implicits._
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        bm25Term(idfCol($"n_docs", $"df"), $"tf", $"dl", $"avgdl")
+          .as("term_score"))
+      .groupBy($"doc_id")
+      .agg(dsum($"term_score").as("score"))
+  }
+
+  /** The per-(doc, term) matched term frequencies `(doc_id, dl, tok,
+    * tf)` — also the grain of the persisted postings state. */
+  private[graft] def matchedTf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    matchedToks(docs)
+      .groupBy($"doc_id", $"dl", $"tok")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Scored BM25 frame (doc_id, score) for the canned query — the
+    * shared body of [[r1Bm25TopK]] and the fusion stage. */
+  private[graft] def bm25Scores(docs: DataFrame): DataFrame =
+    scoreTf(matchedTf(docs), corpusStats(docs))
+
+  private def bm25ScoresSql: String =
+    s"""stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |m AS (SELECT * FROM toks WHERE tok IN ($qlist)),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, count(*) AS tf FROM m GROUP BY 1, 2, 3),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ${sqlDsum(sqlBm25Term(sqlIdf("n_docs", "df"), "tf", "dl", "avgdl"))}
+       |      AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN stats
+       |  GROUP BY doc_id)""".stripMargin
+
+  /** R1: BM25 top-k for the canned query — (doc_id, score), the best
+    * [[TopK]] by (score desc, doc_id). Plans as scan → filtered explode
+    * → two partial-agg'd groupBys over query-term postings only →
+    * TakeOrderedAndProject. */
+  def r1Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25Scores(Tables(spark, dir, "documents"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(TopK)
+  }
+
+  val r1Sql: String =
+    s"""WITH $bm25ScoresSql
+       |SELECT doc_id, score FROM scored
+       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+
+  // ---------------- VSM second scorer + RRF fusion ----------------
+
+  /** Vector-space cosine over tf·idf term vectors: the classic second
+    * lexical scorer with genuinely different semantics from BM25 (doc
+    * norm rewards focus; no length saturation). idf here is the plain
+    * smoothed form ln(n_docs / df) over the FULL vocabulary (the doc
+    * norm spans every term the doc contains, not just the query's).
+    * Query vector = unit tf on each query term. */
+  private[graft] def vsmScores(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tfAll = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tfAll.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val stats = corpusStats(docs)
+    // idf² per vocab term, broadcast (vocab-sized — tiny vs corpus)
+    val weighted = tfAll
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"tok",
+        ($"tf".cast("double") *
+          log($"n_docs".cast("double") / $"df".cast("double"))).as("w"))
+    val norms = weighted.groupBy($"doc_id")
+      .agg(sqrt(dsum($"w" * $"w")).as("dnorm"))
+    // query weight per term = idf (tf=1); qnorm = sqrt(Σ idf²)
+    val qw = vocab.crossJoin(broadcast(stats))
+      .filter($"tok".isin(QueryTerms: _*))
+      .select($"tok",
+        log($"n_docs".cast("double") / $"df".cast("double")).as("qw"))
+    val qn = qw.agg(sqrt(dsum($"qw" * $"qw")).as("qnorm"))
+    weighted
+      .filter($"tok".isin(QueryTerms: _*))
+      .join(broadcast(qw), "tok")
+      .groupBy($"doc_id")
+      .agg(dsum($"w" * $"qw").as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .select($"doc_id", ($"dot" / ($"dnorm" * $"qnorm")).as("score"))
+  }
+
+  private def vsmScoresSql: String =
+    s"""vstats AS (SELECT count(*) AS n_docs FROM documents),
+       |vtoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |vtf AS (SELECT doc_id, tok, count(*) AS tf FROM vtoks GROUP BY 1, 2),
+       |vocab AS (SELECT tok, count(*) AS df FROM vtf GROUP BY 1),
+       |wtd AS (
+       |  SELECT doc_id, tok,
+       |    CAST(tf AS DOUBLE) *
+       |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+       |  FROM vtf JOIN vocab USING (tok) CROSS JOIN vstats),
+       |norms AS (
+       |  SELECT doc_id, sqrt(${sqlDsum("w * w")}) AS dnorm
+       |  FROM wtd GROUP BY doc_id),
+       |qw AS (
+       |  SELECT tok,
+       |    ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS qw
+       |  FROM vocab CROSS JOIN vstats WHERE tok IN ($qlist)),
+       |qn AS (SELECT sqrt(${sqlDsum("qw * qw")}) AS qnorm FROM qw),
+       |vsm AS (
+       |  SELECT doc_id, dot / (dnorm * qnorm) AS score
+       |  FROM (
+       |    SELECT doc_id, ${sqlDsum("w * qw")} AS dot
+       |    FROM wtd JOIN qw USING (tok) GROUP BY doc_id) d
+       |  JOIN norms USING (doc_id) CROSS JOIN qn)""".stripMargin
+
+  /** R2: reciprocal-rank fusion of the BM25 and VSM candidate pools —
+    * rrf(d) = Σ 1/(60 + rank_scorer(d)) over the scorers that surfaced
+    * d in their top-[[PoolSize]]. The fuse-candidate-lists form: each
+    * pool is a TakeOrderedAndProject of [[PoolSize]] rows, the join is
+    * pool×pool (outer, 100-row frames), never a full-corpus ranking.
+    * Output: top-[[TopK]] by (rrf desc, doc_id) with both ranks
+    * (0 = absent from that pool). */
+  def r2RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    def pool(scored: DataFrame): DataFrame = {
+      val top = scored.orderBy($"score".desc, $"doc_id").limit(PoolSize)
+      // rank within a PoolSize-row frame: single-partition window, free
+      top.select($"doc_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"score".desc, $"doc_id")).as("rank"))
+    }
+    val b = pool(bm25Scores(docs)).withColumnRenamed("rank", "bm25_rank")
+    val v = pool(vsmScores(docs)).withColumnRenamed("rank", "vsm_rank")
+    b.join(v, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"bm25_rank", lit(0)).as("bm25_rank"),
+        coalesce($"vsm_rank", lit(0)).as("vsm_rank"))
+      .withColumn("rrf",
+        when($"bm25_rank" > 0,
+          lit(1.0) / (lit(RrfK).cast("double") + $"bm25_rank".cast("double")))
+          .otherwise(lit(0.0)) +
+          when($"vsm_rank" > 0,
+            lit(1.0) / (lit(RrfK).cast("double") + $"vsm_rank".cast("double")))
+            .otherwise(lit(0.0)))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(TopK)
+  }
+
+  val r2Sql: String =
+    s"""WITH $bm25ScoresSql,
+       |$vsmScoresSql,
+       |bpool AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+       |      AS bm25_rank
+       |  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id
+       |        LIMIT $PoolSize) s),
+       |vpool AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+       |      AS vsm_rank
+       |  FROM (SELECT * FROM vsm ORDER BY score DESC, doc_id
+       |        LIMIT $PoolSize) s)
+       |SELECT doc_id, bm25_rank, vsm_rank, rrf FROM (
+       |  SELECT doc_id,
+       |    coalesce(bm25_rank, 0) AS bm25_rank,
+       |    coalesce(vsm_rank, 0) AS vsm_rank,
+       |    (CASE WHEN coalesce(bm25_rank, 0) > 0
+       |      THEN 1.0 / (CAST($RrfK AS DOUBLE) + CAST(bm25_rank AS DOUBLE))
+       |      ELSE 0.0 END) +
+       |    (CASE WHEN coalesce(vsm_rank, 0) > 0
+       |      THEN 1.0 / (CAST($RrfK AS DOUBLE) + CAST(vsm_rank AS DOUBLE))
+       |      ELSE 0.0 END) AS rrf
+       |  FROM bpool FULL OUTER JOIN vpool USING (doc_id)) f
+       |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "r1_bm25_topk" -> QueryDef.of(r1Sql)(r1Bm25TopK),
+    "r2_rrf_hybrid" -> QueryDef.of(r2Sql)(r2RrfHybrid)
+  )
+}

@@ -671,8 +671,63 @@ object TrainingSetQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** DS8: curriculum staging — order the corpus easy→hard and cut it
+    * into four stages, the curriculum-learning prep step (feed short-
+    * token "easy" text first, morphology-heavy text last). Difficulty
+    * proxy = mean token length (the t_quality_clf feature, same exact
+    * arithmetic); stage boundaries are the difficulty QUARTILES, and
+    * stage assignment is a scan-side threshold comparison — NOT a
+    * global ntile, which would plan as a single-partition window: the
+    * thresholds ride a 1-row broadcast, so the only shuffle is the
+    * 4-group report. At 100 TB the exact `percentile` threshold
+    * aggregate (which buffers values) swaps for `approx_percentile`
+    * unchanged in shape; this exact form is the oracle-checked audit
+    * of that swap (the a8/a8'' discipline). Quartile boundary docs go
+    * to the LOWER stage on ties (strict `>` thresholds), identically
+    * in both engines. */
+  def ds8Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = Tables(spark, dir, "documents")
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("diff",
+        ($"n_chars" - ($"n_tok" - 1)).cast("double") / $"n_tok")
+    val cuts = f.agg(
+      expr("percentile(diff, 0.25)").as("t1"),
+      expr("percentile(diff, 0.5)").as("t2"),
+      expr("percentile(diff, 0.75)").as("t3"))
+    f.crossJoin(broadcast(cuts))
+      .withColumn("stage",
+        lit(1) + ($"diff" > $"t1").cast("int") +
+          ($"diff" > $"t2").cast("int") + ($"diff" > $"t3").cast("int"))
+      .groupBy($"stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        min($"diff").as("min_diff"),
+        max($"diff").as("max_diff"))
+  }
+
+  val ds8Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
+      |      len(string_split(text, ' ')) AS diff
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT quantile_cont(diff, 0.25) AS t1,
+      |    quantile_cont(diff, 0.5) AS t2,
+      |    quantile_cont(diff, 0.75) AS t3
+      |  FROM f)
+      |SELECT 1 + CAST(diff > t1 AS INT) + CAST(diff > t2 AS INT) +
+      |    CAST(diff > t3 AS INT) AS stage,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(diff) AS min_diff, max(diff) AS max_diff
+      |FROM f CROSS JOIN cuts
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
+    "ds8_curriculum" -> QueryDef.of(ds8Sql)(ds8Curriculum),
     "ds7_split" -> QueryDef.of(ds7Sql)(ds7Split),
     "ds2_mixture" -> QueryDef.of(ds2Sql)(ds2Mixture),
     "ds3_shuffle" -> QueryDef.of(ds3Sql)(ds3Shuffle),

@@ -1,0 +1,230 @@
+package graft.store
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.RetrievalQueries
+
+/** Persisted inverted index over an append-only document store — the
+  * serving path for repeated lexical probes ([[RetrievalQueries]]'s
+  * BM25 is the on-the-fly form): corpus probes, contamination triage,
+  * and blocklist sweeps hit the same few hundred query terms against
+  * an unchanging corpus, and re-exploding 100 TB of text per query is
+  * the difference between an interactive answer and a batch job.
+  *
+  * State is the matched-tf grain [[RetrievalQueries.scoreTf]] consumes
+  * directly — `(tok, doc_id, tf, dl)` — laid out hash-sharded by term
+  * (`shard = pmod(xxhash64(tok), NumShards)` as a parquet partition
+  * column), so a probe's scan prunes to the probed terms' shards: at
+  * 1000 executors the probe reads |query terms| shards' postings, not
+  * the corpus. Corpus stats (doc count, total tokens — the BM25
+  * avgdl inputs) are sum-mergeable, so they ride a per-version sidecar
+  * marker folded cumulatively at each append; a probe never scans
+  * postings it didn't match.
+  *
+  * Append-only lifecycle, exactly [[AnnIndex]]'s: each batch writes an
+  * immutable `v=N` postings dir plus its cumulative stats marker, then
+  * flips `_CURRENT` ([[VersionedState]]); readers union the live dirs.
+  * New documents carry new doc_ids, so postings never need merging —
+  * union IS the merge (the same append-only property the event store
+  * leans on). [[compactPostings]] consolidates accumulated small files
+  * into one dir per shard; [[maintain]] folds a document stream in with
+  * the shared at-least-once replay fence.
+  *
+  * The oracle contract (ix1): a two-batch build probed with the canned
+  * query must hash-match the batchless [[RetrievalQueries.r1Bm25TopK]]
+  * — the di1/ai1 pattern: batch boundaries cannot change a score.
+  */
+object InvertedIndex {
+
+  /** Term-hash shards per version dir — the probe's pruning grain. */
+  val NumShards = 64
+
+  private def shardCol = pmod(xxhash64(col("tok")), lit(NumShards))
+    .cast("int").as("shard")
+
+  /** Postings of one batch at the scoreTf grain, sharded:
+    * (tok, doc_id, tf, dl, shard). */
+  def postingsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"),
+        explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"dl", $"tok")
+      .agg(count(lit(1)).as("tf"))
+      .select($"tok", $"doc_id", $"tf", $"dl", shardCol)
+  }
+
+  /** (n_docs, sum_dl) of one batch — the sum-mergeable stats grain. */
+  private def statsOf(docs: DataFrame): (Long, Long) = {
+    import docs.sparkSession.implicits._
+    val row = docs
+      .select(size(split($"text", " ")).cast("long").as("dl"))
+      .agg(count(lit(1)), sum($"dl")).collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def statsMarker(v: Long) = s"_STATS_v=$v"
+
+  private def writeStats(path: String, v: Long, nDocs: Long,
+      sumDl: Long): Unit =
+    VersionedState.writeMarker(path, statsMarker(v), s"$nDocs:$sumDl")
+
+  private def readStats(path: String, v: Long): (Long, Long) = {
+    val Array(n, s) = VersionedState.readMarker(path, statsMarker(v))
+      .getOrElse(sys.error(s"missing stats marker for version $v at $path"))
+      .split(':')
+    (n.toLong, s.toLong)
+  }
+
+  private def writeVersion(p: DataFrame, path: String, v: Long,
+      nDocs: Long, sumDl: Long, batchId: Long): Unit = {
+    // co-locate each shard before the write: one file set per shard dir
+    // instead of (input partitions × shards) small files
+    p.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(VersionedState.versionDir(path, v))
+    // stats marker lands before the pointer flip: a reader that
+    // resolves the new version always finds its stats; an orphan
+    // marker from a crash before the flip is harmless
+    writeStats(path, v, nDocs, sumDl)
+    VersionedState.writePointer(path, v, batchId)
+  }
+
+  /** Bootstrap the index from the initial corpus. */
+  def initialize(docs: DataFrame, path: String, batchId: Long = -1L): Unit = {
+    val (n, s) = statsOf(docs)
+    writeVersion(postingsOf(docs), path, 1, n, s, batchId)
+  }
+
+  /** Append a delta batch as version `expected` (cumulative stats fold
+    * in from the previous version's marker). Returns false if that
+    * version already exists — the at-least-once replay fence. */
+  def append(spark: SparkSession, delta: DataFrame, path: String,
+      expected: Long, batchId: Long = -1L): Boolean = {
+    val cur = VersionedState.currentVersion(path)
+    if (expected <= cur) return false
+    require(expected == cur + 1, s"append $expected against current $cur")
+    val (pn, ps) = readStats(path, cur)
+    val (dn, dsz) = statsOf(delta)
+    writeVersion(postingsOf(delta), path, expected, pn + dn, ps + dsz, batchId)
+    true
+  }
+
+  /** First version directory still carrying live postings (versions
+    * below the `_BASE` marker were consolidated — see [[AnnIndex]]'s
+    * identical discipline for the crash-safety argument). */
+  private def baseVersion(path: String): Long = {
+    val cur = VersionedState.currentVersion(path)
+    VersionedState.readMarker(path, "_BASE").map { s =>
+      val parts = s.split(':')
+      val b = parts(0).toLong
+      if (b <= cur) b
+      else if (parts.length > 1) parts(1).toLong
+      else 1L
+    }.getOrElse(1L)
+  }
+
+  /** All live postings (union of immutable version dirs; `shard` stays
+    * a partition column, so term filters prune at the file level). */
+  def postings(spark: SparkSession, path: String): DataFrame = {
+    val cur = VersionedState.currentVersion(path)
+    val dirs = (baseVersion(path) to cur).map(VersionedState.versionDir(path, _))
+    spark.read.option("basePath", path).parquet(dirs: _*).drop("v")
+  }
+
+  /** Consolidate live postings into one dir (one file set per shard) —
+    * the small-files maintenance job, crash-safe exactly as
+    * [[AnnIndex.compactPostings]]. Stats are cumulative per version,
+    * so the current marker is re-recorded for the new version. */
+  def compactPostings(spark: SparkSession, path: String): Unit = {
+    val cur = VersionedState.currentVersion(path)
+    val oldBase = baseVersion(path)
+    if (oldBase == cur) return
+    val v = cur + 1
+    val (n, s) = readStats(path, cur)
+    postings(spark, path)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(VersionedState.versionDir(path, v))
+    writeStats(path, v, n, s)
+    VersionedState.writeMarker(path, "_BASE", s"$v:$oldBase")
+    VersionedState.writePointer(path, v, VersionedState.lastBatchId(path))
+    (oldBase until v).foreach(VersionedState.deleteVersion(path, _))
+  }
+
+  /** Shard ids of the probed terms, computed with the SAME expression
+    * that sharded the postings (a |terms|-row local frame — never a
+    * hand-rolled driver-side hash that could drift from Spark's). */
+  private def shardsOf(spark: SparkSession, terms: Seq[String]): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("tok").select(shardCol).distinct()
+      .collect().toIndexedSeq.map(_.getInt(0))
+  }
+
+  /** BM25-score `terms` against the index: shard-pruned postings scan →
+    * [[RetrievalQueries.scoreTf]] with the marker stats — bit-identical
+    * to the batchless scan's scores by shared implementation. */
+  def probe(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val (n, s) = readStats(path, VersionedState.currentVersion(path))
+    val stats = Seq((n, s)).toDF("n_docs", "sum_dl")
+      .select($"n_docs",
+        ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
+    val matched = postings(spark, path)
+      .filter(col("shard").isin(shardsOf(spark, terms): _*))
+      .filter(col("tok").isin(terms: _*))
+      .select($"doc_id", $"dl", $"tok", $"tf")
+    RetrievalQueries.scoreTf(matched, stats)
+  }
+
+  /** One micro-batch of [[maintain]] — the shared replay fence. */
+  def maintainBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
+    if (!VersionedState.exists(path)) {
+      if (!delta.isEmpty) initialize(delta, path, batchId)
+    } else if (batchId > VersionedState.lastBatchId(path)) {
+      if (delta.isEmpty) {
+        VersionedState.writePointer(path,
+          VersionedState.currentVersion(path), batchId)
+      } else {
+        append(delta.sparkSession, delta, path,
+          VersionedState.currentVersion(path) + 1, batchId)
+      }
+    }
+  }
+
+  /** Maintain the index from a document stream — each micro-batch
+    * appends one postings version. */
+  def maintain(stream: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (delta: DataFrame, batchId: Long) => maintainBatch(delta, path, batchId)
+    }
+
+  // ---------------- the oracle contract ----------------
+
+  /** IX1: index-served == one-shot. Build in two batches split at half
+    * the id range, probe the canned query, serve top-k — must
+    * hash-match the batchless r1 BM25 (whose SQL twin the oracle
+    * runs): batch boundaries cannot change a score, and the persisted
+    * round-trip (including stats-marker folding and shard pruning)
+    * preserves every bit. */
+  def ix1InvertedProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivx-ix1").toString
+    val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
+      .collect()(0).getLong(0)
+    initialize(docs.filter($"doc_id" <= mid), tmp)
+    append(spark, docs.filter($"doc_id" > mid), tmp, 2L)
+    probe(spark, tmp, RetrievalQueries.QueryTerms)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(RetrievalQueries.TopK)
+  }
+
+  val ix1Sql: String = RetrievalQueries.r1Sql
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "ix1_inverted_probe" -> QueryDef.of(ix1Sql)(ix1InvertedProbe))
+}

@@ -1,0 +1,66 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Retrieval-family contracts: BM25 ranking sanity (tf monotonicity on
+  * the fixture corpus), fusion semantics (pool membership, rank
+  * arithmetic), and the scale-shaped plans (filtered explode under the
+  * shuffle; TakeOrderedAndProject serving, never a global sort). */
+class RetrievalQueriesSpec extends SparkSpec {
+
+  test("r1: top-k is ordered, bounded, and scores are positive") {
+    val rows = RetrievalQueries.r1Bm25TopK(spark, sf()).collect()
+    assert(rows.length == RetrievalQueries.TopK)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "not score-descending")
+    assert(scores.forall(_ > 0), "BM25+ idf floor keeps scores positive")
+  }
+
+  test("r1: a doc with more query-term occurrences outranks an otherwise-equal doc") {
+    import spark.implicits._
+    // two synthetic docs of equal length: one repeats a query term
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler"),
+      (2L, "spark filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val scored = RetrievalQueries.bm25Scores(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) > scored(2L), "higher tf must score higher")
+    assert(!scored.contains(3L), "no query term, no score row")
+  }
+
+  test("r2: rrf sums only the pools a doc appears in, ranks start at 1") {
+    val rows = RetrievalQueries.r2RrfHybrid(spark, sf()).collect()
+    assert(rows.length == RetrievalQueries.TopK)
+    rows.foreach { r =>
+      val (b, v, rrf) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      val expect =
+        (if (b > 0) 1.0 / (RetrievalQueries.RrfK + b) else 0.0) +
+          (if (v > 0) 1.0 / (RetrievalQueries.RrfK + v) else 0.0)
+      assert(math.abs(rrf - expect) < 1e-12, s"rrf mismatch for $r")
+      assert(b >= 0 && v >= 0 && (b > 0 || v > 0))
+    }
+  }
+
+  test("plans: r1 serves via TakeOrderedAndProject with the term filter under the aggregation") {
+    val plan = RetrievalQueries.r1Bm25TopK(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+    // the term filter must sit scan-side (before the tf groupBy), so
+    // only matched postings are shuffled
+    val aggIdx = plan.indexOf("HashAggregate")
+    val filtIdx = plan.lastIndexOf("Filter")
+    assert(aggIdx >= 0 && filtIdx > aggIdx,
+      "term filter must appear below the aggregation in the plan tree")
+  }
+
+  test("plans: r2 fuses two bounded pools (two TakeOrderedAndProjects feed the join)") {
+    val plan = RetrievalQueries.r2RrfHybrid(spark, sf())
+      .queryExecution.executedPlan.toString
+    val takes = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(takes >= 2, s"expected both candidate pools bounded, plan:\n$plan")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.store
+
+import graft.{SparkSpec, Tables}
+import graft.analytics.RetrievalQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The inverted index's operating contract: index-served BM25 scores
+  * are bit-identical to the batchless scan's regardless of how the
+  * corpus was batched in, the persisted lifecycle (stats-marker fold,
+  * compaction, replay fence) preserves them, and the probe's postings
+  * scan prunes to the probed terms' shards. */
+class InvertedIndexSpec extends SparkSpec {
+
+  private def docs: DataFrame = Tables(spark, sf("sf0.001"), "documents")
+
+  private def scoresOf(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def oneShot: Map[Long, Double] =
+    scoresOf(RetrievalQueries.bm25Scores(docs))
+
+  test("index-served scores == batchless scan, invariant under batching") {
+    val reference = oneShot
+    assert(reference.nonEmpty, "canned query must match the fixture corpus")
+    Seq(Seq(250L), Seq(100L, 200L, 350L)).foreach { splits =>
+      val dir = java.nio.file.Files.createTempDirectory("ivx").toString
+      val bounds = (Long.MinValue +: splits) :+ Long.MaxValue
+      val batches = bounds.sliding(2).map { case Seq(lo, hi) =>
+        docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      }.toSeq
+      InvertedIndex.initialize(batches.head, dir)
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        assert(InvertedIndex.append(spark, b, dir, i + 2L))
+      }
+      val served = scoresOf(
+        InvertedIndex.probe(spark, dir, RetrievalQueries.QueryTerms))
+      assert(served == reference,
+        s"split at $splits changed scores (bitwise)")
+    }
+  }
+
+  test("compaction preserves scores and consolidates to one live dir") {
+    val dir = java.nio.file.Files.createTempDirectory("ivx-compact").toString
+    val reference = oneShot
+    InvertedIndex.initialize(docs.filter(col("doc_id") <= 200), dir)
+    assert(InvertedIndex.append(spark, docs.filter(col("doc_id") > 200), dir, 2L))
+    InvertedIndex.compactPostings(spark, dir)
+    assert(scoresOf(InvertedIndex.probe(spark, dir,
+      RetrievalQueries.QueryTerms)) == reference)
+    // superseded dirs are gone; the consolidated version is live
+    val live = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName).toSet
+    assert(live == Set("v=3"), s"expected one consolidated dir, got $live")
+    // further appends continue from the compacted version
+    assert(!InvertedIndex.append(spark, docs.limit(1), dir, 3L),
+      "replay of a pre-compaction version must be fenced")
+  }
+
+  test("streaming maintain: replay fence skips duplicate micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("ivx-stream").toString
+    val b1 = docs.filter(col("doc_id") <= 200)
+    val b2 = docs.filter(col("doc_id") > 200)
+    InvertedIndex.maintainBatch(b1, dir, 0L)
+    InvertedIndex.maintainBatch(b2, dir, 1L)
+    val before = scoresOf(
+      InvertedIndex.probe(spark, dir, RetrievalQueries.QueryTerms))
+    // at-least-once redelivery of batch 1 must be a no-op
+    InvertedIndex.maintainBatch(b2, dir, 1L)
+    assert(VersionedState.currentVersion(dir) == 2L)
+    assert(scoresOf(InvertedIndex.probe(spark, dir,
+      RetrievalQueries.QueryTerms)) == before)
+    assert(before == oneShot)
+  }
+
+  test("probe plan prunes postings partitions to the probed shards") {
+    val dir = java.nio.file.Files.createTempDirectory("ivx-prune").toString
+    InvertedIndex.initialize(docs, dir)
+    val plan = InvertedIndex.probe(spark, dir, Seq("spark"))
+      .queryExecution.executedPlan.toString
+    // the shard filter must reach the scan as a partition filter,
+    // not a post-scan predicate
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*shard[^\\]]*\\].*"),
+      s"shard filter did not prune partitions:\n$plan")
+  }
+}
