@@ -60,12 +60,12 @@ object RetrievalQueries {
   /** Per-doc token stream restricted to the query terms, carrying the
     * scan-side doc length: (doc_id, dl, tok). The filter sits UNDER the
     * explode's shuffle — only matching postings ever leave the scan. */
-  private def matchedToks(docs: DataFrame): DataFrame = {
+  private def matchedToks(docs: DataFrame, terms: Seq[String]): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"),
         explode(split($"text", " ")).as("tok"))
-      .filter($"tok".isin(QueryTerms: _*))
+      .filter($"tok".isin(terms: _*))
   }
 
   /** 1-row corpus stats (n_docs, avgdl) — broadcasts. */
@@ -124,17 +124,20 @@ object RetrievalQueries {
 
   /** The per-(doc, term) matched term frequencies `(doc_id, dl, tok,
     * tf)` — also the grain of the persisted postings state. */
-  private[graft] def matchedTf(docs: DataFrame): DataFrame = {
+  private[graft] def matchedTf(docs: DataFrame,
+      terms: Seq[String] = QueryTerms): DataFrame = {
     import docs.sparkSession.implicits._
-    matchedToks(docs)
+    matchedToks(docs, terms)
       .groupBy($"doc_id", $"dl", $"tok")
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** Scored BM25 frame (doc_id, score) for the canned query — the
-    * shared body of [[r1Bm25TopK]] and the fusion stage. */
-  private[graft] def bm25Scores(docs: DataFrame): DataFrame =
-    scoreTf(matchedTf(docs), corpusStats(docs))
+  /** Scored BM25 frame (doc_id, score) — the shared body of
+    * [[r1Bm25TopK]], the fusion stage, and the `api.Retrieval`
+    * facade. */
+  private[graft] def bm25Scores(docs: DataFrame,
+      terms: Seq[String] = QueryTerms): DataFrame =
+    scoreTf(matchedTf(docs, terms), corpusStats(docs))
 
   private def bm25ScoresSql: String =
     s"""stats AS (
@@ -180,7 +183,8 @@ object RetrievalQueries {
     * smoothed form ln(n_docs / df) over the FULL vocabulary (the doc
     * norm spans every term the doc contains, not just the query's).
     * Query vector = unit tf on each query term. */
-  private[graft] def vsmScores(docs: DataFrame): DataFrame = {
+  private[graft] def vsmScores(docs: DataFrame,
+      terms: Seq[String] = QueryTerms): DataFrame = {
     import docs.sparkSession.implicits._
     val tfAll = docs
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
@@ -199,12 +203,12 @@ object RetrievalQueries {
       .agg(sqrt(dsum($"w" * $"w")).as("dnorm"))
     // query weight per term = idf (tf=1); qnorm = sqrt(Σ idf²)
     val qw = vocab.crossJoin(broadcast(stats))
-      .filter($"tok".isin(QueryTerms: _*))
+      .filter($"tok".isin(terms: _*))
       .select($"tok",
         log($"n_docs".cast("double") / $"df".cast("double")).as("qw"))
     val qn = qw.agg(sqrt(dsum($"qw" * $"qw")).as("qnorm"))
     weighted
-      .filter($"tok".isin(QueryTerms: _*))
+      .filter($"tok".isin(terms: _*))
       .join(broadcast(qw), "tok")
       .groupBy($"doc_id")
       .agg(dsum($"w" * $"qw").as("dot"))
@@ -247,18 +251,20 @@ object RetrievalQueries {
     * pool×pool (outer, 100-row frames), never a full-corpus ranking.
     * Output: top-[[TopK]] by (rrf desc, doc_id) with both ranks
     * (0 = absent from that pool). */
-  def r2RrfHybrid(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+  /** The generalized fusion body — also the `api.Retrieval` surface. */
+  private[graft] def rrfHybridFrom(docs: DataFrame,
+      terms: Seq[String] = QueryTerms, poolSize: Int = PoolSize,
+      topK: Int = TopK): DataFrame = {
+    import docs.sparkSession.implicits._
     def pool(scored: DataFrame): DataFrame = {
-      val top = scored.orderBy($"score".desc, $"doc_id").limit(PoolSize)
-      // rank within a PoolSize-row frame: single-partition window, free
+      val top = scored.orderBy($"score".desc, $"doc_id").limit(poolSize)
+      // rank within a poolSize-row frame: single-partition window, free
       top.select($"doc_id",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy($"score".desc, $"doc_id")).as("rank"))
     }
-    val b = pool(bm25Scores(docs)).withColumnRenamed("rank", "bm25_rank")
-    val v = pool(vsmScores(docs)).withColumnRenamed("rank", "vsm_rank")
+    val b = pool(bm25Scores(docs, terms)).withColumnRenamed("rank", "bm25_rank")
+    val v = pool(vsmScores(docs, terms)).withColumnRenamed("rank", "vsm_rank")
     b.join(v, Seq("doc_id"), "full_outer")
       .select($"doc_id",
         coalesce($"bm25_rank", lit(0)).as("bm25_rank"),
@@ -271,8 +277,11 @@ object RetrievalQueries {
             lit(1.0) / (lit(RrfK).cast("double") + $"vsm_rank".cast("double")))
             .otherwise(lit(0.0)))
       .orderBy($"rrf".desc, $"doc_id")
-      .limit(TopK)
+      .limit(topK)
   }
+
+  def r2RrfHybrid(spark: SparkSession, dir: String): DataFrame =
+    rrfHybridFrom(Tables(spark, dir, "documents"))
 
   val r2Sql: String =
     s"""WITH $bm25ScoresSql,

@@ -3,7 +3,7 @@ package graft.store
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analytics.RetrievalQueries
+import graft.analytics.{DedupQueries, RetrievalQueries}
 
 /** Persisted inverted index over an append-only document store — the
   * serving path for repeated lexical probes ([[RetrievalQueries]]'s
@@ -40,8 +40,17 @@ object InvertedIndex {
   /** Term-hash shards per version dir — the probe's pruning grain. */
   val NumShards = 64
 
-  private def shardCol = pmod(xxhash64(col("tok")), lit(NumShards))
+  /** Shard assignment uses the PORTABLE content hash ([[DedupQueries
+    * .hash60]], identical in Spark and DuckDB) — the repo's discipline
+    * for oracle-checked structure: the persisted layout itself becomes
+    * auditable (ix2's per-shard occupancy hash-matches a twin computed
+    * from the raw corpus). Hashing cost is once per posting at build,
+    * noise next to the explode. */
+  private def shardCol = pmod(DedupQueries.hash60(col("tok")), lit(NumShards))
     .cast("int").as("shard")
+
+  private def sqlShard(e: String): String =
+    s"${DedupQueries.sqlHash60(e)} % $NumShards"
 
   /** Postings of one batch at the scoreTf grain, sharded:
     * (tok, doc_id, tf, dl, shard). */
@@ -225,6 +234,41 @@ object InvertedIndex {
 
   val ix1Sql: String = RetrievalQueries.r1Sql
 
+  /** IX2: persisted-layout audit — per-shard postings occupancy read
+    * BACK from the store (not recomputed from the corpus): the Spark
+    * side builds the index and groups its persisted postings by the
+    * shard partition column; the oracle derives the same occupancy
+    * from the raw documents with the portable hash. A hash match
+    * proves the on-disk layout is exactly the declared sharding — the
+    * zo1 discipline applied to the postings store. All-integer
+    * output, zero float-parity surface. The operational reading at
+    * scale: a hot shard here is the signal to raise [[NumShards]]
+    * before probe pruning degrades. */
+  def ix2ShardStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivx-ix2").toString
+    initialize(docs, tmp)
+    postings(spark, tmp)
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_postings"),
+        countDistinct($"tok").as("n_terms"),
+        countDistinct($"doc_id").as("n_docs"))
+  }
+
+  val ix2Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |p AS (SELECT DISTINCT doc_id, tok FROM t)
+       |SELECT CAST(${sqlShard("tok")} AS INT) AS shard,
+       |  count(*) AS n_postings,
+       |  count(DISTINCT tok) AS n_terms,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM p GROUP BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
-    "ix1_inverted_probe" -> QueryDef.of(ix1Sql)(ix1InvertedProbe))
+    "ix1_inverted_probe" -> QueryDef.of(ix1Sql)(ix1InvertedProbe),
+    "ix2_shard_stats" -> QueryDef.of(ix2Sql)(ix2ShardStats))
 }

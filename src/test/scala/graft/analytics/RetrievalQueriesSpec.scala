@@ -57,6 +57,28 @@ class RetrievalQueriesSpec extends SparkSpec {
       "term filter must appear below the aggregation in the plan tree")
   }
 
+  test("api.Retrieval: facade instantiations reproduce the registry shapes") {
+    import graft.api.Retrieval
+    val docs = graft.Tables(spark, sf(), "documents")
+    // registry query == facade with the canned parameters, bitwise
+    val reg = RetrievalQueries.r1Bm25TopK(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val api = Retrieval.bm25TopK(docs, RetrievalQueries.QueryTerms,
+      RetrievalQueries.TopK)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(api == reg)
+    // renamed columns standardize
+    val renamed = docs.withColumnRenamed("doc_id", "id")
+      .withColumnRenamed("text", "body")
+    val api2 = Retrieval.bm25TopK(renamed, RetrievalQueries.QueryTerms,
+      RetrievalQueries.TopK, idCol = "id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(api2 == reg)
+    // a different query ranks differently but stays bounded
+    val other = Retrieval.bm25TopK(docs, Seq("customer", "window"), 5)
+    assert(other.count() == 5)
+  }
+
   test("plans: r2 fuses two bounded pools (two TakeOrderedAndProjects feed the join)") {
     val plan = RetrievalQueries.r2RrfHybrid(spark, sf())
       .queryExecution.executedPlan.toString

@@ -74,6 +74,23 @@ class InvertedIndexSpec extends SparkSpec {
     assert(before == oneShot)
   }
 
+  test("ix2: persisted shard occupancy sums to the corpus posting count") {
+    val rows = InvertedIndex.ix2ShardStats(spark, sf()).collect()
+    val totalPostings = rows.map(_.getLong(1)).sum
+    val expected = docs
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+      .distinct().count()
+    assert(totalPostings == expected,
+      "per-shard occupancy must partition the distinct (doc, tok) pairs")
+    // every shard id is in range, and terms land in exactly one shard
+    assert(rows.forall(r => r.getInt(0) >= 0 &&
+      r.getInt(0) < InvertedIndex.NumShards))
+    val totalTerms = rows.map(_.getLong(2)).sum
+    val vocab = docs
+      .selectExpr("explode(split(text, ' ')) AS tok").distinct().count()
+    assert(totalTerms == vocab, "a term must belong to exactly one shard")
+  }
+
   test("probe plan prunes postings partitions to the probed shards") {
     val dir = java.nio.file.Files.createTempDirectory("ivx-prune").toString
     InvertedIndex.initialize(docs, dir)
