@@ -26,6 +26,7 @@ object SparkEntry {
       analytics.MultimodalQueries.defs ++
       analytics.PathQueries.defs ++
       analytics.RetrievalQueries.defs ++
+      analytics.ProjectionQueries.defs ++
       analytics.LayoutQueries.defs ++
       store.MaterializedView.defs ++
       store.DedupIndex.defs ++
