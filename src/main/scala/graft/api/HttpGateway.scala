@@ -190,6 +190,11 @@ final class HttpGateway(
     server.createContext("/index/ann/stats", route(authed(MasterRole)(handleAnnStats)))
     server.createContext("/index/ann/compact", route(authed(MasterRole)(handleAnnCompact)))
     server.createContext("/index/ann/reseed", route(authed(MasterRole)(handleAnnReseed)))
+    server.createContext("/index/text/create", route(authed(MasterRole)(handleTextCreate)))
+    server.createContext("/index/text/append", route(authed(MasterRole)(handleTextAppend)))
+    server.createContext("/index/text/search", route(authed(MasterRole)(handleTextSearch)))
+    server.createContext("/index/text/stats", route(authed(MasterRole)(handleTextStats)))
+    server.createContext("/index/text/compact", route(authed(MasterRole)(handleTextCompact)))
     server.createContext("/materialized-view/create", route(authed(MasterRole)(handleMvCreate)))
     server.createContext("/materialized-view/get", route(authed(MasterRole)(handleMvGet)))
     server.createContext("/materialized-view/list", route(authed(MasterRole)(handleMvList)))
@@ -1337,6 +1342,90 @@ final class HttpGateway(
     val iters = Option(root.get("iters")).map(_.asInt()).getOrElse(2)
     writeLock.synchronized {
       graft.store.AnnIndex.reseed(spark, annIdxDir(name), iters)
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def textIdxDir(name: String) =
+    s"$warehouse/$project/__indexes/text/$name"
+
+  /** `POST /index/text/create` — bootstrap a
+    * [[graft.store.InvertedIndex]] (term-hash-sharded postings +
+    * cumulative stats sidecars) from inline docs or a parquet source;
+    * `append` folds a delta as the next postings version; `search`
+    * BM25-scores a term list with the shard-pruned probe (bit-identical
+    * to the batchless scan — the ix1 oracle contract); `stats` reports
+    * occupancy skew (the ix2 reading: a hot shard means raise the
+    * shard count); `compact` consolidates small files. */
+  private def handleTextCreate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    if (graft.store.VersionedState.exists(textIdxDir(name)))
+      throw new IngestRejected(s"index '$name' already exists")
+    writeLock.synchronized {
+      graft.store.InvertedIndex.initialize(docsFrameOf(root), textIdxDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleTextAppend(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(textIdxDir(name))
+    writeLock.synchronized {
+      graft.store.InvertedIndex.append(spark, docsFrameOf(root),
+        textIdxDir(name),
+        graft.store.VersionedState.currentVersion(textIdxDir(name)) + 1)
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleTextSearch(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(textIdxDir(name))
+    val terms = Option(root.get("terms")).filter(_.isArray).getOrElse(
+      throw new IngestRejected("terms array is required"))
+      .elements().asScala.map(_.asText()).toSeq.filter(_.nonEmpty)
+    if (terms.isEmpty) throw new IngestRejected("terms array is required")
+    val k = Option(root.get("k")).map(_.asInt()).getOrElse(10)
+    val rows = graft.store.InvertedIndex.probe(spark, textIdxDir(name), terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    (200, rows.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  private def handleTextStats(ex: HttpExchange): (Int, String) = {
+    val name = requireIdentifier(queryParams(ex).getOrElse("name",
+      throw new IngestRejected("name is required")))
+    requireIndex(textIdxDir(name))
+    val occ = graft.store.InvertedIndex.postings(spark, textIdxDir(name))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("postings"), count(lit(1)).as("shards"),
+        max(col("n")).as("max_shard"))
+      .collect()(0)
+    val node = mapper.createObjectNode()
+    node.put("version",
+      graft.store.VersionedState.currentVersion(textIdxDir(name)))
+    node.put("postings", occ.getLong(0))
+    node.put("shards", occ.getLong(1))
+    node.put("max_shard_share", occ.getLong(2).toDouble / occ.getLong(0))
+    (200, mapper.writeValueAsString(node))
+  }
+
+  private def handleTextCompact(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(textIdxDir(name))
+    writeLock.synchronized {
+      graft.store.InvertedIndex.compactPostings(spark, textIdxDir(name))
     }
     (200, """{"success":true}""")
   }

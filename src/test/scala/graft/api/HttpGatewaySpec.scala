@@ -953,6 +953,55 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("text index over HTTP: create → BM25 search from pruned shards → " +
+    "append is visible → stats reports shard occupancy") {
+    withGateway { (_, port) =>
+      def doc(id: Long, text: String) =
+        s"""{"doc_id": $id, "text": "$text"}"""
+      assert(post(port, "/index/text/create",
+        s"""{"name": "lex", "docs": [
+           |${doc(1, "spark shuffles the hash join")},
+           |${doc(2, "a window frame over events")},
+           |${doc(3, "spark spark spark everywhere")}]}""".stripMargin)
+        .statusCode() == 200)
+      assert(post(port, "/index/text/create",
+        """{"name": "lex", "docs": []}""").statusCode() == 400)
+
+      // term repetition ranks doc 3 over doc 1; doc 2 has no query term
+      val q = post(port, "/index/text/search",
+        """{"name": "lex", "terms": ["spark"], "k": 5}""")
+      assert(q.statusCode() == 200, q.body())
+      val order = """"doc_id":(\d+)""".r.findAllMatchIn(q.body())
+        .map(_.group(1).toLong).toSeq
+      assert(order == Seq(3L, 1L), q.body())
+
+      // an appended doc joins the ranking without rebuilding
+      assert(post(port, "/index/text/append",
+        s"""{"name": "lex", "docs": [${doc(10, "spark spark tuning notes")}]}""")
+        .statusCode() == 200)
+      val q2 = post(port, "/index/text/search",
+        """{"name": "lex", "terms": ["spark"], "k": 5}""")
+      assert(q2.body().contains(""""doc_id":10"""), q2.body())
+
+      val stats = get(port, "/index/text/stats?name=lex")
+      assert(stats.statusCode() == 200, stats.body())
+      assert(stats.body().contains(""""version":2"""), stats.body())
+
+      // compaction preserves the ranking
+      assert(post(port, "/index/text/compact", """{"name": "lex"}""")
+        .statusCode() == 200)
+      assert(post(port, "/index/text/search",
+        """{"name": "lex", "terms": ["spark"], "k": 5}""")
+        .body() == q2.body())
+
+      // bad requests are the client's error, not a 500
+      assert(post(port, "/index/text/search",
+        """{"name": "lex", "terms": []}""").statusCode() == 400)
+      assert(post(port, "/index/text/search",
+        """{"name": "nope", "terms": ["x"]}""").statusCode() == 400)
+    }
+  }
+
   test("a configured lock key is enforced on the lock_key door") {
     val registry = SchemaRegistry.inMemory()
     val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
