@@ -488,6 +488,77 @@ object SimilarityQueries {
        |  FROM e, q WHERE e.vec_id <> q.qid)
        |WHERE rank <= $KnnK""".stripMargin
 
+  /** Queries sampled into the contrastive-mining row (the sim6/ai2
+    * convention: first ids double as the fixed probe set). */
+  private val HnQueries = 8
+  private val HnK = 3
+
+  /** HN1: contrastive-pair mining — for each sampled anchor vector,
+    * the top-[[HnK]] most-similar SAME-label vectors (positives) and
+    * the top-[[HnK]] most-similar DIFFERENT-label vectors (hard
+    * negatives): exactly the batch a contrastive/triplet trainer or a
+    * reranker-distillation pipeline consumes, where "hard" means
+    * nearest-wrong — random negatives teach nothing. Same plan family
+    * as sim6: anchors broadcast, ONE corpus scan, per-(anchor, kind)
+    * window rank that Spark's WindowGroupLimit turns into a running
+    * per-partition top-k (never a full sort of the corpus per anchor);
+    * at 100 TB the sim2/sim4 ANN prefilters compose in front unchanged.
+    * Ordering ties break on vec_id in both engines. */
+  /** The generalized mining body — corpus `(vec_id, embedding, label)`
+    * against a broadcast `anchors` frame of the same shape; also the
+    * `api.Similarity` surface. */
+  def hardNegativesFrom(corpus: DataFrame, anchors: DataFrame,
+      k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val emb = corpus
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    val q = anchors
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        $"label".as("qlabel"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid", $"kind").orderBy($"cos".desc, $"vec_id")
+    emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("kind",
+        when($"label" === $"qlabel", lit("pos")).otherwise(lit("neg")))
+      .withColumn("cos",
+        dot(col("embedding"), col("qv")) / ($"norm" * $"qnorm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"kind", $"rank".cast("long").as("rank"),
+        $"vec_id", $"label".cast("long").as("label"), $"cos")
+  }
+
+  def hn1HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    hardNegativesFrom(emb, emb.filter($"vec_id" < HnQueries), HnK)
+  }
+
+  val hn1Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel,
+       |    norm AS qnorm
+       |  FROM e WHERE vec_id < $HnQueries)
+       |SELECT qid, kind, rank, vec_id, label, cos FROM (
+       |  SELECT q.qid,
+       |    CASE WHEN e.label = q.qlabel THEN 'pos' ELSE 'neg' END AS kind,
+       |    row_number() OVER (
+       |      PARTITION BY q.qid,
+       |        CASE WHEN e.label = q.qlabel THEN 'pos' ELSE 'neg' END
+       |      ORDER BY ${sqlDot("e.embedding", "q.qv")} / (e.norm * q.qnorm) DESC,
+       |        e.vec_id) AS rank,
+       |    e.vec_id, CAST(e.label AS BIGINT) AS label,
+       |    ${sqlDot("e.embedding", "q.qv")} / (e.norm * q.qnorm) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.qid)
+       |WHERE rank <= $HnK""".stripMargin
+
   /** SIM7: symmetric int8 quantization — the 4× memory lever that keeps
     * a 100 TB ANN corpus in RAM: per-vector scale = max|x|/127, each
     * component rounded to [-127, 127]. Rounding is floor(x + 0.5)
@@ -1084,6 +1155,7 @@ object SimilarityQueries {
     "sim10_ivf_pq" -> QueryDef.of(sim10Sql)(sim10IvfPq),
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
     "sim6_knn_join" -> QueryDef.of(sim6Sql)(sim6KnnJoin),
+    "hn1_hard_negatives" -> QueryDef.of(hn1Sql)(hn1HardNegatives),
     "sim7_quantize" -> QueryDef.of(sim7Sql)(sim7Quantize),
     "sim8_ann_recall" -> QueryDef.of(sim8Sql)(sim8AnnRecall),
     "sim2_ann_lsh" -> QueryDef.of(simAnnSql)(simAnnLsh),

@@ -46,4 +46,17 @@ object Similarity {
     SimilarityQueries.mmrFrom(
       std(corpus, idCol, vecCol),
       query.select(col(queryVecCol).as("qv")), k, pool)
+
+  /** Contrastive-pair mining: for each (broadcast) anchor, the k most
+    * similar same-label vectors (`kind = pos`) and the k most similar
+    * different-label vectors (`kind = neg` — the hard negatives a
+    * contrastive trainer wants). One corpus scan, per-anchor running
+    * top-k. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    def lab(df: DataFrame) = df.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"), col(labelCol).as("label"))
+    SimilarityQueries.hardNegativesFrom(lab(corpus), lab(anchors), k)
+  }
 }

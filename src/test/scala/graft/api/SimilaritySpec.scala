@@ -40,4 +40,20 @@ class SimilaritySpec extends SparkSpec {
     val reg = SimilarityQueries.sim6KnnJoin(spark, sf())
     assert(rows(api) == rows(reg))
   }
+
+  test("hardNegatives == oracle-proven hn1; kinds obey the label split") {
+    val api = Similarity.hardNegatives(
+      emb.select("vec_id", "embedding", "label"),
+      anchors = emb.filter(col("vec_id") < 8), k = 3)
+    val reg = SimilarityQueries.hn1HardNegatives(spark, sf())
+    assert(rows(api) == rows(reg))
+    // a positive shares the anchor's label; a hard negative never does
+    val anchorLabel = emb.filter(col("vec_id") < 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    reg.collect().foreach { r =>
+      val (qid, kind, label) = (r.getLong(0), r.getString(1), r.getLong(4))
+      if (kind == "pos") assert(label == anchorLabel(qid).toLong)
+      else assert(label != anchorLabel(qid).toLong)
+    }
+  }
 }
