@@ -486,6 +486,16 @@ class PlanSpec extends SparkSpec {
       "served profiler must carry no count(DISTINCT) Expand")
   }
 
+  test("hn1: per-anchor top-k is a WindowGroupLimit, partial before the exchange") {
+    val plan = SparkEntry.queries("hn1_hard_negatives")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the Partial limit keeps ≤ k rows per (anchor, kind) per input
+    // partition ahead of the shuffle — a full per-anchor sort of the
+    // corpus never materializes
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected map-side WindowGroupLimit in:\n$plan")
+  }
+
   test("sim kernels: cosine scoring runs inside whole-stage codegen") {
     val df = SparkEntry.queries("sim1_cosine_topk")(spark, sf())
     df.collect()
