@@ -725,9 +725,49 @@ object TrainingSetQueries {
       |FROM f CROSS JOIN cuts
       |GROUP BY 1""".stripMargin
 
+  /** Docs drawn per stratum by [[ds9StratifiedExact]]. */
+  private val StratumN = 20
+
+  /** DS9: exact-count stratified sampling — exactly [[StratumN]] docs
+    * per language, the balanced-eval-set draw where ds1's hash-rate
+    * sampling gives only EXPECTED counts (a 1%-rate sample of a rare
+    * stratum can land 0 docs; an eval set needs exactly n). Selection
+    * order is a salted hash (salt "strat|", decorrelated from the
+    * ds1/ds3/ds7 hash decisions), so the draw is deterministic,
+    * reproducible, and independent of storage order; ties cannot occur
+    * (the hash is injective on distinct doc ids up to 60-bit
+    * collisions, and doc_id breaks even those). The per-stratum
+    * running top-k plans as a WindowGroupLimit (map-side partial — the
+    * hn1 pin), never a global sort; all-integer output, zero float
+    * surface. */
+  def ds9StratifiedExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key =
+      DedupQueries.hash60(concat(lit("strat|"), $"doc_id".cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"pick_key", $"doc_id")
+    Tables(spark, dir, "documents")
+      .withColumn("pick_key", key)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= StratumN)
+      .select($"lang", $"rank".cast("long").as("rank"), $"doc_id",
+        $"n_chars")
+  }
+
+  val ds9Sql: String = {
+    val key = DedupQueries.sqlHash60("'strat|' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT lang, rank, doc_id, n_chars FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY $key, doc_id) AS rank
+       |  FROM documents)
+       |WHERE rank <= $StratumN""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
     "ds8_curriculum" -> QueryDef.of(ds8Sql)(ds8Curriculum),
+    "ds9_stratified_exact" -> QueryDef.of(ds9Sql)(ds9StratifiedExact),
     "ds7_split" -> QueryDef.of(ds7Sql)(ds7Split),
     "ds2_mixture" -> QueryDef.of(ds2Sql)(ds2Mixture),
     "ds3_shuffle" -> QueryDef.of(ds3Sql)(ds3Shuffle),

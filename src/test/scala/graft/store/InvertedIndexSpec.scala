@@ -91,6 +91,26 @@ class InvertedIndexSpec extends SparkSpec {
     assert(totalTerms == vocab, "a term must belong to exactly one shard")
   }
 
+  test("a real file stream maintains the index; served scores equal the batchless scan") {
+    val streamDir = java.nio.file.Files.createTempDirectory("ivx-in").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("ivx-st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivx-ck").toString
+    val b1 = docs.filter(col("doc_id") <= 200)
+    val b2 = docs.filter(col("doc_id") > 200)
+    b1.write.mode("append").parquet(streamDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(streamDir)
+    val q = InvertedIndex.maintain(stream, stateDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      assert(scoresOf(InvertedIndex.probe(spark, stateDir,
+        RetrievalQueries.QueryTerms)) == oneShot,
+        "stream-maintained index diverged from the batchless scan")
+    } finally q.stop()
+  }
+
   test("probe plan prunes postings partitions to the probed shards") {
     val dir = java.nio.file.Files.createTempDirectory("ivx-prune").toString
     InvertedIndex.initialize(docs, dir)
