@@ -18,6 +18,21 @@ object Bench {
     // timed query doesn't absorb ~5s of one-time initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "lineitem").limit(10).collect()
+    // Boot-speed calibration: a fixed registry-independent workload
+    // (hash-sum over a 2e8 range + one small shuffle) timed as
+    // median-of-3. Boot-to-boot host drift measured at 1.2-1.4x on
+    // byte-identical code (r6/r7 records); dividing a query's time by
+    // (calib / its budget-row boot's calib) reads a regression through
+    // that noise. Recorded as "calib" in the output line.
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // ANSI-safe: the modulo keeps the 2e8-element sum far under
+      // long overflow while still exercising codegen + a shuffle
+      spark.range(200000000L)
+        .selectExpr("sum(id % 1000003)", "count(DISTINCT id % 97)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
     // Median of `reps` runs per query: single-pass build+count timing is
     // JIT/GC-noisy (r4 saw a 2x swing on byte-identical code), and the
     // median of 3 keeps one bad rep from setting the record.
@@ -51,7 +66,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Stdout of a forked run can be tail-truncated by whatever captures
     // it (r4 lost the first 17 entries of this line); the file copy is

@@ -201,4 +201,20 @@ object TrainingSet {
     * totals broadcast. */
   def dsirScores(docs: DataFrame, targetPred: Column): DataFrame =
     graft.analytics.TrainingSetQueries.dsirScoresFrom(docs, targetPred)
+
+  /** Exact-count stratified draw: exactly `n` rows per stratum, picked
+    * by salted-hash order — the balanced-eval-set need [[sample]]'s
+    * rate form cannot meet (a rate draw of a rare stratum can land 0
+    * rows). The per-stratum pick is a map-side running top-k
+    * (WindowGroupLimit), never a global sort. Returns the input rows
+    * plus a 1-based `rank` within the stratum. */
+  def exactStratifiedSample(docs: DataFrame, idCol: String,
+      stratumCol: String, n: Int, salt: String = "strat"): DataFrame = {
+    val key = DedupQueries.hash60(
+      concat(lit(salt + "|"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
 }

@@ -60,6 +60,17 @@ class TrainingSetSpec extends SparkSpec {
     assert(rows(api) == rows(reg))
   }
 
+  test("exactStratifiedSample == oracle-proven ds9; exactly n per stratum") {
+    val api = TrainingSet.exactStratifiedSample(docs, "doc_id", "lang", 20)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars"))
+    val reg = TrainingSetQueries.ds9StratifiedExact(spark, sf())
+    assert(rows(api) == rows(reg))
+    val counts = api.groupBy(col("lang")).count()
+      .collect().map(_.getLong(1)).toSet
+    assert(counts == Set(20L), "every stratum must yield exactly n rows")
+  }
+
   test("epochShuffle key matches ds3's ordering") {
     val keyed = TrainingSet.epochShuffle(docs, "doc_id", "epoch0")
       .orderBy(col("pos_key"), col("doc_id")).limit(100)
