@@ -58,13 +58,21 @@ object RetrievalQueries {
   private def qlist: String = QueryTerms.map(t => s"'$t'").mkString(", ")
 
   /** Per-doc token stream restricted to the query terms, carrying the
-    * scan-side doc length: (doc_id, dl, tok). The filter sits UNDER the
-    * explode's shuffle — only matching postings ever leave the scan. */
+    * scan-side doc length: (doc_id, dl, tok). Two-stage scan-side
+    * pruning, both UNDER the shuffle: an `arrays_overlap` row filter
+    * drops documents containing NO query term before anything explodes
+    * (on a real corpus most documents match nothing — the explode
+    * multiplies only the matching minority), then the per-token filter
+    * keeps just the matched postings. Tokenization happens once
+    * (projected), not once per stage. */
   private def matchedToks(docs: DataFrame, terms: Seq[String]): DataFrame = {
     import docs.sparkSession.implicits._
     docs
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"),
-        explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(arrays_overlap($"toks",
+        array(terms.map(lit): _*)))
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        explode($"toks").as("tok"))
       .filter($"tok".isin(terms: _*))
   }
 
