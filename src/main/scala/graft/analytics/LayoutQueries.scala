@@ -62,7 +62,14 @@ object LayoutQueries {
     * (codes = raw offsets, upper Morton bits dead). So: pre-shrink the
     * offset by `w = (range DIV 2^52) + 1` — the identity for every
     * realistic range — then multiply-divide; the reduced offset is
-    * < 2^52, so `reduced * 2^Bits < 2^62` can never wrap. */
+    * < 2^52, so `reduced * 2^Bits < 2^62` can never wrap.
+    *
+    * Caller contract: `hi - lo` itself must not wrap — a domain
+    * spanning more than the signed-64 range is impossible, but one
+    * spanning MORE THAN HALF of it (hash-valued ids) makes the raw
+    * subtraction negative. [[zorderWrite]] therefore halves numeric
+    * keys (order-preserving, irrelevant at 10-bit code resolution);
+    * zo1's oracle domain is the bounded testdata. */
   private val PreShrink = 1L << 52
 
   private def normSpark(v: String, lo: String, hi: String): String = {
@@ -153,9 +160,15 @@ object LayoutQueries {
     // a non-numeric user key rank-normalizes via a 63-bit hash: locality
     // becomes same-key clustering (the point-lookup pattern a store
     // serves) rather than range clustering, and file min/max statistics
-    // on the ORIGINAL string column still prune equality probes
+    // on the ORIGINAL string column still prune equality probes.
+    // Numeric keys are halved (order-preserving): a domain spanning the
+    // full signed-64 range (e.g. ids that are themselves 64-bit hashes)
+    // would otherwise wrap `umax - umin` in normSpark's range — the one
+    // subtraction its pre-shrink cannot protect; a 10-bit rank code
+    // never misses the dropped LSB
     val ukey = events.schema(userCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => col(userCol).cast("long")
+      case _: org.apache.spark.sql.types.NumericType =>
+        shiftright(col(userCol).cast("long"), 1)
       case _ => shiftrightunsigned(xxhash64(col(userCol)), 1)
     }
     val e = events

@@ -740,16 +740,25 @@ object TrainingSetQueries {
     * running top-k plans as a WindowGroupLimit (map-side partial — the
     * hn1 pin), never a global sort; all-integer output, zero float
     * surface. */
+  /** The ONE exact-draw implementation — shared by the registry query
+    * and [[graft.api.TrainingSet.exactStratifiedSample]] (the facade
+    * discipline: one body, so a future change cannot silently diverge
+    * the facade from its oracle-verified twin). Appends a 1-based
+    * `rank` within the stratum and keeps rows with rank ≤ n. */
+  private[graft] def exactStratifiedFrom(docs: DataFrame, idCol: String,
+      stratumCol: String, n: Int, salt: String = "strat"): DataFrame = {
+    val key = DedupQueries.hash60(
+      concat(lit(salt + "|"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
   def ds9StratifiedExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key =
-      DedupQueries.hash60(concat(lit("strat|"), $"doc_id".cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"pick_key", $"doc_id")
-    Tables(spark, dir, "documents")
-      .withColumn("pick_key", key)
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= StratumN)
+    exactStratifiedFrom(Tables(spark, dir, "documents"),
+      "doc_id", "lang", StratumN)
       .select($"lang", $"rank".cast("long").as("rank"), $"doc_id",
         $"n_chars")
   }

@@ -1328,7 +1328,8 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(annIdxDir(name))
     writeLock.synchronized {
-      graft.store.AnnIndex.compactPostings(spark, annIdxDir(name))
+      // grace=1: queries don't take writeLock — see the text door
+      graft.store.AnnIndex.compactPostings(spark, annIdxDir(name), grace = 1)
     }
     (200, """{"success":true}""")
   }
@@ -1362,10 +1363,15 @@ final class HttpGateway(
     val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
     val name = requireIdentifier(Option(root.get("name")).map(_.asText())
       .getOrElse(throw new IngestRejected("name is required")))
-    if (graft.store.VersionedState.exists(textIdxDir(name)))
-      throw new IngestRejected(s"index '$name' already exists")
+    val docs = docsFrameOf(root)
+    if (docs.isEmpty)
+      throw new IngestRejected("bootstrap batch must contain documents")
+    // duplicate check inside the lock: two racing creates must not
+    // both pass it and silently overwrite each other
     writeLock.synchronized {
-      graft.store.InvertedIndex.initialize(docsFrameOf(root), textIdxDir(name))
+      if (graft.store.VersionedState.exists(textIdxDir(name)))
+        throw new IngestRejected(s"index '$name' already exists")
+      graft.store.InvertedIndex.initialize(docs, textIdxDir(name))
     }
     (200, """{"success":true}""")
   }
@@ -1376,9 +1382,11 @@ final class HttpGateway(
     val name = requireIdentifier(Option(root.get("name")).map(_.asText())
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(textIdxDir(name))
+    val delta = docsFrameOf(root)
+    if (delta.isEmpty)
+      throw new IngestRejected("delta batch must contain documents")
     writeLock.synchronized {
-      graft.store.InvertedIndex.append(spark, docsFrameOf(root),
-        textIdxDir(name),
+      graft.store.InvertedIndex.append(spark, delta, textIdxDir(name),
         graft.store.VersionedState.currentVersion(textIdxDir(name)) + 1)
     }
     (200, """{"success":true}""")
@@ -1395,6 +1403,8 @@ final class HttpGateway(
       .elements().asScala.map(_.asText()).toSeq.filter(_.nonEmpty)
     if (terms.isEmpty) throw new IngestRejected("terms array is required")
     val k = Option(root.get("k")).map(_.asInt()).getOrElse(10)
+    if (k < 1 || k > 10000)
+      throw new IngestRejected("k must be between 1 and 10000")
     val rows = graft.store.InvertedIndex.probe(spark, textIdxDir(name), terms)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
     (200, rows.toJSON.collect().mkString("[", ",", "]"))
@@ -1425,7 +1435,11 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(textIdxDir(name))
     writeLock.synchronized {
-      graft.store.InvertedIndex.compactPostings(spark, textIdxDir(name))
+      // grace=1: searches don't take writeLock, so a probe that
+      // resolved its dir list just before the flip must still find
+      // its files; the next compaction removes the leftover
+      graft.store.InvertedIndex.compactPostings(spark, textIdxDir(name),
+        grace = 1)
     }
     (200, """{"success":true}""")
   }
@@ -1635,17 +1649,22 @@ final class HttpGateway(
     * cache drops on create/revoke; disk is the restart-surviving truth. */
   @volatile private var keysCache: Option[Seq[(String, String)]] = None
 
-  private def apiKeyPairs(): Seq[(String, String)] = keysCache.getOrElse {
-    val dir = new org.apache.hadoop.fs.Path(keysDir)
+  /** Minted key pairs of ANY project's key dir (uncached — used for
+    * cross-project authorization, e.g. deleting a sibling project). */
+  private def keyPairsOf(keysDirOf: String): Seq[(String, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(keysDirOf)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val pairs =
-      if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
-        .filterNot(_.endsWith(".tmp")).sorted
-        .flatMap(n => graft.store.VersionedState.readMarker(keysDir, n).map { s =>
-          val root = mapper.readTree(s)
-          (root.get("master_key").asText(), root.get("write_key").asText())
-        })
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filterNot(_.endsWith(".tmp")).sorted
+      .flatMap(n => graft.store.VersionedState.readMarker(keysDirOf, n).map { s =>
+        val root = mapper.readTree(s)
+        (root.get("master_key").asText(), root.get("write_key").asText())
+      })
+  }
+
+  private def apiKeyPairs(): Seq[(String, String)] = keysCache.getOrElse {
+    val pairs = keyPairsOf(keysDir)
     keysCache = Some(pairs)
     pairs
   }
@@ -1751,21 +1770,26 @@ final class HttpGateway(
       return (400, """{"error":"Project id is not valid. It must be """ +
         """alphanumeric and should not include empty space."}""")
     val proj = name.toLowerCase(java.util.Locale.ENGLISH)
-    if (registry.projects.contains(proj) ||
-        new java.io.File(s"$warehouse/$proj").isDirectory)
-      return (400, """{"error":"The project already exists."}""")
-    registry.createProject(proj)
-    new java.io.File(s"$warehouse/$proj").mkdirs()
-    val master = randomKey()
-    val write = randomKey()
-    val keys = mapper.createObjectNode()
-    keys.put("master_key", master)
-    keys.put("write_key", write)
-    graft.store.VersionedState.writeMarker(
-      s"$warehouse/$proj/__apikeys", master, mapper.writeValueAsString(keys))
-    if (proj == project) keysCache = None
-    keys.put("project", proj)
-    (200, mapper.writeValueAsString(keys))
+    // duplicate check and creation under one lock: two concurrent
+    // creates of the same name must not both pass the check and mint
+    // two key pairs (the second would silently shadow the first)
+    writeLock.synchronized {
+      if (registry.projects.contains(proj) ||
+          new java.io.File(s"$warehouse/$proj").isDirectory)
+        return (400, """{"error":"The project already exists."}""")
+      registry.createProject(proj)
+      new java.io.File(s"$warehouse/$proj").mkdirs()
+      val master = randomKey()
+      val write = randomKey()
+      val keys = mapper.createObjectNode()
+      keys.put("master_key", master)
+      keys.put("write_key", write)
+      graft.store.VersionedState.writeMarker(
+        s"$warehouse/$proj/__apikeys", master, mapper.writeValueAsString(keys))
+      if (proj == project) keysCache = None
+      keys.put("project", proj)
+      (200, mapper.writeValueAsString(keys))
+    }
   }
 
   /** `POST /project/delete` — master-key-gated recursive drop of a
@@ -1782,6 +1806,10 @@ final class HttpGateway(
     if (!allowProjectDeletion)
       return (501, """{"error":"Project deletion is disabled, you can """ +
         """enable it with `allow-project-deletion` config."}""")
+    // collect presented keys BEFORE consuming the body (keyCandidates
+    // resets the stream); the serving project's authed() gate already
+    // passed, but a SIBLING project is authorized by ITS OWN keys
+    val candidates = keyCandidates(ex)
     val root = scala.util.Try(mapper.readTree(
       new String(ex.getRequestBody.readAllBytes(), UTF_8))).getOrElse(null)
     val name = projectNameOf(root, "name").getOrElse(project)
@@ -1792,12 +1820,30 @@ final class HttpGateway(
     val dir = new java.io.File(s"$warehouse/$proj")
     if (!registry.projects.contains(proj) && !dir.isDirectory)
       return (404, """{"error":"project does not exist"}""")
-    registry.deleteProject(proj)
+    if (proj != project) {
+      // cross-project drop: the serving project's master key must NOT
+      // suffice to destroy a sibling. If the target minted keys, one
+      // of ITS master keys is required; a keyless target falls back to
+      // the deployment lock key (the create-door gate).
+      val target = keyPairsOf(s"$warehouse/$proj/__apikeys")
+      val allowed =
+        if (target.nonEmpty) candidates.exists(k => target.exists(_._1 == k))
+        else lockKey.forall(k =>
+          candidates.contains(k) || projectNameOf(root, "lock_key").contains(k))
+      if (!allowed)
+        return (403, """{"error":"api key is invalid for the target project"}""")
+    }
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmrf)
       f.delete(): Unit
     }
-    rmrf(dir)
+    // the one mutation that destroys a whole tree serializes with every
+    // writeLock-guarded writer (ingest, compaction, index maintenance) —
+    // an unsynchronized rmrf raced parquet writers recreating the dirs
+    writeLock.synchronized {
+      registry.deleteProject(proj)
+      rmrf(dir)
+    }
     if (proj == project) keysCache = None // own keys dropped with the dir
     (200, """{"success":true}""")
   }

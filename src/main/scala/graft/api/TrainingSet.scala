@@ -209,12 +209,7 @@ object TrainingSet {
     * (WindowGroupLimit), never a global sort. Returns the input rows
     * plus a 1-based `rank` within the stratum. */
   def exactStratifiedSample(docs: DataFrame, idCol: String,
-      stratumCol: String, n: Int, salt: String = "strat"): DataFrame = {
-    val key = DedupQueries.hash60(
-      concat(lit(salt + "|"), col(idCol).cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(key, col(idCol))
-    docs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= n)
-  }
+      stratumCol: String, n: Int, salt: String = "strat"): DataFrame =
+    graft.analytics.TrainingSetQueries
+      .exactStratifiedFrom(docs, idCol, stratumCol, n, salt)
 }

@@ -461,7 +461,16 @@ final class JsEngine(code: String, globals: Map[String, Any],
         a.foreach(_ => tick())
         val sorted = args.headOption match {
           case Some(cmp: Closure) =>
-            a.sortWith((x, y) => { tick(); num(callValue(cmp, Seq(x, y))) < 0 })
+            // an intransitive comparator (NaN from non-numeric mixes)
+            // makes TimSort throw a raw IllegalArgumentException that
+            // would escape the sandbox's error surface — surface it as
+            // a catchable script error like every other misuse
+            try a.sortWith((x, y) => { tick(); num(callValue(cmp, Seq(x, y))) < 0 })
+            catch {
+              case e: IllegalArgumentException =>
+                throw new JsException(
+                  "sort comparator is inconsistent: " + e.getMessage)
+            }
           case _ => a.sortBy(jsToString)
         }
         a.clear(); a ++= sorted; a

@@ -121,13 +121,17 @@ object MiniJs {
 
   /** A `/` starts a regex literal unless the previous significant token
     * is value-shaped (number, string, regex, a non-keyword identifier,
-    * or a closing `)` / `]`) — the standard lexer-level JS
-    * disambiguation from division. */
+    * a closing `)` / `]`, or a `++`/`--`) — the standard lexer-level JS
+    * disambiguation from division. `++`/`--` count as value-ending
+    * because the postfix form yields a value (`x++ / 2` is division)
+    * while the prefix form followed by `/` would need a regex as its
+    * assignable operand — never legal — so treating `/` as division
+    * after them can't mis-lex a valid script. */
   private def regexAllowed(prev: Tok): Boolean = prev match {
     case null => true
     case Tok("num", _, _) | Tok("str", _, _) | Tok("regex", _, _) => false
     case Tok("id", t, _) => regexAfterKw(t)
-    case Tok("op", ")" | "]", _) => false
+    case Tok("op", ")" | "]" | "++" | "--", _) => false
     case _ => true
   }
 

@@ -160,7 +160,8 @@ object AnnIndex {
     * resolved the old pointer still finds its dirs until the final
     * delete (single-maintainer discipline, as with
     * [[VersionedState.compact]]). Appends then continue from `cur+2`. */
-  def compactPostings(spark: SparkSession, path: String): Unit = {
+  def compactPostings(spark: SparkSession, path: String,
+      grace: Int = 0): Unit = {
     val cur = VersionedState.currentVersion(path)
     val oldBase = baseVersion(path)
     if (oldBase == cur) return // already one live dir
@@ -171,7 +172,17 @@ object AnnIndex {
       .parquet(VersionedState.versionDir(path, v))
     VersionedState.writeMarker(path, "_BASE", s"$v:$oldBase")
     VersionedState.writePointer(path, v, VersionedState.lastBatchId(path))
-    (oldBase until v).foreach(VersionedState.deleteVersion(path, _))
+    // `grace` keeps that many of the newest superseded dirs so an
+    // in-flight query that resolved its dir list pre-flip still finds
+    // its files (queries don't serialize with maintenance); the next
+    // compaction re-applies the window and removes leftovers
+    val hadoopDir = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val superseded = fs.listStatus(hadoopDir).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.drop(2).toLong)
+      .filter(_ < v).sorted.reverse
+    superseded.drop(grace).foreach(VersionedState.deleteVersion(path, _))
   }
 
   /** Re-seed the coarse quantizer from the CURRENT corpus — the action

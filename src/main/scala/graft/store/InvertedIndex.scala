@@ -64,12 +64,13 @@ object InvertedIndex {
       .select($"tok", $"doc_id", $"tf", $"dl", shardCol)
   }
 
-  /** (n_docs, sum_dl) of one batch — the sum-mergeable stats grain. */
+  /** (n_docs, sum_dl) of one batch — the sum-mergeable stats grain.
+    * Null-safe on an empty frame (sum over zero rows is null). */
   private def statsOf(docs: DataFrame): (Long, Long) = {
     import docs.sparkSession.implicits._
     val row = docs
       .select(size(split($"text", " ")).cast("long").as("dl"))
-      .agg(count(lit(1)), sum($"dl")).collect()(0)
+      .agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).collect()(0)
     (row.getLong(0), row.getLong(1))
   }
 
@@ -145,8 +146,16 @@ object InvertedIndex {
   /** Consolidate live postings into one dir (one file set per shard) —
     * the small-files maintenance job, crash-safe exactly as
     * [[AnnIndex.compactPostings]]. Stats are cumulative per version,
-    * so the current marker is re-recorded for the new version. */
-  def compactPostings(spark: SparkSession, path: String): Unit = {
+    * so the current marker is re-recorded for the new version.
+    *
+    * `grace` keeps that many of the newest superseded dirs on disk
+    * (unreferenced once `_BASE` flips) so a reader that resolved its
+    * dir list just before the flip still finds its files — compaction
+    * is not a reader barrier. Leftovers self-heal: the NEXT compaction
+    * enumerates everything below the new version and re-applies the
+    * grace window. */
+  def compactPostings(spark: SparkSession, path: String,
+      grace: Int = 0): Unit = {
     val cur = VersionedState.currentVersion(path)
     val oldBase = baseVersion(path)
     if (oldBase == cur) return
@@ -159,7 +168,14 @@ object InvertedIndex {
     writeStats(path, v, n, s)
     VersionedState.writeMarker(path, "_BASE", s"$v:$oldBase")
     VersionedState.writePointer(path, v, VersionedState.lastBatchId(path))
-    (oldBase until v).foreach(VersionedState.deleteVersion(path, _))
+    val hadoopDir = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopDir.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val superseded = fs.listStatus(hadoopDir).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.drop(2).toLong)
+      .filter(_ < v).sorted.reverse
+    superseded.drop(grace).foreach(VersionedState.deleteVersion(path, _))
   }
 
   /** Shard ids of the probed terms, computed with the SAME expression

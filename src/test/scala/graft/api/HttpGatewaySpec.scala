@@ -103,8 +103,14 @@ class HttpGatewaySpec extends SparkSpec {
       val list = get(port, "/project/list?lock_key=sekrit")
       assert(list.statusCode() == 200)
       assert(list.body().contains("\"crm\"") && list.body().contains("\"demo\""))
-      // delete: recursive drop of dirs + registry namespace
-      val del = post(port, "/project/delete", """{"name":"crm"}""")
+      // delete of a SIBLING project is gated by the TARGET's master
+      // key — the serving project's credentials (or an open gateway)
+      // must not suffice to destroy another project's data
+      val denied = post(port, "/project/delete", """{"name":"crm"}""")
+      assert(denied.statusCode() == 403, denied.body())
+      assert(new java.io.File(s"$warehouse/crm").isDirectory)
+      val del = post(port, s"/project/delete?master_key=$master",
+        """{"name":"crm"}""")
       assert(del.statusCode() == 200 && del.body().contains("true"))
       assert(!new java.io.File(s"$warehouse/crm").exists())
       assert(!registry.projects.contains("crm"))
@@ -999,6 +1005,13 @@ class HttpGatewaySpec extends SparkSpec {
         """{"name": "lex", "terms": []}""").statusCode() == 400)
       assert(post(port, "/index/text/search",
         """{"name": "nope", "terms": ["x"]}""").statusCode() == 400)
+      assert(post(port, "/index/text/search",
+        """{"name": "lex", "terms": ["x"], "k": -1}""").statusCode() == 400)
+      // an empty bootstrap on a FRESH name is a 400, not an NPE 500
+      assert(post(port, "/index/text/create",
+        """{"name": "fresh", "docs": []}""").statusCode() == 400)
+      assert(post(port, "/index/text/append",
+        """{"name": "lex", "docs": []}""").statusCode() == 400)
     }
   }
 

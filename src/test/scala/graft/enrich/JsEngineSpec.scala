@@ -241,6 +241,10 @@ class JsEngineSpec extends SparkSpec {
     assert(run("function f(s) { return s.search(/b+/); }", "f", "aabba") == 2L)
     // the lexer must still read division where a value precedes '/'
     assert(run("function f(a, b) { return a / b / 2; }", "f", 20L, 2L) == 5.0)
+    // ...including after a postfix increment: `x++ / 2` is division,
+    // never the start of a regex literal
+    assert(run("function f(x) { var y = x++ / 2; return y + x; }",
+      "f", 8L) == 13.0)
     // catastrophically long patterns are a sandbox violation
     intercept[MiniJs.SandboxViolation] {
       run(s"function f(s) { return s.match('${"(a|b)" * 300}'); }", "f", "x")
@@ -281,6 +285,16 @@ class JsEngineSpec extends SparkSpec {
     assert(run(
       "function f() { return [10, 9, 1].sort(function(a, b) { return a - b; }).join(','); }",
       "f") == "1,9,10")
+    // an intransitive comparator (NaN on a mixed array) must surface
+    // as a CATCHABLE script error, never a raw JVM exception escaping
+    // the sandbox (TimSort's contract violation on large inputs)
+    assert(run(
+      """function f() {
+        |  var a = [];
+        |  for (var i = 0; i < 64; i++) { a.push(i % 7 == 3 ? 'x' : i); }
+        |  try { a.sort(function(p, q) { return p - q; }); return 'sorted'; }
+        |  catch (e) { return 'caught'; }
+        |}""".stripMargin, "f").isInstanceOf[String])
     assert(run(
       "function f(a) { return a.reduce(function(s, x) { return s + x; }, 100); }",
       "f", Seq(1L, 2L, 3L)) == 106L)
