@@ -319,8 +319,65 @@ object RetrievalQueries {
        |  FROM bpool FULL OUTER JOIN vpool USING (doc_id)) f
        |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
 
+  // ---------------- R3: exact-phrase occurrence count ----------------
+
+  /** The canned probe phrase (a token sequence, matched exactly; a
+    * bigram with ~45 corpus hits, so the oracle row verifies dozens of
+    * counts rather than a near-empty result). */
+  val PhraseTerms: Seq[String] = Seq("table", "hash")
+
+  /** R3: exact-phrase counting — per document, how many times the
+    * token sequence [[PhraseTerms]] occurs contiguously: the
+    * phrase-level contamination probe (a benchmark's exact wording
+    * inside training text) that term-level BM25 cannot answer and the
+    * d11 span machinery over-answers. Pure scan-side: tokenize once,
+    * count the window starts where every phrase position matches —
+    * an integer fold over the token array, no shuffle before the
+    * result filter; the same `arrays_overlap`-style pre-check prunes
+    * docs missing the first term before the positional fold runs.
+    * All-integer output (doc_id, n_occurrences), zero float surface. */
+  def r3From(docs: DataFrame, phrase: Seq[String] = PhraseTerms): DataFrame = {
+    import docs.sparkSession.implicits._
+    val conds = phrase.zipWithIndex.map { case (t, j) =>
+      s"toks[i + $j] = '$t'"
+    }.mkString(" AND ")
+    docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(array_contains($"toks", phrase.head))
+      .select($"doc_id",
+        // the CASE guards docs shorter than the phrase: Spark's
+        // sequence(0, negative) DESCENDS and ANSI mode errors on the
+        // resulting negative subscripts (DuckDB's range is naturally
+        // empty there)
+        expr(
+          s"""CASE WHEN size(toks) < ${phrase.size} THEN 0
+             |ELSE size(filter(sequence(0, size(toks) - ${phrase.size}),
+             |  i -> $conds)) END""".stripMargin).cast("long")
+          .as("n_occurrences"))
+      .filter($"n_occurrences" > 0)
+  }
+
+  def r3PhraseCount(spark: SparkSession, dir: String): DataFrame =
+    r3From(Tables(spark, dir, "documents"))
+
+  val r3Sql: String = {
+    // DuckDB lists are 1-based; the window start runs over the same
+    // logical positions as the Spark fold
+    val conds = PhraseTerms.zipWithIndex.map { case (t, j) =>
+      s"toks[i + $j] = '$t'"
+    }.mkString(" AND ")
+    s"""SELECT doc_id, n_occurrences FROM (
+       |  SELECT doc_id,
+       |    len(list_filter(range(1, len(toks) - ${PhraseTerms.size - 1} + 1),
+       |      i -> $conds)) AS n_occurrences
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents))
+       |WHERE n_occurrences > 0""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "r1_bm25_topk" -> QueryDef.of(r1Sql)(r1Bm25TopK),
-    "r2_rrf_hybrid" -> QueryDef.of(r2Sql)(r2RrfHybrid)
+    "r2_rrf_hybrid" -> QueryDef.of(r2Sql)(r2RrfHybrid),
+    "r3_phrase_count" -> QueryDef.of(r3Sql)(r3PhraseCount)
   )
 }

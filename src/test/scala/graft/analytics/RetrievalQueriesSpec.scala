@@ -44,6 +44,48 @@ class RetrievalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bm25Scores matches a naive single-threaded reference on random corpora") {
+    import spark.implicits._
+    val k1 = RetrievalQueries.K1; val b = RetrievalQueries.B
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val terms = Seq("alpha", "delta", "theta")
+    val rng = new scala.util.Random(1234)
+    (1 to 3).foreach { trial =>
+      val corpus = (1 to 30).map { id =>
+        val len = 3 + rng.nextInt(12)
+        (id.toLong, Vector.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      // naive reference: textbook BM25+ computed with plain Scala
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val nDocs = corpus.size
+      val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+      def idf(df: Int): Double =
+        math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+      val df = terms.map(t => t -> toks.values.count(_.contains(t))).toMap
+      val expect = toks.flatMap { case (id, ts) =>
+        val s = terms.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else idf(df(t)) * (tf * (k1 + 1)) /
+            (tf + k1 * (1 - b + b * ts.size / avgdl))
+        }.sum
+        if (terms.exists(ts.contains)) Some(id -> s) else None
+      }
+      val got = RetrievalQueries
+        .bm25Scores(corpus.toDF("doc_id", "text"), terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == expect.keySet, s"trial $trial doc sets differ")
+      // engine scores pass through the dsum decimal(38,6) accumulator
+      // (the cross-engine parity mechanism), so each per-term addend is
+      // quantized to 6 decimals — tolerance covers that, not float error
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - expect(id)) < 1e-5,
+          s"trial $trial doc $id: engine $s vs reference ${expect(id)}")
+      }
+    }
+  }
+
   test("plans: r1 serves via TakeOrderedAndProject with the term filter under the aggregation") {
     val plan = RetrievalQueries.r1Bm25TopK(spark, sf())
       .queryExecution.executedPlan.toString
@@ -77,6 +119,20 @@ class RetrievalQueriesSpec extends SparkSpec {
     // a different query ranks differently but stays bounded
     val other = Retrieval.bm25TopK(docs, Seq("customer", "window"), 5)
     assert(other.count() == 5)
+  }
+
+  test("r3: phrase counting — overlaps, boundaries, and short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark hash join now spark hash join"), // two occurrences
+      (2L, "spark hash but no third term here"),   // prefix only
+      (3L, "a a spark hash join"),                 // at the end
+      (4L, "spark hash"),                          // shorter than phrase
+      (5L, "join hash spark")                      // right terms, wrong order
+    ).toDF("doc_id", "text")
+    val got = RetrievalQueries.r3From(docs, Seq("spark", "hash", "join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L), got.toString)
   }
 
   test("plans: r2 fuses two bounded pools (two TakeOrderedAndProjects feed the join)") {
