@@ -338,6 +338,25 @@ object RetrievalQueries {
     * All-integer output (doc_id, n_occurrences), zero float surface. */
   def r3From(docs: DataFrame, phrase: Seq[String] = PhraseTerms): DataFrame = {
     import docs.sparkSession.implicits._
+    val counter = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PhraseCount(
+        org.apache.spark.sql.GraftColumnBridge.expression($"toks"), phrase))
+    docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(array_contains($"toks", phrase.head))
+      .select($"doc_id", counter.as("n_occurrences"))
+      .filter($"n_occurrences" > 0)
+  }
+
+  /** The HOF twin of [[r3From]]'s kernel — kept as the executable
+    * specification [[graft.functions.PhraseCount]] is property-tested
+    * against (and the shape the DuckDB twin mirrors). The CASE guards
+    * docs shorter than the phrase: Spark's sequence(0, negative)
+    * DESCENDS and ANSI mode errors on the resulting negative
+    * subscripts (DuckDB's range is naturally empty there). */
+  private[graft] def r3HofFrom(docs: DataFrame,
+      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    import docs.sparkSession.implicits._
     val conds = phrase.zipWithIndex.map { case (t, j) =>
       s"toks[i + $j] = '$t'"
     }.mkString(" AND ")
@@ -345,10 +364,6 @@ object RetrievalQueries {
       .select($"doc_id", split($"text", " ").as("toks"))
       .filter(array_contains($"toks", phrase.head))
       .select($"doc_id",
-        // the CASE guards docs shorter than the phrase: Spark's
-        // sequence(0, negative) DESCENDS and ANSI mode errors on the
-        // resulting negative subscripts (DuckDB's range is naturally
-        // empty there)
         expr(
           s"""CASE WHEN size(toks) < ${phrase.size} THEN 0
              |ELSE size(filter(sequence(0, size(toks) - ${phrase.size}),

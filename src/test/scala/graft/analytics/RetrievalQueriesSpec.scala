@@ -135,6 +135,25 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 3L -> 1L), got.toString)
   }
 
+  test("r3: native PhraseCount kernel == HOF executable spec on random corpora") {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d")
+    val rng = new scala.util.Random(77)
+    val corpus = (1 to 200).map { id =>
+      val len = rng.nextInt(12) // includes docs SHORTER than the phrase
+      (id.toLong, Vector.fill(len max 1)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val phrase = Seq("a", "b", "a")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(RetrievalQueries.r3From(docs, phrase)) ==
+      m(RetrievalQueries.r3HofFrom(docs, phrase)))
+    // overlapping windows count individually: 'a b a b a' has 2 of 'a b a'
+    val ov = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    assert(m(RetrievalQueries.r3From(ov, phrase)) == Map(1L -> 2L))
+  }
+
   test("plans: r2 fuses two bounded pools (two TakeOrderedAndProjects feed the join)") {
     val plan = RetrievalQueries.r2RrfHybrid(spark, sf())
       .queryExecution.executedPlan.toString
