@@ -40,6 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("vector_sqdist", 2, "vector_sqdist(a, b)") { c =>
       graft.functions.VectorSqDist(c.head, c(1))
     })
+    // phrase is a space-separated FOLDABLE string — the token sequence
+    // is baked into the generated code, so it must be a literal
+    ext.injectFunction(fn("phrase_count", 2,
+      "phrase_count(toks, 'a b c')") { c =>
+      require(c(1).foldable,
+        "phrase_count: the phrase must be a string literal")
+      val s = c(1).eval(null)
+      require(s != null, "phrase_count: the phrase must be non-null")
+      graft.functions.PhraseCount(c.head,
+        s.toString.split(" ").toIndexedSeq.filter(_.nonEmpty))
+    })
     ext.injectOptimizerRule(_ => plans.BinnedIntervalJoinRule)
   }
 }

@@ -54,4 +54,11 @@ object Retrieval {
       k: Int = 10): DataFrame =
     InvertedIndex.probe(spark, path, terms)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+  /** Exact-phrase occurrence counts per document — the phrase-level
+    * contamination probe (codegen'd kernel, scan-side only). Returns
+    * only the docs containing the phrase: (doc_id, n_occurrences). */
+  def phraseCount(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    RetrievalQueries.r3From(std(docs, idCol, textCol), phrase)
 }

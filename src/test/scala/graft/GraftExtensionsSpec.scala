@@ -82,6 +82,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase_count registers; phrase must be a literal") {
+    withExtSession { spark =>
+      val got = spark.sql(
+        """SELECT phrase_count(split('a b a b a', ' '), 'a b a') AS n,
+          |  phrase_count(split('x y', ' '), 'a b a') AS zero,
+          |  phrase_count(split('a', ' '), 'a b a') AS short""".stripMargin)
+        .collect()(0)
+      assert(got.getLong(0) == 2L && got.getLong(1) == 0L &&
+        got.getLong(2) == 0L)
+      intercept[Exception](spark.sql(
+        "SELECT phrase_count(split('a b', ' '), concat('a', rand()))").collect())
+    }
+  }
+
   // ---------------- binned interval-join rule ----------------
 
   /** Points every 7 min; intervals every 53 min spanning 90 min — plus a
