@@ -61,8 +61,10 @@ final case class PhraseCount(child: Expression, phrase: Seq[String])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // NB: the JAVA-SOURCE array spelling — classOf[...].getName yields
+    // the JVM-internal "[L...;" form, which Janino rejects mid-cast
     val ref = ctx.addReferenceObj("phrase", phraseU8,
-      classOf[Array[UTF8String]].getName)
+      classOf[UTF8String].getName + "[]")
     nullSafeCodeGen(ctx, ev, toks => {
       val n = ctx.freshName("n")
       val k = ctx.freshName("k")

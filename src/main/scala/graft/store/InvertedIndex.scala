@@ -52,16 +52,26 @@ object InvertedIndex {
   private def sqlShard(e: String): String =
     s"${DedupQueries.sqlHash60(e)} % $NumShards"
 
-  /** Postings of one batch at the scoreTf grain, sharded:
-    * (tok, doc_id, tf, dl, shard). */
+  /** Postings of one batch at the scoreTf grain, sharded and
+    * POSITION-AWARE: (tok, doc_id, tf, dl, positions, shard), where
+    * `positions` is the sorted 0-based token offsets of `tok` inside
+    * the doc. Positions cost ~one int per corpus token (the classic
+    * positional-index overhead) and buy phrase serving
+    * ([[phraseProbe]]); tf = size(positions), kept materialized so BM25
+    * probes never touch the arrays. A doc lives in exactly one batch
+    * (append-only doc grain), so positions never need cross-version
+    * merging. */
   def postingsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
-      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"),
-        explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        posexplode($"toks").as(Seq("pos", "tok")))
       .groupBy($"doc_id", $"dl", $"tok")
-      .agg(count(lit(1)).as("tf"))
-      .select($"tok", $"doc_id", $"tf", $"dl", shardCol)
+      .agg(sort_array(collect_list($"pos")).as("positions"))
+      .select($"tok", $"doc_id",
+        size($"positions").cast("long").as("tf"), $"dl", $"positions",
+        shardCol)
   }
 
   /** (n_docs, sum_dl) of one batch — the sum-mergeable stats grain.
@@ -204,6 +214,43 @@ object InvertedIndex {
     RetrievalQueries.scoreTf(matched, stats)
   }
 
+  /** Exact-phrase counts served FROM the index — the r3 probe without
+    * re-tokenizing the corpus: read only the phrase terms' shards
+    * (partition-pruned), group each candidate doc's position arrays,
+    * and count the positional chains (a start p of term₀ extends to a
+    * full occurrence iff every termⱼ has p+j in its positions). Docs
+    * missing any distinct phrase term can't match and are dropped by
+    * the group filter before the chain fold runs. Output
+    * (doc_id, n_occurrences), occurrences > 0 — the ix3 oracle pins it
+    * to the batchless r3 scan. */
+  def phraseProbe(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val distinctTerms = phrase.distinct
+    val matched = postings(spark, path)
+      .filter(col("shard").isin(shardsOf(spark, distinctTerms): _*))
+      .filter(col("tok").isin(distinctTerms: _*))
+      .select($"doc_id", $"tok", $"positions")
+    val perDoc = matched
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        map_from_entries(collect_list(struct($"tok", $"positions")))
+          .as("pos"))
+      .filter($"n_terms" === distinctTerms.size)
+    val chain = phrase.zipWithIndex.tail.map { case (t, j) =>
+      s"array_contains(pos['$t'], p + $j)"
+    } match {
+      case Nil => s"size(pos['${phrase.head}'])"
+      case cs =>
+        s"size(filter(pos['${phrase.head}'], p -> ${cs.mkString(" AND ")}))"
+    }
+    perDoc
+      .select($"doc_id", expr(chain).cast("long").as("n_occurrences"))
+      .filter($"n_occurrences" > 0)
+  }
+
   /** One micro-batch of [[maintain]] — the shared replay fence. */
   def maintainBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
     if (!VersionedState.exists(path)) {
@@ -273,6 +320,24 @@ object InvertedIndex {
         countDistinct($"doc_id").as("n_docs"))
   }
 
+  /** IX3: index-served phrase counts == the batchless r3 scan. Same
+    * two-batch build as ix1; the probe reads only the phrase terms'
+    * shards and counts positional chains from the stored offsets —
+    * a hash match proves the positional payload survives the
+    * persisted round-trip bit-exactly. */
+  def ix3PhraseProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivx-ix3").toString
+    val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
+      .collect()(0).getLong(0)
+    initialize(docs.filter($"doc_id" <= mid), tmp)
+    append(spark, docs.filter($"doc_id" > mid), tmp, 2L)
+    phraseProbe(spark, tmp, RetrievalQueries.PhraseTerms)
+  }
+
+  val ix3Sql: String = RetrievalQueries.r3Sql
+
   val ix2Sql: String =
     s"""WITH t AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -286,5 +351,6 @@ object InvertedIndex {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "ix1_inverted_probe" -> QueryDef.of(ix1Sql)(ix1InvertedProbe),
-    "ix2_shard_stats" -> QueryDef.of(ix2Sql)(ix2ShardStats))
+    "ix2_shard_stats" -> QueryDef.of(ix2Sql)(ix2ShardStats),
+    "ix3_phrase_probe" -> QueryDef.of(ix3Sql)(ix3PhraseProbe))
 }

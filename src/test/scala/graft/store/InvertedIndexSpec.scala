@@ -111,6 +111,20 @@ class InvertedIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("phraseProbe serves r3's counts from stored positions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivx-phrase").toString
+    InvertedIndex.initialize(docs.filter(col("doc_id") <= 200), dir)
+    assert(InvertedIndex.append(spark, docs.filter(col("doc_id") > 200), dir, 2L))
+    Seq(Seq("table", "hash"), Seq("customer"), Seq("spark", "hash", "join"))
+      .foreach { phrase =>
+        val served = InvertedIndex.phraseProbe(spark, dir, phrase)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val scan = RetrievalQueries.r3From(docs, phrase)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(served == scan, s"phrase $phrase diverged")
+      }
+  }
+
   test("probe plan prunes postings partitions to the probed shards") {
     val dir = java.nio.file.Files.createTempDirectory("ivx-prune").toString
     InvertedIndex.initialize(docs, dir)
