@@ -193,6 +193,7 @@ final class HttpGateway(
     server.createContext("/index/text/create", route(authed(MasterRole)(handleTextCreate)))
     server.createContext("/index/text/append", route(authed(MasterRole)(handleTextAppend)))
     server.createContext("/index/text/search", route(authed(MasterRole)(handleTextSearch)))
+    server.createContext("/index/text/phrase", route(authed(MasterRole)(handleTextPhrase)))
     server.createContext("/index/text/stats", route(authed(MasterRole)(handleTextStats)))
     server.createContext("/index/text/compact", route(authed(MasterRole)(handleTextCompact)))
     server.createContext("/materialized-view/create", route(authed(MasterRole)(handleMvCreate)))
@@ -1407,6 +1408,27 @@ final class HttpGateway(
       throw new IngestRejected("k must be between 1 and 10000")
     val rows = graft.store.InvertedIndex.probe(spark, textIdxDir(name), terms)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
+    (200, rows.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** `POST /index/text/phrase` — exact-phrase occurrence counts served
+    * from the positional postings (the ix3 contract): only the phrase
+    * terms' shards are read; no corpus re-tokenization. */
+  private def handleTextPhrase(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(textIdxDir(name))
+    val phrase = Option(root.get("phrase")).filter(_.isArray).getOrElse(
+      throw new IngestRejected("phrase array is required"))
+      .elements().asScala.map(_.asText()).toSeq.filter(_.nonEmpty)
+    if (phrase.isEmpty) throw new IngestRejected("phrase array is required")
+    if (phrase.size > 32)
+      throw new IngestRejected("phrase is limited to 32 tokens")
+    val rows = graft.store.InvertedIndex
+      .phraseProbe(spark, textIdxDir(name), phrase)
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
     (200, rows.toJSON.collect().mkString("[", ",", "]"))
   }
 

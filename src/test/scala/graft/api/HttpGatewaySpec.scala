@@ -993,6 +993,16 @@ class HttpGatewaySpec extends SparkSpec {
       assert(stats.statusCode() == 200, stats.body())
       assert(stats.body().contains(""""version":2"""), stats.body())
 
+      // phrase serving from positional postings: doc 3 has 'spark spark'
+      // twice ('spark spark spark' = 2 windows), doc 10 once
+      val ph = post(port, "/index/text/phrase",
+        """{"name": "lex", "phrase": ["spark", "spark"]}""")
+      assert(ph.statusCode() == 200, ph.body())
+      assert(ph.body().contains("""{"doc_id":3,"n_occurrences":2}""") &&
+        ph.body().contains("""{"doc_id":10,"n_occurrences":1}"""), ph.body())
+      assert(post(port, "/index/text/phrase",
+        """{"name": "lex", "phrase": []}""").statusCode() == 400)
+
       // compaction preserves the ranking
       assert(post(port, "/index/text/compact", """{"name": "lex"}""")
         .statusCode() == 200)
