@@ -1329,8 +1329,10 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(annIdxDir(name))
     writeLock.synchronized {
-      // grace=1: queries don't take writeLock — see the text door
-      graft.store.AnnIndex.compactPostings(spark, annIdxDir(name), grace = 1)
+      // queries don't take writeLock — deferred deletion, see the
+      // text door
+      graft.store.AnnIndex.compactPostings(spark, annIdxDir(name),
+        deferDeletion = true)
     }
     (200, """{"success":true}""")
   }
@@ -1426,9 +1428,13 @@ final class HttpGateway(
     if (phrase.isEmpty) throw new IngestRejected("phrase array is required")
     if (phrase.size > 32)
       throw new IngestRejected("phrase is limited to 32 tokens")
+    val k = Option(root.get("k")).map(_.asInt()).getOrElse(100)
+    if (k < 1 || k > 10000)
+      throw new IngestRejected("k must be between 1 and 10000")
     val rows = graft.store.InvertedIndex
       .phraseProbe(spark, textIdxDir(name), phrase)
       .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
     (200, rows.toJSON.collect().mkString("[", ",", "]"))
   }
 
@@ -1457,11 +1463,11 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(textIdxDir(name))
     writeLock.synchronized {
-      // grace=1: searches don't take writeLock, so a probe that
-      // resolved its dir list just before the flip must still find
-      // its files; the next compaction removes the leftover
+      // searches don't take writeLock, so deletion of the superseded
+      // dirs is DEFERRED to the next compaction: an in-flight probe
+      // that resolved the pre-flip dir set still finds every file
       graft.store.InvertedIndex.compactPostings(spark, textIdxDir(name),
-        grace = 1)
+        deferDeletion = true)
     }
     (200, """{"success":true}""")
   }

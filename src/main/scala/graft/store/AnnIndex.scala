@@ -161,7 +161,7 @@ object AnnIndex {
     * delete (single-maintainer discipline, as with
     * [[VersionedState.compact]]). Appends then continue from `cur+2`. */
   def compactPostings(spark: SparkSession, path: String,
-      grace: Int = 0): Unit = {
+      deferDeletion: Boolean = false): Unit = {
     val cur = VersionedState.currentVersion(path)
     val oldBase = baseVersion(path)
     if (oldBase == cur) return // already one live dir
@@ -172,17 +172,19 @@ object AnnIndex {
       .parquet(VersionedState.versionDir(path, v))
     VersionedState.writeMarker(path, "_BASE", s"$v:$oldBase")
     VersionedState.writePointer(path, v, VersionedState.lastBatchId(path))
-    // `grace` keeps that many of the newest superseded dirs so an
-    // in-flight query that resolved its dir list pre-flip still finds
-    // its files (queries don't serialize with maintenance); the next
-    // compaction re-applies the window and removes leftovers
+    // deferDeletion keeps the ENTIRE just-superseded set until the
+    // NEXT compaction: a concurrent query resolves the full live dir
+    // set [base..cur] and compaction supersedes exactly that set, so
+    // keeping any smaller suffix protects nothing. The next cycle
+    // removes everything below the old base (the previous leftovers).
+    val cutoff = if (deferDeletion) oldBase else v
     val hadoopDir = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val superseded = fs.listStatus(hadoopDir).toIndexedSeq
+    fs.listStatus(hadoopDir).toIndexedSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.drop(2).toLong)
-      .filter(_ < v).sorted.reverse
-    superseded.drop(grace).foreach(VersionedState.deleteVersion(path, _))
+      .filter(_ < cutoff)
+      .foreach(VersionedState.deleteVersion(path, _))
   }
 
   /** Re-seed the coarse quantizer from the CURRENT corpus — the action

@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.{DedupQueries, RetrievalQueries}
 
@@ -84,6 +84,21 @@ object InvertedIndex {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** On-disk postings format: 2 = positional (positions column).
+    * Stamped at initialize; append and the phrase probe refuse a
+    * format-1 (pre-positional) index with a clear rebuild message
+    * instead of failing on a missing column — or worse, silently
+    * serving nulls for old batches after a mixed-format append. */
+  private val FormatVersion = "2"
+
+  private def format(path: String): String =
+    VersionedState.readMarker(path, "_FORMAT").getOrElse("1")
+
+  private def requirePositional(path: String): Unit =
+    require(format(path) == FormatVersion,
+      s"index at $path has postings format ${format(path)} (pre-positional); " +
+        "re-initialize it from the corpus to enable this operation")
+
   private def statsMarker(v: Long) = s"_STATS_v=$v"
 
   private def writeStats(path: String, v: Long, nDocs: Long,
@@ -114,17 +129,25 @@ object InvertedIndex {
   /** Bootstrap the index from the initial corpus. */
   def initialize(docs: DataFrame, path: String, batchId: Long = -1L): Unit = {
     val (n, s) = statsOf(docs)
+    VersionedState.writeMarker(path, "_FORMAT", FormatVersion)
     writeVersion(postingsOf(docs), path, 1, n, s, batchId)
   }
 
   /** Append a delta batch as version `expected` (cumulative stats fold
     * in from the previous version's marker). Returns false if that
-    * version already exists — the at-least-once replay fence. */
+    * version already exists — the at-least-once replay fence.
+    *
+    * Contract: every doc_id appears in at most ONE batch over the
+    * index's lifetime (the event store assigns ids monotonically, so
+    * an append-only pipeline satisfies this for free). A violating
+    * re-append double-counts the doc in BM25 df/tf; the phrase probe
+    * degrades deterministically (offset union). */
   def append(spark: SparkSession, delta: DataFrame, path: String,
       expected: Long, batchId: Long = -1L): Boolean = {
     val cur = VersionedState.currentVersion(path)
     if (expected <= cur) return false
     require(expected == cur + 1, s"append $expected against current $cur")
+    requirePositional(path)
     val (pn, ps) = readStats(path, cur)
     val (dn, dsz) = statsOf(delta)
     writeVersion(postingsOf(delta), path, expected, pn + dn, ps + dsz, batchId)
@@ -158,14 +181,16 @@ object InvertedIndex {
     * [[AnnIndex.compactPostings]]. Stats are cumulative per version,
     * so the current marker is re-recorded for the new version.
     *
-    * `grace` keeps that many of the newest superseded dirs on disk
-    * (unreferenced once `_BASE` flips) so a reader that resolved its
-    * dir list just before the flip still finds its files — compaction
-    * is not a reader barrier. Leftovers self-heal: the NEXT compaction
-    * enumerates everything below the new version and re-applies the
-    * grace window. */
+    * `deferDeletion=true` makes compaction safe under concurrent
+    * readers: a reader resolves the FULL live dir set [base..cur], and
+    * compaction supersedes exactly that set — so the only window that
+    * protects an in-flight reader is keeping the ENTIRE just-superseded
+    * set until the NEXT compaction (which then removes the previous
+    * cycle's leftovers, i.e. every dir below the old base). The default
+    * (false) deletes immediately — the single-maintainer, no-concurrent-
+    * reader maintenance-window semantics. */
   def compactPostings(spark: SparkSession, path: String,
-      grace: Int = 0): Unit = {
+      deferDeletion: Boolean = false): Unit = {
     val cur = VersionedState.currentVersion(path)
     val oldBase = baseVersion(path)
     if (oldBase == cur) return
@@ -178,14 +203,15 @@ object InvertedIndex {
     writeStats(path, v, n, s)
     VersionedState.writeMarker(path, "_BASE", s"$v:$oldBase")
     VersionedState.writePointer(path, v, VersionedState.lastBatchId(path))
+    val cutoff = if (deferDeletion) oldBase else v
     val hadoopDir = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopDir.getFileSystem(
       spark.sessionState.newHadoopConf())
-    val superseded = fs.listStatus(hadoopDir).toIndexedSeq
+    fs.listStatus(hadoopDir).toIndexedSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.drop(2).toLong)
-      .filter(_ < v).sorted.reverse
-    superseded.drop(grace).foreach(VersionedState.deleteVersion(path, _))
+      .filter(_ < cutoff)
+      .foreach(VersionedState.deleteVersion(path, _))
   }
 
   /** Shard ids of the probed terms, computed with the SAME expression
@@ -227,11 +253,17 @@ object InvertedIndex {
       phrase: Seq[String]): DataFrame = {
     import spark.implicits._
     require(phrase.nonEmpty, "phrase must have at least one token")
+    requirePositional(path)
     val distinctTerms = phrase.distinct
     val matched = postings(spark, path)
       .filter(col("shard").isin(shardsOf(spark, distinctTerms): _*))
       .filter(col("tok").isin(distinctTerms: _*))
-      .select($"doc_id", $"tok", $"positions")
+      // defensive merge: the store's contract is one batch per doc_id,
+      // but a contract-violating re-append must degrade to a
+      // deterministic union of offsets, not a duplicate-map-key crash
+      .groupBy($"doc_id", $"tok")
+      .agg(array_distinct(sort_array(flatten(collect_list($"positions"))))
+        .as("positions"))
     val perDoc = matched
       .groupBy($"doc_id")
       .agg(
@@ -239,15 +271,20 @@ object InvertedIndex {
         map_from_entries(collect_list(struct($"tok", $"positions")))
           .as("pos"))
       .filter($"n_terms" === distinctTerms.size)
-    val chain = phrase.zipWithIndex.tail.map { case (t, j) =>
-      s"array_contains(pos['$t'], p + $j)"
+    // the chain predicate is pure Column algebra — phrase tokens enter
+    // the plan as LITERALS, never interpolated into parsed SQL text
+    // (tokens like "don't" are legitimate; injection is not)
+    def positionsOfTerm(t: String): Column = col("pos").getItem(t)
+    val p0 = positionsOfTerm(phrase.head)
+    val counter = phrase.zipWithIndex.tail.map { case (t, j) =>
+      (p: Column) => array_contains(positionsOfTerm(t), p + lit(j))
     } match {
-      case Nil => s"size(pos['${phrase.head}'])"
-      case cs =>
-        s"size(filter(pos['${phrase.head}'], p -> ${cs.mkString(" AND ")}))"
+      case Nil => size(p0)
+      case conds =>
+        size(filter(p0, p => conds.map(f => f(p)).reduce(_ && _)))
     }
     perDoc
-      .select($"doc_id", expr(chain).cast("long").as("n_occurrences"))
+      .select($"doc_id", counter.cast("long").as("n_occurrences"))
       .filter($"n_occurrences" > 0)
   }
 
@@ -282,14 +319,24 @@ object InvertedIndex {
     * runs): batch boundaries cannot change a score, and the persisted
     * round-trip (including stats-marker folding and shard pruning)
     * preserves every bit. */
-  def ix1InvertedProbe(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared two-batch build for the oracle rows (the di1/ai1
+    * split-at-mid-id convention): ONE implementation so the batch
+    * boundary the ix1/ix3 oracles pin cannot silently diverge. */
+  private def twoBatchIndex(spark: SparkSession, docs: DataFrame,
+      prefix: String): String = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivx-ix1").toString
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
     val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
       .collect()(0).getLong(0)
     initialize(docs.filter($"doc_id" <= mid), tmp)
     append(spark, docs.filter($"doc_id" > mid), tmp, 2L)
+    tmp
+  }
+
+  def ix1InvertedProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = twoBatchIndex(spark, Tables(spark, dir, "documents"),
+      "graft-ivx-ix1")
     probe(spark, tmp, RetrievalQueries.QueryTerms)
       .orderBy($"score".desc, $"doc_id")
       .limit(RetrievalQueries.TopK)
@@ -326,13 +373,8 @@ object InvertedIndex {
     * a hash match proves the positional payload survives the
     * persisted round-trip bit-exactly. */
   def ix3PhraseProbe(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivx-ix3").toString
-    val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
-      .collect()(0).getLong(0)
-    initialize(docs.filter($"doc_id" <= mid), tmp)
-    append(spark, docs.filter($"doc_id" > mid), tmp, 2L)
+    val tmp = twoBatchIndex(spark, Tables(spark, dir, "documents"),
+      "graft-ivx-ix3")
     phraseProbe(spark, tmp, RetrievalQueries.PhraseTerms)
   }
 

@@ -58,6 +58,45 @@ class InvertedIndexSpec extends SparkSpec {
       "replay of a pre-compaction version must be fenced")
   }
 
+  test("deferred-deletion compaction keeps the whole superseded set one cycle") {
+    def live(dir: String): Set[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivx-defer").toString
+    val reference = oneShot
+    InvertedIndex.initialize(docs.filter(col("doc_id") <= 150), dir)
+    assert(InvertedIndex.append(spark,
+      docs.filter(col("doc_id") > 150 && col("doc_id") <= 300), dir, 2L))
+    // a reader of the pre-compaction set [v=1, v=2] must survive the
+    // swap: BOTH superseded dirs stay on disk for one cycle
+    InvertedIndex.compactPostings(spark, dir, deferDeletion = true)
+    assert(live(dir) == Set("v=1", "v=2", "v=3"), live(dir))
+    assert(scoresOf(InvertedIndex.probe(spark, dir,
+      RetrievalQueries.QueryTerms)).nonEmpty)
+    // the next cycle removes the previous leftovers and defers its own
+    assert(InvertedIndex.append(spark, docs.filter(col("doc_id") > 300), dir, 4L))
+    InvertedIndex.compactPostings(spark, dir, deferDeletion = true)
+    assert(live(dir) == Set("v=3", "v=4", "v=5"), live(dir))
+    assert(scoresOf(InvertedIndex.probe(spark, dir,
+      RetrievalQueries.QueryTerms)) == reference)
+  }
+
+  test("a pre-positional (format-1) index is refused with a rebuild message") {
+    val dir = java.nio.file.Files.createTempDirectory("ivx-fmt").toString
+    InvertedIndex.initialize(docs.limit(10), dir)
+    // simulate a format-1 store: the marker predates the field
+    VersionedState.writeMarker(dir, "_FORMAT", "1")
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.phraseProbe(spark, dir, Seq("spark"))
+    }
+    assert(e.getMessage.contains("re-initialize"))
+    intercept[IllegalArgumentException] {
+      InvertedIndex.append(spark, docs.limit(1), dir, 2L)
+    }
+    // BM25 probes work on either format
+    InvertedIndex.probe(spark, dir, Seq("spark")).collect()
+  }
+
   test("streaming maintain: replay fence skips duplicate micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("ivx-stream").toString
     val b1 = docs.filter(col("doc_id") <= 200)
