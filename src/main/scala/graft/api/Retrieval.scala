@@ -61,4 +61,11 @@ object Retrieval {
   def phraseCount(docs: DataFrame, phrase: Seq[String],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     RetrievalQueries.r3From(std(docs, idCol, textCol), phrase)
+
+  /** [[phraseCount]] served from the persisted index's positional
+    * postings — only the phrase terms' shards are read; identical
+    * counts to the scan by the ix3 oracle contract. */
+  def phraseProbeIndex(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame =
+    InvertedIndex.phraseProbe(spark, path, phrase)
 }

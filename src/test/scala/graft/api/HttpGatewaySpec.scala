@@ -1010,6 +1010,18 @@ class HttpGatewaySpec extends SparkSpec {
         """{"name": "lex", "terms": ["spark"], "k": 5}""")
         .body() == q2.body())
 
+      // bulk create from a parquet source path (the door's other input
+      // mode — the trigger for a cluster-scale build)
+      val src = java.nio.file.Files.createTempDirectory("ivx-src").toString
+      graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text").limit(50)
+        .write.mode("overwrite").parquet(src)
+      assert(post(port, "/index/text/create",
+        s"""{"name": "bulk", "source": "$src"}""").statusCode() == 200)
+      val bq = post(port, "/index/text/search",
+        """{"name": "bulk", "terms": ["spark"], "k": 3}""")
+      assert(bq.statusCode() == 200 && bq.body().contains("doc_id"), bq.body())
+
       // bad requests are the client's error, not a 500
       assert(post(port, "/index/text/search",
         """{"name": "lex", "terms": []}""").statusCode() == 400)
