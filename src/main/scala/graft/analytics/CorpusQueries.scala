@@ -389,6 +389,68 @@ object CorpusQueries {
        |FROM toks JOIN vocab USING (tok) CROSS JOIN total
        |GROUP BY doc_id""".stripMargin
 
+  // ---------------- T-LM2: bigram surprisal scoring ----------------
+
+  /** T-LM2: corpus-trained BIGRAM language-model scoring — one order up
+    * from t_unigram_lm and the last cheap step before a real KenLM:
+    * word-order violations (shuffled text, boilerplate splices, MT
+    * garbage) score high here while fooling any unigram model, because
+    * P(w₂|w₁) collapses exactly where local word order breaks. The
+    * model is the corpus itself: conditional probability =
+    * c(w₁ w₂) / c(w₁ as a bigram PREFIX) — the prefix count (not the
+    * raw unigram count) makes every doc-final token a non-event, so
+    * probabilities per prefix sum to 1 and unseen bigrams cannot occur
+    * when scoring the training corpus. Per-doc score = mean −ln P over
+    * its bigrams, through the exact-decimal accumulator.
+    *
+    * Scale posture: the bigram frame is a scan-side windowed zip
+    * (`transform(sequence(...))`, no self-join); the model is two
+    * partial-agg'd groupBys at |bigram-vocab| and |vocab| grain; the
+    * score join broadcasts nothing corpus-sized (the model frames are
+    * vocab²-bounded — for natural language, Zipf keeps them far below
+    * the corpus; a 100 TB run would hash-partition the join on w1,w2,
+    * which is exactly what the shuffle already does). Docs with one
+    * token have no bigrams and produce no row (identically in both
+    * engines). */
+  def tBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id",
+        explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+            |ELSE transform(sequence(0, size(toks) - 2),
+            |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) END""".stripMargin))
+          .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    pairs
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select($"doc_id",
+        (-log($"c2".cast("double") / $"c1".cast("double"))).as("nll"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (dsum($"nll") / count(lit(1))).as("avg_nll2"))
+  }
+
+  val tLm2Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+       |  FROM t),
+       |pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ${sqlDsum("-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))")} / count(*) AS avg_nll2
+       |FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |GROUP BY doc_id""".stripMargin
+
   // ---------------- T-CLF: linear quality classifier ----------------
 
   /** Fixed classifier weights: (bias, w_stop_ratio, w_mean_tok_len,
@@ -636,6 +698,7 @@ object CorpusQueries {
     "pk1_seq_packing" -> QueryDef.of(pk1Sql)(pk1Packing),
     "pk2_pad_waste" -> QueryDef.of(pk2Sql)(pk2PadWaste),
     "t_unigram_lm" -> QueryDef.of(tLmSql)(tUnigramLm),
+    "t_bigram_lm" -> QueryDef.of(tLm2Sql)(tBigramLm),
     "t_quality_clf" -> QueryDef.of(tClfSql)(tQualityClf),
     "d9_survivors" -> QueryDef.of(d9Sql)(d9Survivors),
     "corpus_report" -> QueryDef.of(corpusReportSql)(corpusReport)
