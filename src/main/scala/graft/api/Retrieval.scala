@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * (contamination triage, targeted corpus search, hybrid dedup
   * candidate generation). Each builder is the oracle-proven registry
   * shape (r1/r2/ix1) with the corpus/columns/query as parameters;
-  * RetrievalSpec pins the instantiations to their verified twins.
+  * RetrievalQueriesSpec pins the instantiations to their verified twins.
   * Scale posture matches the registry queries (SCALE.md): the term
   * filter sits under the shuffle, corpus stats broadcast, serving is
   * TakeOrderedAndProject, and fusion joins bounded candidate pools.
