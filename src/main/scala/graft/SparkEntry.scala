@@ -27,6 +27,7 @@ object SparkEntry {
       analytics.PathQueries.defs ++
       analytics.RetrievalQueries.defs ++
       analytics.ProjectionQueries.defs ++
+      analytics.TokenizerQueries.defs ++
       analytics.LayoutQueries.defs ++
       store.MaterializedView.defs ++
       store.DedupIndex.defs ++

@@ -1,0 +1,306 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training operators — the distributed first half of BPE
+  * vocabulary learning (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units"), plus context-window
+  * chunking for sequence-model training/RAG prep. The reference engine
+  * has no tokenizer surface; these extend the LLM-pipeline family
+  * (SURVEY.md §2.11) with the one preprocessing step every training
+  * run performs before `t_tokens_bpe` can even count.
+  *
+  * Scale posture (100 TB): BPE statistics live on the WORD-FREQUENCY
+  * table, not the corpus — one corpus-sized shuffle (word → count)
+  * reduces everything downstream to |vocab|-bounded work. Pair counts
+  * are |symbol-alphabet|²-bounded (a few thousand rows), so the final
+  * ranking window and the per-merge argmax collect(1) are driver-safe
+  * at any corpus size. Chunking is a pure scan-side flatMap — zero
+  * shuffles, output partitioning inherited from the input scan.
+  */
+object TokenizerQueries {
+
+  /** End-of-word marker symbol (textbook BPE): makes "low" ≠ the
+    * prefix of "lower" and lets merges learn suffix units. */
+  private val Eow = "</w>"
+
+  /** Word-frequency table: whitespace words with empty tokens dropped
+    * (consecutive-space artifacts — both engines' split keeps them).
+    * The ONE corpus-sized shuffle in the family. */
+  private def wordFreq(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // ---------------- bpe1: pair-frequency mining ----------------
+
+  /** BPE1: adjacent-symbol pair frequencies at merge step zero — every
+    * word is its character sequence plus [[Eow]], each adjacent pair
+    * weighted by the word's corpus frequency; top-50 pairs by (count
+    * desc, pair asc). This is exactly the argmax table the first BPE
+    * merge reads, published as a ranked profile (the "what would the
+    * tokenizer learn first" audit). Guard: `sequence(1, n-1)` is only
+    * taken for n ≥ 2 — Spark's `sequence(1, 0)` counts DOWN, so the
+    * single-char case must short-circuit to the empty array. */
+  def bpe1From(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val wf = wordFreq(docs)
+    val intra = expr(
+      """CASE WHEN length(word) >= 2 THEN
+        |  transform(sequence(1, length(word) - 1),
+        |    i -> struct(substring(word, i, 1) AS l,
+        |                substring(word, i + 1, 1) AS r))
+        |ELSE CAST(array() AS array<struct<l: string, r: string>>) END
+        |""".stripMargin)
+    val pairs = wf.select($"cnt", explode(concat(intra, array(
+      struct(expr("substring(word, length(word), 1)").as("l"),
+        lit(Eow).as("r"))))).as("p"))
+    val counts = pairs
+      .groupBy($"p.l".as("l"), $"p.r".as("r"))
+      .agg(sum($"cnt").as("pair_count"))
+    // |alphabet|²-bounded frame: the single-partition ranking window is
+    // a few thousand rows regardless of corpus size.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"pair_count".desc, $"l", $"r")
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 50)
+      .select($"rank", $"l", $"r", $"pair_count")
+  }
+
+  def bpe1PairCounts(spark: SparkSession, dir: String): DataFrame =
+    bpe1From(Tables(spark, dir, "documents"))
+
+  val bpe1Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wf AS (
+       |  SELECT word, count(*) AS cnt FROM toks WHERE word <> ''
+       |  GROUP BY word),
+       |prs AS (
+       |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, cnt
+       |  FROM wf, LATERAL (SELECT unnest(range(1, length(word))) AS i) t
+       |  UNION ALL
+       |  SELECT substr(word, length(word), 1) AS l, '$Eow' AS r, cnt
+       |  FROM wf),
+       |pc AS (
+       |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
+       |  FROM prs GROUP BY l, r),
+       |rk AS (
+       |  SELECT l, r, pair_count,
+       |    row_number() OVER (ORDER BY pair_count DESC, l, r) AS rank
+       |  FROM pc)
+       |SELECT rank, l, r, pair_count FROM rk WHERE rank <= 50""".stripMargin
+
+  // ---------------- bpe2: distributed merge learning ----------------
+
+  /** One learned merge. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+      merged: String, pair_count: Long)
+
+  /** BPE2: learn `k` merges distributed — the full Sennrich loop with
+    * the corpus never leaving the cluster. Per iteration: (1) one
+    * |vocab|-bounded aggregation finds the argmax pair (count desc,
+    * pair asc — the deterministic tie-break the spec's reference
+    * implementation mirrors); the driver collects exactly ONE row;
+    * (2) a fold over each word's symbol array applies the merge
+    * left-to-right non-overlapping (`aaa` + (a,a) → `[aa, a]`), the
+    * textbook greedy pass. Symbols enter as `Column` literals — never
+    * spliced into SQL text — so document characters (quotes,
+    * backslashes) cannot inject.
+    *
+    * Full pair recount per iteration (k vocab-scans) rather than the
+    * incremental delta update (touch only words containing the merged
+    * pair): the table is already corpus-independent, so the recount is
+    * the simpler plan with the same asymptotics in corpus size; the
+    * delta variant is the |vocab|-side optimization to add if k grows
+    * to real-vocab size (~30k merges).
+    *
+    * The DuckDB twin ([[bpe2Sql]]) replays the same k stages as
+    * generated CTEs: symbols ride a chr(1)-delimited string and each
+    * merge applies via a `list_reduce` fold whose CASE mirrors
+    * [[mergeFold]] exactly — including left-to-right non-overlap on
+    * back-to-back repeats, where plain string `replace` encodings
+    * break (the consumed-separator problem). A second, independent
+    * gate is [[TokenizerQueriesSpec]]'s single-node textbook
+    * implementation. */
+  def bpeTrain(docs: DataFrame, k: Int): Seq[BpeMerge] = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    var syms = wordFreq(docs).select(
+      concat(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        array(lit(Eow))).as("syms"),
+      $"cnt")
+      .persist()
+    syms.count() // materialize before the loop references it k times
+    val merges = Seq.newBuilder[BpeMerge]
+    var done = false
+    var iter = 1
+    while (iter <= k && !done) {
+      val top = syms
+        .filter(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin)).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("pair_count"))
+        .orderBy($"pair_count".desc, $"l", $"r")
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += BpeMerge(iter, l, r, l + r, c)
+        val next = syms.select(mergeFold($"syms", l, r).as("syms"), $"cnt")
+          .persist()
+        next.count()
+        syms.unpersist()
+        syms = next
+        iter += 1
+      }
+    }
+    syms.unpersist()
+    merges.result()
+  }
+
+  /** Left-to-right non-overlapping merge of adjacent (l, r) in a symbol
+    * array, as a fold: append each symbol unless the accumulator's last
+    * element is `l` and the incoming one is `r`, in which case the pair
+    * collapses to `l+r`. Because the collapsed symbol is `l+r` (≠ `l`
+    * unless r is empty, which cannot occur), a fresh `l` after a
+    * collapse starts a new candidate — exactly the greedy textbook
+    * scan. */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Merges learned by the registry entry (and replayed by its SQL
+    * twin's generated stages). */
+  private val K = 8
+
+  /** The registry face of [[bpeTrain]]: [[K]] merges over `documents`. */
+  def bpe2MergeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrain(Tables(spark, dir, "documents"), K)
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** The k-stage SQL replay: per stage, pair-count the previous symbol
+    * table, take the (count desc, pair asc) argmax as a 1-row CTE, and
+    * fold the merge through every word's chr(1)-delimited symbol
+    * string. A stage whose argmax CTE is empty (merges exhausted)
+    * empties every later stage, matching [[bpeTrain]]'s early stop.
+    * chr(1) is safe as the symbol separator: symbols are document
+    * characters, and control characters never survive ingest. */
+  val bpe2Sql: String = {
+    val stages = (1 to K).map { k =>
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""p$k AS (
+         |  SELECT t[i] AS l, t[i + 1] AS r, cnt
+         |  FROM (SELECT string_split(syms, chr(1)) AS t, cnt FROM $prev),
+         |    LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
+         |t$k AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM p$k GROUP BY l, r
+         |  ORDER BY pair_count DESC, l, r LIMIT 1),
+         |s$k AS (
+         |  SELECT list_reduce(string_split(syms, chr(1)),
+         |    (a, c) -> CASE
+         |      WHEN regexp_extract(a, '[^\\x01]*$$') = t$k.l AND c = t$k.r
+         |      THEN left(a, length(a) - length(t$k.l)) || t$k.l || t$k.r
+         |      ELSE a || chr(1) || c END) AS syms, cnt
+         |  FROM $prev, t$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to K).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, l AS \"left\", r AS \"right\", " +
+        s"l || r AS merged, pair_count FROM t$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wf AS (
+       |  SELECT word, count(*) AS cnt FROM toks WHERE word <> ''
+       |  GROUP BY word),
+       |s0 AS (
+       |  SELECT array_to_string(
+       |    list_append(string_split(word, ''), '$Eow'), chr(1)) AS syms, cnt
+       |  FROM wf),
+       |$stages
+       |$out""".stripMargin
+  }
+
+  // ---------------- ch1: context-window chunking ----------------
+
+  /** Window (tokens per chunk) and stride (tokens between chunk
+    * starts): overlap = W − S = 8 tokens of shared context. */
+  private val W = 32
+  private val S = 24
+
+  /** CH1: split every document into overlapping W-token context
+    * windows at stride S — the sequence-model training/RAG-ingest prep
+    * step (a document longer than the model context must arrive as
+    * windows, with overlap so no span loses its left context). Chunk
+    * count = 1 + ceil(max(0, n − W) / S), so the final window always
+    * reaches the document's end and a short document is one (possibly
+    * partial) chunk. Emits the chunk's token span and an md5 content
+    * address (the join key a chunk-level dedup or embedding store would
+    * use). Pure scan-side flatMap: no shuffle, no window — partitioning
+    * inherited from the scan, output size Σ ceil(n/S). */
+  def ch1From(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n", size($"toks").cast("long"))
+      .withColumn("nchunks",
+        expr(s"1L + (greatest(0L, n - $W) + ${S - 1}) DIV $S"))
+      .select($"doc_id", $"n", $"toks",
+        explode(expr("sequence(0, nchunks - 1)")).as("chunk_idx"))
+      .withColumn("chunk_start", $"chunk_idx" * S)
+      .select(
+        $"doc_id",
+        $"chunk_idx",
+        $"chunk_start",
+        least(lit(W.toLong), $"n" - $"chunk_start").as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice($"toks", ($"chunk_start" + 1).cast("int"), lit(W)))
+          .cast("binary")).as("chunk_md5"))
+  }
+
+  def ch1ContextChunks(spark: SparkSession, dir: String): DataFrame =
+    ch1From(Tables(spark, dir, "documents"))
+
+  val ch1Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |d2 AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |    1 + (greatest(0, len(toks) - $W) + ${S - 1}) // $S AS nchunks
+       |  FROM d),
+       |c AS (
+       |  SELECT doc_id, n, toks,
+       |    unnest(range(0, nchunks)) AS chunk_idx
+       |  FROM d2)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * $S AS BIGINT) AS chunk_start,
+       |  CAST(least($W, n - chunk_idx * $S) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(
+       |    list_slice(toks, chunk_idx * $S + 1, chunk_idx * $S + $W),
+       |    ' ')) AS chunk_md5
+       |FROM c""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "bpe1_pair_counts" -> QueryDef.of(bpe1Sql)(bpe1PairCounts),
+    "bpe2_merge_vocab" -> QueryDef.of(bpe2Sql)(bpe2MergeVocab),
+    "ch1_context_chunks" -> QueryDef.of(ch1Sql)(ch1ContextChunks)
+  )
+}

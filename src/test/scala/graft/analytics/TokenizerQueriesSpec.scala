@@ -1,0 +1,141 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training family: bpe1 pair mining, bpe2 distributed merge
+  * learning (checked against an independent single-node textbook BPE
+  * below — the correctness gate for the oracle-less registry entry),
+  * ch1 context-window chunking. */
+class TokenizerQueriesSpec extends SparkSpec {
+  import TokenizerQueries._
+
+  /** Independent reference: textbook BPE (Sennrich et al. 2016, alg. 1)
+    * on a word-frequency map — recount all pairs, take the (count desc,
+    * pair asc) argmax, merge left-to-right non-overlapping, repeat.
+    * Written against Scala collections only; shares no code with the
+    * Spark implementation. */
+  private def referenceBpe(wordFreq: Map[String, Long], k: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = wordFreq.map { case (w, c) =>
+      (w.toVector.map(_.toString) :+ "</w>") -> c
+    }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (rank <- 1 to k) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, l + r, c))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result()
+        } { case (_, c) => c }(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bpe1: pair counts weight by word frequency and append </w>") {
+    val d = docsDf(Seq((1L, "aa aa ab"), (2L, "aa")))
+    val rows = bpe1From(d)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // words: aa×3, ab×1 → pairs: (a,a)=3, (a,</w>)=3, (a,b)=1, (b,</w>)=1
+    assert(rows === Seq(
+      (1L, "a", "</w>", 3L),
+      (2L, "a", "a", 3L),
+      (3L, "a", "b", 1L),
+      (4L, "b", "</w>", 1L)))
+  }
+
+  test("bpe1: single-char words produce only the </w> pair") {
+    val d = docsDf(Seq((1L, "x x y")))
+    val rows = bpe1From(d)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows.toSet === Set(("x", "</w>", 2L), ("y", "</w>", 1L)))
+  }
+
+  test("bpe2: merge fold is left-to-right non-overlapping (aaa → [aa, a])") {
+    val d = docsDf(Seq((1L, "aaa")))
+    val merges = bpeTrain(d, 2)
+    // chars: a a a </w>. pairs: (a,a)=2, (a,</w>)=1 → merge1 = aa.
+    // then: aa a </w> → pairs (aa,a)=1, (a,</w>)=1 → tie on count,
+    // (a,</w>) < (aa,a) lexicographically → merge2 = a</w>.
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pair_count)) === Seq(
+      (1, "a", "a", 2L),
+      (2, "a", "</w>", 1L)))
+  }
+
+  test("bpe2 == independent textbook BPE on sf0.001 documents (k=8)") {
+    val docs = graft.Tables(spark, sf(), "documents")
+    import spark.implicits._
+    val wf = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceBpe(wf, 8)
+    val got = bpeTrain(docs, 8)
+      .map(m => (m.rank, m.left, m.right, m.merged, m.pair_count))
+    assert(got === expected)
+  }
+
+  test("bpe2 stops early when every word is fully merged") {
+    val d = docsDf(Seq((1L, "ab ab")))
+    // a b </w> → ab </w> → ab</w> → nothing left to pair
+    val merges = bpeTrain(d, 10)
+    assert(merges.map(m => (m.left, m.right)) ===
+      Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("ch1: short doc is one partial chunk; long doc overlaps at stride 24") {
+    val shortDoc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val longDoc = (1 to 60).map(i => s"u$i").mkString(" ")
+    val d = docsDf(Seq((1L, shortDoc), (2L, longDoc)))
+    val rows = ch1From(d)
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    // doc1: n=10 ≤ 32 → 1 chunk of 10.
+    // doc2: n=60 → 1 + ceil(28/24) = 3 chunks: [0,32), [24,56), [48,60).
+    assert(rows === Seq(
+      (1L, 0L, 0L, 10L),
+      (2L, 0L, 0L, 32L),
+      (2L, 1L, 24L, 32L),
+      (2L, 2L, 48L, 12L)))
+  }
+
+  test("ch1: chunk md5 is the content address of the joined token span") {
+    val d = docsDf(Seq((1L, "a b c")))
+    val got = ch1From(d).select("chunk_md5").collect()(0).getString(0)
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got === exp)
+  }
+
+  test("ch1: no shuffle — plan is scan-side only") {
+    val d = graft.Tables(spark, sf(), "documents")
+    val plan = ch1From(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
