@@ -203,7 +203,10 @@ object TokenizerQueries {
     * empties every later stage, matching [[bpeTrain]]'s early stop.
     * chr(1) is safe as the symbol separator: symbols are document
     * characters, and control characters never survive ingest. */
-  val bpe2Sql: String = {
+  /** Shared WITH-prefix for the SQL replays: word frequencies, the
+    * chr(1)-encoded symbol table `s0`, and the [[K]] merge stages
+    * `t1..tK` (argmax pairs) / `s1..sK` (folded symbol tables). */
+  private val bpeStagesSql: String = {
     val stages = (1 to K).map { k =>
       val prev = if (k == 1) "s0" else s"s${k - 1}"
       s"""p$k AS (
@@ -222,10 +225,6 @@ object TokenizerQueries {
          |      ELSE a || chr(1) || c END) AS syms, cnt
          |  FROM $prev, t$k)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to K).map { k =>
-      s"SELECT CAST($k AS INT) AS rank, l AS \"left\", r AS \"right\", " +
-        s"l || r AS merged, pair_count FROM t$k"
-    }.mkString("\nUNION ALL\n")
     s"""WITH toks AS (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |wf AS (
@@ -235,9 +234,66 @@ object TokenizerQueries {
        |  SELECT array_to_string(
        |    list_append(string_split(word, ''), '$Eow'), chr(1)) AS syms, cnt
        |  FROM wf),
-       |$stages
-       |$out""".stripMargin
+       |$stages""".stripMargin
   }
+
+  val bpe2Sql: String = {
+    val out = (1 to K).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, l AS \"left\", r AS \"right\", " +
+        s"l || r AS merged, pair_count FROM t$k"
+    }.mkString("\nUNION ALL\n")
+    s"$bpeStagesSql\n$out"
+  }
+
+  // ---------------- bpe3: segmentation statistics ----------------
+
+  /** Apply a learned merge list to a symbol-array column: the merges
+    * fold through in rank order, each a [[mergeFold]] pass — the
+    * inference half of BPE, usable on any corpus once [[bpeTrain]]
+    * has produced the list. */
+  def applyMerges(syms: Column, merges: Seq[BpeMerge]): Column =
+    merges.foldLeft(syms)((c, m) => mergeFold(c, m.left, m.right))
+
+  /** BPE3: segment the corpus with the [[K]] learned merges and report
+    * the compression they buy — corpus word count, character-level
+    * token count (chars + one [[Eow]] per word: merge step zero), the
+    * post-merge BPE token count, and the chars-per-token ratio. The
+    * train → apply → measure loop closed: this is the number a
+    * tokenizer ablation actually reads. One vocab-sized projection
+    * (all [[K]] folds in a single whole-stage-codegen pass) + a 1-row
+    * aggregate; the SQL twin reads the generated stage `s$K`'s symbol
+    * table, so Spark's fold and DuckDB's `list_reduce` replay must
+    * agree word-by-word for the sums to match. */
+  def bpe3SegmentStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val merges = bpeTrain(docs, K)
+    val syms0 = wordFreq(docs).select(
+      concat(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        array(lit(Eow))).as("syms"),
+      $"cnt",
+      length($"word").cast("long").as("wl"))
+    syms0
+      .select(applyMerges($"syms", merges).as("syms"), $"cnt", $"wl")
+      .agg(
+        sum($"cnt").as("n_words"),
+        sum(($"wl" + 1L) * $"cnt").as("n_char_tokens"),
+        sum(size($"syms").cast("long") * $"cnt").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        $"n_char_tokens".cast("double") / $"n_bpe_tokens")
+  }
+
+  val bpe3Sql: String =
+    s"""$bpeStagesSql
+       |SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  (SELECT CAST(sum((length(word) + 1) * cnt) AS BIGINT) FROM wf)
+       |    AS n_char_tokens,
+       |  CAST(sum(len(string_split(syms, chr(1))) * cnt) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  CAST((SELECT sum((length(word) + 1) * cnt) FROM wf) AS DOUBLE)
+       |    / sum(len(string_split(syms, chr(1))) * cnt) AS chars_per_token
+       |FROM s$K""".stripMargin
 
   // ---------------- ch1: context-window chunking ----------------
 
@@ -301,6 +357,7 @@ object TokenizerQueries {
   val defs: Seq[(String, QueryDef)] = Seq(
     "bpe1_pair_counts" -> QueryDef.of(bpe1Sql)(bpe1PairCounts),
     "bpe2_merge_vocab" -> QueryDef.of(bpe2Sql)(bpe2MergeVocab),
+    "bpe3_segment_stats" -> QueryDef.of(bpe3Sql)(bpe3SegmentStats),
     "ch1_context_chunks" -> QueryDef.of(ch1Sql)(ch1ContextChunks)
   )
 }

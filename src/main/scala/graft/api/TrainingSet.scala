@@ -212,4 +212,19 @@ object TrainingSet {
       stratumCol: String, n: Int, salt: String = "strat"): DataFrame =
     graft.analytics.TrainingSetQueries
       .exactStratifiedFrom(docs, idCol, stratumCol, n, salt)
+
+  /** Overlapping context-window chunks (oracle-proven ch1 shape):
+    * one row per W-token window at stride S with an md5 content
+    * address. Pure scan-side flatMap — no shuffle at any corpus
+    * size. */
+  def contextChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.analytics.TokenizerQueries.ch1From(std(docs, idCol, textCol))
+
+  /** Learn `k` BPE merges distributed over the corpus (oracle-proven
+    * bpe2 loop: one vocab-bounded argmax aggregation per merge). */
+  def bpeMerges(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text")
+      : Seq[graft.analytics.TokenizerQueries.BpeMerge] =
+    graft.analytics.TokenizerQueries.bpeTrain(std(docs, idCol, textCol), k)
 }

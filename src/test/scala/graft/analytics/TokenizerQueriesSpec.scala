@@ -106,6 +106,38 @@ class TokenizerQueriesSpec extends SparkSpec {
       Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("bpe3: segmentation stats match the reference segmentation on sf0.001") {
+    val docs = graft.Tables(spark, sf(), "documents")
+    import spark.implicits._
+    val wf = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // reference: apply the textbook merges to every word, left-to-right
+    // non-overlapping, in rank order
+    val merges = referenceBpe(wf, 8).map { case (_, l, r, _, _) => (l, r) }
+    def applyRef(word: String): Vector[String] =
+      merges.foldLeft(word.toVector.map(_.toString) :+ "</w>") {
+        case (syms, (l, r)) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result()
+      }
+    val expBpeTokens = wf.map { case (w, c) => applyRef(w).length * c }.sum
+    val expCharTokens = wf.map { case (w, c) => (w.length + 1L) * c }.sum
+    val row = TokenizerQueries.bpe3SegmentStats(spark, sf()).collect()(0)
+    assert(row.getLong(0) === wf.values.sum)
+    assert(row.getLong(1) === expCharTokens)
+    assert(row.getLong(2) === expBpeTokens)
+    assert(row.getDouble(3) === expCharTokens.toDouble / expBpeTokens)
+  }
+
   test("ch1: short doc is one partial chunk; long doc overlaps at stride 24") {
     val shortDoc = (1 to 10).map(i => s"t$i").mkString(" ")
     val longDoc = (1 to 60).map(i => s"u$i").mkString(" ")

@@ -201,4 +201,16 @@ class TrainingSetSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(other != once)
   }
+
+  test("contextChunks == oracle-proven ch1") {
+    assert(rows(TrainingSet.contextChunks(docs)) ==
+      rows(graft.analytics.TokenizerQueries.ch1ContextChunks(spark, sf())))
+  }
+
+  test("bpeMerges == oracle-proven bpe2") {
+    val viaFacade = TrainingSet.bpeMerges(docs, 4)
+    val viaRegistry = graft.analytics.TokenizerQueries
+      .bpeTrain(Tables(spark, sf(), "documents"), 4)
+    assert(viaFacade == viaRegistry)
+  }
 }
