@@ -130,21 +130,28 @@ object TokenizerQueries {
     * break (the consumed-separator problem). A second, independent
     * gate is [[TokenizerQueriesSpec]]'s single-node textbook
     * implementation. */
-  def bpeTrain(docs: DataFrame, k: Int): Seq[BpeMerge] = {
-    import docs.sparkSession.implicits._
-    val spark = docs.sparkSession
-    var syms = wordFreq(docs).select(
-      concat(
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-        array(lit(Eow))).as("syms"),
-      $"cnt")
-      .persist()
-    syms.count() // materialize before the loop references it k times
+  /** The character-symbol column for a `word` column: chars + [[Eow]]. */
+  private def charSyms: Column = concat(
+    expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    array(lit(Eow)))
+
+  /** The loop body over an (ideally cached) symbol table with columns
+    * `syms: array<string>, cnt: long` (extra columns tolerated).
+    * Iteration i reads the CACHED base and re-applies the i−1 merges
+    * learned so far as one collapsed scan-side fold chain — no
+    * per-iteration persist, no materialization job: exactly ONE
+    * vocab-bounded aggregation job per merge (re-folding costs
+    * O(k²·|vocab|) lambda evaluations total, trivial at audit k; the
+    * delta-recount variant replaces this at real-vocab k). */
+  private def trainOn(syms0: DataFrame, k: Int): Seq[BpeMerge] = {
+    import syms0.sparkSession.implicits._
     val merges = Seq.newBuilder[BpeMerge]
+    var applied = Vector.empty[BpeMerge]
     var done = false
     var iter = 1
     while (iter <= k && !done) {
-      val top = syms
+      val top = syms0
+        .select(applyMerges($"syms", applied).as("syms"), $"cnt")
         .filter(size($"syms") >= 2)
         .select($"cnt", explode(expr(
           """transform(sequence(1, size(syms) - 1),
@@ -159,17 +166,19 @@ object TokenizerQueries {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
-        merges += BpeMerge(iter, l, r, l + r, c)
-        val next = syms.select(mergeFold($"syms", l, r).as("syms"), $"cnt")
-          .persist()
-        next.count()
-        syms.unpersist()
-        syms = next
+        val m = BpeMerge(iter, l, r, l + r, c)
+        merges += m
+        applied :+= m
         iter += 1
       }
     }
-    syms.unpersist()
     merges.result()
+  }
+
+  def bpeTrain(docs: DataFrame, k: Int): Seq[BpeMerge] = {
+    import docs.sparkSession.implicits._
+    val s0 = wordFreq(docs).select(charSyms.as("syms"), $"cnt").persist()
+    try trainOn(s0, k) finally s0.unpersist()
   }
 
   /** Left-to-right non-overlapping merge of adjacent (l, r) in a symbol
@@ -267,21 +276,26 @@ object TokenizerQueries {
   def bpe3SegmentStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val merges = bpeTrain(docs, K)
-    val syms0 = wordFreq(docs).select(
-      concat(
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-        array(lit(Eow))).as("syms"),
-      $"cnt",
-      length($"word").cast("long").as("wl"))
-    syms0
-      .select(applyMerges($"syms", merges).as("syms"), $"cnt", $"wl")
-      .agg(
-        sum($"cnt").as("n_words"),
-        sum(($"wl" + 1L) * $"cnt").as("n_char_tokens"),
-        sum(size($"syms").cast("long") * $"cnt").as("n_bpe_tokens"))
-      .withColumn("chars_per_token",
-        $"n_char_tokens".cast("double") / $"n_bpe_tokens")
+    // one shared cached vocab table feeds both the training loop and
+    // the final audit aggregate (the wl column rides along untouched);
+    // the 1-row result is computed eagerly so the cache can be dropped
+    // before returning
+    val s0 = wordFreq(docs).select(charSyms.as("syms"), $"cnt",
+      length($"word").cast("long").as("wl")).persist()
+    try {
+      val merges = trainOn(s0, K)
+      val row = s0
+        .select(applyMerges($"syms", merges).as("syms"), $"cnt", $"wl")
+        .agg(
+          sum($"cnt").as("n_words"),
+          sum(($"wl" + 1L) * $"cnt").as("n_char_tokens"),
+          sum(size($"syms").cast("long") * $"cnt").as("n_bpe_tokens"))
+        .withColumn("chars_per_token",
+          $"n_char_tokens".cast("double") / $"n_bpe_tokens")
+        .collect()(0)
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3)))
+        .toDF("n_words", "n_char_tokens", "n_bpe_tokens", "chars_per_token")
+    } finally s0.unpersist()
   }
 
   val bpe3Sql: String =

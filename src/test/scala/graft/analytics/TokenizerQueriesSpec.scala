@@ -138,6 +138,26 @@ class TokenizerQueriesSpec extends SparkSpec {
     assert(row.getDouble(3) === expCharTokens.toDouble / expBpeTokens)
   }
 
+  test("bpe2 == textbook BPE on adversarial corpora (repeat-heavy fuzz)") {
+    // back-to-back pair repeats ('aaaa'), cross-word ties, and
+    // single-char words are where merge folds typically diverge from
+    // the textbook greedy pass — 30 seeded random corpora over a tiny
+    // alphabet maximize those collisions
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 30) {
+      val words = Seq.fill(1 + rnd.nextInt(6)) {
+        Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(2)).toChar).mkString
+      }
+      val text = words.mkString(" ")
+      val d = docsDf(Seq((1L, text)))
+      val wf = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val exp = referenceBpe(wf, 4)
+      val got = bpeTrain(d, 4)
+        .map(m => (m.rank, m.left, m.right, m.merged, m.pair_count))
+      assert(got === exp, s"corpus: '$text'")
+    }
+  }
+
   test("ch1: short doc is one partial chunk; long doc overlaps at stride 24") {
     val shortDoc = (1 to 10).map(i => s"t$i").mkString(" ")
     val longDoc = (1 to 60).map(i => s"u$i").mkString(" ")
