@@ -73,6 +73,10 @@ import graft.store.EventStore
   *    probe-pruned reads plus the occupancy stats that trigger
   *    re-seeding. Deltas ride inline JSON (service-sized) or a parquet
   *    `source` path (bulk; the door only triggers the cluster job).
+  *  - **tokenizer services**: `/tokenizer/train` (k BPE merges learned
+  *    over an inline or parquet corpus — the response is the k-row
+  *    merge list, bounded at any corpus size) and `/tokenizer/chunks`
+  *    (row-capped context-window chunking).
   *  - **materialized views** (upstream `MaterializedViewHttpService` /
   *    `PrestoMaterializedViewService` semantics over
   *    [[graft.store.MaterializedView]]):
@@ -196,6 +200,8 @@ final class HttpGateway(
     server.createContext("/index/text/phrase", route(authed(MasterRole)(handleTextPhrase)))
     server.createContext("/index/text/stats", route(authed(MasterRole)(handleTextStats)))
     server.createContext("/index/text/compact", route(authed(MasterRole)(handleTextCompact)))
+    server.createContext("/tokenizer/train", route(authed(MasterRole)(handleTokenizerTrain)))
+    server.createContext("/tokenizer/chunks", route(authed(MasterRole)(handleTokenizerChunks)))
     server.createContext("/materialized-view/create", route(authed(MasterRole)(handleMvCreate)))
     server.createContext("/materialized-view/get", route(authed(MasterRole)(handleMvGet)))
     server.createContext("/materialized-view/list", route(authed(MasterRole)(handleMvList)))
@@ -1470,6 +1476,44 @@ final class HttpGateway(
         deferDeletion = true)
     }
     (200, """{"success":true}""")
+  }
+
+  // -------- tokenizer services (bpe2/ch1 made operable) --------
+
+  /** `POST /tokenizer/train` — learn `k` BPE merges over the posted
+    * corpus (inline `docs` or a parquet `source` path; the
+    * oracle-proven bpe2 loop). The response is the merge list itself —
+    * k rows, bounded regardless of corpus size. */
+  private def handleTokenizerTrain(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val k = Option(root.get("k")).map(_.asInt()).getOrElse(8)
+    if (k < 1 || k > 64)
+      throw new IngestRejected("k must be between 1 and 64")
+    val docs = docsFrameOf(root)
+    val merges = graft.analytics.TokenizerQueries.bpeTrain(docs, k)
+    val arr = mapper.createArrayNode()
+    merges.foreach { m =>
+      val n = arr.addObject()
+      n.put("rank", m.rank); n.put("left", m.left); n.put("right", m.right)
+      n.put("merged", m.merged); n.put("pair_count", m.pair_count)
+    }
+    (200, mapper.writeValueAsString(arr))
+  }
+
+  /** `POST /tokenizer/chunks` — overlapping context-window chunks of
+    * the posted corpus (the oracle-proven ch1 shape), served ordered by
+    * (doc_id, chunk_idx) and row-capped: a parquet `source` can be
+    * cluster-sized, so the door never collects unboundedly. */
+  private def handleTokenizerChunks(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val limit = Option(root.get("limit")).map(_.asInt()).getOrElse(1000)
+    if (limit < 1 || limit > 10000)
+      throw new IngestRejected("limit must be between 1 and 10000")
+    val rows = graft.analytics.TokenizerQueries.ch1From(docsFrameOf(root))
+      .orderBy(col("doc_id"), col("chunk_idx")).limit(limit)
+    (200, rows.toJSON.collect().mkString("[", ",", "]"))
   }
 
   // -------- materialized views (MaterializedViewHttpService upstream) --------

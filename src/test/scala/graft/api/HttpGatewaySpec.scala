@@ -1037,6 +1037,42 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("tokenizer over HTTP: train returns the merge list; chunks are " +
+    "row-capped and ordered") {
+    withGateway { (_, port) =>
+      // 'aa aa ab' + 'aa': top pair at step 0 is (a,</w>)=3 tied with
+      // (a,a)=3, broken lexicographically → first merge is a</w>
+      val train = post(port, "/tokenizer/train",
+        """{"k": 2, "docs": [
+          |{"doc_id": 1, "text": "aa aa ab"},
+          |{"doc_id": 2, "text": "aa"}]}""".stripMargin)
+      assert(train.statusCode() == 200, train.body())
+      assert(train.body().startsWith(
+        """[{"rank":1,"left":"a","right":"</w>","merged":"a</w>","pair_count":3}"""),
+        train.body())
+      assert("""\{"rank":2""".r.findFirstIn(train.body()).isDefined, train.body())
+
+      assert(post(port, "/tokenizer/train",
+        """{"k": 0, "docs": []}""").statusCode() == 400)
+      assert(post(port, "/tokenizer/train",
+        """{"k": 2}""").statusCode() == 400)
+
+      // 60 tokens at W=32/S=24 → 3 chunks; limit=2 caps in order
+      val text = (1 to 60).map(i => s"t$i").mkString(" ")
+      val ch = post(port, "/tokenizer/chunks",
+        s"""{"docs": [{"doc_id": 7, "text": "$text"}]}""")
+      assert(ch.statusCode() == 200, ch.body())
+      assert(""""chunk_idx":(\d+)""".r.findAllMatchIn(ch.body())
+        .map(_.group(1).toInt).toSeq == Seq(0, 1, 2), ch.body())
+      val capped = post(port, "/tokenizer/chunks",
+        s"""{"limit": 2, "docs": [{"doc_id": 7, "text": "$text"}]}""")
+      assert(""""chunk_idx":(\d+)""".r.findAllMatchIn(capped.body())
+        .map(_.group(1).toInt).toSeq == Seq(0, 1), capped.body())
+      assert(post(port, "/tokenizer/chunks",
+        """{"limit": 0, "docs": []}""").statusCode() == 400)
+    }
+  }
+
   test("a configured lock key is enforced on the lock_key door") {
     val registry = SchemaRegistry.inMemory()
     val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
