@@ -28,6 +28,7 @@ object SparkEntry {
       analytics.RetrievalQueries.defs ++
       analytics.ProjectionQueries.defs ++
       analytics.TokenizerQueries.defs ++
+      analytics.SequenceQueries.defs ++
       analytics.LayoutQueries.defs ++
       store.MaterializedView.defs ++
       store.DedupIndex.defs ++

@@ -1,0 +1,125 @@
+package graft.analytics
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-model training-example construction over the event log —
+  * the "behavioral corpus" counterpart of the document-side pipeline:
+  * next-event prediction windows (the dataset shape sequential
+  * recommenders and session models train on) and deterministic
+  * negative sampling. The reference's event log is query-only; these
+  * turn it into training data with the same oracle discipline as the
+  * rest of the registry.
+  *
+  * Scale posture (100 TB): sq1 is ONE shuffle (hash by user) and one
+  * ordered window pass per user partition — the same shape as
+  * sessionization (w2), with per-user state bounded by the context
+  * width. sq2 is shuffle-free on the event side: the label vocabulary
+  * (event types — small by nature, it is an enum in every real
+  * pipeline) reduces to a 1-row broadcast and the per-row candidate
+  * ranking is an array sort of |vocab| structs inside the scan
+  * projection. A huge-vocab variant would replace the sort with
+  * hash-bucketed draws; at enum scale the sort is exact and cheaper.
+  */
+object SequenceQueries {
+
+  /** Context window width (previous events per example). */
+  private val C = 5
+
+  /** Negatives per example. */
+  private val M = 2
+
+  /** SQ1: next-event prediction examples — for every event with at
+    * least one predecessor, the up-to-[[C]] previous event types (in
+    * event order) and the current type as label. Order inside a user
+    * is (ts, event_id): event_id breaks timestamp ties, so the window
+    * content is a total order and the emitted arrays are
+    * deterministic — the retry/speculation-safety rule every other
+    * hash-keyed decision in this engine follows. */
+  def sq1From(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-C, -1)
+    events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("context", collect_list($"event_type").over(w))
+      .filter(size($"context") > 0)
+      .select(
+        $"user_id",
+        $"event_id",
+        $"event_type".as("label"),
+        $"context",
+        size($"context").as("n_context"))
+  }
+
+  def sq1NextEvent(spark: SparkSession, dir: String): DataFrame =
+    sq1From(Tables(spark, dir, "events"))
+
+  val sq1Sql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, event_type,
+       |    list(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN $C PRECEDING AND 1 PRECEDING) AS context
+       |  FROM events)
+       |SELECT user_id, event_id, event_type AS label, context,
+       |  CAST(len(context) AS INT) AS n_context
+       |FROM x WHERE len(context) > 0""".stripMargin
+
+  /** SQ2: deterministic negative sampling — for every event, [[M]]
+    * event types that are NOT the label, drawn by ranking the
+    * vocabulary on `md5(event_id || ':' || type)`: a fresh
+    * pseudo-random order per example, yet reproducible under retries
+    * and engine-independent (hex md5 compares identically everywhere).
+    * The vocabulary reduces once (sorted collect_set → 1-row
+    * broadcast) and the draw is an array sort in the scan projection —
+    * the event side never shuffles. */
+  def sq2From(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val vocab = events.agg(
+      sort_array(collect_set($"event_type")).as("vocab"))
+    events
+      .select($"user_id", $"event_id", $"event_type".as("label"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("negatives", expr(
+        s"""transform(
+           |  slice(
+           |    filter(
+           |      array_sort(transform(vocab,
+           |        t -> struct(md5(CAST(concat(CAST(event_id AS STRING), ':', t) AS BINARY)) AS h,
+           |                    t AS t))),
+           |      s -> s.t != label),
+           |    1, $M),
+           |  s -> s.t)""".stripMargin))
+      .select($"user_id", $"event_id", $"label", $"negatives")
+  }
+
+  def sq2Negatives(spark: SparkSession, dir: String): DataFrame =
+    sq2From(Tables(spark, dir, "events"))
+
+  val sq2Sql: String =
+    s"""WITH v AS (
+       |  SELECT list(t ORDER BY t) AS vocab
+       |  FROM (SELECT DISTINCT event_type AS t FROM events)),
+       |e AS (
+       |  SELECT user_id, event_id, event_type AS label, vocab
+       |  FROM events, v)
+       |SELECT user_id, event_id, label,
+       |  list_transform(
+       |    list_slice(
+       |      list_filter(
+       |        list_sort(list_transform(vocab,
+       |          t -> {'h': md5(CAST(event_id AS VARCHAR) || ':' || t),
+       |                't': t})),
+       |        s -> s.t <> label),
+       |      1, $M),
+       |    s -> s.t) AS negatives
+       |FROM e""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "sq1_next_event" -> QueryDef.of(sq1Sql)(sq1NextEvent),
+    "sq2_negatives" -> QueryDef.of(sq2Sql)(sq2Negatives)
+  )
+}

@@ -1,0 +1,92 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sequence-example construction: window content, ordering
+  * determinism, negative-draw properties, and the plan shapes the
+  * 100 TB posture claims. */
+class SequenceQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, java.sql.Timestamp, String)]) =
+    rows.toDF("event_id", "user_id", "ts", "event_type")
+
+  private def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  test("sq1: context is the previous ≤5 types in (ts, event_id) order") {
+    val d = ev(Seq(
+      (1L, 7L, t(10), "a"), (2L, 7L, t(20), "b"), (3L, 7L, t(30), "c"),
+      (9L, 8L, t(5), "z")))
+    val rows = SequenceQueries.sq1From(d)
+      .select("event_id", "label", "context")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toList))
+      .sortBy(_._1)
+    // user 8's single event has no predecessor → no example
+    assert(rows.toSeq === Seq(
+      (2L, "b", List("a")),
+      (3L, "c", List("a", "b"))))
+  }
+
+  test("sq1: event_id breaks timestamp ties deterministically") {
+    val d = ev(Seq(
+      (5L, 1L, t(10), "x"), (4L, 1L, t(10), "y"), (6L, 1L, t(10), "z")))
+    val rows = SequenceQueries.sq1From(d)
+      .select("event_id", "context").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (5L, List("y")),
+      (6L, List("y", "x"))))
+  }
+
+  test("sq1: window longer than 5 predecessors truncates to the last 5") {
+    val d = ev((1 to 8).map(i => (i.toLong, 1L, t(i * 10L), s"e$i")))
+    val last = SequenceQueries.sq1From(d)
+      .filter($"event_id" === 8L).select("context").collect()(0)
+      .getSeq[String](0).toList
+    assert(last === List("e3", "e4", "e5", "e6", "e7"))
+  }
+
+  test("sq2: negatives exclude the label, are distinct, and are stable") {
+    val d = ev(Seq(
+      (1L, 7L, t(10), "a"), (2L, 7L, t(20), "b"), (3L, 8L, t(30), "c")))
+    val rows = SequenceQueries.sq2From(d)
+      .select("event_id", "label", "negatives").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toList))
+    rows.foreach { case (_, label, negs) =>
+      assert(!negs.contains(label))
+      assert(negs.distinct == negs)
+      assert(negs.size == 2)
+    }
+    // determinism under recomputation and repartitioning
+    val again = SequenceQueries.sq2From(d.repartition(7))
+      .select("event_id", "label", "negatives").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toList))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("sq2: different examples draw different negative orders") {
+    val d = ev((1 to 20).map(i => (i.toLong, 1L, t(i * 10L), "a")) ++
+      Seq((100L, 2L, t(1), "b"), (101L, 2L, t(2), "c"),
+        (102L, 2L, t(3), "d")))
+    val negs = SequenceQueries.sq2From(d)
+      .filter($"label" === "a").select("negatives").collect()
+      .map(_.getSeq[String](0).toList).toSeq
+    // with 3 non-label types and 20 draws, a fixed order for all
+    // examples would mean the hash ignores event_id
+    assert(negs.distinct.size > 1, negs)
+  }
+
+  test("plan shapes: sq1 shuffles once by user; sq2's event side never shuffles") {
+    val d = graft.Tables(spark, sf(), "events")
+    val p1 = SequenceQueries.sq1From(d).queryExecution.executedPlan.toString
+    assert(p1.contains("hashpartitioning(user_id"), p1)
+    assert("Exchange hashpartitioning".r.findAllIn(p1).size == 1, p1)
+    val p2 = SequenceQueries.sq2From(d).queryExecution.executedPlan.toString
+    // the only exchanges are the vocab reduction (single partition) and
+    // its broadcast — no hash exchange of event rows
+    assert(!p2.contains("Exchange hashpartitioning"), p2)
+    assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("BroadcastExchange"), p2)
+  }
+}
