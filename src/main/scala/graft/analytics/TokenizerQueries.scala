@@ -329,6 +329,11 @@ object TokenizerQueries {
   def ch1From(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
+      // a NULL text must produce zero chunks in both engines: without
+      // the fence Spark's size(NULL) = -1 rides into the chunk count
+      // (one garbage row) while the SQL twin's range(0, NULL) emits
+      // nothing — silent divergence exactly on dirty corpora
+      .filter($"text".isNotNull)
       .withColumn("toks", split($"text", " "))
       .withColumn("n", size($"toks").cast("long"))
       .withColumn("nchunks",

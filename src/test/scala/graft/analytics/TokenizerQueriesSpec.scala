@@ -176,6 +176,15 @@ class TokenizerQueriesSpec extends SparkSpec {
       (2L, 2L, 48L, 12L)))
   }
 
+  test("ch1: a NULL text yields zero chunks, not a garbage row") {
+    import spark.implicits._
+    val d = Seq((1L, Some("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val ids = TokenizerQueries.ch1From(d)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids === Seq(1L))
+  }
+
   test("ch1: chunk md5 is the content address of the joined token span") {
     val d = docsDf(Seq((1L, "a b c")))
     val got = ch1From(d).select("chunk_md5").collect()(0).getString(0)

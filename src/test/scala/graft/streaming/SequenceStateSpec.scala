@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming next-event examples ≡ the oracle-proven batch sq1 on
+  * in-order replay, across any micro-batch slicing; idle users' state
+  * expires. */
+class SequenceStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new java.sql.Timestamp(1_700_000_000_000L + s * 1000)
+
+  private def batchExamples(evs: Seq[SeqEvent]) = {
+    val df = evs.toDF()
+    graft.analytics.SequenceQueries.sq1From(df)
+      .select($"user_id", $"event_id", $"label", $"context", $"n_context")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getSeq[String](3).toList, r.getInt(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+  }
+
+  private def streamExamples(batches: Seq[Seq[SeqEvent]], name: String) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeqEvent]
+    val q = SequenceState.examples(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[SeqExample].collect()
+        .map(e => (e.user_id, e.event_id, e.label, e.context.toList,
+          e.n_context))
+        .sortBy(x => (x._1, x._2)).toSeq
+    } finally q.stop()
+  }
+
+  private val journey = Seq(
+    SeqEvent(1L, 1L, t(0), "view"), SeqEvent(1L, 2L, t(10), "click"),
+    SeqEvent(1L, 3L, t(20), "view"), SeqEvent(1L, 4L, t(30), "purchase"),
+    SeqEvent(1L, 5L, t(40), "view"), SeqEvent(1L, 6L, t(50), "error"),
+    SeqEvent(1L, 7L, t(60), "click"), SeqEvent(2L, 8L, t(5), "signup"),
+    SeqEvent(2L, 9L, t(15), "view"))
+
+  test("one batch: streaming examples == batch sq1") {
+    assert(streamExamples(Seq(journey), "seq_one") === batchExamples(journey))
+  }
+
+  test("replayed in-order across three micro-batches: identical output") {
+    // in-order replay = GLOBAL event-time order across batches (the
+    // commit-log contract); a slicing that interleaves old events into
+    // later batches puts them behind the watermark, and the operator
+    // rightly drops them
+    val ordered = journey.sortBy(e => (e.ts.getTime, e.event_id))
+    val sliced = Seq(ordered.take(3), ordered.slice(3, 6), ordered.drop(6))
+    assert(streamExamples(sliced, "seq_three") === batchExamples(journey))
+  }
+
+  test("context trims to the last 5 types, matching the batch window") {
+    val exs = streamExamples(Seq(journey), "seq_trim")
+    val last = exs.find(_._2 == 7L).get
+    assert(last._4 === List("click", "view", "purchase", "view", "error"))
+    assert(last._5 === 5)
+  }
+
+  test("an idle user's state expires and a later event starts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeqEvent]
+    val q = SequenceState.examples(mem.toDS(), idleMs = 60 * 1000)
+      .writeStream.format("memory").queryName("seq_idle")
+      .outputMode("append").start()
+    try {
+      mem.addData(SeqEvent(9L, 1L, t(0), "view"))
+      q.processAllAvailable()
+      // another user's much-later event advances the watermark past
+      // user 9's idle deadline; one more batch runs the timeout pass
+      mem.addData(SeqEvent(8L, 2L, t(600), "click"))
+      q.processAllAvailable()
+      mem.addData(SeqEvent(8L, 3L, t(660), "click"))
+      q.processAllAvailable()
+      // user 9 returns: history was expired, so the first event back
+      // has NO context — no example emitted for it
+      mem.addData(SeqEvent(9L, 4L, t(700), "purchase"))
+      q.processAllAvailable()
+      val u9 = spark.table("seq_idle").as[SeqExample].collect()
+        .filter(_.user_id == 9L)
+      assert(u9.isEmpty, u9.toSeq)
+    } finally q.stop()
+  }
+}
