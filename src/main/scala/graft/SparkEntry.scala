@@ -33,7 +33,8 @@ object SparkEntry {
       store.MaterializedView.defs ++
       store.DedupIndex.defs ++
       store.AnnIndex.defs ++
-      store.InvertedIndex.defs
+      store.InvertedIndex.defs ++
+      store.VocabStore.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -28,8 +28,10 @@ object TokenizerQueries {
 
   /** Word-frequency table: whitespace words with empty tokens dropped
     * (consecutive-space artifacts — both engines' split keeps them).
-    * The ONE corpus-sized shuffle in the family. */
-  private def wordFreq(docs: DataFrame): DataFrame = {
+    * The ONE corpus-sized shuffle in the family. Public: this frame is
+    * the ALGEBRAIC state the [[graft.store.VocabStore]] maintains
+    * incrementally (counts sum-merge from per-batch partials). */
+  def wordFreq(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select(explode(split($"text", " ")).as("word"))
@@ -48,9 +50,14 @@ object TokenizerQueries {
     * tokenizer learn first" audit). Guard: `sequence(1, n-1)` is only
     * taken for n ≥ 2 — Spark's `sequence(1, 0)` counts DOWN, so the
     * single-char case must short-circuit to the empty array. */
-  def bpe1From(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val wf = wordFreq(docs)
+  def bpe1From(docs: DataFrame): DataFrame =
+    pairCountsFromWordFreq(wordFreq(docs))
+
+  /** The bpe1 ranking over an existing `(word, cnt)` frame — shared by
+    * the batchless query and the [[graft.store.VocabStore]]-served
+    * variant (which never re-scans the corpus). */
+  def pairCountsFromWordFreq(wf: DataFrame): DataFrame = {
+    import wf.sparkSession.implicits._
     val intra = expr(
       """CASE WHEN length(word) >= 2 THEN
         |  transform(sequence(1, length(word) - 1),
@@ -175,9 +182,15 @@ object TokenizerQueries {
     merges.result()
   }
 
-  def bpeTrain(docs: DataFrame, k: Int): Seq[BpeMerge] = {
-    import docs.sparkSession.implicits._
-    val s0 = wordFreq(docs).select(charSyms.as("syms"), $"cnt").persist()
+  def bpeTrain(docs: DataFrame, k: Int): Seq[BpeMerge] =
+    bpeTrainOnWordFreq(wordFreq(docs), k)
+
+  /** Train from an existing `(word, cnt)` frame — the
+    * [[graft.store.VocabStore]]-served path: merges learn from the
+    * maintained vocabulary state without touching the corpus. */
+  def bpeTrainOnWordFreq(wf: DataFrame, k: Int): Seq[BpeMerge] = {
+    import wf.sparkSession.implicits._
+    val s0 = wf.select(charSyms.as("syms"), $"cnt").persist()
     try trainOn(s0, k) finally s0.unpersist()
   }
 

@@ -1,0 +1,119 @@
+package graft.store
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.TokenizerQueries
+
+/** Incremental corpus vocabulary — word frequencies as a maintained
+  * store, the state every tokenizer-side operator reads: bpe1 pair
+  * ranking, bpe2 merge learning, and corpus token accounting all run
+  * from the |vocab|-sized frame WITHOUT re-scanning history. At 100 TB
+  * the corpus-sized word-count shuffle happens once per delta batch
+  * (O(delta)), and every later tokenizer question costs |vocab|.
+  *
+  * Word counts are an ALGEBRAIC state in the [[MaterializedView]]
+  * sense: sum is commutative + associative, so per-batch partials
+  * merge in any batch layout and the incremental fold is
+  * oracle-checkable against the batchless computation (vs1 — the mv1/
+  * di1 pattern). Replay safety differs from [[DedupIndex]]'s min-state
+  * (where re-merging is idempotent): a re-SUMMED batch would
+  * double-count, so the persisted batch fence is load-bearing here,
+  * not merely an optimization — the spec pins a replayed batch to a
+  * no-op.
+  *
+  * Persistence is the shared [[VersionedState]] layout: versioned
+  * parquet + atomic `_CURRENT` flip, `compact` for superseded
+  * versions.
+  */
+object VocabStore {
+
+  /** Partial state of one batch: its word counts. */
+  def partial(docs: DataFrame): DataFrame =
+    TokenizerQueries.wordFreq(docs)
+
+  /** Sum-merge any number of state frames (|vocab|-sized inputs). */
+  def merge(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "merge needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(col("word"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  // ---------------- persist-backed lifecycle ----------------
+
+  def initialize(docs: DataFrame, path: String, batchId: Long = -1L): Unit =
+    VersionedState.writeVersion(partial(docs), path, 1, batchId)
+
+  /** Fold a delta batch into the persisted vocabulary. */
+  def refresh(spark: SparkSession, delta: DataFrame, path: String,
+      batchId: Long = -1L): Unit = {
+    val state = VersionedState.readCurrent(spark, path)
+    VersionedState.writeVersion(
+      merge(state, partial(delta)), path,
+      VersionedState.currentVersion(path) + 1, batchId)
+  }
+
+  /** The maintained `(word, cnt)` frame (read-only). */
+  def wordFreq(spark: SparkSession, path: String): DataFrame =
+    VersionedState.readCurrent(spark, path)
+
+  /** bpe1 pair ranking served from the store — no corpus scan. */
+  def pairCounts(spark: SparkSession, path: String): DataFrame =
+    TokenizerQueries.pairCountsFromWordFreq(wordFreq(spark, path))
+
+  /** BPE merges learned from the store — no corpus scan. */
+  def train(spark: SparkSession, path: String,
+      k: Int): Seq[TokenizerQueries.BpeMerge] =
+    TokenizerQueries.bpeTrainOnWordFreq(wordFreq(spark, path), k)
+
+  /** Drop superseded state versions. */
+  def compact(path: String, grace: Int = 1): Unit =
+    VersionedState.compact(path, grace)
+
+  /** One micro-batch of [[maintain]]. The batch fence is CORRECTNESS
+    * here (sum-merge double-counts on replay, unlike min-merge): a
+    * batch id at or below the persisted fence is skipped outright;
+    * empty batches advance the fence with a pointer-only flip. */
+  def maintainBatch(delta: DataFrame, path: String, batchId: Long): Unit = {
+    if (!VersionedState.exists(path)) {
+      if (!delta.isEmpty) initialize(delta, path, batchId)
+    } else if (batchId > VersionedState.lastBatchId(path)) {
+      if (delta.isEmpty) {
+        VersionedState.writePointer(path,
+          VersionedState.currentVersion(path), batchId)
+      } else refresh(delta.sparkSession, delta, path, batchId)
+    }
+  }
+
+  /** Maintain the vocabulary CONTINUOUSLY from a document stream. */
+  def maintain(stream: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (delta: DataFrame, batchId: Long) => maintainBatch(delta, path, batchId)
+    }
+
+  // ---------------- the oracle contract ----------------
+
+  /** VS1: store-served == batchless. Build the vocabulary in two
+    * batches split at half the id range, serve the bpe1 pair ranking
+    * from the persisted state — must hash-match the batchless bpe1
+    * twin: batch boundaries cannot change a count, and the persisted
+    * round-trip preserves every bit (the di1/ix1 discipline). */
+  def vs1VocabStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab-vs1").toString
+    val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
+      .collect()(0).getLong(0)
+    initialize(docs.filter($"doc_id" <= mid), tmp)
+    refresh(spark, docs.filter($"doc_id" > mid), tmp,
+      VersionedState.lastBatchId(tmp) + 1)
+    pairCounts(spark, tmp)
+  }
+
+  val vs1Sql: String = TokenizerQueries.bpe1Sql
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "vs1_vocab_store" -> QueryDef.of(vs1Sql)(vs1VocabStore))
+}

@@ -1,0 +1,78 @@
+package graft.store
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Incremental vocabulary state: sum-merge batch invariance, the
+  * CORRECTNESS-bearing replay fence (sum double-counts where min
+  * wouldn't), store-served tokenizer queries, and streaming
+  * maintenance. */
+class VocabStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame) =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private lazy val docs = Tables(spark, sf(), "documents")
+
+  private def freshDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-vocab-$tag").toString
+
+  test("counts are invariant under batch boundaries (2, 3, 5 batches)") {
+    val oneShot = rows(VocabStore.partial(docs))
+    for (n <- Seq(2, 3, 5)) {
+      val parts = (0 until n).map(i =>
+        VocabStore.partial(docs.filter(pmod(xxhash64($"doc_id"), lit(n)) === i)))
+      assert(rows(VocabStore.merge(parts: _*)) == oneShot, s"$n batches")
+    }
+  }
+
+  test("persisted lifecycle: served pair ranking and merges == batchless") {
+    val dir = freshDir("life")
+    val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
+      .collect()(0).getLong(0)
+    VocabStore.initialize(docs.filter($"doc_id" <= mid), dir)
+    VocabStore.refresh(spark, docs.filter($"doc_id" > mid), dir, 1L)
+    assert(rows(VocabStore.pairCounts(spark, dir)) ==
+      rows(graft.analytics.TokenizerQueries.bpe1From(docs)))
+    assert(VocabStore.train(spark, dir, 4) ==
+      graft.analytics.TokenizerQueries.bpeTrain(docs, 4))
+    VocabStore.compact(dir, grace = 0)
+    assert(rows(VocabStore.pairCounts(spark, dir)) ==
+      rows(graft.analytics.TokenizerQueries.bpe1From(docs)))
+  }
+
+  test("replay fence is load-bearing: a re-delivered batch must NOT double-count") {
+    val dir = freshDir("fence")
+    val half = docs.filter($"doc_id" % 2 === 0)
+    VocabStore.maintainBatch(half, dir, 0L)
+    val before = rows(VocabStore.wordFreq(spark, dir))
+    // same batch id re-delivered: skipped outright
+    VocabStore.maintainBatch(half, dir, 0L)
+    assert(rows(VocabStore.wordFreq(spark, dir)) == before)
+    // an empty later batch advances only the fence
+    VocabStore.maintainBatch(half.limit(0), dir, 1L)
+    assert(VersionedState.lastBatchId(dir) == 1L)
+    assert(rows(VocabStore.wordFreq(spark, dir)) == before)
+  }
+
+  test("stream-maintained vocabulary equals the one-shot word counts") {
+    val dir = freshDir("stream")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = VocabStore.maintain(
+      mem.toDS().toDF("doc_id", "text"), dir)
+      .option("checkpointLocation", freshDir("ckpt")).start()
+    try {
+      val all = docs.select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (a, b) = all.splitAt(all.length / 2)
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(VocabStore.wordFreq(spark, dir)) ==
+      rows(VocabStore.partial(docs)))
+  }
+}
