@@ -70,10 +70,13 @@ object Bench {
     println(line)
     // Stdout of a forked run can be tail-truncated by whatever captures
     // it (r4 lost the first 17 entries of this line); the file copy is
-    // the lossless record.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // the lossless record. Subset runs (SPARK_GRAFT_BENCH_ONLY) must
+    // NOT clobber it — the file is the full-registry gate record, and a
+    // one-query iteration run once silently replaced it.
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object SequenceQueries {
 
-  /** Context window width (previous events per example). */
-  private val C = 5
+  /** Context window width (previous events per example). Public: the
+    * streaming twin ([[graft.streaming.SequenceState]]) defaults to it
+    * so the batch/stream parity contract survives retuning. */
+  val C = 5
 
   /** Negatives per example. */
   private val M = 2

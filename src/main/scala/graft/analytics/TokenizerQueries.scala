@@ -134,9 +134,14 @@ object TokenizerQueries {
     * merge applies via a `list_reduce` fold whose CASE mirrors
     * [[mergeFold]] exactly — including left-to-right non-overlap on
     * back-to-back repeats, where plain string `replace` encodings
-    * break (the consumed-separator problem). A second, independent
-    * gate is [[TokenizerQueriesSpec]]'s single-node textbook
-    * implementation. */
+    * break (the consumed-separator problem). A stage whose argmax CTE
+    * is empty (merges exhausted before k) passes the symbol table
+    * through unchanged — matching this loop's early stop: later argmax
+    * CTEs stay empty (no pairs exist in a fully-merged table), the
+    * bpe2 UNION emits only the learned rows, and the bpe3 aggregate
+    * reads the final real table instead of an empty one. A second,
+    * independent gate is [[TokenizerQueriesSpec]]'s single-node
+    * textbook implementation. */
   /** The character-symbol column for a `word` column: chars + [[Eow]]. */
   private def charSyms: Column = concat(
     expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
@@ -221,8 +226,12 @@ object TokenizerQueries {
   /** The k-stage SQL replay: per stage, pair-count the previous symbol
     * table, take the (count desc, pair asc) argmax as a 1-row CTE, and
     * fold the merge through every word's chr(1)-delimited symbol
-    * string. A stage whose argmax CTE is empty (merges exhausted)
-    * empties every later stage, matching [[bpeTrain]]'s early stop.
+    * string. A stage whose argmax CTE is empty (merges exhausted) falls
+    * back to the previous symbol table unchanged — see [[bpeTrain]]'s
+    * early-stop note. Every stage is `MATERIALIZED`: the fallback
+    * references each previous stage twice, and CTE inlining would make
+    * the plan exponential in k (observed as a hang at k=8 on a 2-word
+    * corpus); materialization makes it the sequential pipeline it is.
     * chr(1) is safe as the symbol separator: symbols are document
     * characters, and control characters never survive ingest. */
   /** Shared WITH-prefix for the SQL replays: word frequencies, the
@@ -231,28 +240,31 @@ object TokenizerQueries {
   private val bpeStagesSql: String = {
     val stages = (1 to K).map { k =>
       val prev = if (k == 1) "s0" else s"s${k - 1}"
-      s"""p$k AS (
+      s"""p$k AS MATERIALIZED (
          |  SELECT t[i] AS l, t[i + 1] AS r, cnt
          |  FROM (SELECT string_split(syms, chr(1)) AS t, cnt FROM $prev),
          |    LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
-         |t$k AS (
+         |t$k AS MATERIALIZED (
          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
          |  FROM p$k GROUP BY l, r
          |  ORDER BY pair_count DESC, l, r LIMIT 1),
-         |s$k AS (
+         |s$k AS MATERIALIZED (
          |  SELECT list_reduce(string_split(syms, chr(1)),
          |    (a, c) -> CASE
          |      WHEN regexp_extract(a, '[^\\x01]*$$') = t$k.l AND c = t$k.r
          |      THEN left(a, length(a) - length(t$k.l)) || t$k.l || t$k.r
          |      ELSE a || chr(1) || c END) AS syms, cnt
-         |  FROM $prev, t$k)""".stripMargin
+         |  FROM $prev, t$k
+         |  UNION ALL
+         |  SELECT syms, cnt FROM $prev
+         |  WHERE NOT EXISTS (SELECT 1 FROM t$k))""".stripMargin
     }.mkString(",\n")
     s"""WITH toks AS (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-       |wf AS (
+       |wf AS MATERIALIZED (
        |  SELECT word, count(*) AS cnt FROM toks WHERE word <> ''
        |  GROUP BY word),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT array_to_string(
        |    list_append(string_split(word, ''), '$Eow'), chr(1)) AS syms, cnt
        |  FROM wf),

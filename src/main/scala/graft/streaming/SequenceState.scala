@@ -32,7 +32,8 @@ final case class SeqExample(user_id: Long, event_id: Long, label: String,
   * truth that a context window straddling a long gap is stale anyway. */
 object SequenceState {
 
-  def examples(events: Dataset[SeqEvent], c: Int = 5,
+  def examples(events: Dataset[SeqEvent],
+      c: Int = graft.analytics.SequenceQueries.C,
       idleMs: Long = 24L * 3600 * 1000,
       delay: String = "0 seconds"): Dataset[SeqExample] = {
     import events.sparkSession.implicits._

@@ -98,6 +98,21 @@ class TokenizerQueriesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bpe3 on an exhausting corpus reports stats from the merges learned") {
+    // 'ab ab' + 'ab': 2 merges exhaust the vocabulary; the stats must
+    // come from the final real symbol table (the SQL twin's empty-stage
+    // fallback pins the same on the DuckDB side)
+    import spark.implicits._
+    val d = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = bpeTrain(d, 8)
+    assert(merges.size === 2)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe3-exh")
+    d.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val row = bpe3SegmentStats(spark, tmp.toString).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getDouble(3)) === ((3L, 9L, 3L, 3.0)))
+  }
+
   test("bpe2 stops early when every word is fully merged") {
     val d = docsDf(Seq((1L, "ab ab")))
     // a b </w> → ab </w> → ab</w> → nothing left to pair
