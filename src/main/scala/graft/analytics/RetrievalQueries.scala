@@ -390,9 +390,133 @@ object RetrievalQueries {
        |WHERE n_occurrences > 0""".stripMargin
   }
 
+  // ---------------- r4: retrieval-quality evaluation ----------------
+
+  /** Self-retrieval query count, query length (leading tokens), and
+    * metric cutoff. */
+  val EvalQueries = 20
+  val EvalTerms = 5
+  val EvalK = 10
+
+  /** nDCG@k gain table 1/log2(rank+1), precomputed once in Scala and
+    * embedded as IDENTICAL double literals in both engines — rank is a
+    * small integer, so a lookup removes libm's log from the parity
+    * surface entirely. */
+  private val NdcgGain: Seq[(Int, Double)] =
+    (1 to EvalK).map(r => r -> 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** R4: retrieval-quality metrics by deterministic SELF-RETRIEVAL —
+    * the standard sanity benchmark when no labeled judgments exist:
+    * each probe query is a document's own leading [[EvalTerms]] tokens
+    * (deduplicated), its one relevant document is itself, and the
+    * metric is where BM25 ranks it. Query set = the [[EvalQueries]]
+    * documents first in md5(doc_id) order (bounded at any corpus
+    * size, unbiased by ingest order). Output: one row — n_queries,
+    * MRR, recall@[[EvalK]], nDCG@[[EvalK]].
+    *
+    * Scale posture: queries are a ≤[[EvalQueries]]-row broadcast and
+    * their term union ≤ [[EvalQueries]]·[[EvalTerms]] terms; the
+    * corpus-side explode is fenced by the same two-stage pruning as r1
+    * (an `arrays_overlap` row filter against the broadcast term set
+    * BEFORE the explode, then the postings join) — so the shuffled
+    * state is O(postings of ≤100 terms), and the per-query ranking
+    * window is bounded by those postings' documents. */
+  def r4From(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks0 = docs.select($"doc_id", split($"text", " ").as("toks"))
+    val queries = toks0
+      .filter(size($"toks") >= EvalTerms)
+      .select($"doc_id".as("qid"),
+        array_distinct(slice($"toks", 1, EvalTerms)).as("qtoks"),
+        md5($"doc_id".cast("string").cast("binary")).as("h"))
+      .orderBy($"h", $"qid").limit(EvalQueries)
+      .drop("h")
+    val qterms = queries.select($"qid", explode($"qtoks").as("tok"))
+    val terms = qterms.select($"tok").distinct()
+    val termSet = terms.agg(collect_set($"tok").as("qterm_set"))
+    val tf = toks0
+      .crossJoin(broadcast(termSet))
+      .filter(arrays_overlap($"toks", $"qterm_set"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"),
+        explode($"toks").as("tok"))
+      .join(broadcast(terms), "tok")
+      .groupBy($"doc_id", $"dl", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = qterms
+      .join(tf, "tok")
+      .join(broadcast(dft), "tok")
+      .crossJoin(broadcast(corpusStats(docs)))
+      .select($"qid", $"doc_id",
+        bm25Term(idfCol($"n_docs", $"df"), $"tf", $"dl", $"avgdl")
+          .as("term_score"))
+      .groupBy($"qid", $"doc_id")
+      .agg(dsum($"term_score").as("score"))
+    val ranked = scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"score".desc, $"doc_id")))
+    val self = ranked.filter($"qid" === $"doc_id")
+    val gain = NdcgGain.foldLeft(lit(0.0)) { case (acc, (r, v)) =>
+      when($"rank" === r, lit(v)).otherwise(acc)
+    }
+    self.agg(
+      count(lit(1)).as("n_queries"),
+      davg(lit(1.0) / $"rank").as("mrr"),
+      davg(when($"rank" <= EvalK, lit(1.0)).otherwise(lit(0.0)))
+        .as(s"recall_at_$EvalK"),
+      davg(gain).as(s"ndcg_at_$EvalK"))
+  }
+
+  def r4RetrievalMetrics(spark: SparkSession, dir: String): DataFrame =
+    r4From(Tables(spark, dir, "documents"))
+
+  val r4Sql: String = {
+    val gainCase = NdcgGain.map { case (r, v) =>
+      s"WHEN $r THEN CAST($v AS DOUBLE)"
+    }.mkString(" ")
+    s"""WITH toks0 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |q AS (
+       |  SELECT doc_id AS qid,
+       |    list_distinct(list_slice(toks, 1, $EvalTerms)) AS qtoks
+       |  FROM toks0 WHERE len(toks) >= $EvalTerms
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), qid LIMIT $EvalQueries),
+       |qt AS (SELECT qid, unnest(qtoks) AS tok FROM q),
+       |terms AS (SELECT DISTINCT tok FROM qt),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok
+       |  FROM toks0),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN (SELECT tok FROM terms) GROUP BY 1, 2, 3),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT qid, doc_id,
+       |    ${sqlDsum(sqlBm25Term(sqlIdf("n_docs", "df"), "tf", "dl", "avgdl"))}
+       |      AS score
+       |  FROM qt JOIN tf USING (tok) JOIN dft USING (tok) CROSS JOIN stats
+       |  GROUP BY qid, doc_id),
+       |ranked AS (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+       |      AS rank
+       |  FROM scored),
+       |self AS (SELECT rank FROM ranked WHERE qid = doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  ${sqlDavg("1 / CAST(rank AS DOUBLE)")} AS mrr,
+       |  ${sqlDavg(s"CASE WHEN rank <= $EvalK THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")} AS recall_at_$EvalK,
+       |  ${sqlDavg(s"CASE rank $gainCase ELSE CAST(0.0 AS DOUBLE) END")} AS ndcg_at_$EvalK
+       |FROM self""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "r1_bm25_topk" -> QueryDef.of(r1Sql)(r1Bm25TopK),
     "r2_rrf_hybrid" -> QueryDef.of(r2Sql)(r2RrfHybrid),
-    "r3_phrase_count" -> QueryDef.of(r3Sql)(r3PhraseCount)
+    "r3_phrase_count" -> QueryDef.of(r3Sql)(r3PhraseCount),
+    "r4_retrieval_metrics" -> QueryDef.of(r4Sql)(r4RetrievalMetrics)
   )
 }

@@ -160,4 +160,32 @@ class RetrievalQueriesSpec extends SparkSpec {
     val takes = "TakeOrderedAndProject".r.findAllIn(plan).size
     assert(takes >= 2, s"expected both candidate pools bounded, plan:\n$plan")
   }
+
+  test("r4: self-retrieval is perfect when every doc has a unique prefix") {
+    import spark.implicits._
+    // each doc's leading 5 tokens contain a token unique to it, and
+    // shared filler pads the tail: the self-doc is the only one
+    // matching its discriminative term, so BM25 must rank it first
+    // for every query
+    val docs = (1L to 30L).map { i =>
+      (i, s"id$i a b c d " + "filler " * 5)
+    }.toDF("doc_id", "text")
+    val row = RetrievalQueries.r4From(docs).collect()(0)
+    assert(row.getLong(0) === RetrievalQueries.EvalQueries)
+    assert(row.getDouble(1) === 1.0, "mrr")
+    assert(row.getDouble(2) === 1.0, "recall")
+    assert(row.getDouble(3) === 1.0, "ndcg")
+  }
+
+  test("r4: a doc whose unique term is buried past rank 10 scores zero recall") {
+    import spark.implicits._
+    // every doc identical → the self-doc ties with 29 others and wins
+    // only on the doc_id tiebreak when it has the smallest id in the
+    // tie; ranks are deterministic, metrics bounded in (0, 1]
+    val docs = (1L to 30L).map(i => (i, "x y z w v common tail")).toDF("doc_id", "text")
+    val row = RetrievalQueries.r4From(docs).collect()(0)
+    assert(row.getLong(0) === 20L)
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) <= 1.0)
+    assert(row.getDouble(2) < 1.0, "identical docs cannot all self-retrieve in top-10")
+  }
 }
