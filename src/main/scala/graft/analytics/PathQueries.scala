@@ -225,10 +225,208 @@ object PathQueries {
       |  min(ts) AS first_ts, max(ts) AS last_ts
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---------------- A22: Markov removal-effect attribution ----------------
+
+  /** Absorption-recursion depth: the metric is DEFINED as the
+    * [[MarkovSteps]]-step truncated conversion probability — a fixed,
+    * engine-mirrorable recursion rather than a solve-to-convergence
+    * whose stopping point would be float-dependent. A journey longer
+    * than 12 touchpoints contributes through its first 12. */
+  val MarkovSteps = 12
+
+  /** The conversion event and the virtual states. Parenthesized so no
+    * ingested event type can collide. */
+  private val ConvType = "purchase"
+  private val StartState = "(start)"
+  private val ConvState = "(conv)"
+
+  /** Journey-grained transition counts: per user, journeys split AT
+    * conversions (a purchase ends its journey; later events start a
+    * fresh one), virtual [[StartState]] opens every journey, a
+    * converting journey ends in [[ConvState]], a dangling one just
+    * ends (the NULL absorber needs no row — its conversion
+    * contribution is zero). */
+  private def journeyTransitions(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(userOrder: _*)
+    val tagged = events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      // journey id = number of STRICTLY EARLIER conversions
+      .withColumn("jid",
+        sum(when(lag($"event_type", 1).over(w) === ConvType, 1L)
+          .otherwise(0L)).over(w))
+    val jw = Window.partitionBy($"user_id", $"jid").orderBy(userOrder: _*)
+    val steps = tagged
+      .withColumn("from_state",
+        coalesce(lag($"event_type", 1).over(jw), lit(StartState)))
+      .withColumn("to_state",
+        when($"event_type" === ConvType, ConvState)
+          .otherwise($"event_type"))
+    steps
+      .groupBy($"from_state", $"to_state")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A22: data-driven (Markov removal-effect) attribution — the
+    * upgrade over a15's last-touch rule: estimate a first-order
+    * journey chain (START → touchpoints → CONV, split at
+    * conversions), compute the [[MarkovSteps]]-truncated probability
+    * of reaching CONV from START, and credit each channel by how much
+    * that probability DROPS when journeys passing through it are cut
+    * (transitions into the channel redirected to the null absorber,
+    * i.e. dropped — row totals keep the original denominator, so the
+    * lost mass converts nothing, which is the standard removal
+    * semantics). Output per channel: the removal effect
+    * (1 − p_removed/p_base, floored at 0) and its normalized
+    * attribution share.
+    *
+    * Scale posture: the event-side work is ONE window pass + one
+    * grouped count (the a14 shape); everything after lives on the
+    * |event-type-enum|²-bounded transition matrix, which the driver
+    * collects (bounded — the sq2-vocabulary argument) and recurses
+    * over locally with [[dec6]] quantization per term, bit-identical
+    * to the SQL twin's staged [[dsum]] aggregates. */
+  /** The exact mirror of [[dsum]]'s per-term quantization for the
+    * driver-side recursion: Spark's double→DECIMAL(38,6) cast goes
+    * through `BigDecimal.valueOf` (canonical shortest string), then
+    * HALF_UP at scale 6 — summing the quantized terms exactly makes
+    * the total order-insensitive, which is what lets a driver loop be
+    * bit-identical to the engines' grouped aggregate. */
+  private def dec6(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+
+  def a22From(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val trans = journeyTransitions(events)
+    val probs = trans.withColumn("p",
+      $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_state")))
+    // The matrix is |event-type enum|²-bounded — a BOUNDED driver
+    // collect (the sq2-vocabulary argument), and the right split of
+    // labor: the cluster does the data work (one window pass + one
+    // grouped count over the corpus), the driver runs the
+    // 12-iteration recursion over ≤ a few dozen doubles. Keeping the
+    // recursion in the plan was measured at 3.3-27 s of pure
+    // stage/planning overhead for the same arithmetic.
+    val t = probs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val states = t.map(_._1).distinct
+    val channels = t.map(_._2).distinct.filter(_ != ConvState).sorted
+    // MarkovSteps-truncated conversion probability from START, with
+    // transitions INTO `removed` dropped (their mass converts nothing)
+    def pConv(removed: Option[String]): Double = {
+      val kept = t.filter(tr => !removed.contains(tr._2))
+      val byFrom = kept.groupBy(_._1)
+      var v = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to MarkovSteps) {
+        v = states.map { s =>
+          val rows = byFrom.getOrElse(s, Array.empty)
+          val cp = rows.find(_._2 == ConvState).map(_._3).getOrElse(0.0)
+          val sp = rows.filter(_._2 != ConvState)
+            .map(tr => dec6(tr._3 * v.getOrElse(tr._2, 0.0)))
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+            .doubleValue()
+          s -> (cp + sp)
+        }.toMap
+      }
+      v.getOrElse(StartState, 0.0)
+    }
+    val pBase = pConv(None)
+    val effects = channels.map { c =>
+      c -> math.max(0.0, 1.0 - pConv(Some(c)) / pBase)
+    }
+    val total = effects
+      .map { case (_, e) => dec6(e) }
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      .doubleValue()
+    effects.toSeq
+      .map { case (c, e) => (c, pBase, e, e / total) }
+      .toDF("channel", "p_base", "removal_effect", "attribution")
+  }
+
+  def a22MarkovAttribution(spark: SparkSession, dir: String): DataFrame =
+    a22From(Tables(spark, dir, "events"))
+
+  val a22Sql: String = {
+    val stages = (1 to MarkovSteps).map { k =>
+      val prev = s"v${k - 1}"
+      s"""step$k AS MATERIALIZED (
+         |  SELECT t.variant, t.from_state AS state,
+         |    ${sqlDsum("t.p * v.vp")} AS sp
+         |  FROM tvar t JOIN $prev v
+         |    ON t.variant = v.variant AND t.to_state = v.state
+         |  WHERE t.to_state <> '$ConvState'
+         |  GROUP BY t.variant, t.from_state),
+         |v$k AS MATERIALIZED (
+         |  SELECT s.variant, s.state,
+         |    coalesce(c.cp, 0.0) + coalesce(p.sp, 0.0) AS vp
+         |  FROM states s
+         |  LEFT JOIN convterm c ON s.variant = c.variant AND s.state = c.state
+         |  LEFT JOIN step$k p ON s.variant = p.variant AND s.state = p.state)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH lagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(event_type, 1) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events),
+       |tagged AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    sum(CASE WHEN prev_type = '$ConvType' THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS jid
+       |  FROM lagged),
+       |steps AS (
+       |  SELECT coalesce(lag(event_type, 1) OVER
+       |      (PARTITION BY user_id, jid ORDER BY ts, event_id),
+       |      '$StartState') AS from_state,
+       |    CASE WHEN event_type = '$ConvType' THEN '$ConvState'
+       |      ELSE event_type END AS to_state
+       |  FROM tagged),
+       |trans AS (
+       |  SELECT from_state, to_state, count(*) AS n
+       |  FROM steps GROUP BY from_state, to_state),
+       |probs AS MATERIALIZED (
+       |  SELECT from_state, to_state,
+       |    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_state) AS p
+       |  FROM trans),
+       |channels AS (
+       |  SELECT DISTINCT to_state AS channel FROM probs
+       |  WHERE to_state <> '$ConvState'),
+       |variants AS (
+       |  SELECT channel AS variant FROM channels
+       |  UNION ALL SELECT '(base)'),
+       |tvar AS MATERIALIZED (
+       |  SELECT v.variant, p.from_state, p.to_state, p.p
+       |  FROM probs p, variants v
+       |  WHERE NOT (p.to_state = v.variant)),
+       |convterm AS MATERIALIZED (
+       |  SELECT variant, from_state AS state, p AS cp FROM tvar
+       |  WHERE to_state = '$ConvState'),
+       |states AS MATERIALIZED (
+       |  SELECT v.variant, s.state
+       |  FROM (SELECT DISTINCT from_state AS state FROM probs) s, variants v),
+       |v0 AS (SELECT variant, state, CAST(0.0 AS DOUBLE) AS vp FROM states),
+       |$stages,
+       |atstart AS (
+       |  SELECT variant, vp FROM v$MarkovSteps WHERE state = '$StartState'),
+       |base AS (SELECT vp AS p_base FROM atstart WHERE variant = '(base)'),
+       |effects AS (
+       |  SELECT a.variant AS channel, b.p_base,
+       |    greatest(CAST(0.0 AS DOUBLE), 1.0 - a.vp / b.p_base)
+       |      AS removal_effect
+       |  FROM atstart a, base b WHERE a.variant <> '(base)')
+       |SELECT channel, p_base, removal_effect,
+       |  removal_effect / CAST(sum(CAST(removal_effect AS DECIMAL(38,6)))
+       |    OVER () AS DOUBLE) AS attribution
+       |FROM effects""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "a14_event_paths" -> QueryDef.of(a14Sql)(a14EventPaths),
     "a15_attribution" -> QueryDef.of(a15Sql)(a15Attribution),
     "a16_ab_test" -> QueryDef.of(a16Sql)(a16AbTest),
+    "a22_markov_attribution" -> QueryDef.of(a22Sql)(a22MarkovAttribution),
     "a3_ingest_metrics" -> QueryDef.of(a3Sql)(a3IngestMetrics)
   )
 }

@@ -68,4 +68,11 @@ object Retrieval {
   def phraseProbeIndex(spark: SparkSession, path: String,
       phrase: Seq[String]): DataFrame =
     InvertedIndex.phraseProbe(spark, path, phrase)
+
+  /** Retrieval-quality self-evaluation (oracle-proven r4 shape): MRR,
+    * recall@10, nDCG@10 of BM25 ranking each document's own leading
+    * tokens — the no-judgments sanity benchmark over any corpus. */
+  def evaluate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    RetrievalQueries.r4From(std(docs, idCol, textCol))
 }

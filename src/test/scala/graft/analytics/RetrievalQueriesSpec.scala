@@ -119,6 +119,12 @@ class RetrievalQueriesSpec extends SparkSpec {
     // a different query ranks differently but stays bounded
     val other = Retrieval.bm25TopK(docs, Seq("customer", "window"), 5)
     assert(other.count() == 5)
+    // evaluate == oracle-proven r4, including through renamed columns
+    val regEval = RetrievalQueries.r4RetrievalMetrics(spark, sf())
+      .collect()(0).toSeq
+    assert(Retrieval.evaluate(docs).collect()(0).toSeq == regEval)
+    assert(Retrieval.evaluate(renamed, idCol = "id", textCol = "body")
+      .collect()(0).toSeq == regEval)
   }
 
   test("r3: phrase counting — overlaps, boundaries, and short docs") {
