@@ -246,21 +246,22 @@ object PathQueries {
     * converting journey ends in [[ConvState]], a dangling one just
     * ends (the NULL absorber needs no row — its conversion
     * contribution is zero). */
-  private def journeyTransitions(events: DataFrame): DataFrame = {
+  private def journeyTransitions(events: DataFrame,
+      convType: String): DataFrame = {
     import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy(userOrder: _*)
     val tagged = events
       .select($"user_id", $"ts", $"event_id", $"event_type")
       // journey id = number of STRICTLY EARLIER conversions
       .withColumn("jid",
-        sum(when(lag($"event_type", 1).over(w) === ConvType, 1L)
+        sum(when(lag($"event_type", 1).over(w) === convType, 1L)
           .otherwise(0L)).over(w))
     val jw = Window.partitionBy($"user_id", $"jid").orderBy(userOrder: _*)
     val steps = tagged
       .withColumn("from_state",
         coalesce(lag($"event_type", 1).over(jw), lit(StartState)))
       .withColumn("to_state",
-        when($"event_type" === ConvType, ConvState)
+        when($"event_type" === convType, ConvState)
           .otherwise($"event_type"))
     steps
       .groupBy($"from_state", $"to_state")
@@ -296,9 +297,10 @@ object PathQueries {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP)
 
-  def a22From(events: DataFrame): DataFrame = {
+  def a22From(events: DataFrame,
+      convType: String = ConvType): DataFrame = {
     import events.sparkSession.implicits._
-    val trans = journeyTransitions(events)
+    val trans = journeyTransitions(events, convType)
     val probs = trans.withColumn("p",
       $"n".cast("double") /
         sum($"n").over(Window.partitionBy($"from_state")))

@@ -151,4 +151,15 @@ object Analytics {
       events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
         col(typeCol).as("event_type")),
       fromType, toType)
+
+  /** Data-driven (Markov removal-effect) attribution — the upgrade
+    * over [[lastTouchAttribution]]'s positional rule: per channel, the
+    * drop in 12-step truncated conversion probability when journeys
+    * through it are cut, normalized to shares (the oracle-proven a22
+    * shape; journeys split at conversions). */
+  def markovAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      conversionType: String): DataFrame =
+    graft.analytics.PathQueries.a22From(
+      stdEvents(events, userCol, tsCol, idCol, typeCol), conversionType)
 }

@@ -46,6 +46,18 @@ class MarkovAttributionSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("api.Analytics.markovAttribution == registry a22 through renamed columns") {
+    val d = graft.Tables(spark, sf(), "events")
+    val reg = PathQueries.a22MarkovAttribution(spark, sf())
+      .collect().map(_.toSeq).toSet
+    val renamed = d.withColumnRenamed("user_id", "u")
+      .withColumnRenamed("event_type", "t")
+    val api = graft.api.Analytics.markovAttribution(
+      renamed, "u", "ts", "event_id", "t", "purchase")
+      .collect().map(_.toSeq).toSet
+    assert(api === reg)
+  }
+
   test("a longer chain still converts within the truncation depth") {
     // A→B→C→purchase: 3 steps + absorption < MarkovSteps, so the
     // truncated probability is exact: p_base = 1, and removing any
