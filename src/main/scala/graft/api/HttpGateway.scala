@@ -53,8 +53,10 @@ import graft.store.EventStore
   *    (one-user fold, id predicate pushed to the scan),
   *    `POST /user/delete` (right-to-be-forgotten).
   *  - **analysis** (the read executors): `GET /analysis/segmentation`,
-  *    `/analysis/funnel`, `/analysis/retention`,
-  *    `/analysis/statistics` (event-explorer overview: counts per
+  *    `/analysis/funnel`, `/analysis/retention`, `/analysis/paths`
+  *    (next-event transition matrix), `/analysis/attribution`
+  *    (`model=last_touch|markov` — positional credit or removal-effect
+  *    shares), `/analysis/statistics` (event-explorer overview: counts per
   *    collection × month off the partition column). Every route also
   *    answers the OPTIONS preflight with the reference's CORS headers
   *    (`OptionMethodHttpService`).
@@ -164,6 +166,8 @@ final class HttpGateway(
     server.createContext("/analysis/segmentation", route(authed(MasterRole)(handleSegmentation)))
     server.createContext("/analysis/funnel", route(authed(MasterRole)(handleFunnel)))
     server.createContext("/analysis/retention", route(authed(MasterRole)(handleRetention)))
+    server.createContext("/analysis/paths", route(authed(MasterRole)(handlePaths)))
+    server.createContext("/analysis/attribution", route(authed(MasterRole)(handleAttribution)))
     server.createContext("/project/schema/add/custom", route(authed(MasterRole)(handleSchemaAddCustom)))
     server.createContext("/project/schema/add", route(authed(MasterRole)(handleSchemaAdd)))
     server.createContext("/project/schema", route(authed(MasterRole)(handleSchema)))
@@ -707,6 +711,65 @@ final class HttpGateway(
     val out = Analytics.retention(stored, "_user", "_time", grain)
     (200, out.orderBy(col("cohort_bucket"), col("offset"))
       .toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** `GET /analysis/paths?collection=…[&type_column=…]` — the
+    * next-event transition matrix over stored events (the a14 shape
+    * via [[Analytics.eventPaths]]). */
+  private def handlePaths(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val collection = params.getOrElse("collection",
+      throw new IngestRejected("collection is required"))
+    val typeCol = params.getOrElse("type_column", "event_type")
+    val stored = withSeq(
+      EventStore.read(spark, registry, warehouse, project, collection))
+    if (!stored.columns.contains(typeCol))
+      throw new IngestRejected(s"unknown type column '$typeCol'")
+    val out = Analytics.eventPaths(stored, "_user", "_time", "__seq", typeCol)
+    (200, out.orderBy(col("from_type"), col("to_type"))
+      .toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** Stored events carry no unique id, but the path/attribution
+    * operators need a deterministic ORDER tiebreak for same-timestamp
+    * events — a content hash is stable across runs and placements
+    * (`monotonically_increasing_id` is neither). */
+  private def withSeq(stored: DataFrame): DataFrame =
+    stored.withColumn("__seq",
+      xxhash64(stored.columns.sorted.map(col): _*))
+
+  /** `GET /analysis/attribution?collection=…&conversion=…&model=
+    * last_touch|markov[&value_column=…]` — conversion attribution over
+    * stored events: positional last-touch (a15) or data-driven Markov
+    * removal effects (a22). */
+  private def handleAttribution(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val collection = params.getOrElse("collection",
+      throw new IngestRejected("collection is required"))
+    val conversion = params.getOrElse("conversion",
+      throw new IngestRejected("conversion is required"))
+    val typeCol = params.getOrElse("type_column", "event_type")
+    val stored = withSeq(
+      EventStore.read(spark, registry, warehouse, project, collection))
+    if (!stored.columns.contains(typeCol))
+      throw new IngestRejected(s"unknown type column '$typeCol'")
+    params.getOrElse("model", "last_touch") match {
+      case "markov" =>
+        val out = Analytics.markovAttribution(stored, "_user", "_time",
+          "__seq", typeCol, conversion)
+        (200, out.orderBy(col("channel"))
+          .toJSON.collect().mkString("[", ",", "]"))
+      case "last_touch" =>
+        val valueCol = params.getOrElse("value_column", "value")
+        if (!stored.columns.contains(valueCol))
+          throw new IngestRejected(s"unknown value column '$valueCol'")
+        val out = Analytics.lastTouchAttribution(stored, "_user", "_time",
+          "__seq", typeCol, valueCol, conversion)
+        (200, out.orderBy(col("touch_type"))
+          .toJSON.collect().mkString("[", ",", "]"))
+      case m =>
+        throw new IngestRejected(s"model must be last_touch or markov: '$m'")
+    }
   }
 
   /** Right-to-be-forgotten: physically remove one user's events from

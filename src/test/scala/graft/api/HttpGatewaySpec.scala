@@ -252,6 +252,45 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("paths and attribution reads serve the stored collection") {
+    withGateway { (_, port) =>
+      // u1: A → purchase (value 5); u2: B dangling — the A-always-
+      // converts corpus: markov credits A fully, last-touch credits A
+      val events = Seq(
+        ("u1", "2026-01-05 10:00:00.000", "A", 0),
+        ("u1", "2026-01-05 10:05:00.000", "purchase", 5),
+        ("u2", "2026-01-05 11:00:00.000", "B", 0))
+      events.foreach { case (u, t, et, v) =>
+        assert(post(port, "/event/collect",
+          s"""{"collection": "journeys", "properties": {"_user": "$u", "_time": "$t", "event_type": "$et", "value": $v}}""")
+          .statusCode() == 200)
+      }
+      val paths = get(port, "/analysis/paths?collection=journeys")
+      assert(paths.statusCode() == 200, paths.body())
+      assert(paths.body().contains(
+        """"from_type":"A","to_type":"purchase","n":1"""), paths.body())
+
+      val lt = get(port, "/analysis/attribution?collection=journeys" +
+        "&conversion=purchase")
+      assert(lt.statusCode() == 200, lt.body())
+      assert(lt.body().contains(""""touch_type":"A","n_conversions":1"""),
+        lt.body())
+
+      val mk = get(port, "/analysis/attribution?collection=journeys" +
+        "&conversion=purchase&model=markov")
+      assert(mk.statusCode() == 200, mk.body())
+      assert(mk.body().contains(""""channel":"A"""") &&
+        mk.body().contains(""""attribution":1.0"""), mk.body())
+      assert(mk.body().contains(""""channel":"B"""") &&
+        mk.body().contains(""""attribution":0.0"""), mk.body())
+
+      assert(get(port, "/analysis/attribution?collection=journeys" +
+        "&conversion=purchase&model=nope").statusCode() == 400)
+      assert(get(port, "/analysis/paths?collection=journeys&type_column=zz")
+        .statusCode() == 400)
+    }
+  }
+
   test("user batch_operations fold into the profile served by /user/get") {
     withGateway { (_, port) =>
       assert(post(port, "/user/batch_operations",
