@@ -488,6 +488,71 @@ object SimilarityQueries {
        |  FROM e, q WHERE e.vec_id <> q.qid)
        |WHERE rank <= $KnnK""".stripMargin
 
+  // ---------------- emb3: embedding-quality eval ----------------
+
+  /** Probe count for the leave-one-out label accuracy. */
+  val EmbEvalProbes = 64
+
+  /** EMB3: embedding-quality evaluation by leave-one-out 1-NN label
+    * accuracy — the retrieval-side r4 discipline applied to the vector
+    * space: for each of [[EmbEvalProbes]] probe vectors, find its
+    * nearest neighbour in the full corpus (itself excluded) and check
+    * whether the neighbour carries the same label. A space that
+    * clusters by label scores high; a collapsed or shuffled space
+    * scores at the label prior. Output per true label: probes, hits,
+    * accuracy — the per-class view that catches one label's cluster
+    * collapsing while the average still looks fine.
+    *
+    * Same scale shape as sim6: the probe batch broadcasts, the corpus
+    * scans ONCE for all probes, per-probe ranking is a bounded window.
+    * Accuracy is an exact-integer ratio (one double division). */
+  def emb3From(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val probes = emb.filter($"vec_id" < EmbEvalProbes)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"),
+        $"label".as("true_label"))
+    val nn = knnJoinFrom(emb.select($"vec_id", $"embedding"),
+      probes.select($"qid", $"qv"), 1)
+    nn.join(emb.select($"vec_id", $"label".as("nn_label")), "vec_id")
+      .join(broadcast(probes.select($"qid", $"true_label")), "qid")
+      .groupBy($"true_label")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when($"nn_label" === $"true_label", 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        $"n_correct".cast("double") / $"n_probes")
+  }
+
+  def emb3KnnAccuracy(spark: SparkSession, dir: String): DataFrame =
+    emb3From(Tables(spark, dir, "embeddings"))
+
+  val emb3Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv, norm AS qnorm,
+       |    label AS true_label
+       |  FROM e WHERE vec_id < $EmbEvalProbes),
+       |nn AS (
+       |  SELECT qid, true_label, vec_id FROM (
+       |    SELECT q.qid, q.true_label, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${sqlDot("e.embedding", "q.qv")} / (e.norm * q.qnorm)
+       |          DESC, e.vec_id) AS rank
+       |    FROM e, q WHERE e.vec_id <> q.qid)
+       |  WHERE rank = 1)
+       |SELECT nn.true_label,
+       |  count(*) AS n_probes,
+       |  CAST(sum(CASE WHEN l.label = nn.true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN l.label = nn.true_label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*) AS accuracy
+       |FROM nn JOIN e l ON nn.vec_id = l.vec_id
+       |GROUP BY nn.true_label""".stripMargin
+
   /** Queries sampled into the contrastive-mining row (the sim6/ai2
     * convention: first ids double as the fixed probe set). */
   private val HnQueries = 8
@@ -1155,6 +1220,7 @@ object SimilarityQueries {
     "sim10_ivf_pq" -> QueryDef.of(sim10Sql)(sim10IvfPq),
     "sim1_cosine_topk" -> QueryDef.of(simCosineSql)(simCosineTopK),
     "sim6_knn_join" -> QueryDef.of(sim6Sql)(sim6KnnJoin),
+    "emb3_knn_accuracy" -> QueryDef.of(emb3Sql)(emb3KnnAccuracy),
     "hn1_hard_negatives" -> QueryDef.of(hn1Sql)(hn1HardNegatives),
     "sim7_quantize" -> QueryDef.of(sim7Sql)(sim7Quantize),
     "sim8_ann_recall" -> QueryDef.of(sim8Sql)(sim8AnnRecall),

@@ -59,4 +59,12 @@ object Similarity {
       col(vecCol).as("embedding"), col(labelCol).as("label"))
     SimilarityQueries.hardNegativesFrom(lab(corpus), lab(anchors), k)
   }
+
+  /** Embedding-quality evaluation: leave-one-out 1-NN label accuracy
+    * per class (the oracle-proven emb3 shape) — one broadcast probe
+    * batch, one corpus scan. */
+  def knnAccuracy(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame =
+    SimilarityQueries.emb3From(emb.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"), col(labelCol).as("label")))
 }

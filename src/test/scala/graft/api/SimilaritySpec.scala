@@ -56,4 +56,20 @@ class SimilaritySpec extends SparkSpec {
       else assert(label != anchorLabel(qid).toLong)
     }
   }
+
+  test("knnAccuracy == oracle-proven emb3; separable labels score 1.0") {
+    val api = Similarity.knnAccuracy(emb)
+    val reg = SimilarityQueries.emb3KnnAccuracy(spark, sf())
+    assert(rows(api) == rows(reg))
+    // a perfectly label-clustered space: label = axis of the one-hot
+    import spark.implicits._
+    val perfect = (0L until 80L).map { i =>
+      val l = (i % 4).toInt
+      val v = Array.fill(4)(0.001f); v(l) = 1.0f
+      (i, v.toSeq, l)
+    }.toDF("vec_id", "embedding", "label")
+    val acc = Similarity.knnAccuracy(perfect)
+      .select("accuracy").collect().map(_.getDouble(0))
+    assert(acc.forall(_ == 1.0), acc.toSeq)
+  }
 }
