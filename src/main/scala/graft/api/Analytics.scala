@@ -152,6 +152,23 @@ object Analytics {
         col(typeCol).as("event_type")),
       fromType, toType)
 
+  /** Next-event prediction examples over per-user ordered histories
+    * (the oracle-proven sq1 shape): ≤C previous types as context, the
+    * current type as label. One hash-by-user shuffle. */
+  def nextEventExamples(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame =
+    graft.analytics.SequenceQueries.sq1From(
+      stdEvents(events, userCol, tsCol, idCol, typeCol))
+
+  /** Deterministic negative samples per event (the oracle-proven sq2
+    * shape): M label-excluded types drawn by md5-ranking the broadcast
+    * type vocabulary — reproducible under retries, no event-side
+    * shuffle. */
+  def negativeSamples(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame =
+    graft.analytics.SequenceQueries.sq2From(
+      stdEvents(events, userCol, tsCol, idCol, typeCol))
+
   /** Data-driven (Markov removal-effect) attribution — the upgrade
     * over [[lastTouchAttribution]]'s positional rule: per channel, the
     * drop in 12-step truncated conversion probability when journeys

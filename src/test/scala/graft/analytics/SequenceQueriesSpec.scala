@@ -78,6 +78,20 @@ class SequenceQueriesSpec extends SparkSpec {
     assert(negs.distinct.size > 1, negs)
   }
 
+  test("api.Analytics facades == registry sq1/sq2 through renamed columns") {
+    val d = graft.Tables(spark, sf(), "events")
+    val renamed = d.withColumnRenamed("user_id", "u")
+      .withColumnRenamed("event_type", "t")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(graft.api.Analytics.nextEventExamples(
+      renamed, "u", "ts", "event_id", "t")) ==
+      rows(SequenceQueries.sq1NextEvent(spark, sf())))
+    assert(rows(graft.api.Analytics.negativeSamples(
+      renamed, "u", "ts", "event_id", "t")) ==
+      rows(SequenceQueries.sq2Negatives(spark, sf())))
+  }
+
   test("plan shapes: sq1 shuffles once by user; sq2's event side never shuffles") {
     val d = graft.Tables(spark, sf(), "events")
     val p1 = SequenceQueries.sq1From(d).queryExecution.executedPlan.toString
