@@ -313,6 +313,16 @@ object PathQueries {
     // stage/planning overhead for the same arithmetic.
     val t = probs.collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    // the virtual states are engine-reserved: a REAL ingested event
+    // type spelled like one would silently corrupt the chain (merge
+    // with the start state, count as a conversion, or collide with
+    // the SQL twin's base-variant label) — fail loudly instead.
+    // A real "(conv)"/"(start)" type surfaces as a from_state/to_state
+    // the virtual construction could never produce.
+    require(!t.exists(_._1 == ConvState) && !t.exists(_._2 == StartState) &&
+      !t.exists(_._2 == "(base)"),
+      s"event types may not use the reserved names " +
+        s"'$StartState'/'$ConvState'/'(base)'")
     val states = t.map(_._1).distinct
     val channels = t.map(_._2).distinct.filter(_ != ConvState).sorted
     // MarkovSteps-truncated conversion probability from START, with
@@ -335,6 +345,12 @@ object PathQueries {
       v.getOrElse(StartState, 0.0)
     }
     val pBase = pConv(None)
+    // no conversions reachable within the truncation → nothing to
+    // attribute: an EMPTY result (the last_touch sibling's behavior),
+    // never a NaN from 0/0 — the SQL twin's `WHERE p_base > 0` mirrors
+    val empty = Seq.empty[(String, Double, Double, Double)]
+    if (pBase == 0.0)
+      return empty.toDF("channel", "p_base", "removal_effect", "attribution")
     val effects = channels.map { c =>
       c -> math.max(0.0, 1.0 - pConv(Some(c)) / pBase)
     }
@@ -342,8 +358,13 @@ object PathQueries {
       .map { case (_, e) => dec6(e) }
       .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
       .doubleValue()
+    // every effect can round to zero (all below the decimal quantum,
+    // or genuinely zero — conversions that need no touchpoints):
+    // attribute 0 everywhere rather than divide 0/0 (the twin's CASE)
     effects.toSeq
-      .map { case (c, e) => (c, pBase, e, e / total) }
+      .map { case (c, e) =>
+        (c, pBase, e, if (total == 0.0) 0.0 else e / total)
+      }
       .toDF("channel", "p_base", "removal_effect", "attribution")
   }
 
@@ -417,10 +438,14 @@ object PathQueries {
        |  SELECT a.variant AS channel, b.p_base,
        |    greatest(CAST(0.0 AS DOUBLE), 1.0 - a.vp / b.p_base)
        |      AS removal_effect
-       |  FROM atstart a, base b WHERE a.variant <> '(base)')
+       |  FROM atstart a, base b
+       |  WHERE a.variant <> '(base)' AND b.p_base > 0)
        |SELECT channel, p_base, removal_effect,
-       |  removal_effect / CAST(sum(CAST(removal_effect AS DECIMAL(38,6)))
-       |    OVER () AS DOUBLE) AS attribution
+       |  CASE WHEN CAST(sum(CAST(removal_effect AS DECIMAL(38,6)))
+       |      OVER () AS DOUBLE) = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE removal_effect /
+       |      CAST(sum(CAST(removal_effect AS DECIMAL(38,6)))
+       |        OVER () AS DOUBLE) END AS attribution
        |FROM effects""".stripMargin
   }
 

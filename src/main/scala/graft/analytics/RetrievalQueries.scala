@@ -118,16 +118,30 @@ object RetrievalQueries {
     * construction. df is derived from the already-matched postings
     * (one grouped count, ≤ |query terms| rows after partial agg),
     * never from a corpus-wide vocabulary scan. */
-  private[graft] def scoreTf(tf: DataFrame, stats: DataFrame): DataFrame = {
-    import tf.sparkSession.implicits._
-    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "tok")
+  private[graft] def scoreTf(tf: DataFrame, stats: DataFrame): DataFrame =
+    bm25Grouped(tf, dfOf(tf), stats, Seq("doc_id"))
+
+  /** Document frequency per matched term — always derived from the
+    * per-(doc, term) postings grain, never from a frame already
+    * fanned out by queries (which would inflate df). */
+  private def dfOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+  /** The ONE BM25 scoring body, generalized over the output grain:
+    * join matched rows to their term df + the 1-row stats, apply
+    * [[bm25Term]], and dsum per `keys`. r1/the index probe score per
+    * doc; r4 scores per (query, doc) — both MUST run this exact
+    * pipeline or the eval silently measures a different scorer than
+    * the one served. */
+  private[graft] def bm25Grouped(matched: DataFrame, df: DataFrame,
+      stats: DataFrame, keys: Seq[String]): DataFrame = {
+    matched.join(broadcast(df), "tok")
       .crossJoin(broadcast(stats))
-      .select($"doc_id",
-        bm25Term(idfCol($"n_docs", $"df"), $"tf", $"dl", $"avgdl")
-          .as("term_score"))
-      .groupBy($"doc_id")
-      .agg(dsum($"term_score").as("score"))
+      .select((keys.map(col) :+
+        bm25Term(idfCol(col("n_docs"), col("df")), col("tf"), col("dl"),
+          col("avgdl")).as("term_score")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(dsum(col("term_score")).as("score"))
   }
 
   /** The per-(doc, term) matched term frequencies `(doc_id, dl, tok,
@@ -442,16 +456,8 @@ object RetrievalQueries {
       .join(broadcast(terms), "tok")
       .groupBy($"doc_id", $"dl", $"tok")
       .agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val scored = qterms
-      .join(tf, "tok")
-      .join(broadcast(dft), "tok")
-      .crossJoin(broadcast(corpusStats(docs)))
-      .select($"qid", $"doc_id",
-        bm25Term(idfCol($"n_docs", $"df"), $"tf", $"dl", $"avgdl")
-          .as("term_score"))
-      .groupBy($"qid", $"doc_id")
-      .agg(dsum($"term_score").as("score"))
+    val scored = bm25Grouped(qterms.join(tf, "tok"), dfOf(tf),
+      corpusStats(docs), Seq("qid", "doc_id"))
     val ranked = scored.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy($"qid").orderBy($"score".desc, $"doc_id")))

@@ -505,15 +505,28 @@ object SimilarityQueries {
     *
     * Same scale shape as sim6: the probe batch broadcasts, the corpus
     * scans ONCE for all probes, per-probe ranking is a bounded window.
-    * Accuracy is an exact-integer ratio (one double division). */
+    * Accuracy is an exact-integer ratio (one double division).
+    *
+    * Two fences for real-world corpora: probes are the first
+    * [[EmbEvalProbes]] vectors in md5(id) order — id-type-agnostic and
+    * unbiased (the r4 discipline; an id-range convention would return
+    * EMPTY on UUID or offset ids). Zero-norm vectors (padding rows,
+    * failed encodes) are excluded from corpus and probes alike: their
+    * cosine is NaN, and NaN sorts ABOVE every real similarity under
+    * DESC, so one zero vector would otherwise become every probe's
+    * 1-NN and silently replace the metric with garbage. */
   def emb3From(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val probes = emb.filter($"vec_id" < EmbEvalProbes)
+    val live = emb.filter(dot($"embedding", $"embedding") > 0)
+    val probes = live
       .select($"vec_id".as("qid"), $"embedding".as("qv"),
-        $"label".as("true_label"))
-    val nn = knnJoinFrom(emb.select($"vec_id", $"embedding"),
+        $"label".as("true_label"),
+        md5($"vec_id".cast("string").cast("binary")).as("h"))
+      .orderBy($"h", $"qid").limit(EmbEvalProbes)
+      .drop("h")
+    val nn = knnJoinFrom(live.select($"vec_id", $"embedding"),
       probes.select($"qid", $"qv"), 1)
-    nn.join(emb.select($"vec_id", $"label".as("nn_label")), "vec_id")
+    nn.join(live.select($"vec_id", $"label".as("nn_label")), "vec_id")
       .join(broadcast(probes.select($"qid", $"true_label")), "qid")
       .groupBy($"true_label")
       .agg(
@@ -531,11 +544,13 @@ object SimilarityQueries {
     s"""WITH e AS (
        |  SELECT vec_id, embedding, label,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS norm
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE ${sqlDot("embedding", "embedding")} > 0),
        |q AS (
        |  SELECT vec_id AS qid, embedding AS qv, norm AS qnorm,
        |    label AS true_label
-       |  FROM e WHERE vec_id < $EmbEvalProbes),
+       |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $EmbEvalProbes),
        |nn AS (
        |  SELECT qid, true_label, vec_id FROM (
        |    SELECT q.qid, q.true_label, e.vec_id,

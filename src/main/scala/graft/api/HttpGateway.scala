@@ -733,10 +733,16 @@ final class HttpGateway(
   /** Stored events carry no unique id, but the path/attribution
     * operators need a deterministic ORDER tiebreak for same-timestamp
     * events — a content hash is stable across runs and placements
-    * (`monotonically_increasing_id` is neither). */
-  private def withSeq(stored: DataFrame): DataFrame =
-    stored.withColumn("__seq",
-      xxhash64(stored.columns.sorted.map(col): _*))
+    * (`monotonically_increasing_id` is neither). MAP-typed properties
+    * are excluded from the hash: Spark's hash functions reject map
+    * inputs outright, and a collection with one MAP_* column would
+    * otherwise 500 on an analysis read that never touches it. */
+  private def withSeq(stored: DataFrame): DataFrame = {
+    val hashable = stored.schema.fields
+      .filter(!_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name).sorted
+    stored.withColumn("__seq", xxhash64(hashable.map(col): _*))
+  }
 
   /** `GET /analysis/attribution?collection=…&conversion=…&model=
     * last_touch|markov[&value_column=…]` — conversion attribution over
@@ -755,8 +761,13 @@ final class HttpGateway(
       throw new IngestRejected(s"unknown type column '$typeCol'")
     params.getOrElse("model", "last_touch") match {
       case "markov" =>
-        val out = Analytics.markovAttribution(stored, "_user", "_time",
+        // a22 rejects reserved virtual-state names loudly — surface
+        // that as the client's 400, not a 500
+        val out = try Analytics.markovAttribution(stored, "_user", "_time",
           "__seq", typeCol, conversion)
+        catch { case e: IllegalArgumentException =>
+          throw new IngestRejected(e.getMessage)
+        }
         (200, out.orderBy(col("channel"))
           .toJSON.collect().mkString("[", ",", "]"))
       case "last_touch" =>

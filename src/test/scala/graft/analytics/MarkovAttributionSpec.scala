@@ -58,6 +58,28 @@ class MarkovAttributionSpec extends SparkSpec {
     assert(api === reg)
   }
 
+  test("no reachable conversions → empty result, never NaN") {
+    // a corpus with events but no purchase at all (mistyped conversion
+    // name, or simply none yet)
+    val d = ev(Seq((1L, 1L, 0L, "A"), (2L, 2L, 0L, "B")))
+    assert(PathQueries.a22From(d).collect().isEmpty)
+    // conversions that need no touchpoints: every channel's removal
+    // effect is 0 → attribution 0, not 0/0
+    val d2 = ev(Seq(
+      (1L, 1L, 0L, "purchase"), (1L, 2L, 10L, "A"),
+      (2L, 3L, 0L, "purchase")))
+    val rows = PathQueries.a22From(d2).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    rows.foreach { case (eff, attr) =>
+      assert(eff === 0.0 && attr === 0.0, rows.toSeq)
+    }
+  }
+
+  test("reserved virtual-state names in event types fail loudly") {
+    val d = ev(Seq((1L, 1L, 0L, "(conv)"), (1L, 2L, 10L, "purchase")))
+    intercept[IllegalArgumentException] { PathQueries.a22From(d) }
+  }
+
   test("a longer chain still converts within the truncation depth") {
     // A→B→C→purchase: 3 steps + absorption < MarkovSteps, so the
     // truncated probability is exact: p_base = 1, and removing any

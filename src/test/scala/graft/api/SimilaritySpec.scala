@@ -71,5 +71,17 @@ class SimilaritySpec extends SparkSpec {
     val acc = Similarity.knnAccuracy(perfect)
       .select("accuracy").collect().map(_.getDouble(0))
     assert(acc.forall(_ == 1.0), acc.toSeq)
+    // a zero vector (padding row / failed encode) must not poison the
+    // metric: its cosine is NaN, which sorts above every real
+    // similarity — the fence excludes it from corpus and probes
+    val poisoned = perfect.unionByName(
+      Seq((999L, Seq.fill(4)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val acc2 = Similarity.knnAccuracy(poisoned)
+      .select("accuracy").collect().map(_.getDouble(0))
+    assert(acc2.forall(_ == 1.0), acc2.toSeq)
+    // offset ids (no id below 64) still yield probes — selection is
+    // hash-ordered, not id-range-bound
+    val offset = perfect.withColumn("vec_id", col("vec_id") + 1000000L)
+    assert(Similarity.knnAccuracy(offset).count() > 0)
   }
 }
