@@ -773,7 +773,114 @@ object TrainingSetQueries {
        |WHERE rank <= $StratumN""".stripMargin
   }
 
+  /** DS10: the curation funnel — the per-stage burn-down table every
+    * training run logs, composed from the registry's own stage
+    * semantics so the funnel IS the pipeline (not a re-implementation
+    * of it): ingested (non-benchmark corpus) → quality survivors
+    * (t_quality's keep rule) → dedup survivors (d1's canonical-min-id
+    * over md5(text), evaluated among quality survivors — each stage
+    * filters the previous stage's population) → decontaminated (no
+    * d6 benchmark 5-gram overlap) → final ds7 train/validation/test
+    * shares of the clean set. One row per stage: docs and whitespace
+    * tokens surviving.
+    *
+    * Scale shape: one corpus scan carries all the scan-side flags
+    * (quality, split); the dedup window shuffles by md5(text) — the
+    * d1 shuffle; contamination is the d6 broadcast-semi probe; the
+    * stage explosion is ≤7 tags per row feeding one partial-agg'd
+    * groupBy. No stage re-scans the corpus. */
+  def ds10CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val train = docs.filter($"source" =!= "src0")
+    val contaminated = gramHashes(train, decontamN)
+      .join(broadcast(
+        gramHashes(docs.filter($"source" === "src0"), decontamN)
+          .select($"h").distinct()),
+        Seq("h"), "leftsemi")
+      .select($"doc_id").distinct()
+      .withColumn("contam", lit(true))
+    val bucket =
+      DedupQueries.hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 100
+    val flagged = train
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_stop",
+        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("long"))
+      .withColumn("q",
+        $"n_tokens" >= 20 && $"n_tokens" <= 1000 &&
+          ($"n_stop".cast("double") / $"n_tokens") > 0.0)
+      .withColumn("min_q_doc",
+        min(when($"q", $"doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
+      .withColumn("canon", $"q" && $"doc_id" === $"min_q_doc")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("clean", $"canon" && !coalesce($"contam", lit(false)))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test"))
+    flagged
+      .select($"n_tokens", explode(filter(array(
+        lit("1_ingested"),
+        when($"q", "2_quality"),
+        when($"canon", "3_dedup"),
+        when($"clean", "4_decontam"),
+        when($"clean", concat(lit("5_"), $"split"))), t => t.isNotNull))
+        .as("stage"))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+  }
+
+  val ds10Sql: String = {
+    val n = decontamN
+    val gramExpr =
+      s"unnest(list_transform(range(len(t) - ${n - 1}), i -> " +
+        s"concat_ws(' ', ${(1 to n).map(j => s"t[i+$j]").mkString(", ")})))"
+    val bucket =
+      s"${DedupQueries.sqlHash60("'split|' || CAST(d.doc_id AS VARCHAR)")} % 100"
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |grams AS (
+       |  SELECT doc_id, source, ${DedupQueries.sqlHash60("gram")} AS h FROM (
+       |    SELECT doc_id, source, $gramExpr AS gram FROM toks)),
+       |bench AS (SELECT DISTINCT h FROM grams WHERE source = 'src0'),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE source <> 'src0' AND h IN (SELECT h FROM bench)),
+       |flagged AS (
+       |  SELECT
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    q,
+       |    q AND d.doc_id = min(CASE WHEN q THEN d.doc_id END)
+       |      OVER (PARTITION BY md5(d.text)) AS canon,
+       |    c.doc_id IS NOT NULL AS contam,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'validation'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT *,
+       |      len(string_split(text, ' ')) BETWEEN 20 AND 1000 AND
+       |      len(list_filter(string_split(text, ' '),
+       |        x -> x IN ('the', 'a'))) > 0 AS q
+       |    FROM documents WHERE source <> 'src0') d
+       |  LEFT JOIN contaminated c ON d.doc_id = c.doc_id),
+       |staged AS (
+       |  SELECT n_tokens, unnest(list_filter([
+       |    '1_ingested',
+       |    CASE WHEN q THEN '2_quality' END,
+       |    CASE WHEN canon THEN '3_dedup' END,
+       |    CASE WHEN canon AND NOT contam THEN '4_decontam' END,
+       |    CASE WHEN canon AND NOT contam THEN '5_' || split END],
+       |    x -> x IS NOT NULL)) AS stage
+       |  FROM flagged)
+       |SELECT stage, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM staged GROUP BY stage""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "ds10_curation_funnel" -> QueryDef.of(ds10Sql)(ds10CurationFunnel),
     "ds1_hash_sample" -> QueryDef.of(ds1Sql)(ds1HashSample),
     "ds8_curriculum" -> QueryDef.of(ds8Sql)(ds8Curriculum),
     "ds9_stratified_exact" -> QueryDef.of(ds9Sql)(ds9StratifiedExact),
