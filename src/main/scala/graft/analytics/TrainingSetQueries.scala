@@ -789,14 +789,13 @@ object TrainingSetQueries {
     * d1 shuffle; contamination is the d6 broadcast-semi probe; the
     * stage explosion is ≤7 tags per row feeding one partial-agg'd
     * groupBy. No stage re-scans the corpus. */
-  def ds10CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
-    val train = docs.filter($"source" =!= "src0")
+  /** The ds10 core over any (doc_id, text) corpus + benchmark pair —
+    * the `api.TrainingSet.curationFunnel` entry point. */
+  def curationFunnelFrom(train: DataFrame, bench: DataFrame): DataFrame = {
+    import train.sparkSession.implicits._
     val contaminated = gramHashes(train, decontamN)
       .join(broadcast(
-        gramHashes(docs.filter($"source" === "src0"), decontamN)
-          .select($"h").distinct()),
+        gramHashes(bench, decontamN).select($"h").distinct()),
         Seq("h"), "leftsemi")
       .select($"doc_id").distinct()
       .withColumn("contam", lit(true))
@@ -829,6 +828,14 @@ object TrainingSetQueries {
         .as("stage"))
       .groupBy($"stage")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+  }
+
+  def ds10CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    curationFunnelFrom(
+      docs.filter($"source" =!= "src0"),
+      docs.filter($"source" === "src0"))
   }
 
   val ds10Sql: String = {

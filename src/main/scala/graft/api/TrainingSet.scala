@@ -227,4 +227,13 @@ object TrainingSet {
       textCol: String = "text")
       : Seq[graft.analytics.TokenizerQueries.BpeMerge] =
     graft.analytics.TokenizerQueries.bpeTrain(std(docs, idCol, textCol), k)
+
+  /** The curation-funnel burn-down (oracle-proven ds10 shape): per
+    * stage — quality → dedup-canonical among quality survivors →
+    * benchmark-decontaminated → split shares — the docs and tokens
+    * surviving. Stage rules ARE the registry operators' own. */
+  def curationFunnel(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.analytics.TrainingSetQueries.curationFunnelFrom(
+      std(docs, idCol, textCol), std(benchmark, idCol, textCol))
 }

@@ -288,6 +288,29 @@ class HttpGatewaySpec extends SparkSpec {
         "&conversion=purchase&model=nope").statusCode() == 400)
       assert(get(port, "/analysis/paths?collection=journeys&type_column=zz")
         .statusCode() == 400)
+
+      // a MAP-typed property must not break the ordering hash (Spark's
+      // hash functions reject map inputs — the tiebreak skips them)
+      assert(post(port, "/event/collect",
+        """{"collection": "mapped", "properties": {"_user": "u9", "_time": "2026-01-05 10:00:00.000", "event_type": "A", "attrs": {"k": "v"}}}""")
+        .statusCode() == 200)
+      assert(post(port, "/event/collect",
+        """{"collection": "mapped", "properties": {"_user": "u9", "_time": "2026-01-05 10:01:00.000", "event_type": "purchase", "attrs": {"k": "w"}}}""")
+        .statusCode() == 200)
+      val mp = get(port, "/analysis/paths?collection=mapped")
+      assert(mp.statusCode() == 200, mp.body())
+      assert(mp.body().contains(""""from_type":"A""""), mp.body())
+
+      // an event type spelled like a reserved virtual state is the
+      // client's 400 on the markov model, not a 500
+      assert(post(port, "/event/collect",
+        """{"collection": "reserved", "properties": {"_user": "u1", "_time": "2026-01-05 10:00:00.000", "event_type": "(conv)"}}""")
+        .statusCode() == 200)
+      assert(post(port, "/event/collect",
+        """{"collection": "reserved", "properties": {"_user": "u1", "_time": "2026-01-05 10:01:00.000", "event_type": "purchase"}}""")
+        .statusCode() == 200)
+      assert(get(port, "/analysis/attribution?collection=reserved" +
+        "&conversion=purchase&model=markov").statusCode() == 400)
     }
   }
 

@@ -207,6 +207,17 @@ class TrainingSetSpec extends SparkSpec {
       rows(graft.analytics.TokenizerQueries.ch1ContextChunks(spark, sf())))
   }
 
+  test("curationFunnel == oracle-proven ds10 through renamed columns") {
+    import org.apache.spark.sql.functions.col
+    val train = docs.filter(col("source") =!= "src0")
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body")
+    val bench = docs.filter(col("source") === "src0")
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("text", "body")
+    assert(rows(TrainingSet.curationFunnel(train, bench,
+      idCol = "id", textCol = "body")) ==
+      rows(TrainingSetQueries.ds10CurationFunnel(spark, sf())))
+  }
+
   test("bpeMerges == oracle-proven bpe2") {
     val viaFacade = TrainingSet.bpeMerges(docs, 4)
     val viaRegistry = graft.analytics.TokenizerQueries
