@@ -79,6 +79,9 @@ import graft.store.EventStore
   *    over an inline or parquet corpus — the response is the k-row
   *    merge list, bounded at any corpus size) and `/tokenizer/chunks`
   *    (row-capped context-window chunking).
+  *  - **corpus services**: `/corpus/funnel` — the ds10 curation
+  *    burn-down over a posted corpus + benchmark (≤7-row response at
+  *    any corpus size).
   *  - **materialized views** (upstream `MaterializedViewHttpService` /
   *    `PrestoMaterializedViewService` semantics over
   *    [[graft.store.MaterializedView]]):
@@ -206,6 +209,7 @@ final class HttpGateway(
     server.createContext("/index/text/compact", route(authed(MasterRole)(handleTextCompact)))
     server.createContext("/tokenizer/train", route(authed(MasterRole)(handleTokenizerTrain)))
     server.createContext("/tokenizer/chunks", route(authed(MasterRole)(handleTokenizerChunks)))
+    server.createContext("/corpus/funnel", route(authed(MasterRole)(handleCorpusFunnel)))
     server.createContext("/materialized-view/create", route(authed(MasterRole)(handleMvCreate)))
     server.createContext("/materialized-view/get", route(authed(MasterRole)(handleMvGet)))
     server.createContext("/materialized-view/list", route(authed(MasterRole)(handleMvList)))
@@ -1588,6 +1592,23 @@ final class HttpGateway(
     val rows = graft.analytics.TokenizerQueries.ch1From(docsFrameOf(root))
       .orderBy(col("doc_id"), col("chunk_idx")).limit(limit)
     (200, rows.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** `POST /corpus/funnel` — the ds10 curation burn-down over a posted
+    * corpus (inline `docs` or parquet `source`) against a posted
+    * `benchmark` (same shape, nested object): per-stage docs/tokens
+    * surviving quality → dedup → decontamination → split. The output
+    * is ≤7 rows regardless of corpus size — the door only triggers
+    * the cluster job. */
+  private def handleCorpusFunnel(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val benchNode = Option(root.get("benchmark")).filter(_.isObject)
+      .getOrElse(throw new IngestRejected(
+        "benchmark object (docs array or source path) is required"))
+    val out = TrainingSet.curationFunnel(
+      docsFrameOf(root), docsFrameOf(benchNode))
+    (200, out.orderBy(col("stage")).toJSON.collect().mkString("[", ",", "]"))
   }
 
   // -------- materialized views (MaterializedViewHttpService upstream) --------

@@ -506,4 +506,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("zip_with"),
       "HOF dot product leaked back into the production path")
   }
+
+  test("r4: probe set is a bounded TakeOrdered; no cartesian anywhere") {
+    val plan = SparkEntry.queries("r4_retrieval_metrics")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the md5-ordered probe selection must never become a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"probe selection is not bounded:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("emb3: probe batch broadcasts; the corpus is never hash-shuffled") {
+    val plan = SparkEntry.queries("emb3_knn_accuracy")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // corpus rows meet probes via broadcast NLJ/hash joins only — the
+    // lone hash exchanges are the bounded per-probe aggregations
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$plan")
+  }
+
+  test("ds10: one dedup shuffle, gram probe broadcast-semi, no cartesian") {
+    val plan = SparkEntry.queries("ds10_curation_funnel")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the benchmark gram set reaches the corpus as a broadcast
+    // LeftSemi — the corpus is never shuffled by gram hash
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"decontam stage lost its broadcast-semi shape:\n$plan")
+  }
+
+  test("sq2: negative drawing never shuffles the event side") {
+    val plan = SparkEntry.queries("sq2_negatives")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"event rows crossed a hash exchange:\n$plan")
+  }
 }

@@ -1132,6 +1132,23 @@ class HttpGatewaySpec extends SparkSpec {
         .map(_.group(1).toInt).toSeq == Seq(0, 1), capped.body())
       assert(post(port, "/tokenizer/chunks",
         """{"limit": 0, "docs": []}""").statusCode() == 400)
+
+      // the curation funnel over a posted corpus + benchmark: the
+      // CurationFunnelSpec fixture over HTTP
+      val good = (1 to 30).map(i => s"w$i").mkString("the ", " ", " a")
+      val fn = post(port, "/corpus/funnel",
+        s"""{"docs": [
+           |{"doc_id": 1, "text": "$good"},
+           |{"doc_id": 2, "text": "$good"},
+           |{"doc_id": 3, "text": "tiny doc"}],
+           |"benchmark": {"docs": [{"doc_id": 0, "text": "b1 b2 b3 b4 b5 b6"}]}}"""
+          .stripMargin)
+      assert(fn.statusCode() == 200, fn.body())
+      assert(fn.body().contains(""""stage":"1_ingested","n_docs":3""") &&
+        fn.body().contains(""""stage":"2_quality","n_docs":2""") &&
+        fn.body().contains(""""stage":"3_dedup","n_docs":1"""), fn.body())
+      assert(post(port, "/corpus/funnel",
+        """{"docs": [{"doc_id": 1, "text": "x"}]}""").statusCode() == 400)
     }
   }
 
