@@ -236,6 +236,9 @@ object CorpusQueries {
       .withColumn("bucket",
         DedupQueries.hash60(col(idCol).cast("string")) % buckets)
       .withColumn("__cum", sum(col(tokenCol)).over(w))
+      // the doc's 0-based token offset in its bucket's stream — pk1's
+      // accounting ignores it; pk3's materializer slices with it
+      .withColumn("doc_start", expr(s"__cum - $tokenCol"))
       .withColumn("first_seq", expr(s"(__cum - $tokenCol) DIV $seqLen"))
       .withColumn("last_seq", expr(s"(__cum - 1) DIV $seqLen"))
       .withColumn("straddles", col("last_seq") > col("first_seq"))
@@ -276,6 +279,98 @@ object CorpusQueries {
        |  CAST(sum(n_tok) AS DOUBLE) / ((max((cum - 1) // $SeqLen) + 1) * $SeqLen) AS fill_ratio
        |FROM packed
        |GROUP BY bucket""".stripMargin
+
+  // ---------------- PK3: materialized packed shards ----------------
+
+  /** The packed sequences themselves — pk1's plan MATERIALIZED: every
+    * document's token stream lands in its bucket's fixed-[[SeqLen]]
+    * sequences in doc-id order, straddlers sliced across the boundary
+    * (the standard concat-then-chunk training layout; nothing padded,
+    * nothing dropped). Output grain = one row per (bucket, seq_id)
+    * with the token count and an md5 content address — the oracle pins
+    * the BYTES of every packed sequence, not just the plan's
+    * accounting, so the shard writer ([[packedShards]] → parquet) is
+    * content-verified end to end.
+    *
+    * Scale shape: pk1's window (one shuffle by bucket) + a scan-side
+    * explode of each doc into the ≤⌈n/L⌉+1 sequences it covers + one
+    * grouped aggregation by (bucket, seq). The per-seq segment sort is
+    * an `array_sort` over ≤ the docs touching one sequence — bounded
+    * by L (a sequence holds at most L one-token docs). */
+  /** The packed sequences with their full text payload — the writer's
+    * frame; [[pk3From]] projects it to the md5-addressed oracle
+    * grain. */
+  private[graft] def packedSeqsFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sized = docs
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tok"))
+    packingPlanFrom(sized, "n_tok", SeqLen, PackBuckets)
+      .select($"bucket", $"doc_id", $"toks", $"n_tok", $"doc_start",
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .withColumn("seg_from", // 0-based offset inside the doc
+        greatest(lit(0L), $"seq_id" * SeqLen - $"doc_start"))
+      .withColumn("seg_until",
+        least($"n_tok", ($"seq_id" + 1L) * SeqLen - $"doc_start"))
+      .withColumn("seg", concat_ws(" ",
+        expr("slice(toks, CAST(seg_from + 1 AS INT), CAST(seg_until - seg_from AS INT))")))
+      .groupBy($"bucket", $"seq_id")
+      .agg(
+        sum($"seg_until" - $"seg_from").as("n_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(doc_id, seg))), s -> s.seg)"))
+          .as("seq_text"))
+  }
+
+  def pk3From(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    packedSeqsFrom(docs)
+      .select($"bucket", $"seq_id", $"n_tokens",
+        md5($"seq_text".cast("binary")).as("seq_md5"))
+  }
+
+  def pk3PackedShards(spark: SparkSession, dir: String): DataFrame =
+    pk3From(Tables(spark, dir, "documents"))
+
+  /** Write the packed sequences (full text payload) as a
+    * bucket-partitioned parquet layout — the shard store a trainer
+    * reads. Returns the written row count. */
+  def packedShards(docs: DataFrame, path: String): Long = {
+    val shards = packedSeqsFrom(docs)
+    shards.write.mode("overwrite")
+      .partitionBy("bucket").parquet(path)
+    shards.sparkSession.read.parquet(path).count()
+  }
+
+  val pk3Sql: String =
+    s"""WITH sized AS (
+       |  SELECT doc_id,
+       |    ${DedupQueries.sqlHash60("CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket,
+       |    string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |packed AS (
+       |  SELECT bucket, doc_id, toks, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |      AS doc_start
+       |  FROM sized),
+       |segs AS (
+       |  SELECT bucket, doc_id, seq_id,
+       |    greatest(0, seq_id * $SeqLen - doc_start) AS seg_from,
+       |    least(n_tok, (seq_id + 1) * $SeqLen - doc_start) AS seg_until,
+       |    array_to_string(list_slice(toks,
+       |      CAST(greatest(0, seq_id * $SeqLen - doc_start) + 1 AS INT),
+       |      CAST(least(n_tok, (seq_id + 1) * $SeqLen - doc_start) AS INT)),
+       |      ' ') AS seg
+       |  FROM packed, LATERAL (SELECT unnest(range(
+       |    CAST(doc_start // $SeqLen AS BIGINT),
+       |    CAST((doc_start + n_tok - 1) // $SeqLen + 1 AS BIGINT)))
+       |    AS seq_id) t)
+       |SELECT bucket, seq_id,
+       |  CAST(sum(seg_until - seg_from) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(seg, ' ' ORDER BY doc_id)) AS seq_md5
+       |FROM segs GROUP BY bucket, seq_id""".stripMargin
 
   // ---------------- PK2: padded-batch waste audit ----------------
 
@@ -697,6 +792,7 @@ object CorpusQueries {
     "d8_paragraph_dedup" -> QueryDef.of(d8Sql)(d8ParagraphDedup),
     "pk1_seq_packing" -> QueryDef.of(pk1Sql)(pk1Packing),
     "pk2_pad_waste" -> QueryDef.of(pk2Sql)(pk2PadWaste),
+    "pk3_packed_shards" -> QueryDef.of(pk3Sql)(pk3PackedShards),
     "t_unigram_lm" -> QueryDef.of(tLmSql)(tUnigramLm),
     "t_bigram_lm" -> QueryDef.of(tLm2Sql)(tBigramLm),
     "t_quality_clf" -> QueryDef.of(tClfSql)(tQualityClf),

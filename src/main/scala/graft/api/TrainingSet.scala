@@ -236,4 +236,12 @@ object TrainingSet {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.analytics.TrainingSetQueries.curationFunnelFrom(
       std(docs, idCol, textCol), std(benchmark, idCol, textCol))
+
+  /** Materialize the corpus as fixed-length packed training shards
+    * (oracle-proven pk3 content): bucket-partitioned parquet of
+    * (seq_id, n_tokens, seq_text), every sequence exactly SeqLen
+    * tokens except each bucket's tail. Returns rows written. */
+  def writeShards(docs: DataFrame, path: String, idCol: String = "doc_id",
+      textCol: String = "text"): Long =
+    graft.analytics.CorpusQueries.packedShards(std(docs, idCol, textCol), path)
 }
