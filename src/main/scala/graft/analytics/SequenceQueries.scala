@@ -120,8 +120,69 @@ object SequenceQueries {
        |    s -> s.t) AS negatives
        |FROM e""".stripMargin
 
+  /** SQ3: session-scoped next-event examples — sq1 with the context
+    * window RESET at every >30-minute gap (w2's session rule): a
+    * session model must not see context from a visit that ended hours
+    * ago. Session id = running count of gap-breaks per user (one extra
+    * window column on the same user partition pass — the shuffle count
+    * is unchanged from sq1), then the example window partitions by
+    * (user, session). Emitted rows carry the session index so examples
+    * stay joinable back to session-grain features. */
+  def sq3From(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val uw = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = events
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(uw))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+          $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"new_sess").over(uw))
+    val sw = Window.partitionBy($"user_id", $"session_idx")
+      .orderBy($"ts", $"event_id").rowsBetween(-C, -1)
+    sess
+      .withColumn("context", collect_list($"event_type").over(sw))
+      .filter(size($"context") > 0)
+      .select(
+        $"user_id",
+        $"session_idx",
+        $"event_id",
+        $"event_type".as("label"),
+        $"context",
+        size($"context").as("n_context"))
+  }
+
+  def sq3SessionExamples(spark: SparkSession, dir: String): DataFrame =
+    sq3From(Tables(spark, dir, "events"))
+
+  val sq3Sql: String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_ts
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    sum(CASE WHEN prev_ts IS NULL
+       |          OR ts > prev_ts + INTERVAL 30 MINUTE
+       |        THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+       |  FROM lagged),
+       |x AS (
+       |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |    event_id, event_type,
+       |    list(event_type) OVER (PARTITION BY user_id, session_idx
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN $C PRECEDING AND 1 PRECEDING) AS context
+       |  FROM sess)
+       |SELECT user_id, session_idx, event_id, event_type AS label,
+       |  context, CAST(len(context) AS INT) AS n_context
+       |FROM x WHERE len(context) > 0""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "sq1_next_event" -> QueryDef.of(sq1Sql)(sq1NextEvent),
-    "sq2_negatives" -> QueryDef.of(sq2Sql)(sq2Negatives)
+    "sq2_negatives" -> QueryDef.of(sq2Sql)(sq2Negatives),
+    "sq3_session_examples" -> QueryDef.of(sq3Sql)(sq3SessionExamples)
   )
 }

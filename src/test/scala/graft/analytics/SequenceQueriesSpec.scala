@@ -78,6 +78,33 @@ class SequenceQueriesSpec extends SparkSpec {
     assert(negs.distinct.size > 1, negs)
   }
 
+  test("sq3: a >30-minute gap resets the context window") {
+    val d = ev(Seq(
+      (1L, 1L, t(0), "a"), (2L, 1L, t(60), "b"),
+      // 31-minute gap → new session: event 3's context must be empty
+      (3L, 1L, t(60 + 31 * 60), "c"),
+      (4L, 1L, t(60 + 32 * 60), "d")))
+    val rows = SequenceQueries.sq3From(d)
+      .select("event_id", "session_idx", "context").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toList))
+      .sortBy(_._1)
+    // event 3 opens session 2 with no context → no example for it
+    assert(rows.toSeq === Seq(
+      (2L, 1L, List("a")),
+      (4L, 2L, List("c"))))
+  }
+
+  test("sq3 == sq1 when no session gap exists") {
+    val d = ev((1 to 8).map(i => (i.toLong, 1L, t(i * 60L), s"e$i")))
+    def strip(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(strip(SequenceQueries.sq3From(d),
+      "user_id", "event_id", "label", "context", "n_context") ==
+      strip(SequenceQueries.sq1From(d),
+        "user_id", "event_id", "label", "context", "n_context"))
+  }
+
   test("api.Analytics facades == registry sq1/sq2 through renamed columns") {
     val d = graft.Tables(spark, sf(), "events")
     val renamed = d.withColumnRenamed("user_id", "u")
