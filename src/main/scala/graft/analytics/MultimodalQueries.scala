@@ -162,10 +162,102 @@ object MultimodalQueries {
        |WHERE bit_count(xor(x.phash, y.phash)) <= 3""".stripMargin
   }
 
+  /** MM5: VIDEO-level near-duplicates from shared frame signatures —
+    * mm2's frame sampling composed with mm4's phash kernel one level
+    * down: each sampled frame (64-byte slice) gets its own 16-bit
+    * phash over its token hashes, candidate video pairs are frames
+    * agreeing EXACTLY on the frame phash (the 16-bit space is its own
+    * LSH bucket at frame granularity), and a pair reports when ≥2
+    * distinct frame pairs match — the re-encoded/trimmed-copy
+    * detection a video pipeline runs where whole-file hashing fails.
+    *
+    * Scale shape: frames are ≤ [[graft.multimodal.Multimodal]]'s 8 per
+    * doc, so the frame table is ≤8×|corpus|; the phash-equality join
+    * is bucket-capped ([[MediaBucketCap]], the mm4/d2 discipline) so a
+    * degenerate signature (e.g. every black frame hashing alike) can
+    * never quadratically explode; per-pair counting is one grouped
+    * aggregate on 8-byte keys. */
+  def mm5FrameNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.asMedia(Tables(spark, dir, "documents"))
+    val frames = media
+      .select($"doc_id", $"bytes".cast("string").as("text"))
+      .withColumn("n_frames",
+        expr("CAST(floor(least(greatest(length(text)/64.0, 1), 8)) AS INT)"))
+      .select($"doc_id", explode(expr("sequence(0, n_frames - 1)")).as("frame_no"),
+        expr("substring(text, frame_no * 64 + 1, 64)").as("frame_text"))
+    val fhash = frames
+      .select($"doc_id", $"frame_no",
+        explode(split($"frame_text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .distinct()
+      .withColumn("h", DedupQueries.hash60($"tok"))
+      .select($"doc_id", $"frame_no", explode(expr("sequence(0, 15)")).as("bit"), $"h")
+      .groupBy($"doc_id", $"frame_no", $"bit")
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy($"doc_id", $"frame_no")
+      .agg(sum(when($"vote" > 0, expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L))
+        .as("fhash"))
+    val capped = fhash
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"fhash").orderBy($"doc_id", $"frame_no")))
+      .filter($"rn" <= MediaBucketCap)
+      .select($"doc_id", $"frame_no", $"fhash")
+    capped.as("x").join(capped.as("y"),
+        col("x.fhash") === col("y.fhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_matching_frames"))
+      .filter($"n_matching_frames" >= 2)
+  }
+
+  val mm5Sql: String = {
+    import DedupQueries.sqlHash60
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CAST(floor(least(greatest(length(text)/64.0, 1), 8)) AS INT) AS n_frames
+       |  FROM documents),
+       |frames AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS frame_no,
+       |    substring(text, i * 64 + 1, 64) AS frame_text
+       |  FROM (SELECT doc_id, text, unnest(range(n_frames)) AS i FROM f)),
+       |tok AS (
+       |  SELECT DISTINCT doc_id, frame_no, tok FROM (
+       |    SELECT doc_id, frame_no,
+       |      unnest(string_split(frame_text, ' ')) AS tok
+       |    FROM frames)
+       |  WHERE tok <> ''),
+       |votes AS (
+       |  SELECT doc_id, frame_no, bit,
+       |    sum(CASE WHEN (${sqlHash60("tok")} >> bit) & 1 = 1
+       |      THEN 1 ELSE -1 END) AS vote
+       |  FROM tok, generate_series(0, 15) b(bit)
+       |  GROUP BY doc_id, frame_no, bit),
+       |sig AS (
+       |  SELECT doc_id, frame_no,
+       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS fhash
+       |  FROM votes GROUP BY doc_id, frame_no),
+       |capped AS (
+       |  SELECT doc_id, frame_no, fhash FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY fhash
+       |      ORDER BY doc_id, frame_no) AS rn
+       |    FROM sig)
+       |  WHERE rn <= $MediaBucketCap)
+       |SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+       |  count(*) AS n_matching_frames
+       |FROM capped x JOIN capped y
+       |  ON x.fhash = y.fhash AND x.doc_id < y.doc_id
+       |GROUP BY x.doc_id, y.doc_id
+       |HAVING count(*) >= 2""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "mm1_features" -> QueryDef.of(mm1Sql)(mm1Features),
     "mm2_frame_sample" -> QueryDef.of(mm2Sql)(mm2FrameSample),
     "mm3_resize_audit" -> QueryDef.of(mm3Sql)(mm3ResizeAudit),
-    "mm4_phash_neardup" -> QueryDef.of(mm4Sql)(mm4PhashNearDup)
+    "mm4_phash_neardup" -> QueryDef.of(mm4Sql)(mm4PhashNearDup),
+    "mm5_frame_neardup" -> QueryDef.of(mm5Sql)(mm5FrameNearDup)
   )
 }
