@@ -84,16 +84,28 @@ object BehavioralQueries {
   /** W2 sessionization: a session break is a >30-minute gap (reference
     * UserIdEventMapper.java:50-72 anonymous sessions). One window pass
     * flags breaks, a groupBy counts sessions per user. */
+  /** The ONE session-boundary rule: a >30-minute gap in a user's
+    * (ts, event_id)-ordered stream opens a new session. Adds a 1-based
+    * `session_idx` on the user-partition window pass — shared by w2's
+    * per-user counts and sq3's session-scoped example windows, so the
+    * two families sessionize provably alike. */
+  def withSessionIndex(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .withColumn("__prev_ts", lag($"ts", 1).over(w))
+      .withColumn("session_idx",
+        sum(when($"__prev_ts".isNull ||
+          $"ts" > $"__prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L)).over(w))
+      .drop("__prev_ts")
+  }
+
   def w2Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables(spark, dir, "events")
-      .withColumn("prev_ts", lag($"ts", 1).over(w))
-      .withColumn("new_sess",
-        when($"prev_ts".isNull || $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
-          .otherwise(0L))
+    withSessionIndex(Tables(spark, dir, "events"))
       .groupBy($"user_id")
-      .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .agg(max($"session_idx").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
   val w2SessSql: String =

@@ -168,8 +168,12 @@ object MultimodalQueries {
     * phash over its token hashes, candidate video pairs are frames
     * agreeing EXACTLY on the frame phash (the 16-bit space is its own
     * LSH bucket at frame granularity), and a pair reports when ≥2
-    * distinct frame pairs match — the re-encoded/trimmed-copy
+    * DISTINCT signatures are shared — the re-encoded / partial-copy
     * detection a video pipeline runs where whole-file hashing fails.
+    * Scope honestly stated: fixed-offset slicing is alignment-bound —
+    * whole trailing/leading FRAMES may differ, but a byte-level trim
+    * shifts every boundary and defeats it (the shift-robust variant
+    * is content-defined chunking, d12's CDC applied to the payload).
     *
     * Scale shape: frames are ≤ [[graft.multimodal.Multimodal]]'s 8 per
     * doc, so the frame table is ≤8×|corpus|; the phash-equality join
@@ -181,12 +185,13 @@ object MultimodalQueries {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val media = Multimodal.asMedia(Tables(spark, dir, "documents"))
-    val frames = media
-      .select($"doc_id", $"bytes".cast("string").as("text"))
-      .withColumn("n_frames",
-        expr("CAST(floor(least(greatest(length(text)/64.0, 1), 8)) AS INT)"))
-      .select($"doc_id", explode(expr("sequence(0, n_frames - 1)")).as("frame_no"),
-        expr("substring(text, frame_no * 64 + 1, 64)").as("frame_text"))
+    // mm2's sampler, verbatim — the frame grain MUST be the one the
+    // mm2 oracle pins, or a retune of the sampling formula would
+    // silently diverge the two queries
+    val frames = Multimodal.sampleFrames(media, everyNth = 64, maxFrames = 8)
+      .select($"doc_id", $"frame_no".cast("long").as("frame_no"),
+        expr("CAST(substring(bytes, frame_offset + 1, 64) AS STRING)")
+          .as("frame_text"))
     // all 16 bit-votes ride ONE (doc, frame) aggregation — the mm4
     // formulation explodes 16 rows per token hash before its shuffle;
     // at frame granularity that bloat is 16×8 rows per document, so
@@ -215,12 +220,15 @@ object MultimodalQueries {
         Window.partitionBy($"fhash").orderBy($"doc_id", $"frame_no")))
       .filter($"rn" <= MediaBucketCap)
       .select($"doc_id", $"frame_no", $"fhash")
+    // DISTINCT shared signatures, not join pairs: a video that
+    // internally repeats one frame (two black intro frames) must not
+    // pass the ≥2 bar against a video sharing that single content
     capped.as("x").join(capped.as("y"),
         col("x.fhash") === col("y.fhash") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("n_matching_frames"))
-      .filter($"n_matching_frames" >= 2)
+      .agg(countDistinct(col("x.fhash")).as("n_shared_signatures"))
+      .filter($"n_shared_signatures" >= 2)
   }
 
   val mm5Sql: String = {
@@ -257,11 +265,11 @@ object MultimodalQueries {
        |    FROM sig)
        |  WHERE rn <= $MediaBucketCap)
        |SELECT x.doc_id AS doc1, y.doc_id AS doc2,
-       |  count(*) AS n_matching_frames
+       |  CAST(count(DISTINCT x.fhash) AS BIGINT) AS n_shared_signatures
        |FROM capped x JOIN capped y
        |  ON x.fhash = y.fhash AND x.doc_id < y.doc_id
        |GROUP BY x.doc_id, y.doc_id
-       |HAVING count(*) >= 2""".stripMargin
+       |HAVING count(DISTINCT x.fhash) >= 2""".stripMargin
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -130,15 +130,10 @@ object SequenceQueries {
     * stay joinable back to session-grain features. */
   def sq3From(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    val uw = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val sess = events
-      .select($"user_id", $"event_id", $"ts", $"event_type")
-      .withColumn("prev_ts", lag($"ts", 1).over(uw))
-      .withColumn("new_sess",
-        when($"prev_ts".isNull ||
-          $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
-          .otherwise(0L))
-      .withColumn("session_idx", sum($"new_sess").over(uw))
+    // THE w2 session rule, not a copy — BehavioralQueries owns the
+    // boundary definition
+    val sess = BehavioralQueries.withSessionIndex(
+      events.select($"user_id", $"event_id", $"ts", $"event_type"))
     val sw = Window.partitionBy($"user_id", $"session_idx")
       .orderBy($"ts", $"event_id").rowsBetween(-C, -1)
     sess

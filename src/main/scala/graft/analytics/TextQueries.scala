@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: token
@@ -38,6 +38,16 @@ object TextQueries {
     * token length, and a composite keep/drop flag — the shape of a
     * C4/Gopher-style quality filter. Ratios are double divisions of
     * exact integers → bit-identical across engines. */
+  /** The ONE quality keep rule over a token-array column — shared by
+    * t_quality and the ds10 curation funnel's quality stage, so the
+    * funnel provably applies THIS operator's rule (a retune here
+    * retunes both). */
+  def keepRule(toks: Column): Column = {
+    val n = size(toks).cast("long")
+    val stop = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    n >= 20 && n <= 1000 && (stop.cast("double") / n) > 0.0
+  }
+
   def tQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "documents")
@@ -51,8 +61,7 @@ object TextQueries {
         $"n_stop",
         ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
         (($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("mean_tok_len"),
-        ($"n_tokens" >= 20 && $"n_tokens" <= 1000 &&
-          ($"n_stop".cast("double") / $"n_tokens") > 0.0).as("keep"))
+        keepRule($"toks").as("keep"))
   }
 
   val tQualitySql: String =

@@ -641,15 +641,20 @@ object TrainingSetQueries {
     * from every other hash-keyed decision (ds1 sampling, ds3 shuffle).
     * Scan-side tag, one partial-agg'd shuffle for the per-(lang,split)
     * report; all-long outputs, no float parity risk. */
+  /** The ONE split-assignment rule (salted hash → 80/10/10) — shared
+    * by ds7 and the ds10 funnel's split stage so a share retune
+    * retunes both. */
+  def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket =
+      DedupQueries.hash60(concat(lit("split|"), id.cast("string"))) % 100
+    when(bucket < 80, "train").when(bucket < 90, "validation")
+      .otherwise("test")
+  }
+
   def ds7Split(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket =
-      DedupQueries.hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 100
     Tables(spark, dir, "documents")
-      .withColumn("split",
-        when(bucket < 80, "train")
-          .when(bucket < 90, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitOf($"doc_id"))
       .groupBy($"lang", $"split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -799,25 +804,19 @@ object TrainingSetQueries {
         Seq("h"), "leftsemi")
       .select($"doc_id").distinct()
       .withColumn("contam", lit(true))
-    val bucket =
-      DedupQueries.hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 100
     val flagged = train
       .withColumn("toks", split($"text", " "))
       .withColumn("n_tokens", size($"toks").cast("long"))
-      .withColumn("n_stop",
-        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("long"))
-      .withColumn("q",
-        $"n_tokens" >= 20 && $"n_tokens" <= 1000 &&
-          ($"n_stop".cast("double") / $"n_tokens") > 0.0)
+      // THE registry rules, not copies: TextQueries.keepRule is
+      // t_quality's keep column; splitOf is ds7's assignment
+      .withColumn("q", TextQueries.keepRule($"toks"))
       .withColumn("min_q_doc",
         min(when($"q", $"doc_id")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
       .withColumn("canon", $"q" && $"doc_id" === $"min_q_doc")
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("clean", $"canon" && !coalesce($"contam", lit(false)))
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitOf($"doc_id"))
     flagged
       .select($"n_tokens", explode(filter(array(
         lit("1_ingested"),
