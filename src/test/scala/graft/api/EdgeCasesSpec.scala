@@ -107,6 +107,27 @@ class EdgeCasesSpec extends SparkSpec {
       "n_tokens", "lang", Map("en" -> 10L)).isEmpty)
   }
 
+  test("the session-7 families on empty and degenerate inputs") {
+    // tokenizer family
+    assert(TrainingSet.contextChunks(emptyDocs).isEmpty)
+    assert(TrainingSet.bpeMerges(emptyDocs, 4).isEmpty)
+    assert(TrainingSet.curationFunnel(emptyDocs, benchmark = emptyDocs).isEmpty)
+    // sequence family
+    assert(Analytics.nextEventExamples(emptyEvents,
+      "user_id", "ts", "event_id", "event_type").isEmpty)
+    assert(Analytics.negativeSamples(emptyEvents,
+      "user_id", "ts", "event_id", "event_type").isEmpty)
+    // attribution / eval
+    assert(Analytics.markovAttribution(emptyEvents,
+      "user_id", "ts", "event_id", "event_type", "purchase").isEmpty)
+    assert(graft.api.Retrieval.evaluate(emptyDocs).collect()(0).getLong(0) == 0L)
+    // a single-doc corpus: one chunk, zero merges beyond its own chars
+    import spark.implicits._
+    val one = Seq((1L, "only doc")).toDF("doc_id", "text")
+    assert(TrainingSet.contextChunks(one).count() == 1)
+    assert(TrainingSet.bpeMerges(one, 2).nonEmpty)
+  }
+
   test("single-row and all-duplicate corpora") {
     val one = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     assert(TrainingSet.dedupClusters(one).count() <= 1)
