@@ -234,42 +234,47 @@ object TokenizerQueries {
     * corpus); materialization makes it the sequential pipeline it is.
     * chr(1) is safe as the symbol separator: symbols are document
     * characters, and control characters never survive ingest. */
-  /** Shared WITH-prefix for the SQL replays: word frequencies, the
-    * chr(1)-encoded symbol table `s0`, and the [[K]] merge stages
-    * `t1..tK` (argmax pairs) / `s1..sK` (folded symbol tables). */
-  private val bpeStagesSql: String = {
+  /** Generated WITH-body for one SQL merge replay: word frequencies,
+    * the chr(1)-encoded symbol table `<p>s0`, and the [[K]] merge
+    * stages `<p>t1..tK` (argmax pairs) / `<p>s1..sK` (folded symbol
+    * tables), all CTE names prefixed so two replays (bpe4's drift
+    * audit runs the full corpus AND a half) can share one WITH. */
+  private def bpeStagesFor(p: String, where: String): String = {
     val stages = (1 to K).map { k =>
-      val prev = if (k == 1) "s0" else s"s${k - 1}"
-      s"""p$k AS MATERIALIZED (
+      val prev = if (k == 1) s"${p}s0" else s"${p}s${k - 1}"
+      s"""${p}p$k AS MATERIALIZED (
          |  SELECT t[i] AS l, t[i + 1] AS r, cnt
          |  FROM (SELECT string_split(syms, chr(1)) AS t, cnt FROM $prev),
          |    LATERAL (SELECT unnest(range(1, len(t))) AS i) u),
-         |t$k AS MATERIALIZED (
+         |${p}t$k AS MATERIALIZED (
          |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
-         |  FROM p$k GROUP BY l, r
+         |  FROM ${p}p$k GROUP BY l, r
          |  ORDER BY pair_count DESC, l, r LIMIT 1),
-         |s$k AS MATERIALIZED (
+         |${p}s$k AS MATERIALIZED (
          |  SELECT list_reduce(string_split(syms, chr(1)),
          |    (a, c) -> CASE
-         |      WHEN regexp_extract(a, '[^\\x01]*$$') = t$k.l AND c = t$k.r
-         |      THEN left(a, length(a) - length(t$k.l)) || t$k.l || t$k.r
+         |      WHEN regexp_extract(a, '[^\\x01]*$$') = ${p}t$k.l AND c = ${p}t$k.r
+         |      THEN left(a, length(a) - length(${p}t$k.l)) || ${p}t$k.l || ${p}t$k.r
          |      ELSE a || chr(1) || c END) AS syms, cnt
-         |  FROM $prev, t$k
+         |  FROM $prev, ${p}t$k
          |  UNION ALL
          |  SELECT syms, cnt FROM $prev
-         |  WHERE NOT EXISTS (SELECT 1 FROM t$k))""".stripMargin
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${p}t$k))""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-       |wf AS MATERIALIZED (
-       |  SELECT word, count(*) AS cnt FROM toks WHERE word <> ''
+    s"""${p}toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |  $where),
+       |${p}wf AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt FROM ${p}toks WHERE word <> ''
        |  GROUP BY word),
-       |s0 AS MATERIALIZED (
+       |${p}s0 AS MATERIALIZED (
        |  SELECT array_to_string(
        |    list_append(string_split(word, ''), '$Eow'), chr(1)) AS syms, cnt
-       |  FROM wf),
+       |  FROM ${p}wf),
        |$stages""".stripMargin
   }
+
+  private val bpeStagesSql: String = "WITH " + bpeStagesFor("", "")
 
   val bpe2Sql: String = {
     val out = (1 to K).map { k =>
@@ -277,6 +282,53 @@ object TokenizerQueries {
         s"l || r AS merged, pair_count FROM t$k"
     }.mkString("\nUNION ALL\n")
     s"$bpeStagesSql\n$out"
+  }
+
+  // ---------------- bpe4: merge-stability drift ----------------
+
+  /** BPE4: tokenizer-stability audit — the [[K]] merges learned from
+    * the FIRST HALF of the corpus (doc_id ≤ max/2, the di1/vs1 split
+    * convention standing in for "last snapshot") against the full
+    * corpus's, rank by rank. A tokenizer retrained on a grown corpus
+    * that diverges at rank 2 invalidates every downstream token count;
+    * one that agrees through rank K can keep its vocabulary. Two
+    * training loops (each O(K) vocab-bounded aggregations) + a
+    * K-row driver join; the SQL twin runs both generated stage
+    * pyramids in one WITH under `f_`/`h_` prefixes. */
+  def bpe4MergeDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val mid = docs.agg(expr("max(doc_id) DIV 2"))
+      .collect()(0).getLong(0)
+    val full = bpeTrain(docs, K).map(m => m.rank -> m.merged).toMap
+    val half = bpeTrain(docs.filter($"doc_id" <= mid), K)
+      .map(m => m.rank -> m.merged).toMap
+    (1 to K)
+      .filter(r => full.contains(r) || half.contains(r))
+      .map { r =>
+        (r, full.get(r).orNull, half.get(r).orNull,
+          full.contains(r) && full.get(r) == half.get(r))
+      }
+      .toDF("rank", "full_merged", "half_merged", "agree")
+  }
+
+  val bpe4Sql: String = {
+    val fullRows = (1 to K).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, l || r AS merged FROM f_t$k"
+    }.mkString(" UNION ALL ")
+    val halfRows = (1 to K).map { k =>
+      s"SELECT CAST($k AS INT) AS rank, l || r AS merged FROM h_t$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeStagesFor("f_", "")},
+       |${bpeStagesFor("h_",
+      "WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)")},
+       |fm AS ($fullRows),
+       |hm AS ($halfRows)
+       |SELECT coalesce(fm.rank, hm.rank) AS rank,
+       |  fm.merged AS full_merged, hm.merged AS half_merged,
+       |  fm.merged IS NOT NULL
+       |    AND coalesce(fm.merged = hm.merged, FALSE) AS agree
+       |FROM fm FULL JOIN hm ON fm.rank = hm.rank""".stripMargin
   }
 
   // ---------------- bpe3: segmentation statistics ----------------
@@ -402,6 +454,7 @@ object TokenizerQueries {
     "bpe1_pair_counts" -> QueryDef.of(bpe1Sql)(bpe1PairCounts),
     "bpe2_merge_vocab" -> QueryDef.of(bpe2Sql)(bpe2MergeVocab),
     "bpe3_segment_stats" -> QueryDef.of(bpe3Sql)(bpe3SegmentStats),
+    "bpe4_merge_drift" -> QueryDef.of(bpe4Sql)(bpe4MergeDrift),
     "ch1_context_chunks" -> QueryDef.of(ch1Sql)(ch1ContextChunks)
   )
 }

@@ -173,6 +173,28 @@ class TokenizerQueriesSpec extends SparkSpec {
     }
   }
 
+  test("bpe4: identical halves agree at every rank; a skewed half diverges") {
+    import spark.implicits._
+    def drift(rows: Seq[(Long, String)]) = {
+      val tmp = java.nio.file.Files.createTempDirectory("bpe4")
+      rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      TokenizerQueries.bpe4MergeDrift(spark, tmp.toString)
+        .collect().map(r => r.getInt(0) -> r.getBoolean(3)).toMap
+    }
+    // docs 1..4 all identical → the half (ids ≤ 2) sees the same
+    // distribution → full agreement
+    val same = drift((1L to 4L).map(i => (i, "banana band bands")))
+    assert(same.values.forall(identity), same)
+    // the late docs (PAST the id midpoint, so only the full corpus
+    // sees them) flood a different pair — the full corpus's top
+    // merges must diverge from the half's
+    val skewed = drift(
+      (1L to 20L).map(i => (i, "banana band bands")) ++
+        (21L to 40L).map(i => (i, "zzzz zzzz zzzz zzzz")))
+    assert(skewed.values.exists(v => !v), skewed)
+  }
+
   test("ch1: short doc is one partial chunk; long doc overlaps at stride 24") {
     val shortDoc = (1 to 10).map(i => s"t$i").mkString(" ")
     val longDoc = (1 to 60).map(i => s"u$i").mkString(" ")
