@@ -298,8 +298,13 @@ object TokenizerQueries {
   def bpe4MergeDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val mid = docs.agg(expr("max(doc_id) DIV 2"))
-      .collect()(0).getLong(0)
+    val empty = Seq.empty[(Int, String, String, Boolean)]
+      .toDF("rank", "full_merged", "half_merged", "agree")
+    // max over an empty (or all-NULL-id) table is NULL — the twin's
+    // empty stage pyramids yield zero rows, so mirror that, never NPE
+    val midRow = docs.agg(expr("max(doc_id) DIV 2")).collect()(0)
+    if (midRow.isNullAt(0)) return empty
+    val mid = midRow.getLong(0)
     val full = bpeTrain(docs, K).map(m => m.rank -> m.merged).toMap
     val half = bpeTrain(docs.filter($"doc_id" <= mid), K)
       .map(m => m.rank -> m.merged).toMap
@@ -307,7 +312,7 @@ object TokenizerQueries {
       .filter(r => full.contains(r) || half.contains(r))
       .map { r =>
         (r, full.get(r).orNull, half.get(r).orNull,
-          full.contains(r) && full.get(r) == half.get(r))
+          full.get(r).exists(half.get(r).contains))
       }
       .toDF("rank", "full_merged", "half_merged", "agree")
   }

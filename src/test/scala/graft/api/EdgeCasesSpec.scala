@@ -126,6 +126,12 @@ class EdgeCasesSpec extends SparkSpec {
     val one = Seq((1L, "only doc")).toDF("doc_id", "text")
     assert(TrainingSet.contextChunks(one).count() == 1)
     assert(TrainingSet.bpeMerges(one, 2).nonEmpty)
+    // bpe4 on an empty corpus: zero rows (the twin's empty pyramids),
+    // never an NPE from the NULL max(doc_id)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe4-empty")
+    emptyDocs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(graft.analytics.TokenizerQueries
+      .bpe4MergeDrift(spark, tmp.toString).isEmpty)
   }
 
   test("single-row and all-duplicate corpora") {
