@@ -295,27 +295,42 @@ object TokenizerQueries {
     * training loops (each O(K) vocab-bounded aggregations) + a
     * K-row driver join; the SQL twin runs both generated stage
     * pyramids in one WITH under `f_`/`h_` prefixes. */
-  def bpe4MergeDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** Rank-by-rank comparison of two merge lists as a local frame —
+    * shared by bpe4 and [[graft.store.VocabStore.drift]]. `agree` is
+    * true only when side `a` has the rank and both sides learned the
+    * same merge. */
+  private[graft] def driftFrame(spark: SparkSession,
+      a: Seq[BpeMerge], b: Seq[BpeMerge],
+      aName: String, bName: String, k: Int = K): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
-    val empty = Seq.empty[(Int, String, String, Boolean)]
-      .toDF("rank", "full_merged", "half_merged", "agree")
+    val am = a.map(m => m.rank -> m.merged).toMap
+    val bm = b.map(m => m.rank -> m.merged).toMap
+    (1 to k)
+      .filter(r => am.contains(r) || bm.contains(r))
+      .map { r =>
+        (r, am.get(r).orNull, bm.get(r).orNull,
+          am.get(r).exists(bm.get(r).contains))
+      }
+      .toDF("rank", aName, bName, "agree")
+  }
+
+  def bpe4From(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
     // max over an empty (or all-NULL-id) table is NULL — the twin's
     // empty stage pyramids yield zero rows, so mirror that, never NPE
     val midRow = docs.agg(expr("max(doc_id) DIV 2")).collect()(0)
-    if (midRow.isNullAt(0)) return empty
+    if (midRow.isNullAt(0))
+      return driftFrame(spark, Nil, Nil, "full_merged", "half_merged")
     val mid = midRow.getLong(0)
-    val full = bpeTrain(docs, K).map(m => m.rank -> m.merged).toMap
-    val half = bpeTrain(docs.filter($"doc_id" <= mid), K)
-      .map(m => m.rank -> m.merged).toMap
-    (1 to K)
-      .filter(r => full.contains(r) || half.contains(r))
-      .map { r =>
-        (r, full.get(r).orNull, half.get(r).orNull,
-          full.get(r).exists(half.get(r).contains))
-      }
-      .toDF("rank", "full_merged", "half_merged", "agree")
+    driftFrame(spark,
+      bpeTrain(docs, K),
+      bpeTrain(docs.filter($"doc_id" <= mid), K),
+      "full_merged", "half_merged")
   }
+
+  def bpe4MergeDrift(spark: SparkSession, dir: String): DataFrame =
+    bpe4From(Tables(spark, dir, "documents"))
 
   val bpe4Sql: String = {
     val fullRows = (1 to K).map { k =>

@@ -210,6 +210,7 @@ final class HttpGateway(
     server.createContext("/tokenizer/train", route(authed(MasterRole)(handleTokenizerTrain)))
     server.createContext("/tokenizer/chunks", route(authed(MasterRole)(handleTokenizerChunks)))
     server.createContext("/corpus/funnel", route(authed(MasterRole)(handleCorpusFunnel)))
+    server.createContext("/tokenizer/drift", route(authed(MasterRole)(handleTokenizerDrift)))
     server.createContext("/materialized-view/create", route(authed(MasterRole)(handleMvCreate)))
     server.createContext("/materialized-view/get", route(authed(MasterRole)(handleMvGet)))
     server.createContext("/materialized-view/list", route(authed(MasterRole)(handleMvList)))
@@ -1592,6 +1593,16 @@ final class HttpGateway(
     val rows = graft.analytics.TokenizerQueries.ch1From(docsFrameOf(root))
       .orderBy(col("doc_id"), col("chunk_idx")).limit(limit)
     (200, rows.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** `POST /tokenizer/drift` — the bpe4 stability audit over a posted
+    * corpus (id-half vs full): the keep-the-vocabulary decision,
+    * ≤K rows at any corpus size. */
+  private def handleTokenizerDrift(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val out = graft.analytics.TokenizerQueries.bpe4From(docsFrameOf(root))
+    (200, out.orderBy(col("rank")).toJSON.collect().mkString("[", ",", "]"))
   }
 
   /** `POST /corpus/funnel` — the ds10 curation burn-down over a posted

@@ -72,6 +72,18 @@ private[graft] object VersionedState {
   def readCurrent(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(versionDir(path, currentVersion(path)))
 
+  /** Whether version `v`'s directory is still on disk (compaction
+    * removes superseded versions past its grace). */
+  def versionExists(path: String, v: Long): Boolean = {
+    val p = new Path(versionDir(path, v))
+    fsOf(p).exists(p)
+  }
+
+  /** Read a specific (possibly superseded) version — callers must
+    * check [[versionExists]] first. */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame =
+    spark.read.parquet(versionDir(path, v))
+
   def writeVersion(state: DataFrame, path: String, v: Long,
       batchId: Long = -1L): Unit = {
     state.write.mode("overwrite").parquet(versionDir(path, v))

@@ -67,6 +67,28 @@ object VocabStore {
       k: Int): Seq[TokenizerQueries.BpeMerge] =
     TokenizerQueries.bpeTrainOnWordFreq(wordFreq(spark, path), k)
 
+  /** Tokenizer drift between the CURRENT vocabulary version and its
+    * predecessor: did the last delta batch destabilize the merge list?
+    * Rank-by-rank (rank, current_merged, previous_merged, agree) — the
+    * operational read of bpe4's audit, served from the store's own
+    * retained versions without any corpus access. Empty when no
+    * predecessor survives (fresh store, or compaction dropped it). */
+  def drift(spark: SparkSession, path: String,
+      k: Int): DataFrame = {
+    import graft.analytics.TokenizerQueries
+    val cur = VersionedState.currentVersion(path)
+    val prevV = cur - 1
+    if (prevV < 1 || !VersionedState.versionExists(path, prevV))
+      TokenizerQueries.driftFrame(spark, Nil, Nil,
+        "current_merged", "previous_merged", k)
+    else TokenizerQueries.driftFrame(spark,
+      TokenizerQueries.bpeTrainOnWordFreq(
+        VersionedState.readCurrent(spark, path), k),
+      TokenizerQueries.bpeTrainOnWordFreq(
+        VersionedState.readVersion(spark, path, prevV), k),
+      "current_merged", "previous_merged", k)
+  }
+
   /** Drop superseded state versions. */
   def compact(path: String, grace: Int = 1): Unit =
     VersionedState.compact(path, grace)

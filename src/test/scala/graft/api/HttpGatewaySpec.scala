@@ -1149,6 +1149,18 @@ class HttpGatewaySpec extends SparkSpec {
         fn.body().contains(""""stage":"3_dedup","n_docs":1"""), fn.body())
       assert(post(port, "/corpus/funnel",
         """{"docs": [{"doc_id": 1, "text": "x"}]}""").statusCode() == 400)
+
+      // drift door: identical docs either side of the id midpoint →
+      // every rank agrees
+      val dr = post(port, "/tokenizer/drift",
+        """{"docs": [
+          |{"doc_id": 1, "text": "banana band bands"},
+          |{"doc_id": 2, "text": "banana band bands"},
+          |{"doc_id": 3, "text": "banana band bands"},
+          |{"doc_id": 4, "text": "banana band bands"}]}""".stripMargin)
+      assert(dr.statusCode() == 200, dr.body())
+      assert(!dr.body().contains(""""agree":false"""), dr.body())
+      assert(""""rank":1""".r.findFirstIn(dr.body()).isDefined, dr.body())
     }
   }
 

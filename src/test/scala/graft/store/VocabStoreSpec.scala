@@ -58,6 +58,32 @@ class VocabStoreSpec extends SparkSpec {
     assert(rows(VocabStore.wordFreq(spark, dir)) == before)
   }
 
+  test("drift between versions == training on each version's counts") {
+    val dir = freshDir("drift")
+    val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
+      .collect()(0).getLong(0)
+    VocabStore.initialize(docs.filter($"doc_id" <= mid), dir)
+    // fresh store: no predecessor → empty drift
+    assert(VocabStore.drift(spark, dir, 4).isEmpty)
+    VocabStore.refresh(spark, docs.filter($"doc_id" > mid), dir, 1L)
+    val d = VocabStore.drift(spark, dir, 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).toSeq
+    val cur = graft.analytics.TokenizerQueries
+      .bpeTrainOnWordFreq(VocabStore.wordFreq(spark, dir), 4)
+    val prev = graft.analytics.TokenizerQueries
+      .bpeTrainOnWordFreq(VocabStore.partial(docs.filter($"doc_id" <= mid)), 4)
+    val exp = (1 to 4).map { r =>
+      val c = cur.find(_.rank == r).map(_.merged)
+      val p = prev.find(_.rank == r).map(_.merged)
+      (r, c.orNull, p.orNull, c.isDefined && c == p)
+    }.filter(t => t._2 != null || t._3 != null)
+    assert(d === exp)
+    // compaction with grace 0 drops the predecessor → empty again
+    VocabStore.compact(dir, grace = 0)
+    assert(VocabStore.drift(spark, dir, 4).isEmpty)
+  }
+
   test("stream-maintained vocabulary equals the one-shot word counts") {
     val dir = freshDir("stream")
     implicit val sqlCtx = spark.sqlContext
