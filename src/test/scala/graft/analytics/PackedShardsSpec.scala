@@ -46,6 +46,36 @@ class PackedShardsSpec extends SparkSpec {
     }
   }
 
+  test("a doc longer than a whole sequence slices across several without loss") {
+    // 1300 tokens: spans at least 3 sequences on its own, plus seeded
+    // neighbours to shift its start offset inside the bucket stream
+    val rnd = new scala.util.Random(11)
+    val synth = (1L to 20L).map { i =>
+      val n = if (i == 7L) 1300 else 1 + rnd.nextInt(60)
+      (i, (1 to n).map(k => s"d${i}w$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val seqs = CorpusQueries.packedSeqsFrom(synth)
+    // exact fill still holds
+    val byBucket = seqs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    byBucket.foreach { case (b, rows) =>
+      val maxSeq = rows.map(_._2).max
+      rows.foreach { case (_, s, n, _) =>
+        if (s < maxSeq) assert(n === 512L, s"bucket $b seq $s")
+      }
+      // losslessness of the long doc: its tokens appear contiguously
+      // in seq order
+      val stream = rows.sortBy(_._2).map(_._4).mkString(" ")
+      val firstTok = stream.split(" ").indexWhere(_.startsWith("d7w"))
+      if (firstTok >= 0) {
+        val toks = stream.split(" ").filter(_.startsWith("d7w"))
+        assert(toks.toSeq === (1 to toks.length).map(k => s"d7w$k"),
+          "long doc's token order broke across sequence boundaries")
+      }
+    }
+  }
+
   test("the shard writer round-trips through the partitioned layout") {
     val dir = java.nio.file.Files.createTempDirectory("pk3-shards").toString
     val n = CorpusQueries.packedShards(docs, dir)

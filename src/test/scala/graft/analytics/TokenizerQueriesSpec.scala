@@ -231,6 +231,33 @@ class TokenizerQueriesSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("ch1 == independent reference chunker on 40 seeded random docs") {
+    // reference: textbook window/stride chunking over the token list,
+    // shared code with nothing in the Spark implementation
+    def refChunks(text: String): Seq[(Long, Long, Long)] = {
+      val n = text.split(" ", -1).length
+      val nChunks = 1 + math.max(0, (n - 32 + 23) / 24)
+      (0 until nChunks).map { i =>
+        (i.toLong, (i * 24).toLong, math.min(32, n - i * 24).toLong)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map { i =>
+      // lengths straddling every boundary case: empty-ish, exactly W,
+      // W±1, multiples of S, long tails
+      val n = Seq(1, 31, 32, 33, 48, 56, 57, 80, 200)(rnd.nextInt(9))
+      (i, (1 to n).map(k => s"t$k").mkString(" "))
+    }
+    val got = ch1From(docsDf(docs))
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === refChunks(text), s"doc $id (${text.length} chars)")
+    }
+  }
+
   test("ch1: no shuffle — plan is scan-side only") {
     val d = graft.Tables(spark, sf(), "documents")
     val plan = ch1From(d).queryExecution.executedPlan.toString
