@@ -38,6 +38,26 @@ class CurationFunnelSpec extends SparkSpec {
     assert(splits.size === 1 && out(splits.head) === 1, out)
   }
 
+  test("the funnel's quality stage count equals t_quality's keep count") {
+    // the stage rule is shared CODE with t_quality (keepRule) — this
+    // pins the composition end-to-end on the real corpus: stage-2 docs
+    // == keep=true docs among the non-benchmark sources
+    val dir = sf()
+    val out = TrainingSetQueries.ds10CurationFunnel(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables(spark, dir, "documents")
+    import org.apache.spark.sql.functions._
+    val keeps = TextQueries.tQuality(spark, dir)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("source") =!= "src0" && col("keep"))
+      .count()
+    assert(out("2_quality") === keeps)
+    // and the split stage re-derives ds7's assignment: clean docs'
+    // split shares sum to the decontam stage
+    val splitSum = out.keys.filter(_.startsWith("5_")).map(out).sum
+    assert(splitSum === out("4_decontam"))
+  }
+
   test("a duplicate whose canonical copy FAILED quality still survives dedup") {
     // the dedup stage operates on quality survivors: if the min-id
     // copy was dropped at quality, the surviving copy is canonical

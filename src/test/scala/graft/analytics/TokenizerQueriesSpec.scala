@@ -65,6 +65,34 @@ class TokenizerQueriesSpec extends SparkSpec {
       (4L, "b", "</w>", 1L)))
   }
 
+  test("bpe1 == independent pair counting on 20 seeded corpora") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 20) {
+      val words = Seq.fill(2 + rnd.nextInt(8)) {
+        Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val d = docsDf(Seq((1L, words.mkString(" "))))
+      // reference: weight every adjacent char pair (plus the </w>
+      // tail) by word frequency, rank (count desc, pair asc)
+      val wf = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val counts = collection.mutable.Map[(String, String), Long]()
+      wf.foreach { case (w, c) =>
+        val syms = w.toVector.map(_.toString) :+ "</w>"
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      val exp = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .take(50).zipWithIndex
+        .map { case (((l, r), c), i) => (i + 1L, l, r, c) }
+      val got = bpe1From(d).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(got === exp, s"trial $trial: '${words.mkString(" ")}'")
+    }
+  }
+
   test("bpe1: single-char words produce only the </w> pair") {
     val d = docsDf(Seq((1L, "x x y")))
     val rows = bpe1From(d)
