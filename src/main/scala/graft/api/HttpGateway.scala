@@ -70,6 +70,8 @@ import graft.store.EventStore
   *    engine's "beyond the reference" capability made operable):
   *    `/index/dedup/create|append|probe` — near-dup verdicts against
   *    |keys|-sized state without re-shingling history — and
+  *    `/index/vocab/create|append|pairs|train|drift` — the maintained
+  *    vocabulary served corpus-scan-free — and
   *    `/index/ann/create|append|query|stats|compact|reseed` —
   *    similarity search served from cell-partitioned postings with
   *    probe-pruned reads plus the occupancy stats that trigger
@@ -195,6 +197,11 @@ final class HttpGateway(
     server.createContext("/index/dedup/create", route(authed(MasterRole)(handleDedupCreate)))
     server.createContext("/index/dedup/append", route(authed(MasterRole)(handleDedupAppend)))
     server.createContext("/index/dedup/probe", route(authed(MasterRole)(handleDedupProbe)))
+    server.createContext("/index/vocab/create", route(authed(MasterRole)(handleVocabCreate)))
+    server.createContext("/index/vocab/append", route(authed(MasterRole)(handleVocabAppend)))
+    server.createContext("/index/vocab/pairs", route(authed(MasterRole)(handleVocabPairs)))
+    server.createContext("/index/vocab/train", route(authed(MasterRole)(handleVocabTrain)))
+    server.createContext("/index/vocab/drift", route(authed(MasterRole)(handleVocabDrift)))
     server.createContext("/index/ann/create", route(authed(MasterRole)(handleAnnCreate)))
     server.createContext("/index/ann/append", route(authed(MasterRole)(handleAnnAppend)))
     server.createContext("/index/ann/query", route(authed(MasterRole)(handleAnnQuery)))
@@ -1246,6 +1253,8 @@ final class HttpGateway(
     s"$warehouse/$project/__indexes/dedup/$name"
   private def annIdxDir(name: String) =
     s"$warehouse/$project/__indexes/ann/$name"
+  private def vocabIdxDir(name: String) =
+    s"$warehouse/$project/__indexes/vocab/$name"
 
   /** Documents for the dedup-index doors: inline `"docs": [{"doc_id":…,
     * "text":…}…]` for service-sized deltas, or `"source": <parquet dir>`
@@ -1322,6 +1331,78 @@ final class HttpGateway(
       graft.store.DedupIndex.refresh(spark, docsFrameOf(root), dedupIdxDir(name))
     }
     (200, """{"success":true}""")
+  }
+
+  /** `POST /index/vocab/create|append` and
+    * `POST /index/vocab/pairs|train|drift` — the maintained vocabulary
+    * as a service: deltas fold in as sum-merged word counts
+    * (O(delta)); pair ranking, merge learning, and version-over-
+    * version tokenizer drift serve from the |vocab| state without any
+    * corpus access. All reads are ≤K/top-50 rows. */
+  private def handleVocabCreate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    if (graft.store.VersionedState.exists(vocabIdxDir(name)))
+      throw new IngestRejected(s"index '$name' already exists")
+    writeLock.synchronized {
+      graft.store.VocabStore.initialize(docsFrameOf(root), vocabIdxDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleVocabAppend(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(vocabIdxDir(name))
+    writeLock.synchronized {
+      graft.store.VocabStore.refresh(spark, docsFrameOf(root),
+        vocabIdxDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
+  private def handleVocabPairs(ex: HttpExchange): (Int, String) = {
+    val name = requireIdentifier(queryParams(ex).getOrElse("name",
+      throw new IngestRejected("name is required")))
+    requireIndex(vocabIdxDir(name))
+    val rows = graft.store.VocabStore.pairCounts(spark, vocabIdxDir(name))
+      .orderBy(col("rank"))
+    (200, rows.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  private def handleVocabTrain(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val name = requireIdentifier(params.getOrElse("name",
+      throw new IngestRejected("name is required")))
+    requireIndex(vocabIdxDir(name))
+    val k = params.get("k").map(_.toInt).getOrElse(8)
+    if (k < 1 || k > 64)
+      throw new IngestRejected("k must be between 1 and 64")
+    val merges = graft.store.VocabStore.train(spark, vocabIdxDir(name), k)
+    val arr = mapper.createArrayNode()
+    merges.foreach { m =>
+      val n = arr.addObject()
+      n.put("rank", m.rank); n.put("left", m.left); n.put("right", m.right)
+      n.put("merged", m.merged); n.put("pair_count", m.pair_count)
+    }
+    (200, mapper.writeValueAsString(arr))
+  }
+
+  private def handleVocabDrift(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val name = requireIdentifier(params.getOrElse("name",
+      throw new IngestRejected("name is required")))
+    requireIndex(vocabIdxDir(name))
+    val k = params.get("k").map(_.toInt).getOrElse(8)
+    if (k < 1 || k > 64)
+      throw new IngestRejected("k must be between 1 and 64")
+    val rows = graft.store.VocabStore.drift(spark, vocabIdxDir(name), k)
+      .orderBy(col("rank"))
+    (200, rows.toJSON.collect().mkString("[", ",", "]"))
   }
 
   private def handleDedupProbe(ex: HttpExchange): (Int, String) = {

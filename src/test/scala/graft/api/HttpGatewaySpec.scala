@@ -1150,6 +1150,29 @@ class HttpGatewaySpec extends SparkSpec {
       assert(post(port, "/corpus/funnel",
         """{"docs": [{"doc_id": 1, "text": "x"}]}""").statusCode() == 400)
 
+      // vocabulary index: create → served pair ranking → append shifts
+      // it → drift between the two versions reports rank agreement
+      assert(post(port, "/index/vocab/create",
+        """{"name": "vb", "docs": [
+          |{"doc_id": 1, "text": "banana band bands"},
+          |{"doc_id": 2, "text": "banana band bands"}]}""".stripMargin)
+        .statusCode() == 200)
+      val pr = get(port, "/index/vocab/pairs?name=vb")
+      assert(pr.statusCode() == 200 && pr.body().contains(""""rank":1"""),
+        pr.body())
+      val tr = get(port, "/index/vocab/train?name=vb&k=3")
+      assert(tr.statusCode() == 200 &&
+        """"rank":3""".r.findFirstIn(tr.body()).isDefined, tr.body())
+      // no predecessor yet → empty drift
+      assert(get(port, "/index/vocab/drift?name=vb").body() == "[]")
+      assert(post(port, "/index/vocab/append",
+        """{"name": "vb", "docs": [{"doc_id": 3, "text": "zzzz zzzz zzzz zzzz zzzz"}]}""")
+        .statusCode() == 200)
+      val dv = get(port, "/index/vocab/drift?name=vb&k=3")
+      assert(dv.statusCode() == 200 &&
+        dv.body().contains(""""agree":false"""), dv.body())
+      assert(get(port, "/index/vocab/pairs?name=nope").statusCode() == 400)
+
       // drift door: identical docs either side of the id midpoint →
       // every rank agrees
       val dr = post(port, "/tokenizer/drift",
