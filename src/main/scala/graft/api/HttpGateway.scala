@@ -202,6 +202,7 @@ final class HttpGateway(
     server.createContext("/index/vocab/pairs", route(authed(MasterRole)(handleVocabPairs)))
     server.createContext("/index/vocab/train", route(authed(MasterRole)(handleVocabTrain)))
     server.createContext("/index/vocab/drift", route(authed(MasterRole)(handleVocabDrift)))
+    server.createContext("/index/vocab/compact", route(authed(MasterRole)(handleVocabCompact)))
     server.createContext("/index/ann/create", route(authed(MasterRole)(handleAnnCreate)))
     server.createContext("/index/ann/append", route(authed(MasterRole)(handleAnnAppend)))
     server.createContext("/index/ann/query", route(authed(MasterRole)(handleAnnQuery)))
@@ -1344,14 +1345,24 @@ final class HttpGateway(
     val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
     val name = requireIdentifier(Option(root.get("name")).map(_.asText())
       .getOrElse(throw new IngestRejected("name is required")))
-    if (graft.store.VersionedState.exists(vocabIdxDir(name)))
-      throw new IngestRejected(s"index '$name' already exists")
     writeLock.synchronized {
+      // exists-check INSIDE the lock: two racing creates must not both
+      // pass and silently clobber each other's version 1
+      if (graft.store.VersionedState.exists(vocabIdxDir(name)))
+        throw new IngestRejected(s"index '$name' already exists")
       graft.store.VocabStore.initialize(docsFrameOf(root), vocabIdxDir(name))
     }
     (200, """{"success":true}""")
   }
 
+  /** Append folds through the BATCH FENCE, never a bare refresh:
+    * sum-merged state double-counts on replay (unlike the dedup
+    * index's idempotent min-merge), so a retried delivery — client
+    * timeout, proxy retry — must be a no-op. The client supplies a
+    * stable `batch_id`; omitted, one past the store's high-water is
+    * used (safe for a single writer, NOT for blind retries — the
+    * response says which id was committed so the client can retry
+    * with it). */
   private def handleVocabAppend(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
@@ -1359,10 +1370,12 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(vocabIdxDir(name))
     writeLock.synchronized {
-      graft.store.VocabStore.refresh(spark, docsFrameOf(root),
-        vocabIdxDir(name))
+      val batchId = Option(root.get("batch_id")).map(_.asLong())
+        .getOrElse(graft.store.VersionedState.lastBatchId(vocabIdxDir(name)) + 1)
+      graft.store.VocabStore.maintainBatch(docsFrameOf(root),
+        vocabIdxDir(name), batchId)
+      (200, s"""{"success":true,"batch_id":$batchId}""")
     }
-    (200, """{"success":true}""")
   }
 
   private def handleVocabPairs(ex: HttpExchange): (Int, String) = {
@@ -1374,22 +1387,38 @@ final class HttpGateway(
     (200, rows.toJSON.collect().mkString("[", ",", "]"))
   }
 
-  private def handleVocabTrain(ex: HttpExchange): (Int, String) = {
-    val params = queryParams(ex)
-    val name = requireIdentifier(params.getOrElse("name",
-      throw new IngestRejected("name is required")))
-    requireIndex(vocabIdxDir(name))
-    val k = params.get("k").map(_.toInt).getOrElse(8)
+  /** `k` from the query string, 400 (not a NumberFormatException 500)
+    * on garbage — the contract every body-parsed door already has. */
+  private def vocabK(params: Map[String, String]): Int = {
+    val k = params.get("k").map { s =>
+      try s.toInt
+      catch { case _: NumberFormatException =>
+        throw new IngestRejected(s"k must be an integer: '$s'")
+      }
+    }.getOrElse(8)
     if (k < 1 || k > 64)
       throw new IngestRejected("k must be between 1 and 64")
-    val merges = graft.store.VocabStore.train(spark, vocabIdxDir(name), k)
+    k
+  }
+
+  private def mergesJson(
+      merges: Seq[graft.analytics.TokenizerQueries.BpeMerge]): String = {
     val arr = mapper.createArrayNode()
     merges.foreach { m =>
       val n = arr.addObject()
       n.put("rank", m.rank); n.put("left", m.left); n.put("right", m.right)
       n.put("merged", m.merged); n.put("pair_count", m.pair_count)
     }
-    (200, mapper.writeValueAsString(arr))
+    mapper.writeValueAsString(arr)
+  }
+
+  private def handleVocabTrain(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val name = requireIdentifier(params.getOrElse("name",
+      throw new IngestRejected("name is required")))
+    requireIndex(vocabIdxDir(name))
+    (200, mergesJson(
+      graft.store.VocabStore.train(spark, vocabIdxDir(name), vocabK(params))))
   }
 
   private def handleVocabDrift(ex: HttpExchange): (Int, String) = {
@@ -1397,12 +1426,24 @@ final class HttpGateway(
     val name = requireIdentifier(params.getOrElse("name",
       throw new IngestRejected("name is required")))
     requireIndex(vocabIdxDir(name))
-    val k = params.get("k").map(_.toInt).getOrElse(8)
-    if (k < 1 || k > 64)
-      throw new IngestRejected("k must be between 1 and 64")
-    val rows = graft.store.VocabStore.drift(spark, vocabIdxDir(name), k)
+    val rows = graft.store.VocabStore
+      .drift(spark, vocabIdxDir(name), vocabK(params))
       .orderBy(col("rank"))
     (200, rows.toJSON.collect().mkString("[", ",", "]"))
+  }
+
+  /** `POST /index/vocab/compact` — drop superseded versions past a
+    * one-version grace (drift's predecessor survives). */
+  private def handleVocabCompact(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(vocabIdxDir(name))
+    writeLock.synchronized {
+      graft.store.VocabStore.compact(vocabIdxDir(name), grace = 1)
+    }
+    (200, """{"success":true}""")
   }
 
   private def handleDedupProbe(ex: HttpExchange): (Int, String) = {
@@ -1651,14 +1692,7 @@ final class HttpGateway(
     if (k < 1 || k > 64)
       throw new IngestRejected("k must be between 1 and 64")
     val docs = docsFrameOf(root)
-    val merges = graft.analytics.TokenizerQueries.bpeTrain(docs, k)
-    val arr = mapper.createArrayNode()
-    merges.foreach { m =>
-      val n = arr.addObject()
-      n.put("rank", m.rank); n.put("left", m.left); n.put("right", m.right)
-      n.put("merged", m.merged); n.put("pair_count", m.pair_count)
-    }
-    (200, mapper.writeValueAsString(arr))
+    (200, mergesJson(graft.analytics.TokenizerQueries.bpeTrain(docs, k)))
   }
 
   /** `POST /tokenizer/chunks` — overlapping context-window chunks of

@@ -76,6 +76,9 @@ object VocabStore {
   def drift(spark: SparkSession, path: String,
       k: Int): DataFrame = {
     import graft.analytics.TokenizerQueries
+    // resolve the version pair ONCE: re-reading _CURRENT separately
+    // would let a concurrent append make this compare N+1 vs N−1
+    // while labeling it a one-batch drift
     val cur = VersionedState.currentVersion(path)
     val prevV = cur - 1
     if (prevV < 1 || !VersionedState.versionExists(path, prevV))
@@ -83,7 +86,7 @@ object VocabStore {
         "current_merged", "previous_merged", k)
     else TokenizerQueries.driftFrame(spark,
       TokenizerQueries.bpeTrainOnWordFreq(
-        VersionedState.readCurrent(spark, path), k),
+        VersionedState.readVersion(spark, path, cur), k),
       TokenizerQueries.bpeTrainOnWordFreq(
         VersionedState.readVersion(spark, path, prevV), k),
       "current_merged", "previous_merged", k)

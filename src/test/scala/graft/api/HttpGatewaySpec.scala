@@ -1165,13 +1165,30 @@ class HttpGatewaySpec extends SparkSpec {
         """"rank":3""".r.findFirstIn(tr.body()).isDefined, tr.body())
       // no predecessor yet → empty drift
       assert(get(port, "/index/vocab/drift?name=vb").body() == "[]")
-      assert(post(port, "/index/vocab/append",
-        """{"name": "vb", "docs": [{"doc_id": 3, "text": "zzzz zzzz zzzz zzzz zzzz"}]}""")
-        .statusCode() == 200)
+      val ap = post(port, "/index/vocab/append",
+        """{"name": "vb", "batch_id": 5, "docs": [{"doc_id": 3, "text": "zzzz zzzz zzzz zzzz zzzz"}]}""")
+      assert(ap.statusCode() == 200 && ap.body().contains(""""batch_id":5"""),
+        ap.body())
       val dv = get(port, "/index/vocab/drift?name=vb&k=3")
       assert(dv.statusCode() == 200 &&
         dv.body().contains(""""agree":false"""), dv.body())
       assert(get(port, "/index/vocab/pairs?name=nope").statusCode() == 400)
+      // garbage k is the client's 400, not a NumberFormatException 500
+      assert(get(port, "/index/vocab/train?name=vb&k=abc")
+        .statusCode() == 400)
+      // a replayed batch_id is a no-op: sum-merge would double-count
+      // without the fence
+      val before = get(port, "/index/vocab/pairs?name=vb").body()
+      assert(post(port, "/index/vocab/append",
+        """{"name": "vb", "batch_id": 5, "docs": [{"doc_id": 9, "text": "qqq qqq"}]}""")
+        .statusCode() == 200)
+      assert(get(port, "/index/vocab/pairs?name=vb").body() == before,
+        "replayed batch_id must not change the state")
+      // compaction keeps serving (and drift's predecessor survives)
+      assert(post(port, "/index/vocab/compact", """{"name": "vb"}""")
+        .statusCode() == 200)
+      assert(get(port, "/index/vocab/pairs?name=vb").body() == before)
+      assert(get(port, "/index/vocab/drift?name=vb&k=3").statusCode() == 200)
 
       // drift door: identical docs either side of the id midpoint →
       // every rank agrees
