@@ -80,17 +80,29 @@ object ProjectionQueries {
   private def sqlReduced(e: String): String =
     (0 until OutDims).map(sqlComponent(e, _)).mkString("[", ", ", "]")
 
-  /** EMB1: project every embedding to [[OutDims]] dimensions —
-    * (vec_id, reduced). One scan, no shuffle. */
+  /** EMB1: project every embedding to [[OutDims]] dimensions — one
+    * scan, no shuffle. The registered row emits one double column per
+    * component (`r00`..`r15`) rather than the raw array: the driver's
+    * comparator cannot hash array cells, and the per-component layout
+    * verifies every value exactly where a digest would only verify its
+    * own formatting. [[reduced]] (array<double>) stays the
+    * programmatic API. */
   def emb1RandProjection(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val comps = (0 until OutDims).map(j =>
+      component($"embedding", j).as(f"r$j%02d"))
     Tables(spark, dir, "embeddings")
-      .select($"vec_id", reduced($"embedding").as("reduced"))
+      .select($"vec_id" +: comps: _*)
   }
 
-  val emb1Sql: String =
-    s"""SELECT vec_id, ${sqlReduced("embedding")} AS reduced
+  val emb1Sql: String = {
+    val comps = (0 until OutDims)
+      .map(j => f"${sqlComponent("embedding", j)} AS r$j%02d")
+      .mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $comps
        |FROM embeddings""".stripMargin
+  }
 
   /** Vectors sampled into the distortion audit (the ai2 convention:
     * the first ids double as the fixed probe set). */

@@ -33,6 +33,16 @@ object SequenceQueries {
   /** Negatives per example. */
   private val M = 2
 
+  /** Delimiter for the oracle-facing scalar encoding of array columns:
+    * the driver's comparator cannot hash array cells, so every
+    * registered row joins its arrays with the ASCII unit separator —
+    * unambiguous for event-type vocabularies (which never contain
+    * control characters) and readable in a mismatch report where an
+    * md5 digest would not be. The array-returning `*From` builders stay
+    * the programmatic API. */
+  private val Sep = "\u001f"
+  private val SepSql = "chr(31)"
+
   /** SQ1: next-event prediction examples — for every event with at
     * least one predecessor, the up-to-[[C]] previous event types (in
     * event order) and the current type as label. Order inside a user
@@ -58,6 +68,7 @@ object SequenceQueries {
 
   def sq1NextEvent(spark: SparkSession, dir: String): DataFrame =
     sq1From(Tables(spark, dir, "events"))
+      .withColumn("context", concat_ws(Sep, col("context")))
 
   val sq1Sql: String =
     s"""WITH x AS (
@@ -66,7 +77,8 @@ object SequenceQueries {
        |      ORDER BY ts, event_id
        |      ROWS BETWEEN $C PRECEDING AND 1 PRECEDING) AS context
        |  FROM events)
-       |SELECT user_id, event_id, event_type AS label, context,
+       |SELECT user_id, event_id, event_type AS label,
+       |  array_to_string(context, $SepSql) AS context,
        |  CAST(len(context) AS INT) AS n_context
        |FROM x WHERE len(context) > 0""".stripMargin
 
@@ -100,6 +112,7 @@ object SequenceQueries {
 
   def sq2Negatives(spark: SparkSession, dir: String): DataFrame =
     sq2From(Tables(spark, dir, "events"))
+      .withColumn("negatives", concat_ws(Sep, col("negatives")))
 
   val sq2Sql: String =
     s"""WITH v AS (
@@ -109,7 +122,7 @@ object SequenceQueries {
        |  SELECT user_id, event_id, event_type AS label, vocab
        |  FROM events, v)
        |SELECT user_id, event_id, label,
-       |  list_transform(
+       |  array_to_string(list_transform(
        |    list_slice(
        |      list_filter(
        |        list_sort(list_transform(vocab,
@@ -117,7 +130,7 @@ object SequenceQueries {
        |                't': t})),
        |        s -> s.t <> label),
        |      1, $M),
-       |    s -> s.t) AS negatives
+       |    s -> s.t), $SepSql) AS negatives
        |FROM e""".stripMargin
 
   /** SQ3: session-scoped next-event examples — sq1 with the context
@@ -150,6 +163,7 @@ object SequenceQueries {
 
   def sq3SessionExamples(spark: SparkSession, dir: String): DataFrame =
     sq3From(Tables(spark, dir, "events"))
+      .withColumn("context", concat_ws(Sep, col("context")))
 
   val sq3Sql: String =
     s"""WITH lagged AS (
@@ -172,7 +186,8 @@ object SequenceQueries {
        |      ROWS BETWEEN $C PRECEDING AND 1 PRECEDING) AS context
        |  FROM sess)
        |SELECT user_id, session_idx, event_id, event_type AS label,
-       |  context, CAST(len(context) AS INT) AS n_context
+       |  array_to_string(context, $SepSql) AS context,
+       |  CAST(len(context) AS INT) AS n_context
        |FROM x WHERE len(context) > 0""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -1358,23 +1358,28 @@ final class HttpGateway(
   /** Append folds through the BATCH FENCE, never a bare refresh:
     * sum-merged state double-counts on replay (unlike the dedup
     * index's idempotent min-merge), so a retried delivery — client
-    * timeout, proxy retry — must be a no-op. The client supplies a
-    * stable `batch_id`; omitted, one past the store's high-water is
-    * used (safe for a single writer, NOT for blind retries — the
-    * response says which id was committed so the client can retry
-    * with it). */
+    * timeout, proxy retry — must be a no-op. The client MUST supply a
+    * stable `batch_id` (400 otherwise): a server-defaulted
+    * high-water+1 would hand a blind retry a fresh fence and
+    * double-count the very delivery the fence exists to absorb. The
+    * response echoes the committed high-water so a client can recover
+    * its next id after losing state. */
   private def handleVocabAppend(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
     val name = requireIdentifier(Option(root.get("name")).map(_.asText())
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(vocabIdxDir(name))
+    val batchId = Option(root.get("batch_id")).map(_.asLong())
+      .getOrElse(throw new IngestRejected(
+        "batch_id is required: the append fence only dedups retries " +
+          "that re-send the SAME id (last committed high-water is " +
+          "returned by every append)"))
     writeLock.synchronized {
-      val batchId = Option(root.get("batch_id")).map(_.asLong())
-        .getOrElse(graft.store.VersionedState.lastBatchId(vocabIdxDir(name)) + 1)
       graft.store.VocabStore.maintainBatch(docsFrameOf(root),
         vocabIdxDir(name), batchId)
-      (200, s"""{"success":true,"batch_id":$batchId}""")
+      (200, s"""{"success":true,"batch_id":$batchId,"high_water":${
+        graft.store.VersionedState.lastBatchId(vocabIdxDir(name))}}""")
     }
   }
 

@@ -81,15 +81,39 @@ object VocabStore {
     // while labeling it a one-batch drift
     val cur = VersionedState.currentVersion(path)
     val prevV = cur - 1
-    if (prevV < 1 || !VersionedState.versionExists(path, prevV))
-      TokenizerQueries.driftFrame(spark, Nil, Nil,
-        "current_merged", "previous_merged", k)
-    else TokenizerQueries.driftFrame(spark,
-      TokenizerQueries.bpeTrainOnWordFreq(
-        VersionedState.readVersion(spark, path, cur), k),
-      TokenizerQueries.bpeTrainOnWordFreq(
-        VersionedState.readVersion(spark, path, prevV), k),
+    def empty = TokenizerQueries.driftFrame(spark, Nil, Nil,
       "current_merged", "previous_merged", k)
+    if (prevV < 1 || !VersionedState.versionExists(path, prevV)) empty
+    else
+      // the versionExists check races a concurrent append + compact:
+      // either version's files can vanish between the check and the
+      // training jobs (drift is served WITHOUT the writer's lock — a
+      // reader must not block maintenance). A compacted-away version
+      // has the same contract as an absent predecessor: empty drift.
+      try TokenizerQueries.driftFrame(spark,
+        TokenizerQueries.bpeTrainOnWordFreq(
+          VersionedState.readVersion(spark, path, cur), k),
+        TokenizerQueries.bpeTrainOnWordFreq(
+          VersionedState.readVersion(spark, path, prevV), k),
+        "current_merged", "previous_merged", k)
+      catch {
+        case e: Throwable if isMissingFiles(e) => empty
+      }
+  }
+
+  /** Whether a failure is a vanished-version read (compaction won the
+    * race): AnalysisException PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
+    * at plan time (the directory — or just its files — already gone),
+    * or a FileNotFoundException anywhere in the cause chain at job
+    * time (files deleted after planning). */
+  private def isMissingFiles(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
+      case _: java.io.FileNotFoundException => true
+      case a: org.apache.spark.sql.AnalysisException =>
+        a.getErrorClass == "PATH_NOT_FOUND" ||
+          a.getErrorClass == "UNABLE_TO_INFER_SCHEMA"
+      case _ => false
+    }
   }
 
   /** Drop superseded state versions. */
@@ -128,13 +152,29 @@ object VocabStore {
   def vs1VocabStore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab-vs1").toString
-    val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
-      .collect()(0).getLong(0)
-    initialize(docs.filter($"doc_id" <= mid), tmp)
-    refresh(spark, docs.filter($"doc_id" > mid), tmp,
-      VersionedState.lastBatchId(tmp) + 1)
-    pairCounts(spark, tmp)
+    // max over an empty (or all-NULL-id) table is NULL — mirror
+    // bpe4From's guard: the twin yields zero rows, so return the empty
+    // pair ranking instead of NPE-ing on getLong, and skip the store
+    val midRow = docs.agg((max($"doc_id") / lit(2)).cast("long"))
+      .collect()(0)
+    if (midRow.isNullAt(0))
+      return TokenizerQueries.pairCountsFromWordFreq(
+        TokenizerQueries.wordFreq(docs.limit(0)))
+    val mid = midRow.getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vocab-vs1")
+    // the returned frame reads the temp store lazily, so deletion can
+    // only happen at JVM exit — register the recursive sweep once
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(tmp))
+        Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p): Unit)
+    }
+    initialize(docs.filter($"doc_id" <= mid), tmp.toString)
+    refresh(spark, docs.filter($"doc_id" > mid), tmp.toString,
+      VersionedState.lastBatchId(tmp.toString) + 1)
+    pairCounts(spark, tmp.toString)
   }
 
   val vs1Sql: String = TokenizerQueries.bpe1Sql

@@ -18,6 +18,26 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no registered query emits a comparator-illegal column type") {
+    // the driver's DuckDB comparator sorts result frames via pandas and
+    // dies on array/map/struct cells (round-7 lost 4 rows to exactly
+    // this: unhashable numpy.ndarray) — every registered row must emit
+    // scalars only; array-returning builders stay programmatic API
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.registry.foreach { case (name, qd) =>
+      qd.build(spark, sf()).schema.fields.foreach { f =>
+        val bad = f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        }
+        assert(!bad,
+          s"$name column '${f.name}' is ${f.dataType.simpleString}: " +
+            "complex-typed outputs crash the driver comparator — " +
+            "encode as concat_ws/md5 scalar or per-component columns")
+      }
+    }
+  }
+
   test("every oracle query has matching column names promised") {
     // column-name discipline: aliases must match the SQL twin; spot-check
     // that no query returns auto-generated names like sum(x) or count(1)

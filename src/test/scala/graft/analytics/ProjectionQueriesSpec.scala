@@ -9,9 +9,16 @@ import org.apache.spark.sql.functions._
 class ProjectionQueriesSpec extends SparkSpec {
 
   test("emb1: every vector reduces to OutDims components") {
-    val rows = ProjectionQueries.emb1RandProjection(spark, sf()).collect()
+    // the registered row emits one double column per component (the
+    // comparator cannot hash arrays); vec_id + r00..r15
+    val df = ProjectionQueries.emb1RandProjection(spark, sf())
+    assert(df.columns.length == 1 + ProjectionQueries.OutDims)
+    assert(df.columns.tail.forall(_.matches("r\\d\\d")))
+    val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getSeq[Double](1).length == ProjectionQueries.OutDims))
+    rows.foreach { r =>
+      (1 to ProjectionQueries.OutDims).foreach(i => r.getDouble(i))
+    }
   }
 
   test("projection is linear: zero maps to zero, 2x input gives 2x output") {

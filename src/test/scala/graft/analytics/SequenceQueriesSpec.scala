@@ -111,11 +111,16 @@ class SequenceQueriesSpec extends SparkSpec {
       .withColumnRenamed("event_type", "t")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
-    assert(rows(graft.api.Analytics.nextEventExamples(
-      renamed, "u", "ts", "event_id", "t")) ==
+    // the facades keep the array-typed programmatic API; the registry
+    // rows emit the unit-separator scalar encoding — apply it here so
+    // the parity check spans the encoding too
+    def enc(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.withColumn(c, concat_ws("\u001f", col(c)))
+    assert(rows(enc(graft.api.Analytics.nextEventExamples(
+      renamed, "u", "ts", "event_id", "t"), "context")) ==
       rows(SequenceQueries.sq1NextEvent(spark, sf())))
-    assert(rows(graft.api.Analytics.negativeSamples(
-      renamed, "u", "ts", "event_id", "t")) ==
+    assert(rows(enc(graft.api.Analytics.negativeSamples(
+      renamed, "u", "ts", "event_id", "t"), "negatives")) ==
       rows(SequenceQueries.sq2Negatives(spark, sf())))
   }
 

@@ -1184,6 +1184,13 @@ class HttpGatewaySpec extends SparkSpec {
         .statusCode() == 200)
       assert(get(port, "/index/vocab/pairs?name=vb").body() == before,
         "replayed batch_id must not change the state")
+      // batch_id is REQUIRED: a server-defaulted high-water+1 would
+      // hand a blind retry a fresh fence and double-count — 400, and
+      // the state stays untouched
+      val noId = post(port, "/index/vocab/append",
+        """{"name": "vb", "docs": [{"doc_id": 10, "text": "rrr rrr"}]}""")
+      assert(noId.statusCode() == 400, noId.body())
+      assert(get(port, "/index/vocab/pairs?name=vb").body() == before)
       // compaction keeps serving (and drift's predecessor survives)
       assert(post(port, "/index/vocab/compact", """{"name": "vb"}""")
         .statusCode() == 200)

@@ -84,6 +84,32 @@ class VocabStoreSpec extends SparkSpec {
     assert(VocabStore.drift(spark, dir, 4).isEmpty)
   }
 
+  test("drift absorbs a compaction won race: vanished version → empty, not 500") {
+    val dir = freshDir("race")
+    val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
+      .collect()(0).getLong(0)
+    VocabStore.initialize(docs.filter($"doc_id" <= mid), dir)
+    VocabStore.refresh(spark, docs.filter($"doc_id" > mid), dir, 1L)
+    // simulate compaction landing AFTER drift's versionExists check:
+    // the v=1 directory survives but its parquet files are gone — the
+    // lazy read fails at job time and must resolve to the
+    // absent-predecessor contract (empty frame), not an exception
+    val v1 = new java.io.File(VersionedState.versionDir(dir, 1))
+    v1.listFiles().foreach(f => assert(f.delete(), f))
+    assert(VersionedState.versionExists(dir, 1))
+    assert(VocabStore.drift(spark, dir, 4).isEmpty)
+  }
+
+  test("vs1 on an empty documents table is the empty ranking, not an NPE") {
+    val empty = docs.filter(lit(false))
+    val tmp = freshDir("empty")
+    empty.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = VocabStore.vs1VocabStore(spark, tmp)
+    assert(out.isEmpty)
+    assert(out.columns.toSeq ==
+      graft.analytics.TokenizerQueries.bpe1From(docs).columns.toSeq)
+  }
+
   test("stream-maintained vocabulary equals the one-shot word counts") {
     val dir = freshDir("stream")
     implicit val sqlCtx = spark.sqlContext
