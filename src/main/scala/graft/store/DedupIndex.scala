@@ -38,7 +38,25 @@ object DedupIndex {
   private def keysOf(docs: DataFrame): DataFrame =
     DedupQueries.bandedKeysUncapped(DedupQueries.shingleHashesRaw(docs))
 
-  /** Partial state of one batch: first-claimant per band key. */
+  /** The batch's keys hash-partitioned by (band, key) — the ONE shuffle
+    * every consumer (self-probe, batch-first reduction, state partial)
+    * hangs off: identical exchange subtrees are reused by Spark, so the
+    * shingling pipeline executes once per batch no matter how many
+    * frames derive from it (di1's old shape re-shingled the first half
+    * three times). */
+  private def partitionedKeys(docs: DataFrame): DataFrame =
+    keysOf(docs).repartition(col("band"), col("key"))
+
+  /** First-claimant per band key over an already-partitioned keys
+    * frame: aggregates in place, no second exchange. */
+  private def partialOfKeys(keys: DataFrame): DataFrame =
+    keys.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("first_doc"))
+
+  /** Partial state of one batch: first-claimant per band key. Built
+    * straight off the shingle scan (map-side combine BEFORE the
+    * shuffle) — the right shape when the keys have no other consumer,
+    * i.e. the refresh path. */
   def partial(docs: DataFrame): DataFrame =
     keysOf(docs).groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("first_doc"))
@@ -56,16 +74,23 @@ object DedupIndex {
     * smaller id within the batch) claimed one of its band keys. Docs
     * too short to shingle produce no keys and no verdict row (they
     * cannot collide). `state=None` is the bootstrap batch. */
-  def probe(delta: DataFrame, state: Option[DataFrame]): DataFrame = {
-    val keys = keysOf(delta)
+  def probe(delta: DataFrame, state: Option[DataFrame]): DataFrame =
+    probeKeys(partitionedKeys(delta), state)
+
+  /** [[probe]] over a pre-partitioned keys frame (see
+    * [[partitionedKeys]]): both consumers — the verdict join's probe
+    * side and the batch-first reduction — read the SAME shuffle
+    * output, so the shingling runs once. */
+  private def probeKeys(keys: DataFrame,
+      state: Option[DataFrame]): DataFrame = {
     val withState = state match {
       case Some(s) =>
         keys.join(s.withColumnRenamed("first_doc", "prior_doc"),
           Seq("band", "key"), "left")
       case None => keys.withColumn("prior_doc", lit(null).cast("long"))
     }
-    val batchFirst = keys.groupBy(col("band"), col("key"))
-      .agg(min(col("doc_id")).as("batch_first"))
+    val batchFirst = partialOfKeys(keys)
+      .withColumnRenamed("first_doc", "batch_first")
     withState
       .join(batchFirst, Seq("band", "key"))
       .groupBy(col("doc_id"))
@@ -141,8 +166,14 @@ object DedupIndex {
     val tagged = docs.crossJoin(broadcast(mid))
     val first = tagged.filter($"doc_id" <= $"mid").drop("mid")
     val second = tagged.filter($"doc_id" > $"mid").drop("mid")
-    probe(first, None)
-      .unionByName(probe(second, Some(partial(first))))
+    // ONE partitioned-keys frame per half: the bootstrap verdicts, the
+    // batch-first reduction, AND the state handed to the second probe
+    // all hang off firstKeys' single exchange (reused, not recomputed —
+    // the old shape shingled the first half three separate times)
+    val firstKeys = partitionedKeys(first)
+    probeKeys(firstKeys, None)
+      .unionByName(
+        probeKeys(partitionedKeys(second), Some(partialOfKeys(firstKeys))))
   }
 
   val di1Sql: String =
