@@ -222,13 +222,14 @@ object LayoutQueries {
     * cross join (free). PlanSpec pins that no HLL aggregate ever sits
     * above an Expand again.
     *
-    * Oracle note (intentional conflation, documented): the DuckDB twin
-    * hardcodes `TRUE AS within_bound` because the sketch estimate is
-    * engine-specific state. A sketch drifting out of its 5% bound
-    * therefore surfaces as a hash mismatch on `within_bound` — same
-    * failure channel as an engine bug; the sketch-vs-exact distinction
-    * is diagnosed from the mismatching column being `within_bound`
-    * alone. The 100 TB serving path is [[prof1Served]], which drops the
+    * Oracle note: the sketch estimate is engine-specific state the
+    * DuckDB twin cannot reproduce, so the bound check rides two
+    * columns. `within_bound` (twin: TRUE) is the verdict; `andv_oob`
+    * carries the raw estimate ONLY when it broke the bound and is NULL
+    * otherwise (twin: NULL) — green in the healthy case, and a bound
+    * failure shows up in the mismatch report WITH the offending
+    * estimate, distinguishable at a glance from a generic engine bug.
+    * The 100 TB serving path is [[prof1Served]], which drops the
     * exact column entirely (the t_topk_served discipline); this exact
     * twin is the audit that certifies doing so. */
   def prof1From(events: DataFrame): DataFrame = {
@@ -249,13 +250,16 @@ object LayoutQueries {
         expr(s"stack(${ProfCols.size}, $stackArgs) AS " +
           "(column_name, n_nonnull, ndv, andv)"),
         $"total")
+      .withColumn("within_bound",
+        abs($"andv" - $"ndv") <= greatest($"ndv" * 0.05, lit(5.0)))
       .select(
         $"column_name",
         $"n_nonnull",
         ($"total" - $"n_nonnull").as("n_null"),
         $"ndv",
-        (abs($"andv" - $"ndv") <= greatest($"ndv" * 0.05, lit(5.0)))
-          .as("within_bound"))
+        $"within_bound",
+        when($"within_bound", lit(null).cast("double"))
+          .otherwise($"andv").as("andv_oob"))
   }
 
   def prof1ColumnStats(spark: SparkSession, dir: String): DataFrame =
@@ -265,7 +269,8 @@ object LayoutQueries {
     ProfCols.map { c =>
       s"""SELECT '$c' AS column_name, count($c) AS n_nonnull,
          |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
-         |  TRUE AS within_bound FROM events""".stripMargin
+         |  TRUE AS within_bound,
+         |  CAST(NULL AS DOUBLE) AS andv_oob FROM events""".stripMargin
     }.mkString("\nUNION ALL\n")
 
   /** PROF1-SERVED: the 100 TB profiler — the sketch pass ALONE. No
