@@ -26,11 +26,16 @@ import scala.collection.mutable
   * index access, calls, `+ - * / %`, comparisons, `&& || !`, ternary,
   * compound assignment, regex literals (`/re/gim` with
   * `test`/`exec`/`match`/`replace`/`split`/`search`), string methods,
-  * `Math`, `JSON`, `parseInt`/`parseFloat`. Numbers keep integral
-  * identity (Long) until an operation forces a double — so ids survive
-  * a get/set round-trip, which pure-double JS semantics would corrupt.
+  * `Math`, `JSON`, `parseInt`/`parseFloat`, template literals
+  * (`` `a ${x} b` ``, desugared to string concatenation; nesting a
+  * template inside `${}` is rejected with a clear error), and
+  * var/let/const destructuring (`var {a, b: c, d = 1} = o`,
+  * `var [x, y = 2] = arr`, desugared to member reads off a one-time
+  * temp). Numbers keep integral identity (Long) until an operation
+  * forces a double — so ids survive a get/set round-trip, which
+  * pure-double JS semantics would corrupt.
   * Still out of scope: prototypes/`new`, generators, `async`,
-  * destructuring, template literals.
+  * destructuring in function parameters or bare assignments.
   */
 object MiniJs {
 
@@ -129,7 +134,8 @@ object MiniJs {
     * after them can't mis-lex a valid script. */
   private def regexAllowed(prev: Tok): Boolean = prev match {
     case null => true
-    case Tok("num", _, _) | Tok("str", _, _) | Tok("regex", _, _) => false
+    case Tok("num", _, _) | Tok("str", _, _) | Tok("regex", _, _) |
+        Tok("template", _, _) => false
     case Tok("id", t, _) => regexAfterKw(t)
     case Tok("op", ")" | "]" | "++" | "--", _) => false
     case _ => true
@@ -173,6 +179,55 @@ object MiniJs {
         val fs = new StringBuilder
         while (i < n && src.charAt(i).isLetter) { fs.append(src.charAt(i)); i += 1 }
         add(Tok("regex", sb.toString + "\u0000" + fs.toString, s))
+      } else if (c == '`') {
+        // template literal: alternating string parts and ${expr}
+        // sources, encoded as NUL-separated segments each prefixed 'S'
+        // (cooked string) or 'E' (raw expression source, re-lexed by
+        // the parser). Nested templates inside ${} are rejected — the
+        // one construct whose lexing would need a full mode stack.
+        val s = i; i += 1
+        val segs = Vector.newBuilder[String]
+        val sb = new StringBuilder("S")
+        var closed = false
+        while (i < n && !closed) {
+          val ch = src.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            i += 1
+            sb.append(src.charAt(i) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other // covers \` \$ \\ and plain chars
+            })
+            i += 1
+          } else if (ch == '`') { closed = true; i += 1 }
+          else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') {
+            segs += sb.toString; sb.clear(); sb.append('S')
+            i += 2
+            val es = new StringBuilder
+            var depth = 1
+            var quote: Char = 0
+            while (i < n && depth > 0) {
+              val ec = src.charAt(i)
+              if (quote != 0) {
+                if (ec == '\\' && i + 1 < n) { es.append(ec).append(src.charAt(i + 1)); i += 2 }
+                else { if (ec == quote) quote = 0; es.append(ec); i += 1 }
+              } else ec match {
+                case '`' => err("nested template literals are not supported")
+                case '"' | '\'' => quote = ec; es.append(ec); i += 1
+                case '{' => depth += 1; es.append(ec); i += 1
+                case '}' =>
+                  depth -= 1
+                  if (depth > 0) es.append(ec)
+                  i += 1
+                case other => es.append(other); i += 1
+              }
+            }
+            if (depth > 0) err("unterminated ${ in template literal")
+            segs += "E" + es.toString
+          } else { sb.append(ch); i += 1 }
+        }
+        if (!closed) err("unterminated template literal")
+        segs += sb.toString
+        add(Tok("template", segs.result().mkString("\u0000"), s))
       } else if (c.isDigit) {
         val s = i
         while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
@@ -261,14 +316,86 @@ object MiniJs {
       else { val e = expr(); if (isOp(";")) eat(); ExprStmt(e) }
     }
 
+    /** Parse one `${}` segment of a template literal: a complete
+      * expression with nothing trailing. */
+    def parseSubExpr(src: String): Expr = {
+      val sub = new Parser(lex(src))
+      val e = sub.expr()
+      if (sub.cur.kind != "eof")
+        err(s"unexpected tokens after template expression '$src'")
+      e
+    }
+
+    /** Fresh per-parser temp names for destructuring desugar — `$` is
+      * legal in identifiers but scripts never start names with `__$`,
+      * so the temps can't collide with user bindings. */
+    private var destrN = 0
+    private def destrTmp(): String = { destrN += 1; s"__$$destr$destrN" }
+
+    /** `undefined`-guarded access with an optional default — the JS
+      * destructuring-default rule (`{a = 1}` applies 1 only when the
+      * property is undefined, not merely falsy). */
+    private def withDefault(access: Expr, default: Option[Expr]): Expr =
+      default match {
+        case None => access
+        case Some(d) => CondE(Bin("===", access, UndefE), d, access)
+      }
+
     private def varDecl(): Stmt = {
       val entries = Seq.newBuilder[(String, Option[Expr])]
       var more = true
       while (more) {
-        if (cur.kind != "id") err("expected variable name")
-        val name = eat().text
-        val init = if (isOp("=")) { eat(); Some(expr()) } else None
-        entries += name -> init
+        if (isOp("{") || isOp("[")) {
+          // destructuring declaration, desugared to member/index reads
+          // off a once-evaluated temp: var {a, b: c, d = 1} = RHS →
+          // var __$destrN = RHS, a = __$destrN.a, c = __$destrN.b,
+          // d = (__$destrN.d === undefined ? 1 : __$destrN.d)
+          val isObj = eat().text == "{"
+          val binds = Seq.newBuilder[(String, Expr => Expr)]
+          if (isObj) {
+            var go = !isOp("}")
+            while (go) {
+              if (cur.kind != "id") err("expected destructuring key")
+              val key = eat().text
+              val target = if (isOp(":")) {
+                eat()
+                if (cur.kind != "id") err("expected destructuring binding name")
+                eat().text
+              } else key
+              val default = if (isOp("=")) { eat(); Some(expr()) } else None
+              binds += target -> (tmp =>
+                withDefault(Member(tmp, key), default))
+              if (isOp(",")) eat() else go = false
+            }
+            expectOp("}")
+          } else {
+            var idx = 0
+            var go = !isOp("]")
+            while (go) {
+              if (cur.kind != "id") err("expected destructuring binding name")
+              val name = eat().text
+              val default = if (isOp("=")) { eat(); Some(expr()) } else None
+              val i = idx
+              binds += name -> (tmp =>
+                withDefault(IndexE(tmp, NumL(i.toLong)), default))
+              idx += 1
+              if (isOp(",")) eat() else go = false
+            }
+            expectOp("]")
+          }
+          if (!isOp("=")) err("destructuring declaration needs an initializer")
+          eat()
+          val tmpName = destrTmp()
+          entries += tmpName -> Some(expr())
+          binds.result().foreach { case (name, mk) =>
+            entries += name -> Some(mk(Ident(tmpName)))
+          }
+        } else {
+          if (cur.kind != "id") err("expected variable name")
+          val name = eat().text
+          val init = if (isOp("=")) { eat(); Some(expr()) } else None
+          entries += name -> init
+        }
         if (isOp(",")) eat() else more = false
       }
       if (isOp(";")) eat()
@@ -490,6 +617,24 @@ object MiniJs {
         if (t.contains('.')) NumD(t.toDouble) else NumL(t.toLong)
       }
       else if (cur.kind == "str") Str(eat().text)
+      else if (cur.kind == "template") {
+        // desugar to left-assoc string concatenation seeded by the
+        // (possibly empty) leading string part, so `+` stays concat
+        // even when every interpolated value is numeric
+        val segs = eat().text.split('\u0000')
+        segs.foldLeft(None: Option[Expr]) { (acc, seg) =>
+          val piece: Expr =
+            if (seg.startsWith("S")) Str(seg.drop(1))
+            else parseSubExpr(seg.drop(1))
+          acc match {
+            case None =>
+              // seed with the first (string) part; an 'E' first segment
+              // cannot happen — the lexer always emits a leading 'S'
+              Some(piece)
+            case Some(l) => Some(Bin("+", l, piece))
+          }
+        }.getOrElse(Str(""))
+      }
       else if (cur.kind == "regex") {
         val t = eat().text
         val sep = t.lastIndexOf('\u0000')

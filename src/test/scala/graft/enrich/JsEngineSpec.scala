@@ -410,6 +410,59 @@ class JsEngineSpec extends SparkSpec {
     assert(run("function f() { return ((((1 + 2)))); }", "f") == 3L)
   }
 
+  test("template literals: interpolation, escapes, expressions, division after") {
+    assert(run("function f(x) { return `id=${x}`; }", "f", 7L) == "id=7")
+    assert(run("function f() { return ``; }", "f") == "")
+    assert(run("function f(a, b) { return `${a} and ${b}!`; }",
+      "f", "salt", "pepper") == "salt and pepper!")
+    // a full expression (with nested braces via an object literal)
+    // inside ${}, numeric results stringified by the concat desugar
+    assert(run(
+      """function f(n) { return `sum=${n * 2 + 1} obj=${({k: 9}).k}`; }""",
+      "f", 3L) == "sum=7 obj=9")
+    // escapes: \` keeps a literal backtick, \$ defuses interpolation,
+    // \n cooks to a newline
+    assert(run("function f() { return `a\\`b\\${x}c\\nd`; }", "f")
+      == "a`b${x}c\nd")
+    // a template is value-shaped: the / after it must lex as division
+    assert(run("function f() { return `${8}`.length / 1; }", "f") == 1L)
+    // ternary inside ${} — the ':' must not confuse the sub-parser
+    assert(run("function f(x) { return `${x > 2 ? 'big' : 'small'}`; }",
+      "f", 5L) == "big")
+    val e = intercept[MiniJs.JsException](
+      MiniJs.parse("var s = `outer ${ `inner` }`;"))
+    assert(e.getMessage.contains("nested template"))
+  }
+
+  test("destructuring var declarations: object, rename, defaults, array") {
+    assert(run(
+      """function f(o) { var {a, b} = o; return a + b; }""",
+      "f", Map("a" -> 3L, "b" -> 4L)) == 7L)
+    assert(run(
+      """function f(o) { var {a: x, b: y} = o; return x * y; }""",
+      "f", Map("a" -> 3L, "b" -> 4L)) == 12L)
+    // default applies ONLY when the property is undefined — 0 is kept
+    assert(run(
+      """function f(o) { var {a = 99, c = 5} = o; return a + c; }""",
+      "f", Map("a" -> 0L)) == 5L)
+    assert(run(
+      """function f() { var [x, y, z = 10] = [1, 2]; return x + y + z; }""",
+      "f") == 13L)
+    // let/const route through the same declaration path
+    assert(run(
+      """function f(o) { let {a} = o; const [b] = [a + 1]; return b; }""",
+      "f", Map("a" -> 41L)) == 42L)
+    // the RHS is evaluated exactly once
+    assert(run(
+      """var n = 0;
+        |function mk() { n += 1; return {a: 1, b: 2}; }
+        |function f() { var {a, b} = mk(); return n * 10 + a + b; }""".stripMargin,
+      "f") == 13L)
+    val e = intercept[MiniJs.JsException](
+      MiniJs.parse("var {a, b};"))
+    assert(e.getMessage.contains("initializer"))
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))
