@@ -35,38 +35,126 @@ object UaRules {
     "lighthouse|gtmetrix|uptimerobot|petalbot|bytespider|semrush|ahrefs|" +
     "mj12bot|dotbot|ia_archiver)"
 
-  /** Browser families in uap-core priority order. */
+  /** Browser families in uap-core priority order: spiders, then
+    * vendor/app shells grouped by engine lineage (a shell's token must
+    * win before the engine token it also carries — SamsungBrowser
+    * carries Chrome/, Focus carries Firefox/, Coast carries Safari/),
+    * then the engines themselves, then legacy/console browsers. */
   val browsers: Seq[UaRule] = Seq(
     UaRule("Spider", SpiderRe),
-    UaRule("Opera Mini", "Opera Mini", "Opera Mini/(\\d+)"),
+    // Opera lineage (Presto + Blink); OPiOS is Opera Mini's iOS shell
+    UaRule("Opera Mini", "Opera Mini|OPiOS/", "(?:Opera Mini|OPiOS)/(\\d+)"),
     UaRule("Opera Mobile", "Opera Mobi", "(?:Opera Mobi.*Version|Opera Mobi)/?(\\d+)?"),
+    UaRule("Opera GX", "OPX/", "OPX/(\\d+)"),
+    UaRule("Opera Touch", "OPT/", "OPT/(\\d+)"),
+    UaRule("Opera Coast", "Coast/", "Coast/(\\d+)"),
+    UaRule("Opera Neon", "MMS/", "MMS/(\\d+)"),
     UaRule("Opera", "OPR/|Opera[ /]", "(?:OPR|Opera|Version)[ /](\\d+)"),
+    // Chromium vendor shells
     UaRule("Edge", "Edg(?:e|A|iOS)?/", "Edg(?:e|A|iOS)?/(\\d+)"),
     UaRule("Samsung Internet", "SamsungBrowser/", "SamsungBrowser/(\\d+)"),
     UaRule("Yandex Browser", "YaBrowser/", "YaBrowser/(\\d+)"),
     UaRule("Vivaldi", "Vivaldi/", "Vivaldi/(\\d+)"),
-    UaRule("UC Browser", "UCBrowser/", "UCBrowser/(\\d+)"),
+    UaRule("Brave", "Brave[ /]", "Brave[ /](\\d+)"),
+    UaRule("UC Browser", "UC?Browser/", "UC?Browser/(\\d+)"),
     UaRule("Whale", "Whale/", "Whale/(\\d+)"),
     UaRule("MiuiBrowser", "MiuiBrowser/", "MiuiBrowser/(\\d+)"),
+    UaRule("Mint Browser", "Mint Browser/", "Mint Browser/(\\d+)"),
+    UaRule("Quark", "Quark/", "Quark/(\\d+)"),
+    UaRule("Huawei Browser", "HuaweiBrowser/", "HuaweiBrowser/(\\d+)"),
+    UaRule("Vivo Browser", "VivoBrowser/", "VivoBrowser/(\\d+)"),
+    UaRule("Oppo Browser", "OppoBrowser/", "OppoBrowser/(\\d+)"),
+    UaRule("HeyTap Browser", "HeyTapBrowser/", "HeyTapBrowser/(\\d+)"),
     UaRule("QQ Browser", "M?QQBrowser/", "M?QQBrowser/(\\d+)"),
+    UaRule("Baidu Browser", "BIDUBrowser[ /]", "BIDUBrowser[ /](\\d+)"),
+    UaRule("Baidu Box App", "baiduboxapp/", "baiduboxapp/(\\d+)"),
+    UaRule("2345 Explorer", "2345Explorer/", "2345Explorer/(\\d+)"),
+    UaRule("Sogou Explorer", "MetaSr"),
+    UaRule("LieBao", "LBBROWSER"),
+    UaRule("Coc Coc", "coc_coc_browser/", "coc_coc_browser/(\\d+)"),
+    UaRule("Maxthon", "Maxthon[ /]?\\d", "Maxthon[ /]?(\\d+)"),
+    UaRule("Iron", "Iron[ /]\\d", "Iron[ /](\\d+)"),
+    UaRule("Comodo Dragon", "Comodo_Dragon/|Dragon/", "(?:Comodo_)?Dragon/(\\d+)"),
+    UaRule("Avast Secure Browser", "Avast/", "Avast/(\\d+)"),
+    UaRule("AVG Secure Browser", "AVG/", "AVG/(\\d+)"),
+    UaRule("Seznam Browser", "SznProhlizec/", "SznProhlizec/(\\d+)"),
+    UaRule("Mail.ru Chromium Browser", "MRCHROME"),
+    UaRule("Puffin", "Puffin/", "Puffin/(\\d+)"),
+    UaRule("Amazon Silk", "Silk/", "Silk/(\\d+)"),
+    UaRule("Crosswalk", "Crosswalk/", "Crosswalk/(\\d+)"),
+    UaRule("QtWebEngine", "QtWebEngine/", "QtWebEngine/(\\d+)"),
+    UaRule("Electron", "Electron/", "Electron/(\\d+)"),
+    UaRule("Falkon", "Falkon/", "Falkon/(\\d+)"),
+    UaRule("Otter", "Otter/", "Otter/(\\d+)"),
+    UaRule("QupZilla", "QupZilla/", "QupZilla/(\\d+)"),
+    UaRule("Epiphany", "Epiphany/", "Epiphany/(\\d+)"),
+    UaRule("Midori", "Midori/", "Midori/(\\d+)"),
+    // in-app webviews with their own tokens
     UaRule("Facebook", "FBAV/|FBAN/", "FBAV/(\\d+)"),
     UaRule("Instagram", "Instagram[ /]", "Instagram[ /](\\d+)"),
     UaRule("WeChat", "MicroMessenger/", "MicroMessenger/(\\d+)"),
+    UaRule("Line", "\\bLine/", "\\bLine/(\\d+)"),
+    UaRule("KakaoTalk", "KAKAOTALK"),
+    UaRule("Snapchat", "Snapchat/", "Snapchat/(\\d+)"),
+    UaRule("Pinterest", "Pinterest/", "Pinterest/(\\d+)"),
+    UaRule("Twitter", "Twitter for iPhone|TwitterAndroid"),
+    UaRule("LinkedIn", "LinkedInApp"),
+    UaRule("TikTok", "musical_ly|Bytedance"),
+    UaRule("Google Search App", "GSA/", "GSA/(\\d+)"),
+    UaRule("DuckDuckGo Mobile", "DuckDuckGo/", "DuckDuckGo/(\\d+)"),
+    UaRule("Ecosia", "Ecosia (?:android|ios)@", "Ecosia (?:android|ios)@(\\d+)"),
+    // iOS engine shells (Apple mandates WebKit; the token is the shell)
     UaRule("Chrome Mobile iOS", "CriOS/", "CriOS/(\\d+)"),
     UaRule("Firefox iOS", "FxiOS/", "FxiOS/(\\d+)"),
+    // Chromium engines — the WebView token must precede Chrome Mobile
+    UaRule("Chrome Mobile WebView", "; ?wv\\).*Chrome/", "Chrome/(\\d+)"),
     UaRule("Chrome Mobile", "Chrome/\\d[^)]*Mobile|CrMo/", "(?:Chrome|CrMo)/(\\d+)"),
     UaRule("Chromium", "Chromium/", "Chromium/(\\d+)"),
     UaRule("Chrome", "Chrome/", "Chrome/(\\d+)"),
+    // Gecko lineage — forks and shells before Firefox itself
+    UaRule("Firefox Focus", "Focus/", "Focus/(\\d+)"),
+    UaRule("Firefox Klar", "Klar/", "Klar/(\\d+)"),
     UaRule("Firefox Mobile", "(?:Mobile|Tablet|Android).*Firefox/|Fennec/",
       "(?:Firefox|Fennec)/(\\d+)"),
     UaRule("SeaMonkey", "SeaMonkey/", "SeaMonkey/(\\d+)"),
+    UaRule("Waterfox", "Waterfox/", "Waterfox/(\\d+)"),
+    UaRule("Pale Moon", "PaleMoon/", "PaleMoon/(\\d+)"),
+    UaRule("Basilisk", "Basilisk/", "Basilisk/(\\d+)"),
+    UaRule("IceCat", "IceCat/", "IceCat/(\\d+)"),
+    UaRule("Iceweasel", "Iceweasel/", "Iceweasel/(\\d+)"),
+    UaRule("K-Meleon", "K-Meleon/", "K-Meleon/(\\d+)"),
+    UaRule("Camino", "Camino/", "Camino/(\\d+)"),
+    UaRule("Thunderbird", "Thunderbird/", "Thunderbird/(\\d+)"),
     UaRule("Firefox", "Firefox/", "Firefox/(\\d+)"),
+    // WebKit shells that would otherwise fall through to Safari
+    UaRule("Dolphin", "Dolphin/", "Dolphin/(\\d+)"),
+    UaRule("Mercury", "Mercury/", "Mercury/(\\d+)"),
+    UaRule("Sleipnir", "Sleipnir/", "Sleipnir/(\\d+)"),
+    UaRule("Lunascape", "Lunascape[ /]", "Lunascape[ /](\\d+)"),
+    UaRule("iCab", "iCab[ /]", "iCab[ /](\\d+)"),
+    UaRule("OmniWeb", "OmniWeb/", "OmniWeb/v?(\\d+)"),
+    UaRule("Sailfish Browser", "SailfishBrowser/", "SailfishBrowser/(\\d+)"),
+    UaRule("BlackBerry WebKit", "BB10|PlayBook", "Version/(\\d+)"),
+    UaRule("BlackBerry", "BlackBerry", "BlackBerry\\d+/(\\d+)"),
+    UaRule("Nokia Browser", "NokiaBrowser/|OviBrowser/",
+      "(?:Nokia|Ovi)Browser/(\\d+)"),
+    UaRule("NetFront", "NetFront/", "NetFront/(\\d+)"),
+    UaRule("Skyfire", "Skyfire/", "Skyfire/(\\d+)"),
+    UaRule("Kindle", "Kindle/", "Kindle/(\\d+)"),
+    // Safari proper: Version/ present = Safari; an iDevice WITHOUT
+    // Version/ is an embedded WKWebView (the uap-core family name)
     UaRule("Mobile Safari", "Version/[\\d.]+.*Mobile.*Safari/", "Version/(\\d+)"),
     UaRule("Safari", "Version/[\\d.]+.*Safari/", "Version/(\\d+)"),
+    UaRule("Mobile Safari UI/WKWebView",
+      "(?:iPhone|iPad|iPod).*AppleWebKit/.*Mobile/\\w+"),
+    // trailing-edge and text-mode
     UaRule("IE Mobile", "IEMobile", "IEMobile[ /](\\d+)"),
     UaRule("IE", "MSIE |Trident/", "(?:MSIE |rv:)(\\d+)"),
     UaRule("Konqueror", "[Kk]onqueror/", "[Kk]onqueror/(\\d+)"),
-    UaRule("Electron", "Electron/", "Electron/(\\d+)"))
+    UaRule("Netscape", "Netscape6?/", "Netscape6?/(\\d+)"),
+    UaRule("Lynx", "Lynx/", "Lynx/(\\d+)"),
+    UaRule("w3m", "w3m/", "w3m/(\\d+)"),
+    UaRule("ELinks", "ELinks[ /]", "ELinks[ /](\\d+)"))
 
   /** One OS rule: family, detection regex, and EITHER a version regex
     * (group 1 = major) or a literal marketing version (the Windows NT
@@ -86,13 +174,44 @@ object UaRules {
     OsRule("Chrome OS", "CrOS", "CrOS [a-z0-9_]+ (\\d+)"),
     OsRule("KaiOS", "KAIOS/", "KAIOS/(\\d+)"),
     OsRule("Tizen", "Tizen[ /]", "Tizen[ /](\\d+)"),
+    // Apple's non-phone platforms carry their own tokens and must win
+    // before the iDevice and Mac rules
+    OsRule("tvOS", "Apple ?TV|tvOS", "tvOS (\\d+)"),
+    OsRule("watchOS", "Watch ?OS|watchOS", "(?:Watch ?OS|watchOS)[ /](\\d+)"),
     OsRule("Android", "Android", "Android (\\d+)"),
     OsRule("iOS", "iPhone|iPad|iPod", "(?:iPhone OS|CPU OS) (\\d+)"),
     OsRule("Mac OS X", "Mac OS X", "Mac OS X (\\d+)"),
+    // mobile/embedded Linuxes before the bare Linux fallback
+    OsRule("Firefox OS",
+      "\\((?:Mobile|Tablet);[^)]*rv:[\\d.]+\\) Gecko/[\\d.]+ Firefox/"),
+    OsRule("Sailfish", "Sailfish"),
+    OsRule("MeeGo", "MeeGo"),
+    OsRule("Maemo", "Maemo"),
+    OsRule("webOS", "webOS|hpwOS", "(?:webOS|hpwOS)/(\\d+)"),
+    OsRule("Bada", "Bada[ /]", "Bada[ /](\\d+)"),
+    OsRule("Symbian OS", "SymbianOS|Symbian/3|Series ?60|S60",
+      "SymbianOS/(\\d+)"),
+    OsRule("BlackBerry OS", "BlackBerry|BB10|PlayBook"),
+    OsRule("Kindle", "Kindle"),
+    OsRule("Roku", "Roku/"),
+    // desktop distributions before the bare Linux fallback
     OsRule("Ubuntu", "Ubuntu"),
     OsRule("Fedora", "Fedora"),
     OsRule("Debian", "Debian"),
+    OsRule("Linux Mint", "Linux Mint"),
+    OsRule("Arch Linux", "Arch Linux"),
+    OsRule("CentOS", "CentOS"),
+    OsRule("Red Hat", "Red Hat"),
+    OsRule("openSUSE", "openSUSE|SUSE"),
+    OsRule("Gentoo", "Gentoo"),
+    OsRule("Slackware", "Slackware"),
+    OsRule("Mageia", "Mageia"),
+    OsRule("Manjaro", "Manjaro"),
     OsRule("FreeBSD", "FreeBSD"),
+    OsRule("OpenBSD", "OpenBSD"),
+    OsRule("NetBSD", "NetBSD"),
+    OsRule("DragonFly", "DragonFly"),
+    OsRule("Solaris", "SunOS"),
     OsRule("Linux", "Linux"))
 
   /** Android device model capture: `; <model> Build/` — the uap-core

@@ -90,6 +90,91 @@ class MappersSpec extends SparkSpec {
     assert(out(6).getAs[String]("_user_agent_version") == "120")
   }
 
+  test("M2: long-tail families — shells win over the engine tokens they carry") {
+    val cases: Seq[(String, String, String)] = Seq(
+      // (UA, expected family, expected major version or null)
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0",
+        "Opera", "105"),
+      ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) " +
+        "Chrome/119.0.0.0 Safari/537.36 OPX/2.1.0", "Opera GX", "2"),
+      ("Mozilla/5.0 (Linux; Android 13; 2201117TY) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36 " +
+        "XiaoMi/MiuiBrowser/13.28.0-gn", "MiuiBrowser", "13"),
+      ("Mozilla/5.0 (Linux; U; Android 12; en-US; V2134 Build/SP1A) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/100.0.4896.58 " +
+        "UCBrowser/15.5.0.1312 Mobile Safari/537.36", "UC Browser", "15"),
+      ("Mozilla/5.0 (Linux; Android 11; KFQUWI) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.5615.213 " +
+        "Safari/537.36", "Amazon Silk", "112"),
+      ("Mozilla/5.0 (Android 13; Mobile; rv:109.0) Gecko/117.0 " +
+        "Firefox/117.0 Focus/117.0", "Firefox Focus", "117"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) " +
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/116.2 " +
+        "Mobile/15E148 Safari/605.1.15", "Firefox iOS", "116"),
+      // Android in-app WebView: the `; wv)` token, not Chrome Mobile
+      ("Mozilla/5.0 (Linux; Android 13; SM-A536B Build/TP1A; wv) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 " +
+        "Chrome/115.0.0.0 Mobile Safari/537.36", "Chrome Mobile WebView", "115"),
+      // iOS app WebView without Version/ — the uap-core fallback family
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_3 like Mac OS X) " +
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148",
+        "Mobile Safari UI/WKWebView", null),
+      ("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.10+ (KHTML, like Gecko) " +
+        "Version/10.3.3 Mobile Safari/537.10+", "BlackBerry WebKit", "10"),
+      ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 " +
+        "Firefox/115.0 Waterfox/115.0", "Waterfox", "115"),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/114.0.0.0 Safari/537.36 " +
+        "Brave/1.52.129", "Brave", "1"),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_0 like Mac OS X) " +
+        "AppleWebKit/605.1.15 (KHTML, like Gecko) GSA/276.0.554115618 " +
+        "Mobile/15E148 Safari/604.1", "Google Search App", "276"),
+      ("Mozilla/5.0 (Linux; arm_64; Android 12; SM-A515F) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/106.0.0.0 " +
+        "YaBrowser/22.11.7.42 Mobile Safari/537.36", "Yandex Browser", "22"),
+      ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) SailfishBrowser/2.2 like Safari/537.36",
+        "Sailfish Browser", "2"),
+      ("Lynx/2.8.9rel.1 libwww-FM/2.14 SSL-MM/1.4.1", "Spider", null))
+    val out = UserAgentMapper(cases.map(_._1).toDF("_user_agent")).collect()
+    cases.zipWithIndex.foreach { case ((ua, fam, ver), i) =>
+      assert(out(i).getAs[String]("_user_agent_family") == fam,
+        s"family of: $ua")
+      if (ver != null)
+        assert(out(i).getAs[String]("_user_agent_version") == ver,
+          s"version of: $ua")
+    }
+  }
+
+  test("M2: long-tail OSes — platform tokens win before the Linux/Mac fallbacks") {
+    val cases: Seq[(String, String)] = Seq(
+      ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:109.0) Gecko/20100101 " +
+        "Firefox/115.0", "Ubuntu"),
+      ("Mozilla/5.0 (X11; Fedora; Linux x86_64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/117.0.0.0 Safari/537.36", "Fedora"),
+      ("Mozilla/5.0 (X11; FreeBSD amd64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/110.0.0.0 Safari/537.36", "FreeBSD"),
+      ("Mozilla/5.0 (X11; OpenBSD amd64; rv:109.0) Gecko/20100101 " +
+        "Firefox/112.0", "OpenBSD"),
+      ("Mozilla/5.0 (Mobile; rv:26.0) Gecko/26.0 Firefox/26.0", "Firefox OS"),
+      ("Mozilla/5.0 (Linux; U; Sailfish 3.0; Mobile; rv:45.0) Gecko/45.0 " +
+        "Firefox/45.0 SailfishBrowser/1.0", "Sailfish"),
+      ("Mozilla/5.0 (webOS/1.4.0; U; en-US) AppleWebKit/532.2 " +
+        "(KHTML, like Gecko) Version/1.0 Safari/532.2 Pre/1.1", "webOS"),
+      ("Mozilla/5.0 (SMART-TV; Linux; Tizen 6.5) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Version/6.5 TV Safari/537.36", "Tizen"),
+      ("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.10+ (KHTML, like Gecko) " +
+        "Version/10.3.3 Mobile Safari/537.10+", "BlackBerry OS"),
+      ("Roku/DVP-12.0 (12.0.0.4182-88)", "Roku"),
+      ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/116.0.0.0 Safari/537.36", "Linux"))
+    val out = UserAgentMapper(cases.map(_._1).toDF("_user_agent")).collect()
+    cases.zipWithIndex.foreach { case ((ua, os), i) =>
+      assert(out(i).getAs[String]("_os") == os, s"os of: $ua")
+    }
+  }
+
   test("M3: referrer parse — widened source families and term params") {
     val rows = Seq(
       "https://yandex.ru/search/?text=spark+engine",
