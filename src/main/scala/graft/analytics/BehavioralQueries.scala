@@ -84,11 +84,17 @@ object BehavioralQueries {
   /** W2 sessionization: a session break is a >30-minute gap (reference
     * UserIdEventMapper.java:50-72 anonymous sessions). One window pass
     * flags breaks, a groupBy counts sessions per user. */
-  /** The ONE session-boundary rule: a >30-minute gap in a user's
-    * (ts, event_id)-ordered stream opens a new session. Adds a 1-based
-    * `session_idx` on the user-partition window pass — shared by w2's
-    * per-user counts and sq3's session-scoped example windows, so the
-    * two families sessionize provably alike. */
+  /** The session-gap threshold in minutes — THE constant behind the
+    * boundary rule; the streaming twin
+    * ([[graft.streaming.SequenceState.sessionExamples]]) derives its
+    * millisecond gap from it so the two cannot be retuned apart. */
+  val SessionGapMinutes = 30
+
+  /** The ONE session-boundary rule: a >[[SessionGapMinutes]]-minute gap
+    * in a user's (ts, event_id)-ordered stream opens a new session.
+    * Adds a 1-based `session_idx` on the user-partition window pass —
+    * shared by w2's per-user counts and sq3's session-scoped example
+    * windows, so the two families sessionize provably alike. */
   def withSessionIndex(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -96,7 +102,7 @@ object BehavioralQueries {
       .withColumn("__prev_ts", lag($"ts", 1).over(w))
       .withColumn("session_idx",
         sum(when($"__prev_ts".isNull ||
-          $"ts" > $"__prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+          $"ts" > $"__prev_ts" + expr(s"INTERVAL $SessionGapMinutes MINUTES"), 1L)
           .otherwise(0L)).over(w))
       .drop("__prev_ts")
   }

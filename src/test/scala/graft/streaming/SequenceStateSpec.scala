@@ -65,6 +65,71 @@ class SequenceStateSpec extends SparkSpec {
     assert(last._5 === 5)
   }
 
+  private def batchSessionExamples(evs: Seq[SeqEvent]) = {
+    val df = evs.toDF()
+    graft.analytics.SequenceQueries.sq3From(df)
+      .select($"user_id", $"session_idx", $"event_id", $"label",
+        $"context", $"n_context")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getSeq[String](4).toList, r.getInt(5)))
+      .sortBy(x => (x._1, x._3)).toSeq
+  }
+
+  private def streamSessionExamples(batches: Seq[Seq[SeqEvent]],
+      name: String) = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeqEvent]
+    val q = SequenceState.sessionExamples(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[SeqSessionExample].collect()
+        .map(e => (e.user_id, e.session_idx, e.event_id, e.label,
+          e.context.toList, e.n_context))
+        .sortBy(x => (x._1, x._3)).toSeq
+    } finally q.stop()
+  }
+
+  // a journey with a >30-minute gap (events 3→4) and an exactly-30-minute
+  // pause (events 5→6, which must NOT break the session), plus a second
+  // user interleaved
+  private val gapped = {
+    val m = 60L
+    Seq(
+      SeqEvent(1L, 1L, t(0), "view"), SeqEvent(1L, 2L, t(60), "click"),
+      SeqEvent(1L, 3L, t(120), "view"),
+      SeqEvent(1L, 4L, t(120 + 31 * m), "purchase"),
+      SeqEvent(1L, 5L, t(120 + 32 * m), "view"),
+      SeqEvent(1L, 6L, t(120 + 62 * m), "click"),
+      SeqEvent(2L, 7L, t(30), "signup"),
+      SeqEvent(2L, 8L, t(30 + 40 * m), "view"),
+      SeqEvent(2L, 9L, t(40 + 40 * m), "purchase"))
+  }
+
+  test("session variant, one batch: streaming examples == batch sq3 " +
+    "(gap resets, exact-30-minute pause does not)") {
+    assert(streamSessionExamples(Seq(gapped), "sq3_one") ===
+      batchSessionExamples(gapped))
+  }
+
+  test("session variant: a session gap straddling a micro-batch boundary " +
+    "cannot diverge from the batch rule") {
+    val ordered = gapped.sortBy(e => (e.ts.getTime, e.event_id))
+    // slice exactly at the 31-minute gap: user 1's events 1-3 land in
+    // batch one, event 4 (the session opener) in batch two
+    val atGap = ordered.indexWhere(_.event_id == 4L)
+    val sliced = Seq(ordered.take(atGap), ordered.drop(atGap))
+    assert(streamSessionExamples(sliced, "sq3_straddle") ===
+      batchSessionExamples(gapped))
+    // and a three-way slicing that also splits the second user
+    val three = Seq(ordered.take(2), ordered.slice(2, atGap + 1),
+      ordered.drop(atGap + 1))
+    assert(streamSessionExamples(three, "sq3_three") ===
+      batchSessionExamples(gapped))
+  }
+
   test("an idle user's state expires and a later event starts fresh") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SeqEvent]
