@@ -31,7 +31,10 @@ import scala.collection.mutable
   * template inside `${}` is rejected with a clear error), and
   * var/let/const destructuring (`var {a, b: c, d = 1} = o`,
   * `var [x, y = 2] = arr`, desugared to member reads off a one-time
-  * temp). Numbers keep integral identity (Long) until an operation
+  * temp), and arrow functions (`x => x + 1`, `(a, b) => { … }`,
+  * desugared to function literals — no `this` exists here, so the
+  * distinction collapses to syntax). Numbers keep integral identity
+  * (Long) until an operation
   * forces a double — so ids survive a get/set round-trip, which
   * pure-double JS semantics would corrupt.
   * Still out of scope: prototypes/`new`, generators, `async`,
@@ -256,7 +259,7 @@ object MiniJs {
         val three = if (i + 3 <= n) src.substring(i, i + 3) else ""
         val two = if (i + 2 <= n) src.substring(i, i + 2) else ""
         if (three == "===" || three == "!==") { add(Tok("op", three, i)); i += 3 }
-        else if (Set("==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "%=", "++", "--").contains(two)) {
+        else if (Set("==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "%=", "++", "--", "=>").contains(two)) {
           add(Tok("op", two, i)); i += 2
         } else if ("+-*/%<>=!(){}[],;:?.&|^~".indexOf(c) >= 0) {
           add(Tok("op", c.toString, i)); i += 1
@@ -510,7 +513,55 @@ object MiniJs {
       try assignExpr() finally exprDepth -= 1
     }
 
+    /** Arrow-function lookahead: `x => …` or `(…) => …`. The paren form
+      * scans to the matching `)` in the token stream — cheap, bounded,
+      * and the only backtrack-free way to split it from a parenthesized
+      * expression. */
+    private def arrowAhead(): Boolean = {
+      if (cur.kind == "id" && !regexAfterKw(cur.text) &&
+        toks(p + 1).kind == "op" && toks(p + 1).text == "=>") true
+      else if (isOp("(")) {
+        var q = p + 1
+        var depth = 1
+        while (depth > 0 && toks(q).kind != "eof") {
+          if (toks(q).kind == "op" && toks(q).text == "(") depth += 1
+          else if (toks(q).kind == "op" && toks(q).text == ")") depth -= 1
+          q += 1
+        }
+        depth == 0 && toks(q).kind == "op" && toks(q).text == "=>"
+      } else false
+    }
+
+    /** `params => body` desugared to a function literal; an expression
+      * body is an implicit return. (No `this` exists in this engine, so
+      * the arrow/function distinction collapses to syntax.) */
+    private def arrowFun(): Expr = {
+      val ps = Seq.newBuilder[String]
+      if (cur.kind == "id") ps += eat().text
+      else {
+        expectOp("(")
+        if (!isOp(")")) {
+          var more = true
+          while (more) {
+            if (cur.kind != "id") err("expected arrow parameter name")
+            ps += eat().text
+            if (isOp(",")) eat() else more = false
+          }
+        }
+        expectOp(")")
+      }
+      expectOp("=>")
+      val body =
+        if (isOp("{")) block() match {
+          case Block(stmts) => stmts
+          case other => Seq(other)
+        }
+        else Seq(ReturnS(Some(expr())))
+      FunLit(ps.result(), body, "")
+    }
+
     private def assignExpr(): Expr = {
+      if (arrowAhead()) return arrowFun()
       val lhs = condExpr()
       if (cur.kind == "op" && Set("=", "+=", "-=", "*=", "/=", "%=").contains(cur.text)) {
         lhs match {

@@ -463,6 +463,29 @@ class JsEngineSpec extends SparkSpec {
     assert(e.getMessage.contains("initializer"))
   }
 
+  test("arrow functions: expression and block bodies, closures, callbacks") {
+    assert(run("function f() { var inc = x => x + 1; return inc(41); }",
+      "f") == 42L)
+    assert(run("function f() { var add = (a, b) => a + b; return add(2, 3); }",
+      "f") == 5L)
+    assert(run(
+      """function f() {
+        |  var fact = n => { if (n <= 1) { return 1; } return n * fact(n - 1); };
+        |  return fact(5);
+        |}""".stripMargin, "f") == 120L)
+    // zero-arg form and closure capture
+    assert(run(
+      """function f() { var x = 7; var g = () => x * 2; x = 10; return g(); }""",
+      "f") == 20L)
+    // as a callback to the array stdlib — the dominant real-world use
+    assert(run(
+      "function f() { return [1, 2, 3].map(v => v * v).filter(v => v > 2).join(','); }",
+      "f") == "4,9")
+    // parenthesized NON-arrow expressions still parse as expressions
+    assert(run("function f(a) { return (a) + 1; }", "f", 1L) == 2L)
+    assert(run("function f(a) { return (a >= 2) ? 'y' : 'n'; }", "f", 3L) == "y")
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))
