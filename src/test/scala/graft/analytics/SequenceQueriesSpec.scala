@@ -134,5 +134,10 @@ class SequenceQueriesSpec extends SparkSpec {
     // its broadcast — no hash exchange of event rows
     assert(!p2.contains("Exchange hashpartitioning"), p2)
     assert(p2.contains("BroadcastNestedLoopJoin") || p2.contains("BroadcastExchange"), p2)
+    // sq3 adds the session index and a (user, session)-partitioned
+    // window, but hashpartitioning(user) already clusters sessions —
+    // still exactly ONE exchange, three windows sharing it
+    val p3 = SequenceQueries.sq3From(d).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p3).size == 1, p3)
   }
 }

@@ -130,6 +130,37 @@ class SequenceStateSpec extends SparkSpec {
       batchSessionExamples(gapped))
   }
 
+  test("fuzz: random journeys × random micro-batch slicings stay " +
+    "row-identical to batch sq3") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 5).foreach { round =>
+      // 3 users, gaps drawn around the 30-minute boundary (some exactly
+      // on it), event-time strictly increasing per user
+      var id = 0L
+      val evs = (1 to 3).flatMap { u =>
+        var clock = rnd.nextInt(600).toLong
+        (1 to 12 + rnd.nextInt(10)).map { _ =>
+          id += 1
+          clock += (rnd.nextInt(4) match {
+            case 0 => rnd.nextInt(300).toLong          // in-session
+            case 1 => 30L * 60                          // exactly the boundary
+            case 2 => 30L * 60 + 1 + rnd.nextInt(600)   // break
+            case _ => 1L + rnd.nextInt(60)
+          })
+          SeqEvent(u.toLong, id, t(clock),
+            Seq("view", "click", "purchase", "error")(rnd.nextInt(4)))
+        }
+      }
+      val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+      // random in-order slicing into 1..5 micro-batches
+      val cuts = (0 +: Seq.fill(rnd.nextInt(4))(rnd.nextInt(ordered.size))
+        :+ ordered.size).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => ordered.slice(a, b) }
+      assert(streamSessionExamples(batches, s"sq3_fuzz$round") ===
+        batchSessionExamples(evs), s"round $round, cuts $cuts")
+    }
+  }
+
   test("an idle user's state expires and a later event starts fresh") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SeqEvent]
