@@ -14,7 +14,8 @@ import scala.collection.mutable
   * [[MiniJs.HostObject]]s the caller explicitly binds.
   */
 final class JsEngine(code: String, globals: Map[String, Any],
-    maxSteps: Long = 5_000_000L) extends Serializable {
+    maxSteps: Long = 5_000_000L,
+    now: () => Long = () => System.currentTimeMillis()) extends Serializable {
 
   /** Bindings the reference strips from Nashorn's global scope. */
   private val poisoned = Set("Java", "load", "loadWithNewGlobal", "exit",
@@ -88,6 +89,8 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
       m.map { case (k, x) => k -> fromJs(x) }.toMap
     case a: mutable.ArrayBuffer[Any @unchecked] => a.map(fromJs).toSeq
+    case d: JsEngine.JsDate =>
+      if (d.valid) new java.sql.Timestamp(d.ms) else null
     case other => other
   }
 
@@ -146,7 +149,10 @@ final class JsEngine(code: String, globals: Map[String, Any],
     },
     "Date" -> new HostObject {
       def invoke(m: String, a: Seq[Any]): Any = m match {
-        case "now" => System.currentTimeMillis()
+        case "now" => now()
+        case "parse" => JsEngine.parseDateMs(str(a.head))
+          .getOrElse(Double.NaN)
+        case "UTC" => JsEngine.utcFieldsMs(a.map(num))
         case other => throw new JsException(s"Date.$other is not supported")
       }
     },
@@ -323,6 +329,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case ArrLit(items) => mutable.ArrayBuffer(items.map(eval(_, env)): _*)
       case FunLit(ps, body, name) => Closure(ps, body, env, name)
       case RegexL(p, f) => JsEngine.regexValue(p, f)
+      case NewE(ctor, argEs) => construct(ctor, argEs.map(eval(_, env)))
       case Member(t, name) => readMember(eval(t, env), name)
       case IndexE(t, k) => readIndex(eval(t, env), eval(k, env))
       case Call(target, argEs) =>
@@ -404,8 +411,56 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case other => throw new JsException(s"${jsToString(other)} is not a function")
   }
 
+  /** `new Ctor(args)` over the closed built-in set. Dates are UTC
+    * throughout (the engine defines UTC semantics regardless of host
+    * zone — executor-zone-dependent mapper output would be a
+    * correctness bug); an unparseable date is the JS Invalid Date
+    * (getTime → NaN), never an exception. */
+  private def construct(ctor: String, args: Seq[Any]): Any = ctor match {
+    case "Date" =>
+      if (args.isEmpty) new JsEngine.JsDate(now(), valid = true)
+      else if (args.size == 1) args.head match {
+        case s: String => JsEngine.parseDateMs(s) match {
+          case Some(ms) => new JsEngine.JsDate(ms, valid = true)
+          case None => new JsEngine.JsDate(0L, valid = false)
+        }
+        case d: JsEngine.JsDate => d
+        case other =>
+          val d = num(other)
+          if (d.isNaN) new JsEngine.JsDate(0L, valid = false)
+          else new JsEngine.JsDate(d.toLong, valid = true)
+      }
+      else new JsEngine.JsDate(JsEngine.utcFieldsMs(args.map(num)),
+        valid = true)
+    case "Error" | "TypeError" | "RangeError" | "SyntaxError" =>
+      // the Error-object shape runtime errors already use: a plain
+      // object with name/message, so catch blocks treat both alike
+      mutable.LinkedHashMap[String, Any]("name" -> ctor,
+        "message" -> (if (args.isEmpty) "" else str(args.head)))
+    case "RegExp" =>
+      JsEngine.regexValue(str(args.head),
+        if (args.size > 1) str(args(1)) else "")
+    case "Array" =>
+      if (args.size == 1 && (args.head.isInstanceOf[Long] ||
+        args.head.isInstanceOf[Double])) {
+        val n = num(args.head).toLong
+        if (n < 0 || n > JsEngine.MaxArrayLength)
+          throw new SandboxViolation(
+            s"new Array($n) out of sandbox bounds")
+        val a = mutable.ArrayBuffer.empty[Any]
+        (0L until n).foreach { _ => tick(); a += Undefined }
+        a
+      } else mutable.ArrayBuffer(args: _*)
+    case "Object" => mutable.LinkedHashMap.empty[String, Any]
+    case other =>
+      throw new JsException(s"new $other is not supported: constructors " +
+        "are the built-in set (Date, Error, RegExp, Array, Object); " +
+        "user prototypes are out of scope")
+  }
+
   private def callMember(recv: Any, name: String, args: Seq[Any]): Any = recv match {
     case h: HostObject => h.invoke(name, args)
+    case d: JsEngine.JsDate => d.call(name, args.map(num))
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
       m.get(name) match {
         case Some(f) => callValue(f, args)
@@ -768,6 +823,9 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case b: java.lang.Boolean => if (b) 1.0 else 0.0
     case s: String => try s.trim.toDouble catch { case _: Throwable => Double.NaN }
     case null => 0.0
+    // numeric contexts (subtraction, comparison) see a date as its
+    // epoch millis — `end - start` is the idiomatic duration
+    case d: JsEngine.JsDate => if (d.valid) d.ms.toDouble else Double.NaN
     case _ => Double.NaN
   }
 
@@ -783,6 +841,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
       if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
     case a: mutable.ArrayBuffer[Any @unchecked] => a.map(jsToString).mkString(",")
     case m: mutable.LinkedHashMap[_, _] => "[object Object]"
+    case d: JsEngine.JsDate => d.call("toString", Nil).toString
     case r: JsEngine.JsRegex => s"/${r.source}/${r.flags}"
     case c: Closure => s"function ${c.name}"
     case other => other.toString
@@ -862,6 +921,74 @@ object JsEngine {
     * script legitimately builds, far below anything that could OOM an
     * executor in one interpreter step. */
   val MaxArrayLength: Long = 1 << 20
+
+  /** A `new Date(...)` value — epoch millis + validity, UTC semantics
+    * for every field accessor (deterministic across executor host
+    * zones; the engine documents UTC, not host-local, as its contract).
+    * An Invalid Date answers NaN from every numeric method and
+    * "Invalid Date" from the string ones, the JS convention — bad
+    * event values degrade, never throw. */
+  final class JsDate(val ms: Long, val valid: Boolean) extends Serializable {
+    private def odt =
+      java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC)
+    def call(name: String, args: Seq[Double]): Any = name match {
+      case _ if !valid && name != "toString" && name != "toISOString" =>
+        Double.NaN
+      case "getTime" | "valueOf" => ms
+      case "getFullYear" | "getUTCFullYear" => odt.getYear.toLong
+      case "getMonth" | "getUTCMonth" => (odt.getMonthValue - 1).toLong
+      case "getDate" | "getUTCDate" => odt.getDayOfMonth.toLong
+      case "getDay" | "getUTCDay" => (odt.getDayOfWeek.getValue % 7).toLong
+      case "getHours" | "getUTCHours" => odt.getHour.toLong
+      case "getMinutes" | "getUTCMinutes" => odt.getMinute.toLong
+      case "getSeconds" | "getUTCSeconds" => odt.getSecond.toLong
+      case "getMilliseconds" | "getUTCMilliseconds" =>
+        (ms % 1000 + 1000) % 1000
+      case "getTimezoneOffset" => 0L
+      case "toISOString" | "toJSON" =>
+        if (!valid) throw new MiniJs.JsException(
+          "toISOString on an Invalid Date")
+        else java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").format(odt)
+      case "toString" =>
+        if (!valid) "Invalid Date"
+        else java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").format(odt)
+      case other =>
+        throw new MiniJs.JsException(s"Date.$other is not supported")
+    }
+  }
+
+  /** Parse the formats mapper scripts actually send: ISO instants
+    * (with Z or offset), ISO local date-times (space or T separator,
+    * optional millis), bare dates, and a plain epoch-millis digit
+    * string. UTC for any form without an explicit offset. */
+  private[js] def parseDateMs(s: String): Option[Long] = {
+    val t = s.trim
+    if (t.isEmpty) return None
+    if (t.matches("-?\\d{10,}")) return scala.util.Try(t.toLong).toOption
+    val asInstant = scala.util.Try(java.time.Instant.parse(t)).toOption
+      .orElse(scala.util.Try(
+        java.time.OffsetDateTime.parse(t).toInstant).toOption)
+    val asLocal = asInstant.orElse {
+      val norm = if (t.contains('T')) t else t.replaceFirst(" ", "T")
+      scala.util.Try(java.time.LocalDateTime.parse(norm)
+        .toInstant(java.time.ZoneOffset.UTC)).toOption
+    }
+    asLocal.orElse(scala.util.Try(java.time.LocalDate.parse(t)
+        .atStartOfDay.toInstant(java.time.ZoneOffset.UTC)).toOption)
+      .map(_.toEpochMilli)
+  }
+
+  /** `Date.UTC(y, m, d, h, min, s, ms)` / the multi-arg constructor:
+    * 0-based month, missing fields default per JS (day 1, rest 0). */
+  private[js] def utcFieldsMs(fields: Seq[Double]): Long = {
+    def f(i: Int, dflt: Long): Long =
+      if (fields.isDefinedAt(i)) fields(i).toLong else dflt
+    java.time.LocalDateTime.of(f(0, 1970L).toInt, f(1, 0L).toInt + 1,
+        f(2, 1L).toInt, f(3, 0L).toInt, f(4, 0L).toInt, f(5, 0L).toInt)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli + f(6, 0L)
+  }
 
   /** A compiled regex literal value. JS flags map onto Java: `i` →
     * CASE_INSENSITIVE+UNICODE_CASE, `m` → MULTILINE, `s` → DOTALL; `g`

@@ -79,14 +79,15 @@ object JsCodeCompiler {
       extraGlobals: Map[String, Any] = Map.empty,
       logger: JsLogger = new JsLogger,
       config: JsConfig = new JsConfig,
-      maxSteps: Long = 5_000_000L): JsEngine = {
+      maxSteps: Long = 5_000_000L,
+      now: () => Long = () => System.currentTimeMillis()): JsEngine = {
     val util = mutable.LinkedHashMap[String, Any]("crypt" -> Crypt, "base64" -> B64)
     new JsEngine(code,
       Map[String, Any](
         "logger" -> logger,
         "config" -> config,
         "util" -> util) ++ extraGlobals,
-      maxSteps)
+      maxSteps, now)
   }
 }
 

@@ -33,12 +33,15 @@ import scala.collection.mutable
   * `var [x, y = 2] = arr`, desugared to member reads off a one-time
   * temp), and arrow functions (`x => x + 1`, `(a, b) => { … }`,
   * desugared to function literals — no `this` exists here, so the
-  * distinction collapses to syntax). Numbers keep integral identity
-  * (Long) until an operation
+  * distinction collapses to syntax), and `new` over the BUILT-IN
+  * constructors (`Date` with an injectable UTC clock, the `Error`
+  * family, `RegExp`, `Array`, `Object`). Numbers keep integral
+  * identity (Long) until an operation
   * forces a double — so ids survive a get/set round-trip, which
   * pure-double JS semantics would corrupt.
-  * Still out of scope: prototypes/`new`, generators, `async`,
-  * destructuring in function parameters or bare assignments.
+  * Still out of scope: user prototypes (`new` on a script function),
+  * generators, `async`, destructuring in function parameters or bare
+  * assignments.
   */
 object MiniJs {
 
@@ -92,6 +95,10 @@ object MiniJs {
   final case class Assign(target: Expr, op: String, value: Expr) extends Expr
   /** `/pattern/flags` — compiled (and cached) by the evaluator. */
   final case class RegexL(pattern: String, flags: String) extends Expr
+  /** `new Ctor(args)` — a closed set of BUILT-IN constructors (Date,
+    * Error family, RegExp, Array, Object); user prototypes stay out of
+    * scope. */
+  final case class NewE(ctor: String, args: Seq[Expr]) extends Expr
 
   sealed trait Stmt
   final case class VarDecl(entries: Seq[(String, Option[Expr])]) extends Stmt
@@ -700,6 +707,23 @@ object MiniJs {
         val name = if (cur.kind == "id" && !isOp("(")) eat().text else ""
         val (ps, body) = funRest()
         FunLit(ps, body, name)
+      }
+      else if (isKw("new")) {
+        eat()
+        if (cur.kind != "id") err("expected constructor name after new")
+        val ctor = eat().text
+        // args optional (JS allows `new Date`); consumed HERE so the
+        // postfix loop chains methods onto the instance, not the call
+        val args = Seq.newBuilder[Expr]
+        if (isOp("(")) {
+          eat()
+          if (!isOp(")")) {
+            var more = true
+            while (more) { args += assignExpr(); if (isOp(",")) eat() else more = false }
+          }
+          expectOp(")")
+        }
+        NewE(ctor, args.result())
       }
       else if (cur.kind == "id") Ident(eat().text)
       else if (isOp("(")) { eat(); val e = expr(); expectOp(")"); e }

@@ -486,6 +486,76 @@ class JsEngineSpec extends SparkSpec {
     assert(run("function f(a) { return (a >= 2) ? 'y' : 'n'; }", "f", 3L) == "y")
   }
 
+  test("new Date: injectable UTC clock, parsing, fields, arithmetic, " +
+    "Invalid Date degrades") {
+    // 2023-11-14T22:13:20.000Z
+    val fixed = 1_700_000_000_000L
+    def runAt(code: String, fn: String, args: Any*): Any =
+      JsCodeCompiler.createEngine(code, now = () => fixed).invoke(fn, args: _*)
+    assert(runAt("function f() { return Date.now(); }", "f") == fixed)
+    assert(runAt("function f() { return new Date().getTime(); }", "f") == fixed)
+    assert(runAt(
+      """function f() {
+        |  var d = new Date();
+        |  return d.getFullYear() + '-' + (d.getMonth() + 1) + '-' +
+        |    d.getDate() + ' ' + d.getHours() + ':' + d.getMinutes();
+        |}""".stripMargin, "f") == "2023-11-14 22:13")
+    assert(runAt("function f() { return new Date().toISOString(); }", "f")
+      == "2023-11-14T22:13:20.000Z")
+    // string forms: ISO instant, local date-time with a space, bare date
+    assert(run("function f(s) { return new Date(s).getTime(); }",
+      "f", "2023-11-14T22:13:20Z") == fixed)
+    assert(run("function f(s) { return new Date(s).getTime(); }",
+      "f", "2023-11-14 22:13:20") == fixed)
+    assert(run("function f(s) { return new Date(s).getFullYear(); }",
+      "f", "2020-05-06") == 2020L)
+    // epoch-millis constructor and date arithmetic via numeric coercion
+    assert(run(
+      s"""function f() {
+         |  var a = new Date($fixed); var b = new Date(${fixed + 90_000});
+         |  return (b - a) / 1000;
+         |}""".stripMargin, "f") == 90L)
+    assert(run(s"function f() { return new Date($fixed) < new Date(${fixed + 1}); }",
+      "f") == true)
+    // multi-arg constructor is UTC with 0-based month
+    assert(run(
+      "function f() { return new Date(2024, 0, 2, 3, 4, 5).toISOString(); }",
+      "f") == "2024-01-02T03:04:05.000Z")
+    // junk parses to Invalid Date: NaN fields, no exception
+    def isNaN(v: Any) = v match {
+      case d: Double => java.lang.Double.isNaN(d); case _ => false
+    }
+    assert(isNaN(run("function f(s) { return new Date(s).getTime(); }",
+      "f", "not a date")))
+    assert(run("function f(s) { return '' + new Date(s); }",
+      "f", "not a date") == "Invalid Date")
+  }
+
+  test("new Error/RegExp/Array/Object; user prototypes stay rejected") {
+    // thrown constructed errors carry the same name/message shape as
+    // runtime errors, so catch blocks treat both alike
+    assert(run(
+      """function f() {
+        |  try { throw new TypeError('bad type'); }
+        |  catch (e) { return e.name + ': ' + e.message; }
+        |}""".stripMargin, "f") == "TypeError: bad type")
+    assert(run(
+      """function f(s) { return new RegExp('^a+$', 'i').test(s); }""",
+      "f", "AAa") == true)
+    assert(run("function f() { return new Array(3).length; }", "f") == 3L)
+    assert(run("function f() { return new Array(1, 2, 3).join('-'); }",
+      "f") == "1-2-3")
+    assert(run(
+      """function f() { var o = new Object(); o.k = 1; return o.k; }""",
+      "f") == 1L)
+    val e = intercept[MiniJs.JsException](run(
+      "function T() {} function f() { return new T(); }", "f"))
+    assert(e.getMessage.contains("prototypes"))
+    // the sandbox bounds a constructed-array bomb
+    intercept[MiniJs.SandboxViolation](
+      run("function f() { return new Array(2000000000).length; }", "f"))
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))
