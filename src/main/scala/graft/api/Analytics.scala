@@ -169,6 +169,17 @@ object Analytics {
     graft.analytics.SequenceQueries.sq2From(
       stdEvents(events, userCol, tsCol, idCol, typeCol))
 
+  /** Session-scoped next-event examples (the oracle-proven sq3 shape):
+    * [[nextEventExamples]] with the context window RESET at every
+    * session gap (>[[graft.analytics.BehavioralQueries.SessionGapMinutes]]
+    * minutes), each row carrying its 1-based session index. Same single
+    * user shuffle; the streaming twin is
+    * [[graft.streaming.SequenceState.sessionExamples]]. */
+  def sessionEventExamples(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String): DataFrame =
+    graft.analytics.SequenceQueries.sq3From(
+      stdEvents(events, userCol, tsCol, idCol, typeCol))
+
   /** Data-driven (Markov removal-effect) attribution — the upgrade
     * over [[lastTouchAttribution]]'s positional rule: per channel, the
     * drop in 12-step truncated conversion probability when journeys

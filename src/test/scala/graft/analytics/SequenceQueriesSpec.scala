@@ -122,6 +122,9 @@ class SequenceQueriesSpec extends SparkSpec {
     assert(rows(enc(graft.api.Analytics.negativeSamples(
       renamed, "u", "ts", "event_id", "t"), "negatives")) ==
       rows(SequenceQueries.sq2Negatives(spark, sf())))
+    assert(rows(enc(graft.api.Analytics.sessionEventExamples(
+      renamed, "u", "ts", "event_id", "t"), "context")) ==
+      rows(SequenceQueries.sq3SessionExamples(spark, sf())))
   }
 
   test("plan shapes: sq1 shuffles once by user; sq2's event side never shuffles") {
