@@ -38,6 +38,20 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // the one join shape that cannot survive scale: a non-broadcast
+    // cross product shuffles |left|×|right|. BroadcastNestedLoopJoin is
+    // acceptable by construction (something proved small enough to
+    // broadcast — the j2/bounds-frame pattern); CartesianProductExec
+    // never is. A global sweep so no future operator reintroduces one.
+    SparkEntry.registry.foreach { case (name, qd) =>
+      val p = qd.build(spark, sf()).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — broadcast the small side " +
+          s"or restructure the join:\n$p")
+    }
+  }
+
   test("every oracle query has matching column names promised") {
     // column-name discipline: aliases must match the SQL twin; spot-check
     // that no query returns auto-generated names like sum(x) or count(1)
