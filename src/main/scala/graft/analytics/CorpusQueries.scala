@@ -602,6 +602,111 @@ object CorpusQueries {
        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents))""".stripMargin
   }
 
+  /** The probe's shared feature frame: the EXACT t_quality_clf features
+    * (stop ratio, mean token length, ln tokens) plus the t_quality keep
+    * rule as the 0/1 training label — training and serving provably
+    * read the same feature definitions. */
+  private[graft] def probeFeatures(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("x1",
+        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / $"n_tokens")
+      .withColumn("x2",
+        ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+      .withColumn("x3", log($"n_tokens".cast("double")))
+      .withColumn("y", TextQueries.keepRule($"toks").cast("double"))
+  }
+
+  /** CLF2: TRAIN the quality probe distributed — the sufficient
+    * statistics of the least-squares linear probe over the
+    * t_quality_clf features with the t_quality keep rule as label:
+    * one aggregation pass emitting the Gram matrix and moment sums
+    * (every sum exact-decimal, so the row is order-insensitive and
+    * oracle-checkable), from which the 4×4 normal equations solve on
+    * the driver in O(1) ([[linearProbeWeights]]). This is the shape
+    * distributed linear-probe training keeps at 100 TB: the corpus is
+    * touched once, shuffle volume is ONE row, and the solve never
+    * grows with data. */
+  def clf2ProbeStats(spark: SparkSession, dir: String): DataFrame =
+    probeStatsFrom(Tables(spark, dir, "documents"))
+
+  /** The clf2 aggregation over any `(text, n_chars)` frame — shared by
+    * the registry row and [[graft.api.TrainingSet.trainQualityProbe]]. */
+  private[graft] def probeStatsFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    probeFeatures(docs).agg(
+      count(lit(1)).as("n"),
+      dsum($"x1").as("s_x1"), dsum($"x2").as("s_x2"), dsum($"x3").as("s_x3"),
+      dsum($"x1" * $"x1").as("s_x1x1"), dsum($"x1" * $"x2").as("s_x1x2"),
+      dsum($"x1" * $"x3").as("s_x1x3"), dsum($"x2" * $"x2").as("s_x2x2"),
+      dsum($"x2" * $"x3").as("s_x2x3"), dsum($"x3" * $"x3").as("s_x3x3"),
+      dsum($"y").as("s_y"),
+      dsum($"x1" * $"y").as("s_x1y"), dsum($"x2" * $"y").as("s_x2y"),
+      dsum($"x3" * $"y").as("s_x3y"))
+  }
+
+  val clf2Sql: String = {
+    def ds(e: String, as: String) = s"${graft.analytics.sqlDsum(e)} AS $as"
+    s"""SELECT count(*) AS n,
+       |  ${ds("x1", "s_x1")}, ${ds("x2", "s_x2")}, ${ds("x3", "s_x3")},
+       |  ${ds("x1 * x1", "s_x1x1")}, ${ds("x1 * x2", "s_x1x2")},
+       |  ${ds("x1 * x3", "s_x1x3")}, ${ds("x2 * x2", "s_x2x2")},
+       |  ${ds("x2 * x3", "s_x2x3")}, ${ds("x3 * x3", "s_x3x3")},
+       |  ${ds("y", "s_y")},
+       |  ${ds("x1 * y", "s_x1y")}, ${ds("x2 * y", "s_x2y")},
+       |  ${ds("x3 * y", "s_x3y")}
+       |FROM (
+       |  SELECT
+       |    CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) AS x1,
+       |    CAST(n_chars - (len(t) - 1) AS DOUBLE) / len(t) AS x2,
+       |    ln(CAST(len(t) AS DOUBLE)) AS x3,
+       |    CAST((len(t) >= 20 AND len(t) <= 1000
+       |      AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+       |        / len(t) > 0.0) AS DOUBLE) AS y
+       |  FROM (SELECT n_chars, string_split(text, ' ') AS t FROM documents))""".stripMargin
+  }
+
+  /** Solve the probe's normal equations `(XᵀX) w = Xᵀy` from the clf2
+    * stats row — a 4×4 Gaussian elimination with partial pivoting on
+    * the driver; returns (bias, w_stop_ratio, w_mean_tok_len,
+    * w_ln_tokens). O(1) in corpus size by construction. */
+  def linearProbeWeights(stats: org.apache.spark.sql.Row):
+      (Double, Double, Double, Double) = {
+    def g(c: String) = stats.getAs[Any](c) match {
+      case l: Long => l.toDouble
+      case d: Double => d
+    }
+    val (n, s1, s2, s3) = (g("n"), g("s_x1"), g("s_x2"), g("s_x3"))
+    val a = Array(
+      Array(n, s1, s2, s3),
+      Array(s1, g("s_x1x1"), g("s_x1x2"), g("s_x1x3")),
+      Array(s2, g("s_x1x2"), g("s_x2x2"), g("s_x2x3")),
+      Array(s3, g("s_x1x3"), g("s_x2x3"), g("s_x3x3")))
+    val b = Array(g("s_y"), g("s_x1y"), g("s_x2y"), g("s_x3y"))
+    val m = 4
+    (0 until m).foreach { col =>
+      val piv = (col until m).maxBy(r => math.abs(a(r)(col)))
+      require(math.abs(a(piv)(col)) > 1e-12,
+        "singular normal equations: features are collinear on this corpus")
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      ((col + 1) until m).foreach { r =>
+        val f = a(r)(col) / a(col)(col)
+        (col until m).foreach(c => a(r)(c) -= f * a(col)(c))
+        b(r) -= f * b(col)
+      }
+    }
+    val w = new Array[Double](m)
+    (m - 1 to 0 by -1).foreach { r =>
+      w(r) = (b(r) - ((r + 1) until m).map(c => a(r)(c) * w(c)).sum) / a(r)(r)
+    }
+    (w(0), w(1), w(2), w(3))
+  }
+
   // ---------------- D9: dedup survivor selection ----------------
 
   /** D9: the final act of a dedup pipeline — given the near-duplicate
@@ -796,6 +901,7 @@ object CorpusQueries {
     "t_unigram_lm" -> QueryDef.of(tLmSql)(tUnigramLm),
     "t_bigram_lm" -> QueryDef.of(tLm2Sql)(tBigramLm),
     "t_quality_clf" -> QueryDef.of(tClfSql)(tQualityClf),
+    "clf2_probe_stats" -> QueryDef.of(clf2Sql)(clf2ProbeStats),
     "d9_survivors" -> QueryDef.of(d9Sql)(d9Survivors),
     "corpus_report" -> QueryDef.of(corpusReportSql)(corpusReport)
   )

@@ -193,6 +193,22 @@ object TrainingSet {
     graft.analytics.CorpusQueries
       .classifierScoreFrom(docs, bias, weights, threshold)
 
+  /** TRAIN the linear quality probe on any corpus: one aggregation
+    * pass over the t_quality_clf feature set (stop ratio, mean token
+    * length, ln tokens; label = the t_quality keep rule) collects the
+    * exact-decimal normal-equation statistics, and the 4×4 solve runs
+    * on the driver in O(1) — the corpus is touched once, shuffle
+    * volume is ONE row, at any scale. Returns (bias, w_stop_ratio,
+    * w_mean_tok_len, w_ln_tokens), directly usable as
+    * [[classifierScore]] weights over the same feature columns. */
+  def trainQualityProbe(docs: DataFrame, textCol: String = "text",
+      nCharsCol: String = "n_chars"): (Double, Double, Double, Double) = {
+    val std = docs.select(col(textCol).as("text"),
+      col(nCharsCol).as("n_chars"))
+    graft.analytics.CorpusQueries.linearProbeWeights(
+      graft.analytics.CorpusQueries.probeStatsFrom(std).collect()(0))
+  }
+
   /** DSIR importance scores (Xie et al. 2023): per-document log
     * importance weight under target-vs-raw add-one-smoothed unigram
     * LMs. Rows matching `targetPred` train the target LM and are not

@@ -91,4 +91,101 @@ class CorpusQueriesSpec extends SparkSpec {
     val stats = out.agg(min($"avg_nll").as("lo"), max($"avg_nll").as("hi")).head
     assert(stats.getAs[Double]("hi") > stats.getAs[Double]("lo"))
   }
+
+  test("clf2: the probe's normal-equation stats match a per-row recompute") {
+    val stats = CorpusQueries.clf2ProbeStats(spark, sf()).collect()(0)
+    val rows = CorpusQueries.clf2ProbeStats(spark, sf()) // schema check
+    assert(rows.columns.length == 14)
+    val feats = graft.Tables(spark, sf(), "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("double"))
+      .select(
+        (size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") /
+          col("n")).as("x1"),
+        ((col("n_chars") - (col("n") - 1)) / col("n")).as("x2"),
+        log(col("n")).as("x3"),
+        TextQueries.keepRule(col("toks")).cast("double").as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    // the engine sums on the decimal(38,6) grid (dsum) — quantize each
+    // addend the same way before the reference sum
+    def q(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+    assert(stats.getAs[Long]("n") == feats.length)
+    assert(close(stats.getAs[Double]("s_x1"), feats.map(f => q(f._1)).sum))
+    assert(close(stats.getAs[Double]("s_x3x3"),
+      feats.map(f => q(f._3 * f._3)).sum))
+    assert(close(stats.getAs[Double]("s_x2y"),
+      feats.map(f => q(f._2 * f._4)).sum))
+  }
+
+  test("clf2: the driver solve equals a naive dense least-squares and " +
+    "beats the best constant predictor") {
+    val stats = CorpusQueries.clf2ProbeStats(spark, sf()).collect()(0)
+    val (b0, w1, w2, w3) = CorpusQueries.linearProbeWeights(stats)
+    // naive reference: accumulate XtX/Xty in plain doubles from rows
+    val feats = graft.Tables(spark, sf(), "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("double"))
+      .select(
+        (size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") /
+          col("n")).as("x1"),
+        ((col("n_chars") - (col("n") - 1)) / col("n")).as("x2"),
+        log(col("n")).as("x3"),
+        TextQueries.keepRule(col("toks")).cast("double").as("y"))
+      .collect().map(r => Array(1.0, r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3)))
+    // quantize addends to the decimal(38,6) grid dsum sums on, so the
+    // naive system IS the engine's system (not merely close to it)
+    def q(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = Array.fill(4, 4)(0.0); val bb = Array.fill(4)(0.0)
+    feats.foreach { f =>
+      (0 until 4).foreach { i =>
+        (0 until 4).foreach(j => a(i)(j) += q(f(i) * f(j)))
+        bb(i) += q(f(i) * f(4))
+      }
+    }
+    // solve naive system with the same elimination (copied inline)
+    (0 until 4).foreach { c =>
+      val piv = (c until 4).maxBy(r => math.abs(a(r)(c)))
+      val t = a(piv); a(piv) = a(c); a(c) = t
+      val tb = bb(piv); bb(piv) = bb(c); bb(c) = tb
+      ((c + 1) until 4).foreach { r =>
+        val f = a(r)(c) / a(c)(c)
+        (c until 4).foreach(cc => a(r)(cc) -= f * a(c)(cc))
+        bb(r) -= f * bb(c)
+      }
+    }
+    val w = new Array[Double](4)
+    (3 to 0 by -1).foreach { r =>
+      w(r) = (bb(r) - ((r + 1) until 4).map(c => a(r)(c) * w(c)).sum) / a(r)(r)
+    }
+    Seq(b0 -> w(0), w1 -> w(1), w2 -> w(2), w3 -> w(3)).foreach {
+      case (got, exp) => assert(math.abs(got - exp) <=
+        1e-6 * math.max(1.0, math.abs(exp)), s"$got vs $exp")
+    }
+    // the fitted probe must not lose to the best constant predictor
+    val ys = feats.map(_(4))
+    val mean = ys.sum / ys.length
+    val varY = ys.map(y => (y - mean) * (y - mean)).sum / ys.length
+    val mse = feats.map { f =>
+      val p = b0 + w1 * f(1) + w2 * f(2) + w3 * f(3)
+      (p - f(4)) * (p - f(4))
+    }.sum / feats.length
+    assert(mse <= varY + 1e-12, s"probe mse $mse > label variance $varY")
+  }
+
+  test("clf2: TrainingSet.trainQualityProbe == registry solve through renamed columns") {
+    val docs = graft.Tables(spark, sf(), "documents")
+      .withColumnRenamed("text", "body")
+      .withColumnRenamed("n_chars", "len_chars")
+    val viaApi = graft.api.TrainingSet.trainQualityProbe(
+      docs, textCol = "body", nCharsCol = "len_chars")
+    val direct = CorpusQueries.linearProbeWeights(
+      CorpusQueries.clf2ProbeStats(spark, sf()).collect()(0))
+    assert(viaApi == direct)
+  }
 }
