@@ -231,6 +231,33 @@ final class JsEngine(code: String, globals: Map[String, Any],
             case _: BreakEx => return
           }
         }
+      case DoWhileS(body, c) =>
+        var go = true
+        while (go) {
+          try exec(body, env)
+          catch {
+            case _: ContinueEx => ()
+            case _: BreakEx => return
+          }
+          go = truthy(eval(c, env))
+        }
+      case SwitchS(discE, cases) =>
+        val disc = eval(discE, env)
+        // first strictly-equal case wins; no match falls to default;
+        // execution then FALLS THROUGH subsequent clauses until break
+        // (which exits the switch, never an enclosing loop)
+        val start = cases.indexWhere {
+          case (Some(t), _) => strictEq(eval(t, env), disc)
+          case (None, _) => false
+        }
+        val from = if (start >= 0) start else cases.indexWhere(_._1.isEmpty)
+        if (from >= 0) {
+          val scope = new Env(Some(env))
+          try cases.drop(from).foreach { case (_, stmts) =>
+            stmts.foreach(exec(_, scope))
+          }
+          catch { case _: BreakEx => () }
+        }
       case ForInS(name, objE, body) =>
         val keys: Seq[Any] = eval(objE, env) match {
           case m: mutable.LinkedHashMap[String @unchecked, _] => m.keys.toSeq

@@ -21,6 +21,7 @@ import scala.collection.mutable
   *
   * Supported subset (everything reference mapper examples use):
   * `var`/`function` declarations, closures, `if`/`else`, `while`,
+  * `do..while`, `switch` (strict-equality cases, JS fallthrough),
   * classic `for`, `for..in`/`for..of`, `return`/`break`/`continue`,
   * `try`/`catch`/`finally`/`throw`, object/array literals, member +
   * index access, calls, `+ - * / %`, comparisons, `&& || !`, ternary,
@@ -120,6 +121,12 @@ object MiniJs {
   final case class TryS(body: Stmt, catchVar: Option[String],
       catchBody: Option[Stmt], finallyBody: Option[Stmt]) extends Stmt
   final case class ThrowS(e: Expr) extends Stmt
+  /** `switch (disc) { case e: … default: … }` — strict-equality match,
+    * JS fallthrough, `break` exits the switch (not an enclosing loop).
+    * `test` None = the default clause. */
+  final case class SwitchS(disc: Expr,
+      cases: Seq[(Option[Expr], Seq[Stmt])]) extends Stmt
+  final case class DoWhileS(body: Stmt, cond: Expr) extends Stmt
   final case class ReturnS(e: Option[Expr]) extends Stmt
   case object BreakS extends Stmt
   case object ContinueS extends Stmt
@@ -308,6 +315,8 @@ object MiniJs {
       else if (isKw("function")) { eat(); funDecl() }
       else if (isKw("if")) { eat(); ifStmt() }
       else if (isKw("while")) { eat(); whileStmt() }
+      else if (isKw("do")) { eat(); doWhileStmt() }
+      else if (isKw("switch")) { eat(); switchStmt() }
       else if (isKw("for")) { eat(); forStmt() }
       else if (isKw("return")) {
         eat()
@@ -448,6 +457,34 @@ object MiniJs {
     private def whileStmt(): Stmt = {
       expectOp("("); val c = expr(); expectOp(")")
       WhileS(c, statement())
+    }
+
+    private def doWhileStmt(): Stmt = {
+      val body = statement()
+      if (!isKw("while")) err("expected while after do body")
+      eat()
+      expectOp("("); val c = expr(); expectOp(")")
+      if (isOp(";")) eat()
+      DoWhileS(body, c)
+    }
+
+    private def switchStmt(): Stmt = {
+      expectOp("("); val disc = expr(); expectOp(")")
+      expectOp("{")
+      val cases = Seq.newBuilder[(Option[Expr], Seq[Stmt])]
+      while (!isOp("}")) {
+        val test =
+          if (isKw("case")) { eat(); val e = expr(); Some(e) }
+          else if (isKw("default")) { eat(); None }
+          else err("expected case or default in switch")
+        expectOp(":")
+        val body = Seq.newBuilder[Stmt]
+        while (!isOp("}") && !isKw("case") && !isKw("default"))
+          body += statement()
+        cases += test -> body.result()
+      }
+      expectOp("}")
+      SwitchS(disc, cases.result())
     }
 
     private def tryStmt(): Stmt = {

@@ -556,6 +556,50 @@ class JsEngineSpec extends SparkSpec {
       run("function f() { return new Array(2000000000).length; }", "f"))
   }
 
+  test("switch: strict match, fallthrough, default, break scoping") {
+    val sw =
+      """function f(x) {
+        |  var out = '';
+        |  switch (x) {
+        |    case 1: out += 'one '; // falls through
+        |    case 2: out += 'two'; break;
+        |    case ' 1': out += 'strone'; break;
+        |    default: out += 'other';
+        |  }
+        |  return out;
+        |}""".stripMargin
+    assert(run(sw, "f", 1L) == "one two")
+    assert(run(sw, "f", 2L) == "two")
+    // strict equality: the string ' 1' must not match case 1
+    assert(run(sw, "f", " 1") == "strone")
+    assert(run(sw, "f", 99L) == "other")
+    // break inside a switch exits the SWITCH, not the enclosing loop
+    assert(run(
+      """function f() {
+        |  var n = 0;
+        |  for (var i = 0; i < 3; i++) {
+        |    switch (i) { case 0: case 1: n += 10; break; default: n += 1; }
+        |  }
+        |  return n;
+        |}""".stripMargin, "f") == 21L)
+  }
+
+  test("do..while runs the body at least once and honors break/continue") {
+    assert(run(
+      """function f() { var n = 0; do { n += 1; } while (n < 5); return n; }""",
+      "f") == 5L)
+    assert(run(
+      """function f() { var n = 0; do { n += 1; } while (false); return n; }""",
+      "f") == 1L)
+    assert(run(
+      """function f() {
+        |  var n = 0; var i = 0;
+        |  do { i += 1; if (i % 2 == 0) { continue; } n += i;
+        |  } while (i < 6);
+        |  return n;
+        |}""".stripMargin, "f") == 9L)
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))
