@@ -188,7 +188,25 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case _ => true
     }),
     "String" -> hostFn(a => jsToString(a.head)),
-    "Number" -> hostFn(a => num(a.head))
+    "Number" -> hostFn(a => num(a.head)),
+    // JS-spec percent encoding, not java.net.URLEncoder: component
+    // keeps only unreserved A-Za-z0-9 -_.!~*'() and encodes space as
+    // %20 (never +); the URI form additionally keeps the reserved
+    // separators. Malformed input to the decoders throws the
+    // catchable URIError shape, the JS contract.
+    "encodeURIComponent" -> hostFn(a =>
+      JsEngine.percentEncode(str(a.head), JsEngine.UriUnreserved)),
+    "encodeURI" -> hostFn(a =>
+      JsEngine.percentEncode(str(a.head),
+        JsEngine.UriUnreserved ++ ";,/?:@&=+$#")),
+    "decodeURIComponent" -> hostFn(a => JsEngine.percentDecode(str(a.head))),
+    "decodeURI" -> hostFn(a => JsEngine.percentDecode(str(a.head))),
+    "Array" -> new HostObject {
+      def invoke(m: String, a: Seq[Any]): Any = m match {
+        case "isArray" => a.head.isInstanceOf[mutable.ArrayBuffer[_]]
+        case other => throw new JsException(s"Array.$other is not supported")
+      }
+    }
   )
 
   // ---------- evaluation ----------
@@ -1015,6 +1033,46 @@ object JsEngine {
     java.time.LocalDateTime.of(f(0, 1970L).toInt, f(1, 0L).toInt + 1,
         f(2, 1L).toInt, f(3, 0L).toInt, f(4, 0L).toInt, f(5, 0L).toInt)
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli + f(6, 0L)
+  }
+
+  private[js] val UriUnreserved: Set[Char] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).toSet ++ "-_.!~*'()"
+
+  /** Percent-encode the UTF-8 bytes of every character outside `keep`
+    * (uppercase hex, the JS convention). */
+  private[js] def percentEncode(s: String, keep: Set[Char]): String = {
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (keep(c)) sb.append(c)
+      else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+    }
+    sb.toString
+  }
+
+  /** Decode %XX sequences over UTF-8; malformed escapes throw the
+    * catchable URIError shape per the JS spec. */
+  private[js] def percentDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length)
+          throw new MiniJs.JsException("URIError: URI malformed")
+        val hex = s.substring(i + 1, i + 3)
+        val b = try Integer.parseInt(hex, 16)
+          catch { case _: NumberFormatException =>
+            throw new MiniJs.JsException("URIError: URI malformed") }
+        out.write(b)
+        i += 3
+      } else {
+        out.write(c.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** A compiled regex literal value. JS flags map onto Java: `i` →

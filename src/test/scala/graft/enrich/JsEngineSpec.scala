@@ -600,6 +600,33 @@ class JsEngineSpec extends SparkSpec {
         |}""".stripMargin, "f") == 9L)
   }
 
+  test("encodeURIComponent/decodeURIComponent follow the JS spec, " +
+    "not URLEncoder") {
+    // space is %20 (never +), unreserved !~*'() stay literal
+    assert(run("function f(s) { return encodeURIComponent(s); }",
+      "f", "a b!~*'()-_.") == "a%20b!~*'()-_.")
+    assert(run("function f(s) { return encodeURIComponent(s); }",
+      "f", "k=v&x/y") == "k%3Dv%26x%2Fy")
+    // URI form keeps the reserved separators
+    assert(run("function f(s) { return encodeURI(s); }",
+      "f", "http://h/p?a=1&b=2 c") == "http://h/p?a=1&b=2%20c")
+    // UTF-8 round-trip through multi-byte characters
+    assert(run(
+      "function f(s) { return decodeURIComponent(encodeURIComponent(s)); }",
+      "f", "héllo wörld ☃") == "héllo wörld ☃")
+    assert(run("function f(s) { return decodeURIComponent(s); }",
+      "f", "caf%C3%A9+x") == "café+x")
+    // malformed escapes throw the catchable URIError shape
+    assert(run(
+      """function f(s) {
+        |  try { return decodeURIComponent(s); }
+        |  catch (e) { return 'caught ' + e.message; }
+        |}""".stripMargin, "f", "bad%2") == "caught URIError: URI malformed")
+    assert(run("function f(v) { return Array.isArray(v); }",
+      "f", Seq(1L, 2L)) == true)
+    assert(run("function f() { return Array.isArray('nope'); }", "f") == false)
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))
