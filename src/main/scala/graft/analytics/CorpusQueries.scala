@@ -674,6 +674,9 @@ object CorpusQueries {
     * w_ln_tokens). O(1) in corpus size by construction. */
   def linearProbeWeights(stats: org.apache.spark.sql.Row):
       (Double, Double, Double, Double) = {
+    require(stats.getAs[Long]("n") > 0,
+      "cannot fit the quality probe on an empty corpus (n = 0: every " +
+        "statistic is NULL)")
     def g(c: String) = stats.getAs[Any](c) match {
       case l: Long => l.toDouble
       case d: Double => d

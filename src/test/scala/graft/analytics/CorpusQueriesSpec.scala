@@ -188,4 +188,15 @@ class CorpusQueriesSpec extends SparkSpec {
       CorpusQueries.clf2ProbeStats(spark, sf()).collect()(0))
     assert(viaApi == direct)
   }
+
+  test("clf2: an empty corpus is a clear error, not a MatchError on NULLs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "text", "n_chars")
+    val stats = CorpusQueries.probeStatsFrom(empty).collect()(0)
+    assert(stats.getAs[Long]("n") == 0L)
+    val e = intercept[IllegalArgumentException](
+      CorpusQueries.linearProbeWeights(stats))
+    assert(e.getMessage.contains("empty corpus"))
+  }
 }
