@@ -609,6 +609,10 @@ object CorpusQueries {
   private[graft] def probeFeatures(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
+      // a NULL text would count into n while contributing nothing to
+      // any sum — silently biasing the intercept; fence it (the ch1
+      // dirty-corpus rule)
+      .filter($"text".isNotNull)
       .withColumn("toks", split($"text", " "))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("x1",
@@ -665,7 +669,8 @@ object CorpusQueries {
        |    CAST((len(t) >= 20 AND len(t) <= 1000
        |      AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
        |        / len(t) > 0.0) AS DOUBLE) AS y
-       |  FROM (SELECT n_chars, string_split(text, ' ') AS t FROM documents))""".stripMargin
+       |  FROM (SELECT n_chars, string_split(text, ' ') AS t FROM documents
+       |        WHERE text IS NOT NULL))""".stripMargin
   }
 
   /** Solve the probe's normal equations `(XᵀX) w = Xᵀy` from the clf2
