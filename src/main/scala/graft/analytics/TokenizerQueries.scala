@@ -323,9 +323,18 @@ object TokenizerQueries {
     if (midRow.isNullAt(0))
       return driftFrame(spark, Nil, Nil, "full_merged", "half_merged")
     val mid = midRow.getLong(0)
+    // the two merge-learning loops are independent chains of
+    // vocab-bounded jobs whose cost is FIXED job latency (documented in
+    // BASELINE.md) — submit them from two driver threads so the chains
+    // interleave on the cluster and the audit pays max, not sum
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val full = Future(bpeTrain(docs, K))
+    val half = Future(bpeTrain(docs.filter($"doc_id" <= mid), K))
     driftFrame(spark,
-      bpeTrain(docs, K),
-      bpeTrain(docs.filter($"doc_id" <= mid), K),
+      Await.result(full, Duration.Inf),
+      Await.result(half, Duration.Inf),
       "full_merged", "half_merged")
   }
 

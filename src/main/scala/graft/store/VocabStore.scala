@@ -90,13 +90,22 @@ object VocabStore {
       // training jobs (drift is served WITHOUT the writer's lock — a
       // reader must not block maintenance). A compacted-away version
       // has the same contract as an absent predecessor: empty drift.
-      try TokenizerQueries.driftFrame(spark,
-        TokenizerQueries.bpeTrainOnWordFreq(
-          VersionedState.readVersion(spark, path, cur), k),
-        TokenizerQueries.bpeTrainOnWordFreq(
-          VersionedState.readVersion(spark, path, prevV), k),
-        "current_merged", "previous_merged", k)
-      catch {
+      try {
+        // two independent job chains (bpe4's argument): train both
+        // versions concurrently so drift pays max, not sum, of the
+        // fixed per-merge job latencies
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val curF = Future(TokenizerQueries.bpeTrainOnWordFreq(
+          VersionedState.readVersion(spark, path, cur), k))
+        val prevF = Future(TokenizerQueries.bpeTrainOnWordFreq(
+          VersionedState.readVersion(spark, path, prevV), k))
+        TokenizerQueries.driftFrame(spark,
+          Await.result(curF, Duration.Inf),
+          Await.result(prevF, Duration.Inf),
+          "current_merged", "previous_merged", k)
+      } catch {
         case e: Throwable if isMissingFiles(e) => empty
       }
   }
