@@ -218,6 +218,7 @@ final class HttpGateway(
     server.createContext("/tokenizer/train", route(authed(MasterRole)(handleTokenizerTrain)))
     server.createContext("/tokenizer/chunks", route(authed(MasterRole)(handleTokenizerChunks)))
     server.createContext("/corpus/funnel", route(authed(MasterRole)(handleCorpusFunnel)))
+    server.createContext("/corpus/probe/train", route(authed(MasterRole)(handleProbeTrain)))
     server.createContext("/tokenizer/drift", route(authed(MasterRole)(handleTokenizerDrift)))
     server.createContext("/materialized-view/create", route(authed(MasterRole)(handleMvCreate)))
     server.createContext("/materialized-view/get", route(authed(MasterRole)(handleMvGet)))
@@ -1731,6 +1732,26 @@ final class HttpGateway(
     * surviving quality → dedup → decontamination → split. The output
     * is ≤7 rows regardless of corpus size — the door only triggers
     * the cluster job. */
+  /** Fit the linear quality probe on a posted (or parquet-path) corpus:
+    * one aggregation pass for the exact-decimal normal-equation
+    * statistics, O(1) driver solve (clf2). The door defines
+    * `n_chars = length(text)` — posted docs carry no separate char
+    * count, and the feature must mean the same thing for every caller. */
+  private def handleProbeTrain(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val docs = docsFrameOf(root)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val (b0, w1, w2, w3) =
+      try TrainingSet.trainQualityProbe(docs)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IngestRejected(e.getMessage)
+      }
+    (200, s"""{"bias":$b0,"w_stop_ratio":$w1,"w_mean_tok_len":$w2,""" +
+      s""""w_ln_tokens":$w3}""")
+  }
+
   private def handleCorpusFunnel(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))

@@ -1150,6 +1150,24 @@ class HttpGatewaySpec extends SparkSpec {
       assert(post(port, "/corpus/funnel",
         """{"docs": [{"doc_id": 1, "text": "x"}]}""").statusCode() == 400)
 
+      // probe training: a corpus with both keep and drop docs fits a
+      // finite weight vector; degenerate corpora are the client's 400
+      val keepDoc = ("the " * 15 + "a " * 10).trim
+      val probeDocs = (1 to 6).map { i =>
+        val text = if (i % 2 == 0) keepDoc + s" w$i" else s"tiny doc $i"
+        s"""{"doc_id": $i, "text": "$text"}"""
+      }.mkString("[", ",", "]")
+      val pt = post(port, "/corpus/probe/train", s"""{"docs": $probeDocs}""")
+      assert(pt.statusCode() == 200, pt.body())
+      Seq("bias", "w_stop_ratio", "w_mean_tok_len", "w_ln_tokens").foreach {
+        k => assert(pt.body().contains(s""""$k":"""), pt.body())
+      }
+      assert(!pt.body().contains("NaN"), pt.body())
+      // a single-document corpus has collinear features → clear 400
+      assert(post(port, "/corpus/probe/train",
+        """{"docs": [{"doc_id": 1, "text": "one doc"}]}""")
+        .statusCode() == 400)
+
       // vocabulary index: create → served pair ranking → append shifts
       // it → drift between the two versions reports rank agreement
       assert(post(port, "/index/vocab/create",
