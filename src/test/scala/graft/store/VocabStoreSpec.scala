@@ -110,6 +110,51 @@ class VocabStoreSpec extends SparkSpec {
       graft.analytics.TokenizerQueries.bpe1From(docs).columns.toSeq)
   }
 
+  test("maintenance survives a query RESTART from its checkpoint: " +
+    "recovered offsets + the batch fence give exactly-once across runs") {
+    // file source (replayable across restarts, unlike MemoryStream):
+    // run 1 folds part A, the query STOPS, part B arrives, run 2
+    // resumes from the checkpoint — the recovered batch must fold B
+    // exactly once and any replayed A-batch must hit the fence
+    import org.apache.spark.sql.types._
+    val in = freshDir("restart-in")
+    val state = freshDir("restart-state")
+    val ckpt = freshDir("restart-ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val all = docs.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = all.splitAt(all.length / 2)
+    def writeFiles(part: Seq[(Long, String)], tag: String): Unit = {
+      import spark.implicits._
+      part.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").json(s"$in")
+      val _ = tag
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in)
+      val q = VocabStore.maintain(stream, state)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFiles(a.toSeq, "a")
+    runOnce()
+    val afterA = rows(VocabStore.wordFreq(spark, state))
+    assert(afterA == rows(VocabStore.partial(
+      docs.filter(col("doc_id").isin(a.map(_._1): _*)))))
+    writeFiles(b.toSeq, "b")
+    runOnce()
+    assert(rows(VocabStore.wordFreq(spark, state)) ==
+      rows(VocabStore.partial(docs)),
+      "restart must fold exactly the unseen delta")
+    // a third restart with NO new data must change nothing (sum-state:
+    // any replay that slipped the fence would double-count)
+    val settled = rows(VocabStore.wordFreq(spark, state))
+    runOnce()
+    assert(rows(VocabStore.wordFreq(spark, state)) == settled)
+  }
+
   test("stream-maintained vocabulary equals the one-shot word counts") {
     val dir = freshDir("stream")
     implicit val sqlCtx = spark.sqlContext
