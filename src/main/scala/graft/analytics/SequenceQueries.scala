@@ -5,13 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Sequence-model training-example construction over the event log —
-  * the "behavioral corpus" counterpart of the document-side pipeline:
-  * next-event prediction windows (the dataset shape sequential
-  * recommenders and session models train on) and deterministic
-  * negative sampling. The reference's event log is query-only; these
-  * turn it into training data with the same oracle discipline as the
-  * rest of the registry.
+/** Sequence-model training-example construction — over the event log
+  * (sq1–sq3: next-event prediction windows, the dataset shape
+  * sequential recommenders and session models train on, plus
+  * deterministic negative sampling) and over the document corpus
+  * (sq4: fill-in-the-middle splits, the seq2seq/infilling example
+  * shape). The reference's event log is query-only; these turn it
+  * into training data with the same oracle discipline as the rest of
+  * the registry.
   *
   * Scale posture (100 TB): sq1 is ONE shuffle (hash by user) and one
   * ordered window pass per user partition — the same shape as
@@ -190,9 +191,75 @@ object SequenceQueries {
        |  CAST(len(context) AS INT) AS n_context
        |FROM x WHERE len(context) > 0""".stripMargin
 
+  /** SQ4: fill-in-the-middle (FIM) examples over the document corpus —
+    * the seq2seq/infilling counterpart of sq1's decoder-style windows
+    * (the FIM transform of Bavarian et al. 2022, applied at data-prep
+    * time in public pipelines): each document splits at two hash-derived token
+    * cuts into (prefix, middle, suffix), the model trains to produce
+    * the middle from its surroundings. Cuts are `hash60(doc_id:salt) %
+    * (n+1)` — reproducible under retries, engine-portable (the d2 hash
+    * convention), and independent per salt, so the cut-pair
+    * distribution matches drawing two uniform points. Empty segments
+    * are legal FIM (a cut at 0 or n degenerates to prefix-LM /
+    * suffix-LM forms — documented behavior, not an edge case). Pure
+    * scan-side projection: zero shuffles, zero joins; partitioning
+    * inherited from the scan at any corpus size. */
+  def sq4From(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      // NULL text must produce no example in both engines (the ch1
+      // dirty-corpus fence)
+      .filter($"text".isNotNull)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("c1", DedupQueries.hash60(
+        concat($"doc_id".cast("string"), lit(":fim1"))) % ($"n_tokens" + 1))
+      .withColumn("c2", DedupQueries.hash60(
+        concat($"doc_id".cast("string"), lit(":fim2"))) % ($"n_tokens" + 1))
+      .withColumn("lo", least($"c1", $"c2").cast("int"))
+      .withColumn("hi", greatest($"c1", $"c2").cast("int"))
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        $"lo".cast("long").as("cut_lo"),
+        $"hi".cast("long").as("cut_hi"),
+        concat_ws(" ", slice($"toks", lit(1), $"lo")).as("fim_prefix"),
+        concat_ws(" ", slice($"toks", $"lo" + 1, $"hi" - $"lo"))
+          .as("fim_middle"),
+        concat_ws(" ", slice($"toks", $"hi" + 1,
+          $"n_tokens".cast("int") - $"hi")).as("fim_suffix"))
+  }
+
+  def sq4FimExamples(spark: SparkSession, dir: String): DataFrame =
+    sq4From(Tables(spark, dir, "documents"))
+
+  val sq4Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, t, n,
+       |    ${DedupQueries.sqlHash60("CAST(doc_id AS VARCHAR) || ':fim1'")}
+       |      % (n + 1) AS c1,
+       |    ${DedupQueries.sqlHash60("CAST(doc_id AS VARCHAR) || ':fim2'")}
+       |      % (n + 1) AS c2
+       |  FROM d)
+       |SELECT doc_id, n AS n_tokens,
+       |  least(c1, c2) AS cut_lo, greatest(c1, c2) AS cut_hi,
+       |  coalesce(array_to_string(list_slice(t, 1, least(c1, c2)), ' '), '')
+       |    AS fim_prefix,
+       |  coalesce(array_to_string(
+       |    list_slice(t, least(c1, c2) + 1, greatest(c1, c2)), ' '), '')
+       |    AS fim_middle,
+       |  coalesce(array_to_string(list_slice(t, greatest(c1, c2) + 1, n), ' '), '')
+       |    AS fim_suffix
+       |FROM c""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "sq1_next_event" -> QueryDef.of(sq1Sql)(sq1NextEvent),
     "sq2_negatives" -> QueryDef.of(sq2Sql)(sq2Negatives),
-    "sq3_session_examples" -> QueryDef.of(sq3Sql)(sq3SessionExamples)
+    "sq3_session_examples" -> QueryDef.of(sq3Sql)(sq3SessionExamples),
+    "sq4_fim_examples" -> QueryDef.of(sq4Sql)(sq4FimExamples)
   )
 }

@@ -193,6 +193,16 @@ object TrainingSet {
     graft.analytics.CorpusQueries
       .classifierScoreFrom(docs, bias, weights, threshold)
 
+  /** Fill-in-the-middle (FIM) training examples over any corpus (the
+    * oracle-proven sq4 shape): two hash-derived token cuts split each
+    * document into (prefix, middle, suffix) — reproducible under
+    * retries, scan-side only, zero shuffles. Empty segments are legal
+    * FIM (cuts at the edges degenerate to prefix/suffix-LM forms). */
+  def fimExamples(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    graft.analytics.SequenceQueries.sq4From(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
   /** TRAIN the linear quality probe on any corpus: one aggregation
     * pass over the t_quality_clf feature set (stop ratio, mean token
     * length, ln tokens; label = the t_quality keep rule) collects the

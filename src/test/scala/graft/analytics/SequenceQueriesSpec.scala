@@ -127,6 +127,39 @@ class SequenceQueriesSpec extends SparkSpec {
       rows(SequenceQueries.sq3SessionExamples(spark, sf())))
   }
 
+  test("sq4: FIM splits conserve every token, are deterministic, and " +
+    "never shuffle") {
+    import org.apache.spark.sql.functions.{col, concat_ws, trim}
+    val docs = graft.Tables(spark, sf(), "documents")
+    val out = SequenceQueries.sq4From(docs)
+    // prefix ++ middle ++ suffix re-joined IS the document: nothing
+    // lost, nothing duplicated, order preserved (empty segments are
+    // legal — skip them when gluing, or an empty middle doubles a space)
+    val joined = out
+      .join(docs.select(col("doc_id"), col("text")), "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val glued = Seq(r.getAs[String]("fim_prefix"),
+        r.getAs[String]("fim_middle"), r.getAs[String]("fim_suffix"))
+        .filter(_.nonEmpty).mkString(" ")
+      assert(glued == r.getAs[String]("text").trim,
+        s"doc ${r.getAs[Long]("doc_id")} lost tokens")
+    }
+    // cuts are in range and stable under repartitioning
+    out.collect().foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cut_lo"), r.getAs[Long]("cut_hi"))
+      assert(0 <= lo && lo <= hi && hi <= n, s"cuts $lo/$hi out of [0,$n]")
+    }
+    val again = SequenceQueries.sq4From(docs.repartition(7))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(again ==
+      out.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
+    // scan-side only: no exchange anywhere
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("plan shapes: sq1 shuffles once by user; sq2's event side never shuffles") {
     val d = graft.Tables(spark, sf(), "events")
     val p1 = SequenceQueries.sq1From(d).queryExecution.executedPlan.toString
