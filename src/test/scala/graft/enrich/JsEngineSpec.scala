@@ -627,6 +627,37 @@ class JsEngineSpec extends SparkSpec {
     assert(run("function f() { return Array.isArray('nope'); }", "f") == false)
   }
 
+  test("adversarial corners: braces in template strings, continue through " +
+    "switch, break in do..while, template as call argument") {
+    // a string literal containing '}' inside ${} must not close the hole
+    assert(run("""function f() { return `a${'}'}b`; }""", "f") == "a}b")
+    assert(run("""function f() { return `${ {k: '}'}.k }!`; }""", "f") == "}!")
+    // continue inside a switch inside a loop targets the LOOP (only
+    // break is switch-scoped)
+    assert(run(
+      """function f() {
+        |  var n = 0;
+        |  for (var i = 0; i < 4; i++) {
+        |    switch (i % 2) { case 0: continue; }
+        |    n += i;
+        |  }
+        |  return n;
+        |}""".stripMargin, "f") == 4L)
+    // break inside do..while exits after the first pass
+    assert(run(
+      """function f() { var n = 0; do { n += 1; break; } while (true); return n; }""",
+      "f") == 1L)
+    // a template literal as a function argument parses inside the call
+    assert(run(
+      """function g(s) { return s + '!'; }
+        |function f(x) { return g(`v=${x * 2}`); }""".stripMargin,
+      "f", 4L) == "v=8!")
+    // nested arrows with templates
+    assert(run(
+      "function f() { return [1, 2].map(x => `n${x}`).join(','); }",
+      "f") == "n1,n2")
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))
