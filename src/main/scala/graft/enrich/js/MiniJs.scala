@@ -202,6 +202,11 @@ object MiniJs {
         // (cooked string) or 'E' (raw expression source, re-lexed by
         // the parser). Nested templates inside ${} are rejected — the
         // one construct whose lexing would need a full mode stack.
+        // Known limit: the hole scanner counts braces outside quoted
+        // spans, so a regex literal with an UNBALANCED brace inside a
+        // hole (`${s.replace(/[{]/, '')}`) mis-scans — assign the
+        // regex to a var first; balanced braces and braces in string
+        // literals are fine.
         val s = i; i += 1
         val segs = Vector.newBuilder[String]
         val sb = new StringBuilder("S")
