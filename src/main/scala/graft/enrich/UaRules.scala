@@ -178,6 +178,11 @@ object UaRules {
     // before the iDevice and Mac rules
     OsRule("tvOS", "Apple ?TV|tvOS", "tvOS (\\d+)"),
     OsRule("watchOS", "Watch ?OS|watchOS", "(?:Watch ?OS|watchOS)[ /](\\d+)"),
+    // e-reader UAs say "Linux ... like Android ... Kindle/3.0" — the
+    // slash-version token must win before the bare Android substring;
+    // Kindle FIRE (real Android, no "Kindle/" token) still lands on
+    // Android below, matching uap-core
+    OsRule("Kindle", "Kindle/", "Kindle/(\\d+)"),
     OsRule("Android", "Android", "Android (\\d+)"),
     OsRule("iOS", "iPhone|iPad|iPod", "(?:iPhone OS|CPU OS) (\\d+)"),
     OsRule("Mac OS X", "Mac OS X", "Mac OS X (\\d+)"),
@@ -192,7 +197,6 @@ object UaRules {
     OsRule("Symbian OS", "SymbianOS|Symbian/3|Series ?60|S60",
       "SymbianOS/(\\d+)"),
     OsRule("BlackBerry OS", "BlackBerry|BB10|PlayBook"),
-    OsRule("Kindle", "Kindle"),
     OsRule("Roku", "Roku/"),
     // desktop distributions before the bare Linux fallback
     OsRule("Ubuntu", "Ubuntu"),

@@ -150,9 +150,15 @@ final class JsEngine(code: String, globals: Map[String, Any],
     "Date" -> new HostObject {
       def invoke(m: String, a: Seq[Any]): Any = m match {
         case "now" => now()
-        case "parse" => JsEngine.parseDateMs(str(a.head))
-          .getOrElse(Double.NaN)
-        case "UTC" => JsEngine.utcFieldsMs(a.map(num))
+        // zero-arg / missing-arg forms are NaN per JS, never a raw
+        // NoSuchElementException escaping the sandbox
+        case "parse" => a.headOption
+          .flatMap(v => JsEngine.parseDateMs(str(v)))
+          .getOrElse(Double.NaN): Any
+        case "UTC" =>
+          if (a.isEmpty) Double.NaN
+          else JsEngine.utcFieldsMs(a.map(num))
+            .map(l => l: Any).getOrElse(Double.NaN)
         case other => throw new JsException(s"Date.$other is not supported")
       }
     },
@@ -200,7 +206,8 @@ final class JsEngine(code: String, globals: Map[String, Any],
       JsEngine.percentEncode(str(a.head),
         JsEngine.UriUnreserved ++ ";,/?:@&=+$#")),
     "decodeURIComponent" -> hostFn(a => JsEngine.percentDecode(str(a.head))),
-    "decodeURI" -> hostFn(a => JsEngine.percentDecode(str(a.head))),
+    "decodeURI" -> hostFn(a =>
+      JsEngine.percentDecode(str(a.head), preserveReserved = true)),
     "Array" -> new HostObject {
       def invoke(m: String, a: Seq[Any]): Any = m match {
         case "isArray" => a.head.isInstanceOf[mutable.ArrayBuffer[_]]
@@ -475,15 +482,18 @@ final class JsEngine(code: String, globals: Map[String, Any],
           if (d.isNaN) new JsEngine.JsDate(0L, valid = false)
           else new JsEngine.JsDate(d.toLong, valid = true)
       }
-      else new JsEngine.JsDate(JsEngine.utcFieldsMs(args.map(num)),
-        valid = true)
+      else JsEngine.utcFieldsMs(args.map(num)) match {
+        case Some(ms) => new JsEngine.JsDate(ms, valid = true)
+        case None => new JsEngine.JsDate(0L, valid = false)
+      }
     case "Error" | "TypeError" | "RangeError" | "SyntaxError" =>
       // the Error-object shape runtime errors already use: a plain
       // object with name/message, so catch blocks treat both alike
       mutable.LinkedHashMap[String, Any]("name" -> ctor,
         "message" -> (if (args.isEmpty) "" else str(args.head)))
     case "RegExp" =>
-      JsEngine.regexValue(str(args.head),
+      // new RegExp() is the empty pattern per JS, not a head() crash
+      JsEngine.regexValue(args.headOption.map(str).getOrElse(""),
         if (args.size > 1) str(args(1)) else "")
     case "Array" =>
       if (args.size == 1 && (args.head.isInstanceOf[Long] ||
@@ -973,12 +983,25 @@ object JsEngine {
     * An Invalid Date answers NaN from every numeric method and
     * "Invalid Date" from the string ones, the JS convention — bad
     * event values degrade, never throw. */
+  /** Shared ISO formatter — a mapper stringifies a date per ROW; the
+    * pattern must not re-parse per call. */
+  private val IsoFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
   final class JsDate(val ms: Long, val valid: Boolean) extends Serializable {
     private def odt =
       java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC)
+    private[js] def isoString: String = IsoFmt.format(odt)
     def call(name: String, args: Seq[Double]): Any = name match {
-      case _ if !valid && name != "toString" && name != "toISOString" =>
-        Double.NaN
+      // the string faces first — each has its own invalid-date form
+      // per spec: toString → "Invalid Date", toJSON → null (so JSON
+      // shaping degrades), toISOString → a catchable error
+      case "toString" => if (valid) isoString else "Invalid Date"
+      case "toJSON" => if (valid) isoString else null
+      case "toISOString" =>
+        if (valid) isoString
+        else throw new MiniJs.JsException("toISOString on an Invalid Date")
+      case _ if !valid => Double.NaN
       case "getTime" | "valueOf" => ms
       case "getFullYear" | "getUTCFullYear" => odt.getYear.toLong
       case "getMonth" | "getUTCMonth" => (odt.getMonthValue - 1).toLong
@@ -990,15 +1013,6 @@ object JsEngine {
       case "getMilliseconds" | "getUTCMilliseconds" =>
         (ms % 1000 + 1000) % 1000
       case "getTimezoneOffset" => 0L
-      case "toISOString" | "toJSON" =>
-        if (!valid) throw new MiniJs.JsException(
-          "toISOString on an Invalid Date")
-        else java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").format(odt)
-      case "toString" =>
-        if (!valid) "Invalid Date"
-        else java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").format(odt)
       case other =>
         throw new MiniJs.JsException(s"Date.$other is not supported")
     }
@@ -1026,33 +1040,72 @@ object JsEngine {
   }
 
   /** `Date.UTC(y, m, d, h, min, s, ms)` / the multi-arg constructor:
-    * 0-based month, missing fields default per JS (day 1, rest 0). */
-  private[js] def utcFieldsMs(fields: Seq[Double]): Long = {
+    * 0-based month, missing fields default per JS (day 1, rest 0).
+    * Out-of-range fields ROLL OVER like JS (month 12 → January next
+    * year, second 60 → next minute) by adding each field onto the
+    * year's start; a NaN field or a value outside the calendar's
+    * representable range is the Invalid Date (None), never an escaped
+    * java.time exception a script catch could not see. */
+  private[js] def utcFieldsMs(fields: Seq[Double]): Option[Long] = {
+    if (fields.exists(_.isNaN)) return None
     def f(i: Int, dflt: Long): Long =
       if (fields.isDefinedAt(i)) fields(i).toLong else dflt
-    java.time.LocalDateTime.of(f(0, 1970L).toInt, f(1, 0L).toInt + 1,
-        f(2, 1L).toInt, f(3, 0L).toInt, f(4, 0L).toInt, f(5, 0L).toInt)
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli + f(6, 0L)
+    // JS's representable range ends at year ±275760; beyond it the
+    // Int cast below could wrap into a silently-wrong valid year
+    if (math.abs(f(0, 1970L)) > 300000L) return None
+    try Some(java.time.LocalDateTime.of(f(0, 1970L).toInt, 1, 1, 0, 0, 0)
+      .plusMonths(f(1, 0L))
+      .plusDays(f(2, 1L) - 1)
+      .plusHours(f(3, 0L))
+      .plusMinutes(f(4, 0L))
+      .plusSeconds(f(5, 0L))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli + f(6, 0L))
+    catch {
+      case _: java.time.DateTimeException | _: ArithmeticException => None
+    }
   }
 
   private[js] val UriUnreserved: Set[Char] =
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).toSet ++ "-_.!~*'()"
 
-  /** Percent-encode the UTF-8 bytes of every character outside `keep`
-    * (uppercase hex, the JS convention). */
+  /** Percent-encode the UTF-8 bytes of every CODE POINT outside `keep`
+    * (uppercase hex, the JS convention). Iterating code points keeps
+    * astral characters (emoji, rare CJK) as their real 4-byte escapes
+    * instead of mangling the surrogate halves to '?'; a LONE surrogate
+    * is the JS URIError. */
   private[js] def percentEncode(s: String, keep: Set[Char]): String = {
     val sb = new StringBuilder
-    s.foreach { c =>
-      if (keep(c)) sb.append(c)
-      else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (n == 1 && Character.isSurrogate(s.charAt(i)))
+        throw new MiniJs.JsException("URIError: URI malformed")
+      if (n == 1 && keep(s.charAt(i))) sb.append(s.charAt(i))
+      else new String(Character.toChars(cp))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      i += n
     }
     sb.toString
   }
 
-  /** Decode %XX sequences over UTF-8; malformed escapes throw the
-    * catchable URIError shape per the JS spec. */
-  private[js] def percentDecode(s: String): String = {
+  /** The reserved set `decodeURI` must leave ENCODED (decoding %2F
+    * would change a URL's path structure); `decodeURIComponent`
+    * decodes everything. */
+  private val ReservedBytes: Set[Int] = "#$&+,/:;=?@".map(_.toInt).toSet
+
+  /** Decode %XX sequences over UTF-8. JS contract throughout: strict
+    * hex only (no signs), an incomplete escape or an invalid UTF-8
+    * byte sequence throws the catchable URIError — never a silent
+    * U+FFFD. */
+  private[js] def percentDecode(s: String,
+      preserveReserved: Boolean = false): String = {
+    def hexVal(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else throw new MiniJs.JsException("URIError: URI malformed")
     val out = new java.io.ByteArrayOutputStream
     var i = 0
     while (i < s.length) {
@@ -1060,19 +1113,27 @@ object JsEngine {
       if (c == '%') {
         if (i + 2 >= s.length)
           throw new MiniJs.JsException("URIError: URI malformed")
-        val hex = s.substring(i + 1, i + 3)
-        val b = try Integer.parseInt(hex, 16)
-          catch { case _: NumberFormatException =>
-            throw new MiniJs.JsException("URIError: URI malformed") }
-        out.write(b)
+        val b = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (preserveReserved && ReservedBytes(b)) {
+          out.write('%'); out.write(s.charAt(i + 1)); out.write(s.charAt(i + 2))
+        } else out.write(b)
         i += 3
       } else {
-        out.write(c.toString
+        val cp = s.codePointAt(i)
+        val n = Character.charCount(cp)
+        out.write(new String(Character.toChars(cp))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        i += 1
+        i += n
       }
     }
-    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(out.toByteArray)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        throw new MiniJs.JsException("URIError: URI malformed")
+    }
   }
 
   /** A compiled regex literal value. JS flags map onto Java: `i` →
@@ -1140,6 +1201,10 @@ private[js] object JsJson {
       val l = new java.util.ArrayList[Any]()
       a.foreach(x => l.add(toJackson(x)))
       l
+    // JSON.stringify(date) is its toJSON — the ISO string, or null for
+    // an Invalid Date; passing the raw class through would hit
+    // Jackson's empty-bean failure, uncatchable from a script
+    case d: JsEngine.JsDate => if (d.valid) d.isoString else null
     case other => other
   }
 

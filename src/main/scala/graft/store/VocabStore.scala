@@ -172,18 +172,32 @@ object VocabStore {
     val mid = midRow.getLong(0)
     val tmp = java.nio.file.Files.createTempDirectory("graft-vocab-vs1")
     // the returned frame reads the temp store lazily, so deletion can
-    // only happen at JVM exit — register the recursive sweep once
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(tmp))
-        Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p): Unit)
-    }
+    // only happen at JVM exit — record the dir in the process-lifetime
+    // registry swept by ONE shutdown hook (a hook per invocation would
+    // accumulate threads in a long-lived gateway)
+    vs1TempDirs.add(tmp)
+    vs1SweepHook
     initialize(docs.filter($"doc_id" <= mid), tmp.toString)
     refresh(spark, docs.filter($"doc_id" > mid), tmp.toString,
       VersionedState.lastBatchId(tmp.toString) + 1)
     pairCounts(spark, tmp.toString)
+  }
+
+  private val vs1TempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  /** Installed once (lazy val), sweeps every recorded vs1 temp store. */
+  private lazy val vs1SweepHook: Unit = {
+    sys.addShutdownHook {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      vs1TempDirs.asScala.foreach { tmp =>
+        if (Files.exists(tmp))
+          Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p): Unit)
+      }
+    }
+    ()
   }
 
   val vs1Sql: String = TokenizerQueries.bpe1Sql

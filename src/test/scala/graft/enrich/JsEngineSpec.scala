@@ -658,6 +658,58 @@ class JsEngineSpec extends SparkSpec {
       "f") == "n1,n2")
   }
 
+  test("review hardening: date rollover, zero-arg hosts, stringify of " +
+    "dates, astral URI encoding, decodeURI reserved escapes") {
+    // out-of-range fields ROLL OVER like JS (month 12 → January next
+    // year; second 60 → next minute), never a raw DateTimeException
+    assert(run(
+      "function f() { return new Date(2023, 12, 1).toISOString(); }",
+      "f") == "2024-01-01T00:00:00.000Z")
+    assert(run(
+      "function f() { return new Date(2023, 0, 1, 0, 0, 60).toISOString(); }",
+      "f") == "2023-01-01T00:01:00.000Z")
+    // absurd years are the Invalid Date, not a wrapped-Int wrong year
+    def isNaN(v: Any) = v match {
+      case d: Double => java.lang.Double.isNaN(d); case _ => false
+    }
+    assert(isNaN(run(
+      "function f() { return new Date(99999999999, 0, 1).getTime(); }", "f")))
+    // zero-arg host forms follow JS, never NoSuchElementException
+    assert(isNaN(run("function f() { return Date.parse(); }", "f")))
+    assert(run("function f(s) { return new RegExp().test(s); }",
+      "f", "anything") == true)
+    // JSON.stringify of a date is its ISO string; an Invalid Date
+    // stringifies as null (toJSON semantics)
+    assert(run(
+      s"""function f() { return JSON.stringify({ts: new Date(1700000000000)}); }""",
+      "f") == """{"ts":"2023-11-14T22:13:20.000Z"}""")
+    assert(run(
+      """function f() { return JSON.stringify({ts: new Date('junk')}); }""",
+      "f") == """{"ts":null}""")
+    assert(run("function f() { return new Date('junk').toJSON(); }",
+      "f") == null)
+    // astral characters (surrogate pairs) encode as real 4-byte UTF-8
+    // escapes, not mangled '?'s, and round-trip
+    assert(run("function f(s) { return encodeURIComponent(s); }",
+      "f", "😀") == "%F0%9F%98%80")
+    assert(run(
+      "function f(s) { return decodeURIComponent(encodeURIComponent(s)); }",
+      "f", "a😀b") == "a😀b")
+    // decodeURI preserves reserved escapes (decoding %2F would change
+    // a URL's path structure); decodeURIComponent decodes them
+    assert(run("function f(s) { return decodeURI(s); }",
+      "f", "http://h/p%23frag%2Fq%20x") == "http://h/p%23frag%2Fq x")
+    assert(run("function f(s) { return decodeURIComponent(s); }",
+      "f", "p%23frag%2Fq") == "p#frag/q")
+    // an invalid UTF-8 escape sequence is the catchable URIError, not
+    // a silent U+FFFD
+    assert(run(
+      """function f(s) {
+        |  try { return decodeURIComponent(s); }
+        |  catch (e) { return 'caught'; }
+        |}""".stripMargin, "f", "%C3") == "caught")
+  }
+
   test("missing mapper function fails like the reference") {
     val e = intercept[MiniJs.JsException](run("var x = 1;", "mapper"))
     assert(e.getMessage.contains("does not exist"))

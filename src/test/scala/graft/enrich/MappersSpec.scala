@@ -167,6 +167,14 @@ class MappersSpec extends SparkSpec {
       ("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.10+ (KHTML, like Gecko) " +
         "Version/10.3.3 Mobile Safari/537.10+", "BlackBerry OS"),
       ("Roku/DVP-12.0 (12.0.0.4182-88)", "Roku"),
+      // classic Kindle e-reader: "like Android" must NOT win over the
+      // Kindle/x token; a real Android Kindle Fire still reads Android
+      ("Mozilla/5.0 (X11; U; Linux armv7l like Android; en-us) " +
+        "AppleWebKit/531.2+ (KHTML, like Gecko) Version/5.0 Safari/533.2+ " +
+        "Kindle/3.0+", "Kindle"),
+      ("Mozilla/5.0 (Linux; U; Android 4.4.3; en-us; KFTHWI Build/KTU84M) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Silk/47.1.79 like " +
+        "Chrome/47.0.2526.80 Safari/537.36", "Android"),
       ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 " +
         "(KHTML, like Gecko) Chrome/116.0.0.0 Safari/537.36", "Linux"))
     val out = UserAgentMapper(cases.map(_._1).toDF("_user_agent")).collect()
