@@ -573,10 +573,14 @@ object CorpusQueries {
       .withColumn("keep", col("score") > threshold)
   }
 
-  def tQualityClf(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val (w0, w1, w2, w3) = ClfW
-    val feats = Tables(spark, dir, "documents")
+  /** THE classifier feature definitions — the ONE place stop_ratio /
+    * mean_tok_len / ln_tokens are spelled, shared by the serving query
+    * (t_quality_clf) and probe training (clf2): retuning a feature
+    * retunes both, which is what makes the trained weights valid for
+    * the serving scorer. */
+  private def clfFeatures(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .withColumn("toks", split($"text", " "))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("stop_ratio",
@@ -584,7 +588,12 @@ object CorpusQueries {
       .withColumn("mean_tok_len",
         ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
       .withColumn("ln_tokens", log($"n_tokens".cast("double")))
-    classifierScoreFrom(feats, w0,
+  }
+
+  def tQualityClf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w0, w1, w2, w3) = ClfW
+    classifierScoreFrom(clfFeatures(Tables(spark, dir, "documents")), w0,
       Seq("stop_ratio" -> w1, "mean_tok_len" -> w2, "ln_tokens" -> w3))
       .select($"doc_id", $"score", $"keep")
   }
@@ -602,24 +611,19 @@ object CorpusQueries {
        |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents))""".stripMargin
   }
 
-  /** The probe's shared feature frame: the EXACT t_quality_clf features
-    * (stop ratio, mean token length, ln tokens) plus the t_quality keep
-    * rule as the 0/1 training label — training and serving provably
-    * read the same feature definitions. */
+  /** The probe's feature frame: [[clfFeatures]] — the SAME expressions
+    * t_quality_clf serves with, by construction — renamed to x1..x3,
+    * plus the t_quality keep rule as the 0/1 training label. */
   private[graft] def probeFeatures(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
-      // a NULL text would count into n while contributing nothing to
-      // any sum — silently biasing the intercept; fence it (the ch1
-      // dirty-corpus rule)
-      .filter($"text".isNotNull)
-      .withColumn("toks", split($"text", " "))
-      .withColumn("n_tokens", size($"toks").cast("long"))
-      .withColumn("x1",
-        size(expr("filter(toks, t -> t IN ('the', 'a'))")).cast("double") / $"n_tokens")
-      .withColumn("x2",
-        ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
-      .withColumn("x3", log($"n_tokens".cast("double")))
+    clfFeatures(docs
+      // a NULL text or NULL n_chars would count into n while dropping
+      // out of some (not all) sums — an INCONSISTENT Gram matrix and
+      // silently biased weights; fence both (the ch1 dirty-corpus rule)
+      .filter($"text".isNotNull && $"n_chars".isNotNull))
+      .withColumn("x1", $"stop_ratio")
+      .withColumn("x2", $"mean_tok_len")
+      .withColumn("x3", $"ln_tokens")
       .withColumn("y", TextQueries.keepRule($"toks").cast("double"))
   }
 
@@ -670,7 +674,7 @@ object CorpusQueries {
        |      AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
        |        / len(t) > 0.0) AS DOUBLE) AS y
        |  FROM (SELECT n_chars, string_split(text, ' ') AS t FROM documents
-       |        WHERE text IS NOT NULL))""".stripMargin
+       |        WHERE text IS NOT NULL AND n_chars IS NOT NULL))""".stripMargin
   }
 
   /** Solve the probe's normal equations `(XᵀX) w = Xᵀy` from the clf2

@@ -332,10 +332,11 @@ object TokenizerQueries {
     import scala.concurrent.duration.Duration
     val full = Future(bpeTrain(docs, K))
     val half = Future(bpeTrain(docs.filter($"doc_id" <= mid), K))
-    driftFrame(spark,
-      Await.result(full, Duration.Inf),
-      Await.result(half, Duration.Inf),
-      "full_merged", "half_merged")
+    // await BOTH before surfacing a failure: an early throw would
+    // leave the other chain's jobs running detached
+    val fullT = scala.util.Try(Await.result(full, Duration.Inf))
+    val halfT = scala.util.Try(Await.result(half, Duration.Inf))
+    driftFrame(spark, fullT.get, halfT.get, "full_merged", "half_merged")
   }
 
   def bpe4MergeDrift(spark: SparkSession, dir: String): DataFrame =

@@ -1726,12 +1726,6 @@ final class HttpGateway(
     (200, out.orderBy(col("rank")).toJSON.collect().mkString("[", ",", "]"))
   }
 
-  /** `POST /corpus/funnel` — the ds10 curation burn-down over a posted
-    * corpus (inline `docs` or parquet `source`) against a posted
-    * `benchmark` (same shape, nested object): per-stage docs/tokens
-    * surviving quality → dedup → decontamination → split. The output
-    * is ≤7 rows regardless of corpus size — the door only triggers
-    * the cluster job. */
   /** Fit the linear quality probe on a posted (or parquet-path) corpus:
     * one aggregation pass for the exact-decimal normal-equation
     * statistics, O(1) driver solve (clf2). The door defines
@@ -1752,6 +1746,12 @@ final class HttpGateway(
       s""""w_ln_tokens":$w3}""")
   }
 
+  /** `POST /corpus/funnel` — the ds10 curation burn-down over a posted
+    * corpus (inline `docs` or parquet `source`) against a posted
+    * `benchmark` (same shape, nested object): per-stage docs/tokens
+    * surviving quality → dedup → decontamination → split. The output
+    * is ≤7 rows regardless of corpus size — the door only triggers
+    * the cluster job. */
   private def handleCorpusFunnel(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))

@@ -200,17 +200,24 @@ final class JsEngine(code: String, globals: Map[String, Any],
     // %20 (never +); the URI form additionally keeps the reserved
     // separators. Malformed input to the decoders throws the
     // catchable URIError shape, the JS contract.
+    // zero-arg calls see `undefined` like JS (encodeURIComponent() is
+    // "undefined", Array.isArray() is false) — a.head on an empty Seq
+    // would escape the sandbox as NoSuchElementException
     "encodeURIComponent" -> hostFn(a =>
-      JsEngine.percentEncode(str(a.head), JsEngine.UriUnreserved)),
+      JsEngine.percentEncode(str(a.headOption.getOrElse(Undefined)),
+        JsEngine.UriUnreserved)),
     "encodeURI" -> hostFn(a =>
-      JsEngine.percentEncode(str(a.head),
+      JsEngine.percentEncode(str(a.headOption.getOrElse(Undefined)),
         JsEngine.UriUnreserved ++ ";,/?:@&=+$#")),
-    "decodeURIComponent" -> hostFn(a => JsEngine.percentDecode(str(a.head))),
+    "decodeURIComponent" -> hostFn(a =>
+      JsEngine.percentDecode(str(a.headOption.getOrElse(Undefined)))),
     "decodeURI" -> hostFn(a =>
-      JsEngine.percentDecode(str(a.head), preserveReserved = true)),
+      JsEngine.percentDecode(str(a.headOption.getOrElse(Undefined)),
+        preserveReserved = true)),
     "Array" -> new HostObject {
       def invoke(m: String, a: Seq[Any]): Any = m match {
-        case "isArray" => a.head.isInstanceOf[mutable.ArrayBuffer[_]]
+        case "isArray" =>
+          a.headOption.exists(_.isInstanceOf[mutable.ArrayBuffer[_]])
         case other => throw new JsException(s"Array.$other is not supported")
       }
     }
@@ -1050,17 +1057,25 @@ object JsEngine {
     if (fields.exists(_.isNaN)) return None
     def f(i: Int, dflt: Long): Long =
       if (fields.isDefinedAt(i)) fields(i).toLong else dflt
+    // MakeFullYear: two-digit years mean 19xx (new Date(99, 0) is
+    // 1999, the JS back-compat rule)
+    val y0 = f(0, 1970L)
+    val year = if (y0 >= 0L && y0 <= 99L) y0 + 1900L else y0
     // JS's representable range ends at year ±275760; beyond it the
     // Int cast below could wrap into a silently-wrong valid year
-    if (math.abs(f(0, 1970L)) > 300000L) return None
-    try Some(java.time.LocalDateTime.of(f(0, 1970L).toInt, 1, 1, 0, 0, 0)
-      .plusMonths(f(1, 0L))
-      .plusDays(f(2, 1L) - 1)
-      .plusHours(f(3, 0L))
-      .plusMinutes(f(4, 0L))
-      .plusSeconds(f(5, 0L))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli + f(6, 0L))
-    catch {
+    if (math.abs(year) > 300000L) return None
+    try {
+      val ms = Math.addExact(
+        java.time.LocalDateTime.of(year.toInt, 1, 1, 0, 0, 0)
+          .plusMonths(f(1, 0L))
+          .plusDays(f(2, 1L) - 1)
+          .plusHours(f(3, 0L))
+          .plusMinutes(f(4, 0L))
+          .plusSeconds(f(5, 0L))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli, f(6, 0L))
+      // JS time values are bounded at ±8.64e15 ms; outside is Invalid
+      if (math.abs(ms) > 8640000000000000L) None else Some(ms)
+    } catch {
       case _: java.time.DateTimeException | _: ArithmeticException => None
     }
   }
@@ -1097,8 +1112,11 @@ object JsEngine {
 
   /** Decode %XX sequences over UTF-8. JS contract throughout: strict
     * hex only (no signs), an incomplete escape or an invalid UTF-8
-    * byte sequence throws the catchable URIError — never a silent
-    * U+FFFD. */
+    * byte run throws the catchable URIError — never a silent U+FFFD.
+    * Characters OUTSIDE escapes pass through verbatim (even lone
+    * surrogates — JS only validates the escape sequences), so the
+    * output is spliced from raw chars and strictly-decoded escape
+    * runs, not one lossy byte stream. */
   private[js] def percentDecode(s: String,
       preserveReserved: Boolean = false): String = {
     def hexVal(c: Char): Int =
@@ -1106,7 +1124,20 @@ object JsEngine {
       else if (c >= 'A' && c <= 'F') c - 'A' + 10
       else if (c >= 'a' && c <= 'f') c - 'a' + 10
       else throw new MiniJs.JsException("URIError: URI malformed")
-    val out = new java.io.ByteArrayOutputStream
+    val sb = new StringBuilder
+    val run = new java.io.ByteArrayOutputStream
+    def flushRun(): Unit = if (run.size() > 0) {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try sb.append(
+        dec.decode(java.nio.ByteBuffer.wrap(run.toByteArray)).toString)
+      catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          throw new MiniJs.JsException("URIError: URI malformed")
+      }
+      run.reset()
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -1115,25 +1146,18 @@ object JsEngine {
           throw new MiniJs.JsException("URIError: URI malformed")
         val b = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
         if (preserveReserved && ReservedBytes(b)) {
-          out.write('%'); out.write(s.charAt(i + 1)); out.write(s.charAt(i + 2))
-        } else out.write(b)
+          flushRun()
+          sb.append('%').append(s.charAt(i + 1)).append(s.charAt(i + 2))
+        } else run.write(b)
         i += 3
       } else {
-        val cp = s.codePointAt(i)
-        val n = Character.charCount(cp)
-        out.write(new String(Character.toChars(cp))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        i += n
+        flushRun()
+        sb.append(c)
+        i += 1
       }
     }
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-    try dec.decode(java.nio.ByteBuffer.wrap(out.toByteArray)).toString
-    catch {
-      case _: java.nio.charset.CharacterCodingException =>
-        throw new MiniJs.JsException("URIError: URI malformed")
-    }
+    flushRun()
+    sb.toString
   }
 
   /** A compiled regex literal value. JS flags map onto Java: `i` →

@@ -93,7 +93,9 @@ object VocabStore {
       try {
         // two independent job chains (bpe4's argument): train both
         // versions concurrently so drift pays max, not sum, of the
-        // fixed per-merge job latencies
+        // fixed per-merge job latencies. Await BOTH before acting on
+        // either failure — returning early would leave the other
+        // chain's jobs running detached with its outcome discarded.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
@@ -101,9 +103,9 @@ object VocabStore {
           VersionedState.readVersion(spark, path, cur), k))
         val prevF = Future(TokenizerQueries.bpeTrainOnWordFreq(
           VersionedState.readVersion(spark, path, prevV), k))
-        TokenizerQueries.driftFrame(spark,
-          Await.result(curF, Duration.Inf),
-          Await.result(prevF, Duration.Inf),
+        val curT = scala.util.Try(Await.result(curF, Duration.Inf))
+        val prevT = scala.util.Try(Await.result(prevF, Duration.Inf))
+        TokenizerQueries.driftFrame(spark, curT.get, prevT.get,
           "current_merged", "previous_merged", k)
       } catch {
         case e: Throwable if isMissingFiles(e) => empty
