@@ -129,6 +129,29 @@ final class JsEngine(code: String, globals: Map[String, Any],
           throw new JsException(s"not an object: ${String.valueOf(other)}")
       }
       def invoke(m: String, a: Seq[Any]): Any = m match {
+        case "create" =>
+          // the primitive class-`extends` desugars through; fresh
+          // object + proto link, so chains cannot cycle
+          val o = new JsObj
+          a.headOption.getOrElse(Undefined) match {
+            case p: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+              o.proto = p
+            case null => () // Object.create(null): no prototype
+            case other =>
+              throw new JsException(
+                s"Object.create prototype must be an object or null, " +
+                  s"got ${String.valueOf(other)}")
+          }
+          o
+        case "getPrototypeOf" => a.headOption.getOrElse(Undefined) match {
+          case j: JsObj => j.proto match {
+            case Undefined => null // JS: chain end reads as null
+            case p => p
+          }
+          case _: mutable.LinkedHashMap[_, _] => null
+          case other =>
+            throw new JsException(s"not an object: ${String.valueOf(other)}")
+        }
         case "keys" => mutable.ArrayBuffer(asObj(a.head).keys.toSeq: _*)
         case "values" => mutable.ArrayBuffer(asObj(a.head).values.toSeq: _*)
         case "entries" => mutable.ArrayBuffer(asObj(a.head).toSeq.map {
@@ -365,6 +388,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case Block(stmts) =>
         val scope = new Env(Some(env))
         stmts.foreach(exec(_, scope))
+      case Stmts(ss) => ss.foreach(exec(_, env))
     }
   }
 
@@ -386,9 +410,31 @@ final class JsEngine(code: String, globals: Map[String, Any],
         entries.foreach { case (k, v) => o(k) = eval(v, env) }
         o
       case ArrLit(items) => mutable.ArrayBuffer(items.map(eval(_, env)): _*)
-      case FunLit(ps, body, name) => Closure(ps, body, env, name)
+      case FunLit(ps, body, name, isArrow) =>
+        Closure(ps, body, env, name, isArrow)
+      case ThisE => env.lookup("this").getOrElse(Undefined)
       case RegexL(p, f) => JsEngine.regexValue(p, f)
-      case NewE(ctor, argEs) => construct(ctor, argEs.map(eval(_, env)))
+      case NewE(ctorE, argEs) =>
+        val args = argEs.map(eval(_, env))
+        // a script binding (even one shadowing a built-in name) wins;
+        // otherwise an Ident falls to the built-in constructor set
+        val resolved: Option[Any] = ctorE match {
+          case Ident(n) =>
+            if (poisoned(n))
+              throw new SandboxViolation(s"'$n' is not available in the sandbox")
+            env.lookup(n)
+          case other => Some(eval(other, env))
+        }
+        resolved match {
+          case Some(c: Closure) => constructUser(c, args)
+          case Some(_: Bound) =>
+            throw new JsException("new on a bound function is not supported")
+          case _ => ctorE match {
+            case Ident(n) => construct(n, args)
+            case _ =>
+              throw new JsException("new target is not a constructor")
+          }
+        }
       case Member(t, name) => readMember(eval(t, env), name)
       case IndexE(t, k) => readIndex(eval(t, env), eval(k, env))
       case Call(target, argEs) =>
@@ -397,6 +443,13 @@ final class JsEngine(code: String, globals: Map[String, Any],
           case Member(t, name) =>
             val recv = eval(t, env)
             callMember(recv, name, args)
+          case IndexE(t, k) =>
+            // o["m"]() binds `this` exactly like o.m()
+            val recv = eval(t, env)
+            eval(k, env) match {
+              case s: String => callMember(recv, s, args)
+              case key => callValue(readIndex(recv, key), args)
+            }
           case other => callValue(eval(other, env), args)
         }
       case Unary(op, x) =>
@@ -417,7 +470,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
             case _: String => "string"
             case _: java.lang.Boolean => "boolean"
             case _: Long | _: Double => "number"
-            case _: Closure => "function"
+            case _: Closure | _: Bound => "function"
             case _ => "object"
           }
         }
@@ -454,20 +507,64 @@ final class JsEngine(code: String, globals: Map[String, Any],
     }
   }
 
-  private def callValue(f: Any, args: Seq[Any]): Any = f match {
-    case Closure(ps, body, closureEnv, name) =>
+  private def callValue(f: Any, args: Seq[Any],
+      thisVal: Any = Undefined): Any = f match {
+    case Closure(ps, body, closureEnv, _, isArrow) =>
       depth += 1
       if (depth > 200) throw new SandboxViolation("recursion limit exceeded")
       try {
         val scope = new Env(Some(closureEnv))
+        // arrows don't bind `this` — the lexical lookup falls through
+        // to the enclosing method's binding (the JS arrow rule)
+        if (!isArrow) scope.declare("this", thisVal)
         ps.zipWithIndex.foreach { case (p, i) =>
           scope.declare(p, if (i < args.length) args(i) else Undefined)
         }
         try { body.foreach(exec(_, scope)); Undefined }
         catch { case ReturnEx(v) => v }
       } finally depth -= 1
+    case Bound(target, boundThis, pre) =>
+      callValue(target, pre ++ args, boundThis)
     case h: HostObject => h.invoke("__call__", args)
     case other => throw new JsException(s"${jsToString(other)} is not a function")
+  }
+
+  /** `F.prototype`, auto-created on first touch like JS gives every
+    * function one. */
+  private def prototypeOf(c: Closure): Any =
+    c.props.getOrElseUpdate("prototype",
+      mutable.LinkedHashMap.empty[String, Any])
+
+  /** `new F(args)` on a script function: a fresh object chained to
+    * `F.prototype`, the constructor body run with it as `this`; an
+    * explicit OBJECT return overrides the instance (the JS rule —
+    * primitive returns don't). */
+  private def constructUser(c: Closure, args: Seq[Any]): Any = {
+    if (c.isArrow)
+      throw new JsException("arrow functions are not constructors")
+    val obj = new JsObj
+    obj.proto = prototypeOf(c)
+    callValue(c, args, thisVal = obj) match {
+      case r: mutable.LinkedHashMap[_, _] => r
+      case r: mutable.ArrayBuffer[_] => r
+      case _ => obj
+    }
+  }
+
+  /** Member lookup through the prototype chain. Own properties first;
+    * only [[JsObj]] carries a link, so plain-object behavior (and cost)
+    * is untouched. Chains cannot cycle — see [[JsObj]]. */
+  @annotation.tailrec
+  private def memberLookup(o: Any, name: String): Any = o match {
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      m.get(name) match {
+        case Some(v) => v
+        case None => m match {
+          case j: JsObj => memberLookup(j.proto, name)
+          case _ => Undefined
+        }
+      }
+    case _ => Undefined
   }
 
   /** `new Ctor(args)` over the closed built-in set. Dates are UTC
@@ -515,18 +612,24 @@ final class JsEngine(code: String, globals: Map[String, Any],
       } else mutable.ArrayBuffer(args: _*)
     case "Object" => mutable.LinkedHashMap.empty[String, Any]
     case other =>
-      throw new JsException(s"new $other is not supported: constructors " +
-        "are the built-in set (Date, Error, RegExp, Array, Object); " +
-        "user prototypes are out of scope")
+      throw new JsException(s"'$other' is not a constructor: it names " +
+        "no script function and no built-in (Date, Error, RegExp, " +
+        "Array, Object)")
   }
 
   private def callMember(recv: Any, name: String, args: Seq[Any]): Any = recv match {
     case h: HostObject => h.invoke(name, args)
     case d: JsEngine.JsDate => d.call(name, args.map(num))
+    case f: Closure => functionMember(f, name, args)
+    case b: Bound => functionMember(b, name, args)
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      m.get(name) match {
-        case Some(f) => callValue(f, args)
-        case None => throw new JsException(s"'$name' is not a function on object")
+      memberLookup(m, name) match {
+        case Undefined =>
+          if (name == "hasOwnProperty")
+            m.contains(str(args.headOption.getOrElse(Undefined)))
+          else
+            throw new JsException(s"'$name' is not a function on object")
+        case f => callValue(f, args, thisVal = m)
       }
     case a: mutable.ArrayBuffer[Any @unchecked] => name match {
       case "push" => args.foreach(a += _); a.length.toLong
@@ -744,6 +847,38 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case other => throw new JsException(s"cannot call '$name' on ${jsToString(other)}")
   }
 
+  /** `f.call(thisArg, …)` / `f.apply(thisArg, argsArray)` / `f.bind` —
+    * the Function.prototype surface `super` desugars through — plus
+    * STATIC methods stored on the function object (`Counter.origin()`),
+    * which JS calls with the constructor itself as `this`. */
+  private def functionMember(f: Any, name: String, args: Seq[Any]): Any = {
+    f match {
+      case c: Closure =>
+        c.propsIfAny.flatMap(_.get(name)) match {
+          case Some(static) => return callValue(static, args, thisVal = c)
+          case None => ()
+        }
+      case _ => ()
+    }
+    name match {
+      case "call" =>
+        callValue(f, args.drop(1), args.headOption.getOrElse(Undefined))
+      case "apply" =>
+        val spread = args.lift(1) match {
+          case Some(a: mutable.ArrayBuffer[Any @unchecked]) => a.toSeq
+          case Some(null) | Some(Undefined) | None => Seq.empty[Any]
+          case Some(other) =>
+            throw new JsException(
+              s"apply arguments must be an array, got ${jsToString(other)}")
+        }
+        callValue(f, spread, args.headOption.getOrElse(Undefined))
+      case "bind" =>
+        Bound(f, args.headOption.getOrElse(Undefined), args.drop(1))
+      case other =>
+        throw new JsException(s"function.$other is not supported")
+    }
+  }
+
   /** An exec/match result: [full, group1, …] with unmatched groups as
     * `undefined`, JS-style. */
   private def matchArray(m: java.util.regex.Matcher): mutable.ArrayBuffer[Any] = {
@@ -814,7 +949,15 @@ final class JsEngine(code: String, globals: Map[String, Any],
 
   private def readMember(recv: Any, name: String): Any = recv match {
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      m.getOrElse(name, Undefined)
+      memberLookup(m, name)
+    case c: Closure => name match {
+      case "prototype" => prototypeOf(c)
+      case "name" => c.name
+      case "length" => c.params.size.toLong
+      case other =>
+        c.propsIfAny.flatMap(_.get(other)).getOrElse(Undefined)
+    }
+    case _: Bound => Undefined
     case a: mutable.ArrayBuffer[_] if name == "length" => a.length.toLong
     case s: String if name == "length" => s.length.toLong
     case r: JsEngine.JsRegex => name match {
@@ -832,6 +975,9 @@ final class JsEngine(code: String, globals: Map[String, Any],
 
   private def writeMember(recv: Any, name: String, v: Any): Unit = recv match {
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] => m(name) = v
+    // `F.prototype = {…}` and statics; assignments are always OWN
+    // properties, shadowing the chain — the JS rule
+    case c: Closure => c.props(name) = v
     case _ => throw new JsException(s"cannot set '$name' on ${jsToString(recv)}")
   }
 
@@ -840,7 +986,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
       val i = num(key).toInt
       if (i >= 0 && i < a.length) a(i) else Undefined
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      m.getOrElse(jsToString(key), Undefined)
+      memberLookup(m, jsToString(key))
     case s: String =>
       val i = num(key).toInt
       if (i >= 0 && i < s.length) s.charAt(i).toString else Undefined
@@ -906,6 +1052,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case d: JsEngine.JsDate => d.call("toString", Nil).toString
     case r: JsEngine.JsRegex => s"/${r.source}/${r.flags}"
     case c: Closure => s"function ${c.name}"
+    case _: Bound => "function bound"
     case other => other.toString
   }
 
@@ -946,6 +1093,48 @@ final class JsEngine(code: String, globals: Map[String, Any],
   }
 
   private def binop(op: String, l: Any, r: Any): Any = op match {
+    case "instanceof" =>
+      // walk the instance's prototype chain looking for the
+      // constructor's CURRENT .prototype, identity-compared — the JS
+      // OrdinaryHasInstance algorithm
+      val ctor = r match {
+        case b: Bound => b.target
+        case other => other
+      }
+      ctor match {
+        case c: Closure =>
+          val proto = c.propsIfAny.flatMap(_.get("prototype")).orNull
+          if (proto == null) false
+          else {
+            @annotation.tailrec
+            def walk(o: Any): Boolean = o match {
+              case j: JsObj =>
+                (j.proto match {
+                  case p: AnyRef => p eq proto.asInstanceOf[AnyRef]
+                  case _ => false
+                }) || walk(j.proto)
+              case _ => false
+            }
+            walk(l)
+          }
+        case _ =>
+          throw new JsException(
+            "right-hand side of instanceof is not a script function")
+      }
+    case "in" =>
+      r match {
+        case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+          // own or inherited, like JS `in` (vs hasOwnProperty)
+          m.contains(str(l)) || (m match {
+            case j: JsObj => memberLookup(j.proto, str(l)) != Undefined
+            case _ => false
+          })
+        case a: mutable.ArrayBuffer[_] =>
+          val i = jsIndex(l); i >= 0 && i < a.length
+        case other =>
+          throw new JsException(
+            s"cannot use 'in' on ${jsToString(other)}")
+      }
     case "+" =>
       if (l.isInstanceOf[String] || r.isInstanceOf[String]) str(l) + str(r)
       else if (bothLong(l, r)) l.asInstanceOf[Long] + r.asInstanceOf[Long]

@@ -32,17 +32,28 @@ import scala.collection.mutable
   * template inside `${}` is rejected with a clear error), and
   * var/let/const destructuring (`var {a, b: c, d = 1} = o`,
   * `var [x, y = 2] = arr`, desugared to member reads off a one-time
-  * temp), and arrow functions (`x => x + 1`, `(a, b) => { … }`,
-  * desugared to function literals — no `this` exists here, so the
-  * distinction collapses to syntax), and `new` over the BUILT-IN
-  * constructors (`Date` with an injectable UTC clock, the `Error`
-  * family, `RegExp`, `Array`, `Object`). Numbers keep integral
-  * identity (Long) until an operation
-  * forces a double — so ids survive a get/set round-trip, which
-  * pure-double JS semantics would corrupt.
-  * Still out of scope: user prototypes (`new` on a script function),
-  * generators, `async`, destructuring in function parameters or bare
-  * assignments.
+  * temp — also legal in function/arrow PARAMETERS, with parameter
+  * defaults), arrow functions (`x => x + 1`, `(a, b) => { … }` —
+  * lexical `this`, never a constructor), object-literal property and
+  * method shorthand (`{a, m(x){…}}`), `this` (bound by method calls
+  * and `new`, `undefined` at top level — strict-mode semantics),
+  * `new` over BUILT-IN constructors (`Date` with an injectable UTC
+  * clock, the `Error` family, `RegExp`, `Array`, `Object`) AND over
+  * script functions (instances carry a prototype link; method lookup
+  * walks the chain; enumeration/JSON see own properties only —
+  * matching JS, where class methods are non-enumerable),
+  * `F.prototype` wiring, `class` declarations with `extends`,
+  * `super(…)`/`super.m(…)` and `static` methods (desugared to the
+  * same prototype wiring), `instanceof` and the `in` operator,
+  * `call`/`apply`/`bind`, `Object.create`/`getPrototypeOf`, and
+  * `hasOwnProperty`. Numbers keep integral identity (Long) until an
+  * operation forces a double — so ids survive a get/set round-trip,
+  * which pure-double JS semantics would corrupt.
+  * Still out of scope: generators, `async`, class expressions/fields/
+  * getters/setters, `new.target`, `new` on bound functions, bare
+  * (non-declaration) destructuring assignments, and `arguments` (a
+  * ctor-less derived class forwards 8 positional parameters —
+  * observationally equivalent without `arguments` to count them).
   */
 object MiniJs {
 
@@ -63,7 +74,38 @@ object MiniJs {
   case object Undefined { override def toString = "undefined" }
 
   final case class Closure(params: Seq[String], body: Seq[Stmt], env: Env,
-      name: String)
+      name: String, isArrow: Boolean = false) {
+    /** Function-object properties (`F.prototype`, statics) — created
+      * lazily so plain callbacks never allocate the map. */
+    @transient private var propsOrNull: mutable.LinkedHashMap[String, Any] = _
+    def props: mutable.LinkedHashMap[String, Any] = {
+      if (propsOrNull == null) propsOrNull = mutable.LinkedHashMap.empty
+      propsOrNull
+    }
+    def propsIfAny: Option[mutable.LinkedHashMap[String, Any]] =
+      Option(propsOrNull)
+  }
+
+  /** `f.bind(thisArg, pre…)` — a callable wrapper; `new` stays out of
+    * scope for bound functions (as it is for Nashorn-era mapper code). */
+  final case class Bound(target: Any, thisVal: Any, pre: Seq[Any])
+
+  /** An object with a prototype link — created by `new` on a script
+    * function, `Object.create`, and class `extends` wiring. It IS a
+    * LinkedHashMap, so every existing plain-object code path (JSON,
+    * `for..in`, `Object.keys`, the host boundary) sees exactly the OWN
+    * properties — which matches JS enumeration semantics, since class
+    * methods are non-enumerable there. Member reads walk `proto`.
+    * Chains cannot cycle: every construct that sets `proto` does so on
+    * a freshly created object. */
+  @annotation.nowarn("cat=deprecation") // subclassing is deprecated for a
+  // future-final LinkedHashMap; on the Scala this build pins it is the
+  // only representation where every existing plain-object match site
+  // (JSON, for..in, Object.keys, the host boundary) keeps working
+  // unchanged on instances
+  final class JsObj extends mutable.LinkedHashMap[String, Any] {
+    var proto: Any = Undefined
+  }
 
   final class Env(val parent: Option[Env]) {
     private val vars = mutable.Map.empty[String, Any]
@@ -86,7 +128,13 @@ object MiniJs {
   final case class Ident(name: String) extends Expr
   final case class ObjLit(entries: Seq[(String, Expr)]) extends Expr
   final case class ArrLit(items: Seq[Expr]) extends Expr
-  final case class FunLit(params: Seq[String], body: Seq[Stmt], name: String) extends Expr
+  final case class FunLit(params: Seq[String], body: Seq[Stmt], name: String,
+      isArrow: Boolean = false) extends Expr
+  /** `this` — bound by method calls and `new`; `undefined` at top level
+    * (strict-mode semantics) and inside plain function calls. Arrow
+    * functions don't bind it, so the lexical lookup falls through to
+    * the enclosing method's binding — the JS arrow rule. */
+  case object ThisE extends Expr
   final case class Member(target: Expr, name: String) extends Expr
   final case class IndexE(target: Expr, key: Expr) extends Expr
   final case class Call(target: Expr, args: Seq[Expr]) extends Expr
@@ -96,10 +144,11 @@ object MiniJs {
   final case class Assign(target: Expr, op: String, value: Expr) extends Expr
   /** `/pattern/flags` — compiled (and cached) by the evaluator. */
   final case class RegexL(pattern: String, flags: String) extends Expr
-  /** `new Ctor(args)` — a closed set of BUILT-IN constructors (Date,
-    * Error family, RegExp, Array, Object); user prototypes stay out of
-    * scope. */
-  final case class NewE(ctor: String, args: Seq[Expr]) extends Expr
+  /** `new Ctor(args)` — `ctor` is a member chain (`new a.b.C(x)`). An
+    * `Ident` naming a built-in (Date, the Error family, RegExp, Array,
+    * Object) that no script binding shadows constructs the built-in;
+    * a script function constructs a [[JsObj]] on its `.prototype`. */
+  final case class NewE(ctor: Expr, args: Seq[Expr]) extends Expr
 
   sealed trait Stmt
   final case class VarDecl(entries: Seq[(String, Option[Expr])]) extends Stmt
@@ -132,6 +181,9 @@ object MiniJs {
   case object ContinueS extends Stmt
   final case class Block(stmts: Seq[Stmt]) extends Stmt
   final case class FunDecl(name: String, params: Seq[String], body: Seq[Stmt]) extends Stmt
+  /** A desugar product (class declarations) executed in the ENCLOSING
+    * scope — unlike [[Block]], which opens one. */
+  final case class Stmts(ss: Seq[Stmt]) extends Stmt
 
   // ---------- lexer ----------
   private final case class Tok(kind: String, text: String, pos: Int)
@@ -318,6 +370,7 @@ object MiniJs {
     private def statement0(): Stmt = {
       if (isKw("var") || isKw("let") || isKw("const")) { eat(); varDecl() }
       else if (isKw("function")) { eat(); funDecl() }
+      else if (isKw("class")) { eat(); classDecl() }
       else if (isKw("if")) { eat(); ifStmt() }
       else if (isKw("while")) { eat(); whileStmt() }
       else if (isKw("do")) { eat(); doWhileStmt() }
@@ -365,6 +418,53 @@ object MiniJs {
         case Some(d) => CondE(Bin("===", access, UndefE), d, access)
       }
 
+    /** `this` and `super` can never be binding names — a declaration
+      * using one would silently shadow the engine's bindings. */
+    private def checkName(n: String): String =
+      if (n == "this" || n == "super")
+        err(s"'$n' is a reserved word")
+      else n
+
+    /** Parses one object/array destructuring pattern (cursor ON the
+      * opening `{`/`[`). Each binding is (name, accessor) where the
+      * accessor reads the bound value off a once-evaluated temp. */
+    private def destrPattern(): Seq[(String, Expr => Expr)] = {
+      val isObj = eat().text == "{"
+      val binds = Seq.newBuilder[(String, Expr => Expr)]
+      if (isObj) {
+        var go = !isOp("}")
+        while (go) {
+          if (cur.kind != "id") err("expected destructuring key")
+          val key = eat().text
+          val target = if (isOp(":")) {
+            eat()
+            if (cur.kind != "id") err("expected destructuring binding name")
+            eat().text
+          } else key
+          val default = if (isOp("=")) { eat(); Some(expr()) } else None
+          binds += checkName(target) -> (tmp =>
+            withDefault(Member(tmp, key), default))
+          if (isOp(",")) eat() else go = false
+        }
+        expectOp("}")
+      } else {
+        var idx = 0
+        var go = !isOp("]")
+        while (go) {
+          if (cur.kind != "id") err("expected destructuring binding name")
+          val name = eat().text
+          val default = if (isOp("=")) { eat(); Some(expr()) } else None
+          val i = idx
+          binds += checkName(name) -> (tmp =>
+            withDefault(IndexE(tmp, NumL(i.toLong)), default))
+          idx += 1
+          if (isOp(",")) eat() else go = false
+        }
+        expectOp("]")
+      }
+      binds.result()
+    }
+
     private def varDecl(): Stmt = {
       val entries = Seq.newBuilder[(String, Option[Expr])]
       var more = true
@@ -374,49 +474,17 @@ object MiniJs {
           // off a once-evaluated temp: var {a, b: c, d = 1} = RHS →
           // var __$destrN = RHS, a = __$destrN.a, c = __$destrN.b,
           // d = (__$destrN.d === undefined ? 1 : __$destrN.d)
-          val isObj = eat().text == "{"
-          val binds = Seq.newBuilder[(String, Expr => Expr)]
-          if (isObj) {
-            var go = !isOp("}")
-            while (go) {
-              if (cur.kind != "id") err("expected destructuring key")
-              val key = eat().text
-              val target = if (isOp(":")) {
-                eat()
-                if (cur.kind != "id") err("expected destructuring binding name")
-                eat().text
-              } else key
-              val default = if (isOp("=")) { eat(); Some(expr()) } else None
-              binds += target -> (tmp =>
-                withDefault(Member(tmp, key), default))
-              if (isOp(",")) eat() else go = false
-            }
-            expectOp("}")
-          } else {
-            var idx = 0
-            var go = !isOp("]")
-            while (go) {
-              if (cur.kind != "id") err("expected destructuring binding name")
-              val name = eat().text
-              val default = if (isOp("=")) { eat(); Some(expr()) } else None
-              val i = idx
-              binds += name -> (tmp =>
-                withDefault(IndexE(tmp, NumL(i.toLong)), default))
-              idx += 1
-              if (isOp(",")) eat() else go = false
-            }
-            expectOp("]")
-          }
+          val binds = destrPattern()
           if (!isOp("=")) err("destructuring declaration needs an initializer")
           eat()
           val tmpName = destrTmp()
           entries += tmpName -> Some(expr())
-          binds.result().foreach { case (name, mk) =>
+          binds.foreach { case (name, mk) =>
             entries += name -> Some(mk(Ident(tmpName)))
           }
         } else {
           if (cur.kind != "id") err("expected variable name")
-          val name = eat().text
+          val name = checkName(eat().text)
           val init = if (isOp("=")) { eat(); Some(expr()) } else None
           entries += name -> init
         }
@@ -428,29 +496,140 @@ object MiniJs {
 
     private def funDecl(): Stmt = {
       if (cur.kind != "id") err("expected function name")
-      val name = eat().text
+      val name = checkName(eat().text)
       val (ps, body) = funRest()
       FunDecl(name, ps, body)
     }
 
-    private def funRest(): (Seq[String], Seq[Stmt]) = {
-      expectOp("(")
+    /** Parses `(param, …)` where each param is a plain name, a name
+      * with a default (`a = 1`), or a destructuring pattern with an
+      * optional whole-pattern default (`{a, b} = {}`). Defaults and
+      * patterns desugar to prefix statements prepended to the body —
+      * the same temp-read strategy as destructuring declarations. */
+    private def paramList(): (Seq[String], Seq[Stmt]) = {
       val ps = Seq.newBuilder[String]
+      val prefix = Seq.newBuilder[Stmt]
       if (!isOp(")")) {
         var more = true
         while (more) {
-          if (cur.kind != "id") err("expected parameter name")
-          ps += eat().text
+          if (isOp("{") || isOp("[")) {
+            val binds = destrPattern()
+            val tmp = destrTmp()
+            if (isOp("=")) {
+              eat()
+              val d = expr()
+              prefix += VarDecl(Seq(
+                tmp -> Some(withDefault(Ident(tmp), Some(d)))))
+            }
+            ps += tmp
+            prefix += VarDecl(binds.map { case (n, mk) =>
+              n -> Some(mk(Ident(tmp)))
+            })
+          } else {
+            if (cur.kind != "id") err("expected parameter name")
+            val name = checkName(eat().text)
+            if (isOp("=")) {
+              eat()
+              val d = expr()
+              prefix += VarDecl(Seq(
+                name -> Some(withDefault(Ident(name), Some(d)))))
+            }
+            ps += name
+          }
           if (isOp(",")) eat() else more = false
         }
       }
+      (ps.result(), prefix.result())
+    }
+
+    private def funRest(): (Seq[String], Seq[Stmt]) = {
+      expectOp("(")
+      val (ps, prefix) = paramList()
       expectOp(")")
       expectOp("{")
       val body = Seq.newBuilder[Stmt]
       while (!isOp("}")) body += statement()
       expectOp("}")
-      (ps.result(), body.result())
+      (ps, prefix ++ body.result())
     }
+
+    /** `class Name [extends Expr] { constructor(){} m(){} static s(){} }`
+      * desugared to public-knowledge prototype wiring: a FunDecl for the
+      * constructor, `Name.prototype = Object.create(Sup.prototype)` when
+      * extending, method assignments onto the prototype, statics onto
+      * the constructor. `super(…)` / `super.m(…)` rewrite to
+      * `Sup.call(this, …)` / `Sup.prototype.m.call(this, …)` against a
+      * synthetic binding holding the evaluated superclass expression.
+      * A ctor-less derived class forwards 8 positional parameters —
+      * observationally equivalent here, where no `arguments` object
+      * exists to count them. Out of scope: class expressions, fields,
+      * getters/setters, `new.target`. */
+    private def classDecl(): Stmt = {
+      if (cur.kind != "id") err("expected class name")
+      val name = checkName(eat().text)
+      val superE = if (isKw("extends")) { eat(); Some(postfixExpr()) } else None
+      val supTmp = superE.map { _ => s"__$$super$$$name" }
+      expectOp("{")
+      val savedSuper = superName
+      superName = supTmp
+      var ctor: Option[(Seq[String], Seq[Stmt])] = None
+      val protoMs = Seq.newBuilder[(String, Seq[String], Seq[Stmt])]
+      val staticMs = Seq.newBuilder[(String, Seq[String], Seq[Stmt])]
+      try {
+        while (!isOp("}")) {
+          if (isOp(";")) eat()
+          else {
+            // `static` is contextual: a modifier only when a method
+            // name follows (so a method NAMED static still parses)
+            val isStatic = isKw("static") && toks(p + 1).kind == "id"
+            if (isStatic) eat()
+            if (cur.kind != "id") err("expected method name in class body")
+            val mName = eat().text
+            val (ps, body) = funRest()
+            if (mName == "constructor" && !isStatic) {
+              if (ctor.isDefined) err("duplicate constructor")
+              ctor = Some((ps, body))
+            } else if (isStatic) staticMs += ((mName, ps, body))
+            else protoMs += ((mName, ps, body))
+          }
+        }
+      } finally superName = savedSuper
+      expectOp("}")
+
+      val stmts = Seq.newBuilder[Stmt]
+      supTmp.zip(superE).foreach { case (t, e) =>
+        stmts += VarDecl(Seq(t -> Some(e)))
+      }
+      val (cps, cbody) = ctor.getOrElse {
+        supTmp match {
+          case Some(t) =>
+            val fwd = (0 until 8).map(i => s"__$$a$i")
+            (fwd, Seq(ExprStmt(Call(Member(Ident(t), "call"),
+              ThisE +: fwd.map(Ident(_))))): Seq[Stmt])
+          case None => (Seq.empty[String], Seq.empty[Stmt])
+        }
+      }
+      stmts += FunDecl(name, cps, cbody)
+      supTmp.foreach { t =>
+        stmts += ExprStmt(Assign(Member(Ident(name), "prototype"), "=",
+          Call(Member(Ident("Object"), "create"),
+            Seq(Member(Ident(t), "prototype")))))
+      }
+      protoMs.result().foreach { case (m, ps, body) =>
+        stmts += ExprStmt(Assign(
+          Member(Member(Ident(name), "prototype"), m), "=",
+          FunLit(ps, body, m)))
+      }
+      staticMs.result().foreach { case (m, ps, body) =>
+        stmts += ExprStmt(Assign(Member(Ident(name), m), "=",
+          FunLit(ps, body, m)))
+      }
+      Stmts(stmts.result())
+    }
+
+    /** The synthetic superclass binding of the class body being parsed
+      * (None outside a derived class) — drives `super` rewriting. */
+    private var superName: Option[String] = None
 
     private def ifStmt(): Stmt = {
       expectOp("("); val c = expr(); expectOp(")")
@@ -582,23 +761,18 @@ object MiniJs {
     }
 
     /** `params => body` desugared to a function literal; an expression
-      * body is an implicit return. (No `this` exists in this engine, so
-      * the arrow/function distinction collapses to syntax.) */
+      * body is an implicit return. Arrows carry `isArrow = true`: they
+      * do NOT bind `this`, so a `this` inside one resolves lexically to
+      * the enclosing method's binding — the JS arrow rule. */
     private def arrowFun(): Expr = {
-      val ps = Seq.newBuilder[String]
-      if (cur.kind == "id") ps += eat().text
-      else {
-        expectOp("(")
-        if (!isOp(")")) {
-          var more = true
-          while (more) {
-            if (cur.kind != "id") err("expected arrow parameter name")
-            ps += eat().text
-            if (isOp(",")) eat() else more = false
-          }
+      val (ps, prefix) =
+        if (cur.kind == "id") (Seq(checkName(eat().text)), Seq.empty[Stmt])
+        else {
+          expectOp("(")
+          val r = paramList()
+          expectOp(")")
+          r
         }
-        expectOp(")")
-      }
       expectOp("=>")
       val body =
         if (isOp("{")) block() match {
@@ -606,7 +780,7 @@ object MiniJs {
           case other => Seq(other)
         }
         else Seq(ReturnS(Some(expr())))
-      FunLit(ps.result(), body, "")
+      FunLit(ps, prefix ++ body, "", isArrow = true)
     }
 
     private def assignExpr(): Expr = {
@@ -649,7 +823,11 @@ object MiniJs {
     }
     private def relExpr(): Expr = {
       var l = addExpr()
-      while (cur.kind == "op" && Set("<", "<=", ">", ">=").contains(cur.text)) {
+      while ((cur.kind == "op" &&
+        Set("<", "<=", ">", ">=").contains(cur.text)) ||
+        isKw("instanceof") || isKw("in")) {
+        // `for (k in o)` never reaches here — the for-header lookahead
+        // consumes that form before expression parsing starts
         val op = eat().text; l = Bin(op, l, addExpr())
       }
       l
@@ -750,10 +928,54 @@ object MiniJs {
         val (ps, body) = funRest()
         FunLit(ps, body, name)
       }
+      else if (isKw("this")) { eat(); ThisE }
+      else if (isKw("super")) {
+        // purely lexical rewrite against the class desugar's synthetic
+        // superclass binding; only the two callable forms JS allows
+        eat()
+        val sup = superName.getOrElse(
+          err("'super' is only valid inside a derived class"))
+        def callArgs(): Seq[Expr] = {
+          expectOp("(")
+          val args = Seq.newBuilder[Expr]
+          if (!isOp(")")) {
+            var more = true
+            while (more) { args += assignExpr(); if (isOp(",")) eat() else more = false }
+          }
+          expectOp(")")
+          args.result()
+        }
+        if (isOp("(")) // super(args) → Sup.call(this, args)
+          Call(Member(Ident(sup), "call"), ThisE +: callArgs())
+        else if (isOp(".")) { // super.m(args) → Sup.prototype.m.call(this, args)
+          eat()
+          if (cur.kind != "id") err("expected method name after super.")
+          val m = eat().text
+          if (!isOp("(")) err("super properties must be called (super.m(...))")
+          Call(Member(Member(Member(Ident(sup), "prototype"), m), "call"),
+            ThisE +: callArgs())
+        } else err("expected super(...) or super.method(...)")
+      }
       else if (isKw("new")) {
         eat()
-        if (cur.kind != "id") err("expected constructor name after new")
-        val ctor = eat().text
+        // constructor is a member chain (`new a.b.C(x)`) — calls stay
+        // out so `new f().g()` news on f, then chains on the instance.
+        // The direct recursion re-enters the nesting guard: `new new …`
+        // chains must not stack-overflow past it.
+        exprDepth += 1
+        if (exprDepth > 256)
+          throw new JsException("expression nesting too deep (max 256)")
+        var ctor: Expr = try primary() finally exprDepth -= 1
+        var chaining = true
+        while (chaining) {
+          if (isOp(".")) {
+            eat()
+            if (cur.kind != "id") err("expected property name")
+            ctor = Member(ctor, eat().text)
+          } else if (isOp("[")) {
+            eat(); val k = expr(); expectOp("]"); ctor = IndexE(ctor, k)
+          } else chaining = false
+        }
         // args optional (JS allows `new Date`); consumed HERE so the
         // postfix loop chains methods onto the instance, not the call
         val args = Seq.newBuilder[Expr]
@@ -775,12 +997,22 @@ object MiniJs {
         if (!isOp("}")) {
           var more = true
           while (more) {
+            val wasId = cur.kind == "id"
             val key =
               if (cur.kind == "str" || cur.kind == "id") eat().text
               else if (cur.kind == "num") eat().text
               else err("expected object key")
-            expectOp(":")
-            entries += key -> assignExpr()
+            if (wasId && isOp("(")) {
+              // method shorthand: { m(a) { … } }
+              val (ps, body) = funRest()
+              entries += key -> FunLit(ps, body, key)
+            } else if (wasId && (isOp(",") || isOp("}"))) {
+              // property shorthand: { a, b } reads the bindings
+              entries += key -> Ident(key)
+            } else {
+              expectOp(":")
+              entries += key -> assignExpr()
+            }
             if (isOp(",")) eat() else more = false
           }
         }

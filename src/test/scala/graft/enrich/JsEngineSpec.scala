@@ -548,9 +548,14 @@ class JsEngineSpec extends SparkSpec {
     assert(run(
       """function f() { var o = new Object(); o.k = 1; return o.k; }""",
       "f") == 1L)
+    // new on a script function is supported now — bare instances are
+    // plain objects; an UNDEFINED constructor is the rejection
+    assert(run(
+      "function T() {} function f() { return JSON.stringify(new T()); }",
+      "f") == "{}")
     val e = intercept[MiniJs.JsException](run(
-      "function T() {} function f() { return new T(); }", "f"))
-    assert(e.getMessage.contains("prototypes"))
+      "function f() { return new Nope(); }", "f"))
+    assert(e.getMessage.contains("not a constructor"))
     // the sandbox bounds a constructed-array bomb
     intercept[MiniJs.SandboxViolation](
       run("function f() { return new Array(2000000000).length; }", "f"))
@@ -830,5 +835,221 @@ class JsEngineSpec extends SparkSpec {
       JsCustomMapper("bad", "c", Seq.empty, Map.empty,
         "function mapper(events { return; }")
     }
+  }
+
+  // ---- this / prototypes / classes (the Nashorn-mapper constructs the
+  // round-7 verdict listed as the remaining gap) ----
+
+  test("this binds on method calls, stays undefined on plain calls") {
+    assert(run(
+      """var o = {x: 41, m: function() { return this.x + 1; }};
+        |function f() { return o.m(); }""".stripMargin, "f") == 42L)
+    assert(run(
+      """var o = {x: 1, m: function() { return this; }};
+        |function f() { var g = o.m; return typeof g(); }""".stripMargin,
+      "f") == "undefined")
+    // index-call binds this exactly like member-call
+    assert(run(
+      """var o = {x: 7, m: function() { return this.x; }};
+        |function f() { return o['m'](); }""".stripMargin, "f") == 7L)
+  }
+
+  test("arrow functions capture lexical this; functions do not") {
+    assert(run(
+      """var o = {x: 10, m: function() {
+        |  var inc = () => this.x + 1;
+        |  return inc();
+        |}};
+        |function f() { return o.m(); }""".stripMargin, "f") == 11L)
+    assert(run(
+      """var o = {x: 10, m: function() {
+        |  var inc = function() { return typeof this; };
+        |  return inc();
+        |}};
+        |function f() { return o.m(); }""".stripMargin, "f") == "undefined")
+  }
+
+  test("new on a script function builds on its prototype") {
+    val code =
+      """function Point(x, y) { this.x = x; this.y = y; }
+        |Point.prototype.norm1 = function() {
+        |  return Math.abs(this.x) + Math.abs(this.y);
+        |};
+        |function f() {
+        |  var p = new Point(3, -4);
+        |  return p.norm1() + ':' + (p instanceof Point) +
+        |    ':' + JSON.stringify(p);
+        |}""".stripMargin
+    // JSON/enumeration see OWN properties only — methods stay off the
+    // wire exactly like non-enumerable JS class methods
+    assert(run(code, "f") == "7:true:{\"x\":3,\"y\":-4}")
+  }
+
+  test("constructor object return overrides the instance; primitives do not") {
+    assert(run(
+      """function A() { this.k = 1; return {k: 99}; }
+        |function B() { this.k = 1; return 42; }
+        |function f() { return new A().k + ':' + new B().k; }""".stripMargin,
+      "f") == "99:1")
+  }
+
+  test("class declaration: constructor, methods, statics, instanceof") {
+    val code =
+      """class Counter {
+        |  constructor(start) { this.n = start; }
+        |  bump(by) { this.n += by; return this.n; }
+        |  static origin() { return new Counter(0); }
+        |}
+        |function f() {
+        |  var c = Counter.origin();
+        |  c.bump(2); c.bump(3);
+        |  return c.n + ':' + (c instanceof Counter);
+        |}""".stripMargin
+    assert(run(code, "f") == "5:true")
+  }
+
+  test("class extends: super constructor, super method, chain instanceof") {
+    val code =
+      """class Base {
+        |  constructor(tag) { this.tag = tag; }
+        |  describe() { return 'base:' + this.tag; }
+        |}
+        |class Derived extends Base {
+        |  constructor(tag, extra) { super(tag); this.extra = extra; }
+        |  describe() { return super.describe() + '+' + this.extra; }
+        |}
+        |function f() {
+        |  var d = new Derived('t', 'e');
+        |  return d.describe() + ':' + (d instanceof Base) +
+        |    ':' + (d instanceof Derived);
+        |}""".stripMargin
+    assert(run(code, "f") == "base:t+e:true:true")
+  }
+
+  test("ctor-less derived class forwards constructor arguments") {
+    assert(run(
+      """class A { constructor(x, y) { this.sum = x + y; } }
+        |class B extends A { label() { return 'B' + this.sum; } }
+        |function f() { return new B(20, 22).label(); }""".stripMargin,
+      "f") == "B42")
+  }
+
+  test("inherited methods resolve through the chain; writes shadow own") {
+    assert(run(
+      """class A { hello() { return 'A'; } }
+        |class B extends A { }
+        |function f() {
+        |  var b = new B();
+        |  var viaChain = b.hello();
+        |  b.hello = function() { return 'own'; };
+        |  return viaChain + ':' + b.hello() + ':' + new B().hello();
+        |}""".stripMargin, "f") == "A:own:A")
+  }
+
+  test("call / apply / bind") {
+    assert(run(
+      """function who() { return this.name; }
+        |function f() {
+        |  var a = who.call({name: 'c'});
+        |  var b = who.apply({name: 'ap'}, []);
+        |  var g = who.bind({name: 'bo'});
+        |  function add(x, y) { return x + y; }
+        |  var add5 = add.bind(undefined, 5);
+        |  return a + ':' + b + ':' + g() + ':' + add5(37);
+        |}""".stripMargin, "f") == "c:ap:bo:42")
+  }
+
+  test("in operator: own, inherited, array index; hasOwnProperty is own-only") {
+    assert(run(
+      """class A { m() { return 1; } }
+        |function f() {
+        |  var a = new A();
+        |  a.own = 1;
+        |  var arr = [10, 20];
+        |  return ('own' in a) + ':' + ('m' in a) + ':' +
+        |    a.hasOwnProperty('own') + ':' + a.hasOwnProperty('m') + ':' +
+        |    (1 in arr) + ':' + (2 in arr);
+        |}""".stripMargin, "f") == "true:true:true:false:true:false")
+  }
+
+  test("Object.create and getPrototypeOf") {
+    assert(run(
+      """function f() {
+        |  var proto = {greet: function() { return 'hi ' + this.name; }};
+        |  var o = Object.create(proto);
+        |  o.name = 'x';
+        |  return o.greet() + ':' +
+        |    (Object.getPrototypeOf(o) === proto) + ':' +
+        |    JSON.stringify(Object.keys(o));
+        |}""".stripMargin, "f") == "hi x:true:[\"name\"]")
+  }
+
+  test("parameter defaults and destructuring parameters") {
+    assert(run(
+      """function f(a, b = a + 1) { return a * 10 + b; }""", "f", 3L) == 34L)
+    assert(run(
+      """function pick({id, name = 'anon'}, [first = 0]) {
+        |  return id + ':' + name + ':' + first;
+        |}
+        |function f() { return pick({id: 7}, []); }""".stripMargin,
+      "f") == "7:anon:0")
+    assert(run(
+      """var g = ({a, b} = {a: 1, b: 2}) => a + b;
+        |function f() { return g() + g({a: 10, b: 20}); }""".stripMargin,
+      "f") == 33L)
+  }
+
+  test("object literal property and method shorthand") {
+    assert(run(
+      """function f() {
+        |  var a = 1, b = 2;
+        |  var o = {a, b, sum(extra) { return this.a + this.b + extra; }};
+        |  return o.sum(39);
+        |}""".stripMargin, "f") == 42L)
+  }
+
+  test("for..in over a class instance enumerates own properties only") {
+    assert(run(
+      """class A { constructor() { this.x = 1; this.y = 2; } m() {} }
+        |function f() {
+        |  var keys = [];
+        |  for (var k in new A()) { keys.push(k); }
+        |  return keys.join(',');
+        |}""".stripMargin, "f") == "x,y")
+  }
+
+  test("reserved words and super misuse are parse errors") {
+    intercept[MiniJs.JsException](run("function f() { var this = 1; }", "f"))
+    intercept[MiniJs.JsException](run("function f(super) { return 1; }", "f"))
+    intercept[MiniJs.JsException](
+      run("function f() { super.m(); }", "f"))
+    // new on an arrow is a runtime TypeError-shape, not a crash
+    intercept[MiniJs.JsException](
+      run("var g = () => 1; function f() { return new g(); }", "f"))
+  }
+
+  test("constructors honor the step budget like any other code") {
+    intercept[MiniJs.SandboxViolation](
+      JsCodeCompiler.createEngine(
+        """function Hog() { while (true) { this.x = 1; } }
+          |function f() { return new Hog(); }""".stripMargin,
+        maxSteps = 10000).invoke("f"))
+  }
+
+  test("shadowing a built-in constructor name prefers the script binding") {
+    assert(run(
+      """var Date = function(ms) { this.ms = ms; };
+        |Date.prototype.tag = function() { return 'script:' + this.ms; };
+        |function f() { return new Date(5).tag(); }""".stripMargin,
+      "f") == "script:5")
+  }
+
+  test("instances cross the host boundary as own-property maps") {
+    val eng = JsCodeCompiler.createEngine(
+      """class Row { constructor(k, v) { this.key = k; this.value = v; }
+        |  hidden() { return 1; } }
+        |function f(k) { return new Row(k, k + '!'); }""".stripMargin)
+    val out = eng.fromJs(eng.invoke("f", "a"))
+    assert(out == Map("key" -> "a", "value" -> "a!"))
   }
 }
