@@ -232,6 +232,16 @@ object UaRules {
     RefererRule("gmail", "^mail\\.google\\.", "email"),
     RefererRule("outlook", "^outlook\\.|(^|\\.)live\\.com$", "email"),
     RefererRule("yahoo-mail", "^mail\\.yahoo\\.", "email"),
+    RefererRule("yandex-mail", "^mail\\.yandex\\.", "email"),
+    RefererRule("mail-ru", "^e\\.mail\\.ru$", "email"),
+    RefererRule("aol-mail", "^mail\\.aol\\.", "email"),
+    RefererRule("proton-mail", "^mail\\.proton\\.me$|(^|\\.)protonmail\\.com$", "email"),
+    RefererRule("zoho-mail", "^mail\\.zoho\\.", "email"),
+    RefererRule("gmx", "^(navigator-bs\\.gmx\\.|.*\\.mail\\.gmx\\.)|^gmx\\.(com|net|de)$", "email"),
+    RefererRule("web-de", "^3c(-bap)?\\.web\\.de$|^web\\.de$", "email"),
+    RefererRule("fastmail", "(^|\\.)fastmail\\.com$", "email"),
+    RefererRule("orange-webmail", "^webmail\\.orange\\.", "email"),
+    RefererRule("comcast-webmail", "(^|\\.)mail\\.comcast\\.net$", "email"),
     // search engines
     RefererRule("google", "(^|\\.)google\\.", "search"),
     RefererRule("bing", "(^|\\.)bing\\.", "search"),
@@ -251,6 +261,25 @@ object UaRules {
     RefererRule("so", "(^|\\.)so\\.com$", "search"),
     RefererRule("rambler", "(^|\\.)rambler\\.", "search"),
     RefererRule("brave", "^search\\.brave\\.", "search"),
+    RefererRule("mail-ru-search", "^go\\.mail\\.ru$", "search"),
+    RefererRule("lycos", "(^|\\.)lycos\\.", "search"),
+    RefererRule("excite", "(^|\\.)excite\\.", "search"),
+    RefererRule("mojeek", "(^|\\.)mojeek\\.com$", "search"),
+    RefererRule("kagi", "(^|\\.)kagi\\.com$", "search"),
+    RefererRule("dogpile", "(^|\\.)dogpile\\.com$", "search"),
+    RefererRule("webcrawler", "(^|\\.)webcrawler\\.com$", "search"),
+    RefererRule("metager", "(^|\\.)metager\\.", "search"),
+    RefererRule("searx", "(^|\\.)searx\\.", "search"),
+    RefererRule("presearch", "(^|\\.)presearch\\.", "search"),
+    RefererRule("onet", "^szukaj\\.onet\\.pl$", "search"),
+    RefererRule("wp-pl", "^szukaj\\.wp\\.pl$", "search"),
+    RefererRule("interia", "^szukaj\\.interia\\.pl$", "search"),
+    RefererRule("virgilio", "^search\\.virgilio\\.it$", "search"),
+    RefererRule("libero", "^arianna\\.libero\\.it$", "search"),
+    RefererRule("goo", "^search\\.goo\\.ne\\.jp$", "search"),
+    RefererRule("biglobe", "(^|\\.)search\\.biglobe\\.ne\\.jp$", "search"),
+    RefererRule("najdi", "(^|\\.)najdi\\.si$", "search"),
+    RefererRule("centrum", "^search\\.centrum\\.cz$", "search"),
     // social networks
     RefererRule("facebook", "(^|\\.)facebook\\.|^fb\\.me$", "social"),
     RefererRule("twitter", "(^|\\.)twitter\\.|(^|\\.)t\\.co$|(^|\\.)x\\.com$", "social"),
@@ -269,9 +298,32 @@ object UaRules {
     RefererRule("whatsapp", "(^|\\.)whatsapp\\.", "social"),
     RefererRule("telegram", "(^|\\.)telegram\\.|^t\\.me$", "social"),
     RefererRule("twitch", "(^|\\.)twitch\\.tv$", "social"),
-    RefererRule("mastodon", "(^|\\.)mastodon\\.", "social"))
+    RefererRule("mastodon", "(^|\\.)mastodon\\.", "social"),
+    RefererRule("bluesky", "(^|\\.)bsky\\.app$", "social"),
+    RefererRule("medium", "(^|\\.)medium\\.com$", "social"),
+    RefererRule("hackernews", "^news\\.ycombinator\\.com$", "social"),
+    RefererRule("github", "(^|\\.)github\\.com$", "social"),
+    RefererRule("slack", "(^|\\.)slack\\.com$", "social"),
+    RefererRule("discord", "(^|\\.)discord(app)?\\.com$", "social"),
+    RefererRule("line", "(^|\\.)line\\.me$", "social"),
+    RefererRule("kakao", "(^|\\.)kakao\\.com$", "social"),
+    RefererRule("wechat", "(^|\\.)weixin\\.qq\\.com$", "social"),
+    RefererRule("qzone", "(^|\\.)qzone\\.qq\\.com$", "social"),
+    RefererRule("odnoklassniki", "(^|\\.)ok\\.ru$", "social"),
+    RefererRule("douban", "(^|\\.)douban\\.com$", "social"),
+    RefererRule("zhihu", "(^|\\.)zhihu\\.com$", "social"),
+    RefererRule("bilibili", "(^|\\.)bilibili\\.com$", "social"),
+    RefererRule("nicovideo", "(^|\\.)nicovideo\\.jp$", "social"),
+    RefererRule("dailymotion", "(^|\\.)dailymotion\\.com$", "social"),
+    RefererRule("vimeo", "(^|\\.)vimeo\\.com$", "social"),
+    RefererRule("flickr", "(^|\\.)flickr\\.com$", "social"),
+    RefererRule("meetup", "(^|\\.)meetup\\.com$", "social"),
+    RefererRule("xing", "(^|\\.)xing\\.com$", "social"),
+    RefererRule("nextdoor", "(^|\\.)nextdoor\\.com$", "social"),
+    RefererRule("viber", "(^|\\.)viber\\.com$", "social"))
 
   /** Search-term query parameters, tried in order (q: most engines,
-    * p: yahoo, text: yandex, wd: baidu, query: naver/daum/seznam). */
-  val termParams: Seq[String] = Seq("q", "p", "text", "wd", "query")
+    * p: yahoo, text: yandex, wd/word: baidu, query: naver/daum/seznam,
+    * MT: goo). */
+  val termParams: Seq[String] = Seq("q", "p", "text", "wd", "word", "query", "MT")
 }

@@ -222,7 +222,7 @@ class MappersSpec extends SparkSpec {
     val rows = Seq(
       "https://www.google.com/search?q=spark+engine",
       "https://myapp.example.com/home",
-      "https://news.ycombinator.com/item?id=1",
+      "https://some.unknown-blog.example.org/post/1",
       "not a url ::")
       .toDF("_referrer")
     val out = ReferrerMapper(Seq("myapp.example.com")).apply(rows).collect()
@@ -234,6 +234,31 @@ class MappersSpec extends SparkSpec {
     assert(out(1).getAs[String]("_referrer_domain") == null) // suppressed
     assert(out(2).getAs[String]("_referrer_medium") == "unknown")
     assert(out(3).getAs[String]("_referrer_medium") == null) // unparseable
+  }
+
+  test("M3: long-tail families from the broadened referers table") {
+    val cases = Seq(
+      ("https://e.mail.ru/inbox/", "mail-ru", "email"),
+      ("https://mail.proton.me/u/0/", "proton-mail", "email"),
+      ("https://mail.zoho.com/zm/", "zoho-mail", "email"),
+      ("https://go.mail.ru/search?q=term", "mail-ru-search", "search"),
+      ("https://www.mojeek.com/search?q=x", "mojeek", "search"),
+      ("https://kagi.com/search?q=x", "kagi", "search"),
+      ("https://szukaj.onet.pl/wyniki?q=x", "onet", "search"),
+      ("https://search.goo.ne.jp/web.jsp?MT=term", "goo", "search"),
+      ("https://news.ycombinator.com/item?id=1", "hackernews", "social"),
+      ("https://medium.com/@a/post", "medium", "social"),
+      ("https://bsky.app/profile/x", "bluesky", "social"),
+      ("https://www.zhihu.com/question/1", "zhihu", "social"),
+      ("https://ok.ru/profile/1", "odnoklassniki", "social"),
+      ("https://discordapp.com/channels/1", "discord", "social"))
+    val out = ReferrerMapper().apply(cases.map(_._1).toDF("_referrer")).collect()
+    cases.zipWithIndex.foreach { case ((url, src, medium), i) =>
+      assert(out(i).getAs[String]("_referrer_source") == src, s"source of $url")
+      assert(out(i).getAs[String]("_referrer_medium") == medium, s"medium of $url")
+    }
+    // goo's MT search-term parameter is in the widened term set
+    assert(out(7).getAs[String]("_referrer_term") == "term")
   }
 
   test("M4: maxmind field set — timezone/isp/connection_type enrich too") {
