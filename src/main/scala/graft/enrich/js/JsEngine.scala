@@ -187,7 +187,11 @@ final class JsEngine(code: String, globals: Map[String, Any],
     },
     "JSON" -> new HostObject {
       def invoke(m: String, a: Seq[Any]): Any = m match {
-        case "stringify" => JsJson.stringify(a.head)
+        case "stringify" => a.headOption.getOrElse(Undefined) match {
+          // JS: stringify of a bare function (or undefined) is undefined
+          case _: Closure | _: Bound | Undefined => Undefined
+          case v => JsJson.stringify(v)
+        }
         case "parse" => JsJson.parse(str(a.head))
         case other => throw new JsException(s"JSON.$other is not supported")
       }
@@ -1408,16 +1412,27 @@ private[js] object JsJson {
     case Undefined | null => null
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
       val o = new java.util.LinkedHashMap[String, Any]()
-      m.foreach { case (k, x) => o.put(k, toJackson(x)) }
+      // JS omits function- and undefined-valued properties from objects
+      // (they become null only inside arrays); letting a Closure reach
+      // Jackson would be an uncatchable empty-bean failure
+      m.foreach { case (k, x) => x match {
+        case _: Closure | _: Bound | Undefined => ()
+        case _ => o.put(k, toJackson(x))
+      } }
       o
     case a: mutable.ArrayBuffer[Any @unchecked] =>
       val l = new java.util.ArrayList[Any]()
-      a.foreach(x => l.add(toJackson(x)))
+      a.foreach {
+        case _: Closure | _: Bound => l.add(null)
+        case x => l.add(toJackson(x))
+      }
       l
     // JSON.stringify(date) is its toJSON — the ISO string, or null for
     // an Invalid Date; passing the raw class through would hit
     // Jackson's empty-bean failure, uncatchable from a script
     case d: JsEngine.JsDate => if (d.valid) d.isoString else null
+    // a regex has no JSON representation: `{}` per JS
+    case _: JsEngine.JsRegex => new java.util.LinkedHashMap[String, Any]()
     case other => other
   }
 

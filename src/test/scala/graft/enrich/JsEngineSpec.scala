@@ -1044,6 +1044,22 @@ class JsEngineSpec extends SparkSpec {
       "f") == "script:5")
   }
 
+  test("JSON.stringify omits functions/undefined in objects, nulls them in arrays") {
+    assert(run(
+      """function f() {
+        |  var o = {a: 1, fn: function() {}, u: undefined, re: /x/g};
+        |  return JSON.stringify(o) + ':' +
+        |    JSON.stringify([1, function() {}, undefined]) + ':' +
+        |    typeof JSON.stringify(function() {});
+        |}""".stripMargin, "f") == "{\"a\":1,\"re\":{}}:[1,null,null]:undefined")
+    // an instance whose ctor stores a function as an OWN property must
+    // stringify (omitting it), not crash in the serializer
+    assert(run(
+      """function W() { this.v = 2; this.fn = function() {}; }
+        |function f() { return JSON.stringify(new W()); }""".stripMargin,
+      "f") == "{\"v\":2}")
+  }
+
   test("instances cross the host boundary as own-property maps") {
     val eng = JsCodeCompiler.createEngine(
       """class Row { constructor(k, v) { this.key = k; this.value = v; }
