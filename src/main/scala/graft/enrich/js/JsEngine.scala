@@ -433,11 +433,17 @@ final class JsEngine(code: String, globals: Map[String, Any],
           case Some(c: Closure) => constructUser(c, args)
           case Some(_: Bound) =>
             throw new JsException("new on a bound function is not supported")
-          case _ => ctorE match {
+          // unshadowed name (or the built-in host binding itself) → the
+          // built-in constructor set; any OTHER shadowing value is the
+          // JS "not a constructor" TypeError, not a silent fallback
+          case None | Some(_: HostObject) => ctorE match {
             case Ident(n) => construct(n, args)
             case _ =>
               throw new JsException("new target is not a constructor")
           }
+          case Some(other) =>
+            throw new JsException(
+              s"${jsToString(other)} is not a constructor")
         }
       case Member(t, name) => readMember(eval(t, env), name)
       case IndexE(t, k) => readIndex(eval(t, env), eval(k, env))
@@ -551,6 +557,8 @@ final class JsEngine(code: String, globals: Map[String, Any],
     callValue(c, args, thisVal = obj) match {
       case r: mutable.LinkedHashMap[_, _] => r
       case r: mutable.ArrayBuffer[_] => r
+      case r: JsEngine.JsDate => r // dates/hosts are objects too — they
+      case r: HostObject => r //      override like any object return
       case _ => obj
     }
   }

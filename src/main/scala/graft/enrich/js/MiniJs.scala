@@ -50,9 +50,10 @@ import scala.collection.mutable
   * operation forces a double — so ids survive a get/set round-trip,
   * which pure-double JS semantics would corrupt.
   * Still out of scope: generators, `async`, class expressions/fields/
-  * getters/setters, `new.target`, `new` on bound functions, bare
-  * (non-declaration) destructuring assignments, and `arguments` (a
-  * ctor-less derived class forwards 8 positional parameters —
+  * getters/setters, `new.target`, `new` on bound functions, static
+  * inheritance (`B.staticOfA()` — `super.m(…)` inside a static works),
+  * bare (non-declaration) destructuring assignments, and `arguments`
+  * (a ctor-less derived class forwards 8 positional parameters —
   * observationally equivalent without `arguments` to count them).
   */
 object MiniJs {
@@ -585,7 +586,9 @@ object MiniJs {
             if (isStatic) eat()
             if (cur.kind != "id") err("expected method name in class body")
             val mName = eat().text
-            val (ps, body) = funRest()
+            val savedStatic = superStatic
+            superStatic = isStatic
+            val (ps, body) = try funRest() finally superStatic = savedStatic
             if (mName == "constructor" && !isStatic) {
               if (ctor.isDefined) err("duplicate constructor")
               ctor = Some((ps, body))
@@ -630,6 +633,11 @@ object MiniJs {
     /** The synthetic superclass binding of the class body being parsed
       * (None outside a derived class) — drives `super` rewriting. */
     private var superName: Option[String] = None
+
+    /** True while parsing a STATIC method body: there `super.m(…)`
+      * resolves to the parent's statics (`Sup.m`), not its prototype,
+      * and `super(…)` is illegal — the JS rules. */
+    private var superStatic: Boolean = false
 
     private def ifStmt(): Stmt = {
       expectOp("("); val c = expr(); expectOp(")")
@@ -945,15 +953,20 @@ object MiniJs {
           expectOp(")")
           args.result()
         }
-        if (isOp("(")) // super(args) → Sup.call(this, args)
+        if (isOp("(")) { // super(args) → Sup.call(this, args)
+          if (superStatic) err("super(...) is not valid in a static method")
           Call(Member(Ident(sup), "call"), ThisE +: callArgs())
-        else if (isOp(".")) { // super.m(args) → Sup.prototype.m.call(this, args)
+        } else if (isOp(".")) {
+          // super.m(args) → Sup.prototype.m.call(this, args) in instance
+          // methods; Sup.m.call(this, args) in statics (the JS rule)
           eat()
           if (cur.kind != "id") err("expected method name after super.")
           val m = eat().text
           if (!isOp("(")) err("super properties must be called (super.m(...))")
-          Call(Member(Member(Member(Ident(sup), "prototype"), m), "call"),
-            ThisE +: callArgs())
+          val fn =
+            if (superStatic) Member(Ident(sup), m)
+            else Member(Member(Ident(sup), "prototype"), m)
+          Call(Member(fn, "call"), ThisE +: callArgs())
         } else err("expected super(...) or super.method(...)")
       }
       else if (isKw("new")) {

@@ -1044,6 +1044,32 @@ class JsEngineSpec extends SparkSpec {
       "f") == "script:5")
   }
 
+  test("static super resolves to parent statics; super() is illegal there") {
+    assert(run(
+      """class A { static tag() { return 'A' + this.suffix(); }
+        |  static suffix() { return '!'; } }
+        |class B extends A {
+        |  static suffix() { return '?'; }
+        |  static tag() { return 'B>' + super.tag(); }
+        |}
+        |function f() { return B.tag(); }""".stripMargin, "f") == "B>A?")
+    intercept[MiniJs.JsException](run(
+      """class A {}
+        |class B extends A { static bad() { super(); } }
+        |function f() { return 1; }""".stripMargin, "f"))
+  }
+
+  test("new on a non-function shadowing value is a TypeError, not a fallback") {
+    val e = intercept[MiniJs.JsException](run(
+      "var RegExp = 5; function f() { return new RegExp('x'); }", "f"))
+    assert(e.getMessage.contains("not a constructor"))
+    // a constructor returning a Date overrides the instance (object rule)
+    assert(run(
+      """function C() { return new Date(86400000); }
+        |function f() { return new C().getTime(); }""".stripMargin,
+      "f") == 86400000L)
+  }
+
   test("JSON.stringify omits functions/undefined in objects, nulls them in arrays") {
     assert(run(
       """function f() {
