@@ -319,7 +319,35 @@ final class JsEngine(code: String, globals: Map[String, Any],
         }
       case ForInS(name, objE, body) =>
         val keys: Seq[Any] = eval(objE, env) match {
-          case m: mutable.LinkedHashMap[String @unchecked, _] => m.keys.toSeq
+          case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+            // own keys first (all of them — own function props are
+            // enumerable in JS), then inherited DATA properties up the
+            // chain; function-valued inherited props are skipped, which
+            // models class methods being non-enumerable. Metered: an
+            // Object.create chain can be long.
+            val seen = mutable.LinkedHashSet.empty[String]
+            m.keys.foreach { k => tick(); seen += k }
+            var cur: Any = m match {
+              case j: JsObj => j.proto
+              case _ => Undefined
+            }
+            var going = true
+            while (going) cur match {
+              case o: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+                o.foreach { case (k, v) =>
+                  tick()
+                  v match {
+                    case _: Closure | _: Bound => ()
+                    case _ => seen += k
+                  }
+                }
+                cur = o match {
+                  case j: JsObj => j.proto
+                  case _ => Undefined
+                }
+              case _ => going = false
+            }
+            seen.toSeq
           case a: mutable.ArrayBuffer[_] => (0L until a.length.toLong)
           case s: String => (0L until s.length.toLong)
           case null | Undefined => Seq.empty // JS: for-in over null is a no-op
@@ -417,10 +445,32 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case FunLit(ps, body, name, isArrow) =>
         Closure(ps, body, env, name, isArrow)
       case ThisE => env.lookup("this").getOrElse(Undefined)
+      case SuperE(bind, methodOpt, static, argEs) =>
+        val sup = env.lookup(bind).getOrElse(
+          throw new JsException("superclass binding is missing"))
+        val thisV = env.lookup("this").getOrElse(Undefined)
+        val fn = methodOpt match {
+          case None => sup // super(...): the parent constructor itself
+          case Some(m) => sup match {
+            case c: Closure =>
+              val found =
+                if (static) c.propsIfAny.flatMap(_.get(m)).getOrElse(Undefined)
+                else memberLookup(prototypeOf(c), m)
+              found match {
+                case Undefined =>
+                  throw new JsException(s"super.$m is not a function")
+                case f => f
+              }
+            case _ =>
+              throw new JsException("superclass is not a script function")
+          }
+        }
+        callValue(fn, argEs.map(eval(_, env)), thisVal = thisV)
       case RegexL(p, f) => JsEngine.regexValue(p, f)
       case NewE(ctorE, argEs) =>
-        val args = argEs.map(eval(_, env))
-        // a script binding (even one shadowing a built-in name) wins;
+        // constructor resolves BEFORE arguments evaluate (JS order: an
+        // invalid constructor errors before argument side effects run);
+        // a script binding (even one shadowing a built-in name) wins,
         // otherwise an Ident falls to the built-in constructor set
         val resolved: Option[Any] = ctorE match {
           case Ident(n) =>
@@ -429,15 +479,25 @@ final class JsEngine(code: String, globals: Map[String, Any],
             env.lookup(n)
           case other => Some(eval(other, env))
         }
+        def args = argEs.map(eval(_, env))
         resolved match {
           case Some(c: Closure) => constructUser(c, args)
           case Some(_: Bound) =>
             throw new JsException("new on a bound function is not supported")
           // unshadowed name (or the built-in host binding itself) → the
           // built-in constructor set; any OTHER shadowing value is the
-          // JS "not a constructor" TypeError, not a silent fallback
+          // JS "not a constructor" TypeError, not a silent fallback.
+          // A name that is neither bound nor a built-in errors BEFORE
+          // the arguments evaluate (the JS reference-error order).
           case None | Some(_: HostObject) => ctorE match {
-            case Ident(n) => construct(n, args)
+            case Ident(n) =>
+              if (!JsEngine.builtinCtors(n)) {
+                if (resolved.isEmpty)
+                  throw new JsException(s"'$n' is not defined")
+                else // a bound host that isn't a constructor (Math, JSON)
+                  throw new JsException(s"'$n' is not a constructor")
+              }
+              construct(n, args)
             case _ =>
               throw new JsException("new target is not a constructor")
           }
@@ -483,6 +543,22 @@ final class JsEngine(code: String, globals: Map[String, Any],
             case _: Closure | _: Bound => "function"
             case _ => "object"
           }
+        }
+      case Bin("instanceof", le, re) =>
+        // the Nashorn-era idioms `x instanceof Array` / `e instanceof
+        // Error` must work: when the RHS is an unshadowed built-in
+        // name, classify by VALUE SHAPE; a script-function RHS walks
+        // the prototype chain in binop
+        val lv = eval(le, env)
+        re match {
+          case Ident(n) => env.lookup(n) match {
+            case Some(_: HostObject) => builtinInstance(lv, n)
+            case None if JsEngine.builtinCtors(n) => builtinInstance(lv, n)
+            case None =>
+              throw new JsException(s"'$n' is not defined")
+            case Some(v) => binop("instanceof", lv, v)
+          }
+          case _ => binop("instanceof", lv, eval(re, env))
         }
       case Bin("&&", l, r) =>
         val lv = eval(l, env); if (!truthy(lv)) lv else eval(r, env)
@@ -533,8 +609,25 @@ final class JsEngine(code: String, globals: Map[String, Any],
         try { body.foreach(exec(_, scope)); Undefined }
         catch { case ReturnEx(v) => v }
       } finally depth -= 1
-    case Bound(target, boundThis, pre) =>
-      callValue(target, pre ++ args, boundThis)
+    case b: Bound =>
+      // iterative unwrap, metered per level AND per prepended argument:
+      // a bind-chain built within the step budget must not buy a single
+      // unmetered O(n²) call (or a StackOverflowError on deep recursion)
+      var target: Any = b
+      var acc = args
+      var boundThis: Any = Undefined
+      while (target.isInstanceOf[Bound]) {
+        val bb = target.asInstanceOf[Bound]
+        tick()
+        acc = bb.pre ++ acc
+        // charge the full concat width: n levels × n args is O(n²)
+        // actual work, so it must cost O(n²) budget, not O(n)
+        acc.foreach(_ => tick())
+        boundThis = bb.thisVal
+        target = bb.target
+      }
+      // JS: the innermost bind fixed `this`; later binds can't rebind it
+      callValue(target, acc, boundThis)
     case h: HostObject => h.invoke("__call__", args)
     case other => throw new JsException(s"${jsToString(other)} is not a function")
   }
@@ -563,16 +656,41 @@ final class JsEngine(code: String, globals: Map[String, Any],
     }
   }
 
+  /** `x instanceof <built-in name>` classified by value shape (there
+    * are no wrapper objects here, and the built-in constructors are
+    * host singletons with no .prototype identity to walk to). */
+  private def builtinInstance(v: Any, name: String): Boolean = name match {
+    case "Array" => v.isInstanceOf[mutable.ArrayBuffer[_]]
+    case "Date" => v.isInstanceOf[JsEngine.JsDate]
+    case "RegExp" => v.isInstanceOf[JsEngine.JsRegex]
+    case n if JsEngine.errorNames(n) => v match {
+      case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+        m.get("name") match {
+          case Some(s: String) =>
+            if (n == "Error") JsEngine.errorNames(s) else s == n
+          case _ => false
+        }
+      case _ => false
+    }
+    case "Object" => v match {
+      case null | Undefined => false
+      case _: String | _: Long | _: Double | _: java.lang.Boolean => false
+      case _ => true // objects, arrays, functions, dates, regexes, hosts
+    }
+    case _ => false // Math, JSON, String, Number, … — no instances here
+  }
+
   /** Member lookup through the prototype chain. Own properties first;
     * only [[JsObj]] carries a link, so plain-object behavior (and cost)
-    * is untouched. Chains cannot cycle — see [[JsObj]]. */
+    * is untouched. Chains cannot cycle — see [[JsObj]] — but they can
+    * be LONG (an Object.create loop), so each hop is metered. */
   @annotation.tailrec
   private def memberLookup(o: Any, name: String): Any = o match {
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
       m.get(name) match {
         case Some(v) => v
         case None => m match {
-          case j: JsObj => memberLookup(j.proto, name)
+          case j: JsObj => tick(); memberLookup(j.proto, name)
           case _ => Undefined
         }
       }
@@ -1121,6 +1239,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
             @annotation.tailrec
             def walk(o: Any): Boolean = o match {
               case j: JsObj =>
+                tick() // long Object.create chains stay metered
                 (j.proto match {
                   case p: AnyRef => p eq proto.asInstanceOf[AnyRef]
                   case _ => false
@@ -1142,7 +1261,17 @@ final class JsEngine(code: String, globals: Map[String, Any],
             case _ => false
           })
         case a: mutable.ArrayBuffer[_] =>
-          val i = jsIndex(l); i >= 0 && i < a.length
+          // only a genuine integer index (or 'length') can be present —
+          // NaN must NOT coerce to index 0 ('foo' in arr is false)
+          l match {
+            case s: String =>
+              s == "length" ||
+                s.toLongOption.exists(i => i >= 0 && i < a.length)
+            case n if isNum(n) =>
+              val d = num(n)
+              !d.isNaN && d.isWhole && d >= 0 && d < a.length
+            case _ => false
+          }
         case other =>
           throw new JsException(
             s"cannot use 'in' on ${jsToString(other)}")
@@ -1184,6 +1313,16 @@ object JsEngine {
     * script legitimately builds, far below anything that could OOM an
     * executor in one interpreter step. */
   val MaxArrayLength: Long = 1 << 20
+
+  /** Names the `new` evaluator accepts as built-in constructors when no
+    * script binding shadows them. */
+  val builtinCtors: Set[String] = Set("Date", "Error", "TypeError",
+    "RangeError", "SyntaxError", "RegExp", "Array", "Object")
+
+  /** The Error-family names — `instanceof Error` accepts any of them
+    * (the JS subclass relation, flattened to our Error object shape). */
+  val errorNames: Set[String] = Set("Error", "TypeError", "RangeError",
+    "SyntaxError")
 
   /** A `new Date(...)` value — epoch millis + validity, UTC semantics
     * for every field accessor (deterministic across executor host

@@ -40,8 +40,10 @@ import scala.collection.mutable
   * `new` over BUILT-IN constructors (`Date` with an injectable UTC
   * clock, the `Error` family, `RegExp`, `Array`, `Object`) AND over
   * script functions (instances carry a prototype link; method lookup
-  * walks the chain; enumeration/JSON see own properties only —
-  * matching JS, where class methods are non-enumerable),
+  * walks the chain; JSON/Object.keys see own properties only and
+  * `for..in` adds inherited NON-function properties — modeling JS,
+  * where class methods are non-enumerable but `Object.create` data
+  * properties enumerate),
   * `F.prototype` wiring, `class` declarations with `extends`,
   * `super(…)`/`super.m(…)` and `static` methods (desugared to the
   * same prototype wiring), `instanceof` and the `in` operator,
@@ -94,11 +96,12 @@ object MiniJs {
   /** An object with a prototype link — created by `new` on a script
     * function, `Object.create`, and class `extends` wiring. It IS a
     * LinkedHashMap, so every existing plain-object code path (JSON,
-    * `for..in`, `Object.keys`, the host boundary) sees exactly the OWN
-    * properties — which matches JS enumeration semantics, since class
-    * methods are non-enumerable there. Member reads walk `proto`.
-    * Chains cannot cycle: every construct that sets `proto` does so on
-    * a freshly created object. */
+    * `Object.keys`, the host boundary) sees exactly the OWN
+    * properties — matching JS, where class methods are non-enumerable.
+    * Member reads and `for..in` walk `proto` (the latter adding
+    * inherited non-function properties, the `Object.create` data
+    * case). Chains cannot cycle: every construct that sets `proto`
+    * does so on a freshly created object. */
   @annotation.nowarn("cat=deprecation") // subclassing is deprecated for a
   // future-final LinkedHashMap; on the Scala this build pins it is the
   // only representation where every existing plain-object match site
@@ -136,6 +139,13 @@ object MiniJs {
     * functions don't bind it, so the lexical lookup falls through to
     * the enclosing method's binding — the JS arrow rule. */
   case object ThisE extends Expr
+  /** `super(…)` / `super.m(…)` — carries the class desugar's synthetic
+    * superclass binding. Evaluated as a DIRECT this-bound call, so a
+    * static method named `call` cannot hijack it (which a
+    * `Sup.call(this, …)` rewrite would allow). `static` selects the
+    * parent's statics instead of its prototype. */
+  final case class SuperE(bind: String, method: Option[String],
+      static: Boolean, args: Seq[Expr]) extends Expr
   final case class Member(target: Expr, name: String) extends Expr
   final case class IndexE(target: Expr, key: Expr) extends Expr
   final case class Call(target: Expr, args: Seq[Expr]) extends Expr
@@ -398,6 +408,10 @@ object MiniJs {
       * expression with nothing trailing. */
     def parseSubExpr(src: String): Expr = {
       val sub = new Parser(lex(src))
+      // the hole is lexically inside the enclosing method — `this` and
+      // `super` must resolve exactly as they would outside the template
+      sub.superName = superName
+      sub.superStatic = superStatic
       val e = sub.expr()
       if (sub.cur.kind != "eof")
         err(s"unexpected tokens after template expression '$src'")
@@ -541,6 +555,20 @@ object MiniJs {
         }
       }
       (ps.result(), prefix.result())
+    }
+
+    /** One parenthesized call-argument list, cursor ON the `(`. */
+    private def argList(): Seq[Expr] = {
+      expectOp("(")
+      val args = Seq.newBuilder[Expr]
+      if (!isOp(")")) {
+        var more = true
+        while (more) {
+          args += assignExpr(); if (isOp(",")) eat() else more = false
+        }
+      }
+      expectOp(")")
+      args.result()
     }
 
     private def funRest(): (Seq[String], Seq[Stmt]) = {
@@ -687,7 +715,7 @@ object MiniJs {
           val v = if (isOp("(")) {
             eat()
             if (cur.kind != "id") err("expected catch binding")
-            val name = eat().text
+            val name = checkName(eat().text)
             expectOp(")")
             Some(name)
           } else None // ES2019 optional catch binding
@@ -711,7 +739,7 @@ object MiniJs {
       }
       if (loopKw.isDefined) {
         if (isKw("var") || isKw("let") || isKw("const")) eat()
-        val name = eat().text
+        val name = checkName(eat().text)
         eat() // 'in' | 'of'
         val obj = expr()
         expectOp(")")
@@ -876,14 +904,7 @@ object MiniJs {
         } else if (isOp("[")) {
           eat(); val k = expr(); expectOp("]"); e = IndexE(e, k)
         } else if (isOp("(")) {
-          eat()
-          val args = Seq.newBuilder[Expr]
-          if (!isOp(")")) {
-            var more = true
-            while (more) { args += assignExpr(); if (isOp(",")) eat() else more = false }
-          }
-          expectOp(")")
-          e = Call(e, args.result())
+          e = Call(e, argList())
         } else if (isOp("++") || isOp("--")) {
           // postfix inc/dec evaluates to the OLD value: rewrite i++ as
           // (i += 1) - 1 — numerically exact for Long and Double, and
@@ -938,35 +959,20 @@ object MiniJs {
       }
       else if (isKw("this")) { eat(); ThisE }
       else if (isKw("super")) {
-        // purely lexical rewrite against the class desugar's synthetic
+        // lexical resolution against the class desugar's synthetic
         // superclass binding; only the two callable forms JS allows
         eat()
         val sup = superName.getOrElse(
           err("'super' is only valid inside a derived class"))
-        def callArgs(): Seq[Expr] = {
-          expectOp("(")
-          val args = Seq.newBuilder[Expr]
-          if (!isOp(")")) {
-            var more = true
-            while (more) { args += assignExpr(); if (isOp(",")) eat() else more = false }
-          }
-          expectOp(")")
-          args.result()
-        }
-        if (isOp("(")) { // super(args) → Sup.call(this, args)
+        if (isOp("(")) {
           if (superStatic) err("super(...) is not valid in a static method")
-          Call(Member(Ident(sup), "call"), ThisE +: callArgs())
+          SuperE(sup, None, static = false, argList())
         } else if (isOp(".")) {
-          // super.m(args) → Sup.prototype.m.call(this, args) in instance
-          // methods; Sup.m.call(this, args) in statics (the JS rule)
           eat()
           if (cur.kind != "id") err("expected method name after super.")
           val m = eat().text
           if (!isOp("(")) err("super properties must be called (super.m(...))")
-          val fn =
-            if (superStatic) Member(Ident(sup), m)
-            else Member(Member(Ident(sup), "prototype"), m)
-          Call(Member(fn, "call"), ThisE +: callArgs())
+          SuperE(sup, Some(m), superStatic, argList())
         } else err("expected super(...) or super.method(...)")
       }
       else if (isKw("new")) {
@@ -991,16 +997,7 @@ object MiniJs {
         }
         // args optional (JS allows `new Date`); consumed HERE so the
         // postfix loop chains methods onto the instance, not the call
-        val args = Seq.newBuilder[Expr]
-        if (isOp("(")) {
-          eat()
-          if (!isOp(")")) {
-            var more = true
-            while (more) { args += assignExpr(); if (isOp(",")) eat() else more = false }
-          }
-          expectOp(")")
-        }
-        NewE(ctor, args.result())
+        NewE(ctor, if (isOp("(")) argList() else Seq.empty)
       }
       else if (cur.kind == "id") Ident(eat().text)
       else if (isOp("(")) { eat(); val e = expr(); expectOp(")"); e }

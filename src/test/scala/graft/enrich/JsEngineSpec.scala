@@ -555,7 +555,8 @@ class JsEngineSpec extends SparkSpec {
       "f") == "{}")
     val e = intercept[MiniJs.JsException](run(
       "function f() { return new Nope(); }", "f"))
-    assert(e.getMessage.contains("not a constructor"))
+    assert(e.getMessage.contains("'Nope' is not defined")) // the JS
+    // ReferenceError shape; a bound non-constructor says "not a constructor"
     // the sandbox bounds a constructed-array bomb
     intercept[MiniJs.SandboxViolation](
       run("function f() { return new Array(2000000000).length; }", "f"))
@@ -1068,6 +1069,111 @@ class JsEngineSpec extends SparkSpec {
       """function C() { return new Date(86400000); }
         |function f() { return new C().getTime(); }""".stripMargin,
       "f") == 86400000L)
+  }
+
+  test("instanceof works against the built-in constructor names") {
+    assert(run(
+      """function f() {
+        |  var e;
+        |  try { null.x; } catch (err) { e = err; }
+        |  return ([1] instanceof Array) + ':' + ({} instanceof Array) + ':' +
+        |    (new Date(0) instanceof Date) + ':' + (/x/ instanceof RegExp) + ':' +
+        |    (e instanceof Error) + ':' +
+        |    (new TypeError('t') instanceof Error) + ':' +
+        |    (new TypeError('t') instanceof RangeError) + ':' +
+        |    ([] instanceof Object) + ':' + ('s' instanceof Object);
+        |}""".stripMargin,
+      "f") == "true:false:true:true:true:true:false:true:false")
+  }
+
+  test("in on arrays: only genuine indexes (or length), never NaN→0") {
+    assert(run(
+      """function f() {
+        |  var a = [10, 20];
+        |  return ('foo' in a) + ':' + ('0' in a) + ':' + (1.5 in a) +
+        |    ':' + ('length' in a) + ':' + (0 in []);
+        |}""".stripMargin, "f") == "false:true:false:true:false")
+  }
+
+  test("a parent static named call cannot hijack super()") {
+    assert(run(
+      """class A {
+        |  static call() { return 'hijacked'; }
+        |  constructor() { this.k = 1; }
+        |}
+        |class B extends A { constructor() { super(); } }
+        |function f() { return new B().k; }""".stripMargin, "f") == 1L)
+  }
+
+  test("super works inside a template-literal hole") {
+    assert(run(
+      """class A { describe() { return 'a'; } }
+        |class B extends A {
+        |  describe() { return `x:${super.describe()}`; }
+        |}
+        |function f() { return new B().describe(); }""".stripMargin,
+      "f") == "x:a")
+  }
+
+  test("new resolves the constructor before evaluating arguments") {
+    assert(run(
+      """var n = 0;
+        |function g() { n = 1; return 0; }
+        |function f() {
+        |  try { new Missing(g()); } catch (e) {}
+        |  return n;
+        |}""".stripMargin, "f") == 0L)
+  }
+
+  test("for..in yields inherited data properties but not inherited methods") {
+    assert(run(
+      """function f() {
+        |  var proto = {shared: 1, helper: function() {}};
+        |  var o = Object.create(proto);
+        |  o.own = 2;
+        |  var ks = [];
+        |  for (var k in o) { ks.push(k); }
+        |  return ks.sort().join(',');
+        |}""".stripMargin, "f") == "own,shared")
+  }
+
+  test("bind chains stay metered by the step budget") {
+    intercept[MiniJs.SandboxViolation](
+      JsCodeCompiler.createEngine(
+        """function g() { return 1; }
+          |function f() {
+          |  var b = g;
+          |  for (var i = 0; i < 2000; i++) { b = b.bind(null, 1); }
+          |  return b();
+          |}""".stripMargin, maxSteps = 100000).invoke("f"))
+    // a shallow bind chain is fine and sees the innermost this
+    assert(run(
+      """function who() { return this.tag; }
+        |function f() {
+        |  var b = who.bind({tag: 'inner'}).bind({tag: 'outer'});
+        |  return b();
+        |}""".stripMargin, "f") == "inner")
+  }
+
+  test("deep Object.create chains stay metered on miss lookups") {
+    intercept[MiniJs.SandboxViolation](
+      JsCodeCompiler.createEngine(
+        """function f() {
+          |  var p = {};
+          |  for (var i = 0; i < 5000; i++) { p = Object.create(p); }
+          |  var sink = 0;
+          |  for (var j = 0; j < 5000; j++) {
+          |    if (p.nope === undefined) { sink++; }
+          |  }
+          |  return sink;
+          |}""".stripMargin, maxSteps = 200000).invoke("f"))
+  }
+
+  test("reserved words are rejected in catch and loop bindings too") {
+    intercept[MiniJs.JsException](
+      run("function f() { try { } catch (this) { } }", "f"))
+    intercept[MiniJs.JsException](
+      run("function f() { for (this in {a: 1}) { } }", "f"))
   }
 
   test("JSON.stringify omits functions/undefined in objects, nulls them in arrays") {
