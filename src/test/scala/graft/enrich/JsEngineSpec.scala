@@ -735,6 +735,39 @@ class JsEngineSpec extends SparkSpec {
     assert(run("function f(s) { return isNaN(parseInt(s)); }", "f", "nope") == true)
   }
 
+  test("JsCustomMapper: a class-based Nashorn-style mapper runs over a DataFrame") {
+    import spark.implicits._
+    val df = Seq(("u1", 2.0), ("u2", 3.5)).toDF("_user", "amount")
+    // the porting target: a mapper organized as a class with a helper
+    // hierarchy, template literals, destructuring params, and arrows
+    val mapper = JsCustomMapper(
+      name = "classy",
+      collection = "pageview",
+      produced = Seq("label" -> FieldType.STRING, "scaled" -> FieldType.DOUBLE),
+      params = Map("factor" -> "10"),
+      code =
+        """class Scaler {
+          |  constructor(factor) { this.factor = factor; }
+          |  scale(v) { return v * this.factor; }
+          |}
+          |class Labeler extends Scaler {
+          |  constructor({factor = 1}) { super(factor); }
+          |  label(user, v) { return `${user}:${this.scale(v)}`; }
+          |}
+          |function mapper(events, params, sourceIp, headers, sql, config) {
+          |  var lab = new Labeler(params);
+          |  var it = events.events();
+          |  while (it.hasNext()) {
+          |    var ev = it.next();
+          |    ev.set('label', lab.label(ev.get('_user'), ev.get('amount')));
+          |    ev.set('scaled', lab.scale(ev.get('amount')));
+          |  }
+          |}""".stripMargin)
+    val rows = mapper(df).orderBy($"_user").collect()
+    assert(rows.map(_.getAs[String]("label")).toSeq == Seq("u1:20", "u2:35"))
+    assert(rows.map(_.getAs[Double]("scaled")).toSeq == Seq(20.0, 35.0))
+  }
+
   test("JsCustomMapper: events proxy get/set/setOnce/drop over a DataFrame") {
     import spark.implicits._
     val df = Seq(
