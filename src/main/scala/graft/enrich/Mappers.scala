@@ -80,31 +80,49 @@ case object UserAgentMapper extends EventMapper {
     if (!df.columns.contains("_user_agent")) return df
     val ua = col("_user_agent")
 
+    Seq("__ua_b", "__ua_o").foreach { c =>
+      require(!df.columns.contains(c), s"scratch column $c already present")
+    }
     // fold each table into ONE FLAT CaseWhen chain (`.when()` chaining
     // appends a branch; nesting coalesce(when(..)) instead builds a
     // 28-deep conditional tree the optimizer expands combinatorially —
     // measured minutes of planning). First matching rule wins family
-    // AND version — codegen'd, no join, no UDF.
+    // AND version, emitted as ONE "family<sep>version" hit per table:
+    // separate family/version chains would run every detect regex
+    // TWICE and double the generated code — at full uap-core width
+    // that crosses Janino's 64 KB method limit and silently drops the
+    // projection out of whole-stage codegen (MapperCodegenSpec pins
+    // the compile). Codegen'd, no join, no UDF.
     def chain(rules: Seq[(String, Column)]): Column =
       rules.tail.foldLeft(when(ua.rlike(rules.head._1), rules.head._2)) {
         (acc, r) => acc.when(ua.rlike(r._1), r._2)
       }
+    val sep = "\u0001" // never appears in family names or versions
 
-    val familyCol = chain(UaRules.browsers.map(r => r.detect -> lit(r.family)))
-      .otherwise("Other")
-    val version = chain(UaRules.browsers.filter(_.version.nonEmpty).map(r =>
-      r.detect -> nullif(regexp_extract(ua, r.version, 1), lit(""))))
+    val browserHit = chain(UaRules.browsers.map { r =>
+      val v =
+        if (r.version.nonEmpty)
+          coalesce(nullif(regexp_extract(ua, r.version, 1), lit("")), lit(""))
+        else lit("")
+      r.detect -> concat(lit(r.family + sep), v)
+    }).otherwise("Other" + sep)
 
-    val os = chain(UaRules.oses.map(r => r.detect -> lit(r.family)))
-      .otherwise("Other")
-    val osVersion = chain(UaRules.oses.map { r =>
+    val osHit = chain(UaRules.oses.map { r =>
       val v =
         if (r.literal.nonEmpty) lit(r.literal)
         else if (r.versionRe.nonEmpty)
-          nullif(regexp_extract(ua, r.versionRe, 1), lit(""))
-        else lit(null).cast("string")
-      r.detect -> v
-    })
+          coalesce(nullif(regexp_extract(ua, r.versionRe, 1), lit("")), lit(""))
+        else lit("")
+      r.detect -> concat(lit(r.family + sep), v)
+    }).otherwise("Other" + sep)
+
+    val staged = df
+      .withColumn("__ua_b", browserHit)
+      .withColumn("__ua_o", osHit)
+    val familyCol = substring_index(col("__ua_b"), sep, 1)
+    val version = nullif(substring_index(col("__ua_b"), sep, -1), lit(""))
+    val os = substring_index(col("__ua_o"), sep, 1)
+    val osVersion = nullif(substring_index(col("__ua_o"), sep, -1), lit(""))
 
     // devices: spiders, Apple hardware, Android models via the uap-core
     // `Build/` capture; desktops deliberately report "Other"
@@ -120,11 +138,13 @@ case object UserAgentMapper extends EventMapper {
         .when(ua.contains("Android"), "Generic Tablet")
         .otherwise("Other")
 
-    df.withColumn("_user_agent_family", familyCol)
+    staged
+      .withColumn("_user_agent_family", familyCol)
       .withColumn("_user_agent_version", version)
       .withColumn("_os", os)
       .withColumn("_os_version", osVersion)
       .withColumn("_device_family", device)
+      .drop("__ua_b", "__ua_o")
   }
 }
 
@@ -142,21 +162,36 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
 
   def apply(df: DataFrame): DataFrame = {
     if (!df.columns.contains("_referrer")) return df
-    val host = lower(nullif(try_parse_url(col("_referrer"), lit("HOST")), lit("")))
-    val path = nullif(try_parse_url(col("_referrer"), lit("PATH")), lit(""))
-    // fold the referers table (snowplow referers.yml shape) into one
-    // FLAT CaseWhen chain (nested coalesce(when) trees plan
-    // combinatorially — see UserAgentMapper): first matching host rule
-    // wins source AND medium; email rows precede search so
-    // mail.google.com classifies as email
-    def chain(value: UaRules.RefererRule => String): Column =
-      UaRules.referers.tail.foldLeft(
-        when(host.rlike(UaRules.referers.head.hostRe),
-          value(UaRules.referers.head))) { (acc, r) =>
-        acc.when(host.rlike(r.hostRe), value(r))
-      }
-    val source = chain(_.source)
-    val tableMedium = chain(_.medium)
+    Seq("__ref_host", "__ref_path", "__ref_hit").foreach { c =>
+      require(!df.columns.contains(c), s"scratch column $c already present")
+    }
+    // STAGE host/path once: inlining the parse_url into every rule
+    // branch would execute it ~|rules| times per row AND (with the full
+    // referers.yml-scale table) push the generated method past Janino's
+    // 64 KB limit, silently disabling whole-stage codegen. A separate
+    // projection keeps each branch a small RLIKE on a bound attribute —
+    // CollapseProject leaves it staged because the value is consumed
+    // many times.
+    val staged = df
+      .withColumn("__ref_host",
+        lower(nullif(try_parse_url(col("_referrer"), lit("HOST")), lit(""))))
+      .withColumn("__ref_path",
+        nullif(try_parse_url(col("_referrer"), lit("PATH")), lit("")))
+    val host = col("__ref_host")
+    // ONE flat CaseWhen over the referers table (snowplow referers.yml
+    // shape) emitting "source medium" — first matching host rule
+    // wins BOTH (email rows precede search so mail.google.com is
+    // email); a single chain halves the per-row regex work and the
+    // generated code vs separate source/medium chains
+    val sep = "\u0001" // never appears in source/medium slugs
+    val hit = UaRules.referers.tail.foldLeft(
+      when(host.rlike(UaRules.referers.head.hostRe),
+        lit(UaRules.referers.head.source + sep + UaRules.referers.head.medium))) {
+      (acc, r) => acc.when(host.rlike(r.hostRe), lit(r.source + sep + r.medium))
+    }
+    val withHit = staged.withColumn("__ref_hit", hit)
+    val source = substring_index(col("__ref_hit"), sep, 1)
+    val tableMedium = substring_index(col("__ref_hit"), sep, -1)
     val isInternal = if (internalHosts.nonEmpty) host.isin(internalHosts: _*) else lit(false)
     val medium =
       when(host.isNull, lit(null).cast("string"))
@@ -165,11 +200,13 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
     val term = when(medium === "search", coalesce(
       UaRules.termParams.map(p =>
         nullif(try_parse_url(col("_referrer"), lit("QUERY"), lit(p)), lit(""))): _*))
-    df.withColumn("_referrer_medium", medium)
+    withHit
+      .withColumn("_referrer_medium", medium)
       .withColumn("_referrer_source", when(medium =!= "internal", source))
       .withColumn("_referrer_term", term)
       .withColumn("_referrer_domain", when(medium =!= "internal", host))
-      .withColumn("_referrer_path", when(medium =!= "internal", path))
+      .withColumn("_referrer_path", when(medium =!= "internal", col("__ref_path")))
+      .drop("__ref_host", "__ref_path", "__ref_hit")
   }
 }
 
