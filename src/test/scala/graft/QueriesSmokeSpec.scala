@@ -52,6 +52,38 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("no registered query falls out of whole-stage codegen") {
+    // Janino's 64 KB method limit turns an oversized generated function
+    // into a WARN + silent interpreted fallback — a several-fold scan
+    // slowdown invisible to correctness gates (the widened UA/referrer
+    // chains hit exactly this; MapperCodegenSpec pins those two, this
+    // sweep pins the whole registry). Fail on the fallback message.
+    import org.apache.log4j.{AppenderSkeleton, Level, Logger}
+    import org.apache.log4j.spi.LoggingEvent
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val appender = new AppenderSkeleton {
+      override def append(e: LoggingEvent): Unit =
+        if (e.getLevel.isGreaterOrEqual(Level.WARN))
+          captured += String.valueOf(e.getMessage)
+      override def close(): Unit = ()
+      override def requiresLayout(): Boolean = false
+    }
+    val loggers = Seq(
+      Logger.getLogger("org.apache.spark.sql.execution.WholeStageCodegenExec"),
+      Logger.getLogger(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"))
+    loggers.foreach(_.addAppender(appender))
+    try {
+      SparkEntry.registry.foreach { case (name, qd) =>
+        val before = captured.length
+        qd.build(spark, sf()).count()
+        assert(captured.length == before,
+          s"$name dropped out of whole-stage codegen:\n" +
+            captured.drop(before).mkString("\n"))
+      }
+    } finally loggers.foreach(_.removeAppender(appender))
+  }
+
   test("every oracle query has matching column names promised") {
     // column-name discipline: aliases must match the SQL twin; spot-check
     // that no query returns auto-generated names like sum(x) or count(1)
