@@ -51,12 +51,15 @@ import scala.collection.mutable
   * `hasOwnProperty`. Numbers keep integral identity (Long) until an
   * operation forces a double — so ids survive a get/set round-trip,
   * which pure-double JS semantics would corrupt.
-  * Still out of scope: generators, `async`, class expressions/fields/
-  * getters/setters, `new.target`, `new` on bound functions, static
-  * inheritance (`B.staticOfA()` — `super.m(…)` inside a static works),
-  * bare (non-declaration) destructuring assignments, and `arguments`
-  * (a ctor-less derived class forwards 8 positional parameters —
-  * observationally equivalent without `arguments` to count them).
+  * Still out of scope: generators and `async` (the reference's Nashorn
+  * is ES5.1 — neither ever worked for its mapper scripts, and a
+  * synchronous sandbox has no event loop to give `async` meaning),
+  * class expressions/fields/getters/setters, `new.target`, `new` on
+  * bound functions, static inheritance (`B.staticOfA()` —
+  * `super.m(…)` inside a static works), bare (non-declaration)
+  * destructuring assignments, and `arguments` (a ctor-less derived
+  * class forwards 8 positional parameters — observationally
+  * equivalent without `arguments` to count them).
   */
 object MiniJs {
 
