@@ -99,10 +99,12 @@ case object UserAgentMapper extends EventMapper {
       }
     val sep = "\u0001" // never appears in family names or versions
 
+    // regexp_extract on the (branch-guarded, hence non-null) ua returns
+    // "" on no-match — exactly the no-version encoding, so no null
+    // guard is needed and each branch stays two expression nodes
     val browserHit = chain(UaRules.browsers.map { r =>
       val v =
-        if (r.version.nonEmpty)
-          coalesce(nullif(regexp_extract(ua, r.version, 1), lit("")), lit(""))
+        if (r.version.nonEmpty) regexp_extract(ua, r.version, 1)
         else lit("")
       r.detect -> concat(lit(r.family + sep), v)
     }).otherwise("Other" + sep)
@@ -110,8 +112,7 @@ case object UserAgentMapper extends EventMapper {
     val osHit = chain(UaRules.oses.map { r =>
       val v =
         if (r.literal.nonEmpty) lit(r.literal)
-        else if (r.versionRe.nonEmpty)
-          coalesce(nullif(regexp_extract(ua, r.versionRe, 1), lit("")), lit(""))
+        else if (r.versionRe.nonEmpty) regexp_extract(ua, r.versionRe, 1)
         else lit("")
       r.detect -> concat(lit(r.family + sep), v)
     }).otherwise("Other" + sep)

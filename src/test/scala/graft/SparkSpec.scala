@@ -20,4 +20,28 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Runs `body` while capturing WARN+ messages of Spark's whole-stage
+    * codegen escape hatch (the silent Janino 64 KB fallback); returns
+    * the captured lines. Shared by the mapper and registry codegen
+    * lints so the logger wiring can't drift between them. */
+  def capturingCodegenFallback(body: => Unit): Seq[String] = {
+    import org.apache.log4j.{AppenderSkeleton, Level, Logger}
+    import org.apache.log4j.spi.LoggingEvent
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val appender = new AppenderSkeleton {
+      override def append(e: LoggingEvent): Unit =
+        if (e.getLevel.isGreaterOrEqual(Level.WARN))
+          captured += String.valueOf(e.getMessage)
+      override def close(): Unit = ()
+      override def requiresLayout(): Boolean = false
+    }
+    val loggers = Seq(
+      Logger.getLogger("org.apache.spark.sql.execution.WholeStageCodegenExec"),
+      Logger.getLogger(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"))
+    loggers.foreach(_.addAppender(appender))
+    try body finally loggers.foreach(_.removeAppender(appender))
+    captured.toSeq
+  }
 }

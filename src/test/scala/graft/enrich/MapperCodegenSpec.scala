@@ -12,34 +12,12 @@ import org.apache.spark.sql.functions._
   * fail on the fallback message itself, pinning both mappers. */
 class MapperCodegenSpec extends SparkSpec {
 
-  /** Runs `body` while capturing WARN+ messages of the whole-stage
-    * codegen escape hatch; returns the captured lines. */
-  private def capturingFallback(body: => Unit): Seq[String] = {
-    import org.apache.log4j.{AppenderSkeleton, Level, Logger}
-    import org.apache.log4j.spi.LoggingEvent
-    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
-    val appender = new AppenderSkeleton {
-      override def append(e: LoggingEvent): Unit =
-        if (e.getLevel.isGreaterOrEqual(Level.WARN))
-          captured += String.valueOf(e.getMessage)
-      override def close(): Unit = ()
-      override def requiresLayout(): Boolean = false
-    }
-    val loggers = Seq(
-      Logger.getLogger("org.apache.spark.sql.execution.WholeStageCodegenExec"),
-      Logger.getLogger(
-        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"))
-    loggers.foreach(_.addAppender(appender))
-    try body finally loggers.foreach(_.removeAppender(appender))
-    captured.toSeq
-  }
-
   test("referrer mapper: full-width chain compiles — no codegen fallback") {
     import spark.implicits._
     val refs = spark.range(512).select(
       concat(lit("https://www.google.com/search?q=term"), $"id").as("_referrer"))
     val out = ReferrerMapper(Seq("my.example.com")).apply(refs)
-    val warns = capturingFallback { out.collect() }
+    val warns = capturingCodegenFallback { out.collect() }
     assert(!warns.exists(_.contains("Whole-stage codegen disabled")),
       s"codegen fell back:\n${warns.mkString("\n")}")
     // and the staged host is parsed ONCE, not once per rule branch
@@ -53,7 +31,7 @@ class MapperCodegenSpec extends SparkSpec {
     val uas = spark.range(512).select(
       concat(lit("Mozilla/5.0 (Windows NT 10.0; rv:"), $"id",
         lit(") Chrome/120.0")).as("_user_agent"))
-    val warns = capturingFallback { UserAgentMapper(uas).collect() }
+    val warns = capturingCodegenFallback { UserAgentMapper(uas).collect() }
     assert(!warns.exists(_.contains("Whole-stage codegen disabled")),
       s"codegen fell back:\n${warns.mkString("\n")}")
   }
