@@ -49,7 +49,14 @@ object Bench {
     val results = selected.map { case (name, qd) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { qd.build(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        // execute the query's OWN plan (toRdd): a .count() on top would
+        // let Catalyst column-prune final projections out of the
+        // measurement, under-timing exactly the expression-heavy
+        // queries (same flaw the QueriesSmokeSpec codegen lint had)
+        try {
+          qd.build(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
         }
