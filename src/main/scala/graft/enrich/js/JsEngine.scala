@@ -113,12 +113,29 @@ final class JsEngine(code: String, globals: Map[String, Any],
         case "min" => a.map(num).min
         case "pow" => math.pow(num(a.head), num(a(1)))
         case "sqrt" => math.sqrt(num(a.head))
+        case "cbrt" => math.cbrt(num(a.head))
         case "log" => math.log(num(a.head))
+        case "log2" => math.log(num(a.head)) / math.log(2.0)
+        case "log10" => math.log10(num(a.head))
         case "exp" => math.exp(num(a.head))
+        // the trig surface geo/distance mapper code needs
+        case "sin" => math.sin(num(a.head))
+        case "cos" => math.cos(num(a.head))
+        case "tan" => math.tan(num(a.head))
+        case "asin" => math.asin(num(a.head))
+        case "acos" => math.acos(num(a.head))
+        case "atan" => math.atan(num(a.head))
+        case "atan2" => math.atan2(num(a.head), num(a(1)))
+        case "hypot" => math.hypot(num(a.head), num(a(1)))
         case "trunc" => num(a.head).toLong
         case "sign" => math.signum(num(a.head)).toLong
         case "random" => scala.util.Random.nextDouble()
         case other => throw new JsException(s"Math.$other is not supported")
+      }
+      override def prop(name: String): Option[Any] = name match {
+        case "PI" => Some(math.Pi)
+        case "E" => Some(math.E)
+        case _ => None
       }
     },
     // the static Object.* surface mapper scripts iterate bodies with
@@ -220,8 +237,44 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case _: Long => false
       case _ => true
     }),
-    "String" -> hostFn(a => jsToString(a.head)),
-    "Number" -> hostFn(a => num(a.head)),
+    "String" -> new HostObject {
+      def invoke(m: String, a: Seq[Any]): Any = m match {
+        case "__call__" => jsToString(a.headOption.getOrElse(Undefined))
+        case "fromCharCode" =>
+          val sb = new StringBuilder
+          a.foreach { v => sb.append(jsIndex(v).toChar) }
+          sb.toString
+        case other => throw new JsException(s"String.$other is not supported")
+      }
+    },
+    "Number" -> new HostObject {
+      def invoke(m: String, a: Seq[Any]): Any = m match {
+        case "__call__" => num(a.headOption.getOrElse(Undefined))
+        case "isInteger" => a.headOption.getOrElse(Undefined) match {
+          case _: Long => true
+          case d: Double => !d.isNaN && !d.isInfinite && d.isWhole
+          case _ => false
+        }
+        case "isFinite" => a.headOption.getOrElse(Undefined) match {
+          case _: Long => true
+          case d: Double => !d.isNaN && !d.isInfinite
+          case _ => false // Number.isFinite does NOT coerce (unlike global)
+        }
+        case "isNaN" => a.headOption.getOrElse(Undefined) match {
+          case d: Double => d.isNaN
+          case _ => false // Number.isNaN does NOT coerce either
+        }
+        case other => throw new JsException(s"Number.$other is not supported")
+      }
+      override def prop(name: String): Option[Any] = name match {
+        case "MAX_SAFE_INTEGER" => Some(9007199254740991L)
+        case "MIN_SAFE_INTEGER" => Some(-9007199254740991L)
+        case "NaN" => Some(Double.NaN)
+        case "POSITIVE_INFINITY" => Some(Double.PositiveInfinity)
+        case "NEGATIVE_INFINITY" => Some(Double.NegativeInfinity)
+        case _ => None
+      }
+    },
     // JS-spec percent encoding, not java.net.URLEncoder: component
     // keeps only unreserved A-Za-z0-9 -_.!~*'() and encodes space as
     // %20 (never +); the URI form additionally keeps the reserved
@@ -874,6 +927,16 @@ final class JsEngine(code: String, globals: Map[String, Any],
         val a0 = clamp(args.headOption.getOrElse(Undefined))
         val a1 = if (args.length > 1) clamp(args(1)) else s.length
         s.substring(math.min(a0, a1), math.max(a0, a1))
+      case "substr" =>
+        // the Annex-B legacy form Nashorn-era scripts still use:
+        // (start, LENGTH), negative start counts from the end
+        val st0 = jsIndex(args.headOption.getOrElse(Undefined))
+        val st = math.max(0L, if (st0 < 0) s.length + st0 else st0)
+          .min(s.length.toLong).toInt
+        val len = if (args.length > 1)
+          math.max(0L, jsIndex(args(1))).min((s.length - st).toLong).toInt
+        else s.length - st
+        s.substring(st, st + len)
       case "slice" =>
         // JS: negative indexes count from the end; clamp; empty if from>=until
         def resolve(v: Any, dflt: Long): Long = {
@@ -1096,8 +1159,8 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case "global" => r.global
       case _ => Undefined
     }
-    case _: HostObject =>
-      throw new JsException(s"host property '$name' must be called as a method")
+    case h: HostObject => h.prop(name).getOrElse(
+      throw new JsException(s"host property '$name' must be called as a method"))
     case null => throw new JsException(s"cannot read '$name' of null")
     case Undefined => throw new JsException(s"cannot read '$name' of undefined")
     case _ => Undefined

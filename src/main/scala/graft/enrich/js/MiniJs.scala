@@ -66,10 +66,13 @@ object MiniJs {
   final class JsException(msg: String) extends RuntimeException(msg)
   final class SandboxViolation(msg: String) extends RuntimeException(msg)
 
-  /** Host object exposed to scripts: method-call surface only (no
-    * reflection, no field access). */
+  /** Host object exposed to scripts: method-call surface plus an
+    * optional closed set of readable constants (`Math.PI`) — still no
+    * reflection, no open field access. */
   trait HostObject extends Serializable {
     def invoke(method: String, args: Seq[Any]): Any
+    /** Readable constants; None = no such property (the default). */
+    def prop(name: String): Option[Any] = None
   }
 
   // ---------- values ----------

@@ -1225,6 +1225,34 @@ class JsEngineSpec extends SparkSpec {
       "f") == "{\"v\":2}")
   }
 
+  test("Math constants/trig, String.fromCharCode, Number statics, substr") {
+    // the geo-distance idiom: PI + trig + atan2
+    val d = run(
+      """function rad(x) { return x * Math.PI / 180; }
+        |function f() {
+        |  var lat1 = rad(40.7), lat2 = rad(51.5);
+        |  var dLon = rad(-0.1 - -74.0);
+        |  var y = Math.sin(dLon) * Math.cos(lat2);
+        |  var x = Math.cos(lat1) * Math.sin(lat2) -
+        |    Math.sin(lat1) * Math.cos(lat2) * Math.cos(dLon);
+        |  return Math.round(Math.atan2(y, x) * 1000);
+        |}""".stripMargin, "f")
+    assert(d == 894L) // initial bearing NYC→London, milliradians
+    assert(run("function f() { return String.fromCharCode(72, 105); }", "f") == "Hi")
+    assert(run("function f(s) { return s.substr(2, 3) + ':' + s.substr(-3); }",
+      "f", "abcdefgh") == "cde:fgh")
+    assert(run(
+      """function f() {
+        |  return Number.isInteger(5) + ':' + Number.isInteger(5.5) +
+        |    ':' + Number.isNaN('x') + ':' + Number.isNaN(0 / 0) +
+        |    ':' + (Number.MAX_SAFE_INTEGER === 9007199254740991);
+        |}""".stripMargin, "f") == "true:false:false:true:true")
+    assert(run("function f() { return Math.round(Math.log2(1024)); }", "f") == 10L)
+    // an unknown host property still fails loudly, not as undefined
+    intercept[MiniJs.JsException](
+      run("function f() { return Math.TAU; }", "f"))
+  }
+
   test("instances cross the host boundary as own-property maps") {
     val eng = JsCodeCompiler.createEngine(
       """class Row { constructor(k, v) { this.key = k; this.value = v; }
