@@ -763,7 +763,9 @@ final class JsEngine(code: String, globals: Map[String, Any],
           case Some(ms) => new JsEngine.JsDate(ms, valid = true)
           case None => new JsEngine.JsDate(0L, valid = false)
         }
-        case d: JsEngine.JsDate => d
+        case d: JsEngine.JsDate =>
+          // copy — dates are mutable now, and JS new Date(d) clones
+          new JsEngine.JsDate(d.ms, d.valid)
         case other =>
           val d = num(other)
           if (d.isNaN) new JsEngine.JsDate(0L, valid = false)
@@ -1398,9 +1400,32 @@ object JsEngine {
   private val IsoFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
 
-  final class JsDate(val ms: Long, val valid: Boolean) extends Serializable {
+  final class JsDate(var ms: Long, var valid: Boolean) extends Serializable {
     private def odt =
       java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC)
+    /** JS setter contract: mutate in place, return the new timestamp.
+      * All UTC (the engine defines UTC semantics regardless of host
+      * zone); a NaN/out-of-bound argument — or setting a field of an
+      * Invalid Date — yields the Invalid Date, not an exception. */
+    private def set(newMs: => Double): Any = {
+      val d = try newMs catch {
+        case _: java.time.DateTimeException | _: ArithmeticException =>
+          Double.NaN
+      }
+      if (d.isNaN || math.abs(d) > 8.64e15) { valid = false; Double.NaN }
+      else { ms = d.toLong; valid = true; ms }
+    }
+    /** i-th argument truncated toward zero (ToIntegerOrInfinity), or
+      * the default when absent; NaN propagates to the Invalid Date. */
+    private def arg(args: Seq[Double], i: Int, dflt: => Double): Double = {
+      val v = if (i < args.length) args(i) else dflt
+      if (v.isNaN) Double.NaN else v.toLong.toDouble
+    }
+    private def curMilli: Long = (ms % 1000 + 1000) % 1000
+    private def dayStart: Long =
+      ms - (odt.getHour * 3600000L + odt.getMinute * 60000L +
+        odt.getSecond * 1000L + curMilli)
+    private def monthStart = odt.withDayOfMonth(1)
     private[js] def isoString: String = IsoFmt.format(odt)
     def call(name: String, args: Seq[Double]): Any = name match {
       // the string faces first — each has its own invalid-date form
@@ -1411,6 +1436,10 @@ object JsEngine {
       case "toISOString" =>
         if (valid) isoString
         else throw new MiniJs.JsException("toISOString on an Invalid Date")
+      // setTime revives an Invalid Date (the JS contract), so it sits
+      // before the invalid guard; field setters on an invalid date
+      // stay NaN (fields of NaN time are NaN)
+      case "setTime" => set(arg(args, 0, Double.NaN))
       case _ if !valid => Double.NaN
       case "getTime" | "valueOf" => ms
       case "getFullYear" | "getUTCFullYear" => odt.getYear.toLong
@@ -1423,6 +1452,40 @@ object JsEngine {
       case "getMilliseconds" | "getUTCMilliseconds" =>
         (ms % 1000 + 1000) % 1000
       case "getTimezoneOffset" => 0L
+      // mutating setters (all UTC here, so the plain and UTC forms
+      // coincide): JS overflow semantics fall out of plain arithmetic —
+      // setDate(0) is the last day of the previous month, setHours(25)
+      // rolls into the next day, setMonth(12) rolls the year
+      case "setHours" | "setUTCHours" =>
+        set(dayStart + arg(args, 0, Double.NaN) * 3600000d +
+          arg(args, 1, odt.getMinute) * 60000d +
+          arg(args, 2, odt.getSecond) * 1000d + arg(args, 3, curMilli))
+      case "setMinutes" | "setUTCMinutes" =>
+        set(dayStart + odt.getHour * 3600000d +
+          arg(args, 0, Double.NaN) * 60000d +
+          arg(args, 1, odt.getSecond) * 1000d + arg(args, 2, curMilli))
+      case "setSeconds" | "setUTCSeconds" =>
+        set(dayStart + odt.getHour * 3600000d + odt.getMinute * 60000d +
+          arg(args, 0, Double.NaN) * 1000d + arg(args, 1, curMilli))
+      case "setMilliseconds" | "setUTCMilliseconds" =>
+        set(dayStart + odt.getHour * 3600000d + odt.getMinute * 60000d +
+          odt.getSecond * 1000d + arg(args, 0, Double.NaN))
+      case "setDate" | "setUTCDate" =>
+        set(monthStart.toInstant.toEpochMilli +
+          (arg(args, 0, Double.NaN) - 1) * 86400000d)
+      case "setMonth" | "setUTCMonth" =>
+        val m0 = arg(args, 0, Double.NaN)
+        if (m0.isNaN) set(Double.NaN)
+        else set(monthStart.withMonth(1).plusMonths(m0.toLong)
+          .toInstant.toEpochMilli +
+          (arg(args, 1, odt.getDayOfMonth) - 1) * 86400000d)
+      case "setFullYear" | "setUTCFullYear" =>
+        val y0 = arg(args, 0, Double.NaN)
+        val m0 = arg(args, 1, (odt.getMonthValue - 1).toDouble)
+        if (y0.isNaN || m0.isNaN) set(Double.NaN)
+        else set(monthStart.withMonth(1).withYear(y0.toInt)
+          .plusMonths(m0.toLong).toInstant.toEpochMilli +
+          (arg(args, 2, odt.getDayOfMonth) - 1) * 86400000d)
       case other =>
         throw new MiniJs.JsException(s"Date.$other is not supported")
     }

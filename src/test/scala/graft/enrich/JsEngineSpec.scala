@@ -1253,6 +1253,49 @@ class JsEngineSpec extends SparkSpec {
       run("function f() { return Math.TAU; }", "f"))
   }
 
+  test("Date setters: truncate-to-day, date arithmetic, overflow, invalid") {
+    // the truncate-to-midnight idiom
+    assert(run(
+      """function f(ts) {
+        |  var d = new Date(ts);
+        |  d.setHours(0, 0, 0, 0);
+        |  return d.getTime();
+        |}""".stripMargin, "f", 1723645000123L) == 1723593600000L)
+    // seven-days-ago via setDate with underflow into the prior month
+    assert(run(
+      """function f() {
+        |  var d = new Date('2024-03-03T12:00:00Z');
+        |  d.setDate(d.getDate() - 7);
+        |  return d.toISOString();
+        |}""".stripMargin, "f") == "2024-02-25T12:00:00.000Z")
+    // setDate(0) = last day of previous month; setMonth(12) rolls year
+    assert(run(
+      """function f() {
+        |  var d = new Date('2024-03-15T00:00:00Z');
+        |  d.setDate(0);
+        |  var e = new Date('2024-05-01T00:00:00Z');
+        |  e.setMonth(12);
+        |  return d.getDate() + ':' + e.getFullYear() + ':' + e.getMonth();
+        |}""".stripMargin, "f") == "29:2025:0")
+    // setters return the new timestamp; new Date(d) clones (no aliasing)
+    assert(run(
+      """function f() {
+        |  var d = new Date(1000);
+        |  var copy = new Date(d);
+        |  var r = d.setSeconds(5);
+        |  return r + ':' + copy.getTime();
+        |}""".stripMargin, "f") == "5000:1000")
+    // a NaN argument invalidates; setTime revives
+    assert(run(
+      """function f() {
+        |  var d = new Date(0);
+        |  var nan = d.setHours(0 / 0);
+        |  var after = d.getTime();
+        |  d.setTime(42);
+        |  return isNaN(nan) + ':' + isNaN(after) + ':' + d.getTime();
+        |}""".stripMargin, "f") == "true:true:42")
+  }
+
   test("instances cross the host boundary as own-property maps") {
     val eng = JsCodeCompiler.createEngine(
       """class Row { constructor(k, v) { this.key = k; this.value = v; }
