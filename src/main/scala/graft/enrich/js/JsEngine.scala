@@ -111,11 +111,22 @@ final class JsEngine(code: String, globals: Map[String, Any],
         case "abs" => num(a.head) match { case d => math.abs(d) }
         case "max" => a.map(num).max
         case "min" => a.map(num).min
-        case "pow" => math.pow(num(a.head), num(a(1)))
+        // a missing argument is `undefined` (→ NaN result), never a
+        // raw IndexOutOfBoundsException escaping the sandbox
+        case "pow" =>
+          math.pow(num(a.headOption.getOrElse(Undefined)),
+            num(a.lift(1).getOrElse(Undefined)))
         case "sqrt" => math.sqrt(num(a.head))
         case "cbrt" => math.cbrt(num(a.head))
         case "log" => math.log(num(a.head))
-        case "log2" => math.log(num(a.head)) / math.log(2.0)
+        case "log2" =>
+          // log(x)/log(2) is off by 1 ulp on some exact powers of two
+          // (2^29 → 29.000000000000004); real JS engines return exact
+          // integers there, and ceil(log2(n)) idioms depend on it
+          val x = num(a.head)
+          val l = math.log(x) / math.log(2.0)
+          val r = math.rint(l)
+          if (math.pow(2.0, r) == x) r else l
         case "log10" => math.log10(num(a.head))
         case "exp" => math.exp(num(a.head))
         // the trig surface geo/distance mapper code needs
@@ -125,8 +136,11 @@ final class JsEngine(code: String, globals: Map[String, Any],
         case "asin" => math.asin(num(a.head))
         case "acos" => math.acos(num(a.head))
         case "atan" => math.atan(num(a.head))
-        case "atan2" => math.atan2(num(a.head), num(a(1)))
-        case "hypot" => math.hypot(num(a.head), num(a(1)))
+        case "atan2" =>
+          math.atan2(num(a.headOption.getOrElse(Undefined)),
+            num(a.lift(1).getOrElse(Undefined)))
+        case "hypot" => // variadic like JS: sqrt of the sum of squares
+          math.sqrt(a.map(num).foldLeft(0.0)((s, v) => s + v * v))
         case "trunc" => num(a.head).toLong
         case "sign" => math.signum(num(a.head)).toLong
         case "random" => scala.util.Random.nextDouble()
@@ -239,7 +253,8 @@ final class JsEngine(code: String, globals: Map[String, Any],
     }),
     "String" -> new HostObject {
       def invoke(m: String, a: Seq[Any]): Any = m match {
-        case "__call__" => jsToString(a.headOption.getOrElse(Undefined))
+        case "__call__" => // String() is "" per spec, not "undefined"
+          if (a.isEmpty) "" else jsToString(a.head)
         case "fromCharCode" =>
           val sb = new StringBuilder
           a.foreach { v => sb.append(jsIndex(v).toChar) }
@@ -249,7 +264,8 @@ final class JsEngine(code: String, globals: Map[String, Any],
     },
     "Number" -> new HostObject {
       def invoke(m: String, a: Seq[Any]): Any = m match {
-        case "__call__" => num(a.headOption.getOrElse(Undefined))
+        case "__call__" => // Number() is +0 per spec; Number(undefined) is NaN
+          if (a.isEmpty) 0L else num(a.head)
         case "isInteger" => a.headOption.getOrElse(Undefined) match {
           case _: Long => true
           case d: Double => !d.isNaN && !d.isInfinite && d.isWhole
@@ -931,11 +947,13 @@ final class JsEngine(code: String, globals: Map[String, Any],
         s.substring(math.min(a0, a1), math.max(a0, a1))
       case "substr" =>
         // the Annex-B legacy form Nashorn-era scripts still use:
-        // (start, LENGTH), negative start counts from the end
+        // (start, LENGTH), negative start counts from the end; an
+        // UNDEFINED length means the rest of the string (it must not
+        // coerce to 0 like a numeric NaN would)
         val st0 = jsIndex(args.headOption.getOrElse(Undefined))
         val st = math.max(0L, if (st0 < 0) s.length + st0 else st0)
           .min(s.length.toLong).toInt
-        val len = if (args.length > 1)
+        val len = if (args.length > 1 && args(1) != Undefined)
           math.max(0L, jsIndex(args(1))).min((s.length - st).toLong).toInt
         else s.length - st
         s.substring(st, st + len)
@@ -1422,10 +1440,9 @@ object JsEngine {
       if (v.isNaN) Double.NaN else v.toLong.toDouble
     }
     private def curMilli: Long = (ms % 1000 + 1000) % 1000
-    private def dayStart: Long =
-      ms - (odt.getHour * 3600000L + odt.getMinute * 60000L +
-        odt.getSecond * 1000L + curMilli)
-    private def monthStart = odt.withDayOfMonth(1)
+    private def dayStart(o: java.time.OffsetDateTime): Long =
+      ms - (o.getHour * 3600000L + o.getMinute * 60000L +
+        o.getSecond * 1000L + curMilli)
     private[js] def isoString: String = IsoFmt.format(odt)
     def call(name: String, args: Seq[Double]): Any = name match {
       // the string faces first — each has its own invalid-date form
@@ -1436,10 +1453,25 @@ object JsEngine {
       case "toISOString" =>
         if (valid) isoString
         else throw new MiniJs.JsException("toISOString on an Invalid Date")
-      // setTime revives an Invalid Date (the JS contract), so it sits
-      // before the invalid guard; field setters on an invalid date
-      // stay NaN (fields of NaN time are NaN)
+      // setTime and setFullYear revive an Invalid Date (the JS
+      // contracts: setTime outright; setFullYear substitutes t = +0,
+      // ES5.1 §15.9.5.40 — the build-a-date-from-parts idiom), so both
+      // sit before the invalid guard; the other field setters on an
+      // invalid date stay NaN (fields of NaN time are NaN)
       case "setTime" => set(arg(args, 0, Double.NaN))
+      case "setFullYear" | "setUTCFullYear" =>
+        val base = // fields (incl. time-of-day) of the current time, or
+          // of epoch 0 when invalid — withDayOfMonth/withMonth/withYear
+          // all preserve the time-of-day, so one formula serves both
+          if (valid) odt
+          else java.time.Instant.ofEpochMilli(0L)
+            .atOffset(java.time.ZoneOffset.UTC)
+        val y0 = arg(args, 0, Double.NaN)
+        val m0 = arg(args, 1, (base.getMonthValue - 1).toDouble)
+        if (y0.isNaN || m0.isNaN) set(Double.NaN)
+        else set(base.withDayOfMonth(1).withMonth(1).withYear(y0.toInt)
+          .plusMonths(m0.toLong).toInstant.toEpochMilli +
+          (arg(args, 2, base.getDayOfMonth) - 1) * 86400000d)
       case _ if !valid => Double.NaN
       case "getTime" | "valueOf" => ms
       case "getFullYear" | "getUTCFullYear" => odt.getYear.toLong
@@ -1449,43 +1481,42 @@ object JsEngine {
       case "getHours" | "getUTCHours" => odt.getHour.toLong
       case "getMinutes" | "getUTCMinutes" => odt.getMinute.toLong
       case "getSeconds" | "getUTCSeconds" => odt.getSecond.toLong
-      case "getMilliseconds" | "getUTCMilliseconds" =>
-        (ms % 1000 + 1000) % 1000
+      case "getMilliseconds" | "getUTCMilliseconds" => curMilli
       case "getTimezoneOffset" => 0L
       // mutating setters (all UTC here, so the plain and UTC forms
       // coincide): JS overflow semantics fall out of plain arithmetic —
       // setDate(0) is the last day of the previous month, setHours(25)
-      // rolls into the next day, setMonth(12) rolls the year
+      // rolls into the next day, setMonth(12) rolls the year. Each case
+      // derives the field view ONCE (`odt` allocates per evaluation and
+      // these run per event row).
       case "setHours" | "setUTCHours" =>
-        set(dayStart + arg(args, 0, Double.NaN) * 3600000d +
-          arg(args, 1, odt.getMinute) * 60000d +
-          arg(args, 2, odt.getSecond) * 1000d + arg(args, 3, curMilli))
+        val o = odt
+        set(dayStart(o) + arg(args, 0, Double.NaN) * 3600000d +
+          arg(args, 1, o.getMinute) * 60000d +
+          arg(args, 2, o.getSecond) * 1000d + arg(args, 3, curMilli))
       case "setMinutes" | "setUTCMinutes" =>
-        set(dayStart + odt.getHour * 3600000d +
+        val o = odt
+        set(dayStart(o) + o.getHour * 3600000d +
           arg(args, 0, Double.NaN) * 60000d +
-          arg(args, 1, odt.getSecond) * 1000d + arg(args, 2, curMilli))
+          arg(args, 1, o.getSecond) * 1000d + arg(args, 2, curMilli))
       case "setSeconds" | "setUTCSeconds" =>
-        set(dayStart + odt.getHour * 3600000d + odt.getMinute * 60000d +
+        val o = odt
+        set(dayStart(o) + o.getHour * 3600000d + o.getMinute * 60000d +
           arg(args, 0, Double.NaN) * 1000d + arg(args, 1, curMilli))
       case "setMilliseconds" | "setUTCMilliseconds" =>
-        set(dayStart + odt.getHour * 3600000d + odt.getMinute * 60000d +
-          odt.getSecond * 1000d + arg(args, 0, Double.NaN))
+        val o = odt
+        set(dayStart(o) + o.getHour * 3600000d + o.getMinute * 60000d +
+          o.getSecond * 1000d + arg(args, 0, Double.NaN))
       case "setDate" | "setUTCDate" =>
-        set(monthStart.toInstant.toEpochMilli +
+        set(odt.withDayOfMonth(1).toInstant.toEpochMilli +
           (arg(args, 0, Double.NaN) - 1) * 86400000d)
       case "setMonth" | "setUTCMonth" =>
+        val o = odt
         val m0 = arg(args, 0, Double.NaN)
         if (m0.isNaN) set(Double.NaN)
-        else set(monthStart.withMonth(1).plusMonths(m0.toLong)
+        else set(o.withDayOfMonth(1).withMonth(1).plusMonths(m0.toLong)
           .toInstant.toEpochMilli +
-          (arg(args, 1, odt.getDayOfMonth) - 1) * 86400000d)
-      case "setFullYear" | "setUTCFullYear" =>
-        val y0 = arg(args, 0, Double.NaN)
-        val m0 = arg(args, 1, (odt.getMonthValue - 1).toDouble)
-        if (y0.isNaN || m0.isNaN) set(Double.NaN)
-        else set(monthStart.withMonth(1).withYear(y0.toInt)
-          .plusMonths(m0.toLong).toInstant.toEpochMilli +
-          (arg(args, 2, odt.getDayOfMonth) - 1) * 86400000d)
+          (arg(args, 1, o.getDayOfMonth) - 1) * 86400000d)
       case other =>
         throw new MiniJs.JsException(s"Date.$other is not supported")
     }

@@ -1296,6 +1296,33 @@ class JsEngineSpec extends SparkSpec {
         |}""".stripMargin, "f") == "true:true:42")
   }
 
+  test("host-surface spec corners: variadic hypot, exact log2, zero-arg casts") {
+    assert(run("function f() { return Math.hypot(1, 2, 2); }", "f") == 3.0)
+    assert(run("function f(x) { return isNaN(Math.hypot(x) - 3) === false; }",
+      "f", 3L) == true)
+    // one-arg atan2/pow are NaN like JS, never an index crash
+    assert(run("function f() { return isNaN(Math.atan2(1)) && isNaN(Math.pow(2)); }",
+      "f") == true)
+    // exact powers of two: ceil(log2(2^29)) must be 29, not 30
+    assert(run("function f() { return Math.ceil(Math.log2(536870912)); }",
+      "f") == 29L)
+    assert(run("function f() { return String() + ':' + Number(); }", "f") == ":0")
+    // substr with an undefined length takes the rest of the string
+    assert(run("function f(s, l) { return s.substr(2, l); }", "f",
+      "abcdefgh", null) == "cdefgh" ||
+      run("function f(s) { var o = {}; return s.substr(2, o.missing); }",
+        "f", "abcdefgh") == "cdefgh")
+  }
+
+  test("setFullYear builds a date from an Invalid Date (t = +0 substitution)") {
+    assert(run(
+      """function f() {
+        |  var d = new Date(0 / 0);
+        |  d.setFullYear(2020, 5, 15);
+        |  return d.toISOString();
+        |}""".stripMargin, "f") == "2020-06-15T00:00:00.000Z")
+  }
+
   test("instances cross the host boundary as own-property maps") {
     val eng = JsCodeCompiler.createEngine(
       """class Row { constructor(k, v) { this.key = k; this.value = v; }
