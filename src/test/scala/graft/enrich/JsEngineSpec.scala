@@ -1307,11 +1307,12 @@ class JsEngineSpec extends SparkSpec {
     assert(run("function f() { return Math.ceil(Math.log2(536870912)); }",
       "f") == 29L)
     assert(run("function f() { return String() + ':' + Number(); }", "f") == ":0")
-    // substr with an undefined length takes the rest of the string
+    // substr with an undefined length takes the rest of the string;
+    // a null length coerces to 0 (empty) like any numeric context
+    assert(run("function f(s) { var o = {}; return s.substr(2, o.missing); }",
+      "f", "abcdefgh") == "cdefgh")
     assert(run("function f(s, l) { return s.substr(2, l); }", "f",
-      "abcdefgh", null) == "cdefgh" ||
-      run("function f(s) { var o = {}; return s.substr(2, o.missing); }",
-        "f", "abcdefgh") == "cdefgh")
+      "abcdefgh", null) == "")
   }
 
   test("setFullYear builds a date from an Invalid Date (t = +0 substitution)") {
