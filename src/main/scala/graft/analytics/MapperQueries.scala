@@ -89,8 +89,224 @@ object MapperQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // ---------- M2/M3 against the oracle: the rule TABLES cross-engine ----------
+  //
+  // The UA and referrer mappers fold [[graft.enrich.UaRules]] into
+  // CaseWhen chains; here the DuckDB twins are GENERATED from the very
+  // same tables (single source of truth), so the oracle compare runs
+  // every detection/extraction regex through an independent engine
+  // (RE2) against Spark's java.util.regex over a fixed sample list
+  // selected per event — the cross-engine check canned specs can't
+  // give. The tables deliberately avoid lookarounds/backreferences, so
+  // both regex dialects agree by construction.
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** `CASE WHEN regexp_matches(input, re1) THEN out1 … ELSE dflt END`
+    * — first-match-wins, the mapper chains' rule. */
+  private def caseChain(input: String, rules: Seq[(String, String)],
+      dflt: String): String =
+    rules.map { case (re, out) =>
+      s"WHEN regexp_matches($input, ${sqlLit(re)}) THEN $out"
+    }.mkString("CASE ", " ", s" ELSE $dflt END")
+
+  /** Real-world UA strings spanning desktop/mobile/webview/legacy/
+    * spider/tool families — inputs only; EXPECTED outputs come from the
+    * rule tables on both engines, never from this list. */
+  private val uaSamples: Seq[String] = Seq(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.71 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0",
+    "Mozilla/5.0 (Linux; Android 13; SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "curl/8.4.0",
+    "python-requests/2.31.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/119.0.6045.109 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 10; Pixel 3 Build/QQ3A.200805.001) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 12; SM-A515F Build/SP1A.210812.016; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/117.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+    "Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 6.0)",
+    "Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348; U; en) Presto/2.5.25 Version/10.54",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/108.0.0.0 YaBrowser/23.1.2.987 Safari/537.36",
+    "Mozilla/5.0 (Linux; U; Android 9; en-US; Redmi Note 7 Build/PKQ1.180904.001) AppleWebKit/537.36 UCBrowser/13.4.0.1306 Mobile Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 15_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/19A346",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Safari/537.36 Vivaldi/6.4.3160.47",
+    "Mozilla/5.0 (Linux; Android 13; 2211133G) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36 MiuiBrowser/17.4.80420",
+    "Mozilla/5.0 (Linux; Android 12; ELS-NX9 Build/HUAWEIELS-N29) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.88 HuaweiBrowser/13.0.3.302 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/63.0.3239.26 Safari/537.36 MQQBrowser/6.2",
+    "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/119.0 Mobile/15E148 Safari/605.1.15",
+    "Mozilla/5.0 (Android 14; Mobile; rv:121.0) Gecko/121.0 Firefox/121.0",
+    "Mozilla/5.0 (Linux; Android 11; Lenovo TB-X606F) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/116.0.0.0 Safari/537.36",
+    "Dalvik/2.1.0 (Linux; U; Android 11; SM-T500 Build/RP1A.200720.012)",
+    "okhttp/4.12.0",
+    "Mozilla/5.0 (PlayStation; PlayStation 5/8.40) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15")
+
+  /** M2 against the oracle: each event picks a UA sample; Spark parses
+    * through [[graft.enrich.UserAgentMapper]], the twin through the
+    * generated RE2 chain; family/version/os/os_version/device counts
+    * must agree. */
+  def m2UaParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = uaSamples.length
+    // dictionary shape — the scale-correct UA enrichment plan: count
+    // per RAW string first (a cheap hash agg, no regex), run the ~200
+    // regexes over the |distinct-UA| frame only, re-aggregate. At
+    // 100 TB the distinct-UA set is ~10^5 while events are ~10^12;
+    // running the chain per event would be 10^7× the regex work.
+    val perUa = Tables(spark, dir, "events")
+      .withColumn("_user_agent",
+        element_at(array(uaSamples.map(lit): _*),
+          ($"user_id" % n).cast("int") + 1))
+      .groupBy($"_user_agent")
+      .agg(count(lit(1)).as("n_raw"))
+    graft.enrich.UserAgentMapper(perUa)
+      .groupBy($"_user_agent_family".as("family"),
+        $"_user_agent_version".as("version"),
+        $"_os".as("os"), $"_os_version".as("os_version"),
+        $"_device_family".as("device"))
+      .agg(sum($"n_raw").as("n_events"))
+  }
+
+  def m2Sql: String = {
+    import graft.enrich.UaRules
+    val n = uaSamples.length
+    val values = uaSamples.zipWithIndex
+      .map { case (ua, i) => s"($i, ${sqlLit(ua)})" }.mkString(",\n    ")
+    val family = caseChain("ua",
+      UaRules.browsers.map(r => r.detect -> sqlLit(r.family)), "'Other'")
+    val version = caseChain("ua",
+      UaRules.browsers.map { r =>
+        r.detect -> (if (r.version.nonEmpty)
+          s"nullif(regexp_extract(ua, ${sqlLit(r.version)}, 1), '')"
+        else "NULL")
+      }, "NULL")
+    val os = caseChain("ua",
+      UaRules.oses.map(r => r.detect -> sqlLit(r.family)), "'Other'")
+    val osVersion = caseChain("ua",
+      UaRules.oses.map { r =>
+        r.detect -> (if (r.literal.nonEmpty) sqlLit(r.literal)
+        else if (r.versionRe.nonEmpty)
+          s"nullif(regexp_extract(ua, ${sqlLit(r.versionRe)}, 1), '')"
+        else "NULL")
+      }, "NULL")
+    val model = s"nullif(regexp_extract(ua, ${sqlLit(UaRules.AndroidModelRe)}, 1), '')"
+    s"""WITH samples(i, ua) AS (VALUES
+       |    $values),
+       |evua AS (
+       |  SELECT ua FROM events JOIN samples ON samples.i = user_id % $n),
+       |parsed AS (
+       |  SELECT ua,
+       |    $family AS family,
+       |    $version AS version,
+       |    $os AS os,
+       |    $osVersion AS os_version
+       |  FROM evua)
+       |SELECT family, version, os, os_version,
+       |  CASE WHEN family = 'Spider' THEN 'Spider'
+       |       WHEN contains(ua, 'iPhone') THEN 'iPhone'
+       |       WHEN contains(ua, 'iPad') THEN 'iPad'
+       |       WHEN contains(ua, 'iPod') THEN 'iPod'
+       |       WHEN contains(ua, 'Android') AND $model IS NOT NULL THEN $model
+       |       WHEN contains(ua, 'Android') AND contains(ua, 'Mobile')
+       |         THEN 'Generic Smartphone'
+       |       WHEN contains(ua, 'Android') THEN 'Generic Tablet'
+       |       ELSE 'Other' END AS device,
+       |  count(*) AS n_events
+       |FROM parsed GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
+  /** Referrer URL samples: major + regional search (distinct term
+    * params), webmail, social, an unknown domain, an internal host, a
+    * malformed string, and a path-less URL. All well-formed entries are
+    * plain `scheme://host/path?query` so the twin's regex host/path
+    * extraction coincides with Spark's parse_url exactly. */
+  private val refSamples: Seq[String] = Seq(
+    "https://www.google.com/search?q=spark+engine",
+    "https://www.bing.com/search?q=duck",
+    "https://yandex.ru/search/?text=spark",
+    "https://www.baidu.com/s?wd=analytics",
+    "https://search.naver.com/search.naver?query=kimchi",
+    "https://search.goo.ne.jp/web.jsp?MT=term",
+    "https://mail.google.com/mail/u/0/",
+    "https://outlook.live.com/mail/",
+    "https://news.ycombinator.com/item?id=1",
+    "https://medium.com/@a/post",
+    "https://www.instagram.com/p/abc/",
+    "https://t.co/abc123",
+    "https://some.unknown-blog.example.org/post/1",
+    "https://my.example.com/home",
+    "not a url ::",
+    "https://duckduckgo.com",
+    "https://go.mail.ru/search?q=x",
+    "https://ok.ru/profile/1")
+
+  /** M3 against the oracle: each event picks a referrer sample; Spark
+    * classifies through [[graft.enrich.ReferrerMapper]] (with an
+    * internal host), the twin through the generated referers chain. */
+  def m3ReferrerParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = refSamples.length
+    // same dictionary shape as m2 — classify each distinct URL once
+    val perRef = Tables(spark, dir, "events")
+      .withColumn("_referrer",
+        element_at(array(refSamples.map(lit): _*),
+          ($"user_id" % n).cast("int") + 1))
+      .groupBy($"_referrer")
+      .agg(count(lit(1)).as("n_raw"))
+    graft.enrich.ReferrerMapper(Seq("my.example.com"))(perRef)
+      .groupBy($"_referrer_medium".as("medium"),
+        $"_referrer_source".as("source"), $"_referrer_term".as("term"),
+        $"_referrer_domain".as("domain"), $"_referrer_path".as("path"))
+      .agg(sum($"n_raw").as("n_events"))
+  }
+
+  def m3Sql: String = {
+    import graft.enrich.UaRules
+    val n = refSamples.length
+    val values = refSamples.zipWithIndex
+      .map { case (u, i) => s"($i, ${sqlLit(u)})" }.mkString(",\n    ")
+    val source = caseChain("host",
+      UaRules.referers.map(r => r.hostRe -> sqlLit(r.source)), "NULL")
+    val tableMedium = caseChain("host",
+      UaRules.referers.map(r => r.hostRe -> sqlLit(r.medium)), "NULL")
+    val term = UaRules.termParams.map { p =>
+      s"nullif(regexp_extract(url, ${sqlLit(s"[?&]$p=([^&#]*)")}, 1), '')"
+    }.mkString("coalesce(", ", ", ")")
+    s"""WITH samples(i, url) AS (VALUES
+       |    $values),
+       |evref AS (
+       |  SELECT url FROM events JOIN samples ON samples.i = user_id % $n),
+       |hosted AS (
+       |  SELECT url,
+       |    lower(nullif(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')) AS host,
+       |    nullif(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1), '') AS pathv
+       |  FROM evref),
+       |classified AS (
+       |  SELECT url, host, pathv,
+       |    CASE WHEN host IS NULL THEN NULL
+       |         WHEN host = 'my.example.com' THEN 'internal'
+       |         ELSE coalesce($tableMedium, 'unknown') END AS medium,
+       |    $source AS src
+       |  FROM hosted)
+       |SELECT medium,
+       |  CASE WHEN medium <> 'internal' THEN src END AS source,
+       |  CASE WHEN medium = 'search' THEN $term END AS term,
+       |  CASE WHEN medium <> 'internal' THEN host END AS domain,
+       |  CASE WHEN medium <> 'internal' THEN pathv END AS path,
+       |  count(*) AS n_events
+       |FROM classified GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "m7_js_mapper" -> QueryDef.of(m7Sql)(m7JsMapper),
-    "m4_geoip" -> QueryDef.of(m4Sql)(m4Geoip)
+    "m4_geoip" -> QueryDef.of(m4Sql)(m4Geoip),
+    "m2_ua_parse" -> QueryDef.of(m2Sql)(m2UaParse),
+    "m3_referrer_parse" -> QueryDef.of(m3Sql)(m3ReferrerParse)
   )
 }
