@@ -94,11 +94,15 @@ object MapperQueries {
   // The UA and referrer mappers fold [[graft.enrich.UaRules]] into
   // CaseWhen chains; here the DuckDB twins are GENERATED from the very
   // same tables (single source of truth), so the oracle compare runs
-  // every detection/extraction regex through an independent engine
-  // (RE2) against Spark's java.util.regex over a fixed sample list
-  // selected per event — the cross-engine check canned specs can't
-  // give. The tables deliberately avoid lookarounds/backreferences, so
-  // both regex dialects agree by construction.
+  // the rule regexes through an independent engine (RE2) against
+  // Spark's java.util.regex over a fixed sample list selected per
+  // event — the cross-engine check canned specs can't give. Coverage
+  // caveat: every DETECTION regex executes against every sample on
+  // both engines, but first-match-wins means an EXTRACTION regex only
+  // runs when its rule is the first hit for some sample — rules no
+  // sample reaches are structurally mirrored, not executed. The tables
+  // deliberately avoid lookarounds/backreferences, so both regex
+  // dialects agree by construction.
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -160,7 +164,7 @@ object MapperQueries {
     val perUa = Tables(spark, dir, "events")
       .withColumn("_user_agent",
         element_at(array(uaSamples.map(lit): _*),
-          ($"user_id" % n).cast("int") + 1))
+          (coalesce($"event_id", lit(0L)) % n).cast("int") + 1))
       .groupBy($"_user_agent")
       .agg(count(lit(1)).as("n_raw"))
     graft.enrich.UserAgentMapper(perUa)
@@ -197,7 +201,7 @@ object MapperQueries {
     s"""WITH samples(i, ua) AS (VALUES
        |    $values),
        |evua AS (
-       |  SELECT ua FROM events JOIN samples ON samples.i = user_id % $n),
+       |  SELECT ua FROM events JOIN samples ON samples.i = coalesce(event_id, 0) % $n),
        |parsed AS (
        |  SELECT ua,
        |    $family AS family,
@@ -254,7 +258,7 @@ object MapperQueries {
     val perRef = Tables(spark, dir, "events")
       .withColumn("_referrer",
         element_at(array(refSamples.map(lit): _*),
-          ($"user_id" % n).cast("int") + 1))
+          (coalesce($"event_id", lit(0L)) % n).cast("int") + 1))
       .groupBy($"_referrer")
       .agg(count(lit(1)).as("n_raw"))
     graft.enrich.ReferrerMapper(Seq("my.example.com"))(perRef)
@@ -279,7 +283,7 @@ object MapperQueries {
     s"""WITH samples(i, url) AS (VALUES
        |    $values),
        |evref AS (
-       |  SELECT url FROM events JOIN samples ON samples.i = user_id % $n),
+       |  SELECT url FROM events JOIN samples ON samples.i = coalesce(event_id, 0) % $n),
        |hosted AS (
        |  SELECT url,
        |    lower(nullif(regexp_extract(url,
