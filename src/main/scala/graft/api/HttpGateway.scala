@@ -2379,6 +2379,12 @@ final class HttpGateway(
         catch {
           case e: IngestRejected =>
             (400, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
+          // malformed request JSON is ALWAYS the client's 400 (the
+          // reference's RakamHttpRequestHandler contract) — a raw
+          // Jackson parse failure from any door must not 500
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            (400, s"""{"error":${mapper.writeValueAsString(
+              s"invalid JSON: ${e.getOriginalMessage}")}}""")
           case NonFatal(e) =>
             (500, s"""{"error":${mapper.writeValueAsString(String.valueOf(e))}}""")
         }

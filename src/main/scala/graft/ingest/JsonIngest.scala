@@ -202,6 +202,19 @@ object JsonIngest {
 
   @transient private lazy val mapper = new ObjectMapper()
 
+  /** The reference's deserializer contract (JsonEventDeserializer.java):
+    * `collection` must be a STRING — `{"collection": null}` or a
+    * numeric node is the "collection is null/invalid" rejection, never
+    * a collection literally named "null" (Jackson's NullNode.asText()
+    * trap) — and `properties` must be present and an OBJECT. Lines
+    * failing either produce no skeleton/row and the collect door
+    * answers 400 "not stored". */
+  private def textualCollection(root: JsonNode): Option[String] =
+    Option(root.get("collection")).filter(_.isTextual).map(_.asText())
+
+  private def objectProperties(root: JsonNode): Option[JsonNode] =
+    Option(root.get("properties")).filter(_.isObject)
+
   // ---- the two-pass batch ingest ----
 
   def ingest(spark: SparkSession, registry: SchemaRegistry, project: String,
@@ -222,10 +235,9 @@ object JsonIngest {
       val m = new ObjectMapper()
       it.flatMap { line =>
         Try(m.readTree(line)).toOption.flatMap { root =>
-          val coll = Option(root.get("collection")).map(_.asText())
+          val coll = textualCollection(root)
             .flatMap(c => Names.normalizeCollection(c).toOption)
-          coll.map { c =>
-            val props = Option(root.get("properties")).getOrElse(m.createObjectNode())
+          coll.zip(objectProperties(root)).map { case (c, props) =>
             val fields = props.properties().asScala.flatMap { e =>
               Names.normalizeField(e.getKey).toOption.flatMap { name =>
                 val t =
@@ -280,12 +292,12 @@ object JsonIngest {
       val schemas = schemaB.value
       it.flatMap { line =>
         Try(m.readTree(line)).toOption.flatMap { root =>
-          Option(root.get("collection")).map(_.asText())
+          textualCollection(root)
             .flatMap(c => Names.normalizeCollection(c).toOption)
             .filter(schemas.contains)
-            .map { c =>
+            .zip(objectProperties(root))
+            .map { case (c, props) =>
               val fields = schemas(c)
-              val props = Option(root.get("properties")).getOrElse(m.createObjectNode())
               val byNorm: Map[String, JsonNode] = props.properties().asScala.flatMap { e =>
                 Names.normalizeField(e.getKey).toOption.map(_ -> e.getValue)
               }.toMap

@@ -34,6 +34,11 @@ object EventStore {
   def write(df: DataFrame, warehouse: String, project: String,
       collection: String): Unit = {
     val dropped = df.drop(sourceOnlyFields: _*)
+    // a batch whose events carry no fields at all has nothing storable:
+    // partitioning by _month alone would make EVERY column a partition
+    // column, which Spark rejects with an AnalysisException that would
+    // surface as a 500 from the collect door
+    if (dropped.columns.isEmpty) return
     val withMonth =
       if (dropped.columns.contains("_time"))
         dropped.withColumn("_month", date_format(col("_time"), "yyyy-MM"))
