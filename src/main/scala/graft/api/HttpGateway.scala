@@ -328,8 +328,8 @@ final class HttpGateway(
     * from the engine. */
   private def handleBulkRemote(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val collection = textField(root, "collection").getOrElse(
       throw new IngestRejected("collection is required"))
     val urls = Option(root.get("urls")).filter(_.isArray)
       .map(_.elements().asScala.map(_.asText()).toSeq)
@@ -367,8 +367,8 @@ final class HttpGateway(
     * registry rejections (type conflicts, reserved names, column cap). */
   private def handleSchemaAdd(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val collection = textField(root, "collection").getOrElse(
       throw new IngestRejected("collection is required"))
     val fields = Option(root.get("fields")).filter(_.isArray)
       .map(_.elements().asScala.toSeq)
@@ -415,8 +415,8 @@ final class HttpGateway(
     * `/schema/add`. */
   private def handleSchemaAddCustom(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val collection = textField(root, "collection").getOrElse(
       throw new IngestRejected("collection is required"))
     val schemaType = Option(root.get("schema_type")).map(_.asText()).getOrElse(
       throw new IngestRejected("schema_type is required"))
@@ -479,8 +479,7 @@ final class HttpGateway(
     * the client's 400, not a 500. */
   private def handleQuery(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val root = mapper.readTree(body)
+    val root = requestJson(ex)
     val sql = Option(root).flatMap(r => Option(r.get("query")))
       .map(_.asText()).filter(_.nonEmpty)
       .getOrElse(throw new IngestRejected("query is required"))
@@ -503,8 +502,7 @@ final class HttpGateway(
 
   private def handleUserBatch(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val root = mapper.readTree(body)
+    val root = requestJson(ex)
     if (root == null || !root.isArray)
       throw new IngestRejected("Body must be an array")
     val now = System.currentTimeMillis()
@@ -540,7 +538,7 @@ final class HttpGateway(
     * properties under the fold. */
   private def handleUserCreateBatch(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val users = Option(root).filter(_.isArray).getOrElse(
       throw new IngestRejected("Body must be an array"))
     val now = System.currentTimeMillis()
@@ -564,8 +562,8 @@ final class HttpGateway(
     * one op appended to the same log the batch door feeds. */
   private def handleUserOp(kind: String)(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val id = textField(root, "id").getOrElse(
       throw new IngestRejected("id is required"))
     val ts = Option(root.get("time")).map(_.asLong())
       .getOrElse(System.currentTimeMillis())
@@ -580,8 +578,8 @@ final class HttpGateway(
 
   private def handleIncrement(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val id = textField(root, "id").getOrElse(
       throw new IngestRejected("id is required"))
     val property = Option(root.get("property")).map(_.asText()).getOrElse(
       throw new IngestRejected("property is required"))
@@ -596,8 +594,8 @@ final class HttpGateway(
 
   private def handleUnset(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val id = textField(root, "id").getOrElse(
       throw new IngestRejected("id is required"))
     val names = Option(root.get("properties")).filter(_.isArray)
       .map(_.elements().asScala.map(_.asText()).toSeq)
@@ -804,8 +802,8 @@ final class HttpGateway(
     * |events|). Returns partitions rewritten and event rows deleted. */
   private def handleUserDelete(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val id = textField(root, "id").getOrElse(
       throw new IngestRejected("id is required"))
     writeLock.synchronized {
       var parts = 0
@@ -839,8 +837,8 @@ final class HttpGateway(
     * `ceil(rows/rows_per_file)` files. */
   private def handleCompact(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val collection = textField(root, "collection").getOrElse(
       throw new IngestRejected("collection is required"))
     val month = Option(root.get("month")).map(_.asText()).getOrElse(
       throw new IngestRejected("month is required"))
@@ -877,14 +875,14 @@ final class HttpGateway(
     * so `delete` it when done. */
   private def handleSubCreate(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val id = Option(root.get("id")).map(_.asText()).getOrElse(
+    val root = requestJson(ex)
+    val id = textField(root, "id").getOrElse(
       throw new IngestRejected("id is required"))
     if (!id.matches("[A-Za-z0-9_]+"))
       throw new IngestRejected("id must be alphanumeric")
     if (subscriptions.containsKey(id))
       throw new IngestRejected(s"subscription '$id' already exists")
-    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+    val collection = textField(root, "collection").getOrElse(
       throw new IngestRejected("collection is required"))
     val filter = Option(root.get("filter")).map(_.asText())
     val columns = Option(root.get("columns")).filter(_.isArray)
@@ -962,7 +960,7 @@ final class HttpGateway(
     * ([[graft.enrich.js.JsWebhookTransform]]). */
   private def handleHookActivate(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val id = requireIdentifier(Option(root.get("identifier")).map(_.asText())
       .getOrElse(throw new IngestRejected("identifier is required")))
     val code = Option(root.get("code")).map(_.asText()).filter(_.nonEmpty)
@@ -1020,7 +1018,7 @@ final class HttpGateway(
     * (the reference's test door). */
   private def handleHookTest(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val code = Option(root.get("code")).map(_.asText()).filter(_.nonEmpty)
       .getOrElse(throw new IngestRejected("code is required"))
     val ps = Option(root.get("parameters")).filter(_.isObject)
@@ -1062,7 +1060,7 @@ final class HttpGateway(
 
   private def handleHookDelete(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val id = requireIdentifier(Option(root.get("identifier")).map(_.asText())
       .getOrElse(throw new IngestRejected("identifier is required")))
     val p = new org.apache.hadoop.fs.Path(hooksDir, id)
@@ -1137,8 +1135,8 @@ final class HttpGateway(
     * one (the reference's create/update split). */
   private def handleMapperCreate(update: Boolean)(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     val script = Option(root.get("script")).map(_.asText()).filter(_.nonEmpty)
       .getOrElse(throw new IngestRejected("script is required"))
@@ -1185,8 +1183,8 @@ final class HttpGateway(
 
   private def handleMapperDelete(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     val p = new org.apache.hadoop.fs.Path(mappersDir, name)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1219,7 +1217,7 @@ final class HttpGateway(
     * request). Script errors are the client's 400. */
   private def handleMapperTest(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val script = Option(root.get("script")).map(_.asText()).filter(_.nonEmpty)
       .getOrElse(throw new IngestRejected("script is required"))
     val ps = Option(root.get("parameters")).filter(_.isObject)
@@ -1312,8 +1310,8 @@ final class HttpGateway(
     * di1 oracle row proves equal to the one-shot batch computation. */
   private def handleDedupCreate(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     if (graft.store.VersionedState.exists(dedupIdxDir(name)))
       throw new IngestRejected(s"index '$name' already exists")
@@ -1325,8 +1323,8 @@ final class HttpGateway(
 
   private def handleDedupAppend(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(dedupIdxDir(name))
     writeLock.synchronized {
@@ -1343,8 +1341,8 @@ final class HttpGateway(
     * corpus access. All reads are ≤K/top-50 rows. */
   private def handleVocabCreate(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     writeLock.synchronized {
       // exists-check INSIDE the lock: two racing creates must not both
@@ -1367,8 +1365,8 @@ final class HttpGateway(
     * its next id after losing state. */
   private def handleVocabAppend(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(vocabIdxDir(name))
     val batchId = Option(root.get("batch_id")).map(_.asLong())
@@ -1442,8 +1440,8 @@ final class HttpGateway(
     * one-version grace (drift's predecessor survives). */
   private def handleVocabCompact(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(vocabIdxDir(name))
     writeLock.synchronized {
@@ -1454,8 +1452,8 @@ final class HttpGateway(
 
   private def handleDedupProbe(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(dedupIdxDir(name))
     val verdicts = graft.store.DedupIndex
@@ -1474,8 +1472,8 @@ final class HttpGateway(
     * one-shot IVF plan. */
   private def handleAnnCreate(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     if (graft.store.VersionedState.exists(annIdxDir(name)))
       throw new IngestRejected(s"index '$name' already exists")
@@ -1490,8 +1488,8 @@ final class HttpGateway(
 
   private def handleAnnAppend(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(annIdxDir(name))
     writeLock.synchronized {
@@ -1503,8 +1501,8 @@ final class HttpGateway(
 
   private def handleAnnQuery(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(annIdxDir(name))
     val vec = Option(root.get("vector")).filter(_.isArray).getOrElse(
@@ -1537,8 +1535,8 @@ final class HttpGateway(
 
   private def handleAnnCompact(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(annIdxDir(name))
     writeLock.synchronized {
@@ -1552,8 +1550,8 @@ final class HttpGateway(
 
   private def handleAnnReseed(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(annIdxDir(name))
     val iters = Option(root.get("iters")).map(_.asInt()).getOrElse(2)
@@ -1576,8 +1574,8 @@ final class HttpGateway(
     * shard count); `compact` consolidates small files. */
   private def handleTextCreate(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     val docs = docsFrameOf(root)
     if (docs.isEmpty)
@@ -1594,8 +1592,8 @@ final class HttpGateway(
 
   private def handleTextAppend(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(textIdxDir(name))
     val delta = docsFrameOf(root)
@@ -1610,8 +1608,8 @@ final class HttpGateway(
 
   private def handleTextSearch(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(textIdxDir(name))
     val terms = Option(root.get("terms")).filter(_.isArray).getOrElse(
@@ -1631,8 +1629,8 @@ final class HttpGateway(
     * terms' shards are read; no corpus re-tokenization. */
   private def handleTextPhrase(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(textIdxDir(name))
     val phrase = Option(root.get("phrase")).filter(_.isArray).getOrElse(
@@ -1671,8 +1669,8 @@ final class HttpGateway(
 
   private def handleTextCompact(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(textIdxDir(name))
     writeLock.synchronized {
@@ -1693,7 +1691,7 @@ final class HttpGateway(
     * k rows, bounded regardless of corpus size. */
   private def handleTokenizerTrain(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val k = Option(root.get("k")).map(_.asInt()).getOrElse(8)
     if (k < 1 || k > 64)
       throw new IngestRejected("k must be between 1 and 64")
@@ -1707,7 +1705,7 @@ final class HttpGateway(
     * cluster-sized, so the door never collects unboundedly. */
   private def handleTokenizerChunks(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val limit = Option(root.get("limit")).map(_.asInt()).getOrElse(1000)
     if (limit < 1 || limit > 10000)
       throw new IngestRejected("limit must be between 1 and 10000")
@@ -1721,7 +1719,7 @@ final class HttpGateway(
     * ≤K rows at any corpus size. */
   private def handleTokenizerDrift(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val out = graft.analytics.TokenizerQueries.bpe4From(docsFrameOf(root))
     (200, out.orderBy(col("rank")).toJSON.collect().mkString("[", ",", "]"))
   }
@@ -1733,7 +1731,7 @@ final class HttpGateway(
     * count, and the feature must mean the same thing for every caller. */
   private def handleProbeTrain(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val docs = docsFrameOf(root)
       .withColumn("n_chars", length(col("text")).cast("long"))
     val (b0, w1, w2, w3) =
@@ -1754,7 +1752,7 @@ final class HttpGateway(
     * the cluster job. */
   private def handleCorpusFunnel(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val benchNode = Option(root.get("benchmark")).filter(_.isObject)
       .getOrElse(throw new IngestRejected(
         "benchmark object (docs array or source path) is required"))
@@ -1869,12 +1867,12 @@ final class HttpGateway(
     * folds its delta in. */
   private def handleMvCreate(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     if (readMvDef(name).isDefined)
       throw new IngestRejected(s"materialized view '$name' already exists")
-    val collection = Option(root.get("collection")).map(_.asText()).getOrElse(
+    val collection = textField(root, "collection").getOrElse(
       throw new IngestRejected("collection is required"))
     def arr(f: String): Seq[String] =
       Option(root.get(f)).filter(_.isArray)
@@ -1930,8 +1928,8 @@ final class HttpGateway(
 
   private def handleMvDelete(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     val marker = new org.apache.hadoop.fs.Path(mvDefsDir, name)
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1950,8 +1948,8 @@ final class HttpGateway(
     * incremental folds can only ADD). */
   private def handleMvRefresh(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-    val name = requireIdentifier(Option(root.get("name")).map(_.asText())
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
       .getOrElse(throw new IngestRejected("name is required")))
     val d = readMvDef(name).getOrElse(
       return (404, """{"error":"materialized view not found"}"""))
@@ -2022,7 +2020,7 @@ final class HttpGateway(
     * (ProjectHttpService.java:158-176). */
   private def handleCheckKeys(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val proj = Option(root.get("project")).map(_.asText()).getOrElse(
       throw new IngestRejected("project is required"))
     val keys = Option(root.get("keys")).filter(_.isArray).getOrElse(
@@ -2046,7 +2044,7 @@ final class HttpGateway(
     * Revoking the last pair returns the gateway to open dev mode. */
   private def handleRevokeKeys(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val root = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+    val root = requestJson(ex)
     val master = Option(root.get("master_key")).map(_.asText()).getOrElse(
       throw new IngestRejected("master_key is required"))
     if (!master.matches("[a-z0-9]+"))
@@ -2344,6 +2342,29 @@ final class HttpGateway(
     if (ex.getRequestMethod != "POST")
       throw new IngestRejected("POST required")
 
+  /** Parses the REQUEST body as JSON: malformed client input is the
+    * client's 400 (the reference's RakamHttpRequestHandler contract),
+    * never a raw Jackson 500 — while Jackson failures on SERVER-side
+    * state (stored hook/mapper/MV definitions) deliberately stay 500s,
+    * because there a parse error means server fault, not client
+    * fault. */
+  private def requestJson(ex: HttpExchange): com.fasterxml.jackson.databind.JsonNode = {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    try mapper.readTree(body)
+    catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new IngestRejected(s"invalid JSON: ${e.getOriginalMessage}")
+    }
+  }
+
+  /** The NullNode.asText() trap guard for request fields: a JSON null
+    * or non-string node must read as ABSENT, not as the literal string
+    * "null" (which would, e.g., create a collection named "null"). */
+  private def textField(root: com.fasterxml.jackson.databind.JsonNode,
+      name: String): Option[String] =
+    Option(root).flatMap(r => Option(r.get(name)))
+      .filter(_.isTextual).map(_.asText())
+
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getQuery).getOrElse("").split('&')
       .filter(_.contains("="))
@@ -2379,12 +2400,6 @@ final class HttpGateway(
         catch {
           case e: IngestRejected =>
             (400, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
-          // malformed request JSON is ALWAYS the client's 400 (the
-          // reference's RakamHttpRequestHandler contract) — a raw
-          // Jackson parse failure from any door must not 500
-          case e: com.fasterxml.jackson.core.JacksonException =>
-            (400, s"""{"error":${mapper.writeValueAsString(
-              s"invalid JSON: ${e.getOriginalMessage}")}}""")
           case NonFatal(e) =>
             (500, s"""{"error":${mapper.writeValueAsString(String.valueOf(e))}}""")
         }

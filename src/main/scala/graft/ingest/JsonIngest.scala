@@ -215,6 +215,40 @@ object JsonIngest {
   private def objectProperties(root: JsonNode): Option[JsonNode] =
     Option(root.get("properties")).filter(_.isObject)
 
+  /** Typed parse of one valid event line: values coerced to the
+    * registered types, per-field failures recorded as dead letters with
+    * event identity (JsonEventDeserializer.java:85-93 — api.uuid plus
+    * best-effort _user/_time). */
+  private def typedRow(fields: Seq[(String, String)],
+      c: String, root: JsonNode,
+      props: JsonNode): (String, Row, Vector[DeadLetter]) = {
+    val byNorm: Map[String, JsonNode] = props.properties().asScala.flatMap { e =>
+      Names.normalizeField(e.getKey).toOption.map(_ -> e.getValue)
+    }.toMap
+    val eventId = Option(root.get("api")).flatMap(a => Option(a.get("uuid")))
+      .map(_.asText()).orNull
+    val dlUser = byNorm.get("_user").map(_.asText()).orNull
+    val dlTime = byNorm.get("_time").flatMap { n =>
+      if (n.isNumber) Some(java.sql.Timestamp.from(Instant.ofEpochMilli(n.asLong())))
+      else parseTimestamp(n.asText()).map(java.sql.Timestamp.from)
+    }.orNull
+    val dead = Vector.newBuilder[DeadLetter]
+    val values = fields.map { case (name, tName) =>
+      byNorm.get(name) match {
+        case None => null
+        case Some(node) =>
+          coerce(node, FieldType.fromName(tName)) match {
+            case Right(v) => v
+            case Left(err) =>
+              dead += DeadLetter(c, name, tName, err,
+                node.toString.take(200), eventId, dlUser, dlTime)
+              null
+          }
+      }
+    }
+    (c, Row.fromSeq(values), dead.result())
+  }
+
   // ---- the two-pass batch ingest ----
 
   def ingest(spark: SparkSession, registry: SchemaRegistry, project: String,
@@ -278,7 +312,13 @@ object JsonIngest {
       }.toSeq
       c -> registry.getOrCreate(project, c, fields)
     }
-    val registered = regResults.map { case (c, (schema, _)) => c -> schema }
+    // a collection with NO fields at all (every event's properties
+    // empty) has nothing storable — a zero-column frame would either
+    // crash the partitioned write or count phantom "stored" rows, so
+    // such collections don't materialize and their lines dead-letter
+    val registered = regResults.collect {
+      case (c, (schema, _)) if schema.nonEmpty => c -> schema
+    }
     val rejected = regResults.toSeq.flatMap { case (c, (_, rej)) =>
       rej.map(r => (c, r.field, r.reason))
     }
@@ -294,37 +334,25 @@ object JsonIngest {
         Try(m.readTree(line)).toOption.flatMap { root =>
           textualCollection(root)
             .flatMap(c => Names.normalizeCollection(c).toOption)
-            .filter(schemas.contains)
-            .zip(objectProperties(root))
-            .map { case (c, props) =>
-              val fields = schemas(c)
-              val byNorm: Map[String, JsonNode] = props.properties().asScala.flatMap { e =>
-                Names.normalizeField(e.getKey).toOption.map(_ -> e.getValue)
-              }.toMap
-              // event identity for dead letters (JsonEventDeserializer.java:85-93):
-              // api.uuid if the context carries one, plus best-effort _user/_time.
-              val eventId = Option(root.get("api")).flatMap(a => Option(a.get("uuid")))
-                .map(_.asText()).orNull
-              val dlUser = byNorm.get("_user").map(_.asText()).orNull
-              val dlTime = byNorm.get("_time").flatMap { n =>
-                if (n.isNumber) Some(java.sql.Timestamp.from(Instant.ofEpochMilli(n.asLong())))
-                else parseTimestamp(n.asText()).map(java.sql.Timestamp.from)
-              }.orNull
-              val dead = Vector.newBuilder[DeadLetter]
-              val values = fields.map { case (name, tName) =>
-                byNorm.get(name) match {
-                  case None => null
-                  case Some(node) =>
-                    coerce(node, FieldType.fromName(tName)) match {
-                      case Right(v) => v
-                      case Left(err) =>
-                        dead += DeadLetter(c, name, tName, err,
-                          node.toString.take(200), eventId, dlUser, dlTime)
-                        null
-                    }
-                }
+            .map { c =>
+              val eventIdDl = Option(root.get("api"))
+                .flatMap(a => Option(a.get("uuid"))).map(_.asText()).orNull
+              objectProperties(root) match {
+                case None =>
+                  // the reference's "properties is null" rejection —
+                  // RECORDED, not silently dropped: a multi-event batch
+                  // must account for every lost event
+                  (c, null, Vector(DeadLetter(c, "(properties)", "OBJECT",
+                    "properties is missing or not an object",
+                    String.valueOf(root.get("properties")).take(200),
+                    eventIdDl, null, null)))
+                case Some(_) if !schemas.contains(c) =>
+                  (c, null, Vector(DeadLetter(c, "(event)", "ROW",
+                    "collection has no storable fields",
+                    line.take(200), eventIdDl, null, null)))
+                case Some(props) =>
+                  typedRow(schemas(c), c, root, props)
               }
-              (c, Row.fromSeq(values), dead.result())
             }
         }
       }
@@ -333,7 +361,8 @@ object JsonIngest {
 
     val byCollection = registered.map { case (c, fs) =>
       val st = StructType(fs.map(f => StructField(f.name, f.tpe.spark, nullable = true)))
-      c -> spark.createDataFrame(parsed.filter(_._1 == c).map(_._2), st)
+      c -> spark.createDataFrame(
+        parsed.filter(t => t._1 == c && t._2 != null).map(_._2), st)
     }
     val dead = spark.createDataFrame(
       parsed.flatMap(_._3).map(d =>

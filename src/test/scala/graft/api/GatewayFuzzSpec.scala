@@ -40,9 +40,11 @@ class GatewayFuzzSpec extends SparkSpec {
     "/project/schema/add", "/project/schema/add/custom",
     // /project/exception is excluded: it EXISTS to throw (the
     // reference's exception-test door) — the one door whose 500 is
-    // its contract
-    "/project/create-api-keys", "/project/check-api-keys",
-    "/project/revoke-api-keys",
+    // its contract. /project/create-api-keys runs LAST (see below):
+    // minting keys ARMS role enforcement, and fuzzing it mid-sweep
+    // would leave every later authed door answering 403 at the auth
+    // gate, never reaching its handler.
+    "/project/check-api-keys", "/project/revoke-api-keys",
     "/index/dedup/create", "/index/dedup/append", "/index/dedup/probe",
     "/index/ann/create", "/index/ann/append", "/index/ann/query",
     "/index/ann/reseed", "/index/ann/compact", "/index/ann/stats",
@@ -82,15 +84,28 @@ class GatewayFuzzSpec extends SparkSpec {
             s"$door body#$i -> ${r.statusCode()}: ${r.body().take(300)}")
         }
       }
-      // the server is still healthy after ~1000 hostile requests. One
-      // of them legitimately minted api keys through
-      // /project/create-api-keys (an open door by the reference's
-      // contract), which ARMS role enforcement — so a 403 "api key is
-      // invalid" here is the auth layer working, not a wedged server.
-      val ok = post(port, "/event/collect",
+      // create-api-keys is fuzzed LAST: its first hit MINTS a pair and
+      // ARMS role enforcement (after which even minting needs the
+      // master key), so running it mid-sweep would leave every later
+      // authed door answering 403 at the auth gate, never reaching its
+      // handler. Capture the first minted write key for the health
+      // check below.
+      var writeKey: Option[String] = None
+      bodies.zipWithIndex.foreach { case (body, i) =>
+        val r = post(port, "/project/create-api-keys", body)
+        assert(r.statusCode() < 500 || r.statusCode() == 501,
+          s"/project/create-api-keys body#$i -> ${r.statusCode()}: ${r.body().take(300)}")
+        if (writeKey.isEmpty && r.statusCode() == 200)
+          writeKey = "\"write_key\"\\s*:\\s*\"([^\"]+)\"".r
+            .findFirstMatchIn(r.body()).map(_.group(1))
+      }
+      // the server must still INGEST after ~1000 hostile requests —
+      // with the minted write key, a 200 proves the full ingest path
+      // survived, not merely that the auth gate answers
+      val key = writeKey.getOrElse(fail("no mint succeeded during fuzz"))
+      val ok = post(port, s"/event/collect?write_key=$key",
         """{"collection": "pageview", "properties": {"_user": "u1", "_time": "2026-01-15 10:30:00.000", "page": "/a"}}""")
-      assert(ok.statusCode() == 200 ||
-        (ok.statusCode() == 403 && ok.body().contains("api key")),
+      assert(ok.statusCode() == 200,
         s"post-fuzz collect: ${ok.statusCode()} ${ok.body().take(200)}")
     } finally gw.stop()
   }
