@@ -186,10 +186,13 @@ object MapperQueries {
     // regexes over the |distinct-UA| frame only, re-aggregate. At
     // 100 TB the distinct-UA set is ~10^5 while events are ~10^12;
     // running the chain per event would be 10^7× the regex work.
+    // pmod, not %: a negative event_id under % yields a negative
+    // remainder, which element_at resolves from the array END while the
+    // twin's join drops the row — a silent oracle divergence
     val perUa = Tables(spark, dir, "events")
       .withColumn("_user_agent",
         element_at(array(uaSamples.map(lit): _*),
-          (coalesce($"event_id", lit(0L)) % n).cast("int") + 1))
+          pmod(coalesce($"event_id", lit(0L)), lit(n.toLong)).cast("int") + 1))
       .groupBy($"_user_agent")
       .agg(count(lit(1)).as("n_raw"))
     graft.enrich.UserAgentMapper(perUa)
@@ -226,7 +229,8 @@ object MapperQueries {
     s"""WITH samples(i, ua) AS (VALUES
        |    $values),
        |evua AS (
-       |  SELECT ua FROM events JOIN samples ON samples.i = coalesce(event_id, 0) % $n),
+       |  SELECT ua FROM events JOIN samples
+       |    ON samples.i = ((coalesce(event_id, 0) % $n) + $n) % $n),
        |parsed AS (
        |  SELECT ua,
        |    $family AS family,
@@ -296,7 +300,7 @@ object MapperQueries {
     val perRef = Tables(spark, dir, "events")
       .withColumn("_referrer",
         element_at(array(refSamples.map(lit): _*),
-          (coalesce($"event_id", lit(0L)) % n).cast("int") + 1))
+          pmod(coalesce($"event_id", lit(0L)), lit(n.toLong)).cast("int") + 1))
       .groupBy($"_referrer")
       .agg(count(lit(1)).as("n_raw"))
     graft.enrich.ReferrerMapper(Seq("my.example.com"))(perRef)
@@ -321,7 +325,8 @@ object MapperQueries {
     s"""WITH samples(i, url) AS (VALUES
        |    $values),
        |evref AS (
-       |  SELECT url FROM events JOIN samples ON samples.i = coalesce(event_id, 0) % $n),
+       |  SELECT url FROM events JOIN samples
+       |    ON samples.i = ((coalesce(event_id, 0) % $n) + $n) % $n),
        |hosted AS (
        |  SELECT url,
        |    lower(nullif(regexp_extract(url,

@@ -172,11 +172,25 @@ object TrainingSetQueries {
        |GROUP BY d.lang""".stripMargin
   }
 
+  /** Max frequency of any element in `arr`, computed as the longest run
+    * of equal adjacent values in a sorted copy: O(n log n) per document
+    * instead of the former |distinct|×n transform×filter scan, which was
+    * quadratic on repetitive book-length docs (a 10k-token doc cost ~10⁸
+    * comparisons). Scan-side, no shuffle. */
+  private def maxFreqExpr(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run',  if(x <=> acc.prev, acc.run + 1L, 1L),
+       |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
+       |  acc -> acc.best)""".stripMargin
+
   /** T-REP: Gopher-style repetition metrics per document — duplicate
     * word fraction, most-frequent-token fraction, most-frequent-bigram
     * fraction, and the keep/drop verdict. Pure array math per row; the
-    * per-doc top-k is over the (tiny) distinct-token set, never a
-    * shuffle. */
+    * per-doc top frequency is sort + max-run-length, never a shuffle
+    * and never quadratic. */
   def tRepetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "documents")
@@ -184,14 +198,10 @@ object TrainingSetQueries {
       .withColumn("n_tokens", size($"toks").cast("long"))
       .filter($"n_tokens" >= 2)
       .withColumn("n_distinct", size(array_distinct($"toks")).cast("long"))
-      .withColumn("top_tok",
-        expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
-          .cast("long"))
+      .withColumn("top_tok", expr(maxFreqExpr("toks")).cast("long"))
       .withColumn("grams2", expr(
         "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
-      .withColumn("top_bigram",
-        expr("array_max(transform(array_distinct(grams2), g -> size(filter(grams2, x -> x = g))))")
-          .cast("long"))
+      .withColumn("top_bigram", expr(maxFreqExpr("grams2")).cast("long"))
       .select(
         $"doc_id", $"n_tokens",
         (lit(1.0) - $"n_distinct".cast("double") / $"n_tokens").as("dup_word_frac"),
@@ -202,26 +212,39 @@ object TrainingSetQueries {
   }
 
   val tRepetitionSql: String =
-    """SELECT doc_id, n_tokens,
+    """WITH base AS (
+      |  SELECT doc_id, t,
+      |    list_transform(range(len(t) - 1),
+      |      i -> concat_ws(' ', t[i+1], t[i+2])) AS g2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2),
+      |tok_top AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok FROM (
+      |    SELECT doc_id, tok, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id),
+      |big_top AS (
+      |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram FROM (
+      |    SELECT doc_id, g, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(g2) AS g FROM base)
+      |    GROUP BY doc_id, g)
+      |  GROUP BY doc_id),
+      |stats AS (
+      |  SELECT b.doc_id,
+      |    CAST(len(b.t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(b.t)) AS BIGINT) AS n_distinct,
+      |    tk.top_tok, bg.top_bigram
+      |  FROM base b
+      |  JOIN tok_top tk ON b.doc_id = tk.doc_id
+      |  JOIN big_top bg ON b.doc_id = bg.doc_id)
+      |SELECT doc_id, n_tokens,
       |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_frac,
       |  CAST(top_tok AS DOUBLE) / n_tokens AS top_tok_frac,
       |  CAST(top_bigram AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
       |  (CAST(top_tok AS DOUBLE) / n_tokens < 0.2
       |    AND CAST(top_bigram AS DOUBLE) / (n_tokens - 1) < 0.1) AS keep
-      |FROM (
-      |  SELECT doc_id,
-      |    CAST(len(t) AS BIGINT) AS n_tokens,
-      |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
-      |    CAST(list_max(list_transform(list_distinct(t),
-      |      x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_tok,
-      |    CAST(list_max(list_transform(list_distinct(g2),
-      |      x -> len(list_filter(g2, y -> y = x)))) AS BIGINT) AS top_bigram
-      |  FROM (
-      |    SELECT doc_id, t,
-      |      list_transform(range(len(t) - 1),
-      |        i -> concat_ws(' ', t[i+1], t[i+2])) AS g2
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      |    WHERE len(t) >= 2))""".stripMargin
+      |FROM stats""".stripMargin
 
   /** Redaction pattern set: (class, regex, replacement). Same regex
     * dialect subset works in java.util.regex and RE2. */

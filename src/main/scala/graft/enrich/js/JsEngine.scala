@@ -803,7 +803,17 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case "Array" =>
       if (args.size == 1 && (args.head.isInstanceOf[Long] ||
         args.head.isInstanceOf[Double])) {
-        val n = num(args.head).toLong
+        val d = num(args.head)
+        // new Array(1.5) is a RangeError per the JS spec (invalid array
+        // length), not a silent truncation to 1 element — thrown as a
+        // catchable script value with the RangeError shape
+        if (d.isNaN || d.isInfinite || d != Math.floor(d)) {
+          val o = mutable.LinkedHashMap.empty[String, Any]
+          o("name") = "RangeError"
+          o("message") = "invalid array length"
+          throw ThrownEx(o)
+        }
+        val n = d.toLong
         if (n < 0 || n > JsEngine.MaxArrayLength)
           throw new SandboxViolation(
             s"new Array($n) out of sandbox bounds")

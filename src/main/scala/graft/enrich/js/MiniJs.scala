@@ -227,6 +227,37 @@ object MiniJs {
     case _ => true
   }
 
+  /** Decode one backslash escape: `src(i)` is the character AFTER the
+    * backslash. Returns (cooked text, source chars consumed). `\uXXXX`
+    * and `\xXX` decode to their code unit (Nashorn-compatible — the
+    * former lexer cooked `A` to the literal text "u0041"); a
+    * malformed hex escape is a parse error, as in real JS, never a
+    * silent mangle. Unknown single-char escapes cook to the bare
+    * character (the JS rule that makes \` \$ \' work). */
+  private def decodeEscape(src: String, i: Int,
+      err: String => Nothing): (String, Int) = {
+    def hex(from: Int, len: Int): Option[Int] =
+      if (from + len <= src.length &&
+        src.substring(from, from + len).forall(c =>
+          Character.digit(c, 16) >= 0))
+        Some(Integer.parseInt(src.substring(from, from + len), 16))
+      else None
+    src.charAt(i) match {
+      case 'n' => ("\n", 1); case 't' => ("\t", 1); case 'r' => ("\r", 1)
+      case 'b' => ("\b", 1); case 'f' => ("\f", 1)
+      case 'v' => ("\u000B", 1)
+      case 'u' => hex(i + 1, 4) match {
+        case Some(cp) => (cp.toChar.toString, 5)
+        case None => err("invalid \\u escape: expected 4 hex digits")
+      }
+      case 'x' => hex(i + 1, 2) match {
+        case Some(cp) => (cp.toChar.toString, 3)
+        case None => err("invalid \\x escape: expected 2 hex digits")
+      }
+      case other => (other.toString, 1)
+    }
+  }
+
   private def lex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var prev: Tok = null
@@ -283,12 +314,14 @@ object MiniJs {
         while (i < n && !closed) {
           val ch = src.charAt(i)
           if (ch == '\\' && i + 1 < n) {
-            i += 1
-            sb.append(src.charAt(i) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case other => other // covers \` \$ \\ and plain chars
-            })
-            i += 1
+            // decodeEscape covers \` \$ \\ (bare-char rule) plus the
+            // hex escapes; a cooked NUL would collide with the token
+            // encoding's segment separator, so reject it explicitly
+            val (cooked, used) = decodeEscape(src, i + 1, err)
+            if (cooked.contains('\u0000'))
+              err("NUL escapes in template literals are not supported")
+            sb.append(cooked)
+            i += 1 + used
           } else if (ch == '`') { closed = true; i += 1 }
           else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') {
             segs += sb.toString; sb.clear(); sb.append('S')
@@ -328,13 +361,10 @@ object MiniJs {
         while (i < n && src.charAt(i) != q) {
           val ch = src.charAt(i)
           if (ch == '\\' && i + 1 < n) {
-            i += 1
-            sb.append(src.charAt(i) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case other => other
-            })
-          } else sb.append(ch)
-          i += 1
+            val (cooked, used) = decodeEscape(src, i + 1, err)
+            sb.append(cooked)
+            i += 1 + used
+          } else { sb.append(ch); i += 1 }
         }
         if (i >= n) err("unterminated string")
         i += 1

@@ -90,7 +90,7 @@ object VocabStore {
       // training jobs (drift is served WITHOUT the writer's lock — a
       // reader must not block maintenance). A compacted-away version
       // has the same contract as an absent predecessor: empty drift.
-      try {
+      {
         // two independent job chains (bpe4's argument): train both
         // versions concurrently so drift pays max, not sum, of the
         // fixed per-merge job latencies. Await BOTH before acting on
@@ -105,10 +105,18 @@ object VocabStore {
           VersionedState.readVersion(spark, path, prevV), k))
         val curT = scala.util.Try(Await.result(curF, Duration.Inf))
         val prevT = scala.util.Try(Await.result(prevF, Duration.Inf))
-        TokenizerQueries.driftFrame(spark, curT.get, prevT.get,
+        // inspect BOTH failures explicitly: a vanished-version read is
+        // the compaction race (→ empty drift), but if the OTHER chain
+        // failed for an unrelated reason that real error must surface —
+        // a blanket catch around curT.get would let the racing side's
+        // missing-files failure mask it
+        val failures = Seq(curT, prevT).collect {
+          case scala.util.Failure(e) => e
+        }
+        failures.find(!isMissingFiles(_)).foreach(e => throw e)
+        if (failures.nonEmpty) empty
+        else TokenizerQueries.driftFrame(spark, curT.get, prevT.get,
           "current_merged", "previous_merged", k)
-      } catch {
-        case e: Throwable if isMissingFiles(e) => empty
       }
   }
 
@@ -173,33 +181,28 @@ object VocabStore {
         TokenizerQueries.wordFreq(docs.limit(0)))
     val mid = midRow.getLong(0)
     val tmp = java.nio.file.Files.createTempDirectory("graft-vocab-vs1")
-    // the returned frame reads the temp store lazily, so deletion can
-    // only happen at JVM exit — record the dir in the process-lifetime
-    // registry swept by ONE shutdown hook (a hook per invocation would
-    // accumulate threads in a long-lived gateway)
-    vs1TempDirs.add(tmp)
-    vs1SweepHook
-    initialize(docs.filter($"doc_id" <= mid), tmp.toString)
-    refresh(spark, docs.filter($"doc_id" > mid), tmp.toString,
-      VersionedState.lastBatchId(tmp.toString) + 1)
-    pairCounts(spark, tmp.toString)
+    try {
+      initialize(docs.filter($"doc_id" <= mid), tmp.toString)
+      refresh(spark, docs.filter($"doc_id" > mid), tmp.toString,
+        VersionedState.lastBatchId(tmp.toString) + 1)
+      // materialize the |vocab|-bounded ranking eagerly (block storage,
+      // freed by the ContextCleaner once the frame is unreachable) so
+      // the temp store can be deleted NOW — the former JVM-exit sweep
+      // let a long-lived gateway accumulate unbounded temp-dir disk
+      pairCounts(spark, tmp.toString).localCheckpoint(true)
+    } finally deleteRecursively(tmp)
   }
 
-  private val vs1TempDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-
-  /** Installed once (lazy val), sweeps every recorded vs1 temp store. */
-  private lazy val vs1SweepHook: Unit = {
-    sys.addShutdownHook {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      vs1TempDirs.asScala.foreach { tmp =>
-        if (Files.exists(tmp))
-          Files.walk(tmp).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p): Unit)
-      }
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p): Unit)
+      } finally walk.close()
     }
-    ()
   }
 
   val vs1Sql: String = TokenizerQueries.bpe1Sql

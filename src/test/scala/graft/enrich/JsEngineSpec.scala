@@ -434,6 +434,40 @@ class JsEngineSpec extends SparkSpec {
     assert(e.getMessage.contains("nested template"))
   }
 
+  test("hex escapes decode in strings and templates; malformed ones error") {
+    // A cooks to 'A' (the old lexer mangled it to the text u0041),
+    // \x2d to '-' — in both ordinary literals and templates
+    assert(run("function f() { return '\\u0041\\x2d\\u00e9'; }", "f") == "A-é")
+    assert(run("function f() { return `\\u0041${1}\\x2d`; }", "f") == "A1-")
+    // a malformed hex escape is a parse error, never a silent mangle
+    val e1 = intercept[MiniJs.JsException](
+      MiniJs.parse("var s = '\\uZZ';"))
+    assert(e1.getMessage.contains("\\u escape"))
+    val e2 = intercept[MiniJs.JsException](
+      MiniJs.parse("var s = `\\x1`;"))
+    assert(e2.getMessage.contains("\\x escape"))
+    // NUL would collide with the template token encoding — rejected
+    val e3 = intercept[MiniJs.JsException](
+      MiniJs.parse("var s = `\\u0000`;"))
+    assert(e3.getMessage.contains("NUL"))
+    // …but is fine in an ordinary string literal
+    assert(run("function f() { return '\\u0000'.length; }", "f") == 1L)
+  }
+
+  test("new Array(non-integer length) is a catchable RangeError") {
+    val e = intercept[MiniJs.JsException](
+      run("function f() { return new Array(1.5).length; }", "f"))
+    assert(e.getMessage.contains("RangeError"))
+    // catchable from script, with the JS error shape
+    assert(run(
+      """function f() {
+        |  try { new Array(2.5); return 'no-throw'; }
+        |  catch (e) { return e.name + ':' + e.message; }
+        |}""".stripMargin, "f") == "RangeError:invalid array length")
+    // whole doubles still construct (JS allows new Array(3.0))
+    assert(run("function f() { return new Array(3.0).length; }", "f") == 3L)
+  }
+
   test("destructuring var declarations: object, rename, defaults, array") {
     assert(run(
       """function f(o) { var {a, b} = o; return a + b; }""",
