@@ -669,9 +669,15 @@ final class JsEngine(code: String, globals: Map[String, Any],
       if (depth > 200) throw new SandboxViolation("recursion limit exceeded")
       try {
         val scope = new Env(Some(closureEnv))
-        // arrows don't bind `this` — the lexical lookup falls through
-        // to the enclosing method's binding (the JS arrow rule)
-        if (!isArrow) scope.declare("this", thisVal)
+        // arrows don't bind `this` OR `arguments` — the lexical lookup
+        // falls through to the enclosing method's bindings (the JS
+        // arrow rule). `arguments` is a fresh array of the ACTUAL
+        // arguments, declared before the params so a parameter (or
+        // local) named `arguments` shadows it, as in JS.
+        if (!isArrow) {
+          scope.declare("this", thisVal)
+          scope.declare("arguments", mutable.ArrayBuffer[Any](args: _*))
+        }
         ps.zipWithIndex.foreach { case (p, i) =>
           scope.declare(p, if (i < args.length) args(i) else Undefined)
         }

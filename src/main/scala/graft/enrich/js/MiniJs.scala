@@ -670,9 +670,11 @@ object MiniJs {
       val (cps, cbody) = ctor.getOrElse {
         supTmp match {
           case Some(t) =>
-            val fwd = (0 until 8).map(i => s"__$$a$i")
-            (fwd, Seq(ExprStmt(Call(Member(Ident(t), "call"),
-              ThisE +: fwd.map(Ident(_))))): Seq[Stmt])
+            // implicit derived ctor: super(...arguments) — exact
+            // forwarding via apply now that `arguments` exists
+            (Seq.empty[String], Seq(ExprStmt(Call(
+              Member(Ident(t), "apply"),
+              Seq(ThisE, Ident("arguments"))))): Seq[Stmt])
           case None => (Seq.empty[String], Seq.empty[Stmt])
         }
       }
@@ -863,9 +865,29 @@ object MiniJs {
           case _: Ident | _: Member | _: IndexE =>
             val op = eat().text
             Assign(lhs, op, assignExpr())
+          case (_: ObjLit | _: ArrLit) if cur.text == "=" =>
+            // bare destructuring assignment: `({a, b} = o)`, `[x, y] = a`
+            // — the pattern arrives parsed as a literal whose values
+            // must all be assignable targets (plain JS requires the
+            // object form parenthesized at statement level, which the
+            // block/ObjLit split already enforces). Compound ops on a
+            // pattern are illegal, as in JS.
+            validatePattern(lhs)
+            eat()
+            Assign(lhs, "=", assignExpr())
           case _ => err("invalid assignment target")
         }
       } else lhs
+    }
+
+    /** Every leaf of a destructuring-assignment pattern must itself be
+      * an assignable target; method shorthand or computed values make
+      * it a plain (non-pattern) literal and are rejected here. */
+    private def validatePattern(e: Expr): Unit = e match {
+      case _: Ident | _: Member | _: IndexE => ()
+      case ObjLit(entries) => entries.foreach { case (_, v) => validatePattern(v) }
+      case ArrLit(items) => items.foreach(validatePattern)
+      case _ => err("invalid destructuring assignment target")
     }
 
     private def condExpr(): Expr = {
