@@ -51,15 +51,19 @@ import scala.collection.mutable
   * `hasOwnProperty`. Numbers keep integral identity (Long) until an
   * operation forces a double — so ids survive a get/set round-trip,
   * which pure-double JS semantics would corrupt.
+  * Also in: bare (non-declaration) destructuring assignments
+  * (`({a, b: c} = o)`, `[x = 1, [y]] = arr` — desugared at parse time
+  * to an immediately-invoked arrow doing plain member/index
+  * assignments; object SHORTHAND defaults `({a = 1} = o)` stay a
+  * parse error) and `arguments` inside `function`s (array-like:
+  * `length` + indexing; arrows fall through to the enclosing
+  * function's binding, the JS rule).
   * Still out of scope: generators and `async` (the reference's Nashorn
   * is ES5.1 — neither ever worked for its mapper scripts, and a
   * synchronous sandbox has no event loop to give `async` meaning),
   * class expressions/fields/getters/setters, `new.target`, `new` on
-  * bound functions, static inheritance (`B.staticOfA()` —
-  * `super.m(…)` inside a static works), bare (non-declaration)
-  * destructuring assignments, and `arguments` (a ctor-less derived
-  * class forwards 8 positional parameters — observationally
-  * equivalent without `arguments` to count them).
+  * bound functions, and static inheritance (`B.staticOfA()` —
+  * `super.m(…)` inside a static works).
   */
 object MiniJs {
 
@@ -236,16 +240,38 @@ object MiniJs {
     * character (the JS rule that makes \` \$ \' work). */
   private def decodeEscape(src: String, i: Int,
       err: String => Nothing): (String, Int) = {
+    // ASCII hex only — Character.digit/Integer.parseInt also accept
+    // non-ASCII digit forms (e.g. fullwidth) that real JS rejects
+    def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     def hex(from: Int, len: Int): Option[Int] =
       if (from + len <= src.length &&
-        src.substring(from, from + len).forall(c =>
-          Character.digit(c, 16) >= 0))
+        src.substring(from, from + len).forall(isHex))
         Some(Integer.parseInt(src.substring(from, from + len), 16))
       else None
     src.charAt(i) match {
       case 'n' => ("\n", 1); case 't' => ("\t", 1); case 'r' => ("\r", 1)
       case 'b' => ("\b", 1); case 'f' => ("\f", 1)
       case 'v' => ("\u000B", 1)
+      case '0' if i + 1 >= src.length ||
+          src.charAt(i + 1) < '0' || src.charAt(i + 1) > '9' =>
+        ("\u0000", 1) // strict-mode JS: lone \0 is NUL, not the char '0'
+      case d if d >= '0' && d <= '9' =>
+        // \0<digit> / \1..\9 are legacy octal escapes — a SyntaxError
+        // in strict mode, so a loud parse error here, never a mangle
+        err("legacy octal escapes are not supported")
+      case 'u' if i + 1 < src.length && src.charAt(i + 1) == '{' =>
+        // ES2015 code-point escape: \u{1F600}, 1-6 hex digits
+        val close = src.indexOf('}', i + 2)
+        if (close < 0 || close == i + 2 || close - (i + 2) > 6 ||
+          !src.substring(i + 2, close).forall(isHex))
+          err("invalid \\u{} escape: expected 1-6 hex digits and '}'")
+        else {
+          val cp = Integer.parseInt(src.substring(i + 2, close), 16)
+          if (cp > 0x10FFFF)
+            err("invalid \\u{} escape: code point out of range")
+          (new String(Character.toChars(cp)), close - i + 1)
+        }
       case 'u' => hex(i + 1, 4) match {
         case Some(cp) => (cp.toChar.toString, 5)
         case None => err("invalid \\u escape: expected 4 hex digits")
@@ -286,6 +312,7 @@ object MiniJs {
         while (i < n && !closed) {
           val ch = src.charAt(i)
           if (ch == '\\' && i + 1 < n) { sb.append(ch).append(src.charAt(i + 1)); i += 2 }
+          else if (ch == '\u0000') err("raw NUL in regex literals is not supported")
           else if (ch == '\n') err("unterminated regex")
           else if (ch == '[') { inClass = true; sb.append(ch); i += 1 }
           else if (ch == ']') { inClass = false; sb.append(ch); i += 1 }
@@ -323,6 +350,10 @@ object MiniJs {
             sb.append(cooked)
             i += 1 + used
           } else if (ch == '`') { closed = true; i += 1 }
+          else if (ch == '\u0000')
+            // a raw U+0000 would corrupt the NUL-separated segment
+            // encoding exactly like the escaped form — same rejection
+            err("raw NUL in template literals is not supported")
           else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') {
             segs += sb.toString; sb.clear(); sb.append('S')
             i += 2
@@ -331,6 +362,8 @@ object MiniJs {
             var quote: Char = 0
             while (i < n && depth > 0) {
               val ec = src.charAt(i)
+              if (ec == '\u0000')
+                err("raw NUL in template literals is not supported")
               if (quote != 0) {
                 if (ec == '\\' && i + 1 < n) { es.append(ec).append(src.charAt(i + 1)); i += 2 }
                 else { if (ec == quote) quote = 0; es.append(ec); i += 1 }
@@ -871,23 +904,58 @@ object MiniJs {
             // must all be assignable targets (plain JS requires the
             // object form parenthesized at statement level, which the
             // block/ObjLit split already enforces). Compound ops on a
-            // pattern are illegal, as in JS.
+            // pattern are illegal, as in JS. Desugared HERE, at parse
+            // time, to an immediately-invoked arrow (lexical `this` and
+            // `arguments` fall through, matching JS) that performs
+            // plain member/index assignments off a once-evaluated temp
+            // and returns the rhs — the result value of an assignment.
             validatePattern(lhs)
             eat()
-            Assign(lhs, "=", assignExpr())
+            desugarPatternAssign(lhs, assignExpr())
           case _ => err("invalid assignment target")
         }
       } else lhs
     }
 
     /** Every leaf of a destructuring-assignment pattern must itself be
-      * an assignable target; method shorthand or computed values make
-      * it a plain (non-pattern) literal and are rejected here. */
+      * an assignable target — with an optional `= default` (parsed as
+      * a nested plain `=` Assign: `[x = 1]`, `{a: b = 1}`); method
+      * shorthand, computed values, or compound ops make it a plain
+      * (non-pattern) literal and are rejected here. Object SHORTHAND
+      * defaults (`{a = 1} = o`) never reach this point — the object-
+      * literal grammar rejects them with "expected :" at parse time. */
     private def validatePattern(e: Expr): Unit = e match {
       case _: Ident | _: Member | _: IndexE => ()
+      case Assign(target, "=", _) => validatePattern(target)
       case ObjLit(entries) => entries.foreach { case (_, v) => validatePattern(v) }
       case ArrLit(items) => items.foreach(validatePattern)
       case _ => err("invalid destructuring assignment target")
+    }
+
+    private def desugarPatternAssign(pat: Expr, rhs: Expr): Expr = {
+      val tmp = destrTmp()
+      val stmts = patternAssigns(pat, Ident(tmp))
+      Call(FunLit(Seq(tmp), stmts :+ ReturnS(Some(Ident(tmp))), "",
+        isArrow = true), Seq(rhs))
+    }
+
+    /** Assignment statements for one validated pattern leaf/branch
+      * reading from `access` (always a pure temp/member/index read, so
+      * the default guard's double evaluation is side-effect-free). */
+    private def patternAssigns(pat: Expr, access: Expr): Seq[Stmt] = pat match {
+      case Assign(target, _, default) =>
+        patternAssigns(target, withDefault(access, Some(default)))
+      case ObjLit(entries) =>
+        val t = destrTmp()
+        VarDecl(Seq(t -> Some(access))) +: entries.flatMap { case (k, v) =>
+          patternAssigns(v, Member(Ident(t), k))
+        }
+      case ArrLit(items) =>
+        val t = destrTmp()
+        VarDecl(Seq(t -> Some(access))) +: items.zipWithIndex.flatMap {
+          case (it, i) => patternAssigns(it, IndexE(Ident(t), NumL(i.toLong)))
+        }
+      case target => Seq(ExprStmt(Assign(target, "=", access)))
     }
 
     private def condExpr(): Expr = {

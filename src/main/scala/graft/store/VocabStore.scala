@@ -185,11 +185,17 @@ object VocabStore {
       initialize(docs.filter($"doc_id" <= mid), tmp.toString)
       refresh(spark, docs.filter($"doc_id" > mid), tmp.toString,
         VersionedState.lastBatchId(tmp.toString) + 1)
-      // materialize the |vocab|-bounded ranking eagerly (block storage,
-      // freed by the ContextCleaner once the frame is unreachable) so
-      // the temp store can be deleted NOW — the former JVM-exit sweep
-      // let a long-lived gateway accumulate unbounded temp-dir disk
-      pairCounts(spark, tmp.toString).localCheckpoint(true)
+      // materialize the |vocab|-bounded ranking to the DRIVER so the
+      // temp store can be deleted NOW (the former JVM-exit sweep let a
+      // long-lived gateway accumulate unbounded temp-dir disk). A
+      // driver-local frame — unlike localCheckpoint, whose blocks die
+      // with their executor — survives executor loss / dynamic-
+      // allocation decommission on a cluster gateway: tasks replay
+      // from driver memory, never from the deleted store.
+      val ranked = pairCounts(spark, tmp.toString)
+      val rows = ranked.collect() // |pair-vocab|-bounded, not data-sized
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, ranked.schema)
     } finally deleteRecursively(tmp)
   }
 

@@ -1366,4 +1366,114 @@ class JsEngineSpec extends SparkSpec {
     val out = eng.fromJs(eng.invoke("f", "a"))
     assert(out == Map("key" -> "a", "value" -> "a!"))
   }
+
+  test("bare destructuring assignment: object, array, nested, defaults") {
+    // object form (parenthesized, as JS requires at statement level)
+    assert(run(
+      """function f(o) { var a = 0, c = 0; ({a, b: c} = o); return a * 10 + c; }""",
+      "f", Map("a" -> 3L, "b" -> 4L)) == 34L)
+    // array form needs no parens at statement level
+    assert(run(
+      """function f() { var x = 1, y = 2; [x, y] = [y, x]; return x * 10 + y; }""",
+      "f") == 21L)
+    // nested patterns, both kinds at once
+    assert(run(
+      """function f(o) { var b = 0, d = 0; ({a: {b}, c: [d]} = o); return b + d; }""",
+      "f", Map("a" -> Map("b" -> 30L), "c" -> Seq(12L))) == 42L)
+    // defaults fire only on undefined — 0 is kept (the declaration rule)
+    assert(run(
+      """function f() { var x = 1, y = 1, z = 1; [x = 9, y = 9, z = 9] = [0, 7]; return '' + x + y + z; }""",
+      "f") == "079")
+    // `{a: v = 5}` default-with-rename on a missing property
+    assert(run(
+      """function f(o) { var v = 0; ({a: v = 5} = o); return v; }""",
+      "f", Map("b" -> 1L)) == 5L)
+    // member and index targets
+    assert(run(
+      """function f() { var o = {}, arr = [0, 0]; [o.a, arr[1]] = [7, 8]; return o.a * 10 + arr[1]; }""",
+      "f") == 78L)
+    // the assignment expression's value is the rhs
+    assert(run(
+      """function f() { var x = 0; var r = ([x] = [5, 6]); return x * 100 + r[1]; }""",
+      "f") == 506L)
+    // rhs evaluated exactly once
+    assert(run(
+      """var n = 0;
+        |function mk() { n += 1; return [1, 2]; }
+        |function f() { var a = 0, b = 0; [a, b] = mk(); return n * 100 + a * 10 + b; }""".stripMargin,
+      "f") == 112L)
+    // `this.x` is a valid pattern target — the desugar's arrow keeps
+    // `this` lexical, the JS rule
+    assert(run(
+      """class C {
+        |  constructor() { this.a = 0; }
+        |  set(o) { ({a: this.a} = o); return this.a; }
+        |}
+        |function f(o) { return new C().set(o); }""".stripMargin,
+      "f", Map("a" -> 9L)) == 9L)
+  }
+
+  test("bare destructuring assignment: parse-time rejections") {
+    // compound ops on a pattern are illegal, as in JS
+    val e1 = intercept[MiniJs.JsException](MiniJs.parse("[x, y] += a;"))
+    assert(e1.getMessage.contains("invalid assignment target"))
+    // non-target leaves reject at PARSE time, never per-row at runtime
+    val e2 = intercept[MiniJs.JsException](MiniJs.parse("[f()] = a;"))
+    assert(e2.getMessage.contains("destructuring"))
+    val e3 = intercept[MiniJs.JsException](MiniJs.parse("({m(){ return 1; }} = o);"))
+    assert(e3.getMessage.contains("destructuring"))
+    // object SHORTHAND defaults are out of scope — also a parse error
+    val e4 = intercept[MiniJs.JsException](MiniJs.parse("({a = 1} = o);"))
+    assert(e4.getMessage.contains("expected"))
+  }
+
+  test("arguments: length, indexing, shadowing, arrow fall-through") {
+    assert(run("function f() { return arguments.length; }", "f", 1L, 2L, 3L) == 3L)
+    assert(run("function f() { return arguments[1]; }", "f", 10L, 20L) == 20L)
+    // extra actuals beyond the declared params are still visible
+    assert(run("function f(a) { return a + arguments[1]; }", "f", 1L, 2L) == 3L)
+    // arguments.length counts ACTUALS, not declared params
+    assert(run("function f(a, b, c) { return arguments.length; }", "f", 1L) == 1L)
+    // a parameter named arguments shadows the implicit binding
+    assert(run("function f(arguments) { return arguments; }", "f", 7L) == 7L)
+    // arrows don't bind arguments — lexical fall-through to the
+    // enclosing function, regardless of the arrow's own actuals
+    assert(run(
+      """function f(a, b) {
+        |  var g = (q) => arguments.length;
+        |  return g(9);
+        |}""".stripMargin, "f", 1L, 2L, 3L) == 3L)
+  }
+
+  test("string escapes: code points, NUL, ASCII-only hex, octal rejection") {
+    // ES2015 \u{...} code-point escapes, incl. astral (surrogate pair)
+    assert(run("function f() { return '\\u{48}' + '\\u{1F600}'.length; }",
+      "f") == "H2")
+    // strict-mode JS: lone \0 is NUL, not the character '0'
+    assert(run("function f() { return '\\0' === '\\u0000'; }", "f") == true)
+    assert(run("function f() { return '\\0'.length; }", "f") == 1L)
+    // legacy octal escapes are a loud parse error, as in strict JS
+    val e1 = intercept[MiniJs.JsException](MiniJs.parse("var s = '\\07';"))
+    assert(e1.getMessage.contains("octal"))
+    val e2 = intercept[MiniJs.JsException](MiniJs.parse("var s = '\\3';"))
+    assert(e2.getMessage.contains("octal"))
+    // malformed \u{} forms
+    val e3 = intercept[MiniJs.JsException](MiniJs.parse("var s = '\\u{}';"))
+    assert(e3.getMessage.contains("hex digits"))
+    val e4 = intercept[MiniJs.JsException](MiniJs.parse("var s = '\\u{110000}';"))
+    assert(e4.getMessage.contains("out of range"))
+    // non-ASCII "hex digits" (fullwidth Ｆ) reject — Character.digit
+    // would have accepted them; real JS does not
+    val e5 = intercept[MiniJs.JsException](MiniJs.parse("var s = '\\uＦＦ41';"))
+    assert(e5.getMessage.contains("4 hex digits"))
+    // raw U+0000 in template source corrupts the NUL-separated token
+    // encoding — rejected with the same error as the escaped form
+    val nul = 0.toChar.toString
+    val e6 = intercept[MiniJs.JsException](MiniJs.parse("var t = `a" + nul + "b`;"))
+    assert(e6.getMessage.contains("raw NUL"))
+    val e7 = intercept[MiniJs.JsException](MiniJs.parse("var t = `a${ '" + nul + "' }b`;"))
+    assert(e7.getMessage.contains("raw NUL"))
+    val e8 = intercept[MiniJs.JsException](MiniJs.parse("var r = /a" + nul + "b/;"))
+    assert(e8.getMessage.contains("raw NUL"))
+  }
 }
