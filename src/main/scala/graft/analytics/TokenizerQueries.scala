@@ -129,6 +129,14 @@ object TokenizerQueries {
     * delta variant is the |vocab|-side optimization to add if k grows
     * to real-vocab size (~30k merges).
     *
+    * Execution is VOCAB-ADAPTIVE ([[localVocabLimit]]): when the
+    * word-frequency table fits the driver gate (the broadcast-join
+    * size rule), the k global argmax reduces — whose cost is k × fixed
+    * job latency, not compute — collapse into one bounded collect plus
+    * [[trainLocal]], the semantics-identical in-memory loop. Above the
+    * gate (real corpora: web-scale vocab) the distributed loop below
+    * runs unchanged, corpus-flat.
+    *
     * The DuckDB twin ([[bpe2Sql]]) replays the same k stages as
     * generated CTEs: symbols ride a chr(1)-delimited string and each
     * merge applies via a `list_reduce` fold whose CASE mirrors
@@ -157,13 +165,29 @@ object TokenizerQueries {
     * delta-recount variant replaces this at real-vocab k). */
   private def trainOn(syms0: DataFrame, k: Int): Seq[BpeMerge] = {
     import syms0.sparkSession.implicits._
+    val spark = syms0.sparkSession
+    // AQE off for the k tiny sequential argmax jobs: adaptive planning
+    // materializes each exchange as its own job plus a re-optimization
+    // round — pure fixed overhead here, where every exchange is a
+    // |pair-alphabet|-bounded handful of rows and the loop's cost IS
+    // k × job latency. Restored (to whatever the session had) after.
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try trainLoop(syms0, k)
+    finally aqeBefore match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  private def trainLoop(syms0: DataFrame, k: Int): Seq[BpeMerge] = {
+    import syms0.sparkSession.implicits._
     val merges = Seq.newBuilder[BpeMerge]
     var applied = Vector.empty[BpeMerge]
     var done = false
     var iter = 1
     while (iter <= k && !done) {
-      val top = syms0
-        .select(applyMerges($"syms", applied).as("syms"), $"cnt")
+      val top = applyMerges(syms0.select($"syms", $"cnt"), applied)
         .filter(size($"syms") >= 2)
         .select($"cnt", explode(expr(
           """transform(sequence(1, size(syms) - 1),
@@ -195,8 +219,96 @@ object TokenizerQueries {
     * maintained vocabulary state without touching the corpus. */
   def bpeTrainOnWordFreq(wf: DataFrame, k: Int): Seq[BpeMerge] = {
     import wf.sparkSession.implicits._
-    val s0 = wf.select(charSyms.as("syms"), $"cnt").persist()
-    try trainOn(s0, k) finally s0.unpersist()
+    val s0 = wf.select(charSyms.as("syms"), $"cnt")
+    val limit = localVocabLimit(wf.sparkSession)
+    val head = s0.limit(limit + 1).collect()
+    if (head.length <= limit)
+      trainLocal(head.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), k)._1
+    else
+      // eager localCheckpoint, not persist: each of the k argmax jobs
+      // then plans from a lineage-truncated leaf — per-iteration fixed
+      // job latency dominates this vocab-bounded loop, not compute
+      // (blocks are freed by the ContextCleaner once unreachable)
+      trainOn(s0.localCheckpoint(), k)
+  }
+
+  /** Vocab-size gate for the driver-local training path — the same
+    * size-based plan choice Spark itself makes for broadcast joins:
+    * at or below the limit the symbol table is broadcast-sized, so the
+    * k sequential global argmax reduces (k × fixed job latency, the
+    * measured cost of this family) collapse into ONE bounded collect
+    * plus an in-memory textbook loop with identical semantics; above
+    * it the distributed per-merge loop runs unchanged. Session-
+    * overridable (tests pin both paths against each other). */
+  private def localVocabLimit(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.bpe.localVocabLimit")
+      .map(_.toInt).getOrElse(65536)
+
+  /** UTF-8 byte order — the tie-break ordering BOTH engines use for
+    * strings (Spark's UTF8String and DuckDB's default collation are
+    * binary memcmp); Scala's String ordering is UTF-16 code-unit order
+    * and diverges on supplementary characters, so it must not leak in. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** The textbook single-node Sennrich loop over a collected symbol
+    * table — byte-for-byte the same merges and counts as [[trainOn]]:
+    * exact Long pair counts, (count desc, l asc, r asc) argmax with
+    * [[utf8Lt]], and the same greedy left-to-right non-overlapping
+    * fold as [[mergeFold]]. Returns the merges AND the final symbol
+    * table (the bpe3 audit reads it without another pass). */
+  private def trainLocal(words: Array[(Array[String], Long)], k: Int):
+      (Seq[BpeMerge], Array[Array[String]]) = {
+    val syms = words.map(_._1)
+    val cnts = words.map(_._2)
+    val out = Seq.newBuilder[BpeMerge]
+    var iter = 1
+    var done = false
+    while (iter <= k && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i); val c = cnts(i)
+        var j = 0
+        while (j < s.length - 1) {
+          val key = (s(j), s(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + c)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bl: String = null; var br: String = null; var bc = 0L
+        counts.foreach { case ((l, r), c) =>
+          if (bl == null || c > bc || (c == bc &&
+            (utf8Lt(l, bl) || (l == bl && utf8Lt(r, br))))) {
+            bl = l; br = r; bc = c
+          }
+        }
+        out += BpeMerge(iter, bl, br, bl + br, bc)
+        i = 0
+        while (i < syms.length) {
+          val s = syms(i)
+          if (s.length >= 2) {
+            val buf = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var j = 0
+            while (j < s.length) {
+              if (buf.nonEmpty && buf.last == bl && s(j) == br)
+                buf(buf.length - 1) = bl + br
+              else buf += s(j)
+              j += 1
+            }
+            syms(i) = buf.toArray
+          }
+          i += 1
+        }
+        iter += 1
+      }
+    }
+    (out.result(), syms)
   }
 
   /** Left-to-right non-overlapping merge of adjacent (l, r) in a symbol
@@ -363,12 +475,18 @@ object TokenizerQueries {
 
   // ---------------- bpe3: segmentation statistics ----------------
 
-  /** Apply a learned merge list to a symbol-array column: the merges
+  /** Apply a learned merge list to a frame's `syms` column: the merges
     * fold through in rank order, each a [[mergeFold]] pass — the
     * inference half of BPE, usable on any corpus once [[bpeTrain]]
-    * has produced the list. */
-  def applyMerges(syms: Column, merges: Seq[BpeMerge]): Column =
-    merges.foldLeft(syms)((c, m) => mergeFold(c, m.left, m.right))
+    * has produced the list. One projection PER merge (not one nested
+    * expression): [[mergeFold]]'s membership guard references its
+    * input 4×, so a single foldLeft-of-Columns tree would grow 4^k
+    * subtree copies and stall the analyzer at k=8 — as a Project
+    * chain each level reads a plain attribute, and CollapseProject
+    * keeps expensive multi-referenced producers un-inlined. */
+  def applyMerges(df: DataFrame, merges: Seq[BpeMerge]): DataFrame =
+    merges.foldLeft(df)((d, m) =>
+      d.withColumn("syms", mergeFold(col("syms"), m.left, m.right)))
 
   /** BPE3: segment the corpus with the [[K]] learned merges and report
     * the compression they buy — corpus word count, character-level
@@ -383,16 +501,34 @@ object TokenizerQueries {
   def bpe3SegmentStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    // one shared cached vocab table feeds both the training loop and
-    // the final audit aggregate (the wl column rides along untouched);
-    // the 1-row result is computed eagerly so the cache can be dropped
-    // before returning
     val s0 = wordFreq(docs).select(charSyms.as("syms"), $"cnt",
-      length($"word").cast("long").as("wl")).persist()
-    try {
-      val merges = trainOn(s0, K)
-      val row = s0
-        .select(applyMerges($"syms", merges).as("syms"), $"cnt", $"wl")
+      length($"word").cast("long").as("wl"))
+    val limit = localVocabLimit(spark)
+    val head = s0.limit(limit + 1).collect()
+    if (head.length <= limit) {
+      // broadcast-sized vocab: train AND audit on the collected table
+      // — [[trainLocal]] already holds the final symbol table, so the
+      // whole query is the one corpus-sized wordFreq shuffle + a
+      // bounded collect (was: k argmax jobs + an audit job)
+      val words = head.map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      val (_, fin) = trainLocal(words, K)
+      var nWords = 0L; var nChar = 0L; var nBpe = 0L
+      var i = 0
+      while (i < words.length) {
+        val c = words(i)._2
+        nWords += c
+        nChar += (head(i).getLong(2) + 1L) * c
+        nBpe += fin(i).length * c
+        i += 1
+      }
+      Seq((nWords, nChar, nBpe, nChar.toDouble / nBpe))
+        .toDF("n_words", "n_char_tokens", "n_bpe_tokens", "chars_per_token")
+    } else {
+      // one shared checkpointed vocab table feeds both the training
+      // loop and the final audit aggregate (wl rides along untouched)
+      val cp = s0.localCheckpoint()
+      val merges = trainOn(cp, K)
+      val row = applyMerges(cp, merges)
         .agg(
           sum($"cnt").as("n_words"),
           sum(($"wl" + 1L) * $"cnt").as("n_char_tokens"),
@@ -402,7 +538,7 @@ object TokenizerQueries {
         .collect()(0)
       Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3)))
         .toDF("n_words", "n_char_tokens", "n_bpe_tokens", "chars_per_token")
-    } finally s0.unpersist()
+    }
   }
 
   val bpe3Sql: String =

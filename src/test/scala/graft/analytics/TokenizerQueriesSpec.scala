@@ -291,4 +291,25 @@ class TokenizerQueriesSpec extends SparkSpec {
     val plan = ch1From(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("bpe2/bpe3: distributed loop == driver-local loop (vocab gate)") {
+    // the vocab-adaptive gate picks the driver-local textbook loop for
+    // small tables; forcing the limit to 0 exercises the distributed
+    // per-merge argmax loop on the SAME input — merges, counts, and
+    // bpe3's audit sums must agree exactly (incl. the UTF-8 tie-break)
+    val docs = graft.Tables(spark, sf(), "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-gate")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val localMerges = bpeTrain(docs, 8)
+      .map(m => (m.rank, m.left, m.right, m.merged, m.pair_count))
+    val localStats = bpe3SegmentStats(spark, tmp.toString).collect()(0)
+    spark.conf.set("spark.graft.bpe.localVocabLimit", "0")
+    try {
+      val distMerges = bpeTrain(docs, 8)
+        .map(m => (m.rank, m.left, m.right, m.merged, m.pair_count))
+      val distStats = bpe3SegmentStats(spark, tmp.toString).collect()(0)
+      assert(distMerges === localMerges)
+      assert(distStats.toSeq === localStats.toSeq)
+    } finally spark.conf.unset("spark.graft.bpe.localVocabLimit")
+  }
 }
