@@ -1,0 +1,176 @@
+package graft.enrich.geo
+
+import graft.SparkSpec
+import graft.enrich.{GeoIpMapper, MapperPipeline, XffIpMapper}
+import org.apache.spark.sql.functions._
+
+/** J1/M4 fidelity: the from-scratch MMDB reader against generated
+  * fixture files (spec v2.0) — metadata, search-tree walk at every
+  * record width, data-section types incl. pointers, v4-in-v6
+  * embedding, and the contract that matters to the engine: the
+  * enumerated range dim drives [[GeoIpMapper]] to the same result as
+  * per-IP [[MaxmindDb.lookup]] walks. */
+class MaxmindDbSpec extends SparkSpec {
+
+  /** The m4 oracle's three /24s as GeoIP2-shaped records. */
+  private def cityEntries: Seq[(String, Map[String, Any])] = Seq(
+    "1.0.0.0/24" -> Map(
+      "country" -> Map("iso_code" -> "AU"),
+      "city" -> Map("names" -> Map("en" -> "Sydney")),
+      "subdivisions" -> Seq(Map("iso_code" -> "NSW")),
+      "location" -> Map("latitude" -> -33.86, "longitude" -> 151.2,
+        "time_zone" -> "Australia/Sydney"),
+      "traits" -> Map("isp" -> "Telstra", "connection_type" -> "Cable/DSL")),
+    "1.0.1.0/24" -> Map(
+      "country" -> Map("iso_code" -> "US"),
+      "city" -> Map("names" -> Map("en" -> "New York")),
+      "subdivisions" -> Seq(Map("iso_code" -> "NY")),
+      "location" -> Map("latitude" -> 40.71, "longitude" -> -74.0,
+        "time_zone" -> "America/New_York"),
+      "traits" -> Map("isp" -> "Comcast", "connection_type" -> "Corporate")),
+    "1.0.2.0/23" -> Map(
+      "country" -> Map("iso_code" -> "DE"),
+      "city" -> Map("names" -> Map("en" -> "Berlin")),
+      "subdivisions" -> Seq(Map("iso_code" -> "BE")),
+      "location" -> Map("latitude" -> 52.52, "longitude" -> 13.40,
+        "time_zone" -> "Europe/Berlin"),
+      // same ISP record as AU — dedupe makes this a type-1 pointer
+      "traits" -> Map("isp" -> "Telstra", "connection_type" -> "Cable/DSL")))
+
+  test("metadata parses; lookup walks the tree; misses return None") {
+    val db = MaxmindDb.read(MmdbFixture.write(cityEntries))
+    assert(db.metadata.recordSize === 24)
+    assert(db.metadata.ipVersion === 4)
+    assert(db.metadata.majorVersion === 2)
+    val hit = db.lookup("1.0.0.7").get.asInstanceOf[Map[String, Any]]
+    assert(hit("country").asInstanceOf[Map[String, Any]]("iso_code") === "AU")
+    val loc = hit("location").asInstanceOf[Map[String, Any]]
+    assert(loc("latitude") === -33.86)
+    assert(loc("time_zone") === "Australia/Sydney")
+    // the /23 covers 1.0.2.0-1.0.3.255
+    val de = db.lookup("1.0.3.255").get.asInstanceOf[Map[String, Any]]
+    assert(de("country").asInstanceOf[Map[String, Any]]("iso_code") === "DE")
+    assert(db.lookup("1.0.4.0") === None)
+    assert(db.lookup("9.9.9.9") === None)
+    assert(db.lookup("0.255.255.255") === None)
+  }
+
+  test("all three record widths and the v4-in-v6 embedding round-trip") {
+    for (rs <- Seq(24, 28, 32); ipv <- Seq(4, 6)) {
+      val db = MaxmindDb.read(
+        MmdbFixture.write(cityEntries, recordSize = rs, ipVersion = ipv))
+      assert(db.metadata.recordSize === rs)
+      val hit = db.lookup("1.0.1.200").get.asInstanceOf[Map[String, Any]]
+      assert(hit("country").asInstanceOf[Map[String, Any]]("iso_code") === "US",
+        s"rs=$rs ipv=$ipv")
+      assert(db.lookup("2.0.0.1") === None, s"rs=$rs ipv=$ipv")
+      // enumeration is identical across widths/embeddings
+      val nets = db.networks().map { case (lo, hi, _) => (lo, hi) }
+      assert(nets === Seq(
+        (16777216L, 16777471L), (16777472L, 16777727L),
+        (16777728L, 16778239L)), s"rs=$rs ipv=$ipv")
+    }
+  }
+
+  test("pointer-deduped and pointer-free files decode identically") {
+    val a = MaxmindDb.read(MmdbFixture.write(cityEntries, dedupe = true))
+    val b = MaxmindDb.read(MmdbFixture.write(cityEntries, dedupe = false))
+    // dedupe must actually shrink the file (i.e. pointers are present)
+    assert(MmdbFixture.write(cityEntries, dedupe = true).length <
+      MmdbFixture.write(cityEntries, dedupe = false).length)
+    for (ip <- Seq("1.0.0.1", "1.0.1.1", "1.0.2.1", "1.0.3.1"))
+      assert(a.lookup(ip) === b.lookup(ip), ip)
+  }
+
+  test("networks() enumeration == per-IP lookup at every boundary") {
+    val db = MaxmindDb.read(MmdbFixture.write(cityEntries))
+    val nets = db.networks()
+    nets.foreach { case (lo, hi, data) =>
+      def ip(n: Long) =
+        s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}"
+      assert(db.lookup(ip(lo)) === Some(data))
+      assert(db.lookup(ip(hi)) === Some(data))
+      assert(db.lookup(ip((lo + hi) / 2)) === Some(data))
+      // one past each edge is a different (or no) network
+      if (lo > 0) assert(db.lookup(ip(lo - 1)) !== Some(data))
+    }
+  }
+
+  test("rangeDim drives GeoIpMapper to the lookup-equivalent result") {
+    import spark.implicits._
+    val db = MaxmindDb.read(MmdbFixture.write(cityEntries))
+    val dim = db.rangeDim(spark)
+    assert(dim.columns.toSeq === Seq("ip_lo", "ip_hi", "_country_code",
+      "_region", "_city", "_latitude", "_longitude", "_timezone", "_isp",
+      "_connection_type"))
+    val events = Seq(
+      (1L, "1.0.0.7"), (2L, "1.0.1.200"), (3L, "1.0.2.9"), (4L, "1.0.3.9"),
+      (5L, "8.8.8.8"), (6L, "192.168.0.1"), (7L, "not-an-ip"))
+      .toDF("event_id", "_ip")
+    val out = MapperPipeline.run(events, Seq(GeoIpMapper(dim)))
+      .select($"event_id", $"_country_code", $"_city", $"_timezone", $"_isp")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(out(1L) === (("AU", "Sydney", "Australia/Sydney", "Telstra")))
+    assert(out(2L) === (("US", "New York", "America/New_York", "Comcast")))
+    assert(out(3L) === (("DE", "Berlin", "Europe/Berlin", "Telstra")))
+    assert(out(4L) === (("DE", "Berlin", "Europe/Berlin", "Telstra")))
+    assert(out(5L) === ((null, null, null, null)))   // unmapped public
+    assert(out(6L) === ((null, null, null, null)))   // private, skipped
+    assert(out(7L) === ((null, null, null, null)))   // unparseable
+    // and the join agrees with the binary-walk oracle row by row
+    for ((id, ip) <- Seq((1L, "1.0.0.7"), (2L, "1.0.1.200"), (3L, "1.0.2.9"))) {
+      val walked = db.lookup(ip).get.asInstanceOf[Map[String, Any]]
+      assert(out(id)._1 ===
+        walked("country").asInstanceOf[Map[String, Any]]("iso_code"))
+    }
+  }
+
+  test("geoIpMapper facade loads a .mmdb file end-to-end") {
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("graft-geo", ".mmdb")
+    java.nio.file.Files.write(f, MmdbFixture.write(cityEntries))
+    try {
+      val mapper = MaxmindDb.geoIpMapper(spark, f.toString)
+      val out = MapperPipeline.run(
+        Seq((1L, "10.0.0.1, 1.0.0.7")).toDF("event_id", "_x_forwarded_for"),
+        Seq(XffIpMapper, mapper))
+      assert(out.select($"_country_code").as[String].collect().toSeq === Seq("AU"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("a city-only database yields a dim without isp columns") {
+    val cityOnly = cityEntries.map { case (cidr, rec) => cidr -> (rec - "traits") }
+    val dim = MaxmindDb.read(MmdbFixture.write(cityOnly)).rangeDim(spark)
+    assert(!dim.columns.contains("_isp"))
+    assert(!dim.columns.contains("_connection_type"))
+    assert(dim.columns.contains("_country_code"))
+  }
+
+  test("data-section scalar types: ints, uint64, float, bool, bytes-free maps") {
+    val rec = Map(
+      "country" -> Map("iso_code" -> "FR"),
+      "traits" -> Map("isp" -> "Orange"),
+      "flag" -> true, "neg" -> false,
+      "big" -> 0x1FFFFFFFFL, "small" -> 7L, "half" -> 2.5f)
+    val db = MaxmindDb.read(MmdbFixture.write(Seq("10.1.0.0/16" -> rec)))
+    val got = db.lookup("10.1.2.3").get.asInstanceOf[Map[String, Any]]
+    assert(got("flag") === true)
+    assert(got("neg") === false)
+    assert(got("big") === 0x1FFFFFFFFL)
+    assert(got("small") === 7L)
+    assert(got("half") === 2.5f)
+  }
+
+  test("malformed files fail loudly, not quietly") {
+    val e1 = intercept[MaxmindDb.MmdbFormatException](
+      MaxmindDb.read(Array.fill[Byte](64)(0x42)))
+    assert(e1.getMessage.contains("marker"))
+    val good = MmdbFixture.write(cityEntries)
+    // truncate inside the search tree: metadata stays intact? no —
+    // truncation removes the metadata; the marker error is the signal
+    val e2 = intercept[MaxmindDb.MmdbFormatException](
+      MaxmindDb.read(good.take(10)))
+    assert(e2.getMessage.contains("marker"))
+  }
+}
