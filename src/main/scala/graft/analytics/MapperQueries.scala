@@ -172,7 +172,22 @@ object MapperQueries {
     "Mozilla/5.0 (iPhone; CPU iPhone OS 16_3 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Instagram 271.1.0.21.84",
     "Mozilla/5.0 (Linux; Android 12; SM-S908U Build/SP1A.210812.016; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.88 Mobile Safari/537.36 [FB_IAB/FB4A;FBAV/410.0.0.26.115;]",
     "Mozilla/5.0 (Linux; Android 13; SM-A536B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/113.0.5672.77 Mobile Safari/537.36 Line/13.8.0",
-    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/109.0.0.0 Safari/537.36 MetaSr 1.0")
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/109.0.0.0 Safari/537.36 MetaSr 1.0",
+    // round-10 tail: headless/automation, CN shells, in-app webviews,
+    // the pre-Chrome Android stock browser, feature/text-mode
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/118.0.5993.70 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X) AppleWebKit/538.1 (KHTML, like Gecko) PhantomJS/2.1.1 Safari/538.1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/78.0.3904.108 Safari/537.36 QIHU 360SE",
+    "Mozilla/5.0 (Linux; Android 13; SM-A525F) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.5790.166 Mobile Safari/537.36 AlohaBrowser/5.10.2",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/116.0.0.0 Safari/537.36 Ghostery:3.0",
+    "Mozilla/5.0 (Linux; U; Android 12; zh-CN; M2012K11AC Build/SKQ1.211006.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/89.0.4389.72 MQQBrowser/6.2 Mobile Safari/537.36 DingTalk/7.0.10",
+    "Mozilla/5.0 (Linux; U; Android 13; zh-cn; 2211133C Build/TKQ1.220829.002) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/89.0.4389.72 MQQBrowser/6.2 Mobile Safari/537.36 AliApp(AP/10.3.80.8000)",
+    "Mozilla/5.0 (Linux; U; Android 4.3; en-us; GT-I9300 Build/JSS15J) AppleWebKit/534.30 (KHTML, like Gecko) Version/4.0 Mobile Safari/534.30",
+    "UCWEB/2.0 (MIDP-2.0; U; Adr 9.0; en-US; Redmi Note 5 Pro) U2/1.0.0 UCBrowser/12.11.1.1197 Mobile",
+    "Links (2.29; Linux 6.1.0 x86_64; GNU C 12.2; text)",
+    "NetSurf/3.10 (RISC OS)",
+    "Mozilla/5.0 (Java; U; en-us; nokia202) UCBrowser/8.7.0.218/70/352 UCWEB Mobile",
+    "Obigo/Q05A (LGE; U; U880; 1.0) Profile/MIDP-2.0 Configuration/CLDC-1.1")
 
   /** M2 against the oracle: each event picks a UA sample; Spark parses
     * through [[graft.enrich.UserAgentMapper]], the twin through the
@@ -226,6 +241,15 @@ object MapperQueries {
         else "NULL")
       }, "NULL")
     val model = s"nullif(regexp_extract(ua, ${sqlLit(UaRules.AndroidModelRe)}, 1), '')"
+    // the device table rows, GENERATED from UaRules.devices exactly
+    // like the Spark chain (first match wins; literal family or
+    // prefix || capture group 1 of the detect regex itself)
+    val deviceRows = UaRules.devices.map { r =>
+      val out =
+        if (r.family.nonEmpty) sqlLit(r.family)
+        else s"${sqlLit(r.prefix)} || regexp_extract(ua, ${sqlLit(r.detect)}, 1)"
+      s"WHEN regexp_matches(ua, ${sqlLit(r.detect)}) THEN $out"
+    }.mkString("\n       ")
     s"""WITH samples(i, ua) AS (VALUES
        |    $values),
        |evua AS (
@@ -240,9 +264,7 @@ object MapperQueries {
        |  FROM evua)
        |SELECT family, version, os, os_version,
        |  CASE WHEN family = 'Spider' THEN 'Spider'
-       |       WHEN contains(ua, 'iPhone') THEN 'iPhone'
-       |       WHEN contains(ua, 'iPad') THEN 'iPad'
-       |       WHEN contains(ua, 'iPod') THEN 'iPod'
+       |       $deviceRows
        |       WHEN contains(ua, 'Android') AND $model IS NOT NULL THEN $model
        |       WHEN contains(ua, 'Android') AND contains(ua, 'Mobile')
        |         THEN 'Generic Smartphone'
@@ -288,7 +310,14 @@ object MapperQueries {
     "https://bsky.app/profile/someone",
     "https://www.linkedin.com/feed/update/abc",
     "https://szukaj.onet.pl/wyniki?q=warszawa",
-    "https://arianna.libero.it/search/abin/search?query=roma")
+    "https://arianna.libero.it/search/abin/search?query=roma",
+    // term-param audit: every distinct UaRules.termParams entry has a
+    // sample (q/text/wd/query/MT above; p and word here), plus the
+    // precedence case — an empty q must fall through to p identically
+    // in parse_url and the twin's regex extraction
+    "https://search.yahoo.com/search?p=weather+radar",
+    "https://m.baidu.com/s?word=deep+learning",
+    "https://search.yahoo.com/search?q=&p=fallback+term")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

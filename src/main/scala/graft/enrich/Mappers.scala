@@ -80,7 +80,7 @@ case object UserAgentMapper extends EventMapper {
     if (!df.columns.contains("_user_agent")) return df
     val ua = col("_user_agent")
 
-    Seq("__ua_b", "__ua_o").foreach { c =>
+    Seq("__ua_b", "__ua_o", "__ua_d").foreach { c =>
       require(!df.columns.contains(c), s"scratch column $c already present")
     }
     // fold each table into ONE FLAT CaseWhen chain (`.when()` chaining
@@ -117,23 +117,37 @@ case object UserAgentMapper extends EventMapper {
       r.detect -> concat(lit(r.family + sep), v)
     }).otherwise("Other" + sep)
 
+    // device table hit ("" = miss): [[UaRules.devices]] — branded
+    // hardware with the model captured by the SAME regex that detects
+    // it (a rule can never match-then-fail-to-capture); the generic
+    // uap-core tails run after the table, below
+    val deviceHit = UaRules.devices.map { r =>
+      r.detect -> (if (r.family.nonEmpty) lit(r.family)
+        else concat(lit(r.prefix), regexp_extract(ua, r.detect, 1)))
+    } match {
+      case rules => rules.tail.foldLeft(
+        when(ua.rlike(rules.head._1), rules.head._2)) {
+        (acc, r) => acc.when(ua.rlike(r._1), r._2)
+      }.otherwise("")
+    }
+
     val staged = df
       .withColumn("__ua_b", browserHit)
       .withColumn("__ua_o", osHit)
+      .withColumn("__ua_d", deviceHit)
     val familyCol = substring_index(col("__ua_b"), sep, 1)
     val version = nullif(substring_index(col("__ua_b"), sep, -1), lit(""))
     val os = substring_index(col("__ua_o"), sep, 1)
     val osVersion = nullif(substring_index(col("__ua_o"), sep, -1), lit(""))
 
-    // devices: spiders, Apple hardware, Android models via the uap-core
-    // `Build/` capture; desktops deliberately report "Other"
+    // devices: Spider first (needs the browser family), then the
+    // staged [[UaRules.devices]] table hit, then the uap-core
+    // generic-Android tails; desktops deliberately report "Other"
     val androidModel =
       nullif(regexp_extract(ua, UaRules.AndroidModelRe, 1), lit(""))
     val device =
       when(familyCol === "Spider", "Spider")
-        .when(ua.contains("iPhone"), "iPhone")
-        .when(ua.contains("iPad"), "iPad")
-        .when(ua.contains("iPod"), "iPod")
+        .when(col("__ua_d") =!= "", col("__ua_d"))
         .when(ua.contains("Android") && androidModel.isNotNull, androidModel)
         .when(ua.contains("Android") && ua.contains("Mobile"), "Generic Smartphone")
         .when(ua.contains("Android"), "Generic Tablet")
@@ -145,7 +159,7 @@ case object UserAgentMapper extends EventMapper {
       .withColumn("_os", os)
       .withColumn("_os_version", osVersion)
       .withColumn("_device_family", device)
-      .drop("__ua_b", "__ua_o")
+      .drop("__ua_b", "__ua_o", "__ua_d")
   }
 }
 

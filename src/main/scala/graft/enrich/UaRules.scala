@@ -56,7 +56,7 @@ object UaRules {
     UaRule("Yandex Browser", "YaBrowser/", "YaBrowser/(\\d+)"),
     UaRule("Vivaldi", "Vivaldi/", "Vivaldi/(\\d+)"),
     UaRule("Brave", "Brave[ /]", "Brave[ /](\\d+)"),
-    UaRule("UC Browser", "UC?Browser/", "UC?Browser/(\\d+)"),
+    UaRule("UC Browser", "UC?Browser/|UCWEB/", "(?:UC?Browser|UCWEB)/(\\d+)"),
     UaRule("Whale", "Whale/", "Whale/(\\d+)"),
     UaRule("MiuiBrowser", "MiuiBrowser/", "MiuiBrowser/(\\d+)"),
     UaRule("Mint Browser", "Mint Browser/", "Mint Browser/(\\d+)"),
@@ -89,6 +89,14 @@ object UaRules {
     UaRule("QupZilla", "QupZilla/", "QupZilla/(\\d+)"),
     UaRule("Epiphany", "Epiphany/", "Epiphany/(\\d+)"),
     UaRule("Midori", "Midori/", "Midori/(\\d+)"),
+    // headless / automation shells — their tokens CONTAIN "Chrome/",
+    // so they must precede the Chromium engine rules
+    UaRule("HeadlessChrome", "HeadlessChrome/", "HeadlessChrome/(\\d+)"),
+    UaRule("PhantomJS", "PhantomJS/", "PhantomJS/(\\d+)"),
+    // CN desktop shells riding a Chrome token
+    UaRule("360 Secure Browser", "QIHU 360|\\b360(?:SE|EE)\\b"),
+    UaRule("Aloha Browser", "AlohaBrowser/", "AlohaBrowser/(\\d+)"),
+    UaRule("Ghostery", "Ghostery[:/ ]", "Ghostery[:/ ](\\d+)"),
     // in-app webviews with their own tokens
     UaRule("Facebook", "FBAV/|FBAN/", "FBAV/(\\d+)"),
     UaRule("Instagram", "Instagram[ /]", "Instagram[ /](\\d+)"),
@@ -100,6 +108,8 @@ object UaRules {
     UaRule("Twitter", "Twitter for iPhone|TwitterAndroid"),
     UaRule("LinkedIn", "LinkedInApp"),
     UaRule("TikTok", "musical_ly|Bytedance"),
+    UaRule("DingTalk", "DingTalk/", "DingTalk/(\\d+)"),
+    UaRule("Alipay", "AliApp\\(AP/", "AliApp\\(AP/(\\d+)"),
     UaRule("Google Search App", "GSA/", "GSA/(\\d+)"),
     UaRule("DuckDuckGo Mobile", "DuckDuckGo/", "DuckDuckGo/(\\d+)"),
     UaRule("Ecosia", "Ecosia (?:android|ios)@", "Ecosia (?:android|ios)@(\\d+)"),
@@ -141,6 +151,11 @@ object UaRules {
     UaRule("NetFront", "NetFront/", "NetFront/(\\d+)"),
     UaRule("Skyfire", "Skyfire/", "Skyfire/(\\d+)"),
     UaRule("Kindle", "Kindle/", "Kindle/(\\d+)"),
+    // the pre-Chrome Android stock browser: Version/ + Safari/ on an
+    // Android UA with no Chrome token (the Chromium rules above
+    // already consumed every Chrome-bearing UA — ordering stands in
+    // for the negative lookahead RE2 lacks)
+    UaRule("Android Browser", "Android.*Version/[\\d.]+.*Safari/", "Version/(\\d+)"),
     // Safari proper: Version/ present = Safari; an iDevice WITHOUT
     // Version/ is an embedded WKWebView (the uap-core family name)
     UaRule("Mobile Safari", "Version/[\\d.]+.*Mobile.*Safari/", "Version/(\\d+)"),
@@ -154,7 +169,10 @@ object UaRules {
     UaRule("Netscape", "Netscape6?/", "Netscape6?/(\\d+)"),
     UaRule("Lynx", "Lynx/", "Lynx/(\\d+)"),
     UaRule("w3m", "w3m/", "w3m/(\\d+)"),
-    UaRule("ELinks", "ELinks[ /]", "ELinks[ /](\\d+)"))
+    UaRule("ELinks", "ELinks[ /]", "ELinks[ /](\\d+)"),
+    UaRule("Links", "Links \\(", "Links \\((\\d+)"),
+    UaRule("NetSurf", "NetSurf/", "NetSurf/(\\d+)"),
+    UaRule("Obigo", "Obigo", "Obigo[- /]?[A-Z]?(\\d+)?"))
 
   /** One OS rule: family, detection regex, and EITHER a version regex
     * (group 1 = major) or a literal marketing version (the Windows NT
@@ -221,6 +239,57 @@ object UaRules {
   /** Android device model capture: `; <model> Build/` — the uap-core
     * generic-Android device pattern. */
   val AndroidModelRe: String = ";\\s*([^;)]+?)\\s+Build/"
+
+  /** One device rule (uap-core device_parsers shape): first matching
+    * `detect` wins; the family is `family` when set, otherwise
+    * `prefix` + capture group 1 OF `detect` — detect doubles as the
+    * capture regex so a rule can never match-then-fail-to-capture.
+    * RE2-safe (no lookarounds) so the generated DuckDB twin runs the
+    * identical patterns. */
+  final case class DeviceRule(detect: String, family: String = "",
+      prefix: String = "")
+
+  /** Device table, first match wins. Order: Apple hardware (iOS UAs
+    * never carry Android markers), TV/streaming hardware (an AFT would
+    * also hit the generic model capture), Amazon tablets, then branded
+    * Android models (uap-core's Samsung/Google/Xiaomi/Huawei/… block),
+    * most with the model captured from the `; <model> Build/` or
+    * `; <model>)` slot. The mapper appends the generic-Android and
+    * desktop tails AFTER this table ([[AndroidModelRe]], Generic
+    * Smartphone/Tablet, Other) and checks Spider BEFORE it. */
+  val devices: Seq[DeviceRule] = Seq(
+    DeviceRule("iPhone", family = "iPhone"),
+    DeviceRule("iPad", family = "iPad"),
+    DeviceRule("iPod", family = "iPod"),
+    // TV / streaming sticks and boxes
+    DeviceRule("Apple\\s?TV", family = "Apple TV"),
+    DeviceRule("CrKey", family = "Chromecast"),
+    DeviceRule("Roku", family = "Roku"),
+    DeviceRule(";\\s*(AFT[A-Za-z0-9]+)[\\s);]", prefix = "Amazon Fire TV "),
+    DeviceRule("SMART-TV|SmartTV", family = "Samsung Smart TV"),
+    DeviceRule("BRAVIA", family = "Sony Bravia"),
+    DeviceRule("SHIELD Android TV", family = "Nvidia Shield TV"),
+    // Amazon tablets (Silk UAs carry the KF code without Build/)
+    DeviceRule(";\\s*(KF[A-Z]{2,}[A-Z0-9]*)", prefix = "Amazon Kindle Fire "),
+    DeviceRule("Kindle", family = "Amazon Kindle"),
+    // branded Android hardware, model captured
+    DeviceRule(";\\s*(SM-[A-Za-z0-9]+)", prefix = "Samsung "),
+    DeviceRule(";\\s*(GT-[A-Za-z0-9]+)", prefix = "Samsung "),
+    DeviceRule(";\\s*(Pixel[^;)]*?)\\s+Build/", prefix = "Google "),
+    DeviceRule(";\\s*(Nexus [^;)]*?)\\s+Build/", prefix = "Google "),
+    DeviceRule(";\\s*([A-Z]{3}-[A-Z0-9]+)\\s+Build/HUAWEI", prefix = "Huawei "),
+    DeviceRule("HUAWEI\\s+([^;)]*?)\\s+Build/", prefix = "Huawei "),
+    DeviceRule(";\\s*((?:Mi|MI|Redmi|POCO)[^;)]*?)\\s+Build/", prefix = "Xiaomi "),
+    // Xiaomi launch-code models: 5 digits then an alnum plant/variant code
+    DeviceRule(";\\s*([0-9]{5}[A-Z0-9]{2,8})\\s+Build/", prefix = "Xiaomi "),
+    DeviceRule(";\\s*(ONEPLUS[^;)]*?)\\s+Build/", prefix = "OnePlus "),
+    DeviceRule(";\\s*(CPH[0-9]+)\\s+Build/", prefix = "Oppo "),
+    DeviceRule(";\\s*[Vv]ivo\\s+([^;)]*?)\\s+Build/", prefix = "Vivo "),
+    DeviceRule(";\\s*(moto[^;)]*?)\\s+Build/", prefix = "Motorola "),
+    DeviceRule(";\\s*(Nokia[^;)]*?)\\s+Build/", prefix = ""),
+    DeviceRule(";\\s*(XQ-[A-Z0-9]+)\\s+Build/", prefix = "Sony "),
+    DeviceRule(";\\s*(LM-[A-Z0-9]+)\\s+Build/", prefix = "LG "),
+    DeviceRule(";\\s*(RMX[0-9]+)\\s+Build/", prefix = "Realme "))
 
   /** One referrer rule: source name, host regex, medium. Order: email
     * hosts precede search (mail.google.com is email, not google

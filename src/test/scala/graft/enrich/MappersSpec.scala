@@ -80,8 +80,9 @@ class MappersSpec extends SparkSpec {
     assert(out(2).getAs[String]("_os") == "Chrome OS")
     assert(out(3).getAs[String]("_user_agent_family") == "Safari")
     assert(out(3).getAs[String]("_device_family") == "Other")
-    // Android device model via the uap-core Build/ capture
-    assert(out(4).getAs[String]("_device_family") == "Pixel 7")
+    // Android device via the UaRules.devices brand table (was the
+    // bare Build/ capture before the table landed)
+    assert(out(4).getAs[String]("_device_family") == "Google Pixel 7")
     assert(out(4).getAs[String]("_os") == "Android")
     assert(out(4).getAs[String]("_os_version") == "13")
     assert(out(5).getAs[String]("_user_agent_family") == "Chrome Mobile iOS")
@@ -144,6 +145,53 @@ class MappersSpec extends SparkSpec {
       if (ver != null)
         assert(out(i).getAs[String]("_user_agent_version") == ver,
           s"version of: $ua")
+    }
+  }
+
+  test("M2: device table — branded hardware, TV sticks, generic tails") {
+    val cases: Seq[(String, String)] = Seq(
+      // (UA, expected device family)
+      ("Mozilla/5.0 (Linux; Android 12; SM-S908U Build/SP1A; wv) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 " +
+        "Chrome/100.0.0.0 Mobile Safari/537.36", "Samsung SM-S908U"),
+      ("Mozilla/5.0 (Linux; Android 13; Pixel 7 Build/TQ2A) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/113.0.0.0 " +
+        "Mobile Safari/537.36", "Google Pixel 7"),
+      ("Mozilla/5.0 (Linux; Android 13; 23013RK75C Build/TKQ1) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 " +
+        "Mobile Safari/537.36", "Xiaomi 23013RK75C"),
+      ("Mozilla/5.0 (Linux; Android 10; VOG-L29 Build/HUAWEIVOG-L29) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/92.0.0.0 " +
+        "HuaweiBrowser/12.1.0.303 Mobile Safari/537.36", "Huawei VOG-L29"),
+      ("Mozilla/5.0 (Linux; Android 11; KFTRWI) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Silk/112.5.1 like Chrome/112.0.0.0 " +
+        "Safari/537.36", "Amazon Kindle Fire KFTRWI"),
+      ("Mozilla/5.0 (Linux; Android 9; AFTKA Build/PS7633) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/88.0.0.0 " +
+        "Safari/537.36", "Amazon Fire TV AFTKA"),
+      ("Mozilla/5.0 (X11; Linux armv7l) AppleWebKit/537.36 (KHTML, like " +
+        "Gecko) Chrome/88.0.4324.208 Safari/537.36 CrKey/1.56.500000",
+        "Chromecast"),
+      ("Roku/DVP-12.0 (12.0.0.4182-88)", "Roku"),
+      ("Mozilla/5.0 (Linux; Android 12; CPH2409 Build/RKQ1) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 " +
+        "Mobile Safari/537.36", "Oppo CPH2409"),
+      ("Mozilla/5.0 (Linux; Android 13; moto g stylus Build/T1TGS33) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/113.0.0.0 " +
+        "Mobile Safari/537.36", "Motorola moto g stylus"),
+      // generic tails unchanged: unbranded model, phone, tablet, desktop
+      ("Mozilla/5.0 (Linux; Android 13; Weird-X1 Build/X) " +
+        "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/113.0.0.0 " +
+        "Mobile Safari/537.36", "Weird-X1"),
+      ("Mozilla/5.0 (Linux; Android 13) AppleWebKit/537.36 (KHTML, like " +
+        "Gecko) Chrome/113.0.0.0 Mobile Safari/537.36", "Generic Smartphone"),
+      ("Mozilla/5.0 (Linux; Android 13) AppleWebKit/537.36 (KHTML, like " +
+        "Gecko) Chrome/113.0.0.0 Safari/537.36", "Generic Tablet"),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36", "Other"))
+    val out = UserAgentMapper(cases.map(_._1).toDF("_user_agent")).collect()
+    cases.zipWithIndex.foreach { case ((ua, dev), i) =>
+      assert(out(i).getAs[String]("_device_family") == dev, s"device of: $ua")
     }
   }
 
