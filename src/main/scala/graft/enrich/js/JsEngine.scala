@@ -406,7 +406,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
                 o.foreach { case (k, v) =>
                   tick()
                   v match {
-                    case _: Closure | _: Bound => ()
+                    case _: Closure | _: Bound | _: MiniJs.Accessor => ()
                     case _ => seen += k
                   }
                 }
@@ -574,6 +574,10 @@ final class JsEngine(code: String, globals: Map[String, Any],
             throw new JsException(
               s"${jsToString(other)} is not a constructor")
         }
+      case AccessorE(g, s) =>
+        MiniJs.Accessor(
+          g.map(eval(_, env)).getOrElse(Undefined),
+          s.map(eval(_, env)).getOrElse(Undefined))
       case Member(t, name) => readMember(eval(t, env), name)
       case IndexE(t, k) => readIndex(eval(t, env), eval(k, env))
       case Call(target, argEs) =>
@@ -840,7 +844,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case f: Closure => functionMember(f, name, args)
     case b: Bound => functionMember(b, name, args)
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      memberLookup(m, name) match {
+      deref(m, memberLookup(m, name)) match {
         case Undefined =>
           if (name == "hasOwnProperty")
             m.contains(str(args.headOption.getOrElse(Undefined)))
@@ -1084,7 +1088,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
     f match {
       case c: Closure =>
         c.propsIfAny.flatMap(_.get(name)) match {
-          case Some(static) => return callValue(static, args, thisVal = c)
+          case Some(static) => return callValue(deref(c, static), args, thisVal = c)
           case None => ()
         }
       case _ => ()
@@ -1176,15 +1180,43 @@ final class JsEngine(code: String, globals: Map[String, Any],
     out.toString
   }
 
+  /** Deref an accessor slot on READ: call the getter with `this` =
+    * the original receiver (not the prototype map the slot was found
+    * on). A getter-less accessor reads as undefined, the JS rule. */
+  private def deref(recv: Any, v: Any): Any = v match {
+    case MiniJs.Accessor(g, _) =>
+      if (g == Undefined) Undefined else callValue(g, Seq.empty, recv)
+    case other => other
+  }
+
+  /** The accessor (if any) that intercepts a WRITE of `name`: walk the
+    * chain; the FIRST map containing the key decides — a data property
+    * there means a plain own write on the receiver (shadowing, the JS
+    * rule), an accessor means the setter runs. Metered per hop. */
+  @annotation.tailrec
+  private def writeAccessor(o: Any, name: String): Option[MiniJs.Accessor] =
+    o match {
+      case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+        m.get(name) match {
+          case Some(a: MiniJs.Accessor) => Some(a)
+          case Some(_) => None
+          case None => m match {
+            case j: JsObj => tick(); writeAccessor(j.proto, name)
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
   private def readMember(recv: Any, name: String): Any = recv match {
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      memberLookup(m, name)
+      deref(m, memberLookup(m, name))
     case c: Closure => name match {
       case "prototype" => prototypeOf(c)
       case "name" => c.name
       case "length" => c.params.size.toLong
       case other =>
-        c.propsIfAny.flatMap(_.get(other)).getOrElse(Undefined)
+        deref(c, c.propsIfAny.flatMap(_.get(other)).getOrElse(Undefined))
     }
     case _: Bound => Undefined
     case a: mutable.ArrayBuffer[_] if name == "length" => a.length.toLong
@@ -1203,10 +1235,31 @@ final class JsEngine(code: String, globals: Map[String, Any],
   }
 
   private def writeMember(recv: Any, name: String, v: Any): Unit = recv match {
-    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] => m(name) = v
+    case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+      // a chain accessor intercepts the write (setter runs, this =
+      // receiver) — unless the VALUE is itself an Accessor (the class
+      // desugar installing a slot, always an own write). A getter-only
+      // slot throws, the strict-mode rule.
+      if (v.isInstanceOf[MiniJs.Accessor]) m(name) = v
+      else writeAccessor(m, name) match {
+        case Some(MiniJs.Accessor(_, s)) =>
+          if (s == Undefined)
+            throw new JsException(s"cannot set '$name': it has only a getter")
+          callValue(s, Seq(v), m): Unit
+        case None => m(name) = v
+      }
     // `F.prototype = {…}` and statics; assignments are always OWN
-    // properties, shadowing the chain — the JS rule
-    case c: Closure => c.props(name) = v
+    // properties, shadowing the chain — the JS rule (static accessor
+    // slots intercept like instance ones; no static inheritance walk)
+    case c: Closure =>
+      if (v.isInstanceOf[MiniJs.Accessor]) c.props(name) = v
+      else c.propsIfAny.flatMap(_.get(name)) match {
+        case Some(MiniJs.Accessor(_, s)) =>
+          if (s == Undefined)
+            throw new JsException(s"cannot set '$name': it has only a getter")
+          callValue(s, Seq(v), c): Unit
+        case _ => c.props(name) = v
+      }
     case _ => throw new JsException(s"cannot set '$name' on ${jsToString(recv)}")
   }
 
@@ -1215,7 +1268,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
       val i = num(key).toInt
       if (i >= 0 && i < a.length) a(i) else Undefined
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      memberLookup(m, jsToString(key))
+      deref(m, memberLookup(m, jsToString(key)))
     case s: String =>
       val i = num(key).toInt
       if (i >= 0 && i < s.length) s.charAt(i).toString else Undefined
@@ -1239,7 +1292,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
       while (a.length <= i) { tick(); a += Undefined }
       a(i.toInt) = v
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-      m(jsToString(key)) = v
+      writeMember(m, jsToString(key), v)
     case _ => throw new JsException("cannot index-assign " + jsToString(recv))
   }
 

@@ -55,14 +55,20 @@ import scala.collection.mutable
   * (`({a, b: c} = o)`, `[x = 1, [y]] = arr` — desugared at parse time
   * to an immediately-invoked arrow doing plain member/index
   * assignments; object SHORTHAND defaults `({a = 1} = o)` stay a
-  * parse error) and `arguments` inside `function`s (array-like:
+  * parse error), `arguments` inside `function`s (array-like:
   * `length` + indexing; arrows fall through to the enclosing
-  * function's binding, the JS rule).
+  * function's binding, the JS rule), class FIELDS (instance fields
+  * run in the constructor — after `super(…)` in a derived class;
+  * static fields evaluate at definition time), and class
+  * getters/setters (instance and static; reads deref with `this` =
+  * the receiver, writes route through the chain's setter, a
+  * getter-only write throws per strict mode, and accessor slots are
+  * non-enumerable like methods).
   * Still out of scope: generators and `async` (the reference's Nashorn
   * is ES5.1 — neither ever worked for its mapper scripts, and a
   * synchronous sandbox has no event loop to give `async` meaning),
-  * class expressions/fields/getters/setters, `new.target`, `new` on
-  * bound functions, and static inheritance (`B.staticOfA()` —
+  * class expressions, object-literal `get`/`set`, `new.target`, `new`
+  * on bound functions, and static inheritance (`B.staticOfA()` —
   * `super.m(…)` inside a static works).
   */
 object MiniJs {
@@ -102,6 +108,14 @@ object MiniJs {
   /** `f.bind(thisArg, pre…)` — a callable wrapper; `new` stays out of
     * scope for bound functions (as it is for Nashorn-era mapper code). */
   final case class Bound(target: Any, thisVal: Any, pre: Seq[Any])
+
+  /** An accessor property slot (class `get`/`set` desugar): each side
+    * is a [[Closure]] or [[Undefined]]. Lives in prototype maps /
+    * function props; every member READ derefs it (getter call with
+    * `this` = the original receiver) and every member WRITE walks the
+    * chain for it first (setter intercepts assignment) — so the value
+    * itself is never observable from script code. */
+  final case class Accessor(getter: Any, setter: Any)
 
   /** An object with a prototype link — created by `new` on a script
     * function, `Object.create`, and class `extends` wiring. It IS a
@@ -170,6 +184,12 @@ object MiniJs {
     * Object) that no script binding shadows constructs the built-in;
     * a script function constructs a [[JsObj]] on its `.prototype`. */
   final case class NewE(ctor: Expr, args: Seq[Expr]) extends Expr
+  /** Builds an [[Accessor]] value — emitted only by the class desugar
+    * (`Name.prototype.p = AccessorE(…)`); the engine's member-write
+    * path installs an Accessor VALUE as an own property verbatim, so
+    * installing never routes through an earlier accessor's setter. */
+  final case class AccessorE(getter: Option[Expr], setter: Option[Expr])
+      extends Expr
 
   sealed trait Stmt
   final case class VarDecl(entries: Seq[(String, Option[Expr])]) extends Stmt
@@ -673,24 +693,53 @@ object MiniJs {
       var ctor: Option[(Seq[String], Seq[Stmt])] = None
       val protoMs = Seq.newBuilder[(String, Seq[String], Seq[Stmt])]
       val staticMs = Seq.newBuilder[(String, Seq[String], Seq[Stmt])]
+      // fields (name, initializer) and accessors (name → get/set
+      // FunLit), instance and static each
+      val instFields = Seq.newBuilder[(String, Option[Expr])]
+      val staticFields = Seq.newBuilder[(String, Option[Expr])]
+      val protoAcc = mutable.LinkedHashMap.empty[String, (Option[Expr], Option[Expr])]
+      val staticAcc = mutable.LinkedHashMap.empty[String, (Option[Expr], Option[Expr])]
       try {
         while (!isOp("}")) {
           if (isOp(";")) eat()
           else {
-            // `static` is contextual: a modifier only when a method
-            // name follows (so a method NAMED static still parses)
+            // `static` is contextual: a modifier only when a member
+            // name follows (so a member NAMED static still parses)
             val isStatic = isKw("static") && toks(p + 1).kind == "id"
             if (isStatic) eat()
-            if (cur.kind != "id") err("expected method name in class body")
+            if (cur.kind != "id") err("expected member name in class body")
             val mName = eat().text
-            val savedStatic = superStatic
-            superStatic = isStatic
-            val (ps, body) = try funRest() finally superStatic = savedStatic
-            if (mName == "constructor" && !isStatic) {
-              if (ctor.isDefined) err("duplicate constructor")
-              ctor = Some((ps, body))
-            } else if (isStatic) staticMs += ((mName, ps, body))
-            else protoMs += ((mName, ps, body))
+            // `get`/`set` are contextual too: accessor only when the
+            // PROPERTY name follows (so a method/field named get/set
+            // still parses)
+            if ((mName == "get" || mName == "set") && cur.kind == "id") {
+              val pName = eat().text
+              val savedStatic = superStatic
+              superStatic = isStatic
+              val (ps, body) = try funRest() finally superStatic = savedStatic
+              if (mName == "get" && ps.nonEmpty) err("getter takes no parameters")
+              if (mName == "set" && ps.size != 1)
+                err("setter takes exactly one parameter")
+              val tgt = if (isStatic) staticAcc else protoAcc
+              val (g, s) = tgt.getOrElse(pName, (None, None))
+              val lit = Some(FunLit(ps, body, pName))
+              tgt(pName) = if (mName == "get") (lit, s) else (g, lit)
+            } else if (isOp("(")) {
+              val savedStatic = superStatic
+              superStatic = isStatic
+              val (ps, body) = try funRest() finally superStatic = savedStatic
+              if (mName == "constructor" && !isStatic) {
+                if (ctor.isDefined) err("duplicate constructor")
+                ctor = Some((ps, body))
+              } else if (isStatic) staticMs += ((mName, ps, body))
+              else protoMs += ((mName, ps, body))
+            } else {
+              // class field: `name = expr;` or bare `name;`
+              val init = if (isOp("=")) { eat(); Some(assignExpr()) } else None
+              if (isOp(";")) eat()
+              if (isStatic) staticFields += mName -> init
+              else instFields += mName -> init
+            }
           }
         }
       } finally superName = savedSuper
@@ -711,7 +760,25 @@ object MiniJs {
           case None => (Seq.empty[String], Seq.empty[Stmt])
         }
       }
-      stmts += FunDecl(name, cps, cbody)
+      // instance fields run inside the constructor: after the
+      // top-level super(…) call in a derived class (the JS field
+      // timing — the parent must have initialized first), else first
+      val fieldInits = instFields.result().map { case (f, init) =>
+        ExprStmt(Assign(Member(ThisE, f), "=", init.getOrElse(UndefE)))
+      }
+      val cbodyWithFields =
+        if (fieldInits.isEmpty) cbody
+        else {
+          val at = cbody.indexWhere {
+            case ExprStmt(SuperE(_, None, false, _)) => true
+            case ExprStmt(Call(Member(Ident(t), "apply"), Seq(ThisE, _)))
+              if supTmp.contains(t) => true
+            case _ => false
+          }
+          if (at >= 0) cbody.patch(at + 1, fieldInits, 0)
+          else fieldInits ++ cbody
+        }
+      stmts += FunDecl(name, cps, cbodyWithFields)
       supTmp.foreach { t =>
         stmts += ExprStmt(Assign(Member(Ident(name), "prototype"), "=",
           Call(Member(Ident("Object"), "create"),
@@ -725,6 +792,18 @@ object MiniJs {
       staticMs.result().foreach { case (m, ps, body) =>
         stmts += ExprStmt(Assign(Member(Ident(name), m), "=",
           FunLit(ps, body, m)))
+      }
+      protoAcc.foreach { case (pn, (g, s)) =>
+        stmts += ExprStmt(Assign(
+          Member(Member(Ident(name), "prototype"), pn), "=", AccessorE(g, s)))
+      }
+      staticAcc.foreach { case (pn, (g, s)) =>
+        stmts += ExprStmt(Assign(Member(Ident(name), pn), "=", AccessorE(g, s)))
+      }
+      // static fields evaluate at class-definition time, in order
+      staticFields.result().foreach { case (f, init) =>
+        stmts += ExprStmt(Assign(Member(Ident(name), f), "=",
+          init.getOrElse(UndefE)))
       }
       Stmts(stmts.result())
     }

@@ -1476,4 +1476,108 @@ class JsEngineSpec extends SparkSpec {
     val e8 = intercept[MiniJs.JsException](MiniJs.parse("var r = /a" + nul + "b/;"))
     assert(e8.getMessage.contains("raw NUL"))
   }
+
+  test("class fields: instance, derived ordering, static, bare") {
+    assert(run(
+      """class Counter {
+        |  count = 10;
+        |  label;
+        |  bump(n) { this.count += n; return this.count; }
+        |}
+        |function f() { var c = new Counter(); return c.bump(5) + '' + c.label; }""".stripMargin,
+      "f") == "15undefined")
+    // derived fields initialize AFTER super() — they can read what the
+    // parent constructor (and parent fields) set up
+    assert(run(
+      """class A { constructor() { this.base = 7; } }
+        |class B extends A { total = this.base + 30; }
+        |function f() { return new B().total; }""".stripMargin, "f") == 37L)
+    // field initializers with an explicit derived ctor run right after
+    // the super(...) statement
+    assert(run(
+      """class A { constructor(v) { this.v = v; } }
+        |class B extends A {
+        |  doubled = this.v * 2;
+        |  constructor(v) { super(v); this.after = this.doubled + 1; }
+        |}
+        |function f() { var b = new B(21); return b.doubled * 100 + b.after; }""".stripMargin,
+      "f") == 4243L)
+    // static fields evaluate at class-definition time
+    assert(run(
+      """class Config { static LIMIT = 6 * 7; static NAME = 'graft'; }
+        |function f() { return Config.NAME + Config.LIMIT; }""".stripMargin,
+      "f") == "graft42")
+    // fields are OWN enumerable data properties: JSON and hasOwnProperty
+    assert(run(
+      """class P { x = 1; y = 2; m() { return 0; } }
+        |function f() { return JSON.stringify(new P()); }""".stripMargin,
+      "f") == """{"x":1,"y":2}""")
+  }
+
+  test("class getters/setters: deref on read, intercept on write") {
+    val temp =
+      """class Temp {
+        |  constructor() { this.c = 0; }
+        |  get fahrenheit() { return this.c * 9 / 5 + 32; }
+        |  set fahrenheit(v) { this.c = (v - 32) * 5 / 9; }
+        |}""".stripMargin
+    assert(run(
+      s"""$temp
+         |function f() { var t = new Temp(); t.fahrenheit = 212; return t.c; }""".stripMargin,
+      "f") == 100.0)
+    assert(run(
+      s"""$temp
+         |function f() { var t = new Temp(); t.c = 100; return t.fahrenheit; }""".stripMargin,
+      "f") == 212.0)
+    // index access binds the accessor exactly like member access
+    assert(run(
+      s"""$temp
+         |function f() { var t = new Temp(); t['fahrenheit'] = 32; return t['fahrenheit']; }""".stripMargin,
+      "f") == 32.0)
+    // compound assignment: getter then setter
+    assert(run(
+      """class Box {
+        |  constructor() { this.v = 5; }
+        |  get value() { return this.v; }
+        |  set value(x) { this.v = x * 10; }
+        |}
+        |function f() { var b = new Box(); b.value += 1; return b.v; }""".stripMargin,
+      "f") == 60L)
+    // getter-only: write throws (strict mode); setter-only: read is undefined
+    val e = intercept[MiniJs.JsException](run(
+      """class R { get ro() { return 1; } }
+        |function f() { var r = new R(); r.ro = 2; }""".stripMargin, "f"))
+    assert(e.getMessage.contains("only a getter"))
+    assert(run(
+      """class W { set sink(v) { this.got = v; } }
+        |function f() { var w = new W(); w.sink = 9; return '' + w.sink + w.got; }""".stripMargin,
+      "f") == "undefined9")
+    // static accessors live on the class function itself
+    assert(run(
+      """class S {
+        |  static get version() { return 3; }
+        |  static set version(v) { S.forced = v; }
+        |}
+        |function f() { S.version = 8; return S.version * 10 + S.forced; }""".stripMargin,
+      "f") == 38L)
+    // accessors are non-enumerable and not own: for..in and JSON skip
+    // them, instance data stays visible
+    assert(run(
+      """class G { constructor() { this.a = 1; } get b() { return 2; } }
+        |function f() {
+        |  var g = new G(), ks = [];
+        |  for (var k in g) { ks.push(k); }
+        |  return ks.join(',') + '|' + JSON.stringify(g) + '|' + g.hasOwnProperty('b');
+        |}""".stripMargin, "f") == "a|{\"a\":1}|false")
+    // a getter on the prototype still sees the SUBCLASS receiver
+    assert(run(
+      """class Base { get tag() { return this.name + '!'; } }
+        |class Kid extends Base { constructor() { super(); this.name = 'kid'; } }
+        |function f() { return new Kid().tag; }""".stripMargin, "f") == "kid!")
+    // methods named get/set still parse as methods
+    assert(run(
+      """class M { get() { return 'g'; } set(v) { return 's' + v; } static get_() { return 1; } }
+        |function f() { var m = new M(); return m.get() + m.set(2); }""".stripMargin,
+      "f") == "gs2")
+  }
 }
