@@ -33,6 +33,15 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }.sorted.apply(1)
+    // Contended-boot guard (r8/r9 verdicts): quiet boots on this host
+    // measure calib 0.43-0.56 across rounds (median ~0.47); the r8
+    // budget table was accidentally recorded at 0.9256 and every
+    // cross-boot comparison needed hand adjudication. A run whose
+    // calib exceeds 1.3x the quiet median is marked contended in the
+    // output line, and tools/record_budgets.py REFUSES to turn such a
+    // run into BASELINE.md budget rows.
+    val quietCalibMedian = 0.47
+    val contended = calib > 1.3 * quietCalibMedian
     // Median of `reps` runs per query: single-pass build+count timing is
     // JIT/GC-noisy (r4 saw a 2x swing on byte-identical code), and the
     // median of 3 keeps one bad rep from setting the record.
@@ -73,7 +82,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"contended":$contended,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Stdout of a forked run can be tail-truncated by whatever captures
     // it (r4 lost the first 17 entries of this line); the file copy is

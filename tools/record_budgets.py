@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Rewrite the BASELINE.md §3 budget table from a graft.Bench JSON line.
+
+Usage: tools/record_budgets.py BENCH_LOCAL.json <era-tag>
+
+The recorder REFUSES a contended boot (r8/r9 verdicts: the 0.9256-calib
+budget table made every cross-boot comparison a hand adjudication):
+the run's calib must be within 1.3x the historical quiet median (0.47 s
+on this host, envelope 0.43-0.56 across rounds). It also refuses runs
+with failed queries and runs that don't cover every existing row, so a
+subset re-bench can't silently shrink the budget table.
+"""
+import json
+import re
+import sys
+
+QUIET_CALIB_MEDIAN = 0.47
+MAX_CALIB = 1.3 * QUIET_CALIB_MEDIAN
+BASELINE = "BASELINE.md"
+CONFIG = "local[32], 16g, AQE, shuffle=32"
+
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    bench_path, era = sys.argv[1], sys.argv[2]
+    with open(bench_path) as f:
+        bench = json.loads(f.read().strip())
+    calib = bench["calib"]
+    if bench.get("contended") or calib > MAX_CALIB:
+        sys.exit(
+            f"REFUSED: boot calib {calib} exceeds {MAX_CALIB:.3f} "
+            f"(1.3x the quiet median {QUIET_CALIB_MEDIAN}); budgets recorded "
+            "on a contended boot poison every later comparison. Re-run "
+            "graft.Bench on a quiet machine.")
+    if bench.get("failed"):
+        sys.exit(f"REFUSED: failed queries present: {bench['failed']}")
+    queries = bench["queries"]
+    with open(BASELINE) as f:
+        text = f.read()
+    row_re = re.compile(
+        r"^\| (?P<q>[a-z0-9_]+) \| 0\.1 \| [0-9.]+ \| [0-9.]+ \| [^|]+ \| [^|]+ \|$",
+        re.M)
+    existing = {m.group("q") for m in row_re.finditer(text)}
+    missing = existing - set(queries)
+    if missing:
+        sys.exit(f"REFUSED: bench run lacks {len(missing)} existing budget "
+                 f"rows (subset run?): {sorted(missing)[:5]}...")
+
+    def rewrite(m):
+        q = m.group("q")
+        return (f"| {q} | 0.1 | {queries[q]:.3f} | {calib:.4f} | "
+                f"{CONFIG} | {era} |")
+
+    text = row_re.sub(rewrite, text)
+    # append table rows for queries that are new since the last record
+    new_qs = sorted(set(queries) - existing)
+    if new_qs:
+        lines = [f"| {q} | 0.1 | {queries[q]:.3f} | {calib:.4f} | "
+                 f"{CONFIG} | {era} |" for q in new_qs]
+        # insert after the last table row
+        last_row_end = max(m.end() for m in row_re.finditer(text))
+        text = text[:last_row_end] + "\n" + "\n".join(lines) + text[last_row_end:]
+    with open(BASELINE, "w") as f:
+        f.write(text)
+    total = sum(queries.values())
+    print(f"recorded {len(queries)} rows at calib {calib} "
+          f"({len(new_qs)} new), sum {total:.2f}s, era {era}")
+
+
+if __name__ == "__main__":
+    main()
