@@ -106,6 +106,10 @@ object CorpusQueries {
     // (The earlier two-branch shape re-ran the gram explosion — the
     // dominant cost — once per flag: 1.7 s vs 1.0 s at sf0.1.)
     val trainGrams = TrainingSetQueries.gramHashes(train, n)
+    // Only HIT docs survive the aggregation: decontamination hits are
+    // rare by construction (train overlapping the eval split), so the
+    // join-back side stays tiny and broadcasts — the corpus itself is
+    // never shuffled for a join (pinned by PlanSpec's d7 test).
     val perDoc = trainGrams
       .join(broadcast(benchGrams.withColumn("in_bench", lit(1L))),
         Seq("h"), "left")
@@ -113,8 +117,9 @@ object CorpusQueries {
       .agg(
         max(when(bloomHit($"h", bits), 1L).otherwise(0L)).as("bloom_hit"),
         max(coalesce($"in_bench", lit(0L))).as("exact_hit"))
+      .filter($"bloom_hit" === 1L || $"exact_hit" === 1L)
     train
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(broadcast(perDoc), Seq("doc_id"), "left")
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_train"),
