@@ -27,7 +27,11 @@ final class JsEngine(code: String, globals: Map[String, Any],
     globals.foreach { case (k, v) => env.declare(k, v) }
     steps = 0
     try parse(code).foreach(exec(_, env))
-    catch { case ThrownEx(v) => throw new JsException(uncaughtMsg(v)) }
+    catch {
+      case ThrownEx(v) => throw new JsException(uncaughtMsg(v))
+      case _: StackOverflowError =>
+        throw new SandboxViolation("recursion limit exceeded (JVM stack)")
+    }
     env
   }
 
@@ -50,7 +54,17 @@ final class JsEngine(code: String, globals: Map[String, Any],
     steps = 0
     depth = 0
     try callValue(f, args.map(toJs))
-    catch { case ThrownEx(v) => throw new JsException(uncaughtMsg(v)) }
+    catch {
+      case ThrownEx(v) => throw new JsException(uncaughtMsg(v))
+      // the depth meter caps JS-call recursion at 200, but the Scala
+      // frames PER JS frame vary with the script's expression shape and
+      // the thread's stack size — an interpreter has no partial external
+      // state, so converting an SOE that slipped under the meter at the
+      // boundary is safe and keeps the "only JsException/SandboxViolation
+      // escape" contract stack-size-independent
+      case _: StackOverflowError =>
+        throw new SandboxViolation("recursion limit exceeded (JVM stack)")
+    }
   }
 
   private def uncaughtMsg(v: Any): String = v match {
@@ -1755,7 +1769,7 @@ object JsEngine {
       case 's' => f |= java.util.regex.Pattern.DOTALL
       case other => throw new JsException(s"unsupported regex flag '$other'")
     }
-    val key = flags + " " + pattern
+    val key = flags + "\u0000" + pattern
     val cached = regexCache.get(key)
     val p =
       if (cached != null) cached
