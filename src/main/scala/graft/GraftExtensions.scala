@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.PhraseCount(c.head,
         s.toString.split(" ").toIndexedSeq.filter(_.nonEmpty))
     })
+    ext.injectFunction(fn("ipv6_bytes", 1, "ipv6_bytes(ip)") { c =>
+      graft.functions.Ipv6Bytes(c.head)
+    })
+    ext.injectFunction(fn("ipv4_canonical", 1, "ipv4_canonical(ip)") { c =>
+      graft.functions.Ipv4Canonical(c.head)
+    })
     ext.injectOptimizerRule(_ => plans.BinnedIntervalJoinRule)
   }
 }

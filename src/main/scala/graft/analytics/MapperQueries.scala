@@ -89,6 +89,61 @@ object MapperQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** M4 for the OTHER address family: every event gets a synthetic
+    * IPv6 literal — link-local for every 5th user (skipped), a
+    * v4-MAPPED `::ffff:1.0.0.7` for users ≡1 (mod 5) (redirected into
+    * the v4 dim), otherwise a public v6 under 2001:db8::/32 whose
+    * 48-bit site picks one of three dim networks. The twin re-derives
+    * the enrichment closed-form, so the whole parse→canonicalize→
+    * binary-range-join path is oracle-checked. */
+  def m4GeoipV6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.enrich.{GeoIpMapper, MapperPipeline}
+    def cidr6(c: String): (Array[Byte], Array[Byte]) = {
+      val Array(ip, len) = c.split("/")
+      val lo = graft.functions.IpAddr.parse16(ip)
+      val hi = lo.clone()
+      var bit = len.toInt
+      while (bit < 128) {
+        hi(bit >> 3) = (hi(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+        bit += 1
+      }
+      (lo, hi)
+    }
+    val dim4 = Seq((16777216L, 16777471L, "AU", "Australia/Sydney"))
+      .toDF("ip_lo", "ip_hi", "_country_code", "_timezone")
+    val dim6 = Seq(
+      (cidr6("2001:db8:0::/48"), "US", "America/New_York"),
+      (cidr6("2001:db8:1::/48"), "DE", "Europe/Berlin"),
+      (cidr6("2001:db8:2::/48"), "JP", "Asia/Tokyo"))
+      .map { case ((lo, hi), cc, tz) => (lo, hi, cc, tz) }
+      .toDF("ip6_lo", "ip6_hi", "_country_code", "_timezone")
+    val ev = Tables(spark, dir, "events")
+      .withColumn("_ip",
+        when($"user_id" % 5 === 0, lit("fe80::1"))
+          .when($"user_id" % 5 === 1, lit("::ffff:1.0.0.7"))
+          .otherwise(concat(lit("2001:db8:"),
+            ($"user_id" % 3).cast("string"), lit("::1"))))
+      .select($"event_id", $"_ip")
+    val enriched = MapperPipeline.run(ev, Seq(GeoIpMapper(dim4, Some(dim6))))
+    enriched.groupBy($"_country_code", $"_timezone")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val m4V6Sql: String =
+    """SELECT
+      |  CASE WHEN user_id % 5 = 0 THEN NULL
+      |       WHEN user_id % 5 = 1 THEN 'AU'
+      |       WHEN user_id % 3 = 0 THEN 'US' WHEN user_id % 3 = 1 THEN 'DE'
+      |       ELSE 'JP' END AS _country_code,
+      |  CASE WHEN user_id % 5 = 0 THEN NULL
+      |       WHEN user_id % 5 = 1 THEN 'Australia/Sydney'
+      |       WHEN user_id % 3 = 0 THEN 'America/New_York'
+      |       WHEN user_id % 3 = 1 THEN 'Europe/Berlin'
+      |       ELSE 'Asia/Tokyo' END AS _timezone,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ---------- M2/M3 against the oracle: the rule TABLES cross-engine ----------
   //
   // The UA and referrer mappers fold [[graft.enrich.UaRules]] into
@@ -382,6 +437,7 @@ object MapperQueries {
   val defs: Seq[(String, QueryDef)] = Seq(
     "m7_js_mapper" -> QueryDef.of(m7Sql)(m7JsMapper),
     "m4_geoip" -> QueryDef.of(m4Sql)(m4Geoip),
+    "m4_geoip_v6" -> QueryDef.of(m4V6Sql)(m4GeoipV6),
     "m2_ua_parse" -> QueryDef.of(m2Sql)(m2UaParse),
     "m3_referrer_parse" -> QueryDef.of(m3Sql)(m3ReferrerParse)
   )

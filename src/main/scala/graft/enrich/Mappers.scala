@@ -225,46 +225,112 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
   }
 }
 
-/** M4/J1/J2: GeoIP enrichment as a broadcast range join — `_ip` (dotted
-  * v4) → numeric, then `lo <= ipNum <= hi` against a broadcast range
-  * dim (the IP2Location table shape). Private ranges are skipped
-  * (MaxmindGeoIPEventMapper.java:140-154). At 100 TB the dim is a few
-  * hundred MB broadcast once; probes are O(log n) inside the
-  * broadcast-hash-range scan.
+/** M4/J1/J2: GeoIP enrichment as broadcast range joins, both address
+  * families — the reference resolves any `java.net.InetAddress`
+  * (MaxmindGeoIPEventMapper.java:292-358); here:
   *
-  * The dim carries the full Maxmind city+ISP+connection-type field set
+  *   - every v4-REPRESENTABLE literal — dotted quad, v4-mapped
+  *     `::ffff:a.b.c.d` (Java parses those to `Inet4Address`),
+  *     v4-compatible `::a.b.c.d` (the MMDB spec's own ::/96 embedding)
+  *     — canonicalizes to a dotted quad
+  *     ([[graft.functions.Ipv4Canonical]], codegen'd) and probes the
+  *     LONG-keyed v4 dim with `lo <= ipNum <= hi`;
+  *   - every other v6 literal becomes its 16 network-order bytes
+  *     ([[graft.functions.Ipv6Bytes]]) and probes the BINARY-keyed v6
+  *     dim — byte-wise unsigned comparison is 128-bit containment.
+  *
+  * Private ranges are skipped (MaxmindGeoIPEventMapper.java:140-154
+  * for v4, verbatim regex; fc00::/7 unique-local and fe80::/10
+  * link-local for v6 — a real database maps neither, so the skip only
+  * saves probes). At 100 TB each dim is a few hundred MB broadcast
+  * once and the scan stays codegen'd.
+  *
+  * The dims carry the full Maxmind city+ISP+connection-type field set
   * (`_country_code,_region,_city,_latitude,_longitude,_timezone,_isp,
   * _connection_type` — MaxmindGeoIPEventMapper.java:280-353); every
   * dim column other than the range bounds is an output field, so a dim
   * built from only the city database enriches the city subset, exactly
-  * like the reference's optional isp/connection-type databases. */
-final case class GeoIpMapper(ranges: DataFrame) extends EventMapper {
+  * like the reference's optional isp/connection-type databases. A row
+  * matches at most one family's dim (the keys are mutually exclusive
+  * by construction), so shared output columns coalesce safely. */
+final case class GeoIpMapper(ranges: DataFrame,
+    rangesV6: Option[DataFrame] = None) extends EventMapper {
   val name = "geoip"
+
+  private def attrCols(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(Set("ip_lo", "ip_hi", "ip6_lo", "ip6_hi"))
 
   /** Maxmind city-database attribute set + ISP + connection type. */
   override def dependentFields = Map("_ip" ->
-    ranges.columns.toSeq.filterNot(Set("ip_lo", "ip_hi")).map { c =>
+    (attrCols(ranges) ++ rangesV6.map(attrCols).getOrElse(Nil)).distinct.map { c =>
       c -> (c match {
         case "_latitude" | "_longitude" => FieldType.DOUBLE
         case _ => FieldType.STRING
       })
     })
 
+  private def bridged(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def expr0(c: Column) =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
   def apply(df: DataFrame): DataFrame = {
     if (!df.columns.contains("_ip")) return df
-    val parts = split(col("_ip"), "\\.")
-    val ipNum = when(col("_ip").rlike("^([0-9]{1,3}\\.){3}[0-9]{1,3}$"),
-      parts.getItem(0).cast("long") * 16777216L +
-        parts.getItem(1).cast("long") * 65536L +
-        parts.getItem(2).cast("long") * 256L +
-        parts.getItem(3).cast("long"))
-    val isPrivate = col("_ip").rlike(Mappers.PrivateIpRegex)
+    // canonical dotted quad (null for non-v4-representable input) —
+    // octets are validated (≤ 255) and zero-padded forms normalize, so
+    // the private-range regex sees what the join key sees
+    val canon = bridged(graft.functions.Ipv4Canonical(expr0(col("_ip"))))
+    val parts = split(canon, "\\.")
+    val ipNum = parts.getItem(0).cast("long") * 16777216L +
+      parts.getItem(1).cast("long") * 65536L +
+      parts.getItem(2).cast("long") * 256L +
+      parts.getItem(3).cast("long")
+    val isPrivate = canon.rlike(Mappers.PrivateIpRegex)
     val keyed = df.withColumn("__ipnum", when(!isPrivate, ipNum))
-    keyed.join(broadcast(ranges),
+    val out4 = keyed.join(broadcast(ranges),
         keyed("__ipnum") >= ranges("ip_lo") && keyed("__ipnum") <= ranges("ip_hi"),
         "left")
-      .drop("ip_lo", "ip_hi", "__ipnum")
+      .drop("ip_lo", "ip_hi")
+    rangesV6 match {
+      case None => out4.drop("__ipnum")
+      case Some(r6) =>
+        val attrs6 = attrCols(r6)
+        val renamed = attrs6.foldLeft(r6)(
+          (d, c) => d.withColumnRenamed(c, "__v6_" + c))
+        val ip6 = bridged(graft.functions.Ipv6Bytes(expr0(col("_ip"))))
+        val v6Private =
+          (ip6 >= lit(GeoIpMapper.UniqueLocalLo) &&
+            ip6 <= lit(GeoIpMapper.UniqueLocalHi)) ||
+          (ip6 >= lit(GeoIpMapper.LinkLocalLo) &&
+            ip6 <= lit(GeoIpMapper.LinkLocalHi))
+        val keyed6 = out4.withColumn("__ip6", when(!v6Private, ip6))
+        val joined = keyed6.join(broadcast(renamed),
+            keyed6("__ip6") >= renamed("ip6_lo") &&
+              keyed6("__ip6") <= renamed("ip6_hi"),
+            "left")
+          .drop("ip6_lo", "ip6_hi", "__ip6", "__ipnum")
+        attrs6.foldLeft(joined) { (d, c) =>
+          if (d.columns.contains(c))
+            d.withColumn(c, coalesce(col(c), col("__v6_" + c)))
+              .drop("__v6_" + c)
+          else d.withColumnRenamed("__v6_" + c, c)
+        }
+    }
   }
+}
+
+object GeoIpMapper {
+  private def fill(first: Array[Int], rest: Int): Array[Byte] = {
+    val out = Array.fill[Byte](16)(rest.toByte)
+    first.indices.foreach(i => out(i) = first(i).toByte)
+    out
+  }
+  /** fc00::/7 (RFC 4193 unique local). */
+  private[enrich] val UniqueLocalLo = fill(Array(0xfc), 0x00)
+  private[enrich] val UniqueLocalHi = fill(Array(0xfd), 0xff)
+  /** fe80::/10 (RFC 4291 link local). */
+  private[enrich] val LinkLocalLo = fill(Array(0xfe, 0x80), 0x00)
+  private[enrich] val LinkLocalHi = fill(Array(0xfe, 0xbf), 0xff)
 }
 
 /** F16: first-public-IP extraction from X-Forwarded-For — the

@@ -51,9 +51,25 @@ final class MaxmindDb private (buf: Array[Byte],
     }
   }
 
-  private def decodeData(recordValue: Int): Any =
-    new Decoder(buf, dataBase)
-      .decode(treeSize.toInt + (recordValue - metadata.nodeCount))._1
+  /** Decode memo keyed by record value: real files point MANY networks
+    * at one shared data record (pointer dedup), so decoding each
+    * distinct record ONCE — and sharing the decoded object across every
+    * network that references it — bounds enumeration memory by
+    * |distinct records|, not |networks| (GeoIP2-City: ~100k records vs
+    * ~3M networks). */
+  @transient private lazy val decodeMemo =
+    new java.util.HashMap[Integer, Any]()
+
+  private def decodeData(recordValue: Int): Any = {
+    val k = Integer.valueOf(recordValue)
+    var v = decodeMemo.get(k)
+    if (v == null) {
+      v = new Decoder(buf, dataBase)
+        .decode(treeSize.toInt + (recordValue - metadata.nodeCount))._1
+      decodeMemo.put(k, v)
+    }
+    v
+  }
 
   /** The node where IPv4 space starts: node 0 for an ip_version-4
     * database; after 96 zero bits (the ::a.b.c.d embedding the spec
@@ -70,12 +86,25 @@ final class MaxmindDb private (buf: Array[Byte],
     if (node < metadata.nodeCount) node else -1
   }
 
-  /** Point lookup of a dotted-quad IPv4 address: walk one bit per tree
-    * level. Returns the decoded data-section value (a Map for every
-    * real database) or None when the address hits the no-data record. */
+  /** Point lookup of ANY address literal — the reference's contract
+    * (it resolves via `java.net.InetAddress` and walks whatever bytes
+    * come back, MaxmindGeoIPEventMapper.java:292-358). Dotted-quad v4,
+    * v4-mapped (`::ffff:a.b.c.d`) and v4-compatible (`::a.b.c.d`)
+    * forms walk the v4 subtree; other v6 literals walk the full
+    * 128-bit tree (None on an ip_version-4 database, which cannot
+    * represent them). Returns the decoded data-section value (a Map
+    * for every real database) or None on the no-data record. */
   def lookup(ip: String): Option[Any] = {
-    val ipNum = ipv4ToLong(ip).getOrElse(
-      throw new MmdbFormatException(s"not a dotted-quad IPv4 address: $ip"))
+    val v4 = graft.functions.IpAddr.v4NumOrEmbedded(ip)
+    if (v4 >= 0) return lookupV4Num(v4)
+    val bytes = graft.functions.IpAddr.parse16(ip)
+    if (bytes == null)
+      throw new MmdbFormatException(s"not an IPv4/IPv6 address literal: $ip")
+    if (metadata.ipVersion == 4) return None
+    walkBits(bytes, 0)
+  }
+
+  private def lookupV4Num(ipNum: Long): Option[Any] = {
     var node = if (metadata.ipVersion == 6) v4Root else 0
     if (node < 0) return None
     var bit = 31
@@ -89,32 +118,135 @@ final class MaxmindDb private (buf: Array[Byte],
     None
   }
 
-  /** Enumerate the IPv4 search tree as disjoint, sorted ranges —
-    * (ip_lo, ip_hi, decoded data) — by depth-first walk. The trie IS
-    * this range list; enumeration is O(|networks|) and each data
-    * record decodes once per tree reference. */
-  def networks(): Seq[(Long, Long, Any)] = {
-    val out = Seq.newBuilder[(Long, Long, Any)]
-    def walk(node: Int, prefix: Long, depth: Int): Unit = {
-      if (depth > 32) throw new MmdbFormatException(
-        "IPv4 search tree deeper than 32 bits")
-      var side = 0
-      while (side <= 1) {
-        val rec = record(node, side)
-        val p = (prefix << 1) | side
-        if (rec < metadata.nodeCount) walk(rec, p, depth + 1)
-        else if (rec > metadata.nodeCount) {
-          val lo = p << (32 - depth - 1)
-          val hi = lo + ((1L << (32 - depth - 1)) - 1)
-          out += ((lo, hi, decodeData(rec)))
+  /** Bit-walk from `startNode` over `bytes` MSB-first. */
+  private def walkBits(bytes: Array[Byte], startNode: Int): Option[Any] = {
+    var node = startNode
+    var i = 0
+    val total = bytes.length * 8
+    while (i < total) {
+      val bit = (bytes(i >>> 3) >>> (7 - (i & 7))) & 1
+      val rec = record(node, bit)
+      if (rec == metadata.nodeCount) return None
+      if (rec > metadata.nodeCount) return Some(decodeData(rec))
+      node = rec
+      i += 1
+    }
+    None
+  }
+
+  /** One enumerated network: 128-bit range bounds as (hi64, lo64) long
+    * pairs (for a 32-bit walk only the low long is used) plus the
+    * shared decoded data record. */
+  private case class Leaf(loHi: Long, loLo: Long, hiHi: Long, hiLo: Long,
+      data: Any)
+
+  private def lowMask(n: Int): Long =
+    if (n <= 0) 0L else if (n >= 64) -1L else (1L << n) - 1
+
+  /** LAZY in-order DFS over the subtree at `rootNode` read as an
+    * address space of `totalBits` bits — an explicit-stack iterator, so
+    * callers can stream networks into batches instead of holding the
+    * whole decoded list (the decode memo already shares repeated data
+    * records). `skipAllZeroAtDepth` prunes the all-zero-prefix child at
+    * that depth — used to drop the spec's ::/96 v4 embedding from v6
+    * enumeration, because v4-representable probes are redirected to the
+    * v4 dim and must not pay for the subtree twice. */
+  private def leafIterator(rootNode: Int, totalBits: Int,
+      skipAllZeroAtDepth: Int = -1): Iterator[Leaf] = new Iterator[Leaf] {
+    // frame: (record value, isNode, prefixHi, prefixLo, prefix length)
+    private val stack =
+      scala.collection.mutable.Stack.empty[(Int, Boolean, Long, Long, Int)]
+    if (rootNode >= 0) stack.push((rootNode, true, 0L, 0L, 0))
+    private var pending: Leaf = _
+    advance()
+
+    private def withBit(pHi: Long, pLo: Long, pos: Int): (Long, Long) =
+      if (totalBits <= 64) (pHi, pLo | (1L << (totalBits - 1 - pos)))
+      else if (pos < 64) (pHi | (1L << (63 - pos)), pLo)
+      else (pHi, pLo | (1L << (127 - pos)))
+
+    private def advance(): Unit = {
+      pending = null
+      while (pending == null && stack.nonEmpty) {
+        val (rec, isNode, pHi, pLo, depth) = stack.pop()
+        if (!isNode) {
+          val rem = totalBits - depth
+          val (hiHi, hiLo) =
+            if (totalBits <= 64) (pHi, pLo | lowMask(rem))
+            else if (rem <= 64) (pHi, pLo | lowMask(rem))
+            else (pHi | lowMask(rem - 64), -1L)
+          pending = Leaf(pHi, pLo, hiHi, hiLo, decodeData(rec))
+        } else {
+          if (depth >= totalBits) throw new MmdbFormatException(
+            s"search tree deeper than $totalBits bits")
+          var side = 1 // push right first so left pops first (ascending)
+          while (side >= 0) {
+            val r = record(rec, side)
+            if (r != metadata.nodeCount) {
+              val (nHi, nLo) =
+                if (side == 0) (pHi, pLo) else withBit(pHi, pLo, depth)
+              val childDepth = depth + 1
+              val skip = childDepth == skipAllZeroAtDepth &&
+                nHi == 0L && nLo == 0L
+              if (!skip)
+                stack.push((r, r < metadata.nodeCount, nHi, nLo, childDepth))
+            }
+            side -= 1
+          }
         }
-        side += 1
       }
     }
-    val root = if (metadata.ipVersion == 6) v4Root else 0
-    if (root >= 0) walk(root, 0L, 0)
-    out.result()
+
+    override def hasNext: Boolean = pending != null
+    override def next(): Leaf = {
+      val out = pending
+      advance()
+      out
+    }
   }
+
+  /** Enumerate the IPv4 search tree as disjoint, sorted ranges —
+    * (ip_lo, ip_hi, decoded data). The trie IS this range list;
+    * enumeration is O(|networks|) and each distinct data record
+    * decodes once, shared across every network that references it. */
+  def networks(): Seq[(Long, Long, Any)] = networksIterator().toVector
+
+  /** Streaming form of [[networks]] — nothing materialized beyond the
+    * DFS stack and the shared decode memo. */
+  def networksIterator(): Iterator[(Long, Long, Any)] = {
+    val root = if (metadata.ipVersion == 6) v4Root else 0
+    leafIterator(root, 32).map(l => (l.loLo, l.hiLo, l.data))
+  }
+
+  /** Enumerate the FULL 128-bit IPv6 tree as disjoint, sorted 16-byte
+    * ranges. By default the spec's ::/96 v4-embedding subtree is
+    * excluded: v4-representable probes (dotted, `::ffff:a.b.c.d`,
+    * `::a.b.c.d`) canonicalize to the v4 dim, so carrying those ranges
+    * here would double the broadcast for networks no probe reaches.
+    * `includeV4Embedded = true` restores the complete tree. */
+  def networks6Iterator(includeV4Embedded: Boolean = false)
+      : Iterator[(Array[Byte], Array[Byte], Any)] = {
+    if (metadata.ipVersion != 6) throw new MmdbFormatException(
+      s"IPv6 enumeration needs an ip_version-6 database, " +
+        s"got ip_version ${metadata.ipVersion}")
+    def bytes(hi: Long, lo: Long): Array[Byte] = {
+      val out = new Array[Byte](16)
+      var i = 0
+      while (i < 8) {
+        out(i) = ((hi >>> (56 - 8 * i)) & 0xFF).toByte
+        out(8 + i) = ((lo >>> (56 - 8 * i)) & 0xFF).toByte
+        i += 1
+      }
+      out
+    }
+    leafIterator(0, 128,
+      skipAllZeroAtDepth = if (includeV4Embedded) -1 else 96)
+      .map(l => (bytes(l.loHi, l.loLo), bytes(l.hiHi, l.hiLo), l.data))
+  }
+
+  def networks6(includeV4Embedded: Boolean = false)
+      : Seq[(Array[Byte], Array[Byte], Any)] =
+    networks6Iterator(includeV4Embedded).toVector
 
   /** The broadcast range dim for [[graft.enrich.GeoIpMapper]]:
     * `(ip_lo, ip_hi)` plus the flattened MaxMind attribute set — the
@@ -126,27 +258,57 @@ final class MaxmindDb private (buf: Array[Byte],
     * that no network populates are dropped, so a city-only file
     * enriches the city subset — the reference's optional-database
     * behavior. */
-  def rangeDim(spark: SparkSession): DataFrame = {
-    val nets = networks()
-    val rows = nets.map { case (lo, hi, data) =>
-      val m = data match {
-        case mm: Map[_, _] => mm.asInstanceOf[Map[String, Any]]
-        case _ => Map.empty[String, Any]
-      }
-      (lo, hi, flatten(m))
+  def rangeDim(spark: SparkSession): DataFrame =
+    buildDim(spark,
+      Seq(StructField("ip_lo", LongType, nullable = false),
+        StructField("ip_hi", LongType, nullable = false)),
+      () => networksIterator().map { case (lo, hi, d) => (Seq(lo, hi), d) })
+
+  /** The v6 twin of [[rangeDim]]: `(ip6_lo, ip6_hi)` 16-byte BINARY
+    * bounds (byte-wise unsigned comparison IS 128-bit range
+    * containment) plus the same flattened attribute set. Excludes the
+    * ::/96 v4 embedding — those probes take [[rangeDim]] via
+    * canonicalization (see [[graft.functions.IpAddr]]). */
+  def rangeDim6(spark: SparkSession): DataFrame =
+    buildDim(spark,
+      Seq(StructField("ip6_lo", BinaryType, nullable = false),
+        StructField("ip6_hi", BinaryType, nullable = false)),
+      () => networks6Iterator().map { case (lo, hi, d) => (Seq(lo, hi), d) })
+
+  /** Two streaming passes over `ranges`: pass 1 decides which attribute
+    * columns any network populates (from the DISTINCT decoded records —
+    * identity-shared by the decode memo — so a city-only file yields a
+    * dim without isp columns); pass 2 builds the rows. Peak driver
+    * allocation is the row list plus one flattened map per DISTINCT
+    * record, never per network. */
+  private def buildDim(spark: SparkSession, keyFields: Seq[StructField],
+      ranges: () => Iterator[(Seq[Any], Any)]): DataFrame = {
+    val flatMemo = new java.util.IdentityHashMap[AnyRef, Map[String, Any]]()
+    val emptyFlat: Map[String, Any] = Attrs.map { case (n, _) => n -> null }.toMap
+    def flat(d: Any): Map[String, Any] = d match {
+      case m: Map[_, _] =>
+        val k = m.asInstanceOf[AnyRef]
+        var f = flatMemo.get(k)
+        if (f == null) {
+          f = flatten(m.asInstanceOf[Map[String, Any]])
+          flatMemo.put(k, f)
+        }
+        f
+      case _ => emptyFlat
     }
-    val present = Attrs.filter { case (name, _) =>
-      rows.exists(_._3(name) != null)
-    }
-    val schema = StructType(
-      StructField("ip_lo", LongType, nullable = false) +:
-      StructField("ip_hi", LongType, nullable = false) +:
-      present.map { case (name, tpe) => StructField(name, tpe, nullable = true) })
-    val data = rows.map { case (lo, hi, attrs) =>
-      Row.fromSeq(lo +: hi +: present.map { case (name, _) => attrs(name) })
-    }
+    ranges().foreach { case (_, d) => flat(d) } // pass 1: distinct records
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(data.asJava, schema)
+    val present = Attrs.filter { case (name, _) =>
+      flatMemo.values.asScala.exists(_(name) != null)
+    }
+    val schema = StructType(keyFields ++
+      present.map { case (name, tpe) => StructField(name, tpe, nullable = true) })
+    val rows = new java.util.ArrayList[Row]()
+    ranges().foreach { case (keys, d) =>
+      val f = flat(d)
+      rows.add(Row.fromSeq(keys ++ present.map { case (name, _) => f(name) }))
+    }
+    spark.createDataFrame(rows, schema)
   }
 }
 
@@ -230,9 +392,13 @@ object MaxmindDb {
 
   /** The one-call integration the reference configures as
     * `plugin.geoip.database.url`: a customer `.mmdb` file becomes the
-    * broadcast-range-join mapper directly. */
-  def geoIpMapper(spark: SparkSession, path: String): graft.enrich.GeoIpMapper =
-    graft.enrich.GeoIpMapper(readFile(path).rangeDim(spark))
+    * broadcast-range-join mapper directly — both address families when
+    * the database carries the v6 tree. */
+  def geoIpMapper(spark: SparkSession, path: String): graft.enrich.GeoIpMapper = {
+    val db = readFile(path)
+    val v6 = if (db.metadata.ipVersion == 6) Some(db.rangeDim6(spark)) else None
+    graft.enrich.GeoIpMapper(db.rangeDim(spark), v6)
+  }
 
   def read(buf: Array[Byte]): MaxmindDb = {
     // the metadata map follows the LAST marker occurrence (the spec

@@ -147,6 +147,149 @@ class MaxmindDbSpec extends SparkSpec {
     assert(dim.columns.contains("_country_code"))
   }
 
+  /** v6 networks + the m4 v4 /24s in ONE ip_version-6 file — the shape
+    * of a real dual-stack GeoIP2 database. */
+  private def dualStackEntries: Seq[(String, Map[String, Any])] =
+    cityEntries.take(2) ++ Seq(
+      "2001:db8::/32" -> Map(
+        "country" -> Map("iso_code" -> "JP"),
+        "city" -> Map("names" -> Map("en" -> "Tokyo")),
+        "location" -> Map("latitude" -> 35.68, "longitude" -> 139.69,
+          "time_zone" -> "Asia/Tokyo"),
+        "traits" -> Map("isp" -> "NTT", "connection_type" -> "Cable/DSL")),
+      "2400:cb00::/32" -> Map(
+        "country" -> Map("iso_code" -> "US"),
+        "city" -> Map("names" -> Map("en" -> "San Francisco")),
+        "location" -> Map("latitude" -> 37.77, "longitude" -> -122.42,
+          "time_zone" -> "America/Los_Angeles"),
+        // shares the AU isp record via pointer dedup
+        "traits" -> Map("isp" -> "Telstra", "connection_type" -> "Cable/DSL")),
+      "fd00::/8" -> Map( // unique-local mapped on purpose: the MAPPER must skip it
+        "country" -> Map("iso_code" -> "XX"),
+        "location" -> Map("time_zone" -> "Etc/UTC")))
+
+  private def fmt16(b: Array[Byte]): String =
+    b.grouped(2).map(g => f"${((g(0) & 0xFF) << 8) | (g(1) & 0xFF)}%x")
+      .mkString(":")
+
+  test("v6 lookup walks the 128-bit tree; v4 forms redirect to the v4 subtree") {
+    val db = MaxmindDb.read(MmdbFixture.write(dualStackEntries, ipVersion = 6))
+    def country(ip: String): Any = db.lookup(ip)
+      .map(_.asInstanceOf[Map[String, Any]]("country")
+        .asInstanceOf[Map[String, Any]]("iso_code")).orNull
+    assert(country("2001:db8::1") === "JP")
+    assert(country("2001:db8:ffff:ffff:ffff:ffff:ffff:ffff") === "JP")
+    assert(country("2001:db9::1") === null)
+    assert(country("2400:cb00:2048:1::6810:135e") === "US")
+    assert(country("fd12::1") === "XX")
+    // v4-representable forms — dotted, mapped, compatible — all hit the
+    // v4 subtree records, exactly like InetAddress + the vendor walk
+    assert(country("1.0.0.7") === "AU")
+    assert(country("::ffff:1.0.0.7") === "AU")
+    assert(country("::1.0.0.7") === "AU")
+    assert(country("9.9.9.9") === null)
+    // a v4-ONLY database cannot resolve a v6 literal (reference: the
+    // vendor reader throws; the mapper skips)
+    val v4db = MaxmindDb.read(MmdbFixture.write(cityEntries))
+    assert(v4db.lookup("2001:db8::1") === None)
+    intercept[MaxmindDb.MmdbFormatException](db.lookup("not-an-ip"))
+  }
+
+  test("networks6 enumeration == per-IP lookup at every v6 boundary") {
+    val db = MaxmindDb.read(MmdbFixture.write(dualStackEntries, ipVersion = 6))
+    val nets = db.networks6()
+    assert(nets.nonEmpty)
+    nets.foreach { case (lo, hi, data) =>
+      assert(db.lookup(fmt16(lo)) === Some(data), fmt16(lo))
+      assert(db.lookup(fmt16(hi)) === Some(data), fmt16(hi))
+    }
+    // sorted and disjoint under unsigned byte-wise order
+    val flat = nets.map { case (lo, hi, _) =>
+      (new java.math.BigInteger(1, lo), new java.math.BigInteger(1, hi)) }
+    flat.sliding(2).foreach { pair =>
+      if (pair.size == 2) assert(pair(0)._2.compareTo(pair(1)._1) < 0)
+    }
+    // the default excludes the ::/96 v4 embedding (those probes take
+    // the v4 dim); includeV4Embedded restores it
+    assert(!nets.exists { case (lo, _, _) => lo.take(12).forall(_ == 0) })
+    val full = db.networks6(includeV4Embedded = true)
+    assert(full.size === nets.size + db.networks().size)
+  }
+
+  test("shared data records decode once and are identity-shared") {
+    val db = MaxmindDb.read(MmdbFixture.write(dualStackEntries, ipVersion = 6))
+    val all = db.networks6(includeV4Embedded = true).map(_._3) ++
+      db.networks().map(_._3)
+    // AU (v4) and SF (v6) share their traits record via pointer dedup;
+    // more to the point, the SAME network looked up twice or enumerated
+    // after a lookup must be the SAME object (the decode memo)
+    val au1 = db.lookup("1.0.0.7").get
+    val au2 = db.networks().find(_._1 === 16777216L).get._3
+    assert(au1.asInstanceOf[AnyRef] eq au2.asInstanceOf[AnyRef])
+    // distinct records ≤ entries, never per-network copies
+    val ids = new java.util.IdentityHashMap[AnyRef, Unit]()
+    all.foreach(d => ids.put(d.asInstanceOf[AnyRef], ()))
+    assert(ids.size() <= dualStackEntries.size)
+    // and the enumeration is lazily streamed — first element without
+    // draining the iterator
+    val it = db.networks6Iterator()
+    assert(it.hasNext)
+    assert(it.next()._3 != null)
+  }
+
+  test("rangeDim6 + GeoIpMapper enrich v6, redirect v4 forms, skip private") {
+    import spark.implicits._
+    val db = MaxmindDb.read(MmdbFixture.write(dualStackEntries, ipVersion = 6))
+    val mapper = GeoIpMapper(db.rangeDim(spark), Some(db.rangeDim6(spark)))
+    val events = Seq(
+      (1L, "2001:db8::1"),              // v6 hit
+      (2L, "2400:cb00:2048:1::6810:135e"), // v6 hit (deduped record)
+      (3L, "::ffff:1.0.0.7"),           // v4-mapped → v4 dim
+      (4L, "::1.0.0.7"),                // v4-compatible → v4 dim
+      (5L, "1.0.1.200"),                // dotted → v4 dim
+      (6L, "fd12::1"),                  // unique-local: SKIPPED even though mapped in the file
+      (7L, "fe80::1"),                  // link-local: skipped
+      (8L, "2001:db9::1"),              // unmapped public v6
+      (9L, "192.168.0.1"),              // private v4
+      (10L, "not-an-ip"))
+      .toDF("event_id", "_ip")
+    val out = MapperPipeline.run(events, Seq(mapper))
+      .select($"event_id", $"_country_code", $"_city")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) === (("JP", "Tokyo")))
+    assert(out(2L) === (("US", "San Francisco")))
+    assert(out(3L) === (("AU", "Sydney")))
+    assert(out(4L) === (("AU", "Sydney")))
+    assert(out(5L) === (("US", "New York")))
+    assert(out(6L) === ((null, null)))
+    assert(out(7L) === ((null, null)))
+    assert(out(8L) === ((null, null)))
+    assert(out(9L) === ((null, null)))
+    assert(out(10L) === ((null, null)))
+    // and each enrichment agrees with the 128-bit walk
+    for ((id, ip) <- Seq((1L, "2001:db8::1"), (3L, "::ffff:1.0.0.7"))) {
+      val walked = db.lookup(ip).get.asInstanceOf[Map[String, Any]]
+      assert(out(id)._1 ===
+        walked("country").asInstanceOf[Map[String, Any]]("iso_code"))
+    }
+  }
+
+  test("geoIpMapper facade wires the v6 dim for an ip_version-6 file") {
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("graft-geo6", ".mmdb")
+    java.nio.file.Files.write(f,
+      MmdbFixture.write(dualStackEntries, ipVersion = 6))
+    try {
+      val mapper = MaxmindDb.geoIpMapper(spark, f.toString)
+      assert(mapper.rangesV6.isDefined)
+      val out = MapperPipeline.run(
+        Seq((1L, "2001:db8::1"), (2L, "1.0.0.7")).toDF("event_id", "_ip"),
+        Seq(mapper))
+      assert(out.orderBy($"event_id").select($"_country_code")
+        .as[String].collect().toSeq === Seq("JP", "AU"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("data-section scalar types: ints, uint64, float, bool, bytes-free maps") {
     val rec = Map(
       "country" -> Map("iso_code" -> "FR"),

@@ -91,9 +91,10 @@ object MmdbFixture {
   // child slots hold: null (no data), Node, or Integer data offset
 
   /** Build a valid MMDB byte array. `entries` are (cidr, record) with
-    * dotted-quad IPv4 CIDRs; `recordSize` ∈ {24, 28, 32};
-    * `ipVersion` 4 stores the tree over 32-bit space, 6 embeds it
-    * under 96 leading zero bits (the ::a.b.c.d form the spec
+    * dotted-quad IPv4 CIDRs or (when `ipVersion` is 6) IPv6 CIDRs;
+    * `recordSize` ∈ {24, 28, 32}; `ipVersion` 4 stores the tree over
+    * 32-bit space, 6 over 128-bit space with dotted-quad entries
+    * embedded under 96 leading zero bits (the ::a.b.c.d form the spec
     * prescribes for v4-in-v6). */
   def write(entries: Seq[(String, Map[String, Any])], recordSize: Int = 24,
       ipVersion: Int = 4, dedupe: Boolean = true,
@@ -102,18 +103,35 @@ object MmdbFixture {
     val root = Node()
     entries.foreach { case (cidr, record) =>
       val Array(ip, lenS) = cidr.split("/")
-      val prefixLen = lenS.toInt + (if (ipVersion == 6) 96 else 0)
-      val ipNum = MaxmindDb.ipv4ToLong(ip).getOrElse(sys.error(s"bad ip $ip"))
+      val isV6Literal = ip.indexOf(':') >= 0
+      require(!isV6Literal || ipVersion == 6,
+        s"v6 CIDR $cidr needs ipVersion=6")
+      val prefixLen = lenS.toInt +
+        (if (ipVersion == 6 && !isV6Literal) 96 else 0)
+      val totalBits = if (ipVersion == 6) 128 else 32
+      // the address as MSB-first bits: v6 literals via the main-scope
+      // parser (independent of the reader under test — the reader never
+      // parses literals during enumeration), dotted quads as the low 32
+      // bits of the space (the ::a.b.c.d embedding when ipVersion=6)
+      val addrBytes: Array[Byte] =
+        if (isV6Literal) {
+          val b = graft.functions.IpAddr.parse16(ip)
+          require(b != null, s"bad v6 literal $ip")
+          b
+        } else {
+          val ipNum = MaxmindDb.ipv4ToLong(ip).getOrElse(sys.error(s"bad ip $ip"))
+          val b = new Array[Byte](totalBits / 8)
+          var i = 0
+          while (i < 4) {
+            b(b.length - 4 + i) = ((ipNum >>> (24 - 8 * i)) & 0xFF).toByte
+            i += 1
+          }
+          b
+        }
       val offset = dw.write(record)
       var node = root
-      val totalBits = if (ipVersion == 6) 128 else 32
-      // bit i (MSB-first) of the v4-in-v6 embedding ::a.b.c.d — the
-      // explicit >= 32 guard matters: Long >>> masks its shift count
-      // to 6 bits, so a raw 128-bit shift would read wrong bits
-      def bitAt(depth: Int): Long = {
-        val shift = totalBits - 1 - depth
-        if (shift >= 32) 0L else (ipNum >>> shift) & 1L
-      }
+      def bitAt(depth: Int): Long =
+        ((addrBytes(depth >>> 3) >>> (7 - (depth & 7))) & 1).toLong
       var depth = 0
       while (depth < prefixLen - 1) {
         val bit = bitAt(depth)
