@@ -105,28 +105,38 @@ object CorpusQueries {
     // so both doc-level flags fold into a single per-doc aggregation.
     // (The earlier two-branch shape re-ran the gram explosion — the
     // dominant cost — once per flag: 1.7 s vs 1.0 s at sf0.1.)
-    val trainGrams = TrainingSetQueries.gramHashes(train, n)
-    // Only HIT docs survive the aggregation: decontamination hits are
-    // rare by construction (train overlapping the eval split), so the
-    // join-back side stays tiny and broadcasts — the corpus itself is
-    // never shuffled for a join (pinned by PlanSpec's d7 test).
+    // lang rides THROUGH the gram aggregation (it is functionally
+    // dependent on doc_id, so the group cardinality is unchanged): the
+    // per-doc flags reduce straight to per-LANG sums and the join back
+    // to the corpus disappears. The only remaining join-back is per-lang
+    // totals × per-lang flags — a |langs|-bounded broadcast, a bound set
+    // by the schema, NOT by the contamination rate (the earlier shape
+    // broadcast the hit-doc set, which a heavily contaminated corpus —
+    // the very scenario decontamination exists to catch — could blow
+    // past the broadcast limit).
+    val trainGrams = TrainingSetQueries.gramHashes(train, n, carry = Seq("lang"))
     val perDoc = trainGrams
       .join(broadcast(benchGrams.withColumn("in_bench", lit(1L))),
         Seq("h"), "left")
-      .groupBy($"doc_id")
+      .groupBy($"doc_id", $"lang")
       .agg(
         max(when(bloomHit($"h", bits), 1L).otherwise(0L)).as("bloom_hit"),
         max(coalesce($"in_bench", lit(0L))).as("exact_hit"))
-      .filter($"bloom_hit" === 1L || $"exact_hit" === 1L)
-    train
-      .join(broadcast(perDoc), Seq("doc_id"), "left")
+    val perLang = perDoc
       .groupBy($"lang")
-      .agg(
-        count(lit(1)).as("n_train"),
-        sum(coalesce($"bloom_hit", lit(0L))).as("n_bloom_flagged"),
-        sum(coalesce($"exact_hit", lit(0L))).as("n_exact"),
-        (sum(coalesce($"bloom_hit", lit(0L))) -
-          sum(coalesce($"exact_hit", lit(0L)))).as("n_false_pos"))
+      .agg(sum($"bloom_hit").as("__bloom"), sum($"exact_hit").as("__exact"))
+    // n_train counts EVERY train doc, including those too short to emit
+    // a gram — so totals come from a (column-pruned) metadata scan, the
+    // same second pass the join-back shape paid.
+    train
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_train"))
+      .join(broadcast(perLang), Seq("lang"), "left")
+      .select($"lang", $"n_train",
+        coalesce($"__bloom", lit(0L)).as("n_bloom_flagged"),
+        coalesce($"__exact", lit(0L)).as("n_exact"),
+        (coalesce($"__bloom", lit(0L)) -
+          coalesce($"__exact", lit(0L))).as("n_false_pos"))
   }
 
   val d7Sql: String = {

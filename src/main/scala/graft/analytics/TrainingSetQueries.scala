@@ -113,15 +113,21 @@ object TrainingSetQueries {
     * gram set selective enough to be a meaningful test. */
   private val decontamN = 5
 
-  private[graft] def gramHashes(docs: DataFrame, n: Int): DataFrame = {
+  /** `carry` rides doc-level columns (functionally dependent on doc_id,
+    * e.g. lang) through the explosion so downstream aggregations can
+    * group by them without a join back to the corpus. */
+  private[graft] def gramHashes(docs: DataFrame, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
+    val carried = carry.map(col)
     docs
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= n)
-      .select($"doc_id", explode(expr(
+      .select(($"doc_id" +: carried) :+ explode(expr(
         s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
-        .as("gram"))
-      .select($"doc_id", DedupQueries.hash60($"gram").as("h"))
+        .as("gram"): _*)
+      .select(($"doc_id" +: carried) :+
+        DedupQueries.hash60($"gram").as("h"): _*)
   }
 
   /** D6: benchmark decontamination — flag every training document that

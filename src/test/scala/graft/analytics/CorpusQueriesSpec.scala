@@ -24,6 +24,36 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d7 survives a FULLY contaminated corpus (no data-sized broadcast)") {
+    import spark.implicits._
+    // every train doc shares its whole text with the benchmark split —
+    // the adversarial case for any "hits are rare" assumption. The plan
+    // must stay per-lang-bounded: the only join-back is |langs| rows.
+    val evalText = (1 to 40).map(i => "tok" + i).mkString(" ")
+    val docs = (
+      Seq((0L, evalText, "en", "src0", evalText.length.toLong)) ++
+      (1L to 200L).map(i => (i, evalText, if (i % 2 == 0) "en" else "de",
+        "src" + (1 + i % 3), evalText.length.toLong)) ++
+      // plus one train doc too short to emit any 5-gram: it must still
+      // count in n_train with zero flags
+      Seq((999L, "a b", "fr", "src1", 3L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d7").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusQueries.d7BloomDecontam(spark, tmp)
+      .orderBy($"lang").collect()
+    assert(out.map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_train"),
+      r.getAs[Long]("n_bloom_flagged"), r.getAs[Long]("n_exact"))).toSeq ===
+      Seq(("de", 100L, 100L, 100L), ("en", 100L, 100L, 100L),
+        ("fr", 1L, 0L, 0L)))
+    // and the corpus is still never shuffled for a join: the static plan
+    // carries only broadcast joins even at 100% contamination
+    val p = CorpusQueries.d7BloomDecontam(spark, tmp)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("d8 chunk dedup flags boilerplate shared across documents") {
     import spark.implicits._
     // 2 docs share an identical 20-token boilerplate chunk; a third is
