@@ -40,8 +40,14 @@ object Bench {
     // calib exceeds 1.3x the quiet median is marked contended in the
     // output line, and tools/record_budgets.py REFUSES to turn such a
     // run into BASELINE.md budget rows.
-    val quietCalibMedian = 0.47
-    val contended = calib > 1.3 * quietCalibMedian
+    // HOST-SPECIFIC constant (this sandbox); another machine overrides
+    // via SPARK_GRAFT_QUIET_CALIB. This is the single source of truth —
+    // tools/record_budgets.py consumes the emitted "contended"/
+    // "max_calib" fields instead of carrying its own copy.
+    val quietCalibMedian = sys.env.get("SPARK_GRAFT_QUIET_CALIB")
+      .map(_.toDouble).getOrElse(0.47)
+    val maxCalib = 1.3 * quietCalibMedian
+    val contended = calib > maxCalib
     // Median of `reps` runs per query: single-pass build+count timing is
     // JIT/GC-noisy (r4 saw a 2x swing on byte-identical code), and the
     // median of 3 keeps one bad rep from setting the record.
@@ -82,7 +88,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"contended":$contended,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"contended":$contended,"max_calib":${fmt(maxCalib)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // Stdout of a forked run can be tail-truncated by whatever captures
     // it (r4 lost the first 17 entries of this line); the file copy is

@@ -103,6 +103,11 @@ object CoreQueries {
   def a5Approx(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "events")
+      // NULL users are excluded BEFORE the first grouping: a NULL group
+      // would count into n_users_exact while countDistinct, the sketch,
+      // and the DuckDB twin's count(DISTINCT …) all skip NULLs — the
+      // certificate's exact side must share their NULL semantics
+      .filter($"user_id".isNotNull)
       .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("_n"))
       .groupBy($"event_type")
       .agg(

@@ -680,8 +680,11 @@ object MiniJs {
       * synthetic binding holding the evaluated superclass expression.
       * A ctor-less derived class forwards 8 positional parameters —
       * observationally equivalent here, where no `arguments` object
-      * exists to count them. Out of scope: class expressions, fields,
-      * getters/setters, `new.target`. */
+      * exists to count them. Fields and get/set accessors are in;
+      * derived-class fields require `super(...)` as a top-level
+      * constructor statement (nested forms rejected loudly) and init
+      * via [[Set]] (ES2022 uses [[Define]] — noted at the insertion
+      * point). Out of scope: class expressions, `new.target`. */
     private def classDecl(): Stmt = {
       if (cur.kind != "id") err("expected class name")
       val name = checkName(eat().text)
@@ -691,6 +694,9 @@ object MiniJs {
       val savedSuper = superName
       superName = supTmp
       var ctor: Option[(Seq[String], Seq[Stmt])] = None
+      // does the ctor body contain super(...) ANYWHERE (incl. nested in
+      // expressions)? drives the field-insertion guard below
+      var ctorUsesSuper = false
       val protoMs = Seq.newBuilder[(String, Seq[String], Seq[Stmt])]
       val staticMs = Seq.newBuilder[(String, Seq[String], Seq[Stmt])]
       // fields (name, initializer) and accessors (name → get/set
@@ -727,9 +733,14 @@ object MiniJs {
             } else if (isOp("(")) {
               val savedStatic = superStatic
               superStatic = isStatic
+              val savedSawSuper = sawSuperCall
+              sawSuperCall = false
               val (ps, body) = try funRest() finally superStatic = savedStatic
+              val bodySawSuper = sawSuperCall
+              sawSuperCall = savedSawSuper
               if (mName == "constructor" && !isStatic) {
                 if (ctor.isDefined) err("duplicate constructor")
+                ctorUsesSuper = bodySawSuper
                 ctor = Some((ps, body))
               } else if (isStatic) staticMs += ((mName, ps, body))
               else protoMs += ((mName, ps, body))
@@ -762,7 +773,12 @@ object MiniJs {
       }
       // instance fields run inside the constructor: after the
       // top-level super(…) call in a derived class (the JS field
-      // timing — the parent must have initialized first), else first
+      // timing — the parent must have initialized first), else first.
+      // Scope note: field init assigns via [[Set]] (so an inherited
+      // setter intercepts), where ES2022 prescribes [[Define]]; the
+      // accessor-free mapper scripts this engine hosts never see the
+      // difference, and the divergence is documented here rather than
+      // silently wrong.
       val fieldInits = instFields.result().map { case (f, init) =>
         ExprStmt(Assign(Member(ThisE, f), "=", init.getOrElse(UndefE)))
       }
@@ -776,6 +792,12 @@ object MiniJs {
             case _ => false
           }
           if (at >= 0) cbody.patch(at + 1, fieldInits, 0)
+          else if (supTmp.isDefined && ctorUsesSuper)
+            // a super(...) nested in a conditional/expression would make
+            // fields run BEFORE the parent constructor — inverted JS
+            // ordering; reject loudly like other unsupported forms
+            err("class fields in a derived class require super(...) as a " +
+              "top-level constructor statement")
           else fieldInits ++ cbody
         }
       stmts += FunDecl(name, cps, cbodyWithFields)
@@ -816,6 +838,12 @@ object MiniJs {
       * resolves to the parent's statics (`Sup.m`), not its prototype,
       * and `super(…)` is illegal — the JS rules. */
     private var superStatic: Boolean = false
+
+    /** Set when a `super(...)` CALL parses anywhere in the current
+      * method body (saved/restored per member) — the class desugar uses
+      * it to reject derived-class fields whose super call is not a
+      * top-level statement. */
+    private var sawSuperCall: Boolean = false
 
     private def ifStmt(): Stmt = {
       expectOp("("); val c = expr(); expectOp(")")
@@ -1171,6 +1199,7 @@ object MiniJs {
           err("'super' is only valid inside a derived class"))
         if (isOp("(")) {
           if (superStatic) err("super(...) is not valid in a static method")
+          sawSuperCall = true
           SuperE(sup, None, static = false, argList())
         } else if (isOp(".")) {
           eat()

@@ -1512,6 +1512,26 @@ class JsEngineSpec extends SparkSpec {
       """class P { x = 1; y = 2; m() { return 0; } }
         |function f() { return JSON.stringify(new P()); }""".stripMargin,
       "f") == """{"x":1,"y":2}""")
+    // a super(...) NESTED in a conditional/expression can't anchor field
+    // insertion — real JS runs fields right after whichever super()
+    // executes; silently running them FIRST would invert parent/child
+    // init order, so the form is rejected loudly at parse time
+    val e = intercept[MiniJs.JsException](run(
+      """class A { constructor(v) { this.v = v; } }
+        |class B extends A {
+        |  doubled = this.v * 2;
+        |  constructor(v) { if (v > 0) { super(v); } else { super(0); } }
+        |}
+        |function f() { return new B(1).doubled; }""".stripMargin, "f"))
+    assert(e.getMessage.contains("top-level constructor statement"))
+    // ...but only when fields are present: the same nested-super ctor
+    // without fields keeps working
+    assert(run(
+      """class A { constructor(v) { this.v = v; } }
+        |class B extends A {
+        |  constructor(v) { if (v > 0) { super(v); } else { super(0); } }
+        |}
+        |function f() { return new B(-5).v; }""".stripMargin, "f") == 0L)
   }
 
   test("class getters/setters: deref on read, intercept on write") {

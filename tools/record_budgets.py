@@ -5,8 +5,9 @@ Usage: tools/record_budgets.py BENCH_LOCAL.json <era-tag>
 
 The recorder REFUSES a contended boot (r8/r9 verdicts: the 0.9256-calib
 budget table made every cross-boot comparison a hand adjudication):
-the run's calib must be within 1.3x the historical quiet median (0.47 s
-on this host, envelope 0.43-0.56 across rounds). It also refuses runs
+the run must not carry graft.Bench's "contended" flag (Bench owns the
+quiet-calib threshold — host-specific, override via
+SPARK_GRAFT_QUIET_CALIB when benching elsewhere). It also refuses runs
 with failed queries and runs that don't cover every existing row, so a
 subset re-bench can't silently shrink the budget table.
 """
@@ -14,8 +15,6 @@ import json
 import re
 import sys
 
-QUIET_CALIB_MEDIAN = 0.47
-MAX_CALIB = 1.3 * QUIET_CALIB_MEDIAN
 BASELINE = "BASELINE.md"
 CONFIG = "local[32], 16g, AQE, shuffle=32"
 
@@ -27,12 +26,14 @@ def main():
     with open(bench_path) as f:
         bench = json.loads(f.read().strip())
     calib = bench["calib"]
-    if bench.get("contended") or calib > MAX_CALIB:
+    # the threshold lives in graft.Bench (single source of truth); a
+    # pre-"max_calib" JSON line is too old to trust either way
+    if bench.get("contended") or "max_calib" not in bench:
         sys.exit(
-            f"REFUSED: boot calib {calib} exceeds {MAX_CALIB:.3f} "
-            f"(1.3x the quiet median {QUIET_CALIB_MEDIAN}); budgets recorded "
-            "on a contended boot poison every later comparison. Re-run "
-            "graft.Bench on a quiet machine.")
+            f"REFUSED: boot calib {calib} exceeds the quiet threshold "
+            f"{bench.get('max_calib', '(absent)')} per graft.Bench; budgets "
+            "recorded on a contended boot poison every later comparison. "
+            "Re-run graft.Bench on a quiet machine.")
     if bench.get("failed"):
         sys.exit(f"REFUSED: failed queries present: {bench['failed']}")
     queries = bench["queries"]
