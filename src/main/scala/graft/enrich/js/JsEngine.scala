@@ -235,7 +235,9 @@ final class JsEngine(code: String, globals: Map[String, Any],
         case "stringify" => a.headOption.getOrElse(Undefined) match {
           // JS: stringify of a bare function (or undefined) is undefined
           case _: Closure | _: Bound | Undefined => Undefined
-          case v => JsJson.stringify(v)
+          // own accessor properties serialize through their getter
+          // (metered — the getter body ticks like any call)
+          case v => JsJson.stringify(v, (recv, acc) => deref(recv, acc))
         }
         case "parse" => JsJson.parse(str(a.head))
         case other => throw new JsException(s"JSON.$other is not supported")
@@ -1793,9 +1795,17 @@ private[js] object JsJson {
 
   private val mapper = new ObjectMapper()
 
-  def stringify(v: Any): String = mapper.writeValueAsString(toJackson(v))
+  /** `getterDeref` resolves an own accessor slot through its getter
+    * (real-JS stringify semantics); the engine's JSON.stringify passes
+    * its metered deref. A null resolver (the mapper-output paths, where
+    * no engine is in scope) omits accessor properties — the same shape
+    * those paths always produced for prototype accessors. */
+  def stringify(v: Any): String = stringify(v, null)
 
-  private def toJackson(v: Any): Any = v match {
+  def stringify(v: Any, getterDeref: (Any, MiniJs.Accessor) => Any): String =
+    mapper.writeValueAsString(toJackson(v, getterDeref))
+
+  private def toJackson(v: Any, gd: (Any, MiniJs.Accessor) => Any): Any = v match {
     case Undefined | null => null
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
       val o = new java.util.LinkedHashMap[String, Any]()
@@ -1804,14 +1814,19 @@ private[js] object JsJson {
       // Jackson would be an uncatchable empty-bean failure
       m.foreach { case (k, x) => x match {
         case _: Closure | _: Bound | Undefined => ()
-        case _ => o.put(k, toJackson(x))
+        case acc: MiniJs.Accessor =>
+          if (gd != null) gd(m, acc) match {
+            case Undefined | _: Closure | _: Bound => ()
+            case got => o.put(k, toJackson(got, gd))
+          }
+        case _ => o.put(k, toJackson(x, gd))
       } }
       o
     case a: mutable.ArrayBuffer[Any @unchecked] =>
       val l = new java.util.ArrayList[Any]()
       a.foreach {
-        case _: Closure | _: Bound => l.add(null)
-        case x => l.add(toJackson(x))
+        case _: Closure | _: Bound | _: MiniJs.Accessor => l.add(null)
+        case x => l.add(toJackson(x, gd))
       }
       l
     // JSON.stringify(date) is its toJSON — the ISO string, or null for

@@ -1237,7 +1237,12 @@ object MiniJs {
       else if (isOp("(")) { eat(); val e = expr(); expectOp(")"); e }
       else if (isOp("{")) {
         eat()
-        val entries = Seq.newBuilder[(String, Expr)]
+        val entries = mutable.ArrayBuffer.empty[(String, Expr)]
+        // position of the live ACCESSOR entry per key, so a split
+        // `get x(){…}, set x(v){…}` pair merges into ONE slot (the JS
+        // single-accessor-property rule); a data/method entry for the
+        // same key in between clears it (data replaces accessor)
+        val accIdx = mutable.HashMap.empty[String, Int]
         if (!isOp("}")) {
           var more = true
           while (more) {
@@ -1246,22 +1251,50 @@ object MiniJs {
               if (cur.kind == "str" || cur.kind == "id") eat().text
               else if (cur.kind == "num") eat().text
               else err("expected object key")
-            if (wasId && isOp("(")) {
+            // `get`/`set` are contextual (same rule as the class body):
+            // accessor only when the PROPERTY name follows, so methods
+            // and fields named get/set still parse
+            if (wasId && (key == "get" || key == "set") &&
+                (cur.kind == "id" || cur.kind == "str" || cur.kind == "num")) {
+              val pName = eat().text
+              val (ps, body) = funRest()
+              if (key == "get" && ps.nonEmpty) err("getter takes no parameters")
+              if (key == "set" && ps.size != 1)
+                err("setter takes exactly one parameter")
+              val lit = Some(FunLit(ps, body, pName))
+              val ae =
+                if (key == "get") AccessorE(lit, None) else AccessorE(None, lit)
+              accIdx.get(pName) match {
+                case Some(i) =>
+                  val merged = (entries(i)._2, ae) match {
+                    case (AccessorE(g1, s1), AccessorE(g2, s2)) =>
+                      AccessorE(g2.orElse(g1), s2.orElse(s1))
+                    case _ => ae
+                  }
+                  entries(i) = pName -> merged
+                case None =>
+                  accIdx(pName) = entries.length
+                  entries += pName -> ae
+              }
+            } else if (wasId && isOp("(")) {
               // method shorthand: { m(a) { … } }
               val (ps, body) = funRest()
+              accIdx.remove(key)
               entries += key -> FunLit(ps, body, key)
             } else if (wasId && (isOp(",") || isOp("}"))) {
               // property shorthand: { a, b } reads the bindings
+              accIdx.remove(key)
               entries += key -> Ident(key)
             } else {
               expectOp(":")
+              accIdx.remove(key)
               entries += key -> assignExpr()
             }
             if (isOp(",")) eat() else more = false
           }
         }
         expectOp("}")
-        ObjLit(entries.result())
+        ObjLit(entries.toSeq)
       }
       else if (isOp("[")) {
         eat()

@@ -1534,6 +1534,65 @@ class JsEngineSpec extends SparkSpec {
         |function f() { return new B(-5).v; }""".stripMargin, "f") == 0L)
   }
 
+  test("object-literal getters/setters: deref, intercept, merge, JSON") {
+    // get/set pair on one name is ONE accessor property; `this` is the
+    // literal itself (Nashorn-era mapper scripts lean on this form)
+    assert(run(
+      """function f() {
+        |  var o = {
+        |    c: 0,
+        |    get fahrenheit() { return this.c * 9 / 5 + 32; },
+        |    set fahrenheit(v) { this.c = (v - 32) * 5 / 9; }
+        |  };
+        |  var before = o.fahrenheit;
+        |  o.fahrenheit = 212;
+        |  return before + ':' + o.c;
+        |}""".stripMargin, "f") == "32:100")
+    // getter-only reads; writing it throws (strict rule, like classes)
+    assert(run(
+      """function f() {
+        |  var o = { get id() { return 7; } };
+        |  try { o.id = 9; return 'wrote'; }
+        |  catch (e) { return o.id + ':' + (e instanceof TypeError ? 'TE' : e.message); }
+        |}""".stripMargin, "f").toString.startsWith("7:"))
+    // setter-only: read is undefined, write intercepts
+    assert(run(
+      """function f() {
+        |  var log = [];
+        |  var o = { set tap(v) { log.push(v); } };
+        |  o.tap = 1; o.tap = 2;
+        |  return (o.tap === undefined) + ':' + log.join(',');
+        |}""".stripMargin, "f") == "true:1,2")
+    // methods/fields NAMED get/set still parse (contextual keyword)
+    assert(run(
+      """function f() {
+        |  var o = { get: 1, set: 2, geta: 3 };
+        |  var p = { get(k) { return k + 10; } };
+        |  return o.get + o.set + o.geta + p.get(4);
+        |}""".stripMargin, "f") == 20L)
+    // JSON.stringify serializes own accessors through the getter —
+    // real-JS semantics (class accessors live on the prototype and
+    // stay invisible to stringify, as before)
+    assert(run(
+      """function f() {
+        |  var o = { a: 1, get b() { return this.a + 1; } };
+        |  return JSON.stringify(o);
+        |}""".stripMargin, "f") == """{"a":1,"b":2}""")
+    // accessors are own enumerable properties: for-in sees them
+    assert(run(
+      """function f() {
+        |  var o = { x: 1, get y() { return 2; } };
+        |  var ks = []; for (var k in o) ks.push(k);
+        |  return ks.join(',');
+        |}""".stripMargin, "f") == "x,y")
+    // a later data property replaces the accessor (last-wins)
+    assert(run(
+      """function f() {
+        |  var o = { get v() { return 1; }, v: 42 };
+        |  o.v = 5; return o.v;
+        |}""".stripMargin, "f") == 5L)
+  }
+
   test("class getters/setters: deref on read, intercept on write") {
     val temp =
       """class Temp {
