@@ -242,7 +242,47 @@ object MapperQueries {
     "Links (2.29; Linux 6.1.0 x86_64; GNU C 12.2; text)",
     "NetSurf/3.10 (RISC OS)",
     "Mozilla/5.0 (Java; U; en-us; nokia202) UCBrowser/8.7.0.218/70/352 UCWEB Mobile",
-    "Obigo/Q05A (LGE; U; U880; 1.0) Profile/MIDP-2.0 Configuration/CLDC-1.1")
+    "Obigo/Q05A (LGE; U; U880; 1.0) Profile/MIDP-2.0 Configuration/CLDC-1.1",
+    // round-11 tail: Electron app shells, messenger/commerce in-app
+    // webviews, gecko forks, consoles/TVs/media runtimes, HarmonyOS,
+    // feature phones, Transsion/vivo/Asus/Fairphone hardware
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Slack/4.36.140 Chrome/114.0.5735.289 Electron/25.8.4 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) discord/1.0.9030 Chrome/120.0.6099.291 Electron/28.2.10 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Teams/1.6.00.4472 Chrome/108.0.5359.215 Electron/22.3.27 Safari/537.36",
+    "WhatsApp/2.23.24.76 A",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8 Build/UQ1A.240105.002; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/120.0.6099.230 Mobile Safari/537.36 Telegram-Android/10.6.1",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Reddit/Version 2023.50.0/Build 1421365/iPhone",
+    "Outlook-Android/2.0",
+    "Microsoft Office/16.0 (Windows NT 10.0; Microsoft Outlook 16.0.16827; Pro)",
+    "com.google.android.youtube/19.02.39 (Linux; U; Android 14) gzip",
+    "Mozilla/5.0 (Linux; U; Android 12; zh-CN; M2102J2SC Build/SKQ1.211006.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/92.0.4515.131 Mobile Safari/537.36 AliApp(TB/10.31.10)",
+    "Mozilla/5.0 (Linux; Android 13; 22081212C Build/TKQ1.220829.002; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/110.0.5481.154 Mobile Safari/537.36 ksNebula/11.8.40.6108",
+    "Mozilla/5.0 (Linux; Android 13; PGT-AN10 Build/HONORPGT-AN10; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/99.0.4844.88 Mobile Safari/537.36 aweme/23.5.0",
+    "Mozilla/5.0 (Linux; Android 12; V2111A Build/SP1A.210812.016; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/116.0.0.0 Mobile Safari/537.36 Zalo android/23.10.01",
+    "Mozilla/5.0 (Linux; Android 13; SM-G990B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/116.0.0.0 Mobile Safari/537.36 VKAndroidApp/8.15-16821",
+    "Mozilla/5.0 (Linux; Android 13; Infinix X678B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/115.0.5790.166 Mobile Safari/537.36 Shopee Beeshop locale/en app_ver=3.19.31",
+    "Mozilla/5.0 (Linux; Android 14; SM-S921N Build/UP1A.231005.007; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/120.0.0.0 Mobile Safari/537.36 NAVER(inapp; search; 2000; 12.1.2)",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 LibreWolf/121.0.2-1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:121.0) Gecko/20100101 Floorp/11.8.0 Firefox/121.0",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) qutebrowser/3.1.0 Chrome/118.0.5993.220 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15 Ddg/17.1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/86.0.4240.198 Safari/537.36 CentBrowser/4.3.9.248",
+    "Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet) AppleWebKit/609.4 (KHTML, like Gecko) NF/6.0.2.21.3 NintendoBrowser/5.1.0.22474",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; Xbox; Xbox Series X) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edge/120.0.0.0",
+    "HbbTV/1.2.1 (; Samsung; SmartTV2019; T-KTM2DEUC-1490.3; ;) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/63.0.3239.84 TV Safari/537.36",
+    "Mozilla/5.0 (Web0S; Linux/SmartTV) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/87.0.4280.88 Safari/537.36 WebAppManager",
+    "AppleCoreMedia/1.0.0.21B101 (iPhone; U; CPU OS 17_1_1 like Mac OS X; en_us)",
+    "VLC/3.0.20 LibVLC/3.0.20",
+    "Mozilla/5.0 (Linux; Android 10; HarmonyOS; ELS-AN00; HMSCore 6.12.0.302) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.88 HuaweiBrowser/13.0.6.302 Mobile Safari/537.36",
+    "Mozilla/5.0 (Phone; OpenHarmony 4.1) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/114.0.0.0 Safari/537.36 ArkWeb/4.1.6.1 Mobile",
+    "Mozilla/5.0 (Fuchsia) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (PlayStation; PlayStation 4/11.00) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Safari/605.1.15",
+    "Mozilla/5.0 (Linux; Android 11; ASUS_I005DA) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; TECNO CK7n Build/TP1A.220624.014) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; FP4 Build/TQ2A.230505.002) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Mobile Safari/537.36",
+    "Go-http-client/2.0",
+    "UP.Browser/6.2.3.8 (GUI) MMP/2.0",
+    "Nokia215/2.0 (03.20) Profile/MIDP-2.0 Configuration/CLDC-1.1 MAUI WAP Browser")
 
   /** M2 against the oracle: each event picks a UA sample; Spark parses
     * through [[graft.enrich.UserAgentMapper]], the twin through the
@@ -372,7 +412,21 @@ object MapperQueries {
     // in parse_url and the twin's regex extraction
     "https://search.yahoo.com/search?p=weather+radar",
     "https://m.baidu.com/s?word=deep+learning",
-    "https://search.yahoo.com/search?q=&p=fallback+term")
+    "https://search.yahoo.com/search?q=&p=fallback+term",
+    // round-11 tail: AI/regional search, webmail precedence over the
+    // same brand's search rule, creator/social platforms
+    "https://www.perplexity.ai/search?q=spark+aqe",
+    "https://petalsearch.com/search?query=huawei",
+    "https://coccoc.com/search?query=hanoi",
+    "https://you.com/search?q=engines",
+    "https://email.seznam.cz/inbox",
+    "https://mail.icloud.com/mail/",
+    "https://newsletter.substack.com/p/issue-42",
+    "https://linktr.ee/someone",
+    "https://rumble.com/v1abc-video.html",
+    "https://www.patreon.com/creator",
+    "https://www.xiaohongshu.com/explore/abc",
+    "https://www.producthunt.com/posts/tool")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

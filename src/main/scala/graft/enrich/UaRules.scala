@@ -33,7 +33,8 @@ object UaRules {
     "python-requests|python-urllib|scrapy|httpclient|okhttp|java/|libwww|" +
     "phantomjs|headlesschrome|facebookexternalhit|bingpreview|pingdom|" +
     "lighthouse|gtmetrix|uptimerobot|petalbot|bytespider|semrush|ahrefs|" +
-    "mj12bot|dotbot|ia_archiver)"
+    "mj12bot|dotbot|ia_archiver|go-http-client|axios/|node-fetch|" +
+    "guzzlehttp|aiohttp|python-httpx|postmanruntime|insomnia/)"
 
   /** Browser families in uap-core priority order: spiders, then
     * vendor/app shells grouped by engine lineage (a shell's token must
@@ -83,6 +84,18 @@ object UaRules {
     UaRule("Amazon Silk", "Silk/", "Silk/(\\d+)"),
     UaRule("Crosswalk", "Crosswalk/", "Crosswalk/(\\d+)"),
     UaRule("QtWebEngine", "QtWebEngine/", "QtWebEngine/(\\d+)"),
+    UaRule("Cent Browser", "CentBrowser/", "CentBrowser/(\\d+)"),
+    UaRule("Slimjet", "Slimjet/", "Slimjet/(\\d+)"),
+    UaRule("Torch", "Torch/", "Torch/(\\d+)"),
+    UaRule("CM Browser", "ACHEETAHI"),
+    UaRule("APUS Browser", "APUSBrowser/", "APUSBrowser/(\\d+)"),
+    UaRule("Via Browser", "\\bVia/", "\\bVia/(\\d+)"),
+    UaRule("qutebrowser", "qutebrowser/", "qutebrowser/(\\d+)"),
+    // Electron APP shells carry their product token next to Electron/,
+    // so they must outrank the framework rule
+    UaRule("Slack", "Slack/", "Slack/(\\d+)"),
+    UaRule("Discord", "(?i)Discord/", "(?i)Discord/(\\d+)"),
+    UaRule("Microsoft Teams", "(?:MS)?Teams/", "(?:MS)?Teams/(\\d+)"),
     UaRule("Electron", "Electron/", "Electron/(\\d+)"),
     UaRule("Falkon", "Falkon/", "Falkon/(\\d+)"),
     UaRule("Otter", "Otter/", "Otter/(\\d+)"),
@@ -97,6 +110,8 @@ object UaRules {
     UaRule("360 Secure Browser", "QIHU 360|\\b360(?:SE|EE)\\b"),
     UaRule("Aloha Browser", "AlohaBrowser/", "AlohaBrowser/(\\d+)"),
     UaRule("Ghostery", "Ghostery[:/ ]", "Ghostery[:/ ](\\d+)"),
+    // hybrid-broadcast TV runtimes ride a Chrome token
+    UaRule("HbbTV", "HbbTV/", "HbbTV/(\\d+)"),
     // in-app webviews with their own tokens
     UaRule("Facebook", "FBAV/|FBAN/", "FBAV/(\\d+)"),
     UaRule("Instagram", "Instagram[ /]", "Instagram[ /](\\d+)"),
@@ -113,6 +128,20 @@ object UaRules {
     UaRule("Google Search App", "GSA/", "GSA/(\\d+)"),
     UaRule("DuckDuckGo Mobile", "DuckDuckGo/", "DuckDuckGo/(\\d+)"),
     UaRule("Ecosia", "Ecosia (?:android|ios)@", "Ecosia (?:android|ios)@(\\d+)"),
+    UaRule("WhatsApp", "WhatsApp/", "WhatsApp/(\\d+)"),
+    UaRule("Telegram", "Telegram-?(?:Android|iOS)?/", "Telegram-?(?:Android|iOS)?/(\\d+)"),
+    UaRule("Reddit", "Reddit/", "Reddit/(?:Version )?(\\d+)"),
+    UaRule("Outlook Mobile", "Outlook-(?:Android|iOS)/", "Outlook-(?:Android|iOS)/(\\d+)"),
+    UaRule("Microsoft Outlook", "Microsoft Outlook", "Microsoft Outlook (\\d+)"),
+    UaRule("YouTube", "com\\.google\\.android\\.youtube/",
+      "com\\.google\\.android\\.youtube/(\\d+)"),
+    UaRule("Taobao", "AliApp\\(TB/", "AliApp\\(TB/(\\d+)"),
+    UaRule("Kuaishou", "Kwai/|ksNebula/", "(?:Kwai|ksNebula)/(\\d+)"),
+    UaRule("Douyin", "aweme/", "aweme/(\\d+)"),
+    UaRule("Zalo", "\\bZalo\\b"),
+    UaRule("VK App", "VKAndroidApp/|VK iPhone", "VKAndroidApp/(\\d+)"),
+    UaRule("Shopee", "Shopee"),
+    UaRule("Naver App", "NAVER\\(inapp"),
     // iOS engine shells (Apple mandates WebKit; the token is the shell)
     UaRule("Chrome Mobile iOS", "CriOS/", "CriOS/(\\d+)"),
     UaRule("Firefox iOS", "FxiOS/", "FxiOS/(\\d+)"),
@@ -124,6 +153,8 @@ object UaRules {
     // Gecko lineage — forks and shells before Firefox itself
     UaRule("Firefox Focus", "Focus/", "Focus/(\\d+)"),
     UaRule("Firefox Klar", "Klar/", "Klar/(\\d+)"),
+    UaRule("LibreWolf", "LibreWolf/", "LibreWolf/(\\d+)"),
+    UaRule("Floorp", "Floorp/", "Floorp/(\\d+)"),
     UaRule("Firefox Mobile", "(?:Mobile|Tablet|Android).*Firefox/|Fennec/",
       "(?:Firefox|Fennec)/(\\d+)"),
     UaRule("SeaMonkey", "SeaMonkey/", "SeaMonkey/(\\d+)"),
@@ -137,6 +168,7 @@ object UaRules {
     UaRule("Thunderbird", "Thunderbird/", "Thunderbird/(\\d+)"),
     UaRule("Firefox", "Firefox/", "Firefox/(\\d+)"),
     // WebKit shells that would otherwise fall through to Safari
+    UaRule("DuckDuckGo", "\\bDdg/", "\\bDdg/(\\d+)"),
     UaRule("Dolphin", "Dolphin/", "Dolphin/(\\d+)"),
     UaRule("Mercury", "Mercury/", "Mercury/(\\d+)"),
     UaRule("Sleipnir", "Sleipnir/", "Sleipnir/(\\d+)"),
@@ -151,6 +183,10 @@ object UaRules {
     UaRule("NetFront", "NetFront/", "NetFront/(\\d+)"),
     UaRule("Skyfire", "Skyfire/", "Skyfire/(\\d+)"),
     UaRule("Kindle", "Kindle/", "Kindle/(\\d+)"),
+    // console browsers + media-player/runtime UAs
+    UaRule("NintendoBrowser", "NintendoBrowser/", "NintendoBrowser/(\\d+)"),
+    UaRule("AppleCoreMedia", "AppleCoreMedia/"),
+    UaRule("VLC", "VLC/", "VLC/(\\d+)"),
     // the pre-Chrome Android stock browser: Version/ + Safari/ on an
     // Android UA with no Chrome token (the Chromium rules above
     // already consumed every Chrome-bearing UA — ordering stands in
@@ -172,7 +208,10 @@ object UaRules {
     UaRule("ELinks", "ELinks[ /]", "ELinks[ /](\\d+)"),
     UaRule("Links", "Links \\(", "Links \\((\\d+)"),
     UaRule("NetSurf", "NetSurf/", "NetSurf/(\\d+)"),
-    UaRule("Obigo", "Obigo", "Obigo[- /]?[A-Z]?(\\d+)?"))
+    UaRule("Obigo", "Obigo", "Obigo[- /]?[A-Z]?(\\d+)?"),
+    // feature-phone browsers still common across prepaid handsets
+    UaRule("Openwave", "UP\\.Browser/", "UP\\.Browser/(\\d+)"),
+    UaRule("MAUI WAP Browser", "\\bMAUI\\b"))
 
   /** One OS rule: family, detection regex, and EITHER a version regex
     * (group 1 = major) or a literal marketing version (the Windows NT
@@ -201,6 +240,10 @@ object UaRules {
     // Kindle FIRE (real Android, no "Kindle/" token) still lands on
     // Android below, matching uap-core
     OsRule("Kindle", "Kindle/", "Kindle/(\\d+)"),
+    // Huawei's post-Android platforms still carry an Android token for
+    // webview compatibility — they must win before the Android rule
+    OsRule("HarmonyOS", "HarmonyOS", "HarmonyOS[ ;]*(\\d+)?"),
+    OsRule("OpenHarmony", "OpenHarmony", "OpenHarmony (\\d+)"),
     OsRule("Android", "Android", "Android (\\d+)"),
     OsRule("iOS", "iPhone|iPad|iPod", "(?:iPhone OS|CPU OS) (\\d+)"),
     OsRule("Mac OS X", "Mac OS X", "Mac OS X (\\d+)"),
@@ -210,12 +253,19 @@ object UaRules {
     OsRule("Sailfish", "Sailfish"),
     OsRule("MeeGo", "MeeGo"),
     OsRule("Maemo", "Maemo"),
-    OsRule("webOS", "webOS|hpwOS", "(?:webOS|hpwOS)/(\\d+)"),
+    // LG smart TVs spell it "Web0S" (digit zero) — same platform
+    OsRule("webOS", "webOS|hpwOS|Web0S", "(?:webOS|hpwOS)/(\\d+)"),
     OsRule("Bada", "Bada[ /]", "Bada[ /](\\d+)"),
     OsRule("Symbian OS", "SymbianOS|Symbian/3|Series ?60|S60",
       "SymbianOS/(\\d+)"),
     OsRule("BlackBerry OS", "BlackBerry|BB10|PlayBook"),
     OsRule("Roku", "Roku/"),
+    // consoles (Xbox stays Windows — its UA carries Windows NT 10.0,
+    // which the NT table above already consumed; only the device differs)
+    OsRule("PlayStation", "PlayStation \\d", "PlayStation \\d+/(\\d+)"),
+    OsRule("Nintendo", "Nintendo (?:Switch|WiiU|3DS)"),
+    OsRule("Fuchsia", "Fuchsia"),
+    OsRule("RISC OS", "RISC OS"),
     // desktop distributions before the bare Linux fallback
     OsRule("Ubuntu", "Ubuntu"),
     OsRule("Fedora", "Fedora"),
@@ -261,14 +311,20 @@ object UaRules {
     DeviceRule("iPhone", family = "iPhone"),
     DeviceRule("iPad", family = "iPad"),
     DeviceRule("iPod", family = "iPod"),
-    // TV / streaming sticks and boxes
+    // TV / streaming sticks and boxes — the LG Web0S token must win
+    // before the generic SmartTV capture (its UAs also say SmartTV)
     DeviceRule("Apple\\s?TV", family = "Apple TV"),
     DeviceRule("CrKey", family = "Chromecast"),
     DeviceRule("Roku", family = "Roku"),
     DeviceRule(";\\s*(AFT[A-Za-z0-9]+)[\\s);]", prefix = "Amazon Fire TV "),
+    DeviceRule("Web0S", family = "LG Smart TV"),
     DeviceRule("SMART-TV|SmartTV", family = "Samsung Smart TV"),
     DeviceRule("BRAVIA", family = "Sony Bravia"),
     DeviceRule("SHIELD Android TV", family = "Nvidia Shield TV"),
+    // consoles
+    DeviceRule("PlayStation (\\d+)", prefix = "PlayStation "),
+    DeviceRule("Xbox", family = "Xbox"),
+    DeviceRule("Nintendo Switch", family = "Nintendo Switch"),
     // Amazon tablets (Silk UAs carry the KF code without Build/)
     DeviceRule(";\\s*(KF[A-Z]{2,}[A-Z0-9]*)", prefix = "Amazon Kindle Fire "),
     DeviceRule("Kindle", family = "Amazon Kindle"),
@@ -279,6 +335,7 @@ object UaRules {
     DeviceRule(";\\s*(Nexus [^;)]*?)\\s+Build/", prefix = "Google "),
     DeviceRule(";\\s*([A-Z]{3}-[A-Z0-9]+)\\s+Build/HUAWEI", prefix = "Huawei "),
     DeviceRule("HUAWEI\\s+([^;)]*?)\\s+Build/", prefix = "Huawei "),
+    DeviceRule(";\\s*([A-Z]{3}-[A-Z0-9]+)\\s+Build/HONOR", prefix = "Honor "),
     DeviceRule(";\\s*((?:Mi|MI|Redmi|POCO)[^;)]*?)\\s+Build/", prefix = "Xiaomi "),
     // Xiaomi launch-code models: 5 digits then an alnum plant/variant code
     DeviceRule(";\\s*([0-9]{5}[A-Z0-9]{2,8})\\s+Build/", prefix = "Xiaomi "),
@@ -289,7 +346,14 @@ object UaRules {
     DeviceRule(";\\s*(Nokia[^;)]*?)\\s+Build/", prefix = ""),
     DeviceRule(";\\s*(XQ-[A-Z0-9]+)\\s+Build/", prefix = "Sony "),
     DeviceRule(";\\s*(LM-[A-Z0-9]+)\\s+Build/", prefix = "LG "),
-    DeviceRule(";\\s*(RMX[0-9]+)\\s+Build/", prefix = "Realme "))
+    DeviceRule(";\\s*(RMX[0-9]+)\\s+Build/", prefix = "Realme "),
+    // vivo launch codes appear with or WITHOUT a vivo token / Build slot
+    DeviceRule(";\\s*(V[0-9]{4}[A-Z0-9]*)(?:[);]|\\s+Build/)", prefix = "Vivo "),
+    DeviceRule(";\\s*(ASUS_[A-Za-z0-9]+)", prefix = "Asus "),
+    DeviceRule(";\\s*(Lenovo[ -][^;)]+)", prefix = ""),
+    DeviceRule(";\\s*(Infinix [^;)]*?)\\s+Build/", prefix = ""),
+    DeviceRule(";\\s*(TECNO [^;)]*?)\\s+Build/", prefix = ""),
+    DeviceRule(";\\s*(FP[3-6][a-z]?)\\s+Build/", prefix = "Fairphone "))
 
   /** One referrer rule: source name, host regex, medium. Order: email
     * hosts precede search (mail.google.com is email, not google
@@ -311,6 +375,11 @@ object UaRules {
     RefererRule("fastmail", "(^|\\.)fastmail\\.com$", "email"),
     RefererRule("orange-webmail", "^webmail\\.orange\\.", "email"),
     RefererRule("comcast-webmail", "(^|\\.)mail\\.comcast\\.net$", "email"),
+    RefererRule("t-online", "^email\\.t-online\\.de$", "email"),
+    RefererRule("libero-mail", "^mail\\.libero\\.it$", "email"),
+    // email.seznam.cz must precede the seznam SEARCH rule below
+    RefererRule("seznam-email", "^email\\.seznam\\.cz$", "email"),
+    RefererRule("icloud-mail", "^mail\\.icloud\\.com$", "email"),
     // search engines
     RefererRule("google", "(^|\\.)google\\.", "search"),
     RefererRule("bing", "(^|\\.)bing\\.", "search"),
@@ -349,6 +418,11 @@ object UaRules {
     RefererRule("biglobe", "(^|\\.)search\\.biglobe\\.ne\\.jp$", "search"),
     RefererRule("najdi", "(^|\\.)najdi\\.si$", "search"),
     RefererRule("centrum", "^search\\.centrum\\.cz$", "search"),
+    RefererRule("petal-search", "(^|\\.)petalsearch\\.com$", "search"),
+    RefererRule("coccoc-search", "^coccoc\\.com$", "search"),
+    RefererRule("you", "(^|\\.)you\\.com$", "search"),
+    RefererRule("perplexity", "(^|\\.)perplexity\\.ai$", "search"),
+    RefererRule("swisscows", "(^|\\.)swisscows\\.com$", "search"),
     // social networks
     RefererRule("facebook", "(^|\\.)facebook\\.|^fb\\.me$", "social"),
     RefererRule("twitter", "(^|\\.)twitter\\.|(^|\\.)t\\.co$|(^|\\.)x\\.com$", "social"),
@@ -389,7 +463,15 @@ object UaRules {
     RefererRule("meetup", "(^|\\.)meetup\\.com$", "social"),
     RefererRule("xing", "(^|\\.)xing\\.com$", "social"),
     RefererRule("nextdoor", "(^|\\.)nextdoor\\.com$", "social"),
-    RefererRule("viber", "(^|\\.)viber\\.com$", "social"))
+    RefererRule("viber", "(^|\\.)viber\\.com$", "social"),
+    RefererRule("substack", "(^|\\.)substack\\.com$", "social"),
+    RefererRule("linktree", "^linktr\\.ee$", "social"),
+    RefererRule("rumble", "(^|\\.)rumble\\.com$", "social"),
+    RefererRule("kick", "(^|\\.)kick\\.com$", "social"),
+    RefererRule("patreon", "(^|\\.)patreon\\.com$", "social"),
+    RefererRule("xiaohongshu", "(^|\\.)xiaohongshu\\.com$", "social"),
+    RefererRule("producthunt", "(^|\\.)producthunt\\.com$", "social"),
+    RefererRule("lobsters", "^lobste\\.rs$", "social"))
 
   /** Search-term query parameters, tried in order (q: most engines,
     * p: yahoo, text: yandex, wd/word: baidu, query: naver/daum/seznam,
