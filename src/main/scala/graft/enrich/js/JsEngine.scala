@@ -539,7 +539,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
           case Some(m) => sup match {
             case c: Closure =>
               val found =
-                if (static) c.propsIfAny.flatMap(_.get(m)).getOrElse(Undefined)
+                if (static) closureStatic(c, m) // incl. grandparent statics
                 else memberLookup(prototypeOf(c), m)
               found match {
                 case Undefined =>
@@ -550,7 +550,15 @@ final class JsEngine(code: String, globals: Map[String, Any],
               throw new JsException("superclass is not a script function")
           }
         }
-        callValue(fn, argEs.map(eval(_, env)), thisVal = thisV)
+        // a super(...) ctor call forwards the CURRENT new.target (real
+        // JS: the parent ctor sees the derived class); super.m() calls
+        // are plain calls (new.target undefined inside)
+        val nt = methodOpt match {
+          case None => env.lookup("new.target").getOrElse(Undefined)
+          case Some(_) => Undefined
+        }
+        callValue(fn, argEs.map(eval(_, env)), thisVal = thisV, newTarget = nt)
+      case NewTargetE => env.lookup("new.target").getOrElse(Undefined)
       case RegexL(p, f) => JsEngine.regexValue(p, f)
       case NewE(ctorE, argEs) =>
         // constructor resolves BEFORE arguments evaluate (JS order: an
@@ -683,7 +691,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
   }
 
   private def callValue(f: Any, args: Seq[Any],
-      thisVal: Any = Undefined): Any = f match {
+      thisVal: Any = Undefined, newTarget: Any = Undefined): Any = f match {
     case Closure(ps, body, closureEnv, _, isArrow) =>
       depth += 1
       if (depth > 200) throw new SandboxViolation("recursion limit exceeded")
@@ -697,6 +705,9 @@ final class JsEngine(code: String, globals: Map[String, Any],
         if (!isArrow) {
           scope.declare("this", thisVal)
           scope.declare("arguments", mutable.ArrayBuffer[Any](args: _*))
+          // the binding name carries a dot, so no identifier shadows it;
+          // arrows skip the declare and read it lexically, like `this`
+          scope.declare("new.target", newTarget)
         }
         ps.zipWithIndex.foreach { case (p, i) =>
           scope.declare(p, if (i < args.length) args(i) else Undefined)
@@ -742,7 +753,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
       throw new JsException("arrow functions are not constructors")
     val obj = new JsObj
     obj.proto = prototypeOf(c)
-    callValue(c, args, thisVal = obj) match {
+    callValue(c, args, thisVal = obj, newTarget = c) match {
       case r: mutable.LinkedHashMap[_, _] => r
       case r: mutable.ArrayBuffer[_] => r
       case r: JsEngine.JsDate => r // dates/hosts are objects too — they
@@ -1103,9 +1114,13 @@ final class JsEngine(code: String, globals: Map[String, Any],
   private def functionMember(f: Any, name: String, args: Seq[Any]): Any = {
     f match {
       case c: Closure =>
-        c.propsIfAny.flatMap(_.get(name)) match {
-          case Some(static) => return callValue(deref(c, static), args, thisVal = c)
-          case None => ()
+        // own OR inherited statics (the static-inheritance chain);
+        // call/apply/bind below stay reachable because scripts cannot
+        // store props under those names on a class without also meaning
+        // to shadow them — the JS own-property-wins rule either way
+        closureStatic(c, name) match {
+          case Undefined => ()
+          case static => return callValue(deref(c, static), args, thisVal = c)
         }
       case _ => ()
     }
@@ -1224,6 +1239,25 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case _ => None
     }
 
+  /** Own-then-inherited static lookup over the class desugar's
+    * [[MiniJs.StaticParentKey]] chain; Undefined when absent. Metered
+    * per hop (an extends chain is script-length-bounded but cyclic
+    * assignment through the raw key must not spin free). */
+  private def closureStatic(c: Closure, name: String): Any = {
+    var cur = c
+    while (true) {
+      cur.propsIfAny.flatMap(_.get(name)) match {
+        case Some(v) => return v
+        case None =>
+          cur.propsIfAny.flatMap(_.get(MiniJs.StaticParentKey)) match {
+            case Some(p: Closure) => tick(); cur = p
+            case _ => return Undefined
+          }
+      }
+    }
+    Undefined
+  }
+
   private def readMember(recv: Any, name: String): Any = recv match {
     case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
       deref(m, memberLookup(m, name))
@@ -1232,7 +1266,10 @@ final class JsEngine(code: String, globals: Map[String, Any],
       case "name" => c.name
       case "length" => c.params.size.toLong
       case other =>
-        deref(c, c.propsIfAny.flatMap(_.get(other)).getOrElse(Undefined))
+        // walk the static-inheritance chain (B.__proto__ = A); the
+        // accessor deref keeps the DERIVED class as receiver, the JS
+        // super-get rule
+        deref(c, closureStatic(c, other))
     }
     case _: Bound => Undefined
     case a: mutable.ArrayBuffer[_] if name == "length" => a.length.toLong
@@ -1268,9 +1305,12 @@ final class JsEngine(code: String, globals: Map[String, Any],
     // properties, shadowing the chain — the JS rule (static accessor
     // slots intercept like instance ones; no static inheritance walk)
     case c: Closure =>
+      // static accessor slots intercept along the static-inheritance
+      // chain (first class DEFINING the key decides — an own/inherited
+      // data property means a plain own write, the shadowing rule)
       if (v.isInstanceOf[MiniJs.Accessor]) c.props(name) = v
-      else c.propsIfAny.flatMap(_.get(name)) match {
-        case Some(MiniJs.Accessor(_, s)) =>
+      else closureStatic(c, name) match {
+        case MiniJs.Accessor(_, s) =>
           if (s == Undefined)
             throw new JsException(s"cannot set '$name': it has only a getter")
           callValue(s, Seq(v), c): Unit

@@ -64,12 +64,15 @@ import scala.collection.mutable
   * the receiver, writes route through the chain's setter, a
   * getter-only write throws per strict mode, and accessor slots are
   * non-enumerable like methods).
+  * Also in: object-literal `get`/`set` (merged get/set pairs, JSON
+  * through the getter), `new.target` (per non-arrow frame, lexical for
+  * arrows, forwarded through explicit `super(…)`), and static
+  * inheritance (`B.staticOfA()` walks the [[StaticParentKey]] chain,
+  * including inherited static accessors).
   * Still out of scope: generators and `async` (the reference's Nashorn
   * is ES5.1 — neither ever worked for its mapper scripts, and a
   * synchronous sandbox has no event loop to give `async` meaning),
-  * class expressions, object-literal `get`/`set`, `new.target`, `new`
-  * on bound functions, and static inheritance (`B.staticOfA()` —
-  * `super.m(…)` inside a static works).
+  * class expressions, and `new` on bound functions.
   */
 object MiniJs {
 
@@ -91,6 +94,12 @@ object MiniJs {
   // mutable.ArrayBuffer[Any] (array), Closure, HostObject, Undefined
 
   case object Undefined { override def toString = "undefined" }
+
+  /** Reserved Closure-props key holding a class's superclass (the
+    * `B.__proto__ = A` static-inheritance link). Dollar-prefixed and
+    * graft-namespaced so no realistic script collides; function props
+    * are not enumerated, so it never leaks through for-in/JSON. */
+  val StaticParentKey = "__graft$staticparent"
 
   final case class Closure(params: Seq[String], body: Seq[Stmt], env: Env,
       name: String, isArrow: Boolean = false) {
@@ -163,6 +172,13 @@ object MiniJs {
     * functions don't bind it, so the lexical lookup falls through to
     * the enclosing method's binding — the JS arrow rule. */
   case object ThisE extends Expr
+  /** `new.target` — the constructor a `new` expression invoked, or
+    * undefined in a plain call. Bound per non-arrow call frame under a
+    * dot-bearing name no identifier can shadow; arrows read it
+    * lexically, like `this`. Known nit: a parent constructor reached
+    * through an IMPLICIT derived ctor (the apply-forward desugar) reads
+    * undefined where real JS reports the derived class. */
+  case object NewTargetE extends Expr
   /** `super(…)` / `super.m(…)` — carries the class desugar's synthetic
     * superclass binding. Evaluated as a DIRECT this-bound call, so a
     * static method named `call` cannot hijack it (which a
@@ -805,6 +821,11 @@ object MiniJs {
         stmts += ExprStmt(Assign(Member(Ident(name), "prototype"), "=",
           Call(Member(Ident("Object"), "create"),
             Seq(Member(Ident(t), "prototype")))))
+        // static inheritance: `B.__proto__ = A` in real JS — recorded
+        // under a reserved props key the member-read chain walks, so
+        // `B.staticOfA` (and inherited static accessors) resolve
+        stmts += ExprStmt(Assign(
+          Member(Ident(name), StaticParentKey), "=", Ident(t)))
       }
       protoMs.result().foreach { case (m, ps, body) =>
         stmts += ExprStmt(Assign(
@@ -1211,6 +1232,14 @@ object MiniJs {
       }
       else if (isKw("new")) {
         eat()
+        // `new.target` — the only legal `new.` form
+        if (isOp(".")) {
+          eat()
+          if (cur.kind != "id" || cur.text != "target")
+            err("expected 'target' after 'new.'")
+          eat()
+          return NewTargetE
+        }
         // constructor is a member chain (`new a.b.C(x)`) — calls stay
         // out so `new f().g()` news on f, then chains on the instance.
         // The direct recursion re-enters the nesting guard: `new new …`

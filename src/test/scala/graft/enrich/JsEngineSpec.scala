@@ -1593,6 +1593,61 @@ class JsEngineSpec extends SparkSpec {
         |}""".stripMargin, "f") == 5L)
   }
 
+  test("static inheritance: derived classes see parent statics") {
+    assert(run(
+      """class A { static base() { return 10; } static K = 7; }
+        |class B extends A { static own() { return 1; } }
+        |class C extends B {}
+        |function f() { return C.base() + C.own() + C.K + B.K; }""".stripMargin,
+      "f") == 25L)
+    // shadowing: the derived class's own static wins; the parent keeps its
+    assert(run(
+      """class A { static v() { return 'a'; } }
+        |class B extends A { static v() { return 'b'; } }
+        |function f() { return B.v() + A.v(); }""".stripMargin, "f") == "ba")
+    // inherited static ACCESSORS: getter receiver is the derived class,
+    // setter intercepts writes on the derived class
+    assert(run(
+      """class A {
+        |  static get tag() { return this.name; }
+        |  static set store(v) { this.saved = v; }
+        |}
+        |class B extends A {}
+        |function f() { B.store = 42; return B.tag + ':' + B.saved + ':' + (A.saved === undefined); }""".stripMargin,
+      "f") == "B:42:true")
+    // a static missing from the whole chain is still the loud error
+    val e = intercept[MiniJs.JsException](run(
+      """class A {}
+        |class B extends A {}
+        |function f() { return B.nope(); }""".stripMargin, "f"))
+    assert(e.getMessage.contains("nope is not supported"))
+  }
+
+  test("new.target: set under new, undefined in plain calls, lexical in arrows") {
+    assert(run(
+      """function F() { this.nt = new.target === F ? 'F' : 'no'; }
+        |function f() {
+        |  var viaNew = new F().nt;
+        |  var plain = 'x'; F.call({}); // plain call: new.target undefined
+        |  function G() { return new.target === undefined; }
+        |  return viaNew + ':' + G();
+        |}""".stripMargin, "f") == "F:true")
+    // arrows read it lexically from the enclosing frame
+    assert(run(
+      """function F() { var probe = () => new.target === F; this.ok = probe(); }
+        |function f() { return new F().ok; }""".stripMargin, "f") == true)
+    // explicit super(...) forwards the DERIVED class into the parent ctor
+    assert(run(
+      """class A { constructor() { this.nt = new.target.name; } }
+        |class B extends A { constructor() { super(); } }
+        |function f() { return new B().nt + ':' + new A().nt; }""".stripMargin,
+      "f") == "B:A")
+    // `new.x` is a loud parse error
+    val e = intercept[MiniJs.JsException](
+      run("function f() { return new.thing; }", "f"))
+    assert(e.getMessage.contains("target"))
+  }
+
   test("class getters/setters: deref on read, intercept on write") {
     val temp =
       """class Temp {
