@@ -619,6 +619,10 @@ final class JsEngine(code: String, globals: Map[String, Any],
             }
           case other => callValue(eval(other, env), args)
         }
+      case Unary("typeof", Ident(n)) =>
+        // the ONE place JS reads an unresolved name without a
+        // ReferenceError: typeof missing === 'undefined'
+        typeofString(env.lookup(n).getOrElse(Undefined))
       case Unary(op, x) =>
         val v = eval(x, env)
         op match {
@@ -631,15 +635,7 @@ final class JsEngine(code: String, globals: Map[String, Any],
             case l: Long => l
             case other => num(other)
           }
-          case "typeof" => v match {
-            case null => "object"
-            case Undefined => "undefined"
-            case _: String => "string"
-            case _: java.lang.Boolean => "boolean"
-            case _: Long | _: Double => "number"
-            case _: Closure | _: Bound => "function"
-            case _ => "object"
-          }
+          case "typeof" => typeofString(v)
         }
       case Bin("instanceof", le, re) =>
         // the Nashorn-era idioms `x instanceof Array` / `e instanceof
@@ -1209,6 +1205,16 @@ final class JsEngine(code: String, globals: Map[String, Any],
       } else { out.append(c); i += 1 }
     }
     out.toString
+  }
+
+  private def typeofString(v: Any): String = v match {
+    case null => "object"
+    case Undefined => "undefined"
+    case _: String => "string"
+    case _: java.lang.Boolean => "boolean"
+    case _: Long | _: Double => "number"
+    case _: Closure | _: Bound => "function"
+    case _ => "object"
   }
 
   /** Deref an accessor slot on READ: call the getter with `this` =

@@ -66,13 +66,15 @@ import scala.collection.mutable
   * non-enumerable like methods).
   * Also in: object-literal `get`/`set` (merged get/set pairs, JSON
   * through the getter), `new.target` (per non-arrow frame, lexical for
-  * arrows, forwarded through explicit `super(…)`), and static
-  * inheritance (`B.staticOfA()` walks the [[StaticParentKey]] chain,
-  * including inherited static accessors).
+  * arrows, forwarded through explicit `super(…)`), static inheritance
+  * (`B.staticOfA()` walks the [[StaticParentKey]] chain, including
+  * inherited static accessors), and class EXPRESSIONS (desugared to an
+  * immediately-invoked arrow; an optional name binds only inside the
+  * body).
   * Still out of scope: generators and `async` (the reference's Nashorn
   * is ES5.1 — neither ever worked for its mapper scripts, and a
   * synchronous sandbox has no event loop to give `async` meaning),
-  * class expressions, and `new` on bound functions.
+  * and `new` on bound functions.
   */
 object MiniJs {
 
@@ -704,6 +706,29 @@ object MiniJs {
     private def classDecl(): Stmt = {
       if (cur.kind != "id") err("expected class name")
       val name = checkName(eat().text)
+      classRest(name)
+    }
+
+    /** Class EXPRESSION (`var C = class [Name] [extends E] { … }`,
+      * `mixin(class extends B { … })`): the same desugar as a
+      * declaration, wrapped in an immediately-invoked ARROW returning
+      * the constructor — arrows keep `this`/`arguments` lexical and
+      * give the body its own scope, so a Name (when present) is
+      * visible only inside the class body, per JS. Nit: an anonymous
+      * class's `.name` reads the synthetic binding, not the ES2015
+      * NamedEvaluation name. */
+    private def classExpr(): Expr = {
+      val name =
+        if (cur.kind == "id" && cur.text != "extends") checkName(eat().text)
+        else "__graft$classexpr"
+      val ss = classRest(name).ss
+      Call(FunLit(Seq.empty, ss :+ ReturnS(Some(Ident(name))), "",
+        isArrow = true), Seq.empty)
+    }
+
+    /** `[extends E] { members }` of a class whose name is already
+      * consumed — parses and desugars to prototype-wiring statements. */
+    private def classRest(name: String): Stmts = {
       val superE = if (isKw("extends")) { eat(); Some(postfixExpr()) } else None
       val supTmp = superE.map { _ => s"__$$super$$$name" }
       expectOp("{")
@@ -1212,6 +1237,7 @@ object MiniJs {
         FunLit(ps, body, name)
       }
       else if (isKw("this")) { eat(); ThisE }
+      else if (isKw("class")) { eat(); classExpr() }
       else if (isKw("super")) {
         // lexical resolution against the class desugar's synthetic
         // superclass binding; only the two callable forms JS allows

@@ -1593,6 +1593,31 @@ class JsEngineSpec extends SparkSpec {
         |}""".stripMargin, "f") == 5L)
   }
 
+  test("class expressions: anonymous, named self-reference, extends, inline new") {
+    assert(run(
+      """var C = class { constructor(x) { this.x = x; } dbl() { return this.x * 2; } };
+        |function f() { return new C(21).dbl(); }""".stripMargin, "f") == 42L)
+    // a NAME binds only inside the body (self-reference), not outside
+    assert(run(
+      """var C = class Named { tag() { return typeof Named; } };
+        |function f() { return new C().tag() + ':' + (typeof Named); }""".stripMargin,
+      "f") == "function:undefined")
+    // extends an expression-position superclass; inline `new (class …)`
+    assert(run(
+      """function mixin(Base) {
+        |  return class extends Base { m() { return super.m() + '!'; } };
+        |}
+        |class A { m() { return 'a'; } }
+        |function f() {
+        |  var M = mixin(A);
+        |  return new M().m() + ':' + new (class { v() { return 7; } })().v();
+        |}""".stripMargin, "f") == "a!:7")
+    // statics + fields work in expression position too
+    assert(run(
+      """var C = class { static K = 6; static times(n) { return this.K * n; } };
+        |function f() { return C.times(7); }""".stripMargin, "f") == 42L)
+  }
+
   test("static inheritance: derived classes see parent statics") {
     assert(run(
       """class A { static base() { return 10; } static K = 7; }
