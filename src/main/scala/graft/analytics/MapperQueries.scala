@@ -89,6 +89,55 @@ object MapperQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** M1 against the oracle: the `_time` fix-up semantics
+    * (TimestampEventMapper.java:44-58) — missing `_time` → server now
+    * truncated to seconds, client `_time` with `_upload_time` →
+    * skew-corrected `client + (now − upload)`, `_time` without upload
+    * kept verbatim. Deterministic synthetic skew per event; the twin
+    * restates the arithmetic in epoch-millis. */
+  def m1Timestamp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.enrich.TimestampMapper
+    val now = 1700000000123L
+    val ev = Tables(spark, dir, "events")
+      .withColumn("_time",
+        when($"event_id" % 7 === 0, lit(null).cast("timestamp"))
+          .otherwise($"ts".cast("timestamp")))
+      .withColumn("_upload_time",
+        when($"event_id" % 3 === 0, lit(null).cast("long"))
+          .otherwise(unix_millis($"ts".cast("timestamp")) +
+            pmod($"event_id", lit(997L))))
+      .select($"event_id", $"_time", $"_upload_time")
+    TimestampMapper(now)(ev)
+      .withColumn("bucket",
+        when($"event_id" % 7 === 0, "missing_time")
+          .when($"event_id" % 3 === 0, "no_upload")
+          .otherwise("skew_corrected"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis($"_time")).as("min_ms"),
+        max(unix_millis($"_time")).as("max_ms"))
+  }
+
+  val m1Sql: String =
+    """WITH src AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS t,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL
+      |         ELSE epoch_ms(ts) + ((event_id % 997 + 997) % 997) END AS up
+      |  FROM events),
+      |fixed AS (
+      |  SELECT event_id,
+      |    CASE WHEN t IS NULL THEN 1700000000000
+      |         WHEN up IS NULL THEN epoch_ms(t)
+      |         ELSE epoch_ms(t) + (1700000000123 - up) END AS ms
+      |  FROM src)
+      |SELECT CASE WHEN event_id % 7 = 0 THEN 'missing_time'
+      |            WHEN event_id % 3 = 0 THEN 'no_upload'
+      |            ELSE 'skew_corrected' END AS bucket,
+      |  count(*) AS n_events, min(ms) AS min_ms, max(ms) AS max_ms
+      |FROM fixed GROUP BY 1""".stripMargin
+
   /** M4 for the OTHER address family: every event gets a synthetic
     * IPv6 literal — link-local for every 5th user (skipped), a
     * v4-MAPPED `::ffff:1.0.0.7` for users ≡1 (mod 5) (redirected into
@@ -490,6 +539,7 @@ object MapperQueries {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "m7_js_mapper" -> QueryDef.of(m7Sql)(m7JsMapper),
+    "m1_timestamp" -> QueryDef.of(m1Sql)(m1Timestamp),
     "m4_geoip" -> QueryDef.of(m4Sql)(m4Geoip),
     "m4_geoip_v6" -> QueryDef.of(m4V6Sql)(m4GeoipV6),
     "m2_ua_parse" -> QueryDef.of(m2Sql)(m2UaParse),
