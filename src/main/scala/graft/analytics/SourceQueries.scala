@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.{QueryDef, Tables}
 import graft.core.SchemaRegistry
-import graft.ingest.BatchSources
+import graft.ingest.{BatchSources, CsvIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,7 +77,103 @@ object SourceQueries {
       |  count(*) AS n_nations, min(n_name) AS first_nation
       |FROM nation GROUP BY 1""".stripMargin
 
+  /** S3 against the oracle: the CSV source's header-driven remap
+    * (CsvEventDeserializer.java:67-163) — REGISTERED columns cast from
+    * the CSV's strings to their registry types (event_id LONG, value
+    * DOUBLE here), NEW header columns land as STRING (event_type,
+    * user_id), output order follows the registry. The twin restates
+    * the aggregate over the parquet the CSV was derived from, so a
+    * remap/cast defect (wrong column, lossy cast, dropped rows)
+    * hash-mismatches. */
+  def s3Csv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.FieldType
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s3").toFile
+    tmp.deleteOnExit()
+    val csvDir = s"${tmp.getAbsolutePath}/events"
+    Tables(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value", $"user_id")
+      .write.option("header", "true").mode("overwrite").csv(csvDir)
+    val registry = SchemaRegistry.inMemory()
+    registry.getOrCreate("s3", "events", Seq(
+      registry.Field("event_id", FieldType.LONG),
+      registry.Field("value", FieldType.DOUBLE)))
+    val ingested = CsvIngest.ingest(spark, registry, "s3", "events", csvDir)
+    // type contract is part of the check: registered columns came back
+    // typed (a string-typed event_id would null out under the LONG
+    // filter), new columns are strings
+    ingested
+      .filter($"event_id".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        dsum($"value").as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  val s3Sql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  ${sqlDsum("value")} AS sum_value,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM events GROUP BY 1""".stripMargin
+
+  /** S4 against the oracle: Avro reader-schema resolution
+    * (AvroEventDeserializer.java:26-45) — the container is written
+    * under an OLDER schema (no n_comment, plus a legacy field the
+    * registry never knew), the registry's current schema is the reader:
+    * the extra writer field drops, the missing registered field fills
+    * null (count(n_comment) = 0 is part of the oracle contract), and
+    * every surviving value round-trips. The 25-row driver-side write is
+    * |nation|-bounded fixture construction, not a data-sized collect. */
+  def s4Avro(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.FieldType
+    import graft.ingest.AvroIngest
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val rows = Tables(spark, dir, "nation")
+      .select($"n_nationkey".cast("long"), $"n_name", $"n_regionkey".cast("long"))
+      .collect()
+    val writerSchema = AvroIngest.avroSchema("nation", Seq(
+      "n_nationkey" -> LongType, "n_name" -> StringType,
+      "n_regionkey" -> LongType, "legacy_junk" -> StringType))
+    val f = java.nio.file.Files.createTempDirectory("graft-s4")
+      .resolve("nation.avro").toFile
+    f.deleteOnExit()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](writerSchema))
+    w.create(writerSchema, f)
+    rows.foreach { r =>
+      val rec = new GenericData.Record(writerSchema)
+      rec.put("n_nationkey", r.getLong(0))
+      rec.put("n_name", r.getString(1))
+      rec.put("n_regionkey", r.getLong(2))
+      rec.put("legacy_junk", "dropped-on-read")
+      w.append(rec)
+    }
+    w.close()
+    val registry = SchemaRegistry.inMemory()
+    registry.getOrCreate("s4", "nation", Seq(
+      registry.Field("n_nationkey", FieldType.LONG),
+      registry.Field("n_name", FieldType.STRING),
+      registry.Field("n_regionkey", FieldType.LONG),
+      registry.Field("n_comment", FieldType.STRING)))
+    AvroIngest.ingest(spark, registry, "s4", "nation", f.toString)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        max($"n_name").as("last_nation"),
+        count($"n_comment").as("n_comments"))
+  }
+
+  val s4Sql: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+      |  count(*) AS n_nations, max(n_name) AS last_nation,
+      |  CAST(0 AS BIGINT) AS n_comments
+      |FROM nation GROUP BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "s3_csv" -> QueryDef.of(s3Sql)(s3Csv),
+    "s4_avro" -> QueryDef.of(s4Sql)(s4Avro),
     "s5_pixel" -> QueryDef.of(s5Sql)(s5Pixel),
     "s6_remote_bulk" -> QueryDef.of(s6Sql)(s6RemoteBulk)
   )

@@ -106,6 +106,52 @@ class IpAddrSpec extends SparkSpec {
     assert(warns.isEmpty, s"codegen fell back: $warns")
   }
 
+  test("randomized literal forms: parse16 == InetAddress, 500 rounds") {
+    // seeded generator emitting VALID literals across the grammar:
+    // full form, ::-compression at a random split, mixed case, group
+    // widths 1-4, optional v4 tail — then byte-for-byte Java parity
+    val rnd = new scala.util.Random(20260815L)
+    def hexGroup(): String = {
+      val v = rnd.nextInt(0x10000)
+      val s = Integer.toHexString(v)
+      if (rnd.nextBoolean()) s.toUpperCase else s
+    }
+    (0 until 500).foreach { i =>
+      val v4Tail = rnd.nextInt(4) == 0
+      val tailGroups = if (v4Tail) 2 else 0
+      val compress = rnd.nextBoolean()
+      val lit =
+        if (!compress) {
+          val hexN = 8 - tailGroups
+          val hex = Seq.fill(hexN)(hexGroup())
+          val all = if (v4Tail)
+            hex :+ s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+          else hex
+          all.mkString(":")
+        } else {
+          // left + :: + right, total groups ≤ 7 (:: covers ≥ 1)
+          val total = rnd.nextInt(7 - tailGroups + 1) // 0..7-tail
+          val nLeft = rnd.nextInt(total + 1)
+          val nRight = total - nLeft
+          val left = Seq.fill(nLeft)(hexGroup()).mkString(":")
+          val rightHex = Seq.fill(nRight)(hexGroup())
+          val right = (if (v4Tail)
+            rightHex :+ s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+          else rightHex).mkString(":")
+          s"$left::$right"
+        }
+      val mine = IpAddr.parse16(lit)
+      assert(mine != null, s"round $i rejected valid literal: $lit")
+      val oracle = java.net.InetAddress.getByName(lit).getAddress
+      if (oracle.length == 16) assert(mine.toSeq === oracle.toSeq, lit)
+      else {
+        val emb = IpAddr.embeddedV4Num(mine)
+        val javaNum = oracle.map(_ & 0xFFL).reduce((a, b) => (a << 8) | b)
+        assert(emb === javaNum, lit)
+      }
+    }
+  }
+
   test("binary range containment via >=/<= is 128-bit unsigned") {
     import spark.implicits._
     // 0x80... > 0x7f... must hold under the BinaryType ordering — the
