@@ -138,6 +138,49 @@ object MapperQueries {
       |  count(*) AS n_events, min(ms) AS min_ms, max(ms) AS max_ms
       |FROM fixed GROUP BY 1""".stripMargin
 
+  /** M5 against the oracle: user-id assignment precedence
+    * (UserIdEventMapper.java:50-90) — explicit `_user` wins, else the
+    * anonymous cookie id, else a deterministic content-hash surrogate
+    * (prefixed `anon_`). The surrogate's VALUE is engine-specific
+    * (sha2 over Spark's to_json), so the oracle pins the precedence,
+    * the prefix contract, and injectivity (distinct events → distinct
+    * surrogates), which is everything downstream identity stitching
+    * relies on. */
+  def m5UserId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.enrich.{MapperPipeline, UserIdMapper}
+    val ev = Tables(spark, dir, "events")
+      .withColumn("_user",
+        when(pmod($"event_id", lit(3L)) === 0, concat(lit("u"), $"user_id")))
+      .withColumn("_anonymous_user",
+        when(pmod($"event_id", lit(3L)) === 1, concat(lit("a"), $"user_id")))
+      .select($"event_id", $"_user", $"_anonymous_user")
+    MapperPipeline.run(ev, Seq(UserIdMapper))
+      .withColumn("bucket",
+        when(pmod($"event_id", lit(3L)) === 0, "explicit")
+          .when(pmod($"event_id", lit(3L)) === 1, "anon")
+          .otherwise("surrogate"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"_user").as("n_users"),
+        sum(when($"_user".startsWith("anon_"), 1L).otherwise(0L))
+          .as("n_surrogate_form"))
+  }
+
+  val m5Sql: String =
+    """SELECT
+      |  CASE ((event_id % 3) + 3) % 3 WHEN 0 THEN 'explicit'
+      |       WHEN 1 THEN 'anon' ELSE 'surrogate' END AS bucket,
+      |  count(*) AS n_events,
+      |  CASE ((event_id % 3) + 3) % 3
+      |       WHEN 0 THEN count(DISTINCT 'u' || CAST(user_id AS VARCHAR))
+      |       WHEN 1 THEN count(DISTINCT 'a' || CAST(user_id AS VARCHAR))
+      |       ELSE count(DISTINCT event_id) END AS n_users,
+      |  CASE ((event_id % 3) + 3) % 3
+      |       WHEN 2 THEN count(*) ELSE CAST(0 AS BIGINT) END AS n_surrogate_form
+      |FROM events
+      |GROUP BY 1, ((event_id % 3) + 3) % 3""".stripMargin
+
   /** M4 for the OTHER address family: every event gets a synthetic
     * IPv6 literal — link-local for every 5th user (skipped), a
     * v4-MAPPED `::ffff:1.0.0.7` for users ≡1 (mod 5) (redirected into
@@ -540,6 +583,7 @@ object MapperQueries {
   val defs: Seq[(String, QueryDef)] = Seq(
     "m7_js_mapper" -> QueryDef.of(m7Sql)(m7JsMapper),
     "m1_timestamp" -> QueryDef.of(m1Sql)(m1Timestamp),
+    "m5_user_id" -> QueryDef.of(m5Sql)(m5UserId),
     "m4_geoip" -> QueryDef.of(m4Sql)(m4Geoip),
     "m4_geoip_v6" -> QueryDef.of(m4V6Sql)(m4GeoipV6),
     "m2_ua_parse" -> QueryDef.of(m2Sql)(m2UaParse),
