@@ -337,6 +337,10 @@ object GeoIpMapper {
   * reference's findNonPrivateIpAddress scans the header for IPv4
   * matches and returns the first that is not in a private range
   * (MaxmindGeoIPEventMapper.java:51-52,140-154, regexes kept verbatim).
+  * Deliberately v4-ONLY, like the reference's regex: a v6 hop in the
+  * header is skipped here exactly as it is there — v6 enrichment
+  * applies to the event's own `_ip` (which [[GeoIpMapper]] handles for
+  * both families), not to XFF scanning.
   * Populates `_ip` (when not already set) so [[GeoIpMapper]] can run
   * behind proxies. Pure column expressions — codegen'd, no UDF. */
 case object XffIpMapper extends EventMapper {

@@ -28,7 +28,20 @@ class JsFuzzSpec extends AnyFunSuite {
       |  for (var i = 0; i < 10; i++) { if (i % 2 in {0: 1}) out.push(i); }
       |  return out.map(x => x * 2).join(',');
       |}""".stripMargin,
-    """function f(u) { return /^[a-z]+@ex\.com$/i.test(u) ? 'ok' : 'no'; }""")
+    """function f(u) { return /^[a-z]+@ex\.com$/i.test(u) ? 'ok' : 'no'; }""",
+    // round-11 surface: object-literal accessors, class expressions,
+    // new.target, static inheritance — mutants must keep erroring
+    // cleanly through the new parse/eval paths
+    """function f() {
+      |  var o = { c: 1, get d() { return this.c + 1; }, set d(v) { this.c = v; } };
+      |  o.d = 5; return o.d;
+      |}""".stripMargin,
+    """class Base { m() { return 'b'; } }
+      |var C = class Named extends Base { m() { return super.m() + typeof Named; } };
+      |function f() { return new C().m(); }""".stripMargin,
+    """class A { static k() { return new.target === undefined; } }
+      |class B extends A {}
+      |function f() { return B.k(); }""".stripMargin)
 
   private def mutate(src: String, rnd: scala.util.Random): String = {
     val chars = "(){}[];,.:?=+-*/%<>!&|^~'\"`$\\ \nabz019_#@"
