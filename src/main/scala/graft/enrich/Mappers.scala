@@ -276,6 +276,10 @@ final case class GeoIpMapper(ranges: DataFrame,
 
   def apply(df: DataFrame): DataFrame = {
     if (!df.columns.contains("_ip")) return df
+    (Seq("__ipnum", "__ip6") ++
+      rangesV6.toSeq.flatMap(attrCols).map("__v6_" + _)).foreach { c =>
+      require(!df.columns.contains(c), s"scratch column $c already present")
+    }
     // canonical dotted quad (null for non-v4-representable input) —
     // octets are validated (≤ 255) and zero-padded forms normalize, so
     // the private-range regex sees what the join key sees
