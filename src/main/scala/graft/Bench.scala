@@ -45,7 +45,9 @@ object Bench {
     // tools/record_budgets.py consumes the emitted "contended"/
     // "max_calib" fields instead of carrying its own copy.
     val quietCalibMedian = sys.env.get("SPARK_GRAFT_QUIET_CALIB")
-      .map(_.toDouble).getOrElse(0.47)
+      .map(s => s.toDoubleOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_QUIET_CALIB must be a number, got '$s'")))
+      .getOrElse(0.47)
     val maxCalib = 1.3 * quietCalibMedian
     val contended = calib > maxCalib
     // Median of `reps` runs per query: single-pass build+count timing is

@@ -373,6 +373,7 @@ object MapperQueries {
     "Mozilla/5.0 (Linux; Android 13; TECNO CK7n Build/TP1A.220624.014) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Mobile Safari/537.36",
     "Mozilla/5.0 (Linux; Android 13; FP4 Build/TQ2A.230505.002) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Mobile Safari/537.36",
     "Go-http-client/2.0",
+    "Mozilla/5.0 (Linux; Android 11; Lenovo TB-8505F Build/QP1A.190711.020; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/117.0.0.0 Safari/537.36",
     "UP.Browser/6.2.3.8 (GUI) MMP/2.0",
     "Nokia215/2.0 (03.20) Profile/MIDP-2.0 Configuration/CLDC-1.1 MAUI WAP Browser")
 

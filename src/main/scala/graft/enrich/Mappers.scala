@@ -194,7 +194,7 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
         nullif(try_parse_url(col("_referrer"), lit("PATH")), lit("")))
     val host = col("__ref_host")
     // ONE flat CaseWhen over the referers table (snowplow referers.yml
-    // shape) emitting a NUL-separated "source\u0000medium" pair — first matching host rule
+    // shape) emitting one U+0001-separated "source<SOH>medium" pair — first matching host rule
     // wins BOTH (email rows precede search so mail.google.com is
     // email); a single chain halves the per-row regex work and the
     // generated code vs separate source/medium chains

@@ -350,7 +350,9 @@ object UaRules {
     // vivo launch codes appear with or WITHOUT a vivo token / Build slot
     DeviceRule(";\\s*(V[0-9]{4}[A-Z0-9]*)(?:[);]|\\s+Build/)", prefix = "Vivo "),
     DeviceRule(";\\s*(ASUS_[A-Za-z0-9]+)", prefix = "Asus "),
-    DeviceRule(";\\s*(Lenovo[ -][^;)]+)", prefix = ""),
+    // Lenovo models appear with AND without a Build/ slot — the tag
+    // must stay out of the captured family either way
+    DeviceRule(";\\s*(Lenovo[ -][^;)]*?)(?:\\s+Build/|[;)])", prefix = ""),
     DeviceRule(";\\s*(Infinix [^;)]*?)\\s+Build/", prefix = ""),
     DeviceRule(";\\s*(TECNO [^;)]*?)\\s+Build/", prefix = ""),
     DeviceRule(";\\s*(FP[3-6][a-z]?)\\s+Build/", prefix = "Fairphone "))

@@ -57,19 +57,16 @@ final class MaxmindDb private (buf: Array[Byte],
     * network that references it — bounds enumeration memory by
     * |distinct records|, not |networks| (GeoIP2-City: ~100k records vs
     * ~3M networks). */
+  // concurrent: lookup() is a public point-probe API callable from
+  // multiple threads on one shared instance (decode has no nested
+  // decodeData re-entry, so computeIfAbsent cannot self-deadlock)
   @transient private lazy val decodeMemo =
-    new java.util.HashMap[Integer, Any]()
+    new java.util.concurrent.ConcurrentHashMap[Integer, Any]()
 
-  private def decodeData(recordValue: Int): Any = {
-    val k = Integer.valueOf(recordValue)
-    var v = decodeMemo.get(k)
-    if (v == null) {
-      v = new Decoder(buf, dataBase)
-        .decode(treeSize.toInt + (recordValue - metadata.nodeCount))._1
-      decodeMemo.put(k, v)
-    }
-    v
-  }
+  private def decodeData(recordValue: Int): Any =
+    decodeMemo.computeIfAbsent(Integer.valueOf(recordValue),
+      _ => new Decoder(buf, dataBase)
+        .decode(treeSize.toInt + (recordValue - metadata.nodeCount))._1)
 
   /** The node where IPv4 space starts: node 0 for an ip_version-4
     * database; after 96 zero bits (the ::a.b.c.d embedding the spec
@@ -147,12 +144,15 @@ final class MaxmindDb private (buf: Array[Byte],
     * address space of `totalBits` bits — an explicit-stack iterator, so
     * callers can stream networks into batches instead of holding the
     * whole decoded list (the decode memo already shares repeated data
-    * records). `skipAllZeroAtDepth` prunes the all-zero-prefix child at
-    * that depth — used to drop the spec's ::/96 v4 embedding from v6
-    * enumeration, because v4-representable probes are redirected to the
-    * v4 dim and must not pay for the subtree twice. */
+    * records). `skipV4Aliases` prunes the two /96 subtrees whose
+    * literal forms [[graft.functions.IpAddr]] redirects to the v4 dim —
+    * ::/96 (the spec's v4 embedding / deprecated v4-compatible form)
+    * and ::ffff:0:0/96 (the v4-MAPPED alias real MaxMind files also
+    * carry) — so the v6 dim never pays for networks no probe reaches.
+    * 6to4 (2002::/16) and Teredo stay: their literals are genuine v6
+    * keys, so those ranges ARE reachable. */
   private def leafIterator(rootNode: Int, totalBits: Int,
-      skipAllZeroAtDepth: Int = -1): Iterator[Leaf] = new Iterator[Leaf] {
+      skipV4Aliases: Boolean = false): Iterator[Leaf] = new Iterator[Leaf] {
     // frame: (record value, isNode, prefixHi, prefixLo, prefix length)
     private val stack =
       scala.collection.mutable.Stack.empty[(Int, Boolean, Long, Long, Int)]
@@ -186,8 +186,10 @@ final class MaxmindDb private (buf: Array[Byte],
               val (nHi, nLo) =
                 if (side == 0) (pHi, pLo) else withBit(pHi, pLo, depth)
               val childDepth = depth + 1
-              val skip = childDepth == skipAllZeroAtDepth &&
-                nHi == 0L && nLo == 0L
+              // bits 80-95 of the address sit at pLo bits 47-32, so the
+              // ::ffff:0:0/96 prefix is (pHi, pLo) == (0, 0xFFFF << 32)
+              val skip = skipV4Aliases && childDepth == 96 && nHi == 0L &&
+                (nLo == 0L || nLo == 0xFFFF00000000L)
               if (!skip)
                 stack.push((r, r < metadata.nodeCount, nHi, nLo, childDepth))
             }
@@ -219,11 +221,13 @@ final class MaxmindDb private (buf: Array[Byte],
   }
 
   /** Enumerate the FULL 128-bit IPv6 tree as disjoint, sorted 16-byte
-    * ranges. By default the spec's ::/96 v4-embedding subtree is
-    * excluded: v4-representable probes (dotted, `::ffff:a.b.c.d`,
-    * `::a.b.c.d`) canonicalize to the v4 dim, so carrying those ranges
-    * here would double the broadcast for networks no probe reaches.
-    * `includeV4Embedded = true` restores the complete tree. */
+    * ranges. By default the ::/96 v4-embedding and ::ffff:0:0/96
+    * v4-mapped subtrees are excluded: v4-representable probes (dotted,
+    * `::ffff:a.b.c.d`, `::a.b.c.d`) canonicalize to the v4 dim, so
+    * carrying those ranges here would roughly double the broadcast for
+    * networks no probe reaches (real MaxMind files alias the whole v4
+    * tree at both prefixes). `includeV4Embedded = true` restores the
+    * complete tree. */
   def networks6Iterator(includeV4Embedded: Boolean = false)
       : Iterator[(Array[Byte], Array[Byte], Any)] = {
     if (metadata.ipVersion != 6) throw new MmdbFormatException(
@@ -239,8 +243,7 @@ final class MaxmindDb private (buf: Array[Byte],
       }
       out
     }
-    leafIterator(0, 128,
-      skipAllZeroAtDepth = if (includeV4Embedded) -1 else 96)
+    leafIterator(0, 128, skipV4Aliases = !includeV4Embedded)
       .map(l => (bytes(l.loHi, l.loLo), bytes(l.hiHi, l.hiLo), l.data))
   }
 

@@ -198,15 +198,24 @@ final class JsEngine(code: String, globals: Map[String, Any],
             throw new JsException(s"not an object: ${String.valueOf(other)}")
         }
         case "keys" => mutable.ArrayBuffer(asObj(a.head).keys.toSeq: _*)
-        case "values" => mutable.ArrayBuffer(asObj(a.head).values.toSeq: _*)
-        case "entries" => mutable.ArrayBuffer(asObj(a.head).toSeq.map {
-          case (k, v) => mutable.ArrayBuffer[Any](k, v)
-        }: _*)
+        // values/entries/assign read accessor slots THROUGH the getter
+        // (object literals can hold them since the get/set support) —
+        // real JS reads the property; the raw slot must never leak
+        case "values" =>
+          val o = asObj(a.head)
+          mutable.ArrayBuffer(o.values.toSeq.map(deref(o, _)): _*)
+        case "entries" =>
+          val o = asObj(a.head)
+          mutable.ArrayBuffer(o.toSeq.map {
+            case (k, v) => mutable.ArrayBuffer[Any](k, deref(o, v))
+          }: _*)
         case "assign" =>
           val target = asObj(a.head)
           a.tail.foreach {
             case m: mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
-              m.foreach { case (k, v) => target(k) = v }
+              // snapshot via getter on the SOURCE, setter-aware write on
+              // the target (writeMember routes accessor intercepts)
+              m.foreach { case (k, v) => writeMember(target, k, deref(m, v)) }
             case null | Undefined => ()
             case other =>
               throw new JsException(s"Object.assign source not an object: $other")

@@ -1591,6 +1591,17 @@ class JsEngineSpec extends SparkSpec {
         |  var o = { get v() { return 1; }, v: 42 };
         |  o.v = 5; return o.v;
         |}""".stripMargin, "f") == 5L)
+    // Object.values/entries/assign read THROUGH the getter — the raw
+    // internal accessor slot must never leak to scripts
+    assert(run(
+      """function f() {
+        |  var o = { a: 1, get b() { return this.a + 1; } };
+        |  var copy = Object.assign({}, o);
+        |  copy.a = 100; // a VALUE was copied, not a live accessor
+        |  return Object.values(o).join(',') + '|' +
+        |    Object.entries(o).map(e => e[0] + '=' + e[1]).join(',') + '|' +
+        |    copy.b;
+        |}""".stripMargin, "f") == "1,2|a=1,b=2|2")
   }
 
   test("class expressions: anonymous, named self-reference, extends, inline new") {

@@ -216,6 +216,28 @@ class MaxmindDbSpec extends SparkSpec {
     assert(full.size === nets.size + db.networks().size)
   }
 
+  test("the ::ffff:0:0/96 v4-mapped alias prunes like ::/96; redirects win") {
+    // real MaxMind files alias the v4 tree at BOTH ::/96 and
+    // ::ffff:0:0/96; neither is reachable by a probe (those literal
+    // forms canonicalize into the v4 dim), so default enumeration
+    // drops both. The vendor reader resolves mapped literals through
+    // the ::/96 embedding (InetAddress hands it an Inet4Address), so
+    // the redirect — not the mapped alias — decides the answer.
+    val entries = cityEntries.take(1) ++ Seq(
+      "::ffff:1.0.0.0/120" -> Map("country" -> Map("iso_code" -> "ZZ")),
+      "2001:db8::/32" -> Map("country" -> Map("iso_code" -> "JP")))
+    val db = MaxmindDb.read(MmdbFixture.write(entries, ipVersion = 6))
+    val nets = db.networks6()
+    assert(nets.size === 1) // only the genuine v6 network
+    assert(db.networks6(includeV4Embedded = true).size === 3)
+    def cc(ip: String) = db.lookup(ip)
+      .map(_.asInstanceOf[Map[String, Any]]("country")
+        .asInstanceOf[Map[String, Any]]("iso_code")).orNull
+    assert(cc("::ffff:1.0.0.7") === "AU") // the ::/96 embedding, not ZZ
+    assert(cc("1.0.0.7") === "AU")
+    assert(cc("2001:db8::1") === "JP")
+  }
+
   test("shared data records decode once and are identity-shared") {
     val db = MaxmindDb.read(MmdbFixture.write(dualStackEntries, ipVersion = 6))
     val all = db.networks6(includeV4Embedded = true).map(_._3) ++

@@ -26,14 +26,18 @@ def main():
     with open(bench_path) as f:
         bench = json.loads(f.read().strip())
     calib = bench["calib"]
-    # the threshold lives in graft.Bench (single source of truth); a
-    # pre-"max_calib" JSON line is too old to trust either way
-    if bench.get("contended") or "max_calib" not in bench:
+    # the threshold lives in graft.Bench (single source of truth)
+    if "max_calib" not in bench:
+        sys.exit(
+            "REFUSED: bench line predates the max_calib/contended schema "
+            "(round 11) - re-run graft.Bench so the contended flag is "
+            "trustworthy.")
+    if bench.get("contended"):
         sys.exit(
             f"REFUSED: boot calib {calib} exceeds the quiet threshold "
-            f"{bench.get('max_calib', '(absent)')} per graft.Bench; budgets "
-            "recorded on a contended boot poison every later comparison. "
-            "Re-run graft.Bench on a quiet machine.")
+            f"{bench['max_calib']} per graft.Bench; budgets recorded on a "
+            "contended boot poison every later comparison. Re-run "
+            "graft.Bench on a quiet machine.")
     if bench.get("failed"):
         sys.exit(f"REFUSED: failed queries present: {bench['failed']}")
     queries = bench["queries"]
