@@ -296,6 +296,42 @@ class MaxmindDbSpec extends SparkSpec {
     }
   }
 
+  test("randomized v6 trees: enumeration == lookup at boundaries and probes") {
+    // seeded random fixtures: distinct /32s are disjoint by
+    // construction; random record widths exercise all three layouts
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 5).foreach { round =>
+      // top group ≥ 1 keeps generated /32s away from the ::-zero path
+      // (whose literals redirect to the v4 dim by design)
+      val prefixes = Seq.fill(40)(
+        ((rnd.nextInt(0xFFFE) + 1) << 16) | rnd.nextInt(0x10000))
+        .distinct.take(25)
+      val entries = prefixes.zipWithIndex.map { case (p, i) =>
+        val cidr = f"${p >>> 16}%x:${p & 0xFFFF}%x::/32"
+        cidr -> (Map("country" -> Map("iso_code" -> f"C$i%02d")): Map[String, Any])
+      }
+      val rs = Seq(24, 28, 32)(round % 3)
+      val db = MaxmindDb.read(
+        MmdbFixture.write(entries, recordSize = rs, ipVersion = 6))
+      val nets = db.networks6()
+      assert(nets.size === entries.size, s"round $round")
+      nets.foreach { case (lo, hi, data) =>
+        assert(db.lookup(fmt16(lo)) === Some(data))
+        assert(db.lookup(fmt16(hi)) === Some(data))
+        // a random interior probe: keep the /32 prefix, randomize tail
+        val mid = lo.clone()
+        (4 until 16).foreach(i => mid(i) = rnd.nextInt(256).toByte)
+        assert(db.lookup(fmt16(mid)) === Some(data))
+      }
+      // a prefix NOT in the set misses
+      val missing = (0 until 200).iterator
+        .map(_ => ((rnd.nextInt(0xFFFE) + 1) << 16) | rnd.nextInt(0x10000))
+        .find(p => !prefixes.contains(p)).get
+      assert(db.lookup(
+        f"${missing >>> 16}%x:${missing & 0xFFFF}%x::1") === None)
+    }
+  }
+
   test("geoIpMapper facade wires the v6 dim for an ip_version-6 file") {
     import spark.implicits._
     val f = java.nio.file.Files.createTempFile("graft-geo6", ".mmdb")
