@@ -584,8 +584,25 @@ final class JsEngine(code: String, globals: Map[String, Any],
         def args = argEs.map(eval(_, env))
         resolved match {
           case Some(c: Closure) => constructUser(c, args)
-          case Some(_: Bound) =>
-            throw new JsException("new on a bound function is not supported")
+          case Some(b: Bound) =>
+            // JS [[Construct]] on a bound function: the bound `this` is
+            // IGNORED, the target's prototype is used, bound args
+            // prepend — unwrap the chain iteratively and metered, like
+            // the call path
+            var target: Any = b
+            var pre = Seq.empty[Any]
+            while (target.isInstanceOf[Bound]) {
+              val bb = target.asInstanceOf[Bound]
+              tick()
+              pre = bb.pre ++ pre
+              pre.foreach(_ => tick())
+              target = bb.target
+            }
+            target match {
+              case c: Closure => constructUser(c, pre ++ args)
+              case other => throw new JsException(
+                s"${jsToString(other)} is not a constructor")
+            }
           // unshadowed name (or the built-in host binding itself) → the
           // built-in constructor set; any OTHER shadowing value is the
           // JS "not a constructor" TypeError, not a silent fallback.

@@ -71,10 +71,9 @@ import scala.collection.mutable
   * inherited static accessors), and class EXPRESSIONS (desugared to an
   * immediately-invoked arrow; an optional name binds only inside the
   * body).
-  * Still out of scope: generators and `async` (the reference's Nashorn
-  * is ES5.1 — neither ever worked for its mapper scripts, and a
-  * synchronous sandbox has no event loop to give `async` meaning),
-  * and `new` on bound functions.
+  * Still out of scope: generators and `async` — the reference's
+  * Nashorn is ES5.1, neither ever worked for its mapper scripts, and
+  * a synchronous sandbox has no event loop to give `async` meaning.
   */
 object MiniJs {
 
@@ -116,8 +115,9 @@ object MiniJs {
       Option(propsOrNull)
   }
 
-  /** `f.bind(thisArg, pre…)` — a callable wrapper; `new` stays out of
-    * scope for bound functions (as it is for Nashorn-era mapper code). */
+  /** `f.bind(thisArg, pre…)` — a callable wrapper; `new` on a bound
+    * function constructs the TARGET with the bound args prepended and
+    * the bound `this` ignored, the JS [[Construct]] rule. */
   final case class Bound(target: Any, thisVal: Any, pre: Seq[Any])
 
   /** An accessor property slot (class `get`/`set` desugar): each side

@@ -1604,6 +1604,22 @@ class JsEngineSpec extends SparkSpec {
         |}""".stripMargin, "f") == "1,2|a=1,b=2|2")
   }
 
+  test("new on a bound function constructs the target, bound this ignored") {
+    assert(run(
+      """function P(a, b) { this.sum = a + b; }
+        |P.prototype.get = function() { return this.sum; };
+        |function f() {
+        |  var B = P.bind({decoy: 1}, 40);
+        |  var p = new B(2);
+        |  return p.get() + ':' + (p instanceof P) + ':' + (p.decoy === undefined);
+        |}""".stripMargin, "f") == "42:true:true")
+    // chained binds prepend in bind order
+    assert(run(
+      """function T(a, b, c) { this.v = '' + a + b + c; }
+        |function f() { return new (T.bind(null, 1).bind(null, 2))(3).v; }""".stripMargin,
+      "f") == "123")
+  }
+
   test("class expressions: anonymous, named self-reference, extends, inline new") {
     assert(run(
       """var C = class { constructor(x) { this.x = x; } dbl() { return this.x * 2; } };
