@@ -9,9 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (or `withExtensions` on the builder). Two kinds of injection:
   *
   *   - SQL functions over the native codegen'd expressions
-  *     (`hyperplane_signature`, `vector_dot`, `vector_sqdist`), so a user
-  *     of the reference writing raw SQL gets the same kernels a DataFrame
-  *     user gets from [[graft.analytics.SimilarityQueries]];
+  *     (`hyperplane_signature`, `vector_dot`, `vector_sqdist`,
+  *     `phrase_count`, `ipv6_bytes`, `ipv4_canonical`), so a user of
+  *     the reference writing raw SQL gets the same kernels a DataFrame
+  *     user gets from [[graft.analytics.SimilarityQueries]] and
+  *     [[graft.enrich.GeoIpMapper]];
   *   - the [[graft.plans.BinnedIntervalJoinRule]] optimizer rule, which
   *     rewrites big-×-big point-in-interval joins (Spark's nested-loop
   *     fallback) into the binned equi join.
