@@ -587,20 +587,10 @@ final class JsEngine(code: String, globals: Map[String, Any],
           case Some(b: Bound) =>
             // JS [[Construct]] on a bound function: the bound `this` is
             // IGNORED, the target's prototype is used, bound args
-            // prepend — unwrap the chain iteratively and metered, like
-            // the call path
-            var target: Any = b
-            var pre = Seq.empty[Any]
-            while (target.isInstanceOf[Bound]) {
-              val bb = target.asInstanceOf[Bound]
-              tick()
-              pre = bb.pre ++ pre
-              pre.foreach(_ => tick())
-              target = bb.target
-            }
-            target match {
-              case c: Closure => constructUser(c, pre ++ args)
-              case other => throw new JsException(
+            // prepend
+            unwrapBound(b, args) match {
+              case (c: Closure, combined, _) => constructUser(c, combined)
+              case (other, _, _) => throw new JsException(
                 s"${jsToString(other)} is not a constructor")
             }
           // unshadowed name (or the built-in host binding itself) → the
@@ -738,26 +728,34 @@ final class JsEngine(code: String, globals: Map[String, Any],
         catch { case ReturnEx(v) => v }
       } finally depth -= 1
     case b: Bound =>
-      // iterative unwrap, metered per level AND per prepended argument:
-      // a bind-chain built within the step budget must not buy a single
-      // unmetered O(n²) call (or a StackOverflowError on deep recursion)
-      var target: Any = b
-      var acc = args
-      var boundThis: Any = Undefined
-      while (target.isInstanceOf[Bound]) {
-        val bb = target.asInstanceOf[Bound]
-        tick()
-        acc = bb.pre ++ acc
-        // charge the full concat width: n levels × n args is O(n²)
-        // actual work, so it must cost O(n²) budget, not O(n)
-        acc.foreach(_ => tick())
-        boundThis = bb.thisVal
-        target = bb.target
-      }
+      val (target, acc, boundThis) = unwrapBound(b, args)
       // JS: the innermost bind fixed `this`; later binds can't rebind it
       callValue(target, acc, boundThis)
     case h: HostObject => h.invoke("__call__", args)
     case other => throw new JsException(s"${jsToString(other)} is not a function")
+  }
+
+  /** Iterative bind-chain unwrap shared by the call, construct and
+    * instanceof paths — metered per level AND per prepended argument: a
+    * bind-chain built within the step budget must not buy a single
+    * unmetered O(n²) call (the concat width IS n levels × n args of
+    * actual work, so it costs O(n²) budget, not O(n)) or a
+    * StackOverflowError on deep recursion. Returns the innermost
+    * target, the combined argument list, and the innermost bound
+    * `this`. */
+  private def unwrapBound(b: Bound, args: Seq[Any]): (Any, Seq[Any], Any) = {
+    var target: Any = b
+    var acc = args
+    var boundThis: Any = Undefined
+    while (target.isInstanceOf[Bound]) {
+      val bb = target.asInstanceOf[Bound]
+      tick()
+      acc = bb.pre ++ acc
+      acc.foreach(_ => tick())
+      boundThis = bb.thisVal
+      target = bb.target
+    }
+    (target, acc, boundThis)
   }
 
   /** `F.prototype`, auto-created on first touch like JS gives every
@@ -1467,8 +1465,11 @@ final class JsEngine(code: String, globals: Map[String, Any],
       // walk the instance's prototype chain looking for the
       // constructor's CURRENT .prototype, identity-compared — the JS
       // OrdinaryHasInstance algorithm
+      // a bound RHS resolves through the FULL bind chain (real JS
+      // recurses OrdinaryHasInstance through BoundTargetFunction — a
+      // chained bind must classify like its innermost target)
       val ctor = r match {
-        case b: Bound => b.target
+        case b: Bound => unwrapBound(b, Seq.empty)._1
         case other => other
       }
       ctor match {

@@ -1613,11 +1613,15 @@ class JsEngineSpec extends SparkSpec {
         |  var p = new B(2);
         |  return p.get() + ':' + (p instanceof P) + ':' + (p.decoy === undefined);
         |}""".stripMargin, "f") == "42:true:true")
-    // chained binds prepend in bind order
+    // chained binds prepend in bind order; instanceof resolves through
+    // the FULL chain (OrdinaryHasInstance recurses to the target)
     assert(run(
       """function T(a, b, c) { this.v = '' + a + b + c; }
-        |function f() { return new (T.bind(null, 1).bind(null, 2))(3).v; }""".stripMargin,
-      "f") == "123")
+        |function f() {
+        |  var B = T.bind(null, 1).bind(null, 2);
+        |  var t = new B(3);
+        |  return t.v + ':' + (t instanceof B) + ':' + (t instanceof T);
+        |}""".stripMargin, "f") == "123:true:true")
   }
 
   test("class expressions: anonymous, named self-reference, extends, inline new") {
