@@ -127,12 +127,15 @@ object CorpusQueries {
       .agg(sum($"bloom_hit").as("__bloom"), sum($"exact_hit").as("__exact"))
     // n_train counts EVERY train doc, including those too short to emit
     // a gram — so totals come from a (column-pruned) metadata scan, the
-    // same second pass the join-back shape paid.
-    train
+    // same second pass the join-back shape paid. NULL-SAFE join key: a
+    // NULL-lang group must still pick up its flags (an equi key would
+    // silently zero the flags of exactly those docs).
+    val totals = train
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_train"))
-      .join(broadcast(perLang), Seq("lang"), "left")
-      .select($"lang", $"n_train",
+    totals
+      .join(broadcast(perLang), totals("lang") <=> perLang("lang"), "left")
+      .select(totals("lang"), $"n_train",
         coalesce($"__bloom", lit(0L)).as("n_bloom_flagged"),
         coalesce($"__exact", lit(0L)).as("n_exact"),
         (coalesce($"__bloom", lit(0L)) -

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import graft.{QueryDef, Tables}
+import graft.{QueryDef, Tables, TempDirs}
 import graft.core.SchemaRegistry
 import graft.ingest.{BatchSources, CsvIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -53,9 +53,7 @@ object SourceQueries {
     * aggregated with casts. */
   def s6RemoteBulk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-s6").toFile
-    tmp.deleteOnExit()
-    val csvDir = s"${tmp.getAbsolutePath}/nation"
+    val csvDir = s"${TempDirs.scratch("graft-s6")}/nation"
     Tables(spark, dir, "nation")
       .coalesce(1).write.option("header", "true").mode("overwrite").csv(csvDir)
     val part = new java.io.File(csvDir).listFiles()
@@ -88,9 +86,7 @@ object SourceQueries {
   def s3Csv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.core.FieldType
-    val tmp = java.nio.file.Files.createTempDirectory("graft-s3").toFile
-    tmp.deleteOnExit()
-    val csvDir = s"${tmp.getAbsolutePath}/events"
+    val csvDir = s"${TempDirs.scratch("graft-s3")}/events"
     Tables(spark, dir, "events")
       .select($"event_id", $"event_type", $"value", $"user_id")
       .write.option("header", "true").mode("overwrite").csv(csvDir)
@@ -137,9 +133,7 @@ object SourceQueries {
     val writerSchema = AvroIngest.avroSchema("nation", Seq(
       "n_nationkey" -> LongType, "n_name" -> StringType,
       "n_regionkey" -> LongType, "legacy_junk" -> StringType))
-    val f = java.nio.file.Files.createTempDirectory("graft-s4")
-      .resolve("nation.avro").toFile
-    f.deleteOnExit()
+    val f = TempDirs.scratch("graft-s4").resolve("nation.avro").toFile
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](writerSchema))
     w.create(writerSchema, f)

@@ -568,6 +568,19 @@ final class JsEngine(code: String, globals: Map[String, Any],
         }
         callValue(fn, argEs.map(eval(_, env)), thisVal = thisV, newTarget = nt)
       case NewTargetE => env.lookup("new.target").getOrElse(Undefined)
+      case SuperForwardE(bind) =>
+        // implicit derived ctor: call the parent constructor DIRECTLY
+        // with this frame's arguments/this/new.target — no member
+        // resolution a script static could intercept
+        val sup = env.lookup(bind).getOrElse(
+          throw new JsException("superclass binding is missing"))
+        val fwd = env.lookup("arguments") match {
+          case Some(a: mutable.ArrayBuffer[Any @unchecked]) => a.toSeq
+          case _ => Seq.empty[Any]
+        }
+        callValue(sup, fwd,
+          thisVal = env.lookup("this").getOrElse(Undefined),
+          newTarget = env.lookup("new.target").getOrElse(Undefined))
       case RegexL(p, f) => JsEngine.regexValue(p, f)
       case NewE(ctorE, argEs) =>
         // constructor resolves BEFORE arguments evaluate (JS order: an
@@ -1337,8 +1350,12 @@ final class JsEngine(code: String, globals: Map[String, Any],
     case c: Closure =>
       // static accessor slots intercept along the static-inheritance
       // chain (first class DEFINING the key decides — an own/inherited
-      // data property means a plain own write, the shadowing rule)
-      if (v.isInstanceOf[MiniJs.Accessor]) c.props(name) = v
+      // data property means a plain own write, the shadowing rule).
+      // `prototype` is exempt: in JS it is a non-configurable own DATA
+      // property of every function — it can never be an accessor, and
+      // the class desugar's own wiring must not be interceptable
+      if (v.isInstanceOf[MiniJs.Accessor] || name == "prototype")
+        c.props(name) = v
       else closureStatic(c, name) match {
         case MiniJs.Accessor(_, s) =>
           if (s == Undefined)

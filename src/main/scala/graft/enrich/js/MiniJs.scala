@@ -188,6 +188,11 @@ object MiniJs {
     * parent's statics instead of its prototype. */
   final case class SuperE(bind: String, method: Option[String],
       static: Boolean, args: Seq[Expr]) extends Expr
+  /** INTERNAL (never parsed from source): the implicit derived-ctor
+    * `super(...arguments)` forward — a direct parent-constructor call
+    * with the frame's `arguments`, `this`, and `new.target`, immune to
+    * any script-defined or inherited `apply`. */
+  final case class SuperForwardE(bind: String) extends Expr
   final case class Member(target: Expr, name: String) extends Expr
   final case class IndexE(target: Expr, key: Expr) extends Expr
   final case class Call(target: Expr, args: Seq[Expr]) extends Expr
@@ -804,11 +809,12 @@ object MiniJs {
       val (cps, cbody) = ctor.getOrElse {
         supTmp match {
           case Some(t) =>
-            // implicit derived ctor: super(...arguments) — exact
-            // forwarding via apply now that `arguments` exists
-            (Seq.empty[String], Seq(ExprStmt(Call(
-              Member(Ident(t), "apply"),
-              Seq(ThisE, Ident("arguments"))))): Seq[Stmt])
+            // implicit derived ctor: super(...arguments) — forwarded
+            // through an INTERNAL node rather than `Sup.apply(...)`,
+            // so an inherited `static apply` (legal JS) cannot hijack
+            // the desugar's own mechanics, and new.target forwards
+            (Seq.empty[String],
+              Seq(ExprStmt(SuperForwardE(t))): Seq[Stmt])
           case None => (Seq.empty[String], Seq.empty[Stmt])
         }
       }
@@ -828,8 +834,7 @@ object MiniJs {
         else {
           val at = cbody.indexWhere {
             case ExprStmt(SuperE(_, None, false, _)) => true
-            case ExprStmt(Call(Member(Ident(t), "apply"), Seq(ThisE, _)))
-              if supTmp.contains(t) => true
+            case ExprStmt(SuperForwardE(t)) if supTmp.contains(t) => true
             case _ => false
           }
           if (at >= 0) cbody.patch(at + 1, fieldInits, 0)

@@ -35,8 +35,12 @@ class CorpusQueriesSpec extends SparkSpec {
       (1L to 200L).map(i => (i, evalText, if (i % 2 == 0) "en" else "de",
         "src" + (1 + i % 3), evalText.length.toLong)) ++
       // plus one train doc too short to emit any 5-gram: it must still
-      // count in n_train with zero flags
-      Seq((999L, "a b", "fr", "src1", 3L)))
+      // count in n_train with zero flags — and one NULL-lang
+      // contaminated doc: the per-lang join-back must be null-safe or
+      // exactly these docs silently lose their flags
+      Seq((999L, "a b", "fr", "src1", 3L),
+        (1000L, evalText, null.asInstanceOf[String], "src2",
+          evalText.length.toLong)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val tmp = java.nio.file.Files.createTempDirectory("graft-d7").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
@@ -44,8 +48,8 @@ class CorpusQueriesSpec extends SparkSpec {
       .orderBy($"lang").collect()
     assert(out.map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_train"),
       r.getAs[Long]("n_bloom_flagged"), r.getAs[Long]("n_exact"))).toSeq ===
-      Seq(("de", 100L, 100L, 100L), ("en", 100L, 100L, 100L),
-        ("fr", 1L, 0L, 0L)))
+      Seq((null, 1L, 1L, 1L), ("de", 100L, 100L, 100L),
+        ("en", 100L, 100L, 100L), ("fr", 1L, 0L, 0L)))
     // and the corpus is still never shuffled for a join: the static plan
     // carries only broadcast joins even at 100% contamination
     val p = CorpusQueries.d7BloomDecontam(spark, tmp)
