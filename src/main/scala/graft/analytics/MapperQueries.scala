@@ -374,6 +374,16 @@ object MapperQueries {
     "Mozilla/5.0 (Linux; Android 13; FP4 Build/TQ2A.230505.002) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Mobile Safari/537.36",
     "Go-http-client/2.0",
     "Mozilla/5.0 (Linux; Android 11; Lenovo TB-8505F Build/QP1A.190711.020; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/117.0.0.0 Safari/537.36",
+    // round-11 second batch: Messenger vs Facebook precedence, QQ app,
+    // Yandex app, news readers, Sony/HTC/ZTE hardware, Hisense VIDAA TV
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 [FBAN/MessengerForiOS;FBAV/437.0.0.21.115;FBBV/535897340]",
+    "Mozilla/5.0 (Linux; Android 13; SM-F936B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/116.0.0.0 Mobile Safari/537.36 V1_AND_SQ_8.9.76 QQ/8.9.76.12115",
+    "Mozilla/5.0 (Linux; arm_64; Android 13; 2201117TY) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 YaApp_Android/23.112.1 Mobile Safari/537.36",
+    "Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Flipboard/4.3.25",
+    "Mozilla/5.0 (Linux; Android 14; SO-51D Build/64.1.A.0.812) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Mobile Safari/537.36 SmartNews/23.12.40",
+    "Mozilla/5.0 (Linux; Android 9; HTC U12+ Build/PQ2A.190205.002) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 12; ZTE A2322G Build/SP1A.210812.016) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 9; VIDAA; Hisense 55A6H) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/79.0.3945.120 Safari/537.36",
     "UP.Browser/6.2.3.8 (GUI) MMP/2.0",
     "Nokia215/2.0 (03.20) Profile/MIDP-2.0 Configuration/CLDC-1.1 MAUI WAP Browser")
 
@@ -519,7 +529,12 @@ object MapperQueries {
     "https://rumble.com/v1abc-video.html",
     "https://www.patreon.com/creator",
     "https://www.xiaohongshu.com/explore/abc",
-    "https://www.producthunt.com/posts/tool")
+    "https://www.producthunt.com/posts/tool",
+    "https://chatgpt.com/share/abc",
+    "https://mail.qq.com/cgi-bin/frame_html",
+    "https://blog.naver.com/someone/223",
+    "https://www.douyin.com/video/7300",
+    "https://www.kuaishou.com/short-video/3x")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

@@ -113,7 +113,7 @@ object UaRules {
     // hybrid-broadcast TV runtimes ride a Chrome token
     UaRule("HbbTV", "HbbTV/", "HbbTV/(\\d+)"),
     // in-app webviews with their own tokens
-    UaRule("Facebook", "FBAV/|FBAN/", "FBAV/(\\d+)"),
+    UaRule("Facebook", "FBAV/|FBAN/|FB_IAB/", "FBAV/(\\d+)"),
     UaRule("Instagram", "Instagram[ /]", "Instagram[ /](\\d+)"),
     UaRule("WeChat", "MicroMessenger/", "MicroMessenger/(\\d+)"),
     UaRule("Line", "\\bLine/", "\\bLine/(\\d+)"),
@@ -129,6 +129,16 @@ object UaRules {
     UaRule("DuckDuckGo Mobile", "DuckDuckGo/", "DuckDuckGo/(\\d+)"),
     UaRule("Ecosia", "Ecosia (?:android|ios)@", "Ecosia (?:android|ios)@(\\d+)"),
     UaRule("WhatsApp", "WhatsApp/", "WhatsApp/(\\d+)"),
+    // Messenger carries FBAN/Messenger… tokens and must outrank the
+    // generic Facebook rule below
+    UaRule("Facebook Messenger",
+      "FBAN/Messenger|FB_IAB/MESSENGER|FBAN/MessengerLite",
+      "FBAV/(\\d+)"),
+    UaRule("QQ", "\\bQQ/\\d", "\\bQQ/(\\d+)"),
+    UaRule("Yandex App", "YaApp_(?:Android|iOS)/|YandexSearch/",
+      "YaApp_(?:Android|iOS)/(\\d+)"),
+    UaRule("Flipboard", "Flipboard/", "Flipboard/(\\d+)"),
+    UaRule("SmartNews", "SmartNews/", "SmartNews/(\\d+)"),
     UaRule("Telegram", "Telegram-?(?:Android|iOS)?/", "Telegram-?(?:Android|iOS)?/(\\d+)"),
     UaRule("Reddit", "Reddit/", "Reddit/(?:Version )?(\\d+)"),
     UaRule("Outlook Mobile", "Outlook-(?:Android|iOS)/", "Outlook-(?:Android|iOS)/(\\d+)"),
@@ -227,6 +237,7 @@ object UaRules {
     OsRule("Windows", "Windows NT 6\\.1", literal = "7"),
     OsRule("Windows", "Windows NT 6\\.0", literal = "Vista"),
     OsRule("Windows", "Windows NT 5\\.[12]", literal = "XP"),
+    OsRule("Windows CE", "Windows CE"),
     OsRule("Windows", "Windows"),
     OsRule("Chrome OS", "CrOS", "CrOS [a-z0-9_]+ (\\d+)"),
     OsRule("KaiOS", "KAIOS/", "KAIOS/(\\d+)"),
@@ -321,6 +332,7 @@ object UaRules {
     DeviceRule("SMART-TV|SmartTV", family = "Samsung Smart TV"),
     DeviceRule("BRAVIA", family = "Sony Bravia"),
     DeviceRule("SHIELD Android TV", family = "Nvidia Shield TV"),
+    DeviceRule("VIDAA", family = "Hisense Smart TV"),
     // consoles
     DeviceRule("PlayStation (\\d+)", prefix = "PlayStation "),
     DeviceRule("Xbox", family = "Xbox"),
@@ -345,6 +357,9 @@ object UaRules {
     DeviceRule(";\\s*(moto[^;)]*?)\\s+Build/", prefix = "Motorola "),
     DeviceRule(";\\s*(Nokia[^;)]*?)\\s+Build/", prefix = ""),
     DeviceRule(";\\s*(XQ-[A-Z0-9]+)\\s+Build/", prefix = "Sony "),
+    DeviceRule(";\\s*(SO-[A-Z0-9]+)\\s+Build/", prefix = "Sony "),
+    DeviceRule(";\\s*(HTC[^;)]*?)\\s+Build/", prefix = ""),
+    DeviceRule(";\\s*(ZTE[^;)]*?)\\s+Build/", prefix = ""),
     DeviceRule(";\\s*(LM-[A-Z0-9]+)\\s+Build/", prefix = "LG "),
     DeviceRule(";\\s*(RMX[0-9]+)\\s+Build/", prefix = "Realme "),
     // vivo launch codes appear with or WITHOUT a vivo token / Build slot
@@ -378,6 +393,8 @@ object UaRules {
     RefererRule("orange-webmail", "^webmail\\.orange\\.", "email"),
     RefererRule("comcast-webmail", "(^|\\.)mail\\.comcast\\.net$", "email"),
     RefererRule("t-online", "^email\\.t-online\\.de$", "email"),
+    RefererRule("qq-mail", "^mail\\.qq\\.com$", "email"),
+    RefererRule("naver-mail", "^mail\\.naver\\.com$", "email"),
     RefererRule("libero-mail", "^mail\\.libero\\.it$", "email"),
     // email.seznam.cz must precede the seznam SEARCH rule below
     RefererRule("seznam-email", "^email\\.seznam\\.cz$", "email"),
@@ -425,6 +442,7 @@ object UaRules {
     RefererRule("you", "(^|\\.)you\\.com$", "search"),
     RefererRule("perplexity", "(^|\\.)perplexity\\.ai$", "search"),
     RefererRule("swisscows", "(^|\\.)swisscows\\.com$", "search"),
+    RefererRule("chatgpt", "(^|\\.)chatgpt\\.com$", "search"),
     // social networks
     RefererRule("facebook", "(^|\\.)facebook\\.|^fb\\.me$", "social"),
     RefererRule("twitter", "(^|\\.)twitter\\.|(^|\\.)t\\.co$|(^|\\.)x\\.com$", "social"),
@@ -473,7 +491,10 @@ object UaRules {
     RefererRule("patreon", "(^|\\.)patreon\\.com$", "social"),
     RefererRule("xiaohongshu", "(^|\\.)xiaohongshu\\.com$", "social"),
     RefererRule("producthunt", "(^|\\.)producthunt\\.com$", "social"),
-    RefererRule("lobsters", "^lobste\\.rs$", "social"))
+    RefererRule("lobsters", "^lobste\\.rs$", "social"),
+    RefererRule("naver-blog", "^blog\\.naver\\.com$", "social"),
+    RefererRule("douyin", "(^|\\.)douyin\\.com$", "social"),
+    RefererRule("kuaishou", "(^|\\.)kuaishou\\.com$", "social"))
 
   /** Search-term query parameters, tried in order (q: most engines,
     * p: yahoo, text: yandex, wd/word: baidu, query: naver/daum/seznam,
