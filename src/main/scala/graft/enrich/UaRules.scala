@@ -113,6 +113,11 @@ object UaRules {
     // hybrid-broadcast TV runtimes ride a Chrome token
     UaRule("HbbTV", "HbbTV/", "HbbTV/(\\d+)"),
     // in-app webviews with their own tokens
+    // Messenger carries FBAN/Messenger… tokens and must outrank the
+    // generic Facebook rule directly below
+    UaRule("Facebook Messenger",
+      "FBAN/Messenger|FB_IAB/MESSENGER|FBAN/MessengerLite",
+      "FBAV/(\\d+)"),
     UaRule("Facebook", "FBAV/|FBAN/|FB_IAB/", "FBAV/(\\d+)"),
     UaRule("Instagram", "Instagram[ /]", "Instagram[ /](\\d+)"),
     UaRule("WeChat", "MicroMessenger/", "MicroMessenger/(\\d+)"),
@@ -129,11 +134,6 @@ object UaRules {
     UaRule("DuckDuckGo Mobile", "DuckDuckGo/", "DuckDuckGo/(\\d+)"),
     UaRule("Ecosia", "Ecosia (?:android|ios)@", "Ecosia (?:android|ios)@(\\d+)"),
     UaRule("WhatsApp", "WhatsApp/", "WhatsApp/(\\d+)"),
-    // Messenger carries FBAN/Messenger… tokens and must outrank the
-    // generic Facebook rule below
-    UaRule("Facebook Messenger",
-      "FBAN/Messenger|FB_IAB/MESSENGER|FBAN/MessengerLite",
-      "FBAV/(\\d+)"),
     UaRule("QQ", "\\bQQ/\\d", "\\bQQ/(\\d+)"),
     UaRule("Yandex App", "YaApp_(?:Android|iOS)/|YandexSearch/",
       "YaApp_(?:Android|iOS)/(\\d+)"),
