@@ -264,7 +264,7 @@ object MapperQueries {
   /** Real-world UA strings spanning desktop/mobile/webview/legacy/
     * spider/tool families — inputs only; EXPECTED outputs come from the
     * rule tables on both engines, never from this list. */
-  private val uaSamples: Seq[String] = Seq(
+  private[graft] val uaSamples: Seq[String] = Seq(
     "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.6099.71 Safari/537.36",
     "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
     "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
@@ -385,7 +385,116 @@ object MapperQueries {
     "Mozilla/5.0 (Linux; Android 12; ZTE A2322G Build/SP1A.210812.016) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36",
     "Mozilla/5.0 (Linux; Android 9; VIDAA; Hisense 55A6H) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/79.0.3945.120 Safari/537.36",
     "UP.Browser/6.2.3.8 (GUI) MMP/2.0",
-    "Nokia215/2.0 (03.20) Profile/MIDP-2.0 Configuration/CLDC-1.1 MAUI WAP Browser")
+    "Nokia215/2.0 (03.20) Profile/MIDP-2.0 Configuration/CLDC-1.1 MAUI WAP Browser",
+    // round-12 tail: one witness per remaining rule so RuleLintSpec can
+    // prove every table row reachable (dead-rule/precedence lint) —
+    // Opera variants, CN/privacy Chromium shells, social in-app
+    // webviews, gecko forks, WebKit shells, legacy mobile, text-mode,
+    // Windows literals, mobile/TV/desktop OSes, branded Android hardware
+    "Opera/9.80 (Windows Mobile; WM8; U; en) Presto/2.4.13 Opera Mobi/35; Version/10.00",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 9_0 like Mac OS X) AppleWebKit/601.1.46 (KHTML, like Gecko) Coast/5.04.110603 Mobile/13A344 Safari/7534.48.3",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/53.0.2785.143 Safari/537.36 MMS/1.0.2459.0",
+    "Mozilla/5.0 (Linux; Android 12; V2154A Build/SP1A.210812.003) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/87.0.4280.141 Mobile Safari/537.36 VivoBrowser/12.0.10.0",
+    "Mozilla/5.0 (Linux; U; Android 11; zh-cn; PEGM00 Build/RKQ1.201105.002) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/83.0.4103.101 Mobile Safari/537.36 OppoBrowser/36.8.5.1",
+    "Mozilla/5.0 (Linux; U; Android 13; zh-cn; CPH2437 Build/TP1A.220905.001) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/99.0.4844.88 HeyTapBrowser/45.10.7.1 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 6.1) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/46.0.2490.76 BIDUBrowser/8.7 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; 2211133C Build/TKQ1.220829.002) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/108.0.5359.128 Mobile Safari/537.36 baiduboxapp/13.40.0.10",
+    "Mozilla/5.0 (Windows NT 6.3; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/45.0.2454.101 Safari/537.36 LBBROWSER",
+    "Mozilla/5.0 (Windows NT 6.2) AppleWebKit/537.36 (KHTML, like Gecko) Iron/31.0.1700.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 5.1) AppleWebKit/537.36 (KHTML, like Gecko) Comodo_Dragon/16.1.1.0 Chrome/16.0.912.63 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Avast/120.0.21962.123 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 AVG/119.0.20600.121 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; SM-A137F Build/TP1A.220624.014) AppleWebKit/537.36 (KHTML, like Gecko) SznProhlizec/38.0.5a Chrome/116.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 6.0) AppleWebKit/537.36 (KHTML, like Gecko) MRCHROME SOC Chrome/34.0.1847.135 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 9; SM-G960F Build/PPR1.180610.011) AppleWebKit/537.36 (KHTML, like Gecko) Puffin/9.7.2.51367AP Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 7.0; PLK-L01 Build/HONORPLK-L01) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/55.0.2883.91 Crosswalk/23.53.589.4 Mobile Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) QtWebEngine/5.15.2 Chrome/83.0.4103.122 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/113.0.0.0 Safari/537.36 Slimjet/41.0.6.0",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/42.0.2311.90 Torch/42.0.0.10608 Safari/537.36",
+    "Mozilla/5.0 (Linux; U; Android 9; en-us; SM-J701F Build/PPR1.180610.011) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/57.0.2987.108 ACHEETAHI/1 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 8.1.0; CPH1803 Build/OPM1.171019.026; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/66.0.3359.158 APUSBrowser/1.9.7 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; M2101K6G Build/TKQ1.220829.002) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.127 Mobile Safari/537.36 Via/5.9.0",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Falkon/23.08.1 Chrome/87.0.4280.144 Safari/537.36",
+    "Mozilla/5.0 (X11; Ubuntu; Linux x86_64) AppleWebKit/538.1 (KHTML, like Gecko) Otter/1.0.03 Safari/538.1",
+    "Mozilla/5.0 (X11; Fedora; Linux x86_64) AppleWebKit/538.1 (KHTML, like Gecko) QupZilla/2.2.6 Safari/538.1",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Midori/9.0 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; 22081212C Build/TKQ1.220829.002; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/107.0.5304.141 Mobile Safari/537.36 XWEB/5075 MMWEBSDK/20230701 MicroMessenger/8.0.40.2420",
+    "Mozilla/5.0 (Linux; Android 14; SM-S926N Build/UP1A.231005.007; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/121.0.0.0 Mobile Safari/537.36;KAKAOTALK 2410590",
+    "Mozilla/5.0 (Linux; Android 13; SM-G781B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/118.0.0.0 Mobile Safari/537.36 Snapchat/12.61.0.46",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 [Pinterest/iOS]",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Twitter for iPhone/10.24",
+    "Mozilla/5.0 (Linux; Android 13; SM-S901B Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/117.0.0.0 Mobile Safari/537.36 LinkedInApp/4.1.903",
+    "Mozilla/5.0 (Linux; Android 13; SM-A546E Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/115.0.0.0 Mobile Safari/537.36 musical_ly_2023305040 JsSdk/1.0 NetType/WIFI Channel/googleplay",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) GSA/287.0.588508713 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chromium/120.0.6099.129 Chrome/120.0.6099.129 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Focus/123.0 Chrome/121.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Klar/123.0 Chrome/121.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:91.0) Gecko/20100101 Firefox/91.0 SeaMonkey/2.53.10",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:102.0) Gecko/20100101 Firefox/102.0 Waterfox/102.10.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:102.0) Gecko/20220101 Goanna/6.3 PaleMoon/32.5.1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:68.9) Gecko/20100101 Goanna/4.8 Firefox/68.9 Basilisk/20230511",
+    "Mozilla/5.0 (X11; GNU Linux x86_64; rv:102.0) Gecko/20100101 IceCat/102.15.0",
+    "Mozilla/5.0 (X11; Debian; Linux x86_64; rv:38.0) Gecko/20100101 Iceweasel/38.8.0",
+    "Mozilla/5.0 (Windows NT 5.2; rv:31.0) Gecko/20100101 Firefox/31.0 K-Meleon/76.4.7",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_6_8) Gecko/20120308 Camino/2.1.2 (like Firefox/3.6.28)",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:115.0) Gecko/20100101 Thunderbird/115.6.0",
+    "Mozilla/5.0 (Linux; U; Sailfish 4.5; Mobile; rv:78.0) Gecko/78.0 Firefox/78.0 SailfishBrowser/2.2",
+    "Mozilla/5.0 (Linux; U; Android 9; en-US; SM-A205F Build/PPR1.180610.011) AppleWebKit/534.30 (KHTML, like Gecko) Version/4.0 Mobile Safari/534.30 Dolphin/12.1.3",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 9_3 like Mac OS X) AppleWebKit/601.1.46 (KHTML, like Gecko) Mercury/9.2.1 Mobile/13E238 Safari/601.1",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.1 Safari/605.1.15 Sleipnir/4.7.5",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 15_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Lunascape 13.1.0 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) iCab/6.1.1 Safari/605.1.15",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) OmniWeb/v622.8.0.112941",
+    "Mozilla/5.0 (BB10; Touch) AppleWebKit/537.35+ (KHTML, like Gecko) Version/10.3.3.2205 Mobile Safari/537.35+",
+    "BlackBerry9900/7.1.0.346 Profile/MIDP-2.1 Configuration/CLDC-1.1 VendorID/109",
+    "Mozilla/5.0 (Symbian/3; Series60/5.3 NokiaN8-00/111.040.1511; Profile/MIDP-2.1 Configuration/CLDC-1.1 ) AppleWebKit/535.1 (KHTML, like Gecko) NokiaBrowser/8.3.1.4 Mobile Safari/535.1",
+    "SonyEricssonK810i/R1KG Browser/NetFront/3.3 Profile/MIDP-2.0 Configuration/CLDC-1.1",
+    "Mozilla/5.0 (Macintosh; U; Intel Mac OS X 10_5_7; en-us) AppleWebKit/530.17 (KHTML, like Gecko) Version/4.0 Skyfire/2.0 Safari/530.17",
+    "Mozilla/5.0 (X11; U; Linux armv7l like Android; en-us) AppleWebKit/531.2+ (KHTML, like Gecko) Version/5.0 Safari/533.2+ Kindle/3.0+",
+    "Mozilla/5.0 (compatible; MSIE 10.0; Windows Phone 8.0; Trident/6.0; IEMobile/10.0; ARM; Touch; NOKIA; Lumia 920)",
+    "Mozilla/4.0 (compatible; MSIE 6.0; Windows CE; IEMobile 7.11)",
+    "Mozilla/5.0 (X11; Linux x86_64) KHTML/5.103 konqueror/22.12.3",
+    "Mozilla/5.0 (Windows; U; Windows NT 5.0; en-US; rv:1.7.2) Gecko/20040804 Netscape/7.2 (ax)",
+    "Lynx/2.8.9rel.1",
+    "w3m/0.5.3+git20230121",
+    "ELinks/0.13.1 (textmode; Linux 5.10.0 x86_64; 202x60-2)",
+    "Mozilla/5.0 (Mobile; Nokia_8110_4G; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5",
+    "Mozilla/5.0 (SMART-TV; LINUX; Tizen 6.5) AppleWebKit/537.36 (KHTML, like Gecko) 85.0.4183.93/6.5 TV Safari/537.36",
+    "Mozilla/5.0 (AppleTV; CPU tvOS 17_2 like Mac OS X) AppleWebKit/605.1.15",
+    "Mozilla/5.0 (Apple Watch; CPU watchOS 10_2 like Mac OS X) AppleWebKit/605.1.15",
+    "Mozilla/5.0 (Mobile; rv:26.0) Gecko/26.0 Firefox/26.0",
+    "Mozilla/5.0 (MeeGo; NokiaN9) AppleWebKit/534.13 (KHTML, like Gecko) NokiaBrowser/8.5.0 Mobile Safari/534.13",
+    "Mozilla/5.0 (X11; U; Linux armv7l; en-GB; rv:1.9.2.3pre) Gecko/20100723 Firefox/3.5 Maemo Browser 1.7.4.8 RX-51 N900",
+    "Mozilla/5.0 (SAMSUNG; SAMSUNG-GT-S8500/S8500XXJL2; U; Bada/1.2; en-us) AppleWebKit/533.1 (KHTML, like Gecko) Dolfin/2.2 Mobile WVGA profile/MIDP-2.1 configuration/CLDC-1.1",
+    "Roku/DVP-9.10 (519.10E04111A)",
+    "Mozilla/5.0 (X11; Linux x86_64; Linux Mint 21.2) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Arch Linux; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (X11; CentOS; Linux x86_64; rv:102.0) Gecko/20100101 Firefox/102.0",
+    "Mozilla/5.0 (X11; Red Hat Enterprise Linux; Linux x86_64; rv:102.0) Gecko/20100101 Firefox/102.0",
+    "Mozilla/5.0 (X11; openSUSE Tumbleweed; Linux x86_64; rv:120.0) Gecko/20100101 Firefox/120.0",
+    "Mozilla/5.0 (X11; Gentoo; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (X11; Slackware 15.0; Linux x86_64; rv:115.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (X11; Mageia; Linux x86_64; rv:115.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (X11; Manjaro; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; FreeBSD amd64; rv:120.0) Gecko/20100101 Firefox/120.0",
+    "Mozilla/5.0 (X11; OpenBSD amd64; rv:115.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (X11; NetBSD amd64; rv:115.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (X11; DragonFly x86_64; rv:115.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (X11; SunOS i86pc; rv:102.0) Gecko/20100101 Firefox/102.0",
+    "Mozilla/5.0 (iPod touch; CPU iPhone OS 15_8 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/15.6 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (X11; Linux aarch64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/100.0.4896.160 Safari/537.36 CrKey/1.56.500000",
+    "Mozilla/5.0 (Linux; Android 9; AFTKA Build/PS7633; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/118.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 10; BRAVIA 4K VH2 Build/QTG3.200305.006.S292) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/92.0.4515.166 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 11; SHIELD Android TV Build/RQ1A.210105.003) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 6.0.1; Nexus 5X Build/MMB29P) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/104.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 8.0.0; HUAWEI VTR-L09 Build/HUAWEIVTR-L09) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/95.0.4638.74 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 10; ONEPLUS A6003 Build/QKQ1.190716.003) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 11; vivo 1906 Build/RP1A.200720.012) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; moto g 5G - 2023 Build/T1TGS33.44) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 12; Nokia G21 Build/SP1A.210812.016) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/116.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; XQ-BC52 Build/61.2.A.0.472B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 10; LM-G850 Build/QKQ1.200614.002) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; RMX3630 Build/TP1A.220905.001) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/117.0.0.0 Mobile Safari/537.36")
 
   /** M2 against the oracle: each event picks a UA sample; Spark parses
     * through [[graft.enrich.UserAgentMapper]], the twin through the
@@ -477,7 +586,7 @@ object MapperQueries {
     * malformed string, and a path-less URL. All well-formed entries are
     * plain `scheme://host/path?query` so the twin's regex host/path
     * extraction coincides with Spark's parse_url exactly. */
-  private val refSamples: Seq[String] = Seq(
+  private[graft] val refSamples: Seq[String] = Seq(
     "https://www.google.com/search?q=spark+engine",
     "https://www.bing.com/search?q=duck",
     "https://yandex.ru/search/?text=spark",
@@ -534,7 +643,78 @@ object MapperQueries {
     "https://mail.qq.com/cgi-bin/frame_html",
     "https://blog.naver.com/someone/223",
     "https://www.douyin.com/video/7300",
-    "https://www.kuaishou.com/short-video/3x")
+    "https://www.kuaishou.com/short-video/3x",
+    // round-12 tail: one witness URL per remaining referers row
+    // (RuleLintSpec dead-rule lint) — regional webmail, regional /
+    // meta search, and the social/video/community tail
+    "https://mail.yahoo.com/d/folders/1",
+    "https://mail.yandex.ru/u2210/",
+    "https://mail.aol.com/webmail-std/en-us/suite",
+    "https://navigator-bs.gmx.net/mail",
+    "https://3c.web.de/mail/",
+    "https://www.fastmail.com/mail/Inbox",
+    "https://webmail.orange.fr/webmail/fr_FR/inbox.html",
+    "https://mail.comcast.net/appsuite/inbox",
+    "https://email.t-online.de/em",
+    "https://mail.naver.com/v2/folders/0",
+    "https://mail.libero.it/appsuite/",
+    "https://www.ask.com/web?q=how+to",
+    "https://search.aol.com/aol/search?q=news",
+    "https://search.daum.net/search?w=tot&q=seoul",
+    "https://www.so.com/s?q=beijing",
+    "https://nova.rambler.ru/search?query=moskva",
+    "https://search.brave.com/search?q=private",
+    "https://search.lycos.com/web/?q=retro",
+    "https://results.excite.com/serp?q=classic",
+    "https://www.mojeek.com/search?q=crawler",
+    "https://kagi.com/search?q=paid",
+    "https://www.dogpile.com/serp?q=meta",
+    "https://www.webcrawler.com/serp?q=old",
+    "https://metager.org/meta/meta.ger3?eingabe=berlin",
+    "https://searx.be/search?q=foss",
+    "https://presearch.com/search?q=crypto",
+    "https://szukaj.wp.pl/szukaj?q=wiadomosci",
+    "https://szukaj.interia.pl/szukaj?q=sport",
+    "https://search.virgilio.it/ricerca?qs=milano",
+    "https://search.biglobe.ne.jp/cgi-bin/search?q=tokyo",
+    "https://www.najdi.si/najdi?q=ljubljana",
+    "https://search.centrum.cz/index.php?q=praha",
+    "https://swisscows.com/en/web?query=privacy",
+    "https://www.facebook.com/groups/12345/",
+    "https://www.reddit.com/r/apachespark/comments/abc/",
+    "https://www.pinterest.com/pin/1234567/",
+    "https://www.youtube.com/watch?v=abc123",
+    "https://www.tiktok.com/@user/video/7300",
+    "https://vk.com/wall-1_2345",
+    "https://weibo.com/u/123456",
+    "https://someone.tumblr.com/post/1",
+    "https://www.quora.com/What-is-Spark",
+    "https://www.threads.net/@someone/post/abc",
+    "https://www.snapchat.com/add/someone",
+    "https://chat.whatsapp.com/invite/abc",
+    "https://t.me/somechannel/42",
+    "https://www.twitch.tv/streamer",
+    "https://mastodon.social/@someone/111",
+    "https://github.com/apache/spark/pull/1",
+    "https://app.slack.com/client/T01/C02",
+    "https://discord.com/channels/1/2",
+    "https://line.me/R/ti/p/abc",
+    "https://open.kakao.com/o/abc",
+    "https://mp.weixin.qq.com/s/abcdef",
+    "https://user.qzone.qq.com/12345",
+    "https://www.douban.com/group/topic/1/",
+    "https://www.zhihu.com/question/1",
+    "https://www.bilibili.com/video/BV1",
+    "https://www.nicovideo.jp/watch/sm1",
+    "https://www.dailymotion.com/video/x1",
+    "https://vimeo.com/123456",
+    "https://www.flickr.com/photos/someone/1",
+    "https://www.meetup.com/group/events/1/",
+    "https://www.xing.com/discover/updates",
+    "https://nextdoor.com/news_feed/",
+    "https://invite.viber.com/?g2=abc",
+    "https://kick.com/streamer",
+    "https://lobste.rs/s/abc123")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

@@ -57,7 +57,9 @@ object UaRules {
     UaRule("Yandex Browser", "YaBrowser/", "YaBrowser/(\\d+)"),
     UaRule("Vivaldi", "Vivaldi/", "Vivaldi/(\\d+)"),
     UaRule("Brave", "Brave[ /]", "Brave[ /](\\d+)"),
-    UaRule("UC Browser", "UC?Browser/|UCWEB/", "(?:UC?Browser|UCWEB)/(\\d+)"),
+    // optional-C "UC?Browser/" also matched the U*Browser tail of
+    // BIDUBrowser/ — spell the variants out (RuleLintSpec r12)
+    UaRule("UC Browser", "UC ?Browser/|UCWEB/", "(?:UC ?Browser|UCWEB)/(\\d+)"),
     UaRule("Whale", "Whale/", "Whale/(\\d+)"),
     UaRule("MiuiBrowser", "MiuiBrowser/", "MiuiBrowser/(\\d+)"),
     UaRule("Mint Browser", "Mint Browser/", "Mint Browser/(\\d+)"),
@@ -66,7 +68,10 @@ object UaRules {
     UaRule("Vivo Browser", "VivoBrowser/", "VivoBrowser/(\\d+)"),
     UaRule("Oppo Browser", "OppoBrowser/", "OppoBrowser/(\\d+)"),
     UaRule("HeyTap Browser", "HeyTapBrowser/", "HeyTapBrowser/(\\d+)"),
-    UaRule("QQ Browser", "M?QQBrowser/", "M?QQBrowser/(\\d+)"),
+    // NOTE: QQ Browser sits AFTER the in-app webview block below — CN
+    // super-app webviews (DingTalk, Alipay, QQ) ride the Tencent X5
+    // engine whose MQQBrowser/ token would otherwise consume them
+    // (RuleLintSpec flagged both as unreachable in r12)
     UaRule("Baidu Browser", "BIDUBrowser[ /]", "BIDUBrowser[ /](\\d+)"),
     UaRule("Baidu Box App", "baiduboxapp/", "baiduboxapp/(\\d+)"),
     UaRule("2345 Explorer", "2345Explorer/", "2345Explorer/(\\d+)"),
@@ -102,10 +107,10 @@ object UaRules {
     UaRule("QupZilla", "QupZilla/", "QupZilla/(\\d+)"),
     UaRule("Epiphany", "Epiphany/", "Epiphany/(\\d+)"),
     UaRule("Midori", "Midori/", "Midori/(\\d+)"),
-    // headless / automation shells — their tokens CONTAIN "Chrome/",
-    // so they must precede the Chromium engine rules
-    UaRule("HeadlessChrome", "HeadlessChrome/", "HeadlessChrome/(\\d+)"),
-    UaRule("PhantomJS", "PhantomJS/", "PhantomJS/(\\d+)"),
+    // headless / automation shells (HeadlessChrome, PhantomJS) carry
+    // no rule here: SpiderRe above already claims their tokens, so the
+    // whole bot class lands on family "Spider" — dedicated rules would
+    // be dead code (RuleLintSpec proved exactly that in r12)
     // CN desktop shells riding a Chrome token
     UaRule("360 Secure Browser", "QIHU 360|\\b360(?:SE|EE)\\b"),
     UaRule("Aloha Browser", "AlohaBrowser/", "AlohaBrowser/(\\d+)"),
@@ -152,6 +157,13 @@ object UaRules {
     UaRule("VK App", "VKAndroidApp/|VK iPhone", "VKAndroidApp/(\\d+)"),
     UaRule("Shopee", "Shopee"),
     UaRule("Naver App", "NAVER\\(inapp"),
+    // the X5-engine browser proper — after every super-app shell above
+    UaRule("QQ Browser", "M?QQBrowser/", "M?QQBrowser/(\\d+)"),
+    // Focus/Klar ship as a WebView shell on Android (Focus/… next to
+    // Chrome/…Mobile), so they must outrank the Chromium engine rules,
+    // not sit in the Gecko block (RuleLintSpec r12)
+    UaRule("Firefox Focus", "Focus/", "Focus/(\\d+)"),
+    UaRule("Firefox Klar", "Klar/", "Klar/(\\d+)"),
     // iOS engine shells (Apple mandates WebKit; the token is the shell)
     UaRule("Chrome Mobile iOS", "CriOS/", "CriOS/(\\d+)"),
     UaRule("Firefox iOS", "FxiOS/", "FxiOS/(\\d+)"),
@@ -160,9 +172,10 @@ object UaRules {
     UaRule("Chrome Mobile", "Chrome/\\d[^)]*Mobile|CrMo/", "(?:Chrome|CrMo)/(\\d+)"),
     UaRule("Chromium", "Chromium/", "Chromium/(\\d+)"),
     UaRule("Chrome", "Chrome/", "Chrome/(\\d+)"),
-    // Gecko lineage — forks and shells before Firefox itself
-    UaRule("Firefox Focus", "Focus/", "Focus/(\\d+)"),
-    UaRule("Firefox Klar", "Klar/", "Klar/(\\d+)"),
+    // Gecko lineage — forks and shells before Firefox itself.
+    // SailfishBrowser UAs carry "Mobile ... Firefox/" so the shell must
+    // also precede Firefox Mobile (RuleLintSpec r12)
+    UaRule("Sailfish Browser", "SailfishBrowser/", "SailfishBrowser/(\\d+)"),
     UaRule("LibreWolf", "LibreWolf/", "LibreWolf/(\\d+)"),
     UaRule("Floorp", "Floorp/", "Floorp/(\\d+)"),
     UaRule("Firefox Mobile", "(?:Mobile|Tablet|Android).*Firefox/|Fennec/",
@@ -185,7 +198,6 @@ object UaRules {
     UaRule("Lunascape", "Lunascape[ /]", "Lunascape[ /](\\d+)"),
     UaRule("iCab", "iCab[ /]", "iCab[ /](\\d+)"),
     UaRule("OmniWeb", "OmniWeb/", "OmniWeb/v?(\\d+)"),
-    UaRule("Sailfish Browser", "SailfishBrowser/", "SailfishBrowser/(\\d+)"),
     UaRule("BlackBerry WebKit", "BB10|PlayBook", "Version/(\\d+)"),
     UaRule("BlackBerry", "BlackBerry", "BlackBerry\\d+/(\\d+)"),
     UaRule("Nokia Browser", "NokiaBrowser/|OviBrowser/",
@@ -319,9 +331,11 @@ object UaRules {
     * desktop tails AFTER this table ([[AndroidModelRe]], Generic
     * Smartphone/Tablet, Other) and checks Spider BEFORE it. */
   val devices: Seq[DeviceRule] = Seq(
+    // iPod touch UAs say "iPod touch; CPU iPhone OS …" — the iPod rule
+    // must precede iPhone or it is unreachable (RuleLintSpec r12)
+    DeviceRule("iPod", family = "iPod"),
     DeviceRule("iPhone", family = "iPhone"),
     DeviceRule("iPad", family = "iPad"),
-    DeviceRule("iPod", family = "iPod"),
     // TV / streaming sticks and boxes — the LG Web0S token must win
     // before the generic SmartTV capture (its UAs also say SmartTV)
     DeviceRule("Apple\\s?TV", family = "Apple TV"),
