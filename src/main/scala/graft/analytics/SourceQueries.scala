@@ -53,7 +53,7 @@ object SourceQueries {
     * aggregated with casts. */
   def s6RemoteBulk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val csvDir = s"${TempDirs.scratch("graft-s6")}/nation"
+    val csvDir = s"${TempDirs.scratchFor("graft-s6")}/nation"
     Tables(spark, dir, "nation")
       .coalesce(1).write.option("header", "true").mode("overwrite").csv(csvDir)
     val part = new java.io.File(csvDir).listFiles()
@@ -86,7 +86,7 @@ object SourceQueries {
   def s3Csv(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.core.FieldType
-    val csvDir = s"${TempDirs.scratch("graft-s3")}/events"
+    val csvDir = s"${TempDirs.scratchFor("graft-s3")}/events"
     Tables(spark, dir, "events")
       .select($"event_id", $"event_type", $"value", $"user_id")
       .write.option("header", "true").mode("overwrite").csv(csvDir)
@@ -133,7 +133,7 @@ object SourceQueries {
     val writerSchema = AvroIngest.avroSchema("nation", Seq(
       "n_nationkey" -> LongType, "n_name" -> StringType,
       "n_regionkey" -> LongType, "legacy_junk" -> StringType))
-    val f = TempDirs.scratch("graft-s4").resolve("nation.avro").toFile
+    val f = TempDirs.scratchFor("graft-s4").resolve("nation.avro").toFile
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](writerSchema))
     w.create(writerSchema, f)

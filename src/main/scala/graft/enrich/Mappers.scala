@@ -254,7 +254,8 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
   * matches at most one family's dim (the keys are mutually exclusive
   * by construction), so shared output columns coalesce safely. */
 final case class GeoIpMapper(ranges: DataFrame,
-    rangesV6: Option[DataFrame] = None) extends EventMapper {
+    rangesV6: Option[DataFrame] = None,
+    skipPrivateV6: Boolean = true) extends EventMapper {
   val name = "geoip"
 
   private def attrCols(df: DataFrame): Seq[String] =
@@ -302,8 +303,16 @@ final case class GeoIpMapper(ranges: DataFrame,
         val renamed = attrs6.foldLeft(r6)(
           (d, c) => d.withColumnRenamed(c, "__v6_" + c))
         val ip6 = bridged(graft.functions.Ipv6Bytes(expr0(col("_ip"))))
+        // DIVERGENCE from the reference: its private-range check is the
+        // v4-only regex above (MaxmindGeoIPEventMapper.java:52) — an
+        // InetAddress walk happily enriches fc00::/7 or fe80::/10 when
+        // a customer database deliberately maps them (lab/VPN overlay
+        // deployments do). The default skip only saves probes against
+        // real public databases; pass skipPrivateV6 = false to restore
+        // exact reference behavior for ULA/link-local-mapped dims.
         val v6Private =
-          (ip6 >= lit(GeoIpMapper.UniqueLocalLo) &&
+          if (!skipPrivateV6) lit(false)
+          else (ip6 >= lit(GeoIpMapper.UniqueLocalLo) &&
             ip6 <= lit(GeoIpMapper.UniqueLocalHi)) ||
           (ip6 >= lit(GeoIpMapper.LinkLocalLo) &&
             ip6 <= lit(GeoIpMapper.LinkLocalHi))

@@ -97,10 +97,13 @@ object MiniJs {
   case object Undefined { override def toString = "undefined" }
 
   /** Reserved Closure-props key holding a class's superclass (the
-    * `B.__proto__ = A` static-inheritance link). Dollar-prefixed and
-    * graft-namespaced so no realistic script collides; function props
-    * are not enumerated, so it never leaks through for-in/JSON. */
-  val StaticParentKey = "__graft$staticparent"
+    * `B.__proto__ = A` static-inheritance link). Contains a SPACE, a
+    * character the lexer rejects inside identifiers and member names —
+    * so no script can spell `C.<key>` to read or sever the link (and
+    * computed index on a Closure throws), while the desugar's own AST
+    * carries the key directly without lexing. Function props are not
+    * enumerated, so it never leaks through for-in/JSON either. */
+  val StaticParentKey = "__graft staticparent"
 
   final case class Closure(params: Seq[String], body: Seq[Stmt], env: Env,
       name: String, isArrow: Boolean = false) {
@@ -724,8 +727,10 @@ object MiniJs {
       * NamedEvaluation name. */
     private def classExpr(): Expr = {
       val name =
+        // the synthetic binding carries a space so no script inside the
+        // class body can name-collide with (or rebind) it
         if (cur.kind == "id" && cur.text != "extends") checkName(eat().text)
-        else "__graft$classexpr"
+        else "__graft classexpr"
       val ss = classRest(name).ss
       Call(FunLit(Seq.empty, ss :+ ReturnS(Some(Ident(name))), "",
         isArrow = true), Seq.empty)

@@ -311,7 +311,7 @@ object AnnIndex {
   def ai1AnnIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables(spark, dir, "embeddings")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ai1").toString
+    val tmp = graft.TempDirs.scratchFor("graft-ann-ai1").toString
     val mid = emb.agg((max($"vec_id") / lit(2)).cast("long")).collect()(0).getLong(0)
     initialize(emb.filter($"vec_id" <= mid), tmp)
     append(spark, emb.filter($"vec_id" > mid), tmp, 2L)
@@ -346,7 +346,7 @@ object AnnIndex {
     val emb = Tables(spark, dir, "embeddings")
     // one bootstrap build — ai1 already proves append-path equivalence,
     // so the health audit doesn't pay for a second assignment pass
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-ai2").toString
+    val tmp = graft.TempDirs.scratchFor("graft-ann-ai2").toString
     initialize(emb, tmp)
 
     val posts = postings(spark, tmp)

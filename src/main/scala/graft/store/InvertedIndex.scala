@@ -325,7 +325,7 @@ object InvertedIndex {
   private def twoBatchIndex(spark: SparkSession, docs: DataFrame,
       prefix: String): String = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    val tmp = graft.TempDirs.scratchFor(prefix).toString
     val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
       .collect()(0).getLong(0)
     initialize(docs.filter($"doc_id" <= mid), tmp)
@@ -357,7 +357,7 @@ object InvertedIndex {
   def ix2ShardStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivx-ix2").toString
+    val tmp = graft.TempDirs.scratchFor("graft-ivx-ix2").toString
     initialize(docs, tmp)
     postings(spark, tmp)
       .groupBy($"shard")

@@ -14,7 +14,7 @@ class PipelineSpec extends SparkSpec {
 
   test("end-to-end: ingest → enrich → store → read → aggregate") {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val warehouse = graft.TempDirs.scratch("graft-wh").toString
     val now = 1_700_000_000_000L
 
     // batch 1: two events, one missing _time
@@ -49,7 +49,7 @@ class PipelineSpec extends SparkSpec {
 
   test("dead letters persist to the invalid_schema table with event identity") {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh2").toString
+    val warehouse = graft.TempDirs.scratch("graft-wh2").toString
     JsonIngest.ingest(spark, registry, "demo", spark.sparkContext.parallelize(Seq(
       """{"collection": "c", "properties": {"n": 1.0}}""")))
     val bad = JsonIngest.ingest(spark, registry, "demo", spark.sparkContext.parallelize(Seq(
@@ -68,7 +68,7 @@ class PipelineSpec extends SparkSpec {
 
   test("unified fan-out: one write job for N collections, pruned typed reads") {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-wh3").toString
+    val warehouse = graft.TempDirs.scratch("graft-wh3").toString
     val raw = spark.sparkContext.parallelize(Seq(
       """{"collection": "pageview", "properties": {"_user": "u1", "page": "/a", "v": 1.5}}""",
       """{"collection": "click", "properties": {"_user": "u2", "target": "btn", "v": "red"}}""",

@@ -12,6 +12,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * stop seeing the file's contents entirely. This spec fails on any
   * byte < 0x20 other than tab (0x09) and LF (0x0A) in any tracked
   * source file, so the corruption is caught the moment it lands.
+  *
+  * NOTE: CR (0x0D) is deliberately rejected too — LF-only line endings
+  * are a repo requirement (keep `core.autocrlf` off / `input` on a
+  * Windows checkout). Only NUL-family bytes trip grep's binary
+  * heuristic, but admitting CR would let mixed line endings creep into
+  * a tree whose generated-twin SQL and byte-hash oracles assume a
+  * single canonical encoding.
   */
 class SourceHygieneSpec extends AnyFunSuite {
 

@@ -12,7 +12,7 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        graft.TempDirs.scratch("graft-warehouse").toString)
       .withExtensions(new GraftExtensions())
     Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()

@@ -42,7 +42,7 @@ class CorpusQueriesSpec extends SparkSpec {
         (1000L, evalText, null.asInstanceOf[String], "src2",
           evalText.length.toLong)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-d7").toString
+    val tmp = graft.TempDirs.scratch("graft-d7").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = CorpusQueries.d7BloomDecontam(spark, tmp)
       .orderBy($"lang").collect()
@@ -69,7 +69,7 @@ class CorpusQueriesSpec extends SparkSpec {
       (2L, boiler + " " + (1 to 20).map(i => "b" + i).mkString(" ")),
       (3L, unique + " " + (1 to 20).map(i => "c" + i).mkString(" ")))
       .toDF("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-d8").toString
+    val tmp = graft.TempDirs.scratch("graft-d8").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = CorpusQueries.d8ParagraphDedup(spark, tmp)
       .orderBy($"doc_id").collect()

@@ -25,7 +25,7 @@ class CurationFunnelSpec extends SparkSpec {
         .mkString("the ", " ", " a"), "en", "src1", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val rows = TrainingSetQueries.ds10CurationFunnel _
-    val tmp = java.nio.file.Files.createTempDirectory("ds10")
+    val tmp = graft.TempDirs.scratch("ds10")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = rows(spark, tmp.toString).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -68,7 +68,7 @@ class CurationFunnelSpec extends SparkSpec {
       (2L, long, "en", "src1", 0L),            // quality survivor
       (3L, long, "en", "src1", 0L))            // duplicate of 2 → dropped
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("ds10b")
+    val tmp = graft.TempDirs.scratch("ds10b")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = TrainingSetQueries.ds10CurationFunnel(spark, tmp.toString)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -86,7 +86,7 @@ class DsirPadWasteSpec extends SparkSpec {
       .groupBy($"batch")
       .agg((max($"n_tok") * count(lit(1)) - sum($"n_tok")).as("pad"))
       .agg(sum($"pad")).collect()(0).getLong(0)
-    val tmp = java.nio.file.Files.createTempDirectory("pk2spec").toString
+    val tmp = graft.TempDirs.scratch("pk2spec").toString
     docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
       .withColumn("n_chars", length($"text").cast("long"))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")

@@ -16,7 +16,7 @@ class DupSpanSpec extends SparkSpec {
 
   private def corpus(docs: Seq[(Long, Seq[String])]): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    val dir = graft.TempDirs.scratch("graft-docs").toString
     docs.map { case (id, toks) => (id, toks.mkString(" ")) }
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -20,7 +20,7 @@ class FrameNearDupSpec extends SparkSpec {
   private def run(rows: Seq[(Long, String)]) = {
     val docs = rows.map { case (i, t) => (i, t, "en", "s", 0L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("mm5")
+    val tmp = graft.TempDirs.scratch("mm5")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     MultimodalQueries.mm5FrameNearDup(spark, tmp.toString)
   }

@@ -29,7 +29,7 @@ class LayoutQueriesSpec extends SparkSpec {
 
   test("zorderWrite: row-preserving, schema-preserving, and every file is narrow") {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+    val out = graft.TempDirs.scratch("zorder").toString
     LayoutQueries.zorderWrite(events, numFiles = 8)
       .write.mode("overwrite").parquet(out)
     val back = spark.read.parquet(out)

@@ -77,7 +77,7 @@ class PackedShardsSpec extends SparkSpec {
   }
 
   test("the shard writer round-trips through the partitioned layout") {
-    val dir = java.nio.file.Files.createTempDirectory("pk3-shards").toString
+    val dir = graft.TempDirs.scratch("pk3-shards").toString
     val n = CorpusQueries.packedShards(docs, dir)
     val back = spark.read.parquet(dir)
     assert(back.count() === n)

@@ -134,7 +134,7 @@ class TokenizerQueriesSpec extends SparkSpec {
     val d = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
     val merges = bpeTrain(d, 8)
     assert(merges.size === 2)
-    val tmp = java.nio.file.Files.createTempDirectory("bpe3-exh")
+    val tmp = graft.TempDirs.scratch("bpe3-exh")
     d.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val row = bpe3SegmentStats(spark, tmp.toString).collect()(0)
     assert((row.getLong(0), row.getLong(1), row.getLong(2),
@@ -204,7 +204,7 @@ class TokenizerQueriesSpec extends SparkSpec {
   test("bpe4: identical halves agree at every rank; a skewed half diverges") {
     import spark.implicits._
     def drift(rows: Seq[(Long, String)]) = {
-      val tmp = java.nio.file.Files.createTempDirectory("bpe4")
+      val tmp = graft.TempDirs.scratch("bpe4")
       rows.toDF("doc_id", "text")
         .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
       TokenizerQueries.bpe4MergeDrift(spark, tmp.toString)
@@ -298,7 +298,7 @@ class TokenizerQueriesSpec extends SparkSpec {
     // per-merge argmax loop on the SAME input — merges, counts, and
     // bpe3's audit sums must agree exactly (incl. the UTF-8 tie-break)
     val docs = graft.Tables(spark, sf(), "documents")
-    val tmp = java.nio.file.Files.createTempDirectory("bpe-gate")
+    val tmp = graft.TempDirs.scratch("bpe-gate")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val localMerges = bpeTrain(docs, 8)
       .map(m => (m.rank, m.left, m.right, m.merged, m.pair_count))

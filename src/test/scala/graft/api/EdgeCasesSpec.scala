@@ -128,7 +128,7 @@ class EdgeCasesSpec extends SparkSpec {
     assert(TrainingSet.bpeMerges(one, 2).nonEmpty)
     // bpe4 on an empty corpus: zero rows (the twin's empty pyramids),
     // never an NPE from the NULL max(doc_id)
-    val tmp = java.nio.file.Files.createTempDirectory("bpe4-empty")
+    val tmp = graft.TempDirs.scratch("bpe4-empty")
     emptyDocs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     assert(graft.analytics.TokenizerQueries
       .bpe4MergeDrift(spark, tmp.toString).isEmpty)

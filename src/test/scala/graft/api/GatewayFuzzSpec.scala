@@ -71,7 +71,7 @@ class GatewayFuzzSpec extends SparkSpec {
 
   test("every door answers hostile bodies with a client status, never a 5xx") {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-fuzz").toString
+    val warehouse = graft.TempDirs.scratch("graft-fuzz").toString
     val gw = new HttpGateway(spark, registry, warehouse, "demo")
     val port = gw.start()
     try {

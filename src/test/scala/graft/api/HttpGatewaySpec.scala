@@ -28,7 +28,7 @@ class HttpGatewaySpec extends SparkSpec {
 
   private def withGateway(f: (HttpGateway, Int) => Unit): Unit = {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val warehouse = graft.TempDirs.scratch("graft-http").toString
     val gw = new HttpGateway(spark, registry, warehouse, "demo")
     val port = gw.start()
     try f(gw, port) finally gw.stop()
@@ -61,7 +61,7 @@ class HttpGatewaySpec extends SparkSpec {
   test("project lifecycle: create → collect into it → list → delete, " +
     "with the reference's gates (lock key, name check, 501 when disabled)") {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-proj").toString
+    val warehouse = graft.TempDirs.scratch("graft-proj").toString
     val gw = new HttpGateway(spark, registry, warehouse, "demo",
       lockKey = Some("sekrit"), allowProjectDeletion = true)
     val port = gw.start()
@@ -460,7 +460,7 @@ class HttpGatewaySpec extends SparkSpec {
     "invalid_schema with event identity; the event still stores with " +
     "the field nulled (the S14 field-level contract)") {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val warehouse = graft.TempDirs.scratch("graft-http").toString
     val gw = new HttpGateway(spark, registry, warehouse, "demo")
     val port = gw.start()
     try {
@@ -1074,7 +1074,7 @@ class HttpGatewaySpec extends SparkSpec {
 
       // bulk create from a parquet source path (the door's other input
       // mode — the trigger for a cluster-scale build)
-      val src = java.nio.file.Files.createTempDirectory("ivx-src").toString
+      val src = graft.TempDirs.scratch("ivx-src").toString
       graft.Tables(spark, "/root/testdata/sf0.001", "documents")
         .select("doc_id", "text").limit(50)
         .write.mode("overwrite").parquet(src)
@@ -1231,7 +1231,7 @@ class HttpGatewaySpec extends SparkSpec {
 
   test("a configured lock key is enforced on the lock_key door") {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val warehouse = graft.TempDirs.scratch("graft-http").toString
     val gw = new HttpGateway(spark, registry, warehouse, "demo", lockKey = Some("s3cret"))
     val port = gw.start()
     try {

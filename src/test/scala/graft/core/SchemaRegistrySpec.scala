@@ -95,7 +95,7 @@ class SchemaRegistrySpec extends AnyFunSuite {
   }
 
   test("persistence round-trip") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-registry").toString
+    val dir = graft.TempDirs.scratch("graft-registry").toString
     val r1 = SchemaRegistry.persistent(dir)
     r1.setOnce("p", "USER_TYPE", "LONG")
     r1.getOrCreate("p", "events", Seq(

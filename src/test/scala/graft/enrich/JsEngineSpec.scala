@@ -1677,6 +1677,17 @@ class JsEngineSpec extends SparkSpec {
         |class B extends A {}
         |function f() { return B.nope(); }""".stripMargin, "f"))
     assert(e.getMessage.contains("nope is not supported"))
+    // the inheritance link is NOT script-addressable: the reserved key
+    // contains a space the lexer rejects in member names, so the old
+    // dollar-spelled name is just a harmless own property and the chain
+    // survives an attempted clobber (r12 ADVICE)
+    assert(run(
+      """class A { static base() { return 10; } }
+        |class B extends A {}
+        |function f() {
+        |  B.__graft$staticparent = 'severed?';
+        |  return B.base() + ':' + B.__graft$staticparent;
+        |}""".stripMargin, "f") == "10:severed?")
   }
 
   test("new.target: set under new, undefined in plain calls, lexical in arrows") {

@@ -296,6 +296,25 @@ class MaxmindDbSpec extends SparkSpec {
     }
   }
 
+  test("skipPrivateV6 = false restores the reference's enrich-anything walk") {
+    import spark.implicits._
+    // the reference applies NO private check to v6 (its regex is
+    // v4-only): an InetAddress walk enriches a deliberately-mapped
+    // unique-local network. The opt-out reproduces that exactly while
+    // the default still prunes the probes a public database never hits.
+    val db = MaxmindDb.read(MmdbFixture.write(dualStackEntries, ipVersion = 6))
+    val mapper = GeoIpMapper(db.rangeDim(spark), Some(db.rangeDim6(spark)),
+      skipPrivateV6 = false)
+    val events = Seq((1L, "fd12::1"), (2L, "fe80::1"), (3L, "2001:db8::1"))
+      .toDF("event_id", "_ip")
+    val out = MapperPipeline.run(events, Seq(mapper))
+      .select($"event_id", $"_country_code")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "XX") // the file maps fd00::/8 on purpose — enriched now
+    assert(out(2L) === null) // link-local stays unmapped in the FILE, not skipped
+    assert(out(3L) === "JP")
+  }
+
   test("randomized v6 trees: enumeration == lookup at boundaries and probes") {
     // seeded random fixtures: distinct /32s are disjoint by
     // construction; random record widths exercise all three layouts

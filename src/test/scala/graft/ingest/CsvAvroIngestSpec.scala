@@ -16,7 +16,7 @@ class CsvAvroIngestSpec extends SparkSpec {
     r.getOrCreate("p", "sales", Seq(
       r.Field("_time", FieldType.TIMESTAMP),
       r.Field("price", FieldType.DOUBLE)))
-    val dir = Files.createTempDirectory("graft-csv")
+    val dir = graft.TempDirs.scratch("graft-csv")
     Files.writeString(dir.resolve("batch.csv"),
       """_time,price,campaignName
         |2026-01-15 10:30:00,12.5,summer
@@ -36,7 +36,7 @@ class CsvAvroIngestSpec extends SparkSpec {
     val r = SchemaRegistry.inMemory()
     r.getOrCreate("p", "c", Seq(
       r.Field("a", FieldType.STRING), r.Field("b", FieldType.LONG)))
-    val dir = Files.createTempDirectory("graft-csv2")
+    val dir = graft.TempDirs.scratch("graft-csv2")
     Files.writeString(dir.resolve("x.csv"), "a\nhello")
     val df = CsvIngest.ingest(spark, r, "p", "c", dir.toString + "/x.csv")
     assert(df.columns.toSeq == Seq("a", "b"))
@@ -48,7 +48,7 @@ class CsvAvroIngestSpec extends SparkSpec {
     // writer schema: only (a). Write one record.
     val writerSchema = AvroIngest.avroSchema("c", Seq(
       "a" -> org.apache.spark.sql.types.StringType))
-    val f = Files.createTempDirectory("graft-avro").resolve("old.avro").toFile
+    val f = graft.TempDirs.scratch("graft-avro").resolve("old.avro").toFile
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](writerSchema))
     w.create(writerSchema, f)
     val rec = new GenericData.Record(writerSchema)
@@ -75,7 +75,7 @@ class CsvAvroIngestSpec extends SparkSpec {
     val schema = AvroIngest.avroSchema("t", Seq(
       "d" -> org.apache.spark.sql.types.DateType,
       "ts" -> org.apache.spark.sql.types.TimestampType))
-    val f = Files.createTempDirectory("graft-avro2").resolve("v.avro").toFile
+    val f = graft.TempDirs.scratch("graft-avro2").resolve("v.avro").toFile
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     w.create(schema, f)
     val rec = new GenericData.Record(schema)

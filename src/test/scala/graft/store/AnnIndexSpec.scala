@@ -15,7 +15,7 @@ class AnnIndexSpec extends SparkSpec {
   private def emb: DataFrame = Tables(spark, sf("sf0.001"), "embeddings")
 
   private def freshDir() =
-    java.nio.file.Files.createTempDirectory("graft-ann").toString
+    graft.TempDirs.scratch("graft-ann").toString
 
   private def topk(path: String): Seq[(Long, Double)] =
     AnnIndex.query(spark, path,
@@ -192,8 +192,8 @@ class AnnIndexSpec extends SparkSpec {
 
   test("maintain wired through a real stream appends each micro-batch") {
     val dir = freshDir()
-    val inDir = java.nio.file.Files.createTempDirectory("graft-ann-in").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-ck").toString
+    val inDir = graft.TempDirs.scratch("graft-ann-in").toString
+    val ckpt = graft.TempDirs.scratch("graft-ann-ck").toString
     val mx = emb.agg(max(col("vec_id"))).collect()(0).getLong(0)
     AnnIndex.initialize(emb.filter(col("vec_id") <= mx / 2), dir)
     val d1 = emb.filter(col("vec_id") > mx / 2 && col("vec_id") <= 3 * mx / 4)

@@ -9,7 +9,7 @@ class CompactionSpec extends SparkSpec {
   import spark.implicits._
 
   test("compaction collapses micro-batch files and preserves data") {
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val warehouse = graft.TempDirs.scratch("graft-compact").toString
     // 12 micro-batches into the same month → ≥12 files in one partition
     (0 until 12).foreach { b =>
       val df = (0 until 50).map(i => (b * 50L + i, s"u${i % 7}"))
@@ -37,7 +37,7 @@ class CompactionSpec extends SparkSpec {
 
   test("z-ordered compaction: same data, and every file is narrow in BOTH " +
     "user and time — plain coalesce leaves the user axis unclustered") {
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-zo").toString
+    val warehouse = graft.TempDirs.scratch("graft-zo").toString
     // 8 micro-batches, each carrying ALL 16 users across one day-slice —
     // the append layout is time-clustered but user-scattered
     (0 until 8).foreach { b =>
@@ -79,7 +79,7 @@ class CompactionSpec extends SparkSpec {
   }
 
   test("right-to-be-forgotten rewrites only the touched partitions") {
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-rtbf").toString
+    val warehouse = graft.TempDirs.scratch("graft-rtbf").toString
     // u1 appears in Jan+Feb; u2 everywhere; March has no u1
     for ((month, users) <- Seq("01" -> Seq("u1", "u2"), "02" -> Seq("u1", "u2"),
         "03" -> Seq("u2", "u3"))) {

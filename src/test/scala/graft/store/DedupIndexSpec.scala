@@ -44,7 +44,7 @@ class DedupIndexSpec extends SparkSpec {
   }
 
   test("persisted index: initialize/refresh/probeStore round-trip + compaction") {
-    val dir = java.nio.file.Files.createTempDirectory("dedup-index").toString
+    val dir = graft.TempDirs.scratch("dedup-index").toString
     val reference = verdictsOneShot
     val Seq(b1, b2, b3) = batchesAt(Seq(150L, 300L))
     DedupIndex.initialize(b1, dir)
@@ -74,9 +74,9 @@ class DedupIndexSpec extends SparkSpec {
   }
 
   test("stream-maintained index equals the one-shot state; replayed deltas are idempotent") {
-    val streamDir = java.nio.file.Files.createTempDirectory("di-in").toString
-    val stateDir = java.nio.file.Files.createTempDirectory("di-state").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("di-ckpt").toString
+    val streamDir = graft.TempDirs.scratch("di-in").toString
+    val stateDir = graft.TempDirs.scratch("di-state").toString
+    val ckpt = graft.TempDirs.scratch("di-ckpt").toString
     val Seq(b1, b2) = batchesAt(Seq(200L))
     b1.write.mode("append").parquet(streamDir)
     val stream = spark.readStream.schema(docs.schema).parquet(streamDir)
@@ -100,7 +100,7 @@ class DedupIndexSpec extends SparkSpec {
 
   test("maintainBatch fence: replays and empty batches burn no state " +
     "version, the state stays the one-shot min") {
-    val dir = java.nio.file.Files.createTempDirectory("di-fence").toString
+    val dir = graft.TempDirs.scratch("di-fence").toString
     val Seq(b1, b2) = batchesAt(Seq(200L))
     val empty = docs.filter(org.apache.spark.sql.functions.lit(false))
     DedupIndex.maintainBatch(b1, dir, 0L)

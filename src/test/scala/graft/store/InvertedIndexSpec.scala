@@ -24,7 +24,7 @@ class InvertedIndexSpec extends SparkSpec {
     val reference = oneShot
     assert(reference.nonEmpty, "canned query must match the fixture corpus")
     Seq(Seq(250L), Seq(100L, 200L, 350L)).foreach { splits =>
-      val dir = java.nio.file.Files.createTempDirectory("ivx").toString
+      val dir = graft.TempDirs.scratch("ivx").toString
       val bounds = (Long.MinValue +: splits) :+ Long.MaxValue
       val batches = bounds.sliding(2).map { case Seq(lo, hi) =>
         docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
@@ -41,7 +41,7 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("compaction preserves scores and consolidates to one live dir") {
-    val dir = java.nio.file.Files.createTempDirectory("ivx-compact").toString
+    val dir = graft.TempDirs.scratch("ivx-compact").toString
     val reference = oneShot
     InvertedIndex.initialize(docs.filter(col("doc_id") <= 200), dir)
     assert(InvertedIndex.append(spark, docs.filter(col("doc_id") > 200), dir, 2L))
@@ -62,7 +62,7 @@ class InvertedIndexSpec extends SparkSpec {
     def live(dir: String): Set[String] = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName).toSet
-    val dir = java.nio.file.Files.createTempDirectory("ivx-defer").toString
+    val dir = graft.TempDirs.scratch("ivx-defer").toString
     val reference = oneShot
     InvertedIndex.initialize(docs.filter(col("doc_id") <= 150), dir)
     assert(InvertedIndex.append(spark,
@@ -82,7 +82,7 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("a pre-positional (format-1) index is refused with a rebuild message") {
-    val dir = java.nio.file.Files.createTempDirectory("ivx-fmt").toString
+    val dir = graft.TempDirs.scratch("ivx-fmt").toString
     InvertedIndex.initialize(docs.limit(10), dir)
     // simulate a format-1 store: the marker predates the field
     VersionedState.writeMarker(dir, "_FORMAT", "1")
@@ -98,7 +98,7 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("streaming maintain: replay fence skips duplicate micro-batches") {
-    val dir = java.nio.file.Files.createTempDirectory("ivx-stream").toString
+    val dir = graft.TempDirs.scratch("ivx-stream").toString
     val b1 = docs.filter(col("doc_id") <= 200)
     val b2 = docs.filter(col("doc_id") > 200)
     InvertedIndex.maintainBatch(b1, dir, 0L)
@@ -131,9 +131,9 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("a real file stream maintains the index; served scores equal the batchless scan") {
-    val streamDir = java.nio.file.Files.createTempDirectory("ivx-in").toString
-    val stateDir = java.nio.file.Files.createTempDirectory("ivx-st").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("ivx-ck").toString
+    val streamDir = graft.TempDirs.scratch("ivx-in").toString
+    val stateDir = graft.TempDirs.scratch("ivx-st").toString
+    val ckpt = graft.TempDirs.scratch("ivx-ck").toString
     val b1 = docs.filter(col("doc_id") <= 200)
     val b2 = docs.filter(col("doc_id") > 200)
     b1.write.mode("append").parquet(streamDir)
@@ -151,7 +151,7 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("phraseProbe serves r3's counts from stored positions") {
-    val dir = java.nio.file.Files.createTempDirectory("ivx-phrase").toString
+    val dir = graft.TempDirs.scratch("ivx-phrase").toString
     InvertedIndex.initialize(docs.filter(col("doc_id") <= 200), dir)
     assert(InvertedIndex.append(spark, docs.filter(col("doc_id") > 200), dir, 2L))
     Seq(Seq("table", "hash"), Seq("customer"), Seq("spark", "hash", "join"))
@@ -165,7 +165,7 @@ class InvertedIndexSpec extends SparkSpec {
   }
 
   test("probe plan prunes postings partitions to the probed shards") {
-    val dir = java.nio.file.Files.createTempDirectory("ivx-prune").toString
+    val dir = graft.TempDirs.scratch("ivx-prune").toString
     InvertedIndex.initialize(docs, dir)
     val plan = InvertedIndex.probe(spark, dir, Seq("spark"))
       .queryExecution.executedPlan.toString

@@ -85,7 +85,7 @@ class MaterializedViewSpec extends SparkSpec {
   test("persisted refresh survives a restart and matches the full " +
     "recompute; the pointer flip keeps old state readable until then") {
     val ev = events
-    val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    val dir = graft.TempDirs.scratch("graft-mv").toString
     val first = ev.filter(dayofmonth(col("ts")) <= 10)
     val second = ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20)
     val third = ev.filter(dayofmonth(col("ts")) > 20)
@@ -112,7 +112,7 @@ class MaterializedViewSpec extends SparkSpec {
   test("stream maintenance is exactly-once: crash replays are skipped by " +
     "the batch fence, empty batches only advance it") {
     val ev = events
-    val dir = java.nio.file.Files.createTempDirectory("graft-mv-eo").toString
+    val dir = graft.TempDirs.scratch("graft-mv-eo").toString
     val first = ev.filter(dayofmonth(col("ts")) <= 10)
     val second = ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20)
     val third = ev.filter(dayofmonth(col("ts")) > 20)

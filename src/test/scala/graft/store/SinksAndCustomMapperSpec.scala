@@ -69,7 +69,7 @@ class SinksAndCustomMapperSpec extends SparkSpec {
   }
 
   test("S11: avro bulk blobs + manifest round-trip through AvroIngest") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bulk").toString
+    val dir = graft.TempDirs.scratch("graft-bulk").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
       .toDF("event_id", "name", "value").repartition(2)
     val manifest = StreamSinks.avroBulk(df, dir, "p", "events")

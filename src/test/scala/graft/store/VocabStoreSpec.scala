@@ -18,7 +18,7 @@ class VocabStoreSpec extends SparkSpec {
   private lazy val docs = Tables(spark, sf(), "documents")
 
   private def freshDir(tag: String) =
-    java.nio.file.Files.createTempDirectory(s"graft-vocab-$tag").toString
+    graft.TempDirs.scratch(s"graft-vocab-$tag").toString
 
   test("counts are invariant under batch boundaries (2, 3, 5 batches)") {
     val oneShot = rows(VocabStore.partial(docs))

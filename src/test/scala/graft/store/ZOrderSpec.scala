@@ -32,7 +32,7 @@ class ZOrderSpec extends SparkSpec {
     "cannot; rows are preserved exactly") {
     val ev = Tables(spark, sf(), "events")
       .select($"event_id", $"user_id", $"value", $"ts")
-    val base = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val base = graft.TempDirs.scratch("graft-z").toString
 
     // arrival order: the natural append layout (clustered by time)
     ev.repartitionByRange(NumFiles, $"ts").sortWithinPartitions($"ts")

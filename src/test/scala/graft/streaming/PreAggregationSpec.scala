@@ -18,7 +18,7 @@ class PreAggregationSpec extends SparkSpec {
 
   test("materialized pre-aggregate equals batch segmentation, incrementally") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-preagg").toString
+    val dir = graft.TempDirs.scratch("graft-preagg").toString
     val events = Tables(spark, sf(), "events")
       .select(
         lit("pageview").as("_collection"),
@@ -50,7 +50,7 @@ class PreAggregationSpec extends SparkSpec {
 
   test("streaming ingest metrics equal the batch a3 shape, incrementally") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-a3s").toString
+    val dir = graft.TempDirs.scratch("graft-a3s").toString
     val events = Tables(spark, sf(), "events")
       .select(
         $"event_type".as("_collection"),

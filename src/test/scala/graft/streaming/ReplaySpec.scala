@@ -10,7 +10,7 @@ class ReplaySpec extends SparkSpec {
 
   // the commit-log dir: events materialized once, streamed as files
   private lazy val logDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-log").toString
+    val dir = graft.TempDirs.scratch("graft-log").toString
     Tables(spark, sf(), "events").write.mode("overwrite").parquet(dir)
     dir
   }
@@ -93,9 +93,9 @@ class ReplaySpec extends SparkSpec {
     "aggregate after incremental appends") {
     import graft.store.MaterializedView
     val ev = spark.read.parquet(logDir)
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-mv-in").toString
-    val mvDir = java.nio.file.Files.createTempDirectory("graft-mv-state").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-ckpt").toString
+    val streamDir = graft.TempDirs.scratch("graft-mv-in").toString
+    val mvDir = graft.TempDirs.scratch("graft-mv-state").toString
+    val ckpt = graft.TempDirs.scratch("graft-mv-ckpt").toString
     val mv = new MaterializedView(Seq("event_type"), Seq("value"))
 
     // first batch of the log arrives before the query starts

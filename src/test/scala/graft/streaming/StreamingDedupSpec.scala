@@ -76,7 +76,7 @@ class StreamingDedupSpec extends SparkSpec {
 
   test("dedup state survives a query restart from its checkpoint") {
     implicit val sqlCtx = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
+    val base = graft.TempDirs.scratch("graft-dedup-ckpt")
     val ckpt = s"$base/ckpt"
     val outDir = s"$base/out"
     val mem = MemoryStream[StreamDoc]

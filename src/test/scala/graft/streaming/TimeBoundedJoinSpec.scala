@@ -22,7 +22,7 @@ class TimeBoundedJoinSpec extends SparkSpec {
   }
 
   test("streaming time-bounded join == batch join; state is watermark-bounded") {
-    val base = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val base = graft.TempDirs.scratch("graft-ssj").toString
     // clicks (left) attract purchases (right) within 30 minutes
     val clicks = writeLog(Seq(
       ("u1", "2024-01-01 10:00:00"),

@@ -47,7 +47,7 @@ class WebhookSinkSpec extends SparkSpec {
       post = { b => bodies += b; true },
       period = "1 second") { r => reports += r }
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-wh-ckpt").toString)
+        graft.TempDirs.scratch("graft-wh-ckpt").toString)
       .start()
     try {
       in.addData(("u1", "click"), ("u2", "view"), ("u3", "click"))
@@ -72,7 +72,7 @@ class WebhookSinkSpec extends SparkSpec {
       post = { b => bodies += b; true },
       period = "1 second", maxPerPost = 10) { r => reports += r }
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-wh-cap").toString)
+        graft.TempDirs.scratch("graft-wh-cap").toString)
       .start()
     try {
       // one replayed micro-batch of 25 events against a cap of 10
