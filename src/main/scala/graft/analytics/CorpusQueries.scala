@@ -888,33 +888,44 @@ object CorpusQueries {
     * re-posts, benchmark text spreading through web dumps) — the
     * pairwise generalization of d6's one-benchmark decontamination.
     *
-    * Scale shape: distinct (source, gram-hash) is one partial-agg'd
-    * shuffle keyed by the 8-byte hash (gram TEXT never crosses the
-    * exchange — the t_novelty discipline); the self-join is one
-    * hash-partitioned exchange on the gram hash whose per-key fan-out
-    * is bounded by |sources|² (here 20², trivially); the output is
-    * |sources|² rows. With thousands of sources the exact join's
-    * per-gram product grows — that regime is exactly what the theta-
-    * sketch set algebra (w6_theta_overlap) serves, trading exactness
-    * for O(sketch) per source; this operator is the exact twin.
-    * All-long outputs; zero-overlap pairs are absent rows (inner
-    * join), identically in both engines. */
+    * Scale shape: ONE full-data exchange total. The (source, gram-hash)
+    * pairs partial-aggregate map-side into per-hash source SETS
+    * (collect_set dedups, so no separate distinct pass; gram TEXT never
+    * crosses the exchange — the t_novelty discipline), and every matrix
+    * cell is read off that single grouped frame: exploding the source
+    * set twice yields the ordered pairs of each gram (≤ |sources|² per
+    * hash, here 20², trivially), and the (a,a) diagonal of the pair
+    * counts IS total_a — so the per-source totals need neither a third
+    * scan nor a join-back, just a |sources|²-row window. The r11 shape
+    * (distinct + hash self-join + separate totals) re-ran the gram
+    * explode for every reference and paid a second big exchange for the
+    * join. With thousands of sources the per-gram pair product grows —
+    * that regime is exactly what the theta-sketch set algebra
+    * (w6_theta_overlap) serves, trading exactness for O(sketch) per
+    * source; this operator is the exact twin. All-long outputs;
+    * zero-overlap pairs are absent rows, identically in both engines. */
   def d14Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = Tables(spark, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    val bySrcSet = Tables(spark, dir, "documents")
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= 3)
       .select($"source", explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("shingle"))
       .select($"source", DedupQueries.hash60($"shingle").as("h"))
-      .distinct()
-    val totals = grams.groupBy($"source").agg(count(lit(1)).as("total_a"))
-    grams.as("a").join(grams.as("b"),
-        col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(totals.withColumnRenamed("source", "source_a"), "source_a")
+      .groupBy($"h").agg(collect_set($"source").as("srcs"))
+    val pairCounts = bySrcSet
+      .select(explode($"srcs").as("source_a"), $"srcs")
+      .select($"source_a", explode($"srcs").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n"))
+    pairCounts
+      .withColumn("total_a",
+        max(when($"source_a" === $"source_b", $"n"))
+          .over(Window.partitionBy($"source_a")))
+      .filter($"source_a" =!= $"source_b")
+      .select($"source_a", $"source_b", $"n".as("n_shared"), $"total_a")
   }
 
   val d14Sql: String = {

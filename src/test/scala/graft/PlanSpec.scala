@@ -317,6 +317,13 @@ class PlanSpec extends SparkSpec {
       assert(!cols.contains("shingle") && !cols.contains("text"),
         s"gram text crosses an exchange: $cols")
     }
+    // the whole matrix reads ONE gram pass: a single corpus scan feeds
+    // the per-hash source-set aggregation, and every exchange after it
+    // is |sources|- or |sources|²-bounded (the r11 shape re-scanned the
+    // corpus for each self-join side and for the totals)
+    assert(plan.toString.linesIterator
+      .count(_.contains("FileScan parquet")) == 1,
+      s"d14 must scan the corpus exactly once:\n$plan")
   }
 
   test("t_topk_ngrams: one gram count shuffle, top-k over aggregated vocab") {
