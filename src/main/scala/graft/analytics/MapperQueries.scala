@@ -494,7 +494,30 @@ object MapperQueries {
     "Mozilla/5.0 (Linux; Android 12; Nokia G21 Build/SP1A.210812.016) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/116.0.0.0 Mobile Safari/537.36",
     "Mozilla/5.0 (Linux; Android 13; XQ-BC52 Build/61.2.A.0.472B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.0.0 Mobile Safari/537.36",
     "Mozilla/5.0 (Linux; Android 10; LM-G850 Build/QKQ1.200614.002) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/112.0.0.0 Mobile Safari/537.36",
-    "Mozilla/5.0 (Linux; Android 13; RMX3630 Build/TP1A.220905.001) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/117.0.0.0 Mobile Safari/537.36")
+    "Mozilla/5.0 (Linux; Android 13; RMX3630 Build/TP1A.220905.001) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/117.0.0.0 Mobile Safari/537.36",
+    // round-12 NEW families: VR/car/CN-mobile shells, desktop app
+    // shells, the Threads webview, Haiku/WebPositive, TV/JioPhone
+    // hardware — every rule added this round ships its lint witness
+    "Mozilla/5.0 (X11; Linux x86_64; Quest 3) AppleWebKit/537.36 (KHTML, like Gecko) OculusBrowser/31.1.0.21.137 SamsungBrowser/4.0 Chrome/126.0.6478.122 VR Safari/537.36",
+    "Mozilla/5.0 (X11; GNU/Linux) AppleWebKit/537.36 (KHTML, like Gecko) Chromium/79.0.3945.130 Chrome/79.0.3945.130 Safari/537.36 Tesla/2023.38.6-7a9b3b6806d2",
+    "Mozilla/5.0 (Linux; Android 12; PDYM20 Build/SP1A.210812.016; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/89.0.4389.116 Mobile Safari/537.36 SogouMobileBrowser/5.30.8",
+    "Mozilla/5.0 (Linux; Android 11; V2034A Build/RP1A.200720.012; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/87.0.4280.141 Mobile Safari/537.36 Mb2345Browser/9.0",
+    "Mozilla/5.0 (Linux; Android 11; TECNO KG5j Build/RP1A.200720.011) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/105.0.0.0 Mobile Safari/537.36 PHX/13.2",
+    "Mozilla/5.0 (Linux; Android 10; LM-X420 Build/QKQ1.200114.002; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/96.0.4664.45 Mobile Safari/537.36 JioPages/4.1.1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/104.0.5112.102 Atom/26.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Signal/6.44.0 Chrome/116.0.5845.188 Electron/26.2.4 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Viber/20.3.0.1 Chrome/108.0.5359.215 Electron/22.3.27 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Skype/8.108.0.205 Chrome/109.0.5414.120 Electron/22.3.27 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Notion/2.2.3 Chrome/114.0.5735.289 Electron/25.8.4 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) obsidian/1.4.16 Chrome/114.0.5735.289 Electron/25.8.1 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Spotify/1.2.26.1187 Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Barcelona 302.0.0.36.111 (iPhone14,5; iOS 17_0; en_US)",
+    "Evolution/3.50.1",
+    "Mozilla/5.0 (Macintosh; Intel Haiku R1 x86_64) AppleWebKit/605.1.15 (KHTML, like Gecko) WebPositive/1.3 Version/13.0 Safari/605.1.15",
+    "Roblox/WinInet",
+    "Mozilla/5.0 (X11; FreeBSD; U; Viera; en-US) AppleWebKit/537.11 (KHTML, like Gecko) Viera/3.10.14 Chrome/23.0.1271.97 Safari/537.11",
+    "Mozilla/5.0 (X11; Linux) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/53.0.2785.34 Safari/537.36 NETTV/9.0.0 SmartTvA/5.0.0",
+    "Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B-001-02-22-130318;Android;rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5")
 
   /** M2 against the oracle: each event picks a UA sample; Spark parses
     * through [[graft.enrich.UserAgentMapper]], the twin through the
@@ -714,7 +737,34 @@ object MapperQueries {
     "https://nextdoor.com/news_feed/",
     "https://invite.viber.com/?g2=abc",
     "https://kick.com/streamer",
-    "https://lobste.rs/s/abc123")
+    "https://lobste.rs/s/abc123",
+    // round-12 NEW referer rows: AI assistants, brand-subdomain
+    // products, portal webmail, developer/creator communities
+    "https://gemini.google.com/app/abc",
+    "https://news.google.com/stories/abc",
+    "https://news.yahoo.co.jp/articles/abc",
+    "https://tieba.baidu.com/p/123",
+    "https://claude.ai/chat/abc",
+    "https://copilot.microsoft.com/chats/abc",
+    "https://chat.deepseek.com/a/chat",
+    "https://chat.mistral.ai/chat",
+    "https://grok.com/share/abc",
+    "https://www.meta.ai/c/abc",
+    "https://poe.com/chat/abc",
+    "https://www.phind.com/search?q=spark",
+    "https://mail.163.com/js6/main.jsp",
+    "https://mail.inbox.lv/horde/imp",
+    "https://poczta.wp.pl/k/inbox",
+    "https://poczta.interia.pl/folder/inbox",
+    "https://stackoverflow.com/questions/1/how",
+    "https://slashdot.org/story/1",
+    "https://www.pixiv.net/artworks/1",
+    "https://www.deviantart.com/someone/art/1",
+    "https://www.behance.net/gallery/1",
+    "https://dribbble.com/shots/1",
+    "https://getpocket.com/read/1",
+    "https://feedly.com/i/entry/abc",
+    "https://www.inoreader.com/article/abc")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

@@ -53,6 +53,10 @@ object UaRules {
     UaRule("Opera", "OPR/|Opera[ /]", "(?:OPR|Opera|Version)[ /](\\d+)"),
     // Chromium vendor shells
     UaRule("Edge", "Edg(?:e|A|iOS)?/", "Edg(?:e|A|iOS)?/(\\d+)"),
+    // VR and in-car shells: Quest UAs carry SamsungBrowser/ AND Chrome/
+    // tokens, so Oculus must precede both
+    UaRule("Oculus Browser", "OculusBrowser/", "OculusBrowser/(\\d+)"),
+    UaRule("Tesla", "Tesla/", "Tesla/(\\d+)"),
     UaRule("Samsung Internet", "SamsungBrowser/", "SamsungBrowser/(\\d+)"),
     UaRule("Yandex Browser", "YaBrowser/", "YaBrowser/(\\d+)"),
     UaRule("Vivaldi", "Vivaldi/", "Vivaldi/(\\d+)"),
@@ -75,6 +79,11 @@ object UaRules {
     UaRule("Baidu Browser", "BIDUBrowser[ /]", "BIDUBrowser[ /](\\d+)"),
     UaRule("Baidu Box App", "baiduboxapp/", "baiduboxapp/(\\d+)"),
     UaRule("2345 Explorer", "2345Explorer/", "2345Explorer/(\\d+)"),
+    UaRule("Sogou Mobile Browser", "SogouMobileBrowser/", "SogouMobileBrowser/(\\d+)"),
+    UaRule("2345 Mobile Browser", "Mb2345Browser/", "Mb2345Browser/(\\d+)"),
+    UaRule("Phoenix Browser", "PHX/", "PHX/(\\d+)"),
+    UaRule("JioPages", "JioPages/", "JioPages/(\\d+)"),
+    UaRule("Atom", "\\bAtom/", "\\bAtom/(\\d+)"),
     UaRule("Sogou Explorer", "MetaSr"),
     UaRule("LieBao", "LBBROWSER"),
     UaRule("Coc Coc", "coc_coc_browser/", "coc_coc_browser/(\\d+)"),
@@ -101,6 +110,12 @@ object UaRules {
     UaRule("Slack", "Slack/", "Slack/(\\d+)"),
     UaRule("Discord", "(?i)Discord/", "(?i)Discord/(\\d+)"),
     UaRule("Microsoft Teams", "(?:MS)?Teams/", "(?:MS)?Teams/(\\d+)"),
+    UaRule("Signal", "Signal/", "Signal/(\\d+)"),
+    UaRule("Viber", "Viber/", "Viber/(\\d+)"),
+    UaRule("Skype", "Skype/", "Skype/(\\d+)"),
+    UaRule("Notion", "Notion/", "Notion/(\\d+)"),
+    UaRule("Obsidian", "(?i)obsidian/", "(?i)obsidian/(\\d+)"),
+    UaRule("Spotify", "Spotify/", "Spotify/(\\d+)"),
     UaRule("Electron", "Electron/", "Electron/(\\d+)"),
     UaRule("Falkon", "Falkon/", "Falkon/(\\d+)"),
     UaRule("Otter", "Otter/", "Otter/(\\d+)"),
@@ -125,6 +140,8 @@ object UaRules {
       "FBAV/(\\d+)"),
     UaRule("Facebook", "FBAV/|FBAN/|FB_IAB/", "FBAV/(\\d+)"),
     UaRule("Instagram", "Instagram[ /]", "Instagram[ /](\\d+)"),
+    // the Threads app's webview identifies by its internal codename
+    UaRule("Threads", "\\bBarcelona\\b", "Barcelona (\\d+)"),
     UaRule("WeChat", "MicroMessenger/", "MicroMessenger/(\\d+)"),
     UaRule("Line", "\\bLine/", "\\bLine/(\\d+)"),
     UaRule("KakaoTalk", "KAKAOTALK"),
@@ -189,12 +206,14 @@ object UaRules {
     UaRule("K-Meleon", "K-Meleon/", "K-Meleon/(\\d+)"),
     UaRule("Camino", "Camino/", "Camino/(\\d+)"),
     UaRule("Thunderbird", "Thunderbird/", "Thunderbird/(\\d+)"),
+    UaRule("Evolution", "Evolution/", "Evolution/(\\d+)"),
     UaRule("Firefox", "Firefox/", "Firefox/(\\d+)"),
     // WebKit shells that would otherwise fall through to Safari
     UaRule("DuckDuckGo", "\\bDdg/", "\\bDdg/(\\d+)"),
     UaRule("Dolphin", "Dolphin/", "Dolphin/(\\d+)"),
     UaRule("Mercury", "Mercury/", "Mercury/(\\d+)"),
     UaRule("Sleipnir", "Sleipnir/", "Sleipnir/(\\d+)"),
+    UaRule("WebPositive", "WebPositive/", "WebPositive/(\\d+)"),
     UaRule("Lunascape", "Lunascape[ /]", "Lunascape[ /](\\d+)"),
     UaRule("iCab", "iCab[ /]", "iCab[ /](\\d+)"),
     UaRule("OmniWeb", "OmniWeb/", "OmniWeb/v?(\\d+)"),
@@ -209,6 +228,7 @@ object UaRules {
     UaRule("NintendoBrowser", "NintendoBrowser/", "NintendoBrowser/(\\d+)"),
     UaRule("AppleCoreMedia", "AppleCoreMedia/"),
     UaRule("VLC", "VLC/", "VLC/(\\d+)"),
+    UaRule("Roblox", "Roblox/"),
     // the pre-Chrome Android stock browser: Version/ + Safari/ on an
     // Android UA with no Chrome token (the Chromium rules above
     // already consumed every Chrome-bearing UA — ordering stands in
@@ -289,6 +309,9 @@ object UaRules {
     OsRule("Nintendo", "Nintendo (?:Switch|WiiU|3DS)"),
     OsRule("Fuchsia", "Fuchsia"),
     OsRule("RISC OS", "RISC OS"),
+    // Haiku UAs say "Macintosh; Intel Haiku R1" — no "Mac OS X" token,
+    // so ordering vs the Mac rule is not load-bearing, only the name is
+    OsRule("Haiku", "Haiku"),
     // desktop distributions before the bare Linux fallback
     OsRule("Ubuntu", "Ubuntu"),
     OsRule("Fedora", "Fedora"),
@@ -347,6 +370,11 @@ object UaRules {
     DeviceRule("BRAVIA", family = "Sony Bravia"),
     DeviceRule("SHIELD Android TV", family = "Nvidia Shield TV"),
     DeviceRule("VIDAA", family = "Hisense Smart TV"),
+    DeviceRule("VIERA|Viera", family = "Panasonic Viera TV"),
+    DeviceRule("NETTV/", family = "Philips Smart TV"),
+    // VR headsets and in-car browsers
+    DeviceRule(";\\s*(Quest[^;)]*)", prefix = "Meta "),
+    DeviceRule("Tesla/", family = "Tesla"),
     // consoles
     DeviceRule("PlayStation (\\d+)", prefix = "PlayStation "),
     DeviceRule("Xbox", family = "Xbox"),
@@ -384,7 +412,9 @@ object UaRules {
     DeviceRule(";\\s*(Lenovo[ -][^;)]*?)(?:\\s+Build/|[;)])", prefix = ""),
     DeviceRule(";\\s*(Infinix [^;)]*?)\\s+Build/", prefix = ""),
     DeviceRule(";\\s*(TECNO [^;)]*?)\\s+Build/", prefix = ""),
-    DeviceRule(";\\s*(FP[3-6][a-z]?)\\s+Build/", prefix = "Fairphone "))
+    DeviceRule(";\\s*(FP[3-6][a-z]?)\\s+Build/", prefix = "Fairphone "),
+    // JioPhone KaiOS UAs carry "Mobile; LYF/F300B/…" with no Build slot
+    DeviceRule(";\\s*LYF/([A-Za-z0-9]+)", prefix = "LYF "))
 
   /** One referrer rule: source name, host regex, medium. Order: email
     * hosts precede search (mail.google.com is email, not google
@@ -413,7 +443,17 @@ object UaRules {
     // email.seznam.cz must precede the seznam SEARCH rule below
     RefererRule("seznam-email", "^email\\.seznam\\.cz$", "email"),
     RefererRule("icloud-mail", "^mail\\.icloud\\.com$", "email"),
-    // search engines
+    RefererRule("netease-mail", "^mail\\.1(26|63)\\.com$", "email"),
+    RefererRule("inbox-lv", "^(mail\\.)?inbox\\.lv$", "email"),
+    // the portal webmail hosts must precede their brand's SEARCH rule
+    RefererRule("wp-poczta", "^poczta\\.wp\\.pl$", "email"),
+    RefererRule("interia-poczta", "^poczta\\.interia\\.pl$", "email"),
+    // search engines; brand-subdomain products (Gemini, Google News,
+    // Yahoo News, Tieba) must precede their brand's generic host rule
+    RefererRule("gemini", "^gemini\\.google\\.com$", "search"),
+    RefererRule("google-news", "^news\\.google\\.", "social"),
+    RefererRule("yahoo-news", "^news\\.yahoo\\.", "social"),
+    RefererRule("tieba", "^tieba\\.baidu\\.com$", "social"),
     RefererRule("google", "(^|\\.)google\\.", "search"),
     RefererRule("bing", "(^|\\.)bing\\.", "search"),
     RefererRule("yahoo", "(^|\\.)yahoo\\.", "search"),
@@ -457,6 +497,16 @@ object UaRules {
     RefererRule("perplexity", "(^|\\.)perplexity\\.ai$", "search"),
     RefererRule("swisscows", "(^|\\.)swisscows\\.com$", "search"),
     RefererRule("chatgpt", "(^|\\.)chatgpt\\.com$", "search"),
+    // AI assistants: a fast-growing real-traffic referrer class, classed
+    // with the search medium like chatgpt/perplexity above
+    RefererRule("claude", "(^|\\.)claude\\.ai$", "search"),
+    RefererRule("copilot", "^copilot\\.microsoft\\.com$", "search"),
+    RefererRule("deepseek", "^chat\\.deepseek\\.com$", "search"),
+    RefererRule("mistral", "^chat\\.mistral\\.ai$", "search"),
+    RefererRule("grok", "(^|\\.)grok\\.com$", "search"),
+    RefererRule("meta-ai", "(^|\\.)meta\\.ai$", "search"),
+    RefererRule("poe", "(^|\\.)poe\\.com$", "search"),
+    RefererRule("phind", "(^|\\.)phind\\.com$", "search"),
     // social networks
     RefererRule("facebook", "(^|\\.)facebook\\.|^fb\\.me$", "social"),
     RefererRule("twitter", "(^|\\.)twitter\\.|(^|\\.)t\\.co$|(^|\\.)x\\.com$", "social"),
@@ -481,7 +531,7 @@ object UaRules {
     RefererRule("hackernews", "^news\\.ycombinator\\.com$", "social"),
     RefererRule("github", "(^|\\.)github\\.com$", "social"),
     RefererRule("slack", "(^|\\.)slack\\.com$", "social"),
-    RefererRule("discord", "(^|\\.)discord(app)?\\.com$", "social"),
+    RefererRule("discord", "(^|\\.)discord(app)?\\.com$|^discord\\.gg$", "social"),
     RefererRule("line", "(^|\\.)line\\.me$", "social"),
     RefererRule("kakao", "(^|\\.)kakao\\.com$", "social"),
     RefererRule("wechat", "(^|\\.)weixin\\.qq\\.com$", "social"),
@@ -508,7 +558,17 @@ object UaRules {
     RefererRule("lobsters", "^lobste\\.rs$", "social"),
     RefererRule("naver-blog", "^blog\\.naver\\.com$", "social"),
     RefererRule("douyin", "(^|\\.)douyin\\.com$", "social"),
-    RefererRule("kuaishou", "(^|\\.)kuaishou\\.com$", "social"))
+    RefererRule("kuaishou", "(^|\\.)kuaishou\\.com$", "social"),
+    // developer / creator / reader communities
+    RefererRule("stackoverflow", "(^|\\.)stack(overflow|exchange)\\.com$", "social"),
+    RefererRule("slashdot", "(^|\\.)slashdot\\.org$", "social"),
+    RefererRule("pixiv", "(^|\\.)pixiv\\.net$", "social"),
+    RefererRule("deviantart", "(^|\\.)deviantart\\.com$", "social"),
+    RefererRule("behance", "(^|\\.)behance\\.net$", "social"),
+    RefererRule("dribbble", "(^|\\.)dribbble\\.com$", "social"),
+    RefererRule("getpocket", "(^|\\.)getpocket\\.com$", "social"),
+    RefererRule("feedly", "(^|\\.)feedly\\.com$", "social"),
+    RefererRule("inoreader", "(^|\\.)inoreader\\.com$", "social"))
 
   /** Search-term query parameters, tried in order (q: most engines,
     * p: yahoo, text: yandex, wd/word: baidu, query: naver/daum/seznam,
