@@ -230,6 +230,7 @@ final class HttpGateway(
     server.createContext("/custom-event-mapper/delete", route(authed(MasterRole)(handleMapperDelete)))
     server.createContext("/custom-event-mapper/list", route(authed(MasterRole)(handleMapperList)))
     server.createContext("/custom-event-mapper/test", route(authed(MasterRole)(handleMapperTest)))
+    server.createContext("/javascript-logger/get_logs", route(authed(MasterRole)(handleJsGetLogs)))
     server.createContext("/", route(handleHealth))
     server.start()
     server.getAddress.getPort
@@ -1115,8 +1116,13 @@ final class HttpGateway(
     * the registry first; a field the registry rejects (type conflict)
     * is dropped from that mapper's output rather than corrupting the
     * stored schema — the ingest pipeline's own coerce-or-reject
-    * discipline. */
-  private def applyMappers(coll: String, df: DataFrame): DataFrame =
+    * discipline. Each mapper gets a log accumulator appended to
+    * `sinks`; the caller drains them into the JS log store AFTER its
+    * actions run (the entries only exist once the job executes). */
+  private def applyMappers(coll: String, df: DataFrame,
+      sinks: scala.collection.mutable.Buffer[
+        (String, org.apache.spark.util.CollectionAccumulator[(String, String)])])
+      : DataFrame =
     storedMappers()
       .filter(m => m.active && m.collection.forall(_ == coll))
       .foldLeft(df) { (d, m) =>
@@ -1124,7 +1130,11 @@ final class HttpGateway(
           m.produced.map { case (n, t) => registry.Field(n, t) })
         val bad = rejected.map(_.field).toSet
         val keep = m.produced.filterNot { case (n, _) => bad.contains(n) }
-        graft.enrich.js.JsCustomMapper(m.name, coll, keep, m.params, m.script)(d)
+        val acc = spark.sparkContext
+          .collectionAccumulator[(String, String)](s"js-logs-${m.name}")
+        sinks += m.name -> acc
+        graft.enrich.js.JsCustomMapper(m.name, coll, keep, m.params, m.script,
+          logAcc = Some(acc))(d)
       }
 
   /** `POST /custom-event-mapper/create` (and `/update`) — body
@@ -2320,12 +2330,14 @@ final class HttpGateway(
       spark.sparkContext.parallelize(lines, 1))
     try {
       var n = 0L
+      val logSinks = scala.collection.mutable.Buffer.empty[
+        (String, org.apache.spark.util.CollectionAccumulator[(String, String)])]
       res.byCollection.foreach { case (coll, df0) =>
         // stored custom mappers run between ingest and store — the
         // reference's mapper stage (SURVEY §4 step 3); a mapper that
         // drops a row keeps it out of the store AND the stored count.
         // `/event/copy` opts out (the reference's mapEvents=false path).
-        val df = if (runMappers) applyMappers(coll, df0) else df0
+        val df = if (runMappers) applyMappers(coll, df0, logSinks) else df0
         n += df.count()
         EventStore.write(df, warehouse, project, coll)
         // continuous maintenance: the stored batch is also the delta
@@ -2334,8 +2346,98 @@ final class HttpGateway(
       }
       if (!res.deadLetter.isEmpty)
         EventStore.writeDeadLetter(res.deadLetter, warehouse, project)
+      appendJsLogs(logSinks.toSeq)
       n
     } finally res.unpersist()
+  }
+
+  // -------- /javascript-logger: script logger.* output, persisted --------
+
+  private def jsLogsDir = s"$warehouse/$project/__js_logs"
+  /** Log batches kept on disk; get_logs serves the latest 100 entries,
+    * so pruning to the newest batches loses nothing it would return. */
+  private val JsLogBatchesKept = 50
+
+  /** Persist drained `logger.*` accumulator output as one JSON batch
+    * file (the reference inserts JDBC rows per entry,
+    * JSCodeJDBCLoggerService.java:96-118; a metadata file per ingest
+    * batch is the same durability with no row-store dependency). */
+  private def appendJsLogs(sinks: Seq[
+      (String, org.apache.spark.util.CollectionAccumulator[(String, String)])]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis()
+    val entries = sinks.flatMap { case (prefix, acc) =>
+      acc.value.asScala.map { case (level, message) =>
+        val node = mapper.createObjectNode()
+        node.put("id", java.util.UUID.randomUUID().toString)
+        node.put("prefix", prefix)
+        // the reference stores airlift Level names (DEBUG/INFO/WARN/ERROR)
+        node.put("level", level.toUpperCase(java.util.Locale.ROOT))
+        node.put("message", message)
+        node.put("created", now)
+        node
+      }
+    }
+    if (entries.isEmpty) return
+    val arr = mapper.createArrayNode()
+    entries.foreach(arr.add)
+    val dir = new org.apache.hadoop.fs.Path(jsLogsDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val f = new org.apache.hadoop.fs.Path(dir,
+      f"$now%013d-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    val out = fs.create(f, true)
+    try out.write(mapper.writeValueAsBytes(arr)) finally out.close()
+    // retention: newest batches only (names sort by timestamp prefix)
+    val all = fs.listStatus(dir).map(_.getPath).sortBy(_.getName)
+    all.dropRight(JsLogBatchesKept).foreach(p => fs.delete(p, false))
+  }
+
+  /** `POST /javascript-logger/get_logs` — body `{"prefix":…,
+    * "start"?:…, "end"?:…}` (start/end epoch millis or ISO-8601).
+    * Returns the newest 100 entries for the prefix, created DESC, the
+    * reference's contract (JSCodeJDBCLoggerService.java:53-88: strict
+    * `created > start AND created < end`, LIMIT 100, master key). */
+  private def handleJsGetLogs(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = requestJson(ex)
+    val prefix = textField(root, "prefix")
+      .getOrElse(throw new IngestRejected("prefix is required"))
+    def instant(field: String): Option[Long] =
+      Option(root.get(field)).filter(!_.isNull).map { n =>
+        if (n.isNumber) n.asLong()
+        else try java.time.Instant.parse(n.asText()).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IngestRejected(s"$field must be epoch millis or ISO-8601")
+        }
+      }
+    val start = instant("start")
+    val end = instant("end")
+    val dir = new org.apache.hadoop.fs.Path(jsLogsDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    import scala.jdk.CollectionConverters._
+    val rows =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toIndexedSeq.map(_.getPath).flatMap { p =>
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        // stored state: a parse failure here is server fault (500)
+        mapper.readTree(bytes).elements().asScala.toSeq
+      }.filter { e =>
+        e.get("prefix").asText() == prefix &&
+          start.forall(e.get("created").asLong() > _) &&
+          end.forall(e.get("created").asLong() < _)
+      }.sortBy(-_.get("created").asLong()).take(100)
+    val out = rows.map { e =>
+      val node = mapper.createObjectNode()
+      node.put("id", e.get("id").asText())
+      node.put("level", e.get("level").asText())
+      node.put("message", e.get("message").asText())
+      node.put("timestamp",
+        java.time.Instant.ofEpochMilli(e.get("created").asLong()).toString)
+      mapper.writeValueAsString(node)
+    }
+    (200, out.mkString("[", ",", "]"))
   }
 
   private def requirePost(ex: HttpExchange): Unit =

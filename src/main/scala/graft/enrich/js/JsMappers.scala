@@ -112,6 +112,10 @@ object JsCustomMapper {
     * per-request EventList batch, and the executor-memory bound. */
   val ChunkRows = 1024
 
+  /** Logger entries shipped per partition at most — bounds the
+    * accumulator against a script logging per row. */
+  val MaxLogsPerPartition = 1000
+
   /** Align a script-produced value to the column's DECLARED Spark type.
     * In the sandbox every integer literal is a Long and float math a
     * Double, so `ev.set('x', 100)` into a DOUBLE column (or `0.5 * n`
@@ -248,7 +252,17 @@ final case class JsCustomMapper(
     code: String,
     // one invoke handles a whole partition, so the budget scales with
     // batch size; still finite — a stuck loop cannot wedge an executor
-    maxSteps: Long = 2_000_000_000L) extends EventMapper {
+    maxSteps: Long = 2_000_000_000L,
+    // optional side channel for script `logger.*` output: entries ride
+    // a CollectionAccumulator from the executors to the driver, which
+    // persists them for `/javascript-logger/get_logs` (the reference's
+    // JSCodeJDBCLoggerService.java:53-88 writes a JDBC row per entry).
+    // Accumulator semantics make delivery best-effort telemetry — a
+    // retried task may double-report, exactly like the reference's
+    // per-row inserts on a retried request — and a per-partition cap
+    // bounds driver memory against a logger.info-in-a-loop script
+    logAcc: Option[org.apache.spark.util.CollectionAccumulator[(String, String)]] = None)
+  extends EventMapper {
 
   override def constantFields: Seq[(String, FieldType)] = produced
 
@@ -268,8 +282,12 @@ final case class JsCustomMapper(
     val paramMap = params
     val stepBudget = maxSteps
     val chunkRows = JsCustomMapper.ChunkRows
+    val acc = logAcc.orNull
     val rows = df.rdd.mapPartitions { it =>
-      val engine = JsCodeCompiler.createEngine(codeStr, maxSteps = stepBudget)
+      val jsLogger = new JsCodeCompiler.JsLogger
+      val engine = JsCodeCompiler.createEngine(codeStr, logger = jsLogger,
+        maxSteps = stepBudget)
+      var logged = 0
       // The script is invoked once per CHUNK, not per partition — the
       // reference invokes it per request batch, and a whole production
       // partition materialized as proxies would OOM the executor. Only
@@ -296,6 +314,14 @@ final case class JsCustomMapper(
         }
         engine.invoke("mapper", eventsProxy, paramMap, "127.0.0.1",
           Map.empty[String, Any], null, null)
+        if (acc != null && jsLogger.entries.nonEmpty) {
+          jsLogger.entries.foreach { e =>
+            if (logged < JsCustomMapper.MaxLogsPerPartition) {
+              acc.add(e); logged += 1
+            }
+          }
+          jsLogger.entries.clear()
+        }
         // chunk order is row order, so visited-then-rest equals in-order
         proxies.iterator.filterNot(_.dropped)
           .map(p => Row.fromSeq(outNames.zip(outTypes)

@@ -609,6 +609,54 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("/javascript-logger/get_logs serves stored mappers' logger.* " +
+    "output: prefix filter, level names, created DESC, start/end bounds") {
+    withGateway { (_, port) =>
+      val script = "function mapper(events, params, sourceIp, headers, sql, config) { " +
+        "var ev = events.events(); var n = 0; " +
+        "while (ev.hasNext()) { ev.next(); n = n + 1; } " +
+        "logger.info('saw ' + n); logger.warn('odd batch'); }"
+      assert(post(port, "/custom-event-mapper/create",
+        s"""{"name": "chatty", "script": "$script"}""").statusCode() == 200)
+      assert(post(port, "/event/batch",
+        """{"api": {"api_key": "k"}, "events": [
+          |{"collection": "order", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "amount": 1}},
+          |{"collection": "order", "properties": {"_user": "u2", "_time": "2026-01-15 10:01:00.000", "amount": 2}}
+          |]}""".stripMargin).body() == """{"stored":2}""")
+      // prefix is required (the reference's @ApiParam contract)
+      assert(post(port, "/javascript-logger/get_logs", "{}").statusCode() == 400)
+      val logs = post(port, "/javascript-logger/get_logs",
+        """{"prefix": "chatty"}""")
+      assert(logs.statusCode() == 200, logs.body())
+      // airlift Level names, message content, ISO timestamp shape
+      assert(logs.body().contains("\"level\":\"INFO\"") &&
+        logs.body().contains("\"message\":\"saw 2\"") &&
+        logs.body().contains("\"level\":\"WARN\"") &&
+        logs.body().contains("\"message\":\"odd batch\"") &&
+        logs.body().contains("\"timestamp\":\"2"), logs.body())
+      // an unknown prefix sees nothing; bounds are strict > start, < end
+      assert(post(port, "/javascript-logger/get_logs",
+        """{"prefix": "other"}""").body() == "[]")
+      val future = System.currentTimeMillis() + 3600000L
+      assert(post(port, "/javascript-logger/get_logs",
+        s"""{"prefix": "chatty", "start": $future}""").body() == "[]")
+      val iso = java.time.Instant.ofEpochMilli(future).toString
+      val bounded = post(port, "/javascript-logger/get_logs",
+        s"""{"prefix": "chatty", "start": 0, "end": "$iso"}""")
+      assert(bounded.body().contains("saw 2"), bounded.body())
+      // a second batch stacks newer entries first (created DESC)
+      Thread.sleep(5)
+      assert(post(port, "/event/batch",
+        """{"api": {"api_key": "k"}, "events": [
+          |{"collection": "order", "properties": {"_user": "u3", "_time": "2026-01-15 11:00:00.000", "amount": 3}}
+          |]}""".stripMargin).body() == """{"stored":1}""")
+      val again = post(port, "/javascript-logger/get_logs",
+        """{"prefix": "chatty"}""").body()
+      assert(again.indexOf("saw 1") >= 0 &&
+        again.indexOf("saw 1") < again.indexOf("saw 2"), again)
+    }
+  }
+
   test("schema/add evolves a collection ahead of data and reports " +
     "rejections; collected events then coerce to the declared types") {
     withGateway { (_, port) =>
