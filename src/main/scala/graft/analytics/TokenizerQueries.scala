@@ -122,18 +122,19 @@ object TokenizerQueries {
     * spliced into SQL text — so document characters (quotes,
     * backslashes) cannot inject.
     *
-    * Full pair recount per iteration (k vocab-scans) rather than the
-    * incremental delta update (touch only words containing the merged
-    * pair): the table is already corpus-independent, so the recount is
-    * the simpler plan with the same asymptotics in corpus size; the
-    * delta variant is the |vocab|-side optimization to add if k grows
-    * to real-vocab size (~30k merges).
+    * The DISTRIBUTED loop recounts pairs fully per iteration (k
+    * vocab-scans): corpus-independent already, and simple. The LOCAL
+    * path runs [[trainLocalDelta]] — the incremental delta recount
+    * (touch only words containing the merged pair, lazy-deletion heap
+    * argmax) that makes real-vocab k (~30k merges) linear in touched
+    * occurrences instead of k·|vocab|; a property spec pins it
+    * byte-identical to the textbook [[trainLocal]] loop.
     *
     * Execution is VOCAB-ADAPTIVE ([[localVocabLimit]]): when the
     * word-frequency table fits the driver gate (the broadcast-join
     * size rule), the k global argmax reduces — whose cost is k × fixed
     * job latency, not compute — collapse into one bounded collect plus
-    * [[trainLocal]], the semantics-identical in-memory loop. Above the
+    * [[trainLocalDelta]], the semantics-identical in-memory loop. Above the
     * gate (real corpora: web-scale vocab) the distributed loop below
     * runs unchanged, corpus-flat.
     *
@@ -223,7 +224,7 @@ object TokenizerQueries {
     val limit = localVocabLimit(wf.sparkSession)
     val head = s0.limit(limit + 1).collect()
     if (head.length <= limit)
-      trainLocal(head.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), k)._1
+      trainLocalDelta(head.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), k)._1
     else
       // eager localCheckpoint, not persist: each of the k argmax jobs
       // then plans from a lineage-truncated leaf — per-iteration fixed
@@ -259,7 +260,7 @@ object TokenizerQueries {
     * [[utf8Lt]], and the same greedy left-to-right non-overlapping
     * fold as [[mergeFold]]. Returns the merges AND the final symbol
     * table (the bpe3 audit reads it without another pass). */
-  private def trainLocal(words: Array[(Array[String], Long)], k: Int):
+  private[analytics] def trainLocal(words: Array[(Array[String], Long)], k: Int):
       (Seq[BpeMerge], Array[Array[String]]) = {
     val syms = words.map(_._1)
     val cnts = words.map(_._2)
@@ -305,6 +306,112 @@ object TokenizerQueries {
           }
           i += 1
         }
+        iter += 1
+      }
+    }
+    (out.result(), syms)
+  }
+
+  /** The delta-recount local loop — semantics byte-identical to
+    * [[trainLocal]] (the property spec pins merges AND final tables
+    * equal on randomized fixtures), cost proportional to TOUCHED words
+    * instead of k full vocab passes:
+    *
+    *   - exact pair counts live in a map, updated per affected word as
+    *     (subtract its old adjacent pairs, apply the merge, add its
+    *     new ones) — only words actually containing the merged pair
+    *     pay anything;
+    *   - the argmax comes from a lazy-deletion max-heap of count
+    *     snapshots ordered (count desc, l utf8 asc, r utf8 asc) —
+    *     exactly [[trainLocal]]'s tie-break; a popped snapshot whose
+    *     count no longer matches the map is stale and discarded, so
+    *     correctness never depends on heap hygiene;
+    *   - affected words come from a pair → word-index inverted index
+    *     (lazily stale the same way: membership is re-validated
+    *     against the word's current symbols before any update).
+    *
+    * A merge can never re-create its own pair (the collapsed symbol is
+    * `l+r`, which equals neither side), so after its pass the pair's
+    * count reaches zero through the deltas alone. This is the
+    * real-vocab (~30k-merge) training path: per-merge cost is the
+    * occurrence count of the merged pair, not |vocab|, while the full
+    * recount's k·|vocab| scans made large k quadratic in practice. */
+  private[analytics] def trainLocalDelta(words: Array[(Array[String], Long)],
+      k: Int): (Seq[BpeMerge], Array[Array[String]]) = {
+    val syms = words.map(_._1)
+    val cnts = words.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    implicit val snapOrd: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else {
+          val lc = utf8Cmp(b._2, a._2) // smaller-l preferred = "greater"
+          if (lc != 0) lc else utf8Cmp(b._3, a._3)
+        }
+      }
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](snapOrd)
+    def forPairs(s: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var j = 0
+      while (j < s.length - 1) { f((s(j), s(j + 1))); j += 1 }
+    }
+    /** count += d; push the fresh snapshot; record the occurrence. */
+    def bump(p: (String, String), d: Long, wi: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + d
+      if (c <= 0L) { counts.remove(p); () }
+      else {
+        counts(p) = c
+        heap.enqueue((c, p._1, p._2))
+        if (wi >= 0)
+          occurs.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi
+      }
+    }
+    var i = 0
+    while (i < syms.length) {
+      val c = cnts(i); val wi = i
+      forPairs(syms(i))(p => bump(p, c, wi))
+      i += 1
+    }
+    val out = Seq.newBuilder[BpeMerge]
+    var iter = 1
+    var done = false
+    while (iter <= k && !done) {
+      var bl: String = null; var br: String = null; var bc = 0L
+      while (bl == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (counts.get((l, r)).contains(c)) { bl = l; br = r; bc = c }
+      }
+      if (bl == null) done = true
+      else {
+        out += BpeMerge(iter, bl, br, bl + br, bc)
+        occurs.remove((bl, br)).foreach(_.foreach { wi =>
+          val s = syms(wi)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == bl && s(j + 1) == br; j += 1
+          }
+          if (has) { // stale index entries just skip
+            val c = cnts(wi)
+            forPairs(s)(p => bump(p, -c, -1))
+            val buf = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            j = 0
+            while (j < s.length) {
+              if (buf.nonEmpty && buf.last == bl && s(j) == br)
+                buf(buf.length - 1) = bl + br
+              else buf += s(j)
+              j += 1
+            }
+            val ns = buf.toArray
+            syms(wi) = ns
+            forPairs(ns)(p => bump(p, c, wi))
+          }
+        })
         iter += 1
       }
     }
@@ -507,11 +614,11 @@ object TokenizerQueries {
     val head = s0.limit(limit + 1).collect()
     if (head.length <= limit) {
       // broadcast-sized vocab: train AND audit on the collected table
-      // — [[trainLocal]] already holds the final symbol table, so the
-      // whole query is the one corpus-sized wordFreq shuffle + a
+      // — [[trainLocalDelta]] already holds the final symbol table, so
+      // the whole query is the one corpus-sized wordFreq shuffle + a
       // bounded collect (was: k argmax jobs + an audit job)
       val words = head.map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
-      val (_, fin) = trainLocal(words, K)
+      val (_, fin) = trainLocalDelta(words, K)
       var nWords = 0L; var nChar = 0L; var nBpe = 0L
       var i = 0
       while (i < words.length) {

@@ -201,6 +201,34 @@ class TokenizerQueriesSpec extends SparkSpec {
     }
   }
 
+  test("delta-recount trainer == full-recount textbook loop (merges AND " +
+    "final tables) on 60 randomized vocabularies") {
+    // the real-vocab (~30k-merge) path: pair counts maintained
+    // incrementally with a lazy-deletion heap argmax and a stale-
+    // tolerant inverted index. Byte-identity with the full recount is
+    // the whole contract — exercised where delta logic typically
+    // breaks: back-to-back repeats (overlap consumption), count ties
+    // (utf8 tie-break through the heap), words hit by many merges
+    // (stale index entries), multi-char supplementary symbols
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 60) {
+      val alpha = Seq("a", "b", "c", "😀", "é").take(2 + rnd.nextInt(3))
+      val words = Array.fill(1 + rnd.nextInt(12)) {
+        val syms = Array.fill(1 + rnd.nextInt(9))(alpha(rnd.nextInt(alpha.size)))
+        (syms, 1L + rnd.nextInt(20))
+      }
+      val k = 1 + rnd.nextInt(12)
+      // deep-copy: both trainers mutate their input arrays
+      val (mFull, tFull) = TokenizerQueries.trainLocal(
+        words.map { case (s, c) => (s.clone(), c) }, k)
+      val (mDelta, tDelta) = TokenizerQueries.trainLocalDelta(
+        words.map { case (s, c) => (s.clone(), c) }, k)
+      assert(mDelta === mFull, s"round $round merges diverge")
+      assert(tDelta.map(_.toSeq).toSeq === tFull.map(_.toSeq).toSeq,
+        s"round $round final tables diverge")
+    }
+  }
+
   test("bpe4: identical halves agree at every rank; a skewed half diverges") {
     import spark.implicits._
     def drift(rows: Seq[(Long, String)]) = {
