@@ -80,7 +80,7 @@ case object UserAgentMapper extends EventMapper {
     if (!df.columns.contains("_user_agent")) return df
     val ua = col("_user_agent")
 
-    Seq("__ua_b", "__ua_o", "__ua_d").foreach { c =>
+    Seq("__ua_bi", "__ua_o", "__ua_d").foreach { c =>
       require(!df.columns.contains(c), s"scratch column $c already present")
     }
     // fold each table into ONE FLAT CaseWhen chain (`.when()` chaining
@@ -99,44 +99,69 @@ case object UserAgentMapper extends EventMapper {
       }
     val sep = "\u0001" // never appears in family names or versions
 
-    // regexp_extract on the (branch-guarded, hence non-null) ua returns
-    // "" on no-match — exactly the no-version encoding, so no null
-    // guard is needed and each branch stays two expression nodes
-    val browserHit = chain(UaRules.browsers.map { r =>
-      val v =
-        if (r.version.nonEmpty) regexp_extract(ua, r.version, 1)
-        else lit("")
-      r.detect -> concat(lit(r.family + sep), v)
-    }).otherwise("Other" + sep)
+    // The browser table (165+ rules) is too wide to inline a
+    // regexp_extract per branch: past ~150 rules the generated method
+    // overflows Janino's 64 KB limit whenever the chain's inputs are
+    // whole-stage codegen variables (e.g. fed by an aggregate, where
+    // Spark cannot split one expression's code into sub-methods the
+    // way row-based projection can — the m2 dictionary shape hit
+    // exactly this). So the chain emits only the winning rule's INDEX
+    // — each branch is one regex test plus an int literal, a few
+    // hundred bytes — and family/version decode OUTSIDE the chain:
+    // the family from a constant array literal (one object reference,
+    // zero per-branch code) and the version from ONE regexp_extract
+    // whose pattern is looked up from a constant array. A non-foldable
+    // pattern recompiles only when its value changes between rows —
+    // and real event streams cluster by UA family, while the scale
+    // shape (the m2 dictionary) runs the chain once per DISTINCT UA
+    // anyway.
+    val browserIdx = chain(UaRules.browsers.zipWithIndex.map {
+      case (r, i) => r.detect -> lit(i)
+    }).otherwise(-1)
+    val bFamilies = typedLit(UaRules.browsers.map(_.family))
+    val bVersions = typedLit(UaRules.browsers.map(_.version))
 
-    val osHit = chain(UaRules.oses.map { r =>
-      val v =
-        if (r.literal.nonEmpty) lit(r.literal)
-        else if (r.versionRe.nonEmpty) regexp_extract(ua, r.versionRe, 1)
-        else lit("")
-      r.detect -> concat(lit(r.family + sep), v)
-    }).otherwise("Other" + sep)
+    // `__ua_bi` is referenced here ONLY to pin project boundaries: the
+    // guard is never false (the browser chain always emits), but the
+    // second reference (with the downstream pass-through) stops
+    // CollapseProject from merging the os chain into the browser
+    // chain's projection — each table keeps its own generated method
+    val osHit = when(col("__ua_bi").isNotNull,
+      chain(UaRules.oses.map { r =>
+        val v =
+          if (r.literal.nonEmpty) lit(r.literal)
+          else if (r.versionRe.nonEmpty) regexp_extract(ua, r.versionRe, 1)
+          else lit("")
+        r.detect -> concat(lit(r.family + sep), v)
+      }).otherwise("Other" + sep))
 
     // device table hit ("" = miss): [[UaRules.devices]] — branded
     // hardware with the model captured by the SAME regex that detects
     // it (a rule can never match-then-fail-to-capture); the generic
     // uap-core tails run after the table, below
-    val deviceHit = UaRules.devices.map { r =>
-      r.detect -> (if (r.family.nonEmpty) lit(r.family)
-        else concat(lit(r.prefix), regexp_extract(ua, r.detect, 1)))
-    } match {
-      case rules => rules.tail.foldLeft(
-        when(ua.rlike(rules.head._1), rules.head._2)) {
-        (acc, r) => acc.when(ua.rlike(r._1), r._2)
-      }.otherwise("")
-    }
+    val deviceHit = when(col("__ua_o").isNotNull, // boundary pin, as above
+      UaRules.devices.map { r =>
+        r.detect -> (if (r.family.nonEmpty) lit(r.family)
+          else concat(lit(r.prefix), regexp_extract(ua, r.detect, 1)))
+      } match {
+        case rules => rules.tail.foldLeft(
+          when(ua.rlike(rules.head._1), rules.head._2)) {
+          (acc, r) => acc.when(ua.rlike(r._1), r._2)
+        }.otherwise("")
+      })
 
     val staged = df
-      .withColumn("__ua_b", browserHit)
+      .withColumn("__ua_bi", browserIdx)
       .withColumn("__ua_o", osHit)
       .withColumn("__ua_d", deviceHit)
-    val familyCol = substring_index(col("__ua_b"), sep, 1)
-    val version = nullif(substring_index(col("__ua_b"), sep, -1), lit(""))
+    val bi = col("__ua_bi")
+    val familyCol =
+      when(bi >= 0, element_at(bFamilies, bi + 1)).otherwise("Other")
+    // versionless rules carry "" in the pattern array; regexp_extract
+    // returns "" on a no-match, and both decode to NULL via nullif
+    val vPattern = element_at(bVersions, bi + 1)
+    val version = when(bi >= 0 && vPattern =!= "",
+      nullif(call_function("regexp_extract", ua, vPattern, lit(1)), lit("")))
     val os = substring_index(col("__ua_o"), sep, 1)
     val osVersion = nullif(substring_index(col("__ua_o"), sep, -1), lit(""))
 
@@ -159,7 +184,7 @@ case object UserAgentMapper extends EventMapper {
       .withColumn("_os", os)
       .withColumn("_os_version", osVersion)
       .withColumn("_device_family", device)
-      .drop("__ua_b", "__ua_o", "__ua_d")
+      .drop("__ua_bi", "__ua_o", "__ua_d")
   }
 }
 
