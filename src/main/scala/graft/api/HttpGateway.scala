@@ -231,6 +231,7 @@ final class HttpGateway(
     server.createContext("/custom-event-mapper/list", route(authed(MasterRole)(handleMapperList)))
     server.createContext("/custom-event-mapper/test", route(authed(MasterRole)(handleMapperTest)))
     server.createContext("/javascript-logger/get_logs", route(authed(MasterRole)(handleJsGetLogs)))
+    server.createContext("/custom-event-mapper/get_logs", route(authed(MasterRole)(handleMapperGetLogs)))
     server.createContext("/", route(handleHealth))
     server.start()
     server.getAddress.getPort
@@ -2398,11 +2399,21 @@ final class HttpGateway(
     * Returns the newest 100 entries for the prefix, created DESC, the
     * reference's contract (JSCodeJDBCLoggerService.java:53-88: strict
     * `created > start AND created < end`, LIMIT 100, master key). */
-  private def handleJsGetLogs(ex: HttpExchange): (Int, String) = {
+  private def handleJsGetLogs(ex: HttpExchange): (Int, String) =
+    serveJsLogs(ex, "prefix")
+
+  /** `POST /custom-event-mapper/get_logs` — the same store addressed by
+    * mapper `name` (the reference addresses by row id with prefix
+    * "custom-event-mapper.<id>", CustomEventMapperHttpService.java:
+    * 195-200; names are this engine's mapper identity). */
+  private def handleMapperGetLogs(ex: HttpExchange): (Int, String) =
+    serveJsLogs(ex, "name")
+
+  private def serveJsLogs(ex: HttpExchange, prefixField: String): (Int, String) = {
     requirePost(ex)
     val root = requestJson(ex)
-    val prefix = textField(root, "prefix")
-      .getOrElse(throw new IngestRejected("prefix is required"))
+    val prefix = textField(root, prefixField)
+      .getOrElse(throw new IngestRejected(s"$prefixField is required"))
     def instant(field: String): Option[Long] =
       Option(root.get(field)).filter(!_.isNull).map { n =>
         if (n.isNumber) n.asLong()

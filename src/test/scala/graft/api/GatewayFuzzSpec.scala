@@ -28,7 +28,7 @@ class GatewayFuzzSpec extends SparkSpec {
     "/event/hook/activate", "/event/hook/delete",
     "/custom-event-mapper/create", "/custom-event-mapper/update",
     "/custom-event-mapper/delete", "/custom-event-mapper/test",
-    "/javascript-logger/get_logs",
+    "/javascript-logger/get_logs", "/custom-event-mapper/get_logs",
     "/user/batch", "/user/batch_operations", "/user/set_properties",
     "/user/set_properties_once", "/user/increment_property",
     "/user/unset_properties", "/user/get", "/user/delete",

@@ -654,6 +654,11 @@ class HttpGatewaySpec extends SparkSpec {
         """{"prefix": "chatty"}""").body()
       assert(again.indexOf("saw 1") >= 0 &&
         again.indexOf("saw 1") < again.indexOf("saw 2"), again)
+      // the per-mapper door serves the same store addressed by name
+      val byName = post(port, "/custom-event-mapper/get_logs",
+        """{"name": "chatty"}""")
+      assert(byName.statusCode() == 200 && byName.body() == again, byName.body())
+      assert(post(port, "/custom-event-mapper/get_logs", "{}").statusCode() == 400)
     }
   }
 
