@@ -517,7 +517,16 @@ object MapperQueries {
     "Roblox/WinInet",
     "Mozilla/5.0 (X11; FreeBSD; U; Viera; en-US) AppleWebKit/537.11 (KHTML, like Gecko) Viera/3.10.14 Chrome/23.0.1271.97 Safari/537.11",
     "Mozilla/5.0 (X11; Linux) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/53.0.2785.34 Safari/537.36 NETTV/9.0.0 SmartTvA/5.0.0",
-    "Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B-001-02-22-130318;Android;rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5")
+    "Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B-001-02-22-130318;Android;rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5",
+    // tail round 5: CN super-apps, JP portal app, Lenovo shell,
+    // Steam Deck / Surface Duo hardware
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Weibo (iPhone13,2__weibo__13.12.0__iphone__os17.1)",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 XHS/8.12.0",
+    "jdapp;iPhone;12.2.2;17.1;network/wifi;Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148",
+    "Mozilla/5.0 (Linux; Android 13; SM-S901C Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/117.0.0.0 Mobile Safari/537.36 YJApp-ANDROID jp.co.yahoo.android.yjtop/3.5.1",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.51 Safari/537.36 SLBrowser/8.0.0.12022 SLBChan/25",
+    "Mozilla/5.0 (X11; Linux x86_64; Steam Deck) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/115.0.5790.170 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 12; Surface Duo 2 Build/2022.823.41) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/113.0.0.0 Mobile Safari/537.36")
 
   /** M2 against the oracle: each event picks a UA sample; Spark parses
     * through [[graft.enrich.UserAgentMapper]], the twin through the
@@ -764,7 +773,35 @@ object MapperQueries {
     "https://dribbble.com/shots/1",
     "https://getpocket.com/read/1",
     "https://feedly.com/i/entry/abc",
-    "https://www.inoreader.com/article/abc")
+    "https://www.inoreader.com/article/abc",
+    // tail round 5: webmail tail, yandex short domain, KR cafes,
+    // dev platforms, JP/CN/PL communities
+    "https://mail.rambler.ru/folder/INBOX",
+    "https://poczta.onet.pl/inbox",
+    "https://app.tuta.com/mail",
+    "https://app.hey.com/imbox",
+    "https://ya.ru/search/?text=privet",
+    "https://cafe.naver.com/somecafe/1",
+    "https://cafe.daum.net/somecafe/1",
+    "https://gitlab.com/group/project/-/issues/1",
+    "https://bitbucket.org/team/repo/pull-requests/1",
+    "https://gitee.com/user/repo",
+    "https://codepen.io/user/pen/abc",
+    "https://huggingface.co/datasets/squad",
+    "https://www.kaggle.com/competitions/titanic",
+    "https://arxiv.org/abs/1706.03762",
+    "https://dev.to/user/post-1",
+    "https://qiita.com/user/items/abc",
+    "https://zenn.dev/user/articles/abc",
+    "https://note.com/user/n/abc",
+    "https://ameblo.jp/user/entry-1.html",
+    "https://b.hatena.ne.jp/entry/s/example.org/",
+    "https://www.youku.com/v_show/id_1",
+    "https://www.iqiyi.com/v_1.html",
+    "https://lemmy.world/post/1",
+    "https://truthsocial.com/@user/posts/1",
+    "https://wykop.pl/link/1",
+    "https://flipboard.com/@user/magazine")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

@@ -68,6 +68,7 @@ object UaRules {
     UaRule("MiuiBrowser", "MiuiBrowser/", "MiuiBrowser/(\\d+)"),
     UaRule("Mint Browser", "Mint Browser/", "Mint Browser/(\\d+)"),
     UaRule("Quark", "Quark/", "Quark/(\\d+)"),
+    UaRule("Lenovo Browser", "SLBrowser/", "SLBrowser/(\\d+)"),
     UaRule("Huawei Browser", "HuaweiBrowser/", "HuaweiBrowser/(\\d+)"),
     UaRule("Vivo Browser", "VivoBrowser/", "VivoBrowser/(\\d+)"),
     UaRule("Oppo Browser", "OppoBrowser/", "OppoBrowser/(\\d+)"),
@@ -171,6 +172,11 @@ object UaRules {
     UaRule("Kuaishou", "Kwai/|ksNebula/", "(?:Kwai|ksNebula)/(\\d+)"),
     UaRule("Douyin", "aweme/", "aweme/(\\d+)"),
     UaRule("Zalo", "\\bZalo\\b"),
+    UaRule("Weibo", "(?i)weibo", "(?i)weibo__(\\d+)"),
+    UaRule("Xiaohongshu", "XHS/", "XHS/(\\d+)"),
+    UaRule("JD App", "(?i)jdapp", ""),
+    UaRule("Yahoo Japan App", "jp\\.co\\.yahoo\\.(?:android|iphone)",
+      "jp\\.co\\.yahoo\\.(?:android|iphone)[.\\w]*/(\\d+)"),
     UaRule("VK App", "VKAndroidApp/|VK iPhone", "VKAndroidApp/(\\d+)"),
     UaRule("Shopee", "Shopee"),
     UaRule("Naver App", "NAVER\\(inapp"),
@@ -372,8 +378,9 @@ object UaRules {
     DeviceRule("VIDAA", family = "Hisense Smart TV"),
     DeviceRule("VIERA|Viera", family = "Panasonic Viera TV"),
     DeviceRule("NETTV/", family = "Philips Smart TV"),
-    // VR headsets and in-car browsers
+    // VR headsets, handheld consoles, in-car browsers
     DeviceRule(";\\s*(Quest[^;)]*)", prefix = "Meta "),
+    DeviceRule("Steam ?Deck", family = "Valve Steam Deck"),
     DeviceRule("Tesla/", family = "Tesla"),
     // consoles
     DeviceRule("PlayStation (\\d+)", prefix = "PlayStation "),
@@ -383,6 +390,7 @@ object UaRules {
     DeviceRule(";\\s*(KF[A-Z]{2,}[A-Z0-9]*)", prefix = "Amazon Kindle Fire "),
     DeviceRule("Kindle", family = "Amazon Kindle"),
     // branded Android hardware, model captured
+    DeviceRule(";\\s*(Surface Duo[^;)]*?)\\s+Build/", prefix = "Microsoft "),
     DeviceRule(";\\s*(SM-[A-Za-z0-9]+)", prefix = "Samsung "),
     DeviceRule(";\\s*(GT-[A-Za-z0-9]+)", prefix = "Samsung "),
     DeviceRule(";\\s*(Pixel[^;)]*?)\\s+Build/", prefix = "Google "),
@@ -440,6 +448,10 @@ object UaRules {
     RefererRule("qq-mail", "^mail\\.qq\\.com$", "email"),
     RefererRule("naver-mail", "^mail\\.naver\\.com$", "email"),
     RefererRule("libero-mail", "^mail\\.libero\\.it$", "email"),
+    RefererRule("rambler-mail", "^mail\\.rambler\\.ru$", "email"),
+    RefererRule("onet-poczta", "^poczta\\.onet\\.pl$", "email"),
+    RefererRule("tutanota", "^app\\.tuta\\.com$|(^|\\.)tutanota\\.com$", "email"),
+    RefererRule("hey", "^app\\.hey\\.com$", "email"),
     // email.seznam.cz must precede the seznam SEARCH rule below
     RefererRule("seznam-email", "^email\\.seznam\\.cz$", "email"),
     RefererRule("icloud-mail", "^mail\\.icloud\\.com$", "email"),
@@ -458,7 +470,7 @@ object UaRules {
     RefererRule("bing", "(^|\\.)bing\\.", "search"),
     RefererRule("yahoo", "(^|\\.)yahoo\\.", "search"),
     RefererRule("duckduckgo", "(^|\\.)duckduckgo\\.", "search"),
-    RefererRule("yandex", "(^|\\.)yandex\\.", "search"),
+    RefererRule("yandex", "(^|\\.)yandex\\.|^ya\\.ru$", "search"),
     RefererRule("baidu", "(^|\\.)baidu\\.", "search"),
     RefererRule("ecosia", "(^|\\.)ecosia\\.", "search"),
     RefererRule("ask", "(^|\\.)ask\\.com$", "search"),
@@ -557,10 +569,31 @@ object UaRules {
     RefererRule("producthunt", "(^|\\.)producthunt\\.com$", "social"),
     RefererRule("lobsters", "^lobste\\.rs$", "social"),
     RefererRule("naver-blog", "^blog\\.naver\\.com$", "social"),
+    RefererRule("naver-cafe", "^cafe\\.naver\\.com$", "social"),
+    RefererRule("daum-cafe", "^cafe\\.daum\\.net$", "social"),
     RefererRule("douyin", "(^|\\.)douyin\\.com$", "social"),
     RefererRule("kuaishou", "(^|\\.)kuaishou\\.com$", "social"),
     // developer / creator / reader communities
     RefererRule("stackoverflow", "(^|\\.)stack(overflow|exchange)\\.com$", "social"),
+    RefererRule("gitlab", "(^|\\.)gitlab\\.com$", "social"),
+    RefererRule("bitbucket", "(^|\\.)bitbucket\\.org$", "social"),
+    RefererRule("gitee", "(^|\\.)gitee\\.com$", "social"),
+    RefererRule("codepen", "(^|\\.)codepen\\.io$", "social"),
+    RefererRule("huggingface", "(^|\\.)huggingface\\.co$", "social"),
+    RefererRule("kaggle", "(^|\\.)kaggle\\.com$", "social"),
+    RefererRule("arxiv", "(^|\\.)arxiv\\.org$", "social"),
+    RefererRule("devto", "(^|\\.)dev\\.to$", "social"),
+    RefererRule("qiita", "(^|\\.)qiita\\.com$", "social"),
+    RefererRule("zenn", "(^|\\.)zenn\\.dev$", "social"),
+    RefererRule("note-jp", "(^|\\.)note\\.com$", "social"),
+    RefererRule("ameblo", "(^|\\.)ameblo\\.jp$", "social"),
+    RefererRule("hatena", "(^|\\.)hatena\\.ne\\.jp$", "social"),
+    RefererRule("youku", "(^|\\.)youku\\.com$", "social"),
+    RefererRule("iqiyi", "(^|\\.)iqiyi\\.com$", "social"),
+    RefererRule("lemmy", "(^|\\.)lemmy\\.(world|ml)$", "social"),
+    RefererRule("truthsocial", "(^|\\.)truthsocial\\.com$", "social"),
+    RefererRule("wykop", "(^|\\.)wykop\\.pl$", "social"),
+    RefererRule("flipboard-web", "(^|\\.)flipboard\\.com$", "social"),
     RefererRule("slashdot", "(^|\\.)slashdot\\.org$", "social"),
     RefererRule("pixiv", "(^|\\.)pixiv\\.net$", "social"),
     RefererRule("deviantart", "(^|\\.)deviantart\\.com$", "social"),
