@@ -126,10 +126,48 @@ final class HttpGateway(
     warehouse: String,
     project: String,
     lockKey: Option[String] = None,
-    allowProjectDeletion: Boolean = false) {
+    allowProjectDeletion: Boolean = false,
+    // the optional geo module (the reference ships Maxmind as a module
+    // too): range dims from `MaxmindDb.rangeDim`/`rangeDim6`
+    geoRanges: Option[org.apache.spark.sql.DataFrame] = None,
+    geoRangesV6: Option[org.apache.spark.sql.DataFrame] = None,
+    // hosts the referrer mapper classifies as internal traffic
+    internalHosts: Seq[String] = Seq.empty,
+    // injected clock for the timestamp mapper (deterministic tests)
+    now: () => Long = () => System.currentTimeMillis()) {
 
   @transient private lazy val mapper = new ObjectMapper()
   private var server: HttpServer = _
+
+  /** Declare the built-in module fields with the registry — the
+    * reference's FieldDependencyBuilder flow
+    * (FieldDependencyBuilder.java:12-53): each trigger field itself
+    * plus every field its mapper produces when the trigger appears.
+    * Without this, a `_`-reserved trigger (`_user_agent`, `_referrer`,
+    * `_ip`, …) is rejected at ingest and the mapper never sees it. */
+  private def declareModuleFields(): Unit = {
+    import graft.core.FieldType
+    def dep(trigger: String, tpe: FieldType,
+        produced: Seq[(String, FieldType)]): Unit =
+      registry.declareDependentFields(trigger,
+        (Seq(trigger -> tpe) ++ produced)
+          .map { case (n, t) => registry.Field(n, t) })
+    dep("_user_agent", FieldType.STRING,
+      graft.enrich.UserAgentMapper.dependentFields
+        .getOrElse("_user_agent", Seq.empty))
+    dep("_referrer", FieldType.STRING,
+      graft.enrich.ReferrerMapper(internalHosts).dependentFields
+        .getOrElse("_referrer", Seq.empty))
+    dep("_upload_time", FieldType.LONG, Seq.empty)
+    dep("_anonymous_user", FieldType.STRING, Seq.empty)
+    dep("_x_forwarded_for", FieldType.STRING,
+      Seq("_ip" -> FieldType.STRING))
+    dep("_ip", FieldType.STRING,
+      geoRanges.map(r4 => graft.enrich.GeoIpMapper(r4, geoRangesV6))
+        .map(_.dependentFields.getOrElse("_ip", Seq.empty))
+        .getOrElse(Seq.empty))
+  }
+  declareModuleFields()
   private val opSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def opsDir = s"$warehouse/$project/__user_ops"
@@ -249,7 +287,7 @@ final class HttpGateway(
   private def handleCollect(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val n = ingestAndStore(Seq(body))
+    val n = ingestAndStore(resolveSentinels(Seq(body), ex))
     if (n == 0) (400, """{"error":"event was not stored (see dead letter)"}""")
     else (200, "1")
   }
@@ -258,7 +296,7 @@ final class HttpGateway(
     requirePost(ex)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val env = BatchSources.parseEnvelope(body)
-    val n = ingestAndStore(env.events)
+    val n = ingestAndStore(resolveSentinels(env.events, ex))
     (200, s"""{"stored":$n}""")
   }
 
@@ -269,8 +307,106 @@ final class HttpGateway(
     requirePost(ex)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
-    val n = ingestAndStore(env.events)
+    val n = ingestAndStore(resolveSentinels(env.events, ex))
     (200, s"""{"stored":$n}""")
+  }
+
+  /** The reference's boolean "read it from the request" sentinels,
+    * resolved before ingest so typing never sees a boolean in a STRING
+    * field: `_user_agent: true` → the User-Agent header
+    * (UserAgentEventMapper.java:70-77), `_referrer: true` → the Referer
+    * header (ReferrerEventMapper.java:48-56), `_ip: true` → the first
+    * public X-Forwarded-For hop, else the socket address
+    * (MaxmindGeoIPEventMapper.java:177-188). A `true` with no header to
+    * read (and any `false`) just removes the field — the mapper then
+    * skips the event exactly as the reference's null branch does.
+    * Malformed lines pass through untouched; the ingest dead-letter
+    * path owns them. */
+  private def resolveSentinels(lines: Seq[String], ex: HttpExchange): Seq[String] = {
+    def header(name: String): Option[String] =
+      Option(ex.getRequestHeaders.getFirst(name)).filter(_.nonEmpty)
+    lazy val clientIp: Option[String] = {
+      val xff = header("X-Forwarded-For").flatMap { h =>
+        val m = java.util.regex.Pattern
+          .compile("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+          .matcher(h)
+        val priv = java.util.regex.Pattern
+          .compile(graft.enrich.Mappers.PrivateIpRegex)
+        var found: Option[String] = None
+        while (found.isEmpty && m.find())
+          if (!priv.matcher(m.group()).find()) found = Some(m.group())
+        found
+      }
+      xff.orElse(Option(ex.getRemoteAddress)
+        .flatMap(a => Option(a.getAddress)).map(_.getHostAddress))
+    }
+    val subs: Seq[(String, () => Option[String])] = Seq(
+      "_user_agent" -> (() => header("User-Agent")),
+      "_referrer" -> (() => header("Referer")),
+      "_ip" -> (() => clientIp))
+    lines.map { l =>
+      try {
+        val node = mapper.readTree(l)
+        Option(node.get("properties")).filter(_.isObject).map { props =>
+          val o = props.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          var changed = false
+          subs.foreach { case (field, value) =>
+            val v = o.get(field)
+            if (v != null && v.isBoolean) {
+              changed = true
+              if (v.asBoolean()) value() match {
+                case Some(s) => o.put(field, s); ()
+                case None => o.remove(field); ()
+              }
+              else { o.remove(field); () }
+            }
+          }
+          if (changed) mapper.writeValueAsString(node) else l
+        }.getOrElse(l)
+      } catch { case scala.util.control.NonFatal(_) => l }
+    }
+  }
+
+  /** The built-in enrichment stage every mapped ingest runs — the
+    * reference registers these module mappers on the collect path
+    * (EventCollectionHttpService.java:123-151): M1 timestamp skew, M5
+    * user-id, XFF → `_ip`, M4 geo (when the gateway was built with a
+    * dim), M2 user-agent, M3 referrer. Produced fields evolve the
+    * registry first (registry-rejected fields are dropped from the
+    * output, the custom-mapper discipline); the source-only trigger
+    * fields themselves are dropped later by EventStore.write. */
+  private def applyBuiltins(coll: String, df: DataFrame): DataFrame = {
+    val geo = geoRanges.map(r4 =>
+      graft.enrich.GeoIpMapper(r4, geoRangesV6)).toSeq
+    val mappers: Seq[graft.enrich.EventMapper] =
+      Seq(graft.enrich.TimestampMapper(now()),
+        graft.enrich.UserIdMapper,
+        graft.enrich.XffIpMapper) ++ geo ++
+      Seq(graft.enrich.UserAgentMapper,
+        graft.enrich.ReferrerMapper(internalHosts))
+    mappers.foldLeft(df) { (d, m) =>
+      val produced = m.constantFields ++ m.dependentFields.collect {
+        case (trigger, fs) if d.columns.contains(trigger) => fs
+      }.flatten
+      // the registry's dependent expansion pre-creates the geo columns
+      // as nulls at ingest; the join-based geo mapper ADDS its columns
+      // (unlike the withColumn mappers, which replace in place), so
+      // stale placeholders must go first — overwrite-on-enrich is the
+      // reference's geo semantics too (MaxmindGeoIPEventMapper `put`s
+      // unconditionally)
+      val input = m match {
+        case _: graft.enrich.GeoIpMapper =>
+          d.drop(produced.map(_._1).filter(d.columns.contains): _*)
+        case _ => d
+      }
+      val out = m.apply(input)
+      if (produced.isEmpty) out
+      else {
+        val (_, rejected) = registry.getOrCreate(project, coll,
+          produced.map { case (n, t) => registry.Field(n, t) })
+        out.drop(rejected.map(_.field): _*)
+      }
+    }
   }
 
   /** `POST /event/copy` — the reference's "copy events directly to
@@ -2333,12 +2469,27 @@ final class HttpGateway(
       var n = 0L
       val logSinks = scala.collection.mutable.Buffer.empty[
         (String, org.apache.spark.util.CollectionAccumulator[(String, String)])]
-      res.byCollection.foreach { case (coll, df0) =>
-        // stored custom mappers run between ingest and store — the
-        // reference's mapper stage (SURVEY §4 step 3); a mapper that
-        // drops a row keeps it out of the store AND the stored count.
-        // `/event/copy` opts out (the reference's mapEvents=false path).
-        val df = if (runMappers) applyMappers(coll, df0, logSinks) else df0
+      // phase 1: enrichment — the built-in module mappers, then stored
+      // custom mappers (the reference's mapper stage, SURVEY §4 step 3);
+      // a mapper that drops a row keeps it out of the store AND the
+      // stored count. `/event/copy` opts out (mapEvents=false path).
+      // The spider gate runs on every collection BEFORE anything is
+      // written, so a rejected request never stores a partial batch —
+      // the reference throws FORBIDDEN from the mapper stage, before
+      // storage (UserAgentEventMapper.java:87-90).
+      val prepared = res.byCollection.toSeq.map { case (coll, df0) =>
+        val df =
+          if (runMappers) applyMappers(coll, applyBuiltins(coll, df0), logSinks)
+          else df0
+        if (runMappers && df.columns.contains("_device_family") &&
+            !df.filter(org.apache.spark.sql.functions
+              .col("_device_family") === "Spider").isEmpty)
+          throw new HttpGateway.ForbiddenRejected(
+            "Spiders are not allowed in Rakam Analytics.")
+        coll -> df
+      }
+      // phase 2: storage + MV maintenance
+      prepared.foreach { case (coll, df) =>
         n += df.count()
         EventStore.write(df, warehouse, project, coll)
         // continuous maintenance: the stored batch is also the delta
@@ -2511,6 +2662,8 @@ final class HttpGateway(
       val (code, body) =
         try f(ex)
         catch {
+          case e: HttpGateway.ForbiddenRejected =>
+            (403, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
           case e: IngestRejected =>
             (400, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
           case NonFatal(e) =>
@@ -2532,4 +2685,10 @@ final class HttpGateway(
       catch { case NonFatal(_) => ex.close() }
     }
   }
+}
+
+object HttpGateway {
+  /** Request-level rejection mapped to 403 — the reference's FORBIDDEN
+    * (spiders, UserAgentEventMapper.java:87-90). */
+  final class ForbiddenRejected(message: String) extends RuntimeException(message)
 }

@@ -609,6 +609,117 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("collect runs the built-in module mappers: UA parse, referrer, " +
+    "header sentinels, timestamp default, user-id surrogate, spider 403") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = graft.TempDirs.scratch("graft-builtin").toString
+    val fixedNow = 1_767_225_600_000L // 2026-01-01 00:00:00 UTC
+    val gw = new HttpGateway(spark, registry, warehouse, "demo",
+      internalHosts = Seq("my.example.com"), now = () => fixedNow)
+    val port = gw.start()
+    try {
+      val chromeUa = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+        "(KHTML, like Gecko) Chrome/120.0.6099.71 Safari/537.36"
+      // explicit UA string + referrer + missing _time + missing _user
+      assert(post(port, "/event/collect",
+        s"""{"collection": "visit", "properties": {"_user_agent": ${
+          new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(chromeUa)},
+           | "_referrer": "https://www.google.com/search?q=spark", "page": "/a"}}""".stripMargin)
+        .statusCode() == 200)
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT _user, _user_agent_family, _os, _referrer_medium, _referrer_source, _time FROM visit"}""")
+      assert(q.statusCode() == 200, q.body())
+      // M2/M3 fields stored; M1 server-now default; M5 surrogate id
+      assert(q.body().contains("\"_user_agent_family\":\"Chrome\"") &&
+        q.body().contains("\"_os\":\"Windows\"") &&
+        q.body().contains("\"_referrer_medium\":\"search\"") &&
+        q.body().contains("\"_referrer_source\":\"google\"") &&
+        q.body().contains("\"_user\":\"anon_") &&
+        q.body().contains("\"_time\":\"2026-01-01"), q.body())
+      // the raw trigger field is source-only: in the registry schema
+      // (null-filled on read) but never materialized in the store
+      val rawQ = post(port, "/query/execute",
+        """{"query": "SELECT count(_user_agent) AS n FROM visit"}""")
+      assert(rawQ.body().contains("\"n\":0"), rawQ.body())
+
+      // boolean sentinels read the request headers
+      val withHeaders = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/collect"))
+          .header("User-Agent", "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0")
+          .header("Referer", "https://duckduckgo.com")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"collection": "visit", "properties": {"_user_agent": true, "_referrer": true, "page": "/b"}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(withHeaders.statusCode() == 200, withHeaders.body())
+      val q2 = post(port, "/query/execute",
+        """{"query": "SELECT _user_agent_family, _referrer_source FROM visit WHERE page = '/b'"}""")
+      assert(q2.body().contains("\"_user_agent_family\":\"Firefox\"") &&
+        q2.body().contains("\"_referrer_source\":\"duckduckgo\""), q2.body())
+
+      // a spider UA rejects the whole request with the reference's 403
+      val spider = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/collect"))
+          .header("User-Agent", "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"collection": "visit", "properties": {"_user_agent": true, "page": "/c"}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(spider.statusCode() == 403 &&
+        spider.body().contains("Spiders are not allowed"), spider.body())
+      assert(post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM visit WHERE page = '/c'"}""")
+        .body().contains("\"n\":0"))
+
+      // internal referrer suppresses source/domain
+      assert(post(port, "/event/collect",
+        """{"collection": "visit", "properties": {"_referrer": "https://my.example.com/home", "page": "/d"}}""")
+        .statusCode() == 200)
+      val q3 = post(port, "/query/execute",
+        """{"query": "SELECT _referrer_medium, _referrer_source FROM visit WHERE page = '/d'"}""")
+      assert(q3.body().contains("\"_referrer_medium\":\"internal\"") &&
+        !q3.body().contains("\"_referrer_source\":\""), q3.body())
+
+      // /event/copy bypasses ALL mappers (the reference's mapEvents=false)
+      assert(post(port, "/event/copy",
+        """{"api": {"api_key": "k"}, "events": [
+          |{"collection": "raw", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "page": "/z"}}
+          |]}""".stripMargin).statusCode() == 200)
+      assert(post(port, "/query/execute",
+        """{"query": "SELECT _user_agent_family FROM raw"}""").statusCode() == 400)
+    } finally gw.stop()
+  }
+
+  test("collect enriches geo when the gateway is built with a range dim") {
+    import graft.enrich.geo.{MaxmindDb, MmdbFixture}
+    val entries = Seq(
+      "10.0.0.0/8" -> Map("country" -> Map("iso_code" -> "XX")), // private: must be skipped
+      "203.0.113.0/24" -> Map(
+        "country" -> Map("iso_code" -> "AU"),
+        "city" -> Map("names" -> Map("en" -> "Sydney"))))
+    val db = MaxmindDb.read(MmdbFixture.write(entries))
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = graft.TempDirs.scratch("graft-geo-gw").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo",
+      geoRanges = Some(db.rangeDim(spark)))
+    val port = gw.start()
+    try {
+      // `_ip: true` resolves via the X-Forwarded-For public hop
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/collect"))
+          .header("X-Forwarded-For", "10.1.2.3, 203.0.113.9")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"collection": "visit", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "_ip": true, "page": "/a"}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT _country_code, _city FROM visit"}""")
+      assert(q.body().contains("\"_country_code\":\"AU\"") &&
+        q.body().contains("\"_city\":\"Sydney\""), q.body())
+    } finally gw.stop()
+  }
+
   test("/javascript-logger/get_logs serves stored mappers' logger.* " +
     "output: prefix filter, level names, created DESC, start/end bounds") {
     withGateway { (_, port) =>
