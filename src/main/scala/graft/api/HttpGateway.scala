@@ -1146,7 +1146,10 @@ final class HttpGateway(
     }.toMap
     val lines = graft.enrich.js.JsWebhookTransform(code, ps)
       .transformOne(body, queryParams(ex), headers)
-    val n = if (lines.isEmpty) 0L else ingestAndStore(lines)
+    // the reference's webhook path stores DIRECTLY — no mapper stage
+    // (WebHookHttpService.java:232 calls eventStore.store without
+    // mapEvent); the hook's own JS transform is its enrichment
+    val n = if (lines.isEmpty) 0L else ingestAndStore(lines, runMappers = false)
     (200, if (n > 0) "1" else "0")
   }
 
@@ -2415,9 +2418,11 @@ final class HttpGateway(
     val builtIn = Seq(
       "timestamp_skew" -> "clamp client clock skew against server time (M1)",
       "user_agent" -> "parse user agent, reject spiders (M2)",
-      "referrer" -> "classify referrer host into medium/source (M3)",
-      "geoip" -> "ip to geo fields via range lookup (M4)",
-      "user_id" -> "assign missing _user from device id (M5)")
+      "referrer" -> "classify referrer host into medium/source (M3)") ++
+      // geo is a module: listed only when the gateway carries a dim
+      (if (geoRanges.isDefined)
+        Seq("geoip" -> "ip to geo fields via range lookup (M4)") else Nil) ++
+      Seq("user_id" -> "assign missing _user from device id (M5)")
     val rows = builtIn.map { case (n, d) =>
       s"""{"name":${mapper.writeValueAsString(n)},"description":${
         mapper.writeValueAsString(d)},"custom":false}"""
