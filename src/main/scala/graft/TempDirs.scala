@@ -13,7 +13,9 @@ import java.nio.file.{Files, Path}
 object TempDirs {
 
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
-  private val keyed = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  /** key → (current tree, previous tree) — see [[scratchFor]]. */
+  private val keyed =
+    scala.collection.mutable.HashMap.empty[String, (Path, Option[Path])]
 
   private def deleteTree(root: Path): Unit =
     try {
@@ -35,16 +37,22 @@ object TempDirs {
   }
 
   /** A fresh scratch for a recurring producer (a query re-invoked in
-    * one long-lived JVM — bench reps, a serving gateway): the PREVIOUS
-    * tree registered under the same key is deleted NOW, so the JVM
-    * holds at most one live copy per key instead of one per
-    * invocation. Safe because a key's previous tree only backs plans
-    * from the prior invocation of the same query, which the caller has
-    * already executed; the current tree still gets the exit sweep. */
+    * one long-lived JVM — bench reps, a serving gateway): each call
+    * eagerly deletes the tree TWO generations back, so the JVM holds
+    * at most two live copies per key instead of one per invocation.
+    * The one-generation grace matters because callers return LAZY
+    * DataFrames over the scratch path — the (n−1)th invocation's plan
+    * may still be executing when the nth invocation creates its tree,
+    * and deleting it immediately would yank files mid-read. Both
+    * surviving generations still get the exit sweep. */
   def scratchFor(key: String): Path = {
     val fresh = scratch(key)
-    val prev = keyed.put(key, fresh)
-    if (prev != null) { created.remove(prev); deleteTree(prev) }
+    val evicted = keyed.synchronized {
+      val prior = keyed.get(key)
+      keyed.put(key, (fresh, prior.map(_._1)))
+      prior.flatMap(_._2)
+    }
+    evicted.foreach { p => created.remove(p); deleteTree(p) }
     fresh
   }
 }

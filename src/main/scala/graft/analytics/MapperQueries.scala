@@ -499,6 +499,7 @@ object MapperQueries {
     // shells, the Threads webview, Haiku/WebPositive, TV/JioPhone
     // hardware — every rule added this round ships its lint witness
     "Mozilla/5.0 (X11; Linux x86_64; Quest 3) AppleWebKit/537.36 (KHTML, like Gecko) OculusBrowser/31.1.0.21.137 SamsungBrowser/4.0 Chrome/126.0.6478.122 VR Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 10; Quest 2 Build/QQ3A.200805.001; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 OculusBrowser/32.0 SamsungBrowser/4.0 Chrome/121.0.0.0 VR Safari/537.36",
     "Mozilla/5.0 (X11; GNU/Linux) AppleWebKit/537.36 (KHTML, like Gecko) Chromium/79.0.3945.130 Chrome/79.0.3945.130 Safari/537.36 Tesla/2023.38.6-7a9b3b6806d2",
     "Mozilla/5.0 (Linux; Android 12; PDYM20 Build/SP1A.210812.016; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/89.0.4389.116 Mobile Safari/537.36 SogouMobileBrowser/5.30.8",
     "Mozilla/5.0 (Linux; Android 11; V2034A Build/RP1A.200720.012; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/87.0.4280.141 Mobile Safari/537.36 Mb2345Browser/9.0",

@@ -326,9 +326,14 @@ final class HttpGateway(
     def header(name: String): Option[String] =
       Option(ex.getRequestHeaders.getFirst(name)).filter(_.nonEmpty)
     lazy val clientIp: Option[String] = {
+      // v4-only hop scan BY PARITY with the reference's
+      // findNonPrivateIpAddress regex (F16 note, Mappers.scala): a v6
+      // hop is skipped there too and the socket address wins. The
+      // boundary guards stop `1234.5.6.7` from yielding `234.5.6.7`
+      // (driver-side java.util.regex, so lookarounds are fine here)
       val xff = header("X-Forwarded-For").flatMap { h =>
         val m = java.util.regex.Pattern
-          .compile("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+          .compile("(?<![0-9.])[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}(?![0-9.])")
           .matcher(h)
         val priv = java.util.regex.Pattern
           .compile(graft.enrich.Mappers.PrivateIpRegex)
@@ -2482,9 +2487,15 @@ final class HttpGateway(
       // written, so a rejected request never stores a partial batch —
       // the reference throws FORBIDDEN from the mapper stage, before
       // storage (UserAgentEventMapper.java:87-90).
+      // each enriched frame is PERSISTED: the spider gate, the stored
+      // count, the store write and every MV delta would otherwise
+      // re-execute the whole mapper chain (built-in regex tables + JS
+      // custom mappers) per action — and re-fire the log accumulator,
+      // duplicating every logger entry 2-4x per ingest
       val prepared = res.byCollection.toSeq.map { case (coll, df0) =>
         val df =
           if (runMappers) applyMappers(coll, applyBuiltins(coll, df0), logSinks)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else df0
         if (runMappers && df.columns.contains("_device_family") &&
             !df.filter(org.apache.spark.sql.functions
@@ -2493,18 +2504,20 @@ final class HttpGateway(
             "Spiders are not allowed in Rakam Analytics.")
         coll -> df
       }
-      // phase 2: storage + MV maintenance
-      prepared.foreach { case (coll, df) =>
-        n += df.count()
-        EventStore.write(df, warehouse, project, coll)
-        // continuous maintenance: the stored batch is also the delta
-        // for every materialized view on this collection
-        maintainMvs(coll, df)
-      }
-      if (!res.deadLetter.isEmpty)
-        EventStore.writeDeadLetter(res.deadLetter, warehouse, project)
-      appendJsLogs(logSinks.toSeq)
-      n
+      try {
+        // phase 2: storage + MV maintenance
+        prepared.foreach { case (coll, df) =>
+          n += df.count()
+          EventStore.write(df, warehouse, project, coll)
+          // continuous maintenance: the stored batch is also the delta
+          // for every materialized view on this collection
+          maintainMvs(coll, df)
+        }
+        if (!res.deadLetter.isEmpty)
+          EventStore.writeDeadLetter(res.deadLetter, warehouse, project)
+        appendJsLogs(logSinks.toSeq)
+        n
+      } finally if (runMappers) prepared.foreach(_._2.unpersist())
     } finally res.unpersist()
   }
 
@@ -2522,7 +2535,7 @@ final class HttpGateway(
   private def appendJsLogs(sinks: Seq[
       (String, org.apache.spark.util.CollectionAccumulator[(String, String)])]): Unit = {
     import scala.jdk.CollectionConverters._
-    val now = System.currentTimeMillis()
+    val nowMs = now() // the injected clock, like the timestamp mapper
     val entries = sinks.flatMap { case (prefix, acc) =>
       acc.value.asScala.map { case (level, message) =>
         val node = mapper.createObjectNode()
@@ -2531,7 +2544,7 @@ final class HttpGateway(
         // the reference stores airlift Level names (DEBUG/INFO/WARN/ERROR)
         node.put("level", level.toUpperCase(java.util.Locale.ROOT))
         node.put("message", message)
-        node.put("created", now)
+        node.put("created", nowMs)
         node
       }
     }
@@ -2542,7 +2555,7 @@ final class HttpGateway(
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dir)
     val f = new org.apache.hadoop.fs.Path(dir,
-      f"$now%013d-${java.util.UUID.randomUUID().toString.take(8)}.json")
+      f"$nowMs%013d-${java.util.UUID.randomUUID().toString.take(8)}.json")
     val out = fs.create(f, true)
     try out.write(mapper.writeValueAsBytes(arr)) finally out.close()
     // retention: newest batches only (names sort by timestamp prefix)
@@ -2586,10 +2599,16 @@ final class HttpGateway(
     val rows =
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toIndexedSeq.map(_.getPath).flatMap { p =>
-        val in = fs.open(p)
-        val bytes = try in.readAllBytes() finally in.close()
-        // stored state: a parse failure here is server fault (500)
-        mapper.readTree(bytes).elements().asScala.toSeq
+        // a concurrent ingest's retention prune may delete a listed
+        // batch between listStatus and open — those entries could
+        // never make the newest-100 response anyway, so skip; an
+        // EXISTING file that fails to parse stays a server-fault 500
+        val bytes =
+          try {
+            val in = fs.open(p)
+            try Some(in.readAllBytes()) finally in.close()
+          } catch { case _: java.io.FileNotFoundException => None }
+        bytes.toSeq.flatMap(b => mapper.readTree(b).elements().asScala.toSeq)
       }.filter { e =>
         e.get("prefix").asText() == prefix &&
           start.forall(e.get("created").asLong() > _) &&

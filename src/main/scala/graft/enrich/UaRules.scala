@@ -379,7 +379,7 @@ object UaRules {
     DeviceRule("VIERA|Viera", family = "Panasonic Viera TV"),
     DeviceRule("NETTV/", family = "Philips Smart TV"),
     // VR headsets, handheld consoles, in-car browsers
-    DeviceRule(";\\s*(Quest[^;)]*)", prefix = "Meta "),
+    DeviceRule(";\\s*(Quest[^;)]*?)(?:\\s+Build/|[;)])", prefix = "Meta "),
     DeviceRule("Steam ?Deck", family = "Valve Steam Deck"),
     DeviceRule("Tesla/", family = "Tesla"),
     // consoles

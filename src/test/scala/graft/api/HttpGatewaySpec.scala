@@ -739,12 +739,16 @@ class HttpGatewaySpec extends SparkSpec {
       val logs = post(port, "/javascript-logger/get_logs",
         """{"prefix": "chatty"}""")
       assert(logs.statusCode() == 200, logs.body())
-      // airlift Level names, message content, ISO timestamp shape
+      // airlift Level names, message content, ISO timestamp shape —
+      // and EXACTLY the two entries the script logged: a re-executed
+      // (unpersisted) mapper chain would re-fire the accumulator and
+      // duplicate them
       assert(logs.body().contains("\"level\":\"INFO\"") &&
         logs.body().contains("\"message\":\"saw 2\"") &&
         logs.body().contains("\"level\":\"WARN\"") &&
         logs.body().contains("\"message\":\"odd batch\"") &&
         logs.body().contains("\"timestamp\":\"2"), logs.body())
+      assert("\"level\"".r.findAllIn(logs.body()).size == 2, logs.body())
       // an unknown prefix sees nothing; bounds are strict > start, < end
       assert(post(port, "/javascript-logger/get_logs",
         """{"prefix": "other"}""").body() == "[]")
