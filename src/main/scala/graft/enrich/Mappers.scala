@@ -186,6 +186,21 @@ case object UserAgentMapper extends EventMapper {
       .withColumn("_device_family", device)
       .drop("__ua_bi", "__ua_o", "__ua_d")
   }
+
+  /** The 100 TB shape of this mapper: run the ~220-rule chain once per
+    * DISTINCT user-agent and broadcast-join the dictionary back, so the
+    * regex work is O(|distinct UA|) — ~10^5 at web scale — instead of
+    * O(|events|) ~10^12 (the m2 oracle query measures exactly this
+    * shape). Null-safe equality keeps the null-UA row matching its
+    * dictionary entry, so results are bit-identical to [[apply]] (a
+    * property spec pins it); the chain itself evaluates only under the
+    * dictionary aggregate, never on the fact side. */
+  def dictionary(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("_user_agent")) return df
+    val dict = apply(df.select(col("_user_agent")).distinct())
+    df.join(broadcast(dict), df("_user_agent") <=> dict("_user_agent"), "left")
+      .drop(dict("_user_agent"))
+  }
 }
 
 /** M3: referrer parse (ReferrerEventMapper.java:46-149): URL →

@@ -231,6 +231,34 @@ class MappersSpec extends SparkSpec {
     }
   }
 
+  test("M2: dictionary shape == per-row apply, chain stays off the fact side") {
+    import spark.implicits._
+    // duplicates, a null UA, and rule-table hits across every family
+    // class — dictionary() must be bit-identical to apply() including
+    // the null row (null-safe join key), while the regex chain runs
+    // only under the |distinct-UA| dictionary aggregate
+    val uas = graft.analytics.MapperQueries.uaSamples
+    val rows = (0 until 300).map { i =>
+      (i.toLong, if (i % 29 == 0) null else uas(i % uas.size))
+    }
+    val df = rows.toDF("event_id", "_user_agent")
+    val perRow = UserAgentMapper(df)
+      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    val viaDict = UserAgentMapper.dictionary(df)
+      .select(perRow.headOption.map(_ => UserAgentMapper(df).columns).getOrElse(Array.empty[String])
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    assert(viaDict === perRow)
+    val plan = UserAgentMapper.dictionary(df).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the chain evaluates only under the broadcast (dictionary) side:
+    // in the tree printout the STREAMED side sits between the join node
+    // and the BroadcastExchange — it must carry no regex work
+    val streamed = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("RLIKE"), streamed)
+  }
+
   test("M3: referrer parse — widened source families and term params") {
     val rows = Seq(
       "https://yandex.ru/search/?text=spark+engine",
