@@ -215,36 +215,38 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
     "_referrer_domain" -> FieldType.STRING,
     "_referrer_path" -> FieldType.STRING))
 
-  def apply(df: DataFrame): DataFrame = {
-    if (!df.columns.contains("_referrer")) return df
-    Seq("__ref_host", "__ref_path", "__ref_hit").foreach { c =>
-      require(!df.columns.contains(c), s"scratch column $c already present")
-    }
-    // STAGE host/path once: inlining the parse_url into every rule
-    // branch would execute it ~|rules| times per row AND (with the full
-    // referers.yml-scale table) push the generated method past Janino's
-    // 64 KB limit, silently disabling whole-stage codegen. A separate
-    // projection keeps each branch a small RLIKE on a bound attribute —
-    // CollapseProject leaves it staged because the value is consumed
-    // many times.
-    val staged = df
-      .withColumn("__ref_host",
-        lower(nullif(try_parse_url(col("_referrer"), lit("HOST")), lit(""))))
-      .withColumn("__ref_path",
-        nullif(try_parse_url(col("_referrer"), lit("PATH")), lit("")))
-    val host = col("__ref_host")
-    // ONE flat CaseWhen over the referers table (snowplow referers.yml
-    // shape) emitting one U+0001-separated "source<SOH>medium" pair — first matching host rule
-    // wins BOTH (email rows precede search so mail.google.com is
-    // email); a single chain halves the per-row regex work and the
-    // generated code vs separate source/medium chains
-    val sep = "\u0001" // never appears in source/medium slugs
-    val hit = UaRules.referers.tail.foldLeft(
+  private val sep = "\u0001" // never appears in source/medium slugs
+
+  /** STAGE host/path once: inlining the parse_url into every rule
+    * branch would execute it ~|rules| times per row AND (with the full
+    * referers.yml-scale table) push the generated method past Janino's
+    * 64 KB limit, silently disabling whole-stage codegen. A separate
+    * projection keeps each branch a small RLIKE on a bound attribute —
+    * CollapseProject leaves it staged because the value is consumed
+    * many times. */
+  private def stage(df: DataFrame): DataFrame = df
+    .withColumn("__ref_host",
+      lower(nullif(try_parse_url(col("_referrer"), lit("HOST")), lit(""))))
+    .withColumn("__ref_path",
+      nullif(try_parse_url(col("_referrer"), lit("PATH")), lit("")))
+
+  /** ONE flat CaseWhen over the referers table (snowplow referers.yml
+    * shape) emitting one U+0001-separated "source<SOH>medium" pair —
+    * first matching host rule wins BOTH (email rows precede search so
+    * mail.google.com is email); a single chain halves the per-row regex
+    * work and the generated code vs separate source/medium chains. */
+  private def hitChain(host: Column): Column =
+    UaRules.referers.tail.foldLeft(
       when(host.rlike(UaRules.referers.head.hostRe),
         lit(UaRules.referers.head.source + sep + UaRules.referers.head.medium))) {
       (acc, r) => acc.when(host.rlike(r.hostRe), lit(r.source + sep + r.medium))
     }
-    val withHit = staged.withColumn("__ref_hit", hit)
+
+  /** The per-row tail over a frame carrying `__ref_host`/`__ref_path`/
+    * `__ref_hit`: medium precedence, term-param extraction, and the
+    * internal-traffic suppression. */
+  private def finish(withHit: DataFrame): DataFrame = {
+    val host = col("__ref_host")
     val source = substring_index(col("__ref_hit"), sep, 1)
     val tableMedium = substring_index(col("__ref_hit"), sep, -1)
     val isInternal = if (internalHosts.nonEmpty) host.isin(internalHosts: _*) else lit(false)
@@ -263,7 +265,37 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
       .withColumn("_referrer_path", when(medium =!= "internal", col("__ref_path")))
       .drop("__ref_host", "__ref_path", "__ref_hit")
   }
+
+  private def guard(df: DataFrame): Unit =
+    Seq("__ref_host", "__ref_path", "__ref_hit", "__dict_host").foreach { c =>
+      require(!df.columns.contains(c), s"scratch column $c already present")
+    }
+
+  def apply(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("_referrer")) return df
+    guard(df)
+    finish(stage(df).withColumn("__ref_hit", hitChain(col("__ref_host"))))
+  }
+
+  /** The 100 TB shape: referrer URLs are high-cardinality (query
+    * strings), but the classification chain only reads the HOST — so
+    * the ~110-regex chain runs once per DISTINCT host (~10^5 at web
+    * scale) and broadcast-joins back, while term/path extraction (a
+    * couple of try_parse_url calls) stays per-row. A null-safe join
+    * keeps the null-host (malformed URL) row identical to [[apply]];
+    * property-pinned bit-equal. */
+  def dictionary(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("_referrer")) return df
+    guard(df)
+    val st = stage(df)
+    val dict = st.select(col("__ref_host").as("__dict_host")).distinct()
+      .withColumn("__ref_hit", hitChain(col("__dict_host")))
+    finish(st.join(broadcast(dict),
+        col("__ref_host") <=> col("__dict_host"), "left")
+      .drop("__dict_host"))
+  }
 }
+
 
 /** M4/J1/J2: GeoIP enrichment as broadcast range joins, both address
   * families — the reference resolves any `java.net.InetAddress`

@@ -259,6 +259,26 @@ class MappersSpec extends SparkSpec {
     assert(!streamed.contains("RLIKE"), streamed)
   }
 
+  test("M3: dictionary shape == per-row apply; chain keyed on distinct hosts") {
+    import spark.implicits._
+    val urls = graft.analytics.MapperQueries.refSamples
+    val m = ReferrerMapper(Seq("my.example.com"))
+    val rows = (0 until 240).map { i =>
+      (i.toLong, if (i % 31 == 0) null else urls(i % urls.size))
+    }
+    val df = rows.toDF("event_id", "_referrer")
+    val perRow = m(df).orderBy($"event_id").collect().map(_.toSeq).toSeq
+    val viaDict = m.dictionary(df)
+      .select(m(df).columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    assert(viaDict === perRow)
+    val plan = m.dictionary(df).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val streamed = plan.substring(plan.indexOf("BroadcastHashJoin"),
+      plan.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("RLIKE"), streamed)
+  }
+
   test("M3: referrer parse — widened source families and term params") {
     val rows = Seq(
       "https://yandex.ru/search/?text=spark+engine",
