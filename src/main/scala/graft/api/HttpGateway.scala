@@ -404,7 +404,16 @@ final class HttpGateway(
           d.drop(produced.map(_._1).filter(d.columns.contains): _*)
         case _ => d
       }
-      val out = m.apply(input)
+      // the rule-table mappers run their dictionary shape (chain per
+      // DISTINCT UA/host, broadcast join back — property-pinned
+      // bit-equal to per-row): an uncapped /event/bulk body then pays
+      // the regex chains per distinct value, not per event
+      val out = m match {
+        case graft.enrich.UserAgentMapper =>
+          graft.enrich.UserAgentMapper.dictionary(input)
+        case r: graft.enrich.ReferrerMapper => r.dictionary(input)
+        case _ => m.apply(input)
+      }
       if (produced.isEmpty) out
       else {
         val (_, rejected) = registry.getOrCreate(project, coll,

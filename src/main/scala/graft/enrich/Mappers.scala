@@ -197,8 +197,14 @@ case object UserAgentMapper extends EventMapper {
     * dictionary aggregate, never on the fact side. */
   def dictionary(df: DataFrame): DataFrame = {
     if (!df.columns.contains("_user_agent")) return df
-    val dict = apply(df.select(col("_user_agent")).distinct())
-    df.join(broadcast(dict), df("_user_agent") <=> dict("_user_agent"), "left")
+    // [[apply]] overwrites pre-existing enrichment columns in place
+    // (withColumn); the join-based shape must drop them first or the
+    // output carries duplicate names (ingest's dependent expansion
+    // pre-creates them as nulls)
+    val produced = dependentFields("_user_agent").map(_._1)
+    val base = df.drop(produced.filter(df.columns.contains): _*)
+    val dict = apply(base.select(col("_user_agent")).distinct())
+    base.join(broadcast(dict), base("_user_agent") <=> dict("_user_agent"), "left")
       .drop(dict("_user_agent"))
   }
 }
@@ -287,7 +293,9 @@ final case class ReferrerMapper(internalHosts: Seq[String] = Seq.empty) extends 
   def dictionary(df: DataFrame): DataFrame = {
     if (!df.columns.contains("_referrer")) return df
     guard(df)
-    val st = stage(df)
+    // overwrite pre-existing enrichment columns, like [[apply]] does
+    val produced = dependentFields("_referrer").map(_._1)
+    val st = stage(df.drop(produced.filter(df.columns.contains): _*))
     val dict = st.select(col("__ref_host").as("__dict_host")).distinct()
       .withColumn("__ref_hit", hitChain(col("__dict_host")))
     finish(st.join(broadcast(dict),

@@ -249,6 +249,12 @@ class MappersSpec extends SparkSpec {
         .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       .orderBy($"event_id").collect().map(_.toSeq).toSeq
     assert(viaDict === perRow)
+    // ingest's dependent expansion pre-creates enrichment columns as
+    // nulls — the dictionary join must overwrite, not duplicate, them
+    val withPlaceholder = df.withColumn("_user_agent_family",
+      org.apache.spark.sql.functions.lit(null).cast("string"))
+    assert(UserAgentMapper.dictionary(withPlaceholder)
+      .columns.count(_ == "_user_agent_family") == 1)
     val plan = UserAgentMapper.dictionary(df).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the chain evaluates only under the broadcast (dictionary) side:
