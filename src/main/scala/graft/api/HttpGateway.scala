@@ -287,7 +287,7 @@ final class HttpGateway(
   private def handleCollect(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val n = ingestAndStore(resolveSentinels(Seq(body), ex))
+    val n = ingestAndStore(resolveSentinels(Seq(body), ex), cfCountry = cfCountry(ex))
     if (n == 0) (400, """{"error":"event was not stored (see dead letter)"}""")
     else (200, "1")
   }
@@ -296,7 +296,7 @@ final class HttpGateway(
     requirePost(ex)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val env = BatchSources.parseEnvelope(body)
-    val n = ingestAndStore(resolveSentinels(env.events, ex))
+    val n = ingestAndStore(resolveSentinels(env.events, ex), cfCountry = cfCountry(ex))
     (200, s"""{"stored":$n}""")
   }
 
@@ -307,7 +307,7 @@ final class HttpGateway(
     requirePost(ex)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
-    val n = ingestAndStore(resolveSentinels(env.events, ex))
+    val n = ingestAndStore(resolveSentinels(env.events, ex), cfCountry = cfCountry(ex))
     (200, s"""{"stored":$n}""")
   }
 
@@ -380,7 +380,8 @@ final class HttpGateway(
     * registry first (registry-rejected fields are dropped from the
     * output, the custom-mapper discipline); the source-only trigger
     * fields themselves are dropped later by EventStore.write. */
-  private def applyBuiltins(coll: String, df: DataFrame): DataFrame = {
+  private def applyBuiltins(coll: String, df: DataFrame,
+      cfCountry: Option[String] = None): DataFrame = {
     val geo = geoRanges.map(r4 =>
       graft.enrich.GeoIpMapper(r4, geoRangesV6)).toSeq
     val mappers: Seq[graft.enrich.EventMapper] =
@@ -408,16 +409,34 @@ final class HttpGateway(
       // DISTINCT UA/host, broadcast join back — property-pinned
       // bit-equal to per-row): an uncapped /event/bulk body then pays
       // the regex chains per distinct value, not per event
-      val out = m match {
+      val out0 = m match {
         case graft.enrich.UserAgentMapper =>
           graft.enrich.UserAgentMapper.dictionary(input)
         case r: graft.enrich.ReferrerMapper => r.dictionary(input)
         case _ => m.apply(input)
       }
-      if (produced.isEmpty) out
+      // the reference's Cloudflare fallback
+      // (MaxmindGeoIPEventMapper.java:190-196): events the geo walk
+      // resolves nothing for — no `_ip` at all, or no range hit —
+      // still get the CF-provided country; coalescing after the join
+      // (or adding the column when the mapper was a no-op) is the
+      // set-based equivalent of its null-ip branch
+      val (out, cfAdded) = m match {
+        case _: graft.enrich.GeoIpMapper if cfCountry.isDefined =>
+          import org.apache.spark.sql.functions.{coalesce, col, lit}
+          if (out0.columns.contains("_country_code"))
+            (out0.withColumn("_country_code",
+              coalesce(col("_country_code"), lit(cfCountry.get))), false)
+          else
+            (out0.withColumn("_country_code", lit(cfCountry.get)), true)
+        case _ => (out0, false)
+      }
+      val register = produced ++
+        (if (cfAdded) Seq("_country_code" -> graft.core.FieldType.STRING) else Nil)
+      if (register.isEmpty) out
       else {
         val (_, rejected) = registry.getOrCreate(project, coll,
-          produced.map { case (n, t) => registry.Field(n, t) })
+          register.map { case (n, t) => registry.Field(n, t) })
         out.drop(rejected.map(_.field): _*)
       }
     }
@@ -2480,8 +2499,16 @@ final class HttpGateway(
     * append each collection to the store; dead letters go to the
     * `$invalid_schema` table exactly as in the batch pipeline. Returns
     * rows stored. */
+  /** Cloudflare's country header — read only when the gateway carries a
+    * geo dim, exactly the reference's gate
+    * (MaxmindGeoIPEventMapper.java:190-196, header name verbatim). */
+  private def cfCountry(ex: HttpExchange): Option[String] =
+    if (geoRanges.isEmpty) None
+    else Option(ex.getRequestHeaders.getFirst("HTTP_CF_IPCOUNTRY")).filter(_.nonEmpty)
+
   private def ingestAndStore(lines: Seq[String],
-      runMappers: Boolean = true): Long = writeLock.synchronized {
+      runMappers: Boolean = true,
+      cfCountry: Option[String] = None): Long = writeLock.synchronized {
     val res = JsonIngest.ingest(spark, registry, project,
       spark.sparkContext.parallelize(lines, 1))
     try {
@@ -2503,7 +2530,8 @@ final class HttpGateway(
       // duplicating every logger entry 2-4x per ingest
       val prepared = res.byCollection.toSeq.map { case (coll, df0) =>
         val df =
-          if (runMappers) applyMappers(coll, applyBuiltins(coll, df0), logSinks)
+          if (runMappers)
+            applyMappers(coll, applyBuiltins(coll, df0, cfCountry), logSinks)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else df0
         if (runMappers && df.columns.contains("_device_family") &&

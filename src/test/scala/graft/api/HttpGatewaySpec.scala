@@ -717,6 +717,31 @@ class HttpGatewaySpec extends SparkSpec {
         """{"query": "SELECT _country_code, _city FROM visit"}""")
       assert(q.body().contains("\"_country_code\":\"AU\"") &&
         q.body().contains("\"_city\":\"Sydney\""), q.body())
+      // the Cloudflare fallback: no _ip at all, CF header supplies the
+      // country (the reference's null-ip branch)
+      val cf = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/collect"))
+          .header("HTTP_CF_IPCOUNTRY", "DE")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"collection": "visit", "properties": {"_user": "u2", "_time": "2026-01-15 11:00:00.000", "page": "/cf"}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cf.statusCode() == 200, cf.body())
+      val q2 = post(port, "/query/execute",
+        """{"query": "SELECT _country_code FROM visit WHERE page = '/cf'"}""")
+      assert(q2.body().contains("\"_country_code\":\"DE\""), q2.body())
+      // a resolving _ip wins over the CF header (coalesce order)
+      val both = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/collect"))
+          .header("HTTP_CF_IPCOUNTRY", "DE")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"collection": "visit", "properties": {"_user": "u3", "_time": "2026-01-15 12:00:00.000", "_ip": "203.0.113.7", "page": "/both"}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(both.statusCode() == 200, both.body())
+      val q3 = post(port, "/query/execute",
+        """{"query": "SELECT _country_code FROM visit WHERE page = '/both'"}""")
+      assert(q3.body().contains("\"_country_code\":\"AU\""), q3.body())
     } finally gw.stop()
   }
 
