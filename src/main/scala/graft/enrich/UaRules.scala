@@ -147,7 +147,8 @@ object UaRules {
     UaRule("Line", "\\bLine/", "\\bLine/(\\d+)"),
     UaRule("KakaoTalk", "KAKAOTALK"),
     UaRule("Snapchat", "Snapchat/", "Snapchat/(\\d+)"),
-    UaRule("Pinterest", "Pinterest/", "Pinterest/(\\d+)"),
+    // Pinterest app UAs tag the platform, never a number ([Pinterest/iOS])
+    UaRule("Pinterest", "Pinterest/"),
     UaRule("Twitter", "Twitter for iPhone|TwitterAndroid"),
     UaRule("LinkedIn", "LinkedInApp"),
     UaRule("TikTok", "musical_ly|Bytedance"),
@@ -291,7 +292,8 @@ object UaRules {
     OsRule("Kindle", "Kindle/", "Kindle/(\\d+)"),
     // Huawei's post-Android platforms still carry an Android token for
     // webview compatibility — they must win before the Android rule
-    OsRule("HarmonyOS", "HarmonyOS", "HarmonyOS[ ;]*(\\d+)?"),
+    // HarmonyOS UAs carry the bare platform token, no version number
+    OsRule("HarmonyOS", "HarmonyOS"),
     OsRule("OpenHarmony", "OpenHarmony", "OpenHarmony (\\d+)"),
     OsRule("Android", "Android", "Android (\\d+)"),
     OsRule("iOS", "iPhone|iPad|iPod", "(?:iPhone OS|CPU OS) (\\d+)"),

@@ -86,6 +86,46 @@ class RuleLintSpec extends AnyFunSuite {
       UaRules.referers.map(r => s"${r.source}/${r.medium}" -> r.hostRe), bad))
   }
 
+  test("every versioned browser rule extracts a version from some witness") {
+    // a broken version regex returns "" on BOTH engines (null version),
+    // so the oracle agrees with the bug — require each versioned rule's
+    // witnesses to include one the regex actually extracts from
+    val compiled = browserDetects.map(Pattern.compile)
+    val bad = UaRules.browsers.zipWithIndex
+      .filter(_._1.version.nonEmpty)
+      .filterNot { case (r, i) =>
+        val vp = Pattern.compile(r.version)
+        MapperQueries.uaSamples.exists { s =>
+          compiled.indexWhere(_.matcher(s).find()) == i && {
+            val m = vp.matcher(s)
+            m.find() && m.groupCount >= 1 && m.group(1) != null && m.group(1).nonEmpty
+          }
+        }
+      }
+    assert(bad.isEmpty, "versioned rules whose witnesses never extract:\n" +
+      bad.map { case (r, i) => s"  [$i] ${r.family}  version=${r.version}" }
+        .mkString("\n"))
+  }
+
+  test("every versioned OS rule extracts a version from some witness") {
+    val detects = UaRules.oses.map(_.detect)
+    val compiled = detects.map(Pattern.compile)
+    val bad = UaRules.oses.zipWithIndex
+      .filter(_._1.versionRe.nonEmpty)
+      .filterNot { case (r, i) =>
+        val vp = Pattern.compile(r.versionRe)
+        MapperQueries.uaSamples.exists { s =>
+          compiled.indexWhere(_.matcher(s).find()) == i && {
+            val m = vp.matcher(s)
+            m.find() && m.groupCount >= 1 && m.group(1) != null && m.group(1).nonEmpty
+          }
+        }
+      }
+    assert(bad.isEmpty, "versioned OS rules whose witnesses never extract:\n" +
+      bad.map { case (r, i) => s"  [$i] ${r.family}  version=${r.versionRe}" }
+        .mkString("\n"))
+  }
+
   test("negative control: demoting Messenger below Facebook is caught") {
     // re-create the exact 7e88f36 bug: move the Messenger rule to just
     // AFTER the generic Facebook rule — its token is then consumed by
