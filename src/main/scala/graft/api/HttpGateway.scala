@@ -380,8 +380,13 @@ final class HttpGateway(
     * registry first (registry-rejected fields are dropped from the
     * output, the custom-mapper discipline); the source-only trigger
     * fields themselves are dropped later by EventStore.write. */
+  /** Rule-table mappers switch to their dictionary shape above this
+    * many raw event lines in the request. */
+  private val DictionaryShapeThreshold = 64
+
   private def applyBuiltins(coll: String, df: DataFrame,
-      cfCountry: Option[String] = None): DataFrame = {
+      cfCountry: Option[String] = None,
+      useDictionary: Boolean = false): DataFrame = {
     val geo = geoRanges.map(r4 =>
       graft.enrich.GeoIpMapper(r4, geoRangesV6)).toSeq
     val mappers: Seq[graft.enrich.EventMapper] =
@@ -407,12 +412,15 @@ final class HttpGateway(
       }
       // the rule-table mappers run their dictionary shape (chain per
       // DISTINCT UA/host, broadcast join back — property-pinned
-      // bit-equal to per-row): an uncapped /event/bulk body then pays
-      // the regex chains per distinct value, not per event
+      // bit-equal to per-row) for BULK-sized batches only: an uncapped
+      // /event/bulk body then pays the regex chains per distinct value,
+      // while the hot single-event collect door keeps its one narrow
+      // codegen'd projection instead of two extra exchanges per mapper
       val out0 = m match {
-        case graft.enrich.UserAgentMapper =>
+        case graft.enrich.UserAgentMapper if useDictionary =>
           graft.enrich.UserAgentMapper.dictionary(input)
-        case r: graft.enrich.ReferrerMapper => r.dictionary(input)
+        case r: graft.enrich.ReferrerMapper if useDictionary =>
+          r.dictionary(input)
         case _ => m.apply(input)
       }
       // the reference's Cloudflare fallback
@@ -423,10 +431,16 @@ final class HttpGateway(
       // set-based equivalent of its null-ip branch
       val (out, cfAdded) = m match {
         case _: graft.enrich.GeoIpMapper if cfCountry.isDefined =>
-          import org.apache.spark.sql.functions.{coalesce, col, lit}
+          import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+          // strictly the reference's branch: CF only when `_ip` is
+          // ABSENT (its else-of-string/true case) — an unparseable or
+          // database-missing ip stores null, never the relayer's
+          // CF country (MaxmindGeoIPEventMapper.java:170-199)
           if (out0.columns.contains("_country_code"))
             (out0.withColumn("_country_code",
-              coalesce(col("_country_code"), lit(cfCountry.get))), false)
+              when(col("_ip").isNull,
+                coalesce(col("_country_code"), lit(cfCountry.get)))
+                .otherwise(col("_country_code"))), false)
           else
             (out0.withColumn("_country_code", lit(cfCountry.get)), true)
         case _ => (out0, false)
@@ -477,7 +491,7 @@ final class HttpGateway(
         case None =>
           ex.getResponseHeaders.set("server-error", "collection query parameter is required")
         case Some(line) =>
-          if (ingestAndStore(Seq(line)) == 0)
+          if (ingestAndStore(Seq(line), cfCountry = cfCountry(ex)) == 0)
             ex.getResponseHeaders.set("server-error", "event was not stored")
       }
     } catch {
@@ -2531,7 +2545,8 @@ final class HttpGateway(
       val prepared = res.byCollection.toSeq.map { case (coll, df0) =>
         val df =
           if (runMappers)
-            applyMappers(coll, applyBuiltins(coll, df0, cfCountry), logSinks)
+            applyMappers(coll, applyBuiltins(coll, df0, cfCountry,
+              useDictionary = lines.length > DictionaryShapeThreshold), logSinks)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else df0
         if (runMappers && df.columns.contains("_device_family") &&

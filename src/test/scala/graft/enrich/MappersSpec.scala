@@ -242,11 +242,12 @@ class MappersSpec extends SparkSpec {
       (i.toLong, if (i % 29 == 0) null else uas(i % uas.size))
     }
     val df = rows.toDF("event_id", "_user_agent")
-    val perRow = UserAgentMapper(df)
-      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    val applied = UserAgentMapper(df)
+    val perRow = applied.orderBy($"event_id").collect().map(_.toSeq).toSeq
+    assert(perRow.nonEmpty)
     val viaDict = UserAgentMapper.dictionary(df)
-      .select(perRow.headOption.map(_ => UserAgentMapper(df).columns).getOrElse(Array.empty[String])
-        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .select(applied.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
       .orderBy($"event_id").collect().map(_.toSeq).toSeq
     assert(viaDict === perRow)
     // ingest's dependent expansion pre-creates enrichment columns as
@@ -256,13 +257,20 @@ class MappersSpec extends SparkSpec {
     assert(UserAgentMapper.dictionary(withPlaceholder)
       .columns.count(_ == "_user_agent_family") == 1)
     val plan = UserAgentMapper.dictionary(df).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    // the chain evaluates only under the broadcast (dictionary) side:
-    // in the tree printout the STREAMED side sits between the join node
-    // and the BroadcastExchange — it must carry no regex work
-    val streamed = plan.substring(plan.indexOf("BroadcastHashJoin"),
-      plan.indexOf("BroadcastExchange"))
-    assert(!streamed.contains("RLIKE"), streamed)
+    assert(!streamedSide(plan).contains("RLIKE"), streamedSide(plan))
+  }
+
+  /** The streamed (fact) side of the dictionary join: in the tree
+    * printout it sits between the join node and the BroadcastExchange —
+    * it must carry no regex work. Fails loudly if the plan shape ever
+    * stops matching (AQE reuse, renamed nodes) instead of slicing at
+    * -1. */
+  private def streamedSide(plan: String): String = {
+    val join = plan.indexOf("BroadcastHashJoin")
+    val exch = plan.indexOf("BroadcastExchange")
+    assert(join >= 0 && exch > join,
+      s"expected BroadcastHashJoin then BroadcastExchange in:\n$plan")
+    plan.substring(join, exch)
   }
 
   test("M3: dictionary shape == per-row apply; chain keyed on distinct hosts") {
@@ -279,10 +287,7 @@ class MappersSpec extends SparkSpec {
       .orderBy($"event_id").collect().map(_.toSeq).toSeq
     assert(viaDict === perRow)
     val plan = m.dictionary(df).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
-    val streamed = plan.substring(plan.indexOf("BroadcastHashJoin"),
-      plan.indexOf("BroadcastExchange"))
-    assert(!streamed.contains("RLIKE"), streamed)
+    assert(!streamedSide(plan).contains("RLIKE"), streamedSide(plan))
   }
 
   test("M3: referrer parse — widened source families and term params") {

@@ -86,43 +86,35 @@ class RuleLintSpec extends AnyFunSuite {
       UaRules.referers.map(r => s"${r.source}/${r.medium}" -> r.hostRe), bad))
   }
 
-  test("every versioned browser rule extracts a version from some witness") {
-    // a broken version regex returns "" on BOTH engines (null version),
-    // so the oracle agrees with the bug — require each versioned rule's
-    // witnesses to include one the regex actually extracts from
-    val compiled = browserDetects.map(Pattern.compile)
-    val bad = UaRules.browsers.zipWithIndex
-      .filter(_._1.version.nonEmpty)
-      .filterNot { case (r, i) =>
-        val vp = Pattern.compile(r.version)
-        MapperQueries.uaSamples.exists { s =>
-          compiled.indexWhere(_.matcher(s).find()) == i && {
-            val m = vp.matcher(s)
-            m.find() && m.groupCount >= 1 && m.group(1) != null && m.group(1).nonEmpty
-          }
+  /** indices of versioned rules none of whose first-match witnesses
+    * yield a non-empty group-1 extraction — a broken version regex
+    * returns "" on BOTH engines (null version), so the oracle agrees
+    * with the bug; this closes that class. */
+  private def versionGaps(detects: Seq[String],
+      versions: Seq[String]): Seq[Int] = {
+    val compiled = detects.map(Pattern.compile)
+    versions.indices.filter(versions(_).nonEmpty).filterNot { i =>
+      val vp = Pattern.compile(versions(i))
+      MapperQueries.uaSamples.exists { s =>
+        compiled.indexWhere(_.matcher(s).find()) == i && {
+          val m = vp.matcher(s)
+          m.find() && m.groupCount >= 1 && m.group(1) != null && m.group(1).nonEmpty
         }
       }
+    }
+  }
+
+  test("every versioned browser rule extracts a version from some witness") {
+    val bad = versionGaps(browserDetects, UaRules.browsers.map(_.version))
     assert(bad.isEmpty, "versioned rules whose witnesses never extract:\n" +
-      bad.map { case (r, i) => s"  [$i] ${r.family}  version=${r.version}" }
+      bad.map(i => s"  [$i] ${UaRules.browsers(i).family}  version=${UaRules.browsers(i).version}")
         .mkString("\n"))
   }
 
   test("every versioned OS rule extracts a version from some witness") {
-    val detects = UaRules.oses.map(_.detect)
-    val compiled = detects.map(Pattern.compile)
-    val bad = UaRules.oses.zipWithIndex
-      .filter(_._1.versionRe.nonEmpty)
-      .filterNot { case (r, i) =>
-        val vp = Pattern.compile(r.versionRe)
-        MapperQueries.uaSamples.exists { s =>
-          compiled.indexWhere(_.matcher(s).find()) == i && {
-            val m = vp.matcher(s)
-            m.find() && m.groupCount >= 1 && m.group(1) != null && m.group(1).nonEmpty
-          }
-        }
-      }
+    val bad = versionGaps(UaRules.oses.map(_.detect), UaRules.oses.map(_.versionRe))
     assert(bad.isEmpty, "versioned OS rules whose witnesses never extract:\n" +
-      bad.map { case (r, i) => s"  [$i] ${r.family}  version=${r.versionRe}" }
+      bad.map(i => s"  [$i] ${UaRules.oses(i).family}  version=${UaRules.oses(i).versionRe}")
         .mkString("\n"))
   }
 
