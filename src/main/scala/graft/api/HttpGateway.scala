@@ -300,15 +300,51 @@ final class HttpGateway(
     (200, s"""{"stored":$n}""")
   }
 
-  /** The uncapped ingest door `/event/batch`'s rejection points at
-    * (EventCollectionHttpService.java bulkEvents): same envelope, NO
-    * body cap, checksum skipped — transport owns integrity for bulk. */
+  /** The uncapped ingest door `/event/bulk`
+    * (EventCollectionHttpService.java bulkEvents:350-455): the JSON
+    * envelope with NO body cap and checksum skipped — transport owns
+    * integrity for bulk — and the reference's CONTENT-TYPE dispatch:
+    * `text/csv` parses the body through the S3 header-remap path
+    * (collection query param required, master-key semantics the door
+    * already enforces), `avro` resolves the container against the
+    * collection's registered schema (S4). Both typed frames run the
+    * same enrich → gate → store pipeline as JSON events. */
   private def handleBulk(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
-    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-    val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
-    val n = ingestAndStore(resolveSentinels(env.events, ex), cfCountry = cfCountry(ex))
-    (200, s"""{"stored":$n}""")
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .getOrElse("").toLowerCase(java.util.Locale.ROOT)
+    if (ct.contains("csv") || ct.contains("avro")) {
+      val coll = queryParams(ex).get("collection").getOrElse(
+        throw new IngestRejected("collection query parameter is required"))
+      val normalized = graft.core.Names.normalizeCollection(coll)
+        .fold(e => throw new IngestRejected(e), identity)
+      val kind = if (ct.contains("csv")) "csv" else "avro"
+      val dir = graft.TempDirs.scratchFor(s"gateway-bulk-$kind")
+      val f = dir.resolve(s"body.$kind")
+      java.nio.file.Files.write(f, ex.getRequestBody.readAllBytes())
+      val df =
+        try {
+          if (kind == "csv")
+            graft.ingest.CsvIngest.ingest(spark, registry, project, normalized,
+              f.toString)
+          else
+            graft.ingest.AvroIngest.ingest(spark, registry, project, normalized,
+              f.toString)
+        } catch {
+          case e: IllegalArgumentException =>
+            throw new IngestRejected(String.valueOf(e.getMessage))
+        }
+      val n = writeLock.synchronized {
+        enrichAndStore(Seq(normalized -> df), runMappers = true,
+          cfCountry = cfCountry(ex), useDictionary = true)
+      }
+      (200, s"""{"stored":$n}""")
+    } else {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
+      val n = ingestAndStore(resolveSentinels(env.events, ex), cfCountry = cfCountry(ex))
+      (200, s"""{"stored":$n}""")
+    }
   }
 
   /** The reference's boolean "read it from the request" sentinels,
@@ -2526,51 +2562,58 @@ final class HttpGateway(
     val res = JsonIngest.ingest(spark, registry, project,
       spark.sparkContext.parallelize(lines, 1))
     try {
-      var n = 0L
-      val logSinks = scala.collection.mutable.Buffer.empty[
-        (String, org.apache.spark.util.CollectionAccumulator[(String, String)])]
-      // phase 1: enrichment — the built-in module mappers, then stored
-      // custom mappers (the reference's mapper stage, SURVEY §4 step 3);
-      // a mapper that drops a row keeps it out of the store AND the
-      // stored count. `/event/copy` opts out (mapEvents=false path).
-      // The spider gate runs on every collection BEFORE anything is
-      // written, so a rejected request never stores a partial batch —
-      // the reference throws FORBIDDEN from the mapper stage, before
-      // storage (UserAgentEventMapper.java:87-90).
-      // each enriched frame is PERSISTED: the spider gate, the stored
-      // count, the store write and every MV delta would otherwise
-      // re-execute the whole mapper chain (built-in regex tables + JS
-      // custom mappers) per action — and re-fire the log accumulator,
-      // duplicating every logger entry 2-4x per ingest
-      val prepared = res.byCollection.toSeq.map { case (coll, df0) =>
-        val df =
-          if (runMappers)
-            applyMappers(coll, applyBuiltins(coll, df0, cfCountry,
-              useDictionary = lines.length > DictionaryShapeThreshold), logSinks)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else df0
-        if (runMappers && df.columns.contains("_device_family") &&
-            !df.filter(org.apache.spark.sql.functions
-              .col("_device_family") === "Spider").isEmpty)
-          throw new HttpGateway.ForbiddenRejected(
-            "Spiders are not allowed in Rakam Analytics.")
-        coll -> df
-      }
-      try {
-        // phase 2: storage + MV maintenance
-        prepared.foreach { case (coll, df) =>
-          n += df.count()
-          EventStore.write(df, warehouse, project, coll)
-          // continuous maintenance: the stored batch is also the delta
-          // for every materialized view on this collection
-          maintainMvs(coll, df)
-        }
-        if (!res.deadLetter.isEmpty)
-          EventStore.writeDeadLetter(res.deadLetter, warehouse, project)
-        appendJsLogs(logSinks.toSeq)
-        n
-      } finally if (runMappers) prepared.foreach(_._2.unpersist())
+      val n = enrichAndStore(res.byCollection.toSeq, runMappers, cfCountry,
+        useDictionary = lines.length > DictionaryShapeThreshold)
+      if (!res.deadLetter.isEmpty)
+        EventStore.writeDeadLetter(res.deadLetter, warehouse, project)
+      n
     } finally res.unpersist()
+  }
+
+  /** The shared enrich → gate → store pipeline behind every ingest door
+    * (JSON lines via [[ingestAndStore]]; the CSV/Avro bulk bodies feed
+    * typed frames in directly). Phase 1: the built-in module mappers,
+    * then stored custom mappers (the reference's mapper stage, SURVEY
+    * §4 step 3); a mapper that drops a row keeps it out of the store
+    * AND the stored count; `/event/copy` opts out (mapEvents=false).
+    * The spider gate runs on every collection BEFORE anything is
+    * written, so a rejected request never stores a partial batch — the
+    * reference throws FORBIDDEN from the mapper stage, before storage
+    * (UserAgentEventMapper.java:87-90). Each enriched frame is
+    * PERSISTED: the gate, the count, the write and every MV delta
+    * would otherwise re-execute the whole mapper chain per action —
+    * and re-fire the log accumulator, duplicating logger entries. */
+  private def enrichAndStore(byCollection: Seq[(String, DataFrame)],
+      runMappers: Boolean, cfCountry: Option[String],
+      useDictionary: Boolean): Long = {
+    var n = 0L
+    val logSinks = scala.collection.mutable.Buffer.empty[
+      (String, org.apache.spark.util.CollectionAccumulator[(String, String)])]
+    val prepared = byCollection.map { case (coll, df0) =>
+      val df =
+        if (runMappers)
+          applyMappers(coll,
+            applyBuiltins(coll, df0, cfCountry, useDictionary), logSinks)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else df0
+      if (runMappers && df.columns.contains("_device_family") &&
+          !df.filter(org.apache.spark.sql.functions
+            .col("_device_family") === "Spider").isEmpty)
+        throw new HttpGateway.ForbiddenRejected(
+          "Spiders are not allowed in Rakam Analytics.")
+      coll -> df
+    }
+    try {
+      prepared.foreach { case (coll, df) =>
+        n += df.count()
+        EventStore.write(df, warehouse, project, coll)
+        // continuous maintenance: the stored batch is also the delta
+        // for every materialized view on this collection
+        maintainMvs(coll, df)
+      }
+      appendJsLogs(logSinks.toSeq)
+      n
+    } finally if (runMappers) prepared.foreach(_._2.unpersist())
   }
 
   // -------- /javascript-logger: script logger.* output, persisted --------

@@ -690,6 +690,66 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  test("/event/bulk content-type dispatch: CSV header-remap and Avro " +
+    "reader-schema resolution feed the same enrich-store pipeline") {
+    withGateway { (_, port) =>
+      // seed the collection's schema (typed columns) via a JSON event
+      assert(post(port, "/event/collect",
+        """{"collection": "orders", "properties": {"_user": "u0", "_time": "2026-01-15 10:00:00.000", "amount": 1.5}}""")
+        .statusCode() == 200)
+      // CSV: registered columns come back typed, the NEW column is STRING
+      val csv = "someUser,_time,amount,channel\nu1,2026-01-16 09:00:00.000,2.5,web\nu2,2026-01-16 10:00:00.000,3.5,app\n"
+        .replace("someUser", "_user")
+      val csvResp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/bulk?collection=orders"))
+          .header("Content-Type", "text/csv")
+          .POST(HttpRequest.BodyPublishers.ofString(csv)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(csvResp.statusCode() == 200 &&
+        csvResp.body() == """{"stored":2}""", csvResp.body())
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT sum(amount) AS s, count(channel) AS c FROM orders"}""")
+      assert(q.body().contains("\"s\":7.5") && q.body().contains("\"c\":2"), q.body())
+      // missing collection param is the client's 400
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/bulk"))
+          .header("Content-Type", "text/csv")
+          .POST(HttpRequest.BodyPublishers.ofString(csv)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+
+      // Avro: container resolved against the registered schema
+      import org.apache.avro.{Schema, SchemaBuilder}
+      import org.apache.avro.generic.{GenericDatumWriter, GenericRecordBuilder}
+      val writerSchema = SchemaBuilder.record("orders").fields()
+        .name("_user").`type`().nullable().stringType().noDefault()
+        .name("amount").`type`().nullable().doubleType().noDefault()
+        .endRecord()
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.avro.file.DataFileWriter(
+        new GenericDatumWriter[org.apache.avro.generic.GenericRecord](writerSchema))
+      w.create(writerSchema, bos)
+      w.append(new GenericRecordBuilder(writerSchema)
+        .set("_user", "u9").set("amount", 4.5).build())
+      w.close()
+      val avroResp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/bulk?collection=orders"))
+          .header("Content-Type", "application/avro")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(avroResp.statusCode() == 200 &&
+        avroResp.body() == """{"stored":1}""", avroResp.body())
+      val q2 = post(port, "/query/execute",
+        """{"query": "SELECT amount FROM orders WHERE _user = 'u9'"}""")
+      assert(q2.body().contains("\"amount\":4.5"), q2.body())
+      // Avro against an unregistered collection is the client's 400
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/bulk?collection=nope"))
+          .header("Content-Type", "application/avro")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+    }
+  }
+
   test("collect enriches geo when the gateway is built with a range dim") {
     import graft.enrich.geo.{MaxmindDb, MmdbFixture}
     val entries = Seq(
