@@ -133,6 +133,9 @@ final class HttpGateway(
     geoRangesV6: Option[org.apache.spark.sql.DataFrame] = None,
     // hosts the referrer mapper classifies as internal traffic
     internalHosts: Seq[String] = Seq.empty,
+    // collections the batch door ignores, lowercased — the reference's
+    // ProjectConfig.excludeEvents (EventCollectionHttpService.java:573)
+    excludedCollections: Set[String] = Set.empty,
     // injected clock for the timestamp mapper (deterministic tests)
     now: () => Long = () => System.currentTimeMillis()) {
 
@@ -292,12 +295,33 @@ final class HttpGateway(
     else (200, "1")
   }
 
+  /** `/event/batch` with the reference's partial-failure contract
+    * (EventCollectionHttpService.java:555-612): storable events are
+    * stored, shape-failed ones (not an object with a string
+    * `collection` and an object `properties` — what
+    * JsonEventDeserializer rejects outright) come back as a 409 with
+    * their indexes; excluded collections are ignored, not failed. */
   private def handleBatch(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val env = BatchSources.parseEnvelope(body)
-    val n = ingestAndStore(resolveSentinels(env.events, ex), cfCountry = cfCountry(ex))
-    (200, s"""{"stored":$n}""")
+    val checked = env.events.zipWithIndex.map { case (e, i) =>
+      val node = mapper.readTree(e)
+      val ok = node.isObject &&
+        Option(node.get("collection")).exists(_.isTextual) &&
+        Option(node.get("properties")).exists(_.isObject)
+      (e, node, i, ok)
+    }
+    val failed = checked.collect { case (_, _, i, false) => i }
+    val good = checked.collect {
+      case (e, node, _, true) if !excludedCollections.contains(
+        node.get("collection").asText().toLowerCase(java.util.Locale.ROOT)) => e
+    }
+    val n =
+      if (good.isEmpty) 0L
+      else ingestAndStore(resolveSentinels(good, ex), cfCountry = cfCountry(ex))
+    if (failed.nonEmpty) (409, failed.mkString("[", ",", "]"))
+    else (200, s"""{"stored":$n}""")
   }
 
   /** The uncapped ingest door `/event/bulk`

@@ -690,6 +690,40 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  test("/event/batch partial-failure contract: 409 with failed indexes, " +
+    "good events still stored, excluded collections ignored") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = graft.TempDirs.scratch("graft-409").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo",
+      excludedCollections = Set("heartbeat"))
+    val port = gw.start()
+    try {
+      // index 1 has a non-object properties, index 2 a missing collection
+      val r = post(port, "/event/batch",
+        """{"api": {"api_key": "k"}, "events": [
+          |{"collection": "order", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "amount": 1}},
+          |{"collection": "order", "properties": "junk"},
+          |{"properties": {"_user": "u2"}}
+          |]}""".stripMargin)
+      assert(r.statusCode() == 409 && r.body() == "[1,2]", r.body())
+      // the storable event landed despite the 409 (the reference stores
+      // the batch and reports failed indexes)
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM order"}""")
+      assert(q.body().contains("\"n\":1"), q.body())
+      // excluded collections are ignored, not failed: 200 with only the
+      // non-excluded event stored
+      val r2 = post(port, "/event/batch",
+        """{"api": {"api_key": "k"}, "events": [
+          |{"collection": "heartbeat", "properties": {"_user": "hb"}},
+          |{"collection": "order", "properties": {"_user": "u3", "_time": "2026-01-15 11:00:00.000", "amount": 2}}
+          |]}""".stripMargin)
+      assert(r2.statusCode() == 200 && r2.body() == """{"stored":1}""", r2.body())
+      assert(post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM order"}""").body().contains("\"n\":2"))
+    } finally gw.stop()
+  }
+
   test("/event/bulk content-type dispatch: CSV header-remap and Avro " +
     "reader-schema resolution feed the same enrich-store pipeline") {
     withGateway { (_, port) =>
