@@ -2807,6 +2807,8 @@ final class HttpGateway(
         catch {
           case e: HttpGateway.ForbiddenRejected =>
             (403, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
+          case e: BatchSources.PayloadTooLarge =>
+            (413, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
           case e: IngestRejected =>
             (400, s"""{"error":${mapper.writeValueAsString(e.getMessage)}}""")
           case NonFatal(e) =>

@@ -28,6 +28,10 @@ object BatchSources {
   private val mapper = new ObjectMapper()
 
   final class IngestRejected(val message: String) extends RuntimeException(message)
+  /** The body-cap rejection — its own type so the HTTP layer can answer
+    * 413 REQUEST_ENTITY_TOO_LARGE, the reference's status
+    * (EventCollectionHttpService.java:563-565). */
+  final class PayloadTooLarge(val message: String) extends RuntimeException(message)
 
   // ---------------- S5: pixel ----------------
 
@@ -96,7 +100,7 @@ object BatchSources {
   def parseEnvelope(body: String, enforceBodyCap: Boolean = true): Envelope = {
     val bytes = body.getBytes("UTF-8")
     if (enforceBodyCap && bytes.length > MaxBatchBodyBytes)
-      throw new IngestRejected("The body is too big, use /bulk endpoint.")
+      throw new PayloadTooLarge("The body is too big, use /bulk endpoint.")
     val root = Try(mapper.readTree(body)).getOrElse(
       throw new IngestRejected("Body must be an object"))
     if (root == null || !root.isObject)

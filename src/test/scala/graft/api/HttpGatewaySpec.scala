@@ -153,7 +153,7 @@ class HttpGatewaySpec extends SparkSpec {
       }.mkString("""{"events": [""", ",", "]}")
       assert(big.length > BatchSources.MaxBatchBodyBytes)
       val capped = post(port, "/event/batch", big)
-      assert(capped.statusCode() == 400 &&
+      assert(capped.statusCode() == 413 &&
         capped.body().contains("too big"), capped.body())
       val bulk = post(port, "/event/bulk", big)
       assert(bulk.statusCode() == 200 && bulk.body() == """{"stored":3500}""",

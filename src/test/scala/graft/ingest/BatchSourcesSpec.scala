@@ -77,7 +77,7 @@ class BatchSourcesSpec extends SparkSpec {
   test("large-body guard: >500KB batch rejected toward /bulk (P6)") {
     val big = "x" * (MaxBatchBodyBytes + 1)
     val body = s"""{"events": [{"collection": "c", "properties": {"s": "$big"}}]}"""
-    assert(intercept[IngestRejected](parseEnvelope(body))
+    assert(intercept[PayloadTooLarge](parseEnvelope(body))
       .message.contains("use /bulk"))
     // the bulk path takes the same body without the cap
     assert(parseEnvelope(body, enforceBodyCap = false).events.size == 1)
