@@ -409,7 +409,22 @@ final class HttpGateway(
       "_user_agent" -> (() => header("User-Agent")),
       "_referrer" -> (() => header("Referer")),
       "_ip" -> (() => clientIp))
-    lines.map { l =>
+    // anonymous identity (UserIdEventMapper.java:50-72): an event with
+    // no `_user` takes the `_anonymous_user` COOKIE when the client
+    // carries one, else one fresh id per request — and the id rides a
+    // Set-Cookie back, so the same anonymous visitor keeps the same
+    // `_user` across requests (the content-hash surrogate in the
+    // mapper stays the deterministic fallback for cookieless paths)
+    lazy val anonId: String = {
+      val fromCookie = header("Cookie").flatMap(_.split(";").iterator
+        .map(_.trim).collectFirst {
+          case c if c.startsWith("_anonymous_user=") =>
+            c.substring("_anonymous_user=".length)
+        }.filter(_.nonEmpty))
+      fromCookie.getOrElse(java.util.UUID.randomUUID().toString)
+    }
+    var anonUsed = false
+    val out = lines.map { l =>
       try {
         val node = mapper.readTree(l)
         Option(node.get("properties")).filter(_.isObject).map { props =>
@@ -426,10 +441,19 @@ final class HttpGateway(
               else { o.remove(field); () }
             }
           }
+          def missing(f: String) = { val v = o.get(f); v == null || v.isNull }
+          if (missing("_user") && missing("_anonymous_user")) {
+            o.put("_anonymous_user", anonId)
+            anonUsed = true
+            changed = true
+          }
           if (changed) mapper.writeValueAsString(node) else l
         }.getOrElse(l)
       } catch { case scala.util.control.NonFatal(_) => l }
     }
+    if (anonUsed)
+      ex.getResponseHeaders.add("Set-Cookie", s"_anonymous_user=$anonId; Path=/")
+    out
   }
 
   /** The built-in enrichment stage every mapped ingest runs — the

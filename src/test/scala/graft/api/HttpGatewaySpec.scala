@@ -634,7 +634,7 @@ class HttpGatewaySpec extends SparkSpec {
         q.body().contains("\"_os\":\"Windows\"") &&
         q.body().contains("\"_referrer_medium\":\"search\"") &&
         q.body().contains("\"_referrer_source\":\"google\"") &&
-        q.body().contains("\"_user\":\"anon_") &&
+        q.body().contains("\"_user\":\"") && // anonymous id assigned
         q.body().contains("\"_time\":\"2026-01-01"), q.body())
       // the raw trigger field is source-only: in the registry schema
       // (null-filled on read) but never materialized in the store
@@ -688,6 +688,36 @@ class HttpGatewaySpec extends SparkSpec {
       assert(post(port, "/query/execute",
         """{"query": "SELECT _user_agent_family FROM raw"}""").statusCode() == 400)
     } finally gw.stop()
+  }
+
+  test("anonymous identity round-trips through the _anonymous_user cookie") {
+    withGateway { (_, port) =>
+      // first userless event: gets an id and a Set-Cookie carrying it
+      val r1 = post(port, "/event/collect",
+        """{"collection": "visits", "properties": {"_time": "2026-01-15 10:00:00.000", "page": "/a"}}""")
+      assert(r1.statusCode() == 200, r1.body())
+      val setCookie = r1.headers().firstValue("Set-Cookie")
+      assert(setCookie.isPresent && setCookie.get.startsWith("_anonymous_user="),
+        r1.headers().map().toString)
+      val anonId = setCookie.get.stripPrefix("_anonymous_user=").takeWhile(_ != ';')
+      // the client echoes the cookie: same _user on the next event
+      val r2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/collect"))
+          .header("Cookie", s"_anonymous_user=$anonId")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"collection": "visits", "properties": {"_time": "2026-01-15 11:00:00.000", "page": "/b"}}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r2.statusCode() == 200, r2.body())
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT count(DISTINCT _user) AS u, count(*) AS n FROM visits"}""")
+      assert(q.body().contains("\"u\":1") && q.body().contains("\"n\":2"), q.body())
+      // an event carrying _user never gets a cookie
+      val r3 = post(port, "/event/collect",
+        """{"collection": "visits", "properties": {"_user": "real", "_time": "2026-01-15 12:00:00.000", "page": "/c"}}""")
+      assert(r3.statusCode() == 200 &&
+        r3.headers().firstValue("Set-Cookie").isEmpty, r3.headers().map().toString)
+    }
   }
 
   test("/event/batch partial-failure contract: 409 with failed indexes, " +
