@@ -345,7 +345,22 @@ final class HttpGateway(
       val kind = if (ct.contains("csv")) "csv" else "avro"
       val dir = graft.TempDirs.scratchFor(s"gateway-bulk-$kind")
       val f = dir.resolve(s"body.$kind")
-      java.nio.file.Files.write(f, ex.getRequestBody.readAllBytes())
+      val bytes = ex.getRequestBody.readAllBytes()
+      if (kind == "avro") {
+        // validate the container EAGERLY: a malformed body must be the
+        // client's 400 here, not a lazy SparkException-wrapped 500 when
+        // the ingest frame first executes
+        try {
+          val in = new java.io.ByteArrayInputStream(bytes)
+          new org.apache.avro.file.DataFileStream(in,
+            new org.apache.avro.generic.GenericDatumReader[AnyRef]()).close()
+        } catch {
+          case NonFatal(e) =>
+            throw new IngestRejected(
+              s"invalid Avro container: ${String.valueOf(e.getMessage)}")
+        }
+      }
+      java.nio.file.Files.write(f, bytes)
       val df =
         try {
           if (kind == "csv")

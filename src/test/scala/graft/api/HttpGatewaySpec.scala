@@ -811,6 +811,14 @@ class HttpGatewaySpec extends SparkSpec {
           .header("Content-Type", "application/avro")
           .POST(HttpRequest.BodyPublishers.ofByteArray(bos.toByteArray)).build(),
         HttpResponse.BodyHandlers.ofString()).statusCode() == 400)
+      // a garbage avro body is a 400 at the door, never a lazy Spark 500
+      val junk = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/bulk?collection=orders"))
+          .header("Content-Type", "application/avro")
+          .POST(HttpRequest.BodyPublishers.ofString("definitely not avro")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(junk.statusCode() == 400 &&
+        junk.body().contains("invalid Avro container"), junk.body())
     }
   }
 
