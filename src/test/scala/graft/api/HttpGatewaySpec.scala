@@ -690,6 +690,40 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  test("concurrent mixed traffic: parallel collects, log reads and " +
+    "queries all succeed and every stored event lands exactly once") {
+    withGateway { (_, port) =>
+      val script = "function mapper(events, params, sourceIp, headers, sql, config) { " +
+        "var ev = events.events(); var n = 0; " +
+        "while (ev.hasNext()) { ev.next(); n = n + 1; } logger.info('n=' + n); }"
+      assert(post(port, "/custom-event-mapper/create",
+        s"""{"name": "counter", "script": "$script"}""").statusCode() == 200)
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = Executors.newFixedThreadPool(6)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val writes = (1 to 24).map { i =>
+          Future(post(port, "/event/collect",
+            s"""{"collection": "stress", "properties": {"_user": "u$i", "_time": "2026-01-15 10:00:00.000", "seq": $i}}""").statusCode())
+        }
+        // log reads race the writers' retention prunes (the listStatus/
+        // open window) and must never 500
+        val reads = (1 to 12).map { _ =>
+          Future(post(port, "/javascript-logger/get_logs",
+            """{"prefix": "counter"}""").statusCode())
+        }
+        val codes = Await.result(Future.sequence(writes ++ reads), 5.minutes)
+        assert(codes.forall(_ == 200), codes.toString)
+        val q = post(port, "/query/execute",
+          """{"query": "SELECT count(*) AS n, count(DISTINCT seq) AS d FROM stress"}""")
+        assert(q.body().contains("\"n\":24") && q.body().contains("\"d\":24"),
+          q.body())
+      } finally pool.shutdown()
+    }
+  }
+
   test("anonymous identity round-trips through the _anonymous_user cookie") {
     withGateway { (_, port) =>
       // first userless event: gets an id and a Set-Cookie carrying it
