@@ -55,4 +55,15 @@ object TempDirs {
     evicted.foreach { p => created.remove(p); deleteTree(p) }
     fresh
   }
+
+  /** Eagerly delete a [[scratch]] tree whose consumer has finished
+    * executing (every Spark action over the path complete). For
+    * request-scoped scratches — e.g. a gateway bulk body, where
+    * concurrent requests must not share a keyed slot — callers take a
+    * private `scratch` and release it in a `finally`. Idempotent with
+    * the exit sweep. */
+  def release(p: Path): Unit = {
+    created.remove(p)
+    deleteTree(p)
+  }
 }

@@ -295,11 +295,16 @@ final class HttpGateway(
     else (200, "1")
   }
 
-  /** `/event/batch` with the reference's partial-failure contract
-    * (EventCollectionHttpService.java:555-612): storable events are
-    * stored, shape-failed ones (not an object with a string
-    * `collection` and an object `properties` — what
-    * JsonEventDeserializer rejects outright) come back as a 409 with
+  /** `/event/batch` partial-failure door — an ADAPTATION of the
+    * reference's contract, not a copy of it. In
+    * EventCollectionHttpService.java:555-612 a shape-invalid element
+    * (not an object with a string `collection` and an object
+    * `properties`) fails the WHOLE request at EventList
+    * deserialization (400), and the 409 int[] indexes report
+    * per-event STORE failures surfaced by storeBatchAsync. Here the
+    * store path is all-or-nothing per collection, so the 409 index
+    * vehicle is reused for the shape failures instead: storable
+    * events are stored, shape-failed ones come back as a 409 with
     * their indexes; excluded collections are ignored, not failed. */
   private def handleBatch(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
@@ -343,41 +348,50 @@ final class HttpGateway(
       val normalized = graft.core.Names.normalizeCollection(coll)
         .fold(e => throw new IngestRejected(e), identity)
       val kind = if (ct.contains("csv")) "csv" else "avro"
-      val dir = graft.TempDirs.scratchFor(s"gateway-bulk-$kind")
-      val f = dir.resolve(s"body.$kind")
-      val bytes = ex.getRequestBody.readAllBytes()
-      if (kind == "avro") {
-        // validate the container EAGERLY: a malformed body must be the
-        // client's 400 here, not a lazy SparkException-wrapped 500 when
-        // the ingest frame first executes
-        try {
-          val in = new java.io.ByteArrayInputStream(bytes)
-          new org.apache.avro.file.DataFileStream(in,
-            new org.apache.avro.generic.GenericDatumReader[AnyRef]()).close()
-        } catch {
-          case NonFatal(e) =>
-            throw new IngestRejected(
-              s"invalid Avro container: ${String.valueOf(e.getMessage)}")
+      // PER-REQUEST scratch, not scratchFor: the handler pool is
+      // 8-wide and scratchFor keeps only two generations per key, so a
+      // third concurrent same-kind bulk would evict the first
+      // request's body file before its lazy Spark read (which runs
+      // later, inside writeLock) ever executes. A private dir has no
+      // eviction race; it is released eagerly once enrichAndStore has
+      // run every action over it.
+      val dir = graft.TempDirs.scratch(s"gateway-bulk-$kind")
+      try {
+        val f = dir.resolve(s"body.$kind")
+        val bytes = ex.getRequestBody.readAllBytes()
+        if (kind == "avro") {
+          // validate the container EAGERLY: a malformed body must be the
+          // client's 400 here, not a lazy SparkException-wrapped 500 when
+          // the ingest frame first executes
+          try {
+            val in = new java.io.ByteArrayInputStream(bytes)
+            new org.apache.avro.file.DataFileStream(in,
+              new org.apache.avro.generic.GenericDatumReader[AnyRef]()).close()
+          } catch {
+            case NonFatal(e) =>
+              throw new IngestRejected(
+                s"invalid Avro container: ${String.valueOf(e.getMessage)}")
+          }
         }
-      }
-      java.nio.file.Files.write(f, bytes)
-      val df =
-        try {
-          if (kind == "csv")
-            graft.ingest.CsvIngest.ingest(spark, registry, project, normalized,
-              f.toString)
-          else
-            graft.ingest.AvroIngest.ingest(spark, registry, project, normalized,
-              f.toString)
-        } catch {
-          case e: IllegalArgumentException =>
-            throw new IngestRejected(String.valueOf(e.getMessage))
+        java.nio.file.Files.write(f, bytes)
+        val df =
+          try {
+            if (kind == "csv")
+              graft.ingest.CsvIngest.ingest(spark, registry, project, normalized,
+                f.toString)
+            else
+              graft.ingest.AvroIngest.ingest(spark, registry, project, normalized,
+                f.toString)
+          } catch {
+            case e: IllegalArgumentException =>
+              throw new IngestRejected(String.valueOf(e.getMessage))
+          }
+        val n = writeLock.synchronized {
+          enrichAndStore(Seq(normalized -> df), runMappers = true,
+            cfCountry = cfCountry(ex), useDictionary = true)
         }
-      val n = writeLock.synchronized {
-        enrichAndStore(Seq(normalized -> df), runMappers = true,
-          cfCountry = cfCountry(ex), useDictionary = true)
-      }
-      (200, s"""{"stored":$n}""")
+        (200, s"""{"stored":$n}""")
+      } finally graft.TempDirs.release(dir)
     } else {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val env = BatchSources.parseEnvelope(body, enforceBodyCap = false)
@@ -2652,21 +2666,31 @@ final class HttpGateway(
     var n = 0L
     val logSinks = scala.collection.mutable.Buffer.empty[
       (String, org.apache.spark.util.CollectionAccumulator[(String, String)])]
-    val prepared = byCollection.map { case (coll, df0) =>
-      val df =
-        if (runMappers)
-          applyMappers(coll,
-            applyBuiltins(coll, df0, cfCountry, useDictionary), logSinks)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else df0
-      if (runMappers && df.columns.contains("_device_family") &&
-          !df.filter(org.apache.spark.sql.functions
-            .col("_device_family") === "Spider").isEmpty)
-        throw new HttpGateway.ForbiddenRejected(
-          "Spiders are not allowed in Rakam Analytics.")
-      coll -> df
-    }
+    // Persisted frames are tracked as they are CREATED, not after the
+    // whole `prepared` list is assembled: the spider gate throws from
+    // inside the map below (and the gate's isEmpty action can fail),
+    // so a finally that only covered the post-assembly phase would
+    // leak every frame cached before the throw — and bot traffic hits
+    // that path on every request, accumulating cached blocks without
+    // bound in a long-lived gateway JVM.
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
+      val prepared = byCollection.map { case (coll, df0) =>
+        val df =
+          if (runMappers) {
+            val enriched = applyMappers(coll,
+              applyBuiltins(coll, df0, cfCountry, useDictionary), logSinks)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cached += enriched
+            enriched
+          } else df0
+        if (runMappers && df.columns.contains("_device_family") &&
+            !df.filter(org.apache.spark.sql.functions
+              .col("_device_family") === "Spider").isEmpty)
+          throw new HttpGateway.ForbiddenRejected(
+            "Spiders are not allowed in Rakam Analytics.")
+        coll -> df
+      }
       prepared.foreach { case (coll, df) =>
         n += df.count()
         EventStore.write(df, warehouse, project, coll)
@@ -2676,7 +2700,7 @@ final class HttpGateway(
       }
       appendJsLogs(logSinks.toSeq)
       n
-    } finally if (runMappers) prepared.foreach(_._2.unpersist())
+    } finally cached.foreach(_.unpersist())
   }
 
   // -------- /javascript-logger: script logger.* output, persisted --------

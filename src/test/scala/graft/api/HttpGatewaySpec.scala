@@ -393,6 +393,101 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("concurrent same-kind bulk uploads all store: each request owns " +
+    "a private scratch dir, so no body file is evicted mid-flight") {
+    withGateway { (_, port) =>
+      // seed the collection schema so bulk CSV columns come back typed
+      assert(post(port, "/event/collect",
+        """{"collection": "bulkconc", "properties": {"_user": "u0", "_time": "2026-01-15 10:00:00.000", "amount": 1.0}}""")
+        .statusCode() == 200)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      // six concurrent text/csv bulks share the handler pool; under the
+      // old keyed two-generation scratch, request 3+ evicted request 1's
+      // spooled body before its lazy read executed inside the write lock
+      val results = Await.result(Future.sequence((1 to 6).map { i =>
+        Future {
+          val csv = s"_user,_time,amount\nb$i,2026-01-16 09:00:00.000,$i.5\n"
+          client.send(
+            HttpRequest.newBuilder(
+              URI.create(s"http://localhost:$port/event/bulk?collection=bulkconc"))
+              .header("Content-Type", "text/csv")
+              .POST(HttpRequest.BodyPublishers.ofString(csv)).build(),
+            HttpResponse.BodyHandlers.ofString())
+        }
+      }), 180.seconds)
+      assert(results.forall(_.statusCode() == 200),
+        results.map(r => (r.statusCode(), r.body())).toString)
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n, count(DISTINCT _user) AS u FROM bulkconc WHERE _user LIKE 'b%'"}""")
+      assert(q.body() == """[{"n":6,"u":6}]""", q.body())
+    }
+  }
+
+  test("concurrent NEW-FIELD collects converge the registry with no " +
+    "lost columns (TestMetastore.testConcurrentSchemaChanges)") {
+    withGateway { (_, port) =>
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      // eight threads, each adding a DIFFERENT new field to the same
+      // collection — the reference's 20-retry DDL race loop
+      // (PostgresqlMetastore.java:259,343-346) makes this converge to
+      // the union; the HTTP door path must too
+      val codes = Await.result(Future.sequence((1 to 8).map { i =>
+        Future(post(port, "/event/collect",
+          s"""{"collection": "evo", "properties": {"_user": "u$i", "_time": "2026-01-15 10:00:00.000", "f$i": $i}}""")
+          .statusCode())
+      }), 180.seconds)
+      assert(codes.forall(_ == 200), codes.toString)
+      // schema converged to the union: a query touching every new column
+      // parses, and each column holds exactly its one writer's value
+      val cols = (1 to 8).map(i => s"count(f$i) AS c$i").mkString(", ")
+      val q = post(port, "/query/execute",
+        s"""{"query": "SELECT count(*) AS n, $cols FROM evo"}""")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().contains("\"n\":8"), q.body())
+      (1 to 8).foreach(i => assert(q.body().contains(s"\"c$i\":1"), q.body()))
+    }
+  }
+
+  test("IP2Location CSV dim drives gateway geo enrichment end-to-end: " +
+    "the reference-verbatim country NAME lands in _country_code") {
+    import graft.enrich.geo.Ip2LocationCsv
+    // TEST-NET-3 (203.0.113.0/24) in the headerless fully-quoted vendor
+    // row format; ip_from/ip_to are decimal v4 numbers
+    val lo = 203L * (1L << 24) + 113L * 256
+    val hi = lo + 255
+    val dir = graft.TempDirs.scratch("ip2loc-gw")
+    val f = dir.resolve("ranges.csv")
+    java.nio.file.Files.writeString(f,
+      s""""$lo","$hi","AU","Australia","New South Wales","Sydney","-33.8688","151.2093"""" + "\n")
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = graft.TempDirs.scratch("graft-ip2loc").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo",
+      geoRanges = Some(Ip2LocationCsv.rangeDim(spark, f.toString)))
+    val port = gw.start()
+    try {
+      assert(post(port, "/event/collect",
+        """{"collection": "visit", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "_ip": "203.0.113.9"}}""")
+        .statusCode() == 200)
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT _country_code, _region, _city FROM visit"}""")
+      // IP2LocationGeoIPEventMapper.java:145-154 binds the long country
+      // NAME (CSV capture group 4), not the ISO code, to _country_code
+      assert(q.body().contains("\"_country_code\":\"Australia\""), q.body())
+      assert(q.body().contains("\"_city\":\"Sydney\""), q.body())
+      // an IP outside every vendor range stores the event, geo null
+      assert(post(port, "/event/collect",
+        """{"collection": "visit", "properties": {"_user": "u2", "_time": "2026-01-15 11:00:00.000", "_ip": "198.51.100.7"}}""")
+        .statusCode() == 200)
+      val q2 = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS nogeo FROM visit WHERE _user = 'u2' AND _country_code IS NULL"}""")
+      assert(q2.body().contains("\"nogeo\":1"), q2.body())
+    } finally gw.stop()
+  }
+
   test("right-to-be-forgotten: /user/delete removes events everywhere " +
     "and the profile; /admin/compact consolidates the partition") {
     withGateway { (_, port) =>
