@@ -118,20 +118,61 @@ object WindowQueries {
       |INTERSECT SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
       |EXCEPT SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'""".stripMargin
 
-  /** W7: user decile segmentation — ntile over lifetime spend, the
-    * growth-analytics cut ("what do my top-10% users do"). The ranking
-    * input is the per-user aggregate (|users| rows, tiny next to the
-    * corpus), so the single-partition ntile window ranks an already-
-    * reduced table — the 100 TB-safe formulation. Total tie-break
-    * (spend, user_id) keeps tile boundaries engine-identical. */
+  /** W7: user decile segmentation — EXACT ntile over lifetime spend
+    * with NO data-sized single-partition window (the r12 verdict's
+    * watch-item: |users| is 10⁸–10⁹ rows at 100 TB, too big for the
+    * one window task a global `ntile` requires). ntile needs a total
+    * order, not a global window: a range exchange on
+    * (spend DESC, user_id) hands each of the P tasks a contiguous
+    * slice of the order, so a row's global rank is its slice's offset
+    * (a P-row frame, broadcast back) plus its LOCAL row_number, and
+    * its decile is then a closed form of (rank, N) — the first N%10
+    * tiles take ⌈N/10⌉ rows, the rest ⌊N/10⌋. The tie-break is total,
+    * so ranks are engine-identical and independent of where the
+    * sampled range bounds fall. The sliced frame is persist()ed
+    * because slice ids come from the PHYSICAL partitioning: the
+    * offset and rank subtrees must read ONE materialization — two
+    * independent instantiations of the range exchange would re-sample
+    * bounds under different RDD-id seeds and disagree. persist (not
+    * localCheckpoint) keeps it one lazy action AND recoverable: the
+    * CacheManager substitutes the same InMemoryRelation (one plan
+    * instance, one bounds computation) into both subtrees, and a lost
+    * block recomputes through the lineage with the SAME rdd-id seed,
+    * so recovery reproduces identical bounds — unlike checkpoint
+    * blocks, which die with their executor. Largest window task after
+    * the rewrite: |users|/P rows. */
   def w7Deciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val spend = Tables(spark, dir, "events")
       .groupBy($"user_id")
       .agg(dsum($"value").as("total_spend"), count(lit(1)).as("n_events"))
-    val w = Window.orderBy($"total_spend".desc, $"user_id")
-    spend
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sliced = spend
+      .repartitionByRange(slices, $"total_spend".desc, $"user_id")
+      .withColumn("__slice", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val localW = Window.partitionBy($"__slice")
+      .orderBy($"total_spend".desc, $"user_id")
+    val ranked = sliced.withColumn("__lr", row_number().over(localW))
+    // P-row offset frame: rows that precede each slice in the global
+    // order (the cumulative window runs over P rows, not the data)
+    val offW = Window.orderBy($"__slice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy($"__slice")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum($"__cnt").over(offW), lit(0L)))
+    val total = offsets.agg(sum($"__cnt").as("__n"))
+    val rank = $"__off" + $"__lr"
+    val base = floor($"__n" / 10)          // ⌊N/10⌋ (N ≪ 2⁵³: exact)
+    val rem = $"__n" % 10
+    val decile = when(rank <= rem * (base + 1L),
+        floor((rank - 1L) / (base + 1L)) + 1L)
+      .otherwise(rem + floor((rank - rem * (base + 1L) - 1L) /
+        greatest(base, lit(1L))) + 1L)
+    ranked
+      .join(broadcast(offsets.select($"__slice", $"__off")), "__slice")
+      .crossJoin(broadcast(total))
+      .withColumn("decile", decile.cast("long"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_users"),
         dsum($"total_spend").as("decile_spend"),
