@@ -531,7 +531,23 @@ object MapperQueries {
     // legacy versioned-OS witnesses (the version-extraction lint):
     // Palm/HP webOS and classic SymbianOS carry slash versions
     "Mozilla/5.0 (hp-tablet; Linux; hpwOS/3.0.5; U; en-US) AppleWebKit/534.6 (KHTML, like Gecko) wOSBrowser/234.83 Safari/534.6 TouchPad/1.0",
-    "Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 Nokia5800d-1/60.0.003; Profile/MIDP-2.1 Configuration/CLDC-1.1 ) AppleWebKit/533.4 (KHTML, like Gecko) NokiaBrowser/7.3.1.33 Mobile Safari/533.4")
+    "Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 Nokia5800d-1/60.0.003; Profile/MIDP-2.1 Configuration/CLDC-1.1 ) AppleWebKit/533.4 (KHTML, like Gecko) NokiaBrowser/7.3.1.33 Mobile Safari/533.4",
+    // tail round 6: TV/cast/VR runtimes, CEF game-platform shells,
+    // CN app webviews, Transsion/Meizu/mini Android shells, enterprise
+    // email/office webviews, legacy Trident shells — every new rule
+    // ships its RuleLintSpec witness (+ version-extraction sample)
+    "Opera/9.80 (Linux armv7l; U; CE-HTML/1.0 NETRANGEMMH; en) Presto/2.12.407 Version/12.50 OMI/4.13.3.150.Marula.277",
+    "Mozilla/5.0 (X11; Linux x86_64; PICO 4) AppleWebKit/537.36 (KHTML, like Gecko) PicoBrowser/3.4.0 Chrome/105.0.5195.68 VR Safari/537.36",
+    "Mozilla/5.0 (Windows; U; Windows NT 10.0; en-US; Valve Steam GameOverlay/1705108172; ) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/85.0.4183.121 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) EpicGamesLauncher/16.3.0 UnrealEngine/4.27.0-37521377 Chrome/90.0.4430.212 Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 TitansX/20.0.1 KNB/1.2.0 iOS imeituan/12.4.208",
+    "Mozilla/5.0 (Linux; Android 13; M2012K11AC Build/TKQ1.220829.002; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/107.0.5304.141 Mobile Safari/537.36 BiliApp/7660300",
+    "Mozilla/5.0 (Linux; U; Android 8.1.0; zh-cn; MEIZU E3 Build/OPM1.171019.026) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/53.0.2785.134 Mobile Safari/537.36 MZBrowser/8.1.1",
+    "Mozilla/5.0 (Linux; Android 12; TECNO KI5k Build/SP1A.210812.016) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/100.0.4896.58 Mobile Safari/537.36 HiBrowser/v2.9.0.1",
+    "Mozilla/5.0 (Linux; Android 13; M2102J2SC Build/TKQ1.220829.002) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/108.0.0.0 Mobile Safari/537.36 XBrowser/4.0.0",
+    "Mozilla/5.0 (Windows NT 10.0; WOW64; Trident/7.0; Avant TriCore; rv:11.0) like Gecko",
+    "Mozilla/4.0 (compatible; Lotus-Notes/6.0; Windows-NT)",
+    "Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 10.0; WOW64; Trident/7.0; .NET4.0C; .NET4.0E; ms-office; MSOffice 16)")
 
   /** M2 against the oracle: each event picks a UA sample; Spark parses
     * through [[graft.enrich.UserAgentMapper]], the twin through the
@@ -806,7 +822,34 @@ object MapperQueries {
     "https://lemmy.world/post/1",
     "https://truthsocial.com/@user/posts/1",
     "https://wykop.pl/link/1",
-    "https://flipboard.com/@user/magazine")
+    "https://flipboard.com/@user/magazine",
+    // tail round 6 witnesses: CN AI assistants (incl. the
+    // baidu-subdomain precedence case), regional search, meeting/chat
+    // platforms, news readers, RU/KR/VN communities, package
+    // registries, newsletter campaign hosts
+    "https://yiyan.baidu.com/",
+    "https://www.doubao.com/chat/",
+    "https://kimi.moonshot.cn/",
+    "https://tongyi.aliyun.com/qianwen/",
+    "https://chatglm.cn/main/alltoolsdetail",
+    "https://search.nifty.com/websearch/search?q=tokyo",
+    "https://www.messenger.com/t/12345",
+    "https://teams.microsoft.com/l/message/ch/1",
+    "https://zoom.us/j/9912345",
+    "https://web.skype.com/",
+    "https://apple.news/AbCdEf123",
+    "https://www.smartnews.com/en/article",
+    "https://www.newsbreak.com/n/some-story",
+    "https://rutube.ru/video/abc123/",
+    "https://odysee.com/@channel:1/video:a",
+    "https://dzen.ru/a/ZxYw",
+    "https://pikabu.ru/story/zagolovok_10000001",
+    "https://habr.com/ru/articles/800000/",
+    "https://band.us/band/12345678/post/1",
+    "https://zalo.me/g/abcdef123",
+    "https://www.npmjs.com/package/apache-spark",
+    "https://starwars.fandom.com/wiki/Main_Page",
+    "https://mailchi.mp/acme/weekly-newsletter-42")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

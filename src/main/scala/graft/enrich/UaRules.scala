@@ -43,6 +43,10 @@ object UaRules {
     * then the engines themselves, then legacy/console browsers. */
   val browsers: Seq[UaRule] = Seq(
     UaRule("Spider", SpiderRe),
+    // Vewd (ex Opera TV/Devices SDK): set-top/TV runtime whose UAs are
+    // Presto-era ("Opera/9.80 … OMI/4.x"), so it must outrank the whole
+    // Opera lineage below (tail round 6)
+    UaRule("Vewd", "\\bOMI/", "\\bOMI/(\\d+)"),
     // Opera lineage (Presto + Blink); OPiOS is Opera Mini's iOS shell
     UaRule("Opera Mini", "Opera Mini|OPiOS/", "(?:Opera Mini|OPiOS)/(\\d+)"),
     UaRule("Opera Mobile", "Opera Mobi", "(?:Opera Mobi.*Version|Opera Mobi)/?(\\d+)?"),
@@ -56,6 +60,7 @@ object UaRules {
     // VR and in-car shells: Quest UAs carry SamsungBrowser/ AND Chrome/
     // tokens, so Oculus must precede both
     UaRule("Oculus Browser", "OculusBrowser/", "OculusBrowser/(\\d+)"),
+    UaRule("Pico Browser", "PicoBrowser/", "PicoBrowser/(\\d+)"),
     UaRule("Tesla", "Tesla/", "Tesla/(\\d+)"),
     UaRule("Samsung Internet", "SamsungBrowser/", "SamsungBrowser/(\\d+)"),
     UaRule("Yandex Browser", "YaBrowser/", "YaBrowser/(\\d+)"),
@@ -73,6 +78,12 @@ object UaRules {
     UaRule("Vivo Browser", "VivoBrowser/", "VivoBrowser/(\\d+)"),
     UaRule("Oppo Browser", "OppoBrowser/", "OppoBrowser/(\\d+)"),
     UaRule("HeyTap Browser", "HeyTapBrowser/", "HeyTapBrowser/(\\d+)"),
+    // tail round 6: Meizu's stock shell, Transsion's Hi Browser
+    // (Tecno/Infinix/itel — dominant across African prepaid traffic),
+    // and the XBrowser mini shell, all riding Chrome tokens
+    UaRule("Meizu Browser", "MZBrowser/", "MZBrowser/(\\d+)"),
+    UaRule("Hi Browser", "HiBrowser/", "HiBrowser/v?(\\d+)"),
+    UaRule("XBrowser", "XBrowser/", "XBrowser/(\\d+)"),
     // NOTE: QQ Browser sits AFTER the in-app webview block below — CN
     // super-app webviews (DingTalk, Alipay, QQ) ride the Tencent X5
     // engine whose MQQBrowser/ token would otherwise consume them
@@ -90,6 +101,9 @@ object UaRules {
     UaRule("Coc Coc", "coc_coc_browser/", "coc_coc_browser/(\\d+)"),
     UaRule("Maxthon", "Maxthon[ /]?\\d", "Maxthon[ /]?(\\d+)"),
     UaRule("Iron", "Iron[ /]\\d", "Iron[ /](\\d+)"),
+    // Avant rides Trident (its UAs carry Trident/… rv:11) so it must
+    // outrank the IE rule at the table's tail (tail round 6)
+    UaRule("Avant", "Avant Browser|Avant TriCore"),
     UaRule("Comodo Dragon", "Comodo_Dragon/|Dragon/", "(?:Comodo_)?Dragon/(\\d+)"),
     UaRule("Avast Secure Browser", "Avast/", "Avast/(\\d+)"),
     UaRule("AVG Secure Browser", "AVG/", "AVG/(\\d+)"),
@@ -117,6 +131,11 @@ object UaRules {
     UaRule("Notion", "Notion/", "Notion/(\\d+)"),
     UaRule("Obsidian", "(?i)obsidian/", "(?i)obsidian/(\\d+)"),
     UaRule("Spotify", "Spotify/", "Spotify/(\\d+)"),
+    // CEF game-platform shells (Chrome tokens, so pre-engine)
+    UaRule("Steam", "Valve Steam (?:GameOverlay|Client)",
+      "Valve Steam (?:GameOverlay|Client)/(?:default/)?(\\d+)"),
+    UaRule("Epic Games Launcher", "EpicGamesLauncher",
+      "EpicGamesLauncher/(\\d+)"),
     UaRule("Electron", "Electron/", "Electron/(\\d+)"),
     UaRule("Falkon", "Falkon/", "Falkon/(\\d+)"),
     UaRule("Otter", "Otter/", "Otter/(\\d+)"),
@@ -133,6 +152,9 @@ object UaRules {
     UaRule("Ghostery", "Ghostery[:/ ]", "Ghostery[:/ ](\\d+)"),
     // hybrid-broadcast TV runtimes ride a Chrome token
     UaRule("HbbTV", "HbbTV/", "HbbTV/(\\d+)"),
+    // TV/cast runtimes that also carry Chrome tokens (tail round 6)
+    UaRule("Chromecast", "CrKey/", "CrKey/(\\d+)"),
+    UaRule("Samsung Smart TV", "SMART-TV.*Tizen"),
     // in-app webviews with their own tokens
     // Messenger carries FBAN/Messenger… tokens and must outrank the
     // generic Facebook rule directly below
@@ -167,6 +189,9 @@ object UaRules {
     UaRule("Reddit", "Reddit/", "Reddit/(?:Version )?(\\d+)"),
     UaRule("Outlook Mobile", "Outlook-(?:Android|iOS)/", "Outlook-(?:Android|iOS)/(\\d+)"),
     UaRule("Microsoft Outlook", "Microsoft Outlook", "Microsoft Outlook (\\d+)"),
+    // Office webviews tag `ms-office` (and MSIE/Trident tokens, so this
+    // must sit before the IE rule at the tail)
+    UaRule("Microsoft Office", "ms-office", "MSOffice (\\d+)"),
     UaRule("YouTube", "com\\.google\\.android\\.youtube/",
       "com\\.google\\.android\\.youtube/(\\d+)"),
     UaRule("Taobao", "AliApp\\(TB/", "AliApp\\(TB/(\\d+)"),
@@ -176,6 +201,10 @@ object UaRules {
     UaRule("Weibo", "(?i)weibo", "(?i)weibo__(\\d+)"),
     UaRule("Xiaohongshu", "XHS/", "XHS/(\\d+)"),
     UaRule("JD App", "(?i)jdapp", ""),
+    // tail round 6: Meituan (iOS token `imeituan/`) and the Bilibili
+    // app webview (`BiliApp/<build>`); both ride Chrome/WebView tokens
+    UaRule("Meituan", "imeituan/", "imeituan/(\\d+)"),
+    UaRule("Bilibili", "(?i)BiliApp/", "(?i)BiliApp/(\\d+)"),
     UaRule("Yahoo Japan App", "jp\\.co\\.yahoo\\.(?:android|iphone)",
       "jp\\.co\\.yahoo\\.(?:android|iphone)[.\\w]*/(\\d+)"),
     UaRule("VK App", "VKAndroidApp/|VK iPhone", "VKAndroidApp/(\\d+)"),
@@ -214,6 +243,7 @@ object UaRules {
     UaRule("Camino", "Camino/", "Camino/(\\d+)"),
     UaRule("Thunderbird", "Thunderbird/", "Thunderbird/(\\d+)"),
     UaRule("Evolution", "Evolution/", "Evolution/(\\d+)"),
+    UaRule("Lotus Notes", "Lotus-Notes/", "Lotus-Notes/(\\d+)"),
     UaRule("Firefox", "Firefox/", "Firefox/(\\d+)"),
     // WebKit shells that would otherwise fall through to Safari
     UaRule("DuckDuckGo", "\\bDdg/", "\\bDdg/(\\d+)"),
@@ -231,7 +261,12 @@ object UaRules {
     UaRule("NetFront", "NetFront/", "NetFront/(\\d+)"),
     UaRule("Skyfire", "Skyfire/", "Skyfire/(\\d+)"),
     UaRule("Kindle", "Kindle/", "Kindle/(\\d+)"),
-    // console browsers + media-player/runtime UAs
+    // console browsers + media-player/runtime UAs. NetFront NX is the
+    // PS4/PS5 system browser (uap-core's family for "PlayStation <n>"
+    // UAs); PS Vita deliberately falls through — its UA carries Silk/
+    // and no bare digit, matching uap-core's Silk attribution
+    UaRule("NetFront NX", "PlayStation \\d", "PlayStation \\d+/(\\d+)"),
+    UaRule("Roku", "Roku/DVP", "Roku/DVP-(\\d+)"),
     UaRule("NintendoBrowser", "NintendoBrowser/", "NintendoBrowser/(\\d+)"),
     UaRule("AppleCoreMedia", "AppleCoreMedia/"),
     UaRule("VLC", "VLC/", "VLC/(\\d+)"),
@@ -468,6 +503,8 @@ object UaRules {
     RefererRule("google-news", "^news\\.google\\.", "social"),
     RefererRule("yahoo-news", "^news\\.yahoo\\.", "social"),
     RefererRule("tieba", "^tieba\\.baidu\\.com$", "social"),
+    // ERNIE Bot lives on a baidu subdomain — before the baidu rule
+    RefererRule("ernie-bot", "^yiyan\\.baidu\\.com$", "search"),
     RefererRule("google", "(^|\\.)google\\.", "search"),
     RefererRule("bing", "(^|\\.)bing\\.", "search"),
     RefererRule("yahoo", "(^|\\.)yahoo\\.", "search"),
@@ -521,7 +558,15 @@ object UaRules {
     RefererRule("meta-ai", "(^|\\.)meta\\.ai$", "search"),
     RefererRule("poe", "(^|\\.)poe\\.com$", "search"),
     RefererRule("phind", "(^|\\.)phind\\.com$", "search"),
+    // CN AI assistants (tail round 6)
+    RefererRule("doubao", "(^|\\.)doubao\\.com$", "search"),
+    RefererRule("kimi", "(^|\\.)kimi\\.com$|^kimi\\.moonshot\\.cn$", "search"),
+    RefererRule("qwen", "(^|\\.)qwen\\.ai$|^tongyi\\.aliyun\\.com$", "search"),
+    RefererRule("chatglm", "(^|\\.)chatglm\\.cn$", "search"),
+    // regional search portals
+    RefererRule("nifty", "^search\\.nifty\\.com$", "search"),
     // social networks
+    RefererRule("facebook-messenger", "(^|\\.)messenger\\.com$", "social"),
     RefererRule("facebook", "(^|\\.)facebook\\.|^fb\\.me$", "social"),
     RefererRule("twitter", "(^|\\.)twitter\\.|(^|\\.)t\\.co$|(^|\\.)x\\.com$", "social"),
     RefererRule("linkedin", "(^|\\.)linkedin\\.|^lnkd\\.in$", "social"),
@@ -603,7 +648,30 @@ object UaRules {
     RefererRule("dribbble", "(^|\\.)dribbble\\.com$", "social"),
     RefererRule("getpocket", "(^|\\.)getpocket\\.com$", "social"),
     RefererRule("feedly", "(^|\\.)feedly\\.com$", "social"),
-    RefererRule("inoreader", "(^|\\.)inoreader\\.com$", "social"))
+    RefererRule("inoreader", "(^|\\.)inoreader\\.com$", "social"),
+    // tail round 6: meeting/chat platforms, news readers, RU/CN/KR/VN
+    // communities, package registries, newsletter campaign hosts.
+    // teams.live.com is deliberately NOT claimed here: the outlook
+    // email rule owns (^|.)live.com$ higher up and personal-Teams
+    // referrals through it are indistinguishable from webmail.
+    RefererRule("ms-teams", "^teams\\.microsoft\\.com$", "social"),
+    RefererRule("zoom", "(^|\\.)zoom\\.us$", "social"),
+    RefererRule("skype-web", "(^|\\.)skype\\.com$", "social"),
+    RefererRule("apple-news", "^apple\\.news$", "social"),
+    RefererRule("smartnews", "(^|\\.)smartnews\\.com$", "social"),
+    RefererRule("newsbreak", "(^|\\.)newsbreak\\.com$", "social"),
+    RefererRule("rutube", "(^|\\.)rutube\\.ru$", "social"),
+    RefererRule("odysee", "(^|\\.)odysee\\.com$", "social"),
+    RefererRule("dzen", "(^|\\.)dzen\\.ru$", "social"),
+    RefererRule("pikabu", "(^|\\.)pikabu\\.ru$", "social"),
+    RefererRule("habr", "(^|\\.)habr\\.com$", "social"),
+    RefererRule("naver-band", "(^|\\.)band\\.us$", "social"),
+    RefererRule("zalo-web", "(^|\\.)zalo\\.me$", "social"),
+    RefererRule("npm", "(^|\\.)npmjs\\.com$", "social"),
+    RefererRule("fandom", "(^|\\.)fandom\\.com$", "social"),
+    RefererRule("mailchimp",
+      "^mailchi\\.mp$|(^|\\.)campaign-archive\\.com$|(^|\\.)list-manage\\.com$",
+      "email"))
 
   /** Search-term query parameters, tried in order (q: most engines,
     * p: yahoo, text: yandex, wd/word: baidu, query: naver/daum/seznam,
