@@ -452,6 +452,31 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("spider-rejected ingest leaves no cached blocks behind: the " +
+    "enrich persist is released even when the gate throws mid-build") {
+    withGateway { (_, port) =>
+      // warm the pipeline so lazy one-time caches don't skew the count
+      assert(post(port, "/event/collect",
+        """{"collection": "pv", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000"}}""")
+        .statusCode() == 200)
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      (1 to 3).foreach { i =>
+        val r = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$port/event/collect"))
+            .header("User-Agent",
+              "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)")
+            .POST(HttpRequest.BodyPublishers.ofString(
+              s"""{"collection": "pv", "properties": {"_user": "bot$i", "_time": "2026-01-15 10:00:00.000", "_user_agent": true}}"""))
+            .build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 403, s"${r.statusCode()} ${r.body()}")
+      }
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"spider-rejected requests leaked cached RDDs: $leaked")
+    }
+  }
+
   test("IP2Location CSV dim drives gateway geo enrichment end-to-end: " +
     "the reference-verbatim country NAME lands in _country_code") {
     import graft.enrich.geo.Ip2LocationCsv
