@@ -129,4 +129,26 @@ class RuleLintSpec extends AnyFunSuite {
     val bad = unreachable(demoted, MapperQueries.uaSamples)
     assert(bad.contains(mi + 1), "lint failed to flag the shadowed Messenger rule")
   }
+
+  test("negative control: demoting a brand-subdomain referrer below its " +
+    "brand rule is caught (the email-vs-search precedence class)") {
+    // the referrer table's own precedence bug class: a webmail host on
+    // a brand domain (email.seznam.cz) demoted below the brand's
+    // SEARCH rule is consumed by it — traffic silently reclassified
+    // email → search on BOTH engines. The lint must flag the demoted
+    // rule as first-matched by nothing.
+    val rules = UaRules.referers
+    val ei = rules.indexWhere(_.source == "seznam-email")
+    val si = rules.indexWhere(_.source == "seznam")
+    assert(ei >= 0 && si > ei, "fixture drift: seznam-email must precede seznam")
+    val detects = rules.map(_.hostRe)
+    // move seznam-email to directly after seznam
+    val demoted = detects.patch(ei, Nil, 1).patch(si, Seq(detects(ei)), 0)
+    val hosts = MapperQueries.refSamples.flatMap { u =>
+      try Option(new java.net.URI(u).getHost).map(_.toLowerCase)
+      catch { case _: Exception => None }
+    }
+    val bad = unreachable(demoted, hosts)
+    assert(bad.contains(si), "lint failed to flag the demoted seznam-email rule")
+  }
 }
