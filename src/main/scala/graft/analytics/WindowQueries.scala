@@ -129,18 +129,21 @@ object WindowQueries {
     * its decile is then a closed form of (rank, N) — the first N%10
     * tiles take ⌈N/10⌉ rows, the rest ⌊N/10⌋. The tie-break is total,
     * so ranks are engine-identical and independent of where the
-    * sampled range bounds fall. The sliced frame is persist()ed
-    * because slice ids come from the PHYSICAL partitioning: the
-    * offset and rank subtrees must read ONE materialization — two
-    * independent instantiations of the range exchange would re-sample
-    * bounds under different RDD-id seeds and disagree. persist (not
-    * localCheckpoint) keeps it one lazy action AND recoverable: the
-    * CacheManager substitutes the same InMemoryRelation (one plan
-    * instance, one bounds computation) into both subtrees, and a lost
-    * block recomputes through the lineage with the SAME rdd-id seed,
-    * so recovery reproduces identical bounds — unlike checkpoint
-    * blocks, which die with their executor. Largest window task after
-    * the rewrite: |users|/P rows. */
+    * sampled range bounds fall. The sliced frame is LAZILY
+    * localCheckpoint'd because slice ids come from the PHYSICAL
+    * partitioning: the offset and rank subtrees must read ONE
+    * materialization — two independent instantiations of the range
+    * exchange would re-sample bounds under different RDD-id seeds and
+    * disagree. Lazy checkpoint (not persist) because a query builder
+    * has no unpersist hook: a CacheManager entry would pin the
+    * |users| frame for the JVM's lifetime (exactly the leak class the
+    * gateway's enrich path guards against), while checkpoint blocks
+    * are freed by the ContextCleaner once the RDD is unreachable;
+    * eager=false keeps it one action (materialized on first compute,
+    * shared by both subtrees — one RDD instance, one bounds
+    * sampling). Accepted trade at 1000 executors: checkpoint blocks
+    * die with their executor (job restart), the d5/BPE precedent.
+    * Largest window task after the rewrite: |users|/P rows. */
   def w7Deciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val spend = Tables(spark, dir, "events")
@@ -150,7 +153,7 @@ object WindowQueries {
     val sliced = spend
       .repartitionByRange(slices, $"total_spend".desc, $"user_id")
       .withColumn("__slice", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val localW = Window.partitionBy($"__slice")
       .orderBy($"total_spend".desc, $"user_id")
     val ranked = sliced.withColumn("__lr", row_number().over(localW))

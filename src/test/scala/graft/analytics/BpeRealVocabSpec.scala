@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   *      loop (forced via a lowered gate on the same table) — rank,
   *      pair, merged symbol AND count, including the (count desc,
   *      UTF-8 asc) tie-break;
-  *   3. wall time is linear in touched occurrences: total ns divided
-  *      by Σ merged-pair counts stays under a bound ~4× the measured
-  *      rate, which a k·|vocab| full-recount trainer (30,000 × 29,791
-  *      word scans ≈ 9·10⁸ versus the 1.59·10⁶-occurrence delta
-  *      total) misses by two orders of magnitude.
+  *   3. wall time is linear in touched occurrences, asserted RELATIVE
+  *      to the retained textbook full-recount trainer timed in the
+  *      same JVM (machine speed cancels): the delta run must beat the
+  *      implied k·|vocab| full-recount cost by ≥3× — measured 13×
+  *      (25.6 s vs ~320 s implied; the full recount pays 30,000 ×
+  *      29,791 word scans versus the 1.59·10⁶-occurrence delta
+  *      total).
   *
   * SCALE.md carries the measured row this spec re-asserts. */
 class BpeRealVocabSpec extends SparkSpec {
@@ -63,22 +65,33 @@ class BpeRealVocabSpec extends SparkSpec {
       assert(local.length == 30000,
         s"expected the full 30,000 merges, trainer stopped at ${local.length}")
 
-      // 3. linearity in touched occurrences: per-merge cost is the
-      //    merged pair's (weighted) occurrence count; a full-recount
-      //    trainer pays k·|vocab| instead and blows this bound
+      // 3. linearity in touched occurrences, asserted RELATIVE to the
+      //    retained textbook full-recount trainer measured in the SAME
+      //    JVM on the same table — machine speed and boot contention
+      //    cancel out of the ratio (an absolute ns bound here would
+      //    gate the suite on host speed, the anti-pattern the calib
+      //    convention exists to avoid). The full recount pays
+      //    k·|vocab| word scans, so its implied k=30,000 cost is
+      //    (measured k=300 cost) × 100; the delta trainer must beat
+      //    that by ≥3× (measured 2026-08-15: 25.6 s actual vs ~320 s
+      //    implied — a 13× margin; a delta-index regression back to
+      //    per-merge vocab scans lands AT the implied cost and fails).
       val touched = local.map(_.pair_count).sum
-      val nsPerOcc = wallNs.toDouble / touched
-      info(f"k=30000 over 29,791 words: ${wallNs / 1e9}%.2f s, " +
-        f"touched=$touched%d, $nsPerOcc%.0f ns/occurrence")
-      // measured 2026-08-15: 25.6 s wall, 1,587,941 touched, ~16 µs per
-      // weighted occurrence on a contended local[4] boot. The bound is
-      // ~4× that; a k·|vocab| full recount implies ~560 word-visits per
-      // occurrence here (30,000 × 29,791 / 1.59M) — milliseconds per
-      // occurrence, two orders of magnitude over the bound.
-      assert(nsPerOcc < 60000.0,
-        f"delta trainer no longer linear in touched occurrences: " +
-          f"$nsPerOcc%.0f ns/occ over $touched occurrences " +
-          f"(${wallNs / 1e9}%.1f s wall)")
+      val symsOf = () => words.map { case (w, c) =>
+        (w.map(_.toString).toArray :+ "</w>", c)
+      }.toArray
+      val tRef0 = System.nanoTime()
+      val ref = TokenizerQueries.trainLocal(symsOf(), 300)._1
+      val refNs = System.nanoTime() - tRef0
+      assert(ref.length == 300)
+      val impliedFullNs = refNs.toDouble / 300 * 30000
+      info(f"k=30000 over 29,791 words: ${wallNs / 1e9}%.2f s delta " +
+        f"(touched=$touched%d, ${wallNs.toDouble / touched}%.0f ns/occ) vs " +
+        f"${impliedFullNs / 1e9}%.1f s implied full recount")
+      assert(wallNs < impliedFullNs / 3,
+        f"delta trainer lost its linearity edge: ${wallNs / 1e9}%.1f s vs " +
+          f"${impliedFullNs / 1e9}%.1f s implied full-recount cost " +
+          f"(ratio ${impliedFullNs / wallNs}%.1f, need >= 3)")
 
       // 2. prefix parity vs the DISTRIBUTED loop on the same table:
       //    a lowered gate forces the per-merge global argmax path
