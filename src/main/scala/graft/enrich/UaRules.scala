@@ -417,6 +417,7 @@ object UaRules {
     DeviceRule("NETTV/", family = "Philips Smart TV"),
     // VR headsets, handheld consoles, in-car browsers
     DeviceRule(";\\s*(Quest[^;)]*?)(?:\\s+Build/|[;)])", prefix = "Meta "),
+    DeviceRule(";\\s*(PICO[^;)]*?)(?:\\s+Build/|[;)])", prefix = "Pico "),
     DeviceRule("Steam ?Deck", family = "Valve Steam Deck"),
     DeviceRule("Tesla/", family = "Tesla"),
     // consoles
