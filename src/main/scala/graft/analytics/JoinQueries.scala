@@ -177,9 +177,58 @@ object JoinQueries {
       |  WHERE event_type = 'error'
       |    AND (user_id % (SELECT count(*) FROM customer)) + 1 = c_custkey)""".stripMargin
 
+  /** J2b: the real IP2Location vendor-CSV path against the oracle —
+    * [[graft.enrich.geo.Ip2LocationCsv]] parses a headerless
+    * fully-quoted vendor file (built |nation|-bounded from the nation
+    * table, a 25-row driver-side fixture write like s4's) and the
+    * probe side joins by BETWEEN range. The DuckDB twin restates dim +
+    * join from the nation parquet directly, so a parse or
+    * column-mapping defect in the loader — quote handling, lo/hi
+    * casts, or the reference's country-NAME-in-group-4 binding
+    * (CSV.java:35-38): binding the 2-letter code instead would emit
+    * `name.take(2)` and hash-mismatch — fails the row. Misses keep
+    * NULL geo; the dim stays broadcast (vendor city files ~10M rows,
+    * the rangeDim6 size budget). */
+  def j2bIp2Location(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables(spark, dir, "nation")
+      .select($"n_nationkey".cast("long"), $"n_name", $"n_regionkey".cast("long"))
+      .collect()
+    val f = graft.TempDirs.scratchFor("graft-j2b").resolve("ranges.csv")
+    val lines = nations.map { r =>
+      val k = r.getLong(0); val name = r.getString(1); val rk = r.getLong(2)
+      s""""${k * 1000}","${k * 1000 + 999}","${name.take(2)}","$name","Region $rk","City $k","$k.5","-$k.25""""
+    }
+    java.nio.file.Files.write(f,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dim = graft.enrich.geo.Ip2LocationCsv.rangeDim(spark, f.toString)
+    val probes = Tables(spark, dir, "events")
+      .select(pmod($"event_id", lit(26000L)).as("ipnum"))
+    probes
+      .join(broadcast(dim), $"ipnum" >= $"ip_lo" && $"ipnum" <= $"ip_hi", "left")
+      .groupBy($"_country_code")
+      .agg(count(lit(1)).as("n_probes"),
+        countDistinct($"ipnum").as("n_ips"),
+        min($"_city").as("first_city"))
+  }
+
+  val j2bSql: String =
+    """WITH dim AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) * 1000 AS ip_lo,
+      |         CAST(n_nationkey AS BIGINT) * 1000 + 999 AS ip_hi,
+      |         n_name AS country,
+      |         'City ' || CAST(CAST(n_nationkey AS BIGINT) AS VARCHAR) AS city
+      |  FROM nation),
+      |probes AS (SELECT event_id % 26000 AS ipnum FROM events)
+      |SELECT d.country AS _country_code, count(*) AS n_probes,
+      |  count(DISTINCT p.ipnum) AS n_ips, min(d.city) AS first_city
+      |FROM probes p LEFT JOIN dim d ON p.ipnum BETWEEN d.ip_lo AND d.ip_hi
+      |GROUP BY 1""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "j1_dim_join" -> QueryDef.of(j1Sql)(j1DimJoin),
     "j2_range_join" -> QueryDef.of(j2Sql)(j2RangeJoin),
+    "j2b_ip2location_csv" -> QueryDef.of(j2bSql)(j2bIp2Location),
     "j3_point_lookup" -> QueryDef.of(j3Sql)(j3PointLookup),
     "j4_event_profile" -> QueryDef.of(j4Sql)(j4EventProfile),
     "j5_asof_join" -> QueryDef.of(j5Sql)(j5AsOf),
