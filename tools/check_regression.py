@@ -15,6 +15,15 @@ normalization the judge applies across rounds.
 Exit 1 if any row regresses; prints the offending rows. Both inputs
 are graft.Bench JSON lines (BENCH_LOCAL.json or a committed
 BENCH_r{N}.json tail with full "queries"/"calib" fields).
+
+Adjudicating a flag: calib measures AVERAGE boot contention, but
+bursts hit individual sub-second rows (r13: w9 flagged at 2.04x in a
+full run, then measured 0.82x of its r12 record in a solo re-bench
+minutes later). A flagged row is adjudicated by a solo re-run —
+`SPARK_GRAFT_BENCH_ONLY=<row> SPARK_GRAFT_BENCH_REPS=5` — before it
+counts as a regression; an intentional-rework row (e.g. r13's w7
+exact-ntile rewrite) is instead judged against its BASELINE.md budget
+threshold and documented in the changelog.
 """
 import json
 import sys
