@@ -2616,9 +2616,17 @@ final class HttpGateway(
 
   // ---------------- plumbing ----------------
 
-  /** Store writes serialize on this lock: concurrent Spark jobs
-    * appending to the SAME parquet directory share its `_temporary`
-    * staging dir and can clobber each other's commits. Reads (queries,
+  /** Warehouse mutations serialize on this lock: ingest must observe a
+    * consistent registry/MV/index state, and MV rebuilds and index
+    * maintenance read-modify-write shared files. Parquet APPENDS
+    * themselves no longer need it — `EventStore.stagedAppend` gives
+    * every batch a private staging dir and publishes by atomic file
+    * moves, so concurrent appenders (threads or separate driver JVMs)
+    * cannot clobber each other's `_temporary` — but the cheap
+    * coarse lock stays for the single-gateway deployment, where it
+    * also orders registry evolution against writes. The multi-driver
+    * story (what is safe across gateways, what still needs a single
+    * scheduler) is SCALE.md §"Multi-driver writes". Reads (queries,
     * analysis routes) stay fully concurrent on the pool. */
   private val writeLock = new Object
 

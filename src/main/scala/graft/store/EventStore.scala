@@ -43,9 +43,55 @@ object EventStore {
       if (dropped.columns.contains("_time"))
         dropped.withColumn("_month", date_format(col("_time"), "yyyy-MM"))
       else dropped.withColumn("_month", lit("unknown"))
-    withMonth.write.mode("append")
-      .partitionBy("_month")
-      .parquet(tablePath(warehouse, project, collection))
+    stagedAppend(withMonth, tablePath(warehouse, project, collection),
+      Seq("_month"))
+  }
+
+  /** Staged-move append — the multi-driver-safe commit for appends.
+    *
+    * A vanilla `write.mode("append").parquet(table)` stages under the
+    * TABLE's own `<table>/_temporary`, which concurrent jobs writing
+    * the same path SHARE: each job's cleanup deletes the other's
+    * staged files (the reason the gateway serializes store writes on
+    * one JVM's writeLock, and the reference leans on Postgres
+    * transactions — PostgresqlEventStore.java:83-101). Here each batch
+    * instead writes to a PRIVATE hidden staging dir inside the table
+    * (its own `_temporary`, no sharing), then publishes by moving the
+    * completed part files into the real partition dirs. Part-file
+    * names embed the writing job's UUID, so concurrent publishers
+    * never collide, and each `Files.move` is an atomic same-filesystem
+    * rename — a reader (batch scan or the streaming tail's file
+    * source) sees a complete file or no file, never a partial one.
+    * Crash mid-publish leaves a prefix of the batch's files (no torn
+    * rows, no clobbered neighbors); batch-level atomicity is the
+    * manifest upgrade sketched in SCALE.md §multi-driver. */
+  private def stagedAppend(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit = {
+    val tableDir = new java.io.File(table)
+    tableDir.mkdirs()
+    // dot-prefixed: partition discovery and file-source listings skip it
+    val staging = new java.io.File(tableDir,
+      s".staging-${java.util.UUID.randomUUID()}")
+    try {
+      df.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(staging.getAbsolutePath)
+      def publish(src: java.io.File, dst: java.io.File): Unit =
+        src.listFiles().foreach { f =>
+          // partition dirs (`_month=...`) carry the underscore prefix
+          // too — recurse on `key=value` names, skip only Spark's
+          // `_temporary`/hidden dirs
+          if (f.isDirectory &&
+            (f.getName.contains("=") || (!f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))))
+            publish(f, new java.io.File(dst, f.getName))
+          else if (f.isFile && f.getName.startsWith("part-")) {
+            dst.mkdirs()
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(dst, f.getName).toPath)
+          }
+        }
+      publish(staging, tableDir)
+    } finally rmrf(staging)
   }
 
   /** Read back aligned to the registry's current schema: files written
@@ -78,10 +124,8 @@ object EventStore {
         unified.withColumn("_month",
           coalesce(date_format(col("_time"), "yyyy-MM"), lit("unknown")))
       else unified.withColumn("_month", lit("unknown"))
-    withMonth.drop(sourceOnlyFields: _*)
-      .write.mode("append")
-      .partitionBy("_collection", "_month")
-      .parquet(s"$warehouse/$project/events")
+    stagedAppend(withMonth.drop(sourceOnlyFields: _*),
+      s"$warehouse/$project/events", Seq("_collection", "_month"))
   }
 
   /** Read one collection out of the unified layout: partition pruning on
@@ -117,18 +161,24 @@ object EventStore {
 
   /** Dead-letter append (S14): `$invalid_schema` table per project. */
   def writeDeadLetter(dead: DataFrame, warehouse: String, project: String): Unit =
-    dead.write.mode("append")
-      .parquet(s"$warehouse/$project/invalid_schema")
+    stagedAppend(dead, s"$warehouse/$project/invalid_schema", Seq.empty)
 
   /** Small-files compaction — the maintenance job an append-only
     * micro-batch store needs at scale: every ingest batch appends at
     * least one file per touched partition, so a month accumulates
     * thousands of KB-sized files and scan task scheduling (plus
     * footer reads) comes to dominate query time. Rewrites one
-    * partition's files into `ceil(rows / rowsPerFile)` files and swaps
-    * the directory atomically-enough for a single-writer store (write
-    * aside, delete, rename). Runs per-partition so a 100 TB table
-    * compacts incrementally, month by month, without a full rewrite.
+    * partition's files into `ceil(rows / rowsPerFile)` files via an
+    * optimistic FILE-SCOPED commit: snapshot the partition's committed
+    * part files, rewrite THOSE into a hidden aside dir, then publish —
+    * move the new files in, delete exactly the snapshot. A batch
+    * appended mid-compaction is not in the snapshot and survives
+    * untouched (the earlier whole-directory swap would have deleted
+    * it), so compaction is safe against concurrent appenders from any
+    * driver. One REWRITER per partition is enforced by an atomic
+    * `_rewrite.lock` create ([[withPartitionLock]]). Runs
+    * per-partition so a 100 TB table compacts incrementally, month by
+    * month, without a full rewrite.
     *
     * `zorderBy = Some((userCol, timeCol))` makes the rewrite also
     * RE-CLUSTER the partition on the Morton interleave of the two
@@ -144,39 +194,91 @@ object EventStore {
     val dir = s"${tablePath(warehouse, project, collection)}/_month=$month"
     val src = new java.io.File(dir)
     require(src.isDirectory, s"no such partition: $dir")
-    val df = spark.read.parquet(dir)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
-    val compacted = zorderBy match {
-      case Some((userCol, timeCol)) =>
-        graft.analytics.LayoutQueries.zorderWrite(df, files, userCol, timeCol)
-      case None => df.coalesce(files)
+    withPartitionLock(src) {
+      val snapshot = dataFiles(src)
+      if (snapshot.isEmpty) 0
+      else {
+        // explicit file list, NOT the directory: files appended after
+        // this snapshot must be neither rewritten nor deleted.
+        // mergeSchema because a partition can span a schema evolution
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(snapshot.map(_.getAbsolutePath): _*)
+        val n = df.count()
+        val files = math.max(1, math.ceil(n.toDouble / rowsPerFile).toInt)
+        val compacted = zorderBy match {
+          case Some((userCol, timeCol)) =>
+            graft.analytics.LayoutQueries.zorderWrite(df, files, userCol, timeCol)
+          case None => df.coalesce(files)
+        }
+        val tmp = new java.io.File(s"$dir.compacting")
+        compacted.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        commitRewrite(src, snapshot, tmp)
+        files
+      }
     }
-    val tmp = new java.io.File(s"$dir.compacting")
-    compacted.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    swapDir(tmp, src)
-    files
   }
 
-  /** Single-writer write-aside swap: the store is append-only and
-    * rewrites are maintenance-window jobs (the reference's stores
-    * assume the same). */
-  private def swapDir(tmp: java.io.File, dst: java.io.File): Unit = {
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(): Unit
+  /** A partition's committed data files — the snapshot a rewrite is
+    * scoped to. Staged/hidden/marker files never qualify: Spark
+    * publishes only completed `part-*` files into the dir. */
+  private def dataFiles(dir: java.io.File): Array[java.io.File] =
+    dir.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+
+  /** One rewriter per partition, across JVMs: an atomic marker-file
+    * create (the same fence on any filesystem with atomic create —
+    * local, HDFS; S3 lacks it, so object-store deployments run
+    * rewrites from a single maintenance scheduler, see SCALE.md). The
+    * underscore prefix keeps scans from reading the marker. A crashed
+    * holder leaves the marker behind — deliberate: a stale lock is a
+    * crashed REWRITE, and an operator should look before more
+    * rewriters pile in (the aside dir tells the story). */
+  private def withPartitionLock[T](dir: java.io.File)(body: => T): T = {
+    val lock = new java.io.File(dir, "_rewrite.lock")
+    if (!lock.createNewFile())
+      throw new IllegalStateException(
+        s"concurrent rewrite on $dir: ${lock.getName} exists (holder " +
+          "running or crashed mid-rewrite; remove the marker after " +
+          "inspecting the partition's aside dir)")
+    try body
+    finally { lock.delete(): Unit }
+  }
+
+  /** Publish a rewrite: move the aside dir's part files in (names are
+    * job-UUID-unique — never collide with live files), then delete
+    * exactly the snapshot. Readers listing mid-publish can briefly see
+    * both copies of a row (never a missing window); snapshot-isolated
+    * reads during maintenance are the manifest upgrade (SCALE.md). */
+  private def commitRewrite(dir: java.io.File,
+      snapshot: Array[java.io.File], tmp: java.io.File): Unit = {
+    tmp.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(dir, f.getName).toPath)
+      }
+    snapshot.foreach { f =>
+      require(f.delete() || !f.exists(), s"could not delete $f")
+      // local-fs checksum shadow, if any
+      new java.io.File(dir, s".${f.getName}.crc").delete(): Unit
     }
-    rmrf(dst)
-    require(tmp.renameTo(dst), s"rename failed: $tmp -> $dst")
+    rmrf(tmp)
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(): Unit
   }
 
   /** Right-to-be-forgotten: physically remove one user's events from a
     * collection. Partitions are surveyed first and only those actually
     * containing the user are rewritten (for most users that is a
     * handful of months, not the table); each rewrite is the same
-    * write-aside swap as compaction. Returns (partitions rewritten,
-    * rows deleted). The profile side is the op-log's job: append an
-    * unset-all tombstone and the merge folds the profile away. */
+    * lock-guarded file-scoped commit as compaction, so concurrent
+    * appends survive. A batch of the user's events appended AFTER a
+    * partition's snapshot is not deleted by that pass — quiesce the
+    * user's ingest before the erasure job, or run it twice. Returns
+    * (partitions rewritten, rows deleted). The profile side is the
+    * op-log's job: append an unset-all tombstone and the merge folds
+    * the profile away. */
   def deleteUser(spark: SparkSession, warehouse: String, project: String,
       collection: String, userCol: String, userId: Any): (Int, Long) = {
     val root = new java.io.File(tablePath(warehouse, project, collection))
@@ -188,15 +290,21 @@ object EventStore {
     var rewritten = 0
     var deleted = 0L
     parts.foreach { part =>
-      val df = spark.read.parquet(part.getAbsolutePath)
-      val hits = df.filter(col(userCol) === lit(userId)).count()
-      if (hits > 0) {
-        val keep = df.filter(!(col(userCol) <=> lit(userId)))
-        val tmp = new java.io.File(s"${part.getAbsolutePath}.deleting")
-        keep.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        swapDir(tmp, part)
-        rewritten += 1
-        deleted += hits
+      withPartitionLock(part) {
+        val snapshot = dataFiles(part)
+        if (snapshot.nonEmpty) {
+          val df = spark.read.option("mergeSchema", "true")
+            .parquet(snapshot.map(_.getAbsolutePath): _*)
+          val hits = df.filter(col(userCol) === lit(userId)).count()
+          if (hits > 0) {
+            val keep = df.filter(!(col(userCol) <=> lit(userId)))
+            val tmp = new java.io.File(s"${part.getAbsolutePath}.deleting")
+            keep.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+            commitRewrite(part, snapshot, tmp)
+            rewritten += 1
+            deleted += hits
+          }
+        }
       }
     }
     (rewritten, deleted)

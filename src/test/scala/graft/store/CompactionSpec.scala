@@ -103,4 +103,67 @@ class CompactionSpec extends SparkSpec {
       .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
     assert(marchAfter == marchBefore)
   }
+
+  test("two concurrent writers converge: appender races compactor, " +
+    "every row lands exactly once") {
+    val warehouse = graft.TempDirs.scratch("graft-ccomp").toString
+    val rowsPerBatch = 40
+    val batches = 30
+    def batch(b: Int) = (0 until rowsPerBatch)
+      .map(i => (b.toLong * rowsPerBatch + i, s"u${i % 5}"))
+      .toDF("event_id", "_user")
+      // one fixed month so every append and every compaction contend
+      // on the SAME partition directory
+      .withColumn("_time", lit("2026-03-10 12:00:00").cast("timestamp"))
+    (0 until 6).foreach(b => EventStore.write(batch(b), warehouse, "demo", "tap"))
+
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      try (6 until batches).foreach { b =>
+        EventStore.write(batch(b), warehouse, "demo", "tap")
+      } catch { case t: Throwable => failure.set(t) }
+    }, "racing-appender")
+    appender.start()
+    // compact in a loop while appends land: each pass snapshots the
+    // partition's current files, rewrites those, and must neither
+    // delete nor duplicate a batch published mid-pass
+    var compactions = 0
+    while (appender.isAlive) {
+      EventStore.compactPartition(spark, warehouse, "demo", "tap",
+        month = "2026-03", rowsPerFile = 1_000_000L)
+      compactions += 1
+    }
+    appender.join()
+    assert(failure.get() == null, s"appender failed: ${failure.get()}")
+    assert(compactions >= 2, s"race never materialized ($compactions passes)")
+
+    val ids = spark.read
+      .parquet(s"$warehouse/demo/tap/_month=2026-03")
+      .select("event_id").collect().map(_.getLong(0))
+    val expected = (0L until batches.toLong * rowsPerBatch).toSet
+    assert(ids.length == expected.size,
+      s"expected ${expected.size} rows exactly once, saw ${ids.length} " +
+        s"(${ids.length - ids.toSet.size} duplicated)")
+    assert(ids.toSet == expected,
+      s"lost rows: ${(expected -- ids.toSet).take(5)}...")
+  }
+
+  test("second rewriter on a locked partition fails fast; lock releases") {
+    val warehouse = graft.TempDirs.scratch("graft-lock").toString
+    val df = (0 until 20).map(i => (i.toLong, s"u$i")).toDF("event_id", "_user")
+      .withColumn("_time", lit("2026-04-01 00:00:00").cast("timestamp"))
+    EventStore.write(df, warehouse, "demo", "tap")
+    val part = new java.io.File(s"$warehouse/demo/tap/_month=2026-04")
+    val marker = new java.io.File(part, "_rewrite.lock")
+    assert(marker.createNewFile(), "fixture could not place the lock")
+    val e = intercept[IllegalStateException] {
+      EventStore.compactPartition(spark, warehouse, "demo", "tap", "2026-04")
+    }
+    assert(e.getMessage.contains("concurrent rewrite"))
+    assert(marker.delete())
+    // holder gone: compaction proceeds and releases its own lock
+    assert(EventStore.compactPartition(
+      spark, warehouse, "demo", "tap", "2026-04") == 1)
+    assert(!marker.exists(), "lock leaked after successful rewrite")
+  }
 }
