@@ -547,7 +547,22 @@ object MapperQueries {
     "Mozilla/5.0 (Linux; Android 13; M2102J2SC Build/TKQ1.220829.002) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/108.0.0.0 Mobile Safari/537.36 XBrowser/4.0.0",
     "Mozilla/5.0 (Windows NT 10.0; WOW64; Trident/7.0; Avant TriCore; rv:11.0) like Gecko",
     "Mozilla/4.0 (compatible; Lotus-Notes/6.0; Windows-NT)",
-    "Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 10.0; WOW64; Trident/7.0; .NET4.0C; .NET4.0E; ms-office; MSOffice 16)")
+    "Mozilla/4.0 (compatible; MSIE 7.0; Windows NT 10.0; WOW64; Trident/7.0; .NET4.0C; .NET4.0E; ms-office; MSOffice 16)",
+    // tail round 7: app-token webviews (Facebook Lite, WeCom, Lark,
+    // Gmail, Daum, Amazon, AliExpress), the VS Code Electron pane, and
+    // the crawler tokens that don't say "bot" — every new rule ships
+    // its RuleLintSpec witness (+ version-extraction sample)
+    "Mozilla/5.0 (Linux; Android 11; SM-A107F Build/RP1A.200720.012; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/119.0.0.0 Mobile Safari/537.36 [FBAN/EMA;FBLC/en_US;FBAV/404.0.0.13.113;]",
+    "Mozilla/5.0 (Linux; Android 13; SM-G9910 Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/108.0.5359.128 Mobile Safari/537.36 MicroMessenger/7.0.1 wxwork/4.1.10 ColorScheme/Light",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Lark/7.8.0 LarkLocale/en_US ttnet SDK-Version/sdk-and-lite",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Gmail/6.0.231112 (iPhone16,1)",
+    "Mozilla/5.0 (Linux; Android 13; SM-G991N Build/TP1A.220624.014; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/115.0.0.0 Mobile Safari/537.36 DaumApps/9.5.1 DaumDevice/mobile",
+    "Amazon.com/28.10.0 (iPhone; iOS 17.1; Scale/3.00)",
+    "Mozilla/5.0 (Linux; Android 12; CPH2211 Build/SKQ1.210216.001; wv) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/110.0.0.0 Mobile Safari/537.36 AliApp(AE/8.20.0) AliExpress/8.20.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Code/1.85.1 Chrome/114.0.5735.289 Electron/25.9.7 Safari/537.36",
+    "Mozilla/5.0 (compatible; Yeti/1.1; +https://naver.me/spd)",
+    "Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko); compatible; ChatGPT-User/1.0; +https://openai.com/chatgpt-user",
+    "meta-externalagent/1.1 (+https://developers.facebook.com/docs/sharing/webmasters/crawler)")
 
   /** M2 against the oracle: each event picks a UA sample; Spark parses
     * through [[graft.enrich.UserAgentMapper]], the twin through the
@@ -849,7 +864,37 @@ object MapperQueries {
     "https://zalo.me/g/abcdef123",
     "https://www.npmjs.com/package/apache-spark",
     "https://starwars.fandom.com/wiki/Main_Page",
-    "https://mailchi.mp/acme/weekly-newsletter-42")
+    "https://mailchi.mp/acme/weekly-newsletter-42",
+    // tail round 7 witnesses: CN mobile search + ByteDance hosts (incl.
+    // the so.toutiao precedence case), the yahoo-subdomain Q&A
+    // precedence case, CN/TW/KR/JP communities, RU/legacy blogs, image
+    // boards, package registries, ESP click-tracking hosts
+    "https://m.sm.cn/s?q=shanghai",
+    "https://so.toutiao.com/search?keyword=news",
+    "https://www.toutiao.com/article/7300000000000000000/",
+    "https://chiebukuro.yahoo.co.jp/question/detail/q10000000000",
+    "https://www.v2ex.com/t/900000",
+    "https://juejin.cn/post/7300000000000000000",
+    "https://blog.csdn.net/user/article/details/100000000",
+    "https://www.cnblogs.com/user/p/17000000.html",
+    "https://www.dcard.tw/f/relationship/p/250000000",
+    "https://www.ptt.cc/bbs/Gossiping/M.1700000000.A.ABC.html",
+    "https://someone.tistory.com/42",
+    "https://mao.5ch.net/test/read.cgi/news4vip/1700000000/",
+    "https://gab.com/user/posts/110000000000000000",
+    "https://my.mail.ru/community/some.group/",
+    "https://someone.livejournal.com/123456.html",
+    "https://www.goodreads.com/book/show/12345",
+    "https://imgur.com/gallery/abc123",
+    "https://9gag.com/gag/abc123",
+    "https://pypi.org/project/pyspark/",
+    "https://crates.io/crates/arrow",
+    "https://rubygems.org/gems/rails",
+    "https://pkg.go.dev/github.com/apache/arrow/go",
+    "https://www.nuget.org/packages/Newtonsoft.Json",
+    "https://mvnrepository.com/artifact/org.apache.spark/spark-core",
+    "https://url1234.sendgrid.net/ls/click?upn=abc",
+    "https://mandrillapp.com/track/click/30000000/example.org")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

@@ -34,7 +34,12 @@ object UaRules {
     "phantomjs|headlesschrome|facebookexternalhit|bingpreview|pingdom|" +
     "lighthouse|gtmetrix|uptimerobot|petalbot|bytespider|semrush|ahrefs|" +
     "mj12bot|dotbot|ia_archiver|go-http-client|axios/|node-fetch|" +
-    "guzzlehttp|aiohttp|python-httpx|postmanruntime|insomnia/)"
+    "guzzlehttp|aiohttp|python-httpx|postmanruntime|insomnia/|" +
+    // tail round 7: Naver's crawler (no bot/spider substring) and the
+    // AI-lab fetcher tokens that don't say "bot" (GPTBot/ClaudeBot/
+    // CCBot/PerplexityBot already land on the bot token)
+    "yeti/|chatgpt-user|claude-web|anthropic-ai|cohere-ai|" +
+    "google-extended|meta-externalagent)"
 
   /** Browser families in uap-core priority order: spiders, then
     * vendor/app shells grouped by engine lineage (a shell's token must
@@ -131,6 +136,9 @@ object UaRules {
     UaRule("Notion", "Notion/", "Notion/(\\d+)"),
     UaRule("Obsidian", "(?i)obsidian/", "(?i)obsidian/(\\d+)"),
     UaRule("Spotify", "Spotify/", "Spotify/(\\d+)"),
+    // VS Code's webview panes carry Code/ next to Electron/ (tail
+    // round 7); \bCode/ so Barcode/-style tails can't hit it
+    UaRule("Visual Studio Code", "\\bCode/", "\\bCode/(\\d+)"),
     // CEF game-platform shells (Chrome tokens, so pre-engine)
     UaRule("Steam", "Valve Steam (?:GameOverlay|Client)",
       "Valve Steam (?:GameOverlay|Client)/(?:default/)?(\\d+)"),
@@ -158,6 +166,11 @@ object UaRules {
     // in-app webviews with their own tokens
     // Messenger carries FBAN/Messenger… tokens and must outrank the
     // generic Facebook rule directly below
+    // Facebook Lite ships its own app token (FBAN/EMA) ahead of the
+    // generic FBAN/ rule two below (tail round 7; RuleLintSpec's
+    // negative control pins Messenger directly before Facebook, so
+    // Lite sits above the pair)
+    UaRule("Facebook Lite", "FBAN/EMA", "FBAV/(\\d+)"),
     UaRule("Facebook Messenger",
       "FBAN/Messenger|FB_IAB/MESSENGER|FBAN/MessengerLite",
       "FBAV/(\\d+)"),
@@ -165,6 +178,9 @@ object UaRules {
     UaRule("Instagram", "Instagram[ /]", "Instagram[ /](\\d+)"),
     // the Threads app's webview identifies by its internal codename
     UaRule("Threads", "\\bBarcelona\\b", "Barcelona (\\d+)"),
+    // WeCom (WeChat Work) UAs carry MicroMessenger/ for webview compat,
+    // so the wxwork token must outrank WeChat (tail round 7)
+    UaRule("WeCom", "wxwork/", "wxwork/(\\d+)"),
     UaRule("WeChat", "MicroMessenger/", "MicroMessenger/(\\d+)"),
     UaRule("Line", "\\bLine/", "\\bLine/(\\d+)"),
     UaRule("KakaoTalk", "KAKAOTALK"),
@@ -175,6 +191,8 @@ object UaRules {
     UaRule("LinkedIn", "LinkedInApp"),
     UaRule("TikTok", "musical_ly|Bytedance"),
     UaRule("DingTalk", "DingTalk/", "DingTalk/(\\d+)"),
+    // ByteDance's Lark/Feishu desktop+mobile shells (tail round 7)
+    UaRule("Lark", "\\bLark/", "\\bLark/(\\d+)"),
     UaRule("Alipay", "AliApp\\(AP/", "AliApp\\(AP/(\\d+)"),
     UaRule("Google Search App", "GSA/", "GSA/(\\d+)"),
     UaRule("DuckDuckGo Mobile", "DuckDuckGo/", "DuckDuckGo/(\\d+)"),
@@ -188,6 +206,8 @@ object UaRules {
     UaRule("Telegram", "Telegram-?(?:Android|iOS)?/", "Telegram-?(?:Android|iOS)?/(\\d+)"),
     UaRule("Reddit", "Reddit/", "Reddit/(?:Version )?(\\d+)"),
     UaRule("Outlook Mobile", "Outlook-(?:Android|iOS)/", "Outlook-(?:Android|iOS)/(\\d+)"),
+    // Gmail's iOS in-app webview tags Gmail/<build> (tail round 7)
+    UaRule("Gmail", "\\bGmail/", "\\bGmail/(\\d+)"),
     UaRule("Microsoft Outlook", "Microsoft Outlook", "Microsoft Outlook (\\d+)"),
     // Office webviews tag `ms-office` (and MSIE/Trident tokens, so this
     // must sit before the IE rule at the tail)
@@ -195,6 +215,8 @@ object UaRules {
     UaRule("YouTube", "com\\.google\\.android\\.youtube/",
       "com\\.google\\.android\\.youtube/(\\d+)"),
     UaRule("Taobao", "AliApp\\(TB/", "AliApp\\(TB/(\\d+)"),
+    // AliExpress rides the same AliApp envelope (tail round 7)
+    UaRule("AliExpress", "AliApp\\(AE/", "AliApp\\(AE/(\\d+)"),
     UaRule("Kuaishou", "Kwai/|ksNebula/", "(?:Kwai|ksNebula)/(\\d+)"),
     UaRule("Douyin", "aweme/", "aweme/(\\d+)"),
     UaRule("Zalo", "\\bZalo\\b"),
@@ -210,6 +232,13 @@ object UaRules {
     UaRule("VK App", "VKAndroidApp/|VK iPhone", "VKAndroidApp/(\\d+)"),
     UaRule("Shopee", "Shopee"),
     UaRule("Naver App", "NAVER\\(inapp"),
+    // Daum's app webview (KR; tail round 7)
+    UaRule("Daum App", "DaumApps/", "DaumApps/(\\d+)"),
+    // the Amazon Shopping app identifies as Amazon.com/<ver> (iOS
+    // CFNetwork style) or carries the AmazonWebView envelope on
+    // Android (tail round 7)
+    UaRule("Amazon Shopping", "Amazon\\.com/|AmazonWebView",
+      "Amazon\\.com/(\\d+)"),
     // the X5-engine browser proper — after every super-app shell above
     UaRule("QQ Browser", "M?QQBrowser/", "M?QQBrowser/(\\d+)"),
     // Focus/Klar ship as a WebView shell on Android (Focus/… next to
@@ -504,6 +533,9 @@ object UaRules {
     RefererRule("google-news", "^news\\.google\\.", "social"),
     RefererRule("yahoo-news", "^news\\.yahoo\\.", "social"),
     RefererRule("tieba", "^tieba\\.baidu\\.com$", "social"),
+    // Yahoo's Q&A community sits on a yahoo.co.jp subdomain — before
+    // the yahoo search rule (tail round 7)
+    RefererRule("yahoo-chiebukuro", "^chiebukuro\\.yahoo\\.co\\.jp$", "social"),
     // ERNIE Bot lives on a baidu subdomain — before the baidu rule
     RefererRule("ernie-bot", "^yiyan\\.baidu\\.com$", "search"),
     RefererRule("google", "(^|\\.)google\\.", "search"),
@@ -566,6 +598,10 @@ object UaRules {
     RefererRule("chatglm", "(^|\\.)chatglm\\.cn$", "search"),
     // regional search portals
     RefererRule("nifty", "^search\\.nifty\\.com$", "search"),
+    // tail round 7: Alibaba's mobile engine and ByteDance's search host
+    // (so.toutiao.com must precede the toutiao social rule below)
+    RefererRule("shenma", "(^|\\.)sm\\.cn$", "search"),
+    RefererRule("toutiao-search", "^so\\.toutiao\\.com$", "search"),
     // social networks
     RefererRule("facebook-messenger", "(^|\\.)messenger\\.com$", "social"),
     RefererRule("facebook", "(^|\\.)facebook\\.|^fb\\.me$", "social"),
@@ -670,9 +706,36 @@ object UaRules {
     RefererRule("zalo-web", "(^|\\.)zalo\\.me$", "social"),
     RefererRule("npm", "(^|\\.)npmjs\\.com$", "social"),
     RefererRule("fandom", "(^|\\.)fandom\\.com$", "social"),
+    // tail round 7: CN/TW/KR/JP developer + community hosts, RU/legacy
+    // blogs, image boards, ByteDance's news feed, and the remaining
+    // package registries (the npm precedent above)
+    RefererRule("toutiao", "(^|\\.)toutiao\\.com$", "social"),
+    RefererRule("v2ex", "(^|\\.)v2ex\\.com$", "social"),
+    RefererRule("juejin", "(^|\\.)juejin\\.cn$", "social"),
+    RefererRule("csdn", "(^|\\.)csdn\\.net$", "social"),
+    RefererRule("cnblogs", "(^|\\.)cnblogs\\.com$", "social"),
+    RefererRule("dcard", "(^|\\.)dcard\\.tw$", "social"),
+    RefererRule("ptt", "(^|\\.)ptt\\.cc$", "social"),
+    RefererRule("tistory", "(^|\\.)tistory\\.com$", "social"),
+    RefererRule("5ch", "(^|\\.)5ch\\.net$", "social"),
+    RefererRule("gab", "(^|\\.)gab\\.com$", "social"),
+    RefererRule("my-mail-ru", "^my\\.mail\\.ru$", "social"),
+    RefererRule("livejournal", "(^|\\.)livejournal\\.com$", "social"),
+    RefererRule("goodreads", "(^|\\.)goodreads\\.com$", "social"),
+    RefererRule("imgur", "(^|\\.)imgur\\.com$", "social"),
+    RefererRule("9gag", "(^|\\.)9gag\\.com$", "social"),
+    RefererRule("pypi", "(^|\\.)pypi\\.org$", "social"),
+    RefererRule("crates", "(^|\\.)crates\\.io$", "social"),
+    RefererRule("rubygems", "(^|\\.)rubygems\\.org$", "social"),
+    RefererRule("pkg-go-dev", "^pkg\\.go\\.dev$", "social"),
+    RefererRule("nuget", "(^|\\.)nuget\\.org$", "social"),
+    RefererRule("mvnrepository", "(^|\\.)mvnrepository\\.com$", "social"),
     RefererRule("mailchimp",
       "^mailchi\\.mp$|(^|\\.)campaign-archive\\.com$|(^|\\.)list-manage\\.com$",
-      "email"))
+      "email"),
+    // tail round 7: ESP click-tracking hosts (the mailchimp precedent)
+    RefererRule("sendgrid", "(^|\\.)sendgrid\\.net$", "email"),
+    RefererRule("mandrill", "(^|\\.)mandrillapp\\.com$", "email"))
 
   /** Search-term query parameters, tried in order (q: most engines,
     * p: yahoo, text: yandex, wd/word: baidu, query: naver/daum/seznam,
