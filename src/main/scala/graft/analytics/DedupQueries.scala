@@ -761,6 +761,142 @@ object DedupQueries {
        |  FROM documents) s
        |LEFT JOIN rebuilt r ON s.doc_id = r.doc_id AND s.n_toks = r.n_toks""".stripMargin
 
+  // ---------------- D15: substring trim (keep-first dedup transform) ----------------
+
+  /** Corpus-wide occurrence ceiling for trimming. A gram whose position
+    * count exceeds this is mass-repeated boilerplate (headers, license
+    * blocks), not a copied passage — it is left to d13's distinct-doc
+    * chunk strip, and excluding it up front is also the skew guard: the
+    * first-occurrence rank below is a sort within each gram's bucket,
+    * and the cap bounds every bucket at [[TrimOccCap]] rows no matter
+    * how hot the hottest gram is at 100 TB. */
+  val TrimOccCap = 1000L
+
+  /** D15: the TRANSFORM d11's coverage report justifies — exact
+    * substring dedup that REWRITES the corpus, keeping the first
+    * occurrence (lowest (doc_id, position)) of every duplicated passage
+    * and trimming the rest, the Lee et al. ("Deduplicating Training
+    * Data Makes Language Models Better") ExactSubstr step re-expressed
+    * Spark-first. d11 answers "how much of my corpus is copied text";
+    * d15 emits the deduplicated corpus itself. A suffix array is the
+    * single-node tool for this; the distributed equivalent is exactly
+    * the sliding [[SpanGram]]-token window frame d11 already uses —
+    * O(tokens) rows through sort-free hash shuffles:
+    *
+    *  1. gram occurrence counts by partial-agg'd groupBy on the 60-bit
+    *     gram hash (map-side combine absorbs hot grams; no window over
+    *     an unbounded hash partition),
+    *  2. positions of grams with 2..[[TrimOccCap]] occurrences re-join
+    *     on the hash — every post-join bucket is ≤ cap rows, so the
+    *     first-occurrence `row_number` window is bounded,
+    *  3. non-first positions merge into maximal runs per document
+    *     (the d11 island pass); runs spanning ≥ [[MinSpanTokens]]
+    *     tokens become trim spans (shorter collisions are stock
+    *     phrases, kept),
+    *  4. the surviving tokens reassemble in one per-doc array
+    *     projection — no shuffle carries full text except the final
+    *     per-doc rebuild.
+    *
+    * Within-document repetition dedups the same way (the first copy
+    * stays) — same as the suffix-array formulation. Trimming is by
+    * 60-bit gram hash on BOTH engines, so the oracle pins parse,
+    * ranking, island, and rebuild logic bit-for-bit. Output: (doc_id,
+    * n_toks, kept_toks, text_deduped); docs without trimmed spans pass
+    * through unchanged. */
+  def d15From(documents: DataFrame, occCap: Long = TrimOccCap): DataFrame = {
+    import documents.sparkSession.implicits._
+    val K = SpanGram
+    val docs = documents
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("n_toks", size($"toks").cast("long"))
+    val grams = docs
+      .filter($"n_toks" >= K)
+      .select($"doc_id", explode(
+        expr(s"transform(sequence(1, int(n_toks) - $K + 1), " +
+          s"p -> struct(p AS p, concat_ws(' ', slice(toks, p, $K)) AS g))"))
+        .as("pg"))
+      .select($"doc_id", $"pg.p".cast("long").as("p"), hash60($"pg.g").as("gh"))
+    // corpus-wide occurrence counts: skew-safe partial-agg'd groupBy
+    val dupGrams = grams
+      .groupBy($"gh")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter($"n_occ" > 1 && $"n_occ" <= occCap)
+    // survivors' buckets are ≤ occCap rows: bounded first-occurrence rank
+    val wGh = Window.partitionBy($"gh").orderBy($"doc_id", $"p")
+    val trimPos = grams
+      .join(dupGrams.select($"gh"), Seq("gh"))
+      .withColumn("rn", row_number().over(wGh))
+      .filter($"rn" > 1)
+      .select($"doc_id", $"p")
+    // maximal runs of consecutive trimmed positions → spans ≥ MinSpanTokens
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"p")
+    val spans = trimPos
+      .withColumn("rid", $"p" - row_number().over(wDoc))
+      .groupBy($"doc_id", $"rid")
+      .agg(min($"p").as("s"), (max($"p") + K - 1).as("e"))
+      .filter($"e" - $"s" + 1 >= MinSpanTokens)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"s", $"e")).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when($"spans".isNull, $"toks").otherwise(expr(
+        "filter(toks, (t, i) -> NOT exists(spans, " +
+          "sp -> i + 1 >= sp.s AND i + 1 <= sp.e))")))
+      .select($"doc_id", $"n_toks",
+        size($"kept").cast("long").as("kept_toks"),
+        concat_ws(" ", $"kept").as("text_deduped"))
+  }
+
+  def d15SubstringTrim(spark: SparkSession, dir: String): DataFrame =
+    d15From(Tables(spark, dir, "documents"))
+
+  val d15Sql: String = {
+    val K = SpanGram
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |stats AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_toks FROM toks),
+       |pos AS (
+       |  SELECT doc_id, t, unnest(range(1, len(t) - $K + 2)) AS p
+       |  FROM toks WHERE len(t) >= $K),
+       |grams AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |    ${sqlHash60(s"array_to_string(t[p:p+$K-1], ' ')")} AS gh
+       |  FROM pos),
+       |dup AS (
+       |  SELECT gh FROM grams GROUP BY gh
+       |  HAVING count(*) > 1 AND count(*) <= $TrimOccCap),
+       |ranked AS (
+       |  SELECT g.doc_id, g.p,
+       |    row_number() OVER (PARTITION BY g.gh ORDER BY g.doc_id, g.p) AS rn
+       |  FROM grams g JOIN dup USING (gh)),
+       |trimpos AS (SELECT doc_id, p FROM ranked WHERE rn > 1),
+       |runs AS (
+       |  SELECT doc_id, p,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+       |  FROM trimpos),
+       |spans AS (
+       |  SELECT doc_id, min(p) AS s, max(p) + $K - 1 AS e
+       |  FROM runs GROUP BY doc_id, rid
+       |  HAVING max(p) + $K - 1 - min(p) + 1 >= $MinSpanTokens),
+       |tokpos AS (
+       |  SELECT doc_id, unnest(t) AS tok,
+       |    CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS i
+       |  FROM toks),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.tok, tp.i
+       |  FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |    WHERE sp.doc_id = tp.doc_id AND tp.i BETWEEN sp.s AND sp.e)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS kept_toks,
+       |    string_agg(tok, ' ' ORDER BY i) AS text_deduped
+       |  FROM kept GROUP BY doc_id)
+       |SELECT st.doc_id, st.n_toks,
+       |  coalesce(a.kept_toks, 0) AS kept_toks,
+       |  coalesce(a.text_deduped, '') AS text_deduped
+       |FROM stats st LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "d1_exact_dedup" -> QueryDef.of(d1Sql)(d1Exact),
     "d2_minhash_lsh" -> QueryDef.of(d2Sql)(d2MinhashLsh),
@@ -770,6 +906,7 @@ object DedupQueries {
     "d10_fuzzy_decontam" -> QueryDef.of(d10Sql)(d10FuzzyDecontam),
     "d11_dup_spans" -> QueryDef.of(d11Sql)(d11DupSpans),
     "d12_cdc_chunks" -> QueryDef.of(d12Sql)(d12CdcChunks),
-    "d13_strip_boilerplate" -> QueryDef.of(d13Sql)(d13StripBoilerplate)
+    "d13_strip_boilerplate" -> QueryDef.of(d13Sql)(d13StripBoilerplate),
+    "d15_substring_trim" -> QueryDef.of(d15Sql)(d15SubstringTrim)
   )
 }
