@@ -40,7 +40,24 @@ def main():
             "graft.Bench on a quiet machine.")
     if bench.get("failed"):
         sys.exit(f"REFUSED: failed queries present: {bench['failed']}")
-    queries = bench["queries"]
+    queries = dict(bench["queries"])
+    # Consume the record's self-adjudication (r14): a quiet BOOT does
+    # not preclude a mid-run burst hitting one row (ix3 printed 7.07 s
+    # in a calib-0.55 run whose solo re-bench measured 3.03 s), and a
+    # burst number recorded as a budget stays loose for every later
+    # round. For each flagged row take min(in-run, solo normalized from
+    # the solo window's calib to this boot's) — min, because a CONTENDED
+    # solo window would otherwise re-inflate what the in-run number got
+    # right.
+    adj = bench.get("adjudication") or {}
+    solo, solo_calib = adj.get("solo") or {}, adj.get("solo_calib")
+    if solo and solo_calib:
+        scale = calib / solo_calib
+        taken = {q: round(s * scale, 4) for q, s in solo.items()
+                 if q in queries and s * scale < queries[q]}
+        queries.update(taken)
+        print(f"adjudication consumed: {len(taken)}/{len(solo)} rows took "
+              f"their solo value (x{scale:.4f} calib-normalized)")
     with open(BASELINE) as f:
         text = f.read()
     row_re = re.compile(
