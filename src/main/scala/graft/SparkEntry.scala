@@ -32,6 +32,7 @@ object SparkEntry {
       analytics.LayoutQueries.defs ++
       store.MaterializedView.defs ++
       store.DedupIndex.defs ++
+      store.SubstringIndex.defs ++
       store.AnnIndex.defs ++
       store.InvertedIndex.defs ++
       store.VocabStore.defs

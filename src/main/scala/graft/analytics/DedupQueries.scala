@@ -462,14 +462,14 @@ object DedupQueries {
   /** Gram width (tokens) for span detection: every K-token window is
     * hashed, so two documents sharing any K-token substring collide at
     * the aligned positions. */
-  private val SpanGram = 10
+  private[graft] val SpanGram = 10
 
   /** Minimal duplicated-span length (tokens) that counts toward
     * coverage — short incidental collisions (stock phrases) are noise;
     * the training-data dedup literature (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", which dedups exact
     * ≥50-token substrings via a suffix array) keeps only long spans. */
-  private val MinSpanTokens = 20
+  private[graft] val MinSpanTokens = 20
 
   /** D11: per-document duplicated-SUBSTRING coverage — the scalable
     * approximation of suffix-array exact-substring dedup. d1 sees only
@@ -766,10 +766,10 @@ object DedupQueries {
   /** Corpus-wide occurrence ceiling for trimming. A gram whose position
     * count exceeds this is mass-repeated boilerplate (headers, license
     * blocks), not a copied passage — it is left to d13's distinct-doc
-    * chunk strip, and excluding it up front is also the skew guard: the
-    * first-occurrence rank below is a sort within each gram's bucket,
-    * and the cap bounds every bucket at [[TrimOccCap]] rows no matter
-    * how hot the hottest gram is at 100 TB. */
+    * chunk strip. Excluding it before the position join also bounds the
+    * join's OUTPUT at cap rows per gram no matter how hot the hottest
+    * gram is at 100 TB (its positions stream through the probe side and
+    * match nothing). */
   val TrimOccCap = 1000L
 
   /** D15: the TRANSFORM d11's coverage report justifies — exact
@@ -781,15 +781,18 @@ object DedupQueries {
     * d15 emits the deduplicated corpus itself. A suffix array is the
     * single-node tool for this; the distributed equivalent is exactly
     * the sliding [[SpanGram]]-token window frame d11 already uses —
-    * O(tokens) rows through sort-free hash shuffles:
+    * O(tokens) rows, and NO sort anywhere on the gram axis:
     *
-    *  1. gram occurrence counts by partial-agg'd groupBy on the 60-bit
-    *     gram hash (map-side combine absorbs hot grams; no window over
-    *     an unbounded hash partition),
-    *  2. positions of grams with 2..[[TrimOccCap]] occurrences re-join
-    *     on the hash — every post-join bucket is ≤ cap rows, so the
-    *     first-occurrence `row_number` window is bounded,
-    *  3. non-first positions merge into maximal runs per document
+    *  1. ONE partial-agg'd groupBy on the 60-bit gram hash computes
+    *     both the occurrence count and the global first occurrence
+    *     (`min(struct(doc_id, p))` — min is commutative/associative,
+    *     so map-side combine absorbs hot grams before they travel;
+    *     no window, no per-gram sort, unbounded skew is safe),
+    *  2. positions re-join the grams with 2..[[TrimOccCap]]
+    *     occurrences on the hash; any occurrence differing from the
+    *     stored min struct is a trim position (the keep-first rank
+    *     without ranking),
+    *  3. trim positions merge into maximal runs per document
     *     (the d11 island pass); runs spanning ≥ [[MinSpanTokens]]
     *     tokens become trim spans (shorter collisions are stock
     *     phrases, kept),
@@ -800,35 +803,64 @@ object DedupQueries {
     * Within-document repetition dedups the same way (the first copy
     * stays) — same as the suffix-array formulation. Trimming is by
     * 60-bit gram hash on BOTH engines, so the oracle pins parse,
-    * ranking, island, and rebuild logic bit-for-bit. Output: (doc_id,
-    * n_toks, kept_toks, text_deduped); docs without trimmed spans pass
-    * through unchanged. */
+    * first-occurrence selection, island, and rebuild logic
+    * bit-for-bit. Output: (doc_id, n_toks, kept_toks, text_deduped);
+    * docs without trimmed spans pass through unchanged.
+    *
+    * The (count, min-struct) aggregate is exactly the state an
+    * INCREMENTAL trim maintains — [[graft.store.SubstringIndex]]
+    * persists it per gram and probes new batches against it in
+    * O(delta); the shared pieces live in [[substringDocs]] /
+    * [[substringGrams]] / [[rebuildTrimmed]] so the one-shot and
+    * incremental paths cannot drift. */
   def d15From(documents: DataFrame, occCap: Long = TrimOccCap): DataFrame = {
     import documents.sparkSession.implicits._
-    val K = SpanGram
-    val docs = documents
+    val docs = substringDocs(documents)
+    val grams = substringGrams(docs)
+    val stats = grams
+      .groupBy($"gh")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct($"doc_id", $"p")).as("first"))
+      .filter($"n_occ" > 1 && $"n_occ" <= occCap)
+      .select($"gh", $"first")
+    val trimPos = grams
+      .join(stats, Seq("gh"))
+      .filter(struct($"doc_id", $"p") =!= $"first")
+      .select($"doc_id", $"p")
+    rebuildTrimmed(docs, trimPos)
+  }
+
+  /** Tokenized view shared by the one-shot ([[d15From]]) and
+    * incremental ([[graft.store.SubstringIndex]]) substring-trim
+    * paths: (doc_id, toks, n_toks). */
+  private[graft] def substringDocs(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents
       .select($"doc_id", split($"text", " ").as("toks"))
       .withColumn("n_toks", size($"toks").cast("long"))
-    val grams = docs
+  }
+
+  /** Sliding [[SpanGram]]-token gram hashes over a [[substringDocs]]
+    * frame: (doc_id, p, gh), 1-based positions. */
+  private[graft] def substringGrams(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val K = SpanGram
+    docs
       .filter($"n_toks" >= K)
       .select($"doc_id", explode(
         expr(s"transform(sequence(1, int(n_toks) - $K + 1), " +
           s"p -> struct(p AS p, concat_ws(' ', slice(toks, p, $K)) AS g))"))
         .as("pg"))
       .select($"doc_id", $"pg.p".cast("long").as("p"), hash60($"pg.g").as("gh"))
-    // corpus-wide occurrence counts: skew-safe partial-agg'd groupBy
-    val dupGrams = grams
-      .groupBy($"gh")
-      .agg(count(lit(1)).as("n_occ"))
-      .filter($"n_occ" > 1 && $"n_occ" <= occCap)
-    // survivors' buckets are ≤ occCap rows: bounded first-occurrence rank
-    val wGh = Window.partitionBy($"gh").orderBy($"doc_id", $"p")
-    val trimPos = grams
-      .join(dupGrams.select($"gh"), Seq("gh"))
-      .withColumn("rn", row_number().over(wGh))
-      .filter($"rn" > 1)
-      .select($"doc_id", $"p")
-    // maximal runs of consecutive trimmed positions → spans ≥ MinSpanTokens
+  }
+
+  /** Steps 3–4 of the trim: merge (doc_id, p) trim positions into
+    * maximal runs, keep runs ≥ [[MinSpanTokens]], delete their token
+    * ranges from the [[substringDocs]] frame. */
+  private[graft] def rebuildTrimmed(docs: DataFrame,
+                                    trimPos: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val K = SpanGram
     val wDoc = Window.partitionBy($"doc_id").orderBy($"p")
     val spans = trimPos
       .withColumn("rid", $"p" - row_number().over(wDoc))

@@ -1,0 +1,157 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.analytics.DedupQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The substring index's operating contract: batching cannot change a
+  * trim verdict except through the documented occurrence-cap crossing,
+  * the algebraic state merges exactly, the persisted path serves the
+  * in-memory computation, and probing depends on history only through
+  * the |grams|-sized state — never the historical text.
+  */
+class SubstringIndexSpec extends SparkSpec {
+
+  private def u(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => f"$prefix$i%04d")
+
+  private def frame(docs: Seq[(Long, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  private def byDoc(df: DataFrame): Map[Long, (Long, Long, String)] =
+    df.collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("kept_toks"),
+          r.getAs[String]("text_deduped")))
+    }.toMap
+
+  test("incremental trim over 2 and 3 batches equals one-shot d15 on " +
+    "random planted corpora (no cap-crossing grams at the default cap)") {
+    val rnd = new scala.util.Random(3141)
+    for (iter <- 1 to 5) {
+      val templates = Seq.fill(3)(
+        Seq.fill(5 + rnd.nextInt(41))(s"t${rnd.nextInt(50)}_${rnd.nextInt(1000)}"))
+      val docs = (1L to (6 + rnd.nextInt(4)).toLong).map { id =>
+        var toks = Seq.fill(rnd.nextInt(80))(s"w${rnd.nextInt(5000)}")
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          val t = templates(rnd.nextInt(templates.size))
+          val at = if (toks.isEmpty) 0 else rnd.nextInt(toks.size + 1)
+          toks = toks.take(at) ++ t ++ toks.drop(at)
+        }
+        id -> toks
+      }
+      val reference = byDoc(DedupQueries.d15From(frame(docs)))
+      for (nBatches <- Seq(2, 3)) {
+        val cut = docs.size / nBatches
+        val batches = docs.grouped(math.max(cut, 1)).toSeq
+          .map(frame)
+        var state: Option[DataFrame] = None
+        val got = batches.flatMap { b =>
+          val out = byDoc(SubstringIndex.probe(b, state))
+          state = Some(state
+            .map(s => SubstringIndex.merge(s, SubstringIndex.partial(b)))
+            .getOrElse(SubstringIndex.partial(b)))
+          out
+        }.toMap
+        assert(got == reference,
+          s"iter $iter, $nBatches batches diverged from one-shot d15")
+      }
+    }
+  }
+
+  test("a batch-2 copy of a batch-1 passage trims even though it is " +
+    "unique within its own batch; the batch-1 original stays intact") {
+    val span = u("xb", 30)
+    val b1 = frame(Seq(1L -> (u("a", 10) ++ span)))
+    val b2 = frame(Seq(10L -> (u("c", 15) ++ span ++ u("d", 5))))
+    val out1 = byDoc(SubstringIndex.probe(b1, None))
+    assert(out1(1L)._2 == 40L, "bootstrap batch must pass through")
+    val out2 = byDoc(SubstringIndex.probe(b2,
+      Some(SubstringIndex.partial(b1))))
+    assert(out2(10L) ==
+      ((50L, 20L, (u("c", 15) ++ u("d", 5)).mkString(" "))))
+  }
+
+  test("merge(partial(b1), partial(b2)) == partial(union) exactly") {
+    val span = u("m", 25)
+    val b1 = frame(Seq(
+      1L -> (span ++ u("p", 20)), 2L -> (u("q", 12) ++ span)))
+    val b2 = frame(Seq(
+      3L -> (u("r", 7) ++ span ++ u("s", 9)), 4L -> u("t", 30)))
+    val merged = SubstringIndex
+      .merge(SubstringIndex.partial(b1), SubstringIndex.partial(b2))
+      .orderBy("gh").collect().map(_.toSeq)
+    val oneShot = SubstringIndex.partial(b1.unionByName(b2))
+      .orderBy("gh").collect().map(_.toSeq)
+    assert(merged.length == oneShot.length && merged.sameElements(oneShot))
+  }
+
+  test("cap crossing: emitted history is immutable; the probe applies " +
+    "the cap to the union count available at probe time") {
+    val block = u("cap", 22)
+    val b1 = frame(Seq(1L -> (u("e1", 10) ++ block),
+      2L -> (u("e2", 10) ++ block)))
+    val b2 = frame(Seq(10L -> (u("e3", 10) ++ block),
+      11L -> (u("e4", 10) ++ block)))
+    // occCap 3: within b1 the block's grams occur 2x (<= cap) -> doc 2
+    // trims; by b2's probe the union count is 4 (> cap) -> boilerplate,
+    // both b2 docs keep the block. One-shot d15 over the union at the
+    // same cap would keep ALL four copies - the documented divergence:
+    // doc 2's trim was emitted when the union count was still 2 and
+    // history does not reopen.
+    val out1 = byDoc(SubstringIndex.probe(b1, None, occCap = 3L))
+    assert(out1(1L)._2 == 32L && out1(2L)._2 == 10L)
+    val out2 = byDoc(SubstringIndex.probe(b2,
+      Some(SubstringIndex.partial(b1)), occCap = 3L))
+    assert(out2(10L)._2 == 32L && out2(11L)._2 == 32L)
+    val oneShot = byDoc(DedupQueries.d15From(
+      frame(Seq(1L -> (u("e1", 10) ++ block), 2L -> (u("e2", 10) ++ block),
+        10L -> (u("e3", 10) ++ block), 11L -> (u("e4", 10) ++ block))),
+      occCap = 3L))
+    assert(Seq(1L, 2L, 10L, 11L).forall(oneShot(_)._2 == 32L))
+  }
+
+  test("persisted lifecycle: initialize/refresh/probeStore serve the " +
+    "in-memory path; maintainBatch fence makes replays free (sum state " +
+    "would otherwise double-count)") {
+    val dir = graft.TempDirs.scratch("substring-index").toString
+    val span = u("ps", 28)
+    val b1 = frame(Seq(1L -> (span ++ u("f", 15))))
+    val b2 = frame(Seq(10L -> (u("g", 9) ++ span)))
+    val b3 = frame(Seq(20L -> (u("h", 3) ++ span ++ u("i", 4))))
+    SubstringIndex.maintainBatch(b1, dir, batchId = 1L)
+    SubstringIndex.maintainBatch(b2, dir, batchId = 2L)
+    // replay batch 2: fenced out - no new version, counts not doubled
+    val vBefore = VersionedState.currentVersion(dir)
+    SubstringIndex.maintainBatch(b2, dir, batchId = 2L)
+    assert(VersionedState.currentVersion(dir) == vBefore)
+    val got = byDoc(SubstringIndex.probeStore(spark, b3, dir))
+    assert(got(20L) == ((35L, 7L, (u("h", 3) ++ u("i", 4)).mkString(" "))))
+    // a doubled count would NOT change this verdict, so pin the state
+    // row directly: the span grams must count exactly twice (b1 + b2)
+    val n = VersionedState.readCurrent(spark, dir)
+      .agg(org.apache.spark.sql.functions.max(col("n_occ")))
+      .collect()(0).getLong(0)
+    assert(n == 2L, s"replayed batch doubled state counts: max n_occ $n")
+  }
+
+  test("probing depends on history only through the state frame: the " +
+    "bootstrap batch's source file can be deleted before the probe") {
+    val dir = graft.TempDirs.scratch("substring-index-odelta").toString
+    val span = u("od", 26)
+    val b1Path = s"$dir/b1.parquet"
+    frame(Seq(1L -> (u("j", 11) ++ span))).write.parquet(b1Path)
+    SubstringIndex.initialize(spark.read.parquet(b1Path), s"$dir/state")
+    // history text gone: only the gram-hash state survives
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(b1Path), true)
+    val b2 = frame(Seq(10L -> (span ++ u("k", 13))))
+    val got = byDoc(SubstringIndex.probeStore(spark, b2, s"$dir/state"))
+    assert(got(10L) == ((39L, 13L, u("k", 13).mkString(" "))))
+  }
+}
