@@ -139,6 +139,38 @@ class SubstringIndexSpec extends SparkSpec {
     assert(n == 2L, s"replayed batch doubled state counts: max n_occ $n")
   }
 
+  test("stream-maintained index equals the one-shot state; probes " +
+    "against it trim identically to the batch path") {
+    val streamDir = graft.TempDirs.scratch("si-in").toString
+    val stateDir = graft.TempDirs.scratch("si-state").toString
+    val ckpt = graft.TempDirs.scratch("si-ckpt").toString
+    val span = u("st", 27)
+    val b1 = frame(Seq(1L -> (span ++ u("v", 14)), 2L -> u("w", 40)))
+    val b2 = frame(Seq(10L -> (u("x", 6) ++ span)))
+    b1.write.mode("append").parquet(streamDir)
+    val stream = spark.readStream.schema(b1.schema).parquet(streamDir)
+    val q = SubstringIndex.maintain(stream, stateDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      val streamed = VersionedState.readCurrent(spark, stateDir)
+        .collect().map(_.toSeq).toSet
+      val oneShot = SubstringIndex.partial(b1.unionByName(b2))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == oneShot && oneShot.nonEmpty,
+        "streamed state diverged from the one-shot partial")
+      // a fresh batch probed against the streamed state trims its copy
+      // of the span (union count 3, under the default cap; the doc-1
+      // original from the first micro-batch holds the min)
+      val b3 = frame(Seq(20L -> (u("y", 8) ++ span ++ u("z", 3))))
+      val got = byDoc(SubstringIndex.probeStore(spark, b3, stateDir))
+      assert(got(20L) ==
+        ((38L, 11L, (u("y", 8) ++ u("z", 3)).mkString(" "))))
+    } finally q.stop()
+  }
+
   test("probing depends on history only through the state frame: the " +
     "bootstrap batch's source file can be deleted before the probe") {
     val dir = graft.TempDirs.scratch("substring-index-odelta").toString
