@@ -70,6 +70,11 @@ import graft.store.EventStore
   *    engine's "beyond the reference" capability made operable):
   *    `/index/dedup/create|append|probe` — near-dup verdicts against
   *    |keys|-sized state without re-shingling history — and
+  *    `/index/substring/create|append|trim` — keep-first substring
+  *    dedup as a service: new batches come back REWRITTEN against
+  *    every passage ever ingested, in O(delta) against |grams|-sized
+  *    state (append is fenced on a required batch_id: sum-merged
+  *    counts double on replay, unlike the dedup index's min) — and
   *    `/index/vocab/create|append|pairs|train|drift` — the maintained
   *    vocabulary served corpus-scan-free — and
   *    `/index/ann/create|append|query|stats|compact|reseed` —
@@ -238,6 +243,9 @@ final class HttpGateway(
     server.createContext("/index/dedup/create", route(authed(MasterRole)(handleDedupCreate)))
     server.createContext("/index/dedup/append", route(authed(MasterRole)(handleDedupAppend)))
     server.createContext("/index/dedup/probe", route(authed(MasterRole)(handleDedupProbe)))
+    server.createContext("/index/substring/create", route(authed(MasterRole)(handleSubstringCreate)))
+    server.createContext("/index/substring/append", route(authed(MasterRole)(handleSubstringAppend)))
+    server.createContext("/index/substring/trim", route(authed(MasterRole)(handleSubstringTrim)))
     server.createContext("/index/vocab/create", route(authed(MasterRole)(handleVocabCreate)))
     server.createContext("/index/vocab/append", route(authed(MasterRole)(handleVocabAppend)))
     server.createContext("/index/vocab/pairs", route(authed(MasterRole)(handleVocabPairs)))
@@ -1641,6 +1649,67 @@ final class HttpGateway(
       graft.store.DedupIndex.refresh(spark, docsFrameOf(root), dedupIdxDir(name))
     }
     (200, """{"success":true}""")
+  }
+
+  private def substringIdxDir(name: String) =
+    s"$warehouse/$project/__indexes/substring/$name"
+
+  /** `POST /index/substring/create` — bootstrap a
+    * [[graft.store.SubstringIndex]] (per-gram (count, first) state)
+    * under this project; `append` folds deltas in O(delta) behind the
+    * batch fence; `trim` returns the posted docs REWRITTEN keep-first
+    * against every passage the index has seen (the di2 semantics) —
+    * substring dedup as a service, no history re-tokenization. */
+  private def handleSubstringCreate(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
+      .getOrElse(throw new IngestRejected("name is required")))
+    writeLock.synchronized {
+      // exists-check INSIDE the lock (the vocab-door lesson): two
+      // racing creates must not both pass and clobber version 1
+      if (graft.store.VersionedState.exists(substringIdxDir(name)))
+        throw new IngestRejected(s"index '$name' already exists")
+      graft.store.SubstringIndex.initialize(docsFrameOf(root),
+        substringIdxDir(name))
+    }
+    (200, """{"success":true}""")
+  }
+
+  /** Append goes through the batch fence with a REQUIRED client
+    * `batch_id`, exactly the vocab-door contract and for the same
+    * reason: (count, first) state sum-merges its counts, so a blind
+    * retry of the same delivery must be a no-op, and only the client
+    * knows two requests are the same delivery. */
+  private def handleSubstringAppend(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(substringIdxDir(name))
+    val batchId = Option(root.get("batch_id")).map(_.asLong())
+      .getOrElse(throw new IngestRejected(
+        "batch_id is required: the append fence only dedups retries " +
+          "that re-send the SAME id (last committed high-water is " +
+          "returned by every append)"))
+    writeLock.synchronized {
+      graft.store.SubstringIndex.maintainBatch(docsFrameOf(root),
+        substringIdxDir(name), batchId)
+      (200, s"""{"success":true,"batch_id":$batchId,"high_water":${
+        graft.store.VersionedState.lastBatchId(substringIdxDir(name))}}""")
+    }
+  }
+
+  private def handleSubstringTrim(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = requestJson(ex)
+    val name = requireIdentifier(textField(root, "name")
+      .getOrElse(throw new IngestRejected("name is required")))
+    requireIndex(substringIdxDir(name))
+    val trimmed = graft.store.SubstringIndex
+      .probeStore(spark, docsFrameOf(root), substringIdxDir(name))
+      .orderBy(col("doc_id"))
+    (200, trimmed.toJSON.collect().mkString("[", ",", "]"))
   }
 
   /** `POST /index/vocab/create|append` and

@@ -47,6 +47,8 @@ class GatewayFuzzSpec extends SparkSpec {
     // gate, never reaching its handler.
     "/project/check-api-keys", "/project/revoke-api-keys",
     "/index/dedup/create", "/index/dedup/append", "/index/dedup/probe",
+    "/index/substring/create", "/index/substring/append",
+    "/index/substring/trim",
     "/index/ann/create", "/index/ann/append", "/index/ann/query",
     "/index/ann/reseed", "/index/ann/compact", "/index/ann/stats",
     "/index/text/create", "/index/text/append", "/index/text/search",

@@ -1460,6 +1460,57 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("substring index over HTTP: create → trim rewrites a copied " +
+    "passage at a new alignment → append is fenced on batch_id") {
+    withGateway { (_, port) =>
+      def toks(prefix: String, n: Int) =
+        (0 until n).map(i => f"$prefix$i%04d")
+      def doc(id: Long, words: Seq[String]) =
+        s"""{"doc_id": $id, "text": "${words.mkString(" ")}"}"""
+      val span = toks("shared", 30)
+      assert(post(port, "/index/substring/create",
+        s"""{"name": "corpus", "docs": [${doc(1, toks("a", 8) ++ span)}]}""")
+        .statusCode() == 200)
+      assert(post(port, "/index/substring/create",
+        """{"name": "corpus", "docs": []}""").statusCode() == 400)
+
+      // the copied passage comes back REWRITTEN; novel text untouched
+      val trim = post(port, "/index/substring/trim",
+        s"""{"name": "corpus", "docs": [${doc(10, toks("b", 5) ++ span ++ toks("c", 4))},
+           | ${doc(11, toks("novel", 40))}]}""".stripMargin)
+      assert(trim.statusCode() == 200, trim.body())
+      assert(trim.body().contains(s""""doc_id":10,"n_toks":39,"kept_toks":9"""),
+        trim.body())
+      assert(trim.body().contains(
+        s""""text_deduped":"${(toks("b", 5) ++ toks("c", 4)).mkString(" ")}""""),
+        trim.body())
+      assert(trim.body().contains(s""""doc_id":11,"n_toks":40,"kept_toks":40"""),
+        trim.body())
+
+      // append requires the client's batch_id (sum state: a blind
+      // retry must be a no-op, and only the client knows it's a retry)
+      assert(post(port, "/index/substring/append",
+        s"""{"name": "corpus", "docs": [${doc(2, toks("extra", 35))}]}""")
+        .statusCode() == 400)
+      val ap = post(port, "/index/substring/append",
+        s"""{"name": "corpus", "batch_id": 7, "docs": [${doc(2, toks("extra", 35))}]}""")
+      assert(ap.statusCode() == 200 && ap.body().contains(""""high_water":7"""),
+        ap.body())
+      // replay of the same delivery: fenced, high-water unchanged
+      val replay = post(port, "/index/substring/append",
+        s"""{"name": "corpus", "batch_id": 7, "docs": [${doc(2, toks("extra", 35))}]}""")
+      assert(replay.statusCode() == 200 &&
+        replay.body().contains(""""high_water":7"""), replay.body())
+      // the appended passage now trims, exactly once
+      val t2 = post(port, "/index/substring/trim",
+        s"""{"name": "corpus", "docs": [${doc(20, toks("extra", 35))}]}""")
+      assert(t2.body().contains(s""""doc_id":20,"n_toks":35,"kept_toks":0"""),
+        t2.body())
+      assert(post(port, "/index/substring/trim",
+        """{"name": "nope", "docs": []}""").statusCode() == 400)
+    }
+  }
+
   test("ann index over HTTP: create → query serves top-k from probed " +
     "cells → append is visible → stats reports occupancy") {
     withGateway { (_, port) =>
