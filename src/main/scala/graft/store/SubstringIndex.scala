@@ -155,6 +155,43 @@ object SubstringIndex {
       (delta: DataFrame, batchId: Long) => maintainBatch(delta, path, batchId)
     }
 
+  /** The full streaming trim: every micro-batch is emitted REWRITTEN
+    * against all history (earlier batches AND earlier in this batch —
+    * probe-before-fold keeps the keep-first semantics exact), then
+    * folded into the state, both behind the one batch fence: a
+    * replayed delivery of a FOLDED batch neither re-emits nor
+    * double-counts. The emit and the fold are two writes, so a crash
+    * exactly between them re-emits that one batch on recovery
+    * (at-least-once on `outPath` across crashes, exactly-once under
+    * ordinary retries); the state itself can never double-count.
+    * This is the streaming twin of running [[probe]]+[[refresh]] per
+    * arrival; `SubstringIndexSpec` pins its output equal to that
+    * batch path. */
+  def trimStream(stream: DataFrame, path: String, outPath: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (delta: DataFrame, batchId: Long) =>
+        trimBatch(delta, path, outPath, batchId)
+    }
+
+  /** One micro-batch of [[trimStream]]. */
+  def trimBatch(delta: DataFrame, path: String, outPath: String,
+      batchId: Long): Unit = {
+    val admit =
+      if (!VersionedState.exists(path)) !delta.isEmpty
+      else batchId > VersionedState.lastBatchId(path)
+    if (admit && !delta.isEmpty) {
+      val state =
+        if (VersionedState.exists(path))
+          Some(VersionedState.readCurrent(delta.sparkSession, path))
+        else None
+      // trim against PRIOR state only, materialized before the
+      // state advances (the fold below must not shift verdicts)
+      probe(delta, state).write.mode("append").parquet(outPath)
+    }
+    maintainBatch(delta, path, batchId)
+  }
+
   // ---------------- the oracle contract ----------------
 
   /** DI2: incremental trim over two ingest batches (split at half the

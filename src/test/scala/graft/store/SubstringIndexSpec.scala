@@ -171,6 +171,42 @@ class SubstringIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trimStream emits each micro-batch rewritten against prior " +
+    "history, equal to the batch probe+refresh path, exactly once " +
+    "under replay") {
+    val streamDir = graft.TempDirs.scratch("si-ts-in").toString
+    val stateDir = graft.TempDirs.scratch("si-ts-state").toString
+    val outDir = graft.TempDirs.scratch("si-ts-out").toString
+    val ckpt = graft.TempDirs.scratch("si-ts-ckpt").toString
+    val span = u("ts", 24)
+    val b1 = frame(Seq(1L -> (span ++ u("m", 18))))
+    val b2 = frame(Seq(10L -> (u("n", 5) ++ span ++ u("o", 6)),
+      11L -> u("p", 15)))
+    b1.write.mode("append").parquet(streamDir)
+    val stream = spark.readStream.schema(b1.schema).parquet(streamDir)
+    val q = SubstringIndex.trimStream(stream, stateDir, outDir)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = byDoc(spark.read.parquet(outDir))
+    // batch reference: bootstrap probe of b1, then b2 against state(b1)
+    val expect = byDoc(SubstringIndex.probe(b1, None)) ++
+      byDoc(SubstringIndex.probe(b2, Some(SubstringIndex.partial(b1))))
+    assert(got == expect, "streamed trim diverged from the batch path")
+    assert(got(1L)._2 == 42L && got(10L)._2 == 11L && got(11L)._2 == 15L)
+    // a folded batch redelivered (fence already at its id) re-emits
+    // nothing and burns no version
+    val rows = spark.read.parquet(outDir).count()
+    val v = VersionedState.currentVersion(stateDir)
+    SubstringIndex.trimBatch(b2, stateDir, outDir, batchId = 1L)
+    assert(spark.read.parquet(outDir).count() == rows,
+      "replayed batch re-emitted output")
+    assert(VersionedState.currentVersion(stateDir) == v)
+  }
+
   test("probing depends on history only through the state frame: the " +
     "bootstrap batch's source file can be deleted before the probe") {
     val dir = graft.TempDirs.scratch("substring-index-odelta").toString
