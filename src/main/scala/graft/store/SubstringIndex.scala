@@ -40,6 +40,29 @@ object SubstringIndex {
   private def grams(docs: DataFrame): DataFrame =
     DedupQueries.substringGrams(DedupQueries.substringDocs(docs))
 
+  /** A batch's grams hash-partitioned by gram hash — the ONE shuffle
+    * every probe-side consumer (batch stats, trim-position join, and
+    * in the di2 oracle query the first half's state partial) hangs off:
+    * identical exchange subtrees are reused by Spark, so tokenization
+    * runs once per batch no matter how many frames derive from it (the
+    * di1 r8 lesson — its old probe shape re-shingled the bootstrap
+    * half three times). The refresh path ([[partial]]) keeps the
+    * map-side-combine shape instead: its grams have ONE consumer, and
+    * pre-partitioning would ship raw positions uncombined. */
+  private def partitionedGrams(docs: DataFrame): DataFrame =
+    DedupQueries.substringGrams(docs).repartition(col("gh"))
+
+  /** State aggregate over an already-partitioned grams frame:
+    * aggregates in place, no second exchange. */
+  private def stateOfGrams(gs: DataFrame): DataFrame = {
+    import gs.sparkSession.implicits._
+    gs.groupBy($"gh")
+      .agg(min(struct($"doc_id", $"p")).as("first"),
+        count(lit(1)).as("n_occ"))
+      .select($"gh", $"first.doc_id".as("first_doc"),
+        $"first.p".as("first_pos"), $"n_occ")
+  }
+
   /** Partial state of one batch: (gh, first_doc, first_pos, n_occ) —
     * built with map-side combine straight off the gram scan. */
   def partial(docs: DataFrame): DataFrame = {
@@ -76,10 +99,16 @@ object SubstringIndex {
     * batch alone. */
   def probe(delta: DataFrame, state: Option[DataFrame],
             occCap: Long = DedupQueries.TrimOccCap): DataFrame = {
-    val spark = delta.sparkSession
-    import spark.implicits._
     val docs = DedupQueries.substringDocs(delta)
-    val gs = DedupQueries.substringGrams(docs)
+    probeGrams(docs, partitionedGrams(docs), state, occCap)
+  }
+
+  /** [[probe]] over a pre-partitioned grams frame (see
+    * [[partitionedGrams]]). */
+  private def probeGrams(docs: DataFrame, gs: DataFrame,
+      state: Option[DataFrame], occCap: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val batchStats = gs
       .groupBy($"gh")
       .agg(min(struct($"doc_id", $"p")).as("batch_first"),
@@ -210,8 +239,13 @@ object SubstringIndex {
     val tagged = docs.crossJoin(broadcast(mid))
     val first = tagged.filter($"doc_id" <= $"mid").drop("mid")
     val second = tagged.filter($"doc_id" > $"mid").drop("mid")
-    probe(first, None)
-      .unionByName(probe(second, Some(partial(first))))
+    // ONE partitioned-grams frame for the first half: the bootstrap
+    // trim, its batch stats, AND the state handed to the second probe
+    // all hang off its single exchange (reused, not recomputed)
+    val firstDocs = DedupQueries.substringDocs(first)
+    val firstGrams = partitionedGrams(firstDocs)
+    probeGrams(firstDocs, firstGrams, None, DedupQueries.TrimOccCap)
+      .unionByName(probe(second, Some(stateOfGrams(firstGrams))))
   }
 
   val di2Sql: String = {
