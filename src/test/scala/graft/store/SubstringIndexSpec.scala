@@ -137,6 +137,14 @@ class SubstringIndexSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max(col("n_occ")))
       .collect()(0).getLong(0)
     assert(n == 2L, s"replayed batch doubled state counts: max n_occ $n")
+    // compaction drops superseded versions; the served state and a
+    // fresh probe are unchanged
+    val before = VersionedState.readCurrent(spark, dir)
+      .collect().map(_.toSeq).toSet
+    SubstringIndex.compact(dir, grace = 0)
+    assert(VersionedState.readCurrent(spark, dir)
+      .collect().map(_.toSeq).toSet == before)
+    assert(byDoc(SubstringIndex.probeStore(spark, b3, dir)) == got)
   }
 
   test("stream-maintained index equals the one-shot state; probes " +
