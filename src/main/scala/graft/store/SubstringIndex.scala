@@ -16,7 +16,8 @@ import graft.analytics.DedupQueries
   * min is min-mergeable, so the state folds from per-batch partials in
   * any batch layout, the same algebraic-state property
   * [[MaterializedView]] and [[DedupIndex]] exploit. State size is
-  * |distinct gram hashes| × 32 bytes, never |corpus text|; probing a
+  * |distinct gram hashes| × 40 bytes (measured UnsafeRow, pinned by
+  * SubstringStateSizeSpec), never |corpus text|; probing a
   * delta costs O(|delta tokens|) plus one hash join against the state.
   *
   * Emission semantics are the honest incremental ones: a batch's
