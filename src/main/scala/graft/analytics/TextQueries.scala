@@ -198,16 +198,24 @@ object TextQueries {
     * (w=4) — the local-minimum sample that makes plagiarism/dup
     * detection robust to edits. Output: distinct selected fingerprints
     * per doc, the set a fingerprint index would store. */
-  def tWinnow(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val k = 4
-    val w = 4
+  private[graft] val WinnowK = 4
+  private[graft] val WinnowW = 4
+
+  /** The selected fingerprint SET per document — (doc_id, winmin)
+    * distinct rows — exposed so the winnowing GUARANTEE (any shared
+    * span of ≥ w+k−1 tokens produces a shared fingerprint, Schleimer
+    * et al. §3) is testable against an independent reference; the
+    * registry row ([[tWinnow]]) aggregates this to counts. */
+  private[graft] def winnowFingerprints(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val k = WinnowK
+    val w = WinnowW
     // Explode grams to rows and take the window minimum with a frame —
     // each gram is hashed exactly ONCE. (The all-array formulation
     // (transform over sequence + slice) inlines the gram-hash array into
     // the lambda under projection collapse, recomputing it per window:
     // O(grams²) digests per document — a 60× slowdown at sf0.1.)
-    val grams = Tables(spark, dir, "documents")
+    val grams = documents
       .withColumn("toks", split($"text", " "))
       .filter(size($"toks") >= k + w - 1)
       .withColumn("n_grams", (size($"toks") - (k - 1)).cast("int"))
@@ -222,6 +230,11 @@ object TextQueries {
       .withColumn("winmin", min($"gh").over(win))
       .filter($"i" <= $"n_grams" - w) // only full windows
       .select($"doc_id", $"winmin").distinct()
+  }
+
+  def tWinnow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    winnowFingerprints(Tables(spark, dir, "documents"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_fingerprints"), min($"winmin").as("min_fp"))
   }
