@@ -37,7 +37,13 @@ object UaRules {
     "guzzlehttp|aiohttp|python-httpx|postmanruntime|insomnia/|" +
     // tail round 7: Naver's crawler (no bot/spider substring) and the
     // AI-lab fetcher tokens that don't say "bot" (GPTBot/ClaudeBot/
-    // CCBot/PerplexityBot already land on the bot token)
+    // CCBot/PerplexityBot already land on the bot token).
+    // Provenance: these are the PUBLIC user-agent tokens each vendor
+    // documents for robots.txt opt-out (OpenAI "Overview of OpenAI
+    // crawlers", Anthropic "Does Anthropic crawl data from the web"
+    // support page, Cohere/Google/Meta crawler docs) — the same rows
+    // public bot lists and uap-core's spider tables carry. They name
+    // crawlers observed in SERVER LOGS, not any internal system.
     "yeti/|chatgpt-user|claude-web|anthropic-ai|cohere-ai|" +
     "google-extended|meta-externalagent)"
 
