@@ -62,9 +62,11 @@ object EventStore {
     * never collide, and each `Files.move` is an atomic same-filesystem
     * rename — a reader (batch scan or the streaming tail's file
     * source) sees a complete file or no file, never a partial one.
-    * Crash mid-publish leaves a prefix of the batch's files (no torn
-    * rows, no clobbered neighbors); batch-level atomicity is the
-    * manifest upgrade sketched in SCALE.md §multi-driver. */
+    * Crash mid-publish leaves a prefix of the batch's files on disk but
+    * COMMITS nothing: the batch becomes visible only when its
+    * [[TableManifest]] commit lands (the r15 upgrade — batch-level
+    * atomicity fell out of the manifest for free; orphaned part files
+    * age out via [[TableManifest.vacuum]]). */
   private def stagedAppend(df: DataFrame, table: String,
       partitionCols: Seq[String]): Unit = {
     val tableDir = new java.io.File(table)
@@ -75,7 +77,8 @@ object EventStore {
     try {
       df.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(staging.getAbsolutePath)
-      def publish(src: java.io.File, dst: java.io.File): Unit =
+      val published = Seq.newBuilder[String]
+      def publish(src: java.io.File, dst: java.io.File, rel: String): Unit =
         src.listFiles().foreach { f =>
           // partition dirs (`_month=...`) carry the underscore prefix
           // too — recurse on `key=value` names, skip only Spark's
@@ -83,16 +86,43 @@ object EventStore {
           if (f.isDirectory &&
             (f.getName.contains("=") || (!f.getName.startsWith("_") &&
               !f.getName.startsWith("."))))
-            publish(f, new java.io.File(dst, f.getName))
+            publish(f, new java.io.File(dst, f.getName), s"$rel${f.getName}/")
           else if (f.isFile && f.getName.startsWith("part-")) {
             dst.mkdirs()
             java.nio.file.Files.move(f.toPath,
               new java.io.File(dst, f.getName).toPath)
+            published += s"$rel${f.getName}"
           }
         }
-      publish(staging, tableDir)
+      publish(staging, tableDir, "")
+      TableManifest.commit(table, published.result())
     } finally rmrf(staging)
   }
+
+  /** Pinned-snapshot scan of a table: resolve the newest
+    * [[TableManifest]] once and read exactly its file list (basePath
+    * keeps partition-column inference and pruning identical to a
+    * directory scan), so a query races neither a concurrent append
+    * (uncommitted files are invisible) nor a compaction (the rewritten
+    * files it pinned stay on disk until [[vacuum]]) — each row is seen
+    * exactly once, the snapshot isolation the reference buys from
+    * Postgres MVCC (PostgresqlEventStore.java:83-101). Pre-manifest
+    * tables fall back to the directory listing. */
+  private def scanTable(spark: SparkSession, table: String): DataFrame =
+    TableManifest.snapshot(table).filter(_.nonEmpty) match {
+      case Some(files) => spark.read
+        .option("basePath", table).option("mergeSchema", "true")
+        .parquet(files: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(table)
+    }
+
+  /** Physically remove files superseded by compaction/erasure commits
+    * (and aged-out crashed staging dirs) once no retained manifest
+    * references them — see [[TableManifest.vacuum]]. */
+  def vacuum(warehouse: String, project: String, collection: String,
+      retainVersions: Int = 1, graceMs: Long = 10 * 60 * 1000L): Int =
+    TableManifest.vacuum(tablePath(warehouse, project, collection),
+      retainVersions, graceMs)
 
   /** Read back aligned to the registry's current schema: files written
     * before an evolution lack the new columns; mergeSchema unions file
@@ -100,8 +130,7 @@ object EventStore {
     * and fixes column order. */
   def read(spark: SparkSession, registry: SchemaRegistry, warehouse: String,
       project: String, collection: String): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(tablePath(warehouse, project, collection))
+    val df = scanTable(spark, tablePath(warehouse, project, collection))
     registry.schema(project, collection) match {
       case None => df
       case Some(fields) =>
@@ -134,8 +163,7 @@ object EventStore {
     * conflict columns, null-filling post-evolution additions). */
   def readUnified(spark: SparkSession, registry: SchemaRegistry,
       warehouse: String, project: String, collection: String): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(s"$warehouse/$project/events")
+    val df = scanTable(spark, s"$warehouse/$project/events")
       .filter(col("_collection") === collection)
     registry.schema(project, collection) match {
       case None => df
@@ -191,11 +219,12 @@ object EventStore {
       project: String, collection: String, month: String,
       rowsPerFile: Long = 1_000_000L,
       zorderBy: Option[(String, String)] = None): Int = {
-    val dir = s"${tablePath(warehouse, project, collection)}/_month=$month"
+    val table = tablePath(warehouse, project, collection)
+    val dir = s"$table/_month=$month"
     val src = new java.io.File(dir)
     require(src.isDirectory, s"no such partition: $dir")
     withPartitionLock(src) {
-      val snapshot = dataFiles(src)
+      val snapshot = committedFiles(table, src)
       if (snapshot.isEmpty) 0
       else {
         // explicit file list, NOT the directory: files appended after
@@ -212,17 +241,36 @@ object EventStore {
         }
         val tmp = new java.io.File(s"$dir.compacting")
         compacted.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        commitRewrite(src, snapshot, tmp)
+        // logical commit only: superseded files stay on disk for
+        // readers pinned to older manifests — vacuum() reaps them
+        commitRewrite(table, src, snapshot, tmp, deleteNow = false)
         files
       }
     }
   }
 
   /** A partition's committed data files — the snapshot a rewrite is
-    * scoped to. Staged/hidden/marker files never qualify: Spark
-    * publishes only completed `part-*` files into the dir. */
-  private def dataFiles(dir: java.io.File): Array[java.io.File] =
-    dir.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+    * scoped to. Manifest tables answer from the NEWEST manifest (a file
+    * on disk but not committed — a mid-flight append, or a
+    * vacuum-pending leftover of an older rewrite — must be neither
+    * rewritten, deleted, nor resurrected); pre-manifest tables fall
+    * back to the directory listing, where only completed `part-*`
+    * files exist. */
+  private def committedFiles(table: String,
+      dir: java.io.File): Array[java.io.File] =
+    TableManifest.latest(table) match {
+      case Some((_, files)) =>
+        val tableDir = new java.io.File(table)
+        val prefix = tableDir.toPath.relativize(dir.toPath).toString match {
+          case "" => ""
+          case p => s"$p/"
+        }
+        files.filter(rel => rel.startsWith(prefix) &&
+            !rel.stripPrefix(prefix).contains("/"))
+          .map(rel => new java.io.File(tableDir, rel)).toArray
+      case None =>
+        dir.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+    }
 
   /** One rewriter per partition, across JVMs: an atomic marker-file
     * create (the same fence on any filesystem with atomic create —
@@ -244,18 +292,26 @@ object EventStore {
   }
 
   /** Publish a rewrite: move the aside dir's part files in (names are
-    * job-UUID-unique — never collide with live files), then delete
-    * exactly the snapshot. Readers listing mid-publish can briefly see
-    * both copies of a row (never a missing window); snapshot-isolated
-    * reads during maintenance are the manifest upgrade (SCALE.md). */
-  private def commitRewrite(dir: java.io.File,
-      snapshot: Array[java.io.File], tmp: java.io.File): Unit = {
-    tmp.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
-      .foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(dir, f.getName).toPath)
+    * job-UUID-unique — never collide with live files), then commit the
+    * swap in ONE manifest version (new files in, snapshot out) — a
+    * reader pins either the pre-rewrite or the post-rewrite list, never
+    * a mix, so it sees each row exactly once. Physical deletion of the
+    * snapshot is deferred to [[vacuum]] unless `deleteNow` (erasure
+    * jobs, where prompt removal outranks readers pinned to history). */
+  private def commitRewrite(table: String, dir: java.io.File,
+      snapshot: Array[java.io.File], tmp: java.io.File,
+      deleteNow: Boolean): Unit = {
+    val tablePath = new java.io.File(table).toPath
+    def rel(f: java.io.File) = tablePath.relativize(f.toPath).toString
+    val moved = tmp.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map { f =>
+        val target = new java.io.File(dir, f.getName)
+        java.nio.file.Files.move(f.toPath, target.toPath)
+        rel(target)
       }
-    snapshot.foreach { f =>
+    TableManifest.commit(table, moved.toSeq, snapshot.map(rel).toSeq)
+    if (deleteNow) snapshot.foreach { f =>
       require(f.delete() || !f.exists(), s"could not delete $f")
       // local-fs checksum shadow, if any
       new java.io.File(dir, s".${f.getName}.crc").delete(): Unit
@@ -291,7 +347,7 @@ object EventStore {
     var deleted = 0L
     parts.foreach { part =>
       withPartitionLock(part) {
-        val snapshot = dataFiles(part)
+        val snapshot = committedFiles(root.getAbsolutePath, part)
         if (snapshot.nonEmpty) {
           val df = spark.read.option("mergeSchema", "true")
             .parquet(snapshot.map(_.getAbsolutePath): _*)
@@ -300,13 +356,23 @@ object EventStore {
             val keep = df.filter(!(col(userCol) <=> lit(userId)))
             val tmp = new java.io.File(s"${part.getAbsolutePath}.deleting")
             keep.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-            commitRewrite(part, snapshot, tmp)
+            // erasure: physical deletion is immediate, and superseded
+            // history versions must not survive either
+            commitRewrite(root.getAbsolutePath, part, snapshot, tmp,
+              deleteNow = true)
             rewritten += 1
             deleted += hits
           }
         }
       }
     }
+    // purge vacuum-pending leftovers of EARLIER rewrites too — they may
+    // still hold the user's rows. The 60s grace protects only files in
+    // the move-then-commit window of a live append (always seconds old);
+    // superseded compaction inputs are far older and get reaped now.
+    if (rewritten > 0)
+      TableManifest.vacuum(root.getAbsolutePath, retainVersions = 1,
+        graceMs = 60_000L)
     (rewritten, deleted)
   }
 }

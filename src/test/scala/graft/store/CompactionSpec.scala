@@ -27,9 +27,21 @@ class CompactionSpec extends SparkSpec {
 
     val nFiles = EventStore.compactPartition(spark, warehouse, "demo", "pageview",
       month = "2026-01", rowsPerFile = 1_000_000L)
-    assert(nFiles == 1 && parquetFiles() == 1,
-      s"expected a single compacted file, saw ${parquetFiles()}")
+    // the commit is LOGICAL: superseded files linger on disk for
+    // readers pinned to older manifests, and the manifest-pinned read
+    // sees exactly one copy of every row while they do
+    assert(nFiles == 1 && parquetFiles() > 1,
+      "superseded files should await vacuum, not vanish at commit")
+    val registry = graft.core.SchemaRegistry.inMemory()
+    val viaManifest = EventStore.read(spark, registry, warehouse, "demo", "pageview")
+      .select("event_id", "_user").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaManifest.toSet == expected && viaManifest.length == 600)
 
+    // vacuum reaps them; then even a raw directory listing is clean
+    val reaped = EventStore.vacuum(warehouse, "demo", "pageview", graceMs = 0L)
+    assert(reaped >= 12, s"expected the micro-batch files reaped, got $reaped")
+    assert(parquetFiles() == 1,
+      s"expected a single compacted file after vacuum, saw ${parquetFiles()}")
     val after = spark.read.parquet(partDir.getAbsolutePath)
       .select("event_id", "_user").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(after == expected && after.size == 600)
@@ -57,6 +69,7 @@ class CompactionSpec extends SparkSpec {
       month = "2026-02", rowsPerFile = 64L,
       zorderBy = Some(("_user", "_time")))
     assert(nFiles == 16)
+    EventStore.vacuum(warehouse, "demo", "click", graceMs = 0L)
 
     val back = spark.read.parquet(partDir)
     assert(back.select("event_id").collect().map(_.getLong(0)).toSet == expected)
@@ -137,6 +150,16 @@ class CompactionSpec extends SparkSpec {
     assert(failure.get() == null, s"appender failed: ${failure.get()}")
     assert(compactions >= 2, s"race never materialized ($compactions passes)")
 
+    // the manifest-pinned view is exact even before vacuum…
+    val registry = graft.core.SchemaRegistry.inMemory()
+    val pinnedIds = EventStore.read(spark, registry, warehouse, "demo", "tap")
+      .select("event_id").collect().map(_.getLong(0))
+    assert(pinnedIds.length == batches * rowsPerBatch &&
+      pinnedIds.toSet.size == pinnedIds.length,
+      s"manifest view not exact: ${pinnedIds.length} rows, " +
+        s"${pinnedIds.length - pinnedIds.toSet.size} duplicated")
+    // …and after vacuum even a raw directory listing is
+    EventStore.vacuum(warehouse, "demo", "tap", graceMs = 0L)
     val ids = spark.read
       .parquet(s"$warehouse/demo/tap/_month=2026-03")
       .select("event_id").collect().map(_.getLong(0))
@@ -146,6 +169,68 @@ class CompactionSpec extends SparkSpec {
         s"(${ids.length - ids.toSet.size} duplicated)")
     assert(ids.toSet == expected,
       s"lost rows: ${(expected -- ids.toSet).take(5)}...")
+  }
+
+  test("reader snapshot isolation: a scan pinned before compaction + " +
+    "append sees each original row exactly once, never a mix") {
+    val warehouse = graft.TempDirs.scratch("graft-snapiso").toString
+    val registry = graft.core.SchemaRegistry.inMemory()
+    def batch(b: Int) = (0 until 50)
+      .map(i => (b.toLong * 50 + i, s"u${i % 5}"))
+      .toDF("event_id", "_user")
+      .withColumn("_time", lit("2026-05-01 12:00:00").cast("timestamp"))
+    (0 until 4).foreach(b => EventStore.write(batch(b), warehouse, "demo", "view"))
+
+    // pin the reader FIRST: its manifest resolves at DataFrame creation,
+    // so everything committed after this line is invisible to it
+    val pinned = EventStore.read(spark, registry, warehouse, "demo", "view")
+
+    // …then rewrite the partition AND land two more batches
+    EventStore.compactPartition(spark, warehouse, "demo", "view",
+      month = "2026-05", rowsPerFile = 1_000_000L)
+    (4 until 6).foreach(b => EventStore.write(batch(b), warehouse, "demo", "view"))
+
+    // the pre-manifest reader at this point listed old AND new copies of
+    // every rewritten row (the r14 gap); the pinned scan is exact
+    val seen = pinned.select("event_id").collect().map(_.getLong(0))
+    assert(seen.length == 200 && seen.toSet == (0L until 200L).toSet,
+      s"pinned reader saw ${seen.length} rows " +
+        s"(${seen.length - seen.toSet.size} duplicated)")
+
+    // a fresh reader pins the newest manifest: rewrite + appends, exact
+    val fresh = EventStore.read(spark, registry, warehouse, "demo", "view")
+      .select("event_id").collect().map(_.getLong(0))
+    assert(fresh.length == 300 && fresh.toSet == (0L until 300L).toSet)
+  }
+
+  test("crash mid-publish commits nothing: a batch with no manifest " +
+    "entry is invisible, and vacuum reaps its orphans") {
+    val warehouse = graft.TempDirs.scratch("graft-orphan").toString
+    val registry = graft.core.SchemaRegistry.inMemory()
+    val df = (0 until 30).map(i => (i.toLong, s"u${i % 3}"))
+      .toDF("event_id", "_user")
+      .withColumn("_time", lit("2026-06-01 12:00:00").cast("timestamp"))
+    EventStore.write(df, warehouse, "demo", "view")
+    val table = s"$warehouse/demo/view"
+    val part = new java.io.File(s"$table/_month=2026-06")
+
+    // simulate a writer that died between its file moves and its
+    // manifest commit: a part file on disk with no manifest entry
+    val orphanSrc = graft.TempDirs.scratch("graft-orphan-src").toFile
+    df.limit(7).write.mode("overwrite").parquet(orphanSrc.getAbsolutePath)
+    val src = orphanSrc.listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(part, "part-orphan-crashed.parquet").toPath)
+
+    val read = EventStore.read(spark, registry, warehouse, "demo", "view")
+    assert(read.count() == 30, "uncommitted batch leaked into the read")
+
+    // vacuum with zero grace reaps the orphan; the committed data stays
+    val reaped = EventStore.vacuum(warehouse, "demo", "view", graceMs = 0L)
+    assert(reaped == 1, s"expected exactly the orphan reaped, got $reaped")
+    assert(!new java.io.File(part, "part-orphan-crashed.parquet").exists())
+    assert(EventStore.read(spark, registry, warehouse, "demo", "view")
+      .count() == 30)
   }
 
   test("second rewriter on a locked partition fails fast; lock releases") {
