@@ -98,7 +98,10 @@ import graft.store.EventStore
   *    semantics); get serves finalized results without a history scan;
   *    refresh is the full rebuild (the recovery path after deletions).
   *  - **maintenance**: `POST /admin/compact` (month-partition small-file
-  *    rewrite); descriptor doors `GET /admin/configurations`,
+  *    rewrite; commits through the table manifest, superseded files
+  *    linger for pinned readers) and `POST /admin/vacuum` (reaps files
+  *    no retained manifest references); descriptor doors
+  *    `GET /admin/configurations`,
   *    `/admin/types`, `/admin/event_mappers`, `/admin/lock_key`
   *    (`AdminHttpService`); `GET /` health check.
   *  - **api keys** (`ProjectHttpService` +
@@ -209,6 +212,7 @@ final class HttpGateway(
     server.createContext("/user/get", route(authed(MasterRole)(handleUserGet)))
     server.createContext("/user/delete", route(authed(MasterRole)(handleUserDelete)))
     server.createContext("/admin/compact", route(authed(MasterRole)(handleCompact)))
+    server.createContext("/admin/vacuum", route(authed(MasterRole)(handleVacuum)))
     server.createContext("/admin/configurations", route(authed(MasterRole)(handleAdminConfig)))
     server.createContext("/admin/types", route(authed(MasterRole)(handleAdminTypes)))
     server.createContext("/admin/event_mappers", route(authed(MasterRole)(handleAdminMappers)))
@@ -983,18 +987,29 @@ final class HttpGateway(
     (200, all.toJSON.collect().mkString("[", ",", "]"))
   }
 
+  /** `GET /analysis/segmentation?collection=…&dimension=…[&limit=n]` —
+    * users/events per dimension value. The driver-side JSON is bounded
+    * by `limit` (default 1000, the `/query/execute` door's ceiling):
+    * without it a caller segmenting on a user-id-like column would pull
+    * that column's full cardinality into one driver collect. Top
+    * groups by event count — the ordering a segmentation UI shows. */
   private def handleSegmentation(ex: HttpExchange): (Int, String) = {
     val params = queryParams(ex)
     val collection = params.getOrElse("collection",
       throw new IngestRejected("collection is required"))
     val dimension = params.getOrElse("dimension",
       throw new IngestRejected("dimension is required"))
+    val limit = params.get("limit").map(s => s.toIntOption.getOrElse(
+      throw new IngestRejected(s"limit must be an integer, got '$s'")))
+      .getOrElse(1000)
     val stored = EventStore.read(spark, registry, warehouse, project, collection)
     if (!stored.columns.contains(dimension))
       throw new IngestRejected(s"unknown dimension '$dimension'")
     val seg = stored.groupBy(col(dimension))
       .agg(countDistinct(col("_user")).as("users"),
         count(lit(1)).as("events"))
+      .orderBy(col("events").desc, col(dimension))
+      .limit(limit)
     (200, seg.toJSON.collect().mkString("[", ",", "]"))
   }
 
@@ -1158,6 +1173,26 @@ final class HttpGateway(
       }
     }
     (200, s"""{"files":$files}""")
+  }
+
+  /** `POST /admin/vacuum` — the physical half of maintenance: compaction
+    * and erasure commit LOGICALLY through the table manifest (readers
+    * pinned to older versions keep resolving the superseded files), and
+    * this door reaps files no retained manifest references. Body
+    * `{"collection": …, "retain_versions"?: n, "grace_ms"?: ms}`. */
+  private def handleVacuum(ex: HttpExchange): (Int, String) = {
+    requirePost(ex)
+    val root = requestJson(ex)
+    val collection = textField(root, "collection").getOrElse(
+      throw new IngestRejected("collection is required"))
+    val retain = Option(root.get("retain_versions")).map(_.asInt()).getOrElse(1)
+    val grace = Option(root.get("grace_ms")).map(_.asLong())
+      .getOrElse(10 * 60 * 1000L)
+    if (retain < 1) throw new IngestRejected("retain_versions must be >= 1")
+    val deleted = writeLock.synchronized {
+      EventStore.vacuum(warehouse, project, collection, retain, grace)
+    }
+    (200, s"""{"deleted_files":$deleted}""")
   }
 
   // ---------------- subscriptions (ST1 over HTTP) ----------------

@@ -55,6 +55,18 @@ class HttpGatewaySpec extends SparkSpec {
         page -> users
       }.toMap
       assert(byPage == Map("/a" -> 2L, "/b" -> 1L))
+
+      // limit caps the driver-side JSON: top groups by event count, so
+      // a high-cardinality dimension can't flood one collect (r14
+      // verdict hardening). Bad limit is a 400, not a 500.
+      val top1 = get(port,
+        "/analysis/segmentation?collection=pageview&dimension=page&limit=1")
+      assert(top1.statusCode() == 200)
+      assert(top1.body().contains("\"page\":\"/a\"") &&
+        !top1.body().contains("\"page\":\"/b\""), top1.body())
+      assert(get(port,
+        "/analysis/segmentation?collection=pageview&dimension=page&limit=x")
+        .statusCode() == 400)
     }
   }
 
