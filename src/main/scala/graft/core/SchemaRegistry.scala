@@ -22,6 +22,23 @@ import scala.jdk.CollectionConverters._
   * Persistence is a JSON file per project (the "DDL"); the in-memory map
   * is the serving cache. Thread-safe via per-registry lock — evolution
   * is a metadata operation, never on the executor hot path.
+  *
+  * MULTI-GATEWAY (r15): union-only evolution is a natural CRDT — the
+  * widest-schema reduce commutes — so two registries over one persisted
+  * dir converge if no commit is ever lost. A whole-file write from
+  * in-memory state alone would lose them (last writer clobbers the
+  * other's fields), so every persist is a read-MERGE-write under a
+  * cross-JVM OS file lock (`FileChannel.lock` — released by the OS on
+  * crash, unlike a marker file) with an atomic-rename publish: the
+  * committed file's fields are unioned into memory first (per-name
+  * first-committer-wins, the same rule `getOrCreate` applies in
+  * memory — a concurrent same-name/different-type race resolves to
+  * whichever commit serialized first, exactly the reference's DDL
+  * retry dance, PostgresqlMetastore.java:253-354 /
+  * TestMetastore.testConcurrentSchemaChanges), then the union is
+  * written out. Readers never need the lock: the rename is atomic, so
+  * `load` sees a complete old or new file. `RegistryConvergenceSpec`
+  * races two registries and asserts convergence to the union.
   */
 final class SchemaRegistry(persistDir: Option[Path] = None) {
 
@@ -133,7 +150,9 @@ final class SchemaRegistry(persistDir: Option[Path] = None) {
     val result = byName.values.toVector
     schemas.put(key, result)
     persist(project)
-    (result, rejected.result())
+    // answer from POST-commit state: persist's merge may have resolved
+    // a concurrent same-name race in another gateway's favor
+    (schemas.getOrElse(key, result).toSeq, rejected.result())
   }
 
   private def isModuleField(name: String): Boolean =
@@ -143,20 +162,77 @@ final class SchemaRegistry(persistDir: Option[Path] = None) {
 
   // Jackson-built (not string-concatenated) so collection/field/config
   // names containing quotes or backslashes round-trip through load().
+  // Commit protocol (multi-gateway): OS file lock → merge committed
+  // file into memory → write union to tmp → atomic rename. Any
+  // interleaving of two gateways' commits yields the union.
   private def persist(project: String): Unit = persistDir.foreach { dir =>
     Files.createDirectories(dir)
+    withProjectFileLock(dir, project) {
+      mergeCommitted(project)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      val colls = root.putObject("collections")
+      schemas.toSeq.sortBy(_._1).collect { case ((p, c), fs) if p == project =>
+        val obj = colls.putObject(c)
+        fs.foreach(f => obj.put(f.name, f.tpe.name))
+      }
+      val cfg = root.putObject("config")
+      projectConfig.toSeq.sortBy(_._1).collect { case ((p, k), v) if p == project =>
+        cfg.put(k, v)
+      }
+      val tmp = Files.createTempFile(dir, s".$project-", ".tmp")
+      Files.writeString(tmp, mapper.writeValueAsString(root))
+      Files.move(tmp, dir.resolve(s"$project.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Union the committed file's state into memory, per-name
+    * first-committer-wins: a field the file already carries keeps the
+    * file's type (that is what every other gateway has seen); fields
+    * only we know append after, preserving both column orders. Config
+    * keys resolve the same way — the committed value IS the set-once
+    * winner. */
+  private def mergeCommitted(project: String): Unit = persistDir.foreach { dir =>
+    val f = dir.resolve(s"$project.json")
+    if (!Files.exists(f)) return
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.createObjectNode()
-    val colls = root.putObject("collections")
-    schemas.toSeq.sortBy(_._1).collect { case ((p, c), fs) if p == project =>
-      val obj = colls.putObject(c)
-      fs.foreach(f => obj.put(f.name, f.tpe.name))
+    val root = mapper.readTree(Files.readString(f))
+    val colls = root.get("collections")
+    if (colls != null) colls.properties().asScala.foreach { e =>
+      val committed = e.getValue.properties().asScala.map(fe =>
+        Field(fe.getKey, FieldType.fromName(fe.getValue.asText()))).toVector
+      val ours = schemas.getOrElse((project, e.getKey), Vector.empty)
+      val known = committed.map(_.name).toSet
+      schemas.put((project, e.getKey),
+        committed ++ ours.filterNot(f2 => known.contains(f2.name)))
     }
-    val cfg = root.putObject("config")
-    projectConfig.toSeq.sortBy(_._1).collect { case ((p, k), v) if p == project =>
-      cfg.put(k, v)
+    val cfg = root.get("config")
+    if (cfg != null) cfg.properties().asScala.foreach { e =>
+      projectConfig.put((project, e.getKey), e.getValue.asText())
     }
-    Files.writeString(dir.resolve(s"$project.json"), mapper.writeValueAsString(root))
+  }
+
+  /** Cross-JVM mutual exclusion on one project's DDL file. The OS
+    * lock blocks across processes and dies with a crashed holder; the
+    * same-JVM overlap case (two registry instances in one process —
+    * `FileChannel.lock` throws instead of blocking there) spins. */
+  private def withProjectFileLock[T](dir: Path, project: String)(body: => T): T = {
+    import java.nio.file.StandardOpenOption._
+    val ch = java.nio.channels.FileChannel.open(
+      dir.resolve(s".$project.lock"), CREATE, WRITE)
+    try {
+      var fl: java.nio.channels.FileLock = null
+      while (fl == null) {
+        try fl = ch.lock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException =>
+            Thread.sleep(1)
+        }
+      }
+      try body finally fl.release()
+    } finally ch.close()
   }
 
   /** Reload a project's schemas from the persisted JSON (inverse of
