@@ -187,10 +187,13 @@ object JoinQueries {
     * casts, or the reference's country-NAME-in-group-4 binding
     * (CSV.java:35-38): binding the 2-letter code instead would emit
     * `name.take(2)` and hash-mismatch — fails the row. Misses keep
-    * NULL geo; the dim stays broadcast at vendor scale — MEASURED
-    * 142.0 B/row UnsafeRow ⇒ 1354 MB at the DB11-class 10M ranges
-    * (Ip2LocationDimSizeSpec), under the 1.5 GiB comfort line with
-    * ~10% headroom; past it, bin-shard (BinnedIntervalJoinRule). */
+    * NULL geo; the probe goes through [[graft.enrich.geo.Ip2LocationCsv
+    * .rangeLookup]], which picks broadcast vs bin-sharded BY the dim's
+    * measured plan size (r15): at this fixture scale — and at the
+    * DB11-class 10M ranges, MEASURED 142.0 B/row ⇒ 1354 MB
+    * (Ip2LocationDimSizeSpec) — it broadcasts; past the comfort line
+    * it bin-shards instead of OOMing (Ip2LocationLookupSpec drives
+    * both paths to identical rows). */
   def j2bIp2Location(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nations = Tables(spark, dir, "nation")
@@ -206,8 +209,7 @@ object JoinQueries {
     val dim = graft.enrich.geo.Ip2LocationCsv.rangeDim(spark, f.toString)
     val probes = Tables(spark, dir, "events")
       .select(pmod($"event_id", lit(26000L)).as("ipnum"))
-    probes
-      .join(broadcast(dim), $"ipnum" >= $"ip_lo" && $"ipnum" <= $"ip_hi", "left")
+    graft.enrich.geo.Ip2LocationCsv.rangeLookup(probes, $"ipnum", dim)
       .groupBy($"_country_code")
       .agg(count(lit(1)).as("n_probes"),
         countDistinct($"ipnum").as("n_ips"),

@@ -1,6 +1,6 @@
 package graft.enrich.geo
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IP2Location CSV database → the broadcast range dim
@@ -38,4 +38,53 @@ object Ip2LocationCsv {
         col("_c6").cast("double").as("_latitude"),
         col("_c7").cast("double").as("_longitude"))
       .filter(col("ip_lo").isNotNull && col("ip_hi").isNotNull)
+
+  /** Plan-stat comfort line for broadcasting the dim. 1 GiB of scan
+    * estimate ≈ 1.4 GiB of UnsafeRow broadcast payload (the CSV→unsafe
+    * ratio Ip2LocationDimSizeSpec measures: 142 B/row unsafe over
+    * ~100 B/row of vendor CSV), landing just under the 1.5 GiB
+    * broadcast line for 16g executors. */
+  val BroadcastComfortBytes: Long = 1024L * 1024 * 1024
+
+  /** Probe an IP-range dim, choosing the plan BY MEASURED SIZE (the
+    * r14 verdict's ask — the dim measured 1354 MB of the 1.5 GiB line
+    * at DB11 scale, 12% headroom, and the fallback lived only in
+    * prose). Two plans, row-for-row identical output:
+    *
+    *  - dim under the comfort line → broadcast BETWEEN join (a cheap
+    *    BroadcastNestedLoopJoin: every probe scans a sorted-by-nothing
+    *    in-memory dim — fine at dim sizes a broadcast tolerates);
+    *  - over it → BIN-SHARDED equi join, the j9
+    *    [[graft.plans.BinnedIntervalJoinRule]] pattern on the IP axis:
+    *    each range explodes to the `2^binBits`-wide blocks it covers
+    *    (`shiftrightunsigned` — IPs are non-negative), each probe keys
+    *    its single block, and the equi join on the block plus the
+    *    exact BETWEEN residual meets every qualifying (probe, range)
+    *    pair exactly once (vendor ranges are disjoint; a probe's match
+    *    sits in the probe's own block). Both sides shuffle on the
+    *    block key instead of shipping a too-big dim to every executor.
+    *
+    * Size is read from the optimized plan's `sizeInBytes` — the same
+    * statistic Spark's own broadcast threshold consults — so a vendor
+    * column-width bump flips the plan instead of OOMing an executor.
+    * The left join keeps misses as NULL geo (the mapper contract). */
+  def rangeLookup(probes: DataFrame, ipCol: Column, dim: DataFrame,
+      comfortBytes: Long = BroadcastComfortBytes,
+      binBits: Int = 16): DataFrame = {
+    val dimBytes = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (dimBytes <= comfortBytes)
+      probes.join(broadcast(dim),
+        ipCol >= col("ip_lo") && ipCol <= col("ip_hi"), "left")
+    else {
+      val dimBinned = dim.withColumn("__ip_bin",
+        explode(sequence(shiftrightunsigned(col("ip_lo"), binBits),
+          shiftrightunsigned(col("ip_hi"), binBits))))
+      probes
+        .withColumn("__probe_bin", shiftrightunsigned(ipCol, binBits))
+        .join(dimBinned,
+          col("__probe_bin") === col("__ip_bin") &&
+            ipCol >= col("ip_lo") && ipCol <= col("ip_hi"), "left")
+        .drop("__probe_bin", "__ip_bin")
+    }
+  }
 }
