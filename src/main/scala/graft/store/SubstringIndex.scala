@@ -190,13 +190,21 @@ object SubstringIndex {
     * probe-before-fold keeps the keep-first semantics exact), then
     * folded into the state, both behind the one batch fence: a
     * replayed delivery of a FOLDED batch neither re-emits nor
-    * double-counts. The emit and the fold are two writes, so a crash
-    * exactly between them re-emits that one batch on recovery
-    * (at-least-once on `outPath` across crashes, exactly-once under
-    * ordinary retries); the state itself can never double-count.
-    * This is the streaming twin of running [[probe]]+[[refresh]] per
-    * arrival; `SubstringIndexSpec` pins its output equal to that
-    * batch path. */
+    * double-counts.
+    *
+    * EXACTLY-ONCE on `outPath` (r15, closing the r14 at-least-once
+    * window): the emit publishes as one ATOMIC directory rename into
+    * a batch-scoped partition dir (`batch=<id>` — provenance rides
+    * along as a partition column; write to a deterministic hidden
+    * staging dir, then one rename). A crash between emit and fold
+    * replays the batch, the probe recomputes the IDENTICAL output
+    * (the state it reads hasn't advanced — that ordering is the
+    * point), and the publish sees the target dir already present and
+    * skips — no duplicate rows, any crash point. The state itself
+    * never double-counts (the fence). This is the streaming twin of
+    * running [[probe]]+[[refresh]] per arrival; `SubstringIndexSpec`
+    * pins its output equal to that batch path AND kills a batch
+    * between emit and fold. */
   def trimStream(stream: DataFrame, path: String, outPath: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append").foreachBatch {
@@ -204,21 +212,46 @@ object SubstringIndex {
         trimBatch(delta, path, outPath, batchId)
     }
 
-  /** One micro-batch of [[trimStream]]. */
+  /** One micro-batch of [[trimStream]]. `failpoint` is the spec's
+    * crash injector for the emit→fold window; production never sets
+    * it. */
   def trimBatch(delta: DataFrame, path: String, outPath: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      failpoint: () => Unit = () => ()): Unit = {
     val admit =
       if (!VersionedState.exists(path)) !delta.isEmpty
       else batchId > VersionedState.lastBatchId(path)
     if (admit && !delta.isEmpty) {
-      val state =
-        if (VersionedState.exists(path))
-          Some(VersionedState.readCurrent(delta.sparkSession, path))
-        else None
-      // trim against PRIOR state only, materialized before the
-      // state advances (the fold below must not shift verdicts)
-      probe(delta, state).write.mode("append").parquet(outPath)
+      val out = new java.io.File(outPath)
+      out.mkdirs()
+      val target = new java.io.File(out, s"batch=$batchId")
+      if (!target.exists()) {
+        val state =
+          if (VersionedState.exists(path))
+            Some(VersionedState.readCurrent(delta.sparkSession, path))
+          else None
+        // trim against PRIOR state only, materialized before the
+        // state advances (the fold below must not shift verdicts).
+        // Deterministic staging name: a crashed attempt's leftovers
+        // are simply overwritten by the replay.
+        val staging = new java.io.File(out, s".staging-batch-$batchId")
+        probe(delta, state).write.mode("overwrite")
+          .parquet(staging.getAbsolutePath)
+        try java.nio.file.Files.move(staging.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent replay published first — its content is
+          // byte-equivalent, ours is surplus
+          case _: java.nio.file.FileAlreadyExistsException =>
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+            rm(staging)
+        }
+      }
     }
+    failpoint()
     maintainBatch(delta, path, batchId)
   }
 

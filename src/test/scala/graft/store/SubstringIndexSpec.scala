@@ -215,6 +215,43 @@ class SubstringIndexSpec extends SparkSpec {
     assert(VersionedState.currentVersion(stateDir) == v)
   }
 
+  test("crash exactly between emit and fold: the replay re-emits " +
+    "NOTHING (atomic batch-dir publish) and the state folds once") {
+    val stateDir = graft.TempDirs.scratch("si-crash-state").toString
+    val outDir = graft.TempDirs.scratch("si-crash-out").toString
+    val span = u("cw", 24)
+    val b1 = frame(Seq(1L -> (span ++ u("q", 10))))
+    val b2 = frame(Seq(10L -> (u("r", 4) ++ span ++ u("s", 5))))
+    SubstringIndex.trimBatch(b1, stateDir, outDir, batchId = 0L)
+    val v1 = VersionedState.currentVersion(stateDir)
+
+    // the r14 window: emit published, then the JVM dies before the fold
+    val boom = intercept[RuntimeException] {
+      SubstringIndex.trimBatch(b2, stateDir, outDir, batchId = 1L,
+        failpoint = () => throw new RuntimeException("kill between emit+fold"))
+    }
+    assert(boom.getMessage.contains("emit+fold"))
+    assert(VersionedState.currentVersion(stateDir) == v1 &&
+      VersionedState.lastBatchId(stateDir) == 0L,
+      "state advanced despite the crash")
+    val afterCrash = spark.read.parquet(outDir).count()
+    assert(afterCrash == 2L, "batch 1's emit should already be published")
+
+    // recovery: the checkpoint re-delivers batch 1
+    SubstringIndex.trimBatch(b2, stateDir, outDir, batchId = 1L)
+    assert(spark.read.parquet(outDir).count() == afterCrash,
+      "replay re-emitted duplicate output rows")
+    assert(VersionedState.currentVersion(stateDir) == v1 + 1 &&
+      VersionedState.lastBatchId(stateDir) == 1L, "fold did not recover")
+
+    // and the recovered output IS the batch reference computation
+    val got = byDoc(spark.read.parquet(outDir))
+    val expect = byDoc(SubstringIndex.probe(b1, None)) ++
+      byDoc(SubstringIndex.probe(b2, Some(SubstringIndex.partial(b1))))
+    assert(got == expect)
+    assert(got(10L)._2 == 9L, "span not trimmed from the replayed batch")
+  }
+
   test("probing depends on history only through the state frame: the " +
     "bootstrap batch's source file can be deleted before the probe") {
     val dir = graft.TempDirs.scratch("substring-index-odelta").toString
