@@ -119,6 +119,12 @@ object UaRules {
     UaRule("Avast Secure Browser", "Avast/", "Avast/(\\d+)"),
     UaRule("AVG Secure Browser", "AVG/", "AVG/(\\d+)"),
     UaRule("Seznam Browser", "SznProhlizec/", "SznProhlizec/(\\d+)"),
+    // RU Chromium shells (tail round 8). Amigo is a Mail.ru product
+    // whose UA also carries the MRCHROME token — its own rule must
+    // outrank the generic Mail.ru rule directly below
+    UaRule("Amigo", "Amigo/", "Amigo/(\\d+)"),
+    UaRule("Orbitum", "Orbitum/", "Orbitum/(\\d+)"),
+    UaRule("Sputnik", "\\bSputnik/\\d", "\\bSputnik/(\\d+)"),
     UaRule("Mail.ru Chromium Browser", "MRCHROME"),
     UaRule("Puffin", "Puffin/", "Puffin/(\\d+)"),
     UaRule("Amazon Silk", "Silk/", "Silk/(\\d+)"),
@@ -131,6 +137,24 @@ object UaRules {
     UaRule("APUS Browser", "APUSBrowser/", "APUSBrowser/(\\d+)"),
     UaRule("Via Browser", "\\bVia/", "\\bVia/(\\d+)"),
     UaRule("qutebrowser", "qutebrowser/", "qutebrowser/(\\d+)"),
+    // tail round 8: privacy/de-googled Chromium shells, search-engine
+    // browsers, JP/legacy shells — every UA rides a Chrome token, so
+    // each must precede the engine rules. (Arc deliberately ships a
+    // plain Chrome UA with no token of its own — no rule can exist;
+    // it lands on Chrome, same as uap-core.)
+    UaRule("Iridium", "Iridium/", "Iridium/(\\d+)"),
+    UaRule("Blisk", "Blisk/", "Blisk/(\\d+)"),
+    UaRule("Beaker Browser", "BeakerBrowser/", "BeakerBrowser/(\\d+)"),
+    UaRule("Qwant", "Qwant(?:iOS|Mobile|Browser)?/",
+      "Qwant(?:iOS|Mobile|Browser)?/(\\d+)"),
+    UaRule("Norton Private Browser", "Norton/", "Norton/(\\d+)"),
+    UaRule("UR Browser", "\\bUR/\\d", "\\bUR/(\\d+)"),
+    UaRule("Thorium", "Thorium/", "Thorium/(\\d+)"),
+    UaRule("Kinza", "Kinza/", "Kinza/(\\d+)"),
+    UaRule("Superbird", "Superbird/", "Superbird/(\\d+)"),
+    UaRule("Colibri", "Colibri/", "Colibri/(\\d+)"),
+    UaRule("Polarity", "Polarity/", "Polarity/(\\d+)"),
+    UaRule("RockMelt", "RockMelt/", "RockMelt/(\\d+)"),
     // Electron APP shells carry their product token next to Electron/,
     // so they must outrank the framework rule
     UaRule("Slack", "Slack/", "Slack/(\\d+)"),
@@ -276,6 +300,9 @@ object UaRules {
     UaRule("Iceweasel", "Iceweasel/", "Iceweasel/(\\d+)"),
     UaRule("K-Meleon", "K-Meleon/", "K-Meleon/(\\d+)"),
     UaRule("Camino", "Camino/", "Camino/(\\d+)"),
+    // tail round 8: historical Gecko shells whose UAs carry Firefox/
+    UaRule("Flock", "Flock/", "Flock/(\\d+)"),
+    UaRule("Galeon", "Galeon/", "Galeon/(\\d+)"),
     UaRule("Thunderbird", "Thunderbird/", "Thunderbird/(\\d+)"),
     UaRule("Evolution", "Evolution/", "Evolution/(\\d+)"),
     UaRule("Lotus Notes", "Lotus-Notes/", "Lotus-Notes/(\\d+)"),
