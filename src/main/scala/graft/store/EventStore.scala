@@ -208,6 +208,14 @@ object EventStore {
     * per-partition so a 100 TB table compacts incrementally, month by
     * month, without a full rewrite.
     *
+    * Ops constraint: a LIVE file-source subscription tailing this
+    * collection ([[graft.streaming.Subscriptions.fileStream]]) tracks
+    * files, not the manifest — a rewritten partition's new part files
+    * would re-enter the tail as fresh data. Compact months the tail
+    * has already aged out (the default posture: compaction targets
+    * cold months, subscriptions tail the hot edge), or stop the
+    * subscription for the maintenance window.
+    *
     * `zorderBy = Some((userCol, timeCol))` makes the rewrite also
     * RE-CLUSTER the partition on the Morton interleave of the two
     * columns ([[graft.analytics.LayoutQueries.zorderWrite]]): each
