@@ -116,6 +116,30 @@ object EventStore {
       case None => spark.read.option("mergeSchema", "true").parquet(table)
     }
 
+  /** Time travel: the table as of one committed log version — the
+    * capability a training pipeline needs for REPRODUCIBLE runs: pin
+    * `(collection, version)` in the run's metadata and every re-read
+    * resolves the identical file set, whatever has been appended or
+    * compacted since (Delta/Iceberg's `VERSION AS OF`, restated on the
+    * commit log). Only versions a [[vacuum]] retention window still
+    * covers resolve; older ones fail fast on the missing files rather
+    * than silently reading a different corpus. `currentVersion` is the
+    * number to pin. */
+  def currentVersion(warehouse: String, project: String,
+      collection: String): Option[Long] =
+    TableManifest.latestVersion(tablePath(warehouse, project, collection))
+
+  def readAt(spark: SparkSession, registry: SchemaRegistry, warehouse: String,
+      project: String, collection: String, version: Long): DataFrame = {
+    val table = tablePath(warehouse, project, collection)
+    val files = TableManifest.filesAt(table, version).toSeq.sorted
+      .map(rel => new java.io.File(table, rel).getAbsolutePath)
+    require(files.nonEmpty, s"version $version of $project/$collection is empty or unknown")
+    val df = spark.read.option("basePath", table).option("mergeSchema", "true")
+      .parquet(files: _*)
+    alignToRegistry(df, registry, project, collection)
+  }
+
   /** Physically remove files superseded by compaction/erasure commits
     * (and aged-out crashed staging dirs) once no retained manifest
     * references them — see [[TableManifest.vacuum]]. */
@@ -129,8 +153,12 @@ object EventStore {
     * footers and the final select null-fills anything still missing
     * and fixes column order. */
   def read(spark: SparkSession, registry: SchemaRegistry, warehouse: String,
-      project: String, collection: String): DataFrame = {
-    val df = scanTable(spark, tablePath(warehouse, project, collection))
+      project: String, collection: String): DataFrame =
+    alignToRegistry(scanTable(spark, tablePath(warehouse, project, collection)),
+      registry, project, collection)
+
+  private def alignToRegistry(df: DataFrame, registry: SchemaRegistry,
+      project: String, collection: String): DataFrame =
     registry.schema(project, collection) match {
       case None => df
       case Some(fields) =>
@@ -140,7 +168,6 @@ object EventStore {
         } :+ col("_month") // partition column rides along for pruning
         df.select(cols: _*)
     }
-  }
 
   /** Single-job batch fan-out: a unified batch (from
     * JsonIngest.ingestUnified, `_collection` + union-of-schemas columns)

@@ -203,6 +203,41 @@ class CompactionSpec extends SparkSpec {
     assert(fresh.length == 300 && fresh.toSet == (0L until 300L).toSet)
   }
 
+  test("time travel: a pinned version re-reads the identical corpus " +
+    "across later appends AND a compaction rewrite") {
+    val warehouse = graft.TempDirs.scratch("graft-tt").toString
+    val registry = graft.core.SchemaRegistry.inMemory()
+    def batch(b: Int) = (0 until 25).map(i => (b.toLong * 25 + i, s"u${i % 3}"))
+      .toDF("event_id", "_user")
+      .withColumn("_time", lit("2026-07-01 12:00:00").cast("timestamp"))
+    (0 until 3).foreach(b => EventStore.write(batch(b), warehouse, "demo", "run"))
+    // the reproducibility contract: pin THIS number in a training
+    // run's metadata…
+    val pinned = EventStore.currentVersion(warehouse, "demo", "run").get
+
+    (3 until 5).foreach(b => EventStore.write(batch(b), warehouse, "demo", "run"))
+    EventStore.compactPartition(spark, warehouse, "demo", "run",
+      month = "2026-07", rowsPerFile = 1_000_000L)
+
+    // …and every later re-read of that version is byte-for-byte the
+    // same corpus, though the head moved and the files were rewritten
+    val asOf = EventStore.readAt(spark, registry, warehouse, "demo", "run", pinned)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(asOf.length == 75 && asOf.toSet == (0L until 75L).toSet)
+    val head = EventStore.read(spark, registry, warehouse, "demo", "run")
+    assert(head.count() == 125)
+
+    // a vacuumed-away version fails FAST (missing files), never
+    // silently serves a different corpus
+    EventStore.vacuum(warehouse, "demo", "run", retainVersions = 1,
+      graceMs = 0L)
+    val gone = intercept[Exception] {
+      EventStore.readAt(spark, registry, warehouse, "demo", "run", pinned)
+        .count()
+    }
+    assert(gone != null)
+  }
+
   test("crash mid-publish commits nothing: a batch with no manifest " +
     "entry is invisible, and vacuum reaps its orphans") {
     val warehouse = graft.TempDirs.scratch("graft-orphan").toString
