@@ -213,6 +213,7 @@ final class HttpGateway(
     server.createContext("/user/delete", route(authed(MasterRole)(handleUserDelete)))
     server.createContext("/admin/compact", route(authed(MasterRole)(handleCompact)))
     server.createContext("/admin/vacuum", route(authed(MasterRole)(handleVacuum)))
+    server.createContext("/admin/versions", route(authed(MasterRole)(handleVersions)))
     server.createContext("/admin/configurations", route(authed(MasterRole)(handleAdminConfig)))
     server.createContext("/admin/types", route(authed(MasterRole)(handleAdminTypes)))
     server.createContext("/admin/event_mappers", route(authed(MasterRole)(handleAdminMappers)))
@@ -1173,6 +1174,22 @@ final class HttpGateway(
       }
     }
     (200, s"""{"files":$files}""")
+  }
+
+  /** `GET /admin/versions?collection=…` — the table's commit-log head
+    * and file count: the number a training run pins for
+    * [[graft.store.EventStore.readAt]] time travel, and the ops view
+    * of how much history vacuum retention is carrying. */
+  private def handleVersions(ex: HttpExchange): (Int, String) = {
+    val collection = queryParams(ex).getOrElse("collection",
+      throw new IngestRejected("collection is required"))
+    EventStore.currentVersion(warehouse, project, collection) match {
+      case None => (404, """{"error":"no committed versions"}""")
+      case Some(v) =>
+        val files = graft.store.TableManifest
+          .filesAt(EventStore.tablePath(warehouse, project, collection), v).size
+        (200, s"""{"collection":"$collection","version":$v,"files":$files}""")
+    }
   }
 
   /** `POST /admin/vacuum` — the physical half of maintenance: compaction

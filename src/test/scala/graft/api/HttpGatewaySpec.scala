@@ -553,6 +553,24 @@ class HttpGatewaySpec extends SparkSpec {
       assert(q2.body() == """[{"n":2}]""", q2.body())
       assert(post(port, "/admin/compact",
         """{"collection": "pv", "month": "1999-01"}""").statusCode() == 400)
+
+      // the commit-log ops doors: head version + file count, then
+      // vacuum reaps what compaction logically removed
+      val vers = get(port, "/admin/versions?collection=pv")
+      assert(vers.statusCode() == 200 &&
+        vers.body().contains("\"files\":1"), vers.body())
+      val vac = post(port, "/admin/vacuum",
+        """{"collection": "pv", "grace_ms": 0}""")
+      assert(vac.statusCode() == 200, vac.body())
+      val deleted = "\"deleted_files\":(\\d+)".r
+        .findFirstMatchIn(vac.body()).get.group(1).toInt
+      assert(deleted >= 1, s"vacuum reaped nothing: ${vac.body()}")
+      val q3 = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM pv"}""")
+      assert(q3.body() == """[{"n":2}]""", q3.body())
+      assert(get(port, "/admin/versions?collection=nope").statusCode() == 404)
+      assert(post(port, "/admin/vacuum",
+        """{"collection": "pv", "retain_versions": 0}""").statusCode() == 400)
     }
   }
 
