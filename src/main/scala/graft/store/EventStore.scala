@@ -95,7 +95,9 @@ object EventStore {
           }
         }
       publish(staging, tableDir, "")
-      TableManifest.commit(table, published.result())
+      val files = published.result()
+      // an all-empty batch publishes no files — don't burn a version
+      if (files.nonEmpty) TableManifest.commit(table, files)
     } finally rmrf(staging)
   }
 
