@@ -57,7 +57,8 @@ class GatewayFuzzSpec extends SparkSpec {
     "/index/vocab/train", "/index/vocab/drift", "/index/vocab/compact",
     "/tokenizer/train", "/tokenizer/chunks", "/tokenizer/drift",
     "/corpus/funnel", "/corpus/probe/train",
-    "/admin/compact", "/admin/lock_key")
+    "/admin/compact", "/admin/vacuum", "/admin/versions",
+    "/analysis/segmentation", "/admin/lock_key")
 
   private val bodies = Seq(
     "",
