@@ -252,6 +252,59 @@ class SubstringIndexSpec extends SparkSpec {
     assert(got(10L)._2 == 9L, "span not trimmed from the replayed batch")
   }
 
+  test("trimStream crash-restart through the REAL streaming machinery: " +
+    "the query dies between emit and fold, a fresh session replays the " +
+    "batch from the checkpoint, output stays exactly-once") {
+    val streamDir = graft.TempDirs.scratch("si-rr-in").toString
+    val stateDir = graft.TempDirs.scratch("si-rr-state").toString
+    val outDir = graft.TempDirs.scratch("si-rr-out").toString
+    val ckpt = graft.TempDirs.scratch("si-rr-ckpt").toString
+    val span = u("rr", 24)
+    val b1 = frame(Seq(1L -> (span ++ u("g", 12))))
+    val b2 = frame(Seq(10L -> (u("h", 6) ++ span ++ u("k", 7))))
+    // the bomb arms ONCE, for micro-batch 1, exactly in the emit→fold
+    // window — the crash class the atomic batch-dir publish exists for
+    val bomb = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startQuery(s: org.apache.spark.sql.SparkSession) = {
+      import org.apache.spark.sql.DataFrame
+      s.readStream.schema(b1.schema).parquet(streamDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (delta: DataFrame, id: Long) =>
+          SubstringIndex.trimBatch(delta, stateDir, outDir, id,
+            failpoint = () =>
+              if (id == 1L && bomb.getAndSet(false))
+                throw new RuntimeException("die between emit and fold"))
+        }
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    b1.write.mode("append").parquet(streamDir)
+    val q1 = startQuery(spark)
+    q1.processAllAvailable()
+    b2.write.mode("append").parquet(streamDir)
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(died.getMessage.contains("die between emit and fold") ||
+      Option(died.getCause).exists(_.getMessage.contains("die between")))
+    // batch 1's emit is already published; its fold is not
+    assert(VersionedState.lastBatchId(stateDir) == 0L)
+
+    // fresh session, same checkpoint: the uncommitted batch replays
+    val q2 = startQuery(spark.newSession())
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+
+    val got = byDoc(spark.read.parquet(outDir))
+    val expect = byDoc(SubstringIndex.probe(b1, None)) ++
+      byDoc(SubstringIndex.probe(b2, Some(SubstringIndex.partial(b1))))
+    assert(got == expect, "recovered stream output diverged from batch path")
+    assert(spark.read.parquet(outDir).count() == 2L,
+      "replay duplicated the crashed batch's emit")
+    assert(VersionedState.lastBatchId(stateDir) == 1L, "fold did not recover")
+  }
+
   test("probing depends on history only through the state frame: the " +
     "bootstrap batch's source file can be deleted before the probe") {
     val dir = graft.TempDirs.scratch("substring-index-odelta").toString
