@@ -988,12 +988,15 @@ final class HttpGateway(
     (200, all.toJSON.collect().mkString("[", ",", "]"))
   }
 
-  /** `GET /analysis/segmentation?collection=…&dimension=…[&limit=n]` —
-    * users/events per dimension value. The driver-side JSON is bounded
-    * by `limit` (default 1000, the `/query/execute` door's ceiling):
-    * without it a caller segmenting on a user-id-like column would pull
-    * that column's full cardinality into one driver collect. Top
-    * groups by event count — the ordering a segmentation UI shows. */
+  /** `GET /analysis/segmentation?collection=…&dimension=…[&limit=n]
+    * [&version=v]` — users/events per dimension value. The driver-side
+    * JSON is bounded by `limit` (default 1000, the `/query/execute`
+    * door's ceiling): without it a caller segmenting on a user-id-like
+    * column would pull that column's full cardinality into one driver
+    * collect. Top groups by event count — the ordering a segmentation
+    * UI shows. `version` serves the analysis over a pinned commit-log
+    * version ([[EventStore.readAt]] time travel — reproduce last
+    * week's report numbers exactly, whatever has landed since). */
   private def handleSegmentation(ex: HttpExchange): (Int, String) = {
     val params = queryParams(ex)
     val collection = params.getOrElse("collection",
@@ -1003,7 +1006,17 @@ final class HttpGateway(
     val limit = params.get("limit").map(s => s.toIntOption.getOrElse(
       throw new IngestRejected(s"limit must be an integer, got '$s'")))
       .getOrElse(1000)
-    val stored = EventStore.read(spark, registry, warehouse, project, collection)
+    val stored = params.get("version") match {
+      case Some(v) =>
+        val ver = v.toLongOption.getOrElse(
+          throw new IngestRejected(s"version must be an integer, got '$v'"))
+        try EventStore.readAt(spark, registry, warehouse, project, collection, ver)
+        catch { case e: IllegalArgumentException =>
+          throw new IngestRejected(String.valueOf(e.getMessage))
+        }
+      case None =>
+        EventStore.read(spark, registry, warehouse, project, collection)
+    }
     if (!stored.columns.contains(dimension))
       throw new IngestRejected(s"unknown dimension '$dimension'")
     val seg = stored.groupBy(col(dimension))

@@ -67,6 +67,25 @@ class HttpGatewaySpec extends SparkSpec {
       assert(get(port,
         "/analysis/segmentation?collection=pageview&dimension=page&limit=x")
         .statusCode() == 400)
+
+      // time travel through the door: pin the current version, land
+      // another event, and the pinned read reproduces the OLD numbers
+      val ver = "\"version\":(\\d+)".r.findFirstMatchIn(
+        get(port, "/admin/versions?collection=pageview").body()).get.group(1)
+      assert(post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u3", "_time": "2026-01-17 09:00:00.000", "page": "/a"}}""")
+        .statusCode() == 200)
+      val now = get(port,
+        "/analysis/segmentation?collection=pageview&dimension=page")
+      assert(now.body().contains("\"users\":3"), now.body())
+      val pinned = get(port,
+        s"/analysis/segmentation?collection=pageview&dimension=page&version=$ver")
+      assert(pinned.statusCode() == 200 &&
+        pinned.body().contains("\"users\":2") &&
+        !pinned.body().contains("\"users\":3"), pinned.body())
+      assert(get(port,
+        "/analysis/segmentation?collection=pageview&dimension=page&version=x")
+        .statusCode() == 400)
     }
   }
 
