@@ -214,6 +214,11 @@ private[graft] object TableManifest {
       .foreach(v => commitFile(table, v).delete(): Unit)
     listVersions(table, CheckpointName).filter(_ < keepFrom)
       .foreach(v => checkpointFile(table, v).delete(): Unit)
+    // a crashed committer's CAS tmp ages out on the same grace window
+    Option(manifestDir(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".cas-") &&
+        f.lastModified() < cutoff)
+      .foreach(f => f.delete(): Unit)
     // orphaned staging dirs from crashed appenders age out on the same
     // grace window (a live appender's staging dir is younger than it)
     Option(new File(table).listFiles()).getOrElse(Array.empty)
