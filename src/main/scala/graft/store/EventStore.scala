@@ -134,9 +134,23 @@ object EventStore {
   def readAt(spark: SparkSession, registry: SchemaRegistry, warehouse: String,
       project: String, collection: String, version: Long): DataFrame = {
     val table = tablePath(warehouse, project, collection)
-    val files = TableManifest.filesAt(table, version).toSeq.sorted
-      .map(rel => new java.io.File(table, rel).getAbsolutePath)
-    require(files.nonEmpty, s"version $version of $project/$collection is empty or unknown")
+    val head = TableManifest.latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$project/$collection has no committed versions"))
+    if (version < 1 || version > head) throw new IllegalArgumentException(
+      s"version $version of $project/$collection out of range 1..$head")
+    val files =
+      try TableManifest.filesAt(table, version).toSeq.sorted
+        .map(rel => new java.io.File(table, rel).getAbsolutePath)
+      catch {
+        // the log tail behind a vacuumed checkpoint is gone — a caller
+        // error (stale pin), not an engine fault
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalArgumentException(
+            s"version $version of $project/$collection is no longer " +
+              "resolvable (behind the vacuum retention window)")
+      }
+    require(files.nonEmpty, s"version $version of $project/$collection is empty")
     val df = spark.read.option("basePath", table).option("mergeSchema", "true")
       .parquet(files: _*)
     alignToRegistry(df, registry, project, collection)

@@ -86,6 +86,10 @@ class HttpGatewaySpec extends SparkSpec {
       assert(get(port,
         "/analysis/segmentation?collection=pageview&dimension=page&version=x")
         .statusCode() == 400)
+      // beyond-head and ancient-vacuumed versions are caller errors
+      assert(get(port,
+        "/analysis/segmentation?collection=pageview&dimension=page&version=999999")
+        .statusCode() == 400)
     }
   }
 
