@@ -24,11 +24,12 @@ import java.nio.file.Files
   * commits after it — O(delta) write cost, O(checkpoint + few deltas)
   * read cost.
   *
-  * Writers commit version N+1 by an atomic hard-link create of its
-  * commit file (full content visible or nothing — the same
-  * atomic-create class as the `_rewrite.lock` fence: local and
-  * HDFS-like filesystems have it, S3 deployments front it with a
-  * coordinator, see SCALE.md §multi-driver); a loser re-reads and
+  * Writers commit version N+1 by an atomic create-with-content of its
+  * commit file (full content visible or nothing): on the local
+  * filesystem that is a hard link from a written tmp file; on HDFS
+  * the same CAS is `rename` WITHOUT overwrite (atomic, fails if the
+  * target exists); object stores without either front the CAS with a
+  * coordinator (SCALE.md §multi-driver). A loser re-reads and
   * replays its delta (set operations — exact over any winner's
   * baseline). Readers pin one version per query — the DataFrame's file
   * list is fixed at resolution, so a scan races nothing. The reference
