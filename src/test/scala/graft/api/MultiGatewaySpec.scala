@@ -1,0 +1,101 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+import graft.core.SchemaRegistry
+import graft.store.EventStore
+
+/** The r15 multi-driver story, end to end over live sockets: TWO
+  * gateway instances — each with its OWN persistent [[SchemaRegistry]]
+  * over one shared metastore dir, both writing one shared warehouse —
+  * take concurrent collects carrying gateway-specific fields. Nothing
+  * is shared in-process (separate registries, separate HTTP servers,
+  * separate write locks), so what converges here is exactly the
+  * cross-driver machinery: the registry's merge-under-file-lock
+  * commit and the store's manifest CAS. The reference runs this
+  * topology on Postgres (many collectors, one database); this is the
+  * parquet restatement.
+  *
+  * Asserted: every event lands exactly once (a third, fresh registry
+  * + manifest-pinned read), both gateways' schema doors answer the
+  * converged union, and neither gateway 500s under the interleaving. */
+class MultiGatewaySpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("two gateways, one warehouse: concurrent ingest converges to " +
+    "one union schema and an exactly-once store") {
+    val warehouse = graft.TempDirs.scratch("graft-mgw-wh").toString
+    val metaDir = graft.TempDirs.scratch("graft-mgw-meta").toString
+    val r1 = SchemaRegistry.persistent(metaDir)
+    val r2 = SchemaRegistry.persistent(metaDir)
+    val gw1 = new HttpGateway(spark, r1, warehouse, "demo")
+    val gw2 = new HttpGateway(spark, r2, warehouse, "demo")
+    val p1 = gw1.start()
+    val p2 = gw2.start()
+    try {
+      val n = 12 // per gateway; every event into ONE month partition
+      val fail = new java.util.concurrent.atomic.AtomicReference[String]()
+      def worker(port: Int, tag: String): Thread = new Thread(() => {
+        try (0 until n).foreach { i =>
+          val r = post(port, "/event/collect",
+            s"""{"collection": "hits", "properties": {"_user": "$tag$i",
+               |"_time": "2026-08-01 10:00:00.000", "eid": "$tag-$i",
+               |"f_$tag": $i}}""".stripMargin.replace("\n", " "))
+          if (r.statusCode() != 200)
+            fail.compareAndSet(null, s"$tag#$i -> ${r.statusCode()}: ${r.body()}")
+        } catch { case t: Throwable =>
+          fail.compareAndSet(null, s"$tag threw: $t")
+        }
+      }, s"gateway-worker-$tag")
+      val wa = worker(p1, "a"); val wb = worker(p2, "b")
+      wa.start(); wb.start(); wa.join(); wb.join()
+      assert(fail.get() == null, String.valueOf(fail.get()))
+
+      // a third driver: fresh registry loaded from the shared
+      // metastore, manifest-pinned read of the shared table
+      val r3 = SchemaRegistry.persistent(metaDir)
+      r3.load("demo")
+      val fields = r3.schema("demo", "hits").get.map(_.name)
+      assert(fields.contains("f_a") && fields.contains("f_b"),
+        s"union schema lost a gateway's field: $fields")
+      val eids = EventStore.read(spark, r3, warehouse, "demo", "hits")
+        .select("eid").collect().map(_.getString(0))
+      assert(eids.length == 2 * n && eids.toSet.size == 2 * n,
+        s"expected ${2 * n} events exactly once, got ${eids.length} " +
+          s"(${eids.length - eids.toSet.size} duplicated)")
+
+      // one more collect through each gateway: a commit is also a
+      // merge, so after it each instance's serving cache provably
+      // holds the union (a gateway whose LAST commit predated the
+      // other's would otherwise legitimately lag until its next write)
+      assert(post(p1, "/event/collect",
+        """{"collection": "hits", "properties": {"_user": "za", "_time": "2026-08-01 10:00:01.000", "eid": "za", "f_a": 99}}""")
+        .statusCode() == 200)
+      assert(post(p2, "/event/collect",
+        """{"collection": "hits", "properties": {"_user": "zb", "_time": "2026-08-01 10:00:01.000", "eid": "zb", "f_b": 99}}""")
+        .statusCode() == 200)
+
+      // both gateways serve the converged schema over their own doors
+      for (p <- Seq(p1, p2)) {
+        val s = get(p, "/project/schema?collection=hits")
+        assert(s.statusCode() == 200 &&
+          s.body().contains("f_a") && s.body().contains("f_b"),
+          s"gateway on $p serves a forked schema: ${s.body()}")
+      }
+    } finally { gw1.stop(); gw2.stop() }
+  }
+}
