@@ -64,31 +64,132 @@ object Bench {
       case Some(names) => SparkEntry.registry.filter(q => names(q._1))
       case None => SparkEntry.registry
     }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // ---- burst-proof record keeping (r15 verdict #1) -----------------
+    // The r15 driver bench was killed by an external timeout ~70%
+    // through the registry and produced ZERO parseable data: the record
+    // only wrote after the full pass + adjudication completed. Three
+    // defenses, so a killed run still yields a usable, honest record:
+    //  (a) every completed row streams to BENCH_PARTIAL.jsonl the
+    //      moment it lands (crash forensics, row-exact);
+    //  (b) a JVM shutdown hook emits the full + digest stdout lines for
+    //      whatever finished, marked with "truncated_at" — the driver's
+    //      stdout-tail parser gets a record even on SIGTERM;
+    //  (c) SPARK_GRAFT_BENCH_DEADLINE_S stops the main pass (and skips
+    //      adjudication) once the wall clock passes it, so a run that
+    //      WOULD overrun its sandbox timeout degrades to a clean
+    //      truncated record instead of a kill.
+    // A truncated/hook record never overwrites BENCH_LOCAL.json (that
+    // file is the full-registry gate record and the adjudication
+    // baseline); partials go to BENCH_PARTIAL.json.
+    val benchStart = System.nanoTime()
+    val deadlineS = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S")
+      .map(s => s.toDoubleOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_BENCH_DEADLINE_S must be a number, got '$s'")))
+    def pastDeadline(): Boolean =
+      deadlineS.exists(d => (System.nanoTime() - benchStart) / 1e9 > d)
+    val partialJsonl = java.nio.file.Paths.get("BENCH_PARTIAL.jsonl")
+    if (only.isEmpty)
+      java.nio.file.Files.write(partialJsonl, Array.empty[Byte])
+
     def timeQuery(name: String, qd: QueryDef, n: Int): (Double, Boolean) = {
-      val times = (1 to n).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // execute the query's OWN plan (toRdd): a .count() on top would
-        // let Catalyst column-prune final projections out of the
-        // measurement, under-timing exactly the expression-heavy
-        // queries (same flaw the QueriesSmokeSpec codegen lint had)
-        try {
-          qd.build(spark, sfDir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
-        }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+      var excepted = false
+      val times = (1 to n).flatMap { i =>
+        // a deadline mid-reps settles for the reps already taken (≥1)
+        // rather than abandoning the row
+        if (excepted || (i > 1 && pastDeadline())) None
+        else {
+          val t0 = System.nanoTime()
+          // execute the query's OWN plan (toRdd): a .count() on top
+          // would let Catalyst column-prune final projections out of
+          // the measurement, under-timing exactly the expression-heavy
+          // queries (same flaw the QueriesSmokeSpec codegen lint had)
+          try {
+            qd.build(spark, sfDir).queryExecution.toRdd.count()
+            Some((System.nanoTime() - t0) / 1e9)
+          }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            excepted = true
+            None
+          }
         }
       }
       val median =
         if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
-      (median, times.size == n)
+      (median, !excepted && times.nonEmpty)
     }
-    val results = selected.map { case (name, qd) =>
-      val (median, ok) = timeQuery(name, qd, reps)
-      (name, median, ok)
+
+    // shared with the shutdown hook — synchronize snapshots
+    val resultsBuf = new scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
+    @volatile var cutAt: Option[String] = None
+    @volatile var inFlight: Option[String] = None
+    val recordEmitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** The full record line + the driver-facing compact digest (the
+      * stdout-tail capture keeps only ~2000 chars; the digest always
+      * fits). `truncatedAt` marks a partial record — the query the run
+      * never finished (deadline cut or kill-in-flight). */
+    def recordLines(results: Seq[(String, Double, Boolean)], adjPart: String,
+        truncatedAt: Option[String]): (String, String) = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.collect { case (_, v, true) => v }.sum
+      val truncPart = truncatedAt
+        .map(n => s""","truncated_at":"$n"""").getOrElse("")
+      val line =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"contended":$contended,"max_calib":${fmt(maxCalib)},"queries":$qs,"failed":$failed$adjPart$truncPart,"sf":"$sfDir"}"""
+      val slowest = results.collect { case (k, v, true) => (k, v) }
+        .sortBy(-_._2).take(12)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val digest =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${
+          fmt(calib)},"contended":$contended,"max_calib":${fmt(maxCalib)},"n_queries":${
+          results.size},"queries":$slowest,"queries_truncated":true,"failed":$failed$truncPart,"full_record":"${
+          if (truncatedAt.isEmpty) "BENCH_LOCAL.json" else "BENCH_PARTIAL.json"
+          }","sf":"$sfDir"}"""
+      (line, digest)
     }
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val hook = new Thread(() => {
+      if (recordEmitted.compareAndSet(false, true)) {
+        val snap = resultsBuf.synchronized { resultsBuf.toList }
+        val cut = cutAt.orElse(inFlight).orElse(Some("(start)"))
+        val (line, digest) = recordLines(snap, "", cut)
+        println(line)
+        if (only.isEmpty) println(digest)
+        scala.Console.out.flush()
+        if (only.isEmpty)
+          try java.nio.file.Files.write(
+            java.nio.file.Paths.get("BENCH_PARTIAL.json"),
+            (line + "\n").getBytes("UTF-8"))
+          catch { case _: Exception => () }
+      }
+    }, "bench-shutdown-record")
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    for ((name, qd) <- selected if cutAt.isEmpty) {
+      if (pastDeadline()) {
+        cutAt = Some(name)
+        System.err.println(s"[bench] wall-clock deadline (${deadlineS.get}s)" +
+          s" reached — stopping before $name, recording the cut")
+      } else {
+        inFlight = Some(name)
+        val (median, ok) = timeQuery(name, qd, reps)
+        resultsBuf.synchronized { resultsBuf += ((name, median, ok)) }
+        inFlight = None
+        if (only.isEmpty)
+          java.nio.file.Files.write(partialJsonl,
+            (s"""{"q":"$name","sec":${fmt(median)},"ok":$ok}""" + "\n")
+              .getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.APPEND)
+      }
+    }
+    val results = resultsBuf.synchronized { resultsBuf.toList }
     // ---- Self-adjudication (r13 verdict #2) -------------------------
     // The r13 official record shipped from a burst-noise window with 15
     // calib-scaled flags that only a judge-side solo re-bench cleared:
@@ -156,7 +257,12 @@ object Bench {
         case (b, bCalib) =>
           t > math.max(2 * b, b + 0.5) * (calib / bCalib)
       }
-    val adjudication: Option[String] = prevRecord.flatMap {
+    // a deadline-cut run skips adjudication outright: its rows are a
+    // prefix of the registry and the solo re-runs would overrun the
+    // very deadline that cut the pass
+    val adjudication: Option[String] =
+      if (cutAt.nonEmpty || pastDeadline()) None
+      else prevRecord.flatMap {
       case (prevCalib, prevQs) =>
         val ratio = calib / prevCalib
         val flaggedAll = results.collect {
@@ -176,7 +282,7 @@ object Bench {
           val (priority, rest) =
             flaggedAll.partition { case (n, _) => overBudget(n, byName(n)) }
           val flagged = (priority ++ rest).take(soloCap)
-          val truncated = flaggedAll.size > soloCap
+          var truncated = flaggedAll.size > soloCap
           System.err.println(
             s"[bench] ${flaggedAll.size} rows flagged vs previous record " +
               s"(calib ratio ${fmt(ratio)}); re-running " +
@@ -184,11 +290,15 @@ object Bench {
               (if (truncated) s" (CAPPED at $soloCap — overflow recorded)"
                else ""))
           val soloCalib = measureCalib()
-          val solo = flagged.map { case (name, _) =>
-            val qd = SparkEntry.registry.find(_._1 == name).get._2
-            val (median, _) = timeQuery(name, qd, math.max(reps, 5))
-            name -> median
-          }
+          // the deadline also bounds the solo pass: completed solos are
+          // kept, the rest stay on their main-pass numbers
+          val solo = flagged.iterator.takeWhile(_ => !pastDeadline())
+            .map { case (name, _) =>
+              val qd = SparkEntry.registry.find(_._1 == name).get._2
+              val (median, _) = timeQuery(name, qd, math.max(reps, 5))
+              name -> median
+            }.toList
+          if (solo.size < flagged.size) truncated = true
           val soloJson = solo
             .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
             .mkString("{", ",", "}")
@@ -201,45 +311,34 @@ object Bench {
             s""""adjudication":{"prev_calib":${fmt(prevCalib)},"solo_calib":${fmt(soloCalib)},"flagged":$flaggedJson,"over_budget":$overJson,"solo":$soloJson,"solo_truncated":$truncated}""")
         }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
     val adjPart = adjudication.map("," + _).getOrElse("")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"contended":$contended,"max_calib":${fmt(maxCalib)},"queries":$qs,"failed":$failed$adjPart,"sf":"$sfDir"}"""
-    println(line)
     // Driver-facing digest (r14): the harness that turns this stdout
     // into BENCH_r{N}.json keeps only the LAST ~2000 characters, and
     // the full line outgrew that window around 80 queries — every
     // BENCH_r10..r13.json carries "parsed": null with a mid-line
-    // fragment, and the judge has been recovering the numbers from the
-    // committed BENCH_LOCAL.json instead. Emit a second, compact line
-    // AFTER the full one (so it sits inside the tail window): headline
-    // total + calib + the slowest rows only, explicitly marked
-    // truncated, with a pointer to the lossless record. "value" is the
-    // authoritative total; "queries" here is a top-slice, never a sum
-    // target.
-    if (only.isEmpty) {
-      val slowest = results.collect { case (k, v, true) => (k, v) }
-        .sortBy(-_._2).take(12)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      println(
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${
-          fmt(calib)},"contended":$contended,"max_calib":${fmt(maxCalib)},"n_queries":${
-          results.size},"queries":$slowest,"queries_truncated":true,"failed":$failed,"full_record":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    // fragment. The digest line prints AFTER the full one (so it sits
+    // inside the tail window): headline total + calib + the slowest
+    // rows only, explicitly marked truncated, with a pointer to the
+    // lossless record. "value" is the authoritative total; the digest's
+    // "queries" is a top-slice, never a sum target.
+    val (line, digest) = recordLines(results, adjPart, cutAt)
+    if (recordEmitted.compareAndSet(false, true)) {
+      println(line)
+      if (only.isEmpty) println(digest)
+      // Stdout of a forked run can be tail-truncated by whatever
+      // captures it (r4 lost the first 17 entries of this line); the
+      // file copy is the lossless record. Subset runs
+      // (SPARK_GRAFT_BENCH_ONLY) must NOT clobber it — the file is the
+      // full-registry gate record and the adjudication baseline — and
+      // neither must a deadline-cut partial (it goes to
+      // BENCH_PARTIAL.json instead).
+      if (only.isEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(
+            if (cutAt.isEmpty) "BENCH_LOCAL.json" else "BENCH_PARTIAL.json"),
+          (line + "\n").getBytes("UTF-8"))
     }
-    // Stdout of a forked run can be tail-truncated by whatever captures
-    // it (r4 lost the first 17 entries of this line); the file copy is
-    // the lossless record. Subset runs (SPARK_GRAFT_BENCH_ONLY) must
-    // NOT clobber it — the file is the full-registry gate record, and a
-    // one-query iteration run once silently replaced it.
-    if (only.isEmpty)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (line + "\n").getBytes("UTF-8"))
+    Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
   }
 }

@@ -1003,9 +1003,15 @@ final class HttpGateway(
       throw new IngestRejected("collection is required"))
     val dimension = params.getOrElse("dimension",
       throw new IngestRejected("dimension is required"))
-    val limit = params.get("limit").map(s => s.toIntOption.getOrElse(
-      throw new IngestRejected(s"limit must be an integer, got '$s'")))
-      .getOrElse(1000)
+    val limit = params.get("limit").map { s =>
+      val n = s.toIntOption.getOrElse(
+        throw new IngestRejected(s"limit must be an integer, got '$s'"))
+      // bound BOTH ends: limit<1 reaches DataFrame.limit as an
+      // AnalysisException (a 500 where siblings 400), and an unbounded
+      // high value defeats the documented 1000-row flood ceiling
+      if (n < 1) throw new IngestRejected(s"limit must be >= 1, got $n")
+      math.min(n, 1000)
+    }.getOrElse(1000)
     val stored = params.get("version") match {
       case Some(v) =>
         val ver = v.toLongOption.getOrElse(
@@ -1179,6 +1185,10 @@ final class HttpGateway(
       throw new IngestRejected("month is required"))
     val rowsPerFile = Option(root.get("rows_per_file")).map(_.asLong())
       .getOrElse(1_000_000L)
+    // same registry gate as vacuum: compaction rewrites (and its lock
+    // marker touches) the path derived from the collection name
+    if (!registry.collections(project).contains(collection))
+      throw new IngestRejected(s"unknown collection '$collection'")
     val files = writeLock.synchronized {
       try EventStore.compactPartition(spark, warehouse, project, collection,
         month, rowsPerFile)
@@ -1196,12 +1206,25 @@ final class HttpGateway(
   private def handleVersions(ex: HttpExchange): (Int, String) = {
     val collection = queryParams(ex).getOrElse("collection",
       throw new IngestRejected("collection is required"))
+    // registry gate BEFORE touching the filesystem: an unregistered name
+    // must 404, never probe an attacker-chosen path's manifest state
+    // (`collection=../../x`), and the response is Jackson-built so a
+    // quote/backslash in the param can't yield invalid JSON
+    if (!registry.collections(project).contains(collection))
+      return (404, mapper.writeValueAsString {
+        val n = mapper.createObjectNode()
+        n.put("error", s"unknown collection '$collection'")
+      })
     EventStore.currentVersion(warehouse, project, collection) match {
       case None => (404, """{"error":"no committed versions"}""")
       case Some(v) =>
         val files = graft.store.TableManifest
           .filesAt(EventStore.tablePath(warehouse, project, collection), v).size
-        (200, s"""{"collection":"$collection","version":$v,"files":$files}""")
+        val node = mapper.createObjectNode()
+        node.put("collection", collection)
+        node.put("version", v)
+        node.put("files", files)
+        (200, mapper.writeValueAsString(node))
     }
   }
 
@@ -1219,6 +1242,10 @@ final class HttpGateway(
     val grace = Option(root.get("grace_ms")).map(_.asLong())
       .getOrElse(10 * 60 * 1000L)
     if (retain < 1) throw new IngestRejected("retain_versions must be >= 1")
+    // vacuum DELETES files under tablePath(collection) — an unregistered
+    // name (e.g. `../../x`) must never reach the filesystem
+    if (!registry.collections(project).contains(collection))
+      throw new IngestRejected(s"unknown collection '$collection'")
     val deleted = writeLock.synchronized {
       EventStore.vacuum(warehouse, project, collection, retain, grace)
     }

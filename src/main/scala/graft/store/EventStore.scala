@@ -89,8 +89,7 @@ object EventStore {
             publish(f, new java.io.File(dst, f.getName), s"$rel${f.getName}/")
           else if (f.isFile && f.getName.startsWith("part-")) {
             dst.mkdirs()
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(dst, f.getName).toPath)
+            publishMove(f, new java.io.File(dst, f.getName))
             published += s"$rel${f.getName}"
           }
         }
@@ -109,12 +108,25 @@ object EventStore {
     * files it pinned stay on disk until [[vacuum]]) — each row is seen
     * exactly once, the snapshot isolation the reference buys from
     * Postgres MVCC (PostgresqlEventStore.java:83-101). Pre-manifest
-    * tables fall back to the directory listing. */
-  private def scanTable(spark: SparkSession, table: String): DataFrame =
-    TableManifest.snapshot(table).filter(_.nonEmpty) match {
-      case Some(files) => spark.read
+    * tables fall back to the directory listing; a table whose committed
+    * file set is legitimately EMPTY (an erasure rewrite that removed
+    * every remaining row commits adds=Nil) must NOT fall back — the
+    * directory can still hold uncommitted in-flight appends and
+    * vacuum-pending superseded files, exactly the non-isolated view the
+    * manifest exists to prevent — so it reads as an empty frame carrying
+    * the structural columns (`emptyCols`) downstream code filters or
+    * selects on; the registry align null-fills the rest. */
+  private def scanTable(spark: SparkSession, table: String,
+      emptyCols: Seq[String]): DataFrame =
+    TableManifest.snapshot(table) match {
+      case Some(files) if files.nonEmpty => spark.read
         .option("basePath", table).option("mergeSchema", "true")
         .parquet(files: _*)
+      case Some(_) =>
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(emptyCols.map(c => StructField(c, StringType))))
       case None => spark.read.option("mergeSchema", "true").parquet(table)
     }
 
@@ -170,7 +182,9 @@ object EventStore {
     * and fixes column order. */
   def read(spark: SparkSession, registry: SchemaRegistry, warehouse: String,
       project: String, collection: String): DataFrame =
-    alignToRegistry(scanTable(spark, tablePath(warehouse, project, collection)),
+    alignToRegistry(
+      scanTable(spark, tablePath(warehouse, project, collection),
+        emptyCols = Seq("_month")),
       registry, project, collection)
 
   private def alignToRegistry(df: DataFrame, registry: SchemaRegistry,
@@ -206,7 +220,8 @@ object EventStore {
     * conflict columns, null-filling post-evolution additions). */
   def readUnified(spark: SparkSession, registry: SchemaRegistry,
       warehouse: String, project: String, collection: String): DataFrame = {
-    val df = scanTable(spark, s"$warehouse/$project/events")
+    val df = scanTable(spark, s"$warehouse/$project/events",
+        emptyCols = Seq("_collection", "_month"))
       .filter(col("_collection") === collection)
     registry.schema(project, collection) match {
       case None => df
@@ -358,7 +373,7 @@ object EventStore {
       .filter(f => f.isFile && f.getName.startsWith("part-"))
       .map { f =>
         val target = new java.io.File(dir, f.getName)
-        java.nio.file.Files.move(f.toPath, target.toPath)
+        publishMove(f, target)
         rel(target)
       }
     TableManifest.commit(table, moved.toSeq, snapshot.map(rel).toSeq)
@@ -368,6 +383,21 @@ object EventStore {
       new java.io.File(dir, s".${f.getName}.crc").delete(): Unit
     }
     rmrf(tmp)
+  }
+
+  /** Atomic same-filesystem rename that also stamps the target's mtime
+    * to NOW — publish time, not staging-write time. [[TableManifest
+    * .vacuum]]'s grace window keys on mtime to protect the
+    * moved-but-not-yet-committed gap of an in-flight batch; a bare
+    * `Files.move` preserves the mtime the parquet writer set, so a
+    * batch whose write ran longer than the grace window would land
+    * already past the cutoff and a concurrent vacuum (from ANY JVM —
+    * the single-gateway writeLock doesn't reach cross-process writers)
+    * could reap it before its manifest commit: silent data loss. */
+  private[store] def publishMove(src: java.io.File,
+      target: java.io.File): Unit = {
+    java.nio.file.Files.move(src.toPath, target.toPath)
+    target.setLastModified(System.currentTimeMillis()): Unit
   }
 
   private def rmrf(f: java.io.File): Unit = {
@@ -387,8 +417,14 @@ object EventStore {
     * op-log's job: append an unset-all tombstone and the merge folds
     * the profile away. */
   def deleteUser(spark: SparkSession, warehouse: String, project: String,
-      collection: String, userCol: String, userId: Any): (Int, Long) = {
+      collection: String, userCol: String, userId: Any,
+      vacuumGraceMs: Long = 10 * 60 * 1000L): (Int, Long) = {
+    // one ABSOLUTE basis throughout: `parts` below inherit this root's
+    // absoluteness, so committedFiles/commitRewrite's Path.relativize
+    // never mixes absolute and relative (which throws) under a
+    // relative warehouse path
     val root = new java.io.File(tablePath(warehouse, project, collection))
+      .getAbsoluteFile
     // a collection declared (schema/add) but never stored has no table
     // dir — and trivially zero rows of the user to delete
     if (!root.isDirectory) return (0, 0L)
@@ -418,12 +454,15 @@ object EventStore {
       }
     }
     // purge vacuum-pending leftovers of EARLIER rewrites too — they may
-    // still hold the user's rows. The 60s grace protects only files in
-    // the move-then-commit window of a live append (always seconds old);
-    // superseded compaction inputs are far older and get reaped now.
+    // still hold the user's rows. The grace window protects files in the
+    // move-then-commit window of a live append from ANY writer JVM (part
+    // files are publish-stamped, but the publish→commit gap can span a
+    // slow multi-file move), so it stays at the full default rather than
+    // a short erasure-special value; leftovers younger than the window
+    // are reaped by the next vacuum or erasure run.
     if (rewritten > 0)
       TableManifest.vacuum(root.getAbsolutePath, retainVersions = 1,
-        graceMs = 60_000L)
+        graceMs = vacuumGraceMs)
     (rewritten, deleted)
   }
 }

@@ -188,8 +188,13 @@ private[graft] object TableManifest {
     * the window removed (those files are exactly the older versions'
     * extra entries). `graceMs` skips files younger than the window: an
     * in-flight staged append moves its part files in BEFORE committing
-    * them, and vacuum must not reap that gap (the move preserves the
-    * just-written mtime). Returns the number of data files deleted. */
+    * them, and vacuum must not reap that gap. The movers
+    * ([[EventStore.stagedAppend]]/`commitRewrite`) stamp each part
+    * file's mtime at PUBLISH (the bare move would preserve the
+    * staging-write mtime, so a batch whose parquet write outlasted the
+    * grace window would be reapable the instant it lands — before its
+    * commit), so the window genuinely measures time-since-publish.
+    * Returns the number of data files deleted. */
   def vacuum(table: String, retainVersions: Int = 1,
       graceMs: Long = 10 * 60 * 1000L): Int = {
     require(retainVersions >= 1, "must retain at least the newest version")

@@ -67,6 +67,25 @@ class HttpGatewaySpec extends SparkSpec {
       assert(get(port,
         "/analysis/segmentation?collection=pageview&dimension=page&limit=x")
         .statusCode() == 400)
+      // non-positive limits are caller errors too (limit=-1 previously
+      // reached DataFrame.limit and surfaced as a 500), and huge values
+      // are CAPPED to the documented 1000 ceiling rather than honored
+      assert(get(port,
+        "/analysis/segmentation?collection=pageview&dimension=page&limit=-1")
+        .statusCode() == 400)
+      assert(get(port,
+        "/analysis/segmentation?collection=pageview&dimension=page&limit=0")
+        .statusCode() == 400)
+      assert(get(port,
+        "/analysis/segmentation?collection=pageview&dimension=page&limit=2000000000")
+        .statusCode() == 200)
+
+      // /admin/versions: an unregistered (or traversal-shaped) name 404s
+      // without touching the filesystem, and the response stays valid
+      // JSON whatever the param carries
+      val probe = get(port, "/admin/versions?collection=..%2F..%2Fx%22")
+      assert(probe.statusCode() == 404)
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(probe.body())
 
       // time travel through the door: pin the current version, land
       // another event, and the pinned read reproduces the OLD numbers
@@ -594,6 +613,12 @@ class HttpGatewaySpec extends SparkSpec {
       assert(get(port, "/admin/versions?collection=nope").statusCode() == 404)
       assert(post(port, "/admin/vacuum",
         """{"collection": "pv", "retain_versions": 0}""").statusCode() == 400)
+      // destructive maintenance doors refuse unregistered names outright
+      // — a traversal-shaped collection must never reach the filesystem
+      assert(post(port, "/admin/vacuum",
+        """{"collection": "../../x", "grace_ms": 0}""").statusCode() == 400)
+      assert(post(port, "/admin/compact",
+        """{"collection": "../../x", "month": "2026-01"}""").statusCode() == 400)
     }
   }
 

@@ -268,6 +268,102 @@ class CompactionSpec extends SparkSpec {
       .count() == 30)
   }
 
+  test("publish stamps mtime at MOVE time, so vacuum's grace window " +
+    "protects a slow-written batch's publish→commit gap") {
+    val warehouse = graft.TempDirs.scratch("graft-pubstamp").toString
+    val df = (0 until 10).map(i => (i.toLong, s"u$i")).toDF("event_id", "_user")
+      .withColumn("_time", lit("2026-08-01 00:00:00").cast("timestamp"))
+    EventStore.write(df, warehouse, "demo", "tap")
+    val table = s"$warehouse/demo/tap"
+    val part = new java.io.File(s"$table/_month=2026-08")
+
+    // a staged part file whose parquet WRITE finished an hour ago (the
+    // slow-batch case: write outlasted the grace window) …
+    val staged = graft.TempDirs.scratch("graft-pubstamp-src").toFile
+    df.limit(3).coalesce(1).write.mode("overwrite")
+      .parquet(staged.getAbsolutePath)
+    val src = staged.listFiles().filter(_.getName.startsWith("part-")).head
+    assert(src.setLastModified(System.currentTimeMillis() - 3600_000L))
+    // … is published (moved in) NOW, manifest commit still pending
+    val target = new java.io.File(part, src.getName)
+    EventStore.publishMove(src, target)
+    assert(target.lastModified() > System.currentTimeMillis() - 60_000L,
+      "publish must stamp mtime at move time — a bare Files.move " +
+        "preserves the staging-write mtime and vacuum would reap the gap")
+
+    // a concurrent vacuum with the default-style grace must NOT reap
+    // the in-the-gap file; the appender then commits it safely
+    val reaped = EventStore.vacuum(warehouse, "demo", "tap",
+      graceMs = 10 * 60 * 1000L)
+    assert(reaped == 0 && target.exists(),
+      "vacuum reaped a just-published file inside the grace window")
+    TableManifest.commit(table, Seq(s"_month=2026-08/${target.getName}"))
+    val registry = graft.core.SchemaRegistry.inMemory()
+    assert(EventStore.read(spark, registry, warehouse, "demo", "tap")
+      .count() == 13)
+  }
+
+  test("an erasure that empties the table commits an EMPTY file set: " +
+    "reads return zero rows, never fall back to the directory listing") {
+    val warehouse = graft.TempDirs.scratch("graft-empty-commit").toString
+    val registry = graft.core.SchemaRegistry.inMemory()
+    val df = (0 until 20).map(i => (i.toLong, "doomed"))
+      .toDF("event_id", "_user")
+      .withColumn("_time", lit("2026-09-01 00:00:00").cast("timestamp"))
+    EventStore.write(df, warehouse, "demo", "tap")
+    val (parts, rows) = EventStore.deleteUser(
+      spark, warehouse, "demo", "tap", "_user", "doomed")
+    assert(parts == 1 && rows == 20)
+    val table = s"$warehouse/demo/tap"
+    // the erasure's rewrite may have committed a zero-row part file;
+    // retire any such leftover so the committed set is DEFINITELY empty
+    // (the Some(Nil) case the directory fallback must not swallow)
+    val leftover = TableManifest.latest(table).get._2
+    if (leftover.nonEmpty) TableManifest.commit(table, Nil, leftover)
+    assert(TableManifest.latest(table).get._2.isEmpty)
+
+    // plant an UNCOMMITTED part file (a mid-flight append from another
+    // writer): the empty committed set must not fall back to the
+    // directory and surface it
+    val part = new java.io.File(s"$table/_month=2026-09")
+    part.mkdirs()
+    val orphanSrc = graft.TempDirs.scratch("graft-empty-orphan").toFile
+    df.limit(5).write.mode("overwrite").parquet(orphanSrc.getAbsolutePath)
+    val src = orphanSrc.listFiles().filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(part, "part-uncommitted.parquet").toPath)
+
+    val read = EventStore.read(spark, registry, warehouse, "demo", "tap")
+    assert(read.count() == 0,
+      "empty committed set fell back to the raw directory listing")
+  }
+
+  test("deleteUser works under a RELATIVE warehouse path (one absolute " +
+    "basis — no absolute-vs-relative relativize crash)") {
+    // cwd-relative, like a config `warehouse=./data` — exactly the shape
+    // that crashed when parts stayed relative while table went absolute
+    val warehouse = s"target/graft-relwh-${java.util.UUID.randomUUID()}"
+    try {
+      val df = (0 until 12).map(i => (i.toLong, if (i % 2 == 0) "u1" else "u2"))
+        .toDF("event_id", "_user")
+        .withColumn("_time", lit("2026-10-01 00:00:00").cast("timestamp"))
+      EventStore.write(df, warehouse, "demo", "tap")
+      val (parts, rows) = EventStore.deleteUser(
+        spark, warehouse, "demo", "tap", "_user", "u1")
+      assert(parts == 1 && rows == 6)
+      val registry = graft.core.SchemaRegistry.inMemory()
+      val left = EventStore.read(spark, registry, warehouse, "demo", "tap")
+        .select("_user").distinct().collect().map(_.getString(0)).toSet
+      assert(left == Set("u2"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(warehouse))
+    }
+  }
+
   test("second rewriter on a locked partition fails fast; lock releases") {
     val warehouse = graft.TempDirs.scratch("graft-lock").toString
     val df = (0 until 20).map(i => (i.toLong, s"u$i")).toDF("event_id", "_user")
