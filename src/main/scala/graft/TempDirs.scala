@@ -29,9 +29,30 @@ object TempDirs {
     created.forEach(deleteTree)
   }, "graft-tempdir-sweeper"))
 
+  /** Scratch base directory: `SPARK_GRAFT_SCRATCH_DIR` if set, else the
+    * first entry of `SPARK_LOCAL_DIRS` (the same knob Spark's own
+    * shuffle/spill scratch honors), else the JVM default tmpdir. The
+    * fixture-materializing sources (s3 CSV, s4 Avro, s6 remote-bulk)
+    * round-trip a table copy through this directory, so on a host whose
+    * /tmp is slow or contended (the r14 driver bench saw specific
+    * ingest rows stall 50-100× on I/O bursts) the operator points it at
+    * fast local storage — exactly how SPARK_LOCAL_DIRS is deployed. */
+  private lazy val base: Option[Path] =
+    sys.env.get("SPARK_GRAFT_SCRATCH_DIR")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS")
+        .flatMap(_.split(',').map(_.trim).find(_.nonEmpty)))
+      .map { d =>
+        val p = java.nio.file.Paths.get(d)
+        Files.createDirectories(p)
+        p
+      }
+
   /** A fresh temp directory swept (recursively) at JVM exit. */
   def scratch(prefix: String): Path = {
-    val p = Files.createTempDirectory(prefix)
+    val p = base match {
+      case Some(b) => Files.createTempDirectory(b, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
     created.add(p)
     p
   }

@@ -16,13 +16,17 @@ import scala.util.Try
   * reference's hot path
   * (rakam/src/main/java/org/rakam/collection/JsonEventDeserializer.java).
   *
-  * Two distributed passes over the raw batch:
-  *  1. inference — per-partition type skeletons, reduced to one union
-  *     schema per collection (the "widest schema" the reference computes
+  * Two logical passes over the batch, ONE Jackson parse: the raw line is
+  * parsed once into a per-event [[JsonIngest.Digest]] (normalized
+  * property map + inferred-type skeleton + dead-letter identity), and
+  * both passes read the cached digests:
+  *  1. inference — the digests' skeletons reduce to one union schema
+  *     per collection (the "widest schema" the reference computes
   *     event-by-event, here batch-wide — same fixpoint);
-  *  2. typed parse — values coerced to the registered type; values that
-  *     still don't fit are routed to the `$invalid_schema` dead-letter
-  *     table (JsonEventDeserializer.java:741-781), never dropped.
+  *  2. typed parse — digest values coerced to the registered type;
+  *     values that still don't fit are routed to the `$invalid_schema`
+  *     dead-letter table (JsonEventDeserializer.java:741-781), never
+  *     dropped.
   *
   * The registry (driver-side metadata) is the only non-distributed
   * state; its size is bounded by 200 columns × collections, so this
@@ -52,6 +56,7 @@ object JsonIngest {
       deadLetter: DataFrame,
       rejectedFields: Seq[(String, String, String)], // (collection, field, reason)
       private[ingest] val cached: Option[RDD[_]] = None,
+      // the single-parse digest RDD (was the raw-line cache pre-r16)
       private[ingest] val cachedRaw: Option[RDD[_]] = None) {
     /** Release the batch's cached intermediates once byCollection /
       * deadLetter have been materialized; further actions recompute. */
@@ -215,18 +220,14 @@ object JsonIngest {
   private def objectProperties(root: JsonNode): Option[JsonNode] =
     Option(root.get("properties")).filter(_.isObject)
 
-  /** Typed parse of one valid event line: values coerced to the
-    * registered types, per-field failures recorded as dead letters with
-    * event identity (JsonEventDeserializer.java:85-93 — api.uuid plus
-    * best-effort _user/_time). */
-  private def typedRow(fields: Seq[(String, String)],
-      c: String, root: JsonNode,
-      props: JsonNode): (String, Row, Vector[DeadLetter]) = {
-    val byNorm: Map[String, JsonNode] = props.properties().asScala.flatMap { e =>
-      Names.normalizeField(e.getKey).toOption.map(_ -> e.getValue)
-    }.toMap
-    val eventId = Option(root.get("api")).flatMap(a => Option(a.get("uuid")))
-      .map(_.asText()).orNull
+  /** Typed parse of one valid event: values coerced to the registered
+    * types, per-field failures recorded as dead letters with event
+    * identity (JsonEventDeserializer.java:85-93 — api.uuid plus
+    * best-effort _user/_time). Operates on the single-parse [[Digest]]'s
+    * normalized property map — the raw line is never re-parsed. */
+  private def typedRow(fields: Seq[(String, String)], c: String,
+      byNorm: Map[String, JsonNode],
+      eventId: String): (String, Row, Vector[DeadLetter]) = {
     val dlUser = byNorm.get("_user").map(_.asText()).orNull
     val dlTime = byNorm.get("_time").flatMap { n =>
       if (n.isNumber) Some(java.sql.Timestamp.from(Instant.ofEpochMilli(n.asLong())))
@@ -249,53 +250,85 @@ object JsonIngest {
     (c, Row.fromSeq(values), dead.result())
   }
 
-  // ---- the two-pass batch ingest ----
+  // ---- the single-parse batch ingest ----
+
+  /** One event's single-parse digest — everything BOTH downstream passes
+    * need, so the raw line is Jackson-parsed exactly once (the r15
+    * driver bench showed the old inference+parse double parse dominating
+    * the ingest whales s1/s5). `props` None = the reference's
+    * "properties is null" rejection (dead-lettered, no skeleton);
+    * `skeleton` is the inference view (normalized name → type name,
+    * fields with no type evidence absent); `propsRepr`/`lineSnippet`
+    * feed dead-letter rows. JsonNode is Serializable, so the cached
+    * digest RDD spills cleanly. */
+  private[ingest] final case class Digest(
+      c: String,
+      props: Option[Map[String, JsonNode]],
+      skeleton: Map[String, String],
+      eventId: String,
+      propsRepr: String,
+      lineSnippet: String)
 
   def ingest(spark: SparkSession, registry: SchemaRegistry, project: String,
       rawJson0: RDD[String]): IngestResult = {
 
-    // The batch is read twice (inference pass, then typed parse); persist
-    // the raw lines so any upstream pipeline that produced them (pixel
-    // decode, webhook JS, a remote fetch) runs once, not twice. Bounded
-    // by batch size and spills to disk — safe at any scale, and released
-    // by IngestResult.unpersist().
-    val ownRawCache = rawJson0.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val rawJson =
-      if (ownRawCache) rawJson0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else rawJson0 // caller already persisted it; respect their lifecycle
-
-    // Pass 1: distributed inference, reduced to a union schema per collection.
-    val skeletons: Map[String, Map[String, String]] = rawJson.mapPartitions { it =>
+    // THE Jackson pass — the only traversal of the raw lines, so any
+    // upstream pipeline that produced them (pixel decode, webhook JS, a
+    // remote fetch) also runs once. The digest RDD is the cache point
+    // both downstream passes (schema reduce, typed parse) read; bounded
+    // by batch size, spills to disk, released by IngestResult.unpersist().
+    val digests: RDD[Digest] = rawJson0.mapPartitions { it =>
       val m = new ObjectMapper()
       it.flatMap { line =>
         Try(m.readTree(line)).toOption.flatMap { root =>
-          val coll = textualCollection(root)
+          textualCollection(root)
             .flatMap(c => Names.normalizeCollection(c).toOption)
-          coll.zip(objectProperties(root)).map { case (c, props) =>
-            val fields = props.properties().asScala.flatMap { e =>
-              Names.normalizeField(e.getKey).toOption.flatMap { name =>
-                val t =
-                  if (name == "_time") Some(FieldType.TIMESTAMP)
-                  else if (name == "_user") Some(userType(e.getValue))
-                  else inferType(e.getValue)
-                t.map(tt => name -> tt.name)
+            .map { c =>
+              val eventId = Option(root.get("api"))
+                .flatMap(a => Option(a.get("uuid"))).map(_.asText()).orNull
+              objectProperties(root) match {
+                case None =>
+                  Digest(c, None, Map.empty, eventId,
+                    String.valueOf(root.get("properties")).take(200),
+                    line.take(200))
+                case Some(props) =>
+                  val byNorm = props.properties().asScala.flatMap { e =>
+                    Names.normalizeField(e.getKey).toOption.map(_ -> e.getValue)
+                  }.toMap
+                  val skeleton = byNorm.flatMap { case (name, v) =>
+                    val t =
+                      if (name == "_time") Some(FieldType.TIMESTAMP)
+                      else if (name == "_user") Some(userType(v))
+                      else inferType(v)
+                    t.map(tt => name -> tt.name)
+                  }
+                  Digest(c, Some(byNorm), skeleton, eventId, null,
+                    line.take(200))
               }
-            }.toMap
-            c -> fields
-          }
+            }
         }
       }
-    }.reduceByKey { (a, b) =>
-      // union on names; on a type conflict inside one batch pick the
-      // lexicographically smaller type name — deterministic regardless
-      // of partition reduce order (registry order decides across batches)
-      (a.keySet ++ b.keySet).map { k =>
-        k -> ((a.get(k), b.get(k)) match {
-          case (Some(x), Some(y)) => if (x <= y) x else y
-          case (x, y) => x.orElse(y).get
-        })
-      }.toMap
-    }.collect().toMap
+    }
+    digests.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Schema reduce: the per-event skeletons fold to one union schema
+    // per collection. Properties-less events contribute NO skeleton (a
+    // collection whose every line lacks a valid properties object is
+    // never registered — it dead-letters whole, reference behavior).
+    val skeletons: Map[String, Map[String, String]] = digests
+      .filter(_.props.isDefined)
+      .map(d => d.c -> d.skeleton)
+      .reduceByKey { (a, b) =>
+        // union on names; on a type conflict inside one batch pick the
+        // lexicographically smaller type name — deterministic regardless
+        // of partition reduce order (registry order decides across batches)
+        (a.keySet ++ b.keySet).map { k =>
+          k -> ((a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) => if (x <= y) x else y
+            case (x, y) => x.orElse(y).get
+          })
+        }.toMap
+      }.collect().toMap
 
     // USER_TYPE set-once across collections (InternalConfig.java:5-7).
     skeletons.values.flatMap(_.get("_user")).headOption.foreach { ut =>
@@ -323,37 +356,29 @@ object JsonIngest {
       rej.map(r => (c, r.field, r.reason))
     }
 
-    // Pass 2: typed parse with dead-letter side output.
+    // Typed parse with dead-letter side output — over the cached
+    // digests, never the raw lines: no second Jackson parse, no second
+    // name-normalization sweep.
     val schemaB = spark.sparkContext.broadcast(
       registered.map { case (c, fs) => c -> fs.map(f => (f.name, f.tpe.name)) })
 
-    val parsed = rawJson.mapPartitions { it =>
-      val m = new ObjectMapper()
+    val parsed = digests.mapPartitions { it =>
       val schemas = schemaB.value
-      it.flatMap { line =>
-        Try(m.readTree(line)).toOption.flatMap { root =>
-          textualCollection(root)
-            .flatMap(c => Names.normalizeCollection(c).toOption)
-            .map { c =>
-              val eventIdDl = Option(root.get("api"))
-                .flatMap(a => Option(a.get("uuid"))).map(_.asText()).orNull
-              objectProperties(root) match {
-                case None =>
-                  // the reference's "properties is null" rejection —
-                  // RECORDED, not silently dropped: a multi-event batch
-                  // must account for every lost event
-                  (c, null, Vector(DeadLetter(c, "(properties)", "OBJECT",
-                    "properties is missing or not an object",
-                    String.valueOf(root.get("properties")).take(200),
-                    eventIdDl, null, null)))
-                case Some(_) if !schemas.contains(c) =>
-                  (c, null, Vector(DeadLetter(c, "(event)", "ROW",
-                    "collection has no storable fields",
-                    line.take(200), eventIdDl, null, null)))
-                case Some(props) =>
-                  typedRow(schemas(c), c, root, props)
-              }
-            }
+      it.map { d =>
+        d.props match {
+          case None =>
+            // the reference's "properties is null" rejection —
+            // RECORDED, not silently dropped: a multi-event batch
+            // must account for every lost event
+            (d.c, null, Vector(DeadLetter(d.c, "(properties)", "OBJECT",
+              "properties is missing or not an object",
+              d.propsRepr, d.eventId, null, null)))
+          case Some(_) if !schemas.contains(d.c) =>
+            (d.c, null, Vector(DeadLetter(d.c, "(event)", "ROW",
+              "collection has no storable fields",
+              d.lineSnippet, d.eventId, null, null)))
+          case Some(byNorm) =>
+            typedRow(schemas(d.c), d.c, byNorm, d.eventId)
         }
       }
     }
@@ -369,8 +394,7 @@ object JsonIngest {
         Row(d.collection, d.property, d.targetType, d.error, d.encodedValue,
           d.eventId, d.user, d.time)),
       deadLetterSchema)
-    IngestResult(byCollection, dead, rejected, Some(parsed),
-      if (ownRawCache) Some(rawJson) else None)
+    IngestResult(byCollection, dead, rejected, Some(parsed), Some(digests))
   }
 
   // ---- single-pass unified fan-out ----
