@@ -1257,6 +1257,11 @@ final class HttpGateway(
   private val subscriptions =
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.streaming.StreamingQuery]()
+  /** id → (spool advance, spool dir) — the manifest-tail handle each
+    * poll advances and delete drops. */
+  private val subTails =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (() => Long, java.io.File)]()
 
   private def subTable(id: String) = s"graft_sub_$id"
 
@@ -1290,10 +1295,15 @@ final class HttpGateway(
     val schema = org.apache.spark.sql.types.StructType(
       fields.fields :+ org.apache.spark.sql.types.StructField(
         "_month", org.apache.spark.sql.types.StringType))
-    val stream = graft.streaming.Subscriptions
-      .fileStream(spark, schema,
-        EventStore.tablePath(warehouse, project, collection))
-      .withColumn("_collection", lit(collection))
+    // manifest-aware tail (r16): the stream reads a spool of exactly the
+    // files append commits added — compacting a month under this live
+    // subscription re-delivers nothing (the old direct table tail fed
+    // rewritten part files back in as fresh rows)
+    val table = EventStore.tablePath(warehouse, project, collection)
+    val (raw, advance) = graft.streaming.Subscriptions
+      .manifestStream(spark, schema, table, id)
+    subTails.put(id, (advance, graft.store.ManifestTail.spoolDir(table, id)))
+    val stream = raw.withColumn("_collection", lit(collection))
     val sub = graft.streaming.StreamSubscription(id,
       Seq(graft.streaming.CollectionStreamQuery(collection, filter)), columns)
     val planned = graft.streaming.Subscriptions.plan(stream, sub)
@@ -1309,7 +1319,9 @@ final class HttpGateway(
       throw new IngestRejected("id is required"))
     val q = Option(subscriptions.get(id)).getOrElse(
       return (404, """{"error":"subscription not found"}"""))
-    q.processAllAvailable() // the sync() pull
+    // reflect new commits into the spool, then drain: the sync() pull
+    Option(subTails.get(id)).foreach { case (advance, _) => advance() }
+    q.processAllAvailable()
     (200, spark.table(subTable(id)).toJSON.collect()
       .mkString("[", ",", "]"))
   }
@@ -1320,6 +1332,9 @@ final class HttpGateway(
     val q = Option(subscriptions.remove(id)).getOrElse(
       return (404, """{"error":"subscription not found"}"""))
     q.stop()
+    Option(subTails.remove(id)).foreach { case (_, spool) =>
+      graft.store.ManifestTail.drop(spool)
+    }
     spark.catalog.dropTempView(subTable(id))
     (200, "1")
   }

@@ -25,8 +25,9 @@ object EventStore {
   val sourceOnlyFields: Seq[String] = Seq("_ip", "_user_agent", "_referrer")
 
   /** The collection's table directory — the streaming tail
-    * ([[graft.streaming.Subscriptions.fileStream]]) reads it as a
-    * file source: every appended batch's files become a micro-batch. */
+    * ([[graft.streaming.Subscriptions.manifestStream]]) spools its
+    * append commits: every appended batch's files become a micro-batch,
+    * rewrites never re-enter the tail. */
   def tablePath(warehouse: String, project: String, collection: String): String =
     s"$warehouse/$project/$collection"
 
@@ -266,13 +267,12 @@ object EventStore {
     * per-partition so a 100 TB table compacts incrementally, month by
     * month, without a full rewrite.
     *
-    * Ops constraint: a LIVE file-source subscription tailing this
-    * collection ([[graft.streaming.Subscriptions.fileStream]]) tracks
-    * files, not the manifest — a rewritten partition's new part files
-    * would re-enter the tail as fresh data. Compact months the tail
-    * has already aged out (the default posture: compaction targets
-    * cold months, subscriptions tail the hot edge), or stop the
-    * subscription for the maintenance window.
+    * Live tails are SAFE against compaction since r16: subscriptions
+    * tail a [[ManifestTail]] spool that reflects only append commits,
+    * so this rewrite's files never re-enter a live tail (the old
+    * direct-directory tail re-delivered them as fresh rows). Only a
+    * raw [[graft.streaming.Subscriptions.fileStream]] pointed straight
+    * at the table directory retains the old hazard.
     *
     * `zorderBy = Some((userCol, timeCol))` makes the rewrite also
     * RE-CLUSTER the partition on the Morton interleave of the two
@@ -447,6 +447,11 @@ object EventStore {
             // history versions must not survive either
             commitRewrite(root.getAbsolutePath, part, snapshot, tmp,
               deleteNow = true)
+            // a subscription spool's hard links would keep the erased
+            // rows' inodes alive — purge the same files from every tail
+            val rootPath = root.toPath
+            ManifestTail.purgeFromSpools(root,
+              snapshot.map(f => rootPath.relativize(f.toPath).toString).toSeq)
             rewritten += 1
             deleted += hits
           }

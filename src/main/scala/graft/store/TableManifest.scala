@@ -85,6 +85,11 @@ private[graft] object TableManifest {
     Files.readAllLines(f.toPath).asScala.filter(_.nonEmpty).toSeq
   }
 
+  /** The delta of one commit: (adds, removes) — the unit
+    * [[ManifestTail]] walks to distinguish appends from rewrites. */
+  private[store] def commitDelta(table: String, v: Long): (Seq[String], Seq[String]) =
+    readCommit(table, v)
+
   /** The delta of one commit: (adds, removes). */
   private def readCommit(table: String, v: Long): (Seq[String], Seq[String]) = {
     val (adds, removes) = readLines(commitFile(table, v)).partition(_.startsWith("+"))

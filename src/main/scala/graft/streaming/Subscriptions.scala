@@ -46,9 +46,27 @@ object Subscriptions {
   }
 
   /** File-source event stream (the commit-log tail, ST2): new files in
-    * `dir` are the micro-batches. */
+    * `dir` are the micro-batches. Prefer [[manifestStream]] for store
+    * tables — tailing the table directory directly re-delivers a
+    * compaction's rewritten part files as fresh rows. */
   def fileStream(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** Manifest-aware tail of a store table (the Kafka-offset semantics
+    * the reference gets from KafkaOffsetManager.java:24-90, restated on
+    * the [[graft.store.TableManifest]] commit log): the subscription
+    * tails a private spool that [[graft.store.ManifestTail.advance]]
+    * fills with exactly the files append-only commits ADDED — a
+    * compaction or erasure rewrite under a live tail contributes
+    * nothing, so no duplicate delivery, ever. Call `advance` (returned)
+    * before each sync pull, or on a timer for continuous queries. */
+  def manifestStream(spark: SparkSession, schema: StructType, table: String,
+      subId: String): (DataFrame, () => Long) = {
+    val spool = graft.store.ManifestTail.spoolDir(table, subId)
+    graft.store.ManifestTail.advance(table, spool) // initial head snapshot
+    (fileStream(spark, schema, spool.getAbsolutePath),
+      () => graft.store.ManifestTail.advance(table, spool))
+  }
 
   /** ST2: the Kafka commit-log tail. The reference writes each event to
     * a `{project}_{collection}` topic and tails topics from stored
