@@ -970,14 +970,20 @@ final class HttpGateway(
     * partition column, so each per-collection aggregate reads partition
     * metadata plus one column, never event payloads. */
   private def handleStatistics(ex: HttpExchange): (Int, String) = {
-    val only = queryParams(ex).get("collection")
+    val params = queryParams(ex)
+    val only = params.get("collection")
+    // a commit-log version is a per-collection pin — meaningless across
+    // the whole project listing
+    if (params.contains("version") && only.isEmpty)
+      throw new IngestRejected("version requires collection")
     val colls = only.map(Seq(_)).getOrElse(registry.collections(project).sorted)
     only.foreach { c =>
       if (registry.schema(project, c).isEmpty)
         throw new IngestRejected(s"unknown collection '$c'")
     }
     val frames = colls.map { c =>
-      storedOrEmpty(c)
+      (if (params.contains("version")) storedMaybeAt(params, c)
+       else storedOrEmpty(c))
         .groupBy(col("_month").as("month"))
         .agg(count(lit(1)).as("events"))
         .select(lit(c).as("collection"), col("month"), col("events"))
@@ -997,6 +1003,27 @@ final class HttpGateway(
     * UI shows. `version` serves the analysis over a pinned commit-log
     * version ([[EventStore.readAt]] time travel — reproduce last
     * week's report numbers exactly, whatever has landed since). */
+  /** A collection read at the optional `version` pin — the time-travel
+    * contract EVERY analysis door serves (r15 opened it on
+    * segmentation only; reproducible reads are the flagship
+    * training-pipeline story and must cover the whole read surface):
+    * present → [[EventStore.readAt]] resolves that commit-log version's
+    * exact file set; absent → the current head. Bad, beyond-head and
+    * vacuumed-away versions are caller errors (400), matching the
+    * segmentation door's established contract. */
+  private def storedMaybeAt(params: Map[String, String],
+      collection: String): DataFrame = params.get("version") match {
+    case Some(v) =>
+      val ver = v.toLongOption.getOrElse(
+        throw new IngestRejected(s"version must be an integer, got '$v'"))
+      try EventStore.readAt(spark, registry, warehouse, project, collection, ver)
+      catch { case e: IllegalArgumentException =>
+        throw new IngestRejected(String.valueOf(e.getMessage))
+      }
+    case None =>
+      EventStore.read(spark, registry, warehouse, project, collection)
+  }
+
   private def handleSegmentation(ex: HttpExchange): (Int, String) = {
     val params = queryParams(ex)
     val collection = params.getOrElse("collection",
@@ -1012,17 +1039,7 @@ final class HttpGateway(
       if (n < 1) throw new IngestRejected(s"limit must be >= 1, got $n")
       math.min(n, 1000)
     }.getOrElse(1000)
-    val stored = params.get("version") match {
-      case Some(v) =>
-        val ver = v.toLongOption.getOrElse(
-          throw new IngestRejected(s"version must be an integer, got '$v'"))
-        try EventStore.readAt(spark, registry, warehouse, project, collection, ver)
-        catch { case e: IllegalArgumentException =>
-          throw new IngestRejected(String.valueOf(e.getMessage))
-        }
-      case None =>
-        EventStore.read(spark, registry, warehouse, project, collection)
-    }
+    val stored = storedMaybeAt(params, collection)
     if (!stored.columns.contains(dimension))
       throw new IngestRejected(s"unknown dimension '$dimension'")
     val seg = stored.groupBy(col(dimension))
@@ -1033,9 +1050,10 @@ final class HttpGateway(
     (200, seg.toJSON.collect().mkString("[", ",", "]"))
   }
 
-  /** `GET /analysis/funnel?collection=…&steps=a,b,c` — users reaching
-    * each ordered step (the reference's FunnelQueryExecutor read,
-    * served by [[Analytics.funnel]]). */
+  /** `GET /analysis/funnel?collection=…&steps=a,b,c[&version=v]` —
+    * users reaching each ordered step (the reference's
+    * FunnelQueryExecutor read, served by [[Analytics.funnel]]);
+    * `version` pins the read ([[storedMaybeAt]]). */
   private def handleFunnel(ex: HttpExchange): (Int, String) = {
     val params = queryParams(ex)
     val collection = params.getOrElse("collection",
@@ -1043,7 +1061,7 @@ final class HttpGateway(
     val steps = params.getOrElse("steps",
       throw new IngestRejected("steps is required")).split(',').toSeq
     val typeCol = params.getOrElse("type_column", "event_type")
-    val stored = EventStore.read(spark, registry, warehouse, project, collection)
+    val stored = storedMaybeAt(params, collection)
     if (!stored.columns.contains(typeCol))
       throw new IngestRejected(s"unknown type column '$typeCol'")
     val out = Analytics.funnel(stored, "_user", "_time", typeCol, steps)
@@ -1060,7 +1078,7 @@ final class HttpGateway(
     val grain = params.getOrElse("grain", "week")
     if (grain != "week" && grain != "day")
       throw new IngestRejected(s"grain must be day or week: '$grain'")
-    val stored = EventStore.read(spark, registry, warehouse, project, collection)
+    val stored = storedMaybeAt(params, collection)
     val out = Analytics.retention(stored, "_user", "_time", grain)
     (200, out.orderBy(col("cohort_bucket"), col("offset"))
       .toJSON.collect().mkString("[", ",", "]"))
@@ -1074,8 +1092,7 @@ final class HttpGateway(
     val collection = params.getOrElse("collection",
       throw new IngestRejected("collection is required"))
     val typeCol = params.getOrElse("type_column", "event_type")
-    val stored = withSeq(
-      EventStore.read(spark, registry, warehouse, project, collection))
+    val stored = withSeq(storedMaybeAt(params, collection))
     if (!stored.columns.contains(typeCol))
       throw new IngestRejected(s"unknown type column '$typeCol'")
     val out = Analytics.eventPaths(stored, "_user", "_time", "__seq", typeCol)
@@ -1108,8 +1125,7 @@ final class HttpGateway(
     val conversion = params.getOrElse("conversion",
       throw new IngestRejected("conversion is required"))
     val typeCol = params.getOrElse("type_column", "event_type")
-    val stored = withSeq(
-      EventStore.read(spark, registry, warehouse, project, collection))
+    val stored = withSeq(storedMaybeAt(params, collection))
     if (!stored.columns.contains(typeCol))
       throw new IngestRejected(s"unknown type column '$typeCol'")
     params.getOrElse("model", "last_touch") match {
@@ -1685,7 +1701,31 @@ final class HttpGateway(
     * "text":…}…]` for service-sized deltas, or `"source": <parquet dir>`
     * for bulk (the door is only the trigger; the work is a cluster
     * job — the reference's bulk/remote discipline, master-gated). */
+  /** The corpus input every curation/tokenizer door shares: inline
+    * `docs`, a parquet `source` path, or — the reproducible-training
+    * pin — a STORE collection (`"collection": …[, "version": n,
+    * "text_column": …, "id_column": …]`): the corpus resolves through
+    * [[storedMaybeAt]], so a run that records `(collection, version)`
+    * re-reads the byte-identical corpus whatever has been appended or
+    * compacted since. */
   private def docsFrameOf(root: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    Option(root.get("collection")).filterNot(_.isNull).map(_.asText()) match {
+      case Some(c) =>
+        if (registry.schema(project, c).isEmpty)
+          throw new IngestRejected(s"unknown collection '$c'")
+        val textCol = Option(root.get("text_column")).map(_.asText())
+          .getOrElse("text")
+        val idCol = Option(root.get("id_column")).map(_.asText())
+          .getOrElse("doc_id")
+        val params = Option(root.get("version")).filterNot(_.isNull)
+          .map(v => Map("version" -> v.asText())).getOrElse(Map.empty)
+        val stored = storedMaybeAt(params, c)
+        for (needed <- Seq(idCol, textCol))
+          if (!stored.columns.contains(needed))
+            throw new IngestRejected(s"collection '$c' has no column '$needed'")
+        stored.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text"))
+      case None =>
     Option(root.get("source")).filterNot(_.isNull).map(_.asText()) match {
       case Some(p) =>
         spark.read.parquet(p).select(col("doc_id").cast("long"), col("text"))
@@ -1699,6 +1739,7 @@ final class HttpGateway(
             Option(d.get("text")).map(_.asText()).getOrElse(
               throw new IngestRejected("text is required")))
         }.toSeq.toDF("doc_id", "text")
+    }
     }
 
   /** Vectors for the ANN doors: inline `"vectors": [{"vec_id":…,

@@ -429,6 +429,51 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("time travel spans the read surface: funnel/retention/paths/" +
+    "attribution/statistics and a TrainingSet corpus door all honor the " +
+    "version pin — pinned reads reproduce pre-append numbers exactly") {
+    withGateway { (_, port) =>
+      def collect(user: String, time: String, etype: String,
+          doc: Long, text: String): Unit =
+        assert(post(port, "/event/collect",
+          s"""{"collection": "ev", "properties": {"_user": "$user", "_time": "$time", "event_type": "$etype", "value": 1.0, "doc_id": $doc, "text": "$text"}}""")
+          .statusCode() == 200)
+      collect("u1", "2026-01-15 10:00:00.000", "view", 1, "alpha beta gamma")
+      collect("u1", "2026-01-15 10:05:00.000", "cart", 2, "beta gamma delta")
+      collect("u2", "2026-01-15 11:00:00.000", "view", 3, "gamma delta epsilon")
+
+      val ver = "\"version\":(\\d+)".r.findFirstMatchIn(
+        get(port, "/admin/versions?collection=ev").body()).get.group(1)
+      // record every door's pre-append answer…
+      def doors(suffix: String): Seq[String] = Seq(
+        get(port, s"/analysis/funnel?collection=ev&steps=view,cart$suffix").body(),
+        get(port, s"/analysis/retention?collection=ev&grain=day$suffix").body(),
+        get(port, s"/analysis/paths?collection=ev$suffix").body(),
+        get(port, s"/analysis/attribution?collection=ev&conversion=cart$suffix").body(),
+        get(port, s"/analysis/statistics?collection=ev$suffix").body(),
+        post(port, "/tokenizer/drift",
+          s"""{"collection": "ev"${if (suffix.isEmpty) ""
+             else s""", "version": $ver"""}}""").body())
+      val before = doors("")
+
+      // …land more data that changes every one of those answers…
+      collect("u3", "2026-01-16 09:00:00.000", "view", 4, "zeta eta theta")
+      collect("u3", "2026-01-16 09:05:00.000", "cart", 5, "eta theta iota")
+
+      // …and the pinned reads reproduce the old numbers byte-for-byte,
+      // while head reads see the new data
+      val pinned = doors(s"&version=$ver")
+      assert(pinned == before,
+        pinned.zip(before).filter(p => p._1 != p._2).take(1).toString)
+      val head = doors("")
+      assert(head != before, "head reads did not see the appended events")
+
+      // version without collection on the project-wide statistics
+      // listing is ambiguous — a caller error
+      assert(get(port, "/analysis/statistics?version=1").statusCode() == 400)
+    }
+  }
+
   test("concurrent collects all store: writes serialize behind the " +
     "lock, none are lost to shared staging dirs") {
     withGateway { (_, port) =>
