@@ -214,6 +214,7 @@ final class HttpGateway(
     server.createContext("/admin/compact", route(authed(MasterRole)(handleCompact)))
     server.createContext("/admin/vacuum", route(authed(MasterRole)(handleVacuum)))
     server.createContext("/admin/versions", route(authed(MasterRole)(handleVersions)))
+    server.createContext("/admin/pin", route(authed(MasterRole)(handlePin)))
     server.createContext("/admin/configurations", route(authed(MasterRole)(handleAdminConfig)))
     server.createContext("/admin/types", route(authed(MasterRole)(handleAdminTypes)))
     server.createContext("/admin/event_mappers", route(authed(MasterRole)(handleAdminMappers)))
@@ -787,7 +788,13 @@ final class HttpGateway(
     * extensions (native expressions + the interval-join rule), AQE.
     * Results cap at `limit` (default 1000, the reference's page size
     * discipline) and stream back as a JSON array. Analysis errors are
-    * the client's 400, not a 500. */
+    * the client's 400, not a 500.
+    *
+    * `"pins": {"<collection>": <version>, …}` mounts those collections
+    * AT the given commit-log versions ([[EventStore.readAt]]) — ad-hoc
+    * SQL over a pinned corpus, completing the reproducible-run story:
+    * record `/admin/pin`'s manifest with a training run, and any later
+    * investigation queries the exact corpus the run saw. */
   private def handleQuery(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = requestJson(ex)
@@ -795,8 +802,27 @@ final class HttpGateway(
       .map(_.asText()).filter(_.nonEmpty)
       .getOrElse(throw new IngestRejected("query is required"))
     val limit = Option(root.get("limit")).map(_.asInt()).getOrElse(1000)
+    val pins: Map[String, Long] = Option(root.get("pins")).filter(_.isObject)
+      .map(_.properties().asScala.map { e =>
+        if (!e.getValue.canConvertToLong)
+          throw new IngestRejected(
+            s"pin for '${e.getKey}' must be an integer version")
+        e.getKey -> e.getValue.asLong()
+      }.toMap).getOrElse(Map.empty)
+    pins.keys.foreach { c =>
+      if (!registry.collections(project).contains(c))
+        throw new IngestRejected(s"unknown collection '$c' in pins")
+    }
     registry.collections(project).foreach { c =>
-      storedOrEmpty(c).createOrReplaceTempView(c)
+      val frame = pins.get(c) match {
+        case Some(v) =>
+          try EventStore.readAt(spark, registry, warehouse, project, c, v)
+          catch { case e: IllegalArgumentException =>
+            throw new IngestRejected(String.valueOf(e.getMessage))
+          }
+        case None => storedOrEmpty(c)
+      }
+      frame.createOrReplaceTempView(c)
     }
     val df =
       try spark.sql(sql)
@@ -1242,6 +1268,22 @@ final class HttpGateway(
         node.put("files", files)
         (200, mapper.writeValueAsString(node))
     }
+  }
+
+  /** `GET /admin/pin` — the RUN MANIFEST: every collection's current
+    * commit-log head in one JSON object. A training run records this
+    * once, and each entry replays byte-identically through the
+    * `version` pins on the analysis doors, the TrainingSet corpus
+    * readers, and `/query/execute`'s `pins` — whatever lands or
+    * compacts afterwards. Collections with no committed versions
+    * (declared, never stored) are omitted. */
+  private def handlePin(ex: HttpExchange): (Int, String) = {
+    val node = mapper.createObjectNode()
+    registry.collections(project).sorted.foreach { c =>
+      EventStore.currentVersion(warehouse, project, c)
+        .foreach(v => node.put(c, v))
+    }
+    (200, mapper.writeValueAsString(node))
   }
 
   /** `POST /admin/vacuum` — the physical half of maintenance: compaction
@@ -2075,6 +2117,10 @@ final class HttpGateway(
     (200, """{"success":true}""")
   }
 
+  /** Re-seed is fenced like the MV rebuild: the unit is (index, its
+    * current version) — completion writes version+1, so the next drift
+    * audit mints a fresh unit while two racing gateways execute one
+    * retrain. */
   private def handleAnnReseed(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = requestJson(ex)
@@ -2082,10 +2128,15 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("name is required")))
     requireIndex(annIdxDir(name))
     val iters = Option(root.get("iters")).map(_.asInt()).getOrElse(2)
-    writeLock.synchronized {
-      graft.store.AnnIndex.reseed(spark, annIdxDir(name), iters)
+    val token =
+      s"v${graft.store.VersionedState.currentVersion(annIdxDir(name))}"
+    val executed = writeLock.synchronized {
+      if (graft.store.MaintenanceFence.claim(fencesDir, s"ann-reseed-$name",
+          token)) {
+        graft.store.AnnIndex.reseed(spark, annIdxDir(name), iters); true
+      } else false
     }
-    (200, """{"success":true}""")
+    (200, s"""{"success":true,"executed":$executed}""")
   }
 
   private def textIdxDir(name: String) =
@@ -2292,6 +2343,10 @@ final class HttpGateway(
 
   private def mvDefsDir = s"$warehouse/$project/__mviews"
   private def mvStateDir(name: String) = s"$warehouse/$project/__mvstate/$name"
+  /** Run-once claims for cross-JVM maintenance ([[graft.store
+    * .MaintenanceFence]]) — deliberately OUTSIDE the state dirs a
+    * rebuild deletes, so the claim survives its own job. */
+  private def fencesDir = s"$warehouse/$project/__fences"
 
   /** One registered view: the upstream reference materializes a view
     * query into a table and incrementally folds in rows past the last
@@ -2472,7 +2527,11 @@ final class HttpGateway(
     * (the reference's non-incremental refresh): drops state, re-
     * materializes. The recovery path when a view definition's inputs
     * were corrected (e.g. after a user deletion rewrote partitions —
-    * incremental folds can only ADD). */
+    * incremental folds can only ADD). Cross-JVM run-once: the rebuild
+    * unit is (view, collection commit-log head) claimed through
+    * [[graft.store.MaintenanceFence]] — two gateways racing the same
+    * refresh execute it once (the loser answers `"executed": false`);
+    * new data advances the head and mints a fresh claimable unit. */
   private def handleMvRefresh(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = requestJson(ex)
@@ -2480,8 +2539,15 @@ final class HttpGateway(
       .getOrElse(throw new IngestRejected("name is required")))
     val d = readMvDef(name).getOrElse(
       return (404, """{"error":"materialized view not found"}"""))
-    writeLock.synchronized(rebuildMv(d))
-    (200, """{"success":true}""")
+    val token =
+      s"v${EventStore.currentVersion(warehouse, project, d.collection).getOrElse(0L)}"
+    val executed = writeLock.synchronized {
+      if (graft.store.MaintenanceFence.claim(fencesDir, s"mv-rebuild-$name",
+          token)) {
+        rebuildMv(d); true
+      } else false
+    }
+    (200, s"""{"success":true,"executed":$executed}""")
   }
 
   // ---------------- api keys (ProjectHttpService + ApiKeyService) ----------------

@@ -110,7 +110,8 @@ object UaRules {
     UaRule("Sogou Explorer", "MetaSr"),
     UaRule("LieBao", "LBBROWSER"),
     UaRule("Coc Coc", "coc_coc_browser/", "coc_coc_browser/(\\d+)"),
-    UaRule("Maxthon", "Maxthon[ /]?\\d", "Maxthon[ /]?(\\d+)"),
+    // MXiOS is Maxthon's iOS shell token (tail round 9)
+    UaRule("Maxthon", "Maxthon[ /]?\\d|MXiOS/", "(?:Maxthon[ /]?|MXiOS/)(\\d+)"),
     UaRule("Iron", "Iron[ /]\\d", "Iron[ /](\\d+)"),
     // Avant rides Trident (its UAs carry Trident/… rv:11) so it must
     // outrank the IE rule at the table's tail (tail round 6)
@@ -129,6 +130,10 @@ object UaRules {
     UaRule("Puffin", "Puffin/", "Puffin/(\\d+)"),
     UaRule("Amazon Silk", "Silk/", "Silk/(\\d+)"),
     UaRule("Crosswalk", "Crosswalk/", "Crosswalk/(\\d+)"),
+    // Dooble ships Qt WebEngine — its own token must win before the
+    // framework rule below (tail round 9; date-schemed versions, the
+    // major is the year)
+    UaRule("Dooble", "Dooble/", "Dooble/(\\d+)"),
     UaRule("QtWebEngine", "QtWebEngine/", "QtWebEngine/(\\d+)"),
     UaRule("Cent Browser", "CentBrowser/", "CentBrowser/(\\d+)"),
     UaRule("Slimjet", "Slimjet/", "Slimjet/(\\d+)"),
@@ -155,6 +160,11 @@ object UaRules {
     UaRule("Colibri", "Colibri/", "Colibri/(\\d+)"),
     UaRule("Polarity", "Polarity/", "Polarity/(\\d+)"),
     UaRule("RockMelt", "RockMelt/", "RockMelt/(\\d+)"),
+    // tail round 9: Chromium workspace/security shells (product token
+    // rides Chrome/Electron tokens, so pre-engine/pre-framework)
+    UaRule("Wavebox", "Wavebox/", "Wavebox/(\\d+)"),
+    UaRule("Sidekick", "Sidekick/", "Sidekick/(\\d+)"),
+    UaRule("CCleaner Browser", "CCleaner/", "CCleaner/(\\d+)"),
     // Electron APP shells carry their product token next to Electron/,
     // so they must outrank the framework rule
     UaRule("Slack", "Slack/", "Slack/(\\d+)"),
@@ -186,10 +196,18 @@ object UaRules {
     // be dead code (RuleLintSpec proved exactly that in r12)
     // CN desktop shells riding a Chrome token
     UaRule("360 Secure Browser", "QIHU 360|\\b360(?:SE|EE)\\b"),
+    // TheWorld tags a bare product name, no slash-version (tail round 9)
+    UaRule("TheWorld", "TheWorld"),
     UaRule("Aloha Browser", "AlohaBrowser/", "AlohaBrowser/(\\d+)"),
+    // Smooz (JP mobile shell) rides full Safari tokens (tail round 9)
+    UaRule("Smooz", "Smooz/", "Smooz/(\\d+)"),
     UaRule("Ghostery", "Ghostery[:/ ]", "Ghostery[:/ ](\\d+)"),
     // hybrid-broadcast TV runtimes ride a Chrome token
     UaRule("HbbTV", "HbbTV/", "HbbTV/(\\d+)"),
+    // set-top WebKit runtimes and the LG TV system browser (tail
+    // round 9) — both carry Safari tokens, so pre-Safari
+    UaRule("Espial", "Espial/", "Espial/(\\d+)"),
+    UaRule("LG Browser", "LG Browser/", "LG Browser/(\\d+)"),
     // TV/cast runtimes that also carry Chrome tokens (tail round 6)
     UaRule("Chromecast", "CrKey/", "CrKey/(\\d+)"),
     UaRule("Samsung Smart TV", "SMART-TV.*Tizen"),
@@ -232,6 +250,10 @@ object UaRules {
     UaRule("Yandex App", "YaApp_(?:Android|iOS)/|YandexSearch/",
       "YaApp_(?:Android|iOS)/(\\d+)"),
     UaRule("Flipboard", "Flipboard/", "Flipboard/(\\d+)"),
+    // commerce/blog app webviews with documented tokens (tail round 9)
+    UaRule("Tumblr", "Tumblr/", "Tumblr/(\\d+)"),
+    UaRule("eBay", "eBay(?:Android|iPhone|iPad)/", "eBay(?:Android|iPhone|iPad)/(\\d+)"),
+    UaRule("Etsy", "EtsyInc/", "EtsyInc/(\\d+)"),
     UaRule("SmartNews", "SmartNews/", "SmartNews/(\\d+)"),
     UaRule("Telegram", "Telegram-?(?:Android|iOS)?/", "Telegram-?(?:Android|iOS)?/(\\d+)"),
     UaRule("Reddit", "Reddit/", "Reddit/(?:Version )?(\\d+)"),
@@ -310,6 +332,9 @@ object UaRules {
     // WebKit shells that would otherwise fall through to Safari
     UaRule("DuckDuckGo", "\\bDdg/", "\\bDdg/(\\d+)"),
     UaRule("Dolphin", "Dolphin/", "Dolphin/(\\d+)"),
+    // Qt/KDE WebKit shells (tail round 9)
+    UaRule("Arora", "Arora/", "Arora/(\\d+)"),
+    UaRule("Rekonq", "rekonq[/ ]", "rekonq/(\\d+)"),
     UaRule("Mercury", "Mercury/", "Mercury/(\\d+)"),
     UaRule("Sleipnir", "Sleipnir/", "Sleipnir/(\\d+)"),
     UaRule("WebPositive", "WebPositive/", "WebPositive/(\\d+)"),
@@ -354,6 +379,7 @@ object UaRules {
     UaRule("ELinks", "ELinks[ /]", "ELinks[ /](\\d+)"),
     UaRule("Links", "Links \\(", "Links \\((\\d+)"),
     UaRule("NetSurf", "NetSurf/", "NetSurf/(\\d+)"),
+    UaRule("Dillo", "Dillo/", "Dillo/(\\d+)"),
     UaRule("Obigo", "Obigo", "Obigo[- /]?[A-Z]?(\\d+)?"),
     // feature-phone browsers still common across prepaid handsets
     UaRule("Openwave", "UP\\.Browser/", "UP\\.Browser/(\\d+)"),
@@ -417,6 +443,10 @@ object UaRules {
     // Haiku UAs say "Macintosh; Intel Haiku R1" — no "Mac OS X" token,
     // so ordering vs the Mac rule is not load-bearing, only the name is
     OsRule("Haiku", "Haiku"),
+    // retro-computing platforms still in NetSurf/Firefox logs (tail
+    // round 9)
+    OsRule("AmigaOS", "Amiga"),
+    OsRule("OS/2", "OS/2"),
     // desktop distributions before the bare Linux fallback
     OsRule("Ubuntu", "Ubuntu"),
     OsRule("Fedora", "Fedora"),

@@ -295,13 +295,21 @@ object JsonIngest {
                   val byNorm = props.properties().asScala.flatMap { e =>
                     Names.normalizeField(e.getKey).toOption.map(_ -> e.getValue)
                   }.toMap
-                  val skeleton = byNorm.flatMap { case (name, v) =>
-                    val t =
-                      if (name == "_time") Some(FieldType.TIMESTAMP)
-                      else if (name == "_user") Some(userType(v))
-                      else inferType(v)
-                    t.map(tt => name -> tt.name)
-                  }
+                  // built from props directly — NOT from byNorm — so the
+                  // resulting (name, typeName) map hashes identically to
+                  // the pre-fusion inference pass: registry field order
+                  // is a function of content alone, never of JsonNode
+                  // identity hashes (PipelineSpec pins the order)
+                  val skeleton: Map[String, String] =
+                    props.properties().asScala.flatMap { e =>
+                      Names.normalizeField(e.getKey).toOption.flatMap { name =>
+                        val t =
+                          if (name == "_time") Some(FieldType.TIMESTAMP)
+                          else if (name == "_user") Some(userType(e.getValue))
+                          else inferType(e.getValue)
+                        t.map(tt => name -> tt.name)
+                      }
+                    }.toMap
                   Digest(c, Some(byNorm), skeleton, eventId, null,
                     line.take(200))
               }

@@ -471,6 +471,25 @@ class HttpGatewaySpec extends SparkSpec {
       // version without collection on the project-wide statistics
       // listing is ambiguous — a caller error
       assert(get(port, "/analysis/statistics?version=1").statusCode() == 400)
+
+      // the run manifest: /admin/pin recorded BEFORE the append still
+      // replays through /query/execute's pins — ad-hoc SQL over the
+      // pinned corpus counts the old rows, the unpinned one the new
+      val manifest = get(port, "/admin/pin")
+      assert(manifest.statusCode() == 200 &&
+        manifest.body().contains(s""""ev":"""), manifest.body())
+      val pinnedSql = post(port, "/query/execute",
+        s"""{"query": "SELECT count(*) AS n FROM ev", "pins": {"ev": $ver}}""")
+      assert(pinnedSql.body() == """[{"n":3}]""", pinnedSql.body())
+      val headSql = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM ev"}""")
+      assert(headSql.body() == """[{"n":5}]""", headSql.body())
+      assert(post(port, "/query/execute",
+        """{"query": "SELECT 1 AS x", "pins": {"nope": 1}}""")
+        .statusCode() == 400)
+      assert(post(port, "/query/execute",
+        s"""{"query": "SELECT 1 AS x", "pins": {"ev": 999999}}""")
+        .statusCode() == 400)
     }
   }
 

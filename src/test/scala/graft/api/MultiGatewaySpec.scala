@@ -98,4 +98,53 @@ class MultiGatewaySpec extends SparkSpec {
       }
     } finally { gw1.stop(); gw2.stop() }
   }
+
+  test("two gateways racing an MV refresh execute it once: the " +
+    "maintenance fence claims (view, store head) cross-JVM") {
+    val warehouse = graft.TempDirs.scratch("graft-mgw-mv").toString
+    val metaDir = graft.TempDirs.scratch("graft-mgw-mv-meta").toString
+    val r1 = SchemaRegistry.persistent(metaDir)
+    val r2 = SchemaRegistry.persistent(metaDir)
+    val gw1 = new HttpGateway(spark, r1, warehouse, "demo")
+    val gw2 = new HttpGateway(spark, r2, warehouse, "demo")
+    val p1 = gw1.start()
+    val p2 = gw2.start()
+    try {
+      (0 until 4).foreach { i =>
+        assert(post(p1, "/event/collect",
+          s"""{"collection": "hits", "properties": {"_user": "u$i", "_time": "2026-08-01 10:00:00.000", "k": "g${i % 2}", "v": $i}}""")
+          .statusCode() == 200)
+      }
+      assert(post(p1, "/materialized-view/create",
+        """{"name": "m", "collection": "hits", "group": ["k"], "values": ["v"]}""")
+        .statusCode() == 200)
+
+      // both gateways race the refresh of the SAME store head
+      val executed = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val threads = Seq(p1, p2, p1, p2).zipWithIndex.map { case (p, i) =>
+        new Thread(() => {
+          val r = post(p, "/materialized-view/refresh", """{"name": "m"}""")
+          assert(r.statusCode() == 200, r.body())
+          executed.add(r.body().contains("\"executed\":true"))
+        }, s"refresher-$i")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      assert(executed.asScala.count(identity) == 1,
+        s"rebuild executed ${executed.asScala.count(identity)} times " +
+          "across two gateways (want exactly 1)")
+
+      // the view still serves correctly after the fenced rebuild…
+      val g = get(p2, "/materialized-view/get?name=m")
+      assert(g.statusCode() == 200 && g.body().contains("g0"), g.body())
+
+      // …and NEW data advances the store head: the next refresh is a
+      // fresh unit and executes again
+      assert(post(p2, "/event/collect",
+        """{"collection": "hits", "properties": {"_user": "u9", "_time": "2026-08-01 11:00:00.000", "k": "g0", "v": 9}}""")
+        .statusCode() == 200)
+      val again = post(p1, "/materialized-view/refresh", """{"name": "m"}""")
+      assert(again.body().contains("\"executed\":true"), again.body())
+    } finally { gw1.stop(); gw2.stop() }
+  }
 }

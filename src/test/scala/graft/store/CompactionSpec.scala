@@ -364,6 +364,47 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("vacuum vs pinned reader: a reader holding version N survives a " +
+    "vacuum retaining N; one retaining only N+1 kills it loudly, never " +
+    "serves a silent partial corpus") {
+    val warehouse = graft.TempDirs.scratch("graft-vacrace").toString
+    val registry = graft.core.SchemaRegistry.inMemory()
+    def batch(b: Int) = (0 until 40).map(i => (b.toLong * 40 + i, s"u${i % 4}"))
+      .toDF("event_id", "_user")
+      .withColumn("_time", lit("2026-11-01 12:00:00").cast("timestamp"))
+    (0 until 3).foreach(b => EventStore.write(batch(b), warehouse, "demo", "run"))
+    val pinnedV = EventStore.currentVersion(warehouse, "demo", "run").get
+
+    // resolve the reader BEFORE the rewrite — its file list is fixed now
+    val reader = EventStore.readAt(spark, registry, warehouse, "demo", "run",
+      pinnedV)
+    EventStore.compactPartition(spark, warehouse, "demo", "run",
+      month = "2026-11", rowsPerFile = 1_000_000L)
+
+    // retention covering the pinned version: the long scan still
+    // resolves every file it pinned (this is the ops contract —
+    // retention must exceed the longest query's duration)
+    EventStore.vacuum(warehouse, "demo", "run", retainVersions = 2,
+      graceMs = 0L)
+    assert(reader.select("event_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 120L).toSet,
+      "a vacuum retaining the pinned version broke a live reader")
+
+    // retention dropping it: the pinned files go, and a subsequent
+    // execution FAILS (Spark's missing-file error) rather than
+    // silently returning the surviving subset
+    EventStore.vacuum(warehouse, "demo", "run", retainVersions = 1,
+      graceMs = 0L)
+    val e = intercept[Exception] {
+      EventStore.readAt(spark, registry, warehouse, "demo", "run", pinnedV)
+        .count()
+    }
+    assert(e != null)
+    // the head read is of course unaffected
+    assert(EventStore.read(spark, registry, warehouse, "demo", "run")
+      .count() == 120)
+  }
+
   test("second rewriter on a locked partition fails fast; lock releases") {
     val warehouse = graft.TempDirs.scratch("graft-lock").toString
     val df = (0 until 20).map(i => (i.toLong, s"u$i")).toDF("event_id", "_user")
