@@ -183,6 +183,25 @@ final class HttpGateway(
 
   private def opsDir = s"$warehouse/$project/__user_ops"
 
+  /** Complete a crashed erasure swap on the ops log. The rewrite is
+    * write-tmp → rename(main→aside) → rename(tmp→main) → delete aside;
+    * a crash between the renames leaves the post-erasure log in
+    * `.rewriting` and no main — roll FORWARD (the tmp is the truth;
+    * rolling back would resurrect the deleted user). A tmp next to an
+    * intact main is an uncommitted rewrite from a crash before the
+    * first rename — discard it (the erasure never committed; re-run
+    * it). The aside holds pre-erasure rows and is purged either way.
+    * Runs at gateway start and before every erasure, under writeLock. */
+  private def recoverOpsLog(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val main = new org.apache.hadoop.fs.Path(opsDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$opsDir.rewriting")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(main)) { fs.rename(tmp, main); () }
+      else { fs.delete(tmp, true); () }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$opsDir.erased"), true): Unit
+  }
+
   private var pool: java.util.concurrent.ExecutorService = _
 
   /** Bind on `port` (0 = ephemeral) and serve. Returns the bound port.
@@ -190,6 +209,10 @@ final class HttpGateway(
     * multiple threads fine); the default HttpServer executor would
     * serialize every request behind the slowest Spark job. */
   def start(port: Int = 0): Int = {
+    // a crash mid-erasure leaves the ops log half-swapped; finish the
+    // swap before any door can read it (see recoverOpsLog)
+    recoverOpsLog(new org.apache.hadoop.fs.Path(opsDir)
+      .getFileSystem(spark.sessionState.newHadoopConf()))
     server = HttpServer.create(new InetSocketAddress(port), 0)
     pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     server.setExecutor(pool)
@@ -1198,15 +1221,23 @@ final class HttpGateway(
       }
       val opsPath = new org.apache.hadoop.fs.Path(opsDir)
       val fs = opsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      recoverOpsLog(fs)
       if (fs.exists(opsPath)) {
         import spark.implicits._
         val kept = spark.read.parquet(opsDir).as[ProfileOp]
           .filter(col("id") =!= id)
         val tmp = s"$opsDir.rewriting"
         kept.write.mode("overwrite").parquet(tmp)
-        fs.delete(opsPath, true)
+        // two-rename swap, never delete-then-rename: a crash anywhere
+        // leaves either the old log or the completed rewrite on disk,
+        // and recoverOpsLog rolls the half-done swap FORWARD (rolling
+        // back would resurrect the erased user)
+        val aside = new org.apache.hadoop.fs.Path(s"$opsDir.erased")
+        fs.delete(aside, true)
+        require(fs.rename(opsPath, aside), "ops-log aside failed")
         require(fs.rename(new org.apache.hadoop.fs.Path(tmp), opsPath),
           "ops-log swap failed")
+        fs.delete(aside, true)
       }
       // incremental folds can only ADD: re-materialize every view so
       // the deleted user leaves aggregates and sketches too
@@ -1364,11 +1395,26 @@ final class HttpGateway(
     val stream = raw.withColumn("_collection", lit(collection))
     val sub = graft.streaming.StreamSubscription(id,
       Seq(graft.streaming.CollectionStreamQuery(collection, filter)), columns)
-    val planned = graft.streaming.Subscriptions.plan(stream, sub)
-      .drop("_collection", "_month")
-    val q = planned.writeStream.format("memory").queryName(subTable(id))
-      .outputMode("append").start()
-    subscriptions.put(id, q)
+    try {
+      val planned = graft.streaming.Subscriptions.plan(stream, sub)
+        .drop("_collection", "_month")
+      val q = planned.writeStream.format("memory").queryName(subTable(id))
+        .outputMode("append").start()
+      subscriptions.put(id, q)
+    } catch {
+      // failure must not leak the spool or its handle; a bad filter /
+      // projection is the CLIENT's 400, anything else rethrows as 500
+      case e: Throwable =>
+        Option(subTails.remove(id)).foreach { case (_, spool) =>
+          graft.store.ManifestTail.drop(spool)
+        }
+        e match {
+          case _: org.apache.spark.sql.catalyst.parser.ParseException |
+               _: org.apache.spark.sql.AnalysisException =>
+            throw new IngestRejected(String.valueOf(e.getMessage))
+          case _ => throw e
+        }
+    }
     (200, s"""{"id":"$id"}""")
   }
 

@@ -686,6 +686,66 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("a crashed erasure swap on the ops log rolls FORWARD at the next " +
+    "gateway start: the rewritten log serves, the pre-erasure aside is " +
+    "purged, the deleted user stays deleted") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = graft.TempDirs.scratch("graft-opsrec").toString
+    val gw1 = new HttpGateway(spark, registry, warehouse, "demo")
+    val p1 = gw1.start()
+    try {
+      assert(post(p1, "/user/batch_operations",
+        """[{"id": "u-kept", "set_properties": {"plan": "pro"}}]""")
+        .statusCode() == 200)
+    } finally gw1.stop()
+
+    // simulate the crash window between the two renames: the
+    // post-erasure rewrite sits in `.rewriting`, main is gone, and the
+    // pre-erasure aside (holding the erased user) is still on disk
+    val ops = new java.io.File(s"$warehouse/demo/__user_ops")
+    val tmp = new java.io.File(s"$warehouse/demo/__user_ops.rewriting")
+    val aside = new java.io.File(s"$warehouse/demo/__user_ops.erased")
+    assert(ops.renameTo(tmp), "fixture: could not stage the crash window")
+    aside.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(aside, "pre-erasure.parquet").toPath, Array[Byte](1))
+
+    val gw2 = new HttpGateway(spark, registry, warehouse, "demo")
+    val p2 = gw2.start()
+    try {
+      // recovery rolled the rewrite forward: the log serves…
+      assert(get(p2, "/user/get?id=u-kept").statusCode() == 200)
+      // …and the pre-erasure copy (RTBF!) is gone
+      assert(!aside.exists(), "pre-erasure aside survived recovery")
+      assert(!tmp.exists())
+    } finally gw2.stop()
+  }
+
+  test("subscription create with a bad filter is the client's 400 and " +
+    "leaks neither the spool nor the id") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = graft.TempDirs.scratch("graft-subfail").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo")
+    val port = gw.start()
+    try {
+      assert(post(port, "/event/collect",
+        """{"collection": "pageview", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "page": "/a"}}""")
+        .statusCode() == 200)
+      val bad = post(port, "/subscription/create",
+        """{"id": "sx", "collection": "pageview", "filter": "((("}""")
+      assert(bad.statusCode() == 400, s"${bad.statusCode()}: ${bad.body()}")
+      // the spool was cleaned up…
+      assert(!new java.io.File(s"$warehouse/demo/pageview/.tail-sx").exists(),
+        "failed create leaked its spool")
+      // …and the id is reusable end-to-end
+      assert(post(port, "/subscription/create",
+        """{"id": "sx", "collection": "pageview", "filter": "page = '/a'"}""")
+        .statusCode() == 200)
+      assert(post(port, "/subscription/poll?id=sx", "").statusCode() == 200)
+      assert(post(port, "/subscription/delete?id=sx", "").statusCode() == 200)
+    } finally gw.stop()
+  }
+
   test("/user/get on an empty store is a 404, not a 500") {
     withGateway { (_, port) =>
       assert(get(port, "/user/get?id=anyone").statusCode() == 404)
