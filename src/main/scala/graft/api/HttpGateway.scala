@@ -238,6 +238,7 @@ final class HttpGateway(
     server.createContext("/admin/vacuum", route(authed(MasterRole)(handleVacuum)))
     server.createContext("/admin/versions", route(authed(MasterRole)(handleVersions)))
     server.createContext("/admin/pin", route(authed(MasterRole)(handlePin)))
+    server.createContext("/admin/diff", route(authed(MasterRole)(handleDiff)))
     server.createContext("/admin/configurations", route(authed(MasterRole)(handleAdminConfig)))
     server.createContext("/admin/types", route(authed(MasterRole)(handleAdminTypes)))
     server.createContext("/admin/event_mappers", route(authed(MasterRole)(handleAdminMappers)))
@@ -1315,6 +1316,35 @@ final class HttpGateway(
         .foreach(v => node.put(c, v))
     }
     (200, mapper.writeValueAsString(node))
+  }
+
+  /** `GET /admin/diff?collection=…&from=v1&to=v2[&limit=n]` — the
+    * O(delta) corpus diff between two pins ([[EventStore
+    * .readAddedBetween]]): rows appended in the window, read from only
+    * the append commits' files, plus `"purely_additive"` — false when a
+    * removal-carrying rewrite (erasure) landed in the window, the
+    * governance signal that rows also LEFT the corpus since the
+    * recorded run. */
+  private def handleDiff(ex: HttpExchange): (Int, String) = {
+    val params = queryParams(ex)
+    val collection = params.getOrElse("collection",
+      throw new IngestRejected("collection is required"))
+    if (!registry.collections(project).contains(collection))
+      throw new IngestRejected(s"unknown collection '$collection'")
+    def ver(k: String): Long = params.get(k)
+      .flatMap(_.toLongOption).getOrElse(
+        throw new IngestRejected(s"$k must be an integer version"))
+    val limit = params.get("limit").flatMap(_.toIntOption)
+      .map(n => if (n < 1) throw new IngestRejected("limit must be >= 1")
+                else math.min(n, 1000)).getOrElse(1000)
+    val (added, rewrites) =
+      try EventStore.readAddedBetween(spark, registry, warehouse, project,
+        collection, ver("from"), ver("to"))
+      catch { case e: IllegalArgumentException =>
+        throw new IngestRejected(String.valueOf(e.getMessage))
+      }
+    val rows = added.limit(limit).toJSON.collect().mkString("[", ",", "]")
+    (200, s"""{"purely_additive":${!rewrites},"added_rows":${added.count()},"added":$rows}""")
   }
 
   /** `POST /admin/vacuum` — the physical half of maintenance: compaction

@@ -169,6 +169,66 @@ object EventStore {
     alignToRegistry(df, registry, project, collection)
   }
 
+  /** O(delta) corpus diff: the rows APPENDED between two committed
+    * versions, read from exactly the files append-only commits in
+    * `(fromV, toV]` added — never a scan of either full corpus (at
+    * 100 TB, diffing two pins by reading both sides is a non-starter;
+    * the commit log already knows the delta). Rewrite commits
+    * (compaction — row-preserving — and erasure — row-removing) add no
+    * rows and contribute nothing; the second return value flags whether
+    * any rewrite with removals landed in the window, i.e. whether the
+    * diff is purely additive or some `fromV` rows are gone at `toV`
+    * (training-data governance: "did anything LEAVE the corpus since
+    * the pinned run?"). Fails fast when the window is behind the vacuum
+    * retention horizon, like [[readAt]]. */
+  def readAddedBetween(spark: SparkSession, registry: SchemaRegistry,
+      warehouse: String, project: String, collection: String,
+      fromV: Long, toV: Long): (DataFrame, Boolean) = {
+    val table = tablePath(warehouse, project, collection)
+    val head = TableManifest.latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$project/$collection has no committed versions"))
+    if (fromV < 0 || toV < fromV || toV > head)
+      throw new IllegalArgumentException(
+        s"bad version window $fromV..$toV for $project/$collection (head $head)")
+    var rewrites = false
+    val added = Seq.newBuilder[String]
+    ((fromV + 1) to toV).foreach { v =>
+      val (adds, removes) =
+        try TableManifest.commitDelta(table, v)
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            throw new IllegalArgumentException(
+              s"version window $fromV..$toV of $project/$collection is no " +
+                "longer resolvable (behind the vacuum retention window)")
+        }
+      if (removes.nonEmpty) rewrites = true
+      else added ++= adds
+    }
+    val files = added.result().sorted
+      .map(rel => new java.io.File(table, rel).getAbsolutePath)
+      // a file appended in the window may have been compacted away and
+      // vacuumed since; its ROWS live on in the rewrite output, but the
+      // additive diff can no longer serve them — fail fast, same
+      // contract as a vacuumed readAt pin
+      .map { p =>
+        if (!new java.io.File(p).isFile) throw new IllegalArgumentException(
+          s"version window $fromV..$toV of $project/$collection is no " +
+            "longer resolvable (an appended file was rewritten and vacuumed)")
+        p
+      }
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("_month",
+              org.apache.spark.sql.types.StringType))))
+      else spark.read.option("basePath", table).option("mergeSchema", "true")
+        .parquet(files: _*)
+    (alignToRegistry(df, registry, project, collection), rewrites)
+  }
+
   /** Physically remove files superseded by compaction/erasure commits
     * (and aged-out crashed staging dirs) once no retained manifest
     * references them — see [[TableManifest.vacuum]]. */

@@ -490,6 +490,17 @@ class HttpGatewaySpec extends SparkSpec {
       assert(post(port, "/query/execute",
         s"""{"query": "SELECT 1 AS x", "pins": {"ev": 999999}}""")
         .statusCode() == 400)
+
+      // the O(delta) diff door: what landed since the recorded pin
+      val headVer = "\"version\":(\\d+)".r.findFirstMatchIn(
+        get(port, "/admin/versions?collection=ev").body()).get.group(1)
+      val diff = get(port, s"/admin/diff?collection=ev&from=$ver&to=$headVer")
+      assert(diff.statusCode() == 200, diff.body())
+      assert(diff.body().contains("\"added_rows\":2") &&
+        diff.body().contains("\"purely_additive\":true") &&
+        diff.body().contains("u3"), diff.body())
+      assert(get(port, s"/admin/diff?collection=ev&from=$ver&to=999999")
+        .statusCode() == 400)
     }
   }
 

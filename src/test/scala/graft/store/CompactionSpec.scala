@@ -405,6 +405,39 @@ class CompactionSpec extends SparkSpec {
       .count() == 120)
   }
 
+  test("O(delta) corpus diff: rows appended between two pins come from " +
+    "append commits only; a rewrite in the window flips purely-additive") {
+    val warehouse = graft.TempDirs.scratch("graft-diff").toString
+    val registry = graft.core.SchemaRegistry.inMemory()
+    def batch(b: Int) = (0 until 30).map(i => (b.toLong * 30 + i, s"u${i % 3}"))
+      .toDF("event_id", "_user")
+      .withColumn("_time", lit("2026-12-01 12:00:00").cast("timestamp"))
+    (0 until 2).foreach(b => EventStore.write(batch(b), warehouse, "demo", "run"))
+    val v1 = EventStore.currentVersion(warehouse, "demo", "run").get
+    (2 until 4).foreach(b => EventStore.write(batch(b), warehouse, "demo", "run"))
+    // a compaction in the window adds no rows and must not pollute the
+    // diff (its commit carries removes → skipped)
+    EventStore.compactPartition(spark, warehouse, "demo", "run",
+      month = "2026-12", rowsPerFile = 1_000_000L)
+    val v2 = EventStore.currentVersion(warehouse, "demo", "run").get
+
+    val (added, rewrites) = EventStore.readAddedBetween(
+      spark, registry, warehouse, "demo", "run", v1, v2)
+    assert(rewrites, "the compaction rewrite should flag the window")
+    val ids = added.select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == 60 && ids.toSet == (60L until 120L).toSet,
+      s"diff served ${ids.length} rows: not exactly the appended batches")
+
+    // empty window → zero rows; bad windows are caller errors
+    val (none, _) = EventStore.readAddedBetween(
+      spark, registry, warehouse, "demo", "run", v2, v2)
+    assert(none.count() == 0)
+    intercept[IllegalArgumentException] {
+      EventStore.readAddedBetween(
+        spark, registry, warehouse, "demo", "run", v2, v2 + 99)
+    }
+  }
+
   test("second rewriter on a locked partition fails fast; lock releases") {
     val warehouse = graft.TempDirs.scratch("graft-lock").toString
     val df = (0 until 20).map(i => (i.toLong, s"u$i")).toDF("event_id", "_user")
