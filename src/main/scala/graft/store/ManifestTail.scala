@@ -56,13 +56,22 @@ object ManifestTail {
   }
 
   private def linkIn(table: String, spool: File, rel: String): Unit = {
-    val src = new File(table, rel)
-    if (!src.isFile) return // vacuumed before the tail saw it; nothing to serve
     val dst = new File(spool, rel)
+    if (dst.isFile) return // idempotent replay of a crashed advance
+    val src = new File(table, rel)
+    // an append-committed file the tail never spooled but vacuum already
+    // reaped (the rows live on only in a rewrite this tail skips): the
+    // tail has LOST data — fail loudly, exactly like the vacuumed-log
+    // case below; silent skip here would be the one silent gap in the
+    // failOnDataLoss contract
+    if (!src.isFile) throw new IllegalStateException(
+      s"tail on $table fell behind the vacuum retention window " +
+        s"($rel was superseded and reaped before the tail spooled it) — " +
+        "recreate the subscription; raise vacuum retention to cover tail lag")
     dst.getParentFile.mkdirs()
     try Files.createLink(dst.toPath, src.toPath)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException => () // idempotent replay
+      case _: java.nio.file.FileAlreadyExistsException => () // racing advancers
       case _: UnsupportedOperationException =>
         Files.copy(src.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING): Unit
     }

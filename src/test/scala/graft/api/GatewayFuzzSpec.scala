@@ -58,6 +58,7 @@ class GatewayFuzzSpec extends SparkSpec {
     "/tokenizer/train", "/tokenizer/chunks", "/tokenizer/drift",
     "/corpus/funnel", "/corpus/probe/train",
     "/admin/compact", "/admin/vacuum", "/admin/versions",
+    "/admin/pin", "/admin/diff",
     "/analysis/segmentation", "/admin/lock_key")
 
   private val bodies = Seq(

@@ -110,6 +110,72 @@ class ManifestTailSpec extends SparkSpec {
       s"spool still pins erased rows: ${spoolFiles().map(_.getName)}")
   }
 
+  test("randomized interleaving (seeded): appends, compactions and polls " +
+    "in any order, vacuum after catch-up — every appended row delivered " +
+    "exactly once") {
+    val warehouse = graft.TempDirs.scratch("graft-mtail-rand").toString
+    val table = EventStore.tablePath(warehouse, "demo", "tap")
+    val rnd = new scala.util.Random(20260816L) // deterministic replay
+    var nextBatch = 0
+    def append(): Unit = {
+      EventStore.write(batch(nextBatch, n = 20), warehouse, "demo", "tap")
+      nextBatch += 1
+    }
+    append() // the stream source needs one file at creation
+    val (stream, advance) =
+      Subscriptions.manifestStream(spark, schemaOf(), table, "rand")
+    val q = stream.writeStream.format("memory").queryName("mtail_rand")
+      .outputMode("append").start()
+    try {
+      (0 until 24).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 | 1 => append()
+          case 2 =>
+            EventStore.compactPartition(spark, warehouse, "demo", "tap",
+              month = "2026-03", rowsPerFile = 1_000_000L): Unit
+        }
+        if (rnd.nextBoolean()) { advance(); q.processAllAvailable() }
+      }
+      advance()
+      q.processAllAvailable()
+      def delivered() = spark.table("mtail_rand")
+        .select("event_id").collect().map(_.getLong(0))
+      val expected = (0L until nextBatch.toLong * 20).toSet
+      val ids = delivered()
+      assert(ids.length == expected.size && ids.toSet == expected,
+        s"${nextBatch * 20} rows appended; tail delivered ${ids.length} " +
+          s"(${ids.length - ids.toSet.size} duplicated, " +
+          s"${(expected -- ids.toSet).size} lost)")
+      // a vacuum AFTER the tail caught up is always safe (the spool's
+      // hard links pin what was already served)
+      EventStore.vacuum(warehouse, "demo", "tap",
+        retainVersions = 1, graceMs = 0L)
+      advance()
+      q.processAllAvailable()
+      assert(delivered().length == expected.size)
+    } finally q.stop()
+  }
+
+  test("a tail lagging a compact+vacuum fails LOUDLY: an append-committed " +
+    "file reaped before the tail spooled it is data loss, never a skip") {
+    val warehouse = graft.TempDirs.scratch("graft-mtail5").toString
+    EventStore.write(batch(0), warehouse, "demo", "tap")
+    val table = EventStore.tablePath(warehouse, "demo", "tap")
+    val spool = ManifestTail.spoolDir(table, "lag")
+    ManifestTail.advance(table, spool) // caught up through batch 0
+    // batch 1 lands, is compacted away, and vacuum reaps its original
+    // file — all before the tail's next advance
+    EventStore.write(batch(1), warehouse, "demo", "tap")
+    EventStore.compactPartition(spark, warehouse, "demo", "tap",
+      month = "2026-03", rowsPerFile = 1_000_000L)
+    EventStore.vacuum(warehouse, "demo", "tap", retainVersions = 1,
+      graceMs = 0L)
+    val e = intercept[IllegalStateException] {
+      ManifestTail.advance(table, spool)
+    }
+    assert(e.getMessage.contains("vacuum retention"), e.getMessage)
+  }
+
   test("a tail that fell behind the vacuumed log window fails fast, " +
     "never silently skips (the failOnDataLoss contract)") {
     val table = graft.TempDirs.scratch("graft-mtail4").toString
