@@ -189,17 +189,37 @@ final class HttpGateway(
     * `.rewriting` and no main — roll FORWARD (the tmp is the truth;
     * rolling back would resurrect the deleted user). A tmp next to an
     * intact main is an uncommitted rewrite from a crash before the
-    * first rename — discard it (the erasure never committed; re-run
-    * it). The aside holds pre-erasure rows and is purged either way.
+    * first rename — discarded, but only past a GRACE window: another
+    * gateway sharing this warehouse may be mid-swap right now, and
+    * deleting its live tmp would make its second rename fail with the
+    * old log stranded in the aside (cross-JVM: writeLock is JVM-local).
+    * The aside is likewise only reaped past the grace (the completing
+    * erasure deletes its own aside promptly; recovery's sweep is for
+    * crashes). Catastrophic fallback: no main, no tmp, only an aside —
+    * restore the aside (rolling BACK resurrects the erased user, who
+    * can be re-erased; losing the whole profile log cannot be undone).
     * Runs at gateway start and before every erasure, under writeLock. */
-  private def recoverOpsLog(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+  private def recoverOpsLog(fs: org.apache.hadoop.fs.FileSystem,
+      graceMs: Long = 10 * 60 * 1000L): Unit = {
     val main = new org.apache.hadoop.fs.Path(opsDir)
     val tmp = new org.apache.hadoop.fs.Path(s"$opsDir.rewriting")
+    val aside = new org.apache.hadoop.fs.Path(s"$opsDir.erased")
+    def olderThanGrace(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.getFileStatus(p).getModificationTime <
+        System.currentTimeMillis() - graceMs
+    var rolledForward = false
     if (fs.exists(tmp)) {
-      if (!fs.exists(main)) { fs.rename(tmp, main); () }
-      else { fs.delete(tmp, true); () }
+      if (!fs.exists(main)) { fs.rename(tmp, main); rolledForward = true }
+      else if (olderThanGrace(tmp)) { fs.delete(tmp, true); () }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$opsDir.erased"), true): Unit
+    if (fs.exists(aside)) {
+      if (!fs.exists(main)) { fs.rename(aside, main); () }
+      // having just completed the crashed swap ourselves, its aside is
+      // certainly OUR pre-erasure copy — purge it now (RTBF), no grace
+      else if (rolledForward || olderThanGrace(aside)) {
+        fs.delete(aside, true); ()
+      }
+    }
   }
 
   private var pool: java.util.concurrent.ExecutorService = _
@@ -213,6 +233,10 @@ final class HttpGateway(
     // swap before any door can read it (see recoverOpsLog)
     recoverOpsLog(new org.apache.hadoop.fs.Path(opsDir)
       .getFileSystem(spark.sessionState.newHadoopConf()))
+    // subscriptions are session-scoped: a previous process's spools
+    // would pin vacuumed inodes forever — reap the cold ones (live
+    // tails of other gateways heartbeat their markers and survive)
+    graft.store.ManifestTail.sweepStale(s"$warehouse/$project"): Unit
     server = HttpServer.create(new InetSocketAddress(port), 0)
     pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     server.setExecutor(pool)
@@ -1337,14 +1361,20 @@ final class HttpGateway(
     val limit = params.get("limit").flatMap(_.toIntOption)
       .map(n => if (n < 1) throw new IngestRejected("limit must be >= 1")
                 else math.min(n, 1000)).getOrElse(1000)
-    val (added, rewrites) =
+    val (added, removals) =
       try EventStore.readAddedBetween(spark, registry, warehouse, project,
         collection, ver("from"), ver("to"))
       catch { case e: IllegalArgumentException =>
         throw new IngestRejected(String.valueOf(e.getMessage))
       }
-    val rows = added.limit(limit).toJSON.collect().mkString("[", ",", "]")
-    (200, s"""{"purely_additive":${!rewrites},"added_rows":${added.count()},"added":$rows}""")
+    // one pass over the delta files for both the count and the capped
+    // sample (two uncached actions would read every delta file twice)
+    added.persist()
+    try {
+      val n = added.count()
+      val rows = added.limit(limit).toJSON.collect().mkString("[", ",", "]")
+      (200, s"""{"purely_additive":${!removals},"added_rows":$n,"added":$rows}""")
+    } finally { added.unpersist(blocking = false); () }
   }
 
   /** `POST /admin/vacuum` — the physical half of maintenance: compaction
@@ -1453,8 +1483,14 @@ final class HttpGateway(
       throw new IngestRejected("id is required"))
     val q = Option(subscriptions.get(id)).getOrElse(
       return (404, """{"error":"subscription not found"}"""))
-    // reflect new commits into the spool, then drain: the sync() pull
-    Option(subTails.get(id)).foreach { case (advance, _) => advance() }
+    // reflect new commits into the spool, then drain: the sync() pull.
+    // A poisoned/lagging spool (erasure rewrote spooled files, or the
+    // tail fell behind vacuum retention) is the CLIENT's signal to
+    // recreate the subscription — a 4xx with the reason, never a 500
+    try Option(subTails.get(id)).foreach { case (advance, _) => advance() }
+    catch { case e: IllegalStateException =>
+      throw new IngestRejected(String.valueOf(e.getMessage))
+    }
     q.processAllAvailable()
     (200, spark.table(subTable(id)).toJSON.collect()
       .mkString("[", ",", "]"))
@@ -2209,7 +2245,12 @@ final class HttpGateway(
     val executed = writeLock.synchronized {
       if (graft.store.MaintenanceFence.claim(fencesDir, s"ann-reseed-$name",
           token)) {
-        graft.store.AnnIndex.reseed(spark, annIdxDir(name), iters); true
+        try { graft.store.AnnIndex.reseed(spark, annIdxDir(name), iters); true }
+        catch { case e: Throwable =>
+          graft.store.MaintenanceFence.release(fencesDir,
+            s"ann-reseed-$name", token)
+          throw e
+        }
       } else false
     }
     (200, s"""{"success":true,"executed":$executed}""")
@@ -2620,7 +2661,14 @@ final class HttpGateway(
     val executed = writeLock.synchronized {
       if (graft.store.MaintenanceFence.claim(fencesDir, s"mv-rebuild-$name",
           token)) {
-        rebuildMv(d); true
+        // a FAILED rebuild must release its claim, or every retry for
+        // the next staleMs silently no-ops with executed:false
+        try { rebuildMv(d); true }
+        catch { case e: Throwable =>
+          graft.store.MaintenanceFence.release(fencesDir,
+            s"mv-rebuild-$name", token)
+          throw e
+        }
       } else false
     }
     (200, s"""{"success":true,"executed":$executed}""")

@@ -123,13 +123,26 @@ object EventStore {
       case Some(files) if files.nonEmpty => spark.read
         .option("basePath", table).option("mergeSchema", "true")
         .parquet(files: _*)
-      case Some(_) =>
-        import org.apache.spark.sql.types.{StringType, StructField, StructType}
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(emptyCols.map(c => StructField(c, StringType))))
-      case None => spark.read.option("mergeSchema", "true").parquet(table)
+      case Some(_) => emptyFrame(spark, emptyCols)
+      case None =>
+        // pre-manifest fallback — but a table dir holding no VISIBLE
+        // entries (only hidden dirs: a subscription spool, a crashed
+        // staging dir) would make spark.read throw "unable to infer
+        // schema"; one root listing distinguishes it
+        val entries = Option(new java.io.File(table).listFiles())
+          .getOrElse(Array.empty)
+        val hasData = entries.exists(f =>
+          f.getName.contains("=") || f.getName.startsWith("part-"))
+        if (!hasData) emptyFrame(spark, emptyCols)
+        else spark.read.option("mergeSchema", "true").parquet(table)
     }
+
+  private def emptyFrame(spark: SparkSession, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(cols.map(c => StructField(c, StringType))))
+  }
 
   /** Time travel: the table as of one committed log version — the
     * capability a training pipeline needs for REPRODUCIBLE runs: pin
@@ -173,14 +186,16 @@ object EventStore {
     * versions, read from exactly the files append-only commits in
     * `(fromV, toV]` added — never a scan of either full corpus (at
     * 100 TB, diffing two pins by reading both sides is a non-starter;
-    * the commit log already knows the delta). Rewrite commits
-    * (compaction — row-preserving — and erasure — row-removing) add no
-    * rows and contribute nothing; the second return value flags whether
-    * any rewrite with removals landed in the window, i.e. whether the
-    * diff is purely additive or some `fromV` rows are gone at `toV`
-    * (training-data governance: "did anything LEAVE the corpus since
-    * the pinned run?"). Fails fast when the window is behind the vacuum
-    * retention horizon, like [[readAt]]. */
+    * the commit log already knows the delta). Rewrite commits add no
+    * rows and contribute nothing to the frame; the second return value
+    * flags whether any ROW-REMOVING rewrite landed in the window —
+    * i.e. whether some `fromV` rows are gone at `toV` (training-data
+    * governance: "did anything LEAVE the corpus since the pinned
+    * run?"). Commits note WHY they rewrote ([[TableManifest.commit]]'s
+    * `#note=` annotation): a `compact` rewrite is row-preserving and
+    * does NOT trip the flag; an `erasure` — or any unannotated rewrite,
+    * conservatively — does. Fails fast when the window is behind the
+    * vacuum retention horizon, like [[readAt]]. */
   def readAddedBetween(spark: SparkSession, registry: SchemaRegistry,
       warehouse: String, project: String, collection: String,
       fromV: Long, toV: Long): (DataFrame, Boolean) = {
@@ -202,8 +217,12 @@ object EventStore {
               s"version window $fromV..$toV of $project/$collection is no " +
                 "longer resolvable (behind the vacuum retention window)")
         }
-      if (removes.nonEmpty) rewrites = true
-      else added ++= adds
+      if (removes.nonEmpty) {
+        // row-preserving compaction never removes rows; anything else
+        // (erasure, or a rewrite predating the annotation) may have
+        if (!TableManifest.commitNote(table, v).contains("compact"))
+          rewrites = true
+      } else added ++= adds
     }
     val files = added.result().sorted
       .map(rel => new java.io.File(table, rel).getAbsolutePath)
@@ -369,7 +388,8 @@ object EventStore {
         compacted.write.mode("overwrite").parquet(tmp.getAbsolutePath)
         // logical commit only: superseded files stay on disk for
         // readers pinned to older manifests — vacuum() reaps them
-        commitRewrite(table, src, snapshot, tmp, deleteNow = false)
+        commitRewrite(table, src, snapshot, tmp, deleteNow = false,
+          note = "compact")
         files
       }
     }
@@ -426,7 +446,7 @@ object EventStore {
     * jobs, where prompt removal outranks readers pinned to history). */
   private def commitRewrite(table: String, dir: java.io.File,
       snapshot: Array[java.io.File], tmp: java.io.File,
-      deleteNow: Boolean): Unit = {
+      deleteNow: Boolean, note: String): Unit = {
     val tablePath = new java.io.File(table).toPath
     def rel(f: java.io.File) = tablePath.relativize(f.toPath).toString
     val moved = tmp.listFiles()
@@ -436,7 +456,8 @@ object EventStore {
         publishMove(f, target)
         rel(target)
       }
-    TableManifest.commit(table, moved.toSeq, snapshot.map(rel).toSeq)
+    TableManifest.commit(table, moved.toSeq, snapshot.map(rel).toSeq,
+      note = Some(note))
     if (deleteNow) snapshot.foreach { f =>
       require(f.delete() || !f.exists(), s"could not delete $f")
       // local-fs checksum shadow, if any
@@ -506,7 +527,7 @@ object EventStore {
             // erasure: physical deletion is immediate, and superseded
             // history versions must not survive either
             commitRewrite(root.getAbsolutePath, part, snapshot, tmp,
-              deleteNow = true)
+              deleteNow = true, note = "erasure")
             // a subscription spool's hard links would keep the erased
             // rows' inodes alive — purge the same files from every tail
             val rootPath = root.toPath

@@ -77,6 +77,8 @@ object ManifestTail {
     }
   }
 
+  private val Poisoned = "_poisoned"
+
   /** Reflect the commit log into the spool up to the current head.
     * First call fills from the head SNAPSHOT (the exactly-once view of
     * history — per-commit replay would both resurrect compacted-away
@@ -89,8 +91,16 @@ object ManifestTail {
     * the subscription instead. */
   def advance(table: String, spool: File): Long = {
     spool.mkdirs()
+    val poison = new File(spool, Poisoned)
+    if (poison.isFile) throw new IllegalStateException(
+      new String(Files.readAllBytes(poison.toPath), "UTF-8"))
     val head = TableManifest.latestVersion(table).getOrElse(0L)
     val cur = readVersion(spool)
+    // liveness heartbeat: sweepStale reaps spools whose marker went
+    // cold, so an idle-but-polled tail must refresh it even with no
+    // new commits to reflect
+    val marker = new File(spool, Marker)
+    if (marker.isFile) marker.setLastModified(System.currentTimeMillis()): Unit
     if (cur < 0L) {
       if (head > 0L)
         TableManifest.filesAt(table, head).foreach(linkIn(table, spool, _))
@@ -146,13 +156,48 @@ object ManifestTail {
 
   /** Erasure support: physically remove the given table-relative paths
     * from EVERY spool under the table — a hard link would otherwise keep
-    * a forgotten user's rows alive past [[EventStore.deleteUser]]. */
+    * a forgotten user's rows alive past [[EventStore.deleteUser]]. A
+    * spool that actually LOST links is POISONED: the stream may not yet
+    * have read them (rows of OTHER users in those files would then
+    * silently vanish from the tail), and there is no way to know from
+    * outside Spark's source log — so the next advance/poll fails with a
+    * recreate-the-subscription error instead of serving a silent gap,
+    * the same failOnDataLoss posture as the vacuum cases. The recreated
+    * tail fills from the post-erasure head snapshot. */
   private[store] def purgeFromSpools(table: File, rels: Seq[String]): Unit =
     Option(table.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".tail-"))
       .foreach { sp =>
+        var purged = false
         rels.foreach { rel =>
-          Files.deleteIfExists(new File(sp, rel).toPath): Unit
+          if (Files.deleteIfExists(new File(sp, rel).toPath)) purged = true
         }
+        if (purged)
+          Files.write(new File(sp, Poisoned).toPath,
+            ("erasure rewrote files this tail had spooled — recreate the " +
+              "subscription (it will refill from the post-erasure snapshot)")
+              .getBytes("UTF-8")): Unit
       }
+
+  /** Reap spools whose liveness marker went cold (default: a day) —
+    * subscriptions are session-scoped, so a crashed/restarted gateway's
+    * spools would otherwise pin their vacuumed inodes forever. A LIVE
+    * tail's marker is touched on every [[advance]], so active spools of
+    * OTHER gateways sharing the warehouse survive the sweep. Returns
+    * the number of spools dropped. */
+  def sweepStale(projectDir: String, olderThanMs: Long = 24 * 3600 * 1000L): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var n = 0
+    Option(new File(projectDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach { table =>
+        Option(table.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith(".tail-"))
+          .foreach { sp =>
+            val m = new File(sp, Marker)
+            val mtime = if (m.isFile) m.lastModified() else sp.lastModified()
+            if (mtime < cutoff) { drop(sp); n += 1 }
+          }
+      }
+    n
+  }
 }

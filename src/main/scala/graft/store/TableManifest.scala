@@ -90,6 +90,11 @@ private[graft] object TableManifest {
   private[store] def commitDelta(table: String, v: Long): (Seq[String], Seq[String]) =
     readCommit(table, v)
 
+  /** The commit's annotation, if the writer recorded one ('#note=…'). */
+  private[store] def commitNote(table: String, v: Long): Option[String] =
+    readLines(commitFile(table, v))
+      .find(_.startsWith("#note=")).map(_.stripPrefix("#note="))
+
   /** The delta of one commit: (adds, removes). */
   private def readCommit(table: String, v: Long): (Seq[String], Seq[String]) = {
     val (adds, removes) = readLines(commitFile(table, v)).partition(_.startsWith("+"))
@@ -141,7 +146,7 @@ private[graft] object TableManifest {
     * the fold, so concurrent attempts at the same version are
     * byte-identical and losers simply skip). */
   def commit(table: String, add: Iterable[String],
-      remove: Iterable[String] = Nil): Long = {
+      remove: Iterable[String] = Nil, note: Option[String] = None): Long = {
     Files.createDirectories(manifestDir(table).toPath)
     var attempt = 0
     while (true) {
@@ -151,8 +156,14 @@ private[graft] object TableManifest {
       val addLines = (adopt ++ add).filterNot(removeSet.contains)
         .toSeq.sorted.map("+" + _)
       val removeLines = removeSet.toSeq.sorted.map("-" + _)
+      // annotation line ('#key=value'): ignored by the fold (readCommit
+      // keeps only +/- lines), read back via commitNote — records WHY a
+      // rewrite happened (compact = row-preserving, erasure = rows
+      // removed), the distinction the corpus-diff governance flag needs
+      val noteLines = note.toSeq.map(n => s"#note=$n")
       val v = prevV + 1
-      if (casCreate(commitFile(table, v), addLines ++ removeLines)) {
+      if (casCreate(commitFile(table, v),
+          noteLines ++ addLines ++ removeLines)) {
         if (v % CheckpointEvery == 0)
           casCreate(checkpointFile(table, v), filesAt(table, v).toSeq.sorted)
         return v

@@ -757,6 +757,33 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw.stop()
   }
 
+  test("a subscription on a declared-but-empty collection neither 500s " +
+    "nor breaks project-wide SQL (the spool dir must not masquerade as " +
+    "a data-bearing table)") {
+    withGateway { (_, port) =>
+      assert(post(port, "/project/schema/add",
+        """{"collection": "declared", "fields": [{"name": "k", "type": "STRING"}]}""")
+        .statusCode() == 200)
+      assert(post(port, "/subscription/create",
+        """{"id": "d1", "collection": "declared"}""").statusCode() == 200)
+      // the spool dir now exists inside the (otherwise empty) table dir;
+      // project-wide SQL must still analyze — previously this was an
+      // 'unable to infer schema' 500 for EVERY query on the project
+      val q = post(port, "/query/execute",
+        """{"query": "SELECT count(*) AS n FROM declared"}""")
+      assert(q.statusCode() == 200 && q.body() == """[{"n":0}]""", q.body())
+      assert(get(port, "/analysis/statistics").statusCode() == 200)
+      // events flow end-to-end once data lands (the stream serves the
+      // schema as DECLARED at create time — just `k`)
+      assert(post(port, "/event/collect",
+        """{"collection": "declared", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000", "k": "x"}}""")
+        .statusCode() == 200)
+      val p = post(port, "/subscription/poll?id=d1", "")
+      assert(p.statusCode() == 200 && p.body().contains("\"k\":\"x\""), p.body())
+      assert(post(port, "/subscription/delete?id=d1", "").statusCode() == 200)
+    }
+  }
+
   test("/user/get on an empty store is a 404, not a 500") {
     withGateway { (_, port) =>
       assert(get(port, "/user/get?id=anyone").statusCode() == 404)

@@ -421,20 +421,30 @@ class CompactionSpec extends SparkSpec {
       month = "2026-12", rowsPerFile = 1_000_000L)
     val v2 = EventStore.currentVersion(warehouse, "demo", "run").get
 
-    val (added, rewrites) = EventStore.readAddedBetween(
+    val (added, removals) = EventStore.readAddedBetween(
       spark, registry, warehouse, "demo", "run", v1, v2)
-    assert(rewrites, "the compaction rewrite should flag the window")
+    assert(!removals,
+      "row-preserving compaction must NOT trip the rows-removed flag " +
+        "(its commit is note-annotated 'compact')")
     val ids = added.select("event_id").collect().map(_.getLong(0))
     assert(ids.length == 60 && ids.toSet == (60L until 120L).toSet,
       s"diff served ${ids.length} rows: not exactly the appended batches")
 
+    // an ERASURE in the window is a genuine removal — the governance
+    // flag flips
+    EventStore.deleteUser(spark, warehouse, "demo", "run", "_user", "u1")
+    val v3 = EventStore.currentVersion(warehouse, "demo", "run").get
+    val (_, erased) = EventStore.readAddedBetween(
+      spark, registry, warehouse, "demo", "run", v2, v3)
+    assert(erased, "erasure in the window must flip the rows-removed flag")
+
     // empty window → zero rows; bad windows are caller errors
     val (none, _) = EventStore.readAddedBetween(
-      spark, registry, warehouse, "demo", "run", v2, v2)
+      spark, registry, warehouse, "demo", "run", v3, v3)
     assert(none.count() == 0)
     intercept[IllegalArgumentException] {
       EventStore.readAddedBetween(
-        spark, registry, warehouse, "demo", "run", v2, v2 + 99)
+        spark, registry, warehouse, "demo", "run", v3, v3 + 99)
     }
   }
 

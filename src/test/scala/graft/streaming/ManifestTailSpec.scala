@@ -108,6 +108,37 @@ class ManifestTailSpec extends SparkSpec {
     // would re-fill it, and erasure commits are rewrites — skipped
     assert(spoolFiles().isEmpty,
       s"spool still pins erased rows: ${spoolFiles().map(_.getName)}")
+    // and the spool is POISONED: the stream may not have read the
+    // purged files, so the next advance demands a recreate instead of
+    // serving a silent gap
+    val e = intercept[IllegalStateException] {
+      ManifestTail.advance(table, spool)
+    }
+    assert(e.getMessage.contains("recreate the subscription"), e.getMessage)
+    // a fresh subscription refills from the post-erasure snapshot
+    val fresh = ManifestTail.spoolDir(table, "s2")
+    ManifestTail.advance(table, fresh)
+  }
+
+  test("sweepStale reaps cold spools, spares heartbeating ones") {
+    val warehouse = graft.TempDirs.scratch("graft-mtail-sweep").toString
+    EventStore.write(batch(0), warehouse, "demo", "tap")
+    val table = EventStore.tablePath(warehouse, "demo", "tap")
+    val cold = ManifestTail.spoolDir(table, "cold")
+    val live = ManifestTail.spoolDir(table, "live")
+    ManifestTail.advance(table, cold)
+    ManifestTail.advance(table, live)
+    assert(new java.io.File(cold, "_version")
+      .setLastModified(System.currentTimeMillis() - 48 * 3600 * 1000L))
+    val n = ManifestTail.sweepStale(s"$warehouse/demo")
+    assert(n == 1 && !cold.exists() && live.exists(),
+      s"swept $n; cold=${cold.exists()} live=${live.exists()}")
+    // an idle-but-polled tail heartbeats its marker on every advance
+    assert(new java.io.File(live, "_version")
+      .setLastModified(System.currentTimeMillis() - 48 * 3600 * 1000L))
+    ManifestTail.advance(table, live) // no new commits — still touches
+    assert(ManifestTail.sweepStale(s"$warehouse/demo") == 0 && live.exists(),
+      "heartbeat did not protect an idle live tail")
   }
 
   test("randomized interleaving (seeded): appends, compactions and polls " +
