@@ -732,6 +732,39 @@ class HttpGatewaySpec extends SparkSpec {
     } finally gw2.stop()
   }
 
+  test("ops-log recovery respects the cross-JVM grace: a YOUNG rewrite " +
+    "tmp next to an intact main (another gateway mid-swap) survives a " +
+    "start; a stale one is discarded") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = graft.TempDirs.scratch("graft-opsgrace").toString
+    val gw1 = new HttpGateway(spark, registry, warehouse, "demo")
+    val p1 = gw1.start()
+    try {
+      assert(post(p1, "/user/batch_operations",
+        """[{"id": "u1", "set_properties": {"plan": "pro"}}]""")
+        .statusCode() == 200)
+    } finally gw1.stop()
+    // another gateway's in-flight rewrite: tmp present, main intact
+    val tmp = new java.io.File(s"$warehouse/demo/__user_ops.rewriting")
+    tmp.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "live-swap.parquet").toPath, Array[Byte](1))
+
+    val gw2 = new HttpGateway(spark, registry, warehouse, "demo")
+    gw2.start()
+    gw2.stop()
+    assert(tmp.exists(),
+      "recovery deleted a YOUNG tmp — another gateway's live swap would " +
+        "strand the ops log in its aside")
+
+    // …but a tmp from a long-dead crash is swept
+    assert(tmp.setLastModified(System.currentTimeMillis() - 3600_000L))
+    val gw3 = new HttpGateway(spark, registry, warehouse, "demo")
+    gw3.start()
+    gw3.stop()
+    assert(!tmp.exists(), "stale crashed tmp survived recovery")
+  }
+
   test("subscription create with a bad filter is the client's 400 and " +
     "leaks neither the spool nor the id") {
     val registry = SchemaRegistry.inMemory()
