@@ -84,21 +84,42 @@ object Bench {
     // file is the full-registry gate record and the adjudication
     // baseline); partials go to BENCH_PARTIAL.json.
     val benchStart = System.nanoTime()
+    // Defaulted (r16 verdict #1c): the driver never sets this, and its
+    // sandbox kills an overrunning bench with SIGTERM (rc=124) — a
+    // kill-path record depends on the shutdown hook racing the reaper.
+    // 1500s is ~10x a quiet full-registry pass, so a healthy run never
+    // sees it, while a burst-pathology run self-cuts to a clean
+    // truncated record with the digest printed last.
     val deadlineS = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_S")
       .map(s => s.toDoubleOption.getOrElse(sys.error(
         s"SPARK_GRAFT_BENCH_DEADLINE_S must be a number, got '$s'")))
+      .orElse(Some(1500.0))
     def pastDeadline(): Boolean =
       deadlineS.exists(d => (System.nanoTime() - benchStart) / 1e9 > d)
     val partialJsonl = java.nio.file.Paths.get("BENCH_PARTIAL.jsonl")
     if (only.isEmpty)
       java.nio.file.Files.write(partialJsonl, Array.empty[Byte])
 
+    // shared with the shutdown hook — synchronize snapshots
+    val resultsBuf = new scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
+    @volatile var cutAt: Option[String] = None
+    @volatile var inFlight: Option[String] = None
+    val recordEmitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // Kill-path abort (r16 verdict #1a): once the shutdown hook has
+    // emitted its record, or Spark's own shutdown hook has stopped the
+    // context, every further query is a guaranteed ~700-char
+    // stopped-SparkContext failure — 9 of them flooded the r16 digest
+    // out of the driver's ~2000-char stdout tail. Nothing may run, and
+    // nothing may print, past this point.
+    def halted(): Boolean =
+      recordEmitted.get() || spark.sparkContext.isStopped
+
     def timeQuery(name: String, qd: QueryDef, n: Int): (Double, Boolean) = {
       var excepted = false
       val times = (1 to n).flatMap { i =>
         // a deadline mid-reps settles for the reps already taken (≥1)
         // rather than abandoning the row
-        if (excepted || (i > 1 && pastDeadline())) None
+        if (excepted || halted() || (i > 1 && pastDeadline())) None
         else {
           val t0 = System.nanoTime()
           // execute the query's OWN plan (toRdd): a .count() on top
@@ -110,7 +131,15 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            // first line only (r16 verdict #1b): a stopped-SparkContext
+            // message carries its creation-site stack trace; multi-line
+            // spam is what pushed the digest out of the tail window.
+            // A failure during shutdown prints nothing at all.
+            if (!halted()) {
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.nextOption().getOrElse("").take(300)
+              System.err.println(s"[bench] $name FAILED: $msg")
+            }
             excepted = true
             None
           }
@@ -120,12 +149,6 @@ object Bench {
         if (times.isEmpty) 0.0 else times.sorted.apply((times.size - 1) / 2)
       (median, !excepted && times.nonEmpty)
     }
-
-    // shared with the shutdown hook — synchronize snapshots
-    val resultsBuf = new scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
-    @volatile var cutAt: Option[String] = None
-    @volatile var inFlight: Option[String] = None
-    val recordEmitted = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     /** The full record line + the driver-facing compact digest (the
       * stdout-tail capture keeps only ~2000 chars; the digest always
@@ -173,7 +196,14 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(hook)
 
     for ((name, qd) <- selected if cutAt.isEmpty) {
-      if (pastDeadline()) {
+      if (halted()) {
+        cutAt = Some(name)
+        // stderr is part of the driver's tail capture too — one line,
+        // printed only if the hook hasn't already emitted the record
+        if (!recordEmitted.get())
+          System.err.println(s"[bench] SparkContext stopped — aborting " +
+            s"registry loop before $name")
+      } else if (pastDeadline()) {
         cutAt = Some(name)
         System.err.println(s"[bench] wall-clock deadline (${deadlineS.get}s)" +
           s" reached — stopping before $name, recording the cut")
@@ -261,7 +291,7 @@ object Bench {
     // prefix of the registry and the solo re-runs would overrun the
     // very deadline that cut the pass
     val adjudication: Option[String] =
-      if (cutAt.nonEmpty || pastDeadline()) None
+      if (cutAt.nonEmpty || pastDeadline() || halted()) None
       else prevRecord.flatMap {
       case (prevCalib, prevQs) =>
         val ratio = calib / prevCalib
@@ -292,7 +322,8 @@ object Bench {
           val soloCalib = measureCalib()
           // the deadline also bounds the solo pass: completed solos are
           // kept, the rest stay on their main-pass numbers
-          val solo = flagged.iterator.takeWhile(_ => !pastDeadline())
+          val solo = flagged.iterator
+            .takeWhile(_ => !pastDeadline() && !halted())
             .map { case (name, _) =>
               val qd = SparkEntry.registry.find(_._1 == name).get._2
               val (median, _) = timeQuery(name, qd, math.max(reps, 5))
@@ -322,9 +353,15 @@ object Bench {
     // lossless record. "value" is the authoritative total; the digest's
     // "queries" is a top-slice, never a sum target.
     val (line, digest) = recordLines(results, adjPart, cutAt)
+    // Stop Spark BEFORE printing the final record: spark.stop() logs
+    // ("stopped SparkContext" etc.) land on the same stderr the driver's
+    // ~2000-char tail capture reads, and anything printed after the
+    // digest erodes its window. The digest must be the last output.
+    try spark.stop() catch { case _: Exception => () }
     if (recordEmitted.compareAndSet(false, true)) {
       println(line)
       if (only.isEmpty) println(digest)
+      scala.Console.out.flush()
       // Stdout of a forked run can be tail-truncated by whatever
       // captures it (r4 lost the first 17 entries of this line); the
       // file copy is the lossless record. Subset runs
@@ -338,7 +375,9 @@ object Bench {
             if (cutAt.isEmpty) "BENCH_LOCAL.json" else "BENCH_PARTIAL.json"),
           (line + "\n").getBytes("UTF-8"))
     }
-    Runtime.getRuntime.removeShutdownHook(hook)
-    spark.stop()
+    // throws IllegalStateException if a shutdown is already in progress
+    // (the very case the hook handled) — benign either way
+    try Runtime.getRuntime.removeShutdownHook(hook)
+    catch { case _: IllegalStateException => () }
   }
 }

@@ -339,9 +339,15 @@ object JsonIngest {
       }.collect().toMap
 
     // USER_TYPE set-once across collections (InternalConfig.java:5-7).
-    skeletons.values.flatMap(_.get("_user")).headOption.foreach { ut =>
-      registry.setOnce(project, "USER_TYPE", ut)
-    }
+    // When two collections in one FIRST batch disagree on _user's type,
+    // the winner must not depend on Map iteration order: pick the
+    // lexicographically smallest (collection, type) — the same rule the
+    // intra-batch skeleton conflict fold uses above (r16 verdict #4).
+    skeletons.toSeq
+      .flatMap { case (c, fs) => fs.get("_user").map(t => (c, t)) }
+      .minOption.foreach { case (_, ut) =>
+        registry.setOnce(project, "USER_TYPE", ut)
+      }
     val userT = registry.config(project, "USER_TYPE")
 
     // Registry evolution (union-only) per collection.

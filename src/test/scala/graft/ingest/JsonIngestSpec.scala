@@ -108,6 +108,22 @@ class JsonIngestSpec extends SparkSpec {
     assert(res.byCollection("b").collect().head.getAs[Long]("_user") == 77L)
   }
 
+  test("USER_TYPE tiebreak: two collections disagreeing in one first " +
+      "batch resolve by lexicographic (collection, type)") {
+    // r16 verdict #4: the winner used to be Map-iteration-order luck.
+    // Collections "a" (STRING _user) and "b" (LONG _user) in ONE first
+    // batch: the smallest (collection, type) pair is ("a", "STRING"),
+    // so USER_TYPE pins STRING — deterministically, every run.
+    implicit val r: SchemaRegistry = SchemaRegistry.inMemory()
+    ingest(
+      """{"collection": "b", "properties": {"_user": 42}}""",
+      """{"collection": "a", "properties": {"_user": "alice"}}""")
+    assert(r.config("demo", "USER_TYPE").contains("STRING"))
+    val ta = r.schema("demo", "a").get.find(_.name == "_user").get.tpe
+    val tb = r.schema("demo", "b").get.find(_.name == "_user").get.tpe
+    assert(ta == FieldType.STRING && tb == FieldType.STRING)
+  }
+
   test("string values truncate to 100 chars (F2)") {
     implicit val r: SchemaRegistry = SchemaRegistry.inMemory()
     val long = "x" * 150
