@@ -183,41 +183,47 @@ final class HttpGateway(
 
   private def opsDir = s"$warehouse/$project/__user_ops"
 
-  /** Complete a crashed erasure swap on the ops log. The rewrite is
-    * write-tmp → rename(main→aside) → rename(tmp→main) → delete aside;
-    * a crash between the renames leaves the post-erasure log in
-    * `.rewriting` and no main — roll FORWARD (the tmp is the truth;
-    * rolling back would resurrect the deleted user). A tmp next to an
-    * intact main is an uncommitted rewrite from a crash before the
-    * first rename — discarded, but only past a GRACE window: another
-    * gateway sharing this warehouse may be mid-swap right now, and
-    * deleting its live tmp would make its second rename fail with the
-    * old log stranded in the aside (cross-JVM: writeLock is JVM-local).
-    * The aside is likewise only reaped past the grace (the completing
-    * erasure deletes its own aside promptly; recovery's sweep is for
-    * crashes). Catastrophic fallback: no main, no tmp, only an aside —
-    * restore the aside (rolling BACK resurrects the erased user, who
-    * can be re-erased; losing the whole profile log cannot be undone).
-    * Runs at gateway start and before every erasure, under writeLock. */
-  private def recoverOpsLog(fs: org.apache.hadoop.fs.FileSystem,
-      graceMs: Long = 10 * 60 * 1000L): Unit = {
-    val main = new org.apache.hadoop.fs.Path(opsDir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$opsDir.rewriting")
-    val aside = new org.apache.hadoop.fs.Path(s"$opsDir.erased")
-    def olderThanGrace(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.getFileStatus(p).getModificationTime <
-        System.currentTimeMillis() - graceMs
-    var rolledForward = false
-    if (fs.exists(tmp)) {
-      if (!fs.exists(main)) { fs.rename(tmp, main); rolledForward = true }
-      else if (olderThanGrace(tmp)) { fs.delete(tmp, true); () }
-    }
-    if (fs.exists(aside)) {
-      if (!fs.exists(main)) { fs.rename(aside, main); () }
-      // having just completed the crashed swap ourselves, its aside is
-      // certainly OUR pre-erasure copy — purge it now (RTBF), no grace
-      else if (rolledForward || olderThanGrace(aside)) {
-        fs.delete(aside, true); ()
+  /** The virtual collection name the profile ops log answers to on the
+    * admin doors (`/admin/versions`, `/admin/pin`, `/admin/diff`) and
+    * in `/query/execute` `pins` — the one non-event table in the
+    * commit-log story since r17. */
+  private val OpsLogName = "__user_ops"
+  /** The merged-profile temp view `/query/execute` mounts (the
+    * reference's `_users` table, PostgresqlUserStorage.java:146-808). */
+  private val UsersView = "_users"
+
+  /** The profile ops log, read through its [[graft.store.TableManifest]]
+    * snapshot — since r17 the log commits like every event table
+    * (staged-move appends, manifest versions, erasure as an annotated
+    * rewrite commit), so profile state has the same pins/time-travel
+    * the event corpus has and a training run's `(event version, ops
+    * version)` pair replays its event↔profile join exactly.
+    * `version` pins the read ([[graft.store.EventStore.readAt]] — the
+    * registry has no `__user_ops` entry, so the align is identity);
+    * pre-erasure pins whose files were promptly deleted fail fast
+    * rather than resurrect the erased user. None = no ops log yet. */
+  private def readOps(version: Option[Long] = None)
+      : Option[org.apache.spark.sql.Dataset[ProfileOp]] = {
+    import spark.implicits._
+    import graft.store.TableManifest
+    version match {
+      case Some(v) => Some(EventStore.readAt(spark, registry, warehouse,
+        project, OpsLogName, v).as[ProfileOp])
+      case None => TableManifest.snapshot(opsDir) match {
+        case Some(files) if files.nonEmpty =>
+          Some(spark.read.option("mergeSchema", "true")
+            .parquet(files: _*).as[ProfileOp])
+        // an erasure can legitimately commit an EMPTY file set — that
+        // is an empty log, never a fall-back to the directory listing
+        case Some(_) => Some(spark.emptyDataset[ProfileOp])
+        case None =>
+          // pre-manifest fallback (a warehouse written before r17); the
+          // next append adopts these files into the first commit
+          val parts = Option(new java.io.File(opsDir).listFiles())
+            .getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+          if (parts.isEmpty) None
+          else Some(spark.read.parquet(opsDir).as[ProfileOp])
       }
     }
   }
@@ -229,10 +235,14 @@ final class HttpGateway(
     * multiple threads fine); the default HttpServer executor would
     * serialize every request behind the slowest Spark job. */
   def start(port: Int = 0): Int = {
-    // a crash mid-erasure leaves the ops log half-swapped; finish the
-    // swap before any door can read it (see recoverOpsLog)
-    recoverOpsLog(new org.apache.hadoop.fs.Path(opsDir)
-      .getFileSystem(spark.sessionState.newHadoopConf()))
+    // ops-log maintenance: the manifest commit makes a crashed erasure
+    // need no recovery (the committed state is either pre- or
+    // post-rewrite, never half-swapped) — only its leftovers want
+    // sweeping: a crashed attempt's staging dir, and superseded files a
+    // crash-between-commit-and-delete left on disk (RTBF wants them
+    // gone; they are unreferenced, so vacuum reaps them past the grace)
+    EventStore.sweepRewriteTmp(opsDir)
+    graft.store.TableManifest.vacuum(opsDir): Unit
     // subscriptions are session-scoped: a previous process's spools
     // would pin vacuumed inodes forever — reap the cold ones (live
     // tails of other gateways heartbeat their markers and survive)
@@ -842,7 +852,12 @@ final class HttpGateway(
     * AT the given commit-log versions ([[EventStore.readAt]]) — ad-hoc
     * SQL over a pinned corpus, completing the reproducible-run story:
     * record `/admin/pin`'s manifest with a training run, and any later
-    * investigation queries the exact corpus the run saw. */
+    * investigation queries the exact corpus the run saw.
+    *
+    * The merged profile dimension mounts as `_users` (id, properties
+    * map — the reference's users table), pinnable at an ops-log commit
+    * version via the `__user_ops` pins key `/admin/pin` records: both
+    * sides of an event↔profile join replay from one pin manifest. */
   private def handleQuery(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = requestJson(ex)
@@ -858,7 +873,7 @@ final class HttpGateway(
         e.getKey -> e.getValue.asLong()
       }.toMap).getOrElse(Map.empty)
     pins.keys.foreach { c =>
-      if (!registry.collections(project).contains(c))
+      if (c != OpsLogName && !registry.collections(project).contains(c))
         throw new IngestRejected(s"unknown collection '$c' in pins")
     }
     registry.collections(project).foreach { c =>
@@ -871,6 +886,20 @@ final class HttpGateway(
         case None => storedOrEmpty(c)
       }
       frame.createOrReplaceTempView(c)
+    }
+    // the profile dimension mounts as `_users` (the reference's users
+    // table): the merged fold of the ops log, pinnable via the
+    // `__user_ops` key `/admin/pin` records — so the event AND profile
+    // sides of a j4-style join both replay from one pin manifest
+    locally {
+      import spark.implicits._
+      val ops =
+        try readOps(pins.get(OpsLogName))
+        catch { case e: IllegalArgumentException =>
+          throw new IngestRejected(String.valueOf(e.getMessage))
+        }
+      ProfileMerge.merge(ops.getOrElse(spark.emptyDataset[ProfileOp]))
+        .createOrReplaceTempView(UsersView)
     }
     val df =
       try spark.sql(sql)
@@ -996,23 +1025,36 @@ final class HttpGateway(
   private def appendOps(ops: Seq[ProfileOp]): Unit =
     if (ops.nonEmpty) writeLock.synchronized {
       import spark.implicits._
-      ops.toDS().write.mode("append").parquet(opsDir)
+      // manifest-committed like every event table (r17): batch
+      // atomicity, snapshot-isolated readers, pins/time travel
+      EventStore.appendUnpartitioned(ops.toDS().toDF(), opsDir)
     }
 
+  /** `GET /user/get?id=…[&version=v]` — `version` pins the ops log at a
+    * commit-log version (the profile half of a reproducible run's pin
+    * pair), same contract as the analysis doors' `version` param. */
   private def handleUserGet(ex: HttpExchange): (Int, String) = {
-    val id = queryParams(ex).getOrElse("id",
+    val params = queryParams(ex)
+    val id = params.getOrElse("id",
       throw new IngestRejected("id is required"))
-    import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(opsDir)
-    if (!fs.getFileSystem(spark.sessionState.newHadoopConf()).exists(fs))
-      return (404, """{"error":"user not found"}""")
-    // filter BEFORE the merge: the id predicate pushes to the parquet
-    // scan, so one GET folds one user's ops, never the whole log
-    val ops = spark.read.parquet(opsDir).as[ProfileOp]
-      .filter(col("id") === id)
-    val rows = ProfileMerge.merge(ops).toJSON.collect()
-    if (rows.isEmpty) (404, """{"error":"user not found"}""")
-    else (200, rows.head)
+    val version = params.get("version").map(v => v.toLongOption.getOrElse(
+      throw new IngestRejected(s"version must be an integer, got '$v'")))
+    val ops =
+      try readOps(version)
+      catch { case e: IllegalArgumentException =>
+        throw new IngestRejected(String.valueOf(e.getMessage))
+      }
+    ops match {
+      case None => (404, """{"error":"user not found"}""")
+      case Some(all) =>
+        // filter BEFORE the merge: the id predicate pushes to the
+        // parquet scan, so one GET folds one user's ops, never the
+        // whole log
+        val rows = ProfileMerge.merge(all.filter(col("id") === id))
+          .toJSON.collect()
+        if (rows.isEmpty) (404, """{"error":"user not found"}""")
+        else (200, rows.head)
+    }
   }
 
   /** `GET /user/metadata` — the user-storage schema door
@@ -1022,13 +1064,13 @@ final class HttpGateway(
     * the distinct property names across the op log; the scan reads only
     * the map keys column. */
   private def handleUserMetadata(ex: HttpExchange): (Int, String) = {
-    val fsPath = new org.apache.hadoop.fs.Path(opsDir)
-    val cols: Seq[String] =
-      if (!fsPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(fsPath)) Nil
-      else spark.read.parquet(opsDir)
+    val cols: Seq[String] = readOps() match {
+      case None => Nil
+      case Some(ops) => ops
         .select(explode(map_keys(col("props"))).as("name"))
         .distinct().orderBy(col("name"))
         .collect().map(_.getString(0)).toIndexedSeq
+    }
     val node = mapper.createObjectNode()
     node.put("identifierColumn", "id")
     val cn = node.putArray("columns")
@@ -1229,8 +1271,9 @@ final class HttpGateway(
   /** Right-to-be-forgotten: physically remove one user's events from
     * every collection ([[EventStore.deleteUser]] surveys partitions
     * and rewrites only the touched ones) and drop their ops from the
-    * profile log (write-aside rewrite — the log is |ops|, not
-    * |events|). Returns partitions rewritten and event rows deleted. */
+    * profile log ([[graft.store.EventStore.eraseRows]] — a manifest
+    * rewrite commit over a log that is |ops|, not |events|). Returns
+    * partitions rewritten and event rows deleted. */
   private def handleUserDelete(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
     val root = requestJson(ex)
@@ -1244,26 +1287,12 @@ final class HttpGateway(
           "_user", id)
         parts += p; rows += r
       }
-      val opsPath = new org.apache.hadoop.fs.Path(opsDir)
-      val fs = opsPath.getFileSystem(spark.sessionState.newHadoopConf())
-      recoverOpsLog(fs)
-      if (fs.exists(opsPath)) {
-        import spark.implicits._
-        val kept = spark.read.parquet(opsDir).as[ProfileOp]
-          .filter(col("id") =!= id)
-        val tmp = s"$opsDir.rewriting"
-        kept.write.mode("overwrite").parquet(tmp)
-        // two-rename swap, never delete-then-rename: a crash anywhere
-        // leaves either the old log or the completed rewrite on disk,
-        // and recoverOpsLog rolls the half-done swap FORWARD (rolling
-        // back would resurrect the erased user)
-        val aside = new org.apache.hadoop.fs.Path(s"$opsDir.erased")
-        fs.delete(aside, true)
-        require(fs.rename(opsPath, aside), "ops-log aside failed")
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), opsPath),
-          "ops-log swap failed")
-        fs.delete(aside, true)
-      }
+      // ops-log erasure is a manifest rewrite commit (note=erasure)
+      // with immediate physical deletion — crash-safe without any
+      // recovery dance (the committed state is pre- or post-rewrite,
+      // never half-swapped), serialized ACROSS JVMs by the table's
+      // rewrite lock, staged in a per-attempt unique tmp
+      EventStore.eraseRows(spark, opsDir, "id", id): Unit
       // incremental folds can only ADD: re-materialize every view so
       // the deleted user leaves aggregates and sketches too
       storedMvDefs().foreach(rebuildMv)
@@ -1307,8 +1336,10 @@ final class HttpGateway(
     // registry gate BEFORE touching the filesystem: an unregistered name
     // must 404, never probe an attacker-chosen path's manifest state
     // (`collection=../../x`), and the response is Jackson-built so a
-    // quote/backslash in the param can't yield invalid JSON
-    if (!registry.collections(project).contains(collection))
+    // quote/backslash in the param can't yield invalid JSON. The profile
+    // ops log is the one non-registry table in the commit-log story.
+    if (collection != OpsLogName &&
+        !registry.collections(project).contains(collection))
       return (404, mapper.writeValueAsString {
         val n = mapper.createObjectNode()
         n.put("error", s"unknown collection '$collection'")
@@ -1335,6 +1366,11 @@ final class HttpGateway(
     * (declared, never stored) are omitted. */
   private def handlePin(ex: HttpExchange): (Int, String) = {
     val node = mapper.createObjectNode()
+    // the profile ops log first (sorts outside the collection
+    // namespace): pinning it alongside the event tables makes an
+    // event↔profile join fully replay-exact, not just its event side
+    graft.store.TableManifest.latestVersion(opsDir)
+      .foreach(v => node.put(OpsLogName, v))
     registry.collections(project).sorted.foreach { c =>
       EventStore.currentVersion(warehouse, project, c)
         .foreach(v => node.put(c, v))
@@ -1353,7 +1389,12 @@ final class HttpGateway(
     val params = queryParams(ex)
     val collection = params.getOrElse("collection",
       throw new IngestRejected("collection is required"))
-    if (!registry.collections(project).contains(collection))
+    // `collection=__user_ops` diffs the profile ops log: the ops
+    // APPENDED between two pins, `purely_additive=false` when an
+    // erasure landed in the window — profile governance matching the
+    // event tables'
+    if (collection != OpsLogName &&
+        !registry.collections(project).contains(collection))
       throw new IngestRejected(s"unknown collection '$collection'")
     def ver(k: String): Long = params.get(k)
       .flatMap(_.toLongOption).getOrElse(
@@ -1414,6 +1455,17 @@ final class HttpGateway(
 
   private def subTable(id: String) = s"graft_sub_$id"
 
+  /** Spools are namespaced per GATEWAY INSTANCE (r16 ADVICE): two
+    * gateways sharing a warehouse can hold the same subscription id
+    * without sharing one spool (one's delete must not rip the source
+    * directory from under the other's live stream), and a crashed
+    * session's orphan — possibly poisoned — can never be silently
+    * reused by a fresh create (it ages out via
+    * [[graft.store.ManifestTail.sweepStale]] instead). */
+  private val spoolNonce =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  private def spoolId(id: String) = s"${id}_$spoolNonce"
+
   /** `POST /subscription/create` — the reference's `EventStream`
     * (ST1): body `{"id": …, "collection": …, "filter"?: sqlPredicate,
     * "columns"?: […]}`. The collection's table directory becomes a
@@ -1450,8 +1502,9 @@ final class HttpGateway(
     // rewritten part files back in as fresh rows)
     val table = EventStore.tablePath(warehouse, project, collection)
     val (raw, advance) = graft.streaming.Subscriptions
-      .manifestStream(spark, schema, table, id)
-    subTails.put(id, (advance, graft.store.ManifestTail.spoolDir(table, id)))
+      .manifestStream(spark, schema, table, spoolId(id))
+    subTails.put(id,
+      (advance, graft.store.ManifestTail.spoolDir(table, spoolId(id))))
     val stream = raw.withColumn("_collection", lit(collection))
     val sub = graft.streaming.StreamSubscription(id,
       Seq(graft.streaming.CollectionStreamQuery(collection, filter)), columns)
@@ -1478,20 +1531,38 @@ final class HttpGateway(
     (200, s"""{"id":"$id"}""")
   }
 
+  /** `POST /subscription/poll?id=…[&prune_ms=w]` — the sync() pull.
+    * `prune_ms` (opt-in) bounds the spool of a long-lived ACTIVE tail:
+    * after the drain, links INSERTED more than `w` ms ago at versions
+    * this very drain has processed are dropped
+    * ([[graft.store.ManifestTail.prune]] — insertion-time aged and
+    * version-fenced, so it can never delete an unprocessed row). */
   private def handleSubPoll(ex: HttpExchange): (Int, String) = {
-    val id = queryParams(ex).getOrElse("id",
+    val params = queryParams(ex)
+    val id = params.getOrElse("id",
       throw new IngestRejected("id is required"))
+    val pruneMs = params.get("prune_ms").map { s =>
+      val w = s.toLongOption.getOrElse(
+        throw new IngestRejected(s"prune_ms must be an integer, got '$s'"))
+      if (w < 0) throw new IngestRejected("prune_ms must be >= 0")
+      w
+    }
     val q = Option(subscriptions.get(id)).getOrElse(
       return (404, """{"error":"subscription not found"}"""))
     // reflect new commits into the spool, then drain: the sync() pull.
     // A poisoned/lagging spool (erasure rewrote spooled files, or the
     // tail fell behind vacuum retention) is the CLIENT's signal to
     // recreate the subscription — a 4xx with the reason, never a 500
-    try Option(subTails.get(id)).foreach { case (advance, _) => advance() }
-    catch { case e: IllegalStateException =>
-      throw new IngestRejected(String.valueOf(e.getMessage))
-    }
+    val advanced =
+      try Option(subTails.get(id)).map { case (advance, _) => advance() }
+      catch { case e: IllegalStateException =>
+        throw new IngestRejected(String.valueOf(e.getMessage))
+      }
     q.processAllAvailable()
+    // prune AFTER the drain: everything spooled at `advanced` or before
+    // is through the sink now, so the version fence makes this safe
+    for (w <- pruneMs; v <- advanced; (_, spool) <- Option(subTails.get(id)))
+      graft.store.ManifestTail.prune(spool, w, upToVersion = v): Unit
     (200, spark.table(subTable(id)).toJSON.collect()
       .mkString("[", ",", "]"))
   }
@@ -2242,16 +2313,14 @@ final class HttpGateway(
     val iters = Option(root.get("iters")).map(_.asInt()).getOrElse(2)
     val token =
       s"v${graft.store.VersionedState.currentVersion(annIdxDir(name))}"
+    // withClaim: the winner heartbeats its claim, so a reseed that
+    // legitimately outlasts staleMs is never usurped mid-flight; a
+    // failed one releases (a retry must not no-op for staleMs)
     val executed = writeLock.synchronized {
-      if (graft.store.MaintenanceFence.claim(fencesDir, s"ann-reseed-$name",
-          token)) {
-        try { graft.store.AnnIndex.reseed(spark, annIdxDir(name), iters); true }
-        catch { case e: Throwable =>
-          graft.store.MaintenanceFence.release(fencesDir,
-            s"ann-reseed-$name", token)
-          throw e
-        }
-      } else false
+      graft.store.MaintenanceFence.withClaim(fencesDir,
+        s"ann-reseed-$name", token) {
+        graft.store.AnnIndex.reseed(spark, annIdxDir(name), iters)
+      }.isDefined
     }
     (200, s"""{"success":true,"executed":$executed}""")
   }
@@ -2658,18 +2727,12 @@ final class HttpGateway(
       return (404, """{"error":"materialized view not found"}"""))
     val token =
       s"v${EventStore.currentVersion(warehouse, project, d.collection).getOrElse(0L)}"
+    // withClaim heartbeats while the rebuild runs (a slow-but-alive
+    // winner is not usurped) and releases on failure (a retry must not
+    // silently no-op with executed:false for the next staleMs)
     val executed = writeLock.synchronized {
-      if (graft.store.MaintenanceFence.claim(fencesDir, s"mv-rebuild-$name",
-          token)) {
-        // a FAILED rebuild must release its claim, or every retry for
-        // the next staleMs silently no-ops with executed:false
-        try { rebuildMv(d); true }
-        catch { case e: Throwable =>
-          graft.store.MaintenanceFence.release(fencesDir,
-            s"mv-rebuild-$name", token)
-          throw e
-        }
-      } else false
+      graft.store.MaintenanceFence.withClaim(fencesDir,
+        s"mv-rebuild-$name", token) { rebuildMv(d) }.isDefined
     }
     (200, s"""{"success":true,"executed":$executed}""")
   }

@@ -176,6 +176,16 @@ object EventStore {
             s"version $version of $project/$collection is no longer " +
               "resolvable (behind the vacuum retention window)")
       }
+    // the log can outlive the data: vacuum (or an erasure's prompt
+    // deleteNow) removes superseded files while their commits remain
+    // foldable — the stale pin must fail FAST as the caller's error
+    // (doors map this to a 400), never as a mid-scan missing-file crash
+    files.find(p => !new java.io.File(p).isFile).foreach { missing =>
+      throw new IllegalArgumentException(
+        s"version $version of $project/$collection is no longer " +
+          s"resolvable (${new java.io.File(missing).getName} was " +
+          "vacuumed or erased)")
+    }
     require(files.nonEmpty, s"version $version of $project/$collection is empty")
     val df = spark.read.option("basePath", table).option("mergeSchema", "true")
       .parquet(files: _*)
@@ -328,6 +338,73 @@ object EventStore {
   /** Dead-letter append (S14): `$invalid_schema` table per project. */
   def writeDeadLetter(dead: DataFrame, warehouse: String, project: String): Unit =
     stagedAppend(dead, s"$warehouse/$project/invalid_schema", Seq.empty)
+
+  /** Manifest-committed append to an unpartitioned auxiliary table (the
+    * profile ops log): the same staged-move + [[TableManifest]] commit
+    * the event tables get — batch atomicity, snapshot-isolated readers,
+    * pins/time travel, vacuum — with no partition columns. */
+  def appendUnpartitioned(df: DataFrame, table: String): Unit =
+    stagedAppend(df, table, Seq.empty)
+
+  /** Right-to-be-forgotten on an unpartitioned table (the profile ops
+    * log): rewrite the committed file set minus `column == value` rows
+    * and commit the swap as ONE manifest version annotated `erasure`,
+    * deleting the superseded files immediately (prompt physical removal
+    * outranks readers pinned to pre-erasure versions — their pins fail
+    * fast rather than resurrect the erased user, the same contract
+    * [[deleteUser]] gives event partitions). The `_rewrite.lock` atomic
+    * create serializes rewriters ACROSS JVMs, and the tmp dir is
+    * per-attempt unique, so two gateways erasing concurrently can never
+    * clobber each other's staging (the failure mode of the pre-manifest
+    * fixed-path two-rename swap). Returns rows removed. */
+  def eraseRows(spark: SparkSession, table: String, column: String,
+      value: Any, vacuumGraceMs: Long = 10 * 60 * 1000L): Long = {
+    val dir = new java.io.File(table).getAbsoluteFile
+    if (!dir.isDirectory) return 0L
+    val removed = withPartitionLock(dir) {
+      val snapshot = committedFiles(dir.getAbsolutePath, dir)
+      if (snapshot.isEmpty) 0L
+      else {
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(snapshot.map(_.getAbsolutePath): _*)
+        val hits = df.filter(col(column) === lit(value)).count()
+        if (hits == 0) 0L
+        else {
+          val keep = df.filter(!(col(column) <=> lit(value)))
+          val tmp = new java.io.File(
+            s"${dir.getAbsolutePath}.rewriting-${java.util.UUID.randomUUID()}")
+          keep.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+          commitRewrite(dir.getAbsolutePath, dir, snapshot, tmp,
+            deleteNow = true, note = "erasure")
+          hits
+        }
+      }
+    }
+    // reap leftovers of EARLIER rewrites (a crash between a commit and
+    // its deleteNow pass leaves superseded files on disk) — they may
+    // still hold erased rows. The grace window protects in-flight
+    // appends from any JVM, same reasoning as deleteUser's vacuum.
+    if (removed > 0)
+      TableManifest.vacuum(dir.getAbsolutePath, retainVersions = 1,
+        graceMs = vacuumGraceMs): Unit
+    removed
+  }
+
+  /** Sweep crashed erasure attempts' staging dirs (`<table>.rewriting-*`
+    * next to the table) older than the grace window — a live attempt's
+    * dir is younger than it. Run at gateway start, like the staged
+    * appends' `.staging-*` sweep runs inside [[TableManifest.vacuum]]. */
+  def sweepRewriteTmp(table: String,
+      graceMs: Long = 10 * 60 * 1000L): Unit = {
+    val dir = new java.io.File(table).getAbsoluteFile
+    val parent = dir.getParentFile
+    val prefix = s"${dir.getName}.rewriting-"
+    val cutoff = System.currentTimeMillis() - graceMs
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+        f.lastModified() < cutoff)
+      .foreach(rmrf)
+  }
 
   /** Small-files compaction — the maintenance job an append-only
     * micro-batch store needs at scale: every ingest batch appends at

@@ -66,6 +66,38 @@ object MaintenanceFence {
     marker(dir, job, token).delete(): Unit
   }
 
+  /** Touch the claim's mtime — the winner's liveness heartbeat. A
+    * rebuild that legitimately outlasts `staleMs` would otherwise be
+    * taken over mid-flight by a new claimant reading its silence as a
+    * crash; heartbeating makes staleness mean CRASHED, not slow (the
+    * same discipline as [[ManifestTail]]'s marker heartbeat). */
+  def heartbeat(dir: String, job: String, token: String): Unit = {
+    marker(dir, job, token).setLastModified(System.currentTimeMillis()): Unit
+  }
+
+  /** Claim-and-run with an automatic heartbeat: if this process wins
+    * `(job, token)`, run `body` while a daemon thread touches the claim
+    * every `staleMs / 3`, so a slow-but-alive winner is never usurped.
+    * Returns `Some(result)` for the winner, `None` for a loser. A
+    * FAILED body releases the claim (a retry must not no-op for the
+    * next `staleMs`); a successful one leaves it, relying on the token
+    * advancing (or the caller releasing) as usual. */
+  def withClaim[T](dir: String, job: String, token: String,
+      staleMs: Long = 30 * 60 * 1000L)(body: => T): Option[T] = {
+    if (!claim(dir, job, token, staleMs)) return None
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beat = new Thread(() => {
+      while (!stop.await(math.max(1L, staleMs / 3),
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+        heartbeat(dir, job, token)
+    }, s"fence-heartbeat-${safe(job)}")
+    beat.setDaemon(true)
+    beat.start()
+    try Some(body)
+    catch { case e: Throwable => release(dir, job, token); throw e }
+    finally { stop.countDown(); beat.join(1000) }
+  }
+
   /** Atomic create-with-content, the same CAS primitive as
     * [[TableManifest]]: a hard link from a written temp file fails if
     * the target exists; no reader sees a partial claim. */

@@ -55,9 +55,9 @@ object ManifestTail {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def linkIn(table: String, spool: File, rel: String): Unit = {
+  private def linkIn(table: String, spool: File, rel: String): Boolean = {
     val dst = new File(spool, rel)
-    if (dst.isFile) return // idempotent replay of a crashed advance
+    if (dst.isFile) return false // idempotent replay of a crashed advance
     val src = new File(table, rel)
     // an append-committed file the tail never spooled but vacuum already
     // reaped (the rows live on only in a rewrite this tail skips): the
@@ -69,13 +69,32 @@ object ManifestTail {
         s"($rel was superseded and reaped before the tail spooled it) — " +
         "recreate the subscription; raise vacuum retention to cover tail lag")
     dst.getParentFile.mkdirs()
-    try Files.createLink(dst.toPath, src.toPath)
+    try { Files.createLink(dst.toPath, src.toPath); true }
     catch {
-      case _: java.nio.file.FileAlreadyExistsException => () // racing advancers
+      case _: java.nio.file.FileAlreadyExistsException => false // racing advancers
       case _: UnsupportedOperationException =>
-        Files.copy(src.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING): Unit
+        Files.copy(src.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        true
     }
   }
+
+  /** Per-spool insertion index: `version<TAB>insertMs<TAB>rel` appended
+    * as links land. [[prune]] ages links by THIS record, never by
+    * `File.lastModified` — a hard link shares the SOURCE inode's mtime
+    * (publish time), so a head-snapshot fill over an old table would
+    * otherwise make every link look ancient and a poll-lag-sized window
+    * would delete unprocessed rows. Crash replay of an advance can
+    * append duplicate lines; readers keep the first entry per rel. */
+  private val LinkedIndex = "_linked"
+
+  private def recordLinks(spool: File, v: Long, rels: Seq[String]): Unit =
+    if (rels.nonEmpty) {
+      val now = System.currentTimeMillis()
+      Files.write(new File(spool, LinkedIndex).toPath,
+        rels.map(r => s"$v\t$now\t$r\n").mkString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND): Unit
+    }
 
   private val Poisoned = "_poisoned"
 
@@ -89,11 +108,29 @@ object ManifestTail {
     * gone) — the failOnDataLoss contract: a silent gap in a tail feeding
     * incremental consumers is corruption, so the caller must recreate
     * the subscription instead. */
-  def advance(table: String, spool: File): Long = {
+  def advance(table: String, spool: File): Long =
+    advance(table, spool, expectAdvanced = None)
+
+  /** As [[advance]], with the caller's last-known spool version:
+    * `expectAdvanced = Some(v)` detects a spool that VANISHED under a
+    * live subscription (swept as stale by another gateway's
+    * [[sweepStale]], or deleted out-of-band). A silent head-snapshot
+    * refill there would re-deliver every file compacted since `v`
+    * under new paths — exactly the duplicate delivery the manifest
+    * tail exists to prevent — so the refilled-from-nothing case is
+    * poisoned instead (ADVICE r16). */
+  def advance(table: String, spool: File, expectAdvanced: Option[Long]): Long = {
     spool.mkdirs()
     val poison = new File(spool, Poisoned)
-    if (poison.isFile) throw new IllegalStateException(
-      new String(Files.readAllBytes(poison.toPath), "UTF-8"))
+    if (poison.isFile) {
+      // RTBF promptness: a poisoned spool's hard links may pin erased
+      // inodes until the client recreates the subscription — drop the
+      // data links NOW (the tail is unusable either way; the stream's
+      // in-flight read, if any, fails loudly rather than silently)
+      dropDataLinks(spool)
+      throw new IllegalStateException(
+        new String(Files.readAllBytes(poison.toPath), "UTF-8"))
+    }
     val head = TableManifest.latestVersion(table).getOrElse(0L)
     val cur = readVersion(spool)
     // liveness heartbeat: sweepStale reaps spools whose marker went
@@ -102,8 +139,19 @@ object ManifestTail {
     val marker = new File(spool, Marker)
     if (marker.isFile) marker.setLastModified(System.currentTimeMillis()): Unit
     if (cur < 0L) {
-      if (head > 0L)
-        TableManifest.filesAt(table, head).foreach(linkIn(table, spool, _))
+      expectAdvanced.filter(_ >= 0L).foreach { prev =>
+        val msg = s"tail spool on $table vanished under a live " +
+          s"subscription (last delivered version $prev; swept as stale " +
+          "or deleted out-of-band) — a silent refill would re-deliver " +
+          "compacted rows under new paths; recreate the subscription"
+        Files.write(poison.toPath, msg.getBytes("UTF-8")): Unit
+        throw new IllegalStateException(msg)
+      }
+      if (head > 0L) {
+        val created = TableManifest.filesAt(table, head).toSeq.sorted
+          .filter(linkIn(table, spool, _))
+        recordLinks(spool, head, created)
+      }
       writeVersion(spool, head)
       return head
     }
@@ -120,28 +168,79 @@ object ManifestTail {
         }
       // a commit carrying removes is a REWRITE (compaction/erasure):
       // its adds are rewritten copies of rows this tail already served
-      if (removes.isEmpty) adds.foreach(linkIn(table, spool, _))
+      if (removes.isEmpty)
+        recordLinks(spool, v, adds.filter(linkIn(table, spool, _)))
       writeVersion(spool, v)
     }
     head
   }
 
-  /** Drop spool links older than `olderThanMs` — disk hygiene for
-    * long-lived tails (a spooled link pins its inode past vacuum).
-    * Spark's file-source checkpoint tracks processed files by path, so
-    * pruning a PROCESSED link is safe; the window must comfortably
-    * exceed the subscription's poll lag or unprocessed rows are lost —
-    * hence opt-in, never automatic. */
-  def prune(spool: File, olderThanMs: Long): Int = {
-    val cutoff = System.currentTimeMillis() - olderThanMs
-    var n = 0
+  /** Delete the spool's data links (and the insertion index), keeping
+    * the `_version`/`_poisoned` markers — the poisoned-spool cleanup. */
+  private def dropDataLinks(spool: File): Unit = {
     def walk(d: File): Unit =
       Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isDirectory) walk(f)
-        else if (f.getName.startsWith("part-") && f.lastModified() < cutoff &&
-          f.delete()) n += 1
+        if (f.isDirectory) { walk(f); f.delete(): Unit }
+        else if (f.getName.startsWith("part-")) f.delete(): Unit
       }
     walk(spool)
+    new File(spool, LinkedIndex).delete(): Unit
+  }
+
+  /** Drop spool links older than `olderThanMs` — disk hygiene for
+    * long-lived ACTIVE tails (a spooled link pins its inode past
+    * vacuum; [[sweepStale]] only reaps COLD spools). Two fences make
+    * this safe rather than merely convenient:
+    *
+    *  - links age by their [[LinkedIndex]] INSERTION time, never by
+    *    `File.lastModified` — a hard link shares the source inode's
+    *    publish-time mtime, so mtime-aging would see a head-snapshot
+    *    fill over an old table as instantly prunable and delete
+    *    unprocessed rows (the r16 ADVICE trap);
+    *  - only links inserted at spool version ≤ `upToVersion` are
+    *    eligible — the caller passes the version whose rows it has
+    *    PROCESSED (the poll door prunes after a drained sync pull, so
+    *    everything up to that advance's version is through the sink);
+    *    younger links are refused no matter how old the clock says
+    *    they are. Links with no index entry (pre-r17 spool) are
+    *    likewise refused.
+    *
+    * Returns links deleted. Spark's file-source checkpoint tracks
+    * processed files by path, so deleting a processed link never
+    * re-delivers. */
+  def prune(spool: File, olderThanMs: Long, upToVersion: Long): Int = {
+    val idx = new File(spool, LinkedIndex)
+    if (!idx.isFile) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    // first entry per rel wins (crash-replayed advances append dupes)
+    val entries = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    new String(Files.readAllBytes(idx.toPath), "UTF-8").linesIterator
+      .foreach { line =>
+        line.split("\t", 3) match {
+          case Array(v, ms, rel) if rel.nonEmpty =>
+            (v.toLongOption, ms.toLongOption) match {
+              case (Some(vv), Some(mss)) =>
+                if (!entries.contains(rel)) entries(rel) = (vv, mss)
+              case _ => // torn append tail — refuse, never guess
+            }
+          case _ => ()
+        }
+      }
+    var n = 0
+    val keep = entries.filter { case (rel, (v, ms)) =>
+      val prunable = v <= upToVersion && ms < cutoff
+      if (prunable && Files.deleteIfExists(new File(spool, rel).toPath)) n += 1
+      !prunable
+    }
+    // atomic index rewrite with the survivors; a crash before the move
+    // leaves stale entries whose files are gone — the next prune drops
+    // them (deleteIfExists=false) without recounting
+    val tmp = File.createTempFile(".linked-", ".tmp", spool)
+    Files.write(tmp.toPath, keep
+      .map { case (rel, (v, ms)) => s"$v\t$ms\t$rel\n" }.mkString
+      .getBytes("UTF-8"))
+    Files.move(tmp.toPath, idx.toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     n
   }
 
@@ -156,27 +255,32 @@ object ManifestTail {
 
   /** Erasure support: physically remove the given table-relative paths
     * from EVERY spool under the table — a hard link would otherwise keep
-    * a forgotten user's rows alive past [[EventStore.deleteUser]]. A
-    * spool that actually LOST links is POISONED: the stream may not yet
-    * have read them (rows of OTHER users in those files would then
-    * silently vanish from the tail), and there is no way to know from
-    * outside Spark's source log — so the next advance/poll fails with a
-    * recreate-the-subscription error instead of serving a silent gap,
-    * the same failOnDataLoss posture as the vacuum cases. The recreated
-    * tail fills from the post-erasure head snapshot. */
+    * a forgotten user's rows alive past [[EventStore.deleteUser]] — and
+    * poison EVERY spool of the erased table, not only those where a
+    * link was actually deleted (r16 ADVICE): a poll's advance runs
+    * outside the erasure's lock, so it can re-link a superseded file
+    * into a spool moments after this sweep passed it; the
+    * unconditional poison means that racing spool is already marked,
+    * its next poll fails, and the poisoned-advance cleanup drops the
+    * re-linked file — the RTBF guarantee holds without cross-JVM
+    * advance/erasure locking. The stream may not yet have read the
+    * purged links (rows of OTHER users in those files would then
+    * silently vanish from the tail) and there is no way to know from
+    * outside Spark's source log — so failing the next poll with a
+    * recreate-the-subscription error is also the failOnDataLoss
+    * posture, same as the vacuum cases. The recreated tail fills from
+    * the post-erasure head snapshot. */
   private[store] def purgeFromSpools(table: File, rels: Seq[String]): Unit =
     Option(table.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(".tail-"))
       .foreach { sp =>
-        var purged = false
         rels.foreach { rel =>
-          if (Files.deleteIfExists(new File(sp, rel).toPath)) purged = true
+          Files.deleteIfExists(new File(sp, rel).toPath): Unit
         }
-        if (purged)
-          Files.write(new File(sp, Poisoned).toPath,
-            ("erasure rewrote files this tail had spooled — recreate the " +
-              "subscription (it will refill from the post-erasure snapshot)")
-              .getBytes("UTF-8")): Unit
+        Files.write(new File(sp, Poisoned).toPath,
+          ("erasure rewrote files under this tail — recreate the " +
+            "subscription (it will refill from the post-erasure snapshot)")
+            .getBytes("UTF-8")): Unit
       }
 
   /** Reap spools whose liveness marker went cold (default: a day) —

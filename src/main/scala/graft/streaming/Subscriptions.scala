@@ -63,9 +63,18 @@ object Subscriptions {
   def manifestStream(spark: SparkSession, schema: StructType, table: String,
       subId: String): (DataFrame, () => Long) = {
     val spool = graft.store.ManifestTail.spoolDir(table, subId)
-    graft.store.ManifestTail.advance(table, spool) // initial head snapshot
+    // initial head snapshot; thereafter each advance passes the last
+    // delivered version so a spool that VANISHED under this live
+    // subscription (swept as stale, deleted out-of-band) poisons
+    // instead of silently refilling — the refill would re-deliver
+    // files compacted since `last` under new paths
+    var last = graft.store.ManifestTail.advance(table, spool)
     (fileStream(spark, schema, spool.getAbsolutePath),
-      () => graft.store.ManifestTail.advance(table, spool))
+      () => spool.synchronized {
+        val v = graft.store.ManifestTail.advance(table, spool, Some(last))
+        last = v
+        v
+      })
   }
 
   /** ST2: the Kafka commit-log tail. The reference writes each event to

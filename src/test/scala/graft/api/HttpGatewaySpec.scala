@@ -697,9 +697,109 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
-  test("a crashed erasure swap on the ops log rolls FORWARD at the next " +
-    "gateway start: the rewritten log serves, the pre-erasure aside is " +
-    "purged, the deleted user stays deleted") {
+  test("profile pins: an (event version, ops version) pair replays an " +
+    "event↔profile join byte-identically across later mutations; an " +
+    "erasure fails the pre-erasure pin fast (RTBF outranks pins)") {
+    withGateway { (_, port) =>
+      post(port, "/event/collect",
+        """{"collection": "pv", "properties": {"_user": "u1", "_time": "2026-01-15 10:00:00.000"}}""")
+      post(port, "/event/collect",
+        """{"collection": "pv", "properties": {"_user": "u2", "_time": "2026-01-15 11:00:00.000"}}""")
+      post(port, "/user/set_properties",
+        """{"id": "u1", "properties": {"plan": "pro"}}""")
+      post(port, "/user/set_properties",
+        """{"id": "u2", "properties": {"plan": "free"}}""")
+
+      // the run manifest now covers the profile dimension too
+      val pin = get(port, "/admin/pin")
+      assert(pin.statusCode() == 200, pin.body())
+      def pinOf(body: String, k: String): Long =
+        s""""$k":(\\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+      val evV = pinOf(pin.body(), "pv")
+      val opsV = pinOf(pin.body(), "__user_ops")
+
+      val joinSql = "SELECT e._user AS u, u.properties['plan'] AS plan, " +
+        "count(*) AS n FROM pv e JOIN _users u ON e._user = u.id " +
+        "GROUP BY 1, 2 ORDER BY 1"
+      def pinnedJoin(): HttpResponse[String] = post(port, "/query/execute",
+        s"""{"query": "$joinSql", "pins": {"pv": $evV, "__user_ops": $opsV}}""")
+      val before = pinnedJoin()
+      assert(before.statusCode() == 200, before.body())
+      assert(before.body() ==
+        """[{"u":"u1","plan":"pro","n":1},{"u":"u2","plan":"free","n":1}]""",
+        before.body())
+
+      // later mutations on BOTH sides: more events, a profile update,
+      // a new user — the pinned pair must not see any of it
+      post(port, "/event/collect",
+        """{"collection": "pv", "properties": {"_user": "u1", "_time": "2026-01-16 10:00:00.000"}}""")
+      post(port, "/user/set_properties",
+        """{"id": "u1", "properties": {"plan": "enterprise"}}""")
+      post(port, "/user/batch",
+        """[{"id": "u3", "properties": {"plan": "trial"}}]""")
+      assert(pinnedJoin().body() == before.body(),
+        "pinned (event, ops) pair drifted under later mutations")
+      // …while the unpinned join serves the new state
+      val now = post(port, "/query/execute", s"""{"query": "$joinSql"}""")
+      assert(now.body().contains("\"plan\":\"enterprise\""), now.body())
+
+      // /user/get serves the same pinned-vs-head contract
+      val pinnedGet = get(port, s"/user/get?id=u1&version=$opsV")
+      assert(pinnedGet.body().contains("\"plan\":\"pro\""), pinnedGet.body())
+      assert(get(port, "/user/get?id=u1").body()
+        .contains("\"plan\":\"enterprise\""))
+      assert(get(port, "/user/get?id=u1&version=x").statusCode() == 400)
+
+      // ops-log governance doors: head version + O(delta) diff
+      val vers = get(port, "/admin/versions?collection=__user_ops")
+      assert(vers.statusCode() == 200, vers.body())
+      val head = pinOf(vers.body(), "version")
+      assert(head > opsV)
+      val diff = get(port,
+        s"/admin/diff?collection=__user_ops&from=$opsV&to=$head")
+      assert(diff.statusCode() == 200 &&
+        diff.body().contains("\"purely_additive\":true") &&
+        diff.body().contains("\"added_rows\":2"), diff.body())
+
+      // erasure: the pinned pre-erasure ops version must fail FAST
+      // (its files are physically gone — a resolvable pin would
+      // resurrect the erased user), and the erasure trips the
+      // governance flag for any window crossing it
+      assert(post(port, "/user/delete", """{"id": "u2"}""")
+        .statusCode() == 200)
+      assert(get(port, "/user/get?id=u2").statusCode() == 404)
+      val stale = pinnedJoin()
+      assert(stale.statusCode() == 400, s"pre-erasure pin still served: " +
+        s"${stale.statusCode()} ${stale.body()}")
+      val head2 = pinOf(
+        get(port, "/admin/versions?collection=__user_ops").body(), "version")
+      // the window holding just the erasure commit serves the flag…
+      val diff2 = get(port,
+        s"/admin/diff?collection=__user_ops&from=$head&to=$head2")
+      assert(diff2.statusCode() == 200 &&
+        diff2.body().contains("\"purely_additive\":false"), diff2.body())
+      // …while a window whose APPENDED files the erasure rewrote away
+      // fails fast (the additive delta is physically gone), same
+      // contract as a vacuumed event-table window
+      val diffGone = get(port,
+        s"/admin/diff?collection=__user_ops&from=$opsV&to=$head2")
+      assert(diffGone.statusCode() == 400 &&
+        diffGone.body().contains("no longer resolvable"), diffGone.body())
+      // a FRESH pin pair taken after the erasure replays again
+      val pin2 = get(port, "/admin/pin")
+      val evV2 = pinOf(pin2.body(), "pv")
+      val opsV2 = pinOf(pin2.body(), "__user_ops")
+      val after = post(port, "/query/execute",
+        s"""{"query": "$joinSql", "pins": {"pv": $evV2, "__user_ops": $opsV2}}""")
+      assert(after.statusCode() == 200 &&
+        after.body().contains("\"plan\":\"enterprise\"") &&
+        !after.body().contains("u2"), after.body())
+    }
+  }
+
+  test("ops-log crash hygiene under the manifest: uncommitted junk in " +
+    "the log dir is invisible to readers; a stale crashed rewrite tmp " +
+    "is swept at start while a young one survives") {
     val registry = SchemaRegistry.inMemory()
     val warehouse = graft.TempDirs.scratch("graft-opsrec").toString
     val gw1 = new HttpGateway(spark, registry, warehouse, "demo")
@@ -710,59 +810,87 @@ class HttpGatewaySpec extends SparkSpec {
         .statusCode() == 200)
     } finally gw1.stop()
 
-    // simulate the crash window between the two renames: the
-    // post-erasure rewrite sits in `.rewriting`, main is gone, and the
-    // pre-erasure aside (holding the erased user) is still on disk
     val ops = new java.io.File(s"$warehouse/demo/__user_ops")
-    val tmp = new java.io.File(s"$warehouse/demo/__user_ops.rewriting")
-    val aside = new java.io.File(s"$warehouse/demo/__user_ops.erased")
-    assert(ops.renameTo(tmp), "fixture: could not stage the crash window")
-    aside.mkdirs()
+    // a crashed appender/rewriter's orphan: a part file moved in but
+    // never committed. Readers resolve the manifest snapshot, so even
+    // GARBAGE bytes here must not reach any parquet scan.
+    val orphan = new java.io.File(ops, "part-00000-crashed-orphan.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // a crashed erasure attempt's staging dir (per-attempt unique name)
+    val tmp = new java.io.File(s"$warehouse/demo/__user_ops.rewriting-dead")
+    tmp.mkdirs()
     java.nio.file.Files.write(
-      new java.io.File(aside, "pre-erasure.parquet").toPath, Array[Byte](1))
+      new java.io.File(tmp, "part-x.parquet").toPath, Array[Byte](1))
 
     val gw2 = new HttpGateway(spark, registry, warehouse, "demo")
     val p2 = gw2.start()
     try {
-      // recovery rolled the rewrite forward: the log serves…
-      assert(get(p2, "/user/get?id=u-kept").statusCode() == 200)
-      // …and the pre-erasure copy (RTBF!) is gone
-      assert(!aside.exists(), "pre-erasure aside survived recovery")
-      assert(!tmp.exists())
+      // the log serves through the snapshot, junk and all
+      val got = get(p2, "/user/get?id=u-kept")
+      assert(got.statusCode() == 200 && got.body().contains("pro"), got.body())
+      // young tmp survives (another gateway may be mid-erasure);
+      // young orphan survives too (an in-flight append's publish gap)
+      assert(tmp.exists() && orphan.exists())
     } finally gw2.stop()
+
+    // …but past the grace window both are reaped at the next start
+    assert(tmp.setLastModified(System.currentTimeMillis() - 3600_000L))
+    assert(orphan.setLastModified(System.currentTimeMillis() - 3600_000L))
+    val gw3 = new HttpGateway(spark, registry, warehouse, "demo")
+    val p3 = gw3.start()
+    try {
+      assert(!tmp.exists(), "stale crashed rewrite tmp survived start")
+      assert(!orphan.exists(), "stale uncommitted orphan survived start")
+      assert(get(p3, "/user/get?id=u-kept").statusCode() == 200)
+    } finally gw3.stop()
   }
 
-  test("ops-log recovery respects the cross-JVM grace: a YOUNG rewrite " +
-    "tmp next to an intact main (another gateway mid-swap) survives a " +
-    "start; a stale one is discarded") {
+  test("poll?prune_ms bounds a long-lived ACTIVE tail's spool (links " +
+    "pin vacuumed inodes; sweepStale only reaps cold spools) without " +
+    "losing or duplicating a single row") {
     val registry = SchemaRegistry.inMemory()
-    val warehouse = graft.TempDirs.scratch("graft-opsgrace").toString
-    val gw1 = new HttpGateway(spark, registry, warehouse, "demo")
-    val p1 = gw1.start()
+    val warehouse = graft.TempDirs.scratch("graft-subprune").toString
+    val gw = new HttpGateway(spark, registry, warehouse, "demo")
+    val port = gw.start()
     try {
-      assert(post(p1, "/user/batch_operations",
-        """[{"id": "u1", "set_properties": {"plan": "pro"}}]""")
+      def collect(u: String): Unit = assert(post(port, "/event/collect",
+        s"""{"collection": "pv", "properties": {"_user": "$u", "_time": "2026-01-15 10:00:00.000"}}""")
         .statusCode() == 200)
-    } finally gw1.stop()
-    // another gateway's in-flight rewrite: tmp present, main intact
-    val tmp = new java.io.File(s"$warehouse/demo/__user_ops.rewriting")
-    tmp.mkdirs()
-    java.nio.file.Files.write(
-      new java.io.File(tmp, "live-swap.parquet").toPath, Array[Byte](1))
-
-    val gw2 = new HttpGateway(spark, registry, warehouse, "demo")
-    gw2.start()
-    gw2.stop()
-    assert(tmp.exists(),
-      "recovery deleted a YOUNG tmp — another gateway's live swap would " +
-        "strand the ops log in its aside")
-
-    // …but a tmp from a long-dead crash is swept
-    assert(tmp.setLastModified(System.currentTimeMillis() - 3600_000L))
-    val gw3 = new HttpGateway(spark, registry, warehouse, "demo")
-    gw3.start()
-    gw3.stop()
-    assert(!tmp.exists(), "stale crashed tmp survived recovery")
+      collect("u1"); collect("u2")
+      assert(post(port, "/subscription/create",
+        """{"id": "spr", "collection": "pv"}""").statusCode() == 200)
+      def spoolParts(): Int = {
+        val table = new java.io.File(s"$warehouse/demo/pv")
+        val spools = Option(table.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith(".tail-spr_"))
+        assert(spools.length == 1, s"spools: ${spools.map(_.getName).toSeq}")
+        def walk(d: java.io.File): Int =
+          Option(d.listFiles()).getOrElse(Array.empty).map { f =>
+            if (f.isDirectory) walk(f)
+            else if (f.getName.startsWith("part-")) 1 else 0
+          }.sum
+        walk(spools.head)
+      }
+      // drained poll, then an opt-in zero-window prune on the NEXT poll
+      // empties the spool of everything that drain processed
+      val p1 = post(port, "/subscription/poll?id=spr", "")
+      assert(p1.statusCode() == 200 && p1.body().contains("u2"), p1.body())
+      assert(spoolParts() > 0)
+      assert(post(port, "/subscription/poll?id=spr&prune_ms=0", "")
+        .statusCode() == 200)
+      assert(spoolParts() == 0, "prune left processed links in the spool")
+      // the pruned tail keeps delivering exactly once
+      collect("u3")
+      val p2 = post(port, "/subscription/poll?id=spr", "")
+      assert(p2.statusCode() == 200, p2.body())
+      val users = "\"_user\":\"(u\\d+)\"".r.findAllMatchIn(p2.body())
+        .map(_.group(1)).toSeq
+      assert(users.sorted == Seq("u1", "u2", "u3"),
+        s"pruned tail lost or duplicated rows: $users")
+      assert(post(port, "/subscription/poll?id=spr&prune_ms=-1", "")
+        .statusCode() == 400)
+      assert(post(port, "/subscription/delete?id=spr", "").statusCode() == 200)
+    } finally gw.stop()
   }
 
   test("subscription create with a bad filter is the client's 400 and " +

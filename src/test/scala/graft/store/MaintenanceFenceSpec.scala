@@ -32,6 +32,35 @@ class MaintenanceFenceSpec extends AnyFunSuite {
       "claims must be scoped per job")
   }
 
+  test("a SLOW-but-alive winner is not usurped: withClaim heartbeats " +
+    "the claim past staleMs, so staleness means crashed, not slow") {
+    val dir = graft.TempDirs.scratch("graft-fence4").toString
+    val usurped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val done = MaintenanceFence.withClaim(dir, "rebuild", "v1",
+        staleMs = 500L) {
+      // the rebuild legitimately outlasts staleMs several times over;
+      // rival claimants keep reading the heartbeat as liveness
+      (0 until 3).foreach { _ =>
+        Thread.sleep(500)
+        if (MaintenanceFence.claim(dir, "rebuild", "v1", staleMs = 500L))
+          usurped.set(true)
+      }
+      "ok"
+    }
+    assert(done.contains("ok"))
+    assert(!usurped.get(), "a live winner's claim was taken over mid-flight")
+    // a FAILED body releases its claim so a retry can run immediately
+    intercept[RuntimeException] {
+      MaintenanceFence.withClaim(dir, "rebuild", "v2") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(MaintenanceFence.withClaim(dir, "rebuild", "v2")("retry")
+      .contains("retry"))
+    // …and a loser gets None while the unit stays claimed
+    assert(MaintenanceFence.withClaim(dir, "rebuild", "v2")("late").isEmpty)
+  }
+
   test("a crashed winner's stale claim is taken over; release() frees " +
     "a unit explicitly") {
     val dir = graft.TempDirs.scratch("graft-fence3").toString

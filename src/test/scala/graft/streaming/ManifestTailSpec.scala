@@ -120,6 +120,31 @@ class ManifestTailSpec extends SparkSpec {
     ManifestTail.advance(table, fresh)
   }
 
+  test("a spool that VANISHED under a live subscription (swept as " +
+    "stale, deleted out-of-band) poisons instead of silently refilling " +
+    "from the head snapshot — the refill would re-deliver compacted " +
+    "rows under new paths") {
+    val warehouse = graft.TempDirs.scratch("graft-mtail-van").toString
+    EventStore.write(batch(0), warehouse, "demo", "tap")
+    val table = EventStore.tablePath(warehouse, "demo", "tap")
+    val spool = ManifestTail.spoolDir(table, "van")
+    val v = ManifestTail.advance(table, spool)
+    ManifestTail.drop(spool) // another gateway's sweep, an operator rm
+    val e = intercept[IllegalStateException] {
+      ManifestTail.advance(table, spool, expectAdvanced = Some(v))
+    }
+    assert(e.getMessage.contains("vanished"), e.getMessage)
+    // the poison persists: even an expectation-free advance now fails
+    // until the subscription is recreated (which drops the spool)
+    val e2 = intercept[IllegalStateException] {
+      ManifestTail.advance(table, spool)
+    }
+    assert(e2.getMessage.contains("recreate"), e2.getMessage)
+    // a genuinely FRESH spool (no prior delivery) still snapshot-fills
+    assert(ManifestTail.advance(table,
+      ManifestTail.spoolDir(table, "van2")) == v)
+  }
+
   test("sweepStale reaps cold spools, spares heartbeating ones") {
     val warehouse = graft.TempDirs.scratch("graft-mtail-sweep").toString
     EventStore.write(batch(0), warehouse, "demo", "tap")
@@ -205,6 +230,66 @@ class ManifestTailSpec extends SparkSpec {
       ManifestTail.advance(table, spool)
     }
     assert(e.getMessage.contains("vacuum retention"), e.getMessage)
+  }
+
+  test("prune ages links by spool-INSERTION time (hard links share the " +
+    "source's publish mtime — aging by mtime would delete unprocessed " +
+    "snapshot links) and refuses links above the processed-version fence") {
+    val warehouse = graft.TempDirs.scratch("graft-mtail-prune").toString
+    EventStore.write(batch(0), warehouse, "demo", "tap")
+    val table = EventStore.tablePath(warehouse, "demo", "tap")
+    // simulate an OLD table: the published part files' mtimes are long
+    // in the past, so the spool's hard links will look ancient to any
+    // mtime-based aging
+    def tableParts(): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+          if (f.isDirectory && !f.getName.startsWith(".")) walk(f)
+          else if (f.getName.startsWith("part-")) Seq(f) else Nil
+        }
+      walk(new java.io.File(table))
+    }
+    tableParts().foreach(f => assert(
+      f.setLastModified(System.currentTimeMillis() - 30L * 24 * 3600 * 1000)))
+
+    val spool = ManifestTail.spoolDir(table, "pr")
+    val v1 = ManifestTail.advance(table, spool)
+    def spoolParts(): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+          if (f.isDirectory) walk(f)
+          else if (f.getName.startsWith("part-")) Seq(f) else Nil
+        }
+      walk(spool)
+    }
+    val n1 = spoolParts().size
+    assert(n1 > 0)
+    // a poll-lag-sized window prunes NOTHING: the links were inserted
+    // milliseconds ago, whatever their shared inode mtime claims
+    assert(ManifestTail.prune(spool, olderThanMs = 60_000L,
+      upToVersion = v1) == 0)
+    assert(spoolParts().size == n1, "mtime-aged pruning deleted fresh links")
+
+    // new commits past the processed fence: their links are refused
+    // even by a zero window
+    EventStore.write(batch(1), warehouse, "demo", "tap")
+    val v2 = ManifestTail.advance(table, spool)
+    assert(v2 > v1)
+    val n2 = spoolParts().size
+    assert(n2 > n1)
+    Thread.sleep(5)
+    val prunedOld = ManifestTail.prune(spool, olderThanMs = 0L,
+      upToVersion = v1)
+    assert(prunedOld == n1, s"expected $n1 pruned, got $prunedOld")
+    assert(spoolParts().size == n2 - n1,
+      "version fence failed: links above upToVersion were deleted")
+    // raising the fence to the drained version prunes the rest…
+    assert(ManifestTail.prune(spool, 0L, upToVersion = v2) == n2 - n1)
+    assert(spoolParts().isEmpty)
+    // …and the tail keeps flowing: a later append links fresh files
+    EventStore.write(batch(2), warehouse, "demo", "tap")
+    ManifestTail.advance(table, spool)
+    assert(spoolParts().nonEmpty, "pruned spool stopped linking new commits")
   }
 
   test("a tail that fell behind the vacuumed log window fails fast, " +
