@@ -602,7 +602,38 @@ object MapperQueries {
     "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.21 (KHTML, like Gecko) rekonq/2.4.2 Safari/537.21",
     "Dillo/3.0.5",
     "NetSurf/3.10 (Amiga; PowerPC)",
-    "Mozilla/5.0 (OS/2; Warp 4.5; rv:45.0) Gecko/20100101 Firefox/45.0")
+    "Mozilla/5.0 (OS/2; Warp 4.5; rv:45.0) Gecko/20100101 Firefox/45.0",
+    // tail round 10: TV runtimes, vendor/niche Chromium shells, Firefox
+    // forks and early Mozilla names, keyboard-driven WebKit shells,
+    // official-app webviews, consoles, retro platforms — one witness
+    // per new rule (RuleLintSpec), version digits where the rule has a
+    // version group
+    "Opera/9.80 (Linux mips; U; NETTV/3.3.0; en) Presto/2.6.33 Version/10.60",
+    "Mozilla/5.0 (Linux; Android 13; RMX3085) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Mobile Safari/537.36 RealmeBrowser/45.5.0.1",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Min/1.31.0 Chrome/122.0.6261.156 Electron/29.1.5 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/78.0.3904.108 Safari/537.36 Cliqz/1.34.0",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64) AppleWebKit/534.34 (KHTML, like Gecko) SlimBoat/1.1.54 Safari/534.34",
+    "Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 6.1; Trident/4.0; GreenBrowser)",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:52.9) Gecko/20100101 Goanna/3.4 Firefox/52.9 Cyberfox/52.9.1",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64; rv:38.0) Gecko/20100101 Firefox/38.0 IceDragon/38.0.5",
+    "Mozilla/5.0 (Macintosh; PPC Mac OS X 10.4; rv:45.0) Gecko/20100101 Firefox/45.0 TenFourFox/7450",
+    "Mozilla/5.0 (Windows; U; Windows NT 5.0; en-US; rv:1.5) Gecko/20031007 Firebird/0.7",
+    "Mozilla/5.0 (Windows; U; WinNT4.0; en-US; rv:1.2b) Gecko/20021029 Phoenix/0.4",
+    "Mozilla/5.0 (X11; U; Linux armv6l; rv 1.8.1.5pre) Gecko/20070619 Minimo/0.020",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:28.0) Gecko/20100101 conkeror/1.0pre",
+    "Mozilla/5.0 (Macintosh; U; PPC Mac OS X; en-US; rv:1.3.1) Gecko/20090826 Classilla/CFM",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/538.1+ (KHTML, like Gecko) luakit/2.1 Safari/538.1",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/538.15 (KHTML, like Gecko) vimb/2.12 Safari/538.15",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/605.1.15 (KHTML, like Gecko) Nyxt/2.2.4 Safari/605.1.15",
+    "Uzbl (Webkit 1.3) (Linux i686 [i686])",
+    "WikipediaApp/7.4.4 (iOS; 17.1; Phone)",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148 Airbnb/24.02",
+    "Mozilla/5.0 (Nintendo 3DS; U; ; en) Version/1.7412.EU",
+    "Mozilla/3.0 (compatible; NetPositive/2.2.1; BeOS)",
+    "Mozilla/5.0 (compatible; IBrowse 3.0; AmigaOS4.1)",
+    "Amiga-AWeb/3.4.167SE",
+    "AmigaVoyager/3.2 (AmigaOS/MC680x0)",
+    "Mozilla/4.7 (compatible; OffByOne; Windows 2000) Webster Pro V3.4")
 
   /** M2 against the oracle: each event picks a UA sample; Spark parses
     * through [[graft.enrich.UserAgentMapper]], the twin through the
@@ -934,7 +965,21 @@ object MapperQueries {
     "https://www.nuget.org/packages/Newtonsoft.Json",
     "https://mvnrepository.com/artifact/org.apache.spark/spark-core",
     "https://url1234.sendgrid.net/ls/click?upn=abc",
-    "https://mandrillapp.com/track/click/30000000/example.org")
+    "https://mandrillapp.com/track/click/30000000/example.org",
+    // tail round 10 witnesses: hosted blogs (per-blog subdomains), KR/CN
+    // dev communities, game/film communities, academic network, and the
+    // beehiiv newsletter host
+    "https://somecook.blogspot.com/2026/01/recipe.html",
+    "https://someauthor.wordpress.com/2026/01/15/post/",
+    "https://velog.io/@user/spark-post",
+    "https://www.jianshu.com/p/abcdef123456",
+    "https://segmentfault.com/a/1190000000000000",
+    "https://www.oschina.net/news/300000",
+    "https://acme-games.itch.io/cool-game",
+    "https://steamcommunity.com/app/440/discussions/",
+    "https://www.researchgate.net/publication/300000000",
+    "https://letterboxd.com/user/film/some-film/",
+    "https://link.beehiiv.com/ss/c/abc123")
 
   /** M3 against the oracle: each event picks a referrer sample; Spark
     * classifies through [[graft.enrich.ReferrerMapper]] (with an

@@ -58,6 +58,9 @@ object UaRules {
     // Presto-era ("Opera/9.80 … OMI/4.x"), so it must outrank the whole
     // Opera lineage below (tail round 6)
     UaRule("Vewd", "\\bOMI/", "\\bOMI/(\\d+)"),
+    // Philips NetTV sets report a NETTV/ token on a Presto-era Opera
+    // UA, so it must outrank the Opera lineage too (tail round 10)
+    UaRule("Philips NetTV", "NETTV/", "NETTV/(\\d+)"),
     // Opera lineage (Presto + Blink); OPiOS is Opera Mini's iOS shell
     UaRule("Opera Mini", "Opera Mini|OPiOS/", "(?:Opera Mini|OPiOS)/(\\d+)"),
     UaRule("Opera Mobile", "Opera Mobi", "(?:Opera Mobi.*Version|Opera Mobi)/?(\\d+)?"),
@@ -89,6 +92,7 @@ object UaRules {
     UaRule("Vivo Browser", "VivoBrowser/", "VivoBrowser/(\\d+)"),
     UaRule("Oppo Browser", "OppoBrowser/", "OppoBrowser/(\\d+)"),
     UaRule("HeyTap Browser", "HeyTapBrowser/", "HeyTapBrowser/(\\d+)"),
+    UaRule("Realme Browser", "RealmeBrowser/", "RealmeBrowser/(\\d+)"),
     // tail round 6: Meizu's stock shell, Transsion's Hi Browser
     // (Tecno/Infinix/itel — dominant across African prepaid traffic),
     // and the XBrowser mini shell, all riding Chrome tokens
@@ -116,7 +120,10 @@ object UaRules {
     // Avant rides Trident (its UAs carry Trident/… rv:11) so it must
     // outrank the IE rule at the table's tail (tail round 6)
     UaRule("Avant", "Avant Browser|Avant TriCore"),
-    UaRule("Comodo Dragon", "Comodo_Dragon/|Dragon/", "(?:Comodo_)?Dragon/(\\d+)"),
+    // \bDragon/ so Comodo's OTHER browser, IceDragon (a Firefox fork
+    // in the Gecko block), can't be consumed here (tail round 10)
+    UaRule("Comodo Dragon", "(?:Comodo_|\\b)Dragon/",
+      "(?:Comodo_|\\b)Dragon/(\\d+)"),
     UaRule("Avast Secure Browser", "Avast/", "Avast/(\\d+)"),
     UaRule("AVG Secure Browser", "AVG/", "AVG/(\\d+)"),
     UaRule("Seznam Browser", "SznProhlizec/", "SznProhlizec/(\\d+)"),
@@ -165,6 +172,14 @@ object UaRules {
     UaRule("Wavebox", "Wavebox/", "Wavebox/(\\d+)"),
     UaRule("Sidekick", "Sidekick/", "Sidekick/(\\d+)"),
     UaRule("CCleaner Browser", "CCleaner/", "CCleaner/(\\d+)"),
+    // tail round 10: niche Chromium/WebKit shells. Min is an Electron
+    // app (its token rides Chrome/ + Electron/, so pre-framework);
+    // GreenBrowser rides MSIE/Trident tokens and must precede the IE
+    // rule at the tail; Cliqz and SlimBoat carry Chrome/WebKit tokens
+    UaRule("Min", "\\bMin/\\d", "\\bMin/(\\d+)"),
+    UaRule("Cliqz", "Cliqz/", "Cliqz/(\\d+)"),
+    UaRule("SlimBoat", "SlimBoat/", "SlimBoat/(\\d+)"),
+    UaRule("GreenBrowser", "GreenBrowser"),
     // Electron APP shells carry their product token next to Electron/,
     // so they must outrank the framework rule
     UaRule("Slack", "Slack/", "Slack/(\\d+)"),
@@ -254,6 +269,9 @@ object UaRules {
     UaRule("Tumblr", "Tumblr/", "Tumblr/(\\d+)"),
     UaRule("eBay", "eBay(?:Android|iPhone|iPad)/", "eBay(?:Android|iPhone|iPad)/(\\d+)"),
     UaRule("Etsy", "EtsyInc/", "EtsyInc/(\\d+)"),
+    // tail round 10: official-app webviews with documented tokens
+    UaRule("Wikipedia", "WikipediaApp/", "WikipediaApp/(\\d+)"),
+    UaRule("Airbnb", "Airbnb/", "Airbnb/(\\d+)"),
     UaRule("SmartNews", "SmartNews/", "SmartNews/(\\d+)"),
     UaRule("Telegram", "Telegram-?(?:Android|iOS)?/", "Telegram-?(?:Android|iOS)?/(\\d+)"),
     UaRule("Reddit", "Reddit/", "Reddit/(?:Version )?(\\d+)"),
@@ -325,6 +343,17 @@ object UaRules {
     // tail round 8: historical Gecko shells whose UAs carry Firefox/
     UaRule("Flock", "Flock/", "Flock/(\\d+)"),
     UaRule("Galeon", "Galeon/", "Galeon/(\\d+)"),
+    // tail round 10: Firefox forks (their UAs carry Firefox/, so
+    // pre-Firefox), Mozilla's early names and mobile experiment, and
+    // Gecko-era Mac/Emacs shells
+    UaRule("Cyberfox", "Cyberfox/", "Cyberfox/(\\d+)"),
+    UaRule("Comodo IceDragon", "IceDragon/", "IceDragon/(\\d+)"),
+    UaRule("TenFourFox", "TenFourFox/", "TenFourFox/(\\d+)"),
+    UaRule("Firebird", "Firebird/", "Firebird/(\\d+)"),
+    UaRule("Phoenix", "\\bPhoenix/", "\\bPhoenix/(\\d+)"),
+    UaRule("Minimo", "Minimo/", "Minimo/(\\d+)"),
+    UaRule("Conkeror", "(?i)conkeror", "(?i)conkeror/(\\d+)"),
+    UaRule("Classilla", "Classilla/"),
     UaRule("Thunderbird", "Thunderbird/", "Thunderbird/(\\d+)"),
     UaRule("Evolution", "Evolution/", "Evolution/(\\d+)"),
     UaRule("Lotus Notes", "Lotus-Notes/", "Lotus-Notes/(\\d+)"),
@@ -335,6 +364,12 @@ object UaRules {
     // Qt/KDE WebKit shells (tail round 9)
     UaRule("Arora", "Arora/", "Arora/(\\d+)"),
     UaRule("Rekonq", "rekonq[/ ]", "rekonq/(\\d+)"),
+    // tail round 10: keyboard-driven WebKit minimalists — their UAs
+    // carry Safari tokens, so pre-Safari
+    UaRule("Luakit", "(?i)luakit", "(?i)luakit/(\\d+)"),
+    UaRule("Vimb", "vimb/", "vimb/(\\d+)"),
+    UaRule("Nyxt", "Nyxt/", "Nyxt/(\\d+)"),
+    UaRule("Uzbl", "(?i)\\buzbl\\b"),
     UaRule("Mercury", "Mercury/", "Mercury/(\\d+)"),
     UaRule("Sleipnir", "Sleipnir/", "Sleipnir/(\\d+)"),
     UaRule("WebPositive", "WebPositive/", "WebPositive/(\\d+)"),
@@ -355,6 +390,9 @@ object UaRules {
     UaRule("NetFront NX", "PlayStation \\d", "PlayStation \\d+/(\\d+)"),
     UaRule("Roku", "Roku/DVP", "Roku/DVP-(\\d+)"),
     UaRule("NintendoBrowser", "NintendoBrowser/", "NintendoBrowser/(\\d+)"),
+    // the 3DS system browser predates the NintendoBrowser/ token — its
+    // UA is "(Nintendo 3DS; …) Version/<build>" (tail round 10)
+    UaRule("Nintendo 3DS Browser", "Nintendo 3DS", "Version/(\\d+)"),
     UaRule("AppleCoreMedia", "AppleCoreMedia/"),
     UaRule("VLC", "VLC/", "VLC/(\\d+)"),
     UaRule("Roblox", "Roblox/"),
@@ -380,6 +418,13 @@ object UaRules {
     UaRule("Links", "Links \\(", "Links \\((\\d+)"),
     UaRule("NetSurf", "NetSurf/", "NetSurf/(\\d+)"),
     UaRule("Dillo", "Dillo/", "Dillo/(\\d+)"),
+    // tail round 10: retro-platform natives still alive in NetSurf-era
+    // logs — BeOS's system browser and the Amiga lineage
+    UaRule("NetPositive", "NetPositive/", "NetPositive/(\\d+)"),
+    UaRule("IBrowse", "IBrowse[ /]", "IBrowse[ /](\\d+)"),
+    UaRule("AWeb", "AWeb/", "AWeb/(\\d+)"),
+    UaRule("AmigaVoyager", "AmigaVoyager/", "AmigaVoyager/(\\d+)"),
+    UaRule("OffByOne", "OffByOne"),
     UaRule("Obigo", "Obigo", "Obigo[- /]?[A-Z]?(\\d+)?"),
     // feature-phone browsers still common across prepaid handsets
     UaRule("Openwave", "UP\\.Browser/", "UP\\.Browser/(\\d+)"),
@@ -793,12 +838,26 @@ object UaRules {
     RefererRule("pkg-go-dev", "^pkg\\.go\\.dev$", "social"),
     RefererRule("nuget", "(^|\\.)nuget\\.org$", "social"),
     RefererRule("mvnrepository", "(^|\\.)mvnrepository\\.com$", "social"),
+    // tail round 10: hosted-blog platforms (per-blog subdomains), KR/CN
+    // dev communities, game/film communities, academic network
+    RefererRule("blogger", "(^|\\.)blogspot\\.com$", "social"),
+    RefererRule("wordpress", "(^|\\.)wordpress\\.com$", "social"),
+    RefererRule("velog", "(^|\\.)velog\\.io$", "social"),
+    RefererRule("jianshu", "(^|\\.)jianshu\\.com$", "social"),
+    RefererRule("segmentfault", "(^|\\.)segmentfault\\.com$", "social"),
+    RefererRule("oschina", "(^|\\.)oschina\\.net$", "social"),
+    RefererRule("itch-io", "(^|\\.)itch\\.io$", "social"),
+    RefererRule("steam-community", "(^|\\.)steamcommunity\\.com$", "social"),
+    RefererRule("researchgate", "(^|\\.)researchgate\\.net$", "social"),
+    RefererRule("letterboxd", "(^|\\.)letterboxd\\.com$", "social"),
     RefererRule("mailchimp",
       "^mailchi\\.mp$|(^|\\.)campaign-archive\\.com$|(^|\\.)list-manage\\.com$",
       "email"),
     // tail round 7: ESP click-tracking hosts (the mailchimp precedent)
     RefererRule("sendgrid", "(^|\\.)sendgrid\\.net$", "email"),
-    RefererRule("mandrill", "(^|\\.)mandrillapp\\.com$", "email"))
+    RefererRule("mandrill", "(^|\\.)mandrillapp\\.com$", "email"),
+    // tail round 10: newsletter platform (the substack precedent)
+    RefererRule("beehiiv", "(^|\\.)beehiiv\\.com$", "email"))
 
   /** Search-term query parameters, tried in order (q: most engines,
     * p: yahoo, text: yandex, wd/word: baidu, query: naver/daum/seznam,
