@@ -201,31 +201,49 @@ final class HttpGateway(
     * `version` pins the read ([[graft.store.EventStore.readAt]] — the
     * registry has no `__user_ops` entry, so the align is identity);
     * pre-erasure pins whose files were promptly deleted fail fast
-    * rather than resurrect the erased user. None = no ops log yet. */
-  private def readOps(version: Option[Long] = None)
-      : Option[org.apache.spark.sql.Dataset[ProfileOp]] = {
-    import spark.implicits._
-    import graft.store.TableManifest
-    version match {
-      case Some(v) => Some(EventStore.readAt(spark, registry, warehouse,
-        project, OpsLogName, v).as[ProfileOp])
-      case None => TableManifest.snapshot(opsDir) match {
-        case Some(files) if files.nonEmpty =>
-          Some(spark.read.option("mergeSchema", "true")
-            .parquet(files: _*).as[ProfileOp])
-        // an erasure can legitimately commit an EMPTY file set — that
-        // is an empty log, never a fall-back to the directory listing
-        case Some(_) => Some(spark.emptyDataset[ProfileOp])
-        case None =>
-          // pre-manifest fallback (a warehouse written before r17); the
-          // next append adopts these files into the first commit
-          val parts = Option(new java.io.File(opsDir).listFiles())
-            .getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.startsWith("part-"))
-          if (parts.isEmpty) None
-          else Some(spark.read.parquet(opsDir).as[ProfileOp])
-      }
+    * rather than resurrect the erased user. The unpinned read shares
+    * [[graft.store.EventStore.scanRaw]]'s snapshot-isolation rules
+    * (manifest snapshot / legitimately-empty set / pre-manifest
+    * directory fallback) — ONE copy of that logic. A missing or empty
+    * log is an empty Dataset (no `id` column in the raw frame). */
+  /** One-time migration of a PRE-r17 crashed erasure swap. The old ops
+    * log rewrote via fixed-name dirs (`__user_ops.rewriting` staged the
+    * post-erasure log, `__user_ops.erased` held the pre-erasure aside);
+    * a crash between its two renames left the truth in `.rewriting`
+    * with no main. The r17 manifest layout never creates these names
+    * (attempt tmps are `.rewriting-<uuid>`), so on upgrade: roll a
+    * main-less `.rewriting` FORWARD (rolling back would resurrect the
+    * erased user), restore a main-less `.erased` as the catastrophic
+    * fallback, and purge any remaining aside past the grace window —
+    * it holds the ERASED user's data (RTBF). A young tmp beside an
+    * intact main is left alone (an old-build gateway may be mid-swap). */
+  private def migrateLegacyOpsLog(graceMs: Long = 10 * 60 * 1000L): Unit = {
+    val main = new java.io.File(opsDir)
+    val tmp = new java.io.File(s"$opsDir.rewriting")
+    val aside = new java.io.File(s"$opsDir.erased")
+    def pastGrace(f: java.io.File): Boolean =
+      f.lastModified() < System.currentTimeMillis() - graceMs
+    var rolledForward = false
+    if (tmp.isDirectory) {
+      if (!main.exists()) { rolledForward = tmp.renameTo(main) }
+      else if (pastGrace(tmp)) EventStore.rmrfDir(tmp)
     }
+    if (aside.isDirectory) {
+      if (!main.exists()) { aside.renameTo(main): Unit }
+      else if (rolledForward || pastGrace(aside)) EventStore.rmrfDir(aside)
+    }
+  }
+
+  private def readOps(version: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[ProfileOp] = {
+    import spark.implicits._
+    val df = version match {
+      case Some(v) => EventStore.readAt(spark, registry, warehouse,
+        project, OpsLogName, v)
+      case None => EventStore.scanRaw(spark, opsDir, emptyCols = Seq("_month"))
+    }
+    if (df.columns.contains("id")) df.as[ProfileOp]
+    else spark.emptyDataset[ProfileOp]
   }
 
   private var pool: java.util.concurrent.ExecutorService = _
@@ -241,6 +259,7 @@ final class HttpGateway(
     // sweeping: a crashed attempt's staging dir, and superseded files a
     // crash-between-commit-and-delete left on disk (RTBF wants them
     // gone; they are unreferenced, so vacuum reaps them past the grace)
+    migrateLegacyOpsLog()
     EventStore.sweepRewriteTmp(opsDir)
     graft.store.TableManifest.vacuum(opsDir): Unit
     // subscriptions are session-scoped: a previous process's spools
@@ -876,32 +895,35 @@ final class HttpGateway(
       if (c != OpsLogName && !registry.collections(project).contains(c))
         throw new IngestRejected(s"unknown collection '$c' in pins")
     }
-    registry.collections(project).foreach { c =>
-      val frame = pins.get(c) match {
-        case Some(v) =>
-          try EventStore.readAt(spark, registry, warehouse, project, c, v)
-          catch { case e: IllegalArgumentException =>
-            throw new IngestRejected(String.valueOf(e.getMessage))
-          }
-        case None => storedOrEmpty(c)
+    // Temp views are SESSION-global and the server runs 8 request
+    // threads: without a lock, request B's head-version views can
+    // replace request A's PINNED views between A's mount and A's
+    // spark.sql — A would silently query the wrong corpus. The lock
+    // spans mount→analysis only: Dataset creation asserts the plan
+    // analyzed (view lookups resolve inside spark.sql), so execution
+    // (limit/collect) safely runs outside it, concurrently.
+    val df = queryViewLock.synchronized {
+      registry.collections(project).foreach { c =>
+        val frame = pins.get(c) match {
+          case Some(v) =>
+            try EventStore.readAt(spark, registry, warehouse, project, c, v)
+            catch { case e: IllegalArgumentException =>
+              throw new IngestRejected(String.valueOf(e.getMessage))
+            }
+          case None => storedOrEmpty(c)
+        }
+        frame.createOrReplaceTempView(c)
       }
-      frame.createOrReplaceTempView(c)
-    }
-    // the profile dimension mounts as `_users` (the reference's users
-    // table): the merged fold of the ops log, pinnable via the
-    // `__user_ops` key `/admin/pin` records — so the event AND profile
-    // sides of a j4-style join both replay from one pin manifest
-    locally {
-      import spark.implicits._
+      // the profile dimension mounts as `_users` (the reference's users
+      // table): the merged fold of the ops log, pinnable via the
+      // `__user_ops` key `/admin/pin` records — so the event AND profile
+      // sides of a j4-style join both replay from one pin manifest
       val ops =
         try readOps(pins.get(OpsLogName))
         catch { case e: IllegalArgumentException =>
           throw new IngestRejected(String.valueOf(e.getMessage))
         }
-      ProfileMerge.merge(ops.getOrElse(spark.emptyDataset[ProfileOp]))
-        .createOrReplaceTempView(UsersView)
-    }
-    val df =
+      ProfileMerge.merge(ops).createOrReplaceTempView(UsersView)
       try spark.sql(sql)
       catch {
         // ParseException IS an AnalysisException in Spark 4 — match it
@@ -911,8 +933,11 @@ final class HttpGateway(
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IngestRejected(e.getSimpleMessage)
       }
+    }
     (200, df.limit(limit).toJSON.collect().mkString("[", ",", "]"))
   }
+
+  private val queryViewLock = new Object
 
   private def handleUserBatch(ex: HttpExchange): (Int, String) = {
     requirePost(ex)
@@ -1044,17 +1069,12 @@ final class HttpGateway(
       catch { case e: IllegalArgumentException =>
         throw new IngestRejected(String.valueOf(e.getMessage))
       }
-    ops match {
-      case None => (404, """{"error":"user not found"}""")
-      case Some(all) =>
-        // filter BEFORE the merge: the id predicate pushes to the
-        // parquet scan, so one GET folds one user's ops, never the
-        // whole log
-        val rows = ProfileMerge.merge(all.filter(col("id") === id))
-          .toJSON.collect()
-        if (rows.isEmpty) (404, """{"error":"user not found"}""")
-        else (200, rows.head)
-    }
+    // filter BEFORE the merge: the id predicate pushes to the parquet
+    // scan, so one GET folds one user's ops, never the whole log
+    val rows = ProfileMerge.merge(ops.filter(col("id") === id))
+      .toJSON.collect()
+    if (rows.isEmpty) (404, """{"error":"user not found"}""")
+    else (200, rows.head)
   }
 
   /** `GET /user/metadata` — the user-storage schema door
@@ -1064,13 +1084,10 @@ final class HttpGateway(
     * the distinct property names across the op log; the scan reads only
     * the map keys column. */
   private def handleUserMetadata(ex: HttpExchange): (Int, String) = {
-    val cols: Seq[String] = readOps() match {
-      case None => Nil
-      case Some(ops) => ops
-        .select(explode(map_keys(col("props"))).as("name"))
-        .distinct().orderBy(col("name"))
-        .collect().map(_.getString(0)).toIndexedSeq
-    }
+    val cols: Seq[String] = readOps()
+      .select(explode(map_keys(col("props"))).as("name"))
+      .distinct().orderBy(col("name"))
+      .collect().map(_.getString(0)).toIndexedSeq
     val node = mapper.createObjectNode()
     node.put("identifierColumn", "id")
     val cn = node.putArray("columns")

@@ -186,9 +186,13 @@ object EventStore {
           s"resolvable (${new java.io.File(missing).getName} was " +
           "vacuumed or erased)")
     }
-    require(files.nonEmpty, s"version $version of $project/$collection is empty")
-    val df = spark.read.option("basePath", table).option("mergeSchema", "true")
-      .parquet(files: _*)
+    // an EMPTY committed set is a legitimate pinnable state (an erasure
+    // that removed every remaining row commits adds=Nil) — the pin
+    // resolves to an empty frame, same rule as scanTable's head read
+    val df =
+      if (files.isEmpty) emptyFrame(spark, Seq("_month"))
+      else spark.read.option("basePath", table).option("mergeSchema", "true")
+        .parquet(files: _*)
     alignToRegistry(df, registry, project, collection)
   }
 
@@ -345,6 +349,16 @@ object EventStore {
     * pins/time travel, vacuum — with no partition columns. */
   def appendUnpartitioned(df: DataFrame, table: String): Unit =
     stagedAppend(df, table, Seq.empty)
+
+  /** [[scanTable]] for callers outside the store (the gateway's ops-log
+    * reads): ONE copy of the snapshot-isolation rules — manifest
+    * snapshot, legitimately-empty committed set (never a directory
+    * fallback), pre-manifest directory listing. The empty cases return
+    * a frame of string-typed `emptyCols` only; callers detect "no real
+    * columns" rather than re-deriving the three-way split. */
+  private[graft] def scanRaw(spark: SparkSession, table: String,
+      emptyCols: Seq[String]): DataFrame =
+    scanTable(spark, table, emptyCols)
 
   /** Right-to-be-forgotten on an unpartitioned table (the profile ops
     * log): rewrite the committed file set minus `column == value` rows
@@ -562,6 +576,10 @@ object EventStore {
     if (f.isDirectory) f.listFiles().foreach(rmrf)
     f.delete(): Unit
   }
+
+  /** Recursive delete for callers outside the store (the gateway's
+    * legacy ops-log migration). */
+  private[graft] def rmrfDir(f: java.io.File): Unit = rmrf(f)
 
   /** Right-to-be-forgotten: physically remove one user's events from a
     * collection. Partitions are surveyed first and only those actually

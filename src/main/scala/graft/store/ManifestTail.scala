@@ -79,13 +79,29 @@ object ManifestTail {
   }
 
   /** Per-spool insertion index: `version<TAB>insertMs<TAB>rel` appended
-    * as links land. [[prune]] ages links by THIS record, never by
+    * BEFORE the links land (record-then-link: a crash between the two
+    * leaves an index entry whose file never arrived — harmless, the
+    * next prune drops it — while link-then-record would leave LINKS
+    * with no entry, which prune refuses forever: an unboundedly
+    * growing spool). [[prune]] ages links by THIS record, never by
     * `File.lastModified` — a hard link shares the SOURCE inode's mtime
     * (publish time), so a head-snapshot fill over an old table would
     * otherwise make every link look ancient and a poll-lag-sized window
     * would delete unprocessed rows. Crash replay of an advance can
     * append duplicate lines; readers keep the first entry per rel. */
   private val LinkedIndex = "_linked"
+
+  /** JVM-local per-spool mutex: [[advance]]'s index appends and
+    * [[prune]]'s read-rewrite of the same file must not interleave (a
+    * lost append makes its links permanently unprunable). JVM-local is
+    * enough — spools are per-gateway-instance since r17, and the one
+    * cross-JVM writer ([[purgeFromSpools]]) only deletes links and
+    * poisons: a stale index entry for a deleted link is dropped by the
+    * next prune without effect. */
+  private val spoolLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def spoolLock(spool: File): Object =
+    spoolLocks.computeIfAbsent(spool.getAbsolutePath, _ => new Object)
 
   private def recordLinks(spool: File, v: Long, rels: Seq[String]): Unit =
     if (rels.nonEmpty) {
@@ -119,7 +135,8 @@ object ManifestTail {
     * under new paths — exactly the duplicate delivery the manifest
     * tail exists to prevent — so the refilled-from-nothing case is
     * poisoned instead (ADVICE r16). */
-  def advance(table: String, spool: File, expectAdvanced: Option[Long]): Long = {
+  def advance(table: String, spool: File,
+      expectAdvanced: Option[Long]): Long = spoolLock(spool).synchronized {
     spool.mkdirs()
     val poison = new File(spool, Poisoned)
     if (poison.isFile) {
@@ -139,7 +156,9 @@ object ManifestTail {
     val marker = new File(spool, Marker)
     if (marker.isFile) marker.setLastModified(System.currentTimeMillis()): Unit
     if (cur < 0L) {
-      expectAdvanced.filter(_ >= 0L).foreach { prev =>
+      // a vanished spool that had delivered NOTHING (version 0) refills
+      // safely — nothing existed to re-deliver — hence the strict > 0
+      expectAdvanced.filter(_ > 0L).foreach { prev =>
         val msg = s"tail spool on $table vanished under a live " +
           s"subscription (last delivered version $prev; swept as stale " +
           "or deleted out-of-band) — a silent refill would re-deliver " +
@@ -148,9 +167,9 @@ object ManifestTail {
         throw new IllegalStateException(msg)
       }
       if (head > 0L) {
-        val created = TableManifest.filesAt(table, head).toSeq.sorted
-          .filter(linkIn(table, spool, _))
-        recordLinks(spool, head, created)
+        val snap = TableManifest.filesAt(table, head).toSeq.sorted
+        recordLinks(spool, head, snap)
+        snap.foreach(linkIn(table, spool, _))
       }
       writeVersion(spool, head)
       return head
@@ -168,8 +187,10 @@ object ManifestTail {
         }
       // a commit carrying removes is a REWRITE (compaction/erasure):
       // its adds are rewritten copies of rows this tail already served
-      if (removes.isEmpty)
-        recordLinks(spool, v, adds.filter(linkIn(table, spool, _)))
+      if (removes.isEmpty) {
+        recordLinks(spool, v, adds) // record-then-link (see LinkedIndex)
+        adds.foreach(linkIn(table, spool, _))
+      }
       writeVersion(spool, v)
     }
     head
@@ -208,7 +229,8 @@ object ManifestTail {
     * Returns links deleted. Spark's file-source checkpoint tracks
     * processed files by path, so deleting a processed link never
     * re-delivers. */
-  def prune(spool: File, olderThanMs: Long, upToVersion: Long): Int = {
+  def prune(spool: File, olderThanMs: Long,
+      upToVersion: Long): Int = spoolLock(spool).synchronized {
     val idx = new File(spool, LinkedIndex)
     if (!idx.isFile) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs

@@ -797,6 +797,70 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("erasing the LAST user leaves a pinnable empty log: the fresh " +
+    "pin resolves (empty), never a 400 — and a pre-r17 crashed swap " +
+    "migrates at start (roll forward, purge the aside)") {
+    val registry = SchemaRegistry.inMemory()
+    val warehouse = graft.TempDirs.scratch("graft-opslegacy").toString
+    val gw1 = new HttpGateway(spark, registry, warehouse, "demo")
+    val p1 = gw1.start()
+    try {
+      assert(post(p1, "/user/set_properties",
+        """{"id": "solo", "properties": {"plan": "pro"}}""")
+        .statusCode() == 200)
+      // erase the only user: the rewrite commits an EMPTY file set
+      assert(post(p1, "/user/delete", """{"id": "solo"}""")
+        .statusCode() == 200)
+      val pin = get(p1, "/admin/pin")
+      val opsV = """"__user_ops":(\d+)""".r
+        .findFirstMatchIn(pin.body()).get.group(1).toLong
+      // the fresh post-erasure pin RESOLVES — an empty log, not a 400
+      assert(get(p1, s"/user/get?id=solo&version=$opsV")
+        .statusCode() == 404)
+      val q = post(p1, "/query/execute",
+        s"""{"query": "SELECT count(*) AS n FROM _users", "pins": {"__user_ops": $opsV}}""")
+      assert(q.statusCode() == 200 && q.body() == """[{"n":0}]""", q.body())
+    } finally gw1.stop()
+
+    // pre-r17 upgrade path: simulate the OLD fixed-name crashed swap
+    // (post-erasure truth in `.rewriting`, no main, pre-erasure aside
+    // on disk). Fake the pre-manifest layout by dropping the manifest.
+    val gw2 = new HttpGateway(spark, registry, warehouse, "demo")
+    val p2 = gw2.start()
+    try {
+      assert(post(p2, "/user/batch_operations",
+        """[{"id": "u-kept", "set_properties": {"plan": "pro"}}]""")
+        .statusCode() == 200)
+    } finally gw2.stop()
+    val ops = new java.io.File(s"$warehouse/demo/__user_ops")
+    val manifests = new java.io.File(ops, "_manifests")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(manifests)
+    val tmp = new java.io.File(s"$warehouse/demo/__user_ops.rewriting")
+    val aside = new java.io.File(s"$warehouse/demo/__user_ops.erased")
+    assert(ops.renameTo(tmp), "fixture: could not stage the crash window")
+    aside.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(aside, "pre-erasure.parquet").toPath, Array[Byte](1))
+
+    val gw3 = new HttpGateway(spark, registry, warehouse, "demo")
+    val p3 = gw3.start()
+    try {
+      // migration rolled the rewrite forward: the log serves via the
+      // pre-manifest fallback…
+      val got = get(p3, "/user/get?id=u-kept")
+      assert(got.statusCode() == 200 && got.body().contains("pro"),
+        got.body())
+      // …the pre-erasure aside (RTBF!) is gone, and so is the tmp
+      assert(!aside.exists(), "pre-erasure aside survived migration")
+      assert(!tmp.exists())
+    } finally gw3.stop()
+  }
+
   test("ops-log crash hygiene under the manifest: uncommitted junk in " +
     "the log dir is invisible to readers; a stale crashed rewrite tmp " +
     "is swept at start while a young one survives") {

@@ -145,6 +145,17 @@ class ManifestTailSpec extends SparkSpec {
       ManifestTail.spoolDir(table, "van2")) == v)
   }
 
+  test("a vanished spool that had delivered NOTHING (version 0) refills " +
+    "without poisoning — there was nothing to re-deliver") {
+    val table = graft.TempDirs.scratch("graft-mtail-van0").toString
+    val spool = ManifestTail.spoolDir(table, "v0")
+    assert(ManifestTail.advance(table, spool) == 0L) // no commits yet
+    ManifestTail.drop(spool)
+    assert(ManifestTail.advance(table, spool, expectAdvanced = Some(0L)) == 0L)
+    assert(!new java.io.File(spool, "_poisoned").isFile,
+      "a zero-delivery spool was poisoned on refill")
+  }
+
   test("sweepStale reaps cold spools, spares heartbeating ones") {
     val warehouse = graft.TempDirs.scratch("graft-mtail-sweep").toString
     EventStore.write(batch(0), warehouse, "demo", "tap")
