@@ -99,6 +99,91 @@ class MultiGatewaySpec extends SparkSpec {
     } finally { gw1.stop(); gw2.stop() }
   }
 
+  test("profile ops from two gateways converge through the manifest " +
+    "CAS (r17: __user_ops commits like an event table), and a same-id " +
+    "subscription on a second instance never reuses the first's spool") {
+    val warehouse = graft.TempDirs.scratch("graft-mgw-ops").toString
+    val metaDir = graft.TempDirs.scratch("graft-mgw-ops-meta").toString
+    val r1 = SchemaRegistry.persistent(metaDir)
+    val r2 = SchemaRegistry.persistent(metaDir)
+    val gw1 = new HttpGateway(spark, r1, warehouse, "demo")
+    val gw2 = new HttpGateway(spark, r2, warehouse, "demo")
+    val p1 = gw1.start()
+    val p2 = gw2.start()
+    try {
+      // concurrent profile mutations from BOTH gateways: each append is
+      // a staged-move + manifest CAS commit, so no interleaving can
+      // lose an op (the old raw mode("append") relied on one JVM's
+      // writeLock — exactly what two gateways don't share)
+      val n = 6
+      val fail = new java.util.concurrent.atomic.AtomicReference[String]()
+      def mutator(port: Int, tag: String): Thread = new Thread(() => {
+        try (0 until n).foreach { i =>
+          val r = post(port, "/user/set_properties",
+            s"""{"id": "u1", "time": ${1000 + i}, "properties": {"from_$tag$i": "$i"}}""")
+          if (r.statusCode() != 200)
+            fail.compareAndSet(null, s"$tag#$i -> ${r.statusCode()}")
+        } catch { case t: Throwable =>
+          fail.compareAndSet(null, s"$tag threw: $t")
+        }
+      }, s"mutator-$tag")
+      val ma = mutator(p1, "a"); val mb = mutator(p2, "b")
+      ma.start(); mb.start(); ma.join(); mb.join()
+      assert(fail.get() == null, String.valueOf(fail.get()))
+      // every op from both gateways folds into the profile, served
+      // identically by either instance
+      for (p <- Seq(p1, p2)) {
+        val got = get(p, "/user/get?id=u1")
+        assert(got.statusCode() == 200, got.body())
+        (0 until n).foreach { i =>
+          assert(got.body().contains(s"from_a$i") &&
+            got.body().contains(s"from_b$i"),
+            s"gateway on $p lost a concurrent op: ${got.body()}")
+        }
+      }
+      // both instances pin the same ops-log head (2n CAS commits)
+      val pins = Seq(p1, p2).map { p =>
+        """"__user_ops":(\d+)""".r
+          .findFirstMatchIn(get(p, "/admin/pin").body()).get.group(1).toLong
+      }
+      assert(pins.distinct.size == 1 && pins.head == 2L * n, s"pins: $pins")
+
+      // spool isolation: subscription id "s" on gw1, then gw1 dies
+      // (stop = crashed session; its spool stays on disk). The SAME id
+      // created on gw2 must get its OWN spool — pre-r17 it reused the
+      // orphan (a poisoned one made the id unusable, and in the live
+      // case one instance's delete ripped the other's stream source)
+      assert(post(p1, "/event/collect",
+        """{"collection": "pv", "properties": {"_user": "u1", "_time": "2026-08-01 10:00:00.000", "page": "/x"}}""")
+        .statusCode() == 200)
+      assert(post(p1, "/subscription/create",
+        """{"id": "s", "collection": "pv"}""").statusCode() == 200)
+      assert(post(p1, "/subscription/poll?id=s", "").body().contains("/x"))
+      gw1.stop()
+      def spools(): Seq[String] = {
+        val t = new java.io.File(s"$warehouse/demo/pv")
+        Option(t.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith(".tail-s_"))
+          .map(_.getName).toSeq.sorted
+      }
+      assert(spools().size == 1, s"spools after gw1 died: ${spools()}")
+      // a collect through gw2 merge-commits its registry cache (the
+      // first test pins that lag-until-next-write contract), so the
+      // second instance now knows `pv` and can subscribe to it
+      assert(post(p2, "/event/collect",
+        """{"collection": "pv", "properties": {"_user": "u2", "_time": "2026-08-01 10:00:01.000", "page": "/y"}}""")
+        .statusCode() == 200)
+      val create2 = post(p2, "/subscription/create",
+        """{"id": "s", "collection": "pv"}""")
+      assert(create2.statusCode() == 200, create2.body())
+      assert(spools().size == 2,
+        s"gw2 reused the dead instance's spool: ${spools()}")
+      val poll2 = post(p2, "/subscription/poll?id=s", "")
+      assert(poll2.statusCode() == 200 && poll2.body().contains("/x") &&
+        poll2.body().contains("/y"), poll2.body())
+    } finally { gw1.stop(); gw2.stop() }
+  }
+
   test("two gateways racing an MV refresh execute it once: the " +
     "maintenance fence claims (view, store head) cross-JVM") {
     val warehouse = graft.TempDirs.scratch("graft-mgw-mv").toString
