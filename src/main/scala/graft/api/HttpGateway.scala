@@ -1055,15 +1055,23 @@ final class HttpGateway(
       EventStore.appendUnpartitioned(ops.toDS().toDF(), opsDir)
     }
 
-  /** `GET /user/get?id=…[&version=v]` — `version` pins the ops log at a
-    * commit-log version (the profile half of a reproducible run's pin
-    * pair), same contract as the analysis doors' `version` param. */
+  /** `GET /user/get?id=…[&version=v][&as_of=ms]` — `version` pins the
+    * ops log at a commit-log version (the profile half of a
+    * reproducible run's pin pair, same contract as the analysis doors'
+    * `version` param); `as_of` is the LOGICAL cut: the profile as it
+    * stood at that epoch-ms event time ([[ProfileMerge.snapshotAsOf]] —
+    * the op-log's point-in-time payoff: "what did the segmentation see
+    * last Tuesday", GDPR evidence, backtests). They compose — pin the
+    * physical log, cut at a time inside it. */
   private def handleUserGet(ex: HttpExchange): (Int, String) = {
     val params = queryParams(ex)
     val id = params.getOrElse("id",
       throw new IngestRejected("id is required"))
-    val version = params.get("version").map(v => v.toLongOption.getOrElse(
-      throw new IngestRejected(s"version must be an integer, got '$v'")))
+    def longParam(k: String): Option[Long] =
+      params.get(k).map(v => v.toLongOption.getOrElse(
+        throw new IngestRejected(s"$k must be an integer, got '$v'")))
+    val version = longParam("version")
+    val asOf = longParam("as_of")
     val ops =
       try readOps(version)
       catch { case e: IllegalArgumentException =>
@@ -1071,8 +1079,12 @@ final class HttpGateway(
       }
     // filter BEFORE the merge: the id predicate pushes to the parquet
     // scan, so one GET folds one user's ops, never the whole log
-    val rows = ProfileMerge.merge(ops.filter(col("id") === id))
-      .toJSON.collect()
+    val mine = ops.filter(col("id") === id)
+    val merged = asOf match {
+      case Some(ts) => ProfileMerge.snapshotAsOf(mine, ts)
+      case None => ProfileMerge.merge(mine)
+    }
+    val rows = merged.toJSON.collect()
     if (rows.isEmpty) (404, """{"error":"user not found"}""")
     else (200, rows.head)
   }
@@ -1084,7 +1096,17 @@ final class HttpGateway(
     * the distinct property names across the op log; the scan reads only
     * the map keys column. */
   private def handleUserMetadata(ex: HttpExchange): (Int, String) = {
-    val cols: Seq[String] = readOps()
+    // `version` pins the column listing at an ops-log commit version,
+    // completing the door's parity with /user/get (r17)
+    val version = queryParams(ex).get("version").map(v =>
+      v.toLongOption.getOrElse(throw new IngestRejected(
+        s"version must be an integer, got '$v'")))
+    val ops =
+      try readOps(version)
+      catch { case e: IllegalArgumentException =>
+        throw new IngestRejected(String.valueOf(e.getMessage))
+      }
+    val cols: Seq[String] = ops
       .select(explode(map_keys(col("props"))).as("name"))
       .distinct().orderBy(col("name"))
       .collect().map(_.getString(0)).toIndexedSeq

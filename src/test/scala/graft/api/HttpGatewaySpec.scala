@@ -797,6 +797,41 @@ class HttpGatewaySpec extends SparkSpec {
     }
   }
 
+  test("/user/get?as_of= serves the point-in-time profile (logical cut " +
+    "on the op log) and /user/metadata honors the version pin") {
+    withGateway { (_, port) =>
+      assert(post(port, "/user/set_properties",
+        """{"id": "u1", "time": 1000, "properties": {"plan": "free"}}""")
+        .statusCode() == 200)
+      assert(post(port, "/user/set_properties",
+        """{"id": "u1", "time": 2000, "properties": {"plan": "pro", "tier": "gold"}}""")
+        .statusCode() == 200)
+      // the cut falls between the two ops: first state only
+      val mid = get(port, "/user/get?id=u1&as_of=1500")
+      assert(mid.statusCode() == 200 && mid.body().contains("\"plan\":\"free\"")
+        && !mid.body().contains("tier"), mid.body())
+      // at/after the second op: latest state (inclusive cut)
+      val late = get(port, "/user/get?id=u1&as_of=2000")
+      assert(late.body().contains("\"plan\":\"pro\"") &&
+        late.body().contains("\"tier\":\"gold\""), late.body())
+      // before any op: the user did not exist yet
+      assert(get(port, "/user/get?id=u1&as_of=500").statusCode() == 404)
+      assert(get(port, "/user/get?id=u1&as_of=x").statusCode() == 400)
+
+      // metadata pin: a column added after the pin is invisible at it
+      val v = """"__user_ops":(\d+)""".r
+        .findFirstMatchIn(get(port, "/admin/pin").body()).get.group(1).toLong
+      assert(post(port, "/user/set_properties",
+        """{"id": "u1", "time": 3000, "properties": {"campaign": "x"}}""")
+        .statusCode() == 200)
+      assert(get(port, "/user/metadata").body().contains("campaign"))
+      val pinned = get(port, s"/user/metadata?version=$v")
+      assert(pinned.statusCode() == 200 && !pinned.body().contains("campaign")
+        && pinned.body().contains("plan"), pinned.body())
+      assert(get(port, "/user/metadata?version=x").statusCode() == 400)
+    }
+  }
+
   test("erasing the LAST user leaves a pinnable empty log: the fresh " +
     "pin resolves (empty), never a 400 — and a pre-r17 crashed swap " +
     "migrates at start (roll forward, purge the aside)") {
