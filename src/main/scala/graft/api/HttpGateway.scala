@@ -260,6 +260,21 @@ final class HttpGateway(
     // crash-between-commit-and-delete left on disk (RTBF wants them
     // gone; they are unreferenced, so vacuum reaps them past the grace)
     migrateLegacyOpsLog()
+    // layout migration: a pre-bucketed log's root-level files rewrite
+    // into _bucket=k/ partitions once, row-preserving, fence-claimed
+    // so two gateways sharing the warehouse migrate it exactly once
+    if (graft.store.TableManifest.latest(opsDir)
+        .exists(_._2.exists(!_.contains("/"))) ||
+        (!graft.store.TableManifest.exists(opsDir) &&
+          Option(new java.io.File(opsDir).listFiles()).getOrElse(Array.empty)
+            .exists(f => f.isFile && f.getName.startsWith("part-")))) {
+      val token = s"v${graft.store.TableManifest.latestVersion(opsDir)
+        .getOrElse(0L)}"
+      graft.store.MaintenanceFence.withClaim(fencesDir, "ops-bucketize",
+        token) {
+        EventStore.bucketizeTable(spark, opsDir, "id")
+      }: Unit
+    }
     EventStore.sweepRewriteTmp(opsDir)
     graft.store.TableManifest.vacuum(opsDir): Unit
     // subscriptions are session-scoped: a previous process's spools
@@ -1051,8 +1066,13 @@ final class HttpGateway(
     if (ops.nonEmpty) writeLock.synchronized {
       import spark.implicits._
       // manifest-committed like every event table (r17): batch
-      // atomicity, snapshot-isolated readers, pins/time travel
-      EventStore.appendUnpartitioned(ops.toDS().toDF(), opsDir)
+      // atomicity, snapshot-isolated readers, pins/time travel.
+      // Partitioned by the id-hash bucket so point lookups prune to
+      // 1/64 of the log and an erasure rewrites one bucket.
+      EventStore.appendPartitioned(
+        ops.toDS().toDF().withColumn(EventStore.OpsBucketCol,
+          EventStore.opsBucket(col("id"))),
+        opsDir, Seq(EventStore.OpsBucketCol))
     }
 
   /** `GET /user/get?id=…[&version=v][&as_of=ms]` — `version` pins the
@@ -1077,9 +1097,20 @@ final class HttpGateway(
       catch { case e: IllegalArgumentException =>
         throw new IngestRejected(String.valueOf(e.getMessage))
       }
-    // filter BEFORE the merge: the id predicate pushes to the parquet
-    // scan, so one GET folds one user's ops, never the whole log
-    val mine = ops.filter(col("id") === id)
+    // filter BEFORE the merge, and by BUCKET first: the foldable
+    // bucket predicate partition-prunes the scan to 1/64 of the log's
+    // files (the id predicate then pushes into those files' row
+    // groups) — one GET reads one bucket, never the whole log. A
+    // pre-bucketed log (no _bucket column) falls back to the id
+    // filter alone.
+    val mine = {
+      val base =
+        if (ops.columns.contains(EventStore.OpsBucketCol))
+          ops.filter(col(EventStore.OpsBucketCol) ===
+            EventStore.opsBucket(lit(id)))
+        else ops
+      base.filter(col("id") === id)
+    }
     val merged = asOf match {
       case Some(ts) => ProfileMerge.snapshotAsOf(mine, ts)
       case None => ProfileMerge.merge(mine)

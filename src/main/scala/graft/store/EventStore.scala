@@ -78,27 +78,34 @@ object EventStore {
     try {
       df.write.mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(staging.getAbsolutePath)
-      val published = Seq.newBuilder[String]
-      def publish(src: java.io.File, dst: java.io.File, rel: String): Unit =
-        src.listFiles().foreach { f =>
-          // partition dirs (`_month=...`) carry the underscore prefix
-          // too — recurse on `key=value` names, skip only Spark's
-          // `_temporary`/hidden dirs
-          if (f.isDirectory &&
-            (f.getName.contains("=") || (!f.getName.startsWith("_") &&
-              !f.getName.startsWith("."))))
-            publish(f, new java.io.File(dst, f.getName), s"$rel${f.getName}/")
-          else if (f.isFile && f.getName.startsWith("part-")) {
-            dst.mkdirs()
-            publishMove(f, new java.io.File(dst, f.getName))
-            published += s"$rel${f.getName}"
-          }
-        }
-      publish(staging, tableDir, "")
-      val files = published.result()
+      val files = publishDir(staging, tableDir)
       // an all-empty batch publishes no files — don't burn a version
       if (files.nonEmpty) TableManifest.commit(table, files)
     } finally rmrf(staging)
+  }
+
+  /** Move a completed staging dir's part files into the table,
+    * preserving partition-relative paths; returns the published rels
+    * (the manifest delta). Partition dirs (`key=value`) carry the
+    * underscore prefix too — recurse on them, skip only Spark's
+    * `_temporary`/hidden dirs. */
+  private def publishDir(staging: java.io.File,
+      tableDir: java.io.File): Seq[String] = {
+    val published = Seq.newBuilder[String]
+    def publish(src: java.io.File, dst: java.io.File, rel: String): Unit =
+      src.listFiles().foreach { f =>
+        if (f.isDirectory &&
+          (f.getName.contains("=") || (!f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))))
+          publish(f, new java.io.File(dst, f.getName), s"$rel${f.getName}/")
+        else if (f.isFile && f.getName.startsWith("part-")) {
+          dst.mkdirs()
+          publishMove(f, new java.io.File(dst, f.getName))
+          published += s"$rel${f.getName}"
+        }
+      }
+    publish(staging, tableDir, "")
+    published.result()
   }
 
   /** Pinned-snapshot scan of a table: resolve the newest
@@ -350,6 +357,73 @@ object EventStore {
   def appendUnpartitioned(df: DataFrame, table: String): Unit =
     stagedAppend(df, table, Seq.empty)
 
+  /** As [[appendUnpartitioned]], with directory partitions — the
+    * bucketed ops-log layout (`_bucket=k/`). */
+  private[graft] def appendPartitioned(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit =
+    stagedAppend(df, table, partitionCols)
+
+  /** Id-hash bucket count for the profile ops log, and the partition
+    * column carrying it. At 100 TB of events the ops log is ~10⁹ rows:
+    * unbucketed, every `/user/get` point lookup scans the WHOLE log
+    * (the reference answers from a Postgres index,
+    * PostgresqlUserStorage.java:604-667); with `_bucket =
+    * pmod(hash(id), 64)` as a directory partition, the lookup's
+    * foldable bucket predicate partition-prunes to 1/64 of the files,
+    * and an erasure rewrites ONE bucket instead of the log. The hash is
+    * Spark's `hash()` (Murmur3, seed 42 — the same function its own
+    * bucketing relies on), so writer and reader can never disagree. */
+  private[graft] val OpsBuckets = 64
+  private[graft] val OpsBucketCol = "_bucket"
+
+  /** The bucket expression for `idCol` — ONE formula shared by the
+    * append path, the point-lookup filter, erasure scoping, and the
+    * bucketize migration, so the mapping cannot drift. */
+  private[graft] def opsBucket(idCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(hash(idCol), lit(OpsBuckets)).cast("int")
+
+  /** Every committed data file of `table` (any partition depth) —
+    * manifest snapshot, or the directory listing for a pre-manifest
+    * table (where only completed part files exist). */
+  private def allCommittedRels(table: String): Seq[String] =
+    TableManifest.latest(table).map(_._2.toSeq.sorted)
+      .getOrElse(TableManifest.diskFiles(table).toSeq.sorted)
+
+  /** One-time layout migration for a pre-bucketed ops log: rewrite the
+    * committed ROOT-LEVEL files (the unbucketed layout) into
+    * `_bucket=k/` partitions in a single row-preserving commit
+    * (`#note=compact` — the corpus-diff governance flag must not trip).
+    * Files already under bucket dirs are left untouched, so an
+    * interrupted migration resumes cleanly. Readers never see a mixed
+    * committed state: the swap is one manifest version. */
+  private[graft] def bucketizeTable(spark: SparkSession, table: String,
+      idCol: String): Boolean = {
+    val dir = new java.io.File(table).getAbsoluteFile
+    if (!dir.isDirectory) return false
+    withPartitionLock(dir) {
+      val legacy = allCommittedRels(table).filter(!_.contains("/"))
+      if (legacy.isEmpty) false
+      else {
+        // no basePath: nothing to infer on root-level files; the bucket
+        // is (re)computed from the id, same formula as everywhere
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(legacy.map(rel =>
+            new java.io.File(dir, rel).getAbsolutePath): _*)
+          .withColumn(OpsBucketCol, opsBucket(col(idCol)))
+        val tmp = new java.io.File(
+          s"${dir.getAbsolutePath}.rewriting-${java.util.UUID.randomUUID()}")
+        try {
+          df.write.mode("overwrite").partitionBy(OpsBucketCol)
+            .parquet(tmp.getAbsolutePath)
+          val moved = publishDir(tmp, dir)
+          TableManifest.commit(table, moved, legacy, note = Some("compact")): Unit
+        } finally rmrf(tmp)
+        true
+      }
+    }
+  }
+
   /** [[scanTable]] for callers outside the store (the gateway's ops-log
     * reads): ONE copy of the snapshot-isolation rules — manifest
     * snapshot, legitimately-empty committed set (never a directory
@@ -360,36 +434,62 @@ object EventStore {
       emptyCols: Seq[String]): DataFrame =
     scanTable(spark, table, emptyCols)
 
-  /** Right-to-be-forgotten on an unpartitioned table (the profile ops
-    * log): rewrite the committed file set minus `column == value` rows
-    * and commit the swap as ONE manifest version annotated `erasure`,
+  /** Right-to-be-forgotten on the (bucketed) profile ops log: rewrite
+    * the committed files of `value`'s BUCKET minus its rows — never the
+    * whole log; at 10⁹ ops that is 1/[[OpsBuckets]] of the work — and
+    * commit the swap as ONE manifest version annotated `erasure`,
     * deleting the superseded files immediately (prompt physical removal
     * outranks readers pinned to pre-erasure versions — their pins fail
     * fast rather than resurrect the erased user, the same contract
-    * [[deleteUser]] gives event partitions). The `_rewrite.lock` atomic
-    * create serializes rewriters ACROSS JVMs, and the tmp dir is
-    * per-attempt unique, so two gateways erasing concurrently can never
-    * clobber each other's staging (the failure mode of the pre-manifest
-    * fixed-path two-rename swap). Returns rows removed. */
+    * [[deleteUser]] gives event partitions). Files from the
+    * pre-bucketed layout (root-level rels — a log whose bucketize
+    * migration hasn't landed) are conservatively included in the scope.
+    * The `_rewrite.lock` atomic create serializes rewriters ACROSS
+    * JVMs, and the tmp dir is per-attempt unique, so two gateways
+    * erasing concurrently can never clobber each other's staging (the
+    * failure mode of the pre-manifest fixed-path two-rename swap).
+    * Returns rows removed. */
   def eraseRows(spark: SparkSession, table: String, column: String,
       value: Any, vacuumGraceMs: Long = 10 * 60 * 1000L): Long = {
     val dir = new java.io.File(table).getAbsoluteFile
     if (!dir.isDirectory) return 0L
     val removed = withPartitionLock(dir) {
-      val snapshot = committedFiles(dir.getAbsolutePath, dir)
-      if (snapshot.isEmpty) 0L
+      val all = allCommittedRels(table)
+      // the value's rows can only live in its bucket — or in legacy
+      // root-level files that predate the bucketed layout
+      val bucket = spark.range(1)
+        .select(opsBucket(lit(value).cast("string"))).head.getInt(0)
+      val scope = all.filter(rel =>
+        !rel.contains("/") || rel.startsWith(s"$OpsBucketCol=$bucket/"))
+      if (scope.isEmpty) 0L
       else {
+        // no basePath (scope can mix root-level and bucket-dir depths):
+        // partition columns aren't inferred; the kept rows' bucket is
+        // recomputed below with the shared formula
         val df = spark.read.option("mergeSchema", "true")
-          .parquet(snapshot.map(_.getAbsolutePath): _*)
+          .parquet(scope.map(rel =>
+            new java.io.File(dir, rel).getAbsolutePath): _*)
         val hits = df.filter(col(column) === lit(value)).count()
         if (hits == 0) 0L
         else {
           val keep = df.filter(!(col(column) <=> lit(value)))
+            .drop(OpsBucketCol)
+            .withColumn(OpsBucketCol, opsBucket(col(column)))
           val tmp = new java.io.File(
             s"${dir.getAbsolutePath}.rewriting-${java.util.UUID.randomUUID()}")
-          keep.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-          commitRewrite(dir.getAbsolutePath, dir, snapshot, tmp,
-            deleteNow = true, note = "erasure")
+          try {
+            keep.write.mode("overwrite").partitionBy(OpsBucketCol)
+              .parquet(tmp.getAbsolutePath)
+            val moved = publishDir(tmp, dir)
+            TableManifest.commit(table, moved, scope,
+              note = Some("erasure")): Unit
+          } finally rmrf(tmp)
+          scope.foreach { rel =>
+            val f = new java.io.File(dir, rel)
+            require(f.delete() || !f.exists(), s"could not delete $f")
+            new java.io.File(f.getParentFile, s".${f.getName}.crc")
+              .delete(): Unit
+          }
           hits
         }
       }

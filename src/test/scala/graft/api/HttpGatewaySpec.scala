@@ -778,11 +778,18 @@ class HttpGatewaySpec extends SparkSpec {
         s"/admin/diff?collection=__user_ops&from=$head&to=$head2")
       assert(diff2.statusCode() == 200 &&
         diff2.body().contains("\"purely_additive\":false"), diff2.body())
-      // …while a window whose APPENDED files the erasure rewrote away
-      // fails fast (the additive delta is physically gone), same
-      // contract as a vacuumed event-table window
-      val diffGone = get(port,
+      // …and the erasure is BUCKET-scoped: the window's appended files
+      // (u1's and u3's ops, other buckets) survived the rewrite, so
+      // this diff still SERVES, flagged non-additive — while a window
+      // touching the erased user's own append file fails fast (its
+      // delta is physically gone: serving it would resurrect u2)
+      val diffAcross = get(port,
         s"/admin/diff?collection=__user_ops&from=$opsV&to=$head2")
+      assert(diffAcross.statusCode() == 200 &&
+        diffAcross.body().contains("\"purely_additive\":false") &&
+        !diffAcross.body().contains("u2"), diffAcross.body())
+      val diffGone = get(port,
+        s"/admin/diff?collection=__user_ops&from=0&to=$head2")
       assert(diffGone.statusCode() == 400 &&
         diffGone.body().contains("no longer resolvable"), diffGone.body())
       // a FRESH pin pair taken after the erasure replays again
