@@ -25,8 +25,54 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Hash-spread key per table: a stable high-cardinality column, so
+    * the low-parallelism rescue shuffle ([[spread]]) partitions
+    * deterministically (retry-safe — guide §2.5's SPARK-38388 caveat
+    * rules out round-robin, which also pays a per-partition pre-sort)
+    * and evenly (unique-ish keys spread binomially over the cores). */
+  private val spreadKeys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Don't bother spreading inputs below this size (broadcast-side dims
+    * like region/nation: a 32-task exchange would cost more scheduling
+    * than the scan). Overridable for experiments. */
+  private val SpreadMinBytes: Long = sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES")
+    .flatMap(_.toLongOption).getOrElse(16L * 1024)
+
+  /** Scan-parallelism rescue (optimization guide §2.5 "input skew" /
+    * §1.2 step 1): the testdata tables are single-file, SINGLE-ROW-GROUP
+    * parquet, so every scan — and all scan-side compute above it
+    * (tokenize, explode, per-gram md5) — runs as ONE task regardless of
+    * core count. When the natural split count is below the session's
+    * parallelism, one cheap hash exchange of the raw rows immediately
+    * after the read spreads that work across the cores. Scale-adaptive
+    * by construction: a production table with many files/row groups
+    * already plans >= `defaultParallelism` splits and takes the
+    * zero-cost branch — this never fires at 100 TB, so it is not a
+    * local-only constant baked into the plan. Filters/projects still
+    * reach the scan: Catalyst pushes both through
+    * RepartitionByExpression (verified in plans/r17). */
+  private def spread(df: DataFrame, key: String, bytes: Long): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (bytes < SpreadMinBytes) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, df.col(key))
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val raw = spark.read.parquet(path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(hp).getLength
+    val df = spreadKeys.get(name) match {
+      case Some(k) => spread(raw, k, bytes)
+      case None => raw
+    }
     df.schema.fields.find(_.name == "ts") match {
       // NANOS read as long: integer-div (not double-div — ns magnitudes
       // exceed 2^53) to micros, then to wall-clock NTZ in the UTC session.

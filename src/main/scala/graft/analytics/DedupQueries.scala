@@ -710,19 +710,33 @@ object DedupQueries {
     * appears in MORE THAN ONE distinct document (within-doc repetition
     * stays — that's t_repetition's business); surviving chunks
     * reassemble in original order. Shape: the chunk frame is one
-    * projection; distinct-doc counts are a partial-agg'd groupBy on the
-    * 60-bit chunk hash joined back; reassembly is one per-doc
-    * aggregate (array_sort by chunk index — no window, no text
-    * shuffle beyond the chunks themselves). */
+    * projection computed ONCE; the distinct-doc test is a min/max
+    * window over the 60-bit chunk-hash partition (one distinct doc ⟺
+    * min(doc_id) = max(doc_id) — no countDistinct, no join-back);
+    * reassembly is one per-doc aggregate (array_sort by chunk index —
+    * no text shuffle beyond the chunks themselves). */
   def d13From(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    val chunks = cdcChunkFrame(documents)
-    val docCounts = chunks
-      .groupBy(hash60($"chunk").as("h"))
-      .agg(countDistinct($"doc_id").as("n_docs"))
-    val kept = chunks
-      .join(docCounts, hash60($"chunk") === $"h")
-      .filter($"n_docs" === 1)
+    // ONE chunk-frame pass (r17 optimization): the chunk frame is the
+    // expensive subtree (a per-token md5 window hash decides every cut),
+    // and the old groupBy(h)+join-back shape planned it TWICE — the agg
+    // branch and the probe branch are different subtrees, so Spark's
+    // ReuseExchange cannot dedup them. "More than one distinct doc"
+    // needs no distinct count: min(doc_id) ≠ max(doc_id) over the
+    // chunk-hash partition is the same predicate, and min/max ride one
+    // window over one shuffle of the chunks — halving the cut-hash
+    // compute and dropping the join (plan: 4 exchanges → 2; see
+    // plans/r17/d13_strip_boilerplate_*.txt).
+    // the hash is a materialized column and BOTH window expressions sit
+    // in one select over one spec: separate withColumn(...over) calls
+    // plan two Window nodes with private partition-key expressions —
+    // two exchanges, two sorts, two md5 evaluations
+    val wH = Window.partitionBy($"h")
+    val kept = cdcChunkFrame(documents)
+      .withColumn("h", hash60($"chunk"))
+      .select($"doc_id", $"n_toks", $"k", $"chunk", $"chunk_tokens",
+        min($"doc_id").over(wH).as("mn"), max($"doc_id").over(wH).as("mx"))
+      .filter($"mn" === $"mx")
     val rebuilt = kept
       .groupBy($"doc_id", $"n_toks")
       .agg(
@@ -783,14 +797,14 @@ object DedupQueries {
     * the sliding [[SpanGram]]-token window frame d11 already uses —
     * O(tokens) rows, and NO sort anywhere on the gram axis:
     *
-    *  1. ONE partial-agg'd groupBy on the 60-bit gram hash computes
-    *     both the occurrence count and the global first occurrence
-    *     (`min(struct(doc_id, p))` — min is commutative/associative,
-    *     so map-side combine absorbs hot grams before they travel;
-    *     no window, no per-gram sort, unbounded skew is safe),
-    *  2. positions re-join the grams with 2..[[TrimOccCap]]
-    *     occurrences on the hash; any occurrence differing from the
-    *     stored min struct is a trim position (the keep-first rank
+    *  1. ONE shuffle of the positions by the 60-bit gram hash carries
+    *     a count + `min(struct(doc_id, p))` window over the gh
+    *     partition — every position reads its gram's occurrence count
+    *     and global first occurrence off the same exchange (the gram
+    *     subtree is computed once; the earlier agg+join form planned
+    *     the explode+hash twice),
+    *  2. any position with 2..[[TrimOccCap]] occurrences that differs
+    *     from the min struct is a trim position (the keep-first rank
     *     without ranking),
     *  3. trim positions merge into maximal runs per document
     *     (the d11 island pass); runs spanning ≥ [[MinSpanTokens]]
@@ -816,16 +830,28 @@ object DedupQueries {
   def d15From(documents: DataFrame, occCap: Long = TrimOccCap): DataFrame = {
     import documents.sparkSession.implicits._
     val docs = substringDocs(documents)
-    val grams = substringGrams(docs)
-    val stats = grams
-      .groupBy($"gh")
-      .agg(count(lit(1)).as("n_occ"),
-        min(struct($"doc_id", $"p")).as("first"))
-      .filter($"n_occ" > 1 && $"n_occ" <= occCap)
-      .select($"gh", $"first")
-    val trimPos = grams
-      .join(stats, Seq("gh"))
-      .filter(struct($"doc_id", $"p") =!= $"first")
+    // ONE gram pass (r17 optimization): the old groupBy(gh)+join-back
+    // planned the gram subtree (explode + per-position md5) twice — the
+    // agg branch and the probe branch are different subtrees, so
+    // ReuseExchange cannot dedup them. count + min(struct) over the
+    // gh window partition compute the same (n_occ, first) per position
+    // from ONE shuffle of the positions (plan: 2 gram subtrees + 2
+    // exchanges + join → 1 subtree + 1 exchange; see
+    // plans/r17/d15_substring_trim_*.txt). Trade vs the agg form: a
+    // hotter-than-[[TrimOccCap]] gram's positions now buffer in one
+    // window partition before the cap filter drops them (the d11
+    // posture — WindowExec spills past memory); the agg form absorbed
+    // them map-side but paid the gram compute and its shuffle twice.
+    // both window expressions in ONE select over one spec — separate
+    // withColumn(...over) calls would plan two Window nodes (two
+    // exchanges + sorts) even over the same key
+    val wG = Window.partitionBy($"gh")
+    val trimPos = substringGrams(docs)
+      .select($"doc_id", $"p",
+        count(lit(1)).over(wG).as("n_occ"),
+        min(struct($"doc_id", $"p")).over(wG).as("first"))
+      .filter($"n_occ" > 1 && $"n_occ" <= occCap &&
+        struct($"doc_id", $"p") =!= $"first")
       .select($"doc_id", $"p")
     rebuildTrimmed(docs, trimPos)
   }

@@ -19,14 +19,19 @@ object SourceQueries {
     * JSON pipeline, then aggregated. */
   def s5Pixel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // query strings are built IN the plan (codegen'd concat) so the
+    // .rdd boundary ships one String per row — the old Row-based map
+    // deserialized every column (including the props map) just to read
+    // three fields (r17 optimization, guide §4.1: prefer built-ins and
+    // project before opaque operations)
     val queries = Tables(spark, dir, "events")
-      .select($"user_id", $"event_type",
-        unix_millis($"ts".cast("timestamp")).as("ms"))
-      .rdd.map { r =>
-        s"collection=pixel_events&api.api_key=k1" +
-          s"&prop._user=u${r.getLong(0)}&prop.etype=${r.getString(1)}" +
-          s"&prop._time=${r.getLong(2)}"
-      }
+      .select(concat(
+        lit("collection=pixel_events&api.api_key=k1&prop._user=u"),
+        $"user_id".cast("string"),
+        lit("&prop.etype="), $"event_type",
+        lit("&prop._time="),
+        unix_millis($"ts".cast("timestamp")).cast("string")).as("q"))
+      .as[String].rdd
     val registry = SchemaRegistry.inMemory()
     val res = BatchSources.pixelIngest(spark, registry, "s5", queries)
     val df = res.byCollection("pixel_events")

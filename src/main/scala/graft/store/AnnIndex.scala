@@ -113,7 +113,14 @@ object AnnIndex {
 
   private def writePostings(p: DataFrame, path: String, v: Long,
       batchId: Long = -1L): Unit = {
-    p.write.mode("overwrite").partitionBy("cell")
+    // co-locate each cell before the write (r17, guide §6 small files):
+    // without this, every input partition opened a file in every cell
+    // dir it touched — up to (partitions × cells) near-empty files per
+    // version; one exchange makes it one file set per cell, the same
+    // discipline compactPostings and InvertedIndex.writeVersion already
+    // apply, and the layout serving probes prune against
+    p.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(VersionedState.versionDir(path, v))
     // the version dir is complete before the pointer flip
     VersionedState.writePointer(path, v, batchId)
