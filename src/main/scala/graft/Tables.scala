@@ -39,9 +39,12 @@ object Tables {
 
   /** Don't bother spreading inputs below this size (broadcast-side dims
     * like region/nation: a 32-task exchange would cost more scheduling
-    * than the scan). Overridable for experiments. */
-  private val SpreadMinBytes: Long = sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES")
-    .flatMap(_.toLongOption).getOrElse(16L * 1024)
+    * than the scan). Overridable for experiments — the system property
+    * lets a single JVM A/B the spread (env is fork-static). */
+  private def spreadMinBytes: Long =
+    sys.props.get("graft.spread.min.bytes")
+      .orElse(sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES"))
+      .flatMap(_.toLongOption).getOrElse(16L * 1024)
 
   /** Scan-parallelism rescue (optimization guide §2.5 "input skew" /
     * §1.2 step 1): the testdata tables are single-file, SINGLE-ROW-GROUP
@@ -55,23 +58,46 @@ object Tables {
     * zero-cost branch — this never fires at 100 TB, so it is not a
     * local-only constant baked into the plan. Filters/projects still
     * reach the scan: Catalyst pushes both through
-    * RepartitionByExpression (verified in plans/r17). */
+    * RepartitionByExpression (verified in plans/r17).
+    *
+    * WHERE it applies (measured, interleaved in-JVM A/B at sf0.1 —
+    * graft.tools.AbSpread, details in OPTIMIZATION_r17.md): the rescue
+    * pays only when per-row scan-side compute dominates the exchange.
+    * That is the `documents` text pipelines (gram/chunk/shingle explodes
+    * hash every window position: d15 2.33→1.72, t_novelty 2.16→1.56,
+    * corpus_report 1.68→1.40, mm4 1.04→0.85) plus a few compute-dense
+    * scans that opt in per call (q1's 7 decimal aggregates 1.27→0.99,
+    * f_casts 0.61→0.48, m4's per-row mmdb lookup 0.95→0.71). Plain
+    * scan→shuffle queries LOSE (the exchange duplicates a shuffle the
+    * algorithm takes anyway: a10 0.45→2.05, w6_theta 0.58→1.57,
+    * a13 0.68→1.38), so events/orders/lineitem/embeddings default
+    * OFF. */
   private def spread(df: DataFrame, key: String, bytes: Long): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (bytes < SpreadMinBytes) df
+    if (bytes < spreadMinBytes) df
     else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, df.col(key))
   }
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Tables whose scans spread by default — see [[spread]]. */
+  private val spreadByDefault = Set("documents")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name, spreadByDefault(name))
+
+  /** `spreadScan=true` opts a compute-dense consumer into the scan
+    * spread regardless of the table default (measured winners only —
+    * see [[spread]]). */
+  def apply(spark: SparkSession, dir: String, name: String,
+      spreadScan: Boolean): DataFrame = {
     val path = s"$dir/$name.parquet"
     val raw = spark.read.parquet(path)
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(hp).getLength
     val df = spreadKeys.get(name) match {
-      case Some(k) => spread(raw, k, bytes)
-      case None => raw
+      case Some(k) if spreadScan =>
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        spread(raw, k, fs.getContentSummary(hp).getLength)
+      case _ => raw
     }
     df.schema.fields.find(_.name == "ts") match {
       // NANOS read as long: integer-div (not double-div — ns magnitudes

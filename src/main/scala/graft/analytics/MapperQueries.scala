@@ -60,7 +60,8 @@ object MapperQueries {
       (16777472L, 16777727L, "US", "America/New_York", "Comcast", "Corporate"),
       (16777728L, 16777983L, "DE", "Europe/Berlin", "DTAG", "Cellular"))
       .toDF("ip_lo", "ip_hi", "_country_code", "_timezone", "_isp", "_connection_type")
-    val ev = Tables(spark, dir, "events")
+    // spreadScan: per-row XFF parse + range lookup — measured 0.95->0.71 s
+    val ev = Tables(spark, dir, "events", spreadScan = true)
       .withColumn("pub_ip",
         when($"user_id" % 5 === 0, lit("192.168.0.1"))
           .otherwise(concat(lit("1.0."), ($"user_id" % 4).cast("string"), lit(".7"))))
@@ -210,7 +211,8 @@ object MapperQueries {
       (cidr6("2001:db8:2::/48"), "JP", "Asia/Tokyo"))
       .map { case ((lo, hi), cc, tz) => (lo, hi, cc, tz) }
       .toDF("ip6_lo", "ip6_hi", "_country_code", "_timezone")
-    val ev = Tables(spark, dir, "events")
+    // spreadScan: per-row v6 parse/canonicalize + binary range lookup
+    val ev = Tables(spark, dir, "events", spreadScan = true)
       .withColumn("_ip",
         when($"user_id" % 5 === 0, lit("fe80::1"))
           .when($"user_id" % 5 === 1, lit("::ffff:1.0.0.7"))

@@ -125,7 +125,8 @@ object ScanQueries {
     * AvroUtil.java:120-200 restated as try_cast semantics). */
   def fCasts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "events")
+    // spreadScan: per-row get_json_object parse — measured 0.61->0.48 s
+    Tables(spark, dir, "events", spreadScan = true)
       .select(
         $"event_id",
         get_json_object($"props", "$.k").cast("long").as("k_long"),

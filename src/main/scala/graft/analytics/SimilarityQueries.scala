@@ -778,10 +778,12 @@ object SimilarityQueries {
     * centroid id, and centroid means go through the exact-decimal
     * accumulator so summation order cannot drift. Scale posture: each
     * iteration is one crossJoin against the BROADCAST K-row centroid
-    * set (assignment is scan-local, ranked by a per-vector window) and
-    * one (cid, dim)-keyed partial-agg'd update — the corpus shuffles
-    * only by its cluster assignment, K·D floats travel to the driver
-    * per round (exactly what MLlib's Lloyd does). */
+    * set (assignment is scan-local; the argmin is a partial-agg'd
+    * min(struct(dist, cid)), so the K candidates per vector combine
+    * map-side and never cross an exchange) and one (cid, dim)-keyed
+    * partial-agg'd update — the corpus shuffles only by its cluster
+    * assignment, K·D floats travel to the driver per round (exactly
+    * what MLlib's Lloyd does). */
   def kms1Kmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val vecs = Tables(spark, dir, "embeddings").select($"vec_id", $"embedding")
@@ -789,14 +791,18 @@ object SimilarityQueries {
       posexplode($"embedding").as(Seq("d", "v0")))
       .select($"vec_id", $"d", $"v0".cast("double").as("v"))
 
+    // argmin as a partial-agg'd min(struct(dist, cid)) — identical row
+    // to the old row_number-over-(dist, cid) window (cid is unique, so
+    // the struct order is total), but the K candidate rows per vector
+    // now combine MAP-SIDE instead of shipping K wide rows (embedding +
+    // centroid arrays) through a window sort per iteration (r17, guide
+    // §2.3 "aggregate before you shuffle")
     def assign(cents: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(cents))
         .withColumn("dist", sqdist(col("embedding"), col("cent")))
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"vec_id").orderBy($"dist", $"cid")))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cid", $"dist")
+        .groupBy($"vec_id")
+        .agg(min(struct($"dist", $"cid")).as("best"))
+        .select($"vec_id", $"best.cid".as("cid"), $"best.dist".as("dist"))
 
     def update(assigned: DataFrame): DataFrame =
       dims.join(assigned.select($"vec_id", $"cid"), "vec_id")

@@ -127,10 +127,17 @@ object InvertedIndex {
   }
 
   /** Bootstrap the index from the initial corpus. */
-  def initialize(docs: DataFrame, path: String, batchId: Long = -1L): Unit = {
-    val (n, s) = statsOf(docs)
+  def initialize(docs: DataFrame, path: String, batchId: Long = -1L): Unit =
+    initializeWithStats(docs, path, statsOf(docs), batchId)
+
+  /** [[initialize]] with the batch's (n_docs, sum_dl) precomputed by a
+    * caller that already scanned the batch (the two-batch oracle build
+    * fuses both batches' stats into one conditional pass — r17). The
+    * stats MUST be [[statsOf]] of exactly `docs`. */
+  private def initializeWithStats(docs: DataFrame, path: String,
+      stats: (Long, Long), batchId: Long = -1L): Unit = {
     VersionedState.writeMarker(path, "_FORMAT", FormatVersion)
-    writeVersion(postingsOf(docs), path, 1, n, s, batchId)
+    writeVersion(postingsOf(docs), path, 1, stats._1, stats._2, batchId)
   }
 
   /** Append a delta batch as version `expected` (cumulative stats fold
@@ -143,13 +150,20 @@ object InvertedIndex {
     * re-append double-counts the doc in BM25 df/tf; the phrase probe
     * degrades deterministically (offset union). */
   def append(spark: SparkSession, delta: DataFrame, path: String,
-      expected: Long, batchId: Long = -1L): Boolean = {
+      expected: Long, batchId: Long = -1L): Boolean =
+    appendWithStats(spark, delta, path, expected, None, batchId)
+
+  /** [[append]] with optionally precomputed delta stats (see
+    * [[initializeWithStats]]). */
+  private def appendWithStats(spark: SparkSession, delta: DataFrame,
+      path: String, expected: Long, stats: Option[(Long, Long)],
+      batchId: Long = -1L): Boolean = {
     val cur = VersionedState.currentVersion(path)
     if (expected <= cur) return false
     require(expected == cur + 1, s"append $expected against current $cur")
     requirePositional(path)
     val (pn, ps) = readStats(path, cur)
-    val (dn, dsz) = statsOf(delta)
+    val (dn, dsz) = stats.getOrElse(statsOf(delta))
     writeVersion(postingsOf(delta), path, expected, pn + dn, ps + dsz, batchId)
     true
   }
@@ -328,8 +342,22 @@ object InvertedIndex {
     val tmp = graft.TempDirs.scratchFor(prefix).toString
     val mid = docs.agg((max($"doc_id") / lit(2)).cast("long"))
       .collect()(0).getLong(0)
-    initialize(docs.filter($"doc_id" <= mid), tmp)
-    append(spark, docs.filter($"doc_id" > mid), tmp, 2L)
+    // both batches' stats in ONE conditional pass (was one split+sum
+    // pass per batch — r17, guide §1.2: fewer full passes); identical
+    // to statsOf per batch: count/sum over the b1 rows and their
+    // complement, null-safe on an empty side
+    val b1 = $"doc_id" <= mid
+    val r = docs
+      .select(size(split($"text", " ")).cast("long").as("dl"), b1.as("b1"))
+      .agg(
+        count(when($"b1", lit(1))),
+        coalesce(sum(when($"b1", $"dl")), lit(0L)),
+        count(when(!$"b1", lit(1))),
+        coalesce(sum(when(!$"b1", $"dl")), lit(0L)))
+      .collect()(0)
+    initializeWithStats(docs.filter(b1), tmp, (r.getLong(0), r.getLong(1)))
+    appendWithStats(spark, docs.filter(!b1), tmp, 2L,
+      Some((r.getLong(2), r.getLong(3))))
     tmp
   }
 

@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"expected a single events scan, saw $scans")
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    val exchanges = algoExchangeLines(plan).size
     assert(exchanges <= 1, s"expected one shuffle, saw $exchanges")
     assert(!plan.contains("Intersect") && !plan.contains("Except"))
   }
@@ -152,7 +152,7 @@ class PlanSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
       assert(scans == 1, s"$q: expected one documents scan, saw $scans")
-      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      val exchanges = algoExchangeLines(plan).size
       assert(exchanges <= 1, s"$q: sampling must not shuffle, saw $exchanges")
     }
   }
@@ -211,7 +211,7 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"expected one events scan, saw $scans")
-    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    val exchanges = algoExchangeLines(plan).size
     assert(exchanges <= 1, s"redaction must stream at scan speed, saw $exchanges")
   }
 
@@ -296,9 +296,8 @@ class PlanSpec extends SparkSpec {
 
   test("ds7: the split tag is scan-side — one shuffle total, " +
     "and it is the report aggregate's") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = executedWithoutAqe("ds7_split")
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val exchanges = algoShuffles(plan)
     assert(exchanges.size == 1,
       s"expected exactly one exchange, got ${exchanges.size}:\n$plan")
     assert(plan.toString.contains("partial_count"),
@@ -306,9 +305,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d14: contamination join ships 8-byte gram hashes, never gram text") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val plan = executedWithoutAqe("d14_contamination")
-    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val shuffles = algoShuffles(plan)
     assert(shuffles.nonEmpty)
     // every exchange's payload is (source, h)-shaped or an aggregate of
     // it: no string column wider than the source tag crosses the wire
@@ -546,7 +544,7 @@ class PlanSpec extends SparkSpec {
   test("sq2: negative drawing never shuffles the event side") {
     val plan = SparkEntry.queries("sq2_negatives")(spark, sf())
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
+    assert(!algoExchangeLines(plan).exists(_.contains("hashpartitioning")),
       s"event rows crossed a hash exchange:\n$plan")
   }
 }

@@ -44,4 +44,27 @@ trait SparkSpec extends AnyFunSuite {
     try body finally loggers.foreach(_.removeAppender(appender))
     captured.toSeq
   }
+
+  /** Lines of a plan string that are ALGORITHMIC exchanges — excludes
+    * the declared input-spread repartition ([[Tables.spread]], shuffle
+    * origin REPARTITION_BY_COL), which exists only when a scan's
+    * natural split count cannot feed the cores (single-row-group local
+    * fixtures) and short-circuits away at scale. Plan pins that assert
+    * "operator X must not shuffle" mean X's algorithm: the rescue
+    * exchange is input plumbing, counted by none of them. */
+  def algoExchangeLines(plan: String): Seq[String] =
+    plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_")).toSeq
+
+  /** The collect-based twin of [[algoExchangeLines]] for non-AQE
+    * executed plans. */
+  def algoShuffles(plan: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_COL, REPARTITION_BY_NUM, ShuffleExchangeExec}
+    plan.collect {
+      case e: ShuffleExchangeExec
+        if e.shuffleOrigin != REPARTITION_BY_COL &&
+          e.shuffleOrigin != REPARTITION_BY_NUM => e
+    }
+  }
 }

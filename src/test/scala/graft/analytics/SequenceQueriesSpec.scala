@@ -155,9 +155,10 @@ class SequenceQueriesSpec extends SparkSpec {
       .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(again ==
       out.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
-    // scan-side only: no exchange anywhere
+    // scan-side only: no algorithmic exchange anywhere (the documents
+    // scan-spread rescue is exempt — SparkSpec.algoExchangeLines)
     val p = out.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), p)
+    assert(algoExchangeLines(p).isEmpty, p)
   }
 
   test("plan shapes: sq1 shuffles once by user; sq2's event side never shuffles") {

@@ -317,7 +317,7 @@ class TokenizerQueriesSpec extends SparkSpec {
   test("ch1: no shuffle — plan is scan-side only") {
     val d = graft.Tables(spark, sf(), "documents")
     val plan = ch1From(d).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    assert(algoExchangeLines(plan).isEmpty, plan)
   }
 
   test("bpe2/bpe3: distributed loop == driver-local loop (vocab gate)") {
