@@ -97,11 +97,40 @@ object Bench {
     def pastDeadline(): Boolean =
       deadlineS.exists(d => (System.nanoTime() - benchStart) / 1e9 > d)
     val partialJsonl = java.nio.file.Paths.get("BENCH_PARTIAL.jsonl")
-    if (only.isEmpty)
+    // Resume a deadline-cut run (r17 verdict #1): SPARK_GRAFT_BENCH_RESUME=1
+    // seeds the result set from BENCH_PARTIAL.jsonl's completed rows and
+    // benches only the remainder, so a truncated pass can be finished in
+    // a second invocation instead of re-paying the prefix. Default OFF —
+    // the driver's single-invocation contract is unchanged, and a fresh
+    // run still truncates the jsonl.
+    val resume = sys.env.get("SPARK_GRAFT_BENCH_RESUME").contains("1")
+    val resumedRows: List[(String, Double, Boolean)] =
+      if (!resume || only.nonEmpty ||
+          !java.nio.file.Files.exists(partialJsonl)) Nil
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(partialJsonl).asScala.toList
+          .filter(_.nonEmpty).map { l =>
+            val n = om.readTree(l)
+            (n.get("q").asText(), n.get("sec").asDouble(),
+              n.get("ok").asBoolean())
+          }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] resume requested but jsonl unreadable " +
+          s"($e) — starting fresh")
+        Nil
+      }
+    if (resumedRows.nonEmpty)
+      System.err.println(s"[bench] resuming: ${resumedRows.size} rows " +
+        s"carried from BENCH_PARTIAL.jsonl")
+    if (only.isEmpty && resumedRows.isEmpty)
       java.nio.file.Files.write(partialJsonl, Array.empty[Byte])
 
     // shared with the shutdown hook — synchronize snapshots
     val resultsBuf = new scala.collection.mutable.ArrayBuffer[(String, Double, Boolean)]()
+    resultsBuf ++= resumedRows
+    val resumedNames = resumedRows.map(_._1).toSet
     @volatile var cutAt: Option[String] = None
     @volatile var inFlight: Option[String] = None
     val recordEmitted = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -114,12 +143,20 @@ object Bench {
     def halted(): Boolean =
       recordEmitted.get() || spark.sparkContext.isStopped
 
-    def timeQuery(name: String, qd: QueryDef, n: Int): (Double, Boolean) = {
+    def timeQuery(name: String, qd: QueryDef, n: Int,
+        budgetS: Double = Double.MaxValue): (Double, Boolean) = {
       var excepted = false
+      val qStart = System.nanoTime()
+      def qElapsed: Double = (System.nanoTime() - qStart) / 1e9
       val times = (1 to n).flatMap { i =>
         // a deadline mid-reps settles for the reps already taken (≥1)
-        // rather than abandoning the row
-        if (excepted || halted() || (i > 1 && pastDeadline())) None
+        // rather than abandoning the row; likewise a query that has
+        // already burned its fair share of the remaining deadline
+        // (budgetS — r17 verdict #1: per-row deadline budgeting) keeps
+        // its completed reps and yields the rest of the window to the
+        // tail of the registry instead of starving it
+        if (excepted || halted() ||
+            (i > 1 && (pastDeadline() || qElapsed > budgetS))) None
         else {
           val t0 = System.nanoTime()
           // execute the query's OWN plan (toRdd): a .count() on top
@@ -195,7 +232,7 @@ object Bench {
     }, "bench-shutdown-record")
     Runtime.getRuntime.addShutdownHook(hook)
 
-    for ((name, qd) <- selected if cutAt.isEmpty) {
+    for ((name, qd) <- selected if cutAt.isEmpty && !resumedNames(name)) {
       if (halted()) {
         cutAt = Some(name)
         // stderr is part of the driver's tail capture too — one line,
@@ -209,7 +246,23 @@ object Bench {
           s" reached — stopping before $name, recording the cut")
       } else {
         inFlight = Some(name)
-        val (median, ok) = timeQuery(name, qd, reps)
+        // Fair-share budget for THIS query's optional reps (r17 verdict
+        // #1: the r17 driver boot was burst-contended — 3 reps × 10-40×
+        // inflated rows spent the whole 1500 s deadline on 114/168
+        // queries; corpus_report alone burned ~390 s on reps of a row
+        // whose quiet time is ~1.2 s). Budget = remaining deadline
+        // (with a 10% reserve for record writing) split evenly over the
+        // remaining queries. Rep 1 ALWAYS runs — only reps 2..n are
+        // shed — so a quiet run (sub-second medians vs a ~8 s/query
+        // budget) keeps the full median-of-3 methodology and a
+        // contended run degrades to ~1 rep/query but completes 168/168
+        // inside the deadline instead of truncating.
+        val repBudget = deadlineS.map { d =>
+          val elapsed = (System.nanoTime() - benchStart) / 1e9
+          val remainQ = math.max(selected.size - resultsBuf.size, 1)
+          math.max(0.0, d * 0.9 - elapsed) / remainQ
+        }.getOrElse(Double.MaxValue)
+        val (median, ok) = timeQuery(name, qd, reps, repBudget)
         resultsBuf.synchronized { resultsBuf += ((name, median, ok)) }
         inFlight = None
         if (only.isEmpty)
@@ -322,11 +375,22 @@ object Bench {
           val soloCalib = measureCalib()
           // the deadline also bounds the solo pass: completed solos are
           // kept, the rest stay on their main-pass numbers
+          var soloDone = 0
           val solo = flagged.iterator
             .takeWhile(_ => !pastDeadline() && !halted())
             .flatMap { case (name, _) =>
               val qd = SparkEntry.registry.find(_._1 == name).get._2
-              val (median, ok) = timeQuery(name, qd, math.max(reps, 5))
+              // same fair-share budgeting as the main pass: the solo
+              // window splits the remaining deadline over the remaining
+              // flagged rows so one burst-hit row can't starve the rest
+              val soloBudget = deadlineS.map { d =>
+                val elapsed = (System.nanoTime() - benchStart) / 1e9
+                val remainQ = math.max(flagged.size - soloDone, 1)
+                math.max(0.0, d * 0.9 - elapsed) / remainQ
+              }.getOrElse(Double.MaxValue)
+              soloDone += 1
+              val (median, ok) =
+                timeQuery(name, qd, math.max(reps, 5), soloBudget)
               // a FAILED/halted solo must not enter the record: its 0.0
               // would be preferred by check_regression and clear a
               // genuinely regressed row — omit it so the gate judges

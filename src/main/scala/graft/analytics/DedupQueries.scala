@@ -830,28 +830,31 @@ object DedupQueries {
   def d15From(documents: DataFrame, occCap: Long = TrimOccCap): DataFrame = {
     import documents.sparkSession.implicits._
     val docs = substringDocs(documents)
-    // ONE gram pass (r17 optimization): the old groupBy(gh)+join-back
-    // planned the gram subtree (explode + per-position md5) twice — the
-    // agg branch and the probe branch are different subtrees, so
-    // ReuseExchange cannot dedup them. count + min(struct) over the
-    // gh window partition compute the same (n_occ, first) per position
-    // from ONE shuffle of the positions (plan: 2 gram subtrees + 2
-    // exchanges + join → 1 subtree + 1 exchange; see
-    // plans/r17/d15_substring_trim_*.txt). Trade vs the agg form: a
-    // hotter-than-[[TrimOccCap]] gram's positions now buffer in one
-    // window partition before the cap filter drops them (the d11
-    // posture — WindowExec spills past memory); the agg form absorbed
-    // them map-side but paid the gram compute and its shuffle twice.
-    // both window expressions in ONE select over one spec — separate
-    // withColumn(...over) calls would plan two Window nodes (two
-    // exchanges + sorts) even over the same key
-    val wG = Window.partitionBy($"gh")
-    val trimPos = substringGrams(docs)
-      .select($"doc_id", $"p",
-        count(lit(1)).over(wG).as("n_occ"),
-        min(struct($"doc_id", $"p")).over(wG).as("first"))
-      .filter($"n_occ" > 1 && $"n_occ" <= occCap &&
-        struct($"doc_id", $"p") =!= $"first")
+    // ONE gram pass, skew-proof (r18; supersedes r17's window form —
+    // see plans/r18/d15_substring_trim_*.txt): an EXPLICIT repartition
+    // by gh makes the agg branch and the probe branch consume the SAME
+    // exchange (identical subtrees → ReuseExchange), so the gram
+    // subtree (explode + per-position md5) is still computed once —
+    // the r17 property — while (n_occ, first) come from a streaming
+    // HashAggregate instead of a WindowExec. The r17 window buffered
+    // EVERY position of a hotter-than-[[TrimOccCap]] gram in one
+    // window partition before the cap filter dropped it (ADVICE r17:
+    // a boilerplate gram in millions of docs = one straggler/spill
+    // task at 100 TB); the aggregate holds one (count, min) slot per
+    // gram, the capped survivor stats join back SHUFFLE_HASH with the
+    // tiny per-gram stats as build side, and a hot gram's positions
+    // now STREAM through the probe side and match nothing (guide
+    // §2.5/§3.1). Both sides are co-partitioned on gh by the shared
+    // exchange, so the join plans with zero additional exchanges.
+    val grams = substringGrams(docs).repartition($"gh")
+    val gstats = grams.groupBy($"gh")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct($"doc_id", $"p")).as("first"))
+      .filter($"n_occ" > 1 && $"n_occ" <= occCap)
+      .select($"gh", $"first")
+    val trimPos = grams
+      .join(gstats.hint("shuffle_hash"), Seq("gh"))
+      .filter(struct($"doc_id", $"p") =!= $"first")
       .select($"doc_id", $"p")
     rebuildTrimmed(docs, trimPos)
   }

@@ -348,17 +348,45 @@ object LayoutQueries {
       min($"__um").as("__tmin"), max($"__um").as("__tmax"))
     val seg = ($"__um" - $"__tmin") * 2 < ($"__tmax" - $"__tmin")
     val withSeg = e.crossJoin(broadcast(bounds)).withColumn("__a", seg)
-    val aggs =
-      Seq(count(when($"__a", lit(1))).as("total_a"),
-        count(when(!$"__a", lit(1))).as("total_b")) ++
-        profCols.flatMap { c =>
-          Seq(
-            count(when($"__a", col(c))).as(s"na_$c"),
-            countDistinct(when($"__a", col(c))).as(s"nda_$c"),
-            count(when(!$"__a", col(c))).as(s"nb_$c"),
-            countDistinct(when(!$"__a", col(c))).as(s"ndb_$c"))
-        }
-    val wide = withSeg.agg(aggs.head, aggs.tail: _*)
+    // Expand-width bound (r18, guide §2.3/§5; r17 verdict #6): the flat
+    // 12-countDistinct aggregate planned ONE Expand of 13 projections —
+    // every input row multiplied 13× before the partial agg. Grouping by
+    // the segment flag instead halves the distinct-agg count (one
+    // countDistinct per column, not per column×segment), and splitting
+    // the columns into two batches bounds each pass's Expand at 4
+    // projections (3 distinct-arg groups + 1 regular — pinned in
+    // PlanSpec). Each batch scans only its own columns (columnar
+    // pruning), the ≤3-row grouped frames pivot in a free second
+    // aggregate, and the 1-row batch results meet in a broadcast cross
+    // join (the prof1 exact/sketch discipline). Rows with NULL ts fall
+    // in neither segment in both forms (`when` skips null predicates;
+    // the null-flag group is excluded by the === pivots).
+    def widePass(cols: Seq[String], withTotals: Boolean): DataFrame = {
+      val gAggs = count(lit(1)).as("grp_total") +: cols.flatMap { c =>
+        Seq(count(col(c)).as(s"n_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))
+      }
+      val g = withSeg.groupBy($"__a").agg(gAggs.head, gAggs.tail: _*)
+      def side(a: Boolean, c: Column): Column =
+        coalesce(sum(when($"__a" === a, c)), lit(0L))
+      val pivots =
+        (if (withTotals)
+          Seq(side(a = true, $"grp_total").as("total_a"),
+            side(a = false, $"grp_total").as("total_b"))
+        else Seq.empty[Column]) ++
+          cols.flatMap { c =>
+            Seq(side(a = true, col(s"n_$c")).as(s"na_$c"),
+              side(a = true, col(s"nd_$c")).as(s"nda_$c"),
+              side(a = false, col(s"n_$c")).as(s"nb_$c"),
+              side(a = false, col(s"nd_$c")).as(s"ndb_$c"))
+          }
+      g.agg(pivots.head, pivots.tail: _*)
+    }
+    val batches =
+      profCols.grouped(math.max(1, (profCols.size + 1) / 2)).toSeq
+    val wide = batches.zipWithIndex
+      .map { case (cols, i) => widePass(cols, i == 0) }
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
     val stackArgs =
       profCols.map(c => s"'$c', na_$c, nda_$c, nb_$c, ndb_$c").mkString(", ")
     val ratio = $"ndv_b".cast("double") / nullif($"ndv_a", lit(0)).cast("double")

@@ -214,27 +214,36 @@ object RetrievalQueries {
       .agg(count(lit(1)).as("tf"))
     val vocab = tfAll.groupBy($"tok").agg(count(lit(1)).as("df"))
     val stats = corpusStats(docs)
-    // idf² per vocab term, broadcast (vocab-sized — tiny vs corpus)
+    // ONE weighted pass (r18, guide §2.4; r17 verdict #4): the old form
+    // planned the weighted subtree twice (norms branch + dot branch) and
+    // paid an extra token shuffle + a doc_id join to bring dnorm and dot
+    // back together. dnorm, dot and the matched flag now ride a single
+    // groupBy(doc_id) over one weighted projection: the query weight is
+    // the same idf expression the qw join carried (log(n_docs/df),
+    // available in-row from the vocab broadcast), zeroed on non-query
+    // terms — decimal dsum of exact zeros is identity, so dot is
+    // bit-identical to the filtered form; the matched flag reproduces
+    // the old inner join's doc universe (docs with ≥1 query term).
+    val idf = log($"n_docs".cast("double") / $"df".cast("double"))
+    val isQ = $"tok".isin(terms: _*)
     val weighted = tfAll
       .join(broadcast(vocab), "tok")
       .crossJoin(broadcast(stats))
-      .select($"doc_id", $"tok",
-        ($"tf".cast("double") *
-          log($"n_docs".cast("double") / $"df".cast("double"))).as("w"))
-    val norms = weighted.groupBy($"doc_id")
-      .agg(sqrt(dsum($"w" * $"w")).as("dnorm"))
+      .select($"doc_id",
+        ($"tf".cast("double") * idf).as("w"),
+        when(isQ, idf).otherwise(lit(0.0)).as("qw"),
+        when(isQ, lit(1)).otherwise(lit(0)).as("m"))
     // query weight per term = idf (tf=1); qnorm = sqrt(Σ idf²)
-    val qw = vocab.crossJoin(broadcast(stats))
+    val qn = vocab.crossJoin(broadcast(stats))
       .filter($"tok".isin(terms: _*))
-      .select($"tok",
-        log($"n_docs".cast("double") / $"df".cast("double")).as("qw"))
-    val qn = qw.agg(sqrt(dsum($"qw" * $"qw")).as("qnorm"))
+      .select(idf.as("qw"))
+      .agg(sqrt(dsum($"qw" * $"qw")).as("qnorm"))
     weighted
-      .filter($"tok".isin(terms: _*))
-      .join(broadcast(qw), "tok")
       .groupBy($"doc_id")
-      .agg(dsum($"w" * $"qw").as("dot"))
-      .join(norms, "doc_id")
+      .agg(sqrt(dsum($"w" * $"w")).as("dnorm"),
+        dsum($"w" * $"qw").as("dot"),
+        max($"m").as("m"))
+      .filter($"m" === 1)
       .crossJoin(broadcast(qn))
       .select($"doc_id", ($"dot" / ($"dnorm" * $"qnorm")).as("score"))
   }
