@@ -29,8 +29,11 @@ object Tables {
     * the low-parallelism rescue shuffle ([[spread]]) partitions
     * deterministically (retry-safe — guide §2.5's SPARK-38388 caveat
     * rules out round-robin, which also pays a per-partition pre-sort)
-    * and evenly (unique-ish keys spread binomially over the cores). */
-  private val spreadKeys: Map[String, String] = Map(
+    * and evenly (unique-ish keys spread binomially over the cores).
+    * `private[graft]` so the plan-pin exemption in SparkSpec can match
+    * the spread exchange's exact shape instead of exempting every
+    * REPARTITION_BY_* exchange (r17 advice). */
+  private[graft] val spreadKeys: Map[String, String] = Map(
     "region" -> "r_regionkey", "nation" -> "n_nationkey",
     "customer" -> "c_custkey", "supplier" -> "s_suppkey",
     "part" -> "p_partkey", "orders" -> "o_orderkey",
@@ -72,11 +75,61 @@ object Tables {
     * algorithm takes anyway: a10 0.45→2.05, w6_theta 0.58→1.57,
     * a13 0.68→1.38), so events/orders/lineitem/embeddings default
     * OFF. */
-  private def spread(df: DataFrame, key: String, bytes: Long): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (bytes < spreadMinBytes) df
-    else if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, df.col(key))
+  private def spread(df: DataFrame, key: String, needed: Boolean): DataFrame =
+    if (!needed) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      df.col(key))
+
+  /** Spread decision per (path, parallelism), cached for the session
+    * lifetime (testdata is immutable during a run). Replaces the r17
+    * `df.rdd.getNumPartitions` probe, which physically planned the raw
+    * scan a second time on every `Tables.apply` (r17 advice) and gated
+    * on BYTE-RANGE splits — a large single-row-group file splits into
+    * >= cores byte ranges of which only ONE contains the row group's
+    * midpoint, skipping the rescue exactly when the one-task pathology
+    * is worst. The real parallelism ceiling of a parquet scan is
+    * min(row groups, byte-range splits); both come cheaply from file
+    * metadata:
+    *  - many files (>= cores): every file is >= 1 split and >= 1 row
+    *    group — no spread, and no footer I/O (the 100 TB fast path;
+    *    the driver never opens thousands of footers);
+    *  - few files: byte-split estimate from sizes (maxPartitionBytes),
+    *    row-group count from the parquet footers of just those files.
+    */
+  private val spreadDecisions =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), java.lang.Boolean]()
+
+  private def needsSpread(spark: SparkSession, path: String): Boolean = {
+    val target = spark.sparkContext.defaultParallelism
+    // minBytes is part of the key: graft.tools.AbSpread toggles the
+    // spread per-repetition via the system property inside one JVM
+    spreadDecisions.computeIfAbsent((path, target, spreadMinBytes), { _ =>
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(conf)
+      val files = (if (fs.getFileStatus(hp).isDirectory) fs.listStatus(hp)
+        else Array(fs.getFileStatus(hp)))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      if (bytes < spreadMinBytes || files.length >= target) false
+      else {
+        val maxSplit = math.max(1L,
+          spark.sessionState.conf.filesMaxPartitionBytes)
+        val estSplits = files.map(s =>
+          math.max(1L, (s.getLen + maxSplit - 1) / maxSplit)).sum
+        if (estSplits < target) true
+        else {
+          // enough byte ranges, but row groups bound the useful tasks
+          val rowGroups = files.map { s =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.size.toLong finally r.close()
+          }.sum
+          rowGroups < target
+        }
+      }
+    })
   }
 
   /** Tables whose scans spread by default — see [[spread]]. */
@@ -93,10 +146,7 @@ object Tables {
     val path = s"$dir/$name.parquet"
     val raw = spark.read.parquet(path)
     val df = spreadKeys.get(name) match {
-      case Some(k) if spreadScan =>
-        val hp = new org.apache.hadoop.fs.Path(path)
-        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-        spread(raw, k, fs.getContentSummary(hp).getLength)
+      case Some(k) if spreadScan => spread(raw, k, needsSpread(spark, path))
       case _ => raw
     }
     df.schema.fields.find(_.name == "ts") match {

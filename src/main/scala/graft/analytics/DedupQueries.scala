@@ -727,6 +727,15 @@ object DedupQueries {
     // window over one shuffle of the chunks — halving the cut-hash
     // compute and dropping the join (plan: 4 exchanges → 2; see
     // plans/r17/d13_strip_boilerplate_*.txt).
+    // r18 note: the d15 skew hardening (shared repartition + agg +
+    // co-partitioned join-back) was attempted here and REVERTED — the
+    // two consumers need different column sets (the aggregate prunes
+    // its exchange to (h, doc_id); the probe carries the chunk text),
+    // so the exchanges can never be canonically equal and AQE computes
+    // the md5 chunk subtree twice (plan-verified). The window form
+    // keeps the single subtree; its buffered-group exposure is only
+    // the multi-doc chunks the mn=mx filter drops, and it spills
+    // rather than fails (documented trade, same as r17).
     // the hash is a materialized column and BOTH window expressions sit
     // in one select over one spec: separate withColumn(...over) calls
     // plan two Window nodes with private partition-key expressions —
@@ -846,7 +855,16 @@ object DedupQueries {
     // now STREAM through the probe side and match nothing (guide
     // §2.5/§3.1). Both sides are co-partitioned on gh by the shared
     // exchange, so the join plans with zero additional exchanges.
-    val grams = substringGrams(docs).repartition($"gh")
+    // The explicit isnotnull(doc_id) makes ReuseExchange actually
+    // fire: rebuildTrimmed's doc_id join infers IsNotNull(doc_id)
+    // into the PROBE branch only, and that one pushed predicate made
+    // the two gram subtrees non-canonical (the r18 snapshot's plan
+    // dump shows the explode+md5 planned twice). Pinning the predicate
+    // on the SHARED base makes both branches identical below the gh
+    // exchange (doc_id is the documents primary key — never null — so
+    // the gstats side's counts are unchanged; oracle re-verified).
+    val grams = substringGrams(docs)
+      .filter($"doc_id".isNotNull).repartition($"gh")
     val gstats = grams.groupBy($"gh")
       .agg(count(lit(1)).as("n_occ"),
         min(struct($"doc_id", $"p")).as("first"))

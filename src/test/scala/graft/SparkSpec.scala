@@ -46,25 +46,42 @@ trait SparkSpec extends AnyFunSuite {
   }
 
   /** Lines of a plan string that are ALGORITHMIC exchanges — excludes
-    * the declared input-spread repartition ([[Tables.spread]], shuffle
-    * origin REPARTITION_BY_COL), which exists only when a scan's
-    * natural split count cannot feed the cores (single-row-group local
-    * fixtures) and short-circuits away at scale. Plan pins that assert
-    * "operator X must not shuffle" mean X's algorithm: the rescue
-    * exchange is input plumbing, counted by none of them. */
+    * ONLY the declared input-spread rescue ([[Tables.spread]]), which
+    * exists when a scan's natural split count cannot feed the cores
+    * (single-row-group local fixtures) and short-circuits away at
+    * scale. Plan pins that assert "operator X must not shuffle" mean
+    * X's algorithm: the rescue exchange is input plumbing, counted by
+    * none of them. The exemption is pinned to the spread's exact shape
+    * (r17 advice — the old origin-only test exempted EVERY
+    * REPARTITION_BY_* exchange, so a stray algorithmic
+    * `.repartition(n)` could hide from a "no shuffle" pin):
+    * `repartition(defaultParallelism, col(tableKey))`, i.e. origin
+    * REPARTITION_BY_NUM hash-partitioned on a single declared
+    * [[Tables.spreadKeys]] attribute. */
+  private val spreadExchangeRe = {
+    val keys = Tables.spreadKeys.values.mkString("|")
+    (s"hashpartitioning\\((?:$keys)#\\d+[L]?, \\d+\\)").r
+  }
   def algoExchangeLines(plan: String): Seq[String] =
     plan.linesIterator.filter(l =>
-      l.contains("Exchange") && !l.contains("REPARTITION_BY_")).toSeq
+      l.contains("Exchange") &&
+        !(l.contains("REPARTITION_BY_NUM") &&
+          spreadExchangeRe.findFirstIn(l).isDefined)).toSeq
 
   /** The collect-based twin of [[algoExchangeLines]] for non-AQE
     * executed plans. */
   def algoShuffles(plan: org.apache.spark.sql.execution.SparkPlan):
       Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
-    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_COL, REPARTITION_BY_NUM, ShuffleExchangeExec}
-    plan.collect {
-      case e: ShuffleExchangeExec
-        if e.shuffleOrigin != REPARTITION_BY_COL &&
-          e.shuffleOrigin != REPARTITION_BY_NUM => e
-    }
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    def isSpread(e: ShuffleExchangeExec): Boolean =
+      e.shuffleOrigin == REPARTITION_BY_NUM &&
+        (e.outputPartitioning match {
+          case HashPartitioning(Seq(a: AttributeReference), _) =>
+            Tables.spreadKeys.values.exists(_ == a.name)
+          case _ => false
+        })
+    plan.collect { case e: ShuffleExchangeExec if !isSpread(e) => e }
   }
 }
