@@ -23,14 +23,19 @@ object SourceQueries {
     // .rdd boundary ships one String per row — the old Row-based map
     // deserialized every column (including the props map) just to read
     // three fields (r17 optimization, guide §4.1: prefer built-ins and
-    // project before opaque operations)
+    // project before opaque operations). coalesce guards (r17 advice):
+    // concat is null-intolerant, so a null event_type/ts/user_id would
+    // NULL the whole query string; the pre-r17 interpolation emitted
+    // the literal text "null" and kept the row — preserved here.
+    val nullLit = lit("null")
     val queries = Tables(spark, dir, "events")
       .select(concat(
         lit("collection=pixel_events&api.api_key=k1&prop._user=u"),
-        $"user_id".cast("string"),
-        lit("&prop.etype="), $"event_type",
+        coalesce($"user_id".cast("string"), nullLit),
+        lit("&prop.etype="), coalesce($"event_type", nullLit),
         lit("&prop._time="),
-        unix_millis($"ts".cast("timestamp")).cast("string")).as("q"))
+        coalesce(unix_millis($"ts".cast("timestamp")).cast("string"),
+          nullLit)).as("q"))
       .as[String].rdd
     val registry = SchemaRegistry.inMemory()
     val res = BatchSources.pixelIngest(spark, registry, "s5", queries)
