@@ -758,21 +758,24 @@ object CorpusQueries {
     * clusters (d5's connected components), pick ONE survivor per
     * cluster: the longest document, doc_id as the deterministic
     * tie-break (real pipelines rank by quality score; the argmax shape
-    * is identical). One window over the cluster partition — no
-    * self-join, no skew beyond cluster size, which d2's bucket cap
-    * already bounds. */
+    * is identical). The argmax is a partial-agg'd `min(struct(...))`
+    * (r18, guide §2.3 — the kms1 trick): `(-n_chars, doc_id)` orders
+    * exactly like `n_chars DESC, doc_id ASC`, doc_id is unique within
+    * a cluster (total order — same row as rank 1 of the old
+    * row_number window), and the survivor's remaining columns ride
+    * the struct. One combinable slot per cluster crosses the exchange
+    * instead of every member row through a sort, so a giant cluster
+    * is absorbed map-side instead of buffered in one window group. */
   def d9Survivors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables(spark, dir, "documents")
     val clusters = DedupQueries.d5From(docs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"cluster_id")
-      .orderBy($"n_chars".desc, $"doc_id".asc)
     docs.join(clusters, "doc_id")
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
-      .select($"cluster_id", $"doc_id".as("survivor_id"), $"n_chars",
-        $"lang")
+      .groupBy($"cluster_id")
+      .agg(min(struct((-$"n_chars").as("neg_chars"), $"doc_id",
+        $"n_chars", $"lang")).as("s"))
+      .select($"cluster_id", $"s.doc_id".as("survivor_id"),
+        $"s.n_chars".as("n_chars"), $"s.lang".as("lang"))
   }
 
   val d9Sql: String =
